@@ -1,0 +1,68 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion through the `noop` sink (full plan
+runs on executors; no driver-side collect overhead in the timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from deltalake_datafusion_spark.session import get_spark
+    from deltalake_datafusion_spark.queries import all_query_specs
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM / parquet footer caches once so per-query timings
+    # measure the plan, not first-touch JIT.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for spec in all_query_specs():
+        t0 = time.perf_counter()
+        try:
+            df = spec.build(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001
+            print(f"# bench error in {spec.name}: {e}", file=sys.stderr)
+            dt = float("nan")
+        timings[spec.name] = round(dt, 4)
+        if dt == dt:
+            total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""deltalake_datafusion_spark — a PySpark-native analytics engine.
+
+A from-scratch re-expression of the capabilities of
+``delta-incubator/deltalake-datafusion`` (reference, read-only at
+``/root/reference``) on idiomatic PySpark:
+
+- Delta Lake table scans with snapshot isolation, stats-based file
+  skipping, partition pruning, deletion vectors, column mapping and
+  schema evolution (reference:
+  ``crates/datafusion/src/table_provider/delta/``).
+- Transaction-log metadata tables (``delta_log`` / ``log_replay``,
+  reference: ``crates/datafusion/src/table_provider/delta_log.rs``).
+- Table maintenance: VACUUM, directory listing (reference:
+  ``crates/datafusion/src/commands/vacuum/``,
+  ``crates/datafusion/src/execution/directory_listing.rs``).
+- An extended SQL dialect (VACUUM / CREATE CATALOG / DROP CATALOG)
+  dispatching everything else to Spark SQL (reference:
+  ``crates/datafusion/src/sql/parser.rs``).
+- The full relational surface (joins / aggs / windows / set ops /
+  scalar functions) via Spark SQL + Catalyst, mirroring the
+  reference's delegation to embedded DataFusion (reference:
+  ``crates/datafusion/src/planner.rs:121-133``).
+- Beyond-reference large-scale pipeline operators: deduplication
+  (exact, MinHash-LSH, SimHash, n-gram Jaccard), embedding
+  similarity search, text analysis, multimodal column plumbing.
+
+Everything here is built on public Spark APIs only; the execution
+strategy is Catalyst/Tungsten, not a port of the reference's Rust.
+"""
+
+from deltalake_datafusion_spark.session import get_spark, EngineConfig
+from deltalake_datafusion_spark.delta.snapshot import Snapshot, load_snapshot
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.writer import (
+    write_delta,
+    DeltaWriteError,
+)
+from deltalake_datafusion_spark.delta.registry import DeltaRegistry, register_delta
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "get_spark",
+    "EngineConfig",
+    "Snapshot",
+    "load_snapshot",
+    "read_delta",
+    "write_delta",
+    "DeltaWriteError",
+    "DeltaRegistry",
+    "register_delta",
+    "sql",
+    "__version__",
+]

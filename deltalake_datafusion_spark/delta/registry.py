@@ -1,0 +1,7 @@
+"""Placeholder — implemented in milestone 2."""
+def __getattr__(name):
+    if name.startswith("__"):
+        raise AttributeError(name)
+    import warnings
+    warnings.warn(f"{name} not yet implemented (milestone 2)")
+    return None

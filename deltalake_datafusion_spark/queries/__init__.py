@@ -1,0 +1,65 @@
+"""Query registry: every operator surface exposed to the driver.
+
+Each :class:`QuerySpec` pairs a Spark DataFrame builder with an
+equivalent ANSI-SQL oracle string (DuckDB dialect) so the driver's
+correctness harness can hash-compare results. Specs without an oracle
+get a weaker rows-only check (reserved for genuinely
+non-SQL-expressible or cross-engine-nondeterministic operators such as
+approximate sketches and LSH).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over pre-registered parquet views
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Register the driver parquet tables as temp views and return them.
+
+    One ``spark.read.parquet`` per table — Catalyst handles column
+    pruning and filter pushdown into the scans. TIMESTAMP(NANOS)
+    parquet columns (unsupported by Spark) arrive as LongType via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and are converted to µs
+    timestamps here (truncation, matching DuckDB's ns→µs cast).
+    """
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    out = {}
+    for name in names:
+        path = f"{sf_dir}/{name}.parquet"
+        df = spark.read.parquet(path)
+        try:
+            pa_schema = papq.read_schema(path)
+            for field in pa_schema:
+                t = field.type
+                if str(t) == "timestamp[ns]" and field.name in df.columns:
+                    df = df.withColumn(
+                        field.name,
+                        F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+                    )
+        except OSError:
+            pass  # directory-style parquet; assume µs timestamps
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def all_query_specs() -> list[QuerySpec]:
+    from deltalake_datafusion_spark.queries import relational, pipeline, delta_tier
+
+    return (
+        relational.specs()
+        + pipeline.specs()
+        + delta_tier.specs()
+    )

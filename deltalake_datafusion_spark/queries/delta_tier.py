@@ -1,0 +1,6 @@
+"""Delta-scan-tier queries (write → scan roundtrips) — milestone 2+."""
+from deltalake_datafusion_spark.queries import QuerySpec
+
+
+def specs() -> list[QuerySpec]:
+    return []

@@ -1,0 +1,6 @@
+"""LLM-data-pipeline queries (dedup / similarity / text) — milestone 5."""
+from deltalake_datafusion_spark.queries import QuerySpec
+
+
+def specs() -> list[QuerySpec]:
+    return []

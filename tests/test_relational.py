@@ -1,0 +1,47 @@
+"""Relational-tier correctness vs the DuckDB oracle (SURVEY.md §2.2).
+
+The per-round driver harness re-runs all of these at sf0.01; here we
+run the full registry at sf0.001 so `pytest` stays fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from deltalake_datafusion_spark.queries import relational
+from tests.util import assert_matches_oracle
+
+SPECS = relational.specs()
+
+
+@pytest.mark.parametrize(
+    "spec", [s for s in SPECS if s.oracle], ids=lambda s: s.name
+)
+def test_matches_oracle(spec, spark, duck, sf_dir):
+    assert_matches_oracle(spec.build(spark, sf_dir), duck, spec.oracle)
+
+
+def test_approx_aggs_bounded_error(spark, duck, sf_dir):
+    """Sketch aggregates have no cross-engine oracle; assert bounded
+    error against exact values instead."""
+    spec = next(s for s in SPECS if s.name == "q_approx_aggs")
+    row = spec.build(spark, sf_dir).collect()[0]
+    exact_users, exact_median = duck.execute(
+        "SELECT COUNT(DISTINCT user_id), quantile_cont(value, 0.5) FROM events"
+    ).fetchone()
+    assert abs(row.approx_users - exact_users) <= max(2, 0.1 * exact_users)
+    lo, hi = duck.execute(
+        "SELECT quantile_cont(value, 0.35), quantile_cont(value, 0.65) FROM events"
+    ).fetchone()
+    assert lo <= row.approx_median_value <= hi
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 26

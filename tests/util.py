@@ -1,0 +1,31 @@
+"""Shared helpers: driver-style order-insensitive result comparison."""
+
+from __future__ import annotations
+
+import math
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    return v
+
+
+def canon_rows(df_pandas):
+    cols = sorted(df_pandas.columns)
+    out = []
+    for t in df_pandas[cols].itertuples(index=False):
+        out.append(tuple(_norm(v) for v in t))
+    return sorted(out, key=repr)
+
+
+def assert_matches_oracle(spark_df, duck_con, oracle_sql: str) -> None:
+    sp = spark_df.toPandas()
+    du = duck_con.execute(oracle_sql).fetchdf()
+    assert sorted(sp.columns) == sorted(du.columns), (
+        f"columns: spark={sorted(sp.columns)} duck={sorted(du.columns)}"
+    )
+    assert len(sp) == len(du), f"rows: spark={len(sp)} duck={len(du)}"
+    a, b = canon_rows(sp), canon_rows(du)
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        assert repr(ra) == repr(rb), f"row {i}: spark={ra} duck={rb}"

@@ -1,0 +1,99 @@
+"""Local stand-in for the driver's correctness harness.
+
+Runs every QuerySpec's Spark plan AND its DuckDB oracle at a given
+scale factor, then compares row count, column names, and values
+(order-insensitive, columns sorted by name) — the same contract as
+CORRECTNESS_r{N}.json. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # exact double repr
+    return v
+
+
+def compare(name, spark_df, oracle_sql, con) -> str:
+    import pandas as pd
+
+    sp = spark_df.toPandas()
+    du = con.execute(oracle_sql).fetchdf()
+    if sorted(sp.columns) != sorted(du.columns):
+        return f"SCHEMA MISMATCH: spark={sorted(sp.columns)} duck={sorted(du.columns)}"
+    if len(sp) != len(du):
+        return f"ROWCOUNT MISMATCH: spark={len(sp)} duck={len(du)}"
+    cols = sorted(sp.columns)
+    sp = sp[cols]
+    du = du[cols]
+
+    def canon(df):
+        rows = []
+        for t in df.itertuples(index=False):
+            rows.append(tuple(_norm_cell(v) for v in t))
+        return sorted(rows, key=repr)
+
+    a, b = canon(sp), canon(du)
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if repr(ra) != repr(rb):
+            return f"VALUE MISMATCH at sorted row {i}:\n  spark={ra}\n  duck ={rb}"
+    return "OK"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    from deltalake_datafusion_spark.session import get_spark
+    from deltalake_datafusion_spark.queries import all_query_specs
+
+    spark = get_spark()
+    failures = []
+    for spec in all_query_specs():
+        if only and spec.name not in only:
+            continue
+        try:
+            df = spec.build(spark, sf_dir)
+            if spec.oracle is None:
+                n = df.count()
+                status = f"rows-only ({n} rows)"
+                if n < 0:
+                    failures.append(spec.name)
+            else:
+                status = compare(spec.name, df, spec.oracle, con)
+                if status != "OK":
+                    failures.append(spec.name)
+        except Exception as e:  # noqa: BLE001
+            status = f"ERROR: {type(e).__name__}: {e}"
+            failures.append(spec.name)
+        print(f"{spec.name:28s} {status}")
+    print()
+    if failures:
+        print(f"FAILED: {failures}")
+        sys.exit(1)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
