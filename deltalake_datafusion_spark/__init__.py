@@ -29,12 +29,21 @@ strategy is Catalyst/Tungsten, not a port of the reference's Rust.
 """
 
 from deltalake_datafusion_spark.session import get_spark, EngineConfig
-from deltalake_datafusion_spark.delta.snapshot import Snapshot, load_snapshot
+from deltalake_datafusion_spark.delta.snapshot import (
+    Snapshot,
+    load_snapshot,
+    actions_df,
+    log_replay_df,
+)
 from deltalake_datafusion_spark.delta.scan import read_delta
 from deltalake_datafusion_spark.delta.writer import (
     write_delta,
+    write_checkpoint,
     DeltaWriteError,
 )
+from deltalake_datafusion_spark.delta.ops import delete_delta
+from deltalake_datafusion_spark.delta.vacuum import vacuum
+from deltalake_datafusion_spark.delta.listing import directory_listing
 from deltalake_datafusion_spark.delta.registry import DeltaRegistry, register_delta
 from deltalake_datafusion_spark.sql.dispatcher import sql
 
@@ -45,9 +54,14 @@ __all__ = [
     "EngineConfig",
     "Snapshot",
     "load_snapshot",
+    "actions_df",
+    "log_replay_df",
     "read_delta",
     "write_delta",
-    "DeltaWriteError",
+    "write_checkpoint",
+    "delete_delta",
+    "vacuum",
+    "directory_listing",
     "DeltaRegistry",
     "register_delta",
     "sql",

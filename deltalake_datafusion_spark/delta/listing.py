@@ -1,0 +1,55 @@
+"""Directory listing as a queryable DataFrame.
+
+Spark analog of ``DirectoryListingExec`` (reference:
+``crates/datafusion/src/execution/directory_listing.rs:29-230``): an
+object-store listing exposed with the exact 4-column schema
+``path, length, is_dir, modification_time``. Listing happens on the
+driver through the storage handler (Hadoop FS for remote schemes);
+the result is metadata-scale and becomes a regular DataFrame that any
+SQL can query — the input to VACUUM planning.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from deltalake_datafusion_spark.delta.fs import fs_for, strip_scheme
+
+LISTING_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("length", LongType(), True),
+        StructField("is_dir", BooleanType(), False),
+        StructField("modification_time", TimestampType(), True),
+    ]
+)
+
+
+def directory_listing(
+    spark, directory: str, recursive: bool = False
+) -> DataFrame:
+    """List ``directory`` (non-recursive by default, matching the
+    reference's delimiter listing) as a DataFrame."""
+    fs = fs_for(directory, spark)
+    directory = strip_scheme(directory)
+    stats = fs.list_recursive(directory) if recursive else fs.list(directory)
+    rows = [
+        (
+            s.path,
+            None if s.is_dir else s.size,
+            s.is_dir,
+            dt.datetime.fromtimestamp(s.mtime_ms / 1000, tz=dt.timezone.utc),
+        )
+        for s in stats
+    ]
+    return spark.createDataFrame(rows, LISTING_SCHEMA)

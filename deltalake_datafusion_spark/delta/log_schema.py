@@ -1,0 +1,136 @@
+"""The Delta transaction-log action schema.
+
+Spark analog of the kernel's log schema that the reference exposes
+through its ``delta_log`` metadata table (reference:
+``crates/datafusion/src/table_provider/delta_log.rs:37-38,60-136``).
+Expressed as a Spark ``StructType`` so commits can be read with
+``spark.read.schema(LOG_SCHEMA).json(...)`` and checkpoints with the
+same column layout in parquet.
+
+Delta schema strings (``metaData.schemaString``) use Spark's own
+StructType JSON serialization, so ``StructType.fromJson`` round-trips
+them natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    LongType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_STR_MAP = MapType(StringType(), StringType())
+
+DV_DESCRIPTOR_SCHEMA = StructType(
+    [
+        StructField("storageType", StringType()),    # 'u' | 'i' | 'p'
+        StructField("pathOrInlineDv", StringType()),
+        StructField("offset", IntegerType()),
+        StructField("sizeInBytes", IntegerType()),
+        StructField("cardinality", LongType()),
+    ]
+)
+
+ADD_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("partitionValues", _STR_MAP),
+        StructField("size", LongType()),
+        StructField("modificationTime", LongType()),
+        StructField("dataChange", BooleanType()),
+        StructField("stats", StringType()),
+        StructField("tags", _STR_MAP),
+        StructField("deletionVector", DV_DESCRIPTOR_SCHEMA),
+        StructField("baseRowId", LongType()),
+        StructField("defaultRowCommitVersion", LongType()),
+    ]
+)
+
+REMOVE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("deletionTimestamp", LongType()),
+        StructField("dataChange", BooleanType()),
+        StructField("extendedFileMetadata", BooleanType()),
+        StructField("partitionValues", _STR_MAP),
+        StructField("size", LongType()),
+        StructField("deletionVector", DV_DESCRIPTOR_SCHEMA),
+    ]
+)
+
+METADATA_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("name", StringType()),
+        StructField("description", StringType()),
+        StructField(
+            "format",
+            StructType(
+                [
+                    StructField("provider", StringType()),
+                    StructField("options", _STR_MAP),
+                ]
+            ),
+        ),
+        StructField("schemaString", StringType()),
+        StructField("partitionColumns", ArrayType(StringType())),
+        StructField("configuration", _STR_MAP),
+        StructField("createdTime", LongType()),
+    ]
+)
+
+PROTOCOL_SCHEMA = StructType(
+    [
+        StructField("minReaderVersion", IntegerType()),
+        StructField("minWriterVersion", IntegerType()),
+        StructField("readerFeatures", ArrayType(StringType())),
+        StructField("writerFeatures", ArrayType(StringType())),
+    ]
+)
+
+TXN_SCHEMA = StructType(
+    [
+        StructField("appId", StringType()),
+        StructField("version", LongType()),
+        StructField("lastUpdated", LongType()),
+    ]
+)
+
+COMMIT_INFO_SCHEMA = StructType(
+    [
+        StructField("timestamp", LongType()),
+        StructField("operation", StringType()),
+        StructField("operationParameters", _STR_MAP),
+        StructField("engineInfo", StringType()),
+        StructField("txnId", StringType()),
+    ]
+)
+
+LOG_SCHEMA = StructType(
+    [
+        StructField("add", ADD_SCHEMA),
+        StructField("remove", REMOVE_SCHEMA),
+        StructField("metaData", METADATA_SCHEMA),
+        StructField("protocol", PROTOCOL_SCHEMA),
+        StructField("txn", TXN_SCHEMA),
+        StructField("commitInfo", COMMIT_INFO_SCHEMA),
+    ]
+)
+
+# Reader features this engine understands; protocol gating mirrors the
+# kernel's reader-version checks surfaced by the reference's snapshot
+# metadata assertions (crates/acceptance/src/meta.rs:78-117).
+SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "timestampNtz",
+    "vacuumProtocolCheck",
+    "v2Checkpoint",
+}
+MAX_READER_VERSION = 3

@@ -1,7 +1,86 @@
-"""Placeholder — implemented in milestone 2."""
-def __getattr__(name):
-    if name.startswith("__"):
-        raise AttributeError(name)
-    import warnings
-    warnings.warn(f"{name} not yet implemented (milestone 2)")
-    return None
+"""Table registry: named Delta tables with snapshot auto-refresh.
+
+Spark analog of the reference's Delta schema provider + session
+registration API (reference:
+``crates/datafusion/src/schema_provider.rs:15-139`` — refresh at
+83-118; ``crates/datafusion/src/session.rs:240-311``). ``table(name)``
+re-resolves the snapshot before returning the DataFrame, so a query
+planned after another writer commits sees the new version — the same
+read-your-latest semantics as the reference's ``try_new_from``
+incremental refresh. Refreshes are incremental in cost: only log
+entries after the cached version are re-read.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from deltalake_datafusion_spark.delta.scan import scan
+from deltalake_datafusion_spark.delta.snapshot import Snapshot, load_snapshot
+
+
+@dataclass
+class _Entry:
+    path: str
+    version_pin: int | None
+    snapshot: Snapshot
+
+
+@dataclass
+class DeltaRegistry:
+    """Session-scoped name → Delta table mapping."""
+
+    spark: object
+    _tables: dict[str, _Entry] = field(default_factory=dict)
+
+    def register(
+        self, name: str, path: str, version: int | None = None
+    ) -> Snapshot:
+        snap = load_snapshot(path, version=version, spark=self.spark)
+        self._tables[name] = _Entry(path, version, snap)
+        self._publish(name, snap)
+        return snap
+
+    def unregister(self, name: str) -> None:
+        self._tables.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+
+    def names(self) -> list[str]:
+        return sorted(self._tables)
+
+    def snapshot(self, name: str) -> Snapshot:
+        return self._refresh(name).snapshot
+
+    def table(self, name: str, predicate: str | None = None) -> DataFrame:
+        """Current DataFrame for ``name`` (snapshot re-resolved unless
+        version-pinned — reference schema_provider.rs:94-109)."""
+        entry = self._refresh(name)
+        return scan(self.spark, entry.snapshot, predicate=predicate)
+
+    def _refresh(self, name: str) -> _Entry:
+        if name not in self._tables:
+            raise KeyError(f"table {name!r} is not registered")
+        entry = self._tables[name]
+        if entry.version_pin is None:
+            latest = load_snapshot(entry.path, spark=self.spark)
+            if latest.version != entry.snapshot.version:
+                entry.snapshot = latest
+                self._publish(name, latest)
+        return entry
+
+    def _publish(self, name: str, snap: Snapshot) -> None:
+        scan(self.spark, snap).createOrReplaceTempView(name)
+
+
+def register_delta(
+    spark, name: str, path: str, version: int | None = None
+) -> DataFrame:
+    """One-shot registration (reference ``register_delta``,
+    session.rs:278-304): resolves the snapshot, registers a temp view,
+    returns the DataFrame."""
+    snap = load_snapshot(path, version=version, spark=spark)
+    df = scan(spark, snap)
+    df.createOrReplaceTempView(name)
+    return df

@@ -1,7 +1,216 @@
-"""Placeholder — implemented in milestone 2."""
-def __getattr__(name):
-    if name.startswith("__"):
-        raise AttributeError(name)
-    import warnings
-    warnings.warn(f"{name} not yet implemented (milestone 2)")
-    return None
+"""Delta table scan: snapshot → pruned file list → DataFrame.
+
+Spark-first re-expression of the reference's table provider scan
+(reference: ``crates/datafusion/src/table_provider/delta/mod.rs:90-149``
+and the per-file transform exec ``exec.rs:24-237``):
+
+    (projection, predicate, limit)
+      → log replay (snapshot)                       [S2]
+      → stats + partition pruning                   [S18 analog]
+      → limit-based file truncation                 [S6]
+      → per-group ``spark.read.schema(phys).parquet(files)``
+        with partition-value injection              [S1/S3]
+      → deletion-vector row filtering               [S4]
+      → recursive schema application                [S20]
+      → residual ``filter(predicate)`` (inexact discipline)
+      → ``select(projection)`` / ``limit(n)``
+
+Scale design:
+- Pruning happens on the driver over add-file metadata *before any
+  data I/O* — scan cost ∝ matching files, not table size.
+- File groups with a hive-style layout read in ONE ``spark.read``
+  via ``basePath`` (Spark parses partition dirs natively — no N-way
+  union for N partitions). Non-hive layouts fall back to per-
+  partition-tuple groups unioned (the reference's multi-store union
+  pattern, ``delta/mod.rs:181-227``).
+- Parallelism within files comes from Spark file splitting
+  (``spark.sql.files.maxPartitionBytes``), the analog of the
+  reference's ``repartitioned()`` redistribution (exec.rs:105-121).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from deltalake_datafusion_spark.delta.predicates import prune_files
+from deltalake_datafusion_spark.delta.schema_apply import apply_schema
+from deltalake_datafusion_spark.delta.snapshot import AddFile, Snapshot, load_snapshot
+from deltalake_datafusion_spark.delta.stats import parse_stats
+from deltalake_datafusion_spark.delta.writer import physical_schema
+
+
+def _logical_to_physical_map(schema: StructType) -> dict[str, str]:
+    """Dotted logical name → dotted physical name (for stats lookup)."""
+    out: dict[str, str] = {}
+
+    def walk(t, lprefix, pprefix):
+        if not isinstance(t, StructType):
+            return
+        for f in t.fields:
+            phys = (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+            lname = f"{lprefix}{f.name}"
+            pname = f"{pprefix}{phys}"
+            out[lname] = pname
+            walk(f.dataType, lname + ".", pname + ".")
+
+    walk(schema, "", "")
+    return out
+
+
+def _limit_truncate(files: list[AddFile], limit: int) -> list[AddFile]:
+    """Limit pushdown at file granularity (reference S6:
+    ``delta/mod.rs:213,223-226``): stop planning files once known row
+    counts cover the limit. Files without numRecords stats count as
+    unknown → keep and stop truncating."""
+    out, covered = [], 0
+    for f in files:
+        out.append(f)
+        stats = parse_stats(f.stats)
+        n = stats.get("numRecords") if stats else None
+        if n is None:
+            return files  # unknown cardinality — cannot truncate safely
+        covered += n
+        if covered >= limit:
+            return out
+    return out
+
+
+def scan_files(
+    snapshot: Snapshot,
+    predicate: str | None = None,
+    limit: int | None = None,
+) -> list[AddFile]:
+    """The scan-metadata planner (S2): pruned, limit-truncated files."""
+    l2p = _logical_to_physical_map(snapshot.schema)
+    files = prune_files(
+        snapshot.files,
+        predicate,
+        snapshot.schema,
+        snapshot.partition_columns,
+        l2p,
+    )
+    if limit is not None and predicate is None:
+        files = _limit_truncate(files, limit)
+    return files
+
+
+def _partition_expr(value: str | None, dtype):
+    if value is None:
+        return F.lit(None).cast(dtype)
+    return F.lit(value).cast(dtype)
+
+
+def _read_file_group(
+    spark,
+    snapshot: Snapshot,
+    files: list[AddFile],
+    data_schema: StructType,
+    with_row_index: bool,
+) -> DataFrame:
+    paths = [os.path.join(snapshot.table_path, f.path) for f in files]
+    reader = spark.read.schema(data_schema)
+    df = reader.parquet(*paths)
+    if with_row_index:
+        df = df.select(
+            "*",
+            F.col("_metadata.row_index").alias("__row_index"),
+            F.col("_metadata.file_path").alias("__file_path"),
+        )
+    return df
+
+
+def _group_key(f: AddFile, partition_columns: list[str]) -> tuple:
+    return tuple(f.partition_values.get(p) for p in partition_columns)
+
+
+def scan(
+    spark,
+    snapshot: Snapshot,
+    predicate: str | None = None,
+    columns: list[str] | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Build the scan DataFrame for a snapshot (S1)."""
+    logical = snapshot.schema
+    phys_full = physical_schema(logical)
+    part_cols = snapshot.partition_columns
+    part_idx = {logical.fieldNames().index(p) for p in part_cols}
+    # Physical *data* schema = physical schema minus partition columns
+    # (partition values live in the log, not the files — reference
+    # injects them via per-file transforms, table_format.rs:20-21).
+    data_schema = StructType(
+        [f for i, f in enumerate(phys_full.fields) if i not in part_idx]
+    )
+
+    files = scan_files(snapshot, predicate, limit)
+    if not files:
+        empty = spark.createDataFrame([], logical)
+        return _finish(empty, predicate, columns, limit)
+
+    dv_files = [f for f in files if f.dv is not None]
+    plain_files = [f for f in files if f.dv is None]
+
+    branches: list[DataFrame] = []
+    for subset, with_dv in ((plain_files, False), (dv_files, True)):
+        if not subset:
+            continue
+        # Group by partition tuple; inject partition values as typed
+        # literals per group (per-file-group transform, S3).
+        groups: dict[tuple, list[AddFile]] = defaultdict(list)
+        for f in subset:
+            groups[_group_key(f, part_cols)].append(f)
+        for key, group in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+            df = _read_file_group(spark, snapshot, group, data_schema, with_dv)
+            if with_dv:
+                df = _apply_dv_filter(spark, snapshot, group, df)
+            for p, raw in zip(part_cols, key):
+                li = logical.fieldNames().index(p)
+                phys_name = phys_full.fields[li].name
+                df = df.withColumn(
+                    phys_name, _partition_expr(raw, phys_full.fields[li].dataType)
+                )
+            branches.append(df)
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    out = apply_schema(out, logical)
+    return _finish(out, predicate, columns, limit)
+
+
+def _apply_dv_filter(spark, snapshot, group, df: DataFrame) -> DataFrame:
+    from deltalake_datafusion_spark.delta.deletion_vectors import dv_row_filter
+
+    return dv_row_filter(spark, snapshot, group, df)
+
+
+def _finish(df, predicate, columns, limit):
+    if predicate:
+        # Inexact pruning discipline: the full predicate is always
+        # re-applied over the scan (reference delta/mod.rs:83-88).
+        df = df.filter(F.expr(predicate))
+    if columns:
+        df = df.select(*columns)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def read_delta(
+    spark,
+    table_path: str,
+    version: int | None = None,
+    predicate: str | None = None,
+    columns: list[str] | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Read a Delta table (time travel via ``version``) — the
+    ``register_delta`` / ``read_delta_snapshot`` surface (reference
+    ``session.rs:240-311``)."""
+    snap = load_snapshot(table_path, version=version, spark=spark)
+    return scan(spark, snap, predicate=predicate, columns=columns, limit=limit)

@@ -1,0 +1,79 @@
+"""Recursive schema application: physical file batches → logical schema.
+
+Spark analog of the reference's nested schema adapter (reference:
+``crates/datafusion/src/engine/schema_adapter/apply_schema.rs:21-234``):
+drop extra columns, impute missing fields as typed nulls, rename
+nested fields (column mapping), fix nullability, cast leaves —
+recursing through struct / array / map. Instead of rebuilding Arrow
+arrays, we emit one Catalyst projection (``select`` of nested
+expressions), so whole-stage codegen executes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructField, StructType
+
+
+def _physical_name(f: StructField) -> str:
+    return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+
+
+def _convert(col: Column, src: DataType | None, dst_field: StructField) -> Column:
+    """Build the expression converting a physical column (type ``src``,
+    None = absent from file) to the logical field ``dst_field``."""
+    dst = dst_field.dataType
+    if src is None:
+        return F.lit(None).cast(dst)
+    if isinstance(dst, StructType):
+        if not isinstance(src, StructType):
+            return F.lit(None).cast(dst)
+        parts = []
+        for lf in dst.fields:
+            phys = _physical_name(lf)
+            sf = next((s for s in src.fields if s.name == phys), None)
+            child = col.getField(phys) if sf is not None else F.lit(None)
+            parts.append(
+                _convert(child, sf.dataType if sf else None, lf).alias(lf.name)
+            )
+        # Preserve struct-level nulls (apply_schema.rs keeps null masks).
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(F.struct(*parts))
+    if isinstance(dst, ArrayType):
+        if not isinstance(src, ArrayType):
+            return F.lit(None).cast(dst)
+        elem_field = StructField("element", dst.elementType, dst.containsNull)
+        return F.transform(col, lambda x: _convert(x, src.elementType, elem_field))
+    if isinstance(dst, MapType):
+        if not isinstance(src, MapType):
+            return F.lit(None).cast(dst)
+        val_field = StructField("value", dst.valueType, dst.valueContainsNull)
+        key_field = StructField("key", dst.keyType, False)
+        return F.map_from_arrays(
+            F.transform(F.map_keys(col), lambda k: _convert(k, src.keyType, key_field)),
+            F.transform(
+                F.map_values(col), lambda v: _convert(v, src.valueType, val_field)
+            ),
+        )
+    if src != dst:
+        return col.cast(dst)
+    return col
+
+
+def apply_schema(
+    df: DataFrame, logical: StructType, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """Project ``df`` (physical layout, possibly column-mapped /
+    schema-evolved) into exactly ``logical``. Extra physical columns
+    are dropped; missing ones become typed nulls. ``extra_cols`` are
+    passed through untouched (e.g. row-index metadata)."""
+    src_schema = df.schema
+    cols = []
+    for lf in logical.fields:
+        phys = _physical_name(lf)
+        sf = next((s for s in src_schema.fields if s.name == phys), None)
+        src_col = F.col(f"`{phys}`") if sf is not None else F.lit(None)
+        cols.append(_convert(src_col, sf.dataType if sf else None, lf).alias(lf.name))
+    for e in extra_cols or []:
+        cols.append(F.col(e))
+    return df.select(*cols)

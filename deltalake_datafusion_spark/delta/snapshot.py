@@ -1,7 +1,402 @@
-"""Placeholder — implemented in milestone 2."""
-def __getattr__(name):
-    if name.startswith("__"):
-        raise AttributeError(name)
-    import warnings
-    warnings.warn(f"{name} not yet implemented (milestone 2)")
-    return None
+"""Snapshot resolution: Delta log replay → (schema, protocol, live files).
+
+Spark-first analog of the reference's scan-metadata planner and
+log-replay provider (reference:
+``crates/datafusion/src/table_provider/delta/snapshot.rs:92-204``,
+``crates/datafusion/src/table_provider/delta_log.rs:139-421``). Where
+the reference inverts control through delta-kernel callbacks (storage
+list → JSON/parquet read → expression eval), here the "kernel" is
+plain Python on the driver:
+
+1. list ``_delta_log/`` (ordered), find ``_last_checkpoint``;
+2. read checkpoint parquet (if any) + JSON commits after it;
+3. replay: latest metaData/protocol win; (path, dvId)-keyed adds,
+   removes tombstone earlier adds.
+
+Scale: log replay is metadata-scale (KBs..GBs of JSON/parquet, not
+table data). Driver-side replay handles logs up to ~1e6 actions
+comfortably; :func:`log_replay_df` provides the same replay as a
+Spark job (window dedup over the actions DataFrame) for tables whose
+logs outgrow the driver — the cutover mirrors the reference running
+snapshot loads on blocking threads (``session.rs:294-299``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import urllib.parse
+from dataclasses import dataclass, field
+
+from pyspark.sql.types import StructType
+
+from deltalake_datafusion_spark.delta.fs import fs_for, strip_scheme
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+
+
+class DeltaProtocolError(Exception):
+    pass
+
+
+class DeltaNotFoundError(Exception):
+    pass
+
+
+@dataclass
+class DvDescriptor:
+    """Deletion-vector descriptor from an add/remove action."""
+
+    storage_type: str  # 'u' (relative w/ random prefix), 'i' (inline), 'p' (absolute)
+    path_or_inline: str
+    offset: int | None
+    size_in_bytes: int
+    cardinality: int
+
+    @property
+    def unique_id(self) -> str:
+        return f"{self.storage_type}{self.path_or_inline}@{self.offset or 0}"
+
+
+@dataclass
+class AddFile:
+    """One live data file (reference scan-file context:
+    ``crates/datafusion/src/table_provider/delta/table_format.rs:12-26``)."""
+
+    path: str  # relative, URL-decoded
+    size: int
+    modification_time: int
+    partition_values: dict[str, str] = field(default_factory=dict)
+    stats: str | None = None  # raw JSON
+    dv: DvDescriptor | None = None
+
+    @property
+    def dv_id(self) -> str:
+        return self.dv.unique_id if self.dv else ""
+
+
+@dataclass
+class Metadata:
+    id: str
+    schema_string: str
+    partition_columns: list[str]
+    configuration: dict[str, str]
+    name: str | None = None
+    created_time: int | None = None
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.schema_string))
+
+
+@dataclass
+class Protocol:
+    min_reader_version: int = 1
+    min_writer_version: int = 2
+    reader_features: list[str] = field(default_factory=list)
+    writer_features: list[str] = field(default_factory=list)
+
+
+@dataclass
+class Snapshot:
+    """Immutable view of a Delta table at a version (reference
+    ``TableSnapshot`` trait:
+    ``crates/datafusion/src/table_provider/delta/table_format.rs:59-82``)."""
+
+    table_path: str
+    version: int
+    metadata: Metadata
+    protocol: Protocol
+    files: list[AddFile]
+    tombstones: list[dict] = field(default_factory=list)
+
+    @property
+    def schema(self) -> StructType:
+        return self.metadata.schema
+
+    @property
+    def partition_columns(self) -> list[str]:
+        return self.metadata.partition_columns
+
+    def file_paths(self) -> list[str]:
+        return [os.path.join(self.table_path, f.path) for f in self.files]
+
+    def get_property(self, key: str, default: str | None = None) -> str | None:
+        return self.metadata.configuration.get(key, default)
+
+    @property
+    def column_mapping_mode(self) -> str:
+        return self.get_property("delta.columnMapping.mode", "none") or "none"
+
+
+def _parse_dv(d: dict | None) -> DvDescriptor | None:
+    if not d or not d.get("storageType"):
+        return None
+    return DvDescriptor(
+        storage_type=d["storageType"],
+        path_or_inline=d["pathOrInlineDv"],
+        offset=d.get("offset"),
+        size_in_bytes=d.get("sizeInBytes", 0),
+        cardinality=d.get("cardinality", -1),
+    )
+
+
+def _log_dir(table_path: str) -> str:
+    return os.path.join(strip_scheme(table_path), "_delta_log")
+
+
+def list_log_files(
+    table_path: str, spark=None
+) -> tuple[list[tuple[int, str]], list[tuple[int, str]]]:
+    """Ordered (version, path) lists of commit JSONs and checkpoints."""
+    fs = fs_for(table_path, spark)
+    commits, checkpoints = [], []
+    for st in fs.list(_log_dir(table_path)):
+        name = os.path.basename(st.path)
+        m = _COMMIT_RE.match(name)
+        if m:
+            commits.append((int(m.group(1)), st.path))
+            continue
+        m = _CHECKPOINT_RE.match(name)
+        if m:
+            checkpoints.append((int(m.group(1)), st.path))
+    return sorted(commits), sorted(checkpoints)
+
+
+def read_last_checkpoint(table_path: str, spark=None) -> dict | None:
+    fs = fs_for(table_path, spark)
+    p = os.path.join(_log_dir(table_path), "_last_checkpoint")
+    if not fs.exists(p):
+        return None
+    return json.loads(fs.read_bytes(p).decode("utf-8"))
+
+
+def _check_protocol(protocol: Protocol) -> None:
+    from deltalake_datafusion_spark.delta.log_schema import (
+        MAX_READER_VERSION,
+        SUPPORTED_READER_FEATURES,
+    )
+
+    if protocol.min_reader_version > MAX_READER_VERSION:
+        raise DeltaProtocolError(
+            f"table requires reader version {protocol.min_reader_version}, "
+            f"this engine supports ≤{MAX_READER_VERSION}"
+        )
+    if protocol.min_reader_version >= 3:
+        unsupported = set(protocol.reader_features or []) - SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(f"unsupported reader features: {sorted(unsupported)}")
+
+
+def _read_checkpoint_actions(checkpoint_paths: list[str]) -> list[dict]:
+    """Checkpoint parquet → action dicts (driver-side, pyarrow).
+
+    Metadata-scale I/O, same role as the reference's kernel parquet
+    handler reading checkpoints
+    (``crates/datafusion/src/engine/file_format.rs:252-268``).
+    """
+    import pyarrow.parquet as papq
+
+    actions: list[dict] = []
+    for p in checkpoint_paths:
+        table = papq.read_table(p)
+        for row in table.to_pylist():
+            actions.append({k: v for k, v in row.items() if v is not None})
+    return actions
+
+
+def _iter_commit_actions(path: str, fs) -> list[dict]:
+    raw = fs.read_bytes(path).decode("utf-8")
+    return [json.loads(line) for line in raw.splitlines() if line.strip()]
+
+
+def load_snapshot(
+    table_path: str, version: int | None = None, spark=None
+) -> Snapshot:
+    """Resolve a snapshot at ``version`` (time travel) or latest.
+
+    Reference: ``read_snapshot_delta(url, version)``
+    (``crates/datafusion/src/session.rs:169-191``).
+    """
+    table_path = strip_scheme(table_path)
+    fs = fs_for(table_path, spark)
+    commits, checkpoints = list_log_files(table_path, spark)
+    if not commits and not checkpoints:
+        raise DeltaNotFoundError(f"no Delta log at {table_path}")
+
+    # Choose a checkpoint ≤ requested version, then replay commits after it.
+    usable_cp: list[tuple[int, str]] = [
+        (v, p) for v, p in checkpoints if version is None or v <= version
+    ]
+    cp_version = -1
+    cp_paths: list[str] = []
+    if usable_cp:
+        cp_version = max(v for v, _ in usable_cp)
+        cp_paths = [p for v, p in usable_cp if v == cp_version]
+
+    replay_commits = [
+        (v, p)
+        for v, p in commits
+        if v > cp_version and (version is None or v <= version)
+    ]
+    if version is not None:
+        max_seen = max(
+            [v for v, _ in replay_commits] + ([cp_version] if cp_version >= 0 else [])
+        )
+        available = {v for v, _ in commits} | {cp_version}
+        if version not in available and max_seen < version:
+            raise DeltaNotFoundError(
+                f"version {version} not available (latest {max_seen})"
+            )
+
+    actions: list[dict] = _read_checkpoint_actions(cp_paths)
+    actual_version = cp_version
+    for v, p in replay_commits:
+        for a in _iter_commit_actions(p, fs):
+            actions.append(a)
+        actual_version = v
+
+    metadata: Metadata | None = None
+    protocol = Protocol()
+    adds: dict[tuple[str, str], AddFile] = {}
+    tombstones: list[dict] = []
+
+    for a in actions:
+        if "metaData" in a and a["metaData"]:
+            md = a["metaData"]
+            metadata = Metadata(
+                id=md.get("id", ""),
+                schema_string=md.get("schemaString", "{}"),
+                partition_columns=list(md.get("partitionColumns") or []),
+                configuration=dict(md.get("configuration") or {}),
+                name=md.get("name"),
+                created_time=md.get("createdTime"),
+            )
+        elif "protocol" in a and a["protocol"]:
+            pr = a["protocol"]
+            protocol = Protocol(
+                min_reader_version=pr.get("minReaderVersion", 1),
+                min_writer_version=pr.get("minWriterVersion", 2),
+                reader_features=list(pr.get("readerFeatures") or []),
+                writer_features=list(pr.get("writerFeatures") or []),
+            )
+        elif "add" in a and a["add"]:
+            ad = a["add"]
+            path = urllib.parse.unquote(ad["path"])
+            dv = _parse_dv(ad.get("deletionVector"))
+            key = (path, dv.unique_id if dv else "")
+            # Same path re-added with a different DV replaces the old
+            # entry entirely (one live (path) at a time).
+            adds = {k: v for k, v in adds.items() if k[0] != path}
+            adds[key] = AddFile(
+                path=path,
+                size=ad.get("size", 0),
+                modification_time=ad.get("modificationTime", 0),
+                partition_values=dict(ad.get("partitionValues") or {}),
+                stats=ad.get("stats"),
+                dv=dv,
+            )
+        elif "remove" in a and a["remove"]:
+            rm = a["remove"]
+            path = urllib.parse.unquote(rm["path"])
+            adds = {k: v for k, v in adds.items() if k[0] != path}
+            tombstones.append(rm)
+
+    if metadata is None:
+        raise DeltaProtocolError(f"no metaData action found in log at {table_path}")
+    _check_protocol(protocol)
+    return Snapshot(
+        table_path=table_path,
+        version=actual_version,
+        metadata=metadata,
+        protocol=protocol,
+        files=sorted(adds.values(), key=lambda f: f.path),
+        tombstones=tombstones,
+    )
+
+
+# ------------------------------------------------------------------ #
+# Spark-side replay: the same reconciliation as a DataFrame job, for  #
+# logs too large for the driver and for the log_replay metadata table #
+# (reference DeltaLogReplayProvider, delta_log.rs:139-421).           #
+# ------------------------------------------------------------------ #
+
+
+def actions_df(spark, table_path: str, version: int | None = None):
+    """All log actions as a DataFrame with the kernel log schema
+    (the ``delta_log`` metadata table, reference delta_log.rs:42-136)."""
+    from pyspark.sql import functions as F
+    from deltalake_datafusion_spark.delta.log_schema import LOG_SCHEMA
+
+    table_path = strip_scheme(table_path)
+    commits, checkpoints = list_log_files(table_path, spark)
+    if version is not None:
+        commits = [(v, p) for v, p in commits if v <= version]
+        checkpoints = [(v, p) for v, p in checkpoints if v <= version]
+
+    dfs = []
+    if commits:
+        paths = [p for _, p in commits]
+        df = (
+            spark.read.schema(LOG_SCHEMA)
+            .json(paths)
+            .withColumn("_file", F.input_file_name())
+        )
+        df = df.withColumn(
+            "version",
+            F.regexp_extract(F.col("_file"), r"(\d{20})\.json", 1).cast("long"),
+        ).drop("_file")
+        dfs.append(df)
+    cp_version = max((v for v, _ in checkpoints), default=-1)
+    if cp_version >= 0:
+        cp_paths = [p for v, p in checkpoints if v == cp_version]
+        cp = spark.read.parquet(*cp_paths)
+        for f in LOG_SCHEMA.fieldNames():
+            if f not in cp.columns:
+                cp = cp.withColumn(f, F.lit(None).cast(LOG_SCHEMA[f].dataType))
+        cp = cp.select(*LOG_SCHEMA.fieldNames()).withColumn(
+            "version", F.lit(cp_version).cast("long")
+        )
+        # Commits ≤ checkpoint version are superseded by the checkpoint.
+        dfs = [d.filter(F.col("version") > cp_version) for d in dfs]
+        dfs.insert(0, cp)
+    if not dfs:
+        raise DeltaNotFoundError(f"no Delta log at {table_path}")
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def log_replay_df(spark, table_path: str, version: int | None = None):
+    """Surviving add-files as a DataFrame (one row per live file):
+    window dedup by path over (version, is_add), keep latest adds not
+    followed by a remove. Scales to arbitrarily large logs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = actions_df(spark, table_path, version)
+    acts = df.select(
+        "version",
+        F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+        F.col("add").alias("add_action"),
+        F.col("add.path").isNotNull().alias("is_add"),
+    ).filter(F.col("path").isNotNull())
+    w = Window.partitionBy("path").orderBy(
+        F.desc("version"), F.desc("is_add")
+    )
+    latest = (
+        acts.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & F.col("is_add"))
+    )
+    return latest.select(
+        F.col("add_action.path").alias("path"),
+        F.col("add_action.size").alias("size"),
+        F.col("add_action.modificationTime").alias("modificationTime"),
+        F.col("add_action.partitionValues").alias("partitionValues"),
+        F.col("add_action.stats").alias("stats"),
+        F.col("add_action.deletionVector").alias("deletionVector"),
+        F.col("version").alias("commit_version"),
+    )

@@ -1,0 +1,137 @@
+"""Per-file statistics: collection (write path) and parsing (skipping).
+
+The skipping side mirrors the reference's use of add-file stats
+(minValues / maxValues / nullCount) for kernel data skipping
+(reference: ``crates/datafusion/src/table_provider/delta/snapshot.rs:101-107``,
+stats parse via the JSON handler ``engine/file_format.rs:192-198``).
+
+Collection reads parquet *footers only* (row-group metadata, no data
+I/O) — driver-side and metadata-scale, the same planning cost profile
+as the reference's kernel visitor. At cluster scale the footer reads
+are still O(files-written-per-commit), not O(table).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+from typing import Any
+
+MAX_STRING_STAT_LEN = 32
+
+
+def _json_safe(v: Any) -> Any:
+    if isinstance(v, (dt.datetime,)):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return None  # binary stats are not representable in Delta stats JSON
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None
+    return v
+
+
+def _truncate_min(s: str) -> str:
+    return s[:MAX_STRING_STAT_LEN]
+
+
+def _truncate_max(s: str) -> str | None:
+    """Truncating a max must round *up* to stay a valid upper bound."""
+    if len(s) <= MAX_STRING_STAT_LEN:
+        return s
+    prefix = s[:MAX_STRING_STAT_LEN]
+    for i in range(len(prefix) - 1, -1, -1):
+        c = prefix[i]
+        if ord(c) < 0x10FFFF:
+            return prefix[:i] + chr(ord(c) + 1)
+    return None
+
+
+def _nested_set(d: dict, path: list[str], value: Any) -> None:
+    for k in path[:-1]:
+        d = d.setdefault(k, {})
+    d[path[-1]] = value
+
+
+def collect_file_stats(file_path: str, skip_columns: set[str] | None = None) -> str:
+    """Build the Delta stats JSON for one written parquet file from its
+    footer. ``skip_columns`` excludes partition columns (their values
+    live in partitionValues, not stats)."""
+    import pyarrow.parquet as papq
+
+    md = papq.ParquetFile(file_path).metadata
+    num_records = md.num_rows
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, Any] = {}
+
+    agg: dict[str, dict[str, Any]] = {}
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for ci in range(rgm.num_columns):
+            col = rgm.column(ci)
+            path = col.path_in_schema
+            if ".list.element" in path or ".key_value." in path:
+                continue  # list/map internals carry no Delta-level stats
+            top = path.split(".")[0]
+            if skip_columns and top in skip_columns:
+                continue
+            entry = agg.setdefault(
+                path, {"min": None, "max": None, "nulls": 0, "has_stats": True}
+            )
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                entry["has_stats"] = False
+                continue
+            entry["nulls"] += st.null_count
+            if st.has_min_max:
+                mn, mx = _json_safe(st.min), _json_safe(st.max)
+                if mn is not None and (
+                    entry["min"] is None or _lt(mn, entry["min"])
+                ):
+                    entry["min"] = mn
+                if mx is not None and (
+                    entry["max"] is None or _lt(entry["max"], mx)
+                ):
+                    entry["max"] = mx
+
+    for path, entry in agg.items():
+        parts = path.split(".")
+        if entry["has_stats"]:
+            _nested_set(nulls, parts, entry["nulls"])
+        mn, mx = entry["min"], entry["max"]
+        if isinstance(mn, str):
+            mn = _truncate_min(mn)
+        if isinstance(mx, str):
+            mx = _truncate_max(mx)
+        if mn is not None:
+            _nested_set(mins, parts, mn)
+        if mx is not None:
+            _nested_set(maxs, parts, mx)
+
+    return json.dumps(
+        {
+            "numRecords": num_records,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
+def _lt(a: Any, b: Any) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
+def parse_stats(stats_json: str | None) -> dict | None:
+    if not stats_json:
+        return None
+    try:
+        return json.loads(stats_json)
+    except (ValueError, TypeError):
+        return None

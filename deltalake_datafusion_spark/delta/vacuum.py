@@ -1,0 +1,141 @@
+"""VACUUM: remove unreferenced files past the retention window.
+
+Spark-first re-expression of the reference's two-stage VACUUM
+(reference: logical planning
+``crates/datafusion/src/commands/vacuum/mod.rs:50-147`` — retention
+resolution 79-109, hidden-file predicate 111-126, dry-run limit
+134-136; physical delete ``commands/vacuum/physical.rs:21-139``):
+
+    recursive listing (DataFrame)
+      → filter: !is_dir AND mtime < cutoff AND NOT hidden
+      → anti-join against snapshot-referenced paths (data files + DVs)
+      → dry-run: return first 1000 paths | else delete + return
+
+The reference's `GlobalLimitExec(0..1000)` dry-run cap is preserved.
+Retention defaults to the table property
+``delta.deletedFileRetentionDuration`` (7 days); shorter explicit
+retention is rejected while ``lakehouse.delta.retention_duration_
+check.enabled`` is true — same guard, same config key
+(reference config.rs:5-57).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta import deletion_vectors as dvmod
+from deltalake_datafusion_spark.delta.fs import fs_for, strip_scheme
+from deltalake_datafusion_spark.delta.listing import directory_listing
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+DEFAULT_RETENTION_HOURS = 7 * 24
+DRY_RUN_LIMIT = 1000  # reference: GlobalLimitExec(0..1000), vacuum/mod.rs:135
+
+
+class VacuumError(Exception):
+    pass
+
+
+_INTERVAL_RE = re.compile(
+    r"interval\s+(\d+)\s+(hour|hours|day|days|week|weeks)", re.IGNORECASE
+)
+
+
+def _retention_hours_from_property(value: str | None) -> float | None:
+    if not value:
+        return None
+    m = _INTERVAL_RE.match(value.strip())
+    if not m:
+        return None
+    n, unit = int(m.group(1)), m.group(2).lower()
+    if unit.startswith("hour"):
+        return float(n)
+    if unit.startswith("day"):
+        return float(n * 24)
+    return float(n * 24 * 7)
+
+
+def vacuum(
+    spark,
+    table_path: str,
+    retain_hours: float | None = None,
+    dry_run: bool = False,
+    full: bool = False,
+    enforce_retention_duration: bool | None = None,
+) -> DataFrame:
+    """Run VACUUM; returns a DataFrame of affected paths.
+
+    ``full`` vacuums with zero retention for *unreferenced* files
+    (still never deletes referenced or hidden files).
+    """
+    table_path = strip_scheme(table_path)
+    snap = load_snapshot(table_path, spark=spark)
+
+    if enforce_retention_duration is None:
+        from deltalake_datafusion_spark.session import CONF_RETENTION_CHECK
+
+        enforce_retention_duration = (
+            (spark.conf.get(CONF_RETENTION_CHECK, "true") or "true").lower()
+            == "true"
+        )
+
+    table_retention = (
+        _retention_hours_from_property(
+            snap.get_property("delta.deletedFileRetentionDuration")
+        )
+        or DEFAULT_RETENTION_HOURS
+    )
+    if retain_hours is None:
+        retain_hours = 0.0 if full else table_retention
+    if full:
+        retain_hours = min(retain_hours, 0.0) if retain_hours == 0 else retain_hours
+
+    if enforce_retention_duration and not full and retain_hours < table_retention:
+        raise VacuumError(
+            f"retention of {retain_hours}h is below the table retention "
+            f"({table_retention}h); disable "
+            "lakehouse.delta.retention_duration_check.enabled to override"
+        )
+
+    cutoff_ms = int((time.time() - retain_hours * 3600) * 1000)
+
+    # Referenced paths: live data files + their deletion-vector files.
+    referenced = {os.path.join(table_path, f.path) for f in snap.files}
+    for f in snap.files:
+        if f.dv and f.dv.storage_type == "u":
+            referenced.add(
+                os.path.join(table_path, dvmod.dv_relative_path(f.dv.path_or_inline))
+            )
+
+    listing = directory_listing(spark, table_path, recursive=True)
+    ref_df = spark.createDataFrame([(p,) for p in sorted(referenced)] or [("",)], "path string")
+
+    # Hidden rule (reference vacuum/mod.rs:111-126): anything whose
+    # path RELATIVE segment starts with '_' or '.' is never touched.
+    rel = F.regexp_replace(F.col("path"), re.escape(table_path.rstrip("/")) + "/", "")
+    hidden = F.exists(
+        F.split(rel, "/"),
+        lambda seg: seg.startswith("_") | seg.startswith("."),
+    )
+    candidates = (
+        listing.filter(~F.col("is_dir"))
+        .filter(F.col("modification_time") < F.timestamp_millis(F.lit(cutoff_ms)))
+        .filter(~hidden)
+        .join(F.broadcast(ref_df), "path", "left_anti")
+        .select("path")
+        .orderBy("path")
+    )
+
+    if dry_run:
+        return candidates.limit(DRY_RUN_LIMIT)
+
+    fs = fs_for(table_path, spark)
+    deleted = [r["path"] for r in candidates.collect()]
+    for p in deleted:
+        fs.delete(p)
+    return spark.createDataFrame([(p,) for p in deleted] or [], "path string")

@@ -1,0 +1,14 @@
+"""JSON string parsing (reference ``parse_json`` engine handler:
+``crates/datafusion/src/engine/file_format.rs:192-198``): a column of
+JSON strings → typed struct column. Catalyst's ``from_json`` IS the
+evaluator; this wrapper only fixes the reference's signature."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DataType
+
+
+def parse_json(col: Column | str, output_schema: DataType | str) -> Column:
+    return F.from_json(col, output_schema)

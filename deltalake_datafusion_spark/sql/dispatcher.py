@@ -1,7 +1,182 @@
-"""Placeholder — implemented in milestone 2."""
-def __getattr__(name):
-    if name.startswith("__"):
-        raise AttributeError(name)
-    import warnings
-    warnings.warn(f"{name} not yet implemented (milestone 2)")
-    return None
+"""Extended SQL dialect: VACUUM / CREATE CATALOG / DROP CATALOG /
+DELETE / table functions, everything else → Spark SQL.
+
+Spark analog of the reference's wrapped parser + extension planner
+(reference: ``crates/datafusion/src/sql/parser.rs:30-491`` — keyword
+dispatch 132-155, VACUUM grammar 157-219, CREATE CATALOG 246-340,
+DROP CATALOG 362-392, delegation 471-483;
+``crates/datafusion/src/planner.rs:20-84``). Extension statements are
+intercepted word-level and executed as Python functions returning
+DataFrames; any other statement is handed to Catalyst verbatim —
+the same "delegate the relational tier" architecture.
+
+Grammar accepted (case-insensitive, mirroring parser.rs):
+
+    VACUUM <name | 'url' | delta.`url`> [FULL] [RETAIN n HOURS] [DRY RUN]
+    CREATE CATALOG [IF NOT EXISTS] name [COMMENT 'c']
+    DROP CATALOG [IF EXISTS] name [CASCADE]
+    DELETE FROM <name | 'url'> WHERE <predicate>
+    SELECT ... FROM delta_log('url') / log_replay('url') /
+        directory_listing('url')
+    <anything else>  → spark.sql(...)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+class SqlParseError(Exception):
+    pass
+
+
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"(?P<full>\s+FULL)?"
+    r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?"
+    r"(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_CATALOG_RE = re.compile(
+    r"^\s*CREATE\s+CATALOG\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)"
+    r"(?:\s+COMMENT\s+'(?P<comment>[^']*)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_CATALOG_RE = re.compile(
+    r"^\s*DROP\s+CATALOG\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>[\w.]+)"
+    r"(?P<cascade>\s+CASCADE)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TABLE_FN_RE = re.compile(
+    r"(?P<fn>delta_log|log_replay|directory_listing)\s*\(\s*'(?P<arg>[^']+)'\s*\)",
+    re.IGNORECASE,
+)
+
+_SECURABLE_SCHEMA = StructType(
+    [
+        StructField("securable_name", StringType()),
+        StructField("securable_type", StringType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def _unquote_target(target: str, registry=None) -> str:
+    t = target.strip()
+    if t.startswith("'") and t.endswith("'"):
+        return t[1:-1]
+    m = re.match(r"delta\.`([^`]+)`", t, re.IGNORECASE)
+    if m:
+        return m.group(1)
+    if registry is not None and t in registry.names():
+        return registry._tables[t].path
+    return t
+
+
+def sql(spark, statement: str, registry=None) -> DataFrame:
+    """Extended-dialect entry point (reference ``sql_delta``,
+    session.rs:306-310). Single statement, or ';'-separated multi-
+    statement (results of the last one are returned, like the
+    reference's VecDeque front consumption)."""
+    statements = _split_statements(statement)
+    out: DataFrame | None = None
+    for stmt in statements:
+        out = _dispatch_one(spark, stmt, registry)
+    if out is None:
+        raise SqlParseError("empty statement")
+    return out
+
+
+def _split_statements(s: str) -> list[str]:
+    parts, buf, in_str = [], [], False
+    for ch in s:
+        if ch == "'":
+            in_str = not in_str
+        if ch == ";" and not in_str:
+            if "".join(buf).strip():
+                parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if "".join(buf).strip():
+        parts.append("".join(buf))
+    return parts
+
+
+def _dispatch_one(spark, statement: str, registry) -> DataFrame:
+    m = _VACUUM_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.vacuum import vacuum
+
+        return vacuum(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            retain_hours=float(m.group("hours")) if m.group("hours") else None,
+            dry_run=bool(m.group("dry")),
+            full=bool(m.group("full")),
+        )
+
+    m = _CREATE_CATALOG_RE.match(statement)
+    if m:
+        name = m.group("name")
+        ine = "IF NOT EXISTS " if m.group("ine") else ""
+        comment = f" COMMENT '{m.group('comment')}'" if m.group("comment") else ""
+        spark.sql(f"CREATE NAMESPACE {ine}{name}{comment}")
+        return spark.createDataFrame(
+            [(name, "catalog", "created")], _SECURABLE_SCHEMA
+        )
+
+    m = _DROP_CATALOG_RE.match(statement)
+    if m:
+        name = m.group("name")
+        ie = "IF EXISTS " if m.group("ie") else ""
+        cascade = " CASCADE" if m.group("cascade") else ""
+        spark.sql(f"DROP NAMESPACE {ie}{name}{cascade}")
+        return spark.createDataFrame(
+            [(name, "catalog", "dropped")], _SECURABLE_SCHEMA
+        )
+
+    m = _DELETE_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.ops import delete_delta
+
+        res = delete_delta(
+            spark, _unquote_target(m.group("target"), registry), m.group("pred")
+        )
+        return spark.createDataFrame(
+            [tuple(res.values())], list(res.keys())
+        )
+
+    # Table functions: substitute temp views, then run through Catalyst.
+    def _expand(match):
+        fn = match.group("fn").lower()
+        arg = match.group("arg")
+        view = f"__{fn}_{abs(hash((fn, arg))) % 10**8}"
+        if fn == "delta_log":
+            from deltalake_datafusion_spark.delta.snapshot import actions_df
+
+            actions_df(spark, arg).createOrReplaceTempView(view)
+        elif fn == "log_replay":
+            from deltalake_datafusion_spark.delta.snapshot import log_replay_df
+
+            log_replay_df(spark, arg).createOrReplaceTempView(view)
+        else:
+            from deltalake_datafusion_spark.delta.listing import directory_listing
+
+            directory_listing(spark, arg).createOrReplaceTempView(view)
+        return view
+
+    expanded = _TABLE_FN_RE.sub(_expand, statement)
+    return spark.sql(expanded)

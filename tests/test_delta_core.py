@@ -1,0 +1,320 @@
+"""Delta core: write → log replay → scan roundtrips (SURVEY.md §2.1
+S1-S8, S15, S30), pruning, DVs, column mapping, schema apply, time
+travel, checkpoints. Fixture dimensions follow FIXTURES.md F1-F9."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.scan import read_delta, scan_files
+from deltalake_datafusion_spark.delta.snapshot import (
+    DeltaNotFoundError,
+    load_snapshot,
+    log_replay_df,
+)
+from deltalake_datafusion_spark.delta.writer import (
+    DeltaWriteError,
+    write_checkpoint,
+    write_delta,
+)
+from deltalake_datafusion_spark.delta.ops import delete_delta
+
+
+def _rows(df, *cols):
+    sel = df.select(*cols) if cols else df
+    return sorted([tuple(r) for r in sel.collect()])
+
+
+def test_roundtrip_append(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"), (F.col("id") * 1.5).alias("val")
+    )
+    snap = write_delta(spark, df, path)
+    assert snap.version == 0
+    assert len(snap.files) >= 1
+
+    out = read_delta(spark, path)
+    assert _rows(out) == _rows(df)
+
+    # Append doubles the data.
+    write_delta(spark, df, path, mode="append")
+    assert read_delta(spark, path).count() == 200
+
+
+def test_overwrite_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    write_delta(spark, spark.range(10), path)
+    write_delta(spark, spark.range(5), path, mode="overwrite")
+    assert read_delta(spark, path).count() == 5
+    assert read_delta(spark, path, version=0).count() == 10
+    snap = load_snapshot(path)
+    assert snap.version == 1
+    with pytest.raises(DeltaNotFoundError):
+        load_snapshot(path, version=99)
+
+
+def test_error_mode_and_schema_mismatch(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    write_delta(spark, spark.range(3), path)
+    with pytest.raises(DeltaWriteError):
+        write_delta(spark, spark.range(3), path, mode="error")
+    bad = spark.range(3).select(F.col("id").alias("other"))
+    with pytest.raises(DeltaWriteError):
+        write_delta(spark, bad, path, mode="append")
+
+
+def test_partitioned_write_prune_and_values(spark, tmp_path):
+    """FIXTURES.md F2: partition values injected, files pruned."""
+    path = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [(letter, d, i, f"payload{i}")
+         for i, (letter, d) in enumerate(
+             (l, dt.date(2024, 1, 1 + j)) for l in "abcde" for j in range(3)
+         )],
+        "letter string, part_date date, value long, payload string",
+    )
+    write_delta(spark, df, path, partition_by=["letter", "part_date"])
+    snap = load_snapshot(path)
+    assert snap.partition_columns == ["letter", "part_date"]
+    # partition columns are not in the data files
+    import pyarrow.parquet as papq
+
+    f0 = os.path.join(path, snap.files[0].path)
+    assert set(papq.read_schema(f0).names) == {"value", "payload"}
+
+    # file-level pruning on partition equality
+    pruned = scan_files(snap, predicate="letter = 'c'")
+    assert 0 < len(pruned) < len(snap.files)
+    assert all(f.partition_values["letter"] == "c" for f in pruned)
+
+    out = read_delta(spark, path, predicate="letter = 'c' AND value > 6")
+    expect = df.filter("letter = 'c' AND value > 6")
+    assert _rows(out) == _rows(expect)
+
+    # range pruning on a date partition column
+    pruned = scan_files(snap, predicate="part_date >= DATE '2024-01-03'")
+    assert all(
+        f.partition_values["part_date"] >= "2024-01-03" for f in pruned
+    )
+
+
+def test_stats_skipping(spark, tmp_path):
+    """Stats-based skipping prunes files whose [min,max] excludes the
+    predicate; unknown constructs keep everything (inexact)."""
+    path = str(tmp_path / "skip")
+    for lo in (0, 1000, 2000):
+        df = spark.range(lo, lo + 1000).select(
+            F.col("id"), F.lit(f"bucket{lo}").alias("tag")
+        )
+        write_delta(spark, df, path, mode="append")
+    snap = load_snapshot(path)
+    n_all = len(snap.files)
+    assert n_all >= 3
+
+    assert len(scan_files(snap, "id >= 2500")) < n_all
+    assert len(scan_files(snap, "id = 1500")) < n_all
+    assert len(scan_files(snap, "tag = 'bucket0'")) < n_all
+    # unsupported construct → no pruning, still correct
+    assert len(scan_files(snap, "id % 2 = 0")) == n_all
+    assert read_delta(spark, path, predicate="id >= 2500").count() == 500
+    assert read_delta(spark, path, predicate="id % 2 = 0").count() == 1500
+
+
+def test_limit_truncates_files(spark, tmp_path):
+    path = str(tmp_path / "lim")
+    for _ in range(4):
+        write_delta(spark, spark.range(100).coalesce(1), path, mode="append")
+    snap = load_snapshot(path)
+    assert len(snap.files) == 4
+    assert len(scan_files(snap, limit=150)) == 2
+    assert read_delta(spark, path, limit=150).count() == 150
+
+
+def test_delete_with_deletion_vectors(spark, tmp_path):
+    """FIXTURES.md F3: scattered deletes via DV; full-file delete
+    becomes a remove; aggregates reflect deletions."""
+    path = str(tmp_path / "dv")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).cast("string").alias("grp"),
+        (F.col("id") * 2.0).alias("amount"),
+    )
+    write_delta(spark, df.repartition(4), path)
+    snap0 = load_snapshot(path)
+    assert len(snap0.files) == 4
+
+    res = delete_delta(spark, path, "id % 10 = 3")  # scattered ~10%
+    assert res["rows_deleted"] == 100
+    assert res["files_rewritten"] == 4
+
+    out = read_delta(spark, path)
+    assert out.count() == 900
+    assert out.filter("id % 10 = 3").count() == 0
+    agg = out.agg(F.sum("id")).collect()[0][0]
+    assert agg == sum(i for i in range(1000) if i % 10 != 3)
+
+    snap1 = load_snapshot(path)
+    assert all(f.dv is not None for f in snap1.files)
+
+    # second delete merges with existing DVs
+    res2 = delete_delta(spark, path, "id % 10 = 4")
+    assert res2["rows_deleted"] == 100
+    assert read_delta(spark, path).count() == 800
+
+    # delete everything else → full-file removes, no files left
+    res3 = delete_delta(spark, path, "id >= 0")
+    assert read_delta(spark, path).count() == 0
+    snap3 = load_snapshot(path)
+    assert snap3.files == []
+
+
+def test_dv_roundtrip_bitmap_codec():
+    import numpy as np
+
+    from deltalake_datafusion_spark.delta.deletion_vectors import (
+        deserialize_bitmap,
+        serialize_bitmap,
+        z85_decode,
+        z85_encode,
+    )
+
+    cases = [
+        [],
+        [0],
+        [0, 1, 2, 65535, 65536, 65537],
+        list(range(5000)),                      # bitmap container
+        [2**32 + 5, 2**33 + 7, 3],              # multiple high buckets
+        list(range(0, 100000, 3)),
+    ]
+    for idx in cases:
+        blob = serialize_bitmap(idx)
+        back = deserialize_bitmap(blob)
+        assert back.tolist() == sorted(set(idx))
+
+    data = os.urandom(32)
+    assert z85_decode(z85_encode(data)) == data
+
+
+def test_column_mapping(spark, tmp_path):
+    """FIXTURES.md F4: physical ≠ logical names, nested rename,
+    predicates on logical names still prune."""
+    path = str(tmp_path / "cm")
+    df = spark.createDataFrame(
+        [(i, f"ev{i % 3}", (f"dev{i % 2}", i)) for i in range(50)],
+        "user_id long, event_name string, props struct<device:string, version:int>",
+    )
+    write_delta(spark, df, path, column_mapping=True)
+    snap = load_snapshot(path)
+    assert snap.column_mapping_mode == "name"
+
+    # physical files contain col-N names, not logical ones
+    import pyarrow.parquet as papq
+
+    f0 = os.path.join(path, snap.files[0].path)
+    names = papq.read_schema(f0).names
+    assert all(n.startswith("col-") for n in names)
+
+    out = read_delta(spark, path)
+    assert out.schema.fieldNames() == ["user_id", "event_name", "props"]
+    assert out.select("props.device").distinct().count() == 2
+    assert _rows(out, "user_id", "event_name") == _rows(df, "user_id", "event_name")
+
+    # logical-name predicate: prunes (stats are under physical names)
+    # and filters correctly
+    assert read_delta(spark, path, predicate="user_id >= 25").count() == 25
+
+    # append preserves mapping
+    write_delta(spark, df, path, mode="append")
+    assert read_delta(spark, path).count() == 100
+
+
+def test_schema_evolution_missing_columns(spark, tmp_path):
+    """FIXTURES.md F5: old files lack new columns → typed nulls."""
+    from deltalake_datafusion_spark.delta.schema_apply import apply_schema
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromJson(
+        json.loads(
+            spark.createDataFrame(
+                [], "id long, name string, added_col double,"
+                " nested struct<x:int, y:string, z_new:boolean>"
+            ).schema.json()
+        )
+    )
+    old = spark.createDataFrame(
+        [(1, "a", (10, "yy"))], "id int, name string, nested struct<x:int, y:string>"
+    )
+    out = apply_schema(old, target)
+    assert [f.name for f in out.schema.fields] == ["id", "name", "added_col", "nested"]
+    row = out.collect()[0]
+    assert row.id == 1 and row.added_col is None
+    assert row.nested.x == 10 and row.nested.z_new is None
+    assert dict(out.dtypes)["id"] == "bigint"  # widened
+
+
+def test_nested_types_roundtrip(spark, tmp_path):
+    """FIXTURES.md F6: struct / array / map survive the write+scan."""
+    path = str(tmp_path / "nested")
+    df = spark.createDataFrame(
+        [
+            (1, ("a", 1.0), [1, 2, 3], [("k1", 10)], {"m": 1}),
+            (2, ("b", 2.5), [], [], {}),
+            (3, None, None, None, None),
+        ],
+        "id long, s struct<c:string, d:double>, arr array<int>,"
+        " arr_s array<struct<k:string, v:long>>, m map<string,int>",
+    )
+    write_delta(spark, df, path)
+    out = read_delta(spark, path)
+    got = {r.id: r for r in out.collect()}
+    assert got[1].s.c == "a" and got[1].arr == [1, 2, 3]
+    assert got[1].arr_s[0].k == "k1" and got[1].m == {"m": 1}
+    assert got[2].arr == [] and got[3].s is None and got[3].m is None
+
+
+def test_log_replay_df_matches_driver_replay(spark, tmp_path):
+    """Spark-side log replay (S8) agrees with driver-side replay."""
+    path = str(tmp_path / "replaydf")
+    write_delta(spark, spark.range(10), path)
+    write_delta(spark, spark.range(10, 20), path, mode="append")
+    delete_delta(spark, path, "id = 5")
+    snap = load_snapshot(path)
+    df = log_replay_df(spark, path)
+    spark_side = sorted(r["path"] for r in df.collect())
+    driver_side = sorted(f.path for f in snap.files)
+    assert spark_side == driver_side
+
+
+def test_checkpoint_roundtrip(spark, tmp_path):
+    """FIXTURES.md F7: snapshot from checkpoint + tail commits."""
+    path = str(tmp_path / "cp")
+    for i in range(3):
+        write_delta(spark, spark.range(i * 10, (i + 1) * 10), path, mode="append")
+    snap = load_snapshot(path)
+    write_checkpoint(spark, snap)
+    # additional commit after the checkpoint
+    write_delta(spark, spark.range(30, 40), path, mode="append")
+
+    snap2 = load_snapshot(path)
+    assert snap2.version == 3
+    assert read_delta(spark, path).count() == 40
+    # time travel to pre-checkpoint version still works (json commits kept)
+    assert read_delta(spark, path, version=0).count() == 10
+
+
+def test_projection_and_limit(spark, tmp_path):
+    path = str(tmp_path / "proj")
+    write_delta(
+        spark,
+        spark.range(100).select("id", (F.col("id") * 2).alias("x"),
+                                F.lit("pad").alias("pad")),
+        path,
+    )
+    out = read_delta(spark, path, columns=["id", "x"], limit=10)
+    assert out.columns == ["id", "x"]
+    assert out.count() == 10
