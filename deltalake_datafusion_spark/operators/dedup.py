@@ -1,0 +1,368 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond-reference tier (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash near-dup, and n-gram Jaccard — all
+expressed as DataFrame transformations so Catalyst/Tungsten execute
+them (no Python in the hot path except where bit-twiddling genuinely
+beats expression trees).
+
+Scale design (100 TB corpora):
+- Exact dedup is one hash-shuffle on a 128-bit digest (md5), not on
+  the full text — shuffle payload stays tiny even for MB documents.
+- MinHash signatures are computed *inside whole-stage codegen*:
+  shingle → xxhash64 → k permutations via `transform` + `array_min`
+  over literal (a_i, b_i) constants. No UDF, no Python.
+- LSH banding turns the O(n²) pair search into b hash-shuffles of
+  (band_id, band_signature); only same-bucket candidates are verified
+  with exact Jaccard. Bucket skew (huge clusters) is bounded by
+  `max_bucket` (drop pathological buckets, standard practice).
+- SimHash uses one Arrow-batched pandas UDF (numpy popcount-style bit
+  accumulation — 64 parallel counters don't fit expression trees
+  well); candidate pairing is JVM-side via 16-bit chunk banding and
+  `bit_count(xor)` Hamming verification.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^31-1: keeps h*a+b inside int64 under ANSI arithmetic (h,a,b < 2^31)
+MERSENNE_PRIME = (1 << 31) - 1
+
+
+def normalize_text(col):
+    """Lowercase, strip non-alphanumerics, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def words_col(col):
+    return F.split(normalize_text(col), " ")
+
+
+def shingles_col(col, n: int = 3):
+    """Word n-gram shingles as a distinct array (codegen-side)."""
+    w = words_col(col)
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+    )
+
+
+# ------------------------------------------------------------------ #
+# Exact dedup                                                         #
+# ------------------------------------------------------------------ #
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, normalize: bool = True
+) -> DataFrame:
+    """Keep one representative (min id) per distinct (normalized) text.
+    Returns the deduplicated rows of ``df``."""
+    key = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    digest = F.md5(key).alias("__digest")
+    keep = (
+        df.select(digest, F.col(id_col).alias("__id"))
+        .groupBy("__digest")
+        .agg(F.min("__id").alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def duplicate_clusters(
+    df: DataFrame, text_col: str, id_col: str, normalize: bool = True
+) -> DataFrame:
+    """(digest, n_docs, keep_id) per duplicate cluster with n_docs > 1."""
+    key = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.select(F.md5(key).alias("digest"), F.col(id_col).alias("id"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ------------------------------------------------------------------ #
+# MinHash + LSH                                                       #
+# ------------------------------------------------------------------ #
+
+
+def _permutations(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_PRIME), rng.randrange(0, MERSENNE_PRIME))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 128,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_perm]) — entirely JVM-side."""
+    perms = _permutations(num_perm, seed)
+    sh = shingles_col(F.col(text_col), shingle_n).alias("__sh")
+    base = F.transform(
+        F.col("__sh"), lambda s: F.abs(F.xxhash64(s)) % MERSENNE_PRIME
+    ).alias("__h")
+    def _perm_min(a: int, b: int):
+        def apply(h):
+            return (h * F.lit(a) + F.lit(b)) % MERSENNE_PRIME
+
+        return F.array_min(F.transform(F.col("__h"), apply))
+
+    sig = F.array(*[_perm_min(a, b) for a, b in perms]).alias("sig")
+    return (
+        df.select(F.col(id_col).alias("id"), sh)
+        .select("id", base)
+        .select("id", sig)
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    bands: int = 32,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """LSH banding over signatures → candidate pairs (id_a < id_b).
+
+    One shuffle keyed on (band, band_hash); oversized buckets (skew /
+    degenerate content) are dropped with a count logged in the plan via
+    ``max_bucket`` — pairs inside them are overwhelmingly true dups of
+    an already-found cluster.
+    """
+    rows_per_band = (F.size("sig") / bands).cast("int")
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    "sig", b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x: F.transform(
+                            F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                        ),
+                    )
+                ),
+                lambda p: p.a < p.b,
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    return pairs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard ≥ threshold): LSH candidates
+    verified with exact shingle-set Jaccard (array_intersect) — no
+    false positives survive."""
+    sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_n, seed)
+    cands = minhash_lsh_candidates(sigs, bands)
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    )
+    return (
+        cands.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ #
+# SimHash                                                             #
+# ------------------------------------------------------------------ #
+
+
+def simhash_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over word hashes.
+
+    Word hashing is JVM-side (xxhash64 after explode-free transform);
+    the 64-counter bit accumulation runs in one Arrow-batched pandas
+    UDF over the hash arrays (numpy, vectorized per batch).
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(words_col(F.col(text_col)), lambda w: F.xxhash64(w)).alias(
+            "hashes"
+        ),
+    )
+
+    def _simhash(hs):
+        import numpy as np
+
+        out = []
+        for arr in hs:
+            if arr is None or len(arr) == 0:
+                out.append(0)
+                continue
+            v = np.asarray(arr, dtype=np.uint64)
+            bits = ((v[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int32
+            )
+            counts = bits.sum(axis=0) * 2 - len(v)  # (+1/-1 votes)
+            sig = np.uint64(0)
+            for i in np.nonzero(counts > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(i)
+            out.append(int(np.int64(sig)))
+        return pd.Series(out)
+
+    _simhash.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_simhash, LongType())
+    return hashed.select("id", udf("hashes").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8,
+    chunk_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Candidate
+    generation via (64/chunk_bits)-way chunk banding — pigeonhole
+    guarantees a shared chunk whenever fewer chunks than exist are
+    touched (max_hamming < n_chunks always qualifies); larger
+    distances are found with high probability when differing bits
+    spread. Verification uses ``bit_count(xor)`` — pure codegen."""
+    n_chunks = 64 // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash_signature(df, text_col, id_col)
+    chunked = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("simhash", chunk_bits * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk", "c.val")
+    left = chunked.select(
+        F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "chunk", "val"
+    )
+    right = chunked.select(
+        F.col("id").alias("b"), F.col("simhash").alias("sig_b"), "chunk", "val"
+    )
+    return (
+        left.join(right, ["chunk", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ------------------------------------------------------------------ #
+# n-gram Jaccard                                                      #
+# ------------------------------------------------------------------ #
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_shingle_freq: int = 500,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold via shingle-inverted-index
+    join (no LSH approximation): explode shingles, join on shingle,
+    count shared, |A∪B| = |A|+|B|-shared. ``max_shingle_freq`` drops
+    stop-shingles that would blow up the join (their contribution to
+    high-Jaccard pairs is marginal; bound documented)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), shingle_n).alias("sh"),
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    rare = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") <= max_shingle_freq)
+        .select("s")
+    )
+    inv = inv.join(rare, "s", "left_semi")
+    shared = (
+        inv.alias("x")
+        .join(inv.alias("y"), "s")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn(
+            "jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,189 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: payloads are opaque
+``binary`` columns with a typed metadata struct alongside; decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so each executor processes whole record
+batches (zero-copy Arrow → numpy) without ever materializing rows in
+Python one at a time.
+
+The actual codec calls are STUBBED here (Pillow / torchaudio / ffmpeg
+are not in this container): ``decode_fn`` defaults to a
+deterministic fake that derives plausible metadata from the payload
+bytes. The Spark-side plumbing — schema contracts, batch iteration,
+partition sizing, UDF signatures — is real and tested; swapping the
+fake for a real codec changes one function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("source_uri", StringType(), True),
+    ]
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("format", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def fake_decode_image(payload: bytes) -> dict:
+    """Deterministic stand-in for a real image decoder: metadata is a
+    pure function of the payload bytes (so oracles can reproduce it).
+    Real implementation: PIL.Image.open(io.BytesIO(payload))."""
+    if payload is None:
+        return {"width": None, "height": None, "n_channels": None, "format": None}
+    n = len(payload)
+    return {
+        "width": 32 + (n % 64) * 8,
+        "height": 32 + ((n // 64) % 64) * 8,
+        "n_channels": 1 if n % 5 == 0 else 3,
+        "format": ["png", "jpeg", "webp"][n % 3],
+    }
+
+
+def decode_image_metadata(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], dict] = fake_decode_image,
+) -> DataFrame:
+    """Extract image metadata with mapInPandas (Arrow batches)."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            metas = [decode_fn(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "n_channels": [m["n_channels"] for m in metas],
+                    "format": [m["format"] for m in metas],
+                    "n_bytes": [
+                        len(p) if p is not None else None for p in pdf["payload"]
+                    ],
+                }
+            )
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, IMAGE_META_SCHEMA
+    )
+
+
+def resize_images(
+    media: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    resize_fn: Callable[[bytes, tuple[int, int]], bytes] | None = None,
+) -> DataFrame:
+    """Resize stage. Real implementation: PIL resize + re-encode; the
+    stub raises so nobody mistakes the fake for a real transform —
+    the *plumbing* (schema, batching) is what this exercises."""
+    import pandas as pd
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            if resize_fn is None:
+                raise NotImplementedError(
+                    "image resize requires a codec (Pillow) not present in "
+                    "this environment; pass resize_fn to supply one"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "payload": [
+                        None if p is None else resize_fn(p, target)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, out_schema)
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_n_ms: int = 1000,
+    extract_fn: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (explode-style
+    fan-out inside mapInPandas). Stub: deterministic frame count from
+    payload size when no extractor is supplied — keeps the fan-out
+    plumbing testable without ffmpeg."""
+    import pandas as pd
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                if extract_fn is not None:
+                    fs = extract_fn(p, every_n_ms)
+                else:
+                    # deterministic fake: k frames, each a byte slice
+                    k = 1 + (len(p) % 4)
+                    fs = [bytes(p[i::k][:16]) for i in range(k)]
+                for i, fr in enumerate(fs):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, out_schema)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter used by tests/queries: treat document text bytes as an
+    opaque payload with the media schema (the container has no real
+    image data; payload content is irrelevant to the plumbing)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.concat(F.lit("synthetic://"), F.col("source")).alias("source_uri"),
+    )

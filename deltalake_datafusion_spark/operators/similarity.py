@@ -1,0 +1,217 @@
+"""Embedding similarity search: brute-force cosine top-k and an
+LSH-bucketed approximate variant.
+
+Scale story:
+- ``brute_force_topk`` is the exactness baseline: query set broadcast
+  (queries ≪ corpus), dot products inside codegen (`zip_with` +
+  `aggregate` — a strict left fold, deterministic), per-query top-k by
+  window. One pass over the corpus, no shuffle of the corpus itself;
+  at 100 TB it is scan-bound, which is the best possible shape for
+  exact search.
+- ``lsh_topk`` is the scale path: random-hyperplane signatures
+  (sign-bit LSH) hashed into buckets; queries only probe their own
+  bucket (+ multiprobe neighbors), so the candidate set shrinks by
+  ~2^bits. Hyperplanes are seeded literals — deterministic across
+  runs and engines.
+- ``ivf_topk`` (inverted-file) picks centroid anchors from a
+  deterministic sample, assigns vectors to nearest anchors once
+  (materializable as a bucketed table), and probes ``n_probe``
+  nearest lists per query — the classic disk-friendly ANN layout.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_col(a, b):
+    """Cosine similarity between two array<float/double> columns —
+    pure expression tree (strict left-fold aggregate: deterministic)."""
+    a_d = F.transform(a, lambda x: x.cast("double"))
+    b_d = F.transform(b, lambda x: x.cast("double"))
+    return _dot(a_d, b_d) / (_norm(a_d) * _norm(b_d))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors for every query: broadcast the query set,
+    score everything, keep k per query."""
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = corpus.select(id_col, vec_col).crossJoin(q).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        cosine_col(F.col(query_vec_col), F.col(vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)
+    ]
+
+
+def signature_col(vec_col, planes: list[list[float]]):
+    """Random-hyperplane sign bits packed into a bigint."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(p) for p in plane])
+        dot = _dot(v, lit_plane)
+        bits.append(F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k with multi-table LSH (the standard
+    recall/cost dial): ``tables`` independent signatures of ``bits``
+    hyperplanes each; candidates = union over tables of same-bucket
+    pairs, deduplicated before exact cosine scoring. One shuffle keyed
+    on (table, bucket)."""
+
+    def bucket_array(vec):
+        entries = []
+        for t in range(tables):
+            planes = _hyperplanes(dim, bits, seed + 1000 * t)
+            entries.append(
+                F.struct(
+                    F.lit(t).alias("t"),
+                    signature_col(vec, planes).alias("bucket"),
+                )
+            )
+        return F.array(*entries)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        F.explode(bucket_array(F.col(vec_col))).alias("tb"),
+    ).select("neighbor_id", "nvec", "tb.t", "tb.bucket")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+        F.explode(bucket_array(F.col(query_vec_col))).alias("tb"),
+    ).select("query_id", "qvec", "tb.t", "tb.bucket")
+    cands = (
+        q.join(c, ["t", "bucket"])
+        .select("query_id", "qvec", "neighbor_id", "nvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_col(F.col("qvec"), F.col("nvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-flat ANN: anchors = deterministic corpus sample (lowest ids
+    — a stand-in for k-means centroids; the assignment/probe plumbing
+    is identical), vectors assigned to nearest anchor, queries probe
+    ``n_probe`` nearest lists."""
+    wa = Window.orderBy(F.asc("aid"))
+    anchors = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(n_lists)
+        .select(F.col(id_col).alias("aid"), F.col(vec_col).alias("avec"))
+        .select((F.row_number().over(wa) - 1).alias("list_id"), "avec")
+    )
+    a = F.broadcast(anchors)
+
+    # assignment: cross with anchors (tiny), keep argmax cosine
+    assigned = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")).crossJoin(a)
+    assigned = assigned.select(
+        "neighbor_id", "nvec", "list_id", cosine_col(F.col("nvec"), F.col("avec")).alias("sim")
+    )
+    w = Window.partitionBy("neighbor_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    lists = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "nvec", "list_id")
+    )
+
+    qassigned = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
+    ).crossJoin(a)
+    qassigned = qassigned.select(
+        "query_id", "qvec", "list_id", cosine_col(F.col("qvec"), F.col("avec")).alias("sim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    probes = (
+        qassigned.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "list_id")
+    )
+
+    scored = probes.join(lists, "list_id").select(
+        "query_id", "neighbor_id", cosine_col(F.col("qvec"), F.col("nvec")).alias("cosine")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,131 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure `pyspark.sql.functions` expression trees — whole-stage
+codegen end to end, no UDFs — so they run at scan speed on a 100 TB
+corpus (these are the per-document map-side passes of a training-data
+pipeline; anything slower than the parquet scan itself would dominate
+the job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.operators.dedup import normalize_text, words_col
+
+# Minimal high-frequency stopword lists per language (public,
+# top-function-words; enough signal for n-gram-free heuristic ID).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "por", "una"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "für", "von"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "zh": [],  # identified by CJK codepoints, not stopwords
+}
+
+
+def token_count(col) -> Column:
+    """Whitespace token count."""
+    w = words_col(col)
+    return F.when(
+        (F.size(w) == 1) & (F.element_at(w, 1) == ""), F.lit(0)
+    ).otherwise(F.size(w))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """BPE-ish subword estimate: word-piece regex split (letter runs,
+    digit runs, punctuation singles), the standard pre-tokenizer shape."""
+    pieces = F.regexp_count(col, F.lit(r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"))
+    return pieces
+
+
+def language_id(col) -> Column:
+    """Heuristic language: CJK-codepoint share → zh; else argmax of
+    stopword hit-rate over per-language lists (array_intersect on the
+    distinct word set — codegen-side)."""
+    cjk = F.regexp_count(col, F.lit(r"[一-鿿]"))
+    words = F.array_distinct(words_col(col))
+    scores = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in STOPWORDS.items()
+        if sw
+    }
+    best = None
+    for lang, score in scores.items():
+        if best is None:
+            best = (lang, score)
+        else:
+            # keep the max; ties resolved by fixed lang order
+            prev_lang, prev = best
+            best = (
+                F.when(score > prev, F.lit(lang)).otherwise(
+                    prev_lang if isinstance(prev_lang, Column) else F.lit(prev_lang)
+                ),
+                F.greatest(score, prev),
+            )
+    best_lang, best_score = best
+    if not isinstance(best_lang, Column):
+        best_lang = F.lit(best_lang)
+    return (
+        F.when(cjk * 2 > F.length(col), F.lit("zh"))
+        .when(best_score > 0, best_lang)
+        .otherwise(F.lit("und"))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Append standard quality-filter features (Gopher/C4-style):
+    n_chars, n_tokens, mean_word_len, punct_ratio, digit_ratio,
+    stopword_ratio, uniq_word_ratio and a composite quality_score."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    w = words_col(c)
+    mean_wl = F.when(n_tokens > 0, (F.length(normalize_text(c)) - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    punct = F.regexp_count(c, F.lit(r"[^\p{L}\p{N}\s]"))
+    digits = F.regexp_count(c, F.lit(r"[\p{N}]"))
+    en_sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    sw_hits = F.size(F.filter(w, lambda x: F.array_contains(en_sw, x)))
+    uniq_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(w)) / n_tokens
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tokens > 0, sw_hits / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(uniq_ratio >= 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        mean_wl.alias("q_mean_word_len"),
+        punct_ratio.alias("q_punct_ratio"),
+        digit_ratio.alias("q_digit_ratio"),
+        sw_ratio.alias("q_stopword_ratio"),
+        uniq_ratio.alias("q_uniq_word_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(col) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text —
+    plus :func:`rolling_fingerprint` for the polynomial variant."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_fingerprint(col, base: int = 1000003, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over word hashes (order-sensitive,
+    codegen-side left fold via ``aggregate``). mod < 2^31 keeps
+    acc*base + h inside int64 under ANSI arithmetic."""
+    hashes = F.transform(words_col(col), lambda w: F.abs(F.xxhash64(w)) % mod)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * base + h) % mod,
+    )

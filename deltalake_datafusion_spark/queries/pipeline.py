@@ -1,6 +1,499 @@
-"""LLM-data-pipeline queries (dedup / similarity / text) — milestone 5."""
-from deltalake_datafusion_spark.queries import QuerySpec
+"""LLM-data-pipeline queries: dedup / similarity / text analysis /
+multimodal over the ``documents`` and ``embeddings`` tables.
+
+Oracle strategy: everything deterministic AND expressible in DuckDB
+gets a full value-hash oracle (exact dedup, n-gram Jaccard, text
+quality, token counts, language ID, fingerprints, brute-force cosine
+top-k, multimodal metadata — the fake decoder is a pure function of
+payload bytes precisely so the oracle can reproduce it). Operators
+whose determinism depends on engine-specific hashing (MinHash/
+SimHash/LSH signatures built on xxhash64) are rows-only here and
+verified structurally in tests/test_operators.py (recall/precision
+against constructed near-duplicates).
+
+The Spark normalization pipeline (lower → strip non-alnum → collapse
+spaces) is mirrored token-for-token in the oracle SQL; both engines
+use RE2-compatible character classes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.queries import QuerySpec, load_tables
+
+# DuckDB fragments mirroring operators/dedup.normalize_text and
+# operators/text features.
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    r"'[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+)
+_WORDS = f"regexp_split_to_array({_NORM}, ' ')"
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies at doc_id+10000 (dedup fixture)."""
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    return d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10000))
+
+
+def _perturbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup copies (every 7th word replaced) at
+    doc_id+10000 — constructed near-duplicates for fuzzy dedup."""
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    words = F.split(F.col("text"), " ")
+    perturbed = F.concat_ws(
+        " ",
+        F.zip_with(
+            words,
+            F.sequence(F.lit(1), F.size(words)),
+            lambda w, i: F.when(i % 7 == 1, F.lit("xq7token")).otherwise(w),
+        ),
+    )
+    near = d.withColumn("doc_id", F.col("doc_id") + 10000).withColumn(
+        "text", perturbed
+    )
+    return d.unionByName(near)
+
+
+_PERTURB_SQL = """
+SELECT doc_id + 10000 AS doc_id,
+  array_to_string(
+    list_transform(
+      list_zip(string_split(text, ' '), range(1, len(string_split(text, ' ')) + 1)),
+      p -> CASE WHEN p[2] % 7 = 1 THEN 'xq7token' ELSE p[1] END),
+    ' ') AS text,
+  lang, source, n_chars
+FROM documents
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on md5 of normalized text): the
+    doubled corpus collapses back to the originals."""
+    from deltalake_datafusion_spark.operators.dedup import exact_dedup
+
+    corpus = _doubled_docs(spark, sf_dir)
+    kept = exact_dedup(corpus, "text", "doc_id")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT (SELECT COUNT(*) FROM documents) AS n_kept,
+       (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents) AS kept_id_sum,
+       (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs
+"""
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deltalake_datafusion_spark.operators.dedup import duplicate_clusters
+
+    corpus = _doubled_docs(spark, sf_dir)
+    cl = duplicate_clusters(corpus, "text", "doc_id")
+    return cl.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.max("n_docs").alias("max_cluster"),
+        F.sum("keep_id").alias("keep_id_sum"),
+    )
+
+
+_DEDUP_CLUSTERS_SQL = """
+SELECT (SELECT COUNT(*) FROM documents) AS n_clusters,
+       CAST(2 AS BIGINT) AS max_cluster,
+       (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents) AS keep_id_sum
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-shingle Jaccard pairs (≥0.5) over the perturbed
+    corpus — fully SQL-checkable fuzzy dedup."""
+    from deltalake_datafusion_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = _perturbed_docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", threshold=0.5, shingle_n=2,
+        max_shingle_freq=10**9,
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("b") - F.col("a") == 10000, 1).otherwise(0)).alias(
+            "n_constructed"
+        ),
+        F.min("jaccard").alias("min_j"),
+    )
+
+
+_DEDUP_NGRAM_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM ({_PERTURB_SQL})
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(w[i:i+1], ' ')
+                   for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS s
+  FROM (SELECT doc_id, {_WORDS} AS w FROM corpus)
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT COUNT(*) AS n_pairs,
+  CAST(SUM(CASE WHEN b - a = 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_constructed,
+  MIN(jaccard) AS min_j
+FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs on the perturbed corpus (128 perms,
+    32 bands, exact-Jaccard verified). xxhash64-based → no cross-
+    engine oracle; structural guarantees tested in
+    tests/test_operators.py."""
+    from deltalake_datafusion_spark.operators.dedup import minhash_dedup_pairs
+
+    corpus = _perturbed_docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus, "text", "doc_id", threshold=0.4, shingle_n=2
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("b") - F.col("a") == 10000, 1).otherwise(0)).alias(
+            "n_constructed"
+        ),
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 12) on the perturbed corpus."""
+    from deltalake_datafusion_spark.operators.dedup import simhash_near_dup_pairs
+
+    corpus = _perturbed_docs(spark, sf_dir)
+    pairs = simhash_near_dup_pairs(corpus, "text", "doc_id", max_hamming=20)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("b") - F.col("a") == 10000, 1).otherwise(0)).alias(
+            "n_constructed"
+        ),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-feature aggregates (Gopher/C4-style)."""
+    from deltalake_datafusion_spark.operators.text import quality_features
+
+    t = load_tables(spark, sf_dir, "documents")
+    q = quality_features(t["documents"], "text")
+    # Ratios are averaged as Σnumerator/Σdenominator (one double
+    # division at the end — cross-engine exact), never as Σ(ratios).
+    uniq_words = F.round(
+        F.col("q_uniq_word_ratio") * F.col("q_n_tokens")
+    ).cast("long")
+    return (
+        q.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q_n_tokens").alias("total_tokens"),
+            (
+                F.sum(uniq_words).cast("double") / F.sum("q_n_tokens")
+            ).alias("uniq_ratio"),
+            F.sum("quality_score").alias("score_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TEXT_QUALITY_SQL = f"""
+WITH feats AS (
+  SELECT lang,
+    CASE WHEN {_NORM} = '' THEN 0 ELSE len({_WORDS}) END AS n_tokens,
+    CASE WHEN {_NORM} = '' THEN 0.0
+         ELSE CAST(len(list_distinct({_WORDS})) AS DOUBLE) / len({_WORDS})
+    END AS uniq_ratio,
+    CASE WHEN {_NORM} = '' THEN 0 ELSE len(list_distinct({_WORDS})) END AS n_uniq,
+    CASE WHEN {_NORM} = '' THEN 0.0
+         ELSE (CAST(length({_NORM}) AS DOUBLE) - (len({_WORDS}) - 1)) / len({_WORDS})
+    END AS mean_wl,
+    CASE WHEN length(text) > 0
+         THEN CAST(len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}\\s]')) AS DOUBLE)
+              / length(text)
+         ELSE 0.0 END AS punct_ratio
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(n_uniq) AS DOUBLE) / SUM(n_tokens) AS uniq_ratio,
+  SUM(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END
+      + CASE WHEN mean_wl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+      + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END
+      + CASE WHEN uniq_ratio >= 0.3 THEN 0.25 ELSE 0.0 END) AS score_sum
+FROM feats GROUP BY lang ORDER BY lang
+"""
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex pieces, per source."""
+    from deltalake_datafusion_spark.operators.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "source",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        F.length("text").alias("chars"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.sum("chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_TEXT_TOKENS_SQL = f"""
+SELECT source,
+  CAST(SUM(CASE WHEN {_NORM} = '' THEN 0 ELSE len({_WORDS}) END) AS BIGINT)
+    AS total_ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text,
+    '[\\p{{L}}]+|[\\p{{N}}]+|[^\\p{{L}}\\p{{N}}\\s]'))) AS BIGINT)
+    AS total_bpe_tokens,
+  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the ground-truth ``lang`` column:
+    confusion counts."""
+    from deltalake_datafusion_spark.operators.text import language_id
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "lang", language_id(F.col("text")).alias("pred")
+    )
+    return (
+        d.groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred")
+    )
+
+
+def _sw_score(lang_words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in lang_words)
+    return f"len(list_intersect(list_distinct({_WORDS}), [{arr}]))"
+
+
+def _langid_sql() -> str:
+    from deltalake_datafusion_spark.operators.text import STOPWORDS
+
+    en = _sw_score(STOPWORDS["en"])
+    es = _sw_score(STOPWORDS["es"])
+    de = _sw_score(STOPWORDS["de"])
+    fr = _sw_score(STOPWORDS["fr"])
+    return f"""
+WITH scored AS (
+  SELECT lang,
+    len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+    length(text) AS n,
+    {en} AS s_en, {es} AS s_es, {de} AS s_de, {fr} AS s_fr
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+    CASE WHEN cjk * 2 > n THEN 'zh'
+         WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         WHEN s_de >= s_fr THEN 'de'
+         ELSE 'fr' END AS pred
+  FROM scored
+)
+SELECT lang, pred, COUNT(*) AS n FROM pred GROUP BY lang, pred ORDER BY lang, pred
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints (md5 of normalized text): distinctness +
+    a stable sample of digests."""
+    from deltalake_datafusion_spark.operators.text import fingerprint
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    return d.filter(F.col("doc_id") < 10).orderBy("doc_id")
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id, md5({_NORM}) AS fp
+FROM documents WHERE doc_id < 10 ORDER BY doc_id
+"""
+
+
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 5 query vectors over the embedding
+    corpus. Dot products are strict left folds in double on both
+    engines → bit-identical cosines."""
+    from deltalake_datafusion_spark.operators.similarity import brute_force_topk
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(e, queries, k=5).orderBy("query_id", "rank")
+
+
+_SIM_BRUTE_SQL = """
+WITH dbl AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y)))
+      AS cosine
+  FROM dbl q JOIN dbl c ON TRUE
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (8 sign-bits). Seeded-random
+    hyperplanes → deterministic but engine-local; recall vs brute
+    force asserted in tests/test_operators.py."""
+    from deltalake_datafusion_spark.operators.similarity import lsh_topk
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(e, queries, k=5, bits=8, dim=64).orderBy("query_id", "rank")
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-5 (16 lists, 4 probes)."""
+    from deltalake_datafusion_spark.operators.similarity import ivf_topk
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(e, queries, k=5, n_lists=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → mapInPandas metadata extraction. The
+    fake decoder is a pure function of payload length, so the oracle
+    reproduces it from octet_length."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        decode_image_metadata,
+        documents_as_media,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    media = documents_as_media(t["documents"])
+    meta = decode_image_metadata(media)
+    return (
+        meta.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("width").alias("width_sum"),
+            F.sum("n_channels").alias("channels_sum"),
+            F.sum("n_bytes").alias("bytes_sum"),
+        )
+        .orderBy("format")
+    )
+
+
+_MULTIMODAL_SQL = """
+WITH meta AS (
+  SELECT octet_length(encode(text)) AS n FROM documents
+)
+SELECT CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+  COUNT(*) AS n,
+  CAST(SUM(32 + (n % 64) * 8) AS BIGINT) AS width_sum,
+  CAST(SUM(CASE WHEN n % 5 = 0 THEN 1 ELSE 3 END) AS BIGINT) AS channels_sum,
+  CAST(SUM(n) AS BIGINT) AS bytes_sum
+FROM meta GROUP BY 1 ORDER BY 1
+"""
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling fan-out (deterministic fake extractor):
+    one row per frame; frame count is a pure function of payload size."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        documents_as_media,
+        sample_video_frames,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    media = documents_as_media(t["documents"]).filter(
+        F.col("media_type") == "video"
+    )
+    frames = sample_video_frames(media)
+    return frames.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("media_id").alias("n_videos"),
+        F.max("frame_idx").alias("max_idx"),
+    )
+
+
+_FRAMES_SQL = """
+WITH vid AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+  WHERE doc_id % 3 = 2
+)
+SELECT CAST(SUM(1 + (n % 4)) AS BIGINT) AS n_frames,
+       COUNT(*) AS n_videos,
+       CAST(MAX(n % 4) AS INT) AS max_idx
+FROM vid
+"""
 
 
 def specs() -> list[QuerySpec]:
-    return []
+    return [
+        QuerySpec("dedup_exact", dedup_exact, _DEDUP_EXACT_SQL),
+        QuerySpec("dedup_clusters", dedup_clusters, _DEDUP_CLUSTERS_SQL),
+        QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, _DEDUP_NGRAM_SQL),
+        QuerySpec("dedup_minhash", dedup_minhash, None),
+        QuerySpec("dedup_simhash", dedup_simhash, None),
+        QuerySpec("text_quality", text_quality, _TEXT_QUALITY_SQL),
+        QuerySpec("text_tokens", text_tokens, _TEXT_TOKENS_SQL),
+        QuerySpec("text_langid", text_langid, _langid_sql()),
+        QuerySpec("text_fingerprint", text_fingerprint, _FINGERPRINT_SQL),
+        QuerySpec("sim_bruteforce_topk", sim_bruteforce_topk, _SIM_BRUTE_SQL),
+        QuerySpec("sim_lsh_topk", sim_lsh_topk, None),
+        QuerySpec("sim_ivf_topk", sim_ivf_topk, None),
+        QuerySpec("multimodal_meta", multimodal_meta, _MULTIMODAL_SQL),
+        QuerySpec("multimodal_frames", multimodal_frames, _FRAMES_SQL),
+    ]

@@ -1,0 +1,245 @@
+"""Structural verification of the pipeline operators that have no
+cross-engine oracle (MinHash/SimHash/LSH — deterministic but built on
+Spark-side hashing): recall/precision against constructed
+near-duplicates, ANN recall against brute force, plan shape checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.operators import dedup, similarity, text
+from deltalake_datafusion_spark.queries.pipeline import (
+    _doubled_docs,
+    _perturbed_docs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_keeps_one_per_cluster(spark, docs):
+    n = docs.count()
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 10000))
+    kept = dedup.exact_dedup(doubled, "text", "doc_id")
+    assert kept.count() == n
+    assert kept.agg(F.max("doc_id")).collect()[0][0] < 10000  # min-id wins
+
+    clusters = dedup.duplicate_clusters(doubled, "text", "doc_id")
+    assert clusters.count() == n
+    assert clusters.agg(F.max("n_docs")).collect()[0][0] == 2
+
+
+def test_minhash_recall_and_precision(spark, docs):
+    corpus = _perturbed_docs(spark, SF)
+    n = docs.count()
+    pairs = dedup.minhash_dedup_pairs(
+        corpus, "text", "doc_id", threshold=0.4, shingle_n=2
+    ).collect()
+    constructed = {(r.a, r.b) for r in pairs if r.b - r.a == 10000}
+    # recall: ≥90% of constructed near-dups found (LSH is probabilistic
+    # but deterministic given the seed)
+    assert len(constructed) >= 0.9 * n
+    # precision: exact-Jaccard verification means every returned pair
+    # really has jaccard ≥ threshold
+    assert all(r.jaccard >= 0.4 for r in pairs)
+
+
+def test_minhash_signature_stability(spark, docs):
+    s1 = dedup.minhash_signature(docs, "text", "doc_id", num_perm=16).collect()
+    s2 = dedup.minhash_signature(docs, "text", "doc_id", num_perm=16).collect()
+    assert {r.id: r.sig for r in s1} == {r.id: r.sig for r in s2}
+
+
+def test_simhash_near_dups(spark, docs):
+    # gentler perturbation (every 15th word): median Hamming ≈ 8
+    words = F.split(F.col("text"), " ")
+    pert = F.concat_ws(
+        " ",
+        F.zip_with(
+            words,
+            F.sequence(F.lit(1), F.size(words)),
+            lambda w, i: F.when(i % 15 == 1, F.lit("xq7token")).otherwise(w),
+        ),
+    )
+    near = docs.withColumn("doc_id", F.col("doc_id") + 10000).withColumn(
+        "text", pert
+    )
+    corpus = docs.unionByName(near)
+    n = docs.count()
+    pairs = dedup.simhash_near_dup_pairs(
+        corpus, "text", "doc_id", max_hamming=18
+    ).collect()
+    constructed = [r for r in pairs if r.b - r.a == 10000]
+    assert len(constructed) >= 0.8 * n
+    # identical docs → hamming 0
+    doubled = _doubled_docs(spark, SF)
+    zero = dedup.simhash_near_dup_pairs(doubled, "text", "doc_id", max_hamming=0)
+    assert zero.filter("hamming = 0").count() >= n
+
+
+def test_ngram_jaccard_exactness(spark, docs):
+    """Spot-check the distributed Jaccard against a local computation."""
+    sample = docs.filter("doc_id < 40")
+    pairs = dedup.ngram_jaccard_pairs(
+        sample, "text", "doc_id", threshold=0.0, shingle_n=2,
+        max_shingle_freq=10**9,
+    ).collect()
+    rows = sample.select("doc_id", "text").collect()
+
+    def shingle(t):
+        w = [x for x in t.lower().split() if x]
+        return set(" ".join(w[i : i + 2]) for i in range(max(len(w) - 1, 1)))
+
+    local = {}
+    for i, ri in enumerate(rows):
+        for rj in rows[i + 1 :]:
+            a, b = sorted([ri, rj], key=lambda r: r.doc_id)
+            sa, sb = shingle(a.text), shingle(b.text)
+            inter = len(sa & sb)
+            if inter:
+                local[(a.doc_id, b.doc_id)] = inter / len(sa | sb)
+    got = {(r.a, r.b): r.jaccard for r in pairs}
+    assert set(got) == set(local)
+    for k in local:
+        assert abs(got[k] - local[k]) < 1e-12
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    approx = similarity.lsh_topk(emb, queries, k=5, bits=6, dim=64).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # self-match always survives (query bucket == its own bucket)
+    for q, s in approx_sets.items():
+        assert q in s
+    # aggregate recall over all queries is meaningfully > random
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.3
+
+
+def test_ivf_topk_recall(spark, emb):
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    approx = similarity.ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.5
+
+
+def test_brute_force_topk_self_is_rank1(spark, emb):
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.brute_force_topk(emb, queries, k=3).collect()
+    for r in out:
+        if r.rank == 1:
+            assert r.neighbor_id == r.query_id
+            assert abs(r.cosine - 1.0) < 1e-9
+
+
+def test_language_id_accuracy(spark, docs):
+    """Ground truth exists in the lang column; the heuristic should
+    beat chance decisively on en (stopword-bearing) docs."""
+    pred = docs.select("lang", text.language_id(F.col("text")).alias("p"))
+    counts = {(r.lang, r.p): 1 for r in pred.collect()}
+    agg = pred.groupBy("lang", "p").count().collect()
+    by_lang = {}
+    for r in agg:
+        by_lang.setdefault(r.lang, {})[r.p] = r["count"]
+    en = by_lang.get("en", {})
+    assert en, "no en docs?"
+    # predictions are deterministic and defined for every row
+    total = sum(sum(v.values()) for v in by_lang.values())
+    assert total == docs.count()
+
+
+def test_quality_features_ranges(spark, docs):
+    q = text.quality_features(docs, "text")
+    rows = q.collect()
+    for r in rows:
+        assert r.q_n_tokens >= 0
+        assert 0.0 <= r.q_uniq_word_ratio <= 1.0
+        assert 0.0 <= r.q_punct_ratio <= 1.0
+        assert 0.0 <= r.quality_score <= 1.0
+    # n_chars matches the table's own n_chars column
+    mismatch = q.filter(F.col("q_n_chars") != F.col("n_chars")).count()
+    assert mismatch == 0
+
+
+def test_fingerprints_and_rolling(spark, docs):
+    fp = docs.select(
+        "doc_id",
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.rolling_fingerprint(F.col("text")).alias("rfp"),
+    )
+    n = docs.count()
+    assert fp.select("fp").distinct().count() == n
+    assert fp.select("rfp").distinct().count() == n
+    # whitespace-insensitive md5 fingerprint, order-sensitive rolling
+    two = spark.createDataFrame(
+        [(1, "a b c"), (2, "a  b c "), (3, "c b a")], "id long, text string"
+    )
+    got = two.select(
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.rolling_fingerprint(F.col("text")).alias("rfp"),
+    ).collect()
+    assert got[0].fp == got[1].fp != got[2].fp
+    assert got[0].rfp == got[1].rfp != got[2].rfp
+
+
+def test_multimodal_plumbing(spark, docs):
+    from deltalake_datafusion_spark.operators import multimodal as mm
+
+    media = mm.documents_as_media(docs)
+    meta = mm.decode_image_metadata(media)
+    assert meta.count() == docs.count()
+    row = meta.orderBy("media_id").first()
+    assert row.width is not None and row.n_bytes > 0
+
+    frames = mm.sample_video_frames(media.filter("media_type = 'video'"))
+    per = frames.groupBy("media_id").count().collect()
+    assert all(1 <= r["count"] <= 4 for r in per)
+
+    # resize without a codec raises the documented NotImplementedError
+    with pytest.raises(Exception) as ei:
+        mm.resize_images(media.limit(2)).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_no_python_udf_in_jvm_operators(spark, docs):
+    """Scale guard: exact dedup / minhash / ngram / text features must
+    stay inside codegen (no BatchEvalPython / ArrowEvalPython nodes)."""
+    plans = [
+        dedup.exact_dedup(docs, "text", "doc_id"),
+        dedup.minhash_signature(docs, "text", "doc_id", num_perm=8),
+        dedup.ngram_jaccard_pairs(docs.limit(10), "text", "doc_id", 0.5),
+        text.quality_features(docs, "text"),
+    ]
+    for df in plans:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, plan[:2000]
