@@ -283,9 +283,10 @@ def make_descriptor(storage_type: str, path_or_inline: str, offset: int | None,
 # ------------------------------------------------------------------ #
 
 
-def dv_row_filter(spark, snapshot, group, df):
+def dv_row_filter(spark, snapshot, group, df, drop_meta: bool = True):
     """Filter deleted rows out of a DataFrame read with
     ``__row_index`` / ``__file_path`` metadata columns attached.
+    Files in ``df`` but not in ``group`` (no DV) pass through intact.
 
     Decoded bitmaps are broadcast once; the membership test runs as an
     Arrow-batched pandas UDF (np.isin over each batch).
@@ -330,7 +331,5 @@ def dv_row_filter(spark, snapshot, group, df):
     }
     is_live = F.pandas_udf(_is_live, BooleanType())
 
-    return (
-        df.filter(is_live(F.col("__file_path"), F.col("__row_index")))
-        .drop("__row_index", "__file_path")
-    )
+    out = df.filter(is_live(F.col("__file_path"), F.col("__row_index")))
+    return out.drop("__row_index", "__file_path") if drop_meta else out

@@ -21,6 +21,7 @@ executor-side compression would be the next step.
 from __future__ import annotations
 
 import os
+import uuid
 from collections import defaultdict
 
 from pyspark.sql import functions as F
@@ -41,7 +42,7 @@ from deltalake_datafusion_spark.delta.writer import (
     maybe_checkpoint,
     physical_schema,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 
 def delete_delta(spark, table_path: str, predicate: str) -> dict:
@@ -61,51 +62,22 @@ def delete_delta(spark, table_path: str, predicate: str) -> dict:
             "version": snap.version,
         }
 
-    phys_full = physical_schema(logical)
-    part_cols = snap.partition_columns
-    part_idx = {logical.fieldNames().index(p) for p in part_cols}
-    data_schema = StructType(
-        [f for i, f in enumerate(phys_full.fields) if i not in part_idx]
-    )
-
-    # Scan candidates (grouped by partition tuple), evaluate the
-    # predicate over logical columns, carry row-index metadata through.
-    groups: dict[tuple, list] = defaultdict(list)
-    for f in candidates:
-        groups[tuple(f.partition_values.get(p) for p in part_cols)].append(f)
-
+    # Scan candidates (DV-aware: rows already deleted in place are
+    # invisible, so re-deletes never double-count), evaluate the
+    # predicate over logical columns, collect matched row indexes.
+    scan_df = _scan_with_rowmeta(spark, snap, predicate, files=candidates)
     matched: dict[str, list[int]] = {}
     total_deleted = 0
-    for key, group in groups.items():
-        paths = [os.path.join(snap.table_path, f.path) for f in group]
-        df = (
-            spark.read.schema(data_schema)
-            .parquet(*paths)
-            .select(
-                "*",
-                F.col("_metadata.row_index").alias("__row_index"),
-                F.col("_metadata.file_path").alias("__file_path"),
-            )
-        )
-        for p, raw in zip(part_cols, key):
-            li = logical.fieldNames().index(p)
-            df = df.withColumn(
-                phys_full.fields[li].name,
-                (F.lit(raw) if raw is not None else F.lit(None)).cast(
-                    phys_full.fields[li].dataType
-                ),
-            )
-        df = apply_schema(df, logical, extra_cols=["__row_index", "__file_path"])
-        hits = (
-            df.filter(F.expr(predicate))
-            .groupBy("__file_path")
-            .agg(F.collect_list("__row_index").alias("idx"))
-            .collect()
-        )
-        for row in hits:
-            rel = _relativize(row["__file_path"], snap.table_path)
-            matched[rel] = sorted(row["idx"])
-            total_deleted += len(row["idx"])
+    hits = (
+        scan_df.filter(F.expr(predicate))
+        .groupBy("__file_path")
+        .agg(F.collect_list("__row_index").alias("idx"))
+        .collect()
+    )
+    for row in hits:
+        rel = _relativize(row["__file_path"], snap.table_path)
+        matched[rel] = sorted(row["idx"])
+        total_deleted += len(row["idx"])
 
     if not matched:
         return {
@@ -174,6 +146,395 @@ def delete_delta(spark, table_path: str, predicate: str) -> dict:
         "rows_deleted": total_deleted,
         "version": version,
     }
+
+
+def update_delta(
+    spark, table_path: str, set_exprs: dict[str, str], predicate: str
+) -> dict:
+    """UPDATE ... SET ... WHERE: deletion-vector the matched rows in
+    place and append the updated versions as new files. Only files
+    that can contain matches (stats pruning) are touched; unmatched
+    rows are never rewritten — the DV path makes UPDATE cost ∝
+    matched data, not file data."""
+    snap = load_snapshot(table_path, spark=spark)
+    matched_df = _scan_with_rowmeta(spark, snap, predicate).filter(
+        F.expr(predicate)
+    )
+    updated = matched_df
+    for col, expr in set_exprs.items():
+        updated = updated.withColumn(col, F.expr(expr))
+    updated = updated.drop("__row_index", "__file_path")
+
+    from deltalake_datafusion_spark.delta.writer import _stage_and_move
+    from deltalake_datafusion_spark.delta.stats import collect_file_stats
+
+    # New files with the updated rows (physical projection if mapped).
+    from deltalake_datafusion_spark.delta.writer import _rename_to_physical
+
+    logical = snap.schema
+    out_df = (
+        _rename_to_physical(updated.select(*logical.fieldNames()), logical)
+        if snap.column_mapping_mode != "none"
+        else updated.select(*logical.fieldNames())
+    )
+    phys = physical_schema(logical)
+    phys_parts = [
+        phys.fields[logical.fieldNames().index(p)].name
+        for p in snap.partition_columns
+    ]
+    moved = _stage_and_move(spark, out_df, snap.table_path, phys_parts)
+
+    # DV the old copies of the matched rows.
+    res = delete_delta(spark, table_path, predicate)
+    snap2 = load_snapshot(table_path, spark=spark)
+
+    adds = []
+    p2l = dict(zip(phys_parts, snap.partition_columns))
+    for rel, pv_phys in moved:
+        full = os.path.join(snap.table_path, rel)
+        stats = collect_file_stats(full, skip_columns=set(phys_parts))
+        st = os.stat(full)
+        pv = {p2l.get(k, k): v for k, v in pv_phys.items()}
+        adds.append(
+            {
+                "add": {
+                    "path": _url_encode_path(rel),
+                    "partitionValues": pv,
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                    "stats": stats,
+                }
+            }
+        )
+    version = snap2.version + 1
+    commit(snap.table_path, version, adds, "UPDATE", spark)
+    out = load_snapshot(table_path, spark=spark)
+    maybe_checkpoint(spark, out)
+    return {
+        "rows_updated": res["rows_deleted"],
+        "files_added": len(adds),
+        "version": version,
+    }
+
+
+def merge_delta(
+    spark,
+    table_path: str,
+    source,
+    on: str,
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: bool = False,
+    when_not_matched_insert: bool = True,
+) -> dict:
+    """MERGE INTO (upsert), copy-on-write strategy:
+
+    1. join source↔target on ``on`` to find *touched files* (any file
+       with ≥1 matched row);
+    2. rewrite only those files: unmatched rows pass through, matched
+       rows are updated / dropped;
+    3. append source rows with no target match (WHEN NOT MATCHED);
+    4. one commit: remove(touched) + add(rewritten + inserted).
+
+    The join in step 1 is target⋈broadcast(source) when the source is
+    small (the common CDC shape); touched-file discovery and the
+    rewrite share one shuffle. ``on`` must reference target columns
+    as ``t.col`` and source columns as ``s.col``."""
+    snap = load_snapshot(table_path, spark=spark)
+    logical = snap.schema
+    target = _scan_with_rowmeta(spark, snap, None)
+
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = F.expr(on)
+
+    matched = t.join(s, cond, "inner").select(
+        F.col("t.__file_path").alias("__file_path"),
+        F.col("t.__row_index").alias("__row_index"),
+        F.lit(True).alias("__s___matched"),
+        *[F.col(f"s.{c}").alias(f"__s_{c}") for c in source.columns],
+    )
+    touched_paths = matched.select("__file_path").distinct()
+    touched_files = [
+        _relativize(r["__file_path"], snap.table_path)
+        for r in touched_paths.collect()
+    ]
+    by_path = {f.path: f for f in snap.files}
+    touched = [by_path[p] for p in touched_files]
+
+    # Rewritten content of touched files.
+    new_parts = []
+    if touched:
+        tf = target.join(touched_paths, "__file_path", "left_semi")
+        m = matched.select(
+            "__file_path", "__row_index", "__s___matched",
+            *[f"__s_{c}" for c in source.columns],
+        )
+        # NOTE: a source with multiple rows matching one target row
+        # duplicates that row (ANSI MERGE would error; documented).
+        joined = tf.join(m, ["__file_path", "__row_index"], "left")
+        is_matched = F.col("__s___matched").isNotNull()
+        if when_matched_delete:
+            survivors = joined.filter(~is_matched)
+        else:
+            survivors = joined
+            if when_matched_update:
+                import re as _re
+
+                for col, expr in when_matched_update.items():
+                    # update expressions reference source cols as s.<col>
+                    rewritten = _re.sub(r"\bs\.(\w+)", r"__s_\1", expr)
+                    survivors = survivors.withColumn(
+                        col,
+                        F.when(is_matched, F.expr(rewritten)).otherwise(F.col(col)),
+                    )
+        new_parts.append(survivors.select(*logical.fieldNames()))
+
+    if when_not_matched_insert:
+        anti = s.join(t, cond, "left_anti")
+        inserts = anti.select(
+            *[
+                F.col(c).alias(c) if c in source.columns else F.lit(None).alias(c)
+                for c in logical.fieldNames()
+            ]
+        )
+        new_parts.append(inserts)
+
+    n_inserted = 0
+    actions: list[dict] = [ _remove_action(f) for f in touched ]
+    if new_parts:
+        out = new_parts[0]
+        for p in new_parts[1:]:
+            out = out.unionByName(p)
+        from deltalake_datafusion_spark.delta.writer import (
+            _rename_to_physical,
+            _stage_and_move,
+        )
+        from deltalake_datafusion_spark.delta.stats import collect_file_stats
+
+        out_df = (
+            _rename_to_physical(out, logical)
+            if snap.column_mapping_mode != "none"
+            else out
+        )
+        phys = physical_schema(logical)
+        phys_parts = [
+            phys.fields[logical.fieldNames().index(p)].name
+            for p in snap.partition_columns
+        ]
+        moved = _stage_and_move(spark, out_df, snap.table_path, phys_parts)
+        p2l = dict(zip(phys_parts, snap.partition_columns))
+        for rel, pv_phys in moved:
+            full = os.path.join(snap.table_path, rel)
+            stats = collect_file_stats(full, skip_columns=set(phys_parts))
+            st = os.stat(full)
+            pv = {p2l.get(k, k): v for k, v in pv_phys.items()}
+            actions.append(
+                {
+                    "add": {
+                        "path": _url_encode_path(rel),
+                        "partitionValues": pv,
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                        "stats": stats,
+                    }
+                }
+            )
+
+    version = snap.version + 1
+    commit(snap.table_path, version, actions, "MERGE", spark)
+    out_snap = load_snapshot(table_path, spark=spark)
+    maybe_checkpoint(spark, out_snap)
+    return {
+        "files_rewritten": len(touched),
+        "version": version,
+    }
+
+
+def optimize_delta(
+    spark,
+    table_path: str,
+    target_file_size: int = 128 * 1024 * 1024,
+    small_file_threshold: int | None = None,
+    zorder_by: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE: bin-pack small files into ~target_file_size files,
+    optionally clustering rows by ``zorder_by`` columns
+    (range-repartition + sort-within-partitions — the Spark-idiomatic
+    multi-dimensional clustering; gives the same stats-tightening
+    effect as Z-order interleaving for the common 1-2 column case).
+    Rewrites carry dataChange=false so streaming readers skip them."""
+    snap = load_snapshot(table_path, spark=spark)
+    threshold = small_file_threshold or target_file_size // 2
+    if zorder_by:
+        victims = list(snap.files)  # clustering rewrites everything
+    else:
+        victims = [f for f in snap.files if f.size < threshold]
+        if len(victims) < 2:
+            return {"files_compacted": 0, "files_added": 0, "version": snap.version}
+
+    # group victims by partition tuple; rewrite per partition
+    groups: dict[tuple, list] = defaultdict(list)
+    for f in victims:
+        groups[tuple(sorted(f.partition_values.items()))].append(f)
+
+    from deltalake_datafusion_spark.delta.stats import collect_file_stats
+    from deltalake_datafusion_spark.delta.writer import physical_schema as _ps
+
+    logical = snap.schema
+    phys = _ps(logical)
+    part_cols = snap.partition_columns
+    part_idx = {logical.fieldNames().index(p) for p in part_cols}
+    data_schema = StructType(
+        [f for i, f in enumerate(phys.fields) if i not in part_idx]
+    )
+    fs = fs_for(snap.table_path, spark)
+
+    actions: list[dict] = []
+    n_added = 0
+    for key, group in groups.items():
+        total = sum(f.size for f in group)
+        n_out = max(1, -(-total // target_file_size))
+        paths = [os.path.join(snap.table_path, f.path) for f in group]
+        df = spark.read.schema(data_schema).parquet(*paths)
+        dv_files = [f for f in group if f.dv is not None]
+        if dv_files:
+            # Materialize deletion vectors during the rewrite — never
+            # resurrect deleted rows; the compacted files carry no DV.
+            from deltalake_datafusion_spark.delta.deletion_vectors import (
+                dv_row_filter,
+            )
+
+            df = df.select(
+                "*",
+                F.col("_metadata.row_index").alias("__row_index"),
+                F.col("_metadata.file_path").alias("__file_path"),
+            )
+            df = dv_row_filter(spark, snap, dv_files, df)
+        if zorder_by:
+            zcols = []
+            for zc in zorder_by:
+                li = logical.fieldNames().index(zc)
+                zcols.append(phys.fields[li].name)
+            df = df.repartitionByRange(n_out, *zcols).sortWithinPartitions(*zcols)
+        else:
+            df = df.coalesce(n_out)
+
+        staging = os.path.join(snap.table_path, f"_optimize_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        pv = dict(key)
+        part_dir = "/".join(f"{k}={v}" for k, v in key if v is not None)
+        for st in fs.list_recursive(staging):
+            if st.is_dir or not st.path.endswith(".parquet"):
+                continue
+            new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel = os.path.join(part_dir, new_name) if part_dir else new_name
+            fs.rename(st.path, os.path.join(snap.table_path, rel))
+            full = os.path.join(snap.table_path, rel)
+            stats = collect_file_stats(full, skip_columns=set(
+                phys.fields[logical.fieldNames().index(p)].name for p in part_cols
+            ))
+            fstat = os.stat(full)
+            actions.append(
+                {
+                    "add": {
+                        "path": _url_encode_path(rel),
+                        "partitionValues": pv,
+                        "size": fstat.st_size,
+                        "modificationTime": int(fstat.st_mtime * 1000),
+                        "dataChange": False,
+                        "stats": stats,
+                    }
+                }
+            )
+            n_added += 1
+        for st in sorted(fs.list_recursive(staging), key=lambda s: -len(s.path)):
+            fs.delete(st.path)
+        fs.delete(staging)
+        for f in group:
+            a = _remove_action(f)
+            a["remove"]["dataChange"] = False
+            actions.append(a)
+
+    version = snap.version + 1
+    commit(snap.table_path, version, actions, "OPTIMIZE", spark)
+    out = load_snapshot(table_path, spark=spark)
+    maybe_checkpoint(spark, out)
+    return {
+        "files_compacted": len(victims),
+        "files_added": n_added,
+        "version": version,
+    }
+
+
+def _scan_with_rowmeta(spark, snap, predicate: str | None, files=None):
+    """Candidate scan carrying __row_index/__file_path through the
+    logical projection, with deletion vectors applied (shared by
+    DELETE/UPDATE/MERGE)."""
+    logical = snap.schema
+    l2p = _logical_to_physical_map(logical)
+    if files is not None:
+        candidates = files
+    elif predicate:
+        candidates = prune_files(
+            snap.files, predicate, logical, snap.partition_columns, l2p
+        )
+    else:
+        candidates = snap.files
+    phys_full = physical_schema(logical)
+    part_cols = snap.partition_columns
+    part_idx = {logical.fieldNames().index(p) for p in part_cols}
+    data_schema = StructType(
+        [f for i, f in enumerate(phys_full.fields) if i not in part_idx]
+    )
+    groups: dict[tuple, list] = defaultdict(list)
+    for f in candidates:
+        groups[tuple(f.partition_values.get(p) for p in part_cols)].append(f)
+    branches = []
+    for key, group in groups.items():
+        paths = [os.path.join(snap.table_path, f.path) for f in group]
+        df = (
+            spark.read.schema(data_schema)
+            .parquet(*paths)
+            .select(
+                "*",
+                F.col("_metadata.row_index").alias("__row_index"),
+                F.col("_metadata.file_path").alias("__file_path"),
+            )
+        )
+        for p, raw in zip(part_cols, key):
+            li = logical.fieldNames().index(p)
+            df = df.withColumn(
+                phys_full.fields[li].name,
+                (F.lit(raw) if raw is not None else F.lit(None)).cast(
+                    phys_full.fields[li].dataType
+                ),
+            )
+        df = apply_schema(df, logical, extra_cols=["__row_index", "__file_path"])
+        dv_files = [f for f in group if f.dv is not None]
+        if dv_files:
+            # Apply deletion vectors — DML must never see (or
+            # resurrect) rows already deleted in place.
+            from deltalake_datafusion_spark.delta.deletion_vectors import (
+                dv_row_filter,
+            )
+
+            df = dv_row_filter(spark, snap, dv_files, df, drop_meta=False)
+        branches.append(df)
+    if not branches:
+        empty_schema = StructType(
+            logical.fields
+            + [
+                StructField("__row_index", LongType()),
+                StructField("__file_path", StringType()),
+            ]
+        )
+        return spark.createDataFrame([], empty_schema)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def _remove_action(f) -> dict:

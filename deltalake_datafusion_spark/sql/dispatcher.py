@@ -59,6 +59,16 @@ _DELETE_RE = re.compile(
     r"\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"(?:\s+ZORDER\s+BY\s+\(?(?P<zcols>[\w,\s]+?)\)?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _TABLE_FN_RE = re.compile(
     r"(?P<fn>delta_log|log_replay|directory_listing)\s*\(\s*'(?P<arg>[^']+)'\s*\)",
     re.IGNORECASE,
@@ -97,6 +107,25 @@ def sql(spark, statement: str, registry=None) -> DataFrame:
     if out is None:
         raise SqlParseError("empty statement")
     return out
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    parts, buf, depth, in_str = [], [], 0, False
+    for ch in s:
+        if ch == "'":
+            in_str = not in_str
+        elif ch in "([" and not in_str:
+            depth += 1
+        elif ch in ")]" and not in_str:
+            depth -= 1
+        if ch == "," and depth == 0 and not in_str:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return parts
 
 
 def _split_statements(s: str) -> list[str]:
@@ -158,6 +187,34 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         return spark.createDataFrame(
             [tuple(res.values())], list(res.keys())
         )
+
+    m = _UPDATE_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.ops import update_delta
+
+        sets = {}
+        for part in _split_top_level_commas(m.group("sets")):
+            col, _, expr = part.partition("=")
+            sets[col.strip().strip("`")] = expr.strip()
+        res = update_delta(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            sets,
+            m.group("pred"),
+        )
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _OPTIMIZE_RE.match(statement)
+    if m and m.group("target").upper() not in ("TABLE",):
+        from deltalake_datafusion_spark.delta.ops import optimize_delta
+
+        z = m.group("zcols")
+        res = optimize_delta(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            zorder_by=[c.strip() for c in z.split(",")] if z else None,
+        )
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 
     # Table functions: substitute temp views, then run through Catalyst.
     def _expand(match):

