@@ -41,7 +41,12 @@ from deltalake_datafusion_spark.delta.writer import (
     write_checkpoint,
     DeltaWriteError,
 )
-from deltalake_datafusion_spark.delta.ops import delete_delta
+from deltalake_datafusion_spark.delta.ops import (
+    delete_delta,
+    merge_delta,
+    optimize_delta,
+    update_delta,
+)
 from deltalake_datafusion_spark.delta.vacuum import vacuum
 from deltalake_datafusion_spark.delta.listing import directory_listing
 from deltalake_datafusion_spark.delta.registry import DeltaRegistry, register_delta
@@ -60,6 +65,9 @@ __all__ = [
     "write_delta",
     "write_checkpoint",
     "delete_delta",
+    "update_delta",
+    "merge_delta",
+    "optimize_delta",
     "vacuum",
     "directory_listing",
     "DeltaRegistry",

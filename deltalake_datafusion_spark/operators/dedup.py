@@ -330,38 +330,73 @@ def ngram_jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
-    max_shingle_freq: int = 500,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard ≥ threshold via shingle-inverted-index
-    join (no LSH approximation): explode shingles, join on shingle,
-    count shared, |A∪B| = |A|+|B|-shared. ``max_shingle_freq`` drops
-    stop-shingles that would blow up the join (their contribution to
-    high-Jaccard pairs is marginal; bound documented)."""
+    """EXACT n-gram Jaccard ≥ threshold via prefix filtering (the
+    PPJoin family): order each document's shingles by global rarity;
+    a pair with J ≥ t must share a shingle within each side's first
+    ⌊(1−t)·n⌋+1 shingles, so only prefix tokens are exploded into the
+    inverted index. Candidates are then verified with exact
+    ``array_intersect`` Jaccard — output is identical to the all-pairs
+    computation, at a fraction of the join volume (rare-token prefixes
+    produce tiny buckets even when the vocabulary is small).
+
+    ``max_shingle_freq`` is retained as an optional *approximate*
+    extra cap for pathological corpora; None (default) keeps the join
+    exact. Shingles are xxhash64-hashed to int64 before indexing —
+    shuffles carry 8-byte keys instead of strings, and the
+    verification intersects int arrays (Jaccard values are unchanged
+    barring a ~2⁻⁶⁴ collision).
+
+    Caveat: candidate pruning (any token-sharing scheme) degrades on
+    degenerate corpora where random pairs share many shingles (tiny
+    vocabularies, boilerplate). Choose ``shingle_n`` large enough that
+    unrelated documents rarely collide."""
     sh = df.select(
         F.col(id_col).alias("id"),
-        shingles_col(F.col(text_col), shingle_n).alias("sh"),
+        F.transform(
+            shingles_col(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("s"))
-    rare = (
-        inv.groupBy("s")
+
+    # Global shingle rarity (one agg over the exploded corpus).
+    freq = (
+        sh.select(F.explode("sh").alias("s"))
+        .groupBy("s")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") <= max_shingle_freq)
-        .select("s")
     )
-    inv = inv.join(rare, "s", "left_semi")
-    shared = (
-        inv.alias("x")
-        .join(inv.alias("y"), "s")
+    if max_shingle_freq is not None:
+        freq = freq.filter(F.col("freq") <= max_shingle_freq)
+
+    inv = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    ranked = inv.join(freq, "s")
+    # Rarity order within each doc; prefix keeps ⌊(1−t)n⌋+1 shingles.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("freq", "s")
+    prefix = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.floor((1.0 - threshold) * F.col("n_sh")).cast("int") + 1
+        )
+        .select("id", "s")
+    )
+    cands = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "s")
         .filter(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
     )
     return (
-        shared.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
-        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        cands.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
-            "jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+            "jaccard",
+            F.col("shared")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("shared")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")

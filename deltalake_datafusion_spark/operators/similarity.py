@@ -117,17 +117,42 @@ def lsh_topk(
     pairs, deduplicated before exact cosine scoring. One shuffle keyed
     on (table, bucket)."""
 
+    # All tables' planes as one (tables*bits, dim) matrix; signatures
+    # are one numpy matmul per Arrow batch — the vectorized-UDF path
+    # genuinely beats a tables×bits×dim expression tree here.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    all_planes = np.array(
+        [
+            plane
+            for t in range(tables)
+            for plane in _hyperplanes(dim, bits, seed + 1000 * t)
+        ]
+    )  # (tables*bits, dim)
+    weights = np.power(2.0, np.arange(bits))
+
+    def _sigs(vecs):
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append(None)
+                continue
+            bits_mat = (all_planes @ np.asarray(v, dtype=np.float64)) >= 0
+            buckets = bits_mat.reshape(tables, bits) @ weights
+            out.append([int(b) for b in buckets])
+        return pd.Series(out)
+
+    _sigs.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    sig_udf = F.pandas_udf(_sigs, ArrayType(LongType()))
+
     def bucket_array(vec):
-        entries = []
-        for t in range(tables):
-            planes = _hyperplanes(dim, bits, seed + 1000 * t)
-            entries.append(
-                F.struct(
-                    F.lit(t).alias("t"),
-                    signature_col(vec, planes).alias("bucket"),
-                )
-            )
-        return F.array(*entries)
+        return F.zip_with(
+            sig_udf(vec),
+            F.sequence(F.lit(0), F.lit(tables - 1)),
+            lambda b, t: F.struct(t.alias("t"), b.alias("bucket")),
+        )
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

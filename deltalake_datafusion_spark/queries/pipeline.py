@@ -112,14 +112,15 @@ SELECT (SELECT COUNT(*) FROM documents) AS n_clusters,
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact bigram-shingle Jaccard pairs (≥0.5) over the perturbed
-    corpus — fully SQL-checkable fuzzy dedup."""
+    """Exact trigram-shingle Jaccard pairs (≥0.3) over the perturbed
+    corpus — fully SQL-checkable fuzzy dedup. Trigrams keep random
+    pairs nearly disjoint on this small-vocabulary corpus, so prefix
+    filtering prunes the candidate space (see operator docstring)."""
     from deltalake_datafusion_spark.operators.dedup import ngram_jaccard_pairs
 
     corpus = _perturbed_docs(spark, sf_dir)
     pairs = ngram_jaccard_pairs(
-        corpus, "text", "doc_id", threshold=0.5, shingle_n=2,
-        max_shingle_freq=10**9,
+        corpus, "text", "doc_id", threshold=0.3, shingle_n=3
     )
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
@@ -138,8 +139,8 @@ WITH corpus AS (
 ),
 sh AS (
   SELECT doc_id,
-    list_distinct([array_to_string(w[i:i+1], ' ')
-                   for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS s
+    list_distinct([array_to_string(w[i:i+2], ' ')
+                   for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
   FROM (SELECT doc_id, {_WORDS} AS w FROM corpus)
 ),
 pairs AS (
@@ -151,7 +152,7 @@ pairs AS (
 SELECT COUNT(*) AS n_pairs,
   CAST(SUM(CASE WHEN b - a = 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_constructed,
   MIN(jaccard) AS min_j
-FROM pairs WHERE jaccard >= 0.5
+FROM pairs WHERE jaccard >= 0.3
 """
 
 

@@ -818,6 +818,321 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders with a late lineitem
+    (shipped >60 days after order date), counted per priority."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o, l = t["orders"], t["lineitem"]
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60)
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation × customer-nation trade volume
+    per year (two nation aliases, 5-way join)."""
+    t = load_tables(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    n1 = F.broadcast(t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ))
+    j = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(_rev_col(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS INT) AS l_year, {_REV_SQL} AS volume
+  FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name) t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + double aggregation —
+    distribution of customers by order count."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: CTE revenue view + max-subquery join."""
+    t = load_tables(spark, sf_dir, "supplier", "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    rev = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_dsum(_rev_col(), "total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        t["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated avg subquery → per-part average
+    join; revenue of small-quantity orders."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    p = t["part"].filter(F.col("p_brand") == "Brand#1")
+    avg_qty = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("ap_key"))
+        .agg(
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)) * 0.2)
+            .alias("avg_fifth")
+        )
+    )
+    j = (
+        t["lineitem"]
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("avg_fifth"))
+    )
+    return j.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        )
+    )
+
+
+_Q17_SQL = f"""
+SELECT CAST(SUM({_D('l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT CAST(SUM({_D('l_quantity')}) AS DOUBLE) / COUNT(*) * 0.2
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive range predicates
+    (OR-of-ANDs reaches the join condition)."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    j = t["lineitem"].join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 15)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 25))
+           & (F.col("l_quantity").between(10, 25)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 35))
+           & (F.col("l_quantity").between(20, 35)))
+    )
+    return j.filter(cond).agg(
+        _dsum(_rev_col(), "revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+_Q19_SQL = f"""
+SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: self-join EXISTS + NOT-EXISTS on lineitem —
+    suppliers whose lineitem shipped last in a multi-supplier order."""
+    t = load_tables(spark, sf_dir, "supplier", "lineitem", "orders")
+    l = t["lineitem"]
+    o = t["orders"].filter(F.col("o_orderstatus") == "F")
+    l1 = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    order_stats = l1.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    waiting = (
+        l1.join(order_stats, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("max_ship")))
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+    return (
+        t["supplier"]
+        .join(waiting, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+stats AS (
+  SELECT l_orderkey AS ok, COUNT(DISTINCT l_suppkey) AS n_supp,
+         MAX(l_shipdate) AS max_ship
+  FROM l1 GROUP BY l_orderkey),
+waiting AS (
+  SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS numwait
+  FROM l1 JOIN stats ON l_orderkey = ok
+  WHERE n_supp > 1 AND l_shipdate = max_ship
+  GROUP BY l_suppkey)
+SELECT s_name, numwait
+FROM supplier JOIN waiting ON s_suppkey = l_suppkey
+ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    orders, grouped by nation bucket (anti join + scalar subquery)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(_dec("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+_Q22_SQL = f"""
+SELECT c_nationkey % 5 AS cntrycode, COUNT(*) AS numcust,
+  CAST(SUM({_D('c_acctbal')}) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM({_D('c_acctbal')}) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: suppliers vs customers per nation (coverage of
+    the remaining join type)."""
+    t = load_tables(spark, sf_dir, "supplier", "customer")
+    s = t["supplier"].groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    return (
+        s.join(c, s.nk_s == c.nk_c, "full_outer")
+        .select(
+            F.coalesce("nk_s", "nk_c").alias("nationkey"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_QFULL_SQL = """
+SELECT COALESCE(nk_s, nk_c) AS nationkey,
+       COALESCE(n_supp, 0) AS n_supp, COALESCE(n_cust, 0) AS n_cust
+FROM (SELECT s_nationkey AS nk_s, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+FULL OUTER JOIN
+     (SELECT c_nationkey AS nk_c, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+ON nk_s = nk_c
+ORDER BY nationkey
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_SQL),
@@ -827,6 +1142,15 @@ def specs() -> list[QuerySpec]:
         QuerySpec("q10_returned_items", q10_returned_items, _Q10_SQL),
         QuerySpec("q14_promo_revenue", q14_promo_revenue, _Q14_SQL),
         QuerySpec("q18_large_orders", q18_large_orders, _Q18_SQL),
+        QuerySpec("q4_order_priority", q4_order_priority, _Q4_SQL),
+        QuerySpec("q7_nation_volume", q7_nation_volume, _Q7_SQL),
+        QuerySpec("q13_customer_distribution", q13_customer_distribution, _Q13_SQL),
+        QuerySpec("q15_top_supplier", q15_top_supplier, _Q15_SQL),
+        QuerySpec("q17_small_qty_revenue", q17_small_qty_revenue, _Q17_SQL),
+        QuerySpec("q19_disjunctive", q19_disjunctive, _Q19_SQL),
+        QuerySpec("q21_waiting_supplier", q21_waiting_supplier, _Q21_SQL),
+        QuerySpec("q22_idle_customers", q22_idle_customers, _Q22_SQL),
+        QuerySpec("q_full_outer_join", q_full_outer_join, _QFULL_SQL),
         QuerySpec("q_topk_orders", q_topk_orders, _QTOPK_SQL),
         QuerySpec("q_window_rank", q_window_rank, _QWRANK_SQL),
         QuerySpec("q_window_running", q_window_running, _QWRUN_SQL),

@@ -91,8 +91,7 @@ def test_ngram_jaccard_exactness(spark, docs):
     """Spot-check the distributed Jaccard against a local computation."""
     sample = docs.filter("doc_id < 40")
     pairs = dedup.ngram_jaccard_pairs(
-        sample, "text", "doc_id", threshold=0.0, shingle_n=2,
-        max_shingle_freq=10**9,
+        sample, "text", "doc_id", threshold=0.0, shingle_n=2
     ).collect()
     rows = sample.select("doc_id", "text").collect()
 
