@@ -468,6 +468,44 @@ def optimize_delta(
     }
 
 
+def restore_delta(spark, table_path: str, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION: make the table's live file set
+    equal the target version's, as a new commit (history preserved —
+    time travel to the pre-restore tip still works)."""
+    current = load_snapshot(table_path, spark=spark)
+    target = load_snapshot(table_path, version=version, spark=spark)
+    cur_keys = {(f.path, f.dv_id): f for f in current.files}
+    tgt_keys = {(f.path, f.dv_id): f for f in target.files}
+
+    actions: list[dict] = []
+    for key, f in cur_keys.items():
+        if key not in tgt_keys:
+            actions.append(_remove_action(f))
+    for key, f in tgt_keys.items():
+        if key not in cur_keys:
+            actions.append(
+                {
+                    "add": {
+                        "path": _url_encode_path(f.path),
+                        "partitionValues": f.partition_values,
+                        "size": f.size,
+                        "modificationTime": f.modification_time,
+                        "dataChange": True,
+                        "stats": f.stats,
+                        **({"deletionVector": _dv_to_json(f.dv)} if f.dv else {}),
+                    }
+                }
+            )
+    new_version = current.version + 1
+    commit(current.table_path, new_version, actions, "RESTORE", spark)
+    return {
+        "restored_to": version,
+        "files_removed": sum(1 for a in actions if "remove" in a),
+        "files_readded": sum(1 for a in actions if "add" in a),
+        "version": new_version,
+    }
+
+
 def _scan_with_rowmeta(spark, snap, predicate: str | None, files=None):
     """Candidate scan carrying __row_index/__file_path through the
     logical projection, with deletion vectors applied (shared by

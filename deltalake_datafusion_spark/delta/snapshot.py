@@ -111,6 +111,7 @@ class Snapshot:
     protocol: Protocol
     files: list[AddFile]
     tombstones: list[dict] = field(default_factory=list)
+    app_transactions: dict[str, int] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -262,6 +263,7 @@ def load_snapshot(
     protocol = Protocol()
     adds: dict[tuple[str, str], AddFile] = {}
     tombstones: list[dict] = []
+    app_transactions: dict[str, int] = {}
 
     for a in actions:
         if "metaData" in a and a["metaData"]:
@@ -303,6 +305,13 @@ def load_snapshot(
             path = urllib.parse.unquote(rm["path"])
             adds = {k: v for k, v in adds.items() if k[0] != path}
             tombstones.append(rm)
+        elif "txn" in a and a["txn"]:
+            tx = a["txn"]
+            app = tx.get("appId")
+            if app is not None:
+                app_transactions[app] = max(
+                    app_transactions.get(app, -1), tx.get("version", -1)
+                )
 
     if metadata is None:
         raise DeltaProtocolError(f"no metaData action found in log at {table_path}")
@@ -314,6 +323,7 @@ def load_snapshot(
         protocol=protocol,
         files=sorted(adds.values(), key=lambda f: f.path),
         tombstones=tombstones,
+        app_transactions=app_transactions,
     )
 
 
@@ -322,6 +332,25 @@ def load_snapshot(
 # logs too large for the driver and for the log_replay metadata table #
 # (reference DeltaLogReplayProvider, delta_log.rs:139-421).           #
 # ------------------------------------------------------------------ #
+
+
+def history(spark, table_path: str):
+    """Commit history as a DataFrame (version, timestamp, operation,
+    engineInfo) — newest first. The DESCRIBE HISTORY surface, derived
+    from commitInfo actions in the log."""
+    from pyspark.sql import functions as F
+
+    df = actions_df(spark, table_path)
+    return (
+        df.filter(F.col("commitInfo").isNotNull())
+        .select(
+            "version",
+            F.timestamp_millis(F.col("commitInfo.timestamp")).alias("timestamp"),
+            F.col("commitInfo.operation").alias("operation"),
+            F.col("commitInfo.engineInfo").alias("engineInfo"),
+        )
+        .orderBy(F.desc("version"))
+    )
 
 
 def actions_df(spark, table_path: str, version: int | None = None):

@@ -81,13 +81,21 @@ def collect_file_stats(file_path: str, skip_columns: set[str] | None = None) -> 
             entry = agg.setdefault(
                 path, {"min": None, "max": None, "nulls": 0, "has_stats": True}
             )
-            st = col.statistics
+            try:
+                st = col.statistics
+            except Exception:  # e.g. INT96 / unsupported physical types
+                st = None
             if st is None or not st.has_null_count:
                 entry["has_stats"] = False
                 continue
             entry["nulls"] += st.null_count
-            if st.has_min_max:
-                mn, mx = _json_safe(st.min), _json_safe(st.max)
+            try:
+                has_mm = st.has_min_max
+                mn_raw, mx_raw = (st.min, st.max) if has_mm else (None, None)
+            except Exception:  # value decoding unsupported for this type
+                has_mm = False
+            if has_mm:
+                mn, mx = _json_safe(mn_raw), _json_safe(mx_raw)
                 if mn is not None and (
                     entry["min"] is None or _lt(mn, entry["min"])
                 ):

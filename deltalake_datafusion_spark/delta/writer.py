@@ -302,9 +302,18 @@ def write_delta(
     configuration: dict[str, str] | None = None,
     name: str | None = None,
     column_mapping: bool = False,
+    schema_mode: str = "strict",
+    txn: tuple[str, int] | None = None,
     max_commit_attempts: int = 10,
 ) -> Snapshot:
     """Write ``df`` to a Delta table (append / overwrite / error).
+
+    ``schema_mode="merge"`` evolves the table schema: new DataFrame
+    columns are appended (nullable) and recorded via a fresh metaData
+    action; columns missing from the DataFrame are imputed as nulls;
+    type-compatible columns are cast to the table's types. Readers of
+    old files see the new columns as nulls through the schema adapter
+    (FIXTURES.md F5 semantics).
 
     Returns the post-commit snapshot.
     """
@@ -322,21 +331,78 @@ def write_delta(
     if existing is not None and mode in ("error", "errorifexists"):
         raise DeltaWriteError(f"table already exists at {table_path}")
 
+    # Idempotent writer transactions (streaming exactly-once): skip if
+    # this (appId, version) already committed.
+    if (
+        txn is not None
+        and existing is not None
+        and existing.app_transactions.get(txn[0], -1) >= txn[1]
+    ):
+        return existing
+
+    schema_changed = False
     if existing is not None:
         if column_mapping and existing.column_mapping_mode == "none":
             raise DeltaWriteError("cannot enable column mapping on an existing table")
         partition_by = existing.partition_columns
         logical_schema = existing.schema
         existing_names = set(logical_schema.fieldNames())
-        if set(df.schema.fieldNames()) != existing_names:
-            raise DeltaWriteError(
-                f"schema mismatch: table has {sorted(existing_names)}, "
-                f"dataframe has {sorted(df.schema.fieldNames())}"
-            )
-        # Preserve the table's column order + mapping metadata.
-        df = df.select(*logical_schema.fieldNames())
-        write_schema = logical_schema
+        df_names = set(df.schema.fieldNames())
         mapping = existing.column_mapping_mode != "none"
+        if schema_mode == "merge":
+            new_fields = [
+                f for f in df.schema.fields if f.name not in existing_names
+            ]
+            if new_fields and mapping:
+                next_id = int(
+                    existing.get_property("delta.columnMapping.maxColumnId", "0")
+                    or "0"
+                )
+                mapped = []
+                for f in new_fields:
+                    next_id += 1
+                    meta = dict(f.metadata or {})
+                    meta["delta.columnMapping.id"] = next_id
+                    meta["delta.columnMapping.physicalName"] = f"col-{next_id}"
+                    mapped.append(StructField(f.name, f.dataType, True, meta))
+                new_fields = mapped
+                configuration = dict(existing.metadata.configuration)
+                configuration["delta.columnMapping.maxColumnId"] = str(next_id)
+            write_schema = StructType(
+                list(logical_schema.fields)
+                + [StructField(f.name, f.dataType, True, f.metadata) for f in new_fields]
+            )
+            schema_changed = bool(new_fields)
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[
+                    (
+                        F.col(f.name).cast(f.dataType)
+                        if f.name in df_names
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in write_schema.fields
+                ]
+            )
+        else:
+            if df_names != existing_names:
+                raise DeltaWriteError(
+                    f"schema mismatch: table has {sorted(existing_names)}, "
+                    f"dataframe has {sorted(df_names)} "
+                    "(use schema_mode='merge' to evolve)"
+                )
+            # Preserve the table's column order + mapping metadata;
+            # cast type-compatible columns to the table's types.
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in logical_schema.fields
+                ]
+            )
+            write_schema = logical_schema
     else:
         for p in partition_by:
             if p not in df.schema.fieldNames():
@@ -396,6 +462,18 @@ def write_delta(
                     str(uuid.uuid4()), name,
                 )
             )
+        elif schema_changed:
+            # Schema evolution: re-emit metaData with the merged schema
+            # (same table id — the schema history lives in the log).
+            md = _metadata_action(
+                write_schema,
+                partition_by,
+                configuration or current.metadata.configuration,
+                current.metadata.id,
+                current.metadata.name,
+            )
+            md["metaData"]["createdTime"] = current.metadata.created_time
+            actions.append(md)
         removes: list[dict] = []
         if mode == "overwrite" and current is not None:
             for f in current.files:
@@ -418,6 +496,16 @@ def write_delta(
                 )
         actions.extend(removes)
         actions.extend(adds)
+        if txn is not None:
+            if (
+                current is not None
+                and current.app_transactions.get(txn[0], -1) >= txn[1]
+            ):
+                return current  # lost a race to an identical retry
+            actions.append(
+                {"txn": {"appId": txn[0], "version": txn[1],
+                         "lastUpdated": _now_ms()}}
+            )
         op = "WRITE" if current is None else mode.upper()
         try:
             commit(table_path, version, actions, op, spark)

@@ -144,6 +144,43 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def write_stream_delta(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming Delta sink: foreachBatch → engine append commits,
+    exactly-once via writer transactions (appId = checkpoint dir,
+    version = batch id — replayed batches are skipped by the
+    idempotence check in write_delta)."""
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    app_id = f"stream-{checkpoint_dir}"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_delta(
+            batch_df.sparkSession,
+            batch_df,
+            table_path,
+            mode="append",
+            partition_by=partition_by,
+            txn=(app_id, batch_id),
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

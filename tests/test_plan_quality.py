@@ -1,0 +1,104 @@
+"""Plan-shape guards: the properties that make these plans survive a
+100× scale-up. Each assertion inspects the executed plan string —
+if a refactor silently drops a pushdown or a broadcast, these fail."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.queries import load_tables
+from deltalake_datafusion_spark.queries import relational
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_parquet(spark, sf_dir):
+    t = load_tables(spark, sf_dir, "lineitem")
+    df = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]" in plan
+    # column pruning: only the two selected columns in ReadSchema
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_small_dims_broadcast_in_q5(spark, sf_dir):
+    df = relational.q5_local_supplier(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = relational.q_topk_orders(spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_limit_does_not_global_sort(spark, sf_dir):
+    """LIMIT without ORDER BY must not introduce an exchange-wide sort."""
+    t = load_tables(spark, sf_dir, "orders")
+    plan = _plan(t["orders"].limit(5))
+    assert "Sort" not in plan
+
+
+def test_q1_is_whole_stage_codegen(spark, sf_dir):
+    df = relational.q1_pricing_summary(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    plan = _plan(df)
+    # '*(N)' prefixes mark whole-stage-codegen spans; partial_sum shows
+    # the map-side combine ran before the exchange
+    assert "*(1)" in plan
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_delta_scan_pushes_residual_filter(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "pq")
+    write_delta(spark, spark.range(1000).select("id", (F.col("id") % 7).alias("g")), path)
+    df = read_delta(spark, path, predicate="id > 500", columns=["id"])
+    plan = _plan(df)
+    # the residual predicate must reach the parquet source, not sit
+    # only in a post-scan Filter
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,500)]" in plan
+
+
+def test_dedup_exact_shuffles_digest_not_text(spark, sf_dir):
+    """Scale guard: the exchange key is the md5 digest, never the
+    document body."""
+    from deltalake_datafusion_spark.operators.dedup import duplicate_clusters
+
+    t = load_tables(spark, sf_dir, "documents")
+    plan = _plan(duplicate_clusters(t["documents"], "text", "doc_id"))
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert exchanges, plan[:1500]
+    assert all("digest" in e or "md5" in e for e in exchanges), exchanges
+
+
+def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
+    from deltalake_datafusion_spark.operators.similarity import brute_force_topk
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"]
+    q = e.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(brute_force_topk(e, q, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the corpus side must NOT be exchanged before the join
+    assert "CartesianProduct" not in plan
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

@@ -1,0 +1,172 @@
+"""Table features: schema evolution on write, history, RESTORE,
+writer transactions, streaming Delta sink, type fidelity (FIXTURES.md
+F1/F5/F9)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.ops import delete_delta, restore_delta
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import history, load_snapshot
+from deltalake_datafusion_spark.delta.writer import DeltaWriteError, write_delta
+
+
+def test_schema_merge_append(spark, tmp_path):
+    """FIXTURES.md F5: new column appears; old files read it as null."""
+    path = str(tmp_path / "evolve")
+    write_delta(spark, spark.range(5).select("id", F.lit("a").alias("name")), path)
+    v2 = spark.range(5, 10).select(
+        "id", F.lit("b").alias("name"), (F.col("id") * 1.5).alias("added_col")
+    )
+    with pytest.raises(DeltaWriteError):
+        write_delta(spark, v2, path, mode="append")  # strict rejects
+    write_delta(spark, v2, path, mode="append", schema_mode="merge")
+
+    out = read_delta(spark, path)
+    assert out.schema.fieldNames() == ["id", "name", "added_col"]
+    rows = {r.id: r for r in out.collect()}
+    assert rows[0].added_col is None          # old file → imputed null
+    assert rows[7].added_col == 10.5
+    # dataframe missing a column → imputed null on write
+    v3 = spark.range(10, 12).select("id", F.lit("c").alias("name"))
+    write_delta(spark, v3, path, mode="append", schema_mode="merge")
+    assert read_delta(spark, path).filter("id = 11").collect()[0].added_col is None
+
+
+def test_schema_merge_widens_types(spark, tmp_path):
+    path = str(tmp_path / "widen")
+    write_delta(spark, spark.range(3).select(F.col("id").cast("long").alias("v")), path)
+    ints = spark.range(3, 6).select(F.col("id").cast("int").alias("v"))
+    write_delta(spark, ints, path, mode="append", schema_mode="merge")
+    out = read_delta(spark, path)
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert out.count() == 6
+
+
+def test_history_and_restore(spark, tmp_path):
+    """FIXTURES.md F9: versioned snapshots + restore as a new commit."""
+    path = str(tmp_path / "hist")
+    write_delta(spark, spark.range(10), path)                       # v0
+    write_delta(spark, spark.range(10, 20), path, mode="append")    # v1
+    delete_delta(spark, path, "id < 5")                             # v2
+
+    h = history(spark, path).collect()
+    assert [r.version for r in h] == [2, 1, 0]
+    assert h[0].operation == "DELETE"
+    assert h[2].operation == "WRITE"
+
+    assert read_delta(spark, path).count() == 15
+    res = restore_delta(spark, path, version=1)
+    assert res["version"] == 3
+    assert read_delta(spark, path).count() == 20          # deletes undone
+    assert read_delta(spark, path, version=2).count() == 15  # history intact
+    assert history(spark, path).collect()[0].operation == "RESTORE"
+
+
+def test_writer_txn_idempotence(spark, tmp_path):
+    path = str(tmp_path / "txn")
+    df = spark.range(10)
+    write_delta(spark, df, path, txn=("app1", 0))
+    write_delta(spark, df, path, mode="append", txn=("app1", 1))
+    # replay of batch 1 is a no-op
+    write_delta(spark, df, path, mode="append", txn=("app1", 1))
+    assert read_delta(spark, path).count() == 20
+    # a different app is independent
+    write_delta(spark, df, path, mode="append", txn=("app2", 0))
+    assert read_delta(spark, path).count() == 30
+    snap = load_snapshot(path)
+    assert snap.app_transactions == {"app1": 1, "app2": 0}
+
+
+def test_streaming_delta_sink(spark, tmp_path, sf_dir):
+    from deltalake_datafusion_spark.streaming import pipeline as sp
+
+    path = str(tmp_path / "sink")
+    cp = str(tmp_path / "cp")
+    stream = sp.stream_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    q = sp.write_stream_delta(stream, path, cp)
+    q.awaitTermination(300)
+
+    out = read_delta(spark, path)
+    from deltalake_datafusion_spark.queries import load_tables
+
+    batch = load_tables(spark, sf_dir, "events")["events"]
+    assert out.count() == batch.count()
+    # restart with same checkpoint: no duplicates (exactly-once)
+    q2 = sp.write_stream_delta(
+        sp.stream_events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ),
+        path,
+        cp,
+    )
+    q2.awaitTermination(300)
+    assert read_delta(spark, path).count() == batch.count()
+
+
+def test_all_primitive_types_roundtrip(spark, tmp_path):
+    """FIXTURES.md F1: scalar type fidelity through write → scan."""
+    path = str(tmp_path / "prims")
+    rows = [
+        (
+            True, 1, 2, 3, 4, 1.5, 2.5, "s", b"\x00\x01",
+            Decimal("12345.67"), dt.date(2024, 1, 2),
+            dt.datetime(2024, 1, 2, 3, 4, 5, 123456),
+        ),
+        (
+            None, None, None, None, None, None, None, "", None,
+            None, None, None,
+        ),
+        (
+            False, -128, -32768, -2147483648, -9223372036854775808,
+            float("nan"), float("-0.0"), "üñí©ödé 中文", b"\xff",
+            Decimal("-0.01"), dt.date(1970, 1, 1),
+            dt.datetime(1970, 1, 1, 0, 0, 0),
+        ),
+    ]
+    schema = (
+        "c_bool boolean, c_byte tinyint, c_short smallint, c_int int,"
+        " c_long bigint, c_float float, c_double double, c_string string,"
+        " c_binary binary, c_decimal decimal(10,2), c_date date, c_ts timestamp"
+    )
+    df = spark.createDataFrame(rows, schema)
+    write_delta(spark, df, path)
+    out = read_delta(spark, path)
+    assert out.schema == df.schema
+
+    def key(r):
+        return (r.c_string or "") + str(r.c_bool)
+
+    got = sorted(out.collect(), key=key)
+    want = sorted(df.collect(), key=key)
+    for g, w in zip(got, want):
+        for f in df.schema.fieldNames():
+            gv, wv = getattr(g, f), getattr(w, f)
+            if isinstance(wv, float) and wv != wv:  # NaN
+                assert gv != gv
+            else:
+                assert gv == wv, (f, gv, wv)
+
+    # predicates on each comparable type still work over the scan
+    assert out.filter("c_int = 3").count() == 1
+    assert out.filter("c_date >= DATE '2024-01-01'").count() == 1
+    assert out.filter("c_decimal < 0").count() == 1
+
+
+def test_timestamp_ntz_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "ntz")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1, 12, 0, 0))], "id long, t timestamp_ntz"
+    )
+    write_delta(spark, df, path)
+    out = read_delta(spark, path)
+    assert dict(out.dtypes)["t"] == "timestamp_ntz"
+    assert out.collect()[0].t == dt.datetime(2024, 6, 1, 12, 0, 0)
