@@ -498,6 +498,138 @@ class StatsEvaluator:
         return None
 
 
+def stats_struct_type(schema: StructType, logical_to_physical=None):
+    """Spark type for parsed add.stats JSON: numRecords + min/max/
+    nullCount structs keyed by *physical* leaf names (top level only;
+    nested stats add a recursion, omitted → conservative unknown)."""
+    from pyspark.sql.types import LongType, StructField
+
+    l2p = logical_to_physical or {}
+    leaf_fields = []
+    null_fields = []
+    for f in schema.fields:
+        if isinstance(f.dataType, StructType):
+            continue  # nested → unknown → kept (conservative)
+        phys = l2p.get(f.name, f.name)
+        leaf_fields.append(StructField(phys, f.dataType, True))
+        null_fields.append(StructField(phys, LongType(), True))
+    return StructType(
+        [
+            StructField("numRecords", LongType(), True),
+            StructField("minValues", StructType(leaf_fields), True),
+            StructField("maxValues", StructType(leaf_fields), True),
+            StructField("nullCount", StructType(null_fields), True),
+        ]
+    )
+
+
+def skipping_column(pred, schema: StructType, partition_columns,
+                    logical_to_physical=None):
+    """Compile the predicate IR into a Spark ``Column`` over a
+    log-replay files DataFrame (columns: ``stats_parsed`` struct per
+    :func:`stats_struct_type`, ``partitionValues`` map) that is TRUE
+    when the file may contain a matching row — the Spark-side twin of
+    :class:`StatsEvaluator`, used when the file list itself is too
+    large for driver-side evaluation (SURVEY.md §4 data-skipping row,
+    at 1000-executor scale). Same conservative 3VL: unknown → keep.
+
+    Returns None when the predicate contains no prunable structure.
+    """
+    from pyspark.sql import functions as F
+
+    l2p = logical_to_physical or {}
+    parts = set(partition_columns)
+
+    def col_refs(name: str):
+        """(min_col, max_col, dtype) for a column, or None."""
+        dtype = _field_type(schema, name)
+        if dtype is None or "." in name:
+            return None
+        if name in parts:
+            v = F.element_at(F.col("partitionValues"), name).cast(dtype)
+            return v, v, dtype
+        phys = l2p.get(name, name)
+        return (
+            F.col(f"stats_parsed.minValues.`{phys}`"),
+            F.col(f"stats_parsed.maxValues.`{phys}`"),
+            dtype,
+        )
+
+    def may(node):
+        """Column: True/unknown→keep, False→prune. None = no info."""
+        if isinstance(node, And):
+            cols = [c for c in (may(ch) for ch in node.children) if c is not None]
+            if not cols:
+                return None
+            out = cols[0]
+            for c in cols[1:]:
+                out = out & c
+            return out
+        if isinstance(node, Or):
+            cols = [may(ch) for ch in node.children]
+            if any(c is None for c in cols):
+                return None  # one unknown branch makes the OR unprunable
+            out = cols[0]
+            for c in cols[1:]:
+                out = out | c
+            return out
+        if isinstance(node, Cmp):
+            refs = col_refs(node.col.name)
+            if refs is None or node.lit.value is None:
+                return None
+            mn, mx, dtype = refs
+            lit = F.lit(node.lit.value).cast(dtype)
+            op = node.op
+            if op == "=":
+                cond = (mn <= lit) & (mx >= lit)
+            elif op in ("<", "<="):
+                cond = mn < lit if op == "<" else mn <= lit
+            elif op in (">", ">="):
+                cond = mx > lit if op == ">" else mx >= lit
+            else:  # '!=' prunable only when min==max==lit; keep simple
+                cond = ~((mn == lit) & (mx == lit))
+            return F.coalesce(cond, F.lit(True))  # missing stats → keep
+        if isinstance(node, InList):
+            return may(Or([Cmp("=", node.col, Lit(v)) for v in node.values]))
+        if isinstance(node, IsNull):
+            refs = col_refs(node.col.name)
+            if refs is None or node.col.name in parts:
+                return None
+            phys = (logical_to_physical or {}).get(node.col.name, node.col.name)
+            nulls = F.col(f"stats_parsed.nullCount.`{phys}`")
+            nrec = F.col("stats_parsed.numRecords")
+            cond = (nulls > 0) if not node.negated else ((nrec - nulls) > 0)
+            return F.coalesce(cond, F.lit(True))
+        return None  # Not / Unknown → no pruning
+
+    return may(pred)
+
+
+def prune_files_df(files_df, predicate_sql: str | None, schema: StructType,
+                   partition_columns, logical_to_physical=None):
+    """Spark-side pruning over a log-replay files DataFrame (one row
+    per live add-file, as produced by ``snapshot.log_replay_df``):
+    parse stats with ``from_json``, keep files that may match. The
+    whole planning step is then a distributed job — nothing about the
+    table's file count ever needs to fit on the driver until after
+    pruning."""
+    from pyspark.sql import functions as F
+
+    out = files_df.withColumn(
+        "stats_parsed",
+        F.from_json("stats", stats_struct_type(schema, logical_to_physical)),
+    )
+    if not predicate_sql:
+        return out
+    pred = try_parse_predicate(predicate_sql)
+    if pred is None:
+        return out
+    cond = skipping_column(pred, schema, partition_columns, logical_to_physical)
+    if cond is None:
+        return out
+    return out.filter(cond)
+
+
 def prune_files(files, predicate_sql: str | None, schema, partition_columns,
                 logical_to_physical=None):
     """Stats + partition pruning over an add-file list. Unparseable or

@@ -128,6 +128,36 @@ def _group_key(f: AddFile, partition_columns: list[str]) -> tuple:
     return tuple(f.partition_values.get(p) for p in partition_columns)
 
 
+def scan_files_spark(
+    spark, table_path: str, predicate: str | None = None,
+    version: int | None = None,
+):
+    """Spark-side scan planning for tables whose file lists outgrow
+    the driver: log replay + stats pruning as ONE distributed job;
+    only surviving (path, partitionValues, dv) rows come back. Cost ∝
+    log size on executors, ∝ matching files on the driver.
+
+    Returns a DataFrame with columns path, size, partitionValues,
+    stats, deletionVector — the same planning inputs the driver-side
+    :func:`scan_files` produces.
+    """
+    from deltalake_datafusion_spark.delta.predicates import prune_files_df
+    from deltalake_datafusion_spark.delta.snapshot import log_replay_df, load_snapshot
+
+    snap = load_snapshot(table_path, version=version, spark=spark)
+    files_df = log_replay_df(spark, table_path, version)
+    l2p = _logical_to_physical_map(snap.schema)
+    return prune_files_df(
+        files_df, predicate, snap.schema, snap.partition_columns, l2p
+    ).select(
+        F.url_decode("path").alias("path"),  # log paths are URL-encoded
+        "size",
+        "partitionValues",
+        "stats",
+        "deletionVector",
+    )
+
+
 def scan(
     spark,
     snapshot: Snapshot,

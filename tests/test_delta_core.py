@@ -318,3 +318,41 @@ def test_projection_and_limit(spark, tmp_path):
     out = read_delta(spark, path, columns=["id", "x"], limit=10)
     assert out.columns == ["id", "x"]
     assert out.count() == 10
+
+
+def test_spark_side_pruning_matches_driver_side(spark, tmp_path):
+    """The distributed planning path (log_replay_df + stats Column)
+    must keep exactly the files the driver-side evaluator keeps —
+    or a superset never smaller (both conservative), and both must
+    retain every truly-matching file."""
+    from deltalake_datafusion_spark.delta.scan import scan_files_spark
+
+    path = str(tmp_path / "sparkprune")
+    import datetime as dt
+    from pyspark.sql import functions as F
+
+    for lo in (0, 1000, 2000, 3000):
+        df = spark.range(lo, lo + 1000).select(
+            "id",
+            (F.col("id") % 4).cast("string").alias("p"),
+            F.lit(dt.date(2024, 1, 1 + lo // 1000)).alias("d"),
+        )
+        write_delta(spark, df, path, mode="append", partition_by=["p"])
+    snap = load_snapshot(path)
+
+    for pred in (
+        "id >= 3500",
+        "id = 1500 AND p = '2'",
+        "p = '1'",
+        "d >= DATE '2024-01-03'",
+        "id IN (5, 2500)",
+        "id >= 1000 OR d = DATE '2024-01-01'",
+        None,
+    ):
+        driver = sorted(f.path for f in scan_files(snap, pred))
+        sparkside = sorted(
+            r.path for r in scan_files_spark(spark, path, pred).collect()
+        )
+        assert sparkside == driver, (pred, len(sparkside), len(driver))
+        if pred:
+            assert len(driver) < len(snap.files) or "OR" in pred

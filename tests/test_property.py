@@ -1,0 +1,193 @@
+"""Property-based tests (hypothesis): roaring/z85 codec round-trips,
+predicate-parser totality, and stats-evaluator conservatism — the
+reference's inline-unit-test layer (SURVEY.md §5.1) upgraded to
+randomized coverage."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from deltalake_datafusion_spark.delta.deletion_vectors import (
+    deserialize_bitmap,
+    serialize_bitmap,
+    z85_decode,
+    z85_encode,
+)
+from deltalake_datafusion_spark.delta.predicates import (
+    Lit,
+    Cmp,
+    Col,
+    PredicateParseError,
+    StatsEvaluator,
+    parse_predicate,
+    try_parse_predicate,
+)
+from deltalake_datafusion_spark.delta.snapshot import AddFile
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 40)), max_size=2000, unique=True
+    )
+)
+def test_roaring_roundtrip(values):
+    assert deserialize_bitmap(serialize_bitmap(values)).tolist() == sorted(values)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=1 << 16))
+def test_roaring_dense_runs(start):
+    # dense consecutive ranges exercise bitmap containers + boundaries
+    vals = list(range(start, start + 5000))
+    assert deserialize_bitmap(serialize_bitmap(vals)).tolist() == vals
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=256).filter(lambda b: len(b) % 4 == 0))
+def test_z85_roundtrip(data):
+    assert z85_decode(z85_encode(data)) == data
+
+
+_IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s.upper()
+    not in {"AND", "OR", "NOT", "IN", "IS", "NULL", "TRUE", "FALSE", "BETWEEN",
+            "DATE", "TIMESTAMP", "LIKE"}
+)
+_OP = st.sampled_from(["=", "!=", "<", "<=", ">", ">=", "<>", "=="])
+_LITERAL = st.one_of(
+    st.integers(-10**6, 10**6).map(str),
+    st.floats(-1e6, 1e6, allow_nan=False).map(lambda f: f"{f!r}"),
+    st.from_regex(r"[a-z0-9 ]{0,10}", fullmatch=True).map(lambda s: f"'{s}'"),
+    st.just("TRUE"),
+    st.just("NULL"),
+)
+
+
+@st.composite
+def _predicates(draw, depth=0):
+    if depth > 2 or draw(st.booleans()):
+        col = draw(_IDENT)
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            return f"{col} {draw(_OP)} {draw(_LITERAL)}"
+        if kind == 1:
+            return f"{col} IS {'NOT ' if draw(st.booleans()) else ''}NULL"
+        if kind == 2:
+            vals = draw(st.lists(_LITERAL, min_size=1, max_size=4))
+            return f"{col} IN ({', '.join(vals)})"
+        return f"{col} BETWEEN {draw(st.integers(0, 50))} AND {draw(st.integers(50, 100))}"
+    a = draw(_predicates(depth=depth + 1))
+    b = draw(_predicates(depth=depth + 1))
+    form = draw(st.integers(0, 2))
+    if form == 0:
+        return f"({a}) AND ({b})"
+    if form == 1:
+        return f"{a} OR {b}"
+    return f"NOT ({a})"
+
+
+@settings(max_examples=300, deadline=None)
+@given(_predicates())
+def test_parser_totality(sql):
+    """Every predicate in the grammar parses; parse never crashes with
+    anything but PredicateParseError."""
+    try:
+        parse_predicate(sql)
+    except PredicateParseError:
+        pass
+
+
+_SCHEMA = StructType([StructField("x", LongType())])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(-100, 100),   # file min
+    st.integers(0, 100),      # extent (max = min + extent)
+    st.integers(0, 10),       # null count
+    st.lists(st.integers(-150, 150), min_size=1, max_size=30),  # row sample
+    _predicates(),
+)
+def test_stats_evaluator_conservative(mn, extent, nulls, rows, sql):
+    """Soundness: if ANY row within [min,max] satisfies the predicate,
+    the file must be kept. (Completeness/pruning power is separately
+    unit-tested; soundness is the safety property.)"""
+    pred = try_parse_predicate(sql)
+    if pred is None:
+        return
+    mx = mn + extent
+    rows = [mn, mx] + [r for r in rows if mn <= r <= mx]
+    stats = json.dumps(
+        {
+            "numRecords": len(rows) + nulls,
+            "minValues": {"x": mn},
+            "maxValues": {"x": mx},
+            "nullCount": {"x": nulls},
+        }
+    )
+    f = AddFile(path="f.parquet", size=1, modification_time=0, stats=stats)
+    ev = StatsEvaluator(_SCHEMA, [])
+
+    def row_matches(v, node) -> bool:
+        """SQL three-valued truth of the predicate for x = v."""
+        from deltalake_datafusion_spark.delta import predicates as P
+
+        def ev3(n):
+            if isinstance(n, P.And):
+                vals = [ev3(c) for c in n.children]
+                if any(v is False for v in vals):
+                    return False
+                if any(v is None for v in vals):
+                    return None
+                return True
+            if isinstance(n, P.Or):
+                vals = [ev3(c) for c in n.children]
+                if any(v is True for v in vals):
+                    return True
+                if any(v is None for v in vals):
+                    return None
+                return False
+            if isinstance(n, P.Not):
+                r = ev3(n.child)
+                return None if r is None else (not r)
+            if isinstance(n, P.Cmp):
+                if n.col.name != "x" or n.lit.value is None:
+                    return None
+                try:
+                    lv = float(n.lit.value)
+                except (TypeError, ValueError):
+                    return None
+                ops = {
+                    "=": v == lv, "!=": v != lv, "<": v < lv,
+                    "<=": v <= lv, ">": v > lv, ">=": v >= lv,
+                }
+                return ops[n.op]
+            if isinstance(n, P.IsNull):
+                if n.col.name != "x":
+                    return None
+                return n.negated  # v is a non-null sample
+            if isinstance(n, P.InList):
+                if n.col.name != "x":
+                    return None
+                out = False
+                for item in n.values:
+                    if item is None:
+                        out = out or None
+                        continue
+                    try:
+                        if v == float(item):
+                            return True
+                    except (TypeError, ValueError):
+                        return None
+                return out
+            return None
+
+        return ev3(node) is True
+
+    any_match = any(row_matches(v, pred) for v in rows)
+    if any_match:
+        assert ev.may_match(f, pred), (sql, mn, mx, rows)
