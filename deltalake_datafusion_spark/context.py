@@ -1,0 +1,56 @@
+"""LakehouseContext: the session-extension surface in one object.
+
+Parity with the reference's ``KernelContextExt`` (reference:
+``crates/datafusion/src/session.rs:240-311``): register/unregister
+Delta tables, time-travel reads, the extended SQL dialect, engine
+config, and UDF registration — bound to one SparkSession the way the
+reference binds to a DataFusion SessionContext.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from deltalake_datafusion_spark.delta.registry import DeltaRegistry
+from deltalake_datafusion_spark.session import EngineConfig
+
+
+class LakehouseContext:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.registry = DeltaRegistry(spark)
+        from deltalake_datafusion_spark.functions.sign_url import register
+
+        register(spark)  # session-build UDF registration (session.rs:417-424)
+
+    # -- catalog ---------------------------------------------------- #
+
+    def register_delta(self, name: str, path: str, version: int | None = None):
+        """reference ``register_delta`` (session.rs:278-304)."""
+        return self.registry.register(name, path, version)
+
+    def table(self, name: str) -> DataFrame:
+        return self.registry.table(name)
+
+    # -- reads ------------------------------------------------------ #
+
+    def read_delta(self, path: str, version: int | None = None, **kw) -> DataFrame:
+        """reference ``read_snapshot_delta`` (session.rs:169-191)."""
+        from deltalake_datafusion_spark.delta.scan import read_delta
+
+        return read_delta(self.spark, path, version=version, **kw)
+
+    # -- SQL -------------------------------------------------------- #
+
+    def sql(self, statement: str) -> DataFrame:
+        """reference ``sql_delta`` (session.rs:306-310): extended
+        dialect, registry-aware table name resolution."""
+        from deltalake_datafusion_spark.sql.dispatcher import sql
+
+        return sql(self.spark, statement, registry=self.registry)
+
+    # -- config ----------------------------------------------------- #
+
+    @property
+    def config(self) -> EngineConfig:
+        return EngineConfig.from_spark(self.spark)

@@ -171,17 +171,12 @@ class HadoopFS:
                 stream.seek(offset)
             if length is None:
                 length = self._fs.getFileStatus(self._p(path)).getLen() - offset
-            buf = bytearray()
-            ByteArray = self._jvm.java.lang.reflect.Array
-            jbytes = ByteArray.newInstance(self._jvm.byte, min(length, 1 << 20))
-            remaining = length
-            while remaining > 0:
-                n = stream.read(jbytes, 0, min(remaining, 1 << 20))
-                if n <= 0:
-                    break
-                buf.extend(bytes(jbytes)[:n])
-                remaining -= n
-            return bytes(buf)
+            # commons-io is on Spark's classpath; avoids py4j primitive
+            # array construction.
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream, int(length)
+            )
+            return bytes(data)
         finally:
             stream.close()
 

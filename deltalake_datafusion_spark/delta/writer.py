@@ -245,6 +245,7 @@ def _stage_and_move(
     df: DataFrame,
     table_path: str,
     partition_by: list[str],
+    max_records_per_file: int | None = None,
 ) -> list[tuple[str, dict[str, str | None]]]:
     """Write data via Spark into a staging dir, then move part-files to
     their final (unique) names under the table root. Returns
@@ -260,6 +261,10 @@ def _stage_and_move(
         # paid by every future scan.
         df = df.repartition(*[f"`{p}`" for p in partition_by])
     writer = df.write.mode("overwrite")
+    if max_records_per_file:
+        # Upper-bound file sizes even after optimize-write clustering —
+        # a partition holding TBs must still split into many files.
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
@@ -304,6 +309,7 @@ def write_delta(
     column_mapping: bool = False,
     schema_mode: str = "strict",
     txn: tuple[str, int] | None = None,
+    max_records_per_file: int | None = None,
     max_commit_attempts: int = 10,
 ) -> Snapshot:
     """Write ``df`` to a Delta table (append / overwrite / error).
@@ -423,7 +429,9 @@ def write_delta(
         phys.fields[write_schema.fieldNames().index(p)].name for p in partition_by
     ]
 
-    moved = _stage_and_move(spark, out_df, table_path, phys_partition_by)
+    moved = _stage_and_move(
+        spark, out_df, table_path, phys_partition_by, max_records_per_file
+    )
 
     # Stats from footers; partition columns excluded (their values are
     # in partitionValues). Logical partition names for the action map.

@@ -309,13 +309,15 @@ def simhash_near_dup_pairs(
     return (
         left.join(right, ["chunk", "val"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
-        .distinct()
+        # Hamming check BEFORE distinct: the popcount filter is
+        # codegen-cheap and kills most candidates, so the dedup
+        # shuffle only carries true near-dups.
         .withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .distinct()
     )
 
 

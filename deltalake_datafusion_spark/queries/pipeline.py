@@ -481,6 +481,63 @@ FROM vid
 """
 
 
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface over the embedding column: size /
+    element_at / array_min / array_max / sort+slice+fold — all scalar
+    outputs so cross-engine compare is exact."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"].filter(F.col("vec_id") < 20)
+    dbl = F.transform(
+        F.slice(F.sort_array("embedding", asc=False), 1, 3),
+        lambda x: x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+        F.array_min("embedding").cast("double").alias("vmin"),
+        F.aggregate(dbl, F.lit(0.0), lambda a, b: a + b).alias("top3_sum"),
+    ).orderBy("vec_id")
+
+
+_ARRAY_FN_SQL = """
+SELECT vec_id, len(embedding) AS n_dims,
+  CAST(embedding[1] AS DOUBLE) AS first_val,
+  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+  CAST(list_min(embedding) AS DOUBLE) AS vmin,
+  list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(list_sort(embedding, 'DESC')[1:3], x -> CAST(x AS DOUBLE))),
+    (a, b) -> a + b) AS top3_sum
+FROM embeddings WHERE vec_id < 20 ORDER BY vec_id
+"""
+
+
+def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode / unnest: per-vector counts of components above a
+    threshold (lateral-view shape)."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"].filter(F.col("vec_id") < 100)
+    exploded = e.select("vec_id", F.explode("embedding").alias("v"))
+    return (
+        exploded.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum(F.when(F.col("v") > 0.25, 1).otherwise(0)).alias("n_above"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_ARRAY_EXPLODE_SQL = """
+SELECT vec_id, COUNT(*) AS n_dims,
+  CAST(SUM(CASE WHEN v > 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings WHERE vec_id < 100) t
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("dedup_exact", dedup_exact, _DEDUP_EXACT_SQL),
@@ -495,6 +552,8 @@ def specs() -> list[QuerySpec]:
         QuerySpec("sim_bruteforce_topk", sim_bruteforce_topk, _SIM_BRUTE_SQL),
         QuerySpec("sim_lsh_topk", sim_lsh_topk, None),
         QuerySpec("sim_ivf_topk", sim_ivf_topk, None),
+        QuerySpec("q_array_functions", q_array_functions, _ARRAY_FN_SQL),
+        QuerySpec("q_array_explode", q_array_explode, _ARRAY_EXPLODE_SQL),
         QuerySpec("multimodal_meta", multimodal_meta, _MULTIMODAL_SQL),
         QuerySpec("multimodal_frames", multimodal_frames, _FRAMES_SQL),
     ]

@@ -184,3 +184,60 @@ def test_engine_config_accessor(spark):
     cfg = EngineConfig.from_spark(spark)
     assert cfg.unity_uri == "http://uc:8080"
     assert cfg.retention_duration_check_enabled is True
+
+
+def test_lakehouse_context(spark, tmp_path):
+    """S28 session surface bound to one object."""
+    from deltalake_datafusion_spark.context import LakehouseContext
+
+    ctx = LakehouseContext(spark)
+    path = str(tmp_path / "ctx")
+    write_delta(spark, spark.range(25), path)
+    ctx.register_delta("ctx_t", path)
+    assert ctx.table("ctx_t").count() == 25
+    assert ctx.sql("SELECT COUNT(*) AS n FROM ctx_t").collect()[0].n == 25
+    # registry-aware SQL: named table resolves to its path
+    res = ctx.sql("DELETE FROM ctx_t WHERE id < 5")
+    assert res.collect()[0].rows_deleted == 5
+    assert ctx.read_delta(path).count() == 20
+    assert ctx.read_delta(path, version=0).count() == 25
+    assert ctx.config.retention_duration_check_enabled in (True, False)
+
+
+def test_hadoop_fs_parity(spark, tmp_path):
+    """The JVM Hadoop FileSystem handler behaves like LocalFS on the
+    same directory (the remote-scheme code path, exercised locally)."""
+    from deltalake_datafusion_spark.delta.fs import HadoopFS, LocalFS, AlreadyExistsError
+
+    d = str(tmp_path / "hfs")
+    local = LocalFS()
+    local.mkdirs(d)
+    local.write_bytes(f"{d}/a.bin", b"hello world")
+
+    h = HadoopFS(spark, d)
+    names = {s.path.split("/")[-1] for s in h.list(d)}
+    assert "a.bin" in names
+    assert h.read_bytes(f"{d}/a.bin") == b"hello world"
+    assert h.read_bytes(f"{d}/a.bin", offset=6, length=5) == b"world"
+    h.write_atomic(f"{d}/b.bin", b"xyz")
+    assert local.read_bytes(f"{d}/b.bin") == b"xyz"
+    import pytest as _pytest
+
+    with _pytest.raises(AlreadyExistsError):
+        h.write_atomic(f"{d}/b.bin", b"clobber")
+
+
+def test_inline_dv_descriptor(spark, tmp_path):
+    """'i' (inline) deletion vectors decode from the descriptor."""
+    from deltalake_datafusion_spark.delta import deletion_vectors as dvmod
+    from deltalake_datafusion_spark.delta.fs import LocalFS
+
+    idx = [0, 5, 9, 70000]
+    blob = dvmod.serialize_bitmap(idx)
+    pad = (-len(blob)) % 4
+    blob_padded = blob + b"\x00" * pad  # z85 needs %4; decoder reads magic+count
+    desc = dvmod.make_descriptor(
+        "i", dvmod.z85_encode(blob_padded), None, len(blob_padded), len(idx)
+    )
+    got = dvmod.read_dv(str(tmp_path), desc, LocalFS())
+    assert got.tolist() == idx
