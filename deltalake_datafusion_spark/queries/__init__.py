@@ -56,10 +56,16 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 
 
 def all_query_specs() -> list[QuerySpec]:
-    from deltalake_datafusion_spark.queries import relational, pipeline, delta_tier
+    from deltalake_datafusion_spark.queries import (
+        delta_tier,
+        pipeline,
+        relational,
+        tpch_adapted,
+    )
 
     return (
         relational.specs()
+        + tpch_adapted.specs()
         + pipeline.specs()
         + delta_tier.specs()
     )

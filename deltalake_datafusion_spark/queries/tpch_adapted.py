@@ -1,0 +1,366 @@
+"""Remaining TPC-H query shapes (Q2/Q8/Q9/Q11/Q12/Q16/Q20) adapted to
+the driver's reduced schema, which has no ``partsupp`` table and no
+comment / shipmode / receiptdate columns (see TESTDATA.md). Each query
+preserves the *plan shape* of its TPC-H counterpart — the operator mix
+Catalyst must optimize — while sourcing the missing relation from
+``lineitem`` (the part↔supplier association) or a date-arithmetic
+stand-in.
+
+The relational tier itself is the surface the reference delegates to
+embedded DataFusion (reference:
+``crates/datafusion/src/sql/parser.rs:471-483``); these exist to prove
+the delegated surface end-to-end against the DuckDB oracle.
+
+Determinism convention matches relational.py: double measures go
+through DECIMAL(12,2) before SUM so partial-aggregation order can't
+change the result; MIN/MAX of doubles are exact as-is; every ranking
+carries a unique tie-break key.
+
+Scale notes (100 TB): `part`/`supplier`/`nation`/`region` are dimension
+tables — broadcast explicitly where small, else left to AQE. The
+part↔supplier "offers" sub-aggregate groups by (l_partkey, l_suppkey),
+a high-cardinality composite key that shuffles once and is reused for
+the subsequent per-part ranking window (same partitioning column
+prefix, so Spark reuses the exchange where possible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.queries import QuerySpec, load_tables
+from deltalake_datafusion_spark.queries.relational import (
+    _D,
+    _ONE,
+    _REV_SQL,
+    _dec,
+    _dsum,
+    _one,
+    _rev_col,
+)
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part via correlated-min,
+    here a rank-1 window over per-(part,supplier) minimum line price
+    (lineitem stands in for partsupp; no ps_supplycost exists)."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
+    p = t["part"].filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    offers = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("min_price", "l_suppkey")
+    best = (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    n = F.broadcast(t["nation"])
+    r = F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE"))
+    return (
+        best.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "min_price"
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q2_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY l_partkey ORDER BY min_price, l_suppkey) AS rn
+    FROM offers) WHERE rn = 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, min_price
+FROM best
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — 7-way join, per-year
+    conditional-sum ratio."""
+    t = load_tables(
+        spark, sf_dir,
+        "part", "supplier", "lineitem", "orders", "customer", "nation", "region",
+    )
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    p = t["part"].filter(F.col("p_type") == "ECONOMY")
+    o = t["orders"].filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    n_s = F.broadcast(t["nation"].select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n_c = F.broadcast(t["nation"].select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    ))
+    r = F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA"))
+    target = F.when(F.col("supp_nation") == "NATION_5", _rev_col()).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        t["lineitem"]
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(n_c, F.col("c_nationkey") == F.col("nc_key"))
+        .join(r, F.col("nc_region") == F.col("r_regionkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_s, F.col("s_nationkey") == F.col("ns_key"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(target).cast("double") / F.sum(_rev_col()).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+  CAST(SUM(CASE WHEN n_s.n_name = 'NATION_5' THEN {_REV_SQL}
+           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+  / CAST(SUM({_REV_SQL}) AS DOUBLE) AS mkt_share
+FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+  JOIN region ON n_c.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit by (supplier nation, year); cost term uses
+    p_retailprice * l_quantity (no ps_supplycost in the schema)."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
+    p = t["part"].filter(F.col("p_name").contains("gear"))
+    n = F.broadcast(t["nation"])
+    amount = _rev_col() - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        t["lineitem"]
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_dsum(F.col("amount"), "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q9_SQL = f"""
+SELECT n_name AS nation,
+  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+  CAST(SUM({_REV_SQL} - {_D('p_retailprice')} * {_D('l_quantity')}) AS DOUBLE)
+    AS sum_profit
+FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group-by-HAVING against a scalar subquery over
+    the same relation (shipped value per supplier nation vs a fraction
+    of the global total; lineitem stands in for partsupp)."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    n = F.broadcast(t["nation"])
+    shipped = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    per_part = shipped.groupBy("n_name", "l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).alias("value_dec")
+    )
+    total = shipped.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") * F.lit(0.0001)).alias("cut")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("cut"))
+        .select(
+            "n_name",
+            "l_partkey",
+            F.col("value_dec").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "n_name", "l_partkey")
+        .limit(100)
+    )
+
+
+_Q11_SQL = f"""
+SELECT n_name, l_partkey,
+  CAST(SUM({_D('l_extendedprice')}) AS DOUBLE) AS value
+FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, l_partkey
+HAVING CAST(SUM({_D('l_extendedprice')}) AS DOUBLE) > (
+  SELECT CAST(SUM({_D('l_extendedprice')}) AS DOUBLE) * 0.0001
+  FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey)
+ORDER BY value DESC, n_name, l_partkey
+LIMIT 100
+"""
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + two conditional counts; ship-lateness
+    (l_shipdate > o_orderdate + 90 days) stands in for the missing
+    shipmode/receiptdate columns."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    j = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        j.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+_Q12_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ship_year,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: DISTINCT-count of suppliers per part attribute
+    group, with an excluded-supplier anti-join (negative balance stands
+    in for the comment-pattern exclusion)."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(bad, F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+    )
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 9, 15, 23, 31, 40)
+    )
+    return (
+        pairs.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+  JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 9, 15, 23, 31, 40)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers in one
+    nation that shipped more than a quantity threshold of matching
+    parts in a year (lineitem aggregate stands in for partsupp
+    availqty)."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    small_parts = t["part"].filter(F.col("p_name").startswith("small")).select(
+        "p_partkey"
+    )
+    shipped = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty").cast("double") > 40.0)
+        .select("l_suppkey")
+    )
+    n = F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3"))
+    return (
+        t["supplier"]
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+_Q20_SQL = f"""
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_suppkey
+    HAVING CAST(SUM({_D('l_quantity')}) AS DOUBLE) > 40.0)
+ORDER BY s_name
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("q2_min_cost_supplier", q2_min_cost_supplier, _Q2_SQL),
+        QuerySpec("q8_market_share", q8_market_share, _Q8_SQL),
+        QuerySpec("q9_product_profit", q9_product_profit, _Q9_SQL),
+        QuerySpec("q11_important_stock", q11_important_stock, _Q11_SQL),
+        QuerySpec("q12_late_shipments", q12_late_shipments, _Q12_SQL),
+        QuerySpec("q16_supplier_part_count", q16_supplier_part_count, _Q16_SQL),
+        QuerySpec("q20_excess_suppliers", q20_excess_suppliers, _Q20_SQL),
+    ]

@@ -1,0 +1,21 @@
+"""Adapted TPC-H Q2/Q8/Q9/Q11/Q12/Q16/Q20 vs the DuckDB oracle.
+
+Same harness as test_relational.py: driver-style order-insensitive
+row comparison at the conftest scale factor.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from deltalake_datafusion_spark.queries import tpch_adapted
+from tests.util import assert_matches_oracle
+
+SPECS = tpch_adapted.specs()
+
+
+@pytest.mark.parametrize(
+    "spec", [s for s in SPECS if s.oracle], ids=lambda s: s.name
+)
+def test_matches_oracle(spec, spark, duck, sf_dir):
+    assert_matches_oracle(spec.build(spark, sf_dir), duck, spec.oracle)
