@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # 2^31-1: keeps h*a+b inside int64 under ANSI arithmetic (h,a,b < 2^31)
@@ -46,16 +46,26 @@ def words_col(col):
 
 
 def shingles_col(col, n: int = 3):
-    """Word n-gram shingles as a distinct array (codegen-side)."""
+    """Word n-gram shingles as a distinct array.
+
+    Built by zipping n shifted views of the word array (n-1 ``slice`` +
+    ``zip_with`` steps, each O(words)); the naive per-position
+    ``slice(w, i, n)`` form is O(words²) per document and measurably
+    dominates signature time on real corpora."""
     w = words_col(col)
+    m = F.size(w) - (n - 1)  # number of n-grams
+
+    def ngrams():
+        acc = F.slice(w, 1, m)
+        for k in range(1, n):
+            nxt = F.slice(w, k + 1, m)
+            acc = F.zip_with(acc, nxt, lambda a, b: F.concat_ws(" ", a, b))
+        return acc
+
     return F.array_distinct(
-        F.when(
-            F.size(w) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - n),
-                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", w)))
+        F.when(F.size(w) >= n, ngrams()).otherwise(
+            F.array(F.concat_ws(" ", w))
+        )
     )
 
 
@@ -117,20 +127,27 @@ def minhash_signature(
     """(id, sig: array<bigint>[num_perm]) — entirely JVM-side."""
     perms = _permutations(num_perm, seed)
     sh = shingles_col(F.col(text_col), shingle_n).alias("__sh")
-    base = F.transform(
-        F.col("__sh"), lambda s: F.abs(F.xxhash64(s)) % MERSENNE_PRIME
-    ).alias("__h")
-    def _perm_min(a: int, b: int):
-        def apply(h):
-            return (h * F.lit(a) + F.lit(b)) % MERSENNE_PRIME
-
-        return F.array_min(F.transform(F.col("__h"), apply))
-
-    sig = F.array(*[_perm_min(a, b) for a, b in perms]).alias("sig")
-    return (
+    # Explode shingles and take the num_perm mins as groupBy aggregates:
+    # map-side partial aggregation collapses each document's shingles
+    # to one 128-long row before the shuffle, and each (h*a+b)%P is a
+    # flat codegen expression — the nested
+    # array(transform(...)*128) formulation runs interpreted and is
+    # ~10× slower per row.
+    ex = (
         df.select(F.col(id_col).alias("id"), sh)
-        .select("id", base)
-        .select("id", sig)
+        .select("id", F.explode("__sh").alias("__s"))
+        .select("id", (F.abs(F.xxhash64("__s")) % MERSENNE_PRIME).alias("__h"))
+    )
+    mins = [
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % MERSENNE_PRIME).alias(
+            f"__m{i}"
+        )
+        for i, (a, b) in enumerate(perms)
+    ]
+    return (
+        ex.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig"))
     )
 
 
@@ -272,51 +289,91 @@ def simhash_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8,
-    chunk_bits: int = 8,
+    rotations: int = 8, neighbors: int = 16,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Candidate
-    generation via (64/chunk_bits)-way chunk banding — pigeonhole
-    guarantees a shared chunk whenever fewer chunks than exist are
-    touched (max_hamming < n_chunks always qualifies); larger
-    distances are found with high probability when differing bits
-    spread. Verification uses ``bit_count(xor)`` — pure codegen."""
-    n_chunks = 64 // chunk_bits
-    mask = (1 << chunk_bits) - 1
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, via the
+    Manku/Jain/Sarma sorted-neighborhood scheme (WWW'07): for each of
+    ``rotations`` byte-rotations of the signature, sort by the rotated
+    key and compare every row against its next ``neighbors`` rows
+    (``lead`` window), then verify with ``bit_count(xor)``.
+
+    Why not chunk-banding: simhash bytes of natural-language corpora
+    are extremely skewed (measured: one 8-bit bucket held 37% of a
+    10k-doc corpus → 62M candidate pairs). Sorted-neighborhood is
+    skew-immune — candidate volume is exactly n·rotations·neighbors
+    regardless of the signature distribution, and each rotation is one
+    range-shuffle sort. Parallelism comes from partitioning on the top
+    byte of the rotated key (raise to the top 12-16 bits on a large
+    cluster); only pairs straddling a partition boundary or further
+    than ``neighbors`` apart in every rotation are missed, which the
+    rotation count drives down.
+
+    Identical signatures sort adjacent under every rotation, so
+    hamming-0 duplicates are always found (duplicate runs longer than
+    ``neighbors`` are chained through intermediate rows)."""
     sigs = simhash_signature(df, text_col, id_col)
-    chunked = sigs.select(
+
+    def rot_key(k: int):
+        if k == 0:
+            return F.col("simhash")
+        return F.shiftleft("simhash", k).bitwiseOR(
+            F.shiftrightunsigned("simhash", 64 - k)
+        )
+
+    # All rotations in ONE windowed pass: explode (rotation, key) rows,
+    # window over (rotation, bucket). The signature (a pandas UDF) is
+    # evaluated once, and the whole candidate search is a single
+    # shuffle regardless of rotation count.
+    rk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"), rot_key(8 * r).alias("key")
+                )
+                for r in range(rotations)
+            ]
+        )
+    ).alias("rk")
+    d = sigs.select("id", "simhash", rk).select(
         "id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned("simhash", chunk_bits * i)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("id", "simhash", "c.chunk", "c.val")
-    left = chunked.select(
-        F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "chunk", "val"
+        "rk.r",
+        "rk.key",
+        F.shiftrightunsigned("rk.key", 56).alias("bucket"),
     )
-    right = chunked.select(
-        F.col("id").alias("b"), F.col("simhash").alias("sig_b"), "chunk", "val"
+    w = Window.partitionBy("r", "bucket").orderBy("key", "id")
+    led = d.select(
+        "id",
+        "simhash",
+        *[
+            F.lead("id", j).over(w).alias(f"__nid{j}")
+            for j in range(1, neighbors + 1)
+        ],
+        *[
+            F.lead("simhash", j).over(w).alias(f"__nsig{j}")
+            for j in range(1, neighbors + 1)
+        ],
+    )
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.col(f"__nid{j}").alias("nid"),
+                F.col(f"__nsig{j}").alias("nsig"),
+            )
+            for j in range(1, neighbors + 1)
+        ]
     )
     return (
-        left.join(right, ["chunk", "val"])
-        .filter(F.col("a") < F.col("b"))
-        # Hamming check BEFORE distinct: the popcount filter is
-        # codegen-cheap and kills most candidates, so the dedup
-        # shuffle only carries true near-dups.
-        .withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        led.select("id", "simhash", F.explode(nbrs).alias("n"))
+        .filter(F.col("n.nid").isNotNull())
+        .select(
+            F.least("id", "n.nid").alias("a"),
+            F.greatest("id", "n.nid").alias("b"),
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("n.nsig"))).alias(
+                "hamming"
+            ),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
         .distinct()
     )
 
@@ -402,4 +459,89 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ #
+# Embedding-cosine near-dup (LSH scale path)                          #
+# ------------------------------------------------------------------ #
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, with
+    random-hyperplane LSH candidate generation.
+
+    ``tables`` independent sign-bit signatures of ``bits`` hyperplanes
+    each; a pair is a candidate if it shares a (table, signature)
+    bucket. Candidate volume shrinks ~2^bits per table vs the n²
+    brute force, one shuffle per table (all tables in one exploded
+    pass). Exact cosine verification (strict left fold in double —
+    operators/similarity.py) means no false positives; recall is the
+    standard 1-(1-p^bits)^tables LSH curve, asserted against brute
+    force in tests/test_operators.py.
+    """
+    from deltalake_datafusion_spark.operators.similarity import (
+        _hyperplanes,
+        cosine_col,
+        signature_col,
+    )
+
+    sig_structs = [
+        F.struct(
+            F.lit(t).alias("tab"),
+            signature_col(F.col(vec_col), _hyperplanes(dim, bits, seed + t)).alias(
+                "sig"
+            ),
+        )
+        for t in range(tables)
+    ]
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*sig_structs)).alias("ts"),
+    ).select("id", "ts.tab", "ts.sig")
+
+    grouped = (
+        banded.groupBy("tab", "sig")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    cands = (
+        grouped.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda x: F.transform(
+                                F.col("ids"),
+                                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                            ),
+                        )
+                    ),
+                    lambda p: p.a < p.b,
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        cands.join(
+            vecs.select(F.col("id").alias("a"), F.col("v").alias("va")), "a"
+        )
+        .join(vecs.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
     )

@@ -60,6 +60,7 @@ def all_query_specs() -> list[QuerySpec]:
         delta_tier,
         pipeline,
         relational,
+        timeseries,
         tpch_adapted,
     )
 
@@ -67,5 +68,6 @@ def all_query_specs() -> list[QuerySpec]:
         relational.specs()
         + tpch_adapted.specs()
         + pipeline.specs()
+        + timeseries.specs()
         + delta_tier.specs()
     )

@@ -1,0 +1,183 @@
+"""Time-series / event-pipeline queries: as-of join, bounded range
+join, and embedding-cosine near-duplicate detection.
+
+Beyond-reference tier (BASELINE.json north star): the reference has no
+time-series operators at all (every exec node is ``Boundedness::
+Bounded`` batch relational — SURVEY.md §1.1), but an event-analytics
+or training-data pipeline needs these constantly. All three are pure
+DataFrame compositions (operators/asof.py, operators/dedup.py) so
+Catalyst executes them; the DuckDB oracles use DuckDB's native ASOF
+JOIN and inequality joins, which makes these specs strong cross-engine
+semantic checks.
+
+Determinism: as-of output exposes only the matched *timestamp* (ties
+between equal-ts right rows collapse to the same value); range-join
+outputs are counts; cosine values are strict left folds in double on
+both engines (see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.queries import QuerySpec, load_tables
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the most recent view (ts <= purchase
+    ts) by the same user: union + running-last window — one shuffle,
+    no row explosion (operators/asof.py)."""
+    from deltalake_datafusion_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, "events")
+    e = t["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_join(purchases, views, key="user_id")
+    return (
+        out.filter(F.col("matched_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("matched_ts").alias("view_ts"),
+            (F.unix_micros("ts") - F.unix_micros("matched_ts")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ASOF_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts, v.view_ts,
+       date_diff('microsecond', v.view_ts, p.ts) AS gap_us
+FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts
+ORDER BY p.event_id
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count of (view → purchase within 10 minutes) pairs:
+    bucketed range join (equi-join on (user, time-bucket) + exact
+    bound re-check) instead of the nested-loop inequality join Spark
+    would otherwise plan."""
+    from deltalake_datafusion_spark.operators.asof import range_join
+
+    t = load_tables(spark, sf_dir, "events")
+    e = t["events"]
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    pairs = range_join(
+        views, purchases, key="user_id", window_us=600_000_000
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+_RANGE_SQL = """
+SELECT v.user_id, COUNT(*) AS n_pairs
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+GROUP BY v.user_id
+ORDER BY v.user_id
+"""
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus planted near-duplicates: every 7th vector is
+    copied (id + 1000000) with +0.05 added to element 0 (unit-norm
+    vectors → planted cosine ∈ [0.9987, 1.0], vs ≤0.52 for random
+    pairs) — the same
+    float64 arithmetic on both engines, so cosines are bit-identical.
+    The base corpus is random (max pairwise cosine ≈ 0.51), so the
+    planted pairs are exactly the expected near-dups."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    perturbed = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("v"), lambda x, i: F.when(i == 0, x + 0.05).otherwise(x)
+        ).alias("v"),
+    )
+    return e.unionByName(perturbed)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cosine ≥ 0.99) over the
+    planted corpus. Brute-force here is the *oracle-checkable*
+    baseline; the LSH-bucketed scale path is dedup_embedding_lsh."""
+    from deltalake_datafusion_spark.operators.similarity import cosine_col
+
+    c = _near_dup_corpus(spark, sf_dir)
+    a = c.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = c.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= 0.99)
+        .select("a", "b", "cosine")
+        .orderBy("a", "b")
+    )
+
+
+_DEDUP_EMB_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END)
+  FROM base WHERE vec_id % 7 = 0
+), pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+    list_reduce(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]), (s, t) -> s + t)
+      / (sqrt(list_reduce(list_transform(x.v, e -> e * e), (s, t) -> s + t))
+         * sqrt(list_reduce(list_transform(y.v, e -> e * e), (s, t) -> s + t)))
+      AS cosine
+  FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id
+)
+SELECT a, b, cosine FROM pairs WHERE cosine >= 0.99 ORDER BY a, b
+"""
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH
+    buckets restrict the candidate set before exact cosine
+    verification — candidate volume ~n²/2^bits per table instead of
+    n². Seeded hyperplanes: deterministic, but engine-local → no SQL
+    oracle (recall vs brute force asserted in tests)."""
+    from deltalake_datafusion_spark.operators.dedup import embedding_near_dup_lsh
+
+    c = _near_dup_corpus(spark, sf_dir)
+    return embedding_near_dup_lsh(
+        c, vec_col="v", id_col="vec_id", threshold=0.99, bits=8, tables=4, dim=64
+    ).orderBy("a", "b")
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("q_asof_join", q_asof_join, _ASOF_SQL),
+        QuerySpec("q_range_join", q_range_join, _RANGE_SQL),
+        QuerySpec("dedup_embedding", dedup_embedding, _DEDUP_EMB_SQL),
+        QuerySpec("dedup_embedding_lsh", dedup_embedding_lsh, None),
+    ]

@@ -1,0 +1,90 @@
+"""As-of join, range join, and embedding near-dup: oracle matches plus
+operator-level semantics checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.queries import timeseries
+from tests.util import assert_matches_oracle
+
+SPECS = timeseries.specs()
+
+
+@pytest.mark.parametrize(
+    "spec", [s for s in SPECS if s.oracle], ids=lambda s: s.name
+)
+def test_matches_oracle(spec, spark, duck, sf_dir):
+    assert_matches_oracle(spec.build(spark, sf_dir), duck, spec.oracle)
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built case: latest right row at-or-before each left ts;
+    strict mode excludes the equal-ts match."""
+    from deltalake_datafusion_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3")], "k int, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 9, 90.0)],
+        "k int, ts int, value double",
+    )
+    out = {
+        r.tag: (r.matched_ts, r.matched_value)
+        for r in asof_join(
+            left, right, key="k", right_value_cols=["value"]
+        ).collect()
+    }
+    assert out == {
+        "l1": (10, 100.0),  # equal ts matches under <=
+        "l2": (15, 150.0),
+        "l3": (None, None),  # right row is after the left row
+    }
+
+    strict = {
+        r.tag: r.matched_ts
+        for r in asof_join(
+            left, right, key="k", right_value_cols=["value"], strict=True
+        ).collect()
+    }
+    assert strict["l1"] is None  # equal ts excluded under <
+
+
+def test_range_join_bounds(spark):
+    """Pairs outside [0, window] are excluded; bucket-boundary pairs
+    (crossing a bucket edge) are found."""
+    from deltalake_datafusion_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, "1970-01-01 00:00:09"), (1, "1970-01-01 00:00:30")],
+        "k int, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "1970-01-01 00:00:11"), (1, "1970-01-01 00:00:25"),
+         (1, "1970-01-01 00:00:05")],
+        "k int, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    # window 10s: 9→11 (gap 2, crosses the 10s bucket edge), 9→nothing
+    # else in range; 30→nothing (25 is before, 35 doesn't exist).
+    rows = range_join(left, right, key="k", window_us=10_000_000).collect()
+    gaps = sorted(r.gap_us for r in rows)
+    # exact: 9→11 only (gap 2s, crosses the 10s bucket edge);
+    # 25-9=16s is out of window; 5 precedes both left rows.
+    assert gaps == [2_000_000], gaps
+
+
+def test_embedding_lsh_recall(spark, sf_dir):
+    """LSH near-dup finds every planted pair the brute force finds
+    (planted pairs have cosine ≈ 0.999 — far above random)."""
+    exact = {
+        (r.a, r.b)
+        for r in timeseries.dedup_embedding(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.a, r.b)
+        for r in timeseries.dedup_embedding_lsh(spark, sf_dir).collect()
+    }
+    assert approx <= exact  # exact verification → no false positives
+    assert len(approx) >= 0.9 * len(exact)
