@@ -58,6 +58,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 def all_query_specs() -> list[QuerySpec]:
     from deltalake_datafusion_spark.queries import (
         delta_tier,
+        delta_tier2,
         pipeline,
         relational,
         timeseries,
@@ -70,4 +71,5 @@ def all_query_specs() -> list[QuerySpec]:
         + pipeline.specs()
         + timeseries.specs()
         + delta_tier.specs()
+        + delta_tier2.specs()
     )

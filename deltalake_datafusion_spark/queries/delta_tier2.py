@@ -1,0 +1,322 @@
+"""Delta-tier queries, part 2: DML (UPDATE / MERGE), maintenance
+(OPTIMIZE / RESTORE / history), metadata tables (log actions,
+directory listing), the sign_storage_url UDF, and the streaming Delta
+sink — every remaining query-visible surface from SURVEY.md §2.1 as a
+driver-checkable spec.
+
+Same contract as delta_tier.py: each query materializes a fresh Delta
+table under /tmp from driver parquet, drives the engine surface, and
+returns an aggregate whose DuckDB oracle is computed directly from the
+source parquet (or is a structural constant the operation guarantees).
+
+Reference parity anchors: UPDATE/MERGE exercise the write path the
+reference declares but leaves unimplemented (S30,
+``table_provider/delta/mod.rs:171-178``); log actions = the
+``delta_log`` metadata table (``table_provider/delta_log.rs:42-136``);
+directory listing = ``DirectoryListingExec``
+(``execution/directory_listing.rs:29-45``); sign_storage_url =
+``functions/sign_url.rs:28-211``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.queries import QuerySpec, load_tables
+from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+
+
+def delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → Delta → UPDATE (DV old rows + append updated copies) →
+    scan reflects the update exactly."""
+    from deltalake_datafusion_spark.delta.ops import update_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "part")
+    path = _fresh_dir("update", sf_dir)
+    write_delta(spark, t["part"].repartition(4), path)
+    update_delta(
+        spark,
+        path,
+        {"p_retailprice": "p_retailprice * 2"},
+        "p_size > 40",
+    )
+    df = read_delta(spark, path)
+    return (
+        df.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_UPDATE_SQL = """
+SELECT p_brand, COUNT(*) AS n,
+  CAST(SUM(CAST(CASE WHEN p_size > 40 THEN p_retailprice * 2
+                     ELSE p_retailprice END AS DECIMAL(12,2))) AS DOUBLE)
+    AS total_price
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer evens → Delta target; MERGE a source of every 3rd
+    customer (acctbal + 100): matched rows update, unmatched insert."""
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "customer")
+    c = t["customer"]
+    path = _fresh_dir("merge", sf_dir)
+    write_delta(spark, c.filter("c_custkey % 2 = 0").repartition(4), path)
+    source = c.filter("c_custkey % 3 = 0").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    )
+    merge_delta(
+        spark,
+        path,
+        source,
+        on="t.c_custkey = s.c_custkey",
+        when_matched_update={"c_acctbal": "s.c_acctbal"},
+        when_not_matched_insert=True,
+    )
+    df = read_delta(spark, path)
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_MERGE_SQL = """
+WITH merged AS (
+  SELECT c_mktsegment,
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+              ELSE c_acctbal END AS bal
+  FROM customer
+  WHERE c_custkey % 2 = 0 OR c_custkey % 3 = 0
+)
+SELECT c_mktsegment, COUNT(*) AS n,
+  CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def delta_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16 small files → OPTIMIZE bin-packs to 1; rows unchanged and
+    time travel to the pre-OPTIMIZE version still sees 16."""
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "supplier")
+    path = _fresh_dir("optimize", sf_dir)
+    write_delta(spark, t["supplier"].repartition(16), path)
+    optimize_delta(spark, path)
+    snap = load_snapshot(path, spark=spark)
+    n_files_now = len(snap.files)
+    n_files_v0 = len(load_snapshot(path, version=0, spark=spark).files)
+    rows = read_delta(spark, path).agg(F.count(F.lit(1)).alias("n_rows"))
+    # files_before varies with rows-per-partition at small SF; assert
+    # the structural invariant (compacted to 1, many→1) instead.
+    return rows.select(
+        F.lit(n_files_v0 > n_files_now).alias("compacted"),
+        F.lit(n_files_now).alias("files_after"),
+        "n_rows",
+    )
+
+
+_OPTIMIZE_SQL = """
+SELECT TRUE AS compacted, 1 AS files_after,
+       (SELECT COUNT(*) FROM supplier) AS n_rows
+"""
+
+
+def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v0 = nation, v1 = append region-renamed copy, RESTORE to v0 →
+    reads match v0; history keeps all three commits."""
+    from deltalake_datafusion_spark.delta.ops import restore_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import history
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "nation")
+    n = t["nation"]
+    path = _fresh_dir("restore", sf_dir)
+    write_delta(spark, n.coalesce(1), path)
+    write_delta(
+        spark,
+        n.withColumn("n_nationkey", F.col("n_nationkey") + 1000).coalesce(1),
+        path,
+        mode="append",
+    )
+    restore_delta(spark, path, version=0)
+    rows = read_delta(spark, path).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("n_nationkey").cast("int").alias("max_key"),
+    )
+    n_commits = history(spark, path).count()
+    return rows.select(
+        "n_rows", "max_key", F.lit(n_commits).alias("n_commits")
+    )
+
+
+_RESTORE_SQL = """
+SELECT (SELECT COUNT(*) FROM nation) AS n_rows,
+       (SELECT MAX(n_nationkey) FROM nation) AS max_key,
+       3 AS n_commits
+"""
+
+
+def delta_log_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw delta_log metadata table: action counts after
+    create + overwrite (1 protocol, 1 metaData — the writer re-emits
+    metadata only on schema change — 2 adds, 1 remove)."""
+    from deltalake_datafusion_spark.delta.snapshot import actions_df
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "region")
+    r = t["region"]
+    path = _fresh_dir("logactions", sf_dir)
+    write_delta(spark, r.coalesce(1), path)
+    write_delta(spark, r.coalesce(1), path, mode="overwrite")
+    a = actions_df(spark, path)
+    return a.agg(
+        F.count(F.when(F.col("protocol").isNotNull(), 1)).alias("n_protocol"),
+        F.count(F.when(F.col("metaData").isNotNull(), 1)).alias("n_metadata"),
+        F.count(F.when(F.col("add").isNotNull(), 1)).alias("n_add"),
+        F.count(F.when(F.col("remove").isNotNull(), 1)).alias("n_remove"),
+    )
+
+
+_LOG_ACTIONS_SQL = """
+SELECT 1 AS n_protocol, 1 AS n_metadata, 2 AS n_add, 1 AS n_remove
+"""
+
+
+def delta_directory_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectoryListingExec parity: non-recursive table-root listing →
+    one data file + the _delta_log directory."""
+    from deltalake_datafusion_spark.delta.listing import directory_listing
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "region")
+    path = _fresh_dir("listing", sf_dir)
+    write_delta(spark, t["region"].coalesce(1), path)
+    lst = directory_listing(spark, path)
+    return lst.agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.count(F.when(F.col("is_dir"), 1)).alias("n_dirs"),
+        F.count(
+            F.when(F.col("path").endswith(".parquet") & ~F.col("is_dir"), 1)
+        ).alias("n_data_files"),
+    )
+
+
+_LISTING_SQL = """
+SELECT 2 AS n_entries, 1 AS n_dirs, 1 AS n_data_files
+"""
+
+
+def sign_storage_url_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sign_storage_url over the table's live file URLs: local paths
+    pass through unchanged (reference sign_url.rs: passthrough for
+    non-object-store schemes); null and invalid input → null."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.functions.sign_url import register
+
+    t = load_tables(spark, sf_dir, "region")
+    path = _fresh_dir("signurl", sf_dir)
+    write_delta(spark, t["region"].coalesce(1), path)
+    register(spark)
+    snap = load_snapshot(path, spark=spark)
+    urls = [(f"file://{os.path.join(path, f.path)}",) for f in snap.files]
+    df = spark.createDataFrame(urls + [(None,)], "url string")
+    out = df.select(
+        "url", F.expr("sign_storage_url(url)").alias("signed")
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_inputs"),
+        F.count(F.when(F.col("signed") == F.col("url"), 1)).alias(
+            "n_passthrough"
+        ),
+        F.count(F.when(F.col("signed").isNull(), 1)).alias("n_null"),
+    )
+
+
+_SIGN_URL_SQL = """
+SELECT 2 AS n_inputs, 1 AS n_passthrough, 1 AS n_null
+"""
+
+
+def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming → Delta sink round trip: stream the events
+    parquet (availableNow), append to a Delta table via the
+    exactly-once foreachBatch sink, and read the result back through
+    the engine scan."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.streaming.pipeline import (
+        stream_events,
+        write_stream_delta,
+    )
+
+    path = _fresh_dir("streamsink", sf_dir)
+    ckpt = path + "_ckpt"
+    src = stream_events(spark, sf_dir)
+    q = write_stream_delta(
+        src.select("event_id", "user_id", "event_type", "value"),
+        path,
+        ckpt,
+    )
+    q.awaitTermination(300)
+    df = read_delta(spark, path)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STREAM_SINK_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("delta_update", delta_update, _UPDATE_SQL),
+        QuerySpec("delta_merge_upsert", delta_merge_upsert, _MERGE_SQL),
+        QuerySpec(
+            "delta_optimize_compact", delta_optimize_compact, _OPTIMIZE_SQL
+        ),
+        QuerySpec("delta_restore", delta_restore, _RESTORE_SQL),
+        QuerySpec("delta_log_actions", delta_log_actions, _LOG_ACTIONS_SQL),
+        QuerySpec(
+            "delta_directory_listing", delta_directory_listing, _LISTING_SQL
+        ),
+        QuerySpec("sign_storage_url_udf", sign_storage_url_udf, _SIGN_URL_SQL),
+        QuerySpec("streaming_delta_sink", streaming_delta_sink, _STREAM_SINK_SQL),
+    ]

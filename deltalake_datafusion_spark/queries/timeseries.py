@@ -123,19 +123,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (cosine ≥ 0.99) over the
     planted corpus. Brute-force here is the *oracle-checkable*
     baseline; the LSH-bucketed scale path is dedup_embedding_lsh."""
-    from deltalake_datafusion_spark.operators.similarity import cosine_col
+    from deltalake_datafusion_spark.operators.similarity import (
+        brute_force_near_dup,
+    )
 
     c = _near_dup_corpus(spark, sf_dir)
-    a = c.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    b = c.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= 0.99)
-        .select("a", "b", "cosine")
-        .orderBy("a", "b")
-    )
+    return brute_force_near_dup(
+        c, id_col="vec_id", vec_col="v", threshold=0.99
+    ).orderBy("a", "b")
 
 
 _DEDUP_EMB_SQL = """

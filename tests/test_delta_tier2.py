@@ -1,0 +1,18 @@
+"""Delta tier 2 (DML / maintenance / metadata / UDF / streaming sink)
+vs the DuckDB oracle at the conftest scale factor."""
+
+from __future__ import annotations
+
+import pytest
+
+from deltalake_datafusion_spark.queries import delta_tier2
+from tests.util import assert_matches_oracle
+
+SPECS = delta_tier2.specs()
+
+
+@pytest.mark.parametrize(
+    "spec", [s for s in SPECS if s.oracle], ids=lambda s: s.name
+)
+def test_matches_oracle(spec, spark, duck, sf_dir):
+    assert_matches_oracle(spec.build(spark, sf_dir), duck, spec.oracle)
