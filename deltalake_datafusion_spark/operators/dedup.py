@@ -116,27 +116,31 @@ def _permutations(num_perm: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_perm: int = 128,
-    shingle_n: int = 3,
-    seed: int = 42,
+def _hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
-    """(id, sig: array<bigint>[num_perm]) — entirely JVM-side."""
+    """(id, sh: array<bigint>) — distinct xxhash64-hashed shingles."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            shingles_col(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    )
+
+
+def _signature_of(hsh: DataFrame, num_perm: int, seed: int) -> DataFrame:
+    """(id, sig) from a hashed-shingle DataFrame.
+
+    Explode shingles and take the num_perm mins as groupBy aggregates:
+    map-side partial aggregation collapses each document's shingles
+    to one 128-long row before the shuffle, and each (h*a+b)%P is a
+    flat codegen expression — the nested
+    array(transform(...)*128) formulation runs interpreted and is
+    ~10× slower per row.
+    """
     perms = _permutations(num_perm, seed)
-    sh = shingles_col(F.col(text_col), shingle_n).alias("__sh")
-    # Explode shingles and take the num_perm mins as groupBy aggregates:
-    # map-side partial aggregation collapses each document's shingles
-    # to one 128-long row before the shuffle, and each (h*a+b)%P is a
-    # flat codegen expression — the nested
-    # array(transform(...)*128) formulation runs interpreted and is
-    # ~10× slower per row.
-    ex = (
-        df.select(F.col(id_col).alias("id"), sh)
-        .select("id", F.explode("__sh").alias("__s"))
-        .select("id", (F.abs(F.xxhash64("__s")) % MERSENNE_PRIME).alias("__h"))
+    ex = hsh.select("id", F.explode("sh").alias("__s")).select(
+        "id", (F.abs(F.col("__s")) % MERSENNE_PRIME).alias("__h")
     )
     mins = [
         F.min((F.col("__h") * F.lit(a) + F.lit(b)) % MERSENNE_PRIME).alias(
@@ -149,6 +153,49 @@ def minhash_signature(
         .agg(*mins)
         .select("id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig"))
     )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 128,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_perm]) — entirely JVM-side."""
+    return _signature_of(
+        _hashed_shingles(df, text_col, id_col, shingle_n), num_perm, seed
+    )
+
+
+def _signature_of_arrow(hsh: DataFrame, num_perm: int, seed: int) -> DataFrame:
+    """Arrow-batched signature over a hashed-shingle DataFrame —
+    bit-identical to :func:`_signature_of` (verified in tests), ~2×
+    faster: per document one (shingles × num_perm) int64 matrix op
+    replaces num_perm codegen min-aggregates over the exploded corpus,
+    and no shuffle is needed at all (the explode→groupBy round trip
+    disappears). Used by the pairs pipeline; the expression-tree form
+    stays for callers that must avoid Python workers entirely."""
+    import numpy as np
+    import pandas as pd
+
+    perms = _permutations(num_perm, seed)
+    A = np.array([p[0] for p in perms], dtype=np.int64)
+    B = np.array([p[1] for p in perms], dtype=np.int64)
+
+    def sig_batches(batches):
+        for pdf in batches:
+            out = []
+            for arr in pdf["sh"]:
+                h = np.abs(np.asarray(arr, dtype=np.int64)) % MERSENNE_PRIME
+                m = ((h[:, None] * A[None, :] + B[None, :]) % MERSENNE_PRIME).min(
+                    axis=0
+                )
+                out.append(m.tolist())
+            yield pd.DataFrame({"id": pdf["id"], "sig": out})
+
+    return hsh.mapInPandas(sig_batches, "id long, sig array<bigint>")
 
 
 def minhash_lsh_candidates(
@@ -222,12 +269,25 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard ≥ threshold): LSH candidates
     verified with exact shingle-set Jaccard (array_intersect) — no
-    false positives survive."""
-    sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_n, seed)
-    cands = minhash_lsh_candidates(sigs, bands)
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    false positives survive.
+
+    The hashed-shingle corpus is materialized once (MEMORY_AND_DISK)
+    and shared by the signature build and both verification joins;
+    Jaccard is computed over the hashed shingle sets (identical values
+    barring a ~2⁻⁶⁴ collision, 8-byte array elements in the join
+    instead of strings)."""
+    from pyspark import StorageLevel
+
+    sh = _hashed_shingles(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    # Eager materialization: the signature build and both verify joins
+    # scan `sh` from parallel stages of one job; without this, each
+    # racing stage recomputes the shingle pipeline before the cache is
+    # populated (Spark's cache doesn't block concurrent fills).
+    sh.count()
+    sigs = _signature_of_arrow(sh, num_perm, seed)
+    cands = minhash_lsh_candidates(sigs, bands)
     return (
         cands.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a"), "a")
         .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b"), "b")
@@ -411,12 +471,23 @@ def ngram_jaccard_pairs(
     degenerate corpora where random pairs share many shingles (tiny
     vocabularies, boilerplate). Choose ``shingle_n`` large enough that
     unrelated documents rarely collide."""
+    from pyspark import StorageLevel
+
+    # The shingled corpus feeds four plan branches (frequency agg,
+    # inverted index, and both sides of the verification join); without
+    # persistence each branch re-runs normalize→shingle→hash over the
+    # full corpus. At scale this is the step a production pipeline
+    # checkpoints to a table; in-session, MEMORY_AND_DISK is the same
+    # single-materialization contract.
     sh = df.select(
         F.col(id_col).alias("id"),
         F.transform(
             shingles_col(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
         ).alias("sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager fill — parallel consumer stages would otherwise race the
+    # cache and each recompute the shingle pipeline.
+    sh.count()
 
     # Global shingle rarity (one agg over the exploded corpus).
     freq = (
@@ -439,12 +510,20 @@ def ngram_jaccard_pairs(
             F.col("rn")
             <= F.floor((1.0 - threshold) * F.col("n_sh")).cast("int") + 1
         )
-        .select("id", "s")
+        .select("id", "s", "n_sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # both sides of self-join
     )
+    prefix.count()  # eager fill before the self-join races it
+    # Length filter (exact, PPJoin §3): J(A,B) ≥ t requires
+    # t·|A| ≤ |B|; prune size-incompatible pairs before the distinct.
     cands = (
         prefix.alias("x")
         .join(prefix.alias("y"), "s")
-        .filter(F.col("x.id") < F.col("y.id"))
+        .filter(
+            (F.col("x.id") < F.col("y.id"))
+            & (F.col("y.n_sh") * F.lit(threshold) <= F.col("x.n_sh"))
+            & (F.col("x.n_sh") * F.lit(threshold) <= F.col("y.n_sh"))
+        )
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
@@ -492,8 +571,8 @@ def embedding_near_dup_lsh(
     """
     from deltalake_datafusion_spark.operators.similarity import (
         _hyperplanes,
-        cosine_col,
         signature_col,
+        strict_cosine_pandas_udf,
     )
 
     sig_structs = [
@@ -535,13 +614,20 @@ def embedding_near_dup_lsh(
         .select("p.a", "p.b")
         .distinct()
     )
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # Verification cosine via the Arrow-batched strict-left-fold UDF:
+    # bit-identical to the expression-tree fold (cosine_col) but
+    # vectorized across candidate pairs instead of interpreted per-row.
+    cos = strict_cosine_pandas_udf()
     return (
         cands.join(
             vecs.select(F.col("id").alias("a"), F.col("v").alias("va")), "a"
         )
         .join(vecs.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
-        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .withColumn("cosine", cos(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

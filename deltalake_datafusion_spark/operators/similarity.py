@@ -327,8 +327,12 @@ def brute_force_near_dup(
             aids = pdf[id_col].to_numpy(dtype=np.int64)
             dot = np.zeros((len(aids), len(Bids)))
             na = np.zeros(len(aids))
+            tmp = np.empty_like(dot)
             for i in range(A.shape[1]):  # strict left fold over dims
-                dot += A[:, i : i + 1] * B[None, :, i]
+                # in-place multiply-accumulate: same operation order as
+                # the naive loop, ~2x less allocation/memory traffic
+                np.multiply(A[:, i : i + 1], B[None, :, i], out=tmp)
+                dot += tmp
                 na += A[:, i] * A[:, i]
             cos = dot / (np.sqrt(na)[:, None] * sq_nb[None, :])
             keep = (aids[:, None] < Bids[None, :]) & (cos >= threshold)
@@ -337,6 +341,11 @@ def brute_force_near_dup(
                 {"a": aids[ai], "b": Bids[bj], "cosine": cos[ai, bj]}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        score, "a long, b long, cosine double"
-    )
+    probe = df.select(id_col, vec_col)
+    # Parallelize the probe side: a single-file source gives 1-2 input
+    # splits, serializing the O(n·m·d) scoring; spreading the O(n)
+    # probe rows across the cluster costs one tiny shuffle.
+    target = spark.sparkContext.defaultParallelism
+    if probe.rdd.getNumPartitions() < target:
+        probe = probe.repartition(target)
+    return probe.mapInPandas(score, "a long, b long, cosine double")

@@ -247,7 +247,10 @@ def sign_storage_url_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     snap = load_snapshot(path, spark=spark)
     urls = [(f"file://{os.path.join(path, f.path)}",) for f in snap.files]
-    df = spark.createDataFrame(urls + [(None,)], "url string")
+    # coalesce(1): createDataFrame slices tiny local data across
+    # defaultParallelism partitions; 32 near-empty partitions would
+    # each spawn a Python UDF worker (cold pandas import per worker).
+    df = spark.createDataFrame(urls + [(None,)], "url string").coalesce(1)
     out = df.select(
         "url", F.expr("sign_storage_url(url)").alias("signed")
     )

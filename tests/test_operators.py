@@ -60,6 +60,15 @@ def test_minhash_signature_stability(spark, docs):
     assert {r.id: r.sig for r in s1} == {r.id: r.sig for r in s2}
 
 
+def test_minhash_arrow_signature_bit_identical(spark, docs):
+    """The Arrow-vectorized signature used by the pairs pipeline must
+    produce exactly the expression-tree signatures."""
+    hsh = dedup._hashed_shingles(docs, "text", "doc_id", 3)
+    jvm = dedup._signature_of(hsh, 16, 42).collect()
+    arrow = dedup._signature_of_arrow(hsh, 16, 42).collect()
+    assert {r.id: r.sig for r in jvm} == {r.id: r.sig for r in arrow}
+
+
 def test_simhash_near_dups(spark, docs):
     # gentler perturbation (every 15th word): median Hamming ≈ 8
     words = F.split(F.col("text"), " ")
