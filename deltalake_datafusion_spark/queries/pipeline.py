@@ -538,10 +538,52 @@ GROUP BY vec_id ORDER BY vec_id
 """
 
 
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clustering: a 3-copy chain graph per
+    document (doc ↔ doc+10000 ↔ doc+20000, no direct doc ↔ doc+20000
+    edge) must collapse to one component rooted at the original id —
+    label propagation needs ≥2 hops, so this exercises the iterative
+    fixed point, not just a single join."""
+    from deltalake_datafusion_spark.operators.graph import (
+        connected_components,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    ids = t["documents"].select("doc_id")
+    e1 = ids.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 10000).alias("b")
+    )
+    e2 = ids.select(
+        (F.col("doc_id") + 10000).alias("a"),
+        (F.col("doc_id") + 20000).alias("b"),
+    )
+    comp = connected_components(e1.unionByName(e2), "a", "b")
+    return comp.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.countDistinct("comp").alias("n_components"),
+        F.sum("comp").alias("comp_sum"),
+        F.max(F.col("id") - F.col("comp")).cast("bigint").alias("max_offset"),
+    )
+
+
+_DEDUP_CC_SQL = """
+SELECT CAST(3 * COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(3 * SUM(doc_id) AS BIGINT) AS comp_sum,
+       CAST(20000 AS BIGINT) AS max_offset
+FROM documents
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("dedup_exact", dedup_exact, _DEDUP_EXACT_SQL),
         QuerySpec("dedup_clusters", dedup_clusters, _DEDUP_CLUSTERS_SQL),
+        QuerySpec(
+            "dedup_connected_components",
+            dedup_connected_components,
+            _DEDUP_CC_SQL,
+        ),
         QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, _DEDUP_NGRAM_SQL),
         QuerySpec("dedup_minhash", dedup_minhash, None),
         QuerySpec("dedup_simhash", dedup_simhash, None),

@@ -251,3 +251,61 @@ def test_no_python_udf_in_jvm_operators(spark, docs):
     for df in plans:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, plan[:2000]
+
+
+# ------------------------------------------------------------------ #
+# Connected components                                                #
+# ------------------------------------------------------------------ #
+
+
+def _cc(spark, edges):
+    from deltalake_datafusion_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    rows = connected_components(df, "a", "b").collect()
+    return {r["id"]: r["comp"] for r in rows}
+
+
+def test_cc_chain_propagates_transitively(spark):
+    # 0-1-2-...-9: one component rooted at 0, diameter 9
+    comp = _cc(spark, [(i, i + 1) for i in range(9)])
+    assert comp == {i: 0 for i in range(10)}
+
+
+def test_cc_multiple_components_and_star(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22), (20, 23)]
+    comp = _cc(spark, edges)
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_cc_direction_irrelevant(spark):
+    assert _cc(spark, [(5, 3), (3, 8)]) == {3: 3, 5: 3, 8: 3}
+
+
+def test_dedup_keep_representatives_e2e(spark, docs):
+    """pairs → clusters → keep min id: the full fuzzy-dedup stage."""
+    from deltalake_datafusion_spark.operators.graph import (
+        dedup_keep_representatives,
+    )
+
+    d = docs.select("doc_id", "text")
+    tripled = (
+        d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 10000))
+        .unionByName(d.withColumn("doc_id", F.col("doc_id") + 20000))
+    )
+    # chain edges: orig↔+10000, +10000↔+20000
+    ids = d.select("doc_id")
+    pairs = ids.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 10000).alias("b")
+    ).unionByName(
+        ids.select(
+            (F.col("doc_id") + 10000).alias("a"),
+            (F.col("doc_id") + 20000).alias("b"),
+        )
+    )
+    kept = dedup_keep_representatives(tripled, pairs, "doc_id")
+    kept_ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert kept_ids == sorted(r["doc_id"] for r in ids.collect())
