@@ -1,0 +1,99 @@
+"""Hypertable-style time-series rollup: bucketed aggregation with
+dense gap filling (zero-fill and last-observation-carried-forward).
+
+Beyond-reference tier (the reference has no time-series surface —
+SURVEY.md §1.1 "Streams / graphs / time-series: None"); this is the
+batch twin of the continuous-aggregate pattern from time-series
+databases, expressed as pure DataFrame plans.
+
+Scale design:
+- The rollup is ONE groupBy over (bucket, *group_cols) — map-side
+  partial aggregation collapses each input partition before the only
+  shuffle; bucket width controls output cardinality, not scan cost.
+- The gapfill spine (one row per bucket in the span) is generated on
+  a single row via ``sequence`` + ``explode`` — n_buckets rows total,
+  then broadcast against the distinct group keys: no full-data
+  shuffle at all for spine construction.
+- LOCF is one window per group ordered by bucket
+  (``last(ignorenulls=True)``) — state is one value per group, the
+  same shape Structured Streaming keeps for the continuous variant
+  (streaming/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts_col, bucket_seconds: int) -> Column:
+    """Bucket start timestamp: epoch-aligned ``bucket_seconds`` wide.
+    For 3600 this equals ``date_trunc('hour', ts)`` (UTC session)."""
+    return F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(ts_col) / bucket_seconds) * bucket_seconds)
+        .cast("long")
+    )
+
+
+def rollup_timeseries(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """One aggregate row per (bucket, *group_cols)."""
+    return (
+        df.withColumn("bucket", time_bucket(F.col(ts_col), bucket_seconds))
+        .groupBy("bucket", *group_cols)
+        .agg(*aggs)
+    )
+
+
+def gapfill(
+    rolled: DataFrame,
+    bucket_seconds: int,
+    group_cols: list[str],
+    zero_cols: list[str] | None = None,
+    locf_cols: list[str] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Densify ``rolled`` to every bucket in [min, max] per the global
+    span × every distinct group: missing buckets appear with
+    ``zero_cols`` filled as 0 and ``locf_cols`` carried forward from
+    the previous present bucket (null before the first observation).
+    """
+    zero_cols = zero_cols or []
+    locf_cols = locf_cols or []
+
+    span = rolled.agg(
+        F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence(
+                F.col("lo"),
+                F.col("hi"),
+                F.expr(f"INTERVAL {int(bucket_seconds)} SECOND"),
+            )
+        ).alias(bucket_col)
+    )
+    groups = rolled.select(*group_cols).distinct()
+    dense = F.broadcast(spine).crossJoin(groups)
+
+    filled = dense.join(rolled, [bucket_col, *group_cols], "left")
+    for c in zero_cols:
+        filled = filled.withColumn(
+            c, F.coalesce(F.col(c), F.lit(0).cast(dict(rolled.dtypes)[c]))
+        )
+    if locf_cols:
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in locf_cols:
+            filled = filled.withColumn(
+                f"{c}_locf", F.last(F.col(c), ignorenulls=True).over(w)
+            )
+    return filled

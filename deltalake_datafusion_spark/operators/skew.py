@@ -1,0 +1,74 @@
+"""Skew-mitigation utilities: salted join and salted two-phase
+aggregation.
+
+At 100 TB a single hot key (one viral document id, one null-heavy
+foreign key) can pin an entire shuffle partition on one task. Spark's
+AQE skew-join split (``spark.sql.adaptive.skewJoin``) handles the
+sort-merge case at runtime; explicit salting remains the tool when
+(a) the skewed side feeds a hash aggregation (AQE does not split agg
+partitions), (b) the plan must be deterministic ahead of time, or
+(c) the join strategy is forced broadcast-less.
+
+Both rewrites are result-identical to their unsalted forms (the
+salted-join query's oracle is the plain SQL join), so they can be
+dropped into any plan when a skew alarm fires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over ``salt``
+    shuffle partitions: ``big`` rows get a uniform salt, ``small``
+    rows are replicated once per salt value, and the join key becomes
+    (key..., salt). Output == ``big.join(small, on, how)`` exactly.
+
+    Replication cost is |small| × salt — use for mid-size right sides
+    that are too big to broadcast but far smaller than ``big``.
+    Supported joins: inner / left (the replicated side must be the
+    non-preserved one for outer joins to stay correct).
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    big_s = big.withColumn(
+        "__salt", F.floor(F.rand(seed) * salt).cast("int")
+    )
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = big_s.join(small_s, [*on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    salt: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Aggregation with a salted pre-shuffle phase: groupBy
+    (keys..., salt) first — hot keys split across ``salt`` tasks —
+    then re-aggregate the per-salt partials by the real keys.
+
+    ``partial_aggs`` run in phase 1 and must alias the columns that
+    ``final_aggs`` (phase 2) combine — the caller picks a decomposable
+    pair, e.g. phase-1 ``sum(x) AS s, count(1) AS c`` with phase-2
+    ``sum(s) AS total, sum(c) AS n``.
+    """
+    salted = df.withColumn(
+        "__salt", F.floor(F.rand(seed) * salt).cast("int")
+    )
+    phase1 = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
+    return phase1.groupBy(*keys).agg(*final_aggs)

@@ -268,6 +268,33 @@ SELECT 2 AS n_inputs, 1 AS n_passthrough, 1 AS n_null
 """
 
 
+def sql_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE CATALOG / DROP CATALOG through the extended SQL dialect
+    (reference ``parser.rs:246-340,362-392`` → Spark namespaces): both
+    return the reference's 3-column securable row; a multi-statement
+    batch returns the last statement's result."""
+    from deltalake_datafusion_spark.sql.dispatcher import sql as ddl_sql
+
+    created = ddl_sql(spark, "CREATE CATALOG IF NOT EXISTS dl_cat_q")
+    dropped = ddl_sql(
+        spark,
+        "CREATE CATALOG IF NOT EXISTS dl_cat_q2; "
+        "DROP CATALOG IF EXISTS dl_cat_q2 CASCADE",
+    )
+    ddl_sql(spark, "DROP CATALOG IF EXISTS dl_cat_q")
+    return created.unionByName(dropped).select(
+        "securable_name", "securable_type", "status"
+    )
+
+
+_CATALOG_DDL_SQL = """
+SELECT 'dl_cat_q' AS securable_name, 'catalog' AS securable_type,
+       'created' AS status
+UNION ALL
+SELECT 'dl_cat_q2', 'catalog', 'dropped'
+"""
+
+
 def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming → Delta sink round trip: stream the events
     parquet (availableNow), append to a Delta table via the
@@ -320,6 +347,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec(
             "delta_directory_listing", delta_directory_listing, _LISTING_SQL
         ),
+        QuerySpec("sql_catalog_ddl", sql_catalog_ddl, _CATALOG_DDL_SQL),
         QuerySpec("sign_storage_url_udf", sign_storage_url_udf, _SIGN_URL_SQL),
         QuerySpec("streaming_delta_sink", streaming_delta_sink, _STREAM_SINK_SQL),
     ]

@@ -615,6 +615,47 @@ FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey
 """
 
 
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-immune join + aggregation: lineitem⋈orders through
+    salted_join (hot orderkeys spread over 16 salted partitions) and
+    revenue per priority through salted_two_phase_agg — both rewrites
+    are result-identical to the plain forms, which is exactly what the
+    oracle checks."""
+    from deltalake_datafusion_spark.operators.skew import (
+        salted_join,
+        salted_two_phase_agg,
+    )
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    j = salted_join(li, t["orders"].select("o_orderkey", "o_orderpriority"),
+                    on=["o_orderkey"], salt=16)
+    return salted_two_phase_agg(
+        j,
+        ["o_orderpriority"],
+        [
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        ],
+        [
+            F.sum("s").cast("double").alias("revenue"),
+            F.sum("c").alias("n_items"),
+        ],
+        salt=16,
+    ).orderBy("o_orderpriority")
+
+
+_SALTED_SQL = """
+SELECT o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date arithmetic: ship-delay histogram (datediff / date_add)."""
     t = load_tables(spark, sf_dir, "orders", "lineitem")
@@ -1163,6 +1204,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("q_grouping_sets", q_grouping_sets, _QGSETS_SQL),
         QuerySpec("q_scalar_funcs", q_scalar_funcs, _QSCALAR_SQL),
         QuerySpec("q_date_arith", q_date_arith, _QDATE_SQL),
+        QuerySpec("q_salted_join_agg", q_salted_join_agg, _SALTED_SQL),
         QuerySpec("q_subquery_scalar", q_subquery_scalar, _QSUBQ_SQL),
         QuerySpec("q_anti_semi", q_anti_semi, _QANTI_SQL),
         QuerySpec("q_values_join", q_values_join, _QVALUES_SQL),

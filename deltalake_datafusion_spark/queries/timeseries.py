@@ -169,10 +169,73 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def q_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: hourly (bucket, event_type) aggregates
+    densified over the full span — absent buckets appear with count 0
+    and the running sum carried forward (LOCF). One shuffle for the
+    rollup; the bucket spine is generated from one row and broadcast."""
+    from deltalake_datafusion_spark.operators.rollup import (
+        gapfill,
+        rollup_timeseries,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    e = t["events"].select("event_type", "ts", "value")
+    rolled = rollup_timeseries(
+        e,
+        "ts",
+        3600,
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        ],
+    )
+    filled = gapfill(
+        rolled,
+        3600,
+        ["event_type"],
+        zero_cols=["n"],
+        locf_cols=["sum_value"],
+    )
+    return filled.select(
+        "bucket", "event_type", "n", "sum_value_locf"
+    ).orderBy("bucket", "event_type")
+
+
+_GAPFILL_SQL = """
+WITH rolled AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM rolled),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM span
+),
+dense AS (
+  SELECT s.bucket, g.event_type
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM rolled) g
+)
+SELECT d.bucket, d.event_type,
+  COALESCE(r.n, 0) AS n,
+  last_value(r.sum_value IGNORE NULLS) OVER (
+    PARTITION BY d.event_type ORDER BY d.bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_locf
+FROM dense d
+LEFT JOIN rolled r ON d.bucket = r.bucket AND d.event_type = r.event_type
+ORDER BY d.bucket, d.event_type
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_asof_join", q_asof_join, _ASOF_SQL),
         QuerySpec("q_range_join", q_range_join, _RANGE_SQL),
+        QuerySpec("q_gapfill_rollup", q_gapfill_rollup, _GAPFILL_SQL),
         QuerySpec("dedup_embedding", dedup_embedding, _DEDUP_EMB_SQL),
         QuerySpec("dedup_embedding_lsh", dedup_embedding_lsh, None),
     ]

@@ -309,3 +309,58 @@ def test_dedup_keep_representatives_e2e(spark, docs):
     kept = dedup_keep_representatives(tripled, pairs, "doc_id")
     kept_ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
     assert kept_ids == sorted(r["doc_id"] for r in ids.collect())
+
+
+# ------------------------------------------------------------------ #
+# Skew utilities                                                      #
+# ------------------------------------------------------------------ #
+
+
+def test_salted_join_matches_plain_join(spark):
+    from deltalake_datafusion_spark.operators.skew import salted_join
+
+    # skewed big side: 90% of rows share key 1
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(1000)], "k long, v long"
+    )
+    small = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 1000, 7)], "k long, d string"
+    )
+    plain = big.join(small, ["k"], "inner").orderBy("k", "v").collect()
+    salted = salted_join(big, small, ["k"], "inner", salt=8).orderBy(
+        "k", "v"
+    ).collect()
+    assert plain == salted
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    from deltalake_datafusion_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    small = spark.createDataFrame([(1, "x")], "k long, d string")
+    out = salted_join(big, small, ["k"], "left", salt=4).orderBy("k").collect()
+    assert [(r.k, r.v, r.d) for r in out] == [(1, 10, "x"), (2, 20, None), (3, 30, None)]
+
+
+def test_salted_two_phase_agg_exact(spark):
+    from deltalake_datafusion_spark.operators.skew import (
+        salted_two_phase_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("a" if i % 10 else "b", i) for i in range(1000)], "g string, x long"
+    )
+    out = salted_two_phase_agg(
+        df, ["g"],
+        [F.sum("x").alias("s"), F.count(F.lit(1)).alias("c")],
+        [F.sum("s").alias("total"), F.sum("c").alias("n")],
+        salt=8,
+    ).collect()
+    got = {r.g: (r.total, r.n) for r in out}
+    exact = {
+        r.g: (r.total, r.n)
+        for r in df.groupBy("g")
+        .agg(F.sum("x").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exact

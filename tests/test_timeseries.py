@@ -88,3 +88,39 @@ def test_embedding_lsh_recall(spark, sf_dir):
     }
     assert approx <= exact  # exact verification → no false positives
     assert len(approx) >= 0.9 * len(exact)
+
+
+def test_gapfill_zero_and_locf(spark):
+    from deltalake_datafusion_spark.operators.rollup import (
+        gapfill,
+        rollup_timeseries,
+    )
+
+    rows = [
+        ("a", "2024-01-01 00:10:00", 1.0),
+        ("a", "2024-01-01 00:50:00", 2.0),
+        ("a", "2024-01-01 03:05:00", 5.0),  # hours 1-2 missing
+        ("b", "2024-01-01 01:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    rolled = rollup_timeseries(
+        df, "ts", 3600, ["g"],
+        [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")],
+    )
+    out = gapfill(rolled, 3600, ["g"], zero_cols=["n"], locf_cols=["s"])
+    got = {
+        (r["g"], str(r["bucket"])): (r["n"], r["s_locf"])
+        for r in out.collect()
+    }
+    # span 00:00..03:00 × groups {a,b} = 8 rows
+    assert len(got) == 8
+    assert got[("a", "2024-01-01 00:00:00")] == (2, 3.0)
+    assert got[("a", "2024-01-01 01:00:00")] == (0, 3.0)  # zero + locf
+    assert got[("a", "2024-01-01 02:00:00")] == (0, 3.0)
+    assert got[("a", "2024-01-01 03:00:00")] == (1, 5.0)
+    assert got[("b", "2024-01-01 00:00:00")][0] == 0
+    assert got[("b", "2024-01-01 00:00:00")][1] is None  # before first obs
+    assert got[("b", "2024-01-01 01:00:00")] == (1, 7.0)
+    assert got[("b", "2024-01-01 03:00:00")] == (0, 7.0)
