@@ -129,3 +129,46 @@ def rolling_fingerprint(col, base: int = 1000003, mod: int = (1 << 31) - 1) -> C
         F.lit(0).cast("long"),
         lambda acc, h: (acc * base + h) % mod,
     )
+
+
+# ------------------------------------------------------------------ #
+# PII redaction                                                       #
+# ------------------------------------------------------------------ #
+
+# Patterns kept to the RE2-compatible subset (no backrefs/lookaround)
+# so the same regex runs in Spark (Java regex), DuckDB, and RE2-based
+# scanners — one source of truth across engines.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn_like": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_pii(col, kinds: list[str] | None = None) -> Column:
+    """Replace each PII match with ``[KIND]`` — a chain of
+    ``regexp_replace`` calls, pure expression tree (codegen; the
+    per-document cost is the regex scan itself).
+
+    Order matters: SSN-like and phone patterns both match digit runs,
+    so the more specific patterns run first.
+    """
+    order = [k for k in ("email", "ssn_like", "phone", "ipv4")
+             if kinds is None or k in kinds]
+    out = col
+    for kind in order:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out
+
+
+def pii_counts(col) -> Column:
+    """struct of per-kind match counts (for corpus auditing)."""
+    return F.struct(
+        *[
+            (
+                F.size(F.split(col, PII_PATTERNS[k], -1)) - 1
+            ).alias(f"n_{k}")
+            for k in ("email", "ssn_like", "phone", "ipv4")
+        ]
+    )

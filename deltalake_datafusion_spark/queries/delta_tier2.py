@@ -335,6 +335,33 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation run as a stream
+    (availableNow micro-batches → memory sink) — the final state must
+    equal the batch GROUP BY, which is exactly what the DuckDB oracle
+    computes. Exercises watermark bookkeeping + windowed state, not
+    just the sink path."""
+    from deltalake_datafusion_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_events,
+        windowed_counts,
+    )
+
+    src = stream_events(spark, sf_dir)
+    out = run_to_memory(
+        windowed_counts(src), "q_streaming_windowed", "complete"
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+_STREAM_WINDOWED_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("delta_update", delta_update, _UPDATE_SQL),
@@ -348,6 +375,11 @@ def specs() -> list[QuerySpec]:
             "delta_directory_listing", delta_directory_listing, _LISTING_SQL
         ),
         QuerySpec("sql_catalog_ddl", sql_catalog_ddl, _CATALOG_DDL_SQL),
+        QuerySpec(
+            "streaming_windowed_counts",
+            streaming_windowed_counts,
+            _STREAM_WINDOWED_SQL,
+        ),
         QuerySpec("sign_storage_url_udf", sign_storage_url_udf, _SIGN_URL_SQL),
         QuerySpec("streaming_delta_sink", streaming_delta_sink, _STREAM_SINK_SQL),
     ]

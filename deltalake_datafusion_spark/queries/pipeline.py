@@ -111,6 +111,73 @@ SELECT (SELECT COUNT(*) FROM documents) AS n_clusters,
 """
 
 
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus with planted emails / phones / IPs:
+    every document gets deterministic synthetic PII appended, then the
+    redaction chain must remove every occurrence — counted per kind
+    and checksummed by total redacted length, mirrored in the oracle
+    with the identical RE2-subset patterns."""
+    from deltalake_datafusion_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-123-4567 from 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+        ),
+    )
+    out = d.select(
+        F.length(redact_pii(F.col("text2"))).alias("red_len"),
+        pii_counts(F.col("text2")).alias("pc"),
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("red_len").alias("sum_red_len"),
+        F.sum("pc.n_email").alias("n_email"),
+        F.sum("pc.n_phone").alias("n_phone"),
+        F.sum("pc.n_ipv4").alias("n_ipv4"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_PHONE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_SQL = f"""
+WITH aug AS (
+  SELECT text || ' contact user' || CAST(doc_id AS VARCHAR)
+    || '@example.com or call 555-123-4567 from 10.0.0.'
+    || CAST(doc_id % 250 AS VARCHAR) AS text2
+  FROM documents
+),
+red AS (
+  SELECT text2,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text2, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+          '{_PII_SSN}', '[SSN_LIKE]', 'g'),
+        '{_PII_PHONE}', '[PHONE]', 'g'),
+      '{_PII_IP}', '[IPV4]', 'g') AS redacted
+  FROM aug
+)
+SELECT COUNT(*) AS n_docs,
+  CAST(SUM(length(redacted)) AS BIGINT) AS sum_red_len,
+  CAST(SUM(length(regexp_split_to_array(text2, '{_PII_EMAIL}')) - 1) AS BIGINT) AS n_email,
+  CAST(SUM(length(regexp_split_to_array(text2, '{_PII_PHONE}')) - 1) AS BIGINT) AS n_phone,
+  CAST(SUM(length(regexp_split_to_array(text2, '{_PII_IP}')) - 1) AS BIGINT) AS n_ipv4
+FROM red
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-shingle Jaccard pairs (≥0.3) over the perturbed
     corpus — fully SQL-checkable fuzzy dedup. Trigrams keep random
@@ -591,6 +658,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_tokens", text_tokens, _TEXT_TOKENS_SQL),
         QuerySpec("text_langid", text_langid, _langid_sql()),
         QuerySpec("text_fingerprint", text_fingerprint, _FINGERPRINT_SQL),
+        QuerySpec("text_pii_redaction", text_pii_redaction, _PII_SQL),
         QuerySpec("sim_bruteforce_topk", sim_bruteforce_topk, _SIM_BRUTE_SQL),
         QuerySpec("sim_lsh_topk", sim_lsh_topk, None),
         QuerySpec("sim_ivf_topk", sim_ivf_topk, None),

@@ -364,3 +364,23 @@ def test_salted_two_phase_agg_exact(spark):
         .collect()
     }
     assert got == exact
+
+
+def test_redact_pii_kinds_and_order(spark):
+    rows = [
+        ("mail a.b+c@test.org now", "mail [EMAIL] now"),
+        ("ssn 123-45-6789 ok", "ssn [SSN_LIKE] ok"),
+        ("call 555-123-4567", "call [PHONE]"),
+        ("ip 192.168.0.1 end", "ip [IPV4] end"),
+        ("clean text stays", "clean text stays"),
+    ]
+    df = spark.createDataFrame(rows, "t string, want string")
+    out = df.select("want", text.redact_pii(F.col("t")).alias("got")).collect()
+    for r in out:
+        assert r.got == r.want
+
+    counts = spark.createDataFrame(
+        [("a@b.co and c@d.io, ip 1.2.3.4",)], "t string"
+    ).select(text.pii_counts(F.col("t")).alias("p")).collect()[0]["p"]
+    assert counts["n_email"] == 2 and counts["n_ipv4"] == 1
+    assert counts["n_phone"] == 0 and counts["n_ssn_like"] == 0
