@@ -356,3 +356,56 @@ def test_spark_side_pruning_matches_driver_side(spark, tmp_path):
         assert sparkside == driver, (pred, len(sparkside), len(driver))
         if pred:
             assert len(driver) < len(snap.files) or "OR" in pred
+
+
+def test_commit_conflict_and_retry(spark, tmp_path):
+    """Atomic create-if-absent commit: same version twice raises
+    ConcurrentWriteError; write_delta's optimistic retry re-resolves
+    the snapshot and lands on the next free version."""
+    import pytest as _pytest
+
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import (
+        ConcurrentWriteError,
+        commit,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(spark, spark.range(10).selectExpr("id", "id * 2 AS v"), path)
+
+    # direct conflict: version 1 committed twice
+    commit(path, 1, [], "TEST")
+    with _pytest.raises(ConcurrentWriteError):
+        commit(path, 1, [], "TEST")
+
+    # optimistic retry: inject a competing commit the moment the
+    # writer makes its first attempt — the first commit() call hits
+    # ConcurrentWriteError and the loop must re-resolve and land on
+    # the next free version.
+    from deltalake_datafusion_spark.delta import writer as writer_mod
+
+    real_commit = writer_mod.commit
+    state = {"raced": False}
+
+    def racing_commit(table_path, version, actions, op, spark_=None):
+        if not state["raced"]:
+            state["raced"] = True
+            real_commit(table_path, version, [], "COMPETING", spark_)
+        return real_commit(table_path, version, actions, op, spark_)
+
+    writer_mod.commit = racing_commit
+    try:
+        write_delta(
+            spark,
+            spark.range(10, 15).selectExpr("id", "id * 2 AS v"),
+            path,
+            mode="append",
+        )
+    finally:
+        writer_mod.commit = real_commit
+    assert state["raced"]
+    snap = load_snapshot(path, spark=spark)
+    assert snap.version == 3  # v2 stolen by the competitor, append at 3
+    assert read_delta(spark, path).count() == 15
