@@ -452,20 +452,27 @@ def ngram_jaccard_pairs(
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard ≥ threshold via prefix filtering (the
-    PPJoin family): order each document's shingles by global rarity;
-    a pair with J ≥ t must share a shingle within each side's first
-    ⌊(1−t)·n⌋+1 shingles, so only prefix tokens are exploded into the
-    inverted index. Candidates are then verified with exact
-    ``array_intersect`` Jaccard — output is identical to the all-pairs
-    computation, at a fraction of the join volume (rare-token prefixes
-    produce tiny buckets even when the vocabulary is small).
+    PPJoin family): under ANY fixed global token order, a pair with
+    J ≥ t must share a shingle within each side's first ⌊(1−t)·n⌋+1
+    shingles, so only prefix tokens are exploded into the inverted
+    index. Candidates are then verified with exact ``array_intersect``
+    Jaccard — output is identical to the all-pairs computation, at a
+    fraction of the join volume.
 
-    ``max_shingle_freq`` is retained as an optional *approximate*
-    extra cap for pathological corpora; None (default) keeps the join
-    exact. Shingles are xxhash64-hashed to int64 before indexing —
-    shuffles carry 8-byte keys instead of strings, and the
-    verification intersects int arrays (Jaccard values are unchanged
-    barring a ~2⁻⁶⁴ collision).
+    The global order used is the shingle *hash* order: the prefix of a
+    document is then just ``slice(array_sort(sh), 1, k)`` — pure
+    codegen, no frequency aggregation, no rank window, no join to
+    build the index (the classic rarity order only tightens candidate
+    buckets when token frequencies are very skewed; it costs two extra
+    shuffles and a sort-window to obtain). ``max_shingle_freq``
+    optionally drops globally-frequent shingles from the index for
+    pathological corpora — that path pays the frequency aggregation
+    and makes the join approximate.
+
+    Shingles are xxhash64-hashed to int64 before indexing — shuffles
+    carry 8-byte keys instead of strings, and the verification
+    intersects int arrays (Jaccard values are unchanged barring a
+    ~2⁻⁶⁴ collision).
 
     Caveat: candidate pruning (any token-sharing scheme) degrades on
     degenerate corpora where random pairs share many shingles (tiny
@@ -473,47 +480,48 @@ def ngram_jaccard_pairs(
     unrelated documents rarely collide."""
     from pyspark import StorageLevel
 
-    # The shingled corpus feeds four plan branches (frequency agg,
-    # inverted index, and both sides of the verification join); without
-    # persistence each branch re-runs normalize→shingle→hash over the
-    # full corpus. At scale this is the step a production pipeline
-    # checkpoints to a table; in-session, MEMORY_AND_DISK is the same
-    # single-materialization contract.
+    # The shingled corpus feeds three plan branches (inverted index
+    # and both sides of the verification join); without persistence
+    # each branch re-runs normalize→shingle→hash over the full corpus.
+    # At scale this is the step a production pipeline checkpoints to a
+    # table; in-session, MEMORY_AND_DISK is the same contract. Arrays
+    # are stored sorted so the prefix is a slice.
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.transform(
-            shingles_col(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        F.array_sort(
+            F.transform(
+                shingles_col(F.col(text_col), shingle_n),
+                lambda s: F.xxhash64(s),
+            )
         ).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # Eager fill — parallel consumer stages would otherwise race the
     # cache and each recompute the shingle pipeline.
     sh.count()
 
-    # Global shingle rarity (one agg over the exploded corpus).
-    freq = (
-        sh.select(F.explode("sh").alias("s"))
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("freq"))
+    # Prefix inverted index: first ⌊(1−t)n⌋+1 tokens in hash order.
+    prefix = sh.select(
+        "id",
+        F.size("sh").alias("n_sh"),
+        F.explode(
+            F.slice(
+                "sh",
+                1,
+                (F.floor(F.lit(1.0 - threshold) * F.size("sh")) + 1).cast(
+                    "int"
+                ),
+            )
+        ).alias("s"),
     )
     if max_shingle_freq is not None:
-        freq = freq.filter(F.col("freq") <= max_shingle_freq)
-
-    inv = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
-    ranked = inv.join(freq, "s")
-    # Rarity order within each doc; prefix keeps ⌊(1−t)n⌋+1 shingles.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy("freq", "s")
-    prefix = (
-        ranked.withColumn("rn", F.row_number().over(w))
-        .filter(
-            F.col("rn")
-            <= F.floor((1.0 - threshold) * F.col("n_sh")).cast("int") + 1
+        freq = (
+            sh.select(F.explode("sh").alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") <= max_shingle_freq)
+            .select("s")
         )
-        .select("id", "s", "n_sh")
-        .persist(StorageLevel.MEMORY_AND_DISK)  # both sides of self-join
-    )
-    prefix.count()  # eager fill before the self-join races it
+        prefix = prefix.join(freq, "s")
     # Length filter (exact, PPJoin §3): J(A,B) ≥ t requires
     # t·|A| ≤ |B|; prune size-incompatible pairs before the distinct.
     cands = (
