@@ -31,9 +31,22 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM / parquet footer caches once so per-query timings
-    # measure the plan, not first-touch JIT.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM once so per-query timings measure the plan, not
+    # first-touch initialization: parquet footers, whole-stage codegen,
+    # the exchange/sort/window machinery, and broadcast plumbing.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.count()
+    warm = (
+        li.limit(10000)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+        .withColumn("r", F.row_number().over(Window.orderBy("l_returnflag")))
+        .join(F.broadcast(li.limit(10).select("l_returnflag")), "l_returnflag")
+    )
+    warm.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0
