@@ -268,6 +268,41 @@ SELECT 2 AS n_inputs, 1 AS n_passthrough, 1 AS n_null
 """
 
 
+def delta_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY: multi-file table re-clustered on
+    o_custkey (range-repartition + sort-within-partitions), then a
+    custkey-range scan must read the identical rows — clustering is a
+    physical-layout change only. The dataChange=false rewrite bumps
+    exactly one version."""
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "orders")
+    path = _fresh_dir("zorder", sf_dir)
+    write_delta(spark, t["orders"].repartition(8), path)
+    res = optimize_delta(spark, path, zorder_by=["o_custkey"])
+    assert res["files_added"] >= 1
+    snap = load_snapshot(path, spark=spark)
+    df = read_delta(spark, path, predicate="o_custkey < 500")
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.lit(snap.version).cast("bigint").alias("version"),
+    )
+
+
+_ZORDER_SQL = """
+SELECT COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+  CAST(1 AS BIGINT) AS version
+FROM orders WHERE o_custkey < 500
+"""
+
+
 def sql_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE CATALOG / DROP CATALOG through the extended SQL dialect
     (reference ``parser.rs:246-340,362-392`` → Spark namespaces): both
@@ -375,6 +410,9 @@ def specs() -> list[QuerySpec]:
             "delta_directory_listing", delta_directory_listing, _LISTING_SQL
         ),
         QuerySpec("sql_catalog_ddl", sql_catalog_ddl, _CATALOG_DDL_SQL),
+        QuerySpec(
+            "delta_optimize_zorder", delta_optimize_zorder, _ZORDER_SQL
+        ),
         QuerySpec(
             "streaming_windowed_counts",
             streaming_windowed_counts,

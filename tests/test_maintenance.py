@@ -241,3 +241,33 @@ def test_inline_dv_descriptor(spark, tmp_path):
     )
     got = dvmod.read_dv(str(tmp_path), desc, LocalFS())
     assert got.tolist() == idx
+
+
+def test_zorder_clustering_tightens_file_skipping(spark, tmp_path):
+    """After OPTIMIZE ZORDER BY(k), a narrow k-range predicate must
+    prune to a strict subset of files (pre-clustering, random row
+    placement makes every file overlap every range)."""
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+    from deltalake_datafusion_spark.delta.scan import scan_files
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "z")
+    df = (
+        spark.range(20000)
+        .selectExpr("id", "CAST(hash(id) % 10000 AS LONG) AS k")
+        .repartition(8)  # random k placement: all files overlap all ranges
+    )
+    write_delta(spark, df, path)
+    before = load_snapshot(path, spark=spark)
+    pred = "k >= 0 AND k < 500"
+    n_before_total = len(before.files)
+    n_before = len(scan_files(before, pred))
+    assert n_before == n_before_total  # nothing prunable pre-clustering
+
+    # small target size so the clustered rewrite yields several files
+    optimize_delta(spark, path, zorder_by=["k"], target_file_size=64 * 1024)
+    after = load_snapshot(path, spark=spark)
+    n_after = len(scan_files(after, pred))
+    assert len(after.files) >= 2  # clustering produced multiple files
+    assert n_after < len(after.files)  # the range now prunes files
