@@ -9,17 +9,28 @@ beats expression trees).
 Scale design (100 TB corpora):
 - Exact dedup is one hash-shuffle on a 128-bit digest (md5), not on
   the full text — shuffle payload stays tiny even for MB documents.
-- MinHash signatures are computed *inside whole-stage codegen*:
-  shingle → xxhash64 → k permutations via `transform` + `array_min`
-  over literal (a_i, b_i) constants. No UDF, no Python.
+- The hashed-shingle corpus (normalize → n-gram → xxhash64, int64
+  arrays) is computed ONCE per pipeline, persisted, and shared by
+  signature build and verification — the step a production pipeline
+  checkpoints to a table.
+- MinHash signatures: two interchangeable, bit-identical builds — a
+  pure expression-tree form (`minhash_signature`: explode → k
+  codegen min-aggregates, no Python anywhere) and the Arrow-batched
+  numpy form the pairs pipeline uses (`_signature_of_arrow`: one
+  (shingles × k) int64 matrix op per document, no shuffle at all).
 - LSH banding turns the O(n²) pair search into b hash-shuffles of
   (band_id, band_signature); only same-bucket candidates are verified
   with exact Jaccard. Bucket skew (huge clusters) is bounded by
   `max_bucket` (drop pathological buckets, standard practice).
 - SimHash uses one Arrow-batched pandas UDF (numpy popcount-style bit
   accumulation — 64 parallel counters don't fit expression trees
-  well); candidate pairing is JVM-side via 16-bit chunk banding and
-  `bit_count(xor)` Hamming verification.
+  well); candidate pairing is JVM-side via sorted-neighborhood search
+  and `bit_count(xor)` Hamming verification.
+- n-gram Jaccard prefixes use the shingle-hash global order, so the
+  inverted index is a codegen `slice(array_sort(...))` — no frequency
+  pass (see ngram_jaccard_pairs).
+- Pairs → clusters → survivors is operators/graph.py
+  (connected_components, dedup_keep_representatives).
 """
 
 from __future__ import annotations
