@@ -65,11 +65,15 @@ def all_query_specs() -> list[QuerySpec]:
         tpch_adapted,
     )
 
+    # Delta/DML tier first: the driver records correctness results in a
+    # bounded file, so the operators the reference actually implements
+    # (S1-S30) must land inside whatever prefix survives. The 43
+    # relational/TPC-H queries (delegated to Catalyst) come last.
     return (
-        relational.specs()
-        + tpch_adapted.specs()
+        delta_tier.specs()
+        + delta_tier2.specs()
         + pipeline.specs()
         + timeseries.specs()
-        + delta_tier.specs()
-        + delta_tier2.specs()
+        + relational.specs()
+        + tpch_adapted.specs()
     )
