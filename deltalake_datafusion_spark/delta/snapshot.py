@@ -261,7 +261,10 @@ def load_snapshot(
 
     metadata: Metadata | None = None
     protocol = Protocol()
-    adds: dict[tuple[str, str], AddFile] = {}
+    # Keyed by path: Delta guarantees at most one live add per path, and a
+    # re-add (e.g. with a new DV) replaces the previous entry — so replay is
+    # O(1) per action regardless of log length.
+    adds: dict[str, AddFile] = {}
     tombstones: list[dict] = []
     app_transactions: dict[str, int] = {}
 
@@ -288,11 +291,7 @@ def load_snapshot(
             ad = a["add"]
             path = urllib.parse.unquote(ad["path"])
             dv = _parse_dv(ad.get("deletionVector"))
-            key = (path, dv.unique_id if dv else "")
-            # Same path re-added with a different DV replaces the old
-            # entry entirely (one live (path) at a time).
-            adds = {k: v for k, v in adds.items() if k[0] != path}
-            adds[key] = AddFile(
+            adds[path] = AddFile(
                 path=path,
                 size=ad.get("size", 0),
                 modification_time=ad.get("modificationTime", 0),
@@ -303,7 +302,7 @@ def load_snapshot(
         elif "remove" in a and a["remove"]:
             rm = a["remove"]
             path = urllib.parse.unquote(rm["path"])
-            adds = {k: v for k, v in adds.items() if k[0] != path}
+            adds.pop(path, None)
             tombstones.append(rm)
         elif "txn" in a and a["txn"]:
             tx = a["txn"]
