@@ -11,11 +11,13 @@ DV read path (S4) is exercised end-to-end by our own tables. Plan:
    full-file deletions become plain removes (so later scans skip the
    file entirely at planning time rather than filtering every row).
 
-Matched row indexes are gathered driver-side (bitmap-scale, not
-row-data-scale: int64 per deleted row, compressed to roaring before
-write). For massively selective deletes at cluster scale the gather
-becomes a per-file ``collect_list`` aggregation — same plan shape,
-executor-side compression would be the next step.
+Deletion vectors are encoded *executor-side*: each file's matched row
+indexes are roaring-compressed inside an ``applyInPandas`` group (one
+group per file), merged there with any pre-existing DV (broadcast as
+decoded arrays), and only ``(path, blob, cardinality)`` triples reach
+the driver — KBs per file regardless of how many rows the predicate
+matches. A delete touching 10⁹ rows ships compressed bitmaps, never
+raw int64 indexes.
 """
 
 from __future__ import annotations
@@ -42,7 +44,17 @@ from deltalake_datafusion_spark.delta.writer import (
     maybe_checkpoint,
     physical_schema,
 )
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+class MergeCardinalityError(Exception):
+    """MERGE source matched the same target row more than once."""
 
 
 def delete_delta(spark, table_path: str, predicate: str) -> dict:
@@ -64,22 +76,60 @@ def delete_delta(spark, table_path: str, predicate: str) -> dict:
 
     # Scan candidates (DV-aware: rows already deleted in place are
     # invisible, so re-deletes never double-count), evaluate the
-    # predicate over logical columns, collect matched row indexes.
+    # predicate over logical columns. Roaring-encode each file's
+    # deletion vector ON THE EXECUTORS — the driver only ever sees
+    # (path, compressed blob, cardinality), never raw row indexes.
     scan_df = _scan_with_rowmeta(spark, snap, predicate, files=candidates)
-    matched: dict[str, list[int]] = {}
-    total_deleted = 0
+
+    fs = fs_for(snap.table_path, spark)
+    existing_by_uri: dict[str, object] = {}
+    for f in candidates:
+        if f.dv:
+            arr = dvmod.read_dv(snap.table_path, f.dv, fs)
+            abs_path = os.path.join(snap.table_path, f.path)
+            for uri in (abs_path, "file://" + abs_path, "file:" + abs_path):
+                existing_by_uri[uri] = arr
+
+    bc_existing = spark.sparkContext.broadcast(existing_by_uri)
+    enc_schema = StructType(
+        [
+            StructField("file_path", StringType()),
+            StructField("blob", BinaryType()),
+            StructField("cardinality", LongType()),
+            StructField("new_deletes", LongType()),
+        ]
+    )
+
+    def _encode_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        fp = pdf["__file_path"].iloc[0]
+        new_idx = np.unique(pdf["__row_index"].to_numpy(dtype=np.int64))
+        prior = bc_existing.value.get(fp)
+        if prior is not None and len(prior):
+            all_idx = np.union1d(new_idx, np.asarray(prior, dtype=np.int64))
+        else:
+            all_idx = new_idx
+        return pd.DataFrame(
+            {
+                "file_path": [fp],
+                "blob": [dvmod.serialize_bitmap(all_idx)],
+                "cardinality": [int(len(all_idx))],
+                "new_deletes": [int(len(new_idx))],
+            }
+        )
+
     hits = (
         scan_df.filter(F.expr(predicate))
+        .select("__file_path", "__row_index")
         .groupBy("__file_path")
-        .agg(F.collect_list("__row_index").alias("idx"))
+        .applyInPandas(_encode_group, enc_schema)
         .collect()
     )
-    for row in hits:
-        rel = _relativize(row["__file_path"], snap.table_path)
-        matched[rel] = sorted(row["idx"])
-        total_deleted += len(row["idx"])
+    total_deleted = sum(r["new_deletes"] for r in hits)
 
-    if not matched:
+    if not hits:
         return {
             "files_rewritten": 0,
             "files_removed": 0,
@@ -87,24 +137,20 @@ def delete_delta(spark, table_path: str, predicate: str) -> dict:
             "version": snap.version,
         }
 
-    fs = fs_for(snap.table_path, spark)
     by_path = {f.path: f for f in snap.files}
 
-    rewrites, full_removes = [], []
+    full_removes = []
     blobs, blob_owners = [], []
-    for rel, new_idx in sorted(matched.items()):
+    for row in sorted(hits, key=lambda r: r["file_path"]):
+        rel = _relativize(row["file_path"], snap.table_path)
         f = by_path[rel]
-        existing = (
-            dvmod.read_dv(snap.table_path, f.dv, fs).tolist() if f.dv else []
-        )
-        all_idx = sorted(set(existing) | set(new_idx))
         stats = parse_stats(f.stats)
         nrec = stats.get("numRecords") if stats else None
-        if nrec is not None and len(all_idx) >= nrec:
+        if nrec is not None and row["cardinality"] >= nrec:
             full_removes.append(f)
             continue
-        blobs.append(dvmod.serialize_bitmap(all_idx))
-        blob_owners.append((f, len(all_idx)))
+        blobs.append(bytes(row["blob"]))
+        blob_owners.append((f, row["cardinality"]))
 
     actions = []
     if blobs:
@@ -226,6 +272,7 @@ def merge_delta(
     when_matched_update: dict[str, str] | None = None,
     when_matched_delete: bool = False,
     when_not_matched_insert: bool = True,
+    strict: bool = False,
 ) -> dict:
     """MERGE INTO (upsert), copy-on-write strategy:
 
@@ -239,7 +286,12 @@ def merge_delta(
     The join in step 1 is target⋈broadcast(source) when the source is
     small (the common CDC shape); touched-file discovery and the
     rewrite share one shuffle. ``on`` must reference target columns
-    as ``t.col`` and source columns as ``s.col``."""
+    as ``t.col`` and source columns as ``s.col``.
+
+    ``strict=True`` enforces the ANSI/Delta MERGE cardinality rule:
+    if any target row is matched by more than one source row, raise
+    :class:`MergeCardinalityError` instead of silently duplicating
+    the row (the non-strict default documents the duplication)."""
     snap = load_snapshot(table_path, spark=spark)
     logical = snap.schema
     target = _scan_with_rowmeta(spark, snap, None)
@@ -254,6 +306,25 @@ def merge_delta(
         F.lit(True).alias("__s___matched"),
         *[F.col(f"s.{c}").alias(f"__s_{c}") for c in source.columns],
     )
+    if strict:
+        # ANSI/Delta MERGE cardinality check: one aggregation over the
+        # match keys, short-circuited with limit(1) — O(matches), no
+        # extra scan of the target data.
+        dup = (
+            matched.groupBy("__file_path", "__row_index")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise MergeCardinalityError(
+                "MERGE source has multiple rows matching the same target "
+                "row (e.g. target row_index "
+                f"{dup[0]['__row_index']} in {dup[0]['__file_path']}); "
+                "deduplicate the source or run with strict=False"
+            )
+
     touched_paths = matched.select("__file_path").distinct()
     touched_files = [
         _relativize(r["__file_path"], snap.table_path)
@@ -270,8 +341,9 @@ def merge_delta(
             "__file_path", "__row_index", "__s___matched",
             *[f"__s_{c}" for c in source.columns],
         )
-        # NOTE: a source with multiple rows matching one target row
-        # duplicates that row (ANSI MERGE would error; documented).
+        # NOTE: without strict=True, a source with multiple rows
+        # matching one target row duplicates that row (ANSI MERGE
+        # errors; see MergeCardinalityError above).
         joined = tf.join(m, ["__file_path", "__row_index"], "left")
         is_matched = F.col("__s___matched").isNotNull()
         if when_matched_delete:

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deltalake_datafusion_spark.delta import deletion_vectors as dvmod
-from deltalake_datafusion_spark.delta.fs import fs_for, strip_scheme
+from deltalake_datafusion_spark.delta.fs import strip_scheme
 from deltalake_datafusion_spark.delta.listing import directory_listing
 from deltalake_datafusion_spark.delta.snapshot import load_snapshot
 
@@ -134,8 +134,47 @@ def vacuum(
     if dry_run:
         return candidates.limit(DRY_RUN_LIMIT)
 
-    fs = fs_for(table_path, spark)
-    deleted = [r["path"] for r in candidates.collect()]
-    for p in deleted:
-        fs.delete(p)
-    return spark.createDataFrame([(p,) for p in deleted] or [], "path string")
+    # Distributed delete: executors remove their partition's files in
+    # parallel (the reference streams deletes through VacuumExec,
+    # commands/vacuum/physical.rs:106-128 — same shape, no driver
+    # loop). localCheckpoint materializes the side effect exactly once
+    # so re-evaluating the returned DataFrame cannot re-delete.
+    deleted = candidates.mapInPandas(_delete_batches, "path string")
+    return deleted.localCheckpoint(eager=True)
+
+
+def _delete_batches(batches):
+    """mapInPandas worker: delete each path, yield the ones removed.
+
+    Local / ``file:`` paths go through ``os.remove``; any other scheme
+    resolves a pyarrow FileSystem once per partition (works for s3://,
+    hdfs://, gs:// wherever the executor image carries the libs)."""
+    import pandas as pd
+
+    pa_fs = None
+    for pdf in batches:
+        removed = []
+        for p in pdf["path"]:
+            if "://" not in p or p.startswith("file:"):
+                local = p
+                for prefix in ("file://", "file:"):
+                    if local.startswith(prefix):
+                        local = local[len(prefix):]
+                        break
+                try:
+                    os.remove(local)
+                    removed.append(p)
+                except OSError:
+                    pass
+            else:
+                try:
+                    import pyarrow.fs as pafs
+
+                    if pa_fs is None:
+                        pa_fs, _ = pafs.FileSystem.from_uri(p)
+                    _, rel = pafs.FileSystem.from_uri(p)
+                    pa_fs.delete_file(rel)
+                    removed.append(p)
+                except Exception:
+                    pass
+        yield pd.DataFrame({"path": removed})

@@ -27,13 +27,17 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """Register the driver parquet tables as temp views and return them.
 
     One ``spark.read.parquet`` per table — Catalyst handles column
-    pruning and filter pushdown into the scans. TIMESTAMP(NANOS)
-    parquet columns (unsupported by Spark) arrive as LongType via
-    ``spark.sql.legacy.parquet.nanosAsLong`` and are converted to µs
-    timestamps here (truncation, matching DuckDB's ns→µs cast).
+    pruning and filter pushdown into the scans. Timestamp columns are
+    normalized to TIMESTAMP (with local/UTC semantics — the session
+    runs UTC) regardless of how the parquet writer typed them:
+    TIMESTAMP(NANOS) arrives as LongType via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and is truncated to µs
+    (matching DuckDB's ns→µs cast); µs-without-UTC-flag arrives as
+    TIMESTAMP_NTZ and is cast (values unchanged under UTC).
     """
     import pyarrow.parquet as papq
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
 
     out = {}
     for name in names:
@@ -50,6 +54,11 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
                     )
         except OSError:
             pass  # directory-style parquet; assume µs timestamps
+        for field in df.schema.fields:
+            if isinstance(field.dataType, TimestampNTZType):
+                df = df.withColumn(
+                    field.name, F.col(field.name).cast("timestamp")
+                )
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -37,27 +37,50 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) arrives as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+EVENTS_SCHEMA = _events_schema(LongType())  # TIMESTAMP(NANOS) as long
 
 
 def stream_events(spark, sf_dir: str) -> DataFrame:
-    """File-source stream over the driver's events parquet (ns
-    timestamps converted to µs exactly like the batch loader)."""
+    """File-source stream over the driver's events parquet, normalized
+    to a TIMESTAMP ``ts`` whatever the writer's physical type was:
+    ns → read as long (nanosAsLong) and truncated to µs, exactly like
+    the batch loader; µs-NTZ → cast (identity under the UTC session)."""
+    import pyarrow.parquet as papq
+    from pyspark.sql.types import TimestampNTZType
+
+    try:
+        ts_str = str(papq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    except OSError:
+        ts_str = "timestamp[us]"
+    if ts_str == "timestamp[ns]":
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = _events_schema(
+        TimestampNTZType() if "us" in ts_str and "UTC" not in ts_str else TimestampType()
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(

@@ -157,3 +157,72 @@ def test_sql_update_and_optimize(spark, tmp_path):
     res = sql(spark, f"OPTIMIZE '{path}' ZORDER BY (id)")
     assert res.collect()[0].files_added >= 1
     assert read_delta(spark, path).count() == 50
+
+
+def test_delete_large_payload_is_bitmap_scale(spark, tmp_path):
+    """A ~1M-row delete must ship compressed bitmaps to the driver,
+    not raw row indexes: the DV files on disk (and hence the collected
+    blobs) stay KB-scale while the deleted row count is ~500k."""
+    import os
+
+    path = str(tmp_path / "bigdel")
+    write_delta(
+        spark,
+        spark.range(1_000_000).select("id", (F.col("id") % 2).alias("par")),
+        path,
+    )
+    res = delete_delta(spark, path, "par = 0")
+    assert res["rows_deleted"] == 500_000
+    dv_bytes = sum(
+        os.path.getsize(os.path.join(path, n))
+        for n in os.listdir(path)
+        if n.startswith("deletion_vector_")
+    )
+    # 500k contiguous-ish deletes roaring-compress to well under 1 MB;
+    # raw int64 indexes would be 4 MB+.
+    assert 0 < dv_bytes < 1_000_000
+    assert read_delta(spark, path).count() == 500_000
+
+
+def test_merge_strict_rejects_duplicate_source_match(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.ops import MergeCardinalityError
+
+    path = str(tmp_path / "mrg_strict")
+    write_delta(spark, spark.range(5).select("id", F.lit("old").alias("val")), path)
+    dup_source = spark.createDataFrame(
+        [(3, "a"), (3, "b"), (4, "c")], "id long, val string"
+    )
+    with pytest.raises(MergeCardinalityError):
+        merge_delta(
+            spark,
+            path,
+            dup_source,
+            on="t.id = s.id",
+            when_matched_update={"val": "s.val"},
+            strict=True,
+        )
+    # non-strict keeps the documented (duplicating) behavior
+    res = merge_delta(
+        spark,
+        path,
+        dup_source,
+        on="t.id = s.id",
+        when_matched_update={"val": "s.val"},
+    )
+    assert res["version"] >= 1
+
+
+def test_merge_strict_passes_unique_source(spark, tmp_path):
+    path = str(tmp_path / "mrg_strict_ok")
+    write_delta(spark, spark.range(5).select("id", F.lit("old").alias("val")), path)
+    source = spark.createDataFrame([(1, "x"), (9, "y")], "id long, val string")
+    merge_delta(
+        spark,
+        path,
+        source,
+        on="t.id = s.id",
+        when_matched_update={"val": "s.val"},
+        strict=True,
+    )
+    out = {r.id: r.val for r in read_delta(spark, path).collect()}
+    assert out[1] == "x" and out[9] == "y" and out[0] == "old"
