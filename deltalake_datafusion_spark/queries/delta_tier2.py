@@ -305,28 +305,40 @@ FROM orders WHERE o_custkey < 500
 
 def sql_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE CATALOG / DROP CATALOG through the extended SQL dialect
-    (reference ``parser.rs:246-340,362-392`` → Spark namespaces): both
-    return the reference's 3-column securable row; a multi-statement
-    batch returns the last statement's result."""
+    (reference ``parser.rs:246-340,362-392``; result schemas
+    ``sql/unity/mod.rs:24-40``): CREATE returns the securable row with
+    the catalog object JSON in ``securable_object``, DROP returns
+    ``status='success'``; a multi-statement batch returns the last
+    statement's result."""
+    from pyspark.sql import functions as F
+
     from deltalake_datafusion_spark.sql.dispatcher import sql as ddl_sql
 
-    created = ddl_sql(spark, "CREATE CATALOG IF NOT EXISTS dl_cat_q")
+    created = ddl_sql(
+        spark, "CREATE CATALOG IF NOT EXISTS dl_cat_q COMMENT 'bench catalog'"
+    )
     dropped = ddl_sql(
         spark,
         "CREATE CATALOG IF NOT EXISTS dl_cat_q2; "
         "DROP CATALOG IF EXISTS dl_cat_q2 CASCADE",
     )
     ddl_sql(spark, "DROP CATALOG IF EXISTS dl_cat_q")
-    return created.unionByName(dropped).select(
-        "securable_name", "securable_type", "status"
+    return created.select(
+        "securable_name",
+        "securable_type",
+        F.get_json_object("securable_object", "$.comment").alias("detail"),
+    ).unionByName(
+        dropped.select(
+            "securable_name", "securable_type", F.col("status").alias("detail")
+        )
     )
 
 
 _CATALOG_DDL_SQL = """
-SELECT 'dl_cat_q' AS securable_name, 'catalog' AS securable_type,
-       'created' AS status
+SELECT 'dl_cat_q' AS securable_name, 'Catalog' AS securable_type,
+       'bench catalog' AS detail
 UNION ALL
-SELECT 'dl_cat_q2', 'catalog', 'dropped'
+SELECT 'dl_cat_q2', 'Catalog', 'success'
 """
 
 

@@ -1,0 +1,340 @@
+"""CREATE/DROP CATALOG: full reference grammar + execution.
+
+Parser mirrors the reference's clause loop (reference:
+``crates/datafusion/src/sql/parser.rs:246-340``): after the catalog
+name, the clauses USING SHARE / MANAGED LOCATION / DEFAULT COLLATION /
+COMMENT / OPTIONS may appear in any order, each at most once
+(``ensure_not_set``), USING SHARE and MANAGED LOCATION are mutually
+exclusive, the catalog name must be single-part, the share name
+two-part (``<provider>.<share>``), and the managed location a valid
+URL.
+
+Execution mirrors ``sql/unity/catalogs.rs:20-79`` + ``unity/exec.rs``:
+when ``lakehouse.unity.uri`` is configured the statement runs against
+the Unity Catalog REST server (create → POST with storage_root /
+provider+share / comment; drop → DELETE with force=CASCADE) and the
+result row carries the server's catalog object JSON-serialized in
+``securable_object``. Without a configured server the statement maps
+to Spark namespaces (metadata-plane fallback) with the same result
+schema. CREATE returns ``(securable_name, securable_type,
+securable_object)`` and DROP ``(securable_name, securable_type,
+status)`` exactly as ``CREATE_UC_RETURN_SCHEMA`` /
+``DROP_UC_RETURN_SCHEMA`` (``sql/unity/mod.rs:24-40``); the type
+literal is ``Catalog`` and the drop status ``success``
+(``catalogs.rs:59,79``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StringType, StructField, StructType
+
+CREATE_RETURN_SCHEMA = StructType(
+    [
+        StructField("securable_name", StringType(), False),
+        StructField("securable_type", StringType(), False),
+        StructField("securable_object", StringType(), False),
+    ]
+)
+DROP_RETURN_SCHEMA = StructType(
+    [
+        StructField("securable_name", StringType(), False),
+        StructField("securable_type", StringType(), False),
+        StructField("status", StringType(), False),
+    ]
+)
+
+
+class CatalogDdlError(Exception):
+    """Parse/semantic error in a catalog DDL statement (the analog of
+    the reference's ``parser_err!``)."""
+
+
+@dataclass
+class CreateCatalogStatement:
+    name: str
+    if_not_exists: bool = False
+    using_share: tuple[str, str] | None = None
+    managed_location: str | None = None
+    default_collation: str | None = None
+    comment: str | None = None
+    options: dict[str, str] = field(default_factory=dict)
+    has_options: bool = False
+
+
+@dataclass
+class DropCatalogStatement:
+    name: str
+    if_exists: bool = False
+    cascade: bool = False
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    '(?P<str>(?:[^']|'')*)'      # single-quoted string ('' escape)
+  | `(?P<btick>[^`]+)`           # backtick ident
+  | (?P<ident>[A-Za-z_][\w$]*)   # bare ident / keyword
+  | (?P<num>\d+(?:\.\d+)?)      # number literal (OPTIONS values)
+  | (?P<punct>[().,=;])          # punctuation
+  | (?P<ws>\s+)
+  | (?P<bad>.)
+    """,
+    re.VERBOSE,
+)
+
+
+class _Tokens:
+    def __init__(self, text: str):
+        self.toks: list[tuple[str, str]] = []
+        for m in _TOKEN_RE.finditer(text):
+            kind = m.lastgroup
+            if kind == "ws":
+                continue
+            if kind == "bad":
+                raise CatalogDdlError(f"unexpected character {m.group()!r}")
+            if kind == "str":
+                self.toks.append(("str", m.group("str").replace("''", "'")))
+            elif kind == "btick":
+                self.toks.append(("ident", m.group("btick")))
+            else:
+                self.toks.append((kind, m.group()))
+        self.pos = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def next(self) -> tuple[str, str] | None:
+        t = self.peek()
+        if t is not None:
+            self.pos += 1
+        return t
+
+    def try_keywords(self, *words: str) -> bool:
+        """Consume the keyword sequence if it is next (case-insensitive)."""
+        save = self.pos
+        for w in words:
+            t = self.next()
+            if t is None or t[0] != "ident" or t[1].upper() != w:
+                self.pos = save
+                return False
+        return True
+
+    def expect_keyword(self, word: str) -> None:
+        if not self.try_keywords(word):
+            raise CatalogDdlError(f"expected {word}, found {self.peek()}")
+
+    def expect_string(self, what: str) -> str:
+        t = self.next()
+        if t is None or t[0] != "str":
+            raise CatalogDdlError(f"expected string literal for {what}")
+        return t[1]
+
+    def object_name(self) -> list[str]:
+        t = self.next()
+        if t is None or t[0] not in ("ident", "str"):
+            raise CatalogDdlError(f"expected identifier, found {t}")
+        parts = [t[1]]
+        while self.peek() == ("punct", "."):
+            self.next()
+            t = self.next()
+            if t is None or t[0] not in ("ident", "str"):
+                raise CatalogDdlError("expected identifier after '.'")
+            parts.append(t[1])
+        return parts
+
+    def at_end(self) -> bool:
+        t = self.peek()
+        return t is None or t == ("punct", ";")
+
+
+def _ensure_not_set(value, clause: str) -> None:
+    if value:
+        raise CatalogDdlError(f"{clause} specified more than once")
+
+
+def parse_create_catalog(statement: str) -> CreateCatalogStatement | None:
+    """Returns None if the statement is not CREATE CATALOG at all;
+    raises CatalogDdlError on a malformed CREATE CATALOG."""
+    toks = _Tokens(statement)
+    if not toks.try_keywords("CREATE", "CATALOG"):
+        return None
+    if_not_exists = toks.try_keywords("IF", "NOT", "EXISTS")
+    name_parts = toks.object_name()
+    if len(name_parts) != 1:
+        raise CatalogDdlError(
+            "Expected catalog name to be a single-part identifier (<catalog>)"
+        )
+    stmt = CreateCatalogStatement(name=name_parts[0], if_not_exists=if_not_exists)
+
+    while not toks.at_end():
+        if toks.try_keywords("USING"):
+            toks.expect_keyword("SHARE")
+            _ensure_not_set(stmt.using_share, "USING SHARE")
+            share = toks.object_name()
+            if len(share) != 2:
+                raise CatalogDdlError(
+                    "Expected share name to be a two-part identifier "
+                    "(<provider>.<share>)"
+                )
+            stmt.using_share = (share[0], share[1])
+        elif toks.try_keywords("MANAGED"):
+            toks.expect_keyword("LOCATION")
+            _ensure_not_set(stmt.managed_location, "MANAGED LOCATION")
+            loc = toks.expect_string("MANAGED LOCATION")
+            m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", loc)
+            if not m:
+                raise CatalogDdlError(
+                    "Expected managed location to be a valid URL"
+                )
+            stmt.managed_location = loc
+        elif toks.try_keywords("DEFAULT"):
+            toks.expect_keyword("COLLATION")
+            _ensure_not_set(stmt.default_collation, "DEFAULT COLLATION")
+            stmt.default_collation = toks.expect_string("DEFAULT COLLATION")
+        elif toks.try_keywords("COMMENT"):
+            _ensure_not_set(stmt.comment, "COMMENT")
+            stmt.comment = toks.expect_string("COMMENT")
+        elif toks.try_keywords("OPTIONS"):
+            _ensure_not_set(stmt.has_options, "OPTIONS")
+            stmt.has_options = True
+            if toks.next() != ("punct", "("):
+                raise CatalogDdlError("expected ( after OPTIONS")
+            while True:
+                t = toks.peek()
+                if t == ("punct", ")"):
+                    toks.next()
+                    break
+                k = toks.next()
+                if k is None or k[0] not in ("ident", "str"):
+                    raise CatalogDdlError("expected option key")
+                if toks.peek() == ("punct", "="):
+                    toks.next()
+                v = toks.next()
+                if v is None or v[0] not in ("str", "num", "ident"):
+                    raise CatalogDdlError("expected option value")
+                stmt.options[k[1]] = v[1]
+                if toks.peek() == ("punct", ","):
+                    toks.next()
+        else:
+            raise CatalogDdlError(
+                f"expected end of statement or ;, found {toks.peek()}"
+            )
+
+    if stmt.using_share and stmt.managed_location:
+        raise CatalogDdlError(
+            "USING SHARE and MANAGED LOCATION are mutually exclusive."
+        )
+    return stmt
+
+
+_DROP_CATALOG_RE = re.compile(
+    r"^\s*DROP\s+CATALOG\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>[\w$]+|`[^`]+`)"
+    r"(?P<cascade>\s+CASCADE)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_drop_catalog(statement: str) -> DropCatalogStatement | None:
+    m = _DROP_CATALOG_RE.match(statement)
+    if not m:
+        return None
+    return DropCatalogStatement(
+        name=m.group("name").strip("`"),
+        if_exists=bool(m.group("ie")),
+        cascade=bool(m.group("cascade")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# execution
+
+
+def _unity_client(spark):
+    from deltalake_datafusion_spark.session import EngineConfig
+    from deltalake_datafusion_spark.unity import UnityCatalogClient
+
+    cfg = EngineConfig.from_spark(spark)
+    if not cfg.unity_uri:
+        return None
+    return UnityCatalogClient(cfg.unity_uri, cfg.unity_token)
+
+
+def _q(ident: str) -> str:
+    return "`" + ident.replace("`", "``") + "`"
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def execute_create_catalog(spark, stmt: CreateCatalogStatement) -> DataFrame:
+    client = _unity_client(spark)
+    if client is not None:
+        from deltalake_datafusion_spark.unity import UnityCatalogError
+
+        try:
+            info = client.create_catalog(
+                stmt.name,
+                comment=stmt.comment,
+                storage_root=stmt.managed_location,
+                provider_name=stmt.using_share[0] if stmt.using_share else None,
+                share_name=stmt.using_share[1] if stmt.using_share else None,
+                properties=stmt.options or None,
+            )
+        except UnityCatalogError as e:
+            if stmt.if_not_exists and e.status == 409:
+                info = client.get_catalog(stmt.name)
+            else:
+                raise
+    else:
+        ine = "IF NOT EXISTS " if stmt.if_not_exists else ""
+        parts = [f"CREATE NAMESPACE {ine}{_q(stmt.name)}"]
+        if stmt.comment is not None:
+            parts.append(f"COMMENT {_sq(stmt.comment)}")
+        props = dict(stmt.options)
+        if stmt.managed_location:
+            props["managed_location"] = stmt.managed_location
+        if stmt.using_share:
+            props["provider_name"], props["share_name"] = stmt.using_share
+        if stmt.default_collation:
+            props["default_collation"] = stmt.default_collation
+        if props:
+            kv = ", ".join(f"{_sq(k)} = {_sq(str(v))}" for k, v in props.items())
+            parts.append(f"WITH PROPERTIES ({kv})")
+        spark.sql(" ".join(parts))
+        info = {"name": stmt.name}
+        if stmt.comment is not None:
+            info["comment"] = stmt.comment
+        if stmt.managed_location:
+            info["storage_root"] = stmt.managed_location
+        if stmt.using_share:
+            info["provider_name"], info["share_name"] = stmt.using_share
+        if stmt.options:
+            info["properties"] = stmt.options
+    return spark.createDataFrame(
+        [(stmt.name, "Catalog", json.dumps(info, sort_keys=True))],
+        CREATE_RETURN_SCHEMA,
+    )
+
+
+def execute_drop_catalog(spark, stmt: DropCatalogStatement) -> DataFrame:
+    client = _unity_client(spark)
+    if client is not None:
+        from deltalake_datafusion_spark.unity import UnityCatalogError
+
+        try:
+            client.delete_catalog(stmt.name, force=stmt.cascade)
+        except UnityCatalogError as e:
+            if not (stmt.if_exists and e.status == 404):
+                raise
+    else:
+        ie = "IF EXISTS " if stmt.if_exists else ""
+        cascade = " CASCADE" if stmt.cascade else ""
+        spark.sql(f"DROP NAMESPACE {ie}{_q(stmt.name)}{cascade}")
+    return spark.createDataFrame(
+        [(stmt.name, "Catalog", "success")], DROP_RETURN_SCHEMA
+    )

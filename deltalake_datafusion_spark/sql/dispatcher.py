@@ -13,7 +13,11 @@ the same "delegate the relational tier" architecture.
 Grammar accepted (case-insensitive, mirroring parser.rs):
 
     VACUUM <name | 'url' | delta.`url`> [FULL] [RETAIN n HOURS] [DRY RUN]
-    CREATE CATALOG [IF NOT EXISTS] name [COMMENT 'c']
+    CREATE CATALOG [IF NOT EXISTS] name
+        [USING SHARE provider.share | MANAGED LOCATION 'url']
+        [DEFAULT COLLATION 'c'] [COMMENT 'c'] [OPTIONS (k 'v', ...)]
+        (full clause grammar + Unity Catalog REST execution:
+        ``sql/catalog_ddl.py``)
     DROP CATALOG [IF EXISTS] name [CASCADE]
     DELETE FROM <name | 'url'> WHERE <predicate>
     SELECT ... FROM delta_log('url') / log_replay('url') /
@@ -26,11 +30,6 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (
-    StringType,
-    StructField,
-    StructType,
-)
 
 
 class SqlParseError(Exception):
@@ -42,16 +41,6 @@ _VACUUM_RE = re.compile(
     r"(?P<full>\s+FULL)?"
     r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?"
     r"(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$",
-    re.IGNORECASE,
-)
-_CREATE_CATALOG_RE = re.compile(
-    r"^\s*CREATE\s+CATALOG\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)"
-    r"(?:\s+COMMENT\s+'(?P<comment>[^']*)')?\s*;?\s*$",
-    re.IGNORECASE,
-)
-_DROP_CATALOG_RE = re.compile(
-    r"^\s*DROP\s+CATALOG\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>[\w.]+)"
-    r"(?P<cascade>\s+CASCADE)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _DELETE_RE = re.compile(
@@ -73,15 +62,6 @@ _TABLE_FN_RE = re.compile(
     r"(?P<fn>delta_log|log_replay|directory_listing)\s*\(\s*'(?P<arg>[^']+)'\s*\)",
     re.IGNORECASE,
 )
-
-_SECURABLE_SCHEMA = StructType(
-    [
-        StructField("securable_name", StringType()),
-        StructField("securable_type", StringType()),
-        StructField("status", StringType()),
-    ]
-)
-
 
 def _unquote_target(target: str, registry=None) -> str:
     t = target.strip()
@@ -157,25 +137,25 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             full=bool(m.group("full")),
         )
 
-    m = _CREATE_CATALOG_RE.match(statement)
-    if m:
-        name = m.group("name")
-        ine = "IF NOT EXISTS " if m.group("ine") else ""
-        comment = f" COMMENT '{m.group('comment')}'" if m.group("comment") else ""
-        spark.sql(f"CREATE NAMESPACE {ine}{name}{comment}")
-        return spark.createDataFrame(
-            [(name, "catalog", "created")], _SECURABLE_SCHEMA
+    if re.match(r"^\s*CREATE\s+CATALOG\b", statement, re.IGNORECASE):
+        from deltalake_datafusion_spark.sql.catalog_ddl import (
+            execute_create_catalog,
+            parse_create_catalog,
         )
 
-    m = _DROP_CATALOG_RE.match(statement)
-    if m:
-        name = m.group("name")
-        ie = "IF EXISTS " if m.group("ie") else ""
-        cascade = " CASCADE" if m.group("cascade") else ""
-        spark.sql(f"DROP NAMESPACE {ie}{name}{cascade}")
-        return spark.createDataFrame(
-            [(name, "catalog", "dropped")], _SECURABLE_SCHEMA
+        stmt = parse_create_catalog(statement)
+        return execute_create_catalog(spark, stmt)
+
+    if re.match(r"^\s*DROP\s+CATALOG\b", statement, re.IGNORECASE):
+        from deltalake_datafusion_spark.sql.catalog_ddl import (
+            execute_drop_catalog,
+            parse_drop_catalog,
         )
+
+        stmt = parse_drop_catalog(statement)
+        if stmt is None:
+            raise SqlParseError(f"malformed DROP CATALOG: {statement!r}")
+        return execute_drop_catalog(spark, stmt)
 
     m = _DELETE_RE.match(statement)
     if m:

@@ -1,0 +1,15 @@
+"""Unity Catalog REST integration.
+
+Spark analog of the reference's ``unitycatalog_client`` usage
+(reference: ``crates/datafusion/src/unity/exec.rs:66-118``,
+``crates/datafusion/src/sql/unity/catalogs.rs:20-79``), wired to the
+``lakehouse.unity.{uri,token}`` config keys
+(``crates/datafusion/src/config.rs:5-57``).
+"""
+
+from deltalake_datafusion_spark.unity.client import (
+    UnityCatalogClient,
+    UnityCatalogError,
+)
+
+__all__ = ["UnityCatalogClient", "UnityCatalogError"]

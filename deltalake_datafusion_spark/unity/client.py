@@ -1,0 +1,115 @@
+"""Minimal Unity Catalog REST client (stdlib urllib, no SDK).
+
+Speaks the open-source Unity Catalog server API
+(``/api/2.1/unity-catalog/...``) — the same surface the reference
+drives through ``unitycatalog_client::UnityCatalogClient``
+(reference: ``crates/datafusion/src/sql/unity/catalogs.rs:20-79``:
+``create_catalog`` with optional ``storage_root`` / ``provider_name``
++ ``share_name`` / ``comment``; ``catalog(name).delete().with_force``).
+
+Driver-only code: catalog DDL is metadata-plane, a single HTTP call —
+there is nothing to distribute (the reference likewise pins its
+``UnityCatalogRequestExec`` to one partition, ``unity/exec.rs:100-118``).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+
+class UnityCatalogError(Exception):
+    """HTTP-level failure from the Unity Catalog server."""
+
+    def __init__(self, status: int, message: str):
+        super().__init__(f"Unity Catalog request failed ({status}): {message}")
+        self.status = status
+        self.message = message
+
+
+class UnityCatalogClient:
+    """Thin REST wrapper bound to one server + token."""
+
+    API_PREFIX = "/api/2.1/unity-catalog"
+
+    def __init__(self, uri: str, token: str | None = None, timeout: float = 10.0):
+        self._base = uri.rstrip("/") + self.API_PREFIX
+        self._token = token
+        self._timeout = timeout
+
+    # -- plumbing ---------------------------------------------------------
+    def _request(
+        self,
+        method: str,
+        path: str,
+        body: dict | None = None,
+        query: dict | None = None,
+    ) -> dict:
+        url = self._base + path
+        if query:
+            url += "?" + urllib.parse.urlencode(query)
+        data = None
+        headers = {"Accept": "application/json"}
+        if self._token:
+            headers["Authorization"] = f"Bearer {self._token}"
+        if body is not None:
+            data = json.dumps(body).encode("utf-8")
+            headers["Content-Type"] = "application/json"
+        req = urllib.request.Request(url, data=data, headers=headers, method=method)
+        try:
+            with urllib.request.urlopen(req, timeout=self._timeout) as resp:
+                payload = resp.read()
+        except urllib.error.HTTPError as e:
+            raise UnityCatalogError(e.code, e.read().decode("utf-8", "replace"))
+        except urllib.error.URLError as e:
+            raise UnityCatalogError(0, str(e.reason))
+        if not payload:
+            return {}
+        try:
+            return json.loads(payload)
+        except ValueError:
+            raise UnityCatalogError(0, f"non-JSON response: {payload[:200]!r}")
+
+    # -- catalogs ---------------------------------------------------------
+    def create_catalog(
+        self,
+        name: str,
+        comment: str | None = None,
+        storage_root: str | None = None,
+        provider_name: str | None = None,
+        share_name: str | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> dict:
+        """POST /catalogs — mirrors the reference's builder chain
+        (catalogs.rs:23-58: with_storage_root / with_provider_name +
+        with_share_name / with_comment)."""
+        body: dict = {"name": name}
+        if comment is not None:
+            body["comment"] = comment
+        if storage_root is not None:
+            body["storage_root"] = storage_root
+        if provider_name is not None:
+            body["provider_name"] = provider_name
+        if share_name is not None:
+            body["share_name"] = share_name
+        if properties:
+            body["properties"] = properties
+        return self._request("POST", "/catalogs", body=body)
+
+    def get_catalog(self, name: str) -> dict:
+        return self._request("GET", f"/catalogs/{urllib.parse.quote(name)}")
+
+    def list_catalogs(self) -> list[dict]:
+        out = self._request("GET", "/catalogs")
+        return out.get("catalogs", []) or []
+
+    def delete_catalog(self, name: str, force: bool = False) -> None:
+        """DELETE /catalogs/{name}?force= — catalogs.rs:72-78
+        (CASCADE → with_force)."""
+        self._request(
+            "DELETE",
+            f"/catalogs/{urllib.parse.quote(name)}",
+            query={"force": "true" if force else "false"},
+        )

@@ -134,13 +134,14 @@ def test_sql_dispatcher_vacuum_and_delete(spark, tmp_path):
 
 
 def test_sql_catalog_ddl(spark):
+    import json
+
     out = sql(spark, "CREATE CATALOG IF NOT EXISTS cat_x COMMENT 'test'")
     row = out.collect()[0]
-    assert (row.securable_name, row.securable_type, row.status) == (
-        "cat_x", "catalog", "created",
-    )
+    assert (row.securable_name, row.securable_type) == ("cat_x", "Catalog")
+    assert json.loads(row.securable_object)["comment"] == "test"
     out = sql(spark, "DROP CATALOG IF EXISTS cat_x")
-    assert out.collect()[0].status == "dropped"
+    assert out.collect()[0].status == "success"
 
 
 def test_sql_table_functions(spark, tmp_path):

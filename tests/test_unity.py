@@ -1,0 +1,236 @@
+"""Unity Catalog DDL (S22/S23): full CREATE CATALOG grammar + REST.
+
+Parser cases mirror the reference's own tests
+(``crates/datafusion/src/sql/parser.rs:493-658``); REST execution is
+checked against a local fake Unity Catalog HTTP server (reference
+behavior: ``crates/datafusion/src/sql/unity/catalogs.rs:20-79``,
+``unity/exec.rs:100-118``; config keys ``config.rs:5-57``).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from deltalake_datafusion_spark.sql.catalog_ddl import (
+    CatalogDdlError,
+    parse_create_catalog,
+    parse_drop_catalog,
+)
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+
+# ---------------------------------------------------------------------------
+# parser — the reference's parser.rs:493-543 cases
+
+
+def test_parse_create_catalog_reference_cases():
+    s = parse_create_catalog("CREATE CATALOG IF NOT EXISTS my_catalog")
+    assert s.name == "my_catalog" and s.if_not_exists
+    assert s.using_share is None and s.managed_location is None
+    assert s.default_collation is None and s.comment is None and not s.options
+
+    s = parse_create_catalog("CREATE CATALOG my_catalog USING SHARE provider.share")
+    assert s.using_share == ("provider", "share") and not s.if_not_exists
+
+    s = parse_create_catalog(
+        "CREATE CATALOG my_catalog MANAGED LOCATION 's3://my-bucket/my_catalog'"
+    )
+    assert s.managed_location == "s3://my-bucket/my_catalog"
+
+
+def test_parse_create_catalog_all_clauses_any_order():
+    s = parse_create_catalog(
+        "CREATE CATALOG c OPTIONS (k1 'v1', k2 = 'v2') COMMENT 'hello' "
+        "DEFAULT COLLATION 'utf8_bin' MANAGED LOCATION 'gs://b/c';"
+    )
+    assert s.options == {"k1": "v1", "k2": "v2"}
+    assert s.comment == "hello"
+    assert s.default_collation == "utf8_bin"
+    assert s.managed_location == "gs://b/c"
+
+
+def test_parse_create_catalog_errors():
+    # multi-part catalog name rejected (parser.rs:252-254)
+    with pytest.raises(CatalogDdlError, match="single-part"):
+        parse_create_catalog("CREATE CATALOG a.b")
+    # share name must be two-part (parser.rs:278-283)
+    with pytest.raises(CatalogDdlError, match="two-part"):
+        parse_create_catalog("CREATE CATALOG c USING SHARE justone")
+    # managed location must be a URL (parser.rs:291-295)
+    with pytest.raises(CatalogDdlError, match="valid URL"):
+        parse_create_catalog("CREATE CATALOG c MANAGED LOCATION 'not a url'")
+    # duplicate clause (ensure_not_set)
+    with pytest.raises(CatalogDdlError, match="more than once"):
+        parse_create_catalog("CREATE CATALOG c COMMENT 'a' COMMENT 'b'")
+    # mutual exclusion (parser.rs:325-327)
+    with pytest.raises(CatalogDdlError, match="mutually exclusive"):
+        parse_create_catalog(
+            "CREATE CATALOG c USING SHARE p.s MANAGED LOCATION 's3://b/x'"
+        )
+    # trailing garbage
+    with pytest.raises(CatalogDdlError, match="end of statement"):
+        parse_create_catalog("CREATE CATALOG c BOGUS")
+
+
+def test_parse_drop_catalog():
+    s = parse_drop_catalog("DROP CATALOG IF EXISTS c CASCADE")
+    assert (s.name, s.if_exists, s.cascade) == ("c", True, True)
+    s = parse_drop_catalog("DROP CATALOG c;")
+    assert (s.name, s.if_exists, s.cascade) == ("c", False, False)
+
+
+# ---------------------------------------------------------------------------
+# fake Unity Catalog server
+
+
+class _FakeUC(BaseHTTPRequestHandler):
+    requests: list[dict] = []
+    catalogs: dict[str, dict] = {}
+
+    def _record(self, body=None):
+        type(self).requests.append(
+            {
+                "method": self.command,
+                "path": self.path,
+                "auth": self.headers.get("Authorization"),
+                "body": body,
+            }
+        )
+
+    def _reply(self, code: int, obj: dict):
+        payload = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        body = json.loads(self.rfile.read(n)) if n else {}
+        self._record(body)
+        name = body.get("name", "")
+        if name in type(self).catalogs:
+            self._reply(409, {"error_code": "ALREADY_EXISTS"})
+            return
+        info = dict(body)
+        info["id"] = f"uc-{len(type(self).catalogs)}"
+        type(self).catalogs[name] = info
+        self._reply(200, info)
+
+    def do_GET(self):
+        self._record()
+        name = self.path.rsplit("/", 1)[-1].split("?")[0]
+        if name in type(self).catalogs:
+            self._reply(200, type(self).catalogs[name])
+        else:
+            self._reply(404, {"error_code": "NOT_FOUND"})
+
+    def do_DELETE(self):
+        self._record()
+        name = self.path.rsplit("/", 1)[-1].split("?")[0]
+        if name in type(self).catalogs:
+            del type(self).catalogs[name]
+            self._reply(200, {})
+        else:
+            self._reply(404, {"error_code": "NOT_FOUND"})
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture()
+def fake_uc():
+    _FakeUC.requests = []
+    _FakeUC.catalogs = {}
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _FakeUC)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{server.server_address[1]}", _FakeUC
+    finally:
+        server.shutdown()
+        t.join(timeout=5)
+
+
+@pytest.fixture()
+def uc_spark(spark, fake_uc):
+    uri, handler = fake_uc
+    spark.conf.set("lakehouse.unity.uri", uri)
+    spark.conf.set("lakehouse.unity.token", "tok123")
+    try:
+        yield spark, handler
+    finally:
+        spark.conf.unset("lakehouse.unity.uri")
+        spark.conf.unset("lakehouse.unity.token")
+
+
+def test_uc_create_catalog_rest(uc_spark):
+    spark, handler = uc_spark
+    out = sql(
+        spark,
+        "CREATE CATALOG uc_cat MANAGED LOCATION 's3://bkt/root' "
+        "COMMENT 'from test' OPTIONS (team 'data')",
+    )
+    row = out.collect()[0]
+    assert (row.securable_name, row.securable_type) == ("uc_cat", "Catalog")
+    obj = json.loads(row.securable_object)
+    assert obj["name"] == "uc_cat" and obj["id"] == "uc-0"
+    assert obj["storage_root"] == "s3://bkt/root"
+    req = handler.requests[0]
+    assert req["method"] == "POST"
+    assert req["path"] == "/api/2.1/unity-catalog/catalogs"
+    assert req["auth"] == "Bearer tok123"
+    assert req["body"]["comment"] == "from test"
+    assert req["body"]["properties"] == {"team": "data"}
+
+
+def test_uc_create_share_backed_catalog(uc_spark):
+    spark, handler = uc_spark
+    sql(spark, "CREATE CATALOG shared USING SHARE acme.sales")
+    body = handler.requests[0]["body"]
+    assert body["provider_name"] == "acme" and body["share_name"] == "sales"
+
+
+def test_uc_create_if_not_exists_falls_back_to_get(uc_spark):
+    spark, handler = uc_spark
+    sql(spark, "CREATE CATALOG twice")
+    out = sql(spark, "CREATE CATALOG IF NOT EXISTS twice")
+    obj = json.loads(out.collect()[0].securable_object)
+    assert obj["id"] == "uc-0"  # the original, fetched via GET after 409
+    methods = [r["method"] for r in handler.requests]
+    assert methods == ["POST", "POST", "GET"]
+    # without IF NOT EXISTS the 409 propagates
+    from deltalake_datafusion_spark.unity import UnityCatalogError
+
+    with pytest.raises(UnityCatalogError):
+        sql(spark, "CREATE CATALOG twice")
+
+
+def test_uc_drop_catalog_rest(uc_spark):
+    spark, handler = uc_spark
+    sql(spark, "CREATE CATALOG dropme")
+    out = sql(spark, "DROP CATALOG dropme CASCADE")
+    assert out.collect()[0].status == "success"
+    dele = handler.requests[-1]
+    assert dele["method"] == "DELETE"
+    assert dele["path"].endswith("/catalogs/dropme?force=true")
+    # IF EXISTS swallows 404; bare drop raises
+    assert sql(spark, "DROP CATALOG IF EXISTS dropme").collect()[0].status == "success"
+    from deltalake_datafusion_spark.unity import UnityCatalogError
+
+    with pytest.raises(UnityCatalogError):
+        sql(spark, "DROP CATALOG dropme")
+
+
+def test_namespace_fallback_without_uc(spark):
+    """No lakehouse.unity.uri → Spark-namespace execution, same schema."""
+    out = sql(spark, "CREATE CATALOG ns_only COMMENT 'ns'")
+    row = out.collect()[0]
+    assert row.securable_type == "Catalog"
+    assert json.loads(row.securable_object) == {"comment": "ns", "name": "ns_only"}
+    assert sql(spark, "DROP CATALOG ns_only").collect()[0].status == "success"
