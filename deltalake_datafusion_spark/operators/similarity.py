@@ -13,8 +13,9 @@ Scale story:
   bucket (+ multiprobe neighbors), so the candidate set shrinks by
   ~2^bits. Hyperplanes are seeded literals — deterministic across
   runs and engines.
-- ``ivf_topk`` (inverted-file) picks centroid anchors from a
-  deterministic sample, assigns vectors to nearest anchors once
+- ``ivf_topk`` (inverted-file) trains spherical k-means centroids on
+  a bounded deterministic sample (driver-side Lloyd on ≤4k vectors —
+  corpus-size-independent), assigns vectors to nearest anchors once
   (materializable as a bucketed table), and probes ``n_probe``
   nearest lists per query — the classic disk-friendly ANN layout.
 """
@@ -182,6 +183,69 @@ def lsh_topk(
     )
 
 
+def _kmeans_anchors(
+    corpus: DataFrame,
+    n_lists: int,
+    id_col: str,
+    vec_col: str,
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Spherical k-means centroids trained on a bounded, deterministic
+    corpus sample.
+
+    Scale shape: the sample is hash-ordered (``xxhash64`` of the id —
+    uniform, reproducible, engine-local) and capped at ``sample_rows``,
+    so the driver-side Lloyd loop is O(sample·dim·iters) regardless of
+    corpus size — the same bounded-training trick as k-means||'s final
+    reclustering step. The full corpus never leaves the executors; only
+    the tiny centroid matrix is broadcast back.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([list(r[1]) for r in sample], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n = Xn.shape[0]
+    k = min(n_lists, n)
+    rng = np.random.RandomState(seed)
+
+    # k-means++ seeding on cosine distance (1 - dot of unit vectors)
+    centroids = [Xn[rng.randint(n)]]
+    for _ in range(1, k):
+        sims = np.max(np.stack([Xn @ c for c in centroids]), axis=0)
+        d2 = np.maximum(1.0 - sims, 0.0) ** 2
+        total = d2.sum()
+        if total <= 0:
+            centroids.append(Xn[rng.randint(n)])
+            continue
+        centroids.append(Xn[rng.choice(n, p=d2 / total)])
+    C = np.stack(centroids)
+
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        newC = np.zeros_like(C)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members) == 0:  # empty list → reseed at worst-fit point
+                worst = np.argmin(np.max(Xn @ C.T, axis=1))
+                newC[j] = Xn[worst]
+            else:
+                m = members.mean(axis=0)
+                newC[j] = m / max(np.linalg.norm(m), 1e-12)
+        if np.allclose(newC, C, atol=1e-9):
+            C = newC
+            break
+        C = newC
+    return [[float(x) for x in row] for row in C]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -192,17 +256,17 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    seed: int = 42,
 ) -> DataFrame:
-    """IVF-flat ANN: anchors = deterministic corpus sample (lowest ids
-    — a stand-in for k-means centroids; the assignment/probe plumbing
-    is identical), vectors assigned to nearest anchor, queries probe
-    ``n_probe`` nearest lists."""
-    wa = Window.orderBy(F.asc("aid"))
-    anchors = (
-        corpus.orderBy(F.asc(id_col))
-        .limit(n_lists)
-        .select(F.col(id_col).alias("aid"), F.col(vec_col).alias("avec"))
-        .select((F.row_number().over(wa) - 1).alias("list_id"), "avec")
+    """IVF-flat ANN: anchors = spherical k-means centroids trained on a
+    bounded deterministic sample (``_kmeans_anchors``), vectors
+    assigned to nearest anchor once (materializable as a bucketed
+    table), queries probe ``n_probe`` nearest lists."""
+    spark = corpus.sparkSession
+    centroids = _kmeans_anchors(corpus, n_lists, id_col, vec_col, seed=seed)
+    anchors = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "list_id int, avec array<double>",
     )
     a = F.broadcast(anchors)
 
@@ -278,11 +342,16 @@ def strict_cosine_pandas_udf():
     return pandas_udf(_cos, DoubleType())
 
 
+class CorpusTooLargeError(Exception):
+    """brute_force_near_dup aimed at a corpus beyond its design bound."""
+
+
 def brute_force_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "v",
     threshold: float = 0.95,
+    max_rows: int = 10_000_000,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup (a < b, cosine ≥ threshold)
     with a broadcast build side: the corpus (ids + vectors) is
@@ -298,14 +367,22 @@ def brute_force_near_dup(
 
     Scale note: broadcast brute force is the right shape only while
     the corpus fits in executor memory (~10M vectors at dim 64);
-    beyond that use embedding_near_dup_lsh (operators/dedup.py), which
-    this function's output certifies on samples.
+    ``max_rows`` enforces that contract — beyond it the call fails
+    fast with a pointer at embedding_near_dup_lsh (operators/dedup.py),
+    which this function's output certifies on samples.
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
+    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise CorpusTooLargeError(
+            f"brute_force_near_dup is the exactness certifier for bounded "
+            f"samples (> {max_rows} rows collected); for full-corpus "
+            f"near-dup use embedding_near_dup_lsh (operators/dedup.py) "
+            f"or raise max_rows explicitly"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     order = np.argsort(ids, kind="stable")
