@@ -1,0 +1,553 @@
+"""DAT-style reader acceptance matrix.
+
+The reference's layer-2 test bed runs the published Delta Acceptance
+Testing corpus: golden tables + expected content, asserted via
+snapshot metadata and a full scan (reference:
+``crates/datafusion/src/lib.rs:50-69`` skip-list harness,
+``crates/acceptance/src/data.rs:20-155`` golden comparison). The
+corpus tarball is not obtainable in this environment, so this module
+regenerates the same case matrix locally — crucially with
+**hand-written log JSON + pyarrow-written parquet**, never this
+repo's own writer, so the reader is exercised against independently
+constructed tables exactly as DAT does.
+
+Cases mirror the DAT reader_tests dimensions: basic_append,
+basic_partitioned, multi_partitioned (url-encoded paths, typed/null
+partition values), with_checkpoint, no_replay (checkpoint only, JSON
+pruned), with_schema_change, no_stats, all_primitive_types,
+nested_types, column_mapping, deletion_vectors.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as papq
+import pytest
+
+from deltalake_datafusion_spark.delta.deletion_vectors import (
+    serialize_bitmap,
+    z85_encode,
+)
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+# ---------------------------------------------------------------------------
+# golden-table construction helpers (deliberately independent of
+# deltalake_datafusion_spark.delta.writer)
+
+
+def _field(name, typ, nullable=True, metadata=None):
+    return {
+        "name": name,
+        "type": typ,
+        "nullable": nullable,
+        "metadata": metadata or {},
+    }
+
+
+def _schema_string(fields) -> str:
+    return json.dumps({"type": "struct", "fields": fields})
+
+
+def _metadata_action(fields, partition_columns=(), configuration=None, mid="m-1"):
+    return {
+        "metaData": {
+            "id": mid,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _schema_string(fields),
+            "partitionColumns": list(partition_columns),
+            "configuration": configuration or {},
+            "createdTime": 1700000000000,
+        }
+    }
+
+
+def _protocol_action(reader=1, writer=2, reader_features=None, writer_features=None):
+    p = {"minReaderVersion": reader, "minWriterVersion": writer}
+    if reader_features is not None:
+        p["readerFeatures"] = reader_features
+    if writer_features is not None:
+        p["writerFeatures"] = writer_features
+    return {"protocol": p}
+
+
+def _commit(table: str, version: int, actions: list[dict]) -> None:
+    log_dir = os.path.join(table, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _write_file(table: str, rel_path: str, arrow_table: pa.Table) -> dict:
+    """Write a parquet file and return its add action (no stats unless
+    the caller attaches them)."""
+    full = os.path.join(table, rel_path.replace("%20", " "))
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    papq.write_table(arrow_table, full)
+    return {
+        "add": {
+            "path": rel_path,
+            "partitionValues": {},
+            "size": os.path.getsize(full),
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+        }
+    }
+
+
+LONG_VAL = [_field("id", "long"), _field("val", "double")]
+
+
+def _ids(lo, hi):
+    return pa.table(
+        {
+            "id": pa.array(range(lo, hi), pa.int64()),
+            "val": pa.array([float(i) * 1.5 for i in range(lo, hi)], pa.float64()),
+        }
+    )
+
+
+def _scan_sorted(spark, path, version=None):
+    df = read_delta(spark, path, version=version)
+    return sorted([tuple(r) for r in df.collect()], key=repr), df.columns
+
+
+# ---------------------------------------------------------------------------
+# cases
+
+
+def test_dat_basic_append(spark, tmp_path):
+    t = str(tmp_path / "basic_append")
+    _commit(t, 0, [
+        _protocol_action(),
+        _metadata_action(LONG_VAL),
+        _write_file(t, "part-00000.parquet", _ids(0, 5)),
+    ])
+    _commit(t, 1, [_write_file(t, "part-00001.parquet", _ids(5, 10))])
+
+    snap = load_snapshot(t)
+    assert snap.version == 1 and len(snap.files) == 2
+    rows, cols = _scan_sorted(spark, t)
+    assert cols == ["id", "val"]
+    assert rows == sorted(
+        [(i, i * 1.5) for i in range(10)], key=repr
+    )
+    # time travel back to v0
+    rows0, _ = _scan_sorted(spark, t, version=0)
+    assert len(rows0) == 5
+
+
+def test_dat_basic_partitioned(spark, tmp_path):
+    t = str(tmp_path / "basic_partitioned")
+    fields = LONG_VAL + [_field("part", "string")]
+    data_only = _ids(0, 3)
+    a1 = _write_file(t, "part=a/f1.parquet", data_only)
+    a1["add"]["partitionValues"] = {"part": "a"}
+    a2 = _write_file(t, "part=__HIVE_DEFAULT_PARTITION__/f2.parquet", _ids(3, 5))
+    a2["add"]["partitionValues"] = {"part": None}  # null partition value
+    _commit(t, 0, [
+        _protocol_action(),
+        _metadata_action(fields, partition_columns=["part"]),
+        a1,
+        a2,
+    ])
+    rows, cols = _scan_sorted(spark, t)
+    assert cols == ["id", "val", "part"]
+    by_id = {r[0]: r[2] for r in rows}
+    assert by_id[0] == "a" and by_id[1] == "a" and by_id[2] == "a"
+    assert by_id[3] is None and by_id[4] is None
+
+
+def test_dat_multi_partitioned(spark, tmp_path):
+    """Two partition columns, one int-typed, one string with a space
+    (url-encoded in add.path, raw in partitionValues)."""
+    t = str(tmp_path / "multi_partitioned")
+    fields = LONG_VAL + [_field("k", "integer"), _field("tag", "string")]
+    a1 = _write_file(t, "k=7/tag=p%201/f1.parquet", _ids(0, 4))
+    a1["add"]["partitionValues"] = {"k": "7", "tag": "p 1"}
+    a2 = _write_file(t, "k=9/tag=plain/f2.parquet", _ids(4, 6))
+    a2["add"]["partitionValues"] = {"k": "9", "tag": "plain"}
+    _commit(t, 0, [
+        _protocol_action(),
+        _metadata_action(fields, partition_columns=["k", "tag"]),
+        a1,
+        a2,
+    ])
+    rows, cols = _scan_sorted(spark, t)
+    assert cols == ["id", "val", "k", "tag"]
+    by_id = {r[0]: (r[2], r[3]) for r in rows}
+    assert by_id[0] == (7, "p 1")  # typed int + decoded string
+    assert by_id[5] == (9, "plain")
+    # typed partition predicate prunes down to one file
+    df = read_delta(spark, t).filter("k = 9")
+    assert df.count() == 2
+
+
+def _checkpoint_table(t: str, version: int, snap_actions: list[dict]) -> None:
+    """Write a checkpoint parquet + _last_checkpoint by hand (standard
+    column-per-action-type layout, actions as struct columns)."""
+    rows = []
+    for a in snap_actions:
+        row = {"add": None, "metaData": None, "protocol": None, "remove": None}
+        for k, v in a.items():
+            row[k] = v
+        rows.append(row)
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    rm_t = pa.struct([("path", pa.string()), ("deletionTimestamp", pa.int64())])
+
+    def conv(row, key):
+        v = row[key]
+        if v is None:
+            return None
+        v = dict(v)
+        if key == "add":
+            v["partitionValues"] = list((v.get("partitionValues") or {}).items())
+            v.setdefault("stats", None)
+            v = {k2: v.get(k2) for k2 in
+                 ("path", "partitionValues", "size", "modificationTime",
+                  "dataChange", "stats")}
+        if key == "metaData":
+            v["configuration"] = list((v.get("configuration") or {}).items())
+            v["format"] = {"provider": v.get("format", {}).get("provider", "parquet")}
+            v = {k2: v.get(k2) for k2 in
+                 ("id", "format", "schemaString", "partitionColumns",
+                  "configuration", "createdTime")}
+        if key == "protocol":
+            v = {k2: v.get(k2) for k2 in ("minReaderVersion", "minWriterVersion")}
+        return v
+
+    table = pa.table(
+        {
+            "add": pa.array([conv(r, "add") for r in rows], add_t),
+            "metaData": pa.array([conv(r, "metaData") for r in rows], meta_t),
+            "protocol": pa.array([conv(r, "protocol") for r in rows], proto_t),
+            "remove": pa.array([None] * len(rows), rm_t),
+        }
+    )
+    log_dir = os.path.join(t, "_delta_log")
+    papq.write_table(
+        table, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+
+
+def test_dat_with_checkpoint(spark, tmp_path):
+    """v0-v1 commits, checkpoint at v1, tail commit v2: reader starts
+    at the checkpoint and replays only the tail."""
+    t = str(tmp_path / "with_checkpoint")
+    proto = _protocol_action()
+    meta = _metadata_action(LONG_VAL)
+    a0 = _write_file(t, "f0.parquet", _ids(0, 4))
+    a1 = _write_file(t, "f1.parquet", _ids(4, 8))
+    _commit(t, 0, [proto, meta, a0])
+    _commit(t, 1, [a1])
+    _checkpoint_table(t, 1, [proto, meta, a0, a1])
+    a2 = _write_file(t, "f2.parquet", _ids(8, 10))
+    _commit(t, 2, [a2])
+
+    snap = load_snapshot(t)
+    assert snap.version == 2 and len(snap.files) == 3
+    rows, _ = _scan_sorted(spark, t)
+    assert len(rows) == 10
+
+
+def test_dat_no_replay(spark, tmp_path):
+    """Pre-checkpoint JSON removed (log cleanup): the checkpoint alone
+    must reconstruct the snapshot."""
+    t = str(tmp_path / "no_replay")
+    proto = _protocol_action()
+    meta = _metadata_action(LONG_VAL)
+    a0 = _write_file(t, "f0.parquet", _ids(0, 4))
+    a1 = _write_file(t, "f1.parquet", _ids(4, 8))
+    _commit(t, 0, [proto, meta, a0])
+    _commit(t, 1, [a1])
+    _checkpoint_table(t, 1, [proto, meta, a0, a1])
+    for v in (0, 1):
+        os.remove(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+
+    snap = load_snapshot(t)
+    assert snap.version == 1 and len(snap.files) == 2
+    rows, _ = _scan_sorted(spark, t)
+    assert [r[0] for r in sorted(rows)] == list(range(8))
+
+
+def test_dat_with_schema_change(spark, tmp_path):
+    """metaData replaced mid-log (added column): latest schema wins,
+    old files impute null."""
+    t = str(tmp_path / "schema_change")
+    _commit(t, 0, [
+        _protocol_action(),
+        _metadata_action(LONG_VAL, mid="m-1"),
+        _write_file(t, "f0.parquet", _ids(0, 3)),
+    ])
+    wide = pa.table(
+        {
+            "id": pa.array([3, 4], pa.int64()),
+            "val": pa.array([4.5, 6.0], pa.float64()),
+            "tag": pa.array(["x", "y"], pa.string()),
+        }
+    )
+    _commit(t, 1, [
+        _metadata_action(LONG_VAL + [_field("tag", "string")], mid="m-1"),
+        _write_file(t, "f1.parquet", wide),
+    ])
+    rows, cols = _scan_sorted(spark, t)
+    assert cols == ["id", "val", "tag"]
+    by_id = {r[0]: r[2] for r in rows}
+    assert by_id[0] is None and by_id[3] == "x" and by_id[4] == "y"
+
+
+def test_dat_no_stats(spark, tmp_path):
+    """adds carry no stats: scans and filtered scans must still work
+    (pruning keeps stat-less files)."""
+    t = str(tmp_path / "no_stats")
+    _commit(t, 0, [
+        _protocol_action(),
+        _metadata_action(LONG_VAL),
+        _write_file(t, "f0.parquet", _ids(0, 5)),
+        _write_file(t, "f1.parquet", _ids(5, 10)),
+    ])
+    assert read_delta(spark, t).count() == 10
+    assert read_delta(spark, t).filter("id >= 7").count() == 3
+
+
+def test_dat_all_primitive_types(spark, tmp_path):
+    t = str(tmp_path / "all_primitive_types")
+    fields = [
+        _field("c_bool", "boolean"),
+        _field("c_byte", "byte"),
+        _field("c_short", "short"),
+        _field("c_int", "integer"),
+        _field("c_long", "long"),
+        _field("c_float", "float"),
+        _field("c_double", "double"),
+        _field("c_str", "string"),
+        _field("c_bin", "binary"),
+        _field("c_date", "date"),
+        _field("c_ts", "timestamp"),
+        _field("c_dec", "decimal(10,2)"),
+    ]
+    table = pa.table(
+        {
+            "c_bool": pa.array([True, False, None], pa.bool_()),
+            "c_byte": pa.array([1, -2, None], pa.int8()),
+            "c_short": pa.array([100, -200, None], pa.int16()),
+            "c_int": pa.array([1000, -2000, None], pa.int32()),
+            "c_long": pa.array([10**12, -(10**12), None], pa.int64()),
+            "c_float": pa.array([1.5, -2.5, None], pa.float32()),
+            "c_double": pa.array([1.25, -2.25, None], pa.float64()),
+            "c_str": pa.array(["a", "ü", None], pa.string()),
+            "c_bin": pa.array([b"\x01\x02", b"", None], pa.binary()),
+            "c_date": pa.array(
+                [dt.date(2020, 1, 1), dt.date(1970, 1, 1), None], pa.date32()
+            ),
+            "c_ts": pa.array(
+                [
+                    dt.datetime(2021, 6, 1, 12, 0, 0),
+                    dt.datetime(1999, 12, 31, 23, 59, 59),
+                    None,
+                ],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "c_dec": pa.array(
+                [
+                    decimal.Decimal("12345.67"),
+                    decimal.Decimal("-0.01"),
+                    None,
+                ],
+                pa.decimal128(10, 2),
+            ),
+        }
+    )
+    _commit(t, 0, [
+        _protocol_action(),
+        _metadata_action(fields),
+        _write_file(t, "f0.parquet", table),
+    ])
+    df = read_delta(spark, t)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "boolean", "tinyint", "smallint", "int", "bigint", "float",
+        "double", "string", "binary", "date", "timestamp", "decimal(10,2)",
+    ]
+    rows = df.orderBy("c_int").collect()  # NULL sorts first ascending
+    assert rows[2].c_long == 10**12 and rows[2].c_dec == decimal.Decimal("12345.67")
+    assert rows[2].c_ts == dt.datetime(2021, 6, 1, 12, 0, 0)
+    assert all(v is None for v in rows[0][:])  # the all-null row survives
+
+
+def test_dat_nested_types(spark, tmp_path):
+    t = str(tmp_path / "nested_types")
+    fields = [
+        _field("id", "long"),
+        _field(
+            "s",
+            {
+                "type": "struct",
+                "fields": [
+                    _field("a", "long"),
+                    _field("b", "string"),
+                ],
+            },
+        ),
+        _field(
+            "arr",
+            {"type": "array", "elementType": "long", "containsNull": True},
+        ),
+        _field(
+            "m",
+            {
+                "type": "map",
+                "keyType": "string",
+                "valueType": "long",
+                "valueContainsNull": True,
+            },
+        ),
+    ]
+    table = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "s": pa.array(
+                [{"a": 10, "b": "x"}, {"a": 20, "b": None}],
+                pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            ),
+            "arr": pa.array([[1, 2, 3], []], pa.list_(pa.int64())),
+            "m": pa.array(
+                [[("k1", 1)], [("k2", 2), ("k3", None)]],
+                pa.map_(pa.string(), pa.int64()),
+            ),
+        }
+    )
+    _commit(t, 0, [
+        _protocol_action(),
+        _metadata_action(fields),
+        _write_file(t, "f0.parquet", table),
+    ])
+    rows = read_delta(spark, t).orderBy("id").collect()
+    assert rows[0].s.a == 10 and rows[0].s.b == "x"
+    assert rows[0].arr == [1, 2, 3] and rows[1].arr == []
+    assert rows[1].m == {"k2": 2, "k3": None}
+
+
+def test_dat_column_mapping(spark, tmp_path):
+    """columnMapping mode=name: parquet carries physical names, the
+    scan surfaces logical names (reader protocol v2)."""
+    t = str(tmp_path / "column_mapping")
+    fields = [
+        _field(
+            "user_id",
+            "long",
+            metadata={
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-aaa111",
+            },
+        ),
+        _field(
+            "score",
+            "double",
+            metadata={
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-bbb222",
+            },
+        ),
+    ]
+    table = pa.table(
+        {
+            "col-aaa111": pa.array([1, 2, 3], pa.int64()),
+            "col-bbb222": pa.array([0.5, 1.5, 2.5], pa.float64()),
+        }
+    )
+    _commit(t, 0, [
+        _protocol_action(reader=2, writer=5),
+        _metadata_action(
+            fields,
+            configuration={
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "2",
+            },
+        ),
+        _write_file(t, "f0.parquet", table),
+    ])
+    df = read_delta(spark, t)
+    assert df.columns == ["user_id", "score"]
+    assert sorted([tuple(r) for r in df.collect()]) == [
+        (1, 0.5), (2, 1.5), (3, 2.5),
+    ]
+
+
+def test_dat_deletion_vectors(spark, tmp_path):
+    """Inline DV (z85 portable bitmap) on one of two files; reader
+    protocol v3 + deletionVectors feature."""
+    t = str(tmp_path / "deletion_vectors")
+    deleted = [2, 5, 7]
+    blob = serialize_bitmap(deleted)
+    # z85 works in 4-byte groups: inline writers zero-pad the portable
+    # blob (the bitmap deserializer consumes only its own length)
+    padded = blob + b"\x00" * (-len(blob) % 4)
+    a0 = _write_file(t, "f0.parquet", _ids(0, 10))
+    a0["add"]["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(padded),
+        "sizeInBytes": len(blob),
+        "cardinality": len(deleted),
+    }
+    a1 = _write_file(t, "f1.parquet", _ids(10, 15))
+    _commit(t, 0, [
+        _protocol_action(
+            reader=3, writer=7,
+            reader_features=["deletionVectors"],
+            writer_features=["deletionVectors"],
+        ),
+        _metadata_action(
+            LONG_VAL,
+            configuration={"delta.enableDeletionVectors": "true"},
+        ),
+        a0,
+        a1,
+    ])
+    df = read_delta(spark, t)
+    got = sorted(r.id for r in df.collect())
+    assert got == [i for i in range(15) if i not in deleted]
+
+
+def test_dat_unsupported_reader_version_rejected(spark, tmp_path):
+    """Protocol guard: a table demanding a future reader version must
+    fail loudly, not scan wrongly (kernel check parity)."""
+    from deltalake_datafusion_spark.delta.snapshot import DeltaProtocolError
+
+    t = str(tmp_path / "future_proto")
+    _commit(t, 0, [
+        _protocol_action(reader=9, writer=9),
+        _metadata_action(LONG_VAL),
+        _write_file(t, "f0.parquet", _ids(0, 2)),
+    ])
+    with pytest.raises(DeltaProtocolError):
+        load_snapshot(t)
