@@ -1,0 +1,89 @@
+"""Join co-location: bucketed tables and reusable hash partitioning.
+
+The two standard ways to make a big⋈big join cheap at 100 TB, both
+pure Spark (no custom execution):
+
+- **Bucketing** (``write_bucketed`` + ``read_bucketed_join``): persist
+  both sides pre-hashed into the same number of buckets on the join
+  key. Catalyst then plans a sort-merge join with **zero Exchange** —
+  the shuffle happened once at write time and is amortized over every
+  subsequent join, the decisive win for fact tables joined daily.
+  Spark's bucketing metadata lives in the catalog, so bucketed writes
+  go through ``saveAsTable`` (``DataFrameWriter.bucketBy`` contract).
+
+- **Partition reuse** (``colocate``): for one-shot pipelines where a
+  catalog write is not warranted, repartition both sides by the join
+  key up front; the join itself then adds no further exchange and the
+  partitioning is reused by every downstream key-aligned operator
+  (groupBy on the same key, subsequent joins) within the job.
+
+Plan guards for both shapes live in ``tests/test_plan_quality.py`` —
+the property asserted is literally "no ShuffleExchange above the
+scan", which is the 100 TB design goal stated in plan terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) catalog table.
+
+    Sorting within buckets lets the sort-merge join skip its sort step
+    too (plan shows SortMergeJoin directly over FileScan).
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def read_bucketed_join(
+    spark,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key.
+
+    With matching bucket specs Catalyst plans this with no Exchange on
+    either side (bucket pruning/alignment is automatic; Spark requires
+    ``spark.sql.sources.bucketing.enabled`` = true, the default).
+    """
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, on, how)
+
+
+def colocate(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Hash-partition both sides identically on the join key so the
+    subsequent join (and any same-key aggregation after it) reuses one
+    up-front shuffle per side instead of shuffling inside the join.
+
+    Returns the repartitioned (left, right); callers join them with
+    plain ``.join`` and Catalyst recognizes the existing distribution.
+    """
+    cols_l = [left[c] for c in on]
+    cols_r = [right[c] for c in on]
+    if num_partitions:
+        return (
+            left.repartition(num_partitions, *cols_l),
+            right.repartition(num_partitions, *cols_r),
+        )
+    return left.repartition(*cols_l), right.repartition(*cols_r)

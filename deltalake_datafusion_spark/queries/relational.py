@@ -656,6 +656,60 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-amortized fact⋈dim join: both sides persisted bucketed
+    on the join key (the write pays the one shuffle), then joined and
+    aggregated with zero Exchange in the join plan
+    (``tests/test_plan_quality.py::test_bucketed_join_has_no_exchange``
+    guards the plan shape). Result-identical to the plain join, which
+    is what the oracle checks."""
+    import os
+    import shutil
+
+    from deltalake_datafusion_spark.operators.colocate import (
+        read_bucketed_join,
+        write_bucketed,
+    )
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    base = os.path.join(
+        "/tmp/ddl_spark_bucketed", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    write_bucketed(
+        t["orders"].select("o_custkey", "o_totalprice"),
+        "ddl_bq_orders", ["o_custkey"], 8, path=os.path.join(base, "orders"),
+    )
+    write_bucketed(
+        t["customer"].select("c_custkey", "c_mktsegment"),
+        "ddl_bq_customer", ["c_custkey"], 8, path=os.path.join(base, "customer"),
+    )
+    joined = read_bucketed_join(
+        spark,
+        "ddl_bq_orders",
+        "ddl_bq_customer",
+        on=[F.col("o_custkey") == F.col("c_custkey")],
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_BUCKETED_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date arithmetic: ship-delay histogram (datediff / date_add)."""
     t = load_tables(spark, sf_dir, "orders", "lineitem")
@@ -1205,6 +1259,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("q_scalar_funcs", q_scalar_funcs, _QSCALAR_SQL),
         QuerySpec("q_date_arith", q_date_arith, _QDATE_SQL),
         QuerySpec("q_salted_join_agg", q_salted_join_agg, _SALTED_SQL),
+        QuerySpec("q_bucketed_join", q_bucketed_join, _BUCKETED_SQL),
         QuerySpec("q_subquery_scalar", q_subquery_scalar, _QSUBQ_SQL),
         QuerySpec("q_anti_semi", q_anti_semi, _QANTI_SQL),
         QuerySpec("q_values_join", q_values_join, _QVALUES_SQL),

@@ -102,3 +102,69 @@ def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Same-bucketed fact⋈fact join: the shuffle was paid at write
+    time, so the join plan must contain zero ShuffleExchange — the
+    amortized-join shape that matters most at 100 TB."""
+    from deltalake_datafusion_spark.operators.colocate import (
+        read_bucketed_join,
+        write_bucketed,
+    )
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        "bq_orders", ["o_custkey"], 8, path=str(tmp_path / "bo"),
+    )
+    write_bucketed(
+        t["customer"].select("c_custkey", "c_name"),
+        "bq_customer", ["c_custkey"], 8, path=str(tmp_path / "bc"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed_join(
+            spark,
+            "bq_orders",
+            "bq_customer",
+            on=[F.col("o_custkey") == F.col("c_custkey")],
+        )
+        joined.collect()
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bq_orders")
+        spark.sql("DROP TABLE IF EXISTS bq_customer")
+
+
+def test_colocate_reuses_one_shuffle(spark, sf_dir):
+    """repartition-both-sides co-location: the join itself adds no
+    exchange beyond the two explicit repartitions, and a same-key
+    groupBy downstream adds none either."""
+    from deltalake_datafusion_spark.operators.colocate import colocate
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left, right = colocate(
+            t["lineitem"].withColumnRenamed("l_orderkey", "k"),
+            t["orders"].withColumnRenamed("o_orderkey", "k"),
+            ["k"],
+            num_partitions=8,
+        )
+        out = left.join(right, "k").groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        plan = _plan(out)
+        import re
+
+        n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        # exactly the two REPARTITION_BY_COL exchanges; none for the
+        # join, none for the aggregation
+        assert n_exchanges == 2, plan[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
