@@ -172,3 +172,54 @@ def pii_counts(col) -> Column:
             for k in ("email", "ssn_like", "phone", "ipv4")
         ]
     )
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher-style repetition
+    filters): duplicate-word and duplicate-bigram fractions plus
+    integer-exact flag columns.
+
+    Pure expression tree — ``array_distinct`` over the word array and
+    one ``zip_with`` of two shifted slices for bigrams, both O(words)
+    per document, codegen end to end (same scan-speed contract as the
+    other text operators; no shuffle, no UDF).
+
+    The ``rep_flagged_*`` columns use the integer form
+    ``2·(n − n_distinct) > n`` (⇔ dup fraction > 0.5) so downstream
+    filters and cross-engine oracles never compare floats.
+    """
+    w = words_col(F.col(text_col))
+    n = token_count(F.col(text_col))
+    nd = F.when(n == 0, F.lit(0)).otherwise(F.size(F.array_distinct(w)))
+    bigrams = F.zip_with(
+        F.slice(w, F.lit(1), F.size(w) - 1),
+        F.slice(w, F.lit(2), F.size(w) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    nb = F.when(n >= 2, F.size(bigrams)).otherwise(F.lit(0))
+    nbd = F.when(n >= 2, F.size(F.array_distinct(bigrams))).otherwise(F.lit(0))
+    return (
+        df.withColumn("rep_n_words", n.cast("long"))
+        .withColumn("rep_n_distinct_words", nd.cast("long"))
+        .withColumn("rep_n_bigrams", nb.cast("long"))
+        .withColumn("rep_n_distinct_bigrams", nbd.cast("long"))
+        .withColumn(
+            "rep_dup_word_frac",
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                (n - nd).cast("double") / n
+            ),
+        )
+        .withColumn(
+            "rep_dup_bigram_frac",
+            F.when(nb == 0, F.lit(0.0)).otherwise(
+                (nb - nbd).cast("double") / nb
+            ),
+        )
+        .withColumn(
+            "rep_flagged_words", (F.lit(2) * (n - nd) > n).cast("boolean")
+        )
+        .withColumn(
+            "rep_flagged_bigrams",
+            ((F.lit(2) * (nb - nbd) > nb) & (nb > 0)).cast("boolean"),
+        )
+    )

@@ -111,6 +111,66 @@ SELECT (SELECT COUNT(*) FROM documents) AS n_clusters,
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition audit (Gopher-style duplicate-word /
+    duplicate-bigram filters) aggregated per language. Fractions are
+    aggregated Σnumerator/Σdenominator (one double division — exact
+    cross-engine); flags use the integer form 2·(n−distinct) > n, so
+    the oracle never compares floats."""
+    from deltalake_datafusion_spark.operators.text import repetition_metrics
+
+    t = load_tables(spark, sf_dir, "documents")
+    m = repetition_metrics(t["documents"], "text")
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("rep_n_words").alias("total_words"),
+            (
+                F.sum(F.col("rep_n_words") - F.col("rep_n_distinct_words"))
+                .cast("double")
+                / F.sum("rep_n_words")
+            ).alias("dup_word_frac"),
+            (
+                F.sum(F.col("rep_n_bigrams") - F.col("rep_n_distinct_bigrams"))
+                .cast("double")
+                / F.sum("rep_n_bigrams")
+            ).alias("dup_bigram_frac"),
+            F.sum(F.col("rep_flagged_words").cast("long")).alias("flagged_words"),
+            F.sum(F.col("rep_flagged_bigrams").cast("long")).alias(
+                "flagged_bigrams"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_REPETITION_SQL = f"""
+WITH m AS (
+  SELECT lang,
+    CASE WHEN {_NORM} = '' THEN 0 ELSE len({_WORDS}) END AS n,
+    CASE WHEN {_NORM} = '' THEN 0 ELSE len(list_distinct({_WORDS})) END AS nd,
+    CASE WHEN {_NORM} = '' OR len({_WORDS}) < 2 THEN 0
+         ELSE len({_WORDS}) - 1 END AS nb,
+    CASE WHEN {_NORM} = '' OR len({_WORDS}) < 2 THEN 0
+         ELSE len(list_distinct(list_transform(
+                range(1, len({_WORDS})),
+                i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1])))
+    END AS nbd
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n) AS BIGINT) AS total_words,
+  CAST(SUM(n - nd) AS DOUBLE) / SUM(n) AS dup_word_frac,
+  CAST(SUM(nb - nbd) AS DOUBLE) / SUM(nb) AS dup_bigram_frac,
+  CAST(SUM(CASE WHEN 2 * (n - nd) > n THEN 1 ELSE 0 END) AS BIGINT)
+    AS flagged_words,
+  CAST(SUM(CASE WHEN 2 * (nb - nbd) > nb AND nb > 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS flagged_bigrams
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
 def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over a corpus with planted emails / phones / IPs:
     every document gets deterministic synthetic PII appended, then the
@@ -659,6 +719,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_langid", text_langid, _langid_sql()),
         QuerySpec("text_fingerprint", text_fingerprint, _FINGERPRINT_SQL),
         QuerySpec("text_pii_redaction", text_pii_redaction, _PII_SQL),
+        QuerySpec("text_repetition", text_repetition, _REPETITION_SQL),
         QuerySpec("sim_bruteforce_topk", sim_bruteforce_topk, _SIM_BRUTE_SQL),
         QuerySpec("sim_lsh_topk", sim_lsh_topk, None),
         QuerySpec("sim_ivf_topk", sim_ivf_topk, None),

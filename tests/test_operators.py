@@ -419,3 +419,31 @@ def test_redact_pii_kinds_and_order(spark):
     ).select(text.pii_counts(F.col("t")).alias("p")).collect()[0]["p"]
     assert counts["n_email"] == 2 and counts["n_ipv4"] == 1
     assert counts["n_phone"] == 0 and counts["n_ssn_like"] == 0
+
+
+def test_repetition_metrics(spark):
+    from deltalake_datafusion_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # heavy word + bigram repetition
+            (2, "one two three four"),   # no repetition
+            (3, "x"),                    # single word: no bigrams
+            (4, ""),                     # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_metrics(df, "text").collect()}
+    r1 = rows[1]
+    assert r1.rep_n_words == 6 and r1.rep_n_distinct_words == 2
+    assert r1.rep_n_bigrams == 5 and r1.rep_n_distinct_bigrams == 2
+    assert abs(r1.rep_dup_word_frac - 4 / 6) < 1e-12
+    assert abs(r1.rep_dup_bigram_frac - 3 / 5) < 1e-12
+    assert r1.rep_flagged_words and r1.rep_flagged_bigrams
+    r2 = rows[2]
+    assert r2.rep_dup_word_frac == 0.0 and not r2.rep_flagged_words
+    r3 = rows[3]
+    assert r3.rep_n_bigrams == 0 and r3.rep_dup_bigram_frac == 0.0
+    assert not r3.rep_flagged_bigrams
+    r4 = rows[4]
+    assert r4.rep_n_words == 0 and r4.rep_dup_word_frac == 0.0
