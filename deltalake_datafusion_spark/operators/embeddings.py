@@ -1,0 +1,99 @@
+"""Embedding storage operators: int8 quantization / dequantization.
+
+At 100 TB an ``array<float>`` embedding column is routinely the
+largest column in the table; symmetric int8 quantization cuts it 4×
+(plus one double scale per vector) at ~1e-2 cosine error for typical
+dims — the standard trade for ANN candidate generation, with exact
+re-scoring on the float column where it still exists.
+
+Everything here is a pure expression tree (``aggregate`` for the max,
+``transform`` for the per-element map): whole-stage codegen, no UDFs,
+no shuffle — the operator runs at scan speed and composes with the
+similarity/dedup operators (``quantized_cosine`` gives the integer-dot
+form for scoring directly on the compressed representation).
+
+Rounding uses the explicit ``floor(x + 0.5)`` form, not ``round``:
+half-away-from-zero vs banker's rounding differs across engines, and
+the oracle queries must reproduce values bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Q_MAX = 127  # symmetric int8 range [-127, 127]
+
+
+def _absmax(vec) -> Column:
+    return F.aggregate(
+        vec,
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+
+
+def scale_col(vec) -> Column:
+    """Per-vector symmetric scale: max|v| / 127 (0-vector → scale 1.0
+    so dequantization stays total)."""
+    m = _absmax(vec)
+    return F.when(m == 0.0, F.lit(1.0)).otherwise(m / F.lit(float(Q_MAX)))
+
+
+def quantize_col(vec, scale: Column) -> Column:
+    """array<float/double> → array<tinyint> with floor(x/s + 0.5)
+    (explicit half-up: engine-independent, unlike round())."""
+    return F.transform(
+        vec,
+        lambda x: F.greatest(
+            F.lit(-Q_MAX),
+            F.least(
+                F.lit(Q_MAX),
+                F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+            ),
+        ).cast("tinyint"),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qemb",
+) -> DataFrame:
+    """Adds ``out_col`` = struct(scale: double, q: array<tinyint>)."""
+    s = scale_col(F.col(vec_col))
+    return df.withColumn(
+        out_col,
+        F.struct(
+            s.alias("scale"), quantize_col(F.col(vec_col), s).alias("q")
+        ),
+    )
+
+
+def dequantize_col(qstruct) -> Column:
+    """struct(scale, q) → array<double>."""
+    return F.transform(
+        qstruct["q"], lambda x: x.cast("double") * qstruct["scale"]
+    )
+
+
+def quantized_cosine(qa, qb) -> Column:
+    """Cosine on two quantized structs via the integer dot product
+    (scales cancel in the norm ratio, so this is exactly the cosine of
+    the dequantized vectors)."""
+    dot = F.aggregate(
+        F.zip_with(qa["q"], qb["q"], lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.transform(qa["q"], lambda x: x.cast("long") * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nb = F.aggregate(
+        F.transform(qb["q"], lambda x: x.cast("long") * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))

@@ -539,6 +539,67 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization audit over the embeddings table:
+    per-vector scale + quantized values reproduced exactly by the
+    oracle (explicit floor(x/s + 0.5) rounding — engine-independent),
+    aggregated to integer-exact checksums plus one double division."""
+    from deltalake_datafusion_spark.operators.embeddings import (
+        quantize_embeddings,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(t["embeddings"], "embedding")
+    flat = q.select(
+        "vec_id",
+        F.col("qemb.scale").alias("scale"),
+        F.aggregate(
+            F.col("qemb.q"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("q_sum"),
+        F.aggregate(
+            F.col("qemb.q"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.abs(x.cast("long")),
+        ).alias("q_abs_sum"),
+        F.size(F.filter(F.col("qemb.q"), lambda x: F.abs(x) == 127)).alias(
+            "n_saturated"
+        ),
+    )
+    return flat.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("q_sum").alias("total_q"),
+        F.sum("q_abs_sum").alias("total_q_abs"),
+        F.sum("n_saturated").alias("total_saturated"),
+        (F.sum("scale") / F.count(F.lit(1))).alias("avg_scale"),
+    )
+
+
+_EMB_QUANTIZE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+    CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale,
+    list_transform(embedding, x ->
+      CAST(GREATEST(-127, LEAST(127,
+        FLOOR(CAST(x AS DOUBLE) / (CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END)
+              + 0.5))) AS BIGINT)) AS qv
+  FROM (
+    SELECT vec_id, embedding,
+      list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS m
+    FROM embeddings
+  )
+)
+SELECT COUNT(*) AS n_vecs,
+  CAST(SUM(list_sum(qv)) AS BIGINT) AS total_q,
+  CAST(SUM(list_sum(list_transform(qv, x -> ABS(x)))) AS BIGINT) AS total_q_abs,
+  CAST(SUM(len(list_filter(qv, x -> ABS(x) = 127))) AS BIGINT)
+    AS total_saturated,
+  SUM(scale) / COUNT(*) AS avg_scale
+FROM q
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → mapInPandas metadata extraction. The
     fake decoder is a pure function of payload length, so the oracle
@@ -723,6 +784,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("sim_bruteforce_topk", sim_bruteforce_topk, _SIM_BRUTE_SQL),
         QuerySpec("sim_lsh_topk", sim_lsh_topk, None),
         QuerySpec("sim_ivf_topk", sim_ivf_topk, None),
+        QuerySpec("emb_quantize", emb_quantize, _EMB_QUANTIZE_SQL),
         QuerySpec("q_array_functions", q_array_functions, _ARRAY_FN_SQL),
         QuerySpec("q_array_explode", q_array_explode, _ARRAY_EXPLODE_SQL),
         QuerySpec("multimodal_meta", multimodal_meta, _MULTIMODAL_SQL),

@@ -447,3 +447,50 @@ def test_repetition_metrics(spark):
     assert not r3.rep_flagged_bigrams
     r4 = rows[4]
     assert r4.rep_n_words == 0 and r4.rep_dup_word_frac == 0.0
+
+
+def test_quantize_roundtrip_cosine_error(spark, emb):
+    """int8 quantization: dequantized vectors are within per-element
+    scale/2 of the originals and quantized cosine stays within 0.02 of
+    exact cosine for random query pairs."""
+    from deltalake_datafusion_spark.operators.embeddings import (
+        dequantize_col,
+        quantize_embeddings,
+        quantized_cosine,
+    )
+
+    q = quantize_embeddings(emb.limit(50), "embedding")
+    # per-element reconstruction bound: |v - q*s| <= s/2
+    bad = q.select(
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("embedding"),
+                    dequantize_col(F.col("qemb")),
+                    lambda v, d: F.abs(v.cast("double") - d)
+                    > F.col("qemb.scale") * 0.5 + 1e-12,
+                ),
+                lambda x: x,
+            )
+        ).alias("n_bad")
+    ).agg(F.sum("n_bad")).collect()[0][0]
+    assert bad == 0
+
+    a = q.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("va"),
+        F.col("qemb").alias("qa"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("vb"),
+        F.col("qemb").alias("qb"),
+    )
+    pairs = a.crossJoin(b).filter("ida < idb").select(
+        similarity.cosine_col(F.col("va"), F.col("vb")).alias("exact"),
+        quantized_cosine(F.col("qa"), F.col("qb")).alias("approx"),
+    )
+    max_err = pairs.agg(
+        F.max(F.abs(F.col("exact") - F.col("approx")))
+    ).collect()[0][0]
+    assert max_err < 0.02
