@@ -409,6 +409,51 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running (count, value-sum) state across micro-batches,
+    update-mode memory sink; the final state row per user (the one
+    with the max running count — the count is strictly increasing)
+    must equal the batch GROUP BY.
+
+    Hash-exactness: values are pre-scaled to integer cents via
+    floor(v·100 + 0.5), so every float accumulation is integer-valued
+    (exact in any order, any engine) and one final division by 100
+    restores the unit — the same Σexact/denominator convention as the
+    relational tier."""
+    from deltalake_datafusion_spark.streaming.pipeline import (
+        run_to_memory,
+        running_user_stats,
+        stream_events,
+    )
+    from pyspark.sql import Window
+
+    src = stream_events(spark, sf_dir).withColumn(
+        "value", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double")
+    )
+    out = run_to_memory(
+        running_user_stats(src), "q_streaming_user_stats", "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total_value") / 100.0).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAM_USER_STATS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(FLOOR(value * 100 + 0.5)) / 100.0 AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("delta_update", delta_update, _UPDATE_SQL),
@@ -432,4 +477,7 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec("sign_storage_url_udf", sign_storage_url_udf, _SIGN_URL_SQL),
         QuerySpec("streaming_delta_sink", streaming_delta_sink, _STREAM_SINK_SQL),
+        QuerySpec(
+            "streaming_user_stats", streaming_user_stats, _STREAM_USER_STATS_SQL
+        ),
     ]
