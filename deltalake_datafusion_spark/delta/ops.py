@@ -74,14 +74,47 @@ def delete_delta(spark, table_path: str, predicate: str) -> dict:
             "version": snap.version,
         }
 
-    # Scan candidates (DV-aware: rows already deleted in place are
-    # invisible, so re-deletes never double-count), evaluate the
-    # predicate over logical columns. Roaring-encode each file's
-    # deletion vector ON THE EXECUTORS — the driver only ever sees
-    # (path, compressed blob, cardinality), never raw row indexes.
-    scan_df = _scan_with_rowmeta(spark, snap, predicate, files=candidates)
+    # Partition-drop fast path: files whose stats PROVE every physical
+    # row matches the predicate (all_match — sound under the writer's
+    # outer-bound string truncation) are removed as pure metadata, no
+    # data I/O. A `DELETE WHERE part = 'x'` over a 100 TB table then
+    # touches zero parquet bytes — the shape Delta users expect.
+    from deltalake_datafusion_spark.delta.predicates import (
+        StatsEvaluator,
+        try_parse_predicate,
+    )
 
     fs = fs_for(snap.table_path, spark)
+    stats_full: list = []
+    stats_full_live = 0
+    pred_ir = try_parse_predicate(predicate)
+    if pred_ir is not None:
+        ev = StatsEvaluator(logical, snap.partition_columns, l2p)
+        stats_full = [f for f in candidates if ev.all_match(f, pred_ir)]
+        full_paths = {f.path for f in stats_full}
+        candidates = [f for f in candidates if f.path not in full_paths]
+        for f in stats_full:
+            st = parse_stats(f.stats)
+            nrec = st.get("numRecords") if st else None
+            if nrec is None:  # footer metadata read — still no data I/O
+                import pyarrow.parquet as papq
+
+                nrec = papq.read_metadata(
+                    os.path.join(snap.table_path, f.path)
+                ).num_rows
+            prior = f.dv.cardinality if f.dv and f.dv.cardinality >= 0 else 0
+            stats_full_live += max(int(nrec) - prior, 0)
+
+    if not candidates:
+        hits: list = []
+    else:
+        # Scan candidates (DV-aware: rows already deleted in place are
+        # invisible, so re-deletes never double-count), evaluate the
+        # predicate over logical columns. Roaring-encode each file's
+        # deletion vector ON THE EXECUTORS — the driver only ever sees
+        # (path, compressed blob, cardinality), never raw row indexes.
+        scan_df = _scan_with_rowmeta(spark, snap, predicate, files=candidates)
+
     existing_by_uri: dict[str, object] = {}
     for f in candidates:
         if f.dv:
@@ -120,16 +153,17 @@ def delete_delta(spark, table_path: str, predicate: str) -> dict:
             }
         )
 
-    hits = (
-        scan_df.filter(F.expr(predicate))
-        .select("__file_path", "__row_index")
-        .groupBy("__file_path")
-        .applyInPandas(_encode_group, enc_schema)
-        .collect()
-    )
-    total_deleted = sum(r["new_deletes"] for r in hits)
+    if candidates:
+        hits = (
+            scan_df.filter(F.expr(predicate))
+            .select("__file_path", "__row_index")
+            .groupBy("__file_path")
+            .applyInPandas(_encode_group, enc_schema)
+            .collect()
+        )
+    total_deleted = sum(r["new_deletes"] for r in hits) + stats_full_live
 
-    if not hits:
+    if not hits and not stats_full:
         return {
             "files_rewritten": 0,
             "files_removed": 0,
@@ -139,7 +173,7 @@ def delete_delta(spark, table_path: str, predicate: str) -> dict:
 
     by_path = {f.path: f for f in snap.files}
 
-    full_removes = []
+    full_removes = list(stats_full)
     blobs, blob_owners = [], []
     for row in sorted(hits, key=lambda r: r["file_path"]):
         rel = _relativize(row["file_path"], snap.table_path)

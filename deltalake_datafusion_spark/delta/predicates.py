@@ -376,6 +376,85 @@ class StatsEvaluator:
         res = self._eval(add_file, pred)
         return res is not False
 
+    def all_match(self, add_file, pred) -> bool:
+        """True → stats prove EVERY physical row of the file satisfies
+        ``pred`` (so e.g. DELETE can drop the file as pure metadata,
+        no data I/O — the partition-drop fast path). Distinct from the
+        may-match lattice: ``_eval``'s True means "at least one row
+        certainly matches"; this requires all rows. Conservative:
+        missing stats / unknown shapes → False."""
+        return self._eval_all(add_file, pred) is True
+
+    def _eval_all(self, f, node):
+        if isinstance(node, And):
+            if all(self._eval_all(f, c) is True for c in node.children):
+                return True
+            return None
+        if isinstance(node, Or):
+            if any(self._eval_all(f, c) is True for c in node.children):
+                return True
+            return None
+        if isinstance(node, Not):
+            if isinstance(node.child, Cmp):
+                inverse = {
+                    "=": "!=", "!=": "=", "<": ">=", ">": "<=",
+                    "<=": ">", ">=": "<",
+                }
+                return self._eval_all(
+                    f, Cmp(inverse[node.child.op], node.child.col, node.child.lit)
+                )
+            if isinstance(node.child, IsNull):
+                return self._eval_all(
+                    f, IsNull(node.child.col, not node.child.negated)
+                )
+            return None
+        if isinstance(node, Cmp):
+            return self._eval_cmp_all(f, node)
+        if isinstance(node, InList):
+            # all rows in the list ⟺ the column is a single value that
+            # is in the list (mn == mx ∈ list, no nulls)
+            if any(
+                self._eval_cmp_all(f, Cmp("=", node.col, Lit(v))) is True
+                for v in node.values
+            ):
+                return True
+            return None
+        if isinstance(node, IsNull):
+            _, _, nulls, nrec, dtype = self._col_bounds(f, node.col.name)
+            if dtype is None or nulls is None or nrec is None:
+                return None
+            if not node.negated:
+                return True if nulls == nrec else None
+            return True if nulls == 0 else None
+        return None
+
+    def _eval_cmp_all(self, f, node):
+        mn, mx, nulls, nrec, dtype = self._col_bounds(f, node.col.name)
+        if dtype is None or mn is None or mx is None:
+            return None
+        if nulls is None or nulls != 0:
+            return None  # a NULL row satisfies no comparison
+        lit = _coerce(node.lit.value, dtype)
+        if node.lit.value is None or lit is None:
+            return None
+        op = node.op
+        try:
+            if op == "=":
+                return True if mn == mx == lit else None
+            if op == "!=":
+                return True if (lit < mn or lit > mx) else None
+            if op == "<":
+                return True if mx < lit else None
+            if op == "<=":
+                return True if mx <= lit else None
+            if op == ">":
+                return True if mn > lit else None
+            if op == ">=":
+                return True if mn >= lit else None
+        except TypeError:
+            return None
+        return None
+
     # -- three-valued core ------------------------------------------
 
     def _eval(self, f, node):

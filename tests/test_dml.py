@@ -226,3 +226,102 @@ def test_merge_strict_passes_unique_source(spark, tmp_path):
     )
     out = {r.id: r.val for r in read_delta(spark, path).collect()}
     assert out[1] == "x" and out[9] == "y" and out[0] == "old"
+
+
+def test_delete_partition_drop_is_metadata_only(spark, tmp_path, monkeypatch):
+    """DELETE whose predicate provably covers whole files (partition
+    drop / stats range) must remove them without scanning any data."""
+    import deltalake_datafusion_spark.delta.ops as ops
+
+    path = str(tmp_path / "del_meta")
+    df = spark.range(100).select(
+        "id", (F.col("id") % 4).alias("p"), (F.col("id") * 1.0).alias("v")
+    )
+    write_delta(spark, df, path, partition_by=["p"])
+
+    def _no_scan(*a, **kw):
+        raise AssertionError("partition-drop DELETE must not scan data")
+
+    monkeypatch.setattr(ops, "_scan_with_rowmeta", _no_scan)
+    res = delete_delta(spark, path, "p = 2")
+    assert res["files_removed"] >= 1
+    assert res["files_rewritten"] == 0
+    assert res["rows_deleted"] == 25
+    monkeypatch.undo()
+
+    out = read_delta(spark, path)
+    assert out.count() == 75
+    assert out.filter("p = 2").count() == 0
+
+
+def test_delete_stats_range_covers_whole_file(spark, tmp_path):
+    """Non-partition predicate whose min/max bounds prove full
+    coverage: file removed outright, remainder untouched."""
+    path = str(tmp_path / "del_range")
+    # two files with disjoint id ranges via repartitionByRange
+    df = spark.range(100).select("id", (F.col("id") * 2.0).alias("v"))
+    write_delta(spark, df.repartitionByRange(2, "id"), path)
+    snap = load_snapshot(path)
+    assert len(snap.files) == 2
+
+    res = delete_delta(spark, path, "id < 50")
+    assert res["files_removed"] == 1
+    assert res["files_rewritten"] == 0
+    assert res["rows_deleted"] == 50
+    assert read_delta(spark, path).count() == 50
+
+
+def test_delete_full_cover_accounts_prior_dv(spark, tmp_path):
+    """A file that already lost rows to a DV, then gets fully covered:
+    rows_deleted counts only the still-live rows."""
+    path = str(tmp_path / "del_dv_then_full")
+    write_delta(spark, spark.range(40).select("id").repartition(1), path)
+    r1 = delete_delta(spark, path, "id < 10")
+    assert r1["rows_deleted"] == 10
+    r2 = delete_delta(spark, path, "id >= 0")  # covers the whole file
+    assert r2["files_removed"] == 1
+    assert r2["rows_deleted"] == 30
+    assert read_delta(spark, path).count() == 0
+
+
+def test_all_match_evaluator_soundness(spark):
+    """all_match never claims full coverage when a non-matching row
+    could exist (spot axioms on the lattice)."""
+    from deltalake_datafusion_spark.delta.predicates import (
+        StatsEvaluator,
+        parse_predicate,
+    )
+    from deltalake_datafusion_spark.delta.snapshot import AddFile
+    from pyspark.sql.types import LongType, StructField, StructType
+    import json
+
+    schema = StructType([StructField("id", LongType())])
+    ev = StatsEvaluator(schema, [])
+
+    def add(mn, mx, nulls=0, n=10):
+        return AddFile(
+            path="f", size=1, modification_time=0, partition_values={},
+            stats=json.dumps(
+                {"numRecords": n, "minValues": {"id": mn},
+                 "maxValues": {"id": mx}, "nullCount": {"id": nulls}}
+            ), dv=None,
+        )
+
+    p = parse_predicate
+    assert ev.all_match(add(0, 49), p("id < 50"))
+    assert not ev.all_match(add(0, 50), p("id < 50"))
+    assert ev.all_match(add(50, 99), p("id >= 50"))
+    assert ev.all_match(add(7, 7), p("id = 7"))
+    assert not ev.all_match(add(7, 8), p("id = 7"))
+    assert ev.all_match(add(7, 7), p("id IN (5, 7)"))
+    assert ev.all_match(add(0, 49), p("id < 50 AND id >= 0"))
+    assert not ev.all_match(add(0, 49), p("id < 50 AND id >= 1"))
+    assert ev.all_match(add(0, 49), p("id < 50 OR id > 90"))
+    assert ev.all_match(add(0, 49), p("NOT id >= 50"))
+    # nulls defeat comparison-based full coverage
+    assert not ev.all_match(add(0, 49, nulls=1), p("id < 50"))
+    assert ev.all_match(add(0, 49, nulls=0), p("id IS NOT NULL"))
+    # missing stats → never all_match
+    nf = AddFile(path="f", size=1, modification_time=0,
+                 partition_values={}, stats=None, dv=None)
+    assert not ev.all_match(nf, p("id < 50"))
