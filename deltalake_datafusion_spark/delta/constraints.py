@@ -1,0 +1,69 @@
+"""CHECK constraints + append-only table enforcement.
+
+Delta protocol table features the reference's read-only engine never
+hits but any writer must respect: ``delta.constraints.<name>`` CHECK
+expressions (validated against every batch of newly written rows) and
+``delta.appendOnly`` (rejects DELETE / UPDATE / MERGE / overwrite).
+Enforcement is one aggregate over the rows being written — a map-side
+Σ of violation counts, no shuffle beyond the final scalar — so at
+100 TB it rides along with the write scan instead of adding a pass
+per constraint.
+
+CHECK semantics follow SQL: a row violates only when the expression
+is FALSE; NULL passes (hence the ``coalesce(expr, true)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CONSTRAINT_PREFIX = "delta.constraints."
+APPEND_ONLY_KEY = "delta.appendOnly"
+
+
+class ConstraintViolationError(Exception):
+    """A written batch contains rows failing a CHECK constraint."""
+
+
+class AppendOnlyError(Exception):
+    """Mutating operation attempted on a delta.appendOnly table."""
+
+
+def table_constraints(configuration: dict[str, str]) -> dict[str, str]:
+    return {
+        k[len(CONSTRAINT_PREFIX):]: v
+        for k, v in (configuration or {}).items()
+        if k.startswith(CONSTRAINT_PREFIX)
+    }
+
+
+def validate_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """One aggregate job over ``df``: per-constraint violation counts;
+    raises naming the first violated constraint."""
+    if not constraints:
+        return
+    names = list(constraints)
+    aggs = [
+        F.sum(
+            F.when(
+                ~F.coalesce(F.expr(constraints[n]), F.lit(True)), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias(n)
+        for n in names
+    ]
+    row = df.agg(*aggs).collect()[0]
+    for n in names:
+        bad = row[n] or 0
+        if bad:
+            raise ConstraintViolationError(
+                f"CHECK constraint {n!r} ({constraints[n]}) violated by "
+                f"{bad} row(s) in the written batch"
+            )
+
+
+def check_append_only(configuration: dict[str, str], operation: str) -> None:
+    if (configuration or {}).get(APPEND_ONLY_KEY, "").lower() == "true":
+        raise AppendOnlyError(
+            f"table is delta.appendOnly=true: {operation} is not allowed"
+        )

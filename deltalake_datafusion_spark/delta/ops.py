@@ -60,7 +60,10 @@ class MergeCardinalityError(Exception):
 def delete_delta(spark, table_path: str, predicate: str) -> dict:
     """Delete rows matching ``predicate``. Returns a summary dict
     {files_rewritten, files_removed, rows_deleted, version}."""
+    from deltalake_datafusion_spark.delta.constraints import check_append_only
+
     snap = load_snapshot(table_path, spark=spark)
+    check_append_only(snap.metadata.configuration, "DELETE")
     logical = snap.schema
     l2p = _logical_to_physical_map(logical)
     candidates = prune_files(
@@ -236,7 +239,14 @@ def update_delta(
     that can contain matches (stats pruning) are touched; unmatched
     rows are never rewritten — the DV path makes UPDATE cost ∝
     matched data, not file data."""
+    from deltalake_datafusion_spark.delta.constraints import (
+        check_append_only,
+        table_constraints,
+        validate_constraints,
+    )
+
     snap = load_snapshot(table_path, spark=spark)
+    check_append_only(snap.metadata.configuration, "UPDATE")
     matched_df = _scan_with_rowmeta(spark, snap, predicate).filter(
         F.expr(predicate)
     )
@@ -244,6 +254,7 @@ def update_delta(
     for col, expr in set_exprs.items():
         updated = updated.withColumn(col, F.expr(expr))
     updated = updated.drop("__row_index", "__file_path")
+    validate_constraints(updated, table_constraints(snap.metadata.configuration))
 
     from deltalake_datafusion_spark.delta.writer import _stage_and_move
     from deltalake_datafusion_spark.delta.stats import collect_file_stats
@@ -326,7 +337,10 @@ def merge_delta(
     if any target row is matched by more than one source row, raise
     :class:`MergeCardinalityError` instead of silently duplicating
     the row (the non-strict default documents the duplication)."""
+    from deltalake_datafusion_spark.delta.constraints import check_append_only
+
     snap = load_snapshot(table_path, spark=spark)
+    check_append_only(snap.metadata.configuration, "MERGE")
     logical = snap.schema
     target = _scan_with_rowmeta(spark, snap, None)
 
@@ -412,6 +426,14 @@ def merge_delta(
         out = new_parts[0]
         for p in new_parts[1:]:
             out = out.unionByName(p)
+        from deltalake_datafusion_spark.delta.constraints import (
+            table_constraints,
+            validate_constraints,
+        )
+
+        validate_constraints(
+            out, table_constraints(snap.metadata.configuration)
+        )
         from deltalake_datafusion_spark.delta.writer import (
             _rename_to_physical,
             _stage_and_move,
@@ -702,3 +724,64 @@ def _relativize(file_path: str, table_path: str) -> str:
             p = p[len(prefix):]
             break
     return os.path.relpath(p, table_path)
+
+
+def _commit_configuration(spark, snap, configuration: dict[str, str], op: str) -> int:
+    """Re-emit metaData with an updated configuration (same table id /
+    schema / partitioning) in one new commit."""
+    from deltalake_datafusion_spark.delta.writer import _metadata_action
+
+    md = _metadata_action(
+        snap.schema,
+        snap.partition_columns,
+        configuration,
+        snap.metadata.id,
+        snap.metadata.name,
+    )
+    md["metaData"]["createdTime"] = snap.metadata.created_time
+    version = snap.version + 1
+    commit(snap.table_path, version, [md], op, spark)
+    return version
+
+
+def add_check_constraint(spark, table_path: str, name: str, expr: str) -> dict:
+    """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr): existing rows
+    must already satisfy the expression (one aggregate over the
+    table — Delta's own semantics), then the constraint is recorded as
+    ``delta.constraints.<name>`` and enforced on every future write."""
+    from deltalake_datafusion_spark.delta.constraints import (
+        CONSTRAINT_PREFIX,
+        ConstraintViolationError,
+        validate_constraints,
+    )
+    from deltalake_datafusion_spark.delta.scan import read_delta
+
+    snap = load_snapshot(table_path, spark=spark)
+    key = CONSTRAINT_PREFIX + name
+    conf = dict(snap.metadata.configuration)
+    if key in conf:
+        raise ConstraintViolationError(f"constraint {name!r} already exists")
+    validate_constraints(read_delta(spark, table_path), {name: expr})
+    conf[key] = expr
+    version = _commit_configuration(spark, snap, conf, "ADD CONSTRAINT")
+    return {"constraint": name, "expr": expr, "version": version}
+
+
+def drop_check_constraint(
+    spark, table_path: str, name: str, if_exists: bool = False
+) -> dict:
+    from deltalake_datafusion_spark.delta.constraints import (
+        CONSTRAINT_PREFIX,
+        ConstraintViolationError,
+    )
+
+    snap = load_snapshot(table_path, spark=spark)
+    key = CONSTRAINT_PREFIX + name
+    conf = dict(snap.metadata.configuration)
+    if key not in conf:
+        if if_exists:
+            return {"constraint": name, "expr": None, "version": snap.version}
+        raise ConstraintViolationError(f"no such constraint {name!r}")
+    expr = conf.pop(key)
+    version = _commit_configuration(spark, snap, conf, "DROP CONSTRAINT")
+    return {"constraint": name, "expr": expr, "version": version}

@@ -422,6 +422,22 @@ def write_delta(
                                      str(_max_field_id(write_schema)))
         mapping = column_mapping
 
+    # Table-feature enforcement: CHECK constraints validate the batch
+    # (one aggregate, riding the write scan); appendOnly rejects
+    # overwrite (it removes files).
+    from deltalake_datafusion_spark.delta.constraints import (
+        check_append_only,
+        table_constraints,
+        validate_constraints,
+    )
+
+    active_conf = (
+        existing.metadata.configuration if existing is not None else configuration
+    )
+    if mode == "overwrite" and existing is not None:
+        check_append_only(active_conf, "overwrite")
+    validate_constraints(df, table_constraints(active_conf))
+
     # Physical projection (identity when unmapped).
     out_df = _rename_to_physical(df, write_schema) if mapping else df
     phys = physical_schema(write_schema)

@@ -53,6 +53,16 @@ _UPDATE_RE = re.compile(
     r"\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ADD_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+ADD\s+CONSTRAINT\s+(?P<name>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+DROP\s+CONSTRAINT\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"(?:\s+ZORDER\s+BY\s+\(?(?P<zcols>[\w,\s]+?)\)?)?\s*;?\s*$",
@@ -183,6 +193,33 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             m.group("pred"),
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _ADD_CONSTRAINT_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.ops import add_check_constraint
+
+        res = add_check_constraint(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            m.group("name"),
+            m.group("expr").strip(),
+        )
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _DROP_CONSTRAINT_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.ops import drop_check_constraint
+
+        res = drop_check_constraint(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            m.group("name"),
+            if_exists=bool(m.group("ie")),
+        )
+        return spark.createDataFrame(
+            [(res["constraint"], res["expr"], res["version"])],
+            "constraint string, expr string, version long",
+        )
 
     m = _OPTIMIZE_RE.match(statement)
     if m and m.group("target").upper() not in ("TABLE",):

@@ -1,0 +1,128 @@
+"""CHECK constraints + delta.appendOnly enforcement (writer-side
+table features; the read-only reference never hits them, but any
+engine claiming the write path must respect them)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.constraints import (
+    AppendOnlyError,
+    ConstraintViolationError,
+)
+from deltalake_datafusion_spark.delta.ops import (
+    add_check_constraint,
+    delete_delta,
+    drop_check_constraint,
+    merge_delta,
+    update_delta,
+)
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import write_delta
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+
+def _t(spark, tmp_path, name="t", conf=None):
+    path = str(tmp_path / name)
+    df = spark.range(10).select("id", (F.col("id") * 2.0).alias("v"))
+    write_delta(spark, df, path, configuration=conf)
+    return path
+
+
+def test_add_constraint_then_violating_append_rejected(spark, tmp_path):
+    path = _t(spark, tmp_path)
+    res = add_check_constraint(spark, path, "v_nonneg", "v >= 0")
+    assert res["version"] == 1
+    snap = load_snapshot(path)
+    assert snap.metadata.configuration["delta.constraints.v_nonneg"] == "v >= 0"
+
+    # conforming append passes
+    ok = spark.createDataFrame([(100, 5.0)], "id long, v double")
+    write_delta(spark, ok, path, mode="append")
+    # violating append rejected atomically (no partial commit)
+    bad = spark.createDataFrame([(101, -1.0)], "id long, v double")
+    v_before = load_snapshot(path).version
+    with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+        write_delta(spark, bad, path, mode="append")
+    assert load_snapshot(path).version == v_before
+    assert read_delta(spark, path).count() == 11
+
+
+def test_add_constraint_requires_existing_rows_to_satisfy(spark, tmp_path):
+    path = _t(spark, tmp_path)
+    with pytest.raises(ConstraintViolationError):
+        add_check_constraint(spark, path, "impossible", "id > 5")
+    # NULL results pass (SQL CHECK semantics)
+    add_check_constraint(spark, path, "null_ok", "NULLIF(v, v) > 1e18")
+
+
+def test_constraint_checked_on_update_and_merge(spark, tmp_path):
+    path = _t(spark, tmp_path)
+    add_check_constraint(spark, path, "v_small", "v < 100")
+    with pytest.raises(ConstraintViolationError, match="v_small"):
+        update_delta(spark, path, {"v": "v + 1000"}, "id = 3")
+    src = spark.createDataFrame([(3, 500.0)], "id long, v double")
+    with pytest.raises(ConstraintViolationError, match="v_small"):
+        merge_delta(
+            spark, path, src, "t.id = s.id",
+            when_matched_update={"v": "s.v"},
+        )
+    # table unchanged by the failed DML
+    assert read_delta(spark, path).filter("v >= 100").count() == 0
+
+
+def test_drop_constraint(spark, tmp_path):
+    path = _t(spark, tmp_path)
+    add_check_constraint(spark, path, "c1", "v >= 0")
+    res = drop_check_constraint(spark, path, "c1")
+    assert res["expr"] == "v >= 0"
+    bad = spark.createDataFrame([(9, -1.0)], "id long, v double")
+    write_delta(spark, bad, path, mode="append")  # no longer enforced
+    with pytest.raises(ConstraintViolationError):
+        drop_check_constraint(spark, path, "nope")
+    drop_check_constraint(spark, path, "nope", if_exists=True)
+
+
+def test_append_only_blocks_mutations(spark, tmp_path):
+    path = _t(spark, tmp_path, conf={"delta.appendOnly": "true"})
+    with pytest.raises(AppendOnlyError):
+        delete_delta(spark, path, "id = 1")
+    with pytest.raises(AppendOnlyError):
+        update_delta(spark, path, {"v": "0.0"}, "id = 1")
+    with pytest.raises(AppendOnlyError):
+        merge_delta(
+            spark, path,
+            spark.createDataFrame([(1, 0.0)], "id long, v double"),
+            "t.id = s.id", when_matched_update={"v": "s.v"},
+        )
+    with pytest.raises(AppendOnlyError):
+        write_delta(
+            spark, spark.range(1).select("id", F.lit(0.0).alias("v")),
+            path, mode="overwrite",
+        )
+    # appends still fine
+    write_delta(
+        spark,
+        spark.createDataFrame([(50, 1.0)], "id long, v double"),
+        path, mode="append",
+    )
+    assert read_delta(spark, path).count() == 11
+
+
+def test_alter_table_constraint_sql(spark, tmp_path):
+    path = _t(spark, tmp_path)
+    out = sql(spark, f"ALTER TABLE '{path}' ADD CONSTRAINT pos CHECK (v >= 0)")
+    row = out.collect()[0]
+    assert row.constraint == "pos" and row.expr == "v >= 0"
+    with pytest.raises(ConstraintViolationError):
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, -5.0)], "id long, v double"),
+            path, mode="append",
+        )
+    out = sql(spark, f"ALTER TABLE '{path}' DROP CONSTRAINT pos")
+    assert out.collect()[0].expr == "v >= 0"
+    out = sql(spark, f"ALTER TABLE '{path}' DROP CONSTRAINT IF EXISTS pos")
+    assert out.collect()[0].expr is None
