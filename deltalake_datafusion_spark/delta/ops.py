@@ -57,25 +57,27 @@ class MergeCardinalityError(Exception):
     """MERGE source matched the same target row more than once."""
 
 
-def delete_delta(spark, table_path: str, predicate: str) -> dict:
-    """Delete rows matching ``predicate``. Returns a summary dict
-    {files_rewritten, files_removed, rows_deleted, version}."""
-    from deltalake_datafusion_spark.delta.constraints import check_append_only
+_NOOP_DELETE = {
+    "actions": [],
+    "files_rewritten": 0,
+    "files_removed": 0,
+    "rows_deleted": 0,
+    "touched_paths": set(),
+}
 
-    snap = load_snapshot(table_path, spark=spark)
-    check_append_only(snap.metadata.configuration, "DELETE")
+
+def _delete_plan(spark, snap, predicate: str) -> dict:
+    """Plan a DELETE against one snapshot WITHOUT committing: returns
+    {actions, files_rewritten, files_removed, rows_deleted,
+    touched_paths}. Shared by DELETE (commits it alone) and UPDATE
+    (folds it into one atomic commit with the replacement adds)."""
     logical = snap.schema
     l2p = _logical_to_physical_map(logical)
     candidates = prune_files(
         snap.files, predicate, logical, snap.partition_columns, l2p
     )
     if not candidates:
-        return {
-            "files_rewritten": 0,
-            "files_removed": 0,
-            "rows_deleted": 0,
-            "version": snap.version,
-        }
+        return dict(_NOOP_DELETE)
 
     # Partition-drop fast path: files whose stats PROVE every physical
     # row matches the predicate (all_match — sound under the writer's
@@ -167,12 +169,7 @@ def delete_delta(spark, table_path: str, predicate: str) -> dict:
     total_deleted = sum(r["new_deletes"] for r in hits) + stats_full_live
 
     if not hits and not stats_full:
-        return {
-            "files_rewritten": 0,
-            "files_removed": 0,
-            "rows_deleted": 0,
-            "version": snap.version,
-        }
+        return dict(_NOOP_DELETE)
 
     by_path = {f.path: f for f in snap.files}
 
@@ -211,22 +208,47 @@ def delete_delta(spark, table_path: str, predicate: str) -> dict:
     for f in full_removes:
         actions.append(_remove_action(f))
 
-    version = snap.version + 1
-    try:
-        commit(snap.table_path, version, actions, "DELETE", spark)
-    except ConcurrentWriteError:
-        # One optimistic retry against the refreshed tip; a real
-        # transaction manager would re-validate conflicts per file.
-        snap2 = load_snapshot(table_path, spark=spark)
-        version = snap2.version + 1
-        commit(snap.table_path, version, actions, "DELETE", spark)
-
-    out = load_snapshot(table_path, spark=spark)
-    maybe_checkpoint(spark, out)
     return {
+        "actions": actions,
         "files_rewritten": len(blob_owners),
         "files_removed": len(full_removes),
         "rows_deleted": total_deleted,
+        "touched_paths": {f.path for f, _ in blob_owners}
+        | {f.path for f in full_removes},
+    }
+
+
+def delete_delta(spark, table_path: str, predicate: str) -> dict:
+    """Delete rows matching ``predicate``. Returns a summary dict
+    {files_rewritten, files_removed, rows_deleted, version}.
+
+    Commits through the conflict-validating optimistic path: a
+    concurrent commit touching the same files (or table metadata)
+    raises ConcurrentModificationError instead of silently re-applying
+    stale actions; disjoint concurrent commits retry cleanly."""
+    from deltalake_datafusion_spark.delta.constraints import check_append_only
+    from deltalake_datafusion_spark.delta.writer import commit_with_retries
+
+    snap = load_snapshot(table_path, spark=spark)
+    check_append_only(snap.metadata.configuration, "DELETE")
+    plan = _delete_plan(spark, snap, predicate)
+    if not plan["actions"]:
+        return {
+            "files_rewritten": 0,
+            "files_removed": 0,
+            "rows_deleted": 0,
+            "version": snap.version,
+        }
+    version = commit_with_retries(
+        spark, snap.table_path, snap, plan["actions"], "DELETE",
+        plan["touched_paths"],
+    )
+    out = load_snapshot(table_path, spark=spark)
+    maybe_checkpoint(spark, out)
+    return {
+        "files_rewritten": plan["files_rewritten"],
+        "files_removed": plan["files_removed"],
+        "rows_deleted": plan["rows_deleted"],
         "version": version,
     }
 
@@ -275,9 +297,11 @@ def update_delta(
     ]
     moved = _stage_and_move(spark, out_df, snap.table_path, phys_parts)
 
-    # DV the old copies of the matched rows.
-    res = delete_delta(spark, table_path, predicate)
-    snap2 = load_snapshot(table_path, spark=spark)
+    # DV the old copies of the matched rows — PLANNED against the same
+    # snapshot, committed together with the replacement adds in ONE
+    # atomic version: no reader or crash window ever observes the rows
+    # deleted but not yet re-added.
+    plan = _delete_plan(spark, snap, predicate)
 
     adds = []
     p2l = dict(zip(phys_parts, snap.partition_columns))
@@ -298,12 +322,16 @@ def update_delta(
                 }
             }
         )
-    version = snap2.version + 1
-    commit(snap.table_path, version, adds, "UPDATE", spark)
+    from deltalake_datafusion_spark.delta.writer import commit_with_retries
+
+    version = commit_with_retries(
+        spark, snap.table_path, snap, plan["actions"] + adds, "UPDATE",
+        plan["touched_paths"],
+    )
     out = load_snapshot(table_path, spark=spark)
     maybe_checkpoint(spark, out)
     return {
-        "rows_updated": res["rows_deleted"],
+        "rows_updated": plan["rows_deleted"],
         "files_added": len(adds),
         "version": version,
     }
@@ -470,8 +498,12 @@ def merge_delta(
                 }
             )
 
-    version = snap.version + 1
-    commit(snap.table_path, version, actions, "MERGE", spark)
+    from deltalake_datafusion_spark.delta.writer import commit_with_retries
+
+    version = commit_with_retries(
+        spark, snap.table_path, snap, actions, "MERGE",
+        {f.path for f in touched},
+    )
     out_snap = load_snapshot(table_path, spark=spark)
     maybe_checkpoint(spark, out_snap)
     return {
@@ -585,8 +617,12 @@ def optimize_delta(
             a["remove"]["dataChange"] = False
             actions.append(a)
 
-    version = snap.version + 1
-    commit(snap.table_path, version, actions, "OPTIMIZE", spark)
+    from deltalake_datafusion_spark.delta.writer import commit_with_retries
+
+    version = commit_with_retries(
+        spark, snap.table_path, snap, actions, "OPTIMIZE",
+        {f.path for f in victims},
+    )
     out = load_snapshot(table_path, spark=spark)
     maybe_checkpoint(spark, out)
     return {

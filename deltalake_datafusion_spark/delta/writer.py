@@ -240,6 +240,71 @@ def commit(
         ) from e
 
 
+class ConcurrentModificationError(Exception):
+    """A concurrent commit touched the same files (or the table
+    metadata) this transaction read — retrying would be unsound."""
+
+
+def commit_with_retries(
+    spark,
+    table_path: str,
+    base_snapshot,
+    actions: list[dict],
+    operation: str,
+    touched_paths: set[str],
+    max_attempts: int = 10,
+) -> int:
+    """Optimistic-concurrency commit with real conflict validation
+    (the missing half of blind retry): when the target version is
+    taken, every intervening commit is replayed and the transaction
+    fails if any of them added/removed a file this transaction read
+    (``touched_paths``, table-relative) or changed table metadata.
+    Disjoint commits (appends, DML on other files) retry cleanly at
+    the new tip — the Delta WriteSerializable shape.
+    """
+    import urllib.parse as _up
+
+    from deltalake_datafusion_spark.delta.snapshot import (
+        _iter_commit_actions,
+        list_log_files,
+    )
+
+    fs = fs_for(table_path, spark)
+    version = base_snapshot.version + 1
+    checked_through = base_snapshot.version
+    for _ in range(max_attempts):
+        try:
+            commit(table_path, version, actions, operation, spark)
+            return version
+        except ConcurrentWriteError:
+            commits, _ = list_log_files(table_path, spark)
+            tip = max(v for v, _ in commits)
+            for v, p in commits:
+                if v <= checked_through or v > tip:
+                    continue
+                for a in _iter_commit_actions(p, fs):
+                    if "metaData" in a and a["metaData"]:
+                        raise ConcurrentModificationError(
+                            f"{operation}: table metadata changed by "
+                            f"concurrent commit {v}"
+                        )
+                    for key in ("add", "remove"):
+                        body = a.get(key)
+                        if not body:
+                            continue
+                        path = _up.unquote(body["path"])
+                        if path in touched_paths:
+                            raise ConcurrentModificationError(
+                                f"{operation}: file {path!r} modified by "
+                                f"concurrent commit {v}"
+                            )
+            checked_through = tip
+            version = tip + 1
+    raise ConcurrentWriteError(
+        f"gave up after {max_attempts} conflicting commits at {table_path}"
+    )
+
+
 def _stage_and_move(
     spark,
     df: DataFrame,

@@ -325,3 +325,74 @@ def test_all_match_evaluator_soundness(spark):
     nf = AddFile(path="f", size=1, modification_time=0,
                  partition_values={}, stats=None, dv=None)
     assert not ev.all_match(nf, p("id < 50"))
+
+
+def test_update_is_single_atomic_commit(spark, tmp_path):
+    """UPDATE must bump exactly one version carrying both the DV
+    removes and the replacement adds — no intermediate state where the
+    rows are deleted but not re-added."""
+    path = str(tmp_path / "upd_atomic")
+    write_delta(spark, spark.range(50).select("id", (F.col("id") * 1.0).alias("v")), path)
+    v0 = load_snapshot(path).version
+    res = update_delta(spark, path, {"v": "v + 1"}, "id < 10")
+    assert res["rows_updated"] == 10
+    snap = load_snapshot(path)
+    assert snap.version == v0 + 1  # exactly one commit
+    # and that single version contains the full row count
+    assert read_delta(spark, path).count() == 50
+    assert read_delta(spark, path, version=snap.version).count() == 50
+
+
+def test_concurrent_disjoint_commit_retries_cleanly(spark, tmp_path, monkeypatch):
+    """A concurrent append (disjoint files) between plan and commit:
+    DELETE retries at the new tip and both commits survive."""
+    import deltalake_datafusion_spark.delta.writer as w
+
+    path = str(tmp_path / "cc_disjoint")
+    write_delta(spark, spark.range(20).select("id"), path)
+
+    real_commit = w.commit
+    fired = {"done": False}
+
+    def racing_commit(table_path, version, actions, operation, spark_=None):
+        if not fired["done"] and operation == "DELETE":
+            fired["done"] = True
+            # concurrent append wins the version race
+            write_delta(
+                spark, spark.range(100, 110).select("id"), path, mode="append"
+            )
+        return real_commit(table_path, version, actions, operation, spark_)
+
+    monkeypatch.setattr(w, "commit", racing_commit)
+    res = delete_delta(spark, path, "id < 5")
+    monkeypatch.undo()
+    assert res["rows_deleted"] == 5
+    out = read_delta(spark, path)
+    assert out.count() == 25  # 20 - 5 + 10
+    assert out.filter("id >= 100").count() == 10
+
+
+def test_concurrent_conflicting_commit_raises(spark, tmp_path, monkeypatch):
+    """A concurrent DELETE that touches the same file must fail the
+    second transaction instead of silently re-applying stale actions."""
+    import deltalake_datafusion_spark.delta.writer as w
+    from deltalake_datafusion_spark.delta.writer import (
+        ConcurrentModificationError,
+    )
+
+    path = str(tmp_path / "cc_conflict")
+    write_delta(spark, spark.range(20).select("id").repartition(1), path)
+
+    real_commit = w.commit
+    fired = {"done": False}
+
+    def racing_commit(table_path, version, actions, operation, spark_=None):
+        if not fired["done"] and operation == "DELETE":
+            fired["done"] = True
+            real_commit(table_path, version, actions, "DELETE", spark_)
+            raise w.ConcurrentWriteError("simulated lost race")
+        return real_commit(table_path, version, actions, operation, spark_)
+
+    monkeypatch.setattr(w, "commit", racing_commit)
+    with pytest.raises(ConcurrentModificationError):
+        delete_delta(spark, path, "id < 5")
