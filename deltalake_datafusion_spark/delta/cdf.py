@@ -1,0 +1,223 @@
+"""Change Data Feed: row-level change capture + ``table_changes``.
+
+Implements the Delta CDF protocol surface (beyond the read-only
+reference, like the rest of the write path): when
+``delta.enableChangeDataFeed=true``,
+
+- **insert-only commits** (appends) write no extra data — readers
+  synthesize ``insert`` rows from the commit's add actions;
+- **DML commits** (DELETE / UPDATE / MERGE / overwrite) stage the
+  changed rows under ``_change_data/`` with a ``_change_type`` column
+  (``delete`` / ``update_preimage`` / ``update_postimage`` /
+  ``insert``) and reference them with ``cdc`` actions in the same
+  atomic commit — per spec, a commit carrying any cdc action is read
+  exclusively through its cdc files;
+- **remove-only commits** synthesize ``delete`` rows by scanning the
+  removed files (DV-aware: rows already deleted earlier are not
+  re-reported).
+
+``table_changes(spark, path, starting_version[, ending_version])``
+returns the table's logical columns plus ``_change_type``,
+``_commit_version``, ``_commit_timestamp`` — the standard CDF reader
+schema. Scale shape: per-commit work is a parquet scan of exactly the
+changed bytes; the commit walk itself is metadata-only.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHANGE_TYPE_COL = "_change_type"
+CDF_ENABLED_KEY = "delta.enableChangeDataFeed"
+CDF_DIR = "_change_data"
+
+
+class ChangeDataFeedError(Exception):
+    pass
+
+
+def cdf_enabled(configuration: dict[str, str]) -> bool:
+    return (configuration or {}).get(CDF_ENABLED_KEY, "").lower() == "true"
+
+
+def _physical_names(snap) -> dict[str, str]:
+    from deltalake_datafusion_spark.delta.scan import _logical_to_physical_map
+
+    return _logical_to_physical_map(snap.schema)
+
+
+def stage_cdc(spark, snap, cdc_df: DataFrame) -> list[dict]:
+    """Write ``cdc_df`` (logical data columns + ``_change_type``) as
+    parquet under ``_change_data/`` and return the cdc actions for the
+    commit. Data I/O is executor-side; the driver moves file names."""
+    from deltalake_datafusion_spark.delta.fs import fs_for
+
+    table_path = snap.table_path
+    fs = fs_for(table_path, spark)
+    if snap.column_mapping_mode != "none":
+        l2p = _physical_names(snap)
+        cdc_df = cdc_df.select(
+            *[
+                F.col(f"`{c}`").alias(l2p.get(c, c))
+                for c in cdc_df.columns
+                if c != CHANGE_TYPE_COL
+            ],
+            F.col(CHANGE_TYPE_COL),
+        )
+    staging = os.path.join(table_path, CDF_DIR, f"_stage_{uuid.uuid4().hex}")
+    cdc_df.write.mode("overwrite").parquet(staging)
+    actions: list[dict] = []
+    st_fs = fs_for(staging, spark)
+    for st in st_fs.list_recursive(staging):
+        if st.is_dir or not st.path.endswith(".parquet"):
+            continue
+        rel = os.path.join(CDF_DIR, f"cdc-{uuid.uuid4().hex}.snappy.parquet")
+        fs.rename(st.path, os.path.join(table_path, rel))
+        size = os.path.getsize(os.path.join(table_path, rel))
+        actions.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": size,
+                    "dataChange": False,
+                }
+            }
+        )
+    for st in sorted(st_fs.list_recursive(staging), key=lambda s: -len(s.path)):
+        fs.delete(st.path)
+    fs.delete(staging)
+    return actions
+
+
+def _with_commit_meta(df: DataFrame, version: int, ts_ms: int) -> DataFrame:
+    return df.withColumn("_commit_version", F.lit(version).cast("long")).withColumn(
+        "_commit_timestamp",
+        F.timestamp_millis(F.lit(ts_ms)),
+    )
+
+
+def _files_as_adds(bodies: list[dict]):
+    """add/remove action bodies → AddFile records for the scan helper."""
+    import urllib.parse as up
+
+    from deltalake_datafusion_spark.delta.snapshot import AddFile, _parse_dv
+
+    out = []
+    for b in bodies:
+        out.append(
+            AddFile(
+                path=up.unquote(b["path"]),
+                size=b.get("size", 0),
+                modification_time=b.get("modificationTime", 0),
+                partition_values=dict(b.get("partitionValues") or {}),
+                stats=b.get("stats"),
+                dv=_parse_dv(b.get("deletionVector")),
+            )
+        )
+    return out
+
+
+def table_changes(
+    spark,
+    table_path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Row-level changes in [starting_version, ending_version]."""
+    from deltalake_datafusion_spark.delta.fs import fs_for
+    from deltalake_datafusion_spark.delta.ops import _scan_with_rowmeta
+    from deltalake_datafusion_spark.delta.snapshot import (
+        _iter_commit_actions,
+        list_log_files,
+        load_snapshot,
+        strip_scheme,
+    )
+
+    table_path = strip_scheme(table_path)
+    snap = load_snapshot(table_path, spark=spark)
+    if not cdf_enabled(snap.metadata.configuration):
+        raise ChangeDataFeedError(
+            f"{CDF_ENABLED_KEY} is not set on the table at {table_path}"
+        )
+    fs = fs_for(table_path, spark)
+    commits, _ = list_log_files(table_path, spark)
+    logical_cols = snap.schema.fieldNames()
+    l2p = _physical_names(snap)
+    p2l = {v: k for k, v in l2p.items()}
+
+    def finalize(df: DataFrame) -> DataFrame:
+        return df.select(
+            *logical_cols,
+            CHANGE_TYPE_COL,
+            "_commit_version",
+            "_commit_timestamp",
+        )
+
+    parts: list[DataFrame] = []
+    for v, p in commits:
+        if v < starting_version or (ending_version is not None and v > ending_version):
+            continue
+        actions = _iter_commit_actions(p, fs)
+        ts_ms = 0
+        for a in actions:
+            if a.get("commitInfo"):
+                ts_ms = a["commitInfo"].get("timestamp", 0)
+                break
+        cdcs = [a["cdc"] for a in actions if a.get("cdc")]
+        if cdcs:
+            paths = [os.path.join(table_path, c["path"]) for c in cdcs]
+            df = spark.read.parquet(*paths)
+            df = df.select(
+                *[F.col(f"`{c}`").alias(p2l.get(c, c)) for c in df.columns]
+            )
+            parts.append(finalize(_with_commit_meta(df, v, ts_ms)))
+            continue
+        adds = [a["add"] for a in actions if a.get("add") and a["add"].get("dataChange")]
+        removes = [
+            a["remove"]
+            for a in actions
+            if a.get("remove") and a["remove"].get("dataChange", True)
+        ]
+        if adds and removes:
+            raise ChangeDataFeedError(
+                f"commit {v} mixes adds and removes without cdc actions — "
+                "written without CDF enabled; start table_changes after it"
+            )
+        for bodies, ctype in ((adds, "insert"), (removes, "delete")):
+            if not bodies:
+                continue
+            files = _files_as_adds(bodies)
+            df = (
+                _scan_with_rowmeta(spark, snap, None, files=files)
+                .drop("__row_index", "__file_path")
+                .withColumn(CHANGE_TYPE_COL, F.lit(ctype))
+            )
+            parts.append(finalize(_with_commit_meta(df, v, ts_ms)))
+
+    if not parts:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        empty_schema = StructType(
+            list(snap.schema.fields)
+            + [
+                StructField(CHANGE_TYPE_COL, StringType()),
+                StructField("_commit_version", LongType()),
+                StructField("_commit_timestamp", TimestampType()),
+            ]
+        )
+        return spark.createDataFrame([], empty_schema)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out

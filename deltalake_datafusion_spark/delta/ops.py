@@ -66,11 +66,13 @@ _NOOP_DELETE = {
 }
 
 
-def _delete_plan(spark, snap, predicate: str) -> dict:
+def _delete_plan(spark, snap, predicate: str, emit_cdc: bool = True) -> dict:
     """Plan a DELETE against one snapshot WITHOUT committing: returns
     {actions, files_rewritten, files_removed, rows_deleted,
     touched_paths}. Shared by DELETE (commits it alone) and UPDATE
-    (folds it into one atomic commit with the replacement adds)."""
+    (folds it into one atomic commit with the replacement adds;
+    UPDATE passes ``emit_cdc=False`` and stages its own
+    pre/post-image cdc instead of plain deletes)."""
     logical = snap.schema
     l2p = _logical_to_physical_map(logical)
     candidates = prune_files(
@@ -208,6 +210,36 @@ def _delete_plan(spark, snap, predicate: str) -> dict:
     for f in full_removes:
         actions.append(_remove_action(f))
 
+    # CDF: a DELETE commit mixes removes and DV-adds, so per spec it
+    # must carry its changed rows as cdc files (readers of a commit
+    # with cdc use only cdc). This necessarily re-reads the matched
+    # rows — including the stats-full files the fast path would
+    # otherwise never touch — exactly as Delta's own writer does when
+    # the feed is enabled.
+    from deltalake_datafusion_spark.delta.cdf import (
+        CHANGE_TYPE_COL,
+        cdf_enabled,
+        stage_cdc,
+    )
+
+    if emit_cdc and cdf_enabled(snap.metadata.configuration):
+        parts = []
+        if candidates:
+            scanned = _scan_with_rowmeta(
+                spark, snap, predicate, files=candidates
+            ).filter(F.expr(predicate))
+            parts.append(scanned)
+        if stats_full:
+            parts.append(_scan_with_rowmeta(spark, snap, None, files=stats_full))
+        if parts:
+            cdc_df = parts[0]
+            for p in parts[1:]:
+                cdc_df = cdc_df.unionByName(p)
+            cdc_df = cdc_df.drop("__row_index", "__file_path").withColumn(
+                CHANGE_TYPE_COL, F.lit("delete")
+            )
+            actions.extend(stage_cdc(spark, snap, cdc_df))
+
     return {
         "actions": actions,
         "files_rewritten": len(blob_owners),
@@ -301,7 +333,23 @@ def update_delta(
     # snapshot, committed together with the replacement adds in ONE
     # atomic version: no reader or crash window ever observes the rows
     # deleted but not yet re-added.
-    plan = _delete_plan(spark, snap, predicate)
+    plan = _delete_plan(spark, snap, predicate, emit_cdc=False)
+
+    from deltalake_datafusion_spark.delta.cdf import (
+        CHANGE_TYPE_COL,
+        cdf_enabled,
+        stage_cdc,
+    )
+
+    cdc_actions: list[dict] = []
+    if cdf_enabled(snap.metadata.configuration):
+        pre = matched_df.drop("__row_index", "__file_path").withColumn(
+            CHANGE_TYPE_COL, F.lit("update_preimage")
+        )
+        post = updated.select(*logical.fieldNames()).withColumn(
+            CHANGE_TYPE_COL, F.lit("update_postimage")
+        )
+        cdc_actions = stage_cdc(spark, snap, pre.unionByName(post))
 
     adds = []
     p2l = dict(zip(phys_parts, snap.partition_columns))
@@ -325,8 +373,8 @@ def update_delta(
     from deltalake_datafusion_spark.delta.writer import commit_with_retries
 
     version = commit_with_retries(
-        spark, snap.table_path, snap, plan["actions"] + adds, "UPDATE",
-        plan["touched_paths"],
+        spark, snap.table_path, snap, plan["actions"] + adds + cdc_actions,
+        "UPDATE", plan["touched_paths"],
     )
     out = load_snapshot(table_path, spark=spark)
     maybe_checkpoint(spark, out)
@@ -409,6 +457,15 @@ def merge_delta(
     by_path = {f.path: f for f in snap.files}
     touched = [by_path[p] for p in touched_files]
 
+    from deltalake_datafusion_spark.delta.cdf import (
+        CHANGE_TYPE_COL as _CT,
+        cdf_enabled,
+        stage_cdc,
+    )
+
+    _cdf_on = cdf_enabled(snap.metadata.configuration)
+    cdc_parts: list = []
+
     # Rewritten content of touched files.
     new_parts = []
     if touched:
@@ -438,6 +495,24 @@ def merge_delta(
                     )
         new_parts.append(survivors.select(*logical.fieldNames()))
 
+        # CDF: matched rows → delete, or pre/post image pairs; rows
+        # merely rewritten untouched (no matched clause) report nothing.
+        if _cdf_on:
+            pre = joined.filter(is_matched).select(*logical.fieldNames())
+            if when_matched_delete:
+                cdc_parts.append(
+                    pre.withColumn(_CT, F.lit("delete"))
+                )
+            elif when_matched_update:
+                cdc_parts.append(
+                    pre.withColumn(_CT, F.lit("update_preimage"))
+                )
+                cdc_parts.append(
+                    survivors.filter(is_matched)
+                    .select(*logical.fieldNames())
+                    .withColumn(_CT, F.lit("update_postimage"))
+                )
+
     if when_not_matched_insert:
         anti = s.join(t, cond, "left_anti")
         inserts = anti.select(
@@ -447,6 +522,8 @@ def merge_delta(
             ]
         )
         new_parts.append(inserts)
+        if _cdf_on:
+            cdc_parts.append(inserts.withColumn(_CT, F.lit("insert")))
 
     n_inserted = 0
     actions: list[dict] = [ _remove_action(f) for f in touched ]
@@ -497,6 +574,12 @@ def merge_delta(
                     }
                 }
             )
+
+    if cdc_parts:
+        cdc_df = cdc_parts[0]
+        for p in cdc_parts[1:]:
+            cdc_df = cdc_df.unionByName(p)
+        actions.extend(stage_cdc(spark, snap, cdc_df))
 
     from deltalake_datafusion_spark.delta.writer import commit_with_retries
 

@@ -536,6 +536,7 @@ def write_delta(
             }
         )
 
+    cdc_overwrite: list[dict] | None = None
     for attempt in range(max_commit_attempts):
         try:
             current = load_snapshot(table_path, spark=spark)
@@ -583,6 +584,30 @@ def write_delta(
                         }
                     }
                 )
+        if mode == "overwrite" and current is not None:
+            # CDF: overwrite both adds and removes → the commit must
+            # carry its changes as cdc (delete of every old row +
+            # insert of every new one); synthesis cannot describe it.
+            from deltalake_datafusion_spark.delta.cdf import (
+                CHANGE_TYPE_COL,
+                cdf_enabled,
+                stage_cdc,
+            )
+
+            if cdf_enabled(current.metadata.configuration):
+                if cdc_overwrite is None:
+                    from pyspark.sql import functions as F
+
+                    from deltalake_datafusion_spark.delta.scan import read_delta
+
+                    old_df = read_delta(
+                        spark, table_path, version=current.version
+                    ).withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+                    new_df = df.withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+                    cdc_overwrite = stage_cdc(
+                        spark, current, old_df.unionByName(new_df)
+                    )
+                actions.extend(cdc_overwrite)
         actions.extend(removes)
         actions.extend(adds)
         if txn is not None:

@@ -409,6 +409,60 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed end-to-end: part → CDF-enabled Delta table →
+    DELETE + UPDATE → ``table_changes`` from version 1, aggregated per
+    change type. The oracle recomputes the exact feed from the source
+    parquet (deletes = the deleted rows, update pre/post = the matched
+    rows before/after), certifying cdc capture and the reader."""
+    from deltalake_datafusion_spark.delta.cdf import table_changes
+    from deltalake_datafusion_spark.delta.ops import delete_delta, update_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "part")
+    path = _fresh_dir("cdf", sf_dir)
+    write_delta(
+        spark,
+        t["part"].repartition(2),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_delta(spark, path, "p_size > 45")
+    update_delta(
+        spark, path, {"p_retailprice": "p_retailprice + 1"}, "p_size <= 5"
+    )
+    ch = table_changes(spark, path, 1)
+    return (
+        ch.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("_change_type")
+    )
+
+
+_CDF_SQL = """
+WITH del AS (SELECT p_retailprice FROM part WHERE p_size > 45),
+     upd AS (SELECT p_retailprice FROM part WHERE p_size <= 5)
+SELECT * FROM (
+  SELECT 'delete' AS _change_type, COUNT(*) AS n,
+    CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+  FROM del
+  UNION ALL
+  SELECT 'update_preimage', COUNT(*),
+    CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+  FROM upd
+  UNION ALL
+  SELECT 'update_postimage', COUNT(*),
+    CAST(SUM(CAST(p_retailprice + 1 AS DECIMAL(12,2))) AS DOUBLE)
+  FROM upd
+) ORDER BY _change_type
+"""
+
+
 def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running (count, value-sum) state across micro-batches,
@@ -480,4 +534,5 @@ def specs() -> list[QuerySpec]:
         QuerySpec(
             "streaming_user_stats", streaming_user_stats, _STREAM_USER_STATS_SQL
         ),
+        QuerySpec("delta_cdf", delta_cdf, _CDF_SQL),
     ]

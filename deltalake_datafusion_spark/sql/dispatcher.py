@@ -72,6 +72,11 @@ _TABLE_FN_RE = re.compile(
     r"(?P<fn>delta_log|log_replay|directory_listing)\s*\(\s*'(?P<arg>[^']+)'\s*\)",
     re.IGNORECASE,
 )
+_TABLE_CHANGES_RE = re.compile(
+    r"table_changes\s*\(\s*'(?P<arg>[^']+)'\s*,\s*(?P<from>\d+)"
+    r"(?:\s*,\s*(?P<to>\d+))?\s*\)",
+    re.IGNORECASE,
+)
 
 def _unquote_target(target: str, registry=None) -> str:
     t = target.strip()
@@ -252,5 +257,16 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             directory_listing(spark, arg).createOrReplaceTempView(view)
         return view
 
+    def _expand_changes(match):
+        from deltalake_datafusion_spark.delta.cdf import table_changes
+
+        arg = match.group("arg")
+        lo = int(match.group("from"))
+        hi = int(match.group("to")) if match.group("to") else None
+        view = f"__table_changes_{abs(hash((arg, lo, hi))) % 10**8}"
+        table_changes(spark, arg, lo, hi).createOrReplaceTempView(view)
+        return view
+
     expanded = _TABLE_FN_RE.sub(_expand, statement)
+    expanded = _TABLE_CHANGES_RE.sub(_expand_changes, expanded)
     return spark.sql(expanded)

@@ -1,0 +1,162 @@
+"""Change Data Feed: write-side cdc capture + table_changes reads.
+
+Covers the Delta CDF commit shapes: synthesized inserts (append),
+synthesized deletes (remove-only), cdc-backed DELETE / UPDATE
+pre+post / MERGE mixed / overwrite, version-range selection, and the
+disabled-table error."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.cdf import (
+    ChangeDataFeedError,
+    table_changes,
+)
+from deltalake_datafusion_spark.delta.ops import (
+    delete_delta,
+    merge_delta,
+    update_delta,
+)
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.writer import write_delta
+
+CDF = {"delta.enableChangeDataFeed": "true"}
+
+
+def _mk(spark, tmp_path, name="cdf"):
+    path = str(tmp_path / name)
+    df = spark.range(10).select("id", (F.col("id") * 1.0).alias("v"))
+    write_delta(spark, df.repartition(1), path, configuration=CDF)
+    return path
+
+
+def _changes(spark, path, lo, hi=None):
+    rows = table_changes(spark, path, lo, hi).collect()
+    return sorted(
+        [(r.id, r.v, r._change_type, r._commit_version) for r in rows]
+    )
+
+
+def test_append_synthesizes_inserts(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "id long, v double"),
+        path,
+        mode="append",
+    )
+    ch = _changes(spark, path, 0)
+    assert (0, 0.0, "insert", 0) in ch
+    assert (100, 1.0, "insert", 1) in ch
+    assert len(ch) == 11
+    # range selection: only version 1
+    assert _changes(spark, path, 1) == [(100, 1.0, "insert", 1)]
+
+
+def test_delete_emits_cdc_rows(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    delete_delta(spark, path, "id < 3")
+    ch = _changes(spark, path, 1)
+    assert ch == [
+        (0, 0.0, "delete", 1),
+        (1, 1.0, "delete", 1),
+        (2, 2.0, "delete", 1),
+    ]
+    assert os.path.isdir(os.path.join(path, "_change_data"))
+
+
+def test_partition_drop_delete_still_reports_rows(spark, tmp_path):
+    """The metadata-only DELETE fast path must still produce cdc rows
+    when the feed is on (spec: every DML commit carries its changes)."""
+    path = str(tmp_path / "cdfpart")
+    df = spark.range(20).select("id", (F.col("id") % 2).alias("p"))
+    write_delta(spark, df, path, partition_by=["p"], configuration=CDF)
+    res = delete_delta(spark, path, "p = 1")
+    assert res["files_removed"] >= 1 and res["files_rewritten"] == 0
+    rows = table_changes(spark, path, 1).collect()
+    assert len(rows) == 10
+    assert all(r._change_type == "delete" and r.p == 1 for r in rows)
+
+
+def test_update_emits_pre_and_post_images(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    update_delta(spark, path, {"v": "v + 100"}, "id IN (4, 5)")
+    ch = _changes(spark, path, 1)
+    assert ch == [
+        (4, 4.0, "update_preimage", 1),
+        (4, 104.0, "update_postimage", 1),
+        (5, 5.0, "update_preimage", 1),
+        (5, 105.0, "update_postimage", 1),
+    ]
+
+
+def test_merge_emits_mixed_changes(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(7, 700.0), (200, 2.0)], "id long, v double"
+    )
+    merge_delta(
+        spark, path, src, "t.id = s.id", when_matched_update={"v": "s.v"}
+    )
+    ch = _changes(spark, path, 1)
+    assert (7, 7.0, "update_preimage", 1) in ch
+    assert (7, 700.0, "update_postimage", 1) in ch
+    assert (200, 2.0, "insert", 1) in ch
+    assert len(ch) == 3
+
+
+def test_overwrite_emits_delete_plus_insert(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    write_delta(
+        spark,
+        spark.createDataFrame([(50, 5.0)], "id long, v double"),
+        path,
+        mode="overwrite",
+    )
+    ch = _changes(spark, path, 1)
+    deletes = [c for c in ch if c[2] == "delete"]
+    inserts = [c for c in ch if c[2] == "insert"]
+    assert len(deletes) == 10 and len(inserts) == 1
+    assert inserts[0] == (50, 5.0, "insert", 1)
+
+
+def test_table_changes_requires_cdf(spark, tmp_path):
+    path = str(tmp_path / "nocdf")
+    write_delta(spark, spark.range(5).select("id"), path)
+    with pytest.raises(ChangeDataFeedError):
+        table_changes(spark, path, 0)
+
+
+def test_sql_table_changes_function(spark, tmp_path):
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = _mk(spark, tmp_path)
+    delete_delta(spark, path, "id = 9")
+    out = sql(
+        spark,
+        f"SELECT _change_type, COUNT(*) AS n FROM table_changes('{path}', 1, 1) "
+        "GROUP BY _change_type",
+    ).collect()
+    assert [(r._change_type, r.n) for r in out] == [("delete", 1)]
+
+
+def test_cdf_rows_match_table_diff(spark, tmp_path):
+    """End-to-end invariant: applying the change feed to the old
+    snapshot reproduces the new snapshot."""
+    path = _mk(spark, tmp_path)
+    delete_delta(spark, path, "id < 2")
+    update_delta(spark, path, {"v": "v * 10"}, "id = 5")
+    old = {(r.id, r.v) for r in read_delta(spark, path, version=0).collect()}
+    new = {(r.id, r.v) for r in read_delta(spark, path).collect()}
+    ch = table_changes(spark, path, 1).collect()
+    derived = set(old)
+    for r in sorted(ch, key=lambda r: r._commit_version):
+        if r._change_type in ("delete", "update_preimage"):
+            derived.discard((r.id, r.v))
+        elif r._change_type in ("insert", "update_postimage"):
+            derived.add((r.id, r.v))
+    assert derived == new
