@@ -190,6 +190,17 @@ def _delete_plan(spark, snap, predicate: str, emit_cdc: bool = True) -> dict:
 
     actions = []
     if blobs:
+        # First DV on a legacy-protocol table: upgrade the protocol in
+        # the same commit (spec: deletionVectors is a reader+writer
+        # table feature; emitting DVs without declaring it would make
+        # the table invalid for other readers).
+        from deltalake_datafusion_spark.delta.writer import (
+            protocol_upgrade_action,
+        )
+
+        up = protocol_upgrade_action(snap.protocol, {"deletionVectors"})
+        if up is not None:
+            actions.append(up)
         path_or_inline, spans = dvmod.write_dv_file(snap.table_path, blobs, fs)
         for (f, card), (offset, size) in zip(blob_owners, spans):
             dv = dvmod.make_descriptor("u", path_or_inline, offset, size, card)
@@ -845,11 +856,26 @@ def _relativize(file_path: str, table_path: str) -> str:
     return os.path.relpath(p, table_path)
 
 
-def _commit_configuration(spark, snap, configuration: dict[str, str], op: str) -> int:
+def _commit_configuration(
+    spark,
+    snap,
+    configuration: dict[str, str],
+    op: str,
+    needed_features: set[str] | None = None,
+) -> int:
     """Re-emit metaData with an updated configuration (same table id /
-    schema / partitioning) in one new commit."""
-    from deltalake_datafusion_spark.delta.writer import _metadata_action
+    schema / partitioning) in one new commit, upgrading the protocol
+    first when the new configuration needs a table feature."""
+    from deltalake_datafusion_spark.delta.writer import (
+        _metadata_action,
+        protocol_upgrade_action,
+    )
 
+    actions: list[dict] = []
+    if needed_features:
+        up = protocol_upgrade_action(snap.protocol, needed_features)
+        if up is not None:
+            actions.append(up)
     md = _metadata_action(
         snap.schema,
         snap.partition_columns,
@@ -858,8 +884,9 @@ def _commit_configuration(spark, snap, configuration: dict[str, str], op: str) -
         snap.metadata.name,
     )
     md["metaData"]["createdTime"] = snap.metadata.created_time
+    actions.append(md)
     version = snap.version + 1
-    commit(snap.table_path, version, [md], op, spark)
+    commit(snap.table_path, version, actions, op, spark)
     return version
 
 
@@ -882,7 +909,10 @@ def add_check_constraint(spark, table_path: str, name: str, expr: str) -> dict:
         raise ConstraintViolationError(f"constraint {name!r} already exists")
     validate_constraints(read_delta(spark, table_path), {name: expr})
     conf[key] = expr
-    version = _commit_configuration(spark, snap, conf, "ADD CONSTRAINT")
+    version = _commit_configuration(
+        spark, snap, conf, "ADD CONSTRAINT",
+        needed_features={"checkConstraints"},
+    )
     return {"constraint": name, "expr": expr, "version": version}
 
 

@@ -193,6 +193,71 @@ def _protocol_action(enable_dv: bool, column_mapping: bool) -> dict:
     return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 
+def _creation_protocol(column_mapping: bool, configuration: dict[str, str]) -> dict:
+    """Protocol for a new table: legacy (1,2) unless the requested
+    configuration needs table features (column mapping, CDF,
+    constraints, appendOnly)."""
+    features: set[str] = set()
+    if column_mapping:
+        features.add("columnMapping")
+    conf = configuration or {}
+    if conf.get("delta.enableChangeDataFeed", "").lower() == "true":
+        features.add("changeDataFeed")
+    if conf.get("delta.appendOnly", "").lower() == "true":
+        features.add("appendOnly")
+    if any(k.startswith("delta.constraints.") for k in conf):
+        features.add("checkConstraints")
+    if not features:
+        return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    features.add("vacuumProtocolCheck")
+    reader = sorted(f for f in features if f in _READER_IMPACTING)
+    body: dict = {"minWriterVersion": 7, "writerFeatures": sorted(features)}
+    if reader:
+        body["minReaderVersion"] = 3
+        body["readerFeatures"] = reader
+    else:
+        body["minReaderVersion"] = 1
+    return {"protocol": body}
+
+
+# Legacy protocol versions imply feature sets (Delta spec's table-
+# features migration table); used when upgrading a legacy protocol to
+# the explicit-features form so no implied capability is dropped.
+_LEGACY_WRITER_FEATURES = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+# Writer features that also gate readers.
+_READER_IMPACTING = {"deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint"}
+
+
+def protocol_upgrade_action(protocol, needed_features: set[str]) -> dict | None:
+    """Protocol action adding ``needed_features`` (None when the table
+    already has them). Upgrading a legacy protocol re-expresses its
+    version-implied features explicitly so nothing is lost."""
+    have_w = set(protocol.writer_features or [])
+    for v, feats in _LEGACY_WRITER_FEATURES.items():
+        if protocol.min_writer_version >= v and protocol.min_writer_version < 7:
+            have_w |= feats
+    if needed_features <= have_w:
+        return None  # already permitted (explicitly or version-implied)
+    all_w = sorted(have_w | needed_features | {"vacuumProtocolCheck"})
+    all_r = sorted(
+        set(protocol.reader_features or [])
+        | {f for f in all_w if f in _READER_IMPACTING}
+    )
+    body: dict = {"minWriterVersion": 7, "writerFeatures": all_w}
+    if all_r or protocol.min_reader_version >= 3:
+        body["minReaderVersion"] = 3
+        body["readerFeatures"] = all_r
+    else:
+        body["minReaderVersion"] = protocol.min_reader_version
+    return {"protocol": body}
+
+
 def _metadata_action(
     schema: StructType,
     partition_by: list[str],
@@ -545,7 +610,7 @@ def write_delta(
         version = 0 if current is None else current.version + 1
         actions: list[dict] = []
         if current is None:
-            actions.append(_protocol_action(False, mapping))
+            actions.append(_creation_protocol(mapping, configuration))
             actions.append(
                 _metadata_action(
                     write_schema, partition_by, configuration,

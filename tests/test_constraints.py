@@ -126,3 +126,49 @@ def test_alter_table_constraint_sql(spark, tmp_path):
     assert out.collect()[0].expr == "v >= 0"
     out = sql(spark, f"ALTER TABLE '{path}' DROP CONSTRAINT IF EXISTS pos")
     assert out.collect()[0].expr is None
+
+
+def test_protocol_declares_features(spark, tmp_path):
+    """Tables using writer features must declare them in the protocol
+    (spec validity for external readers)."""
+    # creation-time features
+    path = str(tmp_path / "proto_create")
+    write_delta(
+        spark,
+        spark.range(5).select("id"),
+        path,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.appendOnly": "true",
+        },
+    )
+    pr = load_snapshot(path).protocol
+    assert pr.min_writer_version == 7
+    assert {"changeDataFeed", "appendOnly"} <= set(pr.writer_features)
+    # no reader-impacting feature → reader version stays 1
+    assert pr.min_reader_version == 1
+
+    # ALTER ADD CONSTRAINT upgrades a legacy (1,2) protocol
+    path2 = str(tmp_path / "proto_constraint")
+    write_delta(spark, spark.range(5).select("id"), path2)
+    assert load_snapshot(path2).protocol.min_writer_version == 2
+    add_check_constraint(spark, path2, "c", "id >= 0")
+    pr2 = load_snapshot(path2).protocol
+    assert pr2.min_writer_version == 7
+    assert "checkConstraints" in pr2.writer_features
+    # legacy writer-2 implied features survive the upgrade
+    assert {"appendOnly", "invariants"} <= set(pr2.writer_features)
+
+
+def test_first_dv_upgrades_protocol(spark, tmp_path):
+    """The commit that writes the table's first deletion vector must
+    also declare the deletionVectors feature."""
+    path = str(tmp_path / "proto_dv")
+    write_delta(spark, spark.range(20).select("id").repartition(1), path)
+    assert load_snapshot(path).protocol.min_reader_version == 1
+    delete_delta(spark, path, "id < 5")
+    pr = load_snapshot(path).protocol
+    assert pr.min_reader_version == 3 and pr.min_writer_version == 7
+    assert "deletionVectors" in pr.reader_features
+    assert "deletionVectors" in pr.writer_features
+    assert read_delta(spark, path).count() == 15
