@@ -1,0 +1,166 @@
+"""Shallow CLONE + commit history.
+
+``clone_delta`` creates a zero-copy table: a new ``_delta_log`` whose
+add actions reference the source's data files by absolute path and
+whose deletion-vector descriptors are rewritten to absolute
+(``p``-storage) form. Pure metadata — cloning a 100 TB table costs
+one log write, the standard shallow-clone shape. Caveat (same as
+Delta's): VACUUM on the *source* can remove files the clone still
+references; VACUUM on the clone itself is safe (it only lists the
+clone's own root, where no data lives).
+
+``history_df`` surfaces commitInfo per version (DESCRIBE HISTORY):
+driver-side metadata reads only.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+class CloneError(Exception):
+    pass
+
+
+def _abs_dv(dv, src_root: str) -> dict | None:
+    """DvDescriptor → JSON with table-root-independent addressing."""
+    from deltalake_datafusion_spark.delta.deletion_vectors import (
+        dv_relative_path,
+    )
+
+    if dv is None:
+        return None
+    if dv.storage_type == "i":  # inline: already self-contained
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": dv.path_or_inline,
+            "sizeInBytes": dv.size_in_bytes,
+            "cardinality": dv.cardinality,
+        }
+    if dv.storage_type == "u":
+        abs_path = os.path.join(src_root, dv_relative_path(dv.path_or_inline))
+    else:  # already absolute
+        abs_path = dv.path_or_inline
+    return {
+        "storageType": "p",
+        "pathOrInlineDv": abs_path,
+        "offset": dv.offset,
+        "sizeInBytes": dv.size_in_bytes,
+        "cardinality": dv.cardinality,
+    }
+
+
+def clone_delta(
+    spark, src_path: str, dst_path: str, shallow: bool = True
+) -> dict:
+    """Shallow-clone ``src_path`` at its latest version into a new
+    table at ``dst_path``. Returns {files, version, source_version}."""
+    from deltalake_datafusion_spark.delta.snapshot import (
+        DeltaNotFoundError,
+        load_snapshot,
+        strip_scheme,
+    )
+    from deltalake_datafusion_spark.delta.writer import (
+        _metadata_action,
+        _url_encode_path,
+        commit,
+    )
+
+    if not shallow:
+        raise NotImplementedError(
+            "deep clone copies every data file — use a distributed copy "
+            "job; only shallow (metadata) clone is provided"
+        )
+    src_root = strip_scheme(src_path)
+    dst_root = strip_scheme(dst_path)
+    try:
+        load_snapshot(dst_root, spark=spark)
+        raise CloneError(f"destination already exists: {dst_path}")
+    except DeltaNotFoundError:
+        pass
+    snap = load_snapshot(src_root, spark=spark)
+
+    proto = {
+        "protocol": {
+            "minReaderVersion": snap.protocol.min_reader_version,
+            "minWriterVersion": snap.protocol.min_writer_version,
+            **(
+                {"readerFeatures": snap.protocol.reader_features}
+                if snap.protocol.reader_features
+                else {}
+            ),
+            **(
+                {"writerFeatures": snap.protocol.writer_features}
+                if snap.protocol.writer_features
+                else {}
+            ),
+        }
+    }
+    md = _metadata_action(
+        snap.schema,
+        snap.partition_columns,
+        dict(snap.metadata.configuration),
+        str(uuid.uuid4()),
+        snap.metadata.name,
+    )
+    actions = [proto, md]
+    for f in snap.files:
+        dvj = _abs_dv(f.dv, src_root)
+        actions.append(
+            {
+                "add": {
+                    "path": _url_encode_path(os.path.join(src_root, f.path)),
+                    "partitionValues": f.partition_values,
+                    "size": f.size,
+                    "modificationTime": f.modification_time,
+                    "dataChange": True,
+                    "stats": f.stats,
+                    **({"deletionVector": dvj} if dvj else {}),
+                }
+            }
+        )
+    os.makedirs(dst_root, exist_ok=True)
+    commit(dst_root, 0, actions, "CLONE", spark)
+    return {
+        "files": len(snap.files),
+        "version": 0,
+        "source_version": snap.version,
+    }
+
+
+def history_df(spark, table_path: str) -> DataFrame:
+    """One row per commit: version, timestamp, operation, engineInfo
+    (DESCRIBE HISTORY surface; commitInfo is best-effort per spec, so
+    missing fields are null)."""
+    from deltalake_datafusion_spark.delta.fs import fs_for
+    from deltalake_datafusion_spark.delta.snapshot import (
+        _iter_commit_actions,
+        list_log_files,
+        strip_scheme,
+    )
+
+    table_path = strip_scheme(table_path)
+    fs = fs_for(table_path, spark)
+    commits, _ = list_log_files(table_path, spark)
+    rows = []
+    for v, p in commits:
+        info = {}
+        for a in _iter_commit_actions(p, fs):
+            if a.get("commitInfo"):
+                info = a["commitInfo"]
+                break
+        rows.append(
+            (
+                v,
+                info.get("timestamp"),
+                info.get("operation"),
+                info.get("engineInfo"),
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows, reverse=True),
+        "version long, timestamp long, operation string, engineInfo string",
+    )

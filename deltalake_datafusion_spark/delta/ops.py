@@ -853,7 +853,11 @@ def _relativize(file_path: str, table_path: str) -> str:
         if p.startswith(prefix):
             p = p[len(prefix):]
             break
-    return os.path.relpath(p, table_path)
+    rel = os.path.relpath(p, table_path)
+    # Files outside the table root (shallow clones reference the
+    # source's files by absolute path) keep their absolute form — the
+    # snapshot's AddFile.path is absolute for them too.
+    return p if rel.startswith("..") else rel
 
 
 def _commit_configuration(

@@ -69,7 +69,13 @@ _OPTIMIZE_RE = re.compile(
     re.IGNORECASE,
 )
 _TABLE_FN_RE = re.compile(
-    r"(?P<fn>delta_log|log_replay|directory_listing)\s*\(\s*'(?P<arg>[^']+)'\s*\)",
+    r"(?P<fn>delta_log|log_replay|directory_listing|history)"
+    r"\s*\(\s*'(?P<arg>[^']+)'\s*\)",
+    re.IGNORECASE,
+)
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<dst>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+SHALLOW\s+CLONE\s+(?P<src>'[^']+'|delta\.`[^`]+`|[\w./-]+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _TABLE_CHANGES_RE = re.compile(
@@ -199,6 +205,17 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 
+    m = _CLONE_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.clone import clone_delta
+
+        res = clone_delta(
+            spark,
+            _unquote_target(m.group("src"), registry),
+            _unquote_target(m.group("dst"), registry),
+        )
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
     m = _ADD_CONSTRAINT_RE.match(statement)
     if m:
         from deltalake_datafusion_spark.delta.ops import add_check_constraint
@@ -251,6 +268,10 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             from deltalake_datafusion_spark.delta.snapshot import log_replay_df
 
             log_replay_df(spark, arg).createOrReplaceTempView(view)
+        elif fn == "history":
+            from deltalake_datafusion_spark.delta.clone import history_df
+
+            history_df(spark, arg).createOrReplaceTempView(view)
         else:
             from deltalake_datafusion_spark.delta.listing import directory_listing
 

@@ -1,0 +1,83 @@
+"""Shallow CLONE (zero-copy metadata table) + commit history."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.clone import (
+    CloneError,
+    clone_delta,
+    history_df,
+)
+from deltalake_datafusion_spark.delta.ops import delete_delta, update_delta
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import write_delta
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+
+def test_shallow_clone_zero_copy(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(100).select(
+        "id", (F.col("id") % 3).alias("p"), (F.col("id") * 1.5).alias("v")
+    )
+    write_delta(spark, df, src, partition_by=["p"])
+    res = clone_delta(spark, src, dst)
+    assert res["files"] >= 3 and res["source_version"] == 0
+
+    # identical content, no data files under the clone root
+    assert sorted(r.id for r in read_delta(spark, dst).collect()) == list(range(100))
+    local = [
+        n for n in os.listdir(dst)
+        if n.endswith(".parquet") or n.startswith("part-")
+    ]
+    assert local == []
+
+    # clone evolves independently: delete in the clone, source untouched
+    delete_delta(spark, dst, "id < 50")
+    assert read_delta(spark, dst).count() == 50
+    assert read_delta(spark, src).count() == 100
+
+
+def test_clone_carries_deletion_vectors(spark, tmp_path):
+    src = str(tmp_path / "srcdv")
+    dst = str(tmp_path / "dstdv")
+    write_delta(spark, spark.range(40).select("id").repartition(1), src)
+    delete_delta(spark, src, "id < 10")
+    clone_delta(spark, src, dst)
+    assert sorted(r.id for r in read_delta(spark, dst).collect()) == list(
+        range(10, 40)
+    )
+    snap = load_snapshot(dst)
+    assert any(f.dv is not None and f.dv.storage_type == "p" for f in snap.files)
+
+
+def test_clone_existing_destination_rejected(spark, tmp_path):
+    src = str(tmp_path / "s2")
+    write_delta(spark, spark.range(5).select("id"), src)
+    with pytest.raises(CloneError):
+        clone_delta(spark, src, src)
+
+
+def test_clone_sql_and_history(spark, tmp_path):
+    src = str(tmp_path / "s3")
+    dst = str(tmp_path / "d3")
+    write_delta(spark, spark.range(10).select("id", (F.col("id") * 1.0).alias("v")), src)
+    update_delta(spark, src, {"v": "v + 1"}, "id < 3")
+    out = sql(spark, f"CREATE TABLE '{dst}' SHALLOW CLONE '{src}'")
+    assert out.collect()[0].files >= 1
+
+    hist = sql(
+        spark,
+        f"SELECT version, operation FROM history('{src}') ORDER BY version",
+    ).collect()
+    assert [(r.version, r.operation) for r in hist] == [
+        (0, "WRITE"),
+        (1, "UPDATE"),
+    ]
+    ch = sql(spark, f"SELECT operation FROM history('{dst}')").collect()
+    assert ch[0].operation == "CLONE"
