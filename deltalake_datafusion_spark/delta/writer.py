@@ -810,7 +810,137 @@ def write_checkpoint(spark, snapshot: Snapshot) -> str:
     return final
 
 
+def write_checkpoint_spark(
+    spark, table_path: str, version: int | None = None, parts: int | None = None
+) -> list[str]:
+    """Distributed multi-part checkpoint: the live add set is derived
+    from the log ON THE EXECUTORS (checkpoint-aware ``actions_df`` +
+    window dedup — the same replay ``log_replay_df`` uses) and written
+    as ``N.checkpoint.<i>.<n>.parquet`` parts, so checkpointing a
+    1e6-file table never funnels the file list through one JSON-string
+    loop or one output file. The driver contributes only the
+    protocol/metaData/txn rows (O(1) + O(apps)).
+
+    The single-part :func:`write_checkpoint` remains the small-table
+    path; :func:`maybe_checkpoint` switches on file count.
+    """
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.log_schema import LOG_SCHEMA
+    from deltalake_datafusion_spark.delta.snapshot import actions_df, load_snapshot
+
+    snap = load_snapshot(table_path, version=version, spark=spark)
+    df = actions_df(spark, snap.table_path, snap.version)
+    acts = df.select(
+        "version",
+        F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+        F.col("add").alias("add_action"),
+        F.col("add.path").isNotNull().alias("is_add"),
+    ).filter(F.col("path").isNotNull())
+    w = Window.partitionBy("path").orderBy(F.desc("version"), F.desc("is_add"))
+    live = (
+        acts.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & F.col("is_add"))
+        .select(
+            F.col("add_action").withField("dataChange", F.lit(False)).alias("add")
+        )
+    )
+    other = [f for f in LOG_SCHEMA.fieldNames() if f not in ("add", "commitInfo")]
+    ck = live.select(
+        "add",
+        *[F.lit(None).cast(LOG_SCHEMA[f].dataType).alias(f) for f in other],
+    )
+
+    # Driver rows: protocol + metaData + app transactions, shipped
+    # through the same JSON-parse path the single-part writer uses.
+    head_rows = [
+        {
+            "protocol": {
+                "minReaderVersion": snap.protocol.min_reader_version,
+                "minWriterVersion": snap.protocol.min_writer_version,
+                "readerFeatures": snap.protocol.reader_features or None,
+                "writerFeatures": snap.protocol.writer_features or None,
+            }
+        },
+        {
+            "metaData": {
+                "id": snap.metadata.id,
+                "name": snap.metadata.name,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.metadata.schema_string,
+                "partitionColumns": snap.metadata.partition_columns,
+                "configuration": snap.metadata.configuration,
+                "createdTime": snap.metadata.created_time,
+            }
+        },
+    ] + [
+        {"txn": {"appId": app, "version": v}}
+        for app, v in sorted(snap.app_transactions.items())
+    ]
+    head = (
+        spark.createDataFrame([(json.dumps(r),) for r in head_rows], "value string")
+        .select(F.from_json("value", LOG_SCHEMA).alias("a"))
+        .select("a.*")
+        .drop("commitInfo")
+        .select(*ck.columns)
+    )
+
+    n_live = live.count()  # metadata-scale count, sizes the parts
+    n_parts = parts or max(1, math.ceil(n_live / 500_000))
+    log_dir = os.path.join(snap.table_path, "_delta_log")
+    staging = os.path.join(log_dir, f".cp_{uuid.uuid4().hex}")
+    head.unionByName(ck).repartition(n_parts).write.mode("overwrite").parquet(
+        staging
+    )
+
+    fs = fs_for(snap.table_path, spark)
+    staged = sorted(
+        st.path
+        for st in fs.list_recursive(staging)
+        if not st.is_dir and st.path.endswith(".parquet")
+    )
+    finals = []
+    total = len(staged)
+    for i, src in enumerate(staged):
+        if total == 1:
+            name = f"{snap.version:020d}.checkpoint.parquet"
+        else:
+            name = (
+                f"{snap.version:020d}.checkpoint."
+                f"{i + 1:010d}.{total:010d}.parquet"
+            )
+        dst = os.path.join(log_dir, name)
+        fs.rename(src, dst)
+        finals.append(dst)
+    for st in sorted(fs.list_recursive(staging), key=lambda s: -len(s.path)):
+        fs.delete(st.path)
+    fs.delete(staging)
+
+    fs.write_bytes(
+        os.path.join(log_dir, "_last_checkpoint"),
+        json.dumps(
+            {
+                "version": snap.version,
+                "size": n_live + len(head_rows),
+                **({"parts": total} if total > 1 else {}),
+            }
+        ).encode(),
+    )
+    return finals
+
+
+# Above this live-file count, checkpoints are derived and written
+# distributively instead of through the driver row loop.
+DISTRIBUTED_CHECKPOINT_THRESHOLD = 100_000
+
+
 def maybe_checkpoint(spark, snapshot: Snapshot) -> None:
     interval = int(snapshot.get_property("delta.checkpointInterval", "10") or "10")
     if interval > 0 and snapshot.version > 0 and (snapshot.version % interval == 0):
-        write_checkpoint(spark, snapshot)
+        if len(snapshot.files) > DISTRIBUTED_CHECKPOINT_THRESHOLD:
+            write_checkpoint_spark(spark, snapshot.table_path, snapshot.version)
+        else:
+            write_checkpoint(spark, snapshot)

@@ -409,3 +409,43 @@ def test_commit_conflict_and_retry(spark, tmp_path):
     snap = load_snapshot(path, spark=spark)
     assert snap.version == 3  # v2 stolen by the competitor, append at 3
     assert read_delta(spark, path).count() == 15
+
+
+def test_distributed_multipart_checkpoint(spark, tmp_path):
+    """write_checkpoint_spark: adds derived executor-side from the
+    log, multi-part naming, reconstructable without the JSON commits."""
+    from deltalake_datafusion_spark.delta.writer import write_checkpoint_spark
+
+    path = str(tmp_path / "cp_spark")
+    write_delta(spark, spark.range(50).select("id"), path)
+    write_delta(spark, spark.range(50, 90).select("id"), path, mode="append")
+    delete_delta(spark, path, "id < 10")
+    write_delta(
+        spark, spark.range(200, 210).select("id"), path, mode="append",
+        txn=("appX", 7),
+    )
+
+    finals = write_checkpoint_spark(spark, path, parts=3)
+    assert len(finals) == 3
+    assert all(".checkpoint." in os.path.basename(p) for p in finals)
+    import json as _json
+
+    lc = _json.loads(
+        open(os.path.join(path, "_delta_log", "_last_checkpoint")).read()
+    )
+    assert lc["parts"] == 3 and lc["version"] == 3
+
+    # checkpoint alone reconstructs the snapshot (log cleaned up)
+    for v in range(4):
+        os.remove(os.path.join(path, "_delta_log", f"{v:020d}.json"))
+    snap = load_snapshot(path)
+    assert snap.version == 3
+    assert snap.app_transactions.get("appX") == 7
+    ids = sorted(r.id for r in read_delta(spark, path).collect())
+    assert ids == list(range(10, 90)) + list(range(200, 210))
+
+    # incremental: a later commit + re-checkpoint from the checkpoint
+    write_delta(spark, spark.range(300, 305).select("id"), path, mode="append")
+    finals2 = write_checkpoint_spark(spark, path, parts=1)
+    assert len(finals2) == 1
+    assert read_delta(spark, path).count() == 95
