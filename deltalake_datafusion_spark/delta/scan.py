@@ -238,9 +238,28 @@ def read_delta(
     predicate: str | None = None,
     columns: list[str] | None = None,
     limit: int | None = None,
+    timestamp_as_of: int | str | None = None,
 ) -> DataFrame:
-    """Read a Delta table (time travel via ``version``) — the
-    ``register_delta`` / ``read_delta_snapshot`` surface (reference
-    ``session.rs:240-311``)."""
+    """Read a Delta table (time travel via ``version`` or
+    ``timestamp_as_of`` — epoch millis or an ISO timestamp string) —
+    the ``register_delta`` / ``read_delta_snapshot`` surface
+    (reference ``session.rs:240-311``)."""
+    if timestamp_as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or timestamp_as_of, not both")
+        from deltalake_datafusion_spark.delta.snapshot import (
+            resolve_version_at_timestamp,
+        )
+
+        if isinstance(timestamp_as_of, str):
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(timestamp_as_of)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            timestamp_as_of = int(ts.timestamp() * 1000)
+        version = resolve_version_at_timestamp(
+            table_path, timestamp_as_of, spark
+        )
     snap = load_snapshot(table_path, version=version, spark=spark)
     return scan(spark, snap, predicate=predicate, columns=columns, limit=limit)

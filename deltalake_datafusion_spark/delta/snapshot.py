@@ -213,6 +213,37 @@ def _iter_commit_actions(path: str, fs) -> list[dict]:
     return [json.loads(line) for line in raw.splitlines() if line.strip()]
 
 
+def resolve_version_at_timestamp(table_path: str, ts_ms: int, spark=None) -> int:
+    """Timestamp time travel: the latest version whose commit
+    timestamp is ≤ ``ts_ms`` (Delta ``timestampAsOf`` semantics).
+    Metadata-only: reads each commit's commitInfo header."""
+    table_path = strip_scheme(table_path)
+    fs = fs_for(table_path, spark)
+    commits, _ = list_log_files(table_path, spark)
+    if not commits:
+        raise DeltaNotFoundError(f"no Delta log at {table_path}")
+    best = None
+    for v, p in commits:
+        info_ts = None
+        for a in _iter_commit_actions(p, fs):
+            if a.get("commitInfo"):
+                info_ts = a["commitInfo"].get("timestamp")
+                break
+        if info_ts is None:  # fall back to file mtime (spec allows)
+            info_ts = next(
+                (s.mtime_ms for s in fs.list(os.path.dirname(p))
+                 if s.path == p),
+                None,
+            )
+        if info_ts is not None and info_ts <= ts_ms:
+            best = v
+    if best is None:
+        raise DeltaNotFoundError(
+            f"no commit at or before timestamp {ts_ms} at {table_path}"
+        )
+    return best
+
+
 def load_snapshot(
     table_path: str, version: int | None = None, spark=None
 ) -> Snapshot:

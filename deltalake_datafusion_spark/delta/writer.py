@@ -193,13 +193,22 @@ def _protocol_action(enable_dv: bool, column_mapping: bool) -> dict:
     return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 
-def _creation_protocol(column_mapping: bool, configuration: dict[str, str]) -> dict:
+def _creation_protocol(
+    column_mapping: bool,
+    configuration: dict[str, str],
+    schema: StructType | None = None,
+) -> dict:
     """Protocol for a new table: legacy (1,2) unless the requested
-    configuration needs table features (column mapping, CDF,
-    constraints, appendOnly)."""
+    configuration/schema needs table features (column mapping, CDF,
+    constraints, appendOnly, generated columns)."""
     features: set[str] = set()
     if column_mapping:
         features.add("columnMapping")
+    if schema is not None and any(
+        f.metadata and "delta.generationExpression" in f.metadata
+        for f in schema.fields
+    ):
+        features.add("generatedColumns")
     conf = configuration or {}
     if conf.get("delta.enableChangeDataFeed", "").lower() == "true":
         features.add("changeDataFeed")
@@ -522,6 +531,34 @@ def write_delta(
                 ]
             )
         else:
+            from pyspark.sql import functions as F
+
+            # Generated columns (delta.generationExpression metadata):
+            # computed when absent from the batch, validated when
+            # provided (null-safe equality) — Delta writer semantics.
+            gen = {
+                f.name: f.metadata["delta.generationExpression"]
+                for f in logical_schema.fields
+                if f.metadata and "delta.generationExpression" in f.metadata
+            }
+            check_gen = sorted(set(gen) & df_names)
+            for c in sorted((existing_names - df_names) & set(gen)):
+                df = df.withColumn(c, F.expr(gen[c]))
+                df_names.add(c)
+            if check_gen:
+                aggs = [
+                    F.sum(
+                        F.when(~F.col(c).eqNullSafe(F.expr(gen[c])), 1).otherwise(0)
+                    ).alias(c)
+                    for c in check_gen
+                ]
+                row = df.agg(*aggs).collect()[0]
+                for c in check_gen:
+                    if row[c]:
+                        raise DeltaWriteError(
+                            f"generated column {c!r} has {row[c]} row(s) not "
+                            f"matching its expression ({gen[c]})"
+                        )
             if df_names != existing_names:
                 raise DeltaWriteError(
                     f"schema mismatch: table has {sorted(existing_names)}, "
@@ -530,8 +567,6 @@ def write_delta(
                 )
             # Preserve the table's column order + mapping metadata;
             # cast type-compatible columns to the table's types.
-            from pyspark.sql import functions as F
-
             df = df.select(
                 *[
                     F.col(f.name).cast(f.dataType).alias(f.name)
@@ -610,7 +645,9 @@ def write_delta(
         version = 0 if current is None else current.version + 1
         actions: list[dict] = []
         if current is None:
-            actions.append(_creation_protocol(mapping, configuration))
+            actions.append(
+                _creation_protocol(mapping, configuration, write_schema)
+            )
             actions.append(
                 _metadata_action(
                     write_schema, partition_by, configuration,

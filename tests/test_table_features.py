@@ -170,3 +170,98 @@ def test_timestamp_ntz_roundtrip(spark, tmp_path):
     out = read_delta(spark, path)
     assert dict(out.dtypes)["t"] == "timestamp_ntz"
     assert out.collect()[0].t == dt.datetime(2024, 6, 1, 12, 0, 0)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """timestamp_as_of resolves the latest commit at or before the
+    timestamp from commitInfo (Delta timestampAsOf semantics)."""
+    import json as _json
+    import os as _os
+
+    from deltalake_datafusion_spark.delta.snapshot import (
+        DeltaNotFoundError,
+        resolve_version_at_timestamp,
+    )
+
+    path = str(tmp_path / "ts_tt")
+    write_delta(spark, spark.range(10).select("id"), path)
+    write_delta(spark, spark.range(10, 30).select("id"), path, mode="append")
+    write_delta(spark, spark.range(30, 35).select("id"), path, mode="append")
+
+    # pin deterministic commit timestamps
+    log = _os.path.join(path, "_delta_log")
+    for v, ts in [(0, 1000), (1, 2000), (2, 3000)]:
+        p = _os.path.join(log, f"{v:020d}.json")
+        lines = open(p).read().splitlines()
+        acts = [_json.loads(l) for l in lines]
+        acts[0]["commitInfo"]["timestamp"] = ts
+        with open(p, "w") as f:
+            for a in acts:
+                f.write(_json.dumps(a) + "\n")
+
+    import pytest as _pytest
+
+    with _pytest.raises(DeltaNotFoundError):
+        resolve_version_at_timestamp(path, 999)
+    assert resolve_version_at_timestamp(path, 1000) == 0
+    assert resolve_version_at_timestamp(path, 2500) == 1
+    assert resolve_version_at_timestamp(path, 99999) == 2
+    assert read_delta(spark, path, timestamp_as_of=2500).count() == 30
+    assert read_delta(
+        spark, path, timestamp_as_of="1970-01-01T00:00:02+00:00"
+    ).count() == 30
+
+
+def test_generated_columns(spark, tmp_path):
+    """delta.generationExpression: computed when absent, validated
+    when provided; creation protocol declares generatedColumns."""
+    import pytest as _pytest
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import DeltaWriteError
+
+    path = str(tmp_path / "gencol")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", DoubleType()),
+            StructField(
+                "v2",
+                DoubleType(),
+                metadata={"delta.generationExpression": "v * 2"},
+            ),
+        ]
+    )
+    first = spark.createDataFrame(
+        [(0, 1.0, 2.0), (1, 2.0, 4.0)], schema
+    )
+    write_delta(spark, first, path)
+    assert "generatedColumns" in (
+        load_snapshot(path).protocol.writer_features or []
+    )
+
+    # append WITHOUT the generated column → computed
+    write_delta(
+        spark,
+        spark.createDataFrame([(2, 5.0)], "id long, v double"),
+        path,
+        mode="append",
+    )
+    rows = {r.id: r.v2 for r in read_delta(spark, path).collect()}
+    assert rows[2] == 10.0
+
+    # append with WRONG provided values → rejected
+    bad = spark.createDataFrame([(3, 1.0, 99.0)], "id long, v double, v2 double")
+    with _pytest.raises(DeltaWriteError, match="generated column"):
+        write_delta(spark, bad, path, mode="append")
+    # correct provided values pass
+    ok = spark.createDataFrame([(3, 3.0, 6.0)], "id long, v double, v2 double")
+    write_delta(spark, ok, path, mode="append")
+    assert read_delta(spark, path).count() == 4
