@@ -463,6 +463,51 @@ SELECT * FROM (
 """
 
 
+def delta_clone_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow CLONE + history: nation → Delta (2 commits) → zero-copy
+    clone → DELETE on the clone only. Result: the clone's commit
+    operations + per-table row counts — proving the clone reads the
+    source's files, evolves independently, and records its history."""
+    from deltalake_datafusion_spark.delta.clone import clone_delta, history_df
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "nation")
+    src = _fresh_dir("clone_src", sf_dir)
+    dst = _fresh_dir("clone_dst", sf_dir)
+    import shutil as _sh
+
+    _sh.rmtree(dst, ignore_errors=True)  # clone requires absent dst
+    write_delta(spark, t["nation"].filter("n_regionkey < 3"), src)
+    write_delta(
+        spark, t["nation"].filter("n_regionkey >= 3"), src, mode="append"
+    )
+    clone_delta(spark, src, dst)
+    delete_delta(spark, dst, "n_regionkey = 0")
+
+    hist = history_df(spark, dst).select("version", "operation")
+    counts = spark.createDataFrame(
+        [
+            ("src_rows", read_delta(spark, src).count()),
+            ("clone_rows", read_delta(spark, dst).count()),
+        ],
+        "operation string, version long",
+    ).select("version", "operation")
+    return hist.unionByName(counts).orderBy("operation", "version")
+
+
+_CLONE_HISTORY_SQL = """
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS version, 'CLONE' AS operation
+  UNION ALL SELECT 1, 'DELETE'
+  UNION ALL SELECT (SELECT COUNT(*) FROM nation), 'src_rows'
+  UNION ALL SELECT (SELECT COUNT(*) FROM nation WHERE n_regionkey <> 0),
+    'clone_rows'
+) ORDER BY operation, version
+"""
+
+
 def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running (count, value-sum) state across micro-batches,
@@ -535,4 +580,5 @@ def specs() -> list[QuerySpec]:
             "streaming_user_stats", streaming_user_stats, _STREAM_USER_STATS_SQL
         ),
         QuerySpec("delta_cdf", delta_cdf, _CDF_SQL),
+        QuerySpec("delta_clone_history", delta_clone_history, _CLONE_HISTORY_SQL),
     ]
