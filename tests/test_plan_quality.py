@@ -168,3 +168,22 @@ def test_colocate_reuses_one_shuffle(spark, sf_dir):
         assert n_exchanges == 2, plan[:3000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_text_and_embedding_ops_stay_jvm_side(spark, sf_dir):
+    """Scale guard: repetition metrics and int8 quantization must plan
+    as pure expression trees — no Python evaluation nodes, no
+    Exchange."""
+    from deltalake_datafusion_spark.operators.embeddings import (
+        quantize_embeddings,
+    )
+    from deltalake_datafusion_spark.operators.text import repetition_metrics
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    for df in (
+        repetition_metrics(t["documents"], "text"),
+        quantize_embeddings(t["embeddings"], "embedding"),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan, plan[:1500]

@@ -191,3 +191,91 @@ def test_stats_evaluator_conservative(mn, extent, nulls, rows, sql):
     any_match = any(row_matches(v, pred) for v in rows)
     if any_match:
         assert ev.may_match(f, pred), (sql, mn, mx, rows)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(-100, 100),
+    st.integers(0, 100),
+    st.integers(0, 5),
+    st.lists(st.integers(-150, 150), min_size=1, max_size=30),
+    _predicates(),
+)
+def test_all_match_soundness(mn, extent, nulls, rows, sql):
+    """Dual of conservatism: if all_match claims full coverage, every
+    live row of the file (including NULL rows) must satisfy the
+    predicate under SQL three-valued truth."""
+    pred = try_parse_predicate(sql)
+    if pred is None:
+        return
+    mx = mn + extent
+    rows = [mn, mx] + [r for r in rows if mn <= r <= mx]
+    stats = json.dumps(
+        {
+            "numRecords": len(rows) + nulls,
+            "minValues": {"x": mn},
+            "maxValues": {"x": mx},
+            "nullCount": {"x": nulls},
+        }
+    )
+    f = AddFile(path="f.parquet", size=1, modification_time=0, stats=stats)
+    ev = StatsEvaluator(_SCHEMA, [])
+    if not ev.all_match(f, pred):
+        return
+
+    from deltalake_datafusion_spark.delta import predicates as P
+
+    def ev3(n, v):
+        """SQL truth of the predicate for x = v (None = SQL NULL)."""
+        if isinstance(n, P.And):
+            vals = [ev3(c, v) for c in n.children]
+            if any(x is False for x in vals):
+                return False
+            if any(x is None for x in vals):
+                return None
+            return True
+        if isinstance(n, P.Or):
+            vals = [ev3(c, v) for c in n.children]
+            if any(x is True for x in vals):
+                return True
+            if any(x is None for x in vals):
+                return None
+            return False
+        if isinstance(n, P.Not):
+            r = ev3(n.child, v)
+            return None if r is None else (not r)
+        if isinstance(n, P.Cmp):
+            if n.col.name != "x":
+                return None
+            if v is None or n.lit.value is None:
+                return None
+            try:
+                lv = float(n.lit.value)
+            except (TypeError, ValueError):
+                return None
+            return {
+                "=": v == lv, "!=": v != lv, "<": v < lv,
+                "<=": v <= lv, ">": v > lv, ">=": v >= lv,
+            }[n.op]
+        if isinstance(n, P.IsNull):
+            if n.col.name != "x":
+                return None
+            return (v is not None) if n.negated else (v is None)
+        if isinstance(n, P.InList):
+            if n.col.name != "x" or v is None:
+                return None
+            vals = []
+            for lit in n.values:
+                try:
+                    vals.append(float(lit))
+                except (TypeError, ValueError):
+                    return None
+            return v in vals
+        return None
+
+    samples = [float(r) for r in rows] + ([None] * min(nulls, 1))
+    for v in samples:
+        r = ev3(pred, v)
+        # unknown-shaped nodes make all_match unreachable, so a row
+        # evaluating to None here means the evaluator over-claimed
+        assert r is True, (sql, v, mn, mx, nulls)
