@@ -191,18 +191,27 @@ def _check_protocol(protocol: Protocol) -> None:
             raise DeltaProtocolError(f"unsupported reader features: {sorted(unsupported)}")
 
 
-def _read_checkpoint_actions(checkpoint_paths: list[str]) -> list[dict]:
+def _read_checkpoint_actions(
+    checkpoint_paths: list[str], with_files: bool = True
+) -> list[dict]:
     """Checkpoint parquet → action dicts (driver-side, pyarrow).
 
     Metadata-scale I/O, same role as the reference's kernel parquet
     handler reading checkpoints
     (``crates/datafusion/src/engine/file_format.rs:252-268``).
+    ``with_files=False`` projects away the add/remove columns so a
+    million-file checkpoint costs the driver only its metadata rows.
     """
     import pyarrow.parquet as papq
 
     actions: list[dict] = []
     for p in checkpoint_paths:
-        table = papq.read_table(p)
+        if with_files:
+            table = papq.read_table(p)
+        else:
+            avail = set(papq.read_schema(p).names)
+            cols = [c for c in ("metaData", "protocol", "txn") if c in avail]
+            table = papq.read_table(p, columns=cols)
         for row in table.to_pylist():
             actions.append({k: v for k, v in row.items() if v is not None})
     return actions
@@ -245,9 +254,15 @@ def resolve_version_at_timestamp(table_path: str, ts_ms: int, spark=None) -> int
 
 
 def load_snapshot(
-    table_path: str, version: int | None = None, spark=None
+    table_path: str, version: int | None = None, spark=None,
+    with_files: bool = True,
 ) -> Snapshot:
     """Resolve a snapshot at ``version`` (time travel) or latest.
+
+    ``with_files=False`` replays only metadata/protocol/txn state
+    (``files`` comes back empty) — the driver-light mode for callers
+    that derive the file set distributively (e.g. the multi-part
+    checkpoint writer on 1e6-file tables).
 
     Reference: ``read_snapshot_delta(url, version)``
     (``crates/datafusion/src/session.rs:169-191``).
@@ -283,7 +298,7 @@ def load_snapshot(
                 f"version {version} not available (latest {max_seen})"
             )
 
-    actions: list[dict] = _read_checkpoint_actions(cp_paths)
+    actions: list[dict] = _read_checkpoint_actions(cp_paths, with_files)
     actual_version = cp_version
     for v, p in replay_commits:
         for a in _iter_commit_actions(p, fs):
@@ -319,6 +334,8 @@ def load_snapshot(
                 writer_features=list(pr.get("writerFeatures") or []),
             )
         elif "add" in a and a["add"]:
+            if not with_files:
+                continue
             ad = a["add"]
             path = urllib.parse.unquote(ad["path"])
             dv = _parse_dv(ad.get("deletionVector"))
@@ -331,6 +348,8 @@ def load_snapshot(
                 dv=dv,
             )
         elif "remove" in a and a["remove"]:
+            if not with_files:
+                continue
             rm = a["remove"]
             path = urllib.parse.unquote(rm["path"])
             adds.pop(path, None)

@@ -869,7 +869,10 @@ def write_checkpoint_spark(
     from deltalake_datafusion_spark.delta.log_schema import LOG_SCHEMA
     from deltalake_datafusion_spark.delta.snapshot import actions_df, load_snapshot
 
-    snap = load_snapshot(table_path, version=version, spark=spark)
+    # metadata-only replay: the file set never touches the driver
+    snap = load_snapshot(
+        table_path, version=version, spark=spark, with_files=False
+    )
     df = actions_df(spark, snap.table_path, snap.version)
     acts = df.select(
         "version",
