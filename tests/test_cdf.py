@@ -160,3 +160,25 @@ def test_cdf_rows_match_table_diff(spark, tmp_path):
         elif r._change_type in ("insert", "update_postimage"):
             derived.add((r.id, r.v))
     assert derived == new
+
+
+def test_vacuum_never_touches_change_data(spark, tmp_path):
+    """cdc files live under _change_data/ which the vacuum hidden rule
+    ('_'-prefixed segments) protects — the feed stays readable after
+    an aggressive VACUUM (reference vacuum semantics; growth is
+    bounded by log retention policy, not VACUUM)."""
+    from deltalake_datafusion_spark.delta.vacuum import vacuum
+
+    path = _mk(spark, tmp_path, "cdfvac")
+    delete_delta(spark, path, "id < 3")
+    spark.conf.set(
+        "lakehouse.delta.retention_duration_check.enabled", "false"
+    )
+    try:
+        listed = vacuum(spark, path, retain_hours=0, dry_run=True).collect()
+        assert all("_change_data" not in r.path for r in listed)
+        vacuum(spark, path, retain_hours=0, dry_run=False)
+    finally:
+        spark.conf.unset("lakehouse.delta.retention_duration_check.enabled")
+    ch = _changes(spark, path, 1)
+    assert len(ch) == 3 and all(c[2] == "delete" for c in ch)
