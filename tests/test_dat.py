@@ -551,3 +551,44 @@ def test_dat_unsupported_reader_version_rejected(spark, tmp_path):
     ])
     with pytest.raises(DeltaProtocolError):
         load_snapshot(t)
+
+
+def test_dat_typed_partition_values(spark, tmp_path):
+    """Partition values arrive as strings in the log and must be
+    injected with their schema types: date, boolean, decimal, long."""
+    t = str(tmp_path / "typed_parts")
+    fields = [
+        _field("id", "long"),
+        _field("d", "date"),
+        _field("b", "boolean"),
+        _field("dec", "decimal(8,2)"),
+        _field("k", "long"),
+    ]
+    a1 = _write_file(t, "d=2021-03-04/b=true/dec=12.50/k=7/f1.parquet", 
+                     pa.table({"id": pa.array([1, 2], pa.int64())}))
+    a1["add"]["partitionValues"] = {
+        "d": "2021-03-04", "b": "true", "dec": "12.50", "k": "7",
+    }
+    a2 = _write_file(t, "d=1999-12-31/b=false/dec=0.01/k=9/f2.parquet",
+                     pa.table({"id": pa.array([3], pa.int64())}))
+    a2["add"]["partitionValues"] = {
+        "d": "1999-12-31", "b": "false", "dec": "0.01", "k": "9",
+    }
+    _commit(t, 0, [
+        _protocol_action(),
+        _metadata_action(fields, partition_columns=["d", "b", "dec", "k"]),
+        a1,
+        a2,
+    ])
+    df = read_delta(spark, t)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "date", "boolean", "decimal(8,2)", "bigint",
+    ]
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].d == dt.date(2021, 3, 4) and rows[1].b is True
+    assert rows[1].dec == decimal.Decimal("12.50")
+    assert rows[3].d == dt.date(1999, 12, 31) and rows[3].b is False
+    # typed partition pruning on each type
+    assert read_delta(spark, t, predicate="d = DATE '2021-03-04'").count() == 2
+    assert read_delta(spark, t, predicate="b = false").count() == 1
+    assert read_delta(spark, t, predicate="k > 8").count() == 1
