@@ -20,8 +20,14 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
         ``sql/catalog_ddl.py``)
     DROP CATALOG [IF EXISTS] name [CASCADE]
     DELETE FROM <name | 'url'> WHERE <predicate>
+    UPDATE <target> SET col = expr, ... WHERE <predicate>
+    OPTIMIZE <target> [ZORDER BY (cols)]
+    ALTER TABLE <target> ADD CONSTRAINT name CHECK (expr)
+    ALTER TABLE <target> DROP CONSTRAINT [IF EXISTS] name
+    CREATE TABLE <dst> SHALLOW CLONE <src>
     SELECT ... FROM delta_log('url') / log_replay('url') /
-        directory_listing('url')
+        directory_listing('url') / history('url') /
+        table_changes('url', from[, to])
     <anything else>  → spark.sql(...)
 """
 
