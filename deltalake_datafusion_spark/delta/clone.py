@@ -1,13 +1,18 @@
-"""Shallow CLONE + commit history.
+"""CLONE (shallow + deep) + commit history.
 
-``clone_delta`` creates a zero-copy table: a new ``_delta_log`` whose
-add actions reference the source's data files by absolute path and
-whose deletion-vector descriptors are rewritten to absolute
-(``p``-storage) form. Pure metadata — cloning a 100 TB table costs
-one log write, the standard shallow-clone shape. Caveat (same as
-Delta's): VACUUM on the *source* can remove files the clone still
+``clone_delta(shallow=True)`` creates a zero-copy table: a new
+``_delta_log`` whose add actions reference the source's data files by
+absolute path and whose deletion-vector descriptors are rewritten to
+absolute (``p``-storage) form. Pure metadata — cloning a 100 TB table
+costs one log write, the standard shallow-clone shape. Caveat (same
+as Delta's): VACUUM on the *source* can remove files the clone still
 references; VACUUM on the clone itself is safe (it only lists the
 clone's own root, where no data lives).
+
+``clone_delta(shallow=False)`` additionally copies every data and DV
+file src→dst via ``foreachPartition`` on the executors — copy
+bandwidth scales with the cluster — and commits root-relative paths,
+producing a fully independent table.
 
 ``history_df`` surfaces commitInfo per version (DESCRIBE HISTORY):
 driver-side metadata reads only.
@@ -69,11 +74,6 @@ def clone_delta(
         commit,
     )
 
-    if not shallow:
-        raise NotImplementedError(
-            "deep clone copies every data file — use a distributed copy "
-            "job; only shallow (metadata) clone is provided"
-        )
     src_root = strip_scheme(src_path)
     dst_root = strip_scheme(dst_path)
     try:
@@ -106,13 +106,76 @@ def clone_delta(
         str(uuid.uuid4()),
         snap.metadata.name,
     )
+    if not shallow:
+        # Deep clone: copy every data file (and DV file) src→dst on
+        # the EXECUTORS — one foreachPartition over the file list, so
+        # copy bandwidth scales with the cluster, never the driver.
+        pairs = []
+        for f in snap.files:
+            pairs.append((os.path.join(src_root, f.path), f.path))
+            if f.dv and f.dv.storage_type in ("u", "p"):
+                from deltalake_datafusion_spark.delta.deletion_vectors import (
+                    dv_relative_path,
+                )
+
+                rel = (
+                    dv_relative_path(f.dv.path_or_inline)
+                    if f.dv.storage_type == "u"
+                    else os.path.basename(f.dv.path_or_inline)
+                )
+                src_dv = (
+                    os.path.join(src_root, rel)
+                    if f.dv.storage_type == "u"
+                    else f.dv.path_or_inline
+                )
+                pairs.append((src_dv, rel))
+
+        def _copy_partition(rows):
+            import os as _os
+            import shutil as _sh
+
+            for src, rel in rows:
+                dst = _os.path.join(dst_root, rel)
+                _os.makedirs(_os.path.dirname(dst) or dst_root, exist_ok=True)
+                _sh.copyfile(src, dst)
+
+        os.makedirs(dst_root, exist_ok=True)
+        if pairs:
+            spark.sparkContext.parallelize(
+                pairs, min(len(pairs), spark.sparkContext.defaultParallelism)
+            ).foreachPartition(_copy_partition)
+
     actions = [proto, md]
     for f in snap.files:
-        dvj = _abs_dv(f.dv, src_root)
+        if shallow:
+            path = _url_encode_path(os.path.join(src_root, f.path))
+            dvj = _abs_dv(f.dv, src_root)
+        else:
+            path = _url_encode_path(f.path)
+            dvj = None
+            if f.dv is not None:
+                if f.dv.storage_type in ("i", "u"):
+                    # inline is self-contained; 'u' is root-relative and
+                    # the DV file was copied to the same relative spot
+                    from deltalake_datafusion_spark.delta.writer import (
+                        _dv_to_json,
+                    )
+
+                    dvj = _dv_to_json(f.dv)
+                else:  # 'p': repoint at the copied file under dst
+                    dvj = {
+                        "storageType": "p",
+                        "pathOrInlineDv": os.path.join(
+                            dst_root, os.path.basename(f.dv.path_or_inline)
+                        ),
+                        "offset": f.dv.offset,
+                        "sizeInBytes": f.dv.size_in_bytes,
+                        "cardinality": f.dv.cardinality,
+                    }
         actions.append(
             {
                 "add": {
-                    "path": _url_encode_path(os.path.join(src_root, f.path)),
+                    "path": path,
                     "partitionValues": f.partition_values,
                     "size": f.size,
                     "modificationTime": f.modification_time,

@@ -726,10 +726,23 @@ def optimize_delta(
     }
 
 
-def restore_delta(spark, table_path: str, version: int) -> dict:
-    """RESTORE TABLE ... TO VERSION: make the table's live file set
-    equal the target version's, as a new commit (history preserved —
-    time travel to the pre-restore tip still works)."""
+def restore_delta(
+    spark,
+    table_path: str,
+    version: int | None = None,
+    timestamp_as_of: int | None = None,
+) -> dict:
+    """RESTORE TABLE ... TO VERSION / TIMESTAMP: make the table's live
+    file set equal the target version's, as a new commit (history
+    preserved — time travel to the pre-restore tip still works)."""
+    if version is None:
+        if timestamp_as_of is None:
+            raise ValueError("restore needs version or timestamp_as_of")
+        from deltalake_datafusion_spark.delta.snapshot import (
+            resolve_version_at_timestamp,
+        )
+
+        version = resolve_version_at_timestamp(table_path, timestamp_as_of, spark)
     current = load_snapshot(table_path, spark=spark)
     target = load_snapshot(table_path, version=version, spark=spark)
     cur_keys = {(f.path, f.dv_id): f for f in current.files}

@@ -81,3 +81,48 @@ def test_clone_sql_and_history(spark, tmp_path):
     ]
     ch = sql(spark, f"SELECT operation FROM history('{dst}')").collect()
     assert ch[0].operation == "CLONE"
+
+
+def test_deep_clone_is_fully_independent(spark, tmp_path):
+    """Deep clone copies data + DV files executor-side; deleting the
+    entire source afterwards leaves the clone intact."""
+    import shutil
+
+    src = str(tmp_path / "deep_src")
+    dst = str(tmp_path / "deep_dst")
+    df = spark.range(60).select(
+        "id", (F.col("id") % 2).alias("p"), (F.col("id") * 2.0).alias("v")
+    )
+    write_delta(spark, df, src, partition_by=["p"])
+    delete_delta(spark, src, "id < 15")  # attach a DV
+    res = clone_delta(spark, src, dst, shallow=False)
+    assert res["files"] >= 2
+
+    shutil.rmtree(src)  # source gone entirely
+    out = read_delta(spark, dst)
+    assert sorted(r.id for r in out.collect()) == list(range(15, 60))
+    # clone remains fully mutable
+    delete_delta(spark, dst, "id >= 50")
+    assert read_delta(spark, dst).count() == 35
+
+
+def test_restore_by_timestamp(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from deltalake_datafusion_spark.delta.ops import restore_delta
+
+    path = str(tmp_path / "restore_ts")
+    write_delta(spark, spark.range(10).select("id"), path)
+    write_delta(spark, spark.range(10, 40).select("id"), path, mode="append")
+    log = _os.path.join(path, "_delta_log")
+    for v, ts in [(0, 5000), (1, 9000)]:
+        p = _os.path.join(log, f"{v:020d}.json")
+        acts = [_json.loads(l) for l in open(p).read().splitlines()]
+        acts[0]["commitInfo"]["timestamp"] = ts
+        with open(p, "w") as f:
+            for a in acts:
+                f.write(_json.dumps(a) + "\n")
+    res = restore_delta(spark, path, timestamp_as_of=6000)
+    assert res["restored_to"] == 0
+    assert read_delta(spark, path).count() == 10
