@@ -66,15 +66,56 @@ _NOOP_DELETE = {
 }
 
 
-def _delete_plan(spark, snap, predicate: str, emit_cdc: bool = True) -> dict:
+def _delete_plan(
+    spark, snap, predicate: str | None, emit_cdc: bool = True
+) -> dict:
     """Plan a DELETE against one snapshot WITHOUT committing: returns
     {actions, files_rewritten, files_removed, rows_deleted,
     touched_paths}. Shared by DELETE (commits it alone) and UPDATE
     (folds it into one atomic commit with the replacement adds;
     UPDATE passes ``emit_cdc=False`` and stages its own
-    pre/post-image cdc instead of plain deletes)."""
+    pre/post-image cdc instead of plain deletes).
+
+    ``predicate=None`` is the truncate form: every file is removed as
+    pure metadata (zero data I/O unless CDF must capture the rows)."""
     logical = snap.schema
     l2p = _logical_to_physical_map(logical)
+    if predicate is None:
+        if not snap.files:
+            return dict(_NOOP_DELETE)
+        from deltalake_datafusion_spark.delta.cdf import (
+            CHANGE_TYPE_COL,
+            cdf_enabled,
+            stage_cdc,
+        )
+
+        rows_deleted = 0
+        for f in snap.files:
+            st = parse_stats(f.stats)
+            nrec = st.get("numRecords") if st else None
+            if nrec is None:
+                import pyarrow.parquet as papq
+
+                nrec = papq.read_metadata(
+                    os.path.join(snap.table_path, f.path)
+                ).num_rows
+            prior = f.dv.cardinality if f.dv and f.dv.cardinality >= 0 else 0
+            rows_deleted += max(int(nrec) - prior, 0)
+        actions = [_remove_action(f) for f in snap.files]
+        if emit_cdc and cdf_enabled(snap.metadata.configuration):
+            cdc_df = (
+                _scan_with_rowmeta(spark, snap, None)
+                .drop("__row_index", "__file_path")
+                .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+            )
+            actions.extend(stage_cdc(spark, snap, cdc_df))
+        return {
+            "actions": actions,
+            "files_rewritten": 0,
+            "files_removed": len(snap.files),
+            "rows_deleted": rows_deleted,
+            "touched_paths": {f.path for f in snap.files},
+        }
     candidates = prune_files(
         snap.files, predicate, logical, snap.partition_columns, l2p
     )
@@ -261,7 +302,7 @@ def _delete_plan(spark, snap, predicate: str, emit_cdc: bool = True) -> dict:
     }
 
 
-def delete_delta(spark, table_path: str, predicate: str) -> dict:
+def delete_delta(spark, table_path: str, predicate: str | None = None) -> dict:
     """Delete rows matching ``predicate``. Returns a summary dict
     {files_rewritten, files_removed, rows_deleted, version}.
 
@@ -297,19 +338,23 @@ def delete_delta(spark, table_path: str, predicate: str) -> dict:
 
 
 def update_delta(
-    spark, table_path: str, set_exprs: dict[str, str], predicate: str
+    spark, table_path: str, set_exprs: dict[str, str],
+    predicate: str | None = None,
 ) -> dict:
-    """UPDATE ... SET ... WHERE: deletion-vector the matched rows in
+    """UPDATE ... SET ... [WHERE]: deletion-vector the matched rows in
     place and append the updated versions as new files. Only files
     that can contain matches (stats pruning) are touched; unmatched
     rows are never rewritten — the DV path makes UPDATE cost ∝
-    matched data, not file data."""
+    matched data, not file data. ``predicate=None`` updates every
+    row."""
     from deltalake_datafusion_spark.delta.constraints import (
         check_append_only,
         table_constraints,
         validate_constraints,
     )
 
+    if predicate is None:
+        predicate = "true"
     snap = load_snapshot(table_path, spark=spark)
     check_append_only(snap.metadata.configuration, "UPDATE")
     matched_df = _scan_with_rowmeta(spark, snap, predicate).filter(
@@ -404,6 +449,8 @@ def merge_delta(
     when_matched_update: dict[str, str] | None = None,
     when_matched_delete: bool = False,
     when_not_matched_insert: bool = True,
+    when_not_matched_by_source_delete: bool = False,
+    when_not_matched_by_source_condition: str | None = None,
     strict: bool = False,
 ) -> dict:
     """MERGE INTO (upsert), copy-on-write strategy:
@@ -419,6 +466,13 @@ def merge_delta(
     small (the common CDC shape); touched-file discovery and the
     rewrite share one shuffle. ``on`` must reference target columns
     as ``t.col`` and source columns as ``s.col``.
+
+    ``when_not_matched_by_source_delete=True`` adds the Delta
+    WHEN NOT MATCHED BY SOURCE [AND condition] THEN DELETE clause:
+    target rows without a source match (optionally narrowed by the
+    condition over target columns) are dropped. This clause must
+    examine every target row, so it rewrites all files — the
+    documented cost of the full-sync MERGE shape.
 
     ``strict=True`` enforces the ANSI/Delta MERGE cardinality rule:
     if any target row is matched by more than one source row, raise
@@ -461,12 +515,16 @@ def merge_delta(
             )
 
     touched_paths = matched.select("__file_path").distinct()
-    touched_files = [
-        _relativize(r["__file_path"], snap.table_path)
-        for r in touched_paths.collect()
-    ]
-    by_path = {f.path: f for f in snap.files}
-    touched = [by_path[p] for p in touched_files]
+    if when_not_matched_by_source_delete:
+        # the by-source clause can delete rows from ANY file
+        touched = list(snap.files)
+    else:
+        touched_files = [
+            _relativize(r["__file_path"], snap.table_path)
+            for r in touched_paths.collect()
+        ]
+        by_path = {f.path: f for f in snap.files}
+        touched = [by_path[p] for p in touched_files]
 
     from deltalake_datafusion_spark.delta.cdf import (
         CHANGE_TYPE_COL as _CT,
@@ -480,7 +538,10 @@ def merge_delta(
     # Rewritten content of touched files.
     new_parts = []
     if touched:
-        tf = target.join(touched_paths, "__file_path", "left_semi")
+        if when_not_matched_by_source_delete:
+            tf = target
+        else:
+            tf = target.join(touched_paths, "__file_path", "left_semi")
         m = matched.select(
             "__file_path", "__row_index", "__s___matched",
             *[f"__s_{c}" for c in source.columns],
@@ -504,6 +565,19 @@ def merge_delta(
                         col,
                         F.when(is_matched, F.expr(rewritten)).otherwise(F.col(col)),
                     )
+        if when_not_matched_by_source_delete:
+            bs_cond = (
+                F.expr(when_not_matched_by_source_condition)
+                if when_not_matched_by_source_condition
+                else F.lit(True)
+            )
+            if _cdf_on:
+                cdc_parts.append(
+                    survivors.filter(~is_matched & bs_cond)
+                    .select(*logical.fieldNames())
+                    .withColumn(_CT, F.lit("delete"))
+                )
+            survivors = survivors.filter(is_matched | ~bs_cond)
         new_parts.append(survivors.select(*logical.fieldNames()))
 
         # CDF: matched rows → delete, or pre/post image pairs; rows

@@ -51,12 +51,12 @@ _VACUUM_RE = re.compile(
 )
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
-    r"\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
-    r"\s+SET\s+(?P<sets>.+?)\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    r"\s+SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ADD_CONSTRAINT_RE = re.compile(

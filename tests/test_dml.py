@@ -396,3 +396,97 @@ def test_concurrent_conflicting_commit_raises(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(w, "commit", racing_commit)
     with pytest.raises(ConcurrentModificationError):
         delete_delta(spark, path, "id < 5")
+
+
+def test_delete_without_predicate_truncates_metadata_only(spark, tmp_path, monkeypatch):
+    import deltalake_datafusion_spark.delta.ops as ops
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "truncate")
+    write_delta(spark, spark.range(100).select("id"), path)
+
+    def _no_scan(*a, **kw):
+        raise AssertionError("truncate must not scan data")
+
+    monkeypatch.setattr(ops, "_scan_with_rowmeta", _no_scan)
+    res = sql(spark, f"DELETE FROM '{path}'").collect()[0]
+    monkeypatch.undo()
+    assert res.rows_deleted == 100 and res.files_rewritten == 0
+    assert read_delta(spark, path).count() == 0
+    # history + time travel intact
+    assert read_delta(spark, path, version=0).count() == 100
+
+
+def test_update_without_predicate_updates_all(spark, tmp_path):
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "updall")
+    write_delta(spark, spark.range(30).select("id", (F.col("id") * 1.0).alias("v")), path)
+    res = sql(spark, f"UPDATE '{path}' SET v = v + 1").collect()[0]
+    assert res.rows_updated == 30
+    assert read_delta(spark, path).filter("v = id + 1").count() == 30
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    path = str(tmp_path / "mrg_bysource")
+    write_delta(
+        spark,
+        spark.range(10).select("id", F.lit("old").alias("val")),
+        path,
+    )
+    src = spark.createDataFrame(
+        [(3, "upd3"), (20, "new20")], "id long, val string"
+    )
+    res = merge_delta(
+        spark, path, src, "t.id = s.id",
+        when_matched_update={"val": "s.val"},
+        when_not_matched_by_source_delete=True,
+    )
+    out = {r.id: r.val for r in read_delta(spark, path).collect()}
+    # full sync: only the matched (updated) and inserted rows remain
+    assert out == {3: "upd3", 20: "new20"}
+    assert res["files_rewritten"] >= 1
+
+
+def test_merge_not_matched_by_source_condition(spark, tmp_path):
+    path = str(tmp_path / "mrg_bysource_cond")
+    write_delta(
+        spark,
+        spark.range(10).select("id", F.lit("old").alias("val")),
+        path,
+    )
+    src = spark.createDataFrame([(3, "upd3")], "id long, val string")
+    merge_delta(
+        spark, path, src, "t.id = s.id",
+        when_matched_update={"val": "s.val"},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete=True,
+        when_not_matched_by_source_condition="id >= 8",
+    )
+    out = {r.id: r.val for r in read_delta(spark, path).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6, 7}  # 8,9 deleted
+    assert out[3] == "upd3"
+
+
+def test_merge_by_source_delete_emits_cdc(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.cdf import table_changes
+
+    path = str(tmp_path / "mrg_bysource_cdf")
+    write_delta(
+        spark,
+        spark.range(5).select("id", F.lit("x").alias("val")),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    src = spark.createDataFrame([(1, "y")], "id long, val string")
+    merge_delta(
+        spark, path, src, "t.id = s.id",
+        when_matched_update={"val": "s.val"},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete=True,
+    )
+    ch = table_changes(spark, path, 1).collect()
+    kinds = sorted((r.id, r._change_type) for r in ch)
+    assert (1, "update_preimage") in kinds and (1, "update_postimage") in kinds
+    deletes = [k for k in kinds if k[1] == "delete"]
+    assert [k[0] for k in deletes] == [0, 2, 3, 4]
