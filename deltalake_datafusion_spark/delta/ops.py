@@ -57,13 +57,14 @@ class MergeCardinalityError(Exception):
     """MERGE source matched the same target row more than once."""
 
 
-_NOOP_DELETE = {
-    "actions": [],
-    "files_rewritten": 0,
-    "files_removed": 0,
-    "rows_deleted": 0,
-    "touched_paths": set(),
-}
+def _noop_delete() -> dict:
+    return {
+        "actions": [],
+        "files_rewritten": 0,
+        "files_removed": 0,
+        "rows_deleted": 0,
+        "touched_paths": set(),
+    }
 
 
 def _delete_plan(
@@ -82,7 +83,7 @@ def _delete_plan(
     l2p = _logical_to_physical_map(logical)
     if predicate is None:
         if not snap.files:
-            return dict(_NOOP_DELETE)
+            return _noop_delete()
         from deltalake_datafusion_spark.delta.cdf import (
             CHANGE_TYPE_COL,
             cdf_enabled,
@@ -120,7 +121,7 @@ def _delete_plan(
         snap.files, predicate, logical, snap.partition_columns, l2p
     )
     if not candidates:
-        return dict(_NOOP_DELETE)
+        return _noop_delete()
 
     # Partition-drop fast path: files whose stats PROVE every physical
     # row matches the predicate (all_match — sound under the writer's
@@ -212,7 +213,7 @@ def _delete_plan(
     total_deleted = sum(r["new_deletes"] for r in hits) + stats_full_live
 
     if not hits and not stats_full:
-        return dict(_NOOP_DELETE)
+        return _noop_delete()
 
     by_path = {f.path: f for f in snap.files}
 
