@@ -21,6 +21,10 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
     DROP CATALOG [IF EXISTS] name [CASCADE]
     DELETE FROM <name | 'url'> WHERE <predicate>
     UPDATE <target> SET col = expr, ... WHERE <predicate>
+    MERGE INTO <target> [AS t] USING <view> [AS s] ON <cond>
+        [WHEN MATCHED THEN UPDATE SET ... | DELETE]
+        [WHEN NOT MATCHED THEN INSERT *]
+        [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]
     OPTIMIZE <target> [ZORDER BY (cols)]
     ALTER TABLE <target> ADD CONSTRAINT name CHECK (expr)
     ALTER TABLE <target> DROP CONSTRAINT [IF EXISTS] name
@@ -57,6 +61,18 @@ _DELETE_RE = re.compile(
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"\s+SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"(?:\s+AS\s+t)?"
+    r"\s+USING\s+(?P<source>\w+)(?:\s+AS\s+s)?"
+    r"\s+ON\s+(?P<cond>.+?)"
+    r"(?:\s+WHEN\s+MATCHED\s+THEN\s+(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<mdel>DELETE)))?"
+    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*(?P<ins>))?"
+    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+"
+    r"(?:AND\s+(?P<bscond>.+?)\s+)?THEN\s+(?P<bsdel>DELETE))?"
+    r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ADD_CONSTRAINT_RE = re.compile(
@@ -208,6 +224,32 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             _unquote_target(m.group("target"), registry),
             sets,
             m.group("pred"),
+        )
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _MERGE_RE.match(statement)
+    if m and (m.group("sets") or m.group("mdel") or m.group("ins") is not None
+              or m.group("bsdel")):
+        from deltalake_datafusion_spark.delta.ops import merge_delta
+
+        sets = None
+        if m.group("sets"):
+            sets = {}
+            for part in _split_top_level_commas(m.group("sets")):
+                col, _, expr = part.partition("=")
+                sets[col.strip().strip("`")] = expr.strip()
+        res = merge_delta(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            spark.table(m.group("source")),
+            on=m.group("cond").strip(),
+            when_matched_update=sets,
+            when_matched_delete=bool(m.group("mdel")),
+            when_not_matched_insert=m.group("ins") is not None,
+            when_not_matched_by_source_delete=bool(m.group("bsdel")),
+            when_not_matched_by_source_condition=(
+                m.group("bscond").strip() if m.group("bscond") else None
+            ),
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 

@@ -490,3 +490,45 @@ def test_merge_by_source_delete_emits_cdc(spark, tmp_path):
     assert (1, "update_preimage") in kinds and (1, "update_postimage") in kinds
     deletes = [k for k in kinds if k[1] == "delete"]
     assert [k[0] for k in deletes] == [0, 2, 3, 4]
+
+
+def test_sql_merge_statement(spark, tmp_path):
+    """MERGE INTO through the extended dialect: matched update +
+    not-matched insert, then a full-sync form with by-source delete."""
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "sqlmerge")
+    write_delta(
+        spark, spark.range(6).select("id", F.lit("old").alias("val")), path
+    )
+    spark.createDataFrame(
+        [(2, "two"), (10, "ten")], "id long, val string"
+    ).createOrReplaceTempView("merge_src")
+
+    sql(
+        spark,
+        f"MERGE INTO '{path}' AS t USING merge_src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET val = s.val "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    out = {r.id: r.val for r in read_delta(spark, path).collect()}
+    assert out[2] == "two" and out[10] == "ten" and out[0] == "old"
+    assert len(out) == 7
+
+    # full-sync: delete everything the source doesn't mention
+    sql(
+        spark,
+        f"MERGE INTO '{path}' USING merge_src ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET val = s.val "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    out = {r.id: r.val for r in read_delta(spark, path).collect()}
+    assert out == {2: "two", 10: "ten"}
+
+    # matched-delete form
+    sql(
+        spark,
+        f"MERGE INTO '{path}' USING merge_src ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert read_delta(spark, path).count() == 0
