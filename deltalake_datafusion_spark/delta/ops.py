@@ -361,9 +361,23 @@ def update_delta(
     matched_df = _scan_with_rowmeta(spark, snap, predicate).filter(
         F.expr(predicate)
     )
-    updated = matched_df
-    for col, expr in set_exprs.items():
-        updated = updated.withColumn(col, F.expr(expr))
+    unknown = [c for c in set_exprs if c not in matched_df.columns]
+    if unknown:
+        raise ValueError(
+            f"UPDATE SET targets unknown column(s) {unknown}; "
+            f"table columns: {snap.schema.fieldNames()}"
+        )
+    # ANSI/Delta UPDATE is simultaneous assignment: every SET
+    # right-hand side is evaluated against the OLD row, so
+    # `SET a = b, b = a` swaps. One select over the pre-update row
+    # (never a sequential withColumn chain, which would leak
+    # already-updated values into later assignments).
+    updated = matched_df.select(
+        *[
+            F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+            for c in matched_df.columns
+        ]
+    )
     updated = updated.drop("__row_index", "__file_path")
     validate_constraints(updated, table_constraints(snap.metadata.configuration))
 
@@ -559,13 +573,23 @@ def merge_delta(
             if when_matched_update:
                 import re as _re
 
+                # Simultaneous assignment (ANSI/Delta MERGE): every
+                # UPDATE SET right-hand side is evaluated against the
+                # OLD target row in one select, so `SET a = t.b,
+                # b = t.a` swaps instead of seeing a's new value.
+                new_cols = {}
                 for col, expr in when_matched_update.items():
                     # update expressions reference source cols as s.<col>
                     rewritten = _re.sub(r"\bs\.(\w+)", r"__s_\1", expr)
-                    survivors = survivors.withColumn(
-                        col,
-                        F.when(is_matched, F.expr(rewritten)).otherwise(F.col(col)),
-                    )
+                    new_cols[col] = F.when(
+                        is_matched, F.expr(rewritten)
+                    ).otherwise(F.col(col))
+                survivors = joined.select(
+                    *[
+                        new_cols[c].alias(c) if c in new_cols else F.col(c)
+                        for c in joined.columns
+                    ]
+                )
         if when_not_matched_by_source_delete:
             bs_cond = (
                 F.expr(when_not_matched_by_source_condition)

@@ -532,3 +532,47 @@ def test_sql_merge_statement(spark, tmp_path):
         "WHEN MATCHED THEN DELETE",
     )
     assert read_delta(spark, path).count() == 0
+
+
+def test_update_set_is_simultaneous_assignment(spark, tmp_path):
+    """ANSI/Delta UPDATE evaluates all SET right-hand sides against the
+    OLD row: ``SET a = b, b = a`` swaps (a sequential withColumn chain
+    would instead copy b into both)."""
+    path = str(tmp_path / "swap")
+    df = spark.createDataFrame(
+        [(1, 10, 20), (2, 30, 40)], "id int, a int, b int"
+    )
+    write_delta(spark, df, path)
+    update_delta(spark, path, {"a": "b", "b": "a"}, "id = 1")
+    out = {r.id: (r.a, r.b) for r in read_delta(spark, path).collect()}
+    assert out[1] == (20, 10)  # swapped, not (20, 20)
+    assert out[2] == (30, 40)
+
+
+def test_update_set_unknown_column_raises(spark, tmp_path):
+    path = str(tmp_path / "unk")
+    write_delta(spark, spark.range(3).select("id"), path)
+    with pytest.raises(ValueError, match="unknown column"):
+        update_delta(spark, path, {"nope": "1"}, "id = 0")
+
+
+def test_merge_matched_update_is_simultaneous(spark, tmp_path):
+    """MERGE WHEN MATCHED UPDATE uses simultaneous assignment too:
+    ``SET a = b, b = a`` against the old target row swaps."""
+    path = str(tmp_path / "mswap")
+    target = spark.createDataFrame(
+        [(1, 10, 20), (2, 30, 40)], "id int, a int, b int"
+    )
+    write_delta(spark, target, path)
+    source = spark.createDataFrame([(1,)], "id int")
+    merge_delta(
+        spark,
+        path,
+        source,
+        on="t.id = s.id",
+        when_matched_update={"a": "b", "b": "a"},
+        when_not_matched_insert=False,
+    )
+    out = {r.id: (r.a, r.b) for r in read_delta(spark, path).collect()}
+    assert out[1] == (20, 10)
+    assert out[2] == (30, 40)
