@@ -327,6 +327,7 @@ def delete_delta(spark, table_path: str, predicate: str | None = None) -> dict:
     version = commit_with_retries(
         spark, snap.table_path, snap, plan["actions"], "DELETE",
         plan["touched_paths"],
+        read_predicate=predicate if predicate is not None else "true",
     )
     out = load_snapshot(table_path, spark=spark)
     maybe_checkpoint(spark, out)
@@ -445,7 +446,7 @@ def update_delta(
 
     version = commit_with_retries(
         spark, snap.table_path, snap, plan["actions"] + adds + cdc_actions,
-        "UPDATE", plan["touched_paths"],
+        "UPDATE", plan["touched_paths"], read_predicate=predicate,
     )
     out = load_snapshot(table_path, spark=spark)
     maybe_checkpoint(spark, out)
@@ -693,9 +694,11 @@ def merge_delta(
 
     from deltalake_datafusion_spark.delta.writer import commit_with_retries
 
+    # MERGE's join reads the whole target table (any target row can
+    # match), so every concurrent data append is a read conflict.
     version = commit_with_retries(
         spark, snap.table_path, snap, actions, "MERGE",
-        {f.path for f in touched},
+        {f.path for f in touched}, read_predicate="true",
     )
     out_snap = load_snapshot(table_path, spark=spark)
     maybe_checkpoint(spark, out_snap)

@@ -327,14 +327,21 @@ def commit_with_retries(
     operation: str,
     touched_paths: set[str],
     max_attempts: int = 10,
+    read_predicate: str | None = None,
 ) -> int:
     """Optimistic-concurrency commit with real conflict validation
     (the missing half of blind retry): when the target version is
     taken, every intervening commit is replayed and the transaction
     fails if any of them added/removed a file this transaction read
-    (``touched_paths``, table-relative) or changed table metadata.
-    Disjoint commits (appends, DML on other files) retry cleanly at
-    the new tip — the Delta WriteSerializable shape.
+    (``touched_paths``, table-relative), changed table metadata or
+    protocol, or — when ``read_predicate`` is set — **added** data
+    files whose stats/partition values may satisfy the predicate this
+    transaction read under (Delta's ConcurrentAppendException: a
+    DELETE racing an append of matching rows must not retry cleanly,
+    even at WriteSerializable). ``read_predicate=None`` means the
+    transaction read nothing (blind append); ``"true"`` means it read
+    the whole table. Disjoint commits (appends outside the predicate,
+    DML on other files) retry cleanly at the new tip.
     """
     import urllib.parse as _up
 
@@ -342,6 +349,26 @@ def commit_with_retries(
         _iter_commit_actions,
         list_log_files,
     )
+
+    pred_ir = unparseable_pred = None
+    if read_predicate is not None:
+        from deltalake_datafusion_spark.delta.predicates import (
+            StatsEvaluator,
+            try_parse_predicate,
+        )
+        from deltalake_datafusion_spark.delta.scan import (
+            _logical_to_physical_map,
+        )
+
+        pred_ir = try_parse_predicate(read_predicate)
+        # outside the prunable subset → conservatively treat EVERY
+        # concurrent data add as a potential read conflict
+        unparseable_pred = pred_ir is None
+        evaluator = StatsEvaluator(
+            base_snapshot.schema,
+            base_snapshot.partition_columns,
+            _logical_to_physical_map(base_snapshot.schema),
+        )
 
     fs = fs_for(table_path, spark)
     version = base_snapshot.version + 1
@@ -357,9 +384,14 @@ def commit_with_retries(
                 if v <= checked_through or v > tip:
                     continue
                 for a in _iter_commit_actions(p, fs):
-                    if "metaData" in a and a["metaData"]:
+                    if ("metaData" in a and a["metaData"]) or (
+                        "protocol" in a and a["protocol"]
+                    ):
+                        what = (
+                            "metadata" if a.get("metaData") else "protocol"
+                        )
                         raise ConcurrentModificationError(
-                            f"{operation}: table metadata changed by "
+                            f"{operation}: table {what} changed by "
                             f"concurrent commit {v}"
                         )
                     for key in ("add", "remove"):
@@ -372,10 +404,41 @@ def commit_with_retries(
                                 f"{operation}: file {path!r} modified by "
                                 f"concurrent commit {v}"
                             )
+                        if (
+                            key == "add"
+                            and read_predicate is not None
+                            and body.get("dataChange", True)
+                            and (
+                                unparseable_pred
+                                or evaluator.may_match(
+                                    _add_body_as_file(body, path), pred_ir
+                                )
+                            )
+                        ):
+                            raise ConcurrentModificationError(
+                                f"{operation}: concurrent commit {v} "
+                                f"appended file {path!r} that may match "
+                                f"this transaction's read predicate "
+                                f"({read_predicate!r})"
+                            )
             checked_through = tip
             version = tip + 1
     raise ConcurrentWriteError(
         f"gave up after {max_attempts} conflicting commits at {table_path}"
+    )
+
+
+def _add_body_as_file(body: dict, decoded_path: str):
+    """Wrap a raw ``add`` action body as the AddFile shape
+    StatsEvaluator consumes (stats JSON + partition values)."""
+    from deltalake_datafusion_spark.delta.snapshot import AddFile
+
+    return AddFile(
+        path=decoded_path,
+        size=body.get("size", 0),
+        modification_time=body.get("modificationTime", 0),
+        partition_values=body.get("partitionValues") or {},
+        stats=body.get("stats"),
     )
 
 
@@ -637,6 +700,7 @@ def write_delta(
         )
 
     cdc_overwrite: list[dict] | None = None
+    cdc_staged_version: int | None = None
     for attempt in range(max_commit_attempts):
         try:
             current = load_snapshot(table_path, spark=spark)
@@ -697,7 +761,14 @@ def write_delta(
             )
 
             if cdf_enabled(current.metadata.configuration):
-                if cdc_overwrite is None:
+                # The delete pre-image must reflect the snapshot this
+                # attempt actually replaces: after a ConcurrentWrite
+                # retry the table tip moved, so a pre-image staged
+                # against the old version would misstate which rows
+                # the overwrite removed. Re-stage whenever the version
+                # changed (the orphaned staging files from the failed
+                # attempt are unreferenced and vacuumable).
+                if cdc_overwrite is None or cdc_staged_version != current.version:
                     from pyspark.sql import functions as F
 
                     from deltalake_datafusion_spark.delta.scan import read_delta
@@ -709,6 +780,7 @@ def write_delta(
                     cdc_overwrite = stage_cdc(
                         spark, current, old_df.unionByName(new_df)
                     )
+                    cdc_staged_version = current.version
                 actions.extend(cdc_overwrite)
         actions.extend(removes)
         actions.extend(adds)

@@ -576,3 +576,103 @@ def test_merge_matched_update_is_simultaneous(spark, tmp_path):
     out = {r.id: (r.a, r.b) for r in read_delta(spark, path).collect()}
     assert out[1] == (20, 10)
     assert out[2] == (30, 40)
+
+
+def test_concurrent_append_matching_read_predicate_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """Delta's ConcurrentAppendException: a DELETE racing an append of
+    rows that match the DELETE's predicate must fail, not retry
+    cleanly (the appended rows were not seen by the DELETE's read)."""
+    import deltalake_datafusion_spark.delta.writer as w
+    from deltalake_datafusion_spark.delta.writer import (
+        ConcurrentModificationError,
+    )
+
+    path = str(tmp_path / "cc_append_conflict")
+    write_delta(spark, spark.range(20).select("id").repartition(1), path)
+
+    real_commit = w.commit
+    fired = {"done": False}
+
+    def racing_commit(table_path, version, actions, operation, spark_=None):
+        if not fired["done"] and operation == "DELETE":
+            fired["done"] = True
+            # concurrent writer appends rows with id 0..3 — inside the
+            # DELETE's read predicate — and wins the version race
+            write_delta(
+                spark, spark.range(4).select("id").repartition(1),
+                table_path, mode="append",
+            )
+            raise w.ConcurrentWriteError("simulated lost race")
+        return real_commit(table_path, version, actions, operation, spark_)
+
+    monkeypatch.setattr(w, "commit", racing_commit)
+    with pytest.raises(ConcurrentModificationError, match="read predicate"):
+        delete_delta(spark, path, "id < 5")
+
+
+def test_concurrent_disjoint_append_retries_cleanly(
+    spark, tmp_path, monkeypatch
+):
+    """An append provably OUTSIDE the DELETE's predicate (stats-
+    disjoint) is not a read conflict — the DELETE retries and both
+    transactions' effects survive."""
+    import deltalake_datafusion_spark.delta.writer as w
+
+    path = str(tmp_path / "cc_append_disjoint")
+    write_delta(spark, spark.range(20).select("id").repartition(1), path)
+
+    real_commit = w.commit
+    fired = {"done": False}
+
+    def racing_commit(table_path, version, actions, operation, spark_=None):
+        if not fired["done"] and operation == "DELETE":
+            fired["done"] = True
+            write_delta(
+                spark,
+                spark.range(100, 111).select("id").repartition(1),
+                table_path, mode="append",
+            )
+            raise w.ConcurrentWriteError("simulated lost race")
+        return real_commit(table_path, version, actions, operation, spark_)
+
+    monkeypatch.setattr(w, "commit", racing_commit)
+    res = delete_delta(spark, path, "id < 5")
+    assert res["rows_deleted"] == 5
+    out = read_delta(spark, path)
+    assert out.count() == 20 - 5 + 11
+    assert out.filter("id >= 100").count() == 11
+
+
+def test_concurrent_protocol_change_conflicts(spark, tmp_path, monkeypatch):
+    """An intervening protocol-upgrade commit is as fatal as a
+    metadata change: the transaction validated against the old
+    protocol."""
+    import deltalake_datafusion_spark.delta.writer as w
+    from deltalake_datafusion_spark.delta.writer import (
+        ConcurrentModificationError,
+    )
+
+    path = str(tmp_path / "cc_protocol")
+    write_delta(spark, spark.range(20).select("id").repartition(1), path)
+
+    real_commit = w.commit
+    fired = {"done": False}
+
+    def racing_commit(table_path, version, actions, operation, spark_=None):
+        if not fired["done"] and operation == "DELETE":
+            fired["done"] = True
+            real_commit(
+                table_path, version,
+                [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                               "readerFeatures": ["deletionVectors"],
+                               "writerFeatures": ["deletionVectors"]}}],
+                "UPGRADE PROTOCOL", spark_,
+            )
+            raise w.ConcurrentWriteError("simulated lost race")
+        return real_commit(table_path, version, actions, operation, spark_)
+
+    monkeypatch.setattr(w, "commit", racing_commit)
+    with pytest.raises(ConcurrentModificationError, match="protocol"):
+        delete_delta(spark, path, "id < 5")
