@@ -77,13 +77,15 @@ def stage_cdc(spark, snap, cdc_df: DataFrame) -> list[dict]:
             continue
         rel = os.path.join(CDF_DIR, f"cdc-{uuid.uuid4().hex}.snappy.parquet")
         fs.rename(st.path, os.path.join(table_path, rel))
-        size = os.path.getsize(os.path.join(table_path, rel))
         actions.append(
             {
                 "cdc": {
                     "path": rel,
                     "partitionValues": {},
-                    "size": size,
+                    # size from the pre-move listing (rename preserves
+                    # it) — never a local stat of the moved object, so
+                    # this works on HDFS/S3 via HadoopFS too
+                    "size": st.size,
                     "dataChange": False,
                 }
             }
@@ -146,6 +148,33 @@ def table_changes(
         )
     fs = fs_for(table_path, spark)
     commits, _ = list_log_files(table_path, spark)
+    # The requested range must be FULLY covered by retained commits —
+    # silently skipping versions aged out by log cleanup (or beyond
+    # the tip) would hand consumers a feed with holes (matches Delta's
+    # out-of-range CDF error).
+    present = {v for v, _ in commits}
+    tip = max(present)
+    if starting_version > tip:
+        raise ChangeDataFeedError(
+            f"starting_version {starting_version} is beyond the latest "
+            f"table version {tip} at {table_path}"
+        )
+    if ending_version is not None and ending_version < starting_version:
+        raise ChangeDataFeedError(
+            f"ending_version {ending_version} < starting_version "
+            f"{starting_version}"
+        )
+    end = tip if ending_version is None else min(ending_version, tip)
+    missing = sorted(
+        v for v in range(max(starting_version, 0), end + 1) if v not in present
+    )
+    if missing:
+        raise ChangeDataFeedError(
+            f"versions {missing} in the requested change range "
+            f"[{starting_version}, {end}] are no longer in the "
+            f"_delta_log at {table_path} (log cleanup); start from "
+            f"version {min(present)} or later"
+        )
     logical_cols = snap.schema.fieldNames()
     l2p = _physical_names(snap)
     p2l = {v: k for k, v in l2p.items()}

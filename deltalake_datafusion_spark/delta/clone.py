@@ -30,6 +30,12 @@ class CloneError(Exception):
     pass
 
 
+def _is_remote(p: str) -> bool:
+    """Anything with a non-file scheme goes through the JVM Hadoop
+    FileSystems (module-level so tests can force the branch)."""
+    return "://" in p and not p.startswith("file://")
+
+
 def _abs_dv(dv, src_root: str) -> dict | None:
     """DvDescriptor → JSON with table-root-independent addressing."""
     from deltalake_datafusion_spark.delta.deletion_vectors import (
@@ -107,9 +113,10 @@ def clone_delta(
         snap.metadata.name,
     )
     if not shallow:
-        # Deep clone: copy every data file (and DV file) src→dst on
-        # the EXECUTORS — one foreachPartition over the file list, so
-        # copy bandwidth scales with the cluster, never the driver.
+        # Deep clone: copy every data file (and DV file) src→dst — on
+        # the EXECUTORS for local paths (one foreachPartition over the
+        # file list, so copy bandwidth scales with the cluster), via
+        # the JVM Hadoop FileSystems when either side is remote.
         pairs = []
         for f in snap.files:
             pairs.append((os.path.join(src_root, f.path), f.path))
@@ -139,11 +146,31 @@ def clone_delta(
                 _os.makedirs(_os.path.dirname(dst) or dst_root, exist_ok=True)
                 _sh.copyfile(src, dst)
 
-        os.makedirs(dst_root, exist_ok=True)
-        if pairs:
-            spark.sparkContext.parallelize(
-                pairs, min(len(pairs), spark.sparkContext.defaultParallelism)
-            ).foreachPartition(_copy_partition)
+        if _is_remote(src_root) or _is_remote(dst_root):
+            # Object-store clone: stream each file JVM-side through the
+            # Hadoop FileSystems (never a local shutil, never the bytes
+            # through Python). Driver-coordinated — for a multi-TB
+            # remote clone prefer storage-native bulk copy, but the
+            # bytes move JVM→JVM here, correctly, on any scheme.
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            HPath = jvm.org.apache.hadoop.fs.Path
+            FileUtil = jvm.org.apache.hadoop.fs.FileUtil
+            dst_fs = HPath(dst_root).getFileSystem(hconf)
+            dst_fs.mkdirs(HPath(dst_root))
+            for src, rel in pairs:
+                sp = HPath(src)
+                dp = HPath(os.path.join(dst_root, rel))
+                FileUtil.copy(
+                    sp.getFileSystem(hconf), sp, dst_fs, dp,
+                    False, True, hconf,
+                )
+        else:
+            os.makedirs(dst_root, exist_ok=True)
+            if pairs:
+                spark.sparkContext.parallelize(
+                    pairs, min(len(pairs), spark.sparkContext.defaultParallelism)
+                ).foreachPartition(_copy_partition)
 
     actions = [proto, md]
     for f in snap.files:

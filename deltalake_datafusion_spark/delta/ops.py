@@ -425,18 +425,22 @@ def update_delta(
 
     adds = []
     p2l = dict(zip(phys_parts, snap.partition_columns))
-    for rel, pv_phys in moved:
+    from deltalake_datafusion_spark.delta.fs import fs_for as _fs_for
+
+    _stats_fs = _fs_for(snap.table_path, spark)
+    for rel, pv_phys, size, mtime_ms in moved:
         full = os.path.join(snap.table_path, rel)
-        stats = collect_file_stats(full, skip_columns=set(phys_parts))
-        st = os.stat(full)
+        stats = collect_file_stats(
+            full, skip_columns=set(phys_parts), fs=_stats_fs, size=size
+        )
         pv = {p2l.get(k, k): v for k, v in pv_phys.items()}
         adds.append(
             {
                 "add": {
                     "path": _url_encode_path(rel),
                     "partitionValues": pv,
-                    "size": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
+                    "size": size,
+                    "modificationTime": mtime_ms,
                     "dataChange": True,
                     "stats": stats,
                 }
@@ -668,18 +672,22 @@ def merge_delta(
         ]
         moved = _stage_and_move(spark, out_df, snap.table_path, phys_parts)
         p2l = dict(zip(phys_parts, snap.partition_columns))
-        for rel, pv_phys in moved:
+        from deltalake_datafusion_spark.delta.fs import fs_for as _fs_for
+
+        _stats_fs = _fs_for(snap.table_path, spark)
+        for rel, pv_phys, size, mtime_ms in moved:
             full = os.path.join(snap.table_path, rel)
-            stats = collect_file_stats(full, skip_columns=set(phys_parts))
-            st = os.stat(full)
+            stats = collect_file_stats(
+                full, skip_columns=set(phys_parts), fs=_stats_fs, size=size
+            )
             pv = {p2l.get(k, k): v for k, v in pv_phys.items()}
             actions.append(
                 {
                     "add": {
                         "path": _url_encode_path(rel),
                         "partitionValues": pv,
-                        "size": st.st_size,
-                        "modificationTime": int(st.st_mtime * 1000),
+                        "size": size,
+                        "modificationTime": mtime_ms,
                         "dataChange": True,
                         "stats": stats,
                     }
@@ -788,17 +796,24 @@ def optimize_delta(
             rel = os.path.join(part_dir, new_name) if part_dir else new_name
             fs.rename(st.path, os.path.join(snap.table_path, rel))
             full = os.path.join(snap.table_path, rel)
-            stats = collect_file_stats(full, skip_columns=set(
-                phys.fields[logical.fieldNames().index(p)].name for p in part_cols
-            ))
-            fstat = os.stat(full)
+            stats = collect_file_stats(
+                full,
+                skip_columns=set(
+                    phys.fields[logical.fieldNames().index(p)].name
+                    for p in part_cols
+                ),
+                fs=fs,
+                size=st.size,
+            )
             actions.append(
                 {
                     "add": {
                         "path": _url_encode_path(rel),
                         "partitionValues": pv,
-                        "size": fstat.st_size,
-                        "modificationTime": int(fstat.st_mtime * 1000),
+                        # size/mtime from the pre-move listing — the
+                        # rename preserves both; no local-FS stat
+                        "size": st.size,
+                        "modificationTime": st.mtime_ms,
                         "dataChange": False,
                         "stats": stats,
                     }

@@ -55,13 +55,78 @@ def _nested_set(d: dict, path: list[str], value: Any) -> None:
     d[path[-1]] = value
 
 
-def collect_file_stats(file_path: str, skip_columns: set[str] | None = None) -> str:
+class _FsRandomAccessFile:
+    """Minimal seekable file-like over the storage-handler ranged-read
+    API, so pyarrow can parse a parquet footer on any scheme the fs
+    abstraction reaches (HDFS/S3 via HadoopFS) — the footer is a few
+    ranged reads, never a full-object download."""
+
+    def __init__(self, fs, path: str, size: int):
+        self._fs = fs
+        self._path = path
+        self._size = size
+        self._pos = 0
+        self.closed = False
+
+    def readable(self):
+        return True
+
+    def seekable(self):
+        return True
+
+    def writable(self):
+        return False
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = max(0, min(n, self._size - self._pos))
+        if n == 0:
+            return b""
+        data = self._fs.read_bytes(self._path, self._pos, n)
+        self._pos += len(data)
+        return data
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        else:
+            self._pos = self._size + offset
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def close(self) -> None:
+        self.closed = True
+
+
+def collect_file_stats(
+    file_path: str,
+    skip_columns: set[str] | None = None,
+    fs=None,
+    size: int | None = None,
+) -> str:
     """Build the Delta stats JSON for one written parquet file from its
     footer. ``skip_columns`` excludes partition columns (their values
-    live in partitionValues, not stats)."""
+    live in partitionValues, not stats). For remote paths pass ``fs``
+    (storage handler) and ``size`` — the footer is then parsed from
+    ranged reads through the handler instead of a local open."""
     import pyarrow.parquet as papq
 
-    md = papq.ParquetFile(file_path).metadata
+    if "://" in file_path and not file_path.startswith("file://"):
+        if fs is None or size is None:
+            raise ValueError(
+                f"remote path {file_path!r} needs fs and size for "
+                "footer stats collection"
+            )
+        md = papq.ParquetFile(
+            _FsRandomAccessFile(fs, file_path, size)
+        ).metadata
+    else:
+        md = papq.ParquetFile(file_path).metadata
     num_records = md.num_rows
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}

@@ -448,11 +448,13 @@ def _stage_and_move(
     table_path: str,
     partition_by: list[str],
     max_records_per_file: int | None = None,
-) -> list[tuple[str, dict[str, str | None]]]:
+) -> list[tuple[str, dict[str, str | None], int, int]]:
     """Write data via Spark into a staging dir, then move part-files to
     their final (unique) names under the table root. Returns
-    [(relative_path, partitionValues)]. The move is a metadata
-    operation per file; data I/O happened executor-side."""
+    [(relative_path, partitionValues, size, mtime_ms)] — size/mtime
+    come from the pre-move listing (rename preserves them), so callers
+    never re-stat: no per-file os.stat (breaks on object stores) and
+    no extra HEAD round-trip per file at 100k-file scale."""
     fs = fs_for(table_path, spark)
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
     if partition_by:
@@ -473,7 +475,7 @@ def _stage_and_move(
 
     import urllib.parse as up
 
-    moved: list[tuple[str, dict[str, str | None]]] = []
+    moved: list[tuple[str, dict[str, str | None], int, int]] = []
     for st in fs_for(staging, spark).list_recursive(staging):
         if st.is_dir or not st.path.endswith(".parquet"):
             continue
@@ -488,7 +490,7 @@ def _stage_and_move(
         rel_dir = os.sep.join(segs)
         final_rel = os.path.join(rel_dir, new_name) if rel_dir else new_name
         fs.rename(st.path, os.path.join(table_path, final_rel))
-        moved.append((final_rel, part_values))
+        moved.append((final_rel, part_values, st.size, st.mtime_ms))
 
     # Clean the staging skeleton (best-effort).
     for st in sorted(
@@ -681,18 +683,20 @@ def write_delta(
     # in partitionValues). Logical partition names for the action map.
     phys_to_logical_part = dict(zip(phys_partition_by, partition_by))
     adds = []
-    for rel, pv_phys in moved:
+    _stats_fs = fs_for(table_path, spark)
+    for rel, pv_phys, size, mtime_ms in moved:
         full = os.path.join(table_path, rel)
-        stats = collect_file_stats(full, skip_columns=set(phys_partition_by))
-        st = os.stat(full)
+        stats = collect_file_stats(
+            full, skip_columns=set(phys_partition_by), fs=_stats_fs, size=size
+        )
         pv = {phys_to_logical_part.get(k, k): v for k, v in pv_phys.items()}
         adds.append(
             {
                 "add": {
                     "path": _url_encode_path(rel),
                     "partitionValues": pv,
-                    "size": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
+                    "size": size,
+                    "modificationTime": mtime_ms,
                     "dataChange": True,
                     "stats": stats,
                 }

@@ -182,3 +182,78 @@ def test_vacuum_never_touches_change_data(spark, tmp_path):
         spark.conf.unset("lakehouse.delta.retention_duration_check.enabled")
     ch = _changes(spark, path, 1)
     assert len(ch) == 3 and all(c[2] == "delete" for c in ch)
+
+
+def test_stage_cdc_through_hadoop_fs(spark, tmp_path, monkeypatch):
+    """The CDF staging path must work when the storage handler is the
+    JVM HadoopFS (object-store shape): sizes come from the pre-move
+    listing, never a local os.stat of the moved object."""
+    import deltalake_datafusion_spark.delta.fs as fsmod
+    from deltalake_datafusion_spark.delta.cdf import table_changes
+
+    real_fs_for = fsmod.fs_for
+
+    def hadoop_always(path, spark_=None):
+        if spark_ is None:
+            return real_fs_for(path, spark_)
+        return fsmod.HadoopFS(spark_, path)
+
+    monkeypatch.setattr(fsmod, "fs_for", hadoop_always)
+
+    path = str(tmp_path / "cdf_hfs")
+    write_delta(
+        spark, spark.range(10).select("id"), path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_delta(spark, path, "id < 3")
+    feed = table_changes(spark, path, 1)
+    rows = feed.filter("_change_type = 'delete'").collect()
+    assert sorted(r.id for r in rows) == [0, 1, 2]
+    # the committed cdc action sizes must match the staged files
+    snap_dir = os.path.join(path, "_change_data")
+    staged = {
+        f: os.path.getsize(os.path.join(snap_dir, f))
+        for f in os.listdir(snap_dir)
+        if f.endswith(".parquet")
+    }
+    import json
+
+    with open(os.path.join(path, "_delta_log", "00000000000000000001.json")) as fh:
+        cdcs = [
+            json.loads(l)["cdc"]
+            for l in fh
+            if '"cdc"' in l
+        ]
+    assert cdcs
+    for c in cdcs:
+        assert c["size"] == staged[os.path.basename(c["path"])]
+
+
+def test_table_changes_rejects_uncovered_range(spark, tmp_path):
+    """Requested versions outside the retained log fail loudly instead
+    of silently returning a partial feed."""
+    from deltalake_datafusion_spark.delta.cdf import (
+        ChangeDataFeedError,
+        table_changes,
+    )
+
+    path = str(tmp_path / "cdf_range")
+    write_delta(
+        spark, spark.range(10).select("id"), path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_delta(spark, path, "id < 2")  # v1
+    delete_delta(spark, path, "id < 4")  # v2
+
+    # beyond the tip
+    with pytest.raises(ChangeDataFeedError, match="beyond the latest"):
+        table_changes(spark, path, 5)
+    # inverted range
+    with pytest.raises(ChangeDataFeedError, match="< starting_version"):
+        table_changes(spark, path, 2, 1)
+    # simulate log cleanup: drop commit 1's JSON
+    os.remove(os.path.join(path, "_delta_log", "00000000000000000001.json"))
+    with pytest.raises(ChangeDataFeedError, match=r"versions \[1\]"):
+        table_changes(spark, path, 1)
+    # a range that starts after the hole still works
+    assert table_changes(spark, path, 2).count() > 0

@@ -126,3 +126,20 @@ def test_restore_by_timestamp(spark, tmp_path):
     res = restore_delta(spark, path, timestamp_as_of=6000)
     assert res["restored_to"] == 0
     assert read_delta(spark, path).count() == 10
+
+
+def test_deep_clone_remote_branch_uses_jvm_copy(spark, tmp_path, monkeypatch):
+    """Force the remote-scheme branch of deep clone on local paths:
+    files must stream through the Hadoop FileSystems (no shutil), and
+    the clone must read back identically."""
+    import deltalake_datafusion_spark.delta.clone as clone_mod
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst_remote_branch")
+    write_delta(spark, spark.range(30).select("id").repartition(2), src)
+    delete_delta(spark, src, "id >= 25")
+
+    monkeypatch.setattr(clone_mod, "_is_remote", lambda p: True)
+    clone_delta(spark, src, dst, shallow=False)
+    out = read_delta(spark, dst)
+    assert sorted(r.id for r in out.collect()) == list(range(25))

@@ -449,3 +449,41 @@ def test_distributed_multipart_checkpoint(spark, tmp_path):
     finals2 = write_checkpoint_spark(spark, path, parts=1)
     assert len(finals2) == 1
     assert read_delta(spark, path).count() == 95
+
+
+def test_collect_file_stats_remote_path_via_fs_ranged_reads(spark, tmp_path):
+    """Footer stats for a remote-scheme path are parsed from ranged
+    reads through the storage handler — identical JSON to the local
+    fast path, no local open of the remote object."""
+    import json
+
+    from deltalake_datafusion_spark.delta.stats import collect_file_stats
+
+    local = str(tmp_path / "f.parquet")
+    spark.range(100).select(
+        "id", (F.col("id") % 7).alias("k")
+    ).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob
+    import shutil
+
+    shutil.copyfile(glob.glob(str(tmp_path / "stage" / "*.parquet"))[0], local)
+
+    class FakeRemoteFS:
+        """Maps fake://<path> ranged reads onto the local file."""
+
+        def read_bytes(self, path, offset=0, length=None):
+            with open(path[len("fake://"):], "rb") as f:
+                f.seek(offset)
+                return f.read() if length is None else f.read(length)
+
+    size = os.path.getsize(local)
+    remote_json = collect_file_stats(
+        "fake://" + local, fs=FakeRemoteFS(), size=size
+    )
+    local_json = collect_file_stats(local)
+    assert json.loads(remote_json) == json.loads(local_json)
+    # missing fs/size must fail loudly, not fall back to a local open
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="remote path"):
+        collect_file_stats("fake://" + local)
