@@ -317,7 +317,21 @@ def minhash_dedup_pairs(
 # ------------------------------------------------------------------ #
 
 
-def simhash_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _word_hash(w, hash_mode: str):
+    """64-bit word hash. ``xxhash64`` is the fast engine-local default;
+    ``md5_60`` derives 60 bits from md5 (conv of the first 15 hex
+    chars) — slower, but reproducible in any engine with md5, which
+    makes the whole SimHash pipeline cross-engine checkable."""
+    if hash_mode == "xxhash64":
+        return F.xxhash64(w)
+    if hash_mode == "md5_60":
+        return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
+def simhash_signature(
+    df: DataFrame, text_col: str, id_col: str, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """(id, simhash: bigint) — 64-bit SimHash over word hashes.
 
     Word hashing is JVM-side (xxhash64 after explode-free transform);
@@ -329,9 +343,9 @@ def simhash_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.transform(words_col(F.col(text_col)), lambda w: F.xxhash64(w)).alias(
-            "hashes"
-        ),
+        F.transform(
+            words_col(F.col(text_col)), lambda w: _word_hash(w, hash_mode)
+        ).alias("hashes"),
     )
 
     def _simhash(hs):
@@ -360,7 +374,7 @@ def simhash_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8,
-    rotations: int = 8, neighbors: int = 16,
+    rotations: int = 8, neighbors: int = 16, hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, via the
     Manku/Jain/Sarma sorted-neighborhood scheme (WWW'07): for each of
@@ -382,7 +396,7 @@ def simhash_near_dup_pairs(
     Identical signatures sort adjacent under every rotation, so
     hamming-0 duplicates are always found (duplicate runs longer than
     ``neighbors`` are chained through intermediate rows)."""
-    sigs = simhash_signature(df, text_col, id_col)
+    sigs = simhash_signature(df, text_col, id_col, hash_mode=hash_mode)
 
     def rot_key(k: int):
         if k == 0:

@@ -159,8 +159,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane LSH
     buckets restrict the candidate set before exact cosine
     verification — candidate volume ~n²/2^bits per table instead of
-    n². Seeded hyperplanes: deterministic, but engine-local → no SQL
-    oracle (recall vs brute force asserted in tests)."""
+    n². The exact-cosine verify stage means full LSH recall makes the
+    output identical to the brute-force pair set, so it shares
+    dedup_embedding's DuckDB oracle (recall vs brute force also
+    asserted in tests)."""
     from deltalake_datafusion_spark.operators.dedup import embedding_near_dup_lsh
 
     c = _near_dup_corpus(spark, sf_dir)
@@ -237,5 +239,5 @@ def specs() -> list[QuerySpec]:
         QuerySpec("q_range_join", q_range_join, _RANGE_SQL),
         QuerySpec("q_gapfill_rollup", q_gapfill_rollup, _GAPFILL_SQL),
         QuerySpec("dedup_embedding", dedup_embedding, _DEDUP_EMB_SQL),
-        QuerySpec("dedup_embedding_lsh", dedup_embedding_lsh, None),
+        QuerySpec("dedup_embedding_lsh", dedup_embedding_lsh, _DEDUP_EMB_SQL),
     ]
