@@ -592,3 +592,105 @@ def test_dat_typed_partition_values(spark, tmp_path):
     assert read_delta(spark, t, predicate="d = DATE '2021-03-04'").count() == 2
     assert read_delta(spark, t, predicate="b = false").count() == 1
     assert read_delta(spark, t, predicate="k > 8").count() == 1
+
+
+def test_dat_column_mapping_id_mode(spark, tmp_path):
+    """columnMapping mode=id (reference handles both modes through
+    kernel transforms — table_format.rs:35-56): parquet columns carry
+    parquet field-ids + physical names, the scan surfaces logical
+    names, and stats-based pruning works on a MAPPED column (the
+    predicate names the logical column; the stats keys are physical).
+    """
+    from deltalake_datafusion_spark.delta.scan import scan_files
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    t = str(tmp_path / "column_mapping_id")
+    fields = [
+        _field(
+            "user_id",
+            "long",
+            metadata={
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-aaa111",
+            },
+        ),
+        _field(
+            "score",
+            "double",
+            metadata={
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-bbb222",
+            },
+        ),
+    ]
+
+    def chunk(lo, hi):
+        # id-mode writers stamp PARQUET_FIELD_ID on the physical schema
+        schema = pa.schema(
+            [
+                pa.field(
+                    "col-aaa111", pa.int64(),
+                    metadata={b"PARQUET:field_id": b"1"},
+                ),
+                pa.field(
+                    "col-bbb222", pa.float64(),
+                    metadata={b"PARQUET:field_id": b"2"},
+                ),
+            ]
+        )
+        return pa.table(
+            {
+                "col-aaa111": pa.array(range(lo, hi), pa.int64()),
+                "col-bbb222": pa.array(
+                    [i * 0.5 for i in range(lo, hi)], pa.float64()
+                ),
+            },
+            schema=schema,
+        )
+
+    a0 = _write_file(t, "f0.parquet", chunk(0, 10))
+    a0["add"]["stats"] = json.dumps(
+        {
+            "numRecords": 10,
+            "minValues": {"col-aaa111": 0, "col-bbb222": 0.0},
+            "maxValues": {"col-aaa111": 9, "col-bbb222": 4.5},
+            "nullCount": {"col-aaa111": 0, "col-bbb222": 0},
+        }
+    )
+    a1 = _write_file(t, "f1.parquet", chunk(100, 110))
+    a1["add"]["stats"] = json.dumps(
+        {
+            "numRecords": 10,
+            "minValues": {"col-aaa111": 100, "col-bbb222": 50.0},
+            "maxValues": {"col-aaa111": 109, "col-bbb222": 54.5},
+            "nullCount": {"col-aaa111": 0, "col-bbb222": 0},
+        }
+    )
+    _commit(t, 0, [
+        _protocol_action(reader=2, writer=5),
+        _metadata_action(
+            fields,
+            configuration={
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": "2",
+            },
+        ),
+        a0,
+        a1,
+    ])
+
+    snap = load_snapshot(t)
+    assert snap.column_mapping_mode == "id"
+    df = read_delta(spark, t)
+    assert df.columns == ["user_id", "score"]
+    assert sorted(r.user_id for r in df.collect()) == (
+        list(range(10)) + list(range(100, 110))
+    )
+    # mapped-column pruning: logical predicate -> physical stats keys
+    pruned = scan_files(snap, "user_id >= 100")
+    assert [f.path for f in pruned] == ["f1.parquet"]
+    pruned = scan_files(snap, "score <= 1.0")
+    assert [f.path for f in pruned] == ["f0.parquet"]
+    # and the filtered read returns only the matching rows
+    got = read_delta(spark, t).filter("user_id >= 100 AND score < 52.0")
+    assert sorted(r.user_id for r in got.collect()) == [100, 101, 102, 103]

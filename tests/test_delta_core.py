@@ -487,3 +487,110 @@ def test_collect_file_stats_remote_path_via_fs_ranged_reads(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="remote path"):
         collect_file_stats("fake://" + local)
+
+
+def test_replay_100k_actions_is_linear(spark, tmp_path):
+    """Perf regression guard for the log-replay hot path: a synthetic
+    log with 100k add/remove actions must replay on the driver in
+    O(actions) — the path-keyed dict gives O(1) replace/pop, so 2s is
+    generous headroom even on a noisy VM (the round-1 O(actions^2)
+    implementation took minutes). Also pins the replay RESULT against
+    the distributed windowed-DataFrame replay on the same log."""
+    import json as _json
+    import time
+
+    from deltalake_datafusion_spark.delta.snapshot import (
+        load_snapshot,
+        log_replay_df,
+    )
+
+    path = str(tmp_path / "big_log")
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(log_dir)
+    schema_str = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    # v0: protocol + metadata + 50k adds; v1: 25k removes + 25k adds.
+    # Survivors: files 25000..74999 → 50k live files.
+    with open(os.path.join(log_dir, "%020d.json" % 0), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            + "\n"
+        )
+        fh.write(
+            _json.dumps(
+                {
+                    "metaData": {
+                        "id": "t",
+                        "schemaString": schema_str,
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                }
+            )
+            + "\n"
+        )
+        for i in range(50_000):
+            fh.write(
+                _json.dumps(
+                    {
+                        "add": {
+                            "path": f"part-{i:06d}.parquet",
+                            "partitionValues": {},
+                            "size": 1,
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
+    with open(os.path.join(log_dir, "%020d.json" % 1), "w") as fh:
+        for i in range(25_000):
+            fh.write(
+                _json.dumps(
+                    {
+                        "remove": {
+                            "path": f"part-{i:06d}.parquet",
+                            "deletionTimestamp": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
+        for i in range(50_000, 75_000):
+            fh.write(
+                _json.dumps(
+                    {
+                        "add": {
+                            "path": f"part-{i:06d}.parquet",
+                            "partitionValues": {},
+                            "size": 1,
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
+
+    t0 = time.time()
+    snap = load_snapshot(path)
+    elapsed = time.time() - t0
+    assert len(snap.files) == 50_000
+    assert snap.files[0].path == "part-025000.parquet"
+    assert elapsed < 2.0, f"100k-action replay took {elapsed:.1f}s (O(n^2)?)"
+
+    # distributed replay agrees with the driver-side replay
+    spark_paths = {
+        r.path for r in log_replay_df(spark, path).select("path").collect()
+    }
+    assert spark_paths == {f.path for f in snap.files}
