@@ -298,24 +298,24 @@ def dv_row_filter(spark, snapshot, group, df, drop_meta: bool = True):
     from deltalake_datafusion_spark.delta.fs import fs_for
 
     fs = fs_for(snapshot.table_path, spark)
+    # Keyed by decoded on-disk path; Spark reports file_path as a
+    # percent-encoded URI, decoded at lookup time (decode_file_uri).
     bitmaps = {}
     for f in group:
         abs_path = os.path.join(snapshot.table_path, f.path)
-        # Spark reports file_path as a file:// URI; key both forms.
-        arr = read_dv(snapshot.table_path, f.dv, fs)
-        bitmaps[abs_path] = arr
-        bitmaps["file://" + abs_path] = arr
-        bitmaps["file:" + abs_path] = arr
+        bitmaps[abs_path] = read_dv(snapshot.table_path, f.dv, fs)
 
     bc = spark.sparkContext.broadcast(bitmaps)
 
     def _is_live(file_path, row_index):
         import numpy as np
 
+        from deltalake_datafusion_spark.delta.fs import decode_file_uri
+
         out = pd.Series(True, index=file_path.index)
         table = bc.value
         for fp in file_path.unique():
-            deleted = table.get(fp)
+            deleted = table.get(decode_file_uri(fp))
             if deleted is None or len(deleted) == 0:
                 continue
             mask = file_path == fp

@@ -219,3 +219,25 @@ def fs_for(path: str, spark=None):
 
 def strip_scheme(path: str) -> str:
     return path[len("file://"):] if path.startswith("file://") else path
+
+
+def decode_file_uri(p: str) -> str:
+    """``_metadata.file_path`` → on-disk path.
+
+    Spark reports scan-file paths as percent-encoded URIs, so a
+    Hive-escaped partition directory (``p_brand=Brand%2311`` on disk
+    for value ``Brand#11``) arrives double-encoded
+    (``...Brand%252311...``). Decode exactly once — and only when the
+    value is actually a URI — so the result keys against
+    ``AddFile.path`` / the filesystem."""
+    import urllib.parse as up
+
+    had_scheme = False
+    for prefix in ("file://", "file:"):
+        if p.startswith(prefix):
+            p = p[len(prefix):]
+            had_scheme = True
+            break
+    else:
+        had_scheme = "://" in p
+    return up.unquote(p) if had_scheme else p

@@ -164,15 +164,14 @@ def _delete_plan(
         # (path, compressed blob, cardinality), never raw row indexes.
         scan_df = _scan_with_rowmeta(spark, snap, predicate, files=candidates)
 
-    existing_by_uri: dict[str, object] = {}
+    # Keyed by decoded on-disk path; lookups decode the scan's URI form.
+    existing_by_path: dict[str, object] = {}
     for f in candidates:
         if f.dv:
             arr = dvmod.read_dv(snap.table_path, f.dv, fs)
-            abs_path = os.path.join(snap.table_path, f.path)
-            for uri in (abs_path, "file://" + abs_path, "file:" + abs_path):
-                existing_by_uri[uri] = arr
+            existing_by_path[os.path.join(snap.table_path, f.path)] = arr
 
-    bc_existing = spark.sparkContext.broadcast(existing_by_uri)
+    bc_existing = spark.sparkContext.broadcast(existing_by_path)
     enc_schema = StructType(
         [
             StructField("file_path", StringType()),
@@ -186,9 +185,11 @@ def _delete_plan(
         import numpy as np
         import pandas as pd
 
+        from deltalake_datafusion_spark.delta.fs import decode_file_uri
+
         fp = pdf["__file_path"].iloc[0]
         new_idx = np.unique(pdf["__row_index"].to_numpy(dtype=np.int64))
-        prior = bc_existing.value.get(fp)
+        prior = bc_existing.value.get(decode_file_uri(fp))
         if prior is not None and len(prior):
             all_idx = np.union1d(new_idx, np.asarray(prior, dtype=np.int64))
         else:
@@ -978,11 +979,9 @@ def _remove_action(f) -> dict:
 
 
 def _relativize(file_path: str, table_path: str) -> str:
-    p = file_path
-    for prefix in ("file://", "file:"):
-        if p.startswith(prefix):
-            p = p[len(prefix):]
-            break
+    from deltalake_datafusion_spark.delta.fs import decode_file_uri
+
+    p = decode_file_uri(file_path)
     rel = os.path.relpath(p, table_path)
     # Files outside the table root (shallow clones reference the
     # source's files by absolute path) keep their absolute form — the

@@ -463,6 +463,77 @@ SELECT * FROM (
 """
 
 
+def streaming_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDF: part → **partitioned** CDF-enabled Delta table
+    → DELETE + UPDATE → the change feed consumed through the
+    ``delta_cdf`` streaming source (version-offset micro-batches,
+    executor-side file reads), aggregated per change type. Partitioning
+    by p_brand forces the source's typed partition-value injection;
+    the oracle recomputes the exact feed (initial inserts + delete +
+    update pre/post images) from the source parquet."""
+    from deltalake_datafusion_spark.delta.ops import delete_delta, update_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.streaming.cdf_source import (
+        read_change_stream,
+    )
+    from deltalake_datafusion_spark.streaming.pipeline import run_to_memory
+
+    t = load_tables(spark, sf_dir, "part")
+    path = _fresh_dir("cdf_stream", sf_dir)
+    write_delta(
+        spark,
+        # 5-value partition column whose '#' forces Hive path escaping
+        t["part"]
+        .withColumn("p_mfgr", F.substring("p_brand", 1, 7))
+        .repartition(2),
+        path,
+        partition_by=["p_mfgr"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_delta(spark, path, "p_size > 45")
+    update_delta(
+        spark, path, {"p_retailprice": "p_retailprice + 1"}, "p_size <= 5"
+    )
+    ch = run_to_memory(
+        read_change_stream(spark, path, 0), "q_streaming_cdf", "append"
+    )
+    return (
+        ch.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("p_brand").alias("n_brands"),
+            F.sum(F.col("p_retailprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("_change_type")
+    )
+
+
+_STREAM_CDF_SQL = """
+WITH del AS (SELECT p_brand, p_retailprice FROM part WHERE p_size > 45),
+     upd AS (SELECT p_brand, p_retailprice FROM part WHERE p_size <= 5)
+SELECT * FROM (
+  SELECT 'delete' AS _change_type, COUNT(*) AS n,
+    COUNT(DISTINCT p_brand) AS n_brands,
+    CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+  FROM del
+  UNION ALL
+  SELECT 'insert', COUNT(*), COUNT(DISTINCT p_brand),
+    CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+  FROM part
+  UNION ALL
+  SELECT 'update_preimage', COUNT(*), COUNT(DISTINCT p_brand),
+    CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+  FROM upd
+  UNION ALL
+  SELECT 'update_postimage', COUNT(*), COUNT(DISTINCT p_brand),
+    CAST(SUM(CAST(p_retailprice + 1 AS DECIMAL(12,2))) AS DOUBLE)
+  FROM upd
+) ORDER BY _change_type
+"""
+
+
 def delta_clone_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shallow CLONE + history: nation → Delta (2 commits) → zero-copy
     clone → DELETE on the clone only. Result: the clone's commit
@@ -580,5 +651,6 @@ def specs() -> list[QuerySpec]:
             "streaming_user_stats", streaming_user_stats, _STREAM_USER_STATS_SQL
         ),
         QuerySpec("delta_cdf", delta_cdf, _CDF_SQL),
+        QuerySpec("streaming_cdf", streaming_cdf, _STREAM_CDF_SQL),
         QuerySpec("delta_clone_history", delta_clone_history, _CLONE_HISTORY_SQL),
     ]

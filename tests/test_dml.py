@@ -676,3 +676,28 @@ def test_concurrent_protocol_change_conflicts(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(w, "commit", racing_commit)
     with pytest.raises(ConcurrentModificationError, match="protocol"):
         delete_delta(spark, path, "id < 5")
+
+
+def test_dml_on_hive_escaped_partition_dirs(spark, tmp_path):
+    """'#' in a partition value becomes %23 in the on-disk directory
+    and %2523 in Spark's _metadata.file_path URI — DELETE (DV path)
+    and UPDATE must still key the scanned rows back to their AddFiles
+    (regression: KeyError in _delete_plan's by_path lookup)."""
+    path = str(tmp_path / "esc")
+    df = spark.range(60).select(
+        "id",
+        F.concat(F.lit("Brand#"), (F.col("id") % 3).cast("string")).alias("b"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    write_delta(spark, df.repartition(2), path, partition_by=["b"])
+
+    res = delete_delta(spark, path, "id % 10 = 0 AND b = 'Brand#0'")
+    assert res["rows_deleted"] == 2  # ids 0, 30
+    snap = load_snapshot(path)
+    assert any(f.dv is not None for f in snap.files)  # partial → DV path
+
+    update_delta(spark, path, {"v": "v + 100"}, "b = 'Brand#1' AND id < 10")
+    out = read_delta(spark, path)
+    assert out.count() == 58
+    assert out.filter("v >= 100").count() == 3  # ids 1, 4, 7
+    assert out.filter("b = 'Brand#0' AND id % 10 = 0").count() == 0

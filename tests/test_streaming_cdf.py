@@ -1,0 +1,132 @@
+"""Streaming CDF source (``delta_cdf`` format): the stream must equal
+the batch ``table_changes`` feed, track version offsets across
+restarts (incremental, exactly-once per commit), compose with
+watermarked windowed aggregation, and fail loudly on non-CDF tables
+and log-cleaned ranges."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.cdf import (
+    ChangeDataFeedError,
+    table_changes,
+)
+from deltalake_datafusion_spark.delta.ops import delete_delta, update_delta
+from deltalake_datafusion_spark.delta.writer import write_delta
+from deltalake_datafusion_spark.streaming.cdf_source import read_change_stream
+from deltalake_datafusion_spark.streaming.pipeline import run_to_memory
+
+CDF = {"delta.enableChangeDataFeed": "true"}
+
+
+def _mk(spark, tmp_path, name="cdfs", partition_by=None):
+    path = str(tmp_path / name)
+    df = spark.range(20).select(
+        "id",
+        (F.col("id") * 1.0).alias("v"),
+        F.concat(F.lit("k#"), (F.col("id") % 3).cast("string")).alias("k"),
+    )
+    write_delta(
+        spark,
+        df.repartition(1),
+        path,
+        partition_by=partition_by,
+        configuration=CDF,
+    )
+    return path
+
+
+def _rows(df):
+    return sorted(
+        (r.id, r.v, r.k, r._change_type, r._commit_version)
+        for r in df.collect()
+    )
+
+
+def test_stream_matches_batch_feed(spark, tmp_path):
+    # partitioned by a Hive-escaped value ('#') to force the source's
+    # typed partition injection through encoded directory names
+    path = _mk(spark, tmp_path, partition_by=["k"])
+    delete_delta(spark, path, "id >= 15")
+    update_delta(spark, path, {"v": "v + 0.5"}, "id < 3")
+    got = run_to_memory(read_change_stream(spark, path, 0), "s_cdf1", "append")
+    want = table_changes(spark, path, 0)
+    assert _rows(got) == _rows(want)
+    assert [f.name for f in got.schema.fields] == [
+        f.name for f in want.schema.fields
+    ]
+    assert [f.dataType for f in got.schema.fields] == [
+        f.dataType for f in want.schema.fields
+    ]
+    # commit timestamps flow through (watermarkable)
+    assert got.where(F.col("_commit_timestamp").isNull()).count() == 0
+
+
+def test_stream_is_incremental_across_restarts(spark, tmp_path):
+    path = _mk(spark, tmp_path, "inc")
+    ckpt = str(tmp_path / "inc_ckpt")
+    seen: list[tuple] = []
+
+    def _run():
+        q = (
+            read_change_stream(spark, path, 0)
+            .writeStream.foreachBatch(
+                lambda b, bid: seen.extend(
+                    (r.id, r._change_type, r._commit_version)
+                    for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _run()
+    first = sorted(seen)
+    assert len(first) == 20 and {c for _, c, _ in first} == {"insert"}
+
+    delete_delta(spark, path, "id = 7")
+    seen.clear()
+    _run()
+    # restart consumed ONLY the new commit — no replay of version 0
+    assert sorted(seen) == [(7, "delete", 1)]
+
+
+def test_stream_watermarked_window_agg(spark, tmp_path):
+    path = _mk(spark, tmp_path, "wm")
+    delete_delta(spark, path, "id >= 18")
+    agg = (
+        read_change_stream(spark, path, 0)
+        .withWatermark("_commit_timestamp", "10 minutes")
+        .groupBy(
+            F.window("_commit_timestamp", "1 minute").alias("w"),
+            "_change_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, "s_cdf_wm", "complete")
+    got = {r._change_type: r.n for r in out.collect()}
+    assert got == {"insert": 20, "delete": 2}
+
+
+def test_stream_requires_cdf_enabled(spark, tmp_path):
+    path = str(tmp_path / "nocdf")
+    write_delta(spark, spark.range(3), path)
+    with pytest.raises(Exception) as ei:
+        run_to_memory(read_change_stream(spark, path, 0), "s_nocdf", "append")
+    assert "enableChangeDataFeed" in str(ei.value)
+
+
+def test_stream_rejects_log_cleaned_range(spark, tmp_path):
+    import os
+
+    path = _mk(spark, tmp_path, "holes")
+    delete_delta(spark, path, "id = 1")
+    delete_delta(spark, path, "id = 2")
+    os.remove(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(Exception) as ei:
+        run_to_memory(read_change_stream(spark, path, 0), "s_holes", "append")
+    assert "no longer in the _delta_log" in str(ei.value)
