@@ -473,6 +473,7 @@ def merge_delta(
     when_not_matched_by_source_delete: bool = False,
     when_not_matched_by_source_condition: str | None = None,
     strict: bool = False,
+    schema_evolution: bool = False,
 ) -> dict:
     """MERGE INTO (upsert), copy-on-write strategy:
 
@@ -498,12 +499,38 @@ def merge_delta(
     ``strict=True`` enforces the ANSI/Delta MERGE cardinality rule:
     if any target row is matched by more than one source row, raise
     :class:`MergeCardinalityError` instead of silently duplicating
-    the row (the non-strict default documents the duplication)."""
+    the row (the non-strict default documents the duplication).
+
+    ``schema_evolution=True`` is Delta's ``withSchemaEvolution()``:
+    source columns absent from the target are appended (nullable) to
+    the table schema in the same commit — existing rows read null,
+    UPDATE SET / INSERT may assign them. Without it, extra source
+    columns are ignored (the pre-evolution Delta behavior)."""
     from deltalake_datafusion_spark.delta.constraints import check_append_only
 
     snap = load_snapshot(table_path, spark=spark)
     check_append_only(snap.metadata.configuration, "MERGE")
     logical = snap.schema
+    md_action = None
+    if schema_evolution:
+        from deltalake_datafusion_spark.delta.writer import (
+            _metadata_action,
+            merge_schema_fields,
+        )
+
+        evolved, merged_conf, changed = merge_schema_fields(
+            snap, source.schema.fields
+        )
+        if changed:
+            logical = evolved
+            md_action = _metadata_action(
+                evolved,
+                snap.partition_columns,
+                merged_conf,
+                snap.metadata.id,
+                snap.metadata.name,
+            )
+            md_action["metaData"]["createdTime"] = snap.metadata.created_time
     target = _scan_with_rowmeta(spark, snap, None)
 
     t = target.alias("t")
@@ -571,6 +598,14 @@ def merge_delta(
         # matching one target row duplicates that row (ANSI MERGE
         # errors; see MergeCardinalityError above).
         joined = tf.join(m, ["__file_path", "__row_index"], "left")
+        # Evolved columns are absent from the target scan: back-fill
+        # typed nulls so every downstream select over the (possibly
+        # evolved) logical schema resolves; SET/INSERT overwrite them.
+        for _f in logical.fields:
+            if _f.name not in joined.columns:
+                joined = joined.withColumn(
+                    _f.name, F.lit(None).cast(_f.dataType)
+                )
         is_matched = F.col("__s___matched").isNotNull()
         if when_matched_delete:
             survivors = joined.filter(~is_matched)
@@ -633,7 +668,9 @@ def merge_delta(
         anti = s.join(t, cond, "left_anti")
         inserts = anti.select(
             *[
-                F.col(c).alias(c) if c in source.columns else F.lit(None).alias(c)
+                (F.col(c) if c in source.columns else F.lit(None))
+                .cast(logical[c].dataType)
+                .alias(c)
                 for c in logical.fieldNames()
             ]
         )
@@ -642,7 +679,8 @@ def merge_delta(
             cdc_parts.append(inserts.withColumn(_CT, F.lit("insert")))
 
     n_inserted = 0
-    actions: list[dict] = [ _remove_action(f) for f in touched ]
+    actions: list[dict] = [md_action] if md_action is not None else []
+    actions.extend(_remove_action(f) for f in touched)
     if new_parts:
         out = new_parts[0]
         for p in new_parts[1:]:

@@ -267,6 +267,50 @@ def protocol_upgrade_action(protocol, needed_features: set[str]) -> dict | None:
     return {"protocol": body}
 
 
+def merge_schema_fields(
+    existing, incoming_fields
+) -> tuple[StructType, dict[str, str], bool]:
+    """Schema-evolution core shared by append (``schema_mode='merge'``)
+    and MERGE (``schema_evolution=True``): fields present in
+    ``incoming_fields`` but not in the table are appended **nullable**
+    (existing files back-fill null through the schema adapter). On a
+    column-mapped table each new field gets the next mapping id and a
+    fresh physical name, and ``delta.columnMapping.maxColumnId``
+    advances.
+
+    Returns ``(evolved_schema, configuration, changed)`` —
+    ``configuration`` is the table's configuration (with the advanced
+    maxColumnId when mapping); when ``changed`` is False the schema is
+    returned untouched."""
+    existing_names = set(existing.schema.fieldNames())
+    new_fields = [f for f in incoming_fields if f.name not in existing_names]
+    configuration = dict(existing.metadata.configuration)
+    if not new_fields:
+        return existing.schema, configuration, False
+    if existing.column_mapping_mode != "none":
+        next_id = int(
+            existing.get_property("delta.columnMapping.maxColumnId", "0")
+            or "0"
+        )
+        mapped = []
+        for f in new_fields:
+            next_id += 1
+            meta = dict(f.metadata or {})
+            meta["delta.columnMapping.id"] = next_id
+            meta["delta.columnMapping.physicalName"] = f"col-{next_id}"
+            mapped.append(StructField(f.name, f.dataType, True, meta))
+        new_fields = mapped
+        configuration["delta.columnMapping.maxColumnId"] = str(next_id)
+    evolved = StructType(
+        list(existing.schema.fields)
+        + [
+            StructField(f.name, f.dataType, True, f.metadata)
+            for f in new_fields
+        ]
+    )
+    return evolved, configuration, True
+
+
 def _metadata_action(
     schema: StructType,
     partition_by: list[str],
@@ -560,29 +604,12 @@ def write_delta(
         df_names = set(df.schema.fieldNames())
         mapping = existing.column_mapping_mode != "none"
         if schema_mode == "merge":
-            new_fields = [
-                f for f in df.schema.fields if f.name not in existing_names
-            ]
-            if new_fields and mapping:
-                next_id = int(
-                    existing.get_property("delta.columnMapping.maxColumnId", "0")
-                    or "0"
-                )
-                mapped = []
-                for f in new_fields:
-                    next_id += 1
-                    meta = dict(f.metadata or {})
-                    meta["delta.columnMapping.id"] = next_id
-                    meta["delta.columnMapping.physicalName"] = f"col-{next_id}"
-                    mapped.append(StructField(f.name, f.dataType, True, meta))
-                new_fields = mapped
-                configuration = dict(existing.metadata.configuration)
-                configuration["delta.columnMapping.maxColumnId"] = str(next_id)
-            write_schema = StructType(
-                list(logical_schema.fields)
-                + [StructField(f.name, f.dataType, True, f.metadata) for f in new_fields]
+            write_schema, merged_conf, schema_changed = merge_schema_fields(
+                existing, df.schema.fields
             )
-            schema_changed = bool(new_fields)
+            if schema_changed:
+                # table config (+ mapping ids) first, caller overrides kept
+                configuration = {**merged_conf, **configuration}
             from pyspark.sql import functions as F
 
             df = df.select(

@@ -116,6 +116,58 @@ FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def delta_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE withSchemaEvolution: customer evens → Delta target; merge
+    a source carrying an extra ``tier`` column. The schema widens in
+    the same commit — matched rows take the SET value, inserts carry
+    theirs, pre-existing unmatched rows read null."""
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "customer")
+    c = t["customer"]
+    path = _fresh_dir("merge_evolve", sf_dir)
+    write_delta(spark, c.filter("c_custkey % 2 = 0").repartition(4), path)
+    source = c.filter("c_custkey % 3 = 0").withColumn(
+        "tier", F.when(F.col("c_acctbal") > 0, "plus").otherwise("minus")
+    )
+    merge_delta(
+        spark,
+        path,
+        source,
+        on="t.c_custkey = s.c_custkey",
+        when_matched_update={"tier": "s.tier"},
+        when_not_matched_insert=True,
+        schema_evolution=True,
+    )
+    df = read_delta(spark, path)
+    return (
+        df.groupBy(F.coalesce("tier", F.lit("none")).alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("tier")
+    )
+
+
+_MERGE_EVOLVE_SQL = """
+WITH merged AS (
+  SELECT c_acctbal,
+         CASE WHEN c_custkey % 3 <> 0 THEN 'none'
+              WHEN c_acctbal > 0 THEN 'plus' ELSE 'minus' END AS tier
+  FROM customer
+  WHERE c_custkey % 2 = 0 OR c_custkey % 3 = 0
+)
+SELECT tier, COUNT(*) AS n,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM merged GROUP BY tier ORDER BY tier
+"""
+
+
 def delta_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16 small files → OPTIMIZE bin-packs to 1; rows unchanged and
     time travel to the pre-OPTIMIZE version still sees 16."""
@@ -468,7 +520,8 @@ def streaming_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     → DELETE + UPDATE → the change feed consumed through the
     ``delta_cdf`` streaming source (version-offset micro-batches,
     executor-side file reads), aggregated per change type. Partitioning
-    by p_brand forces the source's typed partition-value injection;
+    by a '#'-bearing derived column forces the source's typed
+    partition-value injection through Hive-escaped directories;
     the oracle recomputes the exact feed (initial inserts + delete +
     update pre/post images) from the source parquet."""
     from deltalake_datafusion_spark.delta.ops import delete_delta, update_delta
@@ -628,6 +681,7 @@ def specs() -> list[QuerySpec]:
     return [
         QuerySpec("delta_update", delta_update, _UPDATE_SQL),
         QuerySpec("delta_merge_upsert", delta_merge_upsert, _MERGE_SQL),
+        QuerySpec("delta_merge_evolve", delta_merge_evolve, _MERGE_EVOLVE_SQL),
         QuerySpec(
             "delta_optimize_compact", delta_optimize_compact, _OPTIMIZE_SQL
         ),

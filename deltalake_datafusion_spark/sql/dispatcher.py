@@ -21,7 +21,8 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
     DROP CATALOG [IF EXISTS] name [CASCADE]
     DELETE FROM <name | 'url'> WHERE <predicate>
     UPDATE <target> SET col = expr, ... WHERE <predicate>
-    MERGE INTO <target> [AS t] USING <view> [AS s] ON <cond>
+    MERGE [WITH SCHEMA EVOLUTION] INTO <target> [AS t]
+        USING <view> [AS s] ON <cond>
         [WHEN MATCHED THEN UPDATE SET ... | DELETE]
         [WHEN NOT MATCHED THEN INSERT *]
         [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]
@@ -64,7 +65,8 @@ _UPDATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"^\s*MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+    r"INTO\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"(?:\s+AS\s+t)?"
     r"\s+USING\s+(?P<source>\w+)(?:\s+AS\s+s)?"
     r"\s+ON\s+(?P<cond>.+?)"
@@ -250,6 +252,7 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             when_not_matched_by_source_condition=(
                 m.group("bscond").strip() if m.group("bscond") else None
             ),
+            schema_evolution=bool(m.group("evolve")),
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 

@@ -701,3 +701,111 @@ def test_dml_on_hive_escaped_partition_dirs(spark, tmp_path):
     assert out.count() == 58
     assert out.filter("v >= 100").count() == 3  # ids 1, 4, 7
     assert out.filter("b = 'Brand#0' AND id % 10 = 0").count() == 0
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    """withSchemaEvolution: a new source column widens the target
+    schema (nullable), inserts carry it, matched updates may SET it,
+    and pre-existing rows read null."""
+    path = str(tmp_path / "mse")
+    write_delta(
+        spark, spark.range(10).select("id", F.lit("old").alias("val")), path
+    )
+    source = spark.createDataFrame(
+        [(5, "new5", 0.5), (100, "new100", 1.0)],
+        "id long, val string, score double",
+    )
+    merge_delta(
+        spark,
+        path,
+        source,
+        on="t.id = s.id",
+        when_matched_update={"val": "s.val", "score": "s.score"},
+        schema_evolution=True,
+    )
+    snap = load_snapshot(path)
+    assert snap.schema.fieldNames() == ["id", "val", "score"]
+    assert snap.schema["score"].nullable
+    out = {r.id: (r.val, r.score) for r in read_delta(spark, path).collect()}
+    assert len(out) == 11
+    assert out[5] == ("new5", 0.5)       # matched update SET new col
+    assert out[100] == ("new100", 1.0)   # insert carries new col
+    assert out[0] == ("old", None)       # untouched file → null back-fill
+    assert out[9] == ("old", None)
+
+
+def test_merge_schema_evolution_insert_only(spark, tmp_path):
+    """Pure-insert evolved merge (no matches): typed null back-fill for
+    target-only columns, metaData emitted, old rows null the new col."""
+    path = str(tmp_path / "msei")
+    write_delta(spark, spark.range(3).select("id", F.lit(1.0).alias("v")), path)
+    source = spark.createDataFrame([(50, "x")], "id long, tag string")
+    merge_delta(
+        spark, path, source, on="t.id = s.id", schema_evolution=True
+    )
+    out = {r.id: (r.v, r.tag) for r in read_delta(spark, path).collect()}
+    assert out[50] == (None, "x")  # source lacks v → null
+    assert out[0] == (1.0, None)
+
+
+def test_merge_without_evolution_ignores_extra_columns(spark, tmp_path):
+    path = str(tmp_path / "msenoev")
+    write_delta(spark, spark.range(3).select("id", F.lit("a").alias("val")), path)
+    source = spark.createDataFrame([(9, "b", 7)], "id long, val string, extra int")
+    merge_delta(spark, path, source, on="t.id = s.id")
+    snap = load_snapshot(path)
+    assert snap.schema.fieldNames() == ["id", "val"]  # unchanged
+    assert read_delta(spark, path).count() == 4
+
+
+def test_merge_schema_evolution_column_mapped(spark, tmp_path):
+    """On a column-mapped table the evolved column gets the next
+    mapping id + fresh physical name and maxColumnId advances."""
+    path = str(tmp_path / "msemap")
+    write_delta(
+        spark,
+        spark.range(4).select("id", F.lit("v").alias("val")),
+        path,
+        column_mapping=True,
+    )
+    before = int(
+        load_snapshot(path).get_property("delta.columnMapping.maxColumnId")
+    )
+    source = spark.createDataFrame([(1, "w", 9)], "id long, val string, n int")
+    merge_delta(
+        spark,
+        path,
+        source,
+        on="t.id = s.id",
+        when_matched_update={"val": "s.val", "n": "s.n"},
+        schema_evolution=True,
+    )
+    snap = load_snapshot(path)
+    f = snap.schema["n"]
+    assert f.metadata["delta.columnMapping.id"] == before + 1
+    assert f.metadata["delta.columnMapping.physicalName"].startswith("col-")
+    assert (
+        int(snap.get_property("delta.columnMapping.maxColumnId")) == before + 1
+    )
+    out = {r.id: (r.val, r.n) for r in read_delta(spark, path).collect()}
+    assert out[1] == ("w", 9) and out[0] == ("v", None)
+
+
+def test_sql_merge_with_schema_evolution(spark, tmp_path):
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "msesql")
+    write_delta(spark, spark.range(5).select("id", F.lit("z").alias("val")), path)
+    spark.createDataFrame(
+        [(2, "q", 3.5), (42, "r", 4.5)], "id long, val string, w double"
+    ).createOrReplaceTempView("mse_src")
+    sql(
+        spark,
+        f"MERGE WITH SCHEMA EVOLUTION INTO '{path}' AS t USING mse_src AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET val = s.val, w = s.w "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    out = {r.id: (r.val, r.w) for r in read_delta(spark, path).collect()}
+    assert out[2] == ("q", 3.5) and out[42] == ("r", 4.5)
+    assert out[0] == ("z", None)
