@@ -339,12 +339,19 @@ def load_snapshot(
             ad = a["add"]
             path = urllib.parse.unquote(ad["path"])
             dv = _parse_dv(ad.get("deletionVector"))
+            stats = ad.get("stats")
+            if not stats and ad.get("stats_parsed"):
+                # DAT ``stats_as_struct``: checkpoints may carry stats
+                # as a typed struct column instead of the JSON string —
+                # normalize so the skipping evaluator sees one format
+                # (dates/timestamps serialize to their ISO strings).
+                stats = json.dumps(ad["stats_parsed"], default=str)
             adds[path] = AddFile(
                 path=path,
                 size=ad.get("size", 0),
                 modification_time=ad.get("modificationTime", 0),
                 partition_values=dict(ad.get("partitionValues") or {}),
-                stats=ad.get("stats"),
+                stats=stats,
                 dv=dv,
             )
         elif "remove" in a and a["remove"]:

@@ -1,0 +1,133 @@
+"""Concurrent-writer stress property: N threads of appends+deletes
+through the optimistic-commit + conflict-validation path must leave
+the table in the state a serial execution would — appends never lost,
+deletes never dropping rows their read didn't see, every version a
+single atomic commit.
+
+Thread key-spaces are disjoint, so cross-thread operations commute and
+the serializable end state is computable per-thread; any interleaving
+that loses an append, double-applies a delete, or lets a delete's
+DV/remove swallow a concurrent append shows up as a set difference."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.ops import delete_delta
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import list_log_files
+from deltalake_datafusion_spark.delta.writer import (
+    ConcurrentModificationError,
+    ConcurrentWriteError,
+    write_delta,
+)
+
+SPACE = 100  # ids per thread: [tid*SPACE, tid*SPACE + SPACE)
+_COUNTER = [0]  # unique table dir per hypothesis example
+
+
+def _thread_ops(tid: int):
+    """Strategy: 2-4 ops for one thread; appends cover disjoint chunks
+    of the thread's id space, deletes hit a modulus of it."""
+    append = st.tuples(
+        st.just("append"),
+        st.integers(min_value=0, max_value=3),  # chunk index (25 ids)
+    )
+    delete = st.tuples(
+        st.just("delete"),
+        st.integers(min_value=0, max_value=2),  # id % 3 == mod
+    )
+    return st.lists(st.one_of(append, delete), min_size=2, max_size=4)
+
+
+def _apply_serial(tid: int, ops) -> set[int]:
+    """The per-thread serial semantics the concurrent run must match."""
+    base = tid * SPACE
+    live: set[int] = set()
+    for kind, arg in ops:
+        if kind == "append":
+            live |= set(range(base + arg * 25, base + arg * 25 + 25))
+        else:
+            live -= {i for i in live if i % 3 == arg}
+    return live
+
+
+def _run_thread(spark, path, tid, ops, errors):
+    base = tid * SPACE
+    try:
+        for kind, arg in ops:
+            for attempt in range(10):
+                try:
+                    if kind == "append":
+                        df = (
+                            spark.range(base + arg * 25, base + arg * 25 + 25)
+                            .select("id", (F.col("id") % 7.0).alias("v"))
+                            .coalesce(1)
+                        )
+                        write_delta(spark, df, path, mode="append")
+                    else:
+                        delete_delta(
+                            spark,
+                            path,
+                            f"id >= {base} AND id < {base + SPACE} "
+                            f"AND id % 3 = {arg}",
+                        )
+                    break
+                except (ConcurrentModificationError, ConcurrentWriteError):
+                    # a real read-write conflict (or exhausted version
+                    # race): reload-and-replan, exactly as a user would
+                    if attempt == 9:
+                        raise
+    except Exception as e:  # surfaced to the main thread
+        errors.append((tid, repr(e)))
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_n_writer_serializability(spark, tmp_path, data):
+    n_threads = data.draw(st.integers(min_value=2, max_value=4))
+    ops = [data.draw(_thread_ops(t)) for t in range(n_threads)]
+    # fresh table per example (tmp_path is function-scoped but shared
+    # across hypothesis examples, including shrink re-runs)
+    _COUNTER[0] += 1
+    path = str(tmp_path / f"stress_{_COUNTER[0]}")
+    write_delta(
+        spark,
+        spark.range(0).select("id", (F.col("id") * 1.0).alias("v")),
+        path,
+    )
+
+    errors: list = []
+    threads = [
+        threading.Thread(
+            target=_run_thread, args=(spark, path, t, ops[t], errors)
+        )
+        for t in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, f"writer threads failed: {errors}"
+
+    want = set()
+    for t in range(n_threads):
+        want |= _apply_serial(t, ops[t])
+    got = {r.id for r in read_delta(spark, path).select("id").collect()}
+    assert got == want
+
+    # every version is exactly one atomic commit file, contiguous from 0
+    commits, _ = list_log_files(path)
+    versions = [v for v, _ in commits]
+    assert versions == list(range(len(versions)))
+    # deletes that matched nothing may no-op; every append commits once
+    n_appends = sum(1 for tops in ops for k, _ in tops if k == "append")
+    assert len(versions) >= n_appends + 1

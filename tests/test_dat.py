@@ -694,3 +694,172 @@ def test_dat_column_mapping_id_mode(spark, tmp_path):
     # and the filtered read returns only the matching rows
     got = read_delta(spark, t).filter("user_id >= 100 AND score < 52.0")
     assert sorted(r.user_id for r in got.collect()) == [100, 101, 102, 103]
+
+
+# ---------------------------------------------------------------------------
+# Corpus provenance (audit note, re-checked 2026-08: the
+# deltalake-dat-v0.0.3 release tarball is unobtainable here — DNS
+# resolution is disabled in this environment, `curl` cannot reach
+# github releases). The published reader_tests case list for v0.0.3:
+#
+#   official case            local analog (this module)
+#   ---------------------    -----------------------------------------
+#   all_primitive_types      test_dat_all_primitive_types
+#   basic_append             test_dat_basic_append
+#   basic_partitioned        test_dat_basic_partitioned
+#   multi_partitioned        test_dat_multi_partitioned
+#   multi_partitioned_2      test_dat_multi_partitioned_2 (below)
+#   nested_types             test_dat_nested_types
+#   no_replay                test_dat_no_replay
+#   no_stats                 test_dat_no_stats
+#   stats_as_struct          test_dat_stats_as_struct (below)
+#   with_checkpoint          test_dat_with_checkpoint
+#   with_schema_change       test_dat_with_schema_change
+#
+# Local-only additions beyond the official list: column mapping
+# (name + id modes), deletion vectors, typed partition values,
+# unsupported-version rejection. Differences from the real corpus:
+# golden row content is generated here (hand-written log JSON +
+# pyarrow parquet, never this repo's writer), so dimensional coverage
+# is equivalent but file-level provenance is not — swap these for the
+# real tarball when network access permits.
+# ---------------------------------------------------------------------------
+
+
+def test_dat_multi_partitioned_2(spark, tmp_path):
+    """Second multi-partition shape: boolean + timestamp + decimal
+    partition columns (types the first case doesn't use), several
+    files per partition value, and string-encoded values that must be
+    injected with their schema types."""
+    t = str(tmp_path / "multi_partitioned_2")
+    fields = [_field("id", "long"), _field("ok", "boolean"),
+              _field("ts", "timestamp"), _field("amt", "decimal(10,3)")]
+    parts = [
+        ("ok=true/ts=2023-01-05 10%3A30%3A00/amt=1.500", 
+         {"ok": "true", "ts": "2023-01-05 10:30:00", "amt": "1.500"}, (0, 3)),
+        ("ok=true/ts=2023-01-05 10%3A30%3A00/amt=1.500",
+         {"ok": "true", "ts": "2023-01-05 10:30:00", "amt": "1.500"}, (3, 5)),
+        ("ok=false/ts=2024-06-30 23%3A59%3A59/amt=99.001",
+         {"ok": "false", "ts": "2024-06-30 23:59:59", "amt": "99.001"}, (5, 9)),
+    ]
+    adds = []
+    for i, (d, pv, rng) in enumerate(parts):
+        a = _write_file(
+            t, f"{d.replace('%3A', '_')}/f{i}.parquet",
+            pa.table({"id": pa.array(range(*rng), pa.int64())}),
+        )
+        a["add"]["partitionValues"] = pv
+        adds.append(a)
+    _commit(t, 0, [
+        _protocol_action(),
+        _metadata_action(fields, partition_columns=["ok", "ts", "amt"]),
+        *adds,
+    ])
+    df = read_delta(spark, t)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "boolean", "timestamp", "decimal(10,3)",
+    ]
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 9
+    assert rows[0].ok is True and rows[0].amt == decimal.Decimal("1.500")
+    assert rows[0].ts == dt.datetime(2023, 1, 5, 10, 30)
+    assert rows[8].ok is False and rows[8].amt == decimal.Decimal("99.001")
+    # typed partition pruning across the three types
+    assert read_delta(spark, t, predicate="ok = false").count() == 4
+    assert read_delta(
+        spark, t, predicate="ts < TIMESTAMP '2024-01-01 00:00:00'"
+    ).count() == 5
+    assert read_delta(spark, t, predicate="amt > 50").count() == 4
+
+
+def test_dat_stats_as_struct(spark, tmp_path):
+    """Checkpoint carrying per-file stats as a typed ``stats_parsed``
+    struct (no JSON ``stats`` string): the reader must surface them to
+    the skipping evaluator — pruning works straight off the struct."""
+    from deltalake_datafusion_spark.delta.scan import scan_files
+
+    t = str(tmp_path / "stats_as_struct")
+    proto = _protocol_action()
+    meta = _metadata_action(LONG_VAL)
+    a0 = _write_file(t, "f0.parquet", _ids(0, 4))
+    a1 = _write_file(t, "f1.parquet", _ids(100, 104))
+    _commit(t, 0, [proto, meta, a0])
+    _commit(t, 1, [a1])
+
+    stats_t = pa.struct([
+        ("numRecords", pa.int64()),
+        ("minValues", pa.struct([("id", pa.int64())])),
+        ("maxValues", pa.struct([("id", pa.int64())])),
+        ("nullCount", pa.struct([("id", pa.int64())])),
+    ])
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats_parsed", stats_t),
+    ])
+    meta_t = pa.struct([
+        ("id", pa.string()),
+        ("format", pa.struct([("provider", pa.string())])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
+        ("createdTime", pa.int64()),
+    ])
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+
+    def _srow(add, lo):
+        return {
+            "path": add["add"]["path"],
+            "partitionValues": [],
+            "size": add["add"]["size"],
+            "modificationTime": add["add"]["modificationTime"],
+            "dataChange": True,
+            "stats_parsed": {
+                "numRecords": 4,
+                "minValues": {"id": lo},
+                "maxValues": {"id": lo + 3},
+                "nullCount": {"id": 0},
+            },
+        }
+
+    md = meta["metaData"]
+    table = pa.table({
+        "add": pa.array([None, None, _srow(a0, 0), _srow(a1, 100)], add_t),
+        "metaData": pa.array([
+            {
+                "id": md["id"],
+                "format": {"provider": "parquet"},
+                "schemaString": md["schemaString"],
+                "partitionColumns": [],
+                "configuration": [],
+                "createdTime": md.get("createdTime"),
+            },
+            None, None, None,
+        ], meta_t),
+        "protocol": pa.array(
+            [None, {"minReaderVersion": 1, "minWriterVersion": 2}, None, None],
+            proto_t,
+        ),
+    })
+    log_dir = os.path.join(t, "_delta_log")
+    papq.write_table(
+        table, os.path.join(log_dir, f"{1:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": 4}, f)
+    for v in (0, 1):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+
+    snap = load_snapshot(t)
+    assert snap.version == 1 and len(snap.files) == 2
+    assert all(f.stats for f in snap.files)  # struct → normalized stats
+    # stats-based skipping straight from the struct values
+    kept = scan_files(snap, predicate="id >= 100")
+    assert [os.path.basename(f.path) for f in kept] == ["f1.parquet"]
+    rows, _ = _scan_sorted(spark, t)
+    assert len(rows) == 8
