@@ -469,6 +469,7 @@ def merge_delta(
     on: str,
     when_matched_update: dict[str, str] | None = None,
     when_matched_delete: bool = False,
+    when_matched_condition: str | None = None,
     when_not_matched_insert: bool = True,
     when_not_matched_by_source_delete: bool = False,
     when_not_matched_by_source_condition: str | None = None,
@@ -500,6 +501,12 @@ def merge_delta(
     if any target row is matched by more than one source row, raise
     :class:`MergeCardinalityError` instead of silently duplicating
     the row (the non-strict default documents the duplication).
+
+    ``when_matched_condition`` is Delta's ``WHEN MATCHED AND <cond>``:
+    the update/delete clause only fires for matched rows satisfying
+    the condition (``t.col`` = target, ``s.col`` = source); matched
+    rows failing it are rewritten unchanged. A null condition value
+    counts as false, per SQL three-valued logic.
 
     ``schema_evolution=True`` is Delta's ``withSchemaEvolution()``:
     source columns absent from the target are appended (nullable) to
@@ -606,14 +613,24 @@ def merge_delta(
                 joined = joined.withColumn(
                     _f.name, F.lit(None).cast(_f.dataType)
                 )
+        import re as _re
+
         is_matched = F.col("__s___matched").isNotNull()
+        if when_matched_condition:
+            # WHEN MATCHED AND <cond>: t.col → target (plain name in
+            # the joined frame), s.col → __s_<col>; null cond = false.
+            cnd = _re.sub(r"\bs\.(\w+)", r"__s_\1", when_matched_condition)
+            cnd = _re.sub(r"\bt\.(\w+)", r"\1", cnd)
+            clause_matched = is_matched & F.coalesce(
+                F.expr(cnd), F.lit(False)
+            )
+        else:
+            clause_matched = is_matched
         if when_matched_delete:
-            survivors = joined.filter(~is_matched)
+            survivors = joined.filter(~clause_matched)
         else:
             survivors = joined
             if when_matched_update:
-                import re as _re
-
                 # Simultaneous assignment (ANSI/Delta MERGE): every
                 # UPDATE SET right-hand side is evaluated against the
                 # OLD target row in one select, so `SET a = t.b,
@@ -623,7 +640,7 @@ def merge_delta(
                     # update expressions reference source cols as s.<col>
                     rewritten = _re.sub(r"\bs\.(\w+)", r"__s_\1", expr)
                     new_cols[col] = F.when(
-                        is_matched, F.expr(rewritten)
+                        clause_matched, F.expr(rewritten)
                     ).otherwise(F.col(col))
                 survivors = joined.select(
                     *[
@@ -649,7 +666,7 @@ def merge_delta(
         # CDF: matched rows → delete, or pre/post image pairs; rows
         # merely rewritten untouched (no matched clause) report nothing.
         if _cdf_on:
-            pre = joined.filter(is_matched).select(*logical.fieldNames())
+            pre = joined.filter(clause_matched).select(*logical.fieldNames())
             if when_matched_delete:
                 cdc_parts.append(
                     pre.withColumn(_CT, F.lit("delete"))
@@ -659,7 +676,7 @@ def merge_delta(
                     pre.withColumn(_CT, F.lit("update_preimage"))
                 )
                 cdc_parts.append(
-                    survivors.filter(is_matched)
+                    survivors.filter(clause_matched)
                     .select(*logical.fieldNames())
                     .withColumn(_CT, F.lit("update_postimage"))
                 )

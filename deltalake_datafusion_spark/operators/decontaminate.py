@@ -1,0 +1,76 @@
+"""Benchmark decontamination: flag training documents that share long
+word n-grams with an evaluation/benchmark set.
+
+Standard practice for LLM training corpora (GPT-3 §B, PaLM §7,
+Llama 2 §A.6): any training document containing a verbatim n-gram
+(n typically 8–13 words) from a benchmark is "contaminated" and is
+dropped or audited before training.
+
+Spark-first design: the benchmark side is tiny relative to the corpus
+(eval sets are thousands of documents, the corpus is billions), so
+its distinct n-gram set is **broadcast** and the contamination check
+is a broadcast LEFT SEMI join against each document's exploded
+n-grams — a map-side-only plan with no shuffle of the corpus. The
+per-document n-gram expansion is a JVM expression tree
+(``shingles_col``: slice+zip_with, O(words) per doc), not a Python
+UDF.
+
+The only shuffle is the final ``distinct()`` of contaminated doc ids,
+which is bounded by the number of contaminated documents, not corpus
+size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.operators.dedup import shingles_col
+
+
+def benchmark_ngrams(
+    bench: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct word n-grams of the benchmark set (normalized:
+    lowercase, punctuation stripped, whitespace collapsed) as a
+    single-column DataFrame ``gram``."""
+    return (
+        bench.select(
+            F.explode(shingles_col(F.col(text_col), n)).alias("gram")
+        )
+        .filter(F.length("gram") > 0)
+        .distinct()
+    )
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """``docs`` plus a boolean ``is_contaminated`` column: true iff
+    the document shares at least one normalized word ``n``-gram with
+    the benchmark set.
+
+    The benchmark n-gram set is broadcast; each document's n-grams
+    are checked with a broadcast semi join (no corpus shuffle). Note
+    a document shorter than ``n`` words shingles to its full text, so
+    it is only flagged if a benchmark document is that same short
+    text — the conservative reading of the n-gram rule.
+    """
+    grams = F.broadcast(benchmark_ngrams(bench, text_col, n))
+    hit_ids = (
+        docs.select(
+            F.col(id_col),
+            F.explode(shingles_col(F.col(text_col), n)).alias("gram"),
+        )
+        .join(grams, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return docs.join(hit_ids, id_col, "left").withColumn(
+        "is_contaminated", F.coalesce(F.col("__hit"), F.lit(False))
+    ).drop("__hit")

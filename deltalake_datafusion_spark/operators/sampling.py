@@ -1,0 +1,230 @@
+"""Corpus-construction operators: stratified sampling, sequence
+packing, and domain-mixture planning for training-data pipelines.
+
+These are the selection/packing stages that sit between a cleaned
+document corpus and a training run: pick a deterministic per-stratum
+sample, decide how much of each domain to keep for a target mixture,
+and pack documents into fixed-token-capacity sequences.
+
+Everything here is deterministic (md5-ordered pseudo-randomness, no
+engine-specific hashes) so results are reproducible run-to-run and
+verifiable against an independent SQL engine.
+
+Scale notes (100 TB):
+- ``stratified_sample`` is one shuffle on the strata columns plus a
+  per-stratum sort; for huge strata use
+  :func:`stratified_sample_scalable`, which pre-filters each stratum
+  to ~``oversample * k`` rows by an md5-fraction threshold before the
+  exact rank, so the sort touches O(k) rows per stratum instead of
+  the whole stratum. The pre-filter is verified (per-stratum selected
+  counts are compared against min(k, stratum size)) and any stratum
+  the oversample missed is re-ranked exactly — the result is always
+  identical to the exact path.
+- ``pack_sequences`` shards the corpus by ``key % shards`` and packs
+  within each shard independently: the only global operation is a
+  hash shuffle on the shard id; each shard's cumulative-sum window
+  sorts one shard, so capacity is controlled by the shard count.
+- ``domain_mixture`` is a single aggregation; the plan itself is
+  O(#domains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# First 8 hex chars of md5 → uniform 32-bit fraction in [0, 1).
+_HASH_DENOM = float(1 << 32)
+
+
+def _md5_order(key_col):
+    """Deterministic pseudo-random sort key, portable across engines
+    (md5 hex of the key's decimal string form)."""
+    return F.md5(F.col(key_col).cast("string"))
+
+
+def _md5_fraction(key_col):
+    """md5-derived uniform fraction in [0, 1) — same value in any
+    engine that exposes md5 + hex→int conversion."""
+    return F.conv(F.substring(_md5_order(key_col), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(_HASH_DENOM)
+
+
+def stratified_sample(
+    df: DataFrame, strata_cols: list[str], key_col: str, k: int
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by md5 order
+    of ``key_col`` (deterministic, uniform, engine-portable).
+
+    One shuffle on the strata columns; each stratum is sorted by the
+    md5 key. Use :func:`stratified_sample_scalable` when strata are
+    huge relative to k.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _md5_order(key_col), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
+def stratified_sample_scalable(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    k: int,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Same result as :func:`stratified_sample`, built for strata far
+    larger than k.
+
+    Phase 1 counts each stratum (aggregate; O(#strata) rows to the
+    driver — strata are assumed few: languages, domains, sources).
+    Phase 2 keeps only rows whose md5 fraction falls below
+    ``oversample * k / |stratum|`` — an expected ``oversample * k``
+    rows per stratum — and ranks those. Phase 3 verifies each
+    stratum produced min(k, |stratum|) rows and re-ranks any stratum
+    the oversample missed over the full data (probability ≈
+    exp(-k(c-1)²/2c) per stratum by Chernoff; ~1e-27 at k=100, c=4).
+
+    The pre-filter is a partition-local scan (no shuffle); only the
+    survivors shuffle into the per-stratum sort.
+    """
+    counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("__n"))
+    count_rows = counts.collect()  # O(#strata)
+
+    frac = F.lit(None).cast("double")
+    for r in count_rows:
+        cond = F.lit(True)
+        for c in strata_cols:
+            cond = cond & F.col(c).eqNullSafe(F.lit(r[c]))
+        p = min(1.0, oversample * k / max(r["__n"], 1))
+        frac = F.when(cond, F.lit(p)).otherwise(frac)
+
+    survivors = df.filter(_md5_fraction(key_col) < frac)
+    picked = stratified_sample(survivors, strata_cols, key_col, k)
+
+    got = {
+        tuple(r[c] for c in strata_cols): r["__n"]
+        for r in picked.groupBy(*strata_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    short = [
+        r
+        for r in count_rows
+        if got.get(tuple(r[c] for c in strata_cols), 0) < min(k, r["__n"])
+    ]
+    if short:
+        cond = F.lit(False)
+        for r in short:
+            this = F.lit(True)
+            for c in strata_cols:
+                this = this & F.col(c).eqNullSafe(F.lit(r[c]))
+            cond = cond | this
+        redo = stratified_sample(df.filter(cond), strata_cols, key_col, k)
+        keep_cond = ~cond
+        picked = picked.filter(keep_cond).unionByName(redo)
+    return picked
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    capacity: int,
+    shards: int = 64,
+) -> DataFrame:
+    """Assign each document to a fixed-capacity training sequence
+    (concat-and-chunk packing: the token stream is chunked every
+    ``capacity`` tokens; a document belongs to the pack where it
+    starts).
+
+    The corpus is split into ``shards`` independent streams by
+    ``key % shards``; within a shard, documents are ordered by key and
+    the running token total decides pack boundaries. Adds columns:
+
+    - ``pack_shard``  — the stream this document was packed into
+    - ``pack_id``     — pack ordinal within the shard
+    - ``pack_offset`` — token offset of this document's start in its
+      shard's stream
+
+    Only a hash shuffle on the shard id is global; each shard's
+    cumulative sum is one per-shard sort, so shard count bounds the
+    sort size at any corpus scale. Deterministic: pure arithmetic on
+    the key, no engine hashes.
+    """
+    shard = F.pmod(F.col(key_col), F.lit(shards)).alias("pack_shard")
+    w = (
+        Window.partitionBy("pack_shard")
+        .orderBy(F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("pack_shard", shard)
+    cum = F.sum(F.col(token_col)).over(w)
+    start = (cum - F.col(token_col)).alias("pack_offset")
+    return out.withColumn("pack_offset", start).withColumn(
+        "pack_id", F.floor(F.col("pack_offset") / F.lit(capacity))
+    )
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str,
+    token_col,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Plan a target domain mixture without upsampling.
+
+    Given target weights per domain, find the largest total token
+    budget T such that every domain can supply its share from
+    available data (T = min over domains of available/weight), then
+    emit per domain: available tokens, sampling rate, and target
+    tokens. Domains absent from ``weights`` get weight 0 (dropped);
+    weights are renormalized over the domains present in the data.
+
+    One aggregation + a broadcast of the O(#domains) weight table.
+    ``token_col`` may be a column name or a Column expression.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    avail = df.groupBy(domain_col).agg(
+        F.sum(tok).cast("double").alias("avail_tokens")
+    )
+
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(d, float(w)) for d, w in weights.items()],
+        f"{domain_col} string, weight double",
+    )
+    joined = avail.join(F.broadcast(wdf), domain_col, "left").fillna(
+        {"weight": 0.0}
+    )
+    wsum = joined.agg(F.sum("weight").alias("__ws"))
+    joined = joined.crossJoin(F.broadcast(wsum)).withColumn(
+        "weight", F.col("weight") / F.col("__ws")
+    ).drop("__ws")
+
+    budget = joined.filter(F.col("weight") > 0).agg(
+        F.min(F.col("avail_tokens") / F.col("weight")).alias("__budget")
+    )
+    return (
+        joined.crossJoin(F.broadcast(budget))
+        .select(
+            F.col(domain_col),
+            F.col("avail_tokens"),
+            F.col("weight"),
+            F.when(
+                F.col("weight") > 0,
+                F.col("weight") * F.col("__budget") / F.col("avail_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("sample_rate"),
+            F.floor(F.col("weight") * F.col("__budget")).alias(
+                "target_tokens"
+            ),
+        )
+        .orderBy(domain_col)
+    )

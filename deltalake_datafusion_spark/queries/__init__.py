@@ -72,6 +72,7 @@ def all_query_specs() -> list[QuerySpec]:
         relational,
         timeseries,
         tpch_adapted,
+        training,
     )
 
     # Delta/DML tier first: the driver records correctness results in a
@@ -82,6 +83,7 @@ def all_query_specs() -> list[QuerySpec]:
         delta_tier.specs()
         + delta_tier2.specs()
         + pipeline.specs()
+        + training.specs()
         + timeseries.specs()
         + relational.specs()
         + tpch_adapted.specs()

@@ -1,0 +1,314 @@
+"""Training-corpus construction queries: benchmark decontamination,
+stratified sampling, sequence packing, domain-mixture planning, and
+the streaming CDC-apply (MERGE upsert) / streaming dedup sinks.
+
+These are the stages between a cleaned document corpus and a training
+run. Every query is deterministic (md5-ordered pseudo-randomness,
+dyadic mixture weights so float renormalization is exact in any
+summation order) and carries a full value-hash DuckDB oracle.
+
+Scale design is in the operator docstrings
+(``operators/sampling.py``, ``operators/decontaminate.py``,
+``streaming/pipeline.py:merge_stream_delta``): broadcast semi-joins
+for the benchmark side, shard-local packing windows, count-bounded
+stratum pre-filters, per-batch-bounded MERGE shuffles.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.queries import QuerySpec, load_tables
+from deltalake_datafusion_spark.queries.pipeline import _WORDS
+
+_WORK = "/tmp/ddl_spark_training"
+
+
+def _fresh_dir(name: str, sf_dir: str) -> str:
+    key = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_WORK, f"{name}_{key}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any normalized 8-word
+    n-gram with the benchmark set (every 97th doc stands in for an
+    eval set) are flagged; per-language contamination audit."""
+    from deltalake_datafusion_spark.operators.decontaminate import (
+        flag_contaminated,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = flag_contaminated(docs, bench, "text", "doc_id", n=8)
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_contaminated").cast("long")).alias(
+                "n_contaminated"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("is_contaminated"), F.col("doc_id"))
+                ),
+                F.lit(0),
+            ).alias("contam_id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DECONTAMINATE_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 8 THEN
+      list_distinct([array_to_string(w[i:i+7], ' ')
+                     for i in range(1, len(w) - 7 + 1)])
+    ELSE [array_to_string(w, ' ')] END AS grams
+  FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+),
+bgrams AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 97 = 0
+),
+hits AS (
+  SELECT DISTINCT g.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM sh) g
+  JOIN (SELECT gram FROM bgrams WHERE len(gram) > 0) b USING (gram)
+)
+SELECT d.lang, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated,
+  CAST(COALESCE(SUM(CASE WHEN h.doc_id IS NOT NULL THEN d.doc_id END), 0)
+    AS BIGINT) AS contam_id_sum
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 20 docs per language,
+    chosen by md5 order of doc_id, via the scalable two-phase path
+    (count-bounded md5-fraction pre-filter + verified exact rank)."""
+    from deltalake_datafusion_spark.operators.sampling import (
+        stratified_sample_scalable,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    picked = stratified_sample_scalable(docs, ["lang"], "doc_id", k=20)
+    return (
+        picked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("sample_id_sum"),
+            F.sum("n_chars").alias("sample_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STRATIFIED_SQL = """
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  ) AS rnk FROM documents
+)
+SELECT lang, COUNT(*) AS n_sampled,
+  CAST(SUM(doc_id) AS BIGINT) AS sample_id_sum,
+  CAST(SUM(n_chars) AS BIGINT) AS sample_chars
+FROM ranked WHERE rnk <= 20 GROUP BY lang ORDER BY lang
+"""
+
+
+def pipe_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: whitespace token counts,
+    8 independent shard streams, 2048-token capacity; per-shard pack
+    audit (doc count, pack count, token total, last offset)."""
+    from deltalake_datafusion_spark.operators.sampling import pack_sequences
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("toks")
+    )
+    packed = pack_sequences(toks, "doc_id", "toks", capacity=2048, shards=8)
+    return (
+        packed.groupBy("pack_shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.sum("toks").alias("total_tokens"),
+            F.max("pack_offset").alias("max_offset"),
+        )
+        .orderBy("pack_shard")
+    )
+
+
+_SEQ_PACKING_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS pack_shard,
+         len(string_split(text, ' ')) AS toks
+  FROM documents
+),
+c AS (
+  SELECT *, SUM(toks) OVER (
+    PARTITION BY pack_shard ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) - toks AS pack_offset FROM d
+)
+SELECT CAST(pack_shard AS BIGINT) AS pack_shard, COUNT(*) AS n_docs,
+  COUNT(DISTINCT CAST(FLOOR(pack_offset / 2048) AS BIGINT)) AS n_packs,
+  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+  CAST(MAX(pack_offset) AS BIGINT) AS max_offset
+FROM c GROUP BY pack_shard ORDER BY pack_shard
+"""
+
+# Dyadic weights: every partial sum is exact in IEEE double, so the
+# renormalization is order-insensitive and the oracle hashes match.
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
+
+
+def pipe_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture plan over `source`: largest no-upsampling token
+    budget for the target weights, per-domain sampling rate and
+    target tokens (n_chars as the token proxy)."""
+    from deltalake_datafusion_spark.operators.sampling import domain_mixture
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return domain_mixture(docs, "source", "n_chars", _MIX_WEIGHTS)
+
+
+_MIX_CASE = (
+    "CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25 "
+    "WHEN 'src2' THEN 0.125 WHEN 'src3' THEN 0.125 ELSE 0.0 END"
+)
+
+_DOMAIN_MIX_SQL = f"""
+WITH avail AS (
+  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS avail_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, avail_tokens, {_MIX_CASE} AS weight FROM avail
+),
+wn AS (
+  SELECT source, avail_tokens,
+         weight / (SELECT SUM(weight) FROM w) AS weight
+  FROM w
+),
+b AS (SELECT MIN(avail_tokens / weight) AS budget FROM wn WHERE weight > 0)
+SELECT source, avail_tokens, weight,
+  CASE WHEN weight > 0
+       THEN weight * (SELECT budget FROM b) / avail_tokens
+       ELSE 0.0 END AS sample_rate,
+  CAST(FLOOR(weight * (SELECT budget FROM b)) AS BIGINT) AS target_tokens
+FROM wn ORDER BY source
+"""
+
+
+def _staged_event_files(spark: SparkSession, sf_dir: str, nfiles: int = 4):
+    """Split the events table into ``nfiles`` parquet files (by
+    event_id mod) so a file-source stream yields multiple micro-
+    batches with maxFilesPerTrigger=1. Returns (dir, schema)."""
+    t = load_tables(spark, sf_dir, "events")["events"]
+    d = _fresh_dir("events_split", sf_dir)
+    for i in range(nfiles):
+        t.filter(F.pmod(F.col("event_id"), F.lit(nfiles)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+    return d, t.schema
+
+
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: events arrive over 4 micro-batches and are
+    MERGE-upserted into a Delta table keyed on user_id (WHEN MATCHED
+    AND newer THEN UPDATE, WHEN NOT MATCHED INSERT); the final table
+    is the latest event per user regardless of batch boundaries."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.streaming.pipeline import (
+        merge_stream_delta,
+    )
+
+    src_dir, schema = _staged_event_files(spark, sf_dir)
+    table = os.path.join(_fresh_dir("merge_upsert", sf_dir), "t")
+    ckpt = os.path.join(_fresh_dir("merge_upsert_ckpt", sf_dir), "c")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = merge_stream_delta(
+        stream, table, ckpt, ["user_id"], "ts", "event_id"
+    )
+    q.awaitTermination(600)
+    return (
+        read_delta(spark, table)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAM_MERGE_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn FROM events
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates state over (user_id,
+    event_type) across 4 micro-batches, then distinct-user counts per
+    event type — the streaming analogue of exact dedup."""
+    from deltalake_datafusion_spark.streaming.pipeline import run_to_memory
+
+    src_dir, schema = _staged_event_files(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    out = run_to_memory(stream, "q_streaming_dedup", "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("pipe_decontaminate", pipe_decontaminate, _DECONTAMINATE_SQL),
+        QuerySpec(
+            "pipe_stratified_sample", pipe_stratified_sample, _STRATIFIED_SQL
+        ),
+        QuerySpec("pipe_seq_packing", pipe_seq_packing, _SEQ_PACKING_SQL),
+        QuerySpec("pipe_domain_mixture", pipe_domain_mixture, _DOMAIN_MIX_SQL),
+        QuerySpec(
+            "streaming_merge_upsert", streaming_merge_upsert, _STREAM_MERGE_SQL
+        ),
+        QuerySpec(
+            "streaming_dedup_counts", streaming_dedup_counts, _STREAM_DEDUP_SQL
+        ),
+    ]

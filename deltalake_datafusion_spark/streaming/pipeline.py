@@ -204,6 +204,84 @@ def write_stream_delta(
     return writer.start()
 
 
+def merge_stream_delta(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_col: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming CDC-apply sink: foreachBatch → MERGE INTO upsert.
+
+    The classic streaming-upsert pattern (Delta docs "Upsert from
+    streaming queries using foreachBatch"): each micro-batch is first
+    reduced to its latest row per key (max ``order_col``, ties broken
+    by ``tiebreak_col``), then MERGEd into the target — WHEN MATCHED
+    AND the incoming row is newer THEN UPDATE, WHEN NOT MATCHED
+    INSERT. The matched-condition makes the sink idempotent and
+    order-insensitive across batches: replays and late batches can
+    never regress a key to an older row, so the final table is the
+    argmax-per-key of the whole stream regardless of how the source
+    split it into batches.
+
+    Scale: the per-batch reduction is one shuffle of the batch (not
+    the table); MERGE broadcasts the reduced batch against the target
+    when small and rewrites only touched files.
+    """
+    from pyspark.sql import Window
+
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    tb = tiebreak_col or order_col
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    newer = (
+        f"s.{order_col} > t.{order_col} OR "
+        f"(s.{order_col} = t.{order_col} AND s.{tb} > t.{tb})"
+    )
+    data_cols = None  # resolved per batch from the stream schema
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc(order_col), F.desc(tb)
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        spark = batch_df.sparkSession
+        import os
+
+        if not os.path.exists(os.path.join(table_path, "_delta_log")):
+            write_delta(spark, latest, table_path)
+            return
+        nonlocal data_cols
+        if data_cols is None:
+            data_cols = [c for c in batch_df.columns if c not in key_cols]
+        merge_delta(
+            spark,
+            table_path,
+            latest,
+            on=on,
+            when_matched_update={c: f"s.{c}" for c in data_cols},
+            when_matched_condition=newer,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -1,0 +1,332 @@
+"""Unit tests for the training-corpus operators (sampling, packing,
+mixture, decontamination) and the conditional-MERGE / streaming-upsert
+machinery behind them."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ #
+# Stratified sampling                                                 #
+# ------------------------------------------------------------------ #
+
+
+def _corpus(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), F.lit(3))).cast("string").alias("lang"),
+        (F.col("id") * 7 % 100).alias("n_chars"),
+    )
+
+
+def test_stratified_sample_exact_k_per_stratum(spark):
+    from deltalake_datafusion_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    out = stratified_sample(_corpus(spark), ["lang"], "doc_id", 10)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"0": 10, "1": 10, "2": 10}
+
+
+def test_stratified_sample_small_stratum_returns_all(spark):
+    from deltalake_datafusion_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    out = stratified_sample(_corpus(spark, 5), ["lang"], "doc_id", 10)
+    assert out.count() == 5  # strata smaller than k yield every row
+
+
+def test_stratified_scalable_equals_exact(spark):
+    from deltalake_datafusion_spark.operators.sampling import (
+        stratified_sample,
+        stratified_sample_scalable,
+    )
+
+    c = _corpus(spark)
+    exact = {r["doc_id"] for r in
+             stratified_sample(c, ["lang"], "doc_id", 15).collect()}
+    fast = {r["doc_id"] for r in
+            stratified_sample_scalable(c, ["lang"], "doc_id", 15).collect()}
+    assert fast == exact
+
+
+def test_stratified_scalable_survives_underfilter(spark):
+    """A pathologically small oversample forces the verify/redo path;
+    the result must still equal the exact sample."""
+    from deltalake_datafusion_spark.operators.sampling import (
+        stratified_sample,
+        stratified_sample_scalable,
+    )
+
+    c = _corpus(spark)
+    exact = {r["doc_id"] for r in
+             stratified_sample(c, ["lang"], "doc_id", 15).collect()}
+    fast = {
+        r["doc_id"]
+        for r in stratified_sample_scalable(
+            c, ["lang"], "doc_id", 15, oversample=0.01
+        ).collect()
+    }
+    assert fast == exact
+
+
+# ------------------------------------------------------------------ #
+# Sequence packing                                                    #
+# ------------------------------------------------------------------ #
+
+
+def test_pack_sequences_offsets_and_boundaries(spark):
+    from deltalake_datafusion_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 60), (2, 60), (4, 60)], "doc_id long, toks long"
+    )  # one shard (all even ids, shards=2 → shard 0)
+    out = {
+        r["doc_id"]: (r["pack_shard"], r["pack_offset"], r["pack_id"])
+        for r in pack_sequences(df, "doc_id", "toks", 100, shards=2).collect()
+    }
+    # stream: doc0 @0 → pack0; doc2 @60 → pack0; doc4 @120 → pack1
+    assert out == {0: (0, 0, 0), 2: (0, 60, 0), 4: (0, 120, 1)}
+
+
+def test_pack_sequences_shards_independent(spark):
+    from deltalake_datafusion_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(40)], "doc_id long, toks long"
+    )
+    out = pack_sequences(df, "doc_id", "toks", 100, shards=4)
+    # each shard holds 10 docs × 10 tokens = 100 tokens → exactly 1 pack
+    per = (
+        out.groupBy("pack_shard")
+        .agg(F.countDistinct("pack_id").alias("n"), F.max("pack_offset").alias("m"))
+        .collect()
+    )
+    assert len(per) == 4
+    assert all(r["n"] == 1 and r["m"] == 90 for r in per)
+
+
+# ------------------------------------------------------------------ #
+# Domain mixture                                                      #
+# ------------------------------------------------------------------ #
+
+
+def test_domain_mixture_budget_and_rates(spark):
+    from deltalake_datafusion_spark.operators.sampling import domain_mixture
+
+    df = spark.createDataFrame(
+        [("a", 1000), ("b", 1000), ("c", 400)],
+        "source string, n_chars long",
+    )
+    out = {
+        r["source"]: r
+        for r in domain_mixture(
+            df, "source", "n_chars", {"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    # budget = min(1000/0.5, 1000/0.5) = 2000; each target 1000, rate 1
+    assert out["a"]["target_tokens"] == 1000
+    assert out["a"]["sample_rate"] == pytest.approx(1.0)
+    assert out["c"]["sample_rate"] == 0.0 and out["c"]["target_tokens"] == 0
+
+
+def test_domain_mixture_scarce_domain_caps_budget(spark):
+    from deltalake_datafusion_spark.operators.sampling import domain_mixture
+
+    df = spark.createDataFrame(
+        [("a", 1000), ("b", 100)], "source string, n_chars long"
+    )
+    out = {
+        r["source"]: r
+        for r in domain_mixture(
+            df, "source", "n_chars", {"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    # b is scarce: budget = 100/0.5 = 200 → a samples 100/1000 = 10%
+    assert out["a"]["sample_rate"] == pytest.approx(0.1)
+    assert out["b"]["sample_rate"] == pytest.approx(1.0)
+
+
+# ------------------------------------------------------------------ #
+# Decontamination                                                     #
+# ------------------------------------------------------------------ #
+
+
+def test_flag_contaminated_8gram(spark):
+    from deltalake_datafusion_spark.operators.decontaminate import (
+        flag_contaminated,
+    )
+
+    gram = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix words {gram} suffix words"),
+            (2, "totally different text with no overlap at all here"),
+            (3, f"{gram} again"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, f"intro {gram} outro")],
+                                  "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in flag_contaminated(docs, bench, "text", "doc_id").collect()
+    }
+    assert out == {1: True, 2: False, 3: True}
+
+
+def test_flag_contaminated_short_doc_needs_exact_match(spark):
+    from deltalake_datafusion_spark.operators.decontaminate import (
+        flag_contaminated,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short text"), (2, "other short")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "short text")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in flag_contaminated(docs, bench, "text", "doc_id").collect()
+    }
+    assert out == {1: True, 2: False}
+
+
+# ------------------------------------------------------------------ #
+# Conditional MERGE (WHEN MATCHED AND <cond>)                         #
+# ------------------------------------------------------------------ #
+
+
+def _tmp(tmp_path, name):
+    return os.path.join(str(tmp_path), name)
+
+
+def test_merge_matched_condition_gates_update(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = _tmp(tmp_path, "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        path,
+    )
+    src = spark.createDataFrame([(1, 5), (2, 99), (3, 7)], "k long, v long")
+    merge_delta(
+        spark, path, src, on="t.k = s.k",
+        when_matched_update={"v": "s.v"},
+        when_matched_condition="s.v > t.v",
+    )
+    rows = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+    # k=1: 5 < 10 → unchanged; k=2: 99 > 20 → updated; k=3 inserted
+    assert rows == {1: 10, 2: 99, 3: 7}
+
+
+def test_merge_matched_condition_null_is_false(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = _tmp(tmp_path, "t")
+    write_delta(
+        spark, spark.createDataFrame([(1, 10)], "k long, v long"), path
+    )
+    src = spark.createDataFrame(
+        [(1, None)], "k long, v long"
+    )  # s.v > t.v is NULL → clause must not fire
+    merge_delta(
+        spark, path, src, on="t.k = s.k",
+        when_matched_update={"v": "s.v"},
+        when_matched_condition="s.v > t.v",
+    )
+    assert {r["v"] for r in read_delta(spark, path).collect()} == {10}
+
+
+def test_merge_matched_condition_delete(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = _tmp(tmp_path, "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        path,
+    )
+    src = spark.createDataFrame([(1, 0), (2, 0)], "k long, v long")
+    merge_delta(
+        spark, path, src, on="t.k = s.k",
+        when_matched_delete=True,
+        when_matched_condition="t.v >= 20",
+        when_not_matched_insert=False,
+    )
+    assert {r["k"] for r in read_delta(spark, path).collect()} == {1}
+
+
+def test_merge_sql_matched_condition(spark, tmp_path):
+    from deltalake_datafusion_spark.context import LakehouseContext
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = _tmp(tmp_path, "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        path,
+    )
+    spark.createDataFrame(
+        [(1, 5), (2, 99)], "k long, v long"
+    ).createOrReplaceTempView("cond_src")
+    ctx = LakehouseContext(spark)
+    ctx.sql(
+        f"MERGE INTO '{path}' AS t USING cond_src AS s ON t.k = s.k "
+        "WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v"
+    )
+    rows = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+    assert rows == {1: 10, 2: 99}
+
+
+# ------------------------------------------------------------------ #
+# Streaming MERGE upsert sink                                         #
+# ------------------------------------------------------------------ #
+
+
+def test_merge_stream_delta_latest_wins(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.streaming.pipeline import (
+        merge_stream_delta,
+    )
+
+    src = _tmp(tmp_path, "src")
+    os.makedirs(src)
+    # two files → two micro-batches; later batch carries OLDER rows for
+    # key 1 (out-of-order arrival) which must NOT win.
+    spark.createDataFrame(
+        [(1, 100, 10.0), (2, 100, 20.0)], "k long, ts long, v double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(1, 50, 99.0), (3, 60, 30.0)], "k long, ts long, v double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    table = _tmp(tmp_path, "table")
+    ckpt = _tmp(tmp_path, "ckpt")
+    stream = (
+        spark.readStream.schema("k long, ts long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = merge_stream_delta(stream, table, ckpt, ["k"], "ts", "ts")
+    q.awaitTermination(120)
+    rows = {r["k"]: (r["ts"], r["v"]) for r in read_delta(spark, table).collect()}
+    assert rows == {1: (100, 10.0), 2: (100, 20.0), 3: (60, 30.0)}
