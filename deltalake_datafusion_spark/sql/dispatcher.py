@@ -19,11 +19,18 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
         (full clause grammar + Unity Catalog REST execution:
         ``sql/catalog_ddl.py``)
     DROP CATALOG [IF EXISTS] name [CASCADE]
+    CREATE SCHEMA [IF NOT EXISTS] cat.sch [MANAGED LOCATION 'url']
+        [COMMENT 'c'] [OPTIONS (...)]   (+ DROP SCHEMA … [CASCADE])
+    CREATE SHARE / CONNECTION name TYPE t / [EXTERNAL] LOCATION name
+        URL 'url' [WITH (STORAGE CREDENTIAL c)] / FOREIGN CATALOG name
+        USING CONNECTION c   (+ matching DROP / SHOW forms; the
+        reference parses these but todo!()s them — parser.rs:342-365;
+        full grammar + UC REST execution: ``sql/securable_ddl.py``)
     DELETE FROM <name | 'url'> WHERE <predicate>
     UPDATE <target> SET col = expr, ... WHERE <predicate>
     MERGE [WITH SCHEMA EVOLUTION] INTO <target> [AS t]
         USING <view> [AS s] ON <cond>
-        [WHEN MATCHED THEN UPDATE SET ... | DELETE]
+        [WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE]
         [WHEN NOT MATCHED THEN INSERT *]
         [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]
     OPTIMIZE <target> [ZORDER BY (cols)]
@@ -70,7 +77,8 @@ _MERGE_RE = re.compile(
     r"(?:\s+AS\s+t)?"
     r"\s+USING\s+(?P<source>\w+)(?:\s+AS\s+s)?"
     r"\s+ON\s+(?P<cond>.+?)"
-    r"(?:\s+WHEN\s+MATCHED\s+THEN\s+(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<mdel>DELETE)))?"
+    r"(?:\s+WHEN\s+MATCHED\s+(?:AND\s+(?P<mcond>.+?)\s+)?"
+    r"THEN\s+(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<mdel>DELETE)))?"
     r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*(?P<ins>))?"
     r"(?:\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+"
     r"(?:AND\s+(?P<bscond>.+?)\s+)?THEN\s+(?P<bsdel>DELETE))?"
@@ -182,6 +190,23 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             full=bool(m.group("full")),
         )
 
+    if re.match(
+        r"^\s*(CREATE\s+(SCHEMA|SHARE|CONNECTION|(EXTERNAL\s+)?LOCATION"
+        r"|FOREIGN\s+CATALOG)|DROP\s+(SCHEMA|SHARE|CONNECTION"
+        r"|(EXTERNAL\s+)?LOCATION)|SHOW\s+(SHARES|CONNECTIONS"
+        r"|EXTERNAL\s+LOCATIONS|SCHEMAS\s+IN))\b",
+        statement,
+        re.IGNORECASE,
+    ):
+        from deltalake_datafusion_spark.sql.securable_ddl import (
+            try_securable_ddl,
+        )
+
+        out = try_securable_ddl(spark, statement)
+        if out is not None:
+            return out
+        # single-part SCHEMA forms fall through to Spark SQL below
+
     if re.match(r"^\s*CREATE\s+CATALOG\b", statement, re.IGNORECASE):
         from deltalake_datafusion_spark.sql.catalog_ddl import (
             execute_create_catalog,
@@ -247,6 +272,9 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             on=m.group("cond").strip(),
             when_matched_update=sets,
             when_matched_delete=bool(m.group("mdel")),
+            when_matched_condition=(
+                m.group("mcond").strip() if m.group("mcond") else None
+            ),
             when_not_matched_insert=m.group("ins") is not None,
             when_not_matched_by_source_delete=bool(m.group("bsdel")),
             when_not_matched_by_source_condition=(

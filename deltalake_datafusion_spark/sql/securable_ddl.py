@@ -1,0 +1,571 @@
+"""CREATE/DROP/SHOW for the non-catalog Unity securables: SCHEMA,
+SHARE, CONNECTION, EXTERNAL LOCATION, FOREIGN CATALOG.
+
+The reference's parser dispatches all five CREATE forms but leaves
+them ``todo!()`` (``crates/datafusion/src/sql/parser.rs:342-365``);
+this module implements them for real, following the published Unity
+Catalog REST API (``/schemas``, ``/shares``, ``/connections``,
+``/external-locations``, and ``/catalogs`` with a connection for
+foreign catalogs) and the Databricks SQL grammar for each statement:
+
+    CREATE SCHEMA [IF NOT EXISTS] <catalog>.<schema>
+        [MANAGED LOCATION '<url>'] [COMMENT '<text>'] [OPTIONS (...)]
+    DROP SCHEMA [IF EXISTS] <catalog>.<schema> [CASCADE]
+    CREATE SHARE [IF NOT EXISTS] <share> [COMMENT '<text>']
+    DROP SHARE [IF EXISTS] <share>
+    CREATE CONNECTION [IF NOT EXISTS] <name> TYPE <type>
+        [OPTIONS (...)] [COMMENT '<text>']
+    DROP CONNECTION [IF EXISTS] <name>
+    CREATE [EXTERNAL] LOCATION [IF NOT EXISTS] <name> URL '<url>'
+        [WITH (STORAGE CREDENTIAL <credential>)] [COMMENT '<text>']
+    DROP [EXTERNAL] LOCATION [IF EXISTS] <name> [FORCE]
+    CREATE FOREIGN CATALOG [IF NOT EXISTS] <name>
+        USING CONNECTION <connection> [COMMENT '<text>'] [OPTIONS (...)]
+    SHOW SCHEMAS IN <catalog> | SHOW SHARES | SHOW CONNECTIONS |
+        SHOW EXTERNAL LOCATIONS
+
+Execution follows the CREATE CATALOG convention
+(``sql/catalog_ddl.py``): with ``lakehouse.unity.uri`` configured the
+statement runs against the UC REST server and returns the server
+object; without a server, objects live in an in-process metadata
+registry (these securables have no Spark-session analog — the
+reference likewise has no execution path at all for them). Result
+rows use the reference's ``CREATE_UC_RETURN_SCHEMA`` /
+``DROP_UC_RETURN_SCHEMA`` shapes (``sql/unity/mod.rs:24-40``).
+
+Clause parsing reuses the CREATE CATALOG tokenizer so quoting,
+``ensure_not_set`` duplicate-clause errors, and OPTIONS value forms
+behave identically across the DDL family.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame
+
+from deltalake_datafusion_spark.sql.catalog_ddl import (
+    CREATE_RETURN_SCHEMA,
+    DROP_RETURN_SCHEMA,
+    CatalogDdlError,
+    _ensure_not_set,
+    _Tokens,
+    _unity_client,
+)
+
+# In-process metadata plane used when no UC server is configured:
+# {securable_type: {name: info}}.
+_LOCAL: dict[str, dict[str, dict]] = {}
+
+
+def _local(kind: str) -> dict[str, dict]:
+    return _LOCAL.setdefault(kind, {})
+
+
+def _result(spark, name: str, kind: str, info: dict) -> DataFrame:
+    return spark.createDataFrame(
+        [(name, kind, json.dumps(info, sort_keys=True))],
+        CREATE_RETURN_SCHEMA,
+    )
+
+
+def _drop_result(spark, name: str, kind: str) -> DataFrame:
+    return spark.createDataFrame(
+        [(name, kind, "success")], DROP_RETURN_SCHEMA
+    )
+
+
+def _parse_options(toks: _Tokens) -> dict[str, str]:
+    if toks.next() != ("punct", "("):
+        raise CatalogDdlError("expected ( after OPTIONS")
+    options: dict[str, str] = {}
+    while True:
+        t = toks.peek()
+        if t == ("punct", ")"):
+            toks.next()
+            break
+        k = toks.next()
+        if k is None or k[0] not in ("ident", "str"):
+            raise CatalogDdlError("expected option key")
+        if toks.peek() == ("punct", "="):
+            toks.next()
+        v = toks.next()
+        if v is None or v[0] not in ("str", "num", "ident"):
+            raise CatalogDdlError("expected option value")
+        options[k[1]] = v[1]
+        if toks.peek() == ("punct", ","):
+            toks.next()
+    return options
+
+
+def _require_url(loc: str, what: str) -> str:
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", loc):
+        raise CatalogDdlError(f"Expected {what} to be a valid URL")
+    return loc
+
+
+def _local_create(kind: str, name: str, info: dict, if_not_exists: bool):
+    reg = _local(kind)
+    if name in reg:
+        if if_not_exists:
+            return reg[name]
+        raise CatalogDdlError(f"{kind} '{name}' already exists")
+    reg[name] = info
+    return info
+
+
+def _local_drop(kind: str, name: str, if_exists: bool) -> None:
+    reg = _local(kind)
+    if name not in reg and not if_exists:
+        raise CatalogDdlError(f"{kind} '{name}' does not exist")
+    reg.pop(name, None)
+
+
+# ------------------------------------------------------------------ #
+# CREATE SCHEMA                                                       #
+# ------------------------------------------------------------------ #
+
+
+def try_create_schema(spark, statement: str) -> DataFrame | None:
+    toks = _Tokens(statement)
+    if not toks.try_keywords("CREATE", "SCHEMA"):
+        return None
+    if_not_exists = toks.try_keywords("IF", "NOT", "EXISTS")
+    name = toks.object_name()
+    if len(name) == 1:
+        return None  # single-part schemas belong to the Spark session
+    if len(name) != 2:
+        raise CatalogDdlError(
+            "Expected schema name to be <catalog>.<schema>"
+        )
+    catalog, schema = name
+    managed_location = comment = None
+    options: dict[str, str] = {}
+    has_options = False
+    while not toks.at_end():
+        if toks.try_keywords("MANAGED"):
+            toks.expect_keyword("LOCATION")
+            _ensure_not_set(managed_location, "MANAGED LOCATION")
+            managed_location = _require_url(
+                toks.expect_string("MANAGED LOCATION"), "managed location"
+            )
+        elif toks.try_keywords("COMMENT"):
+            _ensure_not_set(comment, "COMMENT")
+            comment = toks.expect_string("COMMENT")
+        elif toks.try_keywords("OPTIONS"):
+            _ensure_not_set(has_options, "OPTIONS")
+            has_options = True
+            options = _parse_options(toks)
+        else:
+            raise CatalogDdlError(
+                f"expected end of statement or ;, found {toks.peek()}"
+            )
+
+    full = f"{catalog}.{schema}"
+    client = _unity_client(spark)
+    if client is not None:
+        from deltalake_datafusion_spark.unity import UnityCatalogError
+
+        try:
+            info = client.create_schema(
+                schema,
+                catalog,
+                comment=comment,
+                storage_root=managed_location,
+                properties=options or None,
+            )
+        except UnityCatalogError as e:
+            if if_not_exists and e.status == 409:
+                info = client.get_schema(full)
+            else:
+                raise
+    else:
+        info = {"name": schema, "catalog_name": catalog, "full_name": full}
+        if comment is not None:
+            info["comment"] = comment
+        if managed_location:
+            info["storage_root"] = managed_location
+        if options:
+            info["properties"] = options
+        info = _local_create("Schema", full, info, if_not_exists)
+    return _result(spark, full, "Schema", info)
+
+
+_DROP_SCHEMA_RE = re.compile(
+    r"^\s*DROP\s+SCHEMA\s+(?P<ie>IF\s+EXISTS\s+)?"
+    r"(?P<cat>[\w$]+|`[^`]+`)\.(?P<sch>[\w$]+|`[^`]+`)"
+    r"(?P<cascade>\s+CASCADE)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def try_drop_schema(spark, statement: str) -> DataFrame | None:
+    m = _DROP_SCHEMA_RE.match(statement)
+    if not m:
+        return None  # single-part DROP SCHEMA falls through to Spark
+    catalog = m.group("cat").strip("`")
+    schema = m.group("sch").strip("`")
+    full = f"{catalog}.{schema}"
+    if_exists = bool(m.group("ie"))
+    client = _unity_client(spark)
+    if client is not None:
+        from deltalake_datafusion_spark.unity import UnityCatalogError
+
+        try:
+            client.delete_schema(full, force=bool(m.group("cascade")))
+        except UnityCatalogError as e:
+            if not (if_exists and e.status == 404):
+                raise
+    else:
+        _local_drop("Schema", full, if_exists)
+    return _drop_result(spark, full, "Schema")
+
+
+# ------------------------------------------------------------------ #
+# CREATE SHARE                                                        #
+# ------------------------------------------------------------------ #
+
+
+def try_create_share(spark, statement: str) -> DataFrame | None:
+    toks = _Tokens(statement)
+    if not toks.try_keywords("CREATE", "SHARE"):
+        return None
+    if_not_exists = toks.try_keywords("IF", "NOT", "EXISTS")
+    name = toks.object_name()
+    if len(name) != 1:
+        raise CatalogDdlError(
+            "Expected share name to be a single-part identifier (<share>)"
+        )
+    comment = None
+    while not toks.at_end():
+        if toks.try_keywords("COMMENT"):
+            _ensure_not_set(comment, "COMMENT")
+            comment = toks.expect_string("COMMENT")
+        else:
+            raise CatalogDdlError(
+                f"expected end of statement or ;, found {toks.peek()}"
+            )
+    client = _unity_client(spark)
+    if client is not None:
+        from deltalake_datafusion_spark.unity import UnityCatalogError
+
+        try:
+            info = client.create_share(name[0], comment=comment)
+        except UnityCatalogError as e:
+            if if_not_exists and e.status == 409:
+                info = client.get_share(name[0])
+            else:
+                raise
+    else:
+        info = {"name": name[0]}
+        if comment is not None:
+            info["comment"] = comment
+        info = _local_create("Share", name[0], info, if_not_exists)
+    return _result(spark, name[0], "Share", info)
+
+
+_DROP_SIMPLE_RE = {
+    "Share": re.compile(
+        r"^\s*DROP\s+SHARE\s+(?P<ie>IF\s+EXISTS\s+)?"
+        r"(?P<name>[\w$]+|`[^`]+`)\s*;?\s*$",
+        re.IGNORECASE,
+    ),
+    "Connection": re.compile(
+        r"^\s*DROP\s+CONNECTION\s+(?P<ie>IF\s+EXISTS\s+)?"
+        r"(?P<name>[\w$]+|`[^`]+`)\s*;?\s*$",
+        re.IGNORECASE,
+    ),
+    "ExternalLocation": re.compile(
+        r"^\s*DROP\s+(?:EXTERNAL\s+)?LOCATION\s+(?P<ie>IF\s+EXISTS\s+)?"
+        r"(?P<name>[\w$]+|`[^`]+`)(?P<force>\s+FORCE)?\s*;?\s*$",
+        re.IGNORECASE,
+    ),
+}
+
+_UC_DELETE = {
+    "Share": lambda c, n, force: c.delete_share(n),
+    "Connection": lambda c, n, force: c.delete_connection(n),
+    "ExternalLocation": lambda c, n, force: c.delete_external_location(
+        n, force=force
+    ),
+}
+
+
+def try_drop_securable(spark, statement: str) -> DataFrame | None:
+    for kind, rx in _DROP_SIMPLE_RE.items():
+        m = rx.match(statement)
+        if not m:
+            continue
+        name = m.group("name").strip("`")
+        if_exists = bool(m.group("ie"))
+        force = bool(m.groupdict().get("force"))
+        client = _unity_client(spark)
+        if client is not None:
+            from deltalake_datafusion_spark.unity import UnityCatalogError
+
+            try:
+                _UC_DELETE[kind](client, name, force)
+            except UnityCatalogError as e:
+                if not (if_exists and e.status == 404):
+                    raise
+        else:
+            _local_drop(kind, name, if_exists)
+        return _drop_result(spark, name, kind)
+    return None
+
+
+# ------------------------------------------------------------------ #
+# CREATE CONNECTION                                                   #
+# ------------------------------------------------------------------ #
+
+
+def try_create_connection(spark, statement: str) -> DataFrame | None:
+    toks = _Tokens(statement)
+    if not toks.try_keywords("CREATE", "CONNECTION"):
+        return None
+    if_not_exists = toks.try_keywords("IF", "NOT", "EXISTS")
+    name = toks.object_name()
+    if len(name) != 1:
+        raise CatalogDdlError(
+            "Expected connection name to be a single-part identifier"
+        )
+    toks.expect_keyword("TYPE")
+    t = toks.next()
+    if t is None or t[0] not in ("ident", "str"):
+        raise CatalogDdlError("expected connection type after TYPE")
+    conn_type = t[1]
+    comment = None
+    options: dict[str, str] = {}
+    has_options = False
+    while not toks.at_end():
+        if toks.try_keywords("OPTIONS"):
+            _ensure_not_set(has_options, "OPTIONS")
+            has_options = True
+            options = _parse_options(toks)
+        elif toks.try_keywords("COMMENT"):
+            _ensure_not_set(comment, "COMMENT")
+            comment = toks.expect_string("COMMENT")
+        else:
+            raise CatalogDdlError(
+                f"expected end of statement or ;, found {toks.peek()}"
+            )
+    client = _unity_client(spark)
+    if client is not None:
+        from deltalake_datafusion_spark.unity import UnityCatalogError
+
+        try:
+            info = client.create_connection(
+                name[0], conn_type, options=options or None, comment=comment
+            )
+        except UnityCatalogError as e:
+            if if_not_exists and e.status == 409:
+                info = client.get_connection(name[0])
+            else:
+                raise
+    else:
+        info = {"name": name[0], "connection_type": conn_type}
+        if options:
+            info["options"] = options
+        if comment is not None:
+            info["comment"] = comment
+        info = _local_create("Connection", name[0], info, if_not_exists)
+    return _result(spark, name[0], "Connection", info)
+
+
+# ------------------------------------------------------------------ #
+# CREATE [EXTERNAL] LOCATION                                          #
+# ------------------------------------------------------------------ #
+
+
+def try_create_location(spark, statement: str) -> DataFrame | None:
+    toks = _Tokens(statement)
+    if not (
+        toks.try_keywords("CREATE", "EXTERNAL", "LOCATION")
+        or toks.try_keywords("CREATE", "LOCATION")
+    ):
+        return None
+    if_not_exists = toks.try_keywords("IF", "NOT", "EXISTS")
+    name = toks.object_name()
+    if len(name) != 1:
+        raise CatalogDdlError(
+            "Expected location name to be a single-part identifier"
+        )
+    toks.expect_keyword("URL")
+    url = _require_url(toks.expect_string("URL"), "location URL")
+    credential = comment = None
+    while not toks.at_end():
+        if toks.try_keywords("WITH"):
+            if toks.next() != ("punct", "("):
+                raise CatalogDdlError("expected ( after WITH")
+            if not (
+                toks.try_keywords("STORAGE", "CREDENTIAL")
+                or toks.try_keywords("CREDENTIAL")
+            ):
+                raise CatalogDdlError("expected STORAGE CREDENTIAL in WITH (…)")
+            _ensure_not_set(credential, "STORAGE CREDENTIAL")
+            cred = toks.object_name()
+            credential = ".".join(cred)
+            if toks.next() != ("punct", ")"):
+                raise CatalogDdlError("expected ) closing WITH (…)")
+        elif toks.try_keywords("COMMENT"):
+            _ensure_not_set(comment, "COMMENT")
+            comment = toks.expect_string("COMMENT")
+        else:
+            raise CatalogDdlError(
+                f"expected end of statement or ;, found {toks.peek()}"
+            )
+    client = _unity_client(spark)
+    if client is not None:
+        from deltalake_datafusion_spark.unity import UnityCatalogError
+
+        try:
+            info = client.create_external_location(
+                name[0], url, credential_name=credential, comment=comment
+            )
+        except UnityCatalogError as e:
+            if if_not_exists and e.status == 409:
+                info = client.get_external_location(name[0])
+            else:
+                raise
+    else:
+        info = {"name": name[0], "url": url}
+        if credential:
+            info["credential_name"] = credential
+        if comment is not None:
+            info["comment"] = comment
+        info = _local_create("ExternalLocation", name[0], info, if_not_exists)
+    return _result(spark, name[0], "ExternalLocation", info)
+
+
+# ------------------------------------------------------------------ #
+# CREATE FOREIGN CATALOG                                              #
+# ------------------------------------------------------------------ #
+
+
+def try_create_foreign_catalog(spark, statement: str) -> DataFrame | None:
+    toks = _Tokens(statement)
+    if not toks.try_keywords("CREATE", "FOREIGN", "CATALOG"):
+        return None
+    if_not_exists = toks.try_keywords("IF", "NOT", "EXISTS")
+    name = toks.object_name()
+    if len(name) != 1:
+        raise CatalogDdlError(
+            "Expected catalog name to be a single-part identifier (<catalog>)"
+        )
+    toks.expect_keyword("USING")
+    toks.expect_keyword("CONNECTION")
+    conn = toks.object_name()
+    if len(conn) != 1:
+        raise CatalogDdlError(
+            "Expected connection name to be a single-part identifier"
+        )
+    comment = None
+    options: dict[str, str] = {}
+    has_options = False
+    while not toks.at_end():
+        if toks.try_keywords("COMMENT"):
+            _ensure_not_set(comment, "COMMENT")
+            comment = toks.expect_string("COMMENT")
+        elif toks.try_keywords("OPTIONS"):
+            _ensure_not_set(has_options, "OPTIONS")
+            has_options = True
+            options = _parse_options(toks)
+        else:
+            raise CatalogDdlError(
+                f"expected end of statement or ;, found {toks.peek()}"
+            )
+    client = _unity_client(spark)
+    if client is not None:
+        from deltalake_datafusion_spark.unity import UnityCatalogError
+
+        try:
+            info = client.create_catalog(
+                name[0],
+                comment=comment,
+                properties=options or None,
+                connection_name=conn[0],
+            )
+        except UnityCatalogError as e:
+            if if_not_exists and e.status == 409:
+                info = client.get_catalog(name[0])
+            else:
+                raise
+    else:
+        info = {"name": name[0], "connection_name": conn[0]}
+        if comment is not None:
+            info["comment"] = comment
+        if options:
+            info["options"] = options
+        info = _local_create("Catalog", name[0], info, if_not_exists)
+    return _result(spark, name[0], "Catalog", info)
+
+
+# ------------------------------------------------------------------ #
+# SHOW <securable>S                                                   #
+# ------------------------------------------------------------------ #
+
+_SHOW_RE = re.compile(
+    r"^\s*SHOW\s+(?P<what>SHARES|CONNECTIONS|EXTERNAL\s+LOCATIONS"
+    r"|SCHEMAS\s+IN\s+(?P<cat>[\w$]+|`[^`]+`))\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def try_show_securables(spark, statement: str) -> DataFrame | None:
+    m = _SHOW_RE.match(statement)
+    if not m:
+        return None
+    what = re.sub(r"\s+", " ", m.group("what").upper())
+    client = _unity_client(spark)
+    if what.startswith("SCHEMAS"):
+        cat = m.group("cat").strip("`")
+        if client is not None:
+            rows = client.list_schemas(cat)
+        else:
+            rows = [
+                v
+                for k, v in _local("Schema").items()
+                if v.get("catalog_name") == cat
+            ]
+        kind = "Schema"
+        names = [r.get("full_name") or r.get("name", "") for r in rows]
+    else:
+        kind, lister = {
+            "SHARES": ("Share", "list_shares"),
+            "CONNECTIONS": ("Connection", "list_connections"),
+            "EXTERNAL LOCATIONS": ("ExternalLocation",
+                                   "list_external_locations"),
+        }[what]
+        if client is not None:
+            rows = getattr(client, lister)()
+        else:
+            rows = list(_local(kind).values())
+        names = [r.get("name", "") for r in rows]
+    data = [
+        (n, kind, json.dumps(r, sort_keys=True))
+        for n, r in sorted(zip(names, rows), key=lambda x: x[0])
+    ]
+    return spark.createDataFrame(data, CREATE_RETURN_SCHEMA)
+
+
+# Dispatcher entry: first match wins; all return None when the
+# statement is not theirs.
+_HANDLERS = (
+    try_create_schema,
+    try_create_share,
+    try_create_connection,
+    try_create_location,
+    try_create_foreign_catalog,
+    try_drop_schema,
+    try_drop_securable,
+    try_show_securables,
+)
+
+
+def try_securable_ddl(spark, statement: str) -> DataFrame | None:
+    for h in _HANDLERS:
+        out = h(spark, statement)
+        if out is not None:
+            return out
+    return None

@@ -81,10 +81,12 @@ class UnityCatalogClient:
         provider_name: str | None = None,
         share_name: str | None = None,
         properties: dict[str, str] | None = None,
+        connection_name: str | None = None,
     ) -> dict:
         """POST /catalogs — mirrors the reference's builder chain
         (catalogs.rs:23-58: with_storage_root / with_provider_name +
-        with_share_name / with_comment)."""
+        with_share_name / with_comment). ``connection_name`` creates a
+        foreign catalog over a registered connection."""
         body: dict = {"name": name}
         if comment is not None:
             body["comment"] = comment
@@ -96,6 +98,8 @@ class UnityCatalogClient:
             body["share_name"] = share_name
         if properties:
             body["properties"] = properties
+        if connection_name is not None:
+            body["connection_name"] = connection_name
         return self._request("POST", "/catalogs", body=body)
 
     def get_catalog(self, name: str) -> dict:
@@ -111,5 +115,122 @@ class UnityCatalogClient:
         self._request(
             "DELETE",
             f"/catalogs/{urllib.parse.quote(name)}",
+            query={"force": "true" if force else "false"},
+        )
+
+    # -- schemas ----------------------------------------------------------
+    def create_schema(
+        self,
+        name: str,
+        catalog_name: str,
+        comment: str | None = None,
+        storage_root: str | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> dict:
+        body: dict = {"name": name, "catalog_name": catalog_name}
+        if comment is not None:
+            body["comment"] = comment
+        if storage_root is not None:
+            body["storage_root"] = storage_root
+        if properties:
+            body["properties"] = properties
+        return self._request("POST", "/schemas", body=body)
+
+    def get_schema(self, full_name: str) -> dict:
+        return self._request(
+            "GET", f"/schemas/{urllib.parse.quote(full_name)}"
+        )
+
+    def list_schemas(self, catalog_name: str) -> list[dict]:
+        out = self._request(
+            "GET", "/schemas", query={"catalog_name": catalog_name}
+        )
+        return out.get("schemas", []) or []
+
+    def delete_schema(self, full_name: str, force: bool = False) -> None:
+        self._request(
+            "DELETE",
+            f"/schemas/{urllib.parse.quote(full_name)}",
+            query={"force": "true" if force else "false"},
+        )
+
+    # -- shares -----------------------------------------------------------
+    def create_share(self, name: str, comment: str | None = None) -> dict:
+        body: dict = {"name": name}
+        if comment is not None:
+            body["comment"] = comment
+        return self._request("POST", "/shares", body=body)
+
+    def get_share(self, name: str) -> dict:
+        return self._request("GET", f"/shares/{urllib.parse.quote(name)}")
+
+    def list_shares(self) -> list[dict]:
+        out = self._request("GET", "/shares")
+        return out.get("shares", []) or []
+
+    def delete_share(self, name: str) -> None:
+        self._request("DELETE", f"/shares/{urllib.parse.quote(name)}")
+
+    # -- connections ------------------------------------------------------
+    def create_connection(
+        self,
+        name: str,
+        connection_type: str,
+        options: dict[str, str] | None = None,
+        comment: str | None = None,
+        read_only: bool | None = None,
+    ) -> dict:
+        body: dict = {"name": name, "connection_type": connection_type}
+        if options:
+            body["options"] = options
+        if comment is not None:
+            body["comment"] = comment
+        if read_only is not None:
+            body["read_only"] = read_only
+        return self._request("POST", "/connections", body=body)
+
+    def get_connection(self, name: str) -> dict:
+        return self._request(
+            "GET", f"/connections/{urllib.parse.quote(name)}"
+        )
+
+    def list_connections(self) -> list[dict]:
+        out = self._request("GET", "/connections")
+        return out.get("connections", []) or []
+
+    def delete_connection(self, name: str) -> None:
+        self._request("DELETE", f"/connections/{urllib.parse.quote(name)}")
+
+    # -- external locations -----------------------------------------------
+    def create_external_location(
+        self,
+        name: str,
+        url: str,
+        credential_name: str | None = None,
+        comment: str | None = None,
+        read_only: bool | None = None,
+    ) -> dict:
+        body: dict = {"name": name, "url": url}
+        if credential_name is not None:
+            body["credential_name"] = credential_name
+        if comment is not None:
+            body["comment"] = comment
+        if read_only is not None:
+            body["read_only"] = read_only
+        return self._request("POST", "/external-locations", body=body)
+
+    def get_external_location(self, name: str) -> dict:
+        return self._request(
+            "GET", f"/external-locations/{urllib.parse.quote(name)}"
+        )
+
+    def list_external_locations(self) -> list[dict]:
+        out = self._request("GET", "/external-locations")
+        return out.get("external_locations", []) or []
+
+    def delete_external_location(self, name: str, force: bool = False) -> None:
+        self._request(
+            "DELETE",
+            f"/external-locations/{urllib.parse.quote(name)}",
             query={"force": "true" if force else "false"},
         )

@@ -1,0 +1,202 @@
+"""CREATE/DROP/SHOW for SCHEMA / SHARE / CONNECTION / EXTERNAL
+LOCATION / FOREIGN CATALOG — the five statements the reference's
+parser dispatches but leaves ``todo!()``
+(``crates/datafusion/src/sql/parser.rs:342-365``).
+
+Grammar + local-registry execution here; REST execution against the
+fake Unity server reuses the harness from ``tests/test_unity.py``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from deltalake_datafusion_spark.sql.catalog_ddl import CatalogDdlError
+from deltalake_datafusion_spark.sql.dispatcher import sql
+from tests.test_unity import fake_uc, uc_spark  # noqa: F401 (fixtures)
+
+
+@pytest.fixture(autouse=True)
+def clean_registry():
+    from deltalake_datafusion_spark.sql import securable_ddl
+
+    securable_ddl._LOCAL.clear()
+    yield
+    securable_ddl._LOCAL.clear()
+
+
+def _row(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+# ------------------------------------------------------------------ #
+# local (no UC server) execution                                      #
+# ------------------------------------------------------------------ #
+
+
+def test_create_and_drop_share(spark):
+    r = _row(sql(spark, "CREATE SHARE my_share COMMENT 'docs'"))
+    assert (r["securable_name"], r["securable_type"]) == ("my_share", "Share")
+    assert json.loads(r["securable_object"])["comment"] == "docs"
+    # duplicate fails, IF NOT EXISTS succeeds
+    with pytest.raises(CatalogDdlError, match="already exists"):
+        sql(spark, "CREATE SHARE my_share")
+    sql(spark, "CREATE SHARE IF NOT EXISTS my_share")
+    r = _row(sql(spark, "DROP SHARE my_share"))
+    assert r["status"] == "success"
+    with pytest.raises(CatalogDdlError, match="does not exist"):
+        sql(spark, "DROP SHARE my_share")
+    sql(spark, "DROP SHARE IF EXISTS my_share")
+
+
+def test_create_connection_requires_type(spark):
+    r = _row(
+        sql(
+            spark,
+            "CREATE CONNECTION pg TYPE postgresql "
+            "OPTIONS (host 'db.example.com', port '5432') COMMENT 'prod'",
+        )
+    )
+    assert r["securable_type"] == "Connection"
+    obj = json.loads(r["securable_object"])
+    assert obj["connection_type"] == "postgresql"
+    assert obj["options"]["port"] == "5432"
+    with pytest.raises(CatalogDdlError, match="TYPE"):
+        sql(spark, "CREATE CONNECTION bad")
+
+
+def test_create_external_location(spark):
+    r = _row(
+        sql(
+            spark,
+            "CREATE EXTERNAL LOCATION lake URL 's3://bucket/prefix' "
+            "WITH (STORAGE CREDENTIAL my_cred) COMMENT 'landing'",
+        )
+    )
+    assert r["securable_type"] == "ExternalLocation"
+    obj = json.loads(r["securable_object"])
+    assert obj["url"] == "s3://bucket/prefix"
+    assert obj["credential_name"] == "my_cred"
+    # URL must be a URL; bare CREATE LOCATION also accepted
+    with pytest.raises(CatalogDdlError, match="valid URL"):
+        sql(spark, "CREATE LOCATION l2 URL 'not a url'")
+    r = _row(sql(spark, "CREATE LOCATION l2 URL 'gs://b/x'"))
+    assert json.loads(r["securable_object"])["url"] == "gs://b/x"
+    assert _row(sql(spark, "DROP EXTERNAL LOCATION lake"))["status"] == "success"
+
+
+def test_create_foreign_catalog(spark):
+    sql(spark, "CREATE CONNECTION fc_conn TYPE mysql")
+    r = _row(
+        sql(
+            spark,
+            "CREATE FOREIGN CATALOG fcat USING CONNECTION fc_conn "
+            "COMMENT 'mirror' OPTIONS (database 'shop')",
+        )
+    )
+    assert (r["securable_name"], r["securable_type"]) == ("fcat", "Catalog")
+    obj = json.loads(r["securable_object"])
+    assert obj["connection_name"] == "fc_conn"
+    assert obj["options"]["database"] == "shop"
+    with pytest.raises(CatalogDdlError, match="USING"):
+        sql(spark, "CREATE FOREIGN CATALOG nope")
+
+
+def test_create_schema_two_part_and_show(spark):
+    r = _row(
+        sql(
+            spark,
+            "CREATE SCHEMA cat1.raw MANAGED LOCATION 's3://b/raw' "
+            "COMMENT 'bronze' OPTIONS (owner 'ops')",
+        )
+    )
+    assert (r["securable_name"], r["securable_type"]) == ("cat1.raw", "Schema")
+    obj = json.loads(r["securable_object"])
+    assert obj["catalog_name"] == "cat1" and obj["storage_root"] == "s3://b/raw"
+    sql(spark, "CREATE SCHEMA cat1.curated")
+    sql(spark, "CREATE SCHEMA cat2.other")
+    shown = sql(spark, "SHOW SCHEMAS IN cat1").collect()
+    assert [r["securable_name"] for r in shown] == ["cat1.curated", "cat1.raw"]
+    assert _row(sql(spark, "DROP SCHEMA cat1.raw CASCADE"))["status"] == "success"
+    with pytest.raises(CatalogDdlError, match="does not exist"):
+        sql(spark, "DROP SCHEMA cat1.raw")
+
+
+def test_single_part_schema_falls_through_to_spark(spark):
+    sql(spark, "CREATE SCHEMA plain_db")
+    try:
+        assert spark.catalog.databaseExists("plain_db")
+    finally:
+        sql(spark, "DROP SCHEMA plain_db")
+    assert not spark.catalog.databaseExists("plain_db")
+
+
+def test_show_shares_connections_locations(spark):
+    sql(spark, "CREATE SHARE s1")
+    sql(spark, "CREATE SHARE s2")
+    sql(spark, "CREATE CONNECTION c1 TYPE mysql")
+    sql(spark, "CREATE EXTERNAL LOCATION l1 URL 's3://b/1'")
+    assert [r["securable_name"] for r in sql(spark, "SHOW SHARES").collect()] == [
+        "s1",
+        "s2",
+    ]
+    assert [
+        r["securable_name"] for r in sql(spark, "SHOW CONNECTIONS").collect()
+    ] == ["c1"]
+    assert [
+        r["securable_name"]
+        for r in sql(spark, "SHOW EXTERNAL LOCATIONS").collect()
+    ] == ["l1"]
+
+
+def test_duplicate_clause_errors(spark):
+    with pytest.raises(CatalogDdlError, match="more than once"):
+        sql(spark, "CREATE SHARE s COMMENT 'a' COMMENT 'b'")
+    with pytest.raises(CatalogDdlError, match="more than once"):
+        sql(spark, "CREATE SCHEMA c.s COMMENT 'a' COMMENT 'b'")
+
+
+# ------------------------------------------------------------------ #
+# REST execution against the fake Unity server                        #
+# ------------------------------------------------------------------ #
+
+
+def test_uc_create_schema_rest(uc_spark):  # noqa: F811
+    spark, handler = uc_spark
+    out = _row(
+        sql(spark, "CREATE SCHEMA main.bronze COMMENT 'landing zone'")
+    )
+    assert out["securable_type"] == "Schema"
+    post = [r for r in handler.requests if r["method"] == "POST"][-1]
+    assert post["path"].endswith("/schemas")
+    assert post["body"]["catalog_name"] == "main"
+    assert post["body"]["name"] == "bronze"
+    assert post["auth"] == "Bearer tok123"
+    # IF NOT EXISTS falls back to GET on 409
+    sql(spark, "CREATE SCHEMA IF NOT EXISTS main.bronze")
+    assert [r["method"] for r in handler.requests][-2:] == ["POST", "GET"]
+    # DROP hits DELETE /schemas/main.bronze
+    sql(spark, "DROP SCHEMA main.bronze")
+    dele = [r for r in handler.requests if r["method"] == "DELETE"][-1]
+    assert dele["path"].split("?")[0].endswith("/schemas/main.bronze")
+
+
+def test_uc_create_share_connection_location_rest(uc_spark):  # noqa: F811
+    spark, handler = uc_spark
+    sql(spark, "CREATE SHARE uc_share")
+    sql(spark, "CREATE CONNECTION uc_conn TYPE snowflake OPTIONS (acct 'x')")
+    sql(spark, "CREATE EXTERNAL LOCATION uc_loc URL 'abfss://c@a.dfs.example/x'")
+    sql(spark, "CREATE FOREIGN CATALOG uc_fc USING CONNECTION uc_conn")
+    posts = [r for r in handler.requests if r["method"] == "POST"]
+    paths = [p["path"].rsplit("/", 1)[-1] for p in posts]
+    assert paths == ["shares", "connections", "external-locations", "catalogs"]
+    assert posts[1]["body"]["connection_type"] == "snowflake"
+    assert posts[2]["body"]["url"].startswith("abfss://")
+    assert posts[3]["body"]["connection_name"] == "uc_conn"
+    sql(spark, "DROP CONNECTION uc_conn")
+    dele = [r for r in handler.requests if r["method"] == "DELETE"][-1]
+    assert dele["path"].endswith("/connections/uc_conn")

@@ -114,6 +114,9 @@ class _FakeUC(BaseHTTPRequestHandler):
         body = json.loads(self.rfile.read(n)) if n else {}
         self._record(body)
         name = body.get("name", "")
+        # schemas are addressed by <catalog>.<schema> full name
+        if self.path.rstrip("/").endswith("/schemas"):
+            name = f"{body.get('catalog_name', '')}.{name}"
         if name in type(self).catalogs:
             self._reply(409, {"error_code": "ALREADY_EXISTS"})
             return
