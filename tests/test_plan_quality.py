@@ -187,3 +187,50 @@ def test_text_and_embedding_ops_stay_jvm_side(spark, sf_dir):
         plan = _plan(df)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "Exchange" not in plan, plan[:1500]
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """Scale guard: the corpus side of the contamination check must
+    never shuffle — the benchmark n-gram set is broadcast and the
+    semi join is map-side."""
+    from deltalake_datafusion_spark.operators.decontaminate import (
+        flag_contaminated,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = _plan(flag_contaminated(docs, bench, "text", "doc_id"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_scalable_prefilters_before_exchange(spark, sf_dir):
+    """Scale guard: the md5-fraction pre-filter must run before the
+    per-stratum sort's exchange, so only ~oversample*k rows per
+    stratum shuffle."""
+    from deltalake_datafusion_spark.operators.sampling import (
+        stratified_sample_scalable,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    out = stratified_sample_scalable(t["documents"], ["lang"], "doc_id", 5)
+    plan = _plan(out)
+    # the fraction filter appears below (after in text) the exchange
+    ex = plan.find("Exchange hashpartitioning(lang")
+    flt = plan.rfind("Filter")
+    assert ex != -1 and flt > ex
+
+
+def test_pack_sequences_single_shuffle_on_shard(spark, sf_dir):
+    """Scale guard: packing shuffles once, on the shard id — shard
+    count bounds every per-partition sort."""
+    from deltalake_datafusion_spark.operators.sampling import pack_sequences
+
+    t = load_tables(spark, sf_dir, "documents")
+    toks = t["documents"].select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("toks")
+    )
+    plan = _plan(pack_sequences(toks, "doc_id", "toks", 2048, shards=8))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "pack_shard" in plan
