@@ -1,0 +1,88 @@
+"""DESCRIBE DETAIL / SHOW TBLPROPERTIES — table-metadata surfaces.
+
+Delta-utility parity (the delta-spark `DESCRIBE DETAIL` /
+`SHOW TBLPROPERTIES` commands): one-row table summary derived from
+the snapshot the log replay already produced — no data files are
+read. ``DESCRIBE HISTORY`` maps to the existing ``history()`` table
+function (``delta/clone.py::history_df``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+DETAIL_SCHEMA = StructType(
+    [
+        StructField("format", StringType(), False),
+        StructField("id", StringType(), True),
+        StructField("name", StringType(), True),
+        StructField("location", StringType(), False),
+        StructField("createdAt", TimestampType(), True),
+        StructField("partitionColumns", ArrayType(StringType()), False),
+        StructField("numFiles", LongType(), False),
+        StructField("sizeInBytes", LongType(), False),
+        StructField("properties", MapType(StringType(), StringType()), False),
+        StructField("minReaderVersion", IntegerType(), False),
+        StructField("minWriterVersion", IntegerType(), False),
+    ]
+)
+
+
+def describe_detail(spark, table_path: str) -> DataFrame:
+    """One-row summary of the current snapshot (metadata-only: file
+    count/size come from the add actions, never from storage)."""
+    import datetime
+
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    snap = load_snapshot(table_path, spark=spark)
+    md = snap.metadata
+    created = (
+        datetime.datetime.fromtimestamp(
+            md.created_time / 1000.0, tz=datetime.timezone.utc
+        )
+        if md.created_time
+        else None
+    )
+    row = (
+        "delta",
+        md.id,
+        md.name,
+        snap.table_path,
+        created,
+        list(snap.partition_columns),
+        len(snap.files),
+        sum(f.size for f in snap.files),
+        dict(md.configuration),
+        snap.protocol.min_reader_version,
+        snap.protocol.min_writer_version,
+    )
+    return spark.createDataFrame([row], DETAIL_SCHEMA)
+
+
+def show_tblproperties(
+    spark, table_path: str, key: str | None = None
+) -> DataFrame:
+    """Table configuration as (key, value) rows, sorted by key;
+    ``key`` narrows to a single property (empty result if absent)."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    snap = load_snapshot(table_path, spark=spark)
+    props = dict(snap.metadata.configuration)
+    if key is not None:
+        rows = [(key, props[key])] if key in props else []
+    else:
+        rows = sorted(props.items())
+    return spark.createDataFrame(
+        rows, "key string, value string"
+    )

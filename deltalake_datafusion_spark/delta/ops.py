@@ -384,7 +384,6 @@ def update_delta(
     validate_constraints(updated, table_constraints(snap.metadata.configuration))
 
     from deltalake_datafusion_spark.delta.writer import _stage_and_move
-    from deltalake_datafusion_spark.delta.stats import collect_file_stats
 
     # New files with the updated rows (physical projection if mapped).
     from deltalake_datafusion_spark.delta.writer import _rename_to_physical
@@ -426,14 +425,16 @@ def update_delta(
 
     adds = []
     p2l = dict(zip(phys_parts, snap.partition_columns))
-    from deltalake_datafusion_spark.delta.fs import fs_for as _fs_for
+    from deltalake_datafusion_spark.delta.stats import collect_stats_batch
 
-    _stats_fs = _fs_for(snap.table_path, spark)
+    stats_by_rel = collect_stats_batch(
+        spark,
+        snap.table_path,
+        [(rel, size) for rel, _pv, size, _mt in moved],
+        skip_columns=set(phys_parts),
+    )
     for rel, pv_phys, size, mtime_ms in moved:
-        full = os.path.join(snap.table_path, rel)
-        stats = collect_file_stats(
-            full, skip_columns=set(phys_parts), fs=_stats_fs, size=size
-        )
+        stats = stats_by_rel[rel]
         pv = {p2l.get(k, k): v for k, v in pv_phys.items()}
         adds.append(
             {
@@ -714,7 +715,6 @@ def merge_delta(
             _rename_to_physical,
             _stage_and_move,
         )
-        from deltalake_datafusion_spark.delta.stats import collect_file_stats
 
         out_df = (
             _rename_to_physical(out, logical)
@@ -728,14 +728,18 @@ def merge_delta(
         ]
         moved = _stage_and_move(spark, out_df, snap.table_path, phys_parts)
         p2l = dict(zip(phys_parts, snap.partition_columns))
-        from deltalake_datafusion_spark.delta.fs import fs_for as _fs_for
+        from deltalake_datafusion_spark.delta.stats import (
+            collect_stats_batch as _csb,
+        )
 
-        _stats_fs = _fs_for(snap.table_path, spark)
+        stats_by_rel = _csb(
+            spark,
+            snap.table_path,
+            [(rel, size) for rel, _pv, size, _mt in moved],
+            skip_columns=set(phys_parts),
+        )
         for rel, pv_phys, size, mtime_ms in moved:
-            full = os.path.join(snap.table_path, rel)
-            stats = collect_file_stats(
-                full, skip_columns=set(phys_parts), fs=_stats_fs, size=size
-            )
+            stats = stats_by_rel[rel]
             pv = {p2l.get(k, k): v for k, v in pv_phys.items()}
             actions.append(
                 {
@@ -778,16 +782,26 @@ def optimize_delta(
     target_file_size: int = 128 * 1024 * 1024,
     small_file_threshold: int | None = None,
     zorder_by: list[str] | None = None,
+    purge: bool = False,
 ) -> dict:
     """OPTIMIZE: bin-pack small files into ~target_file_size files,
     optionally clustering rows by ``zorder_by`` columns
     (range-repartition + sort-within-partitions — the Spark-idiomatic
     multi-dimensional clustering; gives the same stats-tightening
     effect as Z-order interleaving for the common 1-2 column case).
-    Rewrites carry dataChange=false so streaming readers skip them."""
+    Rewrites carry dataChange=false so streaming readers skip them.
+
+    ``purge=True`` is Delta's ``REORG TABLE … APPLY (PURGE)``: rewrite
+    exactly the files that carry deletion vectors (whatever their
+    size), materializing the soft deletes so the DV data can be
+    vacuumed; other files are untouched."""
     snap = load_snapshot(table_path, spark=spark)
     threshold = small_file_threshold or target_file_size // 2
-    if zorder_by:
+    if purge:
+        victims = [f for f in snap.files if f.dv is not None]
+        if not victims:
+            return {"files_compacted": 0, "files_added": 0, "version": snap.version}
+    elif zorder_by:
         victims = list(snap.files)  # clustering rewrites everything
     else:
         victims = [f for f in snap.files if f.size < threshold]
@@ -799,7 +813,6 @@ def optimize_delta(
     for f in victims:
         groups[tuple(sorted(f.partition_values.items()))].append(f)
 
-    from deltalake_datafusion_spark.delta.stats import collect_file_stats
     from deltalake_datafusion_spark.delta.writer import physical_schema as _ps
 
     logical = snap.schema
@@ -845,33 +858,39 @@ def optimize_delta(
         df.write.mode("overwrite").parquet(staging)
         pv = dict(key)
         part_dir = "/".join(f"{k}={v}" for k, v in key if v is not None)
+        renamed: list[tuple[str, int, int]] = []
         for st in fs.list_recursive(staging):
             if st.is_dir or not st.path.endswith(".parquet"):
                 continue
             new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
             rel = os.path.join(part_dir, new_name) if part_dir else new_name
             fs.rename(st.path, os.path.join(snap.table_path, rel))
-            full = os.path.join(snap.table_path, rel)
-            stats = collect_file_stats(
-                full,
-                skip_columns=set(
-                    phys.fields[logical.fieldNames().index(p)].name
-                    for p in part_cols
-                ),
-                fs=fs,
-                size=st.size,
-            )
+            # size/mtime from the pre-move listing — the rename
+            # preserves both; no local-FS stat
+            renamed.append((rel, st.size, st.mtime_ms))
+        from deltalake_datafusion_spark.delta.stats import (
+            collect_stats_batch as _csb,
+        )
+
+        stats_by_rel = _csb(
+            spark,
+            snap.table_path,
+            [(rel, size) for rel, size, _mt in renamed],
+            skip_columns=set(
+                phys.fields[logical.fieldNames().index(p)].name
+                for p in part_cols
+            ),
+        )
+        for rel, size, mtime_ms in renamed:
             actions.append(
                 {
                     "add": {
                         "path": _url_encode_path(rel),
                         "partitionValues": pv,
-                        # size/mtime from the pre-move listing — the
-                        # rename preserves both; no local-FS stat
-                        "size": st.size,
-                        "modificationTime": st.mtime_ms,
+                        "size": size,
+                        "modificationTime": mtime_ms,
                         "dataChange": False,
-                        "stats": stats,
+                        "stats": stats_by_rel[rel],
                     }
                 }
             )
@@ -887,7 +906,8 @@ def optimize_delta(
     from deltalake_datafusion_spark.delta.writer import commit_with_retries
 
     version = commit_with_retries(
-        spark, snap.table_path, snap, actions, "OPTIMIZE",
+        spark, snap.table_path, snap, actions,
+        "REORG" if purge else "OPTIMIZE",
         {f.path for f in victims},
     )
     out = load_snapshot(table_path, spark=spark)

@@ -16,6 +16,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import math
+import os
 from typing import Any
 
 MAX_STRING_STAT_LEN = 32
@@ -191,6 +192,56 @@ def collect_file_stats(
             "maxValues": maxs,
             "nullCount": nulls,
         }
+    )
+
+
+# Below this count, a Spark job costs more than the driver loop it
+# replaces; above it, sequential driver-side footer reads dominate
+# commit latency (a 100 TB write can emit thousands of files).
+_BATCH_STATS_THRESHOLD = 32
+
+
+def collect_stats_batch(
+    spark,
+    table_path: str,
+    rel_sizes: list[tuple[str, int]],
+    skip_columns: set[str] | None = None,
+) -> dict[str, str]:
+    """Stats JSON for many freshly-written files: executor-distributed
+    footer reads when the file count is large, a driver loop when a
+    Spark job would cost more than it saves. Returns
+    {relative_path: stats_json}."""
+    from deltalake_datafusion_spark.delta.fs import fs_for
+
+    skip = set(skip_columns or ())
+    if spark is None or len(rel_sizes) <= _BATCH_STATS_THRESHOLD:
+        fs = fs_for(table_path, spark)
+        return {
+            rel: collect_file_stats(
+                os.path.join(table_path, rel), skip, fs=fs, size=size
+            )
+            for rel, size in rel_sizes
+        }
+
+    tp = table_path
+
+    def worker(it):
+        from deltalake_datafusion_spark.delta.fs import fs_for as _ff
+        from deltalake_datafusion_spark.delta.stats import (
+            collect_file_stats as _cfs,
+        )
+
+        fs = _ff(tp)
+        for rel, size in it:
+            yield rel, _cfs(
+                os.path.join(tp, rel), skip, fs=fs, size=size
+            )
+
+    n_slices = max(1, min(len(rel_sizes) // 8, 256))
+    return dict(
+        spark.sparkContext.parallelize(rel_sizes, n_slices)
+        .mapPartitions(worker)
+        .collect()
     )
 
 

@@ -46,7 +46,7 @@ from deltalake_datafusion_spark.delta.snapshot import (
     Snapshot,
     load_snapshot,
 )
-from deltalake_datafusion_spark.delta.stats import collect_file_stats
+from deltalake_datafusion_spark.delta.stats import collect_stats_batch
 
 
 class DeltaWriteError(Exception):
@@ -708,14 +708,17 @@ def write_delta(
 
     # Stats from footers; partition columns excluded (their values are
     # in partitionValues). Logical partition names for the action map.
+    # Footer reads are executor-distributed for large writes.
     phys_to_logical_part = dict(zip(phys_partition_by, partition_by))
     adds = []
-    _stats_fs = fs_for(table_path, spark)
+    stats_by_rel = collect_stats_batch(
+        spark,
+        table_path,
+        [(rel, size) for rel, _pv, size, _mt in moved],
+        skip_columns=set(phys_partition_by),
+    )
     for rel, pv_phys, size, mtime_ms in moved:
-        full = os.path.join(table_path, rel)
-        stats = collect_file_stats(
-            full, skip_columns=set(phys_partition_by), fs=_stats_fs, size=size
-        )
+        stats = stats_by_rel[rel]
         pv = {phys_to_logical_part.get(k, k): v for k, v in pv_phys.items()}
         adds.append(
             {

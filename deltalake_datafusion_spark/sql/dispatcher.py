@@ -34,6 +34,9 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
         [WHEN NOT MATCHED THEN INSERT *]
         [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]
     OPTIMIZE <target> [ZORDER BY (cols)]
+    REORG TABLE <target> APPLY (PURGE)
+    DESCRIBE DETAIL|HISTORY <target>
+    SHOW TBLPROPERTIES <target> [(key)]
     ALTER TABLE <target> ADD CONSTRAINT name CHECK (expr)
     ALTER TABLE <target> DROP CONSTRAINT [IF EXISTS] name
     CREATE TABLE <dst> SHALLOW CLONE <src>
@@ -98,6 +101,22 @@ _DROP_CONSTRAINT_RE = re.compile(
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"(?:\s+ZORDER\s+BY\s+\(?(?P<zcols>[\w,\s]+?)\)?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_REORG_RE = re.compile(
+    r"^\s*REORG\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESCRIBE\s+(?P<what>DETAIL|HISTORY)\s+"
+    r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_TBLPROPS_RE = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+"
+    r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"(?:\s*\(\s*(?P<key>'[^']+'|[\w.-]+)\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _TABLE_FN_RE = re.compile(
@@ -333,6 +352,41 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             zorder_by=[c.strip() for c in z.split(",")] if z else None,
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _REORG_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.ops import optimize_delta
+
+        res = optimize_delta(
+            spark, _unquote_target(m.group("target"), registry), purge=True
+        )
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _DESCRIBE_RE.match(statement)
+    if m:
+        target = _unquote_target(m.group("target"), registry)
+        if m.group("what").upper() == "DETAIL":
+            from deltalake_datafusion_spark.delta.describe import (
+                describe_detail,
+            )
+
+            return describe_detail(spark, target)
+        from deltalake_datafusion_spark.delta.clone import history_df
+
+        return history_df(spark, target)
+
+    m = _TBLPROPS_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.describe import (
+            show_tblproperties,
+        )
+
+        key = m.group("key")
+        if key:
+            key = key.strip("'")
+        return show_tblproperties(
+            spark, _unquote_target(m.group("target"), registry), key
+        )
 
     # Table functions: substitute temp views, then run through Catalyst.
     def _expand(match):

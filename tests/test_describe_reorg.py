@@ -1,0 +1,125 @@
+"""REORG TABLE … APPLY (PURGE), DESCRIBE DETAIL/HISTORY and
+SHOW TBLPROPERTIES — delta-utility parity surfaces."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.ops import delete_delta, optimize_delta
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import write_delta
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+
+def _table(spark, tmp_path, name="t", configuration=None):
+    path = os.path.join(str(tmp_path), name)
+    df = spark.range(100).select(
+        "id", (F.col("id") % 5).alias("g")
+    )
+    write_delta(spark, df, path, configuration=configuration)
+    return path
+
+
+def test_reorg_purge_materializes_dvs(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    delete_delta(spark, path, "id % 10 = 0")  # soft delete via DV
+    snap = load_snapshot(path, spark=spark)
+    assert any(f.dv is not None for f in snap.files), "fixture needs a DV"
+
+    res = optimize_delta(spark, path, purge=True)
+    assert res["files_compacted"] >= 1
+
+    snap = load_snapshot(path, spark=spark)
+    assert all(f.dv is None for f in snap.files)  # DVs materialized
+    # logical data unchanged
+    assert read_delta(spark, path).count() == 90
+    # purge is idempotent: nothing left to rewrite
+    res = optimize_delta(spark, path, purge=True)
+    assert res["files_compacted"] == 0
+
+
+def test_reorg_purge_sql_and_history_operation(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    delete_delta(spark, path, "id < 3")
+    out = sql(spark, f"REORG TABLE '{path}' APPLY (PURGE)").collect()[0]
+    assert out["files_compacted"] >= 1
+    hist = sql(spark, f"DESCRIBE HISTORY '{path}'")
+    ops = [r["operation"] for r in hist.collect()]
+    assert "REORG" in ops
+    assert read_delta(spark, path).count() == 97
+
+
+def test_describe_detail(spark, tmp_path):
+    path = _table(
+        spark,
+        tmp_path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    row = sql(spark, f"DESCRIBE DETAIL '{path}'").collect()[0]
+    snap = load_snapshot(path, spark=spark)
+    assert row["format"] == "delta"
+    assert row["id"] == snap.metadata.id
+    assert row["numFiles"] == len(snap.files)
+    assert row["sizeInBytes"] == sum(f.size for f in snap.files)
+    assert row["properties"]["delta.enableChangeDataFeed"] == "true"
+    assert row["minReaderVersion"] == snap.protocol.min_reader_version
+    assert row["location"] == path
+
+
+def test_show_tblproperties(spark, tmp_path):
+    path = _table(
+        spark,
+        tmp_path,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.appendOnly": "false",
+        },
+    )
+    rows = sql(spark, f"SHOW TBLPROPERTIES '{path}'").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    assert props["delta.enableChangeDataFeed"] == "true"
+    assert [r["key"] for r in rows] == sorted(r["key"] for r in rows)
+    one = sql(
+        spark, f"SHOW TBLPROPERTIES '{path}' (delta.appendOnly)"
+    ).collect()
+    assert [(r["key"], r["value"]) for r in one] == [
+        ("delta.appendOnly", "false")
+    ]
+    none = sql(spark, f"SHOW TBLPROPERTIES '{path}' (missing.key)").collect()
+    assert none == []
+
+
+def test_distributed_stats_batch_matches_driver_path(spark, tmp_path, monkeypatch):
+    """Executor-distributed footer-stats collection (used for large
+    writes) must produce byte-identical stats JSON to the driver
+    loop."""
+    from deltalake_datafusion_spark.delta import stats as stats_mod
+
+    path = os.path.join(str(tmp_path), "big")
+    df = spark.range(500).select(
+        "id",
+        (F.col("id") % 7).alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    monkeypatch.setattr(stats_mod, "_BATCH_STATS_THRESHOLD", 0)
+    write_delta(spark, df, path, partition_by=["g"])
+    snap_dist = load_snapshot(path, spark=spark)
+
+    path2 = os.path.join(str(tmp_path), "big2")
+    monkeypatch.setattr(stats_mod, "_BATCH_STATS_THRESHOLD", 10**9)
+    write_delta(spark, df, path2, partition_by=["g"])
+    snap_drv = load_snapshot(path2, spark=spark)
+
+    import json as _json
+
+    def by_part(snap):
+        return {
+            tuple(sorted(f.partition_values.items())): _json.loads(f.stats)
+            for f in snap.files
+        }
+
+    assert by_part(snap_dist) == by_part(snap_drv)
+    assert read_delta(spark, path).count() == 500
