@@ -1,0 +1,132 @@
+"""CONVERT TO DELTA: register an existing parquet directory as a
+Delta table in place — no data is rewritten.
+
+Delta-utility parity (the delta-spark ``CONVERT TO DELTA`` command):
+list the parquet files through the storage abstraction, decode
+Hive-style partition directories against a caller-supplied partition
+schema (required exactly when the layout is partitioned, as in Delta),
+collect per-file footer stats (executor-distributed via
+``collect_stats_batch`` — a conversion of a petabyte directory never
+serializes footer reads on the driver), and write commit 0 with the
+protocol/metadata/add actions.
+
+The commit is atomic create-if-absent: two concurrent converts race on
+``_delta_log/0.json`` and exactly one wins.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+import uuid
+
+from pyspark.sql.types import StructField, StructType
+
+from deltalake_datafusion_spark.delta.fs import fs_for
+from deltalake_datafusion_spark.delta.stats import collect_stats_batch
+from deltalake_datafusion_spark.delta.writer import (
+    _creation_protocol,
+    _metadata_action,
+    _url_encode_path,
+    commit,
+)
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class ConvertToDeltaError(Exception):
+    pass
+
+
+def _partition_values(rel: str, part_cols: list[str]) -> dict[str, str | None]:
+    """Decode k=v path segments (Hive escaping, in order) for the
+    expected partition columns; raises on layout mismatch."""
+    segs = rel.split("/")[:-1]
+    vals: dict[str, str | None] = {}
+    kv = []
+    for seg in segs:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            kv.append((urllib.parse.unquote(k), urllib.parse.unquote(v)))
+    if len(kv) != len(part_cols) or [k for k, _ in kv] != part_cols:
+        raise ConvertToDeltaError(
+            f"file {rel!r} does not match the declared partition layout "
+            f"{part_cols} (found {[k for k, _ in kv]}); pass the correct "
+            "PARTITIONED BY schema"
+        )
+    for k, v in kv:
+        vals[k] = None if v == _HIVE_NULL else v
+    return vals
+
+
+def convert_to_delta(
+    spark,
+    path: str,
+    partition_schema: str | None = None,
+    name: str | None = None,
+) -> dict:
+    """In-place conversion. ``partition_schema`` is a DDL string like
+    ``"year int, month int"`` naming the Hive partition directories in
+    order (required iff the layout is partitioned). Returns
+    {files_converted, version}."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    fs = fs_for(path, spark)
+    if fs.exists(os.path.join(path, "_delta_log")):
+        raise ConvertToDeltaError(
+            f"{path} already has a _delta_log — it is already a Delta table"
+        )
+
+    part_struct = (
+        _parse_datatype_string(f"struct<{partition_schema}>")
+        if partition_schema
+        else StructType([])
+    )
+    part_cols = [f.name for f in part_struct.fields]
+
+    files: list[tuple[str, int, int]] = []  # rel, size, mtime_ms
+    base = path.rstrip("/")
+    for st in fs.list_recursive(base):
+        if st.is_dir or not st.path.endswith(".parquet"):
+            continue
+        rel = st.path[len(base) :].lstrip("/")
+        seg0 = rel.split("/", 1)[0]
+        if seg0.startswith(("_", ".")):
+            continue
+        files.append((rel, st.size, st.mtime_ms))
+    if not files:
+        raise ConvertToDeltaError(f"no parquet files found under {path}")
+    files.sort()
+
+    # Data schema from one footer; partition columns appended typed.
+    first = os.path.join(base, files[0][0])
+    data_schema = spark.read.parquet(first).schema
+    full_schema = StructType(
+        list(data_schema.fields)
+        + [StructField(f.name, f.dataType, True) for f in part_struct.fields]
+    )
+
+    stats_by_rel = collect_stats_batch(
+        spark, base, [(rel, size) for rel, size, _ in files]
+    )
+
+    actions: list[dict] = [
+        _creation_protocol(False, {}, full_schema),
+        _metadata_action(full_schema, part_cols, {}, str(uuid.uuid4()), name),
+    ]
+    for rel, size, mtime_ms in files:
+        actions.append(
+            {
+                "add": {
+                    "path": _url_encode_path(rel),
+                    "partitionValues": _partition_values(rel, part_cols),
+                    "size": size,
+                    "modificationTime": mtime_ms,
+                    "dataChange": True,
+                    "stats": stats_by_rel[rel],
+                }
+            }
+        )
+    commit(base, 0, actions, "CONVERT", spark=spark)
+    return {"files_converted": len(files), "version": 0}

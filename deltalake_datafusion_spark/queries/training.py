@@ -297,6 +297,49 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def streaming_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain Delta streaming source: orders lands in a Delta table over
+    two append commits; the ``delta_stream`` source replays both as
+    micro-batch inputs and the aggregate must equal the batch GROUP BY
+    over the parquet source."""
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+    from deltalake_datafusion_spark.streaming.pipeline import run_to_memory
+
+    t = load_tables(spark, sf_dir, "orders")
+    path = os.path.join(_fresh_dir("delta_stream_src", sf_dir), "t")
+    write_delta(spark, t["orders"].filter("o_orderkey % 2 = 0"), path)
+    write_delta(
+        spark,
+        t["orders"].filter("o_orderkey % 2 = 1"),
+        path,
+        mode="append",
+    )
+    out = run_to_memory(
+        read_delta_stream(spark, path), "q_streaming_delta_source", "append"
+    )
+    return (
+        out.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_STREAM_DELTA_SOURCE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("pipe_decontaminate", pipe_decontaminate, _DECONTAMINATE_SQL),
@@ -310,5 +353,10 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec(
             "streaming_dedup_counts", streaming_dedup_counts, _STREAM_DEDUP_SQL
+        ),
+        QuerySpec(
+            "streaming_delta_source",
+            streaming_delta_source,
+            _STREAM_DELTA_SOURCE_SQL,
         ),
     ]

@@ -34,6 +34,7 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
         [WHEN NOT MATCHED THEN INSERT *]
         [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]
     OPTIMIZE <target> [ZORDER BY (cols)]
+    CONVERT TO DELTA parquet.`path` [PARTITIONED BY (col type, ...)]
     REORG TABLE <target> APPLY (PURGE)
     DESCRIBE DETAIL|HISTORY <target>
     SHOW TBLPROPERTIES <target> [(key)]
@@ -101,6 +102,12 @@ _DROP_CONSTRAINT_RE = re.compile(
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"(?:\s+ZORDER\s+BY\s+\(?(?P<zcols>[\w,\s]+?)\)?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CONVERT_RE = re.compile(
+    r"^\s*CONVERT\s+TO\s+DELTA\s+"
+    r"(?P<target>parquet\.`[^`]+`|'[^']+'|[\w./-]+)"
+    r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<parts>[^)]+?)\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _REORG_RE = re.compile(
@@ -351,6 +358,18 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             _unquote_target(m.group("target"), registry),
             zorder_by=[c.strip() for c in z.split(",")] if z else None,
         )
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _CONVERT_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.convert import convert_to_delta
+
+        target = m.group("target")
+        if target.lower().startswith("parquet.`"):
+            target = target[len("parquet.`") : -1]
+        else:
+            target = _unquote_target(target, registry)
+        res = convert_to_delta(spark, target, m.group("parts"))
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 
     m = _REORG_RE.match(statement)

@@ -1,0 +1,255 @@
+"""Streaming source over a plain Delta table: each commit's appended
+files become (bin-packed) micro-batch input partitions.
+
+The delta-spark streaming-source semantics: the stream replays the
+table's add actions in version order — the initial snapshot's files
+first (when ``startingVersion`` is 0 or unset), then each subsequent
+commit's appends. A commit that *removes* data files with
+``dataChange=true`` (DELETE/UPDATE/MERGE) makes the stream fail by
+default — appends-only is the contract — unless:
+
+- ``ignoreDeletes``: commits that only delete are skipped;
+- ``ignoreChanges``: rewritten files are re-emitted (downstream may
+  see duplicates — the documented Delta behavior) and deletes are
+  skipped.
+
+Executor-side reads reuse the CDF source's machinery (bin packing,
+DV row filtering, column mapping, typed partition injection); this
+reader simply emits the table schema without change metadata.
+
+Offsets are commit versions, durable in the stream checkpoint —
+exactly-once with the Delta sink's txn idempotence.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader
+from pyspark.sql.types import StructType
+
+from deltalake_datafusion_spark.streaming.cdf_source import (
+    CdfPartition,
+    _pack_bins,
+)
+
+
+class DeltaStreamSourceError(Exception):
+    pass
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    """Version-ranged micro-batch reader over a Delta table's adds."""
+
+    def __init__(self, table_path: str, options: dict):
+        from deltalake_datafusion_spark.delta.scan import (
+            _logical_to_physical_map,
+        )
+        from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+        self.table_path = table_path
+        snap = load_snapshot(table_path)
+        self.starting_version = int(options.get("startingversion", 0))
+        self.ignore_deletes = (
+            str(options.get("ignoredeletes", "false")).lower() == "true"
+        )
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self.max_bytes = int(
+            options.get("maxbytesperpartition", 128 * 1024 * 1024)
+        )
+        self.schema_json = json.loads(snap.metadata.schema_string)
+        self.partition_columns = list(snap.partition_columns)
+        l2p = _logical_to_physical_map(snap.schema)
+        self.p2l = {v: k for k, v in l2p.items() if "." not in k}
+        self.l2p_parts = {c: l2p.get(c, c) for c in self.partition_columns}
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        from deltalake_datafusion_spark.delta.snapshot import list_log_files
+
+        commits, _ = list_log_files(self.table_path)
+        tip = max(v for v, _ in commits) if commits else -1
+        return {"version": max(tip + 1, self.starting_version)}
+
+    def partitions(self, start: dict, end: dict):
+        import urllib.parse as up
+
+        from deltalake_datafusion_spark.delta.fs import fs_for
+        from deltalake_datafusion_spark.delta.snapshot import (
+            _iter_commit_actions,
+            list_log_files,
+        )
+
+        lo, hi = int(start["version"]), int(end["version"])
+        fs = fs_for(self.table_path)
+        commits = dict(list_log_files(self.table_path)[0])
+        missing = [v for v in range(lo, hi) if v not in commits]
+        if missing:
+            raise DeltaStreamSourceError(
+                f"versions {missing} in the streaming range [{lo}, {hi}) "
+                f"are no longer in the _delta_log at {self.table_path} "
+                "(log cleanup); restart from a retained version"
+            )
+        out: list[CdfPartition] = []
+        for v in range(lo, hi):
+            actions = _iter_commit_actions(commits[v], fs)
+            ts_ms = 0
+            adds = []
+            removed = False
+            for a in actions:
+                if a.get("commitInfo") and not ts_ms:
+                    ts_ms = a["commitInfo"].get("timestamp", 0)
+                if a.get("add") and a["add"].get("dataChange"):
+                    adds.append(a["add"])
+                if a.get("remove") and a["remove"].get("dataChange", True):
+                    removed = True
+            if removed and not (self.ignore_deletes or self.ignore_changes):
+                raise DeltaStreamSourceError(
+                    f"commit {v} removed data files; a Delta streaming "
+                    "source requires appends only — set ignoreDeletes "
+                    "(delete-only commits) or ignoreChanges (updates; "
+                    "may re-emit rewritten rows)"
+                )
+            if removed and adds and not self.ignore_changes:
+                # delete-only commits are skippable under ignoreDeletes;
+                # a commit that also adds rewrites needs ignoreChanges
+                raise DeltaStreamSourceError(
+                    f"commit {v} rewrote data files; set ignoreChanges "
+                    "to stream past it (rewritten rows are re-emitted)"
+                )
+            entries = []
+            for b in adds:
+                dvd = b.get("deletionVector")
+                entries.append(
+                    (
+                        b.get("size", 0),
+                        (
+                            up.unquote(b["path"]),
+                            dict(b.get("partitionValues") or {}),
+                            (
+                                dvd["storageType"],
+                                dvd["pathOrInlineDv"],
+                                dvd.get("offset"),
+                                dvd["sizeInBytes"],
+                            )
+                            if dvd
+                            else None,
+                        ),
+                    )
+                )
+            out.extend(
+                CdfPartition(v, ts_ms, "add", bin)
+                for bin in _pack_bins(entries, self.max_bytes)
+            )
+        return out
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the stream checkpoint
+
+    def read(self, partition: CdfPartition):
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from deltalake_datafusion_spark.delta.deletion_vectors import read_dv
+        from deltalake_datafusion_spark.delta.fs import fs_for
+        from deltalake_datafusion_spark.delta.snapshot import DvDescriptor
+        from deltalake_datafusion_spark.streaming.cdf_source import (
+            _typed_scalar,
+        )
+
+        logical = StructType.fromJson(self.schema_json)
+        target = to_arrow_schema(logical)
+        for rel_path, partition_values, dv_tuple in partition.files:
+            path = os.path.join(self.table_path, rel_path)
+            tbl = papq.read_table(path)
+            if dv_tuple is not None:
+                st, poi, off, size = dv_tuple
+                dv = DvDescriptor(st, poi, off, size, 0)
+                dead = read_dv(self.table_path, dv, fs_for(self.table_path))
+                mask = np.ones(tbl.num_rows, dtype=bool)
+                mask[np.asarray(dead, dtype=np.int64)] = False
+                tbl = tbl.filter(pa.array(mask))
+            tbl = tbl.rename_columns(
+                [self.p2l.get(c, c) for c in tbl.column_names]
+            )
+            n = tbl.num_rows
+            for f in logical.fields:
+                if f.name in tbl.column_names:
+                    continue
+                phys = self.l2p_parts.get(f.name, f.name)
+                raw = partition_values.get(phys)
+                if raw is None:
+                    raw = partition_values.get(f.name)
+                val = _typed_scalar(raw, f.dataType.typeName())
+                at = target.field(f.name).type
+                tbl = tbl.append_column(f.name, pa.array([val] * n, type=at))
+            tbl = tbl.select(target.names).cast(target)
+            yield from tbl.to_batches()
+
+
+class DeltaStreamDataSource(DataSource):
+    """``spark.readStream.format("delta_stream").option("path", p)``.
+
+    Options: ``path`` (required), ``startingVersion`` (default 0),
+    ``ignoreDeletes``, ``ignoreChanges``, ``maxBytesPerPartition``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_stream"
+
+    def _table_path(self) -> str:
+        from deltalake_datafusion_spark.delta.fs import strip_scheme
+
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("delta_stream requires .option('path', <table>)")
+        return strip_scheme(p)
+
+    def schema(self) -> StructType:
+        from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+        return load_snapshot(self._table_path()).schema
+
+    def streamReader(self, schema: StructType) -> DeltaStreamReader:
+        return DeltaStreamReader(self._table_path(), dict(self.options))
+
+
+def register_delta_stream_source(spark) -> None:
+    """Idempotently register the ``delta_stream`` streaming format."""
+    spark.dataSource.register(DeltaStreamDataSource)
+
+
+def read_delta_stream(
+    spark,
+    table_path: str,
+    starting_version: int = 0,
+    ignore_deletes: bool = False,
+    ignore_changes: bool = False,
+):
+    """Convenience: streaming DataFrame over a Delta table's appends.
+
+    Passes the schema to ``load`` so Spark skips the Python-worker
+    round-trip for ``DataSource.schema()``."""
+    from deltalake_datafusion_spark.delta.fs import strip_scheme
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    register_delta_stream_source(spark)
+    snap = load_snapshot(strip_scheme(table_path))
+    return (
+        spark.readStream.format("delta_stream")
+        .option("path", table_path)
+        .option("startingVersion", str(starting_version))
+        .option("ignoreDeletes", str(ignore_deletes).lower())
+        .option("ignoreChanges", str(ignore_changes).lower())
+        .schema(snap.schema)
+        .load()
+    )

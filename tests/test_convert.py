@@ -1,0 +1,77 @@
+"""CONVERT TO DELTA: in-place registration of parquet directories."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.convert import (
+    ConvertToDeltaError,
+    convert_to_delta,
+)
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+
+def _df(spark):
+    return spark.range(200).select(
+        "id",
+        (F.col("id") % 4).alias("part"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+
+
+def test_convert_unpartitioned(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "plain")
+    _df(spark).drop("part").write.parquet(path)
+    res = convert_to_delta(spark, path)
+    assert res["version"] == 0 and res["files_converted"] >= 1
+    out = read_delta(spark, path)
+    assert out.count() == 200
+    snap = load_snapshot(path, spark=spark)
+    # stats came along: file skipping works immediately after convert
+    assert all(f.stats for f in snap.files)
+    df = read_delta(spark, path, predicate="id < 0")
+    assert df.count() == 0
+
+
+def test_convert_partitioned_typed_values(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "hive")
+    _df(spark).write.partitionBy("part").parquet(path)
+    res = convert_to_delta(spark, path, partition_schema="part bigint")
+    assert res["files_converted"] >= 4
+    out = read_delta(spark, path)
+    assert out.count() == 200
+    assert dict(out.groupBy("part").count().collect()[0].asDict()) is not None
+    # typed partition pruning
+    pruned = read_delta(spark, path, predicate="part = 2")
+    assert pruned.count() == 50
+    assert {r["part"] for r in pruned.select("part").distinct().collect()} == {2}
+    snap = load_snapshot(path, spark=spark)
+    assert snap.partition_columns == ["part"]
+
+
+def test_convert_refuses_existing_delta_and_bad_layout(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t")
+    _df(spark).write.partitionBy("part").parquet(path)
+    with pytest.raises(ConvertToDeltaError, match="partition layout"):
+        convert_to_delta(spark, path)  # partitioned dir, no schema given
+    convert_to_delta(spark, path, partition_schema="part bigint")
+    with pytest.raises(ConvertToDeltaError, match="already"):
+        convert_to_delta(spark, path, partition_schema="part bigint")
+
+
+def test_convert_sql_form_and_dml_after(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "sqlconv")
+    _df(spark).write.partitionBy("part").parquet(path)
+    row = sql(
+        spark,
+        f"CONVERT TO DELTA parquet.`{path}` PARTITIONED BY (part bigint)",
+    ).collect()[0]
+    assert row["version"] == 0
+    # the converted table is a first-class Delta table: DML works
+    sql(spark, f"DELETE FROM '{path}' WHERE id % 2 = 0")
+    assert read_delta(spark, path).count() == 100

@@ -1,0 +1,102 @@
+"""The plain Delta streaming source: incremental appends per commit,
+appends-only contract with ignoreDeletes / ignoreChanges escapes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.ops import delete_delta
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.writer import write_delta
+from deltalake_datafusion_spark.streaming.delta_source import (
+    read_delta_stream,
+)
+from deltalake_datafusion_spark.streaming.pipeline import (
+    run_to_memory,
+    write_stream_delta,
+)
+
+
+def _run(stream, name):
+    return run_to_memory(stream, name, "append")
+
+
+def test_replays_snapshot_and_appends(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "src")
+    write_delta(
+        spark,
+        spark.range(100).select("id", (F.col("id") % 3).alias("g")),
+        path,
+        partition_by=["g"],
+    )
+    write_delta(
+        spark,
+        spark.range(100, 150).select("id", (F.col("id") % 3).alias("g")),
+        path,
+        mode="append",
+    )
+    out = _run(read_delta_stream(spark, path), "t_ds_replay")
+    assert out.count() == 150
+    assert {r["g"] for r in out.select("g").distinct().collect()} == {0, 1, 2}
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(150))
+
+
+def test_incremental_delta_to_delta_pipeline(spark, tmp_path):
+    """delta → stream → delta with a checkpoint: a second run picks up
+    only the commits after the first run's offset (exactly-once via
+    the sink's txn idempotence)."""
+    src = os.path.join(str(tmp_path), "src")
+    dst = os.path.join(str(tmp_path), "dst")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    write_delta(spark, spark.range(10).select("id"), src)
+
+    q = write_stream_delta(read_delta_stream(spark, src), dst, ckpt)
+    q.awaitTermination(120)
+    assert read_delta(spark, dst).count() == 10
+
+    write_delta(spark, spark.range(10, 25).select("id"), src, mode="append")
+    q = write_stream_delta(read_delta_stream(spark, src), dst, ckpt)
+    q.awaitTermination(120)
+    out = read_delta(spark, dst)
+    assert out.count() == 25
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(25))
+
+
+def test_delete_commit_fails_without_flags(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "src")
+    write_delta(
+        spark,
+        spark.range(100).select("id", (F.col("id") % 4).alias("g")),
+        path,
+        partition_by=["g"],
+    )
+    delete_delta(spark, path, "g = 0")  # partition drop: remove-only
+    with pytest.raises(Exception, match="appends only|ignoreDeletes"):
+        _run(read_delta_stream(spark, path), "t_ds_fail")
+
+    out = _run(
+        read_delta_stream(spark, path, ignore_deletes=True), "t_ds_skipdel"
+    )
+    # delete-only commit skipped: the stream still replays the v0 adds
+    assert out.count() == 100
+
+
+def test_dv_rewrite_needs_ignore_changes(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "src")
+    # one data file so the DV rewrite's re-emission count is exact
+    write_delta(spark, spark.range(100).coalesce(1).select("id"), path)
+    delete_delta(spark, path, "id < 10")  # DV: remove+add same commit
+    with pytest.raises(Exception, match="ignoreChanges"):
+        _run(
+            read_delta_stream(spark, path, ignore_deletes=True),
+            "t_ds_needs_ic",
+        )
+    out = _run(
+        read_delta_stream(spark, path, ignore_changes=True), "t_ds_ic"
+    )
+    # v0 emits all 100; the rewrite re-emits the 90 survivors
+    assert out.count() == 190
+    assert out.filter("id < 10").count() == 10  # only the v0 copies
