@@ -245,7 +245,7 @@ def history_df(spark, table_path: str) -> DataFrame:
         rows.append(
             (
                 v,
-                info.get("timestamp"),
+                info.get("inCommitTimestamp", info.get("timestamp")),
                 info.get("operation"),
                 info.get("engineInfo"),
             )

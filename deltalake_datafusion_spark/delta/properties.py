@@ -1,0 +1,130 @@
+"""ALTER TABLE SET/UNSET TBLPROPERTIES — table-configuration commits.
+
+A property change is a metadata-only commit: a new ``metaData`` action
+with the merged configuration (plus a ``protocol`` action when a newly
+set property requires a table feature the protocol doesn't carry yet —
+CDF, appendOnly, in-commit timestamps).
+
+Enabling ``delta.enableInCommitTimestamps`` on an existing table also
+records the Delta-spec enablement provenance properties
+(``delta.inCommitTimestampEnablementVersion`` / ``…Timestamp``): time
+travel knows in-commit timestamps are only authoritative from that
+version on.
+
+Commits are built at the current tip and rebuilt on conflict (no blind
+retry: the metadata we're replacing may itself have changed).
+"""
+
+from __future__ import annotations
+
+import time
+
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import (
+    ConcurrentWriteError,
+    _metadata_action,
+    commit,
+    ict_enabled,
+    protocol_upgrade_action,
+)
+
+# property → required writer table feature
+_FEATURE_PROPS = {
+    "delta.enableChangeDataFeed": "changeDataFeed",
+    "delta.appendOnly": "appendOnly",
+    "delta.enableInCommitTimestamps": "inCommitTimestamp",
+}
+
+
+def set_tblproperties(
+    spark, table_path: str, props: dict[str, str], max_attempts: int = 5
+) -> dict:
+    """Merge ``props`` into the table configuration (one commit)."""
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        snap = load_snapshot(table_path, spark=spark)
+        conf = dict(snap.metadata.configuration)
+        conf.update({k: str(v) for k, v in props.items()})
+        enabling_ict = ict_enabled(conf) and not ict_enabled(
+            snap.metadata.configuration
+        )
+        if enabling_ict:
+            conf["delta.inCommitTimestampEnablementVersion"] = str(
+                snap.version + 1
+            )
+            conf["delta.inCommitTimestampEnablementTimestamp"] = str(
+                int(time.time() * 1000)
+            )
+        needed = {
+            feat
+            for key, feat in _FEATURE_PROPS.items()
+            if conf.get(key, "false").lower() == "true"
+        }
+        actions = []
+        up = protocol_upgrade_action(snap.protocol, needed) if needed else None
+        if up is not None:
+            actions.append(up)
+        md = _metadata_action(
+            snap.schema,
+            snap.partition_columns,
+            conf,
+            snap.metadata.id,
+            snap.metadata.name,
+        )
+        md["metaData"]["createdTime"] = snap.metadata.created_time
+        actions.append(md)
+        try:
+            commit(
+                snap.table_path,
+                snap.version + 1,
+                actions,
+                "SET TBLPROPERTIES",
+                spark=spark,
+                configuration=conf,
+            )
+            return {"version": snap.version + 1, "properties": len(props)}
+        except ConcurrentWriteError as e:  # rebuild against the new tip
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def unset_tblproperties(
+    spark,
+    table_path: str,
+    keys: list[str],
+    if_exists: bool = False,
+    max_attempts: int = 5,
+) -> dict:
+    """Remove ``keys`` from the table configuration (one commit)."""
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        snap = load_snapshot(table_path, spark=spark)
+        conf = dict(snap.metadata.configuration)
+        missing = [k for k in keys if k not in conf]
+        if missing and not if_exists:
+            raise KeyError(
+                f"table properties not set: {missing}; use IF EXISTS"
+            )
+        for k in keys:
+            conf.pop(k, None)
+        md = _metadata_action(
+            snap.schema,
+            snap.partition_columns,
+            conf,
+            snap.metadata.id,
+            snap.metadata.name,
+        )
+        md["metaData"]["createdTime"] = snap.metadata.created_time
+        try:
+            commit(
+                snap.table_path,
+                snap.version + 1,
+                [md],
+                "UNSET TBLPROPERTIES",
+                spark=spark,
+                configuration=conf,
+            )
+            return {"version": snap.version + 1, "properties": len(keys)}
+        except ConcurrentWriteError as e:
+            last = e
+    raise last  # type: ignore[misc]

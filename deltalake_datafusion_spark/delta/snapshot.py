@@ -236,7 +236,10 @@ def resolve_version_at_timestamp(table_path: str, ts_ms: int, spark=None) -> int
         info_ts = None
         for a in _iter_commit_actions(p, fs):
             if a.get("commitInfo"):
-                info_ts = a["commitInfo"].get("timestamp")
+                ci = a["commitInfo"]
+                # in-commit timestamps (when the table enables them)
+                # are authoritative over the wall clock the writer saw
+                info_ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
                 break
         if info_ts is None:  # fall back to file mtime (spec allows)
             info_ts = next(

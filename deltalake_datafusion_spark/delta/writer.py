@@ -214,6 +214,8 @@ def _creation_protocol(
         features.add("changeDataFeed")
     if conf.get("delta.appendOnly", "").lower() == "true":
         features.add("appendOnly")
+    if conf.get("delta.enableInCommitTimestamps", "").lower() == "true":
+        features.add("inCommitTimestamp")
     if any(k.startswith("delta.constraints.") for k in conf):
         features.add("checkConstraints")
     if not features:
@@ -331,24 +333,65 @@ def _metadata_action(
     }
 
 
+def ict_enabled(configuration: dict[str, str] | None) -> bool:
+    return (
+        (configuration or {})
+        .get("delta.enableInCommitTimestamps", "false")
+        .lower()
+        == "true"
+    )
+
+
+def _prev_ict(table_path: str, version: int, fs) -> int | None:
+    """inCommitTimestamp (or plain timestamp) of commit version-1; None
+    when that commit is gone (log cleanup) — the spec only requires
+    monotonicity across retained commits."""
+    if version <= 0:
+        return None
+    try:
+        raw = fs.read_bytes(_commit_path(table_path, version - 1))
+    except (FileNotFoundError, OSError):
+        return None
+    for line in raw.decode("utf-8").splitlines():
+        if not line.strip():
+            continue
+        a = json.loads(line)
+        if a.get("commitInfo"):
+            ci = a["commitInfo"]
+            return ci.get("inCommitTimestamp", ci.get("timestamp"))
+        break
+    return None
+
+
 def commit(
     table_path: str,
     version: int,
     actions: list[dict],
     operation: str,
     spark=None,
+    configuration: dict[str, str] | None = None,
 ) -> None:
     """Atomically write ``_delta_log/<version>.json`` (create-if-absent;
-    reference ``PutMode::Create`` — file_format.rs:230-242)."""
+    reference ``PutMode::Create`` — file_format.rs:230-242).
+
+    With ``delta.enableInCommitTimestamps`` in ``configuration``, the
+    commitInfo carries an ``inCommitTimestamp`` that is strictly
+    greater than the previous commit's (Delta's inCommitTimestamp
+    writer feature: commit time comes from the log, not from file
+    mtimes an object store may rewrite)."""
     fs = fs_for(table_path, spark)
-    header = {
-        "commitInfo": {
-            "timestamp": _now_ms(),
-            "operation": operation,
-            "engineInfo": "deltalake-datafusion-spark/0.1.0",
-            "txnId": str(uuid.uuid4()),
-        }
+    info = {
+        "timestamp": _now_ms(),
+        "operation": operation,
+        "engineInfo": "deltalake-datafusion-spark/0.1.0",
+        "txnId": str(uuid.uuid4()),
     }
+    if ict_enabled(configuration):
+        prev = _prev_ict(table_path, version, fs)
+        info["inCommitTimestamp"] = max(
+            info["timestamp"], (prev + 1) if prev is not None else 0
+        )
+    header = {"commitInfo": info}
     payload = "\n".join(json.dumps(a) for a in [header] + actions) + "\n"
     try:
         fs.write_atomic(_commit_path(table_path, version), payload.encode("utf-8"))
@@ -415,11 +458,20 @@ def commit_with_retries(
         )
 
     fs = fs_for(table_path, spark)
+    # the configuration deciding in-commit-timestamp behavior: a
+    # metaData action in this very commit wins over the base snapshot
+    commit_conf = base_snapshot.metadata.configuration
+    for a in actions:
+        if a.get("metaData"):
+            commit_conf = a["metaData"].get("configuration", commit_conf)
     version = base_snapshot.version + 1
     checked_through = base_snapshot.version
     for _ in range(max_attempts):
         try:
-            commit(table_path, version, actions, operation, spark)
+            commit(
+                table_path, version, actions, operation, spark,
+                configuration=commit_conf,
+            )
             return version
         except ConcurrentWriteError:
             commits, _ = list_log_files(table_path, spark)
@@ -829,8 +881,21 @@ def write_delta(
                          "lastUpdated": _now_ms()}}
             )
         op = "WRITE" if current is None else mode.upper()
+        commit_conf = (
+            current.metadata.configuration
+            if current is not None
+            else (configuration or {})
+        )
+        for a in actions:
+            if a.get("metaData"):
+                commit_conf = a["metaData"].get(
+                    "configuration", commit_conf
+                )
         try:
-            commit(table_path, version, actions, op, spark)
+            commit(
+                table_path, version, actions, op, spark,
+                configuration=commit_conf,
+            )
             break
         except ConcurrentWriteError:
             if attempt == max_commit_attempts - 1:

@@ -38,6 +38,8 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
     REORG TABLE <target> APPLY (PURGE)
     DESCRIBE DETAIL|HISTORY <target>
     SHOW TBLPROPERTIES <target> [(key)]
+    ALTER TABLE <target> SET TBLPROPERTIES (k = v, ...)
+    ALTER TABLE <target> UNSET TBLPROPERTIES [IF EXISTS] (k, ...)
     ALTER TABLE <target> ADD CONSTRAINT name CHECK (expr)
     ALTER TABLE <target> DROP CONSTRAINT [IF EXISTS] name
     CREATE TABLE <dst> SHALLOW CLONE <src>
@@ -103,6 +105,17 @@ _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"(?:\s+ZORDER\s+BY\s+\(?(?P<zcols>[\w,\s]+?)\)?)?\s*;?\s*$",
     re.IGNORECASE,
+)
+_SET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+SET\s+TBLPROPERTIES\s*\(\s*(?P<kv>.+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UNSET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+UNSET\s+TBLPROPERTIES\s*(?P<ie>IF\s+EXISTS\s*)?"
+    r"\(\s*(?P<keys>.+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _CONVERT_RE = re.compile(
     r"^\s*CONVERT\s+TO\s+DELTA\s+"
@@ -357,6 +370,39 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             spark,
             _unquote_target(m.group("target"), registry),
             zorder_by=[c.strip() for c in z.split(",")] if z else None,
+        )
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _SET_PROPS_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.properties import (
+            set_tblproperties,
+        )
+
+        props = {}
+        for part in _split_top_level_commas(m.group("kv")):
+            k, _, v = part.partition("=")
+            props[k.strip().strip("'\"`")] = v.strip().strip("'\"")
+        res = set_tblproperties(
+            spark, _unquote_target(m.group("target"), registry), props
+        )
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _UNSET_PROPS_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.properties import (
+            unset_tblproperties,
+        )
+
+        keys = [
+            p.strip().strip("'\"`")
+            for p in _split_top_level_commas(m.group("keys"))
+        ]
+        res = unset_tblproperties(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            keys,
+            if_exists=bool(m.group("ie")),
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 

@@ -389,7 +389,7 @@ def test_commit_conflict_and_retry(spark, tmp_path):
     real_commit = writer_mod.commit
     state = {"raced": False}
 
-    def racing_commit(table_path, version, actions, op, spark_=None):
+    def racing_commit(table_path, version, actions, op, spark_=None, **kw):
         if not state["raced"]:
             state["raced"] = True
             real_commit(table_path, version, [], "COMPETING", spark_)

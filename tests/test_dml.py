@@ -354,7 +354,7 @@ def test_concurrent_disjoint_commit_retries_cleanly(spark, tmp_path, monkeypatch
     real_commit = w.commit
     fired = {"done": False}
 
-    def racing_commit(table_path, version, actions, operation, spark_=None):
+    def racing_commit(table_path, version, actions, operation, spark_=None, **kw):
         if not fired["done"] and operation == "DELETE":
             fired["done"] = True
             # concurrent append wins the version race
@@ -386,7 +386,7 @@ def test_concurrent_conflicting_commit_raises(spark, tmp_path, monkeypatch):
     real_commit = w.commit
     fired = {"done": False}
 
-    def racing_commit(table_path, version, actions, operation, spark_=None):
+    def racing_commit(table_path, version, actions, operation, spark_=None, **kw):
         if not fired["done"] and operation == "DELETE":
             fired["done"] = True
             real_commit(table_path, version, actions, "DELETE", spark_)
@@ -595,7 +595,7 @@ def test_concurrent_append_matching_read_predicate_conflicts(
     real_commit = w.commit
     fired = {"done": False}
 
-    def racing_commit(table_path, version, actions, operation, spark_=None):
+    def racing_commit(table_path, version, actions, operation, spark_=None, **kw):
         if not fired["done"] and operation == "DELETE":
             fired["done"] = True
             # concurrent writer appends rows with id 0..3 — inside the
@@ -626,7 +626,7 @@ def test_concurrent_disjoint_append_retries_cleanly(
     real_commit = w.commit
     fired = {"done": False}
 
-    def racing_commit(table_path, version, actions, operation, spark_=None):
+    def racing_commit(table_path, version, actions, operation, spark_=None, **kw):
         if not fired["done"] and operation == "DELETE":
             fired["done"] = True
             write_delta(
@@ -660,7 +660,7 @@ def test_concurrent_protocol_change_conflicts(spark, tmp_path, monkeypatch):
     real_commit = w.commit
     fired = {"done": False}
 
-    def racing_commit(table_path, version, actions, operation, spark_=None):
+    def racing_commit(table_path, version, actions, operation, spark_=None, **kw):
         if not fired["done"] and operation == "DELETE":
             fired["done"] = True
             real_commit(

@@ -1,0 +1,128 @@
+"""ALTER TABLE SET/UNSET TBLPROPERTIES and the inCommitTimestamp
+writer feature (monotonic log-sourced commit times)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.snapshot import (
+    load_snapshot,
+    resolve_version_at_timestamp,
+)
+from deltalake_datafusion_spark.delta.writer import write_delta
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+
+def _commit_info(path, version):
+    p = os.path.join(path, "_delta_log", f"{version:020d}.json")
+    with open(p) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if a.get("commitInfo"):
+                return a["commitInfo"]
+    return {}
+
+
+def _table(spark, tmp_path, configuration=None):
+    path = os.path.join(str(tmp_path), "t")
+    write_delta(
+        spark, spark.range(10).select("id"), path, configuration=configuration
+    )
+    return path
+
+
+def test_set_and_unset_tblproperties(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    sql(
+        spark,
+        f"ALTER TABLE '{path}' SET TBLPROPERTIES "
+        "('custom.owner' = 'ops', 'custom.tier' = 'gold')",
+    )
+    snap = load_snapshot(path, spark=spark)
+    assert snap.metadata.configuration["custom.owner"] == "ops"
+    assert snap.metadata.configuration["custom.tier"] == "gold"
+    # schema and data untouched by the metadata-only commit
+    assert [f.name for f in snap.schema.fields] == ["id"]
+
+    sql(
+        spark,
+        f"ALTER TABLE '{path}' UNSET TBLPROPERTIES ('custom.tier')",
+    )
+    snap = load_snapshot(path, spark=spark)
+    assert "custom.tier" not in snap.metadata.configuration
+    assert snap.metadata.configuration["custom.owner"] == "ops"
+    with pytest.raises(KeyError, match="IF EXISTS"):
+        sql(spark, f"ALTER TABLE '{path}' UNSET TBLPROPERTIES ('nope')")
+    sql(
+        spark,
+        f"ALTER TABLE '{path}' UNSET TBLPROPERTIES IF EXISTS ('nope')",
+    )
+
+
+def test_setting_feature_property_upgrades_protocol(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    snap = load_snapshot(path, spark=spark)
+    assert "changeDataFeed" not in (snap.protocol.writer_features or [])
+    sql(
+        spark,
+        f"ALTER TABLE '{path}' SET TBLPROPERTIES "
+        "('delta.enableChangeDataFeed' = 'true')",
+    )
+    snap = load_snapshot(path, spark=spark)
+    assert "changeDataFeed" in snap.protocol.writer_features
+    # CDF now actually captures DML
+    from deltalake_datafusion_spark.delta.cdf import table_changes
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+
+    v = snap.version
+    delete_delta(spark, path, "id < 2")
+    feed = table_changes(spark, path, v + 1)
+    assert feed.filter("_change_type = 'delete'").count() == 2
+
+
+def test_ict_enabled_at_creation(spark, tmp_path):
+    path = _table(
+        spark,
+        tmp_path,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    for i in range(3):
+        write_delta(
+            spark,
+            spark.range(i * 10, i * 10 + 5).select("id"),
+            path,
+            mode="append",
+        )
+    snap = load_snapshot(path, spark=spark)
+    assert "inCommitTimestamp" in snap.protocol.writer_features
+    icts = [
+        _commit_info(path, v).get("inCommitTimestamp") for v in range(4)
+    ]
+    assert all(t is not None for t in icts)
+    assert icts == sorted(icts) and len(set(icts)) == 4  # strictly inc.
+
+
+def test_ict_enablement_records_provenance_and_time_travel(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    write_delta(spark, spark.range(5).select("id"), path, mode="append")
+    sql(
+        spark,
+        f"ALTER TABLE '{path}' SET TBLPROPERTIES "
+        "('delta.enableInCommitTimestamps' = 'true')",
+    )
+    snap = load_snapshot(path, spark=spark)
+    conf = snap.metadata.configuration
+    assert conf["delta.inCommitTimestampEnablementVersion"] == str(
+        snap.version
+    )
+    assert "delta.inCommitTimestampEnablementTimestamp" in conf
+    assert "inCommitTimestamp" in snap.protocol.writer_features
+    # subsequent commits carry ICT and timestamp travel resolves by it
+    write_delta(spark, spark.range(100, 105).select("id"), path, mode="append")
+    ict = _commit_info(path, snap.version + 1)["inCommitTimestamp"]
+    assert resolve_version_at_timestamp(path, ict, spark) == snap.version + 1
+    assert resolve_version_at_timestamp(path, ict - 1, spark) == snap.version
