@@ -203,9 +203,19 @@ def _delete_plan(
             }
         )
 
+    from deltalake_datafusion_spark.delta.cdf import cdf_enabled as _cdf_en
+
+    cdc_on = emit_cdc and _cdf_en(snap.metadata.configuration)
+    matched = None
     if candidates:
+        matched = scan_df.filter(F.expr(predicate))
+        if cdc_on:
+            # the matched rows feed BOTH the DV encoder and the cdc
+            # capture below — persist once instead of re-scanning the
+            # candidate files (bounded by deleted-row volume)
+            matched = matched.persist()
         hits = (
-            scan_df.filter(F.expr(predicate))
+            matched
             .select("__file_path", "__row_index")
             .groupBy("__file_path")
             .applyInPandas(_encode_group, enc_schema)
@@ -214,6 +224,8 @@ def _delete_plan(
     total_deleted = sum(r["new_deletes"] for r in hits) + stats_full_live
 
     if not hits and not stats_full:
+        if matched is not None and cdc_on:
+            matched.unpersist()
         return _noop_delete()
 
     by_path = {f.path: f for f in snap.files}
@@ -266,23 +278,20 @@ def _delete_plan(
 
     # CDF: a DELETE commit mixes removes and DV-adds, so per spec it
     # must carry its changed rows as cdc files (readers of a commit
-    # with cdc use only cdc). This necessarily re-reads the matched
-    # rows — including the stats-full files the fast path would
-    # otherwise never touch — exactly as Delta's own writer does when
-    # the feed is enabled.
+    # with cdc use only cdc). The matched rows were persisted above so
+    # the capture re-reads nothing; only the stats-full files the fast
+    # path never scanned need a read here — exactly as Delta's own
+    # writer does when the feed is enabled.
     from deltalake_datafusion_spark.delta.cdf import (
         CHANGE_TYPE_COL,
         cdf_enabled,
         stage_cdc,
     )
 
-    if emit_cdc and cdf_enabled(snap.metadata.configuration):
+    if cdc_on:
         parts = []
-        if candidates:
-            scanned = _scan_with_rowmeta(
-                spark, snap, predicate, files=candidates
-            ).filter(F.expr(predicate))
-            parts.append(scanned)
+        if matched is not None:
+            parts.append(matched)  # persisted above — no second scan
         if stats_full:
             parts.append(_scan_with_rowmeta(spark, snap, None, files=stats_full))
         if parts:
@@ -293,6 +302,8 @@ def _delete_plan(
                 CHANGE_TYPE_COL, F.lit("delete")
             )
             actions.extend(stage_cdc(spark, snap, cdc_df))
+        if matched is not None:
+            matched.unpersist()
 
     return {
         "actions": actions,
@@ -363,6 +374,13 @@ def update_delta(
     matched_df = _scan_with_rowmeta(spark, snap, predicate).filter(
         F.expr(predicate)
     )
+    from deltalake_datafusion_spark.delta.cdf import cdf_enabled as _cdf_en
+
+    # matched rows feed the rewrite AND (with the feed on) the cdc
+    # pre/post images — persist once instead of rescanning per use
+    _upd_persist = _cdf_en(snap.metadata.configuration)
+    if _upd_persist:
+        matched_df = matched_df.persist()
     unknown = [c for c in set_exprs if c not in matched_df.columns]
     if unknown:
         raise ValueError(
@@ -423,6 +441,8 @@ def update_delta(
         )
         cdc_actions = stage_cdc(spark, snap, pre.unionByName(post))
 
+    if _upd_persist:
+        matched_df.unpersist()
     adds = []
     p2l = dict(zip(phys_parts, snap.partition_columns))
     from deltalake_datafusion_spark.delta.stats import collect_stats_batch
@@ -606,6 +626,10 @@ def merge_delta(
         # matching one target row duplicates that row (ANSI MERGE
         # errors; see MergeCardinalityError above).
         joined = tf.join(m, ["__file_path", "__row_index"], "left")
+        if _cdf_on:
+            # the join feeds the rewrite AND the cdc pre/post images —
+            # persist once instead of recomputing it per consumer
+            joined = joined.persist()
         # Evolved columns are absent from the target scan: back-fill
         # typed nulls so every downstream select over the (possibly
         # evolved) logical schema resolves; SET/INSERT overwrite them.
@@ -759,6 +783,8 @@ def merge_delta(
         for p in cdc_parts[1:]:
             cdc_df = cdc_df.unionByName(p)
         actions.extend(stage_cdc(spark, snap, cdc_df))
+    if _cdf_on and touched:
+        joined.unpersist()
 
     from deltalake_datafusion_spark.delta.writer import commit_with_retries
 
