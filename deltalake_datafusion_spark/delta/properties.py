@@ -88,6 +88,82 @@ def set_tblproperties(
     raise last  # type: ignore[misc]
 
 
+def set_column_default(
+    spark,
+    table_path: str,
+    column: str,
+    default_expr: str | None,
+    max_attempts: int = 5,
+) -> dict:
+    """ALTER TABLE … ALTER COLUMN c SET DEFAULT expr / DROP DEFAULT.
+
+    Stores the expression in the field's ``CURRENT_DEFAULT`` metadata
+    (the delta-spark convention); setting a first default upgrades the
+    protocol with the ``allowColumnDefaults`` writer feature. The
+    default applies to future writes that omit the column — existing
+    rows are untouched (Delta's semantics: no backfill)."""
+    from pyspark.sql.types import StructField, StructType
+
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        snap = load_snapshot(table_path, spark=spark)
+        names = snap.schema.fieldNames()
+        if column not in names:
+            raise KeyError(
+                f"column {column!r} not in table schema {names}"
+            )
+        if default_expr is not None:
+            from pyspark.sql import functions as F
+
+            # fail fast on an unparseable/unresolvable expression
+            spark.range(1).select(
+                F.expr(default_expr).cast(snap.schema[column].dataType)
+            )
+        new_fields = []
+        for f in snap.schema.fields:
+            if f.name != column:
+                new_fields.append(f)
+                continue
+            md = dict(f.metadata or {})
+            if default_expr is None:
+                md.pop("CURRENT_DEFAULT", None)
+            else:
+                md["CURRENT_DEFAULT"] = default_expr
+            new_fields.append(
+                StructField(f.name, f.dataType, f.nullable, md)
+            )
+        schema = StructType(new_fields)
+        actions = []
+        if default_expr is not None:
+            up = protocol_upgrade_action(
+                snap.protocol, {"allowColumnDefaults"}
+            )
+            if up is not None:
+                actions.append(up)
+        md_action = _metadata_action(
+            schema,
+            snap.partition_columns,
+            dict(snap.metadata.configuration),
+            snap.metadata.id,
+            snap.metadata.name,
+        )
+        md_action["metaData"]["createdTime"] = snap.metadata.created_time
+        actions.append(md_action)
+        try:
+            commit(
+                snap.table_path,
+                snap.version + 1,
+                actions,
+                "ALTER COLUMN",
+                spark=spark,
+                configuration=snap.metadata.configuration,
+            )
+            return {"version": snap.version + 1, "column": column}
+        except ConcurrentWriteError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
 def unset_tblproperties(
     spark,
     table_path: str,

@@ -216,6 +216,15 @@ def _creation_protocol(
         features.add("appendOnly")
     if conf.get("delta.enableInCommitTimestamps", "").lower() == "true":
         features.add("inCommitTimestamp")
+    if schema is not None and any(
+        f.metadata and "CURRENT_DEFAULT" in f.metadata for f in schema.fields
+    ):
+        features.add("allowColumnDefaults")
+    if schema is not None and any(
+        f.metadata and "delta.identity.start" in f.metadata
+        for f in schema.fields
+    ):
+        features.add("identityColumns")
     if any(k.startswith("delta.constraints.") for k in conf):
         features.add("checkConstraints")
     if not features:
@@ -598,6 +607,43 @@ def _stage_and_move(
     return moved
 
 
+def create_delta_table(
+    spark,
+    table_path: str,
+    schema: StructType,
+    partition_by: list[str] | None = None,
+    configuration: dict[str, str] | None = None,
+    name: str | None = None,
+) -> Snapshot:
+    """CREATE TABLE: an empty Delta table from an explicit schema —
+    the only way to declare identity columns (which must exist before
+    the first data arrives) and the natural home for DEFAULT /
+    generated-column metadata. One metadata-only commit; appends flow
+    through :func:`write_delta` afterwards."""
+    table_path = strip_scheme(table_path)
+    partition_by = list(partition_by or [])
+    configuration = dict(configuration or {})
+    for p in partition_by:
+        if p not in schema.fieldNames():
+            raise DeltaWriteError(f"partition column {p!r} not in schema")
+    try:
+        load_snapshot(table_path, spark=spark)
+        raise DeltaWriteError(f"table already exists at {table_path}")
+    except DeltaNotFoundError:
+        pass
+    actions = [
+        _creation_protocol(False, configuration, schema),
+        _metadata_action(
+            schema, partition_by, configuration, str(uuid.uuid4()), name
+        ),
+    ]
+    commit(
+        table_path, 0, actions, "CREATE TABLE", spark=spark,
+        configuration=configuration,
+    )
+    return load_snapshot(table_path, spark=spark)
+
+
 def write_delta(
     spark,
     df: DataFrame,
@@ -647,6 +693,7 @@ def write_delta(
         return existing
 
     schema_changed = False
+    ident_assigned: dict[str, dict] = {}
     if existing is not None:
         if column_mapping and existing.column_mapping_mode == "none":
             raise DeltaWriteError("cannot enable column mapping on an existing table")
@@ -654,6 +701,31 @@ def write_delta(
         logical_schema = existing.schema
         existing_names = set(logical_schema.fieldNames())
         df_names = set(df.schema.fieldNames())
+
+        # Identity columns: reject explicit values on GENERATED ALWAYS;
+        # mint block-allocated ids for absent columns (delta/identity.py)
+        from deltalake_datafusion_spark.delta.identity import (
+            assign_identity,
+            identity_columns,
+        )
+
+        ident = identity_columns(logical_schema)
+        for c in sorted(set(ident) & df_names):
+            if not ident[c]["allow_explicit"]:
+                raise DeltaWriteError(
+                    f"identity column {c!r} is GENERATED ALWAYS AS "
+                    "IDENTITY — it cannot be written explicitly"
+                )
+        for c in sorted((existing_names - df_names) & set(ident)):
+            info = ident[c]
+            base = (
+                info["start"]
+                if info["hwm"] is None
+                else info["hwm"] + info["step"]
+            )
+            df = assign_identity(df, c, base, info["step"])
+            df_names.add(c)
+            ident_assigned[c] = info
         mapping = existing.column_mapping_mode != "none"
         if schema_mode == "merge":
             write_schema, merged_conf, schema_changed = merge_schema_fields(
@@ -669,7 +741,11 @@ def write_delta(
                     (
                         F.col(f.name).cast(f.dataType)
                         if f.name in df_names
-                        else F.lit(None).cast(f.dataType)
+                        else (
+                            F.expr(f.metadata["CURRENT_DEFAULT"])
+                            if f.metadata and "CURRENT_DEFAULT" in f.metadata
+                            else F.lit(None)
+                        ).cast(f.dataType)
                     ).alias(f.name)
                     for f in write_schema.fields
                 ]
@@ -688,6 +764,17 @@ def write_delta(
             check_gen = sorted(set(gen) & df_names)
             for c in sorted((existing_names - df_names) & set(gen)):
                 df = df.withColumn(c, F.expr(gen[c]))
+                df_names.add(c)
+            # Column DEFAULT values (allowColumnDefaults): a column
+            # absent from the batch takes its declared default — unlike
+            # generated columns, a provided value always wins unchecked.
+            dflt = {
+                f.name: f.metadata["CURRENT_DEFAULT"]
+                for f in logical_schema.fields
+                if f.metadata and "CURRENT_DEFAULT" in f.metadata
+            }
+            for c in sorted((existing_names - df_names) & set(dflt)):
+                df = df.withColumn(c, F.expr(dflt[c]))
                 df_names.add(c)
             if check_gen:
                 aggs = [
@@ -785,6 +872,20 @@ def write_delta(
             }
         )
 
+    if ident_assigned:
+        # advance each assigned column's high-water mark from the
+        # footer stats already in the add actions — zero extra scans
+        from deltalake_datafusion_spark.delta.identity import (
+            high_water_mark_from_stats,
+            schema_with_hwm,
+        )
+
+        stats_list = [a["add"].get("stats") for a in adds]
+        for c, info in ident_assigned.items():
+            hwm = high_water_mark_from_stats(stats_list, c, info["step"])
+            if hwm is not None:
+                write_schema = schema_with_hwm(write_schema, c, hwm)
+
     cdc_overwrite: list[dict] | None = None
     cdc_staged_version: int | None = None
     for attempt in range(max_commit_attempts):
@@ -804,9 +905,10 @@ def write_delta(
                     str(uuid.uuid4()), name,
                 )
             )
-        elif schema_changed:
-            # Schema evolution: re-emit metaData with the merged schema
-            # (same table id — the schema history lives in the log).
+        elif schema_changed or ident_assigned:
+            # Schema evolution or identity high-water-mark advance:
+            # re-emit metaData with the updated schema (same table id —
+            # the schema history lives in the log).
             md = _metadata_action(
                 write_schema,
                 partition_by,

@@ -664,3 +664,76 @@ def embedding_near_dup_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+# ------------------------------------------------------------------ #
+# Line-level dedup (C4-style)                                         #
+# ------------------------------------------------------------------ #
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide line deduplication (the C4 recipe, adapted to
+    unstructured text by chunking normalized words into fixed
+    ``chunk_words`` lines): every repeated line keeps only its first
+    occurrence — ordered by (document id, position) — and documents
+    are reconstructed from their surviving lines.
+
+    Returns ``(id_col, kept_text, n_lines, n_kept)``.
+
+    Scale: lines shuffle ONCE on their content hash for the
+    first-occurrence window; reconstruction shuffles once on the
+    document id. Both exchanges carry (hash, id, pos) + the line text —
+    never whole documents — and the window state per line is one row.
+    """
+    w = words_col(F.col(text_col))
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, i * chunk_words + 1, chunk_words)
+                ),
+            )
+        ).alias("__pos", "__line"),
+    )
+    first = Window.partitionBy("__line").orderBy("__id", "__pos")
+    kept = (
+        lines.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        lines.groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .join(
+            kept.groupBy("__id").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("__pos", "__line")
+                            )
+                        ),
+                        lambda s: s["__line"],
+                    ),
+                ).alias("kept_text"),
+            ),
+            "__id",
+            "left",
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

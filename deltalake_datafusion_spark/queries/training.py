@@ -297,6 +297,63 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup over the doubled corpus
+    (documents ∪ exact copies): every copy's lines lose to the
+    original's, so the copies dedup to nothing; per-language audit of
+    line totals, survivors, and post-dedup text size."""
+    from deltalake_datafusion_spark.operators.dedup import line_dedup
+    from deltalake_datafusion_spark.queries.pipeline import _doubled_docs
+
+    corpus = _doubled_docs(spark, sf_dir)
+    dd = line_dedup(corpus, "text", "doc_id", chunk_words=10)
+    return (
+        dd.join(corpus.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").alias("lines_total"),
+            F.sum("n_kept").alias("lines_kept"),
+            F.sum(F.length("kept_text")).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_LINE_DEDUP_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text, lang FROM documents
+),
+t AS (SELECT doc_id, lang, {_WORDS} AS w FROM corpus),
+ln AS (
+  SELECT doc_id, lang, u['pos'] AS pos, u['line'] AS line FROM (
+    SELECT doc_id, lang,
+      unnest([{{'pos': i, 'line': array_to_string(w[i*10+1:i*10+10], ' ')}}
+              for i in range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))]) AS u
+    FROM t)
+),
+k AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY line ORDER BY doc_id, pos
+  ) AS rn FROM ln
+),
+perdoc AS (
+  SELECT doc_id, lang, COUNT(*) AS n_lines,
+    SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+    COALESCE(SUM(CASE WHEN rn = 1 THEN LENGTH(line) END), 0) AS kept_line_chars
+  FROM k GROUP BY doc_id, lang
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_lines) AS BIGINT) AS lines_total,
+  CAST(SUM(n_kept) AS BIGINT) AS lines_kept,
+  CAST(SUM(CASE WHEN n_kept > 0 THEN kept_line_chars + n_kept - 1
+                ELSE 0 END) AS BIGINT) AS kept_chars
+FROM perdoc GROUP BY lang ORDER BY lang
+"""
+
+
 def streaming_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain Delta streaming source: orders lands in a Delta table over
     two append commits; the ``delta_stream`` source replays both as
@@ -359,4 +416,5 @@ def specs() -> list[QuerySpec]:
             streaming_delta_source,
             _STREAM_DELTA_SOURCE_SQL,
         ),
+        QuerySpec("text_line_dedup", text_line_dedup, _LINE_DEDUP_SQL),
     ]

@@ -38,11 +38,15 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
     REORG TABLE <target> APPLY (PURGE)
     DESCRIBE DETAIL|HISTORY <target>
     SHOW TBLPROPERTIES <target> [(key)]
+    ALTER TABLE <target> ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT
     ALTER TABLE <target> SET TBLPROPERTIES (k = v, ...)
     ALTER TABLE <target> UNSET TBLPROPERTIES [IF EXISTS] (k, ...)
     ALTER TABLE <target> ADD CONSTRAINT name CHECK (expr)
     ALTER TABLE <target> DROP CONSTRAINT [IF EXISTS] name
     CREATE TABLE <dst> SHALLOW CLONE <src>
+    CREATE TABLE <'path'|delta.`path`> (col TYPE [GENERATED …
+        AS IDENTITY] [DEFAULT expr] [NOT NULL], …) [USING DELTA]
+        [PARTITIONED BY (…)] [TBLPROPERTIES (…)]
     SELECT ... FROM delta_log('url') / log_replay('url') /
         directory_listing('url') / history('url') /
         table_changes('url', from[, to])
@@ -105,6 +109,12 @@ _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"(?:\s+ZORDER\s+BY\s+\(?(?P<zcols>[\w,\s]+?)\)?)?\s*;?\s*$",
     re.IGNORECASE,
+)
+_COL_DEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+ALTER\s+COLUMN\s+(?P<col>\w+|`[^`]+`)\s+"
+    r"(?:SET\s+DEFAULT\s+(?P<expr>.+?)|(?P<drop>DROP\s+DEFAULT))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _SET_PROPS_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
@@ -323,6 +333,17 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 
+    if re.match(
+        r"^\s*CREATE\s+TABLE\s+('|delta\.`)", statement, re.IGNORECASE
+    ) and "SHALLOW CLONE" not in statement.upper():
+        from deltalake_datafusion_spark.sql.create_table import (
+            try_create_table,
+        )
+
+        out = try_create_table(spark, statement, registry)
+        if out is not None:
+            return out
+
     m = _CLONE_RE.match(statement)
     if m:
         from deltalake_datafusion_spark.delta.clone import clone_delta
@@ -370,6 +391,20 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             spark,
             _unquote_target(m.group("target"), registry),
             zorder_by=[c.strip() for c in z.split(",")] if z else None,
+        )
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _COL_DEFAULT_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.properties import (
+            set_column_default,
+        )
+
+        res = set_column_default(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            m.group("col").strip("`"),
+            None if m.group("drop") else m.group("expr").strip(),
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 

@@ -1,0 +1,170 @@
+"""Identity columns (GENERATED ALWAYS/BY DEFAULT AS IDENTITY) and
+empty-table creation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from deltalake_datafusion_spark.delta.identity import identity_field
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import (
+    DeltaWriteError,
+    create_delta_table,
+    write_delta,
+)
+
+
+def _schema(**id_kwargs):
+    return StructType(
+        [
+            identity_field("uid", **id_kwargs),
+            StructField("payload", StringType()),
+        ]
+    )
+
+
+def test_create_empty_table_and_identity_appends(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t")
+    snap = create_delta_table(
+        spark, path, _schema(start=100, step=10), name="idtab"
+    )
+    assert snap.version == 0 and snap.files == []
+    assert "identityColumns" in snap.protocol.writer_features
+    assert read_delta(spark, path).count() == 0
+
+    write_delta(
+        spark,
+        spark.range(50).select(F.concat(F.lit("p"), F.col("id")).alias("payload")),
+        path,
+        mode="append",
+    )
+    out = read_delta(spark, path)
+    rows = out.select("uid").collect()
+    uids = [r["uid"] for r in rows]
+    assert len(set(uids)) == 50  # unique
+    assert all(u >= 100 and (u - 100) % 10 == 0 for u in uids)  # sequence
+    hwm1 = load_snapshot(path, spark=spark).schema["uid"].metadata[
+        "delta.identity.highWaterMark"
+    ]
+    assert hwm1 == max(uids)
+
+    # second append mints strictly beyond the recorded high-water mark
+    write_delta(
+        spark,
+        spark.range(30).select(F.lit("q").alias("payload")),
+        path,
+        mode="append",
+    )
+    out2 = read_delta(spark, path)
+    uids2 = {r["uid"] for r in out2.select("uid").collect()}
+    assert len(uids2) == 80  # all unique across both appends
+    assert min(uids2 - set(uids)) > hwm1
+
+
+def test_generated_always_rejects_explicit_values(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t")
+    create_delta_table(spark, path, _schema())
+    with pytest.raises(DeltaWriteError, match="GENERATED ALWAYS"):
+        write_delta(
+            spark,
+            spark.range(3).select(
+                F.col("id").alias("uid"), F.lit("x").alias("payload")
+            ),
+            path,
+            mode="append",
+        )
+
+
+def test_by_default_allows_explicit_values(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t")
+    create_delta_table(
+        spark, path, _schema(allow_explicit_insert=True)
+    )
+    write_delta(
+        spark,
+        spark.range(3).select(
+            (F.col("id") + 1000).alias("uid"), F.lit("x").alias("payload")
+        ),
+        path,
+        mode="append",
+    )
+    assert {r["uid"] for r in read_delta(spark, path).collect()} == {
+        1000, 1001, 1002,
+    }
+
+
+def test_descending_identity(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t")
+    create_delta_table(spark, path, _schema(start=0, step=-5))
+    write_delta(
+        spark,
+        spark.range(10).select(F.lit("x").alias("payload")),
+        path,
+        mode="append",
+    )
+    uids = [r["uid"] for r in read_delta(spark, path).select("uid").collect()]
+    assert all(u <= 0 and u % 5 == 0 for u in uids) and len(set(uids)) == 10
+    hwm = load_snapshot(path, spark=spark).schema["uid"].metadata[
+        "delta.identity.highWaterMark"
+    ]
+    assert hwm == min(uids)
+
+
+def test_identity_field_validation():
+    with pytest.raises(ValueError, match="nonzero"):
+        identity_field("a", step=0)
+    with pytest.raises(ValueError, match="BIGINT"):
+        identity_field("a", dtype="string")
+
+
+def test_create_table_refuses_existing(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t")
+    create_delta_table(spark, path, _schema())
+    with pytest.raises(DeltaWriteError, match="already exists"):
+        create_delta_table(spark, path, _schema())
+
+
+def test_create_table_sql_with_identity_and_default(spark, tmp_path):
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = os.path.join(str(tmp_path), "sqlt")
+    row = sql(
+        spark,
+        f"""CREATE TABLE '{path}' (
+            uid BIGINT GENERATED ALWAYS AS IDENTITY
+                (START WITH 1000 INCREMENT BY 2),
+            name STRING NOT NULL,
+            tier STRING DEFAULT 'standard',
+            score DECIMAL(10,2)
+        ) USING DELTA PARTITIONED BY (name)
+          TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')""",
+    ).collect()[0]
+    assert row["version"] == 0
+    snap = load_snapshot(path, spark=spark)
+    assert snap.partition_columns == ["name"]
+    assert snap.metadata.configuration["delta.enableChangeDataFeed"] == "true"
+    assert not snap.schema["name"].nullable
+    assert snap.schema["tier"].metadata["CURRENT_DEFAULT"] == "'standard'"
+    assert snap.schema["uid"].metadata["delta.identity.start"] == 1000
+    assert {"identityColumns", "allowColumnDefaults", "changeDataFeed"} <= set(
+        snap.protocol.writer_features
+    )
+
+    write_delta(
+        spark,
+        spark.range(4).selectExpr(
+            "CAST(id % 2 AS STRING) AS name", "CAST(id AS DECIMAL(10,2)) AS score"
+        ),
+        path,
+        mode="append",
+    )
+    out = read_delta(spark, path)
+    uids = [r["uid"] for r in out.select("uid").collect()]
+    assert len(set(uids)) == 4
+    assert all(u >= 1000 and (u - 1000) % 2 == 0 for u in uids)
+    assert out.filter("tier = 'standard'").count() == 4

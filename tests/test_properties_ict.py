@@ -126,3 +126,67 @@ def test_ict_enablement_records_provenance_and_time_travel(spark, tmp_path):
     ict = _commit_info(path, snap.version + 1)["inCommitTimestamp"]
     assert resolve_version_at_timestamp(path, ict, spark) == snap.version + 1
     assert resolve_version_at_timestamp(path, ict - 1, spark) == snap.version
+
+
+def test_column_defaults(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.scan import read_delta
+
+    path = _table(spark, tmp_path)
+    sql(
+        spark,
+        f"ALTER TABLE '{path}' SET TBLPROPERTIES ('x'='y')",
+    )  # unrelated commit first: default must survive later metadata ops
+    spark_df = spark.range(10, 13).select("id")
+
+    # add a column with a default via schema evolution, then set default
+    from deltalake_datafusion_spark.delta.writer import write_delta as wd
+
+    wd(
+        spark,
+        spark.range(0).selectExpr("id", "CAST(NULL AS STRING) AS tier"),
+        path,
+        mode="append",
+        schema_mode="merge",
+    )
+    sql(
+        spark,
+        f"ALTER TABLE '{path}' ALTER COLUMN tier SET DEFAULT 'standard'",
+    )
+    snap = load_snapshot(path, spark=spark)
+    assert "allowColumnDefaults" in snap.protocol.writer_features
+    assert snap.schema["tier"].metadata["CURRENT_DEFAULT"] == "'standard'"
+
+    # a write omitting the column takes the default; existing rows keep null
+    wd(spark, spark_df, path, mode="append")
+    out = read_delta(spark, path)
+    assert out.filter("tier = 'standard'").count() == 3
+    assert out.filter("tier IS NULL").count() == 10
+
+    # provided values win unchecked
+    wd(
+        spark,
+        spark.range(20, 22).selectExpr("id", "'gold' AS tier"),
+        path,
+        mode="append",
+    )
+    assert read_delta(spark, path).filter("tier = 'gold'").count() == 2
+
+    # DROP DEFAULT: omission is a strict schema mismatch again
+    sql(spark, f"ALTER TABLE '{path}' ALTER COLUMN tier DROP DEFAULT")
+    snap = load_snapshot(path, spark=spark)
+    assert "CURRENT_DEFAULT" not in (snap.schema["tier"].metadata or {})
+    from deltalake_datafusion_spark.delta.writer import DeltaWriteError
+
+    with pytest.raises(DeltaWriteError, match="schema mismatch"):
+        wd(spark, spark.range(30, 32).select("id"), path, mode="append")
+
+
+def test_column_default_bad_expr_and_unknown_column(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    with pytest.raises(KeyError, match="not in table schema"):
+        sql(spark, f"ALTER TABLE '{path}' ALTER COLUMN nope SET DEFAULT 1")
+    with pytest.raises(Exception):
+        sql(
+            spark,
+            f"ALTER TABLE '{path}' ALTER COLUMN id SET DEFAULT bogus_fn(()",
+        )

@@ -330,3 +330,38 @@ def test_merge_stream_delta_latest_wins(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["k"]: (r["ts"], r["v"]) for r in read_delta(spark, table).collect()}
     assert rows == {1: (100, 10.0), 2: (100, 20.0), 3: (60, 30.0)}
+
+
+# ------------------------------------------------------------------ #
+# Line-level dedup                                                    #
+# ------------------------------------------------------------------ #
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from deltalake_datafusion_spark.operators.dedup import line_dedup
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{b} unique words here fill this chunk out ok yes")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           line_dedup(docs, "text", "doc_id", chunk_words=10).collect()}
+    # doc 1 owns both lines; doc 2's first line (== b) is a duplicate
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["kept_text"] == "unique words here fill this chunk out ok yes"
+
+
+def test_line_dedup_fully_duplicate_doc_empties(spark):
+    from deltalake_datafusion_spark.operators.dedup import line_dedup
+
+    t = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           line_dedup(docs, "text", "doc_id").collect()}
+    assert out[1]["n_kept"] == 1
+    assert out[2]["n_kept"] == 0 and out[2]["kept_text"] == ""
