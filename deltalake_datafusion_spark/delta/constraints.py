@@ -38,9 +38,20 @@ def table_constraints(configuration: dict[str, str]) -> dict[str, str]:
     }
 
 
-def validate_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+def validate_constraints(
+    df: DataFrame, constraints: dict[str, str], schema=None
+) -> None:
     """One aggregate job over ``df``: per-constraint violation counts;
-    raises naming the first violated constraint."""
+    raises naming the first violated constraint. With ``schema``, the
+    table's NOT NULL columns are enforced in the same aggregate
+    (Delta's column invariants: a null in a non-nullable column
+    rejects the whole batch)."""
+    constraints = dict(constraints or {})
+    if schema is not None:
+        in_df = set(df.columns)
+        for f in schema.fields:
+            if not f.nullable and f.name in in_df:
+                constraints[f"__notnull_{f.name}"] = f"`{f.name}` IS NOT NULL"
     if not constraints:
         return
     names = list(constraints)
@@ -56,6 +67,11 @@ def validate_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
     for n in names:
         bad = row[n] or 0
         if bad:
+            if n.startswith("__notnull_"):
+                raise ConstraintViolationError(
+                    f"NOT NULL column {n[len('__notnull_'):]!r} has "
+                    f"{bad} null row(s) in the written batch"
+                )
             raise ConstraintViolationError(
                 f"CHECK constraint {n!r} ({constraints[n]}) violated by "
                 f"{bad} row(s) in the written batch"

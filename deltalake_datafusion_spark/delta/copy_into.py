@@ -1,0 +1,108 @@
+"""COPY INTO: idempotent incremental file loading into a Delta table.
+
+    COPY INTO <target> FROM '<source dir>'
+        FILEFORMAT = PARQUET | JSON | CSV [PATTERN = '<glob>']
+
+Each source file is loaded at most once ever: the load ledger is the
+Delta log's own application-transaction mechanism (one ``txn`` action
+``appId = "copy-into:<file>"`` per loaded file, committed atomically
+with the data). Transactions survive checkpoints and OPTIMIZE (unlike
+add-action provenance tags, which compaction rewrites), so re-running
+COPY INTO after any maintenance still skips everything already
+loaded, and a crash between write and commit re-loads cleanly —
+exactly-once, no side ledger.
+
+Listing is metadata-only through the storage abstraction; the data
+read/write is one Spark job over only the new files.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+
+from deltalake_datafusion_spark.delta.fs import fs_for, strip_scheme
+from deltalake_datafusion_spark.delta.snapshot import (
+    DeltaNotFoundError,
+    load_snapshot,
+)
+
+_TXN_PREFIX = "copy-into:"
+
+_SUFFIX = {"parquet": ".parquet", "json": ".json", "csv": ".csv"}
+
+
+class CopyIntoError(Exception):
+    pass
+
+
+def copy_into(
+    spark,
+    table_path: str,
+    source: str,
+    file_format: str = "parquet",
+    pattern: str | None = None,
+) -> dict:
+    """Load the not-yet-loaded files under ``source`` into the table.
+    Returns {files_listed, files_loaded, rows_loaded, version}."""
+    fmt = file_format.lower()
+    if fmt not in _SUFFIX:
+        raise CopyIntoError(
+            f"unsupported FILEFORMAT {file_format!r} "
+            f"(supported: {sorted(_SUFFIX)})"
+        )
+    source = strip_scheme(source).rstrip("/")
+    fs = fs_for(source, spark)
+    files = []
+    for st in fs.list_recursive(source):
+        if st.is_dir or not st.path.endswith(_SUFFIX[fmt]):
+            continue
+        rel = st.path[len(source) :].lstrip("/")
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        if pattern and not fnmatch.fnmatch(rel, pattern):
+            continue
+        files.append(st.path)
+    files.sort()
+
+    table_path = strip_scheme(table_path)
+    try:
+        snap = load_snapshot(table_path, spark=spark)
+        loaded = snap.app_transactions
+        version = snap.version
+    except DeltaNotFoundError:
+        loaded = {}
+        version = -1
+
+    new = [f for f in files if loaded.get(_TXN_PREFIX + f, -1) < 1]
+    if not new:
+        return {
+            "files_listed": len(files),
+            "files_loaded": 0,
+            "rows_loaded": 0,
+            "version": version,
+        }
+
+    reader = spark.read.format(fmt)
+    if fmt in ("json", "csv"):
+        reader = reader.option("inferSchema", "true")
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+    df = reader.load(new)
+    n_rows = df.count()
+
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    out = write_delta(
+        spark,
+        df,
+        table_path,
+        mode="append",
+        txn=[(_TXN_PREFIX + f, 1) for f in new],
+    )
+    return {
+        "files_listed": len(files),
+        "files_loaded": len(new),
+        "rows_loaded": n_rows,
+        "version": out.version,
+    }

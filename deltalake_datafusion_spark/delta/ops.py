@@ -399,7 +399,9 @@ def update_delta(
         ]
     )
     updated = updated.drop("__row_index", "__file_path")
-    validate_constraints(updated, table_constraints(snap.metadata.configuration))
+    validate_constraints(
+        updated, table_constraints(snap.metadata.configuration), snap.schema
+    )
 
     from deltalake_datafusion_spark.delta.writer import _stage_and_move
 
@@ -733,7 +735,7 @@ def merge_delta(
         )
 
         validate_constraints(
-            out, table_constraints(snap.metadata.configuration)
+            out, table_constraints(snap.metadata.configuration), logical
         )
         from deltalake_datafusion_spark.delta.writer import (
             _rename_to_physical,

@@ -654,7 +654,7 @@ def write_delta(
     name: str | None = None,
     column_mapping: bool = False,
     schema_mode: str = "strict",
-    txn: tuple[str, int] | None = None,
+    txn: tuple[str, int] | list[tuple[str, int]] | None = None,
     max_records_per_file: int | None = None,
     max_commit_attempts: int = 10,
 ) -> Snapshot:
@@ -683,12 +683,18 @@ def write_delta(
     if existing is not None and mode in ("error", "errorifexists"):
         raise DeltaWriteError(f"table already exists at {table_path}")
 
-    # Idempotent writer transactions (streaming exactly-once): skip if
-    # this (appId, version) already committed.
+    # Idempotent writer transactions (streaming exactly-once; COPY INTO
+    # passes one per loaded file): skip when every (appId, version) is
+    # already committed.
+    txns: list[tuple[str, int]] = (
+        [txn] if isinstance(txn, tuple) else list(txn or [])
+    )
     if (
-        txn is not None
+        txns
         and existing is not None
-        and existing.app_transactions.get(txn[0], -1) >= txn[1]
+        and all(
+            existing.app_transactions.get(a, -1) >= v for a, v in txns
+        )
     ):
         return existing
 
@@ -832,7 +838,7 @@ def write_delta(
     )
     if mode == "overwrite" and existing is not None:
         check_append_only(active_conf, "overwrite")
-    validate_constraints(df, table_constraints(active_conf))
+    validate_constraints(df, table_constraints(active_conf), write_schema)
 
     # Physical projection (identity when unmapped).
     out_df = _rename_to_physical(df, write_schema) if mapping else df
@@ -972,15 +978,15 @@ def write_delta(
                 actions.extend(cdc_overwrite)
         actions.extend(removes)
         actions.extend(adds)
-        if txn is not None:
-            if (
-                current is not None
-                and current.app_transactions.get(txn[0], -1) >= txn[1]
+        if txns:
+            if current is not None and all(
+                current.app_transactions.get(a, -1) >= v for a, v in txns
             ):
                 return current  # lost a race to an identical retry
-            actions.append(
-                {"txn": {"appId": txn[0], "version": txn[1],
+            actions.extend(
+                {"txn": {"appId": a, "version": v,
                          "lastUpdated": _now_ms()}}
+                for a, v in txns
             )
         op = "WRITE" if current is None else mode.upper()
         commit_conf = (

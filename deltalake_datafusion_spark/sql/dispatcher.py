@@ -35,6 +35,7 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
         [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]
     OPTIMIZE <target> [ZORDER BY (cols)]
     CONVERT TO DELTA parquet.`path` [PARTITIONED BY (col type, ...)]
+    COPY INTO <target> FROM 'dir' FILEFORMAT = fmt [PATTERN = 'glob']
     REORG TABLE <target> APPLY (PURGE)
     DESCRIBE DETAIL|HISTORY <target>
     SHOW TBLPROPERTIES <target> [(key)]
@@ -131,6 +132,13 @@ _CONVERT_RE = re.compile(
     r"^\s*CONVERT\s+TO\s+DELTA\s+"
     r"(?P<target>parquet\.`[^`]+`|'[^']+'|[\w./-]+)"
     r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<parts>[^)]+?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_COPY_INTO_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+FROM\s+'(?P<src>[^']+)'"
+    r"\s+FILEFORMAT\s*=\s*(?P<fmt>\w+)"
+    r"(?:\s+PATTERN\s*=\s*'(?P<pattern>[^']+)')?\s*;?\s*$",
     re.IGNORECASE,
 )
 _REORG_RE = re.compile(
@@ -451,6 +459,19 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         else:
             target = _unquote_target(target, registry)
         res = convert_to_delta(spark, target, m.group("parts"))
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _COPY_INTO_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.copy_into import copy_into
+
+        res = copy_into(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            m.group("src"),
+            file_format=m.group("fmt"),
+            pattern=m.group("pattern"),
+        )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 
     m = _REORG_RE.match(statement)

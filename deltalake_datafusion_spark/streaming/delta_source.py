@@ -59,6 +59,11 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.max_bytes = int(
             options.get("maxbytesperpartition", 128 * 1024 * 1024)
         )
+        # rate limiting: at most N commit versions per micro-batch
+        # (0 = unlimited). Pacing state is in-memory only — a restart
+        # re-paces from the checkpointed offset, never skips data.
+        self.max_versions = int(options.get("maxversionspertrigger", 0))
+        self._paced_to = self.starting_version
         self.schema_json = json.loads(snap.metadata.schema_string)
         self.partition_columns = list(snap.partition_columns)
         l2p = _logical_to_physical_map(snap.schema)
@@ -73,7 +78,11 @@ class DeltaStreamReader(DataSourceStreamReader):
 
         commits, _ = list_log_files(self.table_path)
         tip = max(v for v, _ in commits) if commits else -1
-        return {"version": max(tip + 1, self.starting_version)}
+        target = max(tip + 1, self.starting_version)
+        if self.max_versions > 0:
+            target = min(target, self._paced_to + self.max_versions)
+        self._paced_to = max(self._paced_to, target)
+        return {"version": target}
 
     def partitions(self, start: dict, end: dict):
         import urllib.parse as up

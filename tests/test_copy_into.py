@@ -1,0 +1,81 @@
+"""COPY INTO: idempotent incremental file loading via txn ledger."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.copy_into import CopyIntoError, copy_into
+from deltalake_datafusion_spark.delta.ops import optimize_delta
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+
+def _land(spark, src, lo, hi):
+    spark.range(lo, hi).select(
+        "id", (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+
+def test_copy_into_loads_once(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "landing")
+    table = os.path.join(str(tmp_path), "t")
+    _land(spark, src, 0, 10)
+    _land(spark, src, 10, 30)
+
+    res = copy_into(spark, table, src)
+    assert res["files_loaded"] == 2 and res["rows_loaded"] == 30
+    assert read_delta(spark, table).count() == 30
+
+    # re-run: nothing new
+    res = copy_into(spark, table, src)
+    assert res["files_loaded"] == 0
+    assert read_delta(spark, table).count() == 30
+
+    # new landing file: only it loads
+    _land(spark, src, 30, 35)
+    res = copy_into(spark, table, src)
+    assert res["files_loaded"] == 1 and res["rows_loaded"] == 5
+    assert read_delta(spark, table).count() == 35
+
+
+def test_copy_into_ledger_survives_optimize(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "landing")
+    table = os.path.join(str(tmp_path), "t")
+    for i in range(4):
+        _land(spark, src, i * 5, i * 5 + 5)
+    copy_into(spark, table, src)
+    optimize_delta(spark, table, small_file_threshold=10**9)
+    res = copy_into(spark, table, src)  # compaction must not re-load
+    assert res["files_loaded"] == 0
+    assert read_delta(spark, table).count() == 20
+
+
+def test_copy_into_sql_and_pattern(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "landing")
+    table = os.path.join(str(tmp_path), "t")
+    _land(spark, src, 0, 10)
+    row = sql(
+        spark,
+        f"COPY INTO '{table}' FROM '{src}' FILEFORMAT = PARQUET",
+    ).collect()[0]
+    assert row["files_loaded"] == 1 and row["rows_loaded"] == 10
+    # a pattern that matches nothing loads nothing
+    row = sql(
+        spark,
+        f"COPY INTO '{table}' FROM '{src}' FILEFORMAT = PARQUET "
+        "PATTERN = 'nope/*.parquet'",
+    ).collect()[0]
+    assert row["files_loaded"] == 0
+
+
+def test_copy_into_rejects_unknown_format(spark, tmp_path):
+    with pytest.raises(CopyIntoError, match="FILEFORMAT"):
+        copy_into(
+            spark,
+            os.path.join(str(tmp_path), "t"),
+            str(tmp_path),
+            file_format="avro",
+        )

@@ -100,3 +100,56 @@ def test_dv_rewrite_needs_ignore_changes(spark, tmp_path):
     # v0 emits all 100; the rewrite re-emits the 90 survivors
     assert out.count() == 190
     assert out.filter("id < 10").count() == 10  # only the v0 copies
+
+
+def test_max_versions_per_trigger_paces_offsets(spark, tmp_path):
+    from deltalake_datafusion_spark.streaming.delta_source import (
+        DeltaStreamReader,
+    )
+
+    path = os.path.join(str(tmp_path), "src")
+    write_delta(spark, spark.range(2).select("id"), path)
+    for i in range(1, 7):  # versions 1..6
+        write_delta(
+            spark, spark.range(2).select("id"), path, mode="append"
+        )
+    r = DeltaStreamReader(path, {"maxversionspertrigger": "3"})
+    offsets = [r.latestOffset()["version"] for _ in range(4)]
+    assert offsets == [3, 6, 7, 7]  # paced by 3, then caught up at tip+1
+    # each paced range plans only its own commits
+    parts = r.partitions({"version": 0}, {"version": 3})
+    assert {p.version for p in parts} == {0, 1, 2}
+
+
+def test_not_null_enforced_on_write(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from deltalake_datafusion_spark.delta.constraints import (
+        ConstraintViolationError,
+    )
+    from deltalake_datafusion_spark.delta.writer import create_delta_table
+
+    path = os.path.join(str(tmp_path), "nn")
+    create_delta_table(
+        spark,
+        path,
+        StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("s", StringType(), True),
+            ]
+        ),
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+        path,
+        mode="append",
+    )
+    with pytest.raises(ConstraintViolationError, match="NOT NULL column 'id'"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(None, "b")], "id long, s string"),
+            path,
+            mode="append",
+        )

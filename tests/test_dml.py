@@ -738,7 +738,14 @@ def test_merge_schema_evolution_insert_only(spark, tmp_path):
     """Pure-insert evolved merge (no matches): typed null back-fill for
     target-only columns, metaData emitted, old rows null the new col."""
     path = str(tmp_path / "msei")
-    write_delta(spark, spark.range(3).select("id", F.lit(1.0).alias("v")), path)
+    # v must be nullable: evolution back-fills nulls into it, and the
+    # writer (correctly) rejects nulls in NOT NULL columns
+    write_delta(
+        spark,
+        spark.createDataFrame([(0, 1.0), (1, 1.0), (2, 1.0)],
+                              "id long, v double"),
+        path,
+    )
     source = spark.createDataFrame([(50, "x")], "id long, tag string")
     merge_delta(
         spark, path, source, on="t.id = s.id", schema_evolution=True

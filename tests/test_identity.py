@@ -168,3 +168,24 @@ def test_create_table_sql_with_identity_and_default(spark, tmp_path):
     assert len(set(uids)) == 4
     assert all(u >= 1000 and (u - 1000) % 2 == 0 for u in uids)
     assert out.filter("tier = 'standard'").count() == 4
+
+
+def test_create_table_sql_generated_column(spark, tmp_path):
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = os.path.join(str(tmp_path), "gent")
+    sql(
+        spark,
+        f"""CREATE TABLE '{path}' (
+            id BIGINT,
+            id2 BIGINT GENERATED ALWAYS AS (id * 2)
+        )""",
+    )
+    snap = load_snapshot(path, spark=spark)
+    assert snap.schema["id2"].metadata["delta.generationExpression"] == "id * 2"
+    assert "generatedColumns" in snap.protocol.writer_features
+    write_delta(spark, spark.range(5).select("id"), path, mode="append")
+    out = read_delta(spark, path)
+    assert {(r["id"], r["id2"]) for r in out.collect()} == {
+        (i, i * 2) for i in range(5)
+    }

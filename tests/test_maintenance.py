@@ -182,9 +182,12 @@ def test_engine_config_accessor(spark):
     from deltalake_datafusion_spark.session import EngineConfig
 
     spark.conf.set("lakehouse.unity.uri", "http://uc:8080")
-    cfg = EngineConfig.from_spark(spark)
-    assert cfg.unity_uri == "http://uc:8080"
-    assert cfg.retention_duration_check_enabled is True
+    try:
+        cfg = EngineConfig.from_spark(spark)
+        assert cfg.unity_uri == "http://uc:8080"
+        assert cfg.retention_duration_check_enabled is True
+    finally:
+        spark.conf.unset("lakehouse.unity.uri")
 
 
 def test_lakehouse_context(spark, tmp_path):
