@@ -123,6 +123,33 @@ LOG_SCHEMA = StructType(
     ]
 )
 
+# V2 checkpoints (Delta spec "V2 Checkpoint Table Feature"): the
+# top-level UUID-named checkpoint carries a checkpointMetadata action
+# and optional sidecar pointers into _delta_log/_sidecars/.
+SIDECAR_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("sizeInBytes", LongType()),
+        StructField("modificationTime", LongType()),
+        StructField("tags", _STR_MAP),
+    ]
+)
+
+CHECKPOINT_METADATA_SCHEMA = StructType(
+    [
+        StructField("version", LongType()),
+        StructField("tags", _STR_MAP),
+    ]
+)
+
+CHECKPOINT_V2_SCHEMA = StructType(
+    [f for f in LOG_SCHEMA.fields if f.name != "commitInfo"]
+    + [
+        StructField("sidecar", SIDECAR_SCHEMA),
+        StructField("checkpointMetadata", CHECKPOINT_METADATA_SCHEMA),
+    ]
+)
+
 # Reader features this engine understands; protocol gating mirrors the
 # kernel's reader-version checks surfaced by the reference's snapshot
 # metadata assertions (crates/acceptance/src/meta.rs:78-117).

@@ -60,6 +60,8 @@ def set_tblproperties(
             for key, feat in _FEATURE_PROPS.items()
             if conf.get(key, "false").lower() == "true"
         }
+        if conf.get("delta.checkpointPolicy", "").lower() == "v2":
+            needed.add("v2Checkpoint")
         actions = []
         up = protocol_upgrade_action(snap.protocol, needed) if needed else None
         if up is not None:

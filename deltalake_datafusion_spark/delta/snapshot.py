@@ -34,7 +34,12 @@ from pyspark.sql.types import StructType
 from deltalake_datafusion_spark.delta.fs import fs_for, strip_scheme
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
-_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+_CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint(\.\d+\.\d+|\.[0-9a-fA-F-]{36})?\.parquet$"
+)
+_V2_CP_RE = re.compile(
+    r"\.checkpoint\.[0-9a-fA-F-]{36}\.parquet$"
+)
 
 
 class DeltaProtocolError(Exception):
@@ -205,6 +210,7 @@ def _read_checkpoint_actions(
     import pyarrow.parquet as papq
 
     actions: list[dict] = []
+    sidecars: list[str] = []
     for p in checkpoint_paths:
         if with_files:
             table = papq.read_table(p)
@@ -213,7 +219,21 @@ def _read_checkpoint_actions(
             cols = [c for c in ("metaData", "protocol", "txn") if c in avail]
             table = papq.read_table(p, columns=cols)
         for row in table.to_pylist():
-            actions.append({k: v for k, v in row.items() if v is not None})
+            row = {k: v for k, v in row.items() if v is not None}
+            if "sidecar" in row:
+                # V2 checkpoint: file actions live in _sidecars/
+                sidecars.append(row["sidecar"]["path"])
+                continue
+            if row and set(row) != {"checkpointMetadata"}:
+                actions.append(row)
+    if sidecars and with_files:
+        base = os.path.join(os.path.dirname(checkpoint_paths[0]), "_sidecars")
+        for name in sidecars:
+            table = papq.read_table(os.path.join(base, name))
+            for row in table.to_pylist():
+                row = {k: v for k, v in row.items() if v is not None}
+                if row:
+                    actions.append(row)
     return actions
 
 
@@ -285,6 +305,11 @@ def load_snapshot(
     if usable_cp:
         cp_version = max(v for v, _ in usable_cp)
         cp_paths = [p for v, p in usable_cp if v == cp_version]
+        v2 = [p for p in cp_paths if _V2_CP_RE.search(os.path.basename(p))]
+        if v2:
+            # each UUID-named V2 checkpoint is complete on its own —
+            # never union several of the same version
+            cp_paths = [sorted(v2)[0]]
 
     replay_commits = [
         (v, p)
@@ -440,13 +465,46 @@ def actions_df(spark, table_path: str, version: int | None = None):
     cp_version = max((v for v, _ in checkpoints), default=-1)
     if cp_version >= 0:
         cp_paths = [p for v, p in checkpoints if v == cp_version]
+        v2 = [p for p in cp_paths if _V2_CP_RE.search(os.path.basename(p))]
+        sidecar_paths: list[str] = []
+        if v2:
+            # one complete UUID checkpoint; file actions in _sidecars/
+            cp_paths = [sorted(v2)[0]]
+            import pyarrow.parquet as papq
+
+            if "sidecar" in set(papq.read_schema(cp_paths[0]).names):
+                base = os.path.join(
+                    os.path.dirname(cp_paths[0]), "_sidecars"
+                )
+                sidecar_paths = [
+                    os.path.join(base, r["sidecar"]["path"])
+                    for r in papq.read_table(
+                        cp_paths[0], columns=["sidecar"]
+                    ).to_pylist()
+                    if r.get("sidecar")
+                ]
         cp = spark.read.parquet(*cp_paths)
         for f in LOG_SCHEMA.fieldNames():
             if f not in cp.columns:
                 cp = cp.withColumn(f, F.lit(None).cast(LOG_SCHEMA[f].dataType))
-        cp = cp.select(*LOG_SCHEMA.fieldNames()).withColumn(
-            "version", F.lit(cp_version).cast("long")
-        )
+        cp = cp.select(*LOG_SCHEMA.fieldNames())
+        if v2:
+            # drop sidecar / checkpointMetadata marker rows (all-null
+            # after the LOG_SCHEMA projection)
+            any_set = None
+            for f in LOG_SCHEMA.fieldNames():
+                c = F.col(f).isNotNull()
+                any_set = c if any_set is None else (any_set | c)
+            cp = cp.filter(any_set)
+        if sidecar_paths:
+            sc = spark.read.parquet(*sidecar_paths)
+            for f in LOG_SCHEMA.fieldNames():
+                if f not in sc.columns:
+                    sc = sc.withColumn(
+                        f, F.lit(None).cast(LOG_SCHEMA[f].dataType)
+                    )
+            cp = cp.unionByName(sc.select(*LOG_SCHEMA.fieldNames()))
+        cp = cp.withColumn("version", F.lit(cp_version).cast("long"))
         # Commits ≤ checkpoint version are superseded by the checkpoint.
         dfs = [d.filter(F.col("version") > cp_version) for d in dfs]
         dfs.insert(0, cp)

@@ -216,6 +216,8 @@ def _creation_protocol(
         features.add("appendOnly")
     if conf.get("delta.enableInCommitTimestamps", "").lower() == "true":
         features.add("inCommitTimestamp")
+    if conf.get("delta.checkpointPolicy", "").lower() == "v2":
+        features.add("v2Checkpoint")
     if schema is not None and any(
         f.metadata and "CURRENT_DEFAULT" in f.metadata for f in schema.fields
     ):
@@ -1251,6 +1253,145 @@ def write_checkpoint_spark(
     return finals
 
 
+def write_checkpoint_v2(
+    spark, table_path: str, version: int | None = None, parts: int | None = None
+) -> str:
+    """V2 checkpoint (Delta's v2Checkpoint table feature): the live
+    add set is derived on the executors (same metadata-only replay as
+    :func:`write_checkpoint_spark`) and written as UUID-named sidecar
+    parquet files under ``_delta_log/_sidecars/``; the top-level
+    ``N.checkpoint.<uuid>.parquet`` carries only protocol / metaData /
+    txn rows plus a ``checkpointMetadata`` action and one ``sidecar``
+    pointer per part. UUID naming means concurrent checkpointers can
+    never clobber each other, and readers pick any single complete
+    checkpoint instead of assembling classic multipart fragments."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.log_schema import (
+        CHECKPOINT_V2_SCHEMA,
+        LOG_SCHEMA,
+    )
+    from deltalake_datafusion_spark.delta.snapshot import (
+        actions_df,
+        load_snapshot,
+    )
+
+    snap = load_snapshot(
+        table_path, version=version, spark=spark, with_files=False
+    )
+    if "v2Checkpoint" not in (snap.protocol.reader_features or []):
+        raise DeltaWriteError(
+            "v2 checkpoints need the v2Checkpoint table feature — "
+            "SET TBLPROPERTIES ('delta.checkpointPolicy' = 'v2') first"
+        )
+    df = actions_df(spark, snap.table_path, snap.version)
+    acts = df.select(
+        "version",
+        F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+        F.col("add").alias("add_action"),
+        F.col("add.path").isNotNull().alias("is_add"),
+    ).filter(F.col("path").isNotNull())
+    w = Window.partitionBy("path").orderBy(F.desc("version"), F.desc("is_add"))
+    live = (
+        acts.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & F.col("is_add"))
+        .select(
+            F.col("add_action").withField("dataChange", F.lit(False)).alias("add"),
+            F.lit(None).cast(LOG_SCHEMA["remove"].dataType).alias("remove"),
+        )
+    )
+
+    n_live = live.count()
+    n_parts = parts or max(1, math.ceil(n_live / 500_000))
+    log_dir = os.path.join(snap.table_path, "_delta_log")
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    staging = os.path.join(log_dir, f".cp2_{uuid.uuid4().hex}")
+    live.repartition(n_parts).write.mode("overwrite").parquet(staging)
+
+    fs = fs_for(snap.table_path, spark)
+    fs.mkdirs(sidecar_dir)
+    sidecars = []
+    for st in sorted(
+        (
+            s
+            for s in fs.list_recursive(staging)
+            if not s.is_dir and s.path.endswith(".parquet")
+        ),
+        key=lambda s: s.path,
+    ):
+        name = f"{uuid.uuid4()}.parquet"
+        fs.rename(st.path, os.path.join(sidecar_dir, name))
+        sidecars.append(
+            {
+                "path": name,
+                "sizeInBytes": st.size,
+                "modificationTime": st.mtime_ms,
+            }
+        )
+    for st in sorted(fs.list_recursive(staging), key=lambda s: -len(s.path)):
+        fs.delete(st.path)
+    fs.delete(staging)
+
+    head_rows: list[dict] = [
+        {"checkpointMetadata": {"version": snap.version}},
+        {
+            "protocol": {
+                "minReaderVersion": snap.protocol.min_reader_version,
+                "minWriterVersion": snap.protocol.min_writer_version,
+                "readerFeatures": snap.protocol.reader_features or None,
+                "writerFeatures": snap.protocol.writer_features or None,
+            }
+        },
+        {
+            "metaData": {
+                "id": snap.metadata.id,
+                "name": snap.metadata.name,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.metadata.schema_string,
+                "partitionColumns": snap.metadata.partition_columns,
+                "configuration": snap.metadata.configuration,
+                "createdTime": snap.metadata.created_time,
+            }
+        },
+    ]
+    head_rows += [
+        {"txn": {"appId": app, "version": v}}
+        for app, v in sorted(snap.app_transactions.items())
+    ]
+    head_rows += [{"sidecar": s} for s in sidecars]
+
+    top_staging = os.path.join(log_dir, f".cp2t_{uuid.uuid4().hex}")
+    head = (
+        spark.createDataFrame(
+            [(json.dumps(r),) for r in head_rows], "value string"
+        )
+        .select(F.from_json("value", CHECKPOINT_V2_SCHEMA).alias("a"))
+        .select("a.*")
+    )
+    head.coalesce(1).write.mode("overwrite").parquet(top_staging)
+    cp_name = f"{snap.version:020d}.checkpoint.{uuid.uuid4()}.parquet"
+    final = os.path.join(log_dir, cp_name)
+    for st in fs.list_recursive(top_staging):
+        if not st.is_dir and st.path.endswith(".parquet"):
+            fs.rename(st.path, final)
+    for st in sorted(
+        fs.list_recursive(top_staging), key=lambda s: -len(s.path)
+    ):
+        fs.delete(st.path)
+    fs.delete(top_staging)
+
+    fs.write_bytes(
+        os.path.join(log_dir, "_last_checkpoint"),
+        json.dumps(
+            {"version": snap.version, "size": n_live + len(head_rows)}
+        ).encode(),
+    )
+    return final
+
+
 # Above this live-file count, checkpoints are derived and written
 # distributively instead of through the driver row loop.
 DISTRIBUTED_CHECKPOINT_THRESHOLD = 100_000
@@ -1259,7 +1400,9 @@ DISTRIBUTED_CHECKPOINT_THRESHOLD = 100_000
 def maybe_checkpoint(spark, snapshot: Snapshot) -> None:
     interval = int(snapshot.get_property("delta.checkpointInterval", "10") or "10")
     if interval > 0 and snapshot.version > 0 and (snapshot.version % interval == 0):
-        if len(snapshot.files) > DISTRIBUTED_CHECKPOINT_THRESHOLD:
+        if snapshot.get_property("delta.checkpointPolicy", "").lower() == "v2":
+            write_checkpoint_v2(spark, snapshot.table_path, snapshot.version)
+        elif len(snapshot.files) > DISTRIBUTED_CHECKPOINT_THRESHOLD:
             write_checkpoint_spark(spark, snapshot.table_path, snapshot.version)
         else:
             write_checkpoint(spark, snapshot)

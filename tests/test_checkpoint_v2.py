@@ -1,0 +1,114 @@
+"""V2 checkpoints: UUID-named top-level + sidecar file actions."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.ops import delete_delta
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import (
+    DeltaWriteError,
+    write_checkpoint_v2,
+    write_delta,
+)
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+
+def _v2_table(spark, tmp_path, n_commits=3):
+    path = os.path.join(str(tmp_path), "t")
+    write_delta(
+        spark,
+        spark.range(10).select("id", (F.col("id") % 3).alias("g")),
+        path,
+        partition_by=["g"],
+        configuration={"delta.checkpointPolicy": "v2"},
+    )
+    for i in range(1, n_commits):
+        write_delta(
+            spark,
+            spark.range(i * 10, i * 10 + 10).select(
+                "id", (F.col("id") % 3).alias("g")
+            ),
+            path,
+            mode="append",
+        )
+    return path
+
+
+def test_v2_checkpoint_roundtrip(spark, tmp_path):
+    path = _v2_table(spark, tmp_path)
+    cp = write_checkpoint_v2(spark, path)
+    assert os.path.basename(cp).count(".") == 3  # N.checkpoint.<uuid>.parquet
+    assert glob.glob(os.path.join(path, "_delta_log", "_sidecars", "*.parquet"))
+
+    # wipe the commit JSONs the checkpoint supersedes: the snapshot
+    # must reconstruct entirely from the v2 checkpoint + sidecars
+    snap_before = load_snapshot(path, spark=spark)
+    for v in range(snap_before.version + 1):
+        os.remove(os.path.join(path, "_delta_log", f"{v:020d}.json"))
+    snap = load_snapshot(path, spark=spark)
+    assert snap.version == snap_before.version
+    assert {f.path for f in snap.files} == {f.path for f in snap_before.files}
+    out = read_delta(spark, path)
+    assert out.count() == 30
+    # partition pruning still works through the checkpointed adds
+    assert read_delta(spark, path, predicate="g = 1").count() == 10
+
+
+def test_v2_checkpoint_requires_feature(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "plain")
+    write_delta(spark, spark.range(5).select("id"), path)
+    with pytest.raises(DeltaWriteError, match="v2Checkpoint"):
+        write_checkpoint_v2(spark, path)
+
+
+def test_checkpoint_policy_property_flows_end_to_end(spark, tmp_path):
+    """Enable v2 via SET TBLPROPERTIES on an existing table: protocol
+    upgrades, the interval checkpoint writes v2, DML after the
+    checkpoint replays correctly."""
+    path = os.path.join(str(tmp_path), "t")
+    write_delta(
+        spark,
+        spark.range(20).select("id"),
+        path,
+        configuration={"delta.checkpointInterval": "2"},
+    )
+    sql(
+        spark,
+        f"ALTER TABLE '{path}' SET TBLPROPERTIES "
+        "('delta.checkpointPolicy' = 'v2')",
+    )
+    snap = load_snapshot(path, spark=spark)
+    assert "v2Checkpoint" in (snap.protocol.reader_features or [])
+    # drive past a checkpoint interval
+    write_delta(spark, spark.range(20, 25).select("id"), path, mode="append")
+    write_delta(spark, spark.range(25, 30).select("id"), path, mode="append")
+    cps = glob.glob(os.path.join(path, "_delta_log", "*.checkpoint.*.parquet"))
+    assert any(len(os.path.basename(p).split(".")) == 4 for p in cps)
+    delete_delta(spark, path, "id < 5")
+    assert read_delta(spark, path).count() == 25
+    last = json.load(open(os.path.join(path, "_delta_log", "_last_checkpoint")))
+    assert last["version"] >= 2
+
+
+def test_v2_checkpoint_actions_df_and_log_replay(spark, tmp_path):
+    """The delta_log / log_replay metadata tables must read through a
+    v2 checkpoint (sidecar expansion, marker rows dropped)."""
+    from deltalake_datafusion_spark.delta.snapshot import actions_df
+
+    path = _v2_table(spark, tmp_path)
+    write_checkpoint_v2(spark, path)
+    snap_before = load_snapshot(path, spark=spark)
+    for v in range(snap_before.version + 1):
+        os.remove(os.path.join(path, "_delta_log", f"{v:020d}.json"))
+    df = actions_df(spark, path)
+    n_adds = df.filter("add IS NOT NULL").count()
+    assert n_adds == len(snap_before.files)
+    assert df.filter("metaData IS NOT NULL").count() == 1
+    assert df.filter("protocol IS NOT NULL").count() == 1
