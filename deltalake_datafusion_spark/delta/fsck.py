@@ -1,0 +1,64 @@
+"""FSCK REPAIR TABLE: drop add entries whose data files are gone.
+
+The delta-spark utility for tables damaged by out-of-band deletion
+(a lifecycle rule, a manual rm, an object-store incident): every live
+add's file is existence-checked and the dangling entries are removed
+in one commit, so scans stop failing on missing files.
+
+Existence checks run ON THE EXECUTORS (``spark.sparkContext
+.parallelize`` over the live paths, each partition re-creating the
+storage handler) — a 1e6-file table never issues a million stat calls
+from one driver thread. Only the missing paths (typically few) come
+back to the driver for the commit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+
+def fsck_repair(spark, table_path: str, dry_run: bool = False) -> dict:
+    """Returns {files_checked, files_missing, version}; ``dry_run``
+    reports without committing."""
+    snap = load_snapshot(table_path, spark=spark)
+    paths = [f.path for f in snap.files]
+    tp = snap.table_path
+
+    def check(it):
+        from deltalake_datafusion_spark.delta.fs import fs_for as _ff
+
+        fs = _ff(tp)
+        for rel in it:
+            if not fs.exists(os.path.join(tp, rel)):
+                yield rel
+
+    if paths:
+        n_slices = max(1, min(len(paths) // 64, 256))
+        missing = set(
+            spark.sparkContext.parallelize(paths, n_slices)
+            .mapPartitions(check)
+            .collect()
+        )
+    else:
+        missing = set()
+
+    version = snap.version
+    if missing and not dry_run:
+        from deltalake_datafusion_spark.delta.ops import _remove_action
+        from deltalake_datafusion_spark.delta.writer import (
+            commit_with_retries,
+        )
+
+        actions = [
+            _remove_action(f) for f in snap.files if f.path in missing
+        ]
+        version = commit_with_retries(
+            spark, tp, snap, actions, "FSCK", set(missing)
+        )
+    return {
+        "files_checked": len(paths),
+        "files_missing": len(missing),
+        "version": version,
+    }

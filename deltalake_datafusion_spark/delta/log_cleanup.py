@@ -1,0 +1,138 @@
+"""Metadata cleanup: expire commit JSONs and stale checkpoints that a
+newer checkpoint supersedes (Delta's log-retention behavior).
+
+A commit JSON is deletable when BOTH hold:
+
+- a checkpoint at version ≥ it exists (the snapshot no longer needs
+  the commit for replay), and
+- it is older than ``delta.logRetentionDuration`` (default 30 days) —
+  kept around that long for time travel and CDF.
+
+Checkpoints older than the latest are deletable under the same age
+rule; a V2 checkpoint's sidecar files are deleted with it (sidecars
+still referenced by any retained checkpoint are kept). Runs as part
+of :func:`delta.writer.maybe_checkpoint` after a successful
+checkpoint, exactly where Delta's own writer hooks it.
+
+Everything here is metadata-scale driver I/O: one log listing, one
+header read per retained V2 checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+
+from deltalake_datafusion_spark.delta.fs import fs_for
+from deltalake_datafusion_spark.delta.snapshot import (
+    _V2_CP_RE,
+    list_log_files,
+)
+
+_DURATION_RE = re.compile(
+    r"^(?:interval\s+)?(\d+)\s+(day|days|hour|hours|minute|minutes"
+    r"|second|seconds|week|weeks)$",
+    re.IGNORECASE,
+)
+
+_UNIT_MS = {
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 7 * 86_400_000,
+}
+
+DEFAULT_LOG_RETENTION_MS = 30 * 86_400_000
+
+
+def parse_duration_ms(value: str | None) -> int:
+    if not value:
+        return DEFAULT_LOG_RETENTION_MS
+    m = _DURATION_RE.match(value.strip())
+    if not m:
+        raise ValueError(
+            f"cannot parse duration {value!r} "
+            "(expected 'interval N days|hours|...')"
+        )
+    return int(m.group(1)) * _UNIT_MS[m.group(2).lower().rstrip("s")]
+
+
+def _sidecars_of(cp_path: str) -> set[str]:
+    import pyarrow.parquet as papq
+
+    try:
+        if "sidecar" not in set(papq.read_schema(cp_path).names):
+            return set()
+        return {
+            r["sidecar"]["path"]
+            for r in papq.read_table(cp_path, columns=["sidecar"]).to_pylist()
+            if r.get("sidecar")
+        }
+    except OSError:
+        return set()
+
+
+def cleanup_expired_logs(
+    spark,
+    table_path: str,
+    retention_ms: int | None = None,
+    now_ms: int | None = None,
+) -> dict:
+    """Delete superseded-and-expired commit JSONs and checkpoints.
+    Returns {commits_deleted, checkpoints_deleted, sidecars_deleted}."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    if retention_ms is None:
+        snap = load_snapshot(table_path, spark=spark, with_files=False)
+        retention_ms = parse_duration_ms(
+            snap.metadata.configuration.get("delta.logRetentionDuration")
+        )
+    now = now_ms if now_ms is not None else int(time.time() * 1000)
+    cutoff = now - retention_ms
+
+    fs = fs_for(table_path, spark)
+    commits, checkpoints = list_log_files(table_path, spark)
+    if not checkpoints:
+        return {"commits_deleted": 0, "checkpoints_deleted": 0,
+                "sidecars_deleted": 0}
+    latest_cp = max(v for v, _ in checkpoints)
+
+    log_dir = os.path.dirname(checkpoints[0][1])
+    mtimes = {st.path: st.mtime_ms for st in fs.list(log_dir)}
+
+    n_commits = 0
+    for v, p in commits:
+        if v <= latest_cp and mtimes.get(p, now) < cutoff:
+            fs.delete(p)
+            n_commits += 1
+
+    keep_cp = [p for v, p in checkpoints if v == latest_cp]
+    drop_cp = [
+        p
+        for v, p in checkpoints
+        if v < latest_cp and mtimes.get(p, now) < cutoff
+    ]
+    keep_sidecars: set[str] = set()
+    for p in keep_cp:
+        if _V2_CP_RE.search(os.path.basename(p)):
+            keep_sidecars |= _sidecars_of(p)
+    drop_sidecars: set[str] = set()
+    for p in drop_cp:
+        if _V2_CP_RE.search(os.path.basename(p)):
+            drop_sidecars |= _sidecars_of(p)
+    drop_sidecars -= keep_sidecars
+
+    for p in drop_cp:
+        fs.delete(p)
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    n_sidecars = 0
+    for name in sorted(drop_sidecars):
+        if fs.delete(os.path.join(sidecar_dir, name)):
+            n_sidecars += 1
+    return {
+        "commits_deleted": n_commits,
+        "checkpoints_deleted": len(drop_cp),
+        "sidecars_deleted": n_sidecars,
+    }

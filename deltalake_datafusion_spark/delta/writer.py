@@ -1406,3 +1406,14 @@ def maybe_checkpoint(spark, snapshot: Snapshot) -> None:
             write_checkpoint_spark(spark, snapshot.table_path, snapshot.version)
         else:
             write_checkpoint(spark, snapshot)
+        if (
+            snapshot.get_property(
+                "delta.enableExpiredLogCleanup", "true"
+            ).lower()
+            != "false"
+        ):
+            from deltalake_datafusion_spark.delta.log_cleanup import (
+                cleanup_expired_logs,
+            )
+
+            cleanup_expired_logs(spark, snapshot.table_path)

@@ -36,6 +36,7 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
     OPTIMIZE <target> [ZORDER BY (cols)]
     CONVERT TO DELTA parquet.`path` [PARTITIONED BY (col type, ...)]
     COPY INTO <target> FROM 'dir' FILEFORMAT = fmt [PATTERN = 'glob']
+    FSCK REPAIR TABLE <target> [DRY RUN]
     REORG TABLE <target> APPLY (PURGE)
     DESCRIBE DETAIL|HISTORY <target>
     SHOW TBLPROPERTIES <target> [(key)]
@@ -132,6 +133,12 @@ _CONVERT_RE = re.compile(
     r"^\s*CONVERT\s+TO\s+DELTA\s+"
     r"(?P<target>parquet\.`[^`]+`|'[^']+'|[\w./-]+)"
     r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<parts>[^)]+?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_FSCK_RE = re.compile(
+    r"^\s*FSCK\s+REPAIR\s+TABLE\s+"
+    r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _COPY_INTO_RE = re.compile(
@@ -459,6 +466,17 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         else:
             target = _unquote_target(target, registry)
         res = convert_to_delta(spark, target, m.group("parts"))
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _FSCK_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.fsck import fsck_repair
+
+        res = fsck_repair(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            dry_run=bool(m.group("dry")),
+        )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 
     m = _COPY_INTO_RE.match(statement)

@@ -1,0 +1,106 @@
+"""FSCK REPAIR TABLE and expired-log cleanup."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.fsck import fsck_repair
+from deltalake_datafusion_spark.delta.log_cleanup import (
+    cleanup_expired_logs,
+    parse_duration_ms,
+)
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import (
+    write_checkpoint,
+    write_delta,
+)
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+
+def test_fsck_removes_dangling_adds(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t")
+    write_delta(
+        spark,
+        spark.range(100).select("id", (F.col("id") % 4).alias("g")),
+        path,
+        partition_by=["g"],
+    )
+    snap = load_snapshot(path, spark=spark)
+    victim = sorted(f.path for f in snap.files)[0]
+    os.remove(os.path.join(path, victim))
+
+    res = fsck_repair(spark, path, dry_run=True)
+    assert res["files_missing"] == 1
+    assert load_snapshot(path, spark=spark).version == snap.version  # no commit
+
+    row = sql(spark, f"FSCK REPAIR TABLE '{path}'").collect()[0]
+    assert row["files_missing"] == 1
+    after = load_snapshot(path, spark=spark)
+    assert after.version == snap.version + 1
+    assert victim not in {f.path for f in after.files}
+    read_delta(spark, path).count()  # scans no longer hit the ghost file
+
+    # clean table: fsck is a no-op
+    row = sql(spark, f"FSCK REPAIR TABLE '{path}' DRY RUN").collect()[0]
+    assert row["files_missing"] == 0
+
+
+def test_parse_duration():
+    assert parse_duration_ms("interval 30 days") == 30 * 86_400_000
+    assert parse_duration_ms("interval 2 hours") == 2 * 3_600_000
+    assert parse_duration_ms(None) == 30 * 86_400_000
+    with pytest.raises(ValueError):
+        parse_duration_ms("fortnight")
+
+
+def test_cleanup_expired_logs(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t")
+    write_delta(spark, spark.range(5).select("id"), path)
+    for i in range(3):
+        write_delta(
+            spark, spark.range(5).select("id"), path, mode="append"
+        )
+    snap = load_snapshot(path, spark=spark)
+    write_checkpoint(spark, snap)
+
+    # nothing is old enough under the default 30-day retention
+    res = cleanup_expired_logs(spark, path)
+    assert res["commits_deleted"] == 0
+
+    # with zero retention everything the checkpoint supersedes goes
+    res = cleanup_expired_logs(spark, path, retention_ms=0)
+    assert res["commits_deleted"] == snap.version + 1
+    assert glob.glob(os.path.join(path, "_delta_log", "*.json")) == []
+    # the table still loads from the checkpoint alone
+    assert read_delta(spark, path).count() == 20
+    # and new commits extend it normally
+    write_delta(spark, spark.range(7).select("id"), path, mode="append")
+    assert read_delta(spark, path).count() == 27
+
+
+def test_cleanup_drops_stale_checkpoints_not_live_sidecars(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.writer import write_checkpoint_v2
+
+    path = os.path.join(str(tmp_path), "t")
+    write_delta(
+        spark,
+        spark.range(10).select("id"),
+        path,
+        configuration={"delta.checkpointPolicy": "v2"},
+    )
+    write_checkpoint_v2(spark, path)  # stale after the next one
+    write_delta(spark, spark.range(10, 20).select("id"), path, mode="append")
+    write_checkpoint_v2(spark, path)
+
+    res = cleanup_expired_logs(spark, path, retention_ms=0)
+    assert res["checkpoints_deleted"] == 1
+    assert res["sidecars_deleted"] >= 1
+    # the surviving checkpoint's sidecars are intact: full reload works
+    for p in glob.glob(os.path.join(path, "_delta_log", "*.json")):
+        os.remove(p)
+    assert read_delta(spark, path).count() == 20
