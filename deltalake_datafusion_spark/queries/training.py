@@ -397,6 +397,86 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def delta_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA: supplier lands as a Hive-partitioned parquet
+    directory, is converted in place (no rewrite), and the resulting
+    Delta table must scan + prune identically to the source."""
+    from deltalake_datafusion_spark.delta.convert import convert_to_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+
+    t = load_tables(spark, sf_dir, "supplier")
+    d = os.path.join(_fresh_dir("convert_rt", sf_dir), "t")
+    t["supplier"].withColumn(
+        "nk", F.col("s_nationkey")
+    ).write.partitionBy("nk").parquet(d)
+    convert_to_delta(spark, d, partition_schema="nk bigint")
+    df = read_delta(spark, d, predicate="nk < 10")
+    return (
+        df.groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("bal_sum"),
+        )
+        .orderBy("nk")
+    )
+
+
+_CONVERT_RT_SQL = """
+SELECT s_nationkey AS nk, COUNT(*) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
+FROM supplier WHERE s_nationkey < 10
+GROUP BY s_nationkey ORDER BY nk
+"""
+
+
+def delta_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO: customer lands as three parquet files; two COPY INTO
+    runs load them exactly once (the second is a no-op), and a third
+    file landing later loads incrementally."""
+    from deltalake_datafusion_spark.delta.copy_into import copy_into
+    from deltalake_datafusion_spark.delta.scan import read_delta
+
+    t = load_tables(spark, sf_dir, "customer")
+    landing = os.path.join(_fresh_dir("copy_landing", sf_dir), "l")
+    table = os.path.join(_fresh_dir("copy_table", sf_dir), "t")
+    for i in range(2):
+        t["customer"].filter(F.pmod("c_custkey", F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+    first = copy_into(spark, table, landing)
+    second = copy_into(spark, table, landing)  # must load nothing
+    t["customer"].filter(F.pmod("c_custkey", F.lit(3)) == 2).coalesce(
+        1
+    ).write.mode("append").parquet(landing)
+    third = copy_into(spark, table, landing)
+    final = read_delta(spark, table)
+    return spark.createDataFrame(
+        [
+            (
+                first["files_loaded"],
+                second["files_loaded"],
+                third["files_loaded"],
+                final.count(),
+                final.agg(
+                    F.sum("c_custkey").cast("long")
+                ).collect()[0][0],
+            )
+        ],
+        "first_load long, second_load long, third_load long, "
+        "n_rows long, key_sum long",
+    )
+
+
+_COPY_INTO_SQL = """
+SELECT CAST(2 AS BIGINT) AS first_load, CAST(0 AS BIGINT) AS second_load,
+       CAST(1 AS BIGINT) AS third_load,
+       (SELECT COUNT(*) FROM customer) AS n_rows,
+       (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM customer) AS key_sum
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("pipe_decontaminate", pipe_decontaminate, _DECONTAMINATE_SQL),
@@ -417,4 +497,8 @@ def specs() -> list[QuerySpec]:
             _STREAM_DELTA_SOURCE_SQL,
         ),
         QuerySpec("text_line_dedup", text_line_dedup, _LINE_DEDUP_SQL),
+        QuerySpec(
+            "delta_convert_roundtrip", delta_convert_roundtrip, _CONVERT_RT_SQL
+        ),
+        QuerySpec("delta_copy_into", delta_copy_into, _COPY_INTO_SQL),
     ]

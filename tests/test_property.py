@@ -279,3 +279,49 @@ def test_all_match_soundness(mn, extent, nulls, rows, sql):
         # unknown-shaped nodes make all_match unreachable, so a row
         # evaluating to None here means the evaluator over-claimed
         assert r is True, (sql, v, mn, mx, nulls)
+
+
+# ------------------------------------------------------------------ #
+# line_dedup ≡ brute-force reference                                  #
+# ------------------------------------------------------------------ #
+
+_WORDS_ST = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_WORDS_ST, min_size=1, max_size=6))
+def test_line_dedup_matches_bruteforce(spark, corpora):
+    """line_dedup over random corpora equals the obvious sequential
+    first-occurrence algorithm."""
+    from deltalake_datafusion_spark.operators.dedup import line_dedup
+
+    chunk = 3
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(corpora)]
+
+    # brute force: global first-occurrence over (doc_id, pos)-ordered
+    # chunked lines of the normalized text (here: already normalized)
+    seen: set[str] = set()
+    expect: dict[int, tuple[int, int, str]] = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")  # '' → [''] mirrors the operator
+        n = max(1, -(-len(ws) // chunk))
+        kept = []
+        total = 0
+        for i in range(n):
+            line = " ".join(ws[i * chunk : i * chunk + chunk])
+            total += 1
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        expect[doc_id] = (total, len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_text"])
+        for r in line_dedup(df, "text", "doc_id", chunk_words=chunk).collect()
+    }
+    assert got == expect
