@@ -67,6 +67,118 @@ def _noop_delete() -> dict:
     }
 
 
+def _dv_soft_delete_actions(spark, snap, rowmeta_df, candidates, fs):
+    """Roaring-encode deletion vectors for the rows in ``rowmeta_df``
+    (columns ``__file_path``/``__row_index``; rows must belong to
+    ``candidates``). Encoding happens ON THE EXECUTORS (one
+    ``applyInPandas`` group per file, merged there with any existing
+    DV broadcast as decoded arrays); the driver only ever sees
+    (path, compressed blob, cardinality) triples. Files whose DV would
+    cover every physical row become plain removes.
+
+    Returns ``{actions, owners, full_removes, rows_deleted}`` — shared
+    by DELETE/UPDATE (via ``_delete_plan``) and the DV MERGE strategy.
+    """
+    # Keyed by decoded on-disk path; lookups decode the scan's URI form.
+    existing_by_path: dict[str, object] = {}
+    for f in candidates:
+        if f.dv:
+            arr = dvmod.read_dv(snap.table_path, f.dv, fs)
+            existing_by_path[os.path.join(snap.table_path, f.path)] = arr
+
+    bc_existing = spark.sparkContext.broadcast(existing_by_path)
+    enc_schema = StructType(
+        [
+            StructField("file_path", StringType()),
+            StructField("blob", BinaryType()),
+            StructField("cardinality", LongType()),
+            StructField("new_deletes", LongType()),
+        ]
+    )
+
+    def _encode_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from deltalake_datafusion_spark.delta.fs import decode_file_uri
+
+        fp = pdf["__file_path"].iloc[0]
+        new_idx = np.unique(pdf["__row_index"].to_numpy(dtype=np.int64))
+        prior = bc_existing.value.get(decode_file_uri(fp))
+        if prior is not None and len(prior):
+            all_idx = np.union1d(new_idx, np.asarray(prior, dtype=np.int64))
+        else:
+            all_idx = new_idx
+        return pd.DataFrame(
+            {
+                "file_path": [fp],
+                "blob": [dvmod.serialize_bitmap(all_idx)],
+                "cardinality": [int(len(all_idx))],
+                "new_deletes": [int(len(new_idx))],
+            }
+        )
+
+    hits = (
+        rowmeta_df.select("__file_path", "__row_index")
+        .groupBy("__file_path")
+        .applyInPandas(_encode_group, enc_schema)
+        .collect()
+    )
+    rows_deleted = sum(r["new_deletes"] for r in hits)
+    by_path = {f.path: f for f in snap.files}
+
+    full_removes = []
+    blobs, blob_owners = [], []
+    for row in sorted(hits, key=lambda r: r["file_path"]):
+        rel = _relativize(row["file_path"], snap.table_path)
+        f = by_path[rel]
+        stats = parse_stats(f.stats)
+        nrec = stats.get("numRecords") if stats else None
+        if nrec is not None and row["cardinality"] >= nrec:
+            full_removes.append(f)
+            continue
+        blobs.append(bytes(row["blob"]))
+        blob_owners.append((f, row["cardinality"]))
+
+    actions: list[dict] = []
+    if blobs:
+        # First DV on a legacy-protocol table: upgrade the protocol in
+        # the same commit (spec: deletionVectors is a reader+writer
+        # table feature; emitting DVs without declaring it would make
+        # the table invalid for other readers).
+        from deltalake_datafusion_spark.delta.writer import (
+            protocol_upgrade_action,
+        )
+
+        up = protocol_upgrade_action(snap.protocol, {"deletionVectors"})
+        if up is not None:
+            actions.append(up)
+        path_or_inline, spans = dvmod.write_dv_file(snap.table_path, blobs, fs)
+        for (f, card), (offset, size) in zip(blob_owners, spans):
+            dv = dvmod.make_descriptor("u", path_or_inline, offset, size, card)
+            actions.append(_remove_action(f))
+            actions.append(
+                {
+                    "add": {
+                        "path": _url_encode_path(f.path),
+                        "partitionValues": f.partition_values,
+                        "size": f.size,
+                        "modificationTime": f.modification_time,
+                        "dataChange": True,
+                        "stats": f.stats,
+                        "deletionVector": _dv_to_json(dv),
+                    }
+                }
+            )
+    return {
+        "actions": actions,
+        "owners": blob_owners,
+        "full_removes": full_removes,
+        "rows_deleted": rows_deleted,
+    }
+
+
+
 def _delete_plan(
     spark, snap, predicate: str | None, emit_cdc: bool = True
 ) -> dict:
@@ -154,125 +266,36 @@ def _delete_plan(
             prior = f.dv.cardinality if f.dv and f.dv.cardinality >= 0 else 0
             stats_full_live += max(int(nrec) - prior, 0)
 
-    if not candidates:
-        hits: list = []
-    else:
-        # Scan candidates (DV-aware: rows already deleted in place are
-        # invisible, so re-deletes never double-count), evaluate the
-        # predicate over logical columns. Roaring-encode each file's
-        # deletion vector ON THE EXECUTORS — the driver only ever sees
-        # (path, compressed blob, cardinality), never raw row indexes.
-        scan_df = _scan_with_rowmeta(spark, snap, predicate, files=candidates)
-
-    # Keyed by decoded on-disk path; lookups decode the scan's URI form.
-    existing_by_path: dict[str, object] = {}
-    for f in candidates:
-        if f.dv:
-            arr = dvmod.read_dv(snap.table_path, f.dv, fs)
-            existing_by_path[os.path.join(snap.table_path, f.path)] = arr
-
-    bc_existing = spark.sparkContext.broadcast(existing_by_path)
-    enc_schema = StructType(
-        [
-            StructField("file_path", StringType()),
-            StructField("blob", BinaryType()),
-            StructField("cardinality", LongType()),
-            StructField("new_deletes", LongType()),
-        ]
-    )
-
-    def _encode_group(pdf):
-        import numpy as np
-        import pandas as pd
-
-        from deltalake_datafusion_spark.delta.fs import decode_file_uri
-
-        fp = pdf["__file_path"].iloc[0]
-        new_idx = np.unique(pdf["__row_index"].to_numpy(dtype=np.int64))
-        prior = bc_existing.value.get(decode_file_uri(fp))
-        if prior is not None and len(prior):
-            all_idx = np.union1d(new_idx, np.asarray(prior, dtype=np.int64))
-        else:
-            all_idx = new_idx
-        return pd.DataFrame(
-            {
-                "file_path": [fp],
-                "blob": [dvmod.serialize_bitmap(all_idx)],
-                "cardinality": [int(len(all_idx))],
-                "new_deletes": [int(len(new_idx))],
-            }
-        )
-
     from deltalake_datafusion_spark.delta.cdf import cdf_enabled as _cdf_en
 
     cdc_on = emit_cdc and _cdf_en(snap.metadata.configuration)
     matched = None
+    enc = {"actions": [], "owners": [], "full_removes": [],
+           "rows_deleted": 0}
     if candidates:
-        matched = scan_df.filter(F.expr(predicate))
+        # Scan candidates (DV-aware: rows already deleted in place are
+        # invisible, so re-deletes never double-count), evaluate the
+        # predicate over logical columns; DV-encode the matched rows
+        # executor-side (_dv_soft_delete_actions).
+        matched = _scan_with_rowmeta(
+            spark, snap, predicate, files=candidates
+        ).filter(F.expr(predicate))
         if cdc_on:
             # the matched rows feed BOTH the DV encoder and the cdc
             # capture below — persist once instead of re-scanning the
             # candidate files (bounded by deleted-row volume)
             matched = matched.persist()
-        hits = (
-            matched
-            .select("__file_path", "__row_index")
-            .groupBy("__file_path")
-            .applyInPandas(_encode_group, enc_schema)
-            .collect()
-        )
-    total_deleted = sum(r["new_deletes"] for r in hits) + stats_full_live
+        enc = _dv_soft_delete_actions(spark, snap, matched, candidates, fs)
+    total_deleted = enc["rows_deleted"] + stats_full_live
 
-    if not hits and not stats_full:
+    if not enc["owners"] and not enc["full_removes"] and not stats_full:
         if matched is not None and cdc_on:
             matched.unpersist()
         return _noop_delete()
 
-    by_path = {f.path: f for f in snap.files}
-
-    full_removes = list(stats_full)
-    blobs, blob_owners = [], []
-    for row in sorted(hits, key=lambda r: r["file_path"]):
-        rel = _relativize(row["file_path"], snap.table_path)
-        f = by_path[rel]
-        stats = parse_stats(f.stats)
-        nrec = stats.get("numRecords") if stats else None
-        if nrec is not None and row["cardinality"] >= nrec:
-            full_removes.append(f)
-            continue
-        blobs.append(bytes(row["blob"]))
-        blob_owners.append((f, row["cardinality"]))
-
-    actions = []
-    if blobs:
-        # First DV on a legacy-protocol table: upgrade the protocol in
-        # the same commit (spec: deletionVectors is a reader+writer
-        # table feature; emitting DVs without declaring it would make
-        # the table invalid for other readers).
-        from deltalake_datafusion_spark.delta.writer import (
-            protocol_upgrade_action,
-        )
-
-        up = protocol_upgrade_action(snap.protocol, {"deletionVectors"})
-        if up is not None:
-            actions.append(up)
-        path_or_inline, spans = dvmod.write_dv_file(snap.table_path, blobs, fs)
-        for (f, card), (offset, size) in zip(blob_owners, spans):
-            dv = dvmod.make_descriptor("u", path_or_inline, offset, size, card)
-            actions.append(_remove_action(f))
-            actions.append(
-                {
-                    "add": {
-                        "path": _url_encode_path(f.path),
-                        "partitionValues": f.partition_values,
-                        "size": f.size,
-                        "modificationTime": f.modification_time,
-                        "dataChange": True,
-                        "stats": f.stats,
-                        "deletionVector": _dv_to_json(dv),
-                    }
-                }
-            )
+    blob_owners = enc["owners"]
+    full_removes = list(stats_full) + enc["full_removes"]
+    actions = list(enc["actions"])
     for f in full_removes:
         actions.append(_remove_action(f))
 
@@ -498,6 +521,7 @@ def merge_delta(
     when_not_matched_by_source_condition: str | None = None,
     strict: bool = False,
     schema_evolution: bool = False,
+    strategy: str = "cow",
 ) -> dict:
     """MERGE INTO (upsert), copy-on-write strategy:
 
@@ -530,6 +554,14 @@ def merge_delta(
     the condition (``t.col`` = target, ``s.col`` = source); matched
     rows failing it are rewritten unchanged. A null condition value
     counts as false, per SQL three-valued logic.
+
+    ``strategy="dv"`` switches from copy-on-write to deletion vectors:
+    clause-matched (and by-source-deleted) rows are soft-deleted in
+    place via the same executor-side roaring encoder DELETE uses, and
+    only replacement/insert rows are written — merge cost becomes
+    ∝ changed rows instead of ∝ touched files (Delta's MERGE-with-DV
+    optimization). Results are identical to ``"cow"``; files that lost
+    every live row become plain removes.
 
     ``schema_evolution=True`` is Delta's ``withSchemaEvolution()``:
     source columns absent from the target are appended (nullable) to
@@ -613,8 +645,9 @@ def merge_delta(
     _cdf_on = cdf_enabled(snap.metadata.configuration)
     cdc_parts: list = []
 
-    # Rewritten content of touched files.
+    # Rewritten content of touched files (cow) / DV soft deletes (dv).
     new_parts = []
+    dv_enc = None
     if touched:
         if when_not_matched_by_source_delete:
             tf = target
@@ -628,9 +661,10 @@ def merge_delta(
         # matching one target row duplicates that row (ANSI MERGE
         # errors; see MergeCardinalityError above).
         joined = tf.join(m, ["__file_path", "__row_index"], "left")
-        if _cdf_on:
-            # the join feeds the rewrite AND the cdc pre/post images —
-            # persist once instead of recomputing it per consumer
+        joined_persisted = _cdf_on or strategy == "dv"
+        if joined_persisted:
+            # the join feeds the rewrite/DV rowmeta AND the cdc
+            # pre/post images — persist once instead of recomputing it
             joined = joined.persist()
         # Evolved columns are absent from the target scan: back-fill
         # typed nulls so every downstream select over the (possibly
@@ -653,7 +687,70 @@ def merge_delta(
             )
         else:
             clause_matched = is_matched
-        if when_matched_delete:
+        bs_cond = None
+        if when_not_matched_by_source_delete:
+            bs_cond = (
+                F.expr(when_not_matched_by_source_condition)
+                if when_not_matched_by_source_condition
+                else F.lit(True)
+            )
+        if strategy == "dv":
+            # Deletion-vector strategy: matched (and by-source) rows
+            # are soft-deleted in place; only replacement/insert rows
+            # are written. Cost ∝ changed rows, never touched files.
+            # With no matched clause at all, matched rows are left
+            # untouched (the cow pass-through semantics).
+            to_clear = (
+                clause_matched
+                if (when_matched_update or when_matched_delete)
+                else F.lit(False)
+            )
+            if bs_cond is not None:
+                to_clear = to_clear | (~is_matched & bs_cond)
+                if _cdf_on:
+                    cdc_parts.append(
+                        joined.filter(~is_matched & bs_cond)
+                        .select(*logical.fieldNames())
+                        .withColumn(_CT, F.lit("delete"))
+                    )
+            dv_enc = _dv_soft_delete_actions(
+                spark,
+                snap,
+                joined.filter(to_clear).select(
+                    "__file_path", "__row_index"
+                ),
+                touched,
+                fs_for(snap.table_path, spark),
+            )
+            replacements = None
+            if when_matched_update and not when_matched_delete:
+                rw = {
+                    col: _re.sub(r"\bs\.(\w+)", r"__s_\1", expr)
+                    for col, expr in when_matched_update.items()
+                }
+                replacements = joined.filter(clause_matched).select(
+                    *[
+                        (F.expr(rw[c]) if c in rw else F.col(c)).alias(c)
+                        for c in logical.fieldNames()
+                    ]
+                )
+                new_parts.append(replacements)
+            if _cdf_on:
+                pre = joined.filter(clause_matched).select(
+                    *logical.fieldNames()
+                )
+                if when_matched_delete:
+                    cdc_parts.append(pre.withColumn(_CT, F.lit("delete")))
+                elif when_matched_update:
+                    cdc_parts.append(
+                        pre.withColumn(_CT, F.lit("update_preimage"))
+                    )
+                    cdc_parts.append(
+                        replacements.withColumn(
+                            _CT, F.lit("update_postimage")
+                        )
+                    )
+        elif when_matched_delete:
             survivors = joined.filter(~clause_matched)
         else:
             survivors = joined
@@ -675,38 +772,37 @@ def merge_delta(
                         for c in joined.columns
                     ]
                 )
-        if when_not_matched_by_source_delete:
-            bs_cond = (
-                F.expr(when_not_matched_by_source_condition)
-                if when_not_matched_by_source_condition
-                else F.lit(True)
-            )
-            if _cdf_on:
-                cdc_parts.append(
-                    survivors.filter(~is_matched & bs_cond)
-                    .select(*logical.fieldNames())
-                    .withColumn(_CT, F.lit("delete"))
-                )
-            survivors = survivors.filter(is_matched | ~bs_cond)
-        new_parts.append(survivors.select(*logical.fieldNames()))
+        if strategy != "dv":
+            if bs_cond is not None:
+                if _cdf_on:
+                    cdc_parts.append(
+                        survivors.filter(~is_matched & bs_cond)
+                        .select(*logical.fieldNames())
+                        .withColumn(_CT, F.lit("delete"))
+                    )
+                survivors = survivors.filter(is_matched | ~bs_cond)
+            new_parts.append(survivors.select(*logical.fieldNames()))
 
-        # CDF: matched rows → delete, or pre/post image pairs; rows
-        # merely rewritten untouched (no matched clause) report nothing.
-        if _cdf_on:
-            pre = joined.filter(clause_matched).select(*logical.fieldNames())
-            if when_matched_delete:
-                cdc_parts.append(
-                    pre.withColumn(_CT, F.lit("delete"))
+            # CDF: matched rows → delete, or pre/post image pairs; rows
+            # merely rewritten untouched (no matched clause) report
+            # nothing.
+            if _cdf_on:
+                pre = joined.filter(clause_matched).select(
+                    *logical.fieldNames()
                 )
-            elif when_matched_update:
-                cdc_parts.append(
-                    pre.withColumn(_CT, F.lit("update_preimage"))
-                )
-                cdc_parts.append(
-                    survivors.filter(clause_matched)
-                    .select(*logical.fieldNames())
-                    .withColumn(_CT, F.lit("update_postimage"))
-                )
+                if when_matched_delete:
+                    cdc_parts.append(
+                        pre.withColumn(_CT, F.lit("delete"))
+                    )
+                elif when_matched_update:
+                    cdc_parts.append(
+                        pre.withColumn(_CT, F.lit("update_preimage"))
+                    )
+                    cdc_parts.append(
+                        survivors.filter(clause_matched)
+                        .select(*logical.fieldNames())
+                        .withColumn(_CT, F.lit("update_postimage"))
+                    )
 
     if when_not_matched_insert:
         anti = s.join(t, cond, "left_anti")
@@ -724,7 +820,18 @@ def merge_delta(
 
     n_inserted = 0
     actions: list[dict] = [md_action] if md_action is not None else []
-    actions.extend(_remove_action(f) for f in touched)
+    if dv_enc is not None:
+        # DV strategy: only files that actually lost rows are touched
+        actions.extend(dv_enc["actions"])
+        actions.extend(_remove_action(f) for f in dv_enc["full_removes"])
+        modified_paths = {f.path for f, _ in dv_enc["owners"]} | {
+            f.path for f in dv_enc["full_removes"]
+        }
+        n_modified = len(modified_paths)
+    else:
+        actions.extend(_remove_action(f) for f in touched)
+        modified_paths = {f.path for f in touched}
+        n_modified = len(touched)
     if new_parts:
         out = new_parts[0]
         for p in new_parts[1:]:
@@ -764,8 +871,19 @@ def merge_delta(
             [(rel, size) for rel, _pv, size, _mt in moved],
             skip_columns=set(phys_parts),
         )
+        from deltalake_datafusion_spark.delta.fs import fs_for as _ff
+
+        _mfs = None
         for rel, pv_phys, size, mtime_ms in moved:
             stats = stats_by_rel[rel]
+            st = parse_stats(stats)
+            if st is not None and st.get("numRecords") == 0:
+                # empty staging part (e.g. a no-insert MERGE): don't
+                # commit a zero-row file
+                if _mfs is None:
+                    _mfs = _ff(snap.table_path, spark)
+                _mfs.delete(os.path.join(snap.table_path, rel))
+                continue
             pv = {p2l.get(k, k): v for k, v in pv_phys.items()}
             actions.append(
                 {
@@ -785,7 +903,7 @@ def merge_delta(
         for p in cdc_parts[1:]:
             cdc_df = cdc_df.unionByName(p)
         actions.extend(stage_cdc(spark, snap, cdc_df))
-    if _cdf_on and touched:
+    if touched and joined_persisted:
         joined.unpersist()
 
     from deltalake_datafusion_spark.delta.writer import commit_with_retries
@@ -794,12 +912,12 @@ def merge_delta(
     # match), so every concurrent data append is a read conflict.
     version = commit_with_retries(
         spark, snap.table_path, snap, actions, "MERGE",
-        {f.path for f in touched}, read_predicate="true",
+        modified_paths, read_predicate="true",
     )
     out_snap = load_snapshot(table_path, spark=spark)
     maybe_checkpoint(spark, out_snap)
     return {
-        "files_rewritten": len(touched),
+        "files_rewritten": n_modified,
         "version": version,
     }
 

@@ -816,3 +816,117 @@ def test_sql_merge_with_schema_evolution(spark, tmp_path):
     out = {r.id: (r.val, r.w) for r in read_delta(spark, path).collect()}
     assert out[2] == ("q", 3.5) and out[42] == ("r", 4.5)
     assert out[0] == ("z", None)
+
+
+# ------------------------------------------------------------------ #
+# MERGE strategy="dv" (deletion-vector merge)                         #
+# ------------------------------------------------------------------ #
+
+
+def _dv_merge_fixture(spark, tmp_path, name, **cfg):
+    path = str(tmp_path / name)
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k long, v double"
+        ).repartition(4),
+        path,
+        **cfg,
+    )
+    return path
+
+
+def test_merge_dv_strategy_equals_cow(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (500, 5.0)], "k long, v double"
+    )
+    out = {}
+    for strat in ("cow", "dv"):
+        path = _dv_merge_fixture(spark, tmp_path, strat)
+        merge_delta(
+            spark, path, src, on="t.k = s.k",
+            when_matched_update={"v": "s.v"}, strategy=strat,
+        )
+        out[strat] = {
+            (r["k"], r["v"]) for r in read_delta(spark, path).collect()
+        }
+    assert out["dv"] == out["cow"]
+
+
+def test_merge_dv_strategy_writes_dvs_not_rewrites(spark, tmp_path):
+    path = _dv_merge_fixture(spark, tmp_path, "dvmode")
+    before = load_snapshot(path)
+    src = spark.createDataFrame([(7, -7.0)], "k long, v double")
+    res = merge_delta(
+        spark, path, src, on="t.k = s.k",
+        when_matched_update={"v": "s.v"}, strategy="dv",
+    )
+    after = load_snapshot(path)
+    # exactly one file gained a DV (kept its path); one new file holds
+    # the replacement row; untouched files are bit-identical entries
+    assert res["files_rewritten"] == 1
+    dv_files = [f for f in after.files if f.dv is not None]
+    assert len(dv_files) == 1
+    assert dv_files[0].path in {f.path for f in before.files}
+    assert len(after.files) == len(before.files) + 1
+    rows = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+    assert rows[7] == -7.0 and len(rows) == 100
+
+
+def test_merge_dv_matched_delete_and_insert(spark, tmp_path):
+    path = _dv_merge_fixture(spark, tmp_path, "dvdel")
+    src = spark.createDataFrame(
+        [(3, 0.0), (4, 0.0), (999, 9.0)], "k long, v double"
+    )
+    merge_delta(
+        spark, path, src, on="t.k = s.k",
+        when_matched_delete=True, strategy="dv",
+    )
+    rows = {r["k"] for r in read_delta(spark, path).collect()}
+    assert 3 not in rows and 4 not in rows and 999 in rows
+    assert len(rows) == 99  # 100 - 2 deleted + 1 inserted
+
+
+def test_merge_dv_by_source_delete(spark, tmp_path):
+    path = _dv_merge_fixture(spark, tmp_path, "dvbs")
+    src = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, v double"
+    )
+    merge_delta(
+        spark, path, src, on="t.k = s.k",
+        when_matched_update={"v": "s.v"},
+        when_not_matched_by_source_delete=True,
+        strategy="dv",
+    )
+    rows = {r["k"] for r in read_delta(spark, path).collect()}
+    assert rows == set(range(50))
+
+
+def test_merge_dv_cdf_images_match_cow(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.cdf import table_changes
+
+    src = spark.createDataFrame([(5, 55.0), (300, 3.0)], "k long, v double")
+    feeds = {}
+    for strat in ("cow", "dv"):
+        path = _dv_merge_fixture(
+            spark, tmp_path, f"cdf{strat}",
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        merge_delta(
+            spark, path, src, on="t.k = s.k",
+            when_matched_update={"v": "s.v"}, strategy=strat,
+        )
+        feeds[strat] = {
+            (r["k"], r["v"], r["_change_type"])
+            for r in table_changes(spark, path, 1).collect()
+        }
+    assert feeds["dv"] == feeds["cow"]
+
+
+def test_merge_dv_no_matched_clause_leaves_rows(spark, tmp_path):
+    path = _dv_merge_fixture(spark, tmp_path, "dvnoop")
+    src = spark.createDataFrame([(1, 0.0), (777, 7.0)], "k long, v double")
+    merge_delta(spark, path, src, on="t.k = s.k", strategy="dv")
+    rows = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+    assert rows[1] == 1.0  # matched row untouched (no matched clause)
+    assert rows[777] == 7.0 and len(rows) == 101
