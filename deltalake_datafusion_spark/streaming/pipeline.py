@@ -270,6 +270,10 @@ def merge_stream_delta(
             on=on,
             when_matched_update={c: f"s.{c}" for c in data_cols},
             when_matched_condition=newer,
+            # DV strategy: each micro-batch soft-deletes its matched
+            # rows instead of rewriting every touched file — upsert
+            # cost tracks the batch, not the table
+            strategy="dv",
         )
 
     writer = (
