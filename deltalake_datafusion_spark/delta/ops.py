@@ -521,7 +521,7 @@ def merge_delta(
     when_not_matched_by_source_condition: str | None = None,
     strict: bool = False,
     schema_evolution: bool = False,
-    strategy: str = "cow",
+    strategy: str = "auto",
 ) -> dict:
     """MERGE INTO (upsert), copy-on-write strategy:
 
@@ -555,7 +555,11 @@ def merge_delta(
     rows failing it are rewritten unchanged. A null condition value
     counts as false, per SQL three-valued logic.
 
-    ``strategy="dv"`` switches from copy-on-write to deletion vectors:
+    ``strategy`` selects the physical plan: the default ``"auto"``
+    picks ``"dv"`` when the touched files hold ≥64 MiB (rewriting
+    them would move real data) and ``"cow"`` otherwise (small
+    rewrites beat the DV encoder's fixed round-trip).
+    ``strategy="dv"`` forces deletion vectors:
     clause-matched (and by-source-deleted) rows are soft-deleted in
     place via the same executor-side roaring encoder DELETE uses, and
     only replacement/insert rows are written — merge cost becomes
@@ -635,6 +639,16 @@ def merge_delta(
         ]
         by_path = {f.path: f for f in snap.files}
         touched = [by_path[p] for p in touched_files]
+
+    if strategy == "auto":
+        # Cost model: copy-on-write moves every touched byte; the DV
+        # path costs matched rows plus a fixed encode round-trip.
+        # Prefer DVs once the rewrite would move real data.
+        strategy = (
+            "dv"
+            if sum(f.size for f in touched) >= 64 * 1024 * 1024
+            else "cow"
+        )
 
     from deltalake_datafusion_spark.delta.cdf import (
         CHANGE_TYPE_COL as _CT,

@@ -270,10 +270,9 @@ def merge_stream_delta(
             on=on,
             when_matched_update={c: f"s.{c}" for c in data_cols},
             when_matched_condition=newer,
-            # DV strategy: each micro-batch soft-deletes its matched
-            # rows instead of rewriting every touched file — upsert
-            # cost tracks the batch, not the table
-            strategy="dv",
+            # strategy="auto" (default): DV soft deletes once touched
+            # files are big enough that rewriting them would dominate;
+            # small tables keep the cheap copy-on-write path
         )
 
     writer = (
