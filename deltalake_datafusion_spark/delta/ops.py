@@ -57,6 +57,12 @@ class MergeCardinalityError(Exception):
     """MERGE source matched the same target row more than once."""
 
 
+# strategy="auto" switches MERGE from copy-on-write to deletion
+# vectors once the touched files hold this many bytes: above it the
+# rewrite moves more data than the DV encoder's fixed round-trip costs.
+DV_MERGE_THRESHOLD_BYTES = 64 * 1024 * 1024
+
+
 def _noop_delete() -> dict:
     return {
         "actions": [],
@@ -646,7 +652,7 @@ def merge_delta(
         # Prefer DVs once the rewrite would move real data.
         strategy = (
             "dv"
-            if sum(f.size for f in touched) >= 64 * 1024 * 1024
+            if sum(f.size for f in touched) >= DV_MERGE_THRESHOLD_BYTES
             else "cow"
         )
 

@@ -930,3 +930,30 @@ def test_merge_dv_no_matched_clause_leaves_rows(spark, tmp_path):
     rows = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
     assert rows[1] == 1.0  # matched row untouched (no matched clause)
     assert rows[777] == 7.0 and len(rows) == 101
+
+
+def test_merge_auto_strategy_picks_by_touched_bytes(spark, tmp_path, monkeypatch):
+    """auto → cow on small touched files; dv once the rewrite would
+    move real bytes (threshold pinned via the module constant)."""
+    from deltalake_datafusion_spark.delta import ops as ops_mod
+
+    src = spark.createDataFrame([(1, -1.0)], "k long, v double")
+
+    path = _dv_merge_fixture(spark, tmp_path, "auto_small")
+    merge_delta(
+        spark, path, src, on="t.k = s.k",
+        when_matched_update={"v": "s.v"}, strategy="auto",
+    )
+    snap = load_snapshot(path)
+    assert all(f.dv is None for f in snap.files)  # cow: no DVs
+
+    monkeypatch.setattr(ops_mod, "DV_MERGE_THRESHOLD_BYTES", 0)
+    path = _dv_merge_fixture(spark, tmp_path, "auto_big")
+    merge_delta(
+        spark, path, src, on="t.k = s.k",
+        when_matched_update={"v": "s.v"}, strategy="auto",
+    )
+    snap = load_snapshot(path)
+    assert any(f.dv is not None for f in snap.files)  # dv path taken
+    rows = {r["k"]: r["v"] for r in read_delta(spark, path).collect()}
+    assert rows[1] == -1.0 and len(rows) == 100
