@@ -477,6 +477,90 @@ SELECT CAST(2 AS BIGINT) AS first_load, CAST(0 AS BIGINT) AS second_load,
 """
 
 
+def pipe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-construction pipeline in one plan:
+    documents → benchmark decontamination (drop flagged docs) →
+    deterministic stratified sample (15 per language by md5 order) →
+    sequence packing (4 shard streams, 512-token capacity) →
+    per-shard pack audit. Every stage is the production operator; the
+    oracle mirrors the full chain stage-for-stage in SQL."""
+    from deltalake_datafusion_spark.operators.decontaminate import (
+        flag_contaminated,
+    )
+    from deltalake_datafusion_spark.operators.sampling import (
+        pack_sequences,
+        stratified_sample,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    clean = flag_contaminated(docs, bench, "text", "doc_id", n=8).filter(
+        ~F.col("is_contaminated")
+    )
+    sampled = stratified_sample(clean, ["lang"], "doc_id", 15)
+    toks = sampled.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("toks")
+    )
+    packed = pack_sequences(toks, "doc_id", "toks", capacity=512, shards=4)
+    return (
+        packed.groupBy("pack_shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.sum("toks").alias("total_tokens"),
+        )
+        .orderBy("pack_shard")
+    )
+
+
+_PIPE_E2E_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 8 THEN
+      list_distinct([array_to_string(w[i:i+7], ' ')
+                     for i in range(1, len(w) - 7 + 1)])
+    ELSE [array_to_string(w, ' ')] END AS grams
+  FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+),
+bgrams AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 97 = 0
+),
+hits AS (
+  SELECT DISTINCT g.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM sh) g
+  JOIN (SELECT gram FROM bgrams WHERE len(gram) > 0) b USING (gram)
+),
+clean AS (
+  SELECT d.* FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+  WHERE h.doc_id IS NULL
+),
+sampled AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rnk FROM clean
+  ) WHERE rnk <= 15
+),
+t AS (
+  SELECT doc_id, lang, doc_id % 4 AS pack_shard,
+         len(string_split(text, ' ')) AS toks
+  FROM sampled
+),
+c AS (
+  SELECT *, SUM(toks) OVER (
+    PARTITION BY pack_shard ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) - toks AS pack_offset FROM t
+)
+SELECT CAST(pack_shard AS BIGINT) AS pack_shard, COUNT(*) AS n_docs,
+  COUNT(DISTINCT lang) AS n_langs,
+  COUNT(DISTINCT CAST(FLOOR(pack_offset / 512) AS BIGINT)) AS n_packs,
+  CAST(SUM(toks) AS BIGINT) AS total_tokens
+FROM c GROUP BY pack_shard ORDER BY pack_shard
+"""
+
+
 def delta_identity_create(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CREATE TABLE with a GENERATED ALWAYS AS IDENTITY column + two
     appends from the region table: ids must be unique, in-sequence
@@ -606,4 +690,5 @@ def specs() -> list[QuerySpec]:
         QuerySpec("pipe_seq_packing", pipe_seq_packing, _SEQ_PACKING_SQL),
         QuerySpec("pipe_domain_mixture", pipe_domain_mixture, _DOMAIN_MIX_SQL),
         QuerySpec("text_line_dedup", text_line_dedup, _LINE_DEDUP_SQL),
+        QuerySpec("pipe_end_to_end", pipe_end_to_end, _PIPE_E2E_SQL),
     ]
