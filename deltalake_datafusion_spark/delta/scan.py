@@ -8,8 +8,9 @@ and the per-file transform exec ``exec.rs:24-237``):
       → log replay (snapshot)                       [S2]
       → stats + partition pruning                   [S18 analog]
       → limit-based file truncation                 [S6]
-      → per-group ``spark.read.schema(phys).parquet(files)``
-        with partition-value injection              [S1/S3]
+      → ONE ``spark.read.schema(phys).parquet(files)`` per DV-ness
+        (≤2 branches total) with partition values injected via a
+        broadcast file→values join                  [S1/S3]
       → deletion-vector row filtering               [S4]
       → recursive schema application                [S20]
       → residual ``filter(predicate)`` (inexact discipline)
@@ -18,11 +19,15 @@ and the per-file transform exec ``exec.rs:24-237``):
 Scale design:
 - Pruning happens on the driver over add-file metadata *before any
   data I/O* — scan cost ∝ matching files, not table size.
-- File groups with a hive-style layout read in ONE ``spark.read``
-  via ``basePath`` (Spark parses partition dirs natively — no N-way
-  union for N partitions). Non-hive layouts fall back to per-
-  partition-tuple groups unioned (the reference's multi-store union
-  pattern, ``delta/mod.rs:181-227``).
+- The plan is **O(1) in partition count**: all surviving files read
+  in one ``spark.read`` (two when some files carry deletion
+  vectors), mirroring the reference's one-``DataSourceExec``-per-
+  store plan (``delta/mod.rs:181-227``). Partition values come from
+  the log, not the directory layout, and are attached by joining
+  ``_metadata.file_path`` against a broadcast (file → partition
+  values) map — one row per surviving file, so the broadcast is
+  metadata-scale and a 10k-partition table plans exactly like a
+  1-partition one.
 - Parallelism within files comes from Spark file splitting
   (``spark.sql.files.maxPartitionBytes``), the analog of the
   reference's ``repartitioned()`` redistribution (exec.rs:105-121).
@@ -31,7 +36,6 @@ Scale design:
 from __future__ import annotations
 
 import os
-from collections import defaultdict
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -99,33 +103,77 @@ def scan_files(
     return files
 
 
-def _partition_expr(value: str | None, dtype):
-    if value is None:
-        return F.lit(None).cast(dtype)
-    return F.lit(value).cast(dtype)
-
-
-def _read_file_group(
+def _read_files(
     spark,
     snapshot: Snapshot,
     files: list[AddFile],
     data_schema: StructType,
-    with_row_index: bool,
+    row_index: bool,
+    file_path: bool,
 ) -> DataFrame:
     paths = [os.path.join(snapshot.table_path, f.path) for f in files]
-    reader = spark.read.schema(data_schema)
-    df = reader.parquet(*paths)
-    if with_row_index:
-        df = df.select(
-            "*",
-            F.col("_metadata.row_index").alias("__row_index"),
-            F.col("_metadata.file_path").alias("__file_path"),
-        )
+    df = spark.read.schema(data_schema).parquet(*paths)
+    extra = []
+    if row_index:
+        extra.append(F.col("_metadata.row_index").alias("__row_index"))
+    if file_path:
+        extra.append(F.col("_metadata.file_path").alias("__file_path"))
+    if extra:
+        df = df.select("*", *extra)
     return df
 
 
-def _group_key(f: AddFile, partition_columns: list[str]) -> tuple:
-    return tuple(f.partition_values.get(p) for p in partition_columns)
+def _file_path_key() -> F.Column:
+    """Normalize ``__file_path`` (a percent-encoded URI) to the
+    on-disk path — the Column-expression twin of
+    :func:`deltalake_datafusion_spark.delta.fs.decode_file_uri`, kept
+    JVM-side so the partition-value join stays inside codegen.
+    ``+`` is pre-escaped because ``url_decode`` (URLDecoder) would
+    turn a literal ``+`` into a space, unlike ``urllib.unquote``."""
+    stripped = F.regexp_replace(F.col("__file_path"), r"^file:(//)?", "")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+
+
+def _inject_partition_values(
+    spark,
+    snapshot: Snapshot,
+    files: list[AddFile],
+    df: DataFrame,
+    phys_full: StructType,
+) -> DataFrame:
+    """Attach partition values (S3) via a broadcast (file → values)
+    join instead of per-partition-tuple literal branches: one row per
+    surviving file, so plan size is O(1) in partition count."""
+    from pyspark.sql.types import StringType, StructField
+
+    logical = snapshot.schema
+    part_cols = snapshot.partition_columns
+    phys_names = []
+    for p in part_cols:
+        li = logical.fieldNames().index(p)
+        phys_names.append(phys_full.fields[li].name)
+    rows = [
+        (
+            os.path.join(snapshot.table_path, f.path),
+            *[f.partition_values.get(p) for p in part_cols],
+        )
+        for f in files
+    ]
+    meta_schema = StructType(
+        [StructField("__pv_path", StringType())]
+        + [StructField(f"__pv_{n}", StringType()) for n in phys_names]
+    )
+    meta = spark.createDataFrame(rows, meta_schema)
+    df = df.join(
+        F.broadcast(meta), _file_path_key() == F.col("__pv_path"), "inner"
+    ).drop("__pv_path")
+    for p, phys_name in zip(part_cols, phys_names):
+        li = logical.fieldNames().index(p)
+        df = df.withColumn(
+            phys_name,
+            F.col(f"__pv_{phys_name}").cast(phys_full.fields[li].dataType),
+        ).drop(f"__pv_{phys_name}")
+    return df
 
 
 def scan_files_spark(
@@ -189,22 +237,18 @@ def scan(
     for subset, with_dv in ((plain_files, False), (dv_files, True)):
         if not subset:
             continue
-        # Group by partition tuple; inject partition values as typed
-        # literals per group (per-file-group transform, S3).
-        groups: dict[tuple, list[AddFile]] = defaultdict(list)
-        for f in subset:
-            groups[_group_key(f, part_cols)].append(f)
-        for key, group in sorted(groups.items(), key=lambda kv: repr(kv[0])):
-            df = _read_file_group(spark, snapshot, group, data_schema, with_dv)
-            if with_dv:
-                df = _apply_dv_filter(spark, snapshot, group, df)
-            for p, raw in zip(part_cols, key):
-                li = logical.fieldNames().index(p)
-                phys_name = phys_full.fields[li].name
-                df = df.withColumn(
-                    phys_name, _partition_expr(raw, phys_full.fields[li].dataType)
-                )
-            branches.append(df)
+        need_fp = with_dv or bool(part_cols)
+        df = _read_files(
+            spark, snapshot, subset, data_schema,
+            row_index=with_dv, file_path=need_fp,
+        )
+        if part_cols:
+            df = _inject_partition_values(spark, snapshot, subset, df, phys_full)
+        if with_dv:
+            df = _apply_dv_filter(spark, snapshot, subset, df)
+        elif need_fp:
+            df = df.drop("__file_path")
+        branches.append(df)
 
     out = branches[0]
     for b in branches[1:]:

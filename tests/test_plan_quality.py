@@ -234,3 +234,30 @@ def test_pack_sequences_single_shuffle_on_shard(spark, sf_dir):
     plan = _plan(pack_sequences(toks, "doc_id", "toks", 2048, shards=8))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "pack_shard" in plan
+
+
+def test_partitioned_scan_plan_is_o1_in_partition_count(spark, tmp_path):
+    """An unpredicated scan of a 500-partition table must plan in O(1)
+    union branches (one read + broadcast partition-value join), not one
+    branch per partition tuple — the 100×-scale property of the read
+    path (reference plans one DataSourceExec per store,
+    delta/mod.rs:181-227)."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "many_parts")
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id")).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    write_delta(spark, df, path, partition_by=["p"])
+
+    out = read_delta(spark, path)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("Union") == 0
+    # exactly one parquet relation in the plan
+    assert optimized.count("parquet") <= 2  # relation line may repeat schema
+    plan = _plan(out)
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastHashJoin" in plan  # partition-value injection join
+    assert out.count() == 500
+    assert out.filter("p = 250").select("v").collect()[0][0] == 500
