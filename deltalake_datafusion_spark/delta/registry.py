@@ -64,8 +64,13 @@ class DeltaRegistry:
             raise KeyError(f"table {name!r} is not registered")
         entry = self._tables[name]
         if entry.version_pin is None:
-            latest = load_snapshot(entry.path, spark=self.spark)
-            if latest.version != entry.snapshot.version:
+            # Incremental tail replay (reference try_new_from,
+            # schema_provider.rs:94-109): zero new commits → the cached
+            # snapshot object comes back untouched, no log reads.
+            latest = load_snapshot(
+                entry.path, spark=self.spark, base=entry.snapshot
+            )
+            if latest is not entry.snapshot:
                 entry.snapshot = latest
                 self._publish(name, latest)
         return entry

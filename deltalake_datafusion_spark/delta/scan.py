@@ -305,5 +305,7 @@ def read_delta(
         version = resolve_version_at_timestamp(
             table_path, timestamp_as_of, spark
         )
-    snap = load_snapshot(table_path, version=version, spark=spark)
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot_cached
+
+    snap = load_snapshot_cached(table_path, version=version, spark=spark)
     return scan(spark, snap, predicate=predicate, columns=columns, limit=limit)

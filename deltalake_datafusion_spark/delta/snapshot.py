@@ -276,9 +276,96 @@ def resolve_version_at_timestamp(table_path: str, ts_ms: int, spark=None) -> int
     return best
 
 
+class _ReplayState:
+    """Mutable log-replay accumulator (shared by full and incremental
+    replay)."""
+
+    __slots__ = ("metadata", "protocol", "adds", "tombstones", "app_transactions")
+
+    def __init__(self, metadata=None, protocol=None, adds=None,
+                 tombstones=None, app_transactions=None):
+        self.metadata: Metadata | None = metadata
+        self.protocol: Protocol = protocol or Protocol()
+        self.adds: dict[str, AddFile] = adds or {}
+        self.tombstones: list[dict] = tombstones or []
+        self.app_transactions: dict[str, int] = app_transactions or {}
+
+
+def _apply_actions(actions, state: _ReplayState, with_files: bool) -> None:
+    for a in actions:
+        if "metaData" in a and a["metaData"]:
+            md = a["metaData"]
+            state.metadata = Metadata(
+                id=md.get("id", ""),
+                schema_string=md.get("schemaString", "{}"),
+                partition_columns=list(md.get("partitionColumns") or []),
+                configuration=dict(md.get("configuration") or {}),
+                name=md.get("name"),
+                created_time=md.get("createdTime"),
+            )
+        elif "protocol" in a and a["protocol"]:
+            pr = a["protocol"]
+            state.protocol = Protocol(
+                min_reader_version=pr.get("minReaderVersion", 1),
+                min_writer_version=pr.get("minWriterVersion", 2),
+                reader_features=list(pr.get("readerFeatures") or []),
+                writer_features=list(pr.get("writerFeatures") or []),
+            )
+        elif "add" in a and a["add"]:
+            if not with_files:
+                continue
+            ad = a["add"]
+            path = urllib.parse.unquote(ad["path"])
+            dv = _parse_dv(ad.get("deletionVector"))
+            stats = ad.get("stats")
+            if not stats and ad.get("stats_parsed"):
+                # DAT ``stats_as_struct``: checkpoints may carry stats
+                # as a typed struct column instead of the JSON string —
+                # normalize so the skipping evaluator sees one format
+                # (dates/timestamps serialize to their ISO strings).
+                stats = json.dumps(ad["stats_parsed"], default=str)
+            state.adds[path] = AddFile(
+                path=path,
+                size=ad.get("size", 0),
+                modification_time=ad.get("modificationTime", 0),
+                partition_values=dict(ad.get("partitionValues") or {}),
+                stats=stats,
+                dv=dv,
+            )
+        elif "remove" in a and a["remove"]:
+            if not with_files:
+                continue
+            rm = a["remove"]
+            path = urllib.parse.unquote(rm["path"])
+            state.adds.pop(path, None)
+            state.tombstones.append(rm)
+        elif "txn" in a and a["txn"]:
+            tx = a["txn"]
+            app = tx.get("appId")
+            if app is not None:
+                state.app_transactions[app] = max(
+                    state.app_transactions.get(app, -1), tx.get("version", -1)
+                )
+
+
+def _finish_snapshot(table_path: str, version: int, state: _ReplayState) -> Snapshot:
+    if state.metadata is None:
+        raise DeltaProtocolError(f"no metaData action found in log at {table_path}")
+    _check_protocol(state.protocol)
+    return Snapshot(
+        table_path=table_path,
+        version=version,
+        metadata=state.metadata,
+        protocol=state.protocol,
+        files=sorted(state.adds.values(), key=lambda f: f.path),
+        tombstones=state.tombstones,
+        app_transactions=state.app_transactions,
+    )
+
+
 def load_snapshot(
     table_path: str, version: int | None = None, spark=None,
-    with_files: bool = True,
+    with_files: bool = True, base: Snapshot | None = None,
 ) -> Snapshot:
     """Resolve a snapshot at ``version`` (time travel) or latest.
 
@@ -286,6 +373,13 @@ def load_snapshot(
     (``files`` comes back empty) — the driver-light mode for callers
     that derive the file set distributively (e.g. the multi-part
     checkpoint writer on 1e6-file tables).
+
+    ``base`` enables **incremental refresh** (reference
+    ``Snapshot::try_new_from``, ``schema_provider.rs:94-109``): only
+    commits newer than ``base.version`` are read and replayed on top
+    of the base state. With zero new commits the base object itself
+    is returned — the refresh cost is one log-tail listing, no log
+    file opens, regardless of table history length.
 
     Reference: ``read_snapshot_delta(url, version)``
     (``crates/datafusion/src/session.rs:169-191``).
@@ -295,6 +389,42 @@ def load_snapshot(
     commits, checkpoints = list_log_files(table_path, spark)
     if not commits and not checkpoints:
         raise DeltaNotFoundError(f"no Delta log at {table_path}")
+
+    if (
+        base is not None
+        and with_files
+        and strip_scheme(base.table_path) == table_path
+        and (version is None or version >= base.version)
+        # a truncated-and-recreated log (max version below the base)
+        # invalidates the base entirely
+        and max((v for v, _ in commits), default=base.version) >= base.version
+    ):
+        tail = [
+            (v, p)
+            for v, p in commits
+            if v > base.version and (version is None or v <= version)
+        ]
+        if version is not None and version != base.version:
+            max_seen = max([v for v, _ in tail] + [base.version])
+            available = {v for v, _ in commits} | {base.version}
+            if version not in available and max_seen < version:
+                raise DeltaNotFoundError(
+                    f"version {version} not available (latest {max_seen})"
+                )
+        if not tail:
+            return base
+        state = _ReplayState(
+            metadata=base.metadata,
+            protocol=base.protocol,
+            adds={f.path: f for f in base.files},
+            tombstones=list(base.tombstones),
+            app_transactions=dict(base.app_transactions),
+        )
+        actual_version = base.version
+        for v, p in tail:
+            _apply_actions(_iter_commit_actions(p, fs), state, with_files)
+            actual_version = v
+        return _finish_snapshot(table_path, actual_version, state)
 
     # Choose a checkpoint ≤ requested version, then replay commits after it.
     usable_cp: list[tuple[int, str]] = [
@@ -326,89 +456,63 @@ def load_snapshot(
                 f"version {version} not available (latest {max_seen})"
             )
 
-    actions: list[dict] = _read_checkpoint_actions(cp_paths, with_files)
+    # Keyed by path (inside _ReplayState.adds): Delta guarantees at most
+    # one live add per path, and a re-add (e.g. with a new DV) replaces
+    # the previous entry — so replay is O(1) per action regardless of
+    # log length.
+    state = _ReplayState()
+    _apply_actions(_read_checkpoint_actions(cp_paths, with_files), state, with_files)
     actual_version = cp_version
     for v, p in replay_commits:
-        for a in _iter_commit_actions(p, fs):
-            actions.append(a)
+        _apply_actions(_iter_commit_actions(p, fs), state, with_files)
         actual_version = v
+    return _finish_snapshot(table_path, actual_version, state)
 
-    metadata: Metadata | None = None
-    protocol = Protocol()
-    # Keyed by path: Delta guarantees at most one live add per path, and a
-    # re-add (e.g. with a new DV) replaces the previous entry — so replay is
-    # O(1) per action regardless of log length.
-    adds: dict[str, AddFile] = {}
-    tombstones: list[dict] = []
-    app_transactions: dict[str, int] = {}
 
-    for a in actions:
-        if "metaData" in a and a["metaData"]:
-            md = a["metaData"]
-            metadata = Metadata(
-                id=md.get("id", ""),
-                schema_string=md.get("schemaString", "{}"),
-                partition_columns=list(md.get("partitionColumns") or []),
-                configuration=dict(md.get("configuration") or {}),
-                name=md.get("name"),
-                created_time=md.get("createdTime"),
-            )
-        elif "protocol" in a and a["protocol"]:
-            pr = a["protocol"]
-            protocol = Protocol(
-                min_reader_version=pr.get("minReaderVersion", 1),
-                min_writer_version=pr.get("minWriterVersion", 2),
-                reader_features=list(pr.get("readerFeatures") or []),
-                writer_features=list(pr.get("writerFeatures") or []),
-            )
-        elif "add" in a and a["add"]:
-            if not with_files:
-                continue
-            ad = a["add"]
-            path = urllib.parse.unquote(ad["path"])
-            dv = _parse_dv(ad.get("deletionVector"))
-            stats = ad.get("stats")
-            if not stats and ad.get("stats_parsed"):
-                # DAT ``stats_as_struct``: checkpoints may carry stats
-                # as a typed struct column instead of the JSON string —
-                # normalize so the skipping evaluator sees one format
-                # (dates/timestamps serialize to their ISO strings).
-                stats = json.dumps(ad["stats_parsed"], default=str)
-            adds[path] = AddFile(
-                path=path,
-                size=ad.get("size", 0),
-                modification_time=ad.get("modificationTime", 0),
-                partition_values=dict(ad.get("partitionValues") or {}),
-                stats=stats,
-                dv=dv,
-            )
-        elif "remove" in a and a["remove"]:
-            if not with_files:
-                continue
-            rm = a["remove"]
-            path = urllib.parse.unquote(rm["path"])
-            adds.pop(path, None)
-            tombstones.append(rm)
-        elif "txn" in a and a["txn"]:
-            tx = a["txn"]
-            app = tx.get("appId")
-            if app is not None:
-                app_transactions[app] = max(
-                    app_transactions.get(app, -1), tx.get("version", -1)
-                )
+# Process-wide latest-snapshot cache, gated on the
+# ``lakehouse.delta.enable_caching`` conf (reference config.rs:5-57).
+# Safe by construction: every cached access still lists the log tail
+# and incrementally replays any new commits, so a hit can never serve
+# a stale version — the conf only controls whether the replayed state
+# is retained between calls.
+_SNAPSHOT_CACHE: dict[str, Snapshot] = {}
 
-    if metadata is None:
-        raise DeltaProtocolError(f"no metaData action found in log at {table_path}")
-    _check_protocol(protocol)
-    return Snapshot(
-        table_path=table_path,
-        version=actual_version,
-        metadata=metadata,
-        protocol=protocol,
-        files=sorted(adds.values(), key=lambda f: f.path),
-        tombstones=tombstones,
-        app_transactions=app_transactions,
-    )
+
+def clear_snapshot_cache() -> None:
+    _SNAPSHOT_CACHE.clear()
+
+
+def load_snapshot_cached(
+    table_path: str, version: int | None = None, spark=None,
+) -> Snapshot:
+    """:func:`load_snapshot` through the conf-gated snapshot cache.
+
+    With ``lakehouse.delta.enable_caching=true`` the latest snapshot
+    per table path is kept and refreshed incrementally (tail replay
+    via ``base=``); a pinned ``version`` hits the cache only when it
+    matches exactly. With the conf off this is a plain
+    ``load_snapshot`` call.
+    """
+    enabled = False
+    if spark is not None:
+        from deltalake_datafusion_spark.session import CONF_ENABLE_CACHING
+
+        try:
+            raw = spark.conf.get(CONF_ENABLE_CACHING, "false")
+            enabled = (raw or "").lower() == "true"
+        except Exception:
+            enabled = False
+    if not enabled:
+        return load_snapshot(table_path, version=version, spark=spark)
+    key = strip_scheme(table_path)
+    base = _SNAPSHOT_CACHE.get(key)
+    if version is not None:
+        if base is not None and base.version == version:
+            return base
+        return load_snapshot(table_path, version=version, spark=spark)
+    snap = load_snapshot(table_path, spark=spark, base=base)
+    _SNAPSHOT_CACHE[key] = snap
+    return snap
 
 
 # ------------------------------------------------------------------ #
