@@ -11,13 +11,16 @@ DV read path (S4) is exercised end-to-end by our own tables. Plan:
    full-file deletions become plain removes (so later scans skip the
    file entirely at planning time rather than filtering every row).
 
-Deletion vectors are encoded *executor-side*: each file's matched row
-indexes are roaring-compressed inside an ``applyInPandas`` group (one
-group per file), merged there with any pre-existing DV (broadcast as
-decoded arrays), and only ``(path, blob, cardinality)`` triples reach
-the driver — KBs per file regardless of how many rows the predicate
-matches. A delete touching 10⁹ rows ships compressed bitmaps, never
-raw int64 indexes.
+Deletion vectors are encoded *and written* executor-side: each file's
+matched row indexes are roaring-compressed inside an ``applyInPandas``
+group (one group per file), merged there with any pre-existing DV
+(broadcast as decoded arrays), and the DV file is written by the
+executor; only ``(path, dv descriptor, cardinality)`` rows reach the
+driver — O(100 bytes) per touched file regardless of how many rows
+the predicate matches. A delete touching 10⁹ rows across 10⁵ files
+never ships a bitmap (or a raw int64 index) through the driver.
+Remote object stores without executor-side handlers fall back to
+shipping compressed blobs and one driver-written packed DV file.
 """
 
 from __future__ import annotations
@@ -78,24 +81,41 @@ def _dv_soft_delete_actions(spark, snap, rowmeta_df, candidates, fs):
     (columns ``__file_path``/``__row_index``; rows must belong to
     ``candidates``). Encoding happens ON THE EXECUTORS (one
     ``applyInPandas`` group per file, merged there with any existing
-    DV broadcast as decoded arrays); the driver only ever sees
-    (path, compressed blob, cardinality) triples. Files whose DV would
-    cover every physical row become plain removes.
+    DV broadcast as decoded arrays), and on executor-writable storage
+    (local / ``file://``) the DV *files themselves are written by the
+    executors* too — the driver only ever sees
+    (path, dv descriptor fields, cardinality) rows, so a MERGE
+    touching 10⁵ files never accumulates bitmap blobs driver-side.
+    Remote schemes fall back to shipping compressed blobs (KBs per
+    file) and one driver-side packed DV file. Files whose DV would
+    cover every physical row skip the DV write and become plain
+    removes (detected executor-side from broadcast numRecords stats).
 
     Returns ``{actions, owners, full_removes, rows_deleted}`` — shared
     by DELETE/UPDATE (via ``_delete_plan``) and the DV MERGE strategy.
     """
     # Keyed by decoded on-disk path; lookups decode the scan's URI form.
     existing_by_path: dict[str, object] = {}
+    nrec_by_path: dict[str, int] = {}
     for f in candidates:
+        abs_path = os.path.join(snap.table_path, f.path)
         if f.dv:
-            arr = dvmod.read_dv(snap.table_path, f.dv, fs)
-            existing_by_path[os.path.join(snap.table_path, f.path)] = arr
+            existing_by_path[abs_path] = dvmod.read_dv(snap.table_path, f.dv, fs)
+        stats = parse_stats(f.stats)
+        nrec = stats.get("numRecords") if stats else None
+        if nrec is not None:
+            nrec_by_path[abs_path] = nrec
 
     bc_existing = spark.sparkContext.broadcast(existing_by_path)
+    bc_nrec = spark.sparkContext.broadcast(nrec_by_path)
+    table_path = snap.table_path
+    executor_write = "://" not in table_path or table_path.startswith("file://")
     enc_schema = StructType(
         [
             StructField("file_path", StringType()),
+            StructField("dv_token", StringType()),
+            StructField("offset", LongType()),
+            StructField("size", LongType()),
             StructField("blob", BinaryType()),
             StructField("cardinality", LongType()),
             StructField("new_deletes", LongType()),
@@ -106,23 +126,43 @@ def _dv_soft_delete_actions(spark, snap, rowmeta_df, candidates, fs):
         import numpy as np
         import pandas as pd
 
-        from deltalake_datafusion_spark.delta.fs import decode_file_uri
+        from deltalake_datafusion_spark.delta.fs import (
+            LocalFS,
+            decode_file_uri,
+            strip_scheme,
+        )
 
         fp = pdf["__file_path"].iloc[0]
+        decoded = decode_file_uri(fp)
         new_idx = np.unique(pdf["__row_index"].to_numpy(dtype=np.int64))
-        prior = bc_existing.value.get(decode_file_uri(fp))
+        prior = bc_existing.value.get(decoded)
         if prior is not None and len(prior):
             all_idx = np.union1d(new_idx, np.asarray(prior, dtype=np.int64))
         else:
             all_idx = new_idx
-        return pd.DataFrame(
-            {
-                "file_path": [fp],
-                "blob": [dvmod.serialize_bitmap(all_idx)],
-                "cardinality": [int(len(all_idx))],
-                "new_deletes": [int(len(new_idx))],
-            }
-        )
+        card = int(len(all_idx))
+        row = {
+            "file_path": [fp],
+            "dv_token": [None],
+            "offset": [None],
+            "size": [None],
+            "blob": [None],
+            "cardinality": [card],
+            "new_deletes": [int(len(new_idx))],
+        }
+        nrec = bc_nrec.value.get(decoded)
+        if nrec is not None and card >= nrec:
+            return pd.DataFrame(row)  # full-file delete: no DV needed
+        blob = dvmod.serialize_bitmap(all_idx)
+        if executor_write:
+            token, spans = dvmod.write_dv_file(
+                strip_scheme(table_path), [blob], LocalFS()
+            )
+            row["dv_token"] = [token]
+            row["offset"], row["size"] = [spans[0][0]], [spans[0][1]]
+        else:
+            row["blob"] = [blob]
+        return pd.DataFrame(row)
 
     hits = (
         rowmeta_df.select("__file_path", "__row_index")
@@ -134,20 +174,25 @@ def _dv_soft_delete_actions(spark, snap, rowmeta_df, candidates, fs):
     by_path = {f.path: f for f in snap.files}
 
     full_removes = []
+    written: list[tuple] = []  # (AddFile, token, offset, size, card)
     blobs, blob_owners = [], []
     for row in sorted(hits, key=lambda r: r["file_path"]):
         rel = _relativize(row["file_path"], snap.table_path)
         f = by_path[rel]
-        stats = parse_stats(f.stats)
-        nrec = stats.get("numRecords") if stats else None
-        if nrec is not None and row["cardinality"] >= nrec:
+        if row["dv_token"] is None and row["blob"] is None:
             full_removes.append(f)
             continue
-        blobs.append(bytes(row["blob"]))
+        if row["dv_token"] is not None:
+            written.append(
+                (f, row["dv_token"], row["offset"], row["size"],
+                 row["cardinality"])
+            )
+        else:
+            blobs.append(bytes(row["blob"]))
         blob_owners.append((f, row["cardinality"]))
 
     actions: list[dict] = []
-    if blobs:
+    if written or blobs:
         # First DV on a legacy-protocol table: upgrade the protocol in
         # the same commit (spec: deletionVectors is a reader+writer
         # table feature; emitting DVs without declaring it would make
@@ -159,23 +204,34 @@ def _dv_soft_delete_actions(spark, snap, rowmeta_df, candidates, fs):
         up = protocol_upgrade_action(snap.protocol, {"deletionVectors"})
         if up is not None:
             actions.append(up)
+
+    def _dv_actions(f, dv):
+        return [
+            _remove_action(f),
+            {
+                "add": {
+                    "path": _url_encode_path(f.path),
+                    "partitionValues": f.partition_values,
+                    "size": f.size,
+                    "modificationTime": f.modification_time,
+                    "dataChange": True,
+                    "stats": f.stats,
+                    "deletionVector": _dv_to_json(dv),
+                }
+            },
+        ]
+
+    for f, token, offset, size, card in written:
+        dv = dvmod.make_descriptor("u", token, offset, size, card)
+        actions.extend(_dv_actions(f, dv))
+    if blobs:
+        # remote-storage fallback: one packed DV file, written by the
+        # driver through the scheme's storage handler (executor_write
+        # is constant per call, so written/blobs never mix)
         path_or_inline, spans = dvmod.write_dv_file(snap.table_path, blobs, fs)
         for (f, card), (offset, size) in zip(blob_owners, spans):
             dv = dvmod.make_descriptor("u", path_or_inline, offset, size, card)
-            actions.append(_remove_action(f))
-            actions.append(
-                {
-                    "add": {
-                        "path": _url_encode_path(f.path),
-                        "partitionValues": f.partition_values,
-                        "size": f.size,
-                        "modificationTime": f.modification_time,
-                        "dataChange": True,
-                        "stats": f.stats,
-                        "deletionVector": _dv_to_json(dv),
-                    }
-                }
-            )
+            actions.extend(_dv_actions(f, dv))
     return {
         "actions": actions,
         "owners": blob_owners,
