@@ -42,9 +42,15 @@ def copy_into(
     source: str,
     file_format: str = "parquet",
     pattern: str | None = None,
+    max_attempts: int = 5,
 ) -> dict:
     """Load the not-yet-loaded files under ``source`` into the table.
-    Returns {files_listed, files_loaded, rows_loaded, version}."""
+    Returns {files_listed, files_loaded, rows_loaded, version}.
+
+    If a concurrent identical COPY INTO commits a subset of this run's
+    files mid-write, the writer raises ``TxnPartialOverlapError``
+    instead of double-loading; this re-lists against the fresh ledger
+    and loads only what is still missing (exactly-once preserved)."""
     fmt = file_format.lower()
     if fmt not in _SUFFIX:
         raise CopyIntoError(
@@ -91,15 +97,26 @@ def copy_into(
     df = reader.load(new)
     n_rows = df.count()
 
-    from deltalake_datafusion_spark.delta.writer import write_delta
-
-    out = write_delta(
-        spark,
-        df,
-        table_path,
-        mode="append",
-        txn=[(_TXN_PREFIX + f, 1) for f in new],
+    from deltalake_datafusion_spark.delta.writer import (
+        TxnPartialOverlapError,
+        write_delta,
     )
+
+    try:
+        out = write_delta(
+            spark,
+            df,
+            table_path,
+            mode="append",
+            txn=[(_TXN_PREFIX + f, 1) for f in new],
+        )
+    except TxnPartialOverlapError:
+        if max_attempts <= 1:
+            raise
+        return copy_into(
+            spark, table_path, source, file_format, pattern,
+            max_attempts=max_attempts - 1,
+        )
     return {
         "files_listed": len(files),
         "files_loaded": len(new),

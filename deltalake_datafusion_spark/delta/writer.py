@@ -57,6 +57,13 @@ class ConcurrentWriteError(DeltaWriteError):
     pass
 
 
+class TxnPartialOverlapError(ConcurrentWriteError):
+    """A concurrent commit recorded a strict subset of this write's
+    idempotence txns — blindly retrying would re-append rows already
+    loaded under those appIds. The caller must rebuild its batch from
+    a fresh snapshot (COPY INTO re-lists and re-filters)."""
+
+
 def _commit_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, "_delta_log", f"{version:020d}.json")
 
@@ -676,6 +683,12 @@ def write_delta(
     table_path = strip_scheme(table_path)
     partition_by = list(partition_by or [])
     configuration = dict(configuration or {})
+    # Originals for a full restart (identity / mapped-schema conflicts
+    # re-mint against a fresh snapshot): df before any column
+    # injection, caller's raw partition/config args.
+    df_in, partition_by_in, configuration_in = (
+        df, list(partition_by), dict(configuration)
+    )
 
     try:
         existing = load_snapshot(table_path, spark=spark)
@@ -880,6 +893,7 @@ def write_delta(
             }
         )
 
+    hwm_advance: dict[str, int] = {}
     if ident_assigned:
         # advance each assigned column's high-water mark from the
         # footer stats already in the add actions — zero extra scans
@@ -893,6 +907,7 @@ def write_delta(
             hwm = high_water_mark_from_stats(stats_list, c, info["step"])
             if hwm is not None:
                 write_schema = schema_with_hwm(write_schema, c, hwm)
+                hwm_advance[c] = hwm
 
     cdc_overwrite: list[dict] | None = None
     cdc_staged_version: int | None = None
@@ -916,11 +931,70 @@ def write_delta(
         elif schema_changed or ident_assigned:
             # Schema evolution or identity high-water-mark advance:
             # re-emit metaData with the updated schema (same table id —
-            # the schema history lives in the log).
+            # the schema history lives in the log). The action is
+            # rebuilt against the snapshot THIS attempt commits over:
+            # after a ConcurrentWriteError the stale write_schema could
+            # revert an intervening schema change or re-mint identity
+            # ranges another writer already handed out.
+            eff_schema = write_schema
+            eff_conf = configuration or current.metadata.configuration
+            if existing is not None and current.version != existing.version:
+                from deltalake_datafusion_spark.delta.identity import (
+                    identity_columns as _ident_cols,
+                    schema_with_hwm as _with_hwm,
+                )
+
+                def _restart():
+                    if max_commit_attempts <= 1:
+                        raise ConcurrentWriteError(
+                            f"conflicting concurrent commits at {table_path}"
+                        )
+                    return write_delta(
+                        spark, df_in, table_path, mode=mode,
+                        partition_by=partition_by_in,
+                        configuration=configuration_in, name=name,
+                        column_mapping=column_mapping,
+                        schema_mode=schema_mode, txn=txn,
+                        max_records_per_file=max_records_per_file,
+                        max_commit_attempts=max_commit_attempts - 1,
+                    )
+
+                if ident_assigned:
+                    cur_ident = _ident_cols(current.schema)
+                    for c, info in ident_assigned.items():
+                        if cur_ident.get(c, {}).get("hwm") != info["hwm"]:
+                            # another writer minted from the same high-
+                            # water mark — our staged ids may collide;
+                            # restart from a fresh snapshot (re-mint)
+                            return _restart()
+                merged, merged_conf, _ = merge_schema_fields(
+                    current, write_schema.fields
+                )
+                if schema_changed and current.column_mapping_mode != "none":
+                    # mapped evolution: our data files are written under
+                    # the originally assigned physical names — if the
+                    # re-merge hands our new columns different ids, the
+                    # files no longer match the metadata → restart
+                    orig_phys = {
+                        f.name: (f.metadata or {}).get(
+                            "delta.columnMapping.physicalName", f.name
+                        )
+                        for f in write_schema.fields
+                    }
+                    for f in merged.fields:
+                        phys = (f.metadata or {}).get(
+                            "delta.columnMapping.physicalName", f.name
+                        )
+                        if orig_phys.get(f.name, phys) != phys:
+                            return _restart()
+                for c, hwm in hwm_advance.items():
+                    merged = _with_hwm(merged, c, hwm)
+                eff_schema = merged
+                eff_conf = {**merged_conf, **configuration_in}
             md = _metadata_action(
-                write_schema,
+                eff_schema,
                 partition_by,
-                configuration or current.metadata.configuration,
+                eff_conf,
                 current.metadata.id,
                 current.metadata.name,
             )
@@ -981,10 +1055,26 @@ def write_delta(
         actions.extend(removes)
         actions.extend(adds)
         if txns:
-            if current is not None and all(
-                current.app_transactions.get(a, -1) >= v for a, v in txns
-            ):
+            done = (
+                sum(
+                    1 for a, v in txns
+                    if current.app_transactions.get(a, -1) >= v
+                )
+                if current is not None
+                else 0
+            )
+            if done == len(txns):
                 return current  # lost a race to an identical retry
+            if done:
+                # A concurrent run committed a strict subset of our
+                # appIds (e.g. it listed fewer files): our staged data
+                # contains those files' rows too, so committing would
+                # double-load them — the caller must rebuild the batch.
+                raise TxnPartialOverlapError(
+                    f"{done}/{len(txns)} txns already committed "
+                    f"concurrently at {table_path}; rebuild the batch "
+                    "from a fresh snapshot"
+                )
             actions.extend(
                 {"txn": {"appId": a, "version": v,
                          "lastUpdated": _now_ms()}}
@@ -1088,6 +1178,15 @@ def write_checkpoint(spark, snapshot: Snapshot) -> str:
             }
         }
     )
+    # txn state must survive checkpointing (spec: checkpoints carry the
+    # latest txn action per appId) — COPY INTO's per-file ledger and
+    # streaming-sink idempotence depend on it once cleanup_expired_logs
+    # deletes the superseded commit JSONs.
+    for app_id in sorted(snapshot.app_transactions):
+        rows.append(
+            {"txn": {"appId": app_id,
+                     "version": snapshot.app_transactions[app_id]}}
+        )
     for f in snapshot.files:
         rows.append(
             {

@@ -131,3 +131,128 @@ def test_n_writer_serializability(spark, tmp_path, data):
     # deletes that matched nothing may no-op; every append commits once
     n_appends = sum(1 for tops in ops for k, _ in tops if k == "append")
     assert len(versions) >= n_appends + 1
+
+
+def test_identity_conflict_remints_unique_ids(spark, tmp_path, monkeypatch):
+    """ADVICE r3 (medium): two writers minting identity ids from the
+    same high-water mark must not both commit their ranges. Simulated
+    deterministically: a competing identity append lands between this
+    write's staging and its commit; the loser must restart from the
+    fresh snapshot and re-mint, leaving every uid unique."""
+    from deltalake_datafusion_spark.delta import writer as wmod
+    from deltalake_datafusion_spark.delta.identity import identity_field
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    path = os.path.join(str(tmp_path), "t")
+    schema = StructType(
+        [identity_field("uid", start=1, step=1),
+         StructField("payload", StringType())]
+    )
+    wmod.create_delta_table(spark, path, schema)
+
+    orig_stage = wmod._stage_and_move
+    fired = {"done": False}
+
+    def stage_with_race(spark_, out_df, table_path_, *a, **kw):
+        moved = orig_stage(spark_, out_df, table_path_, *a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            # competing writer: same hwm base, commits first
+            write_delta(
+                spark,
+                spark.range(40).select(F.lit("rival").alias("payload")),
+                path,
+                mode="append",
+            )
+        return moved
+
+    monkeypatch.setattr(wmod, "_stage_and_move", stage_with_race)
+    write_delta(
+        spark,
+        spark.range(25).select(F.lit("ours").alias("payload")),
+        path,
+        mode="append",
+    )
+
+    out = read_delta(spark, path)
+    uids = [r["uid"] for r in out.select("uid").collect()]
+    assert len(uids) == 65
+    assert len(set(uids)) == 65  # no duplicate identity values
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    hwm = load_snapshot(path, spark=spark).schema["uid"].metadata[
+        "delta.identity.highWaterMark"
+    ]
+    assert hwm == max(uids)
+
+
+def test_concurrent_metadata_not_reverted_by_schema_evolution(
+    spark, tmp_path, monkeypatch
+):
+    """A merge-append's re-emitted metaData must be rebuilt against the
+    commit-time snapshot: a TBLPROPERTIES change landing mid-write
+    survives, alongside the evolved column."""
+    from deltalake_datafusion_spark.delta import writer as wmod
+    from deltalake_datafusion_spark.delta.properties import set_tblproperties
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    path = os.path.join(str(tmp_path), "t")
+    write_delta(spark, spark.range(10).select("id"), path)
+
+    orig_stage = wmod._stage_and_move
+    fired = {"done": False}
+
+    def stage_with_race(*a, **kw):
+        moved = orig_stage(*a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            set_tblproperties(spark, path, {"custom.owner": "rival"})
+        return moved
+
+    monkeypatch.setattr(wmod, "_stage_and_move", stage_with_race)
+    write_delta(
+        spark,
+        spark.range(10, 20).select("id", (F.col("id") * 2).alias("extra")),
+        path,
+        mode="append",
+        schema_mode="merge",
+    )
+
+    snap = load_snapshot(path, spark=spark)
+    assert snap.get_property("custom.owner") == "rival"  # not reverted
+    assert "extra" in snap.schema.fieldNames()
+    assert read_delta(spark, path).count() == 20
+
+
+def test_partial_txn_overlap_does_not_double_load(spark, tmp_path, monkeypatch):
+    """ADVICE r3 (low): when a concurrent identical COPY INTO commits a
+    subset of this run's txn appIds mid-write, the writer must refuse
+    the all-or-nothing retry and COPY INTO must rebuild — each source
+    file's rows land exactly once."""
+    from deltalake_datafusion_spark.delta import writer as wmod
+    from deltalake_datafusion_spark.delta.copy_into import copy_into
+
+    src = os.path.join(str(tmp_path), "landing")
+    table = os.path.join(str(tmp_path), "t")
+    for lo, hi in ((0, 10), (10, 30)):
+        spark.range(lo, hi).select("id").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    orig_stage = wmod._stage_and_move
+    fired = {"done": False}
+
+    def stage_with_race(*a, **kw):
+        moved = orig_stage(*a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            # rival loads only one of the two files
+            copy_into(spark, table, src, pattern="*part-00000*")
+        return moved
+
+    monkeypatch.setattr(wmod, "_stage_and_move", stage_with_race)
+    res = copy_into(spark, table, src)
+    assert res["files_loaded"] >= 1  # the rebuilt run loads the rest
+
+    out = read_delta(spark, table)
+    assert out.count() == 30
+    assert out.select("id").distinct().count() == 30  # no double-load

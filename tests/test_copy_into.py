@@ -79,3 +79,40 @@ def test_copy_into_rejects_unknown_format(spark, tmp_path):
             str(tmp_path),
             file_format="avro",
         )
+
+
+def test_txn_ledger_survives_checkpoint_and_log_cleanup(spark, tmp_path):
+    """ADVICE r3 (high): the single-part checkpoint must carry txn
+    actions, or COPY INTO idempotence (and streaming-sink exactly-once)
+    dies the moment cleanup_expired_logs removes the superseded commit
+    JSONs: copy_into → checkpoint → cleanup(retention 0) → re-run
+    copy_into must load nothing."""
+    import time
+
+    from deltalake_datafusion_spark.delta.log_cleanup import (
+        cleanup_expired_logs,
+    )
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_checkpoint
+
+    src = os.path.join(str(tmp_path), "landing")
+    table = os.path.join(str(tmp_path), "t")
+    _land(spark, src, 0, 10)
+    _land(spark, src, 10, 30)
+    res = copy_into(spark, table, src)
+    assert res["files_loaded"] == 2
+
+    snap = load_snapshot(table, spark=spark)
+    assert snap.app_transactions  # ledger exists pre-checkpoint
+    write_checkpoint(spark, snap)
+    cleaned = cleanup_expired_logs(
+        spark, table, retention_ms=0, now_ms=int(time.time() * 1000) + 10_000
+    )
+    assert cleaned["commits_deleted"] >= 1
+
+    after = load_snapshot(table, spark=spark)
+    assert after.app_transactions == snap.app_transactions
+
+    res2 = copy_into(spark, table, src)
+    assert res2["files_loaded"] == 0 and res2["rows_loaded"] == 0
+    assert read_delta(spark, table).count() == 30
