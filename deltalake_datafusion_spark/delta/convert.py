@@ -99,9 +99,16 @@ def convert_to_delta(
         raise ConvertToDeltaError(f"no parquet files found under {path}")
     files.sort()
 
-    # Data schema from one footer; partition columns appended typed.
-    first = os.path.join(base, files[0][0])
-    data_schema = spark.read.parquet(first).schema
+    # Data schema merged across ALL footers (delta-spark CONVERT
+    # semantics): a directory whose later files carry extra columns
+    # must not silently convert with the first file's schema. The
+    # merge is one metadata-only Spark read over the file list —
+    # footer-scale I/O, no data scan.
+    data_schema = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(base, rel) for rel, _, _ in files])
+        .schema
+    )
     full_schema = StructType(
         list(data_schema.fields)
         + [StructField(f.name, f.dataType, True) for f in part_struct.fields]

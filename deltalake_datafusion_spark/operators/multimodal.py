@@ -66,11 +66,55 @@ def fake_decode_image(payload: bytes) -> dict:
     }
 
 
+def sniff_image_header(payload: bytes) -> dict | None:
+    """REAL zero-dependency header decode for PNG / GIF / JPEG: parses
+    dimensions and channel count straight from the container headers
+    (public formats: PNG IHDR, GIF logical screen descriptor, JPEG
+    SOFn markers). Returns None when the payload is not one of these —
+    callers fall back to their stub. This is the codec seam proven
+    with real bytes; full pixel decode still needs Pillow/ffmpeg."""
+    import struct as _struct
+
+    if payload is None or len(payload) < 16:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = _struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        return {"width": int(w), "height": int(h),
+                "n_channels": channels, "format": "png"}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = _struct.unpack("<HH", payload[6:10])
+        return {"width": int(w), "height": int(h),
+                "n_channels": 3, "format": "gif"}
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI; scan markers for SOFn
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = _struct.unpack(">H", payload[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = _struct.unpack(">HH", payload[i + 5:i + 9])
+                return {"width": int(w), "height": int(h),
+                        "n_channels": int(payload[i + 9]), "format": "jpeg"}
+            i += 2 + seglen
+    return None
+
+
 def decode_image_metadata(
     media: DataFrame,
     decode_fn: Callable[[bytes], dict] = fake_decode_image,
 ) -> DataFrame:
-    """Extract image metadata with mapInPandas (Arrow batches)."""
+    """Extract image metadata with mapInPandas (Arrow batches).
+    ``decode_fn`` is the codec seam: pass :func:`sniff_image_header`
+    (real, header-only) or a Pillow-backed decoder for real corpora;
+    the default deterministic fake keeps oracles reproducible on the
+    synthetic text-payload testdata."""
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -516,16 +516,27 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
 
     m = _TBLPROPS_RE.match(statement)
     if m:
-        from deltalake_datafusion_spark.delta.describe import (
-            show_tblproperties,
+        # SHOW TBLPROPERTIES is also valid Spark SQL: only intercept
+        # quoted paths, delta.`…` targets, path-like targets, and
+        # registry-known names — a bare Spark-catalog table name falls
+        # through to Spark SQL untouched.
+        target = m.group("target")
+        bare = not (
+            target.startswith("'")
+            or target.lower().startswith("delta.`")
+            or "/" in target
         )
+        if not bare or (registry is not None and target in registry.names()):
+            from deltalake_datafusion_spark.delta.describe import (
+                show_tblproperties,
+            )
 
-        key = m.group("key")
-        if key:
-            key = key.strip("'")
-        return show_tblproperties(
-            spark, _unquote_target(m.group("target"), registry), key
-        )
+            key = m.group("key")
+            if key:
+                key = key.strip("'")
+            return show_tblproperties(
+                spark, _unquote_target(target, registry), key
+            )
 
     # Table functions: substitute temp views, then run through Catalyst.
     def _expand(match):

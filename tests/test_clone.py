@@ -143,3 +143,38 @@ def test_deep_clone_remote_branch_uses_jvm_copy(spark, tmp_path, monkeypatch):
     clone_delta(spark, src, dst, shallow=False)
     out = read_delta(spark, dst)
     assert sorted(r.id for r in out.collect()) == list(range(25))
+
+
+def test_multi_store_scan_mixes_absolute_and_relative_adds(spark, tmp_path):
+    """VERDICT r3 item 5: a table whose add files span two roots — the
+    clone source's absolute paths and the clone's own relative adds —
+    must scan both groups in one plan (reference groups files by store
+    and unions per-store plans, utils.rs:47-81). Partitioned, so the
+    partition-value injection join must key both path forms correctly."""
+    src = str(tmp_path / "srcroot" / "a")
+    dst = str(tmp_path / "dstroot" / "b")
+    df = spark.range(60).select(
+        "id", (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    write_delta(spark, df, src, partition_by=["p"])
+    clone_delta(spark, src, dst)
+
+    # clone gains its own relative add files alongside the absolute ones
+    more = spark.range(60, 90).select(
+        "id", (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    write_delta(spark, more, dst, mode="append")
+
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    snap = load_snapshot(dst, spark=spark)
+    roots = {f.path.startswith("/") for f in snap.files}
+    assert roots == {True, False}  # genuinely mixed stores
+
+    out = read_delta(spark, dst)
+    assert sorted(r.id for r in out.collect()) == list(range(90))
+    # partition pruning + injection across both groups
+    got = out.filter("p = 1").select("id").collect()
+    assert sorted(r.id for r in got) == [i for i in range(90) if i % 3 == 1]
+    # predicate over both stores' files
+    assert out.filter("v >= 120").count() == 30

@@ -75,3 +75,22 @@ def test_convert_sql_form_and_dml_after(spark, tmp_path):
     # the converted table is a first-class Delta table: DML works
     sql(spark, f"DELETE FROM '{path}' WHERE id % 2 = 0")
     assert read_delta(spark, path).count() == 100
+
+
+def test_convert_merges_schemas_across_footers(spark, tmp_path):
+    """ADVICE r3 (low): files whose schema evolved over time convert
+    with the union schema, not the first footer's."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+
+    path = str(tmp_path / "plain")
+    spark.range(10).select("id").coalesce(1).write.mode("append").parquet(path)
+    spark.range(10, 20).select(
+        "id", (F.col("id") * 2).alias("extra")
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    res = convert_to_delta(spark, path)
+    assert res["files_converted"] == 2
+    out = read_delta(spark, path)
+    assert set(out.columns) == {"id", "extra"}
+    assert out.count() == 20
+    assert out.filter(F.col("extra").isNull()).count() == 10

@@ -494,3 +494,69 @@ def test_quantize_roundtrip_cosine_error(spark, emb):
         F.max(F.abs(F.col("exact") - F.col("approx")))
     ).collect()[0][0]
     assert max_err < 0.02
+
+
+def test_multimodal_codec_seam_with_real_png(spark):
+    """VERDICT r3 item 7: prove the decode_fn seam with REAL bytes —
+    a valid PNG built pure-Python (zlib IDAT, correct CRCs) flows
+    through the mapInPandas stage and the header parser reads its
+    true dimensions; a JPEG SOF0 header parses too; junk falls back
+    to None."""
+    import struct
+    import zlib
+
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from deltalake_datafusion_spark.operators import multimodal as mm
+
+    def make_png(w, h):
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+        raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # real parse, no Spark
+    meta = mm.sniff_image_header(make_png(17, 9))
+    assert meta == {"width": 17, "height": 9, "n_channels": 3,
+                    "format": "png"}
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 240, 320) + b"\x03" + b"\x00" * 2
+    )
+    j = mm.sniff_image_header(jpeg)
+    assert (j["width"], j["height"], j["format"]) == (320, 240, "jpeg")
+    assert mm.sniff_image_header(b"not an image at all....") is None
+
+    # through the Spark plumbing: decode_fn seam takes the real parser
+    rows = [(1, make_png(17, 9)), (2, make_png(64, 2)), (3, b"junk" * 5)]
+    media = spark.createDataFrame(
+        rows,
+        StructType([StructField("media_id", LongType(), False),
+                    StructField("payload", BinaryType(), True)]),
+    )
+
+    def real_or_none(p):
+        got = mm.sniff_image_header(p)
+        return got or {"width": None, "height": None,
+                       "n_channels": None, "format": None}
+
+    out = {
+        r["media_id"]: r
+        for r in mm.decode_image_metadata(media, decode_fn=real_or_none).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (17, 9)
+    assert (out[2]["width"], out[2]["height"]) == (64, 2)
+    assert out[3]["format"] is None
+    assert out[1]["n_bytes"] == len(make_png(17, 9))

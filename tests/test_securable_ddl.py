@@ -200,3 +200,18 @@ def test_uc_create_share_connection_location_rest(uc_spark):  # noqa: F811
     sql(spark, "DROP CONNECTION uc_conn")
     dele = [r for r in handler.requests if r["method"] == "DELETE"][-1]
     assert dele["path"].endswith("/connections/uc_conn")
+
+
+def test_show_tblproperties_bare_name_falls_through_to_spark(spark):
+    """ADVICE r3 (low): SHOW TBLPROPERTIES <bare-catalog-name> is valid
+    Spark SQL and must not be hijacked as a filesystem path."""
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    spark.sql("CREATE TABLE IF NOT EXISTS spark_catalog.default.tbp_t (id INT) USING parquet "
+              "TBLPROPERTIES ('my.key'='my.value')")
+    try:
+        out = sql(spark, "SHOW TBLPROPERTIES tbp_t")
+        props = {r["key"]: r["value"] for r in out.collect()}
+        assert props.get("my.key") == "my.value"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spark_catalog.default.tbp_t")
