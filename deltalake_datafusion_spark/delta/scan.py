@@ -152,6 +152,16 @@ def _inject_partition_values(
     for p in part_cols:
         li = logical.fieldNames().index(p)
         phys_names.append(phys_full.fields[li].name)
+    # Single surviving tuple (the common case after partition pruning):
+    # plain typed literals, no join at all.
+    tuples = {tuple(f.partition_values.get(p) for p in part_cols) for f in files}
+    if len(tuples) == 1:
+        (vals,) = tuples
+        for p, phys_name, raw in zip(part_cols, phys_names, vals):
+            li = logical.fieldNames().index(p)
+            dtype = phys_full.fields[li].dataType
+            df = df.withColumn(phys_name, F.lit(raw).cast(dtype))
+        return df
     rows = [
         (
             os.path.join(snapshot.table_path, f.path),

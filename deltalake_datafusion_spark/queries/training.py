@@ -211,21 +211,20 @@ FROM wn ORDER BY source
 """
 
 
-def _staged_event_files(spark: SparkSession, sf_dir: str, nfiles: int = 4):
-    """Split the events table into ``nfiles`` parquet files (by
-    event_id mod) so a file-source stream yields multiple micro-
-    batches with maxFilesPerTrigger=1. Returns (dir, schema)."""
+def _staged_event_files(spark: SparkSession, sf_dir: str, nfiles: int = 2):
+    """Split the events table into ``nfiles`` parquet files in ONE
+    Spark job (round-robin repartition) so a file-source stream yields
+    multiple micro-batches with maxFilesPerTrigger=1. Two batches are
+    enough to exercise cross-batch state; the downstream aggregates
+    are split-insensitive. Returns (dir, schema)."""
     t = load_tables(spark, sf_dir, "events")["events"]
     d = _fresh_dir("events_split", sf_dir)
-    for i in range(nfiles):
-        t.filter(F.pmod(F.col("event_id"), F.lit(nfiles)) == i).coalesce(
-            1
-        ).write.mode("append").parquet(d)
+    t.repartition(nfiles).write.mode("append").parquet(d)
     return d, t.schema
 
 
 def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CDC apply: events arrive over 4 micro-batches and are
+    """Streaming CDC apply: events arrive over multiple micro-batches and are
     MERGE-upserted into a Delta table keyed on user_id (WHEN MATCHED
     AND newer THEN UPDATE, WHEN NOT MATCHED INSERT); the final table
     is the latest event per user regardless of batch boundaries."""
@@ -271,7 +270,7 @@ FROM (
 
 def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: dropDuplicates state over (user_id,
-    event_type) across 4 micro-batches, then distinct-user counts per
+    event_type) across micro-batches, then distinct-user counts per
     event type — the streaming analogue of exact dedup."""
     from deltalake_datafusion_spark.streaming.pipeline import run_to_memory
 
@@ -589,24 +588,35 @@ def delta_identity_create(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     write_delta(spark, t["region"].select("r_name"), path, mode="append")
-    first = {
-        r["uid"] for r in read_delta(spark, path).select("uid").collect()
-    }
+    # the first append's high-water mark comes from snapshot metadata
+    # (driver-side, no data read); the invariants are ONE aggregate —
+    # no uid column ever reaches the driver
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    hwm1 = load_snapshot(path, spark=spark).schema["uid"].metadata[
+        "delta.identity.highWaterMark"
+    ]
     write_delta(spark, t["region"].select("r_name"), path, mode="append")
-    rows = read_delta(spark, path).select("uid").collect()
-    uids = [r["uid"] for r in rows]
-    second = set(uids) - first
-    return spark.createDataFrame(
-        [
+    u = F.col("uid")
+    return (
+        read_delta(spark, path)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("uid").alias("n_unique"),
+            F.bool_and(
+                (u >= 1000) & (F.pmod(u - 1000, F.lit(3)) == 0)
+            ).alias("in_sequence"),
             (
-                len(uids),
-                len(set(uids)),
-                all(u >= 1000 and (u - 1000) % 3 == 0 for u in uids),
-                bool(second) and min(second) > max(first),
-            )
-        ],
-        "n_rows long, n_unique long, in_sequence boolean, "
-        "second_past_hwm boolean",
+                F.sum((u > F.lit(hwm1)).cast("long")) * 2
+                == F.count(F.lit(1))
+            ).alias("second_past_hwm"),
+        )
+        .select(
+            F.col("n_rows").cast("long"),
+            F.col("n_unique").cast("long"),
+            "in_sequence",
+            "second_past_hwm",
+        )
     )
 
 
