@@ -390,14 +390,29 @@ def load_snapshot(
     if not commits and not checkpoints:
         raise DeltaNotFoundError(f"no Delta log at {table_path}")
 
+    # Incremental path preconditions: the base must belong to this
+    # table, the requested version must be at or past it, and — the
+    # subtle one — every version in (base.version, tip] must still be
+    # present as a commit JSON. A checkpoint written after the base
+    # whose superseded commits were log-cleaned leaves a hole the tail
+    # replay cannot see; any gap falls back to a full replay.
+    tip = max(
+        max((v for v, _ in commits), default=-1),
+        max((v for v, _ in checkpoints), default=-1),
+    )
     if (
         base is not None
         and with_files
         and strip_scheme(base.table_path) == table_path
         and (version is None or version >= base.version)
-        # a truncated-and-recreated log (max version below the base)
-        # invalidates the base entirely
-        and max((v for v, _ in commits), default=base.version) >= base.version
+        and tip >= base.version
+        and all(
+            v in {c for c, _ in commits}
+            for v in range(
+                base.version + 1,
+                (tip if version is None else min(tip, version)) + 1,
+            )
+        )
     ):
         tail = [
             (v, p)

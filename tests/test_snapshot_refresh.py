@@ -155,3 +155,33 @@ def test_snapshot_cache_conf_gated(spark, tmp_path, counters):
     finally:
         spark.conf.set(CONF_ENABLE_CACHING, "false")
         clear_snapshot_cache()
+
+
+def test_incremental_falls_back_when_log_cleaned_past_base(spark, tmp_path):
+    """A checkpoint + expired-log cleanup can delete commits the base
+    has not seen; the tail replay must detect the hole and fall back
+    to a full (checkpoint-based) replay instead of serving stale or
+    partial state."""
+    import time
+
+    from deltalake_datafusion_spark.delta.log_cleanup import (
+        cleanup_expired_logs,
+    )
+    from deltalake_datafusion_spark.delta.writer import write_checkpoint
+
+    path = str(tmp_path / "t")
+    write_delta(spark, spark.range(10), path)  # v0
+    base = load_snapshot(path, spark=spark)
+
+    write_delta(spark, spark.range(10, 20), path, mode="append")  # v1
+    write_delta(spark, spark.range(20, 30), path, mode="append")  # v2
+    snap = load_snapshot(path, spark=spark)
+    write_checkpoint(spark, snap)
+    cleanup_expired_logs(
+        spark, path, retention_ms=0, now_ms=int(time.time() * 1000) + 10_000
+    )
+
+    fresh = load_snapshot(path, spark=spark, base=base)
+    assert fresh.version == 2
+    _assert_same_state(fresh, load_snapshot(path, spark=spark))
+    assert sum(1 for _ in fresh.files) == len(load_snapshot(path, spark=spark).files)
