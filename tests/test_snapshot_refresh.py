@@ -185,3 +185,70 @@ def test_incremental_falls_back_when_log_cleaned_past_base(spark, tmp_path):
     assert fresh.version == 2
     _assert_same_state(fresh, load_snapshot(path, spark=spark))
     assert sum(1 for _ in fresh.files) == len(load_snapshot(path, spark=spark).files)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_incremental_equals_full_under_random_op_sequences(
+    spark, tmp_path, seed
+):
+    """Randomized replay equivalence: after ANY mix of appends,
+    deletes, property changes, checkpoints, and log cleanups, an
+    incremental refresh from every historical base must equal the
+    full replay (files, schema, config, txns)."""
+    import random
+    import time
+
+    from deltalake_datafusion_spark.delta.log_cleanup import (
+        cleanup_expired_logs,
+    )
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.properties import set_tblproperties
+    from deltalake_datafusion_spark.delta.writer import write_checkpoint
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.range(20).select("id", (F.col("id") % 4).alias("g")),
+        path,
+    )
+    bases = [load_snapshot(path, spark=spark)]
+    hi = 20
+    for _ in range(6):
+        op = rng.choice(["append", "append", "delete", "props", "ckpt"])
+        if op == "append":
+            write_delta(
+                spark,
+                spark.range(hi, hi + 10).select(
+                    "id", (F.col("id") % 4).alias("g")
+                ),
+                path,
+                mode="append",
+            )
+            hi += 10
+        elif op == "delete":
+            delete_delta(spark, path, f"g = {rng.randrange(4)}")
+        elif op == "props":
+            set_tblproperties(
+                spark, path, {f"k.{rng.randrange(3)}": str(rng.random())}
+            )
+        else:
+            write_checkpoint(spark, load_snapshot(path, spark=spark))
+            cleanup_expired_logs(
+                spark, path, retention_ms=0,
+                now_ms=int(time.time() * 1000) + 10_000,
+            )
+        bases.append(load_snapshot(path, spark=spark))
+
+    full = load_snapshot(path, spark=spark)
+    for base in bases:
+        inc = load_snapshot(path, spark=spark, base=base)
+        assert inc.version == full.version
+        assert [
+            (f.path, f.dv.unique_id if f.dv else None) for f in inc.files
+        ] == [
+            (f.path, f.dv.unique_id if f.dv else None) for f in full.files
+        ]
+        assert inc.metadata.schema_string == full.metadata.schema_string
+        assert inc.metadata.configuration == full.metadata.configuration
+        assert inc.app_transactions == full.app_transactions
