@@ -216,6 +216,73 @@ def scan_files_spark(
     )
 
 
+# File count above which "auto" planning replays + prunes the log as
+# a Spark job instead of on the driver (read from _last_checkpoint's
+# action count — no log read needed to decide). ~1e5 add actions is
+# where driver-side JSON/dict replay starts costing seconds.
+SPARK_PLANNER_FILE_THRESHOLD = 100_000
+
+
+def scan_spark_planned(
+    spark,
+    table_path: str,
+    version: int | None = None,
+    predicate: str | None = None,
+    columns: list[str] | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Scan with **distributed planning**: metadata-only snapshot on
+    the driver (no file list), log replay + stats/partition pruning as
+    one Spark job (:func:`scan_files_spark`), and only the SURVIVING
+    file rows collected — driver cost ∝ matching files, never log
+    size. The same plan shape the driver planner produces follows
+    (single read + partition injection + DV filtering)."""
+    from deltalake_datafusion_spark.delta.snapshot import _parse_dv
+
+    meta_snap = load_snapshot(
+        table_path, version=version, spark=spark, with_files=False
+    )
+    rows = scan_files_spark(spark, table_path, predicate, version).collect()
+    files = []
+    for r in rows:
+        dvd = r["deletionVector"]
+        dv = (
+            _parse_dv(
+                {
+                    "storageType": dvd["storageType"],
+                    "pathOrInlineDv": dvd["pathOrInlineDv"],
+                    "offset": dvd["offset"],
+                    "sizeInBytes": dvd["sizeInBytes"],
+                    "cardinality": dvd["cardinality"],
+                }
+            )
+            if dvd is not None and dvd["storageType"]
+            else None
+        )
+        files.append(
+            AddFile(
+                path=r["path"],
+                size=r["size"] or 0,
+                modification_time=0,
+                partition_values=dict(r["partitionValues"] or {}),
+                stats=r["stats"],
+                dv=dv,
+            )
+        )
+    files.sort(key=lambda f: f.path)
+    snap = Snapshot(
+        table_path=meta_snap.table_path,
+        version=meta_snap.version,
+        metadata=meta_snap.metadata,
+        protocol=meta_snap.protocol,
+        files=files,
+        app_transactions=meta_snap.app_transactions,
+    )
+    return scan(
+        spark, snap, predicate=predicate, columns=columns, limit=limit
+    )
+
+
 def scan(
     spark,
     snapshot: Snapshot,
@@ -293,11 +360,19 @@ def read_delta(
     columns: list[str] | None = None,
     limit: int | None = None,
     timestamp_as_of: int | str | None = None,
+    planner: str = "auto",
 ) -> DataFrame:
     """Read a Delta table (time travel via ``version`` or
     ``timestamp_as_of`` — epoch millis or an ISO timestamp string) —
     the ``register_delta`` / ``read_delta_snapshot`` surface
-    (reference ``session.rs:240-311``)."""
+    (reference ``session.rs:240-311``).
+
+    ``planner`` selects how the file list is resolved: ``"driver"``
+    (log replay + pruning in Python), ``"spark"`` (distributed replay
+    + pruning, driver sees only surviving files), or ``"auto"``
+    (default): ``"spark"`` when ``_last_checkpoint`` reports more than
+    ``SPARK_PLANNER_FILE_THRESHOLD`` actions — so a 1e6-file table
+    never materializes its log on the driver."""
     if timestamp_as_of is not None:
         if version is not None:
             raise ValueError("pass either version or timestamp_as_of, not both")
@@ -314,6 +389,24 @@ def read_delta(
             timestamp_as_of = int(ts.timestamp() * 1000)
         version = resolve_version_at_timestamp(
             table_path, timestamp_as_of, spark
+        )
+    if planner not in ("auto", "driver", "spark"):
+        raise ValueError(f"unknown planner {planner!r}")
+    if planner == "auto":
+        from deltalake_datafusion_spark.delta.snapshot import (
+            read_last_checkpoint,
+        )
+
+        try:
+            cp = read_last_checkpoint(table_path, spark)
+        except Exception:
+            cp = None
+        if cp and cp.get("size", 0) > SPARK_PLANNER_FILE_THRESHOLD:
+            planner = "spark"
+    if planner == "spark":
+        return scan_spark_planned(
+            spark, table_path, version=version, predicate=predicate,
+            columns=columns, limit=limit,
         )
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot_cached
 

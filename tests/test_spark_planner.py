@@ -1,0 +1,83 @@
+"""Distributed scan planning (planner="spark"): log replay + pruning
+as a Spark job, driver sees only surviving files. Must be result- and
+pruning-identical to the driver planner on partitioned + DV tables."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.ops import delete_delta
+from deltalake_datafusion_spark.delta.scan import read_delta, scan_files_spark
+from deltalake_datafusion_spark.delta.writer import write_delta
+
+
+@pytest.fixture
+def dv_part_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(300).select(
+        "id",
+        (F.col("id") % 3).alias("par"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_delta(spark, df, path, partition_by=["par"])
+    delete_delta(spark, path, "id % 10 = 1")  # DVs on every partition
+    write_delta(
+        spark,
+        spark.range(300, 330).select(
+            "id", (F.col("id") % 3).alias("par"), (F.col("id") * 2).alias("v")
+        ),
+        path,
+        mode="append",
+    )
+    return path
+
+
+def _collect_ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+def test_spark_planner_matches_driver_planner(spark, dv_part_table):
+    for pred in (None, "par = 1", "v >= 500 AND par != 2"):
+        a = read_delta(spark, dv_part_table, predicate=pred, planner="driver")
+        b = read_delta(spark, dv_part_table, predicate=pred, planner="spark")
+        assert _collect_ids(a) == _collect_ids(b)
+        assert a.schema == b.schema
+
+
+def test_spark_planner_prunes_files(spark, dv_part_table):
+    all_files = scan_files_spark(spark, dv_part_table).collect()
+    pruned = scan_files_spark(spark, dv_part_table, "par = 1").collect()
+    assert 0 < len(pruned) < len(all_files)
+    assert all(r["partitionValues"]["par"] == "1" for r in pruned)
+
+
+def test_spark_planner_time_travel(spark, dv_part_table):
+    a = read_delta(spark, dv_part_table, version=0, planner="driver")
+    b = read_delta(spark, dv_part_table, version=0, planner="spark")
+    assert _collect_ids(a) == _collect_ids(b) == list(range(300))
+
+
+def test_auto_planner_cuts_over_on_checkpoint_size(
+    spark, dv_part_table, monkeypatch
+):
+    """auto → spark when _last_checkpoint reports a big action count."""
+    from deltalake_datafusion_spark.delta import scan as scanmod
+    from deltalake_datafusion_spark.delta.writer import write_checkpoint
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    write_checkpoint(spark, load_snapshot(dv_part_table, spark=spark))
+    monkeypatch.setattr(scanmod, "SPARK_PLANNER_FILE_THRESHOLD", 1)
+    called = {"n": 0}
+    orig = scanmod.scan_files_spark
+
+    def counting(*a, **kw):
+        called["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(scanmod, "scan_files_spark", counting)
+    out = read_delta(spark, dv_part_table)
+    assert called["n"] == 1  # auto routed through the Spark planner
+    assert len(_collect_ids(out)) == 300
