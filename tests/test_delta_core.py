@@ -594,3 +594,32 @@ def test_replay_100k_actions_is_linear(spark, tmp_path):
         r.path for r in log_replay_df(spark, path).select("path").collect()
     }
     assert spark_paths == {f.path for f in snap.files}
+
+
+def test_partition_injection_join_handles_special_values(spark, tmp_path):
+    """The broadcast file->values join keys on a URL-decoded
+    _metadata.file_path; hive-escaped partition directories (space,
+    '#', '%', '+', '=', unicode) and null partitions must all round-
+    trip exactly through the multi-tuple join path."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    vals = ["plain", "with space", "a#b", "p%ct", "a+b", "k=v", "naïve-ü", None]
+    rows = [(i, v) for i, v in enumerate(vals) for _ in range(3)]
+    df = spark.createDataFrame(rows, "id long, p string")
+    path = str(tmp_path / "t")
+    write_delta(spark, df, path, partition_by=["p"])
+
+    out = read_delta(spark, path)
+    got = sorted(
+        ((r["id"], r["p"]) for r in out.collect()),
+        key=lambda t: (t[0], t[1] is None, t[1] or ""),
+    )
+    assert got == sorted(
+        rows, key=lambda t: (t[0], t[1] is None, t[1] or "")
+    )
+    # per-value predicate prune + read
+    assert out.filter("p = 'a#b'").count() == 3
+    assert out.filter("p = 'with space'").count() == 3
+    assert out.filter("p IS NULL").count() == 3
+    assert out.filter("p = 'naïve-ü'").count() == 3
