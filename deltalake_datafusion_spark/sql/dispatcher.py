@@ -158,6 +158,12 @@ _DESCRIBE_RE = re.compile(
     r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+TO\s+(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*;?\s*$",
+    re.IGNORECASE,
+)
 _TBLPROPS_RE = re.compile(
     r"^\s*SHOW\s+TBLPROPERTIES\s+"
     r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
@@ -513,6 +519,27 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         from deltalake_datafusion_spark.delta.clone import history_df
 
         return history_df(spark, target)
+
+    m = _RESTORE_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.ops import restore_delta
+
+        ts = m.group("ts")
+        if ts is not None:
+            import datetime as _dt
+
+            t = _dt.datetime.fromisoformat(ts)
+            if t.tzinfo is None:
+                t = t.replace(tzinfo=_dt.timezone.utc)
+            ts = int(t.timestamp() * 1000)
+        res = restore_delta(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            version=(int(m.group("version"))
+                     if m.group("version") is not None else None),
+            timestamp_as_of=ts,
+        )
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 
     m = _TBLPROPS_RE.match(statement)
     if m:

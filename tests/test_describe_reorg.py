@@ -123,3 +123,24 @@ def test_distributed_stats_batch_matches_driver_path(spark, tmp_path, monkeypatc
 
     assert by_part(snap_dist) == by_part(snap_drv)
     assert read_delta(spark, path).count() == 500
+
+
+def test_restore_table_sql_forms(spark, tmp_path):
+    """RESTORE TABLE … TO VERSION AS OF / TO TIMESTAMP AS OF through
+    the extended dialect (delta-spark RESTORE grammar)."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "t")
+    write_delta(spark, spark.range(10), path)                      # v0
+    write_delta(spark, spark.range(10, 25), path, mode="append")   # v1
+
+    res = sql(spark, f"RESTORE TABLE '{path}' TO VERSION AS OF 0").collect()[0]
+    assert res["restored_to"] == 0 and res["version"] == 2
+    assert read_delta(spark, path).count() == 10
+
+    # restore forward again by version — history is preserved
+    res2 = sql(spark, f"RESTORE TABLE delta.`{path}` TO VERSION AS OF 1")
+    assert res2.collect()[0]["restored_to"] == 1
+    assert read_delta(spark, path).count() == 25
