@@ -998,6 +998,45 @@ def merge_delta(
     }
 
 
+def _partition_scope_files(snap, predicate: str | None):
+    """Resolve an ``OPTIMIZE … WHERE`` scope: the predicate may
+    reference **partition columns only** (delta-spark's rule — a data
+    predicate can't soundly scope a rewrite), and files are selected
+    by exact partition-value evaluation."""
+    if not predicate:
+        return list(snap.files)
+    from deltalake_datafusion_spark.delta.predicates import (
+        And, Cmp, InList, IsNull, Not, Or, try_parse_predicate,
+    )
+
+    pred = try_parse_predicate(predicate)
+    if pred is None:
+        raise ValueError(
+            f"OPTIMIZE WHERE predicate not parseable: {predicate!r}"
+        )
+    part = set(snap.partition_columns)
+
+    def cols(node):
+        if isinstance(node, (And, Or)):
+            return [c for ch in node.children for c in cols(ch)]
+        if isinstance(node, Not):
+            return cols(node.child)
+        if isinstance(node, (Cmp, IsNull, InList)):
+            return [node.col.name]
+        return ["?unsupported?"]
+
+    bad = sorted(set(cols(pred)) - part)
+    if bad:
+        raise ValueError(
+            "OPTIMIZE WHERE may reference partition columns only "
+            f"(got {bad}; partition columns: {sorted(part)})"
+        )
+    l2p = _logical_to_physical_map(snap.schema)
+    return prune_files(
+        snap.files, predicate, snap.schema, snap.partition_columns, l2p
+    )
+
+
 def optimize_delta(
     spark,
     table_path: str,
@@ -1005,6 +1044,7 @@ def optimize_delta(
     small_file_threshold: int | None = None,
     zorder_by: list[str] | None = None,
     purge: bool = False,
+    predicate: str | None = None,
 ) -> dict:
     """OPTIMIZE: bin-pack small files into ~target_file_size files,
     optionally clustering rows by ``zorder_by`` columns
@@ -1013,20 +1053,25 @@ def optimize_delta(
     effect as Z-order interleaving for the common 1-2 column case).
     Rewrites carry dataChange=false so streaming readers skip them.
 
+    ``predicate`` scopes the rewrite to matching partitions
+    (delta-spark ``OPTIMIZE … WHERE``; partition columns only) — a
+    100 TB table compacts one hot partition without touching the rest.
+
     ``purge=True`` is Delta's ``REORG TABLE … APPLY (PURGE)``: rewrite
     exactly the files that carry deletion vectors (whatever their
     size), materializing the soft deletes so the DV data can be
     vacuumed; other files are untouched."""
     snap = load_snapshot(table_path, spark=spark)
     threshold = small_file_threshold or target_file_size // 2
+    scope = _partition_scope_files(snap, predicate)
     if purge:
-        victims = [f for f in snap.files if f.dv is not None]
+        victims = [f for f in scope if f.dv is not None]
         if not victims:
             return {"files_compacted": 0, "files_added": 0, "version": snap.version}
     elif zorder_by:
-        victims = list(snap.files)  # clustering rewrites everything
+        victims = list(scope)  # clustering rewrites everything in scope
     else:
-        victims = [f for f in snap.files if f.size < threshold]
+        victims = [f for f in scope if f.size < threshold]
         if len(victims) < 2:
             return {"files_compacted": 0, "files_added": 0, "version": snap.version}
 

@@ -109,6 +109,7 @@ _DROP_CONSTRAINT_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?"
     r"(?:\s+ZORDER\s+BY\s+\(?(?P<zcols>[\w,\s]+?)\)?)?\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -412,6 +413,7 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             spark,
             _unquote_target(m.group("target"), registry),
             zorder_by=[c.strip() for c in z.split(",")] if z else None,
+            predicate=m.group("pred"),
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 

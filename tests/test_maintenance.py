@@ -275,3 +275,43 @@ def test_zorder_clustering_tightens_file_skipping(spark, tmp_path):
     n_after = len(scan_files(after, pred))
     assert len(after.files) >= 2  # clustering produced multiple files
     assert n_after < len(after.files)  # the range now prunes files
+
+
+def test_optimize_where_scopes_to_partition(spark, tmp_path):
+    """OPTIMIZE … WHERE compacts only matching partitions; files in
+    other partitions are untouched; data predicates are rejected."""
+    import pytest as _pytest
+
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.sql.dispatcher import sql as dsql
+
+    path = str(tmp_path / "t")
+    def chunk(lo, hi):
+        return spark.range(lo, hi).select(
+            "id", (F.col("id") % 2).alias("par"), (F.col("id") * 2).alias("v")
+        )
+
+    write_delta(spark, chunk(0, 200), path, partition_by=["par"])
+    write_delta(spark, chunk(200, 400), path, mode="append")
+    before = load_snapshot(spark=spark, table_path=path)
+    files_par0 = {f.path for f in before.files
+                  if f.partition_values.get("par") == "0"}
+    files_par1 = {f.path for f in before.files
+                  if f.partition_values.get("par") == "1"}
+    assert len(files_par0) > 1 and len(files_par1) > 1
+
+    res = dsql(spark, f"OPTIMIZE '{path}' WHERE par = 0").collect()[0]
+    assert res["files_compacted"] == len(files_par0)
+
+    after = load_snapshot(spark=spark, table_path=path)
+    assert {f.path for f in after.files
+            if f.partition_values.get("par") == "1"} == files_par1
+    assert len([f for f in after.files
+                if f.partition_values.get("par") == "0"]) == 1
+    assert read_delta(spark, path).count() == 400
+
+    with _pytest.raises(ValueError, match="partition columns only"):
+        optimize_delta(spark, path, predicate="v > 10")
