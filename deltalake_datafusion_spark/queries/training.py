@@ -671,6 +671,111 @@ SELECT true AS had_dv, true AS purged,
 """
 
 
+def delta_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped compaction: orders lands as two appends (one
+    file per partition each, so every o_orderstatus partition holds
+    exactly 2 files), then ``OPTIMIZE … WHERE o_orderstatus = 'F'``
+    compacts ONLY that partition to 1 file. Returns per-partition
+    (files_after, n_rows) — proof the scope held."""
+    from deltalake_datafusion_spark.context import LakehouseContext
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "orders")
+    path = os.path.join(_fresh_dir("optimize_where", sf_dir), "t")
+    half = F.col("o_orderkey") % 2
+    base = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    write_delta(
+        spark, base.filter(half == 0).coalesce(1), path,
+        partition_by=["o_orderstatus"],
+    )
+    write_delta(spark, base.filter(half == 1).coalesce(1), path, mode="append")
+    LakehouseContext(spark).sql(
+        f"OPTIMIZE '{path}' WHERE o_orderstatus = 'F'"
+    )
+    snap = load_snapshot(path, spark=spark)
+    counts: dict[str, int] = {}
+    for f in snap.files:
+        k = f.partition_values.get("o_orderstatus")
+        counts[k] = counts.get(k, 0) + 1
+    files_df = spark.createDataFrame(
+        sorted(counts.items()), "o_orderstatus string, files_after long"
+    )
+    from deltalake_datafusion_spark.delta.scan import read_delta
+
+    rows = (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    return (
+        rows.join(F.broadcast(files_df), "o_orderstatus")
+        .select("o_orderstatus", "files_after", "n_rows", "total_price")
+        .orderBy("o_orderstatus")
+    )
+
+
+_OPTIMIZE_WHERE_SQL = """
+SELECT o_orderstatus,
+       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 2 END AS files_after,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def delta_spark_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed scan planning: orders → partitioned Delta, read
+    back with ``planner="spark"`` (log replay + pruning as a Spark
+    job; the driver collects only surviving file rows) under a mixed
+    partition+stats predicate, then aggregate — must equal the plain
+    SQL over the source."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "orders")
+    path = os.path.join(_fresh_dir("spark_planner", sf_dir), "t")
+    write_delta(
+        spark,
+        t["orders"].select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        ),
+        path,
+        partition_by=["o_orderstatus"],
+    )
+    df = read_delta(
+        spark, path,
+        predicate="o_orderstatus = 'O' AND o_totalprice > 100000.0",
+        planner="spark",
+    )
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SPARK_PLANNER_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -701,4 +806,12 @@ def specs() -> list[QuerySpec]:
         QuerySpec("pipe_domain_mixture", pipe_domain_mixture, _DOMAIN_MIX_SQL),
         QuerySpec("text_line_dedup", text_line_dedup, _LINE_DEDUP_SQL),
         QuerySpec("pipe_end_to_end", pipe_end_to_end, _PIPE_E2E_SQL),
+        # round-4 additions — appended after the established prefix so
+        # the driver's bounded CORRECTNESS window keeps its history
+        QuerySpec(
+            "delta_optimize_where", delta_optimize_where, _OPTIMIZE_WHERE_SQL
+        ),
+        QuerySpec(
+            "delta_spark_planner", delta_spark_planner, _SPARK_PLANNER_SQL
+        ),
     ]
