@@ -104,16 +104,10 @@ def vacuum(
 
     cutoff_ms = int((time.time() - retain_hours * 3600) * 1000)
 
-    # Referenced paths: live data files + their deletion-vector files.
-    referenced = {os.path.join(table_path, f.path) for f in snap.files}
-    for f in snap.files:
-        if f.dv and f.dv.storage_type == "u":
-            referenced.add(
-                os.path.join(table_path, dvmod.dv_relative_path(f.dv.path_or_inline))
-            )
-
     listing = directory_listing(spark, table_path, recursive=True)
-    ref_df = spark.createDataFrame([(p,) for p in sorted(referenced)] or [("",)], "path string")
+    ref_df, ref_small = _referenced_paths_df(spark, table_path, snap)
+    if ref_small:
+        ref_df = F.broadcast(ref_df)
 
     # Hidden rule (reference vacuum/mod.rs:111-126): anything whose
     # path RELATIVE segment starts with '_' or '.' is never touched.
@@ -126,7 +120,7 @@ def vacuum(
         listing.filter(~F.col("is_dir"))
         .filter(F.col("modification_time") < F.timestamp_millis(F.lit(cutoff_ms)))
         .filter(~hidden)
-        .join(F.broadcast(ref_df), "path", "left_anti")
+        .join(ref_df, "path", "left_anti")
         .select("path")
         .orderBy("path")
     )
@@ -141,6 +135,65 @@ def vacuum(
     # so re-evaluating the returned DataFrame cannot re-delete.
     deleted = candidates.mapInPandas(_delete_batches, "path string")
     return deleted.localCheckpoint(eager=True)
+
+
+def _referenced_paths_df(spark, table_path: str, snap):
+    """Live (data + DV) file paths as (one-column DataFrame,
+    small_enough_to_broadcast).
+
+    Small tables build the set on the driver. Past the distributed-
+    planning threshold the set comes from :func:`log_replay_df` as a
+    Spark job — a 1e7-file table's referenced set never materializes
+    driver-side (the anti-join then runs shuffle-to-shuffle instead of
+    against a broadcast)."""
+    from deltalake_datafusion_spark.delta.scan import (
+        SPARK_PLANNER_FILE_THRESHOLD,
+    )
+
+    if len(snap.files) <= SPARK_PLANNER_FILE_THRESHOLD:
+        referenced = {os.path.join(table_path, f.path) for f in snap.files}
+        for f in snap.files:
+            if f.dv and f.dv.storage_type == "u":
+                referenced.add(
+                    os.path.join(
+                        table_path, dvmod.dv_relative_path(f.dv.path_or_inline)
+                    )
+                )
+        return (
+            spark.createDataFrame(
+                [(p,) for p in sorted(referenced)] or [("",)], "path string"
+            ),
+            True,
+        )
+
+    import pandas as pd
+
+    from deltalake_datafusion_spark.delta.snapshot import log_replay_df
+
+    live = log_replay_df(spark, table_path)
+    root = table_path.rstrip("/")
+    data_paths = live.select(
+        F.when(
+            F.col("path").startswith("/") | F.col("path").contains("://"),
+            F.url_decode("path"),
+        )
+        .otherwise(F.concat(F.lit(root + "/"), F.url_decode("path")))
+        .alias("path")
+    )
+
+    def dv_paths(batches):
+        for pdf in batches:
+            out = []
+            for tok in pdf["pathOrInlineDv"]:
+                out.append(os.path.join(root, dvmod.dv_relative_path(tok)))
+            yield pd.DataFrame({"path": out})
+
+    dv = (
+        live.filter(F.col("deletionVector.storageType") == "u")
+        .select(F.col("deletionVector.pathOrInlineDv").alias("pathOrInlineDv"))
+        .mapInPandas(dv_paths, "path string")
+    )
+    return data_paths.unionByName(dv), False
 
 
 def _delete_batches(batches):

@@ -315,3 +315,31 @@ def test_optimize_where_scopes_to_partition(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="partition columns only"):
         optimize_delta(spark, path, predicate="v > 10")
+
+
+def test_vacuum_distributed_referenced_set(spark, tmp_path, monkeypatch):
+    """Past the distributed-planning threshold the referenced set
+    comes from log_replay_df (no driver materialization); live data
+    and DV files must still be protected, orphans still found."""
+    from deltalake_datafusion_spark.delta import scan as scanmod
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.vacuum import vacuum
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(spark, spark.range(100).selectExpr("id", "id % 4 AS g"), path)
+    delete_delta(spark, path, "g = 1")  # live DV files appear
+    orphan = os.path.join(path, "orphan-data.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    old = time.time() - 10 * 24 * 3600
+    os.utime(orphan, (old, old))
+
+    monkeypatch.setattr(scanmod, "SPARK_PLANNER_FILE_THRESHOLD", 0)
+    got = {r["path"] for r in vacuum(spark, path, dry_run=True).collect()}
+    assert got == {orphan}
+
+    vacuum(spark, path, full=True, enforce_retention_duration=False)
+    assert not os.path.exists(orphan)
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    assert read_delta(spark, path).count() == 75  # DVs intact
