@@ -1,0 +1,188 @@
+"""ALTER TABLE column DDL: ADD / RENAME / DROP COLUMN.
+
+All three are metadata-only commits (a new ``metaData`` action at the
+tip — zero data I/O on any table size), with Delta's safety rules:
+
+- ADD COLUMNS appends nullable fields; existing files back-fill null
+  through the schema adapter. On a column-mapped table each new field
+  gets the next mapping id + fresh physical name (shared logic with
+  write-path schema evolution, ``writer.merge_schema_fields``).
+- RENAME / DROP COLUMN require ``delta.columnMapping.mode != none``:
+  without mapping the parquet files are keyed by logical name and a
+  rename/drop would orphan or corrupt the data (same rule as
+  delta-spark). Renames keep the field's physical name and mapping id,
+  so no file is touched; drops simply stop projecting the physical
+  column.
+
+Reference provenance: the reference engine has no DDL of its own
+(ALTER falls through to DataFusion, which lacks Delta semantics) —
+this is engine-completeness tier, following the public Delta protocol
+rules for column mapping.
+"""
+
+from __future__ import annotations
+
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import (
+    ConcurrentWriteError,
+    DeltaWriteError,
+    _metadata_action,
+    commit,
+    merge_schema_fields,
+)
+
+
+def _commit_schema(spark, snap, schema, partition_columns, configuration,
+                   op: str) -> int:
+    actions = []
+    md = _metadata_action(
+        schema,
+        partition_columns,
+        configuration,
+        snap.metadata.id,
+        snap.metadata.name,
+    )
+    md["metaData"]["createdTime"] = snap.metadata.created_time
+    actions.append(md)
+    commit(
+        snap.table_path, snap.version + 1, actions, op, spark=spark,
+        configuration=configuration,
+    )
+    return snap.version + 1
+
+
+def _require_mapping(snap, op: str) -> None:
+    if snap.column_mapping_mode == "none":
+        raise DeltaWriteError(
+            f"{op} requires column mapping "
+            "(delta.columnMapping.mode = name); without it the parquet "
+            "files are keyed by logical column name"
+        )
+
+
+def _constraints_referencing(configuration: dict, column: str) -> list[str]:
+    import re
+
+    pat = re.compile(rf"\b{re.escape(column)}\b", re.IGNORECASE)
+    out = []
+    for k, v in configuration.items():
+        if k.startswith("delta.constraints.") and pat.search(v or ""):
+            out.append(k[len("delta.constraints."):])
+    return out
+
+
+def add_columns(
+    spark, table_path: str, columns: list[tuple[str, str]],
+    max_attempts: int = 5,
+) -> dict:
+    """``ALTER TABLE … ADD COLUMNS (name type, …)``. Appends nullable
+    fields; metadata-only."""
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        snap = load_snapshot(table_path, spark=spark)
+        names = set(snap.schema.fieldNames())
+        dupes = [c for c, _ in columns if c in names]
+        if dupes:
+            raise DeltaWriteError(f"column(s) already exist: {dupes}")
+        new_fields = [
+            StructField(c, _parse_datatype_string(t), True)
+            for c, t in columns
+        ]
+        schema, conf, changed = merge_schema_fields(snap, new_fields)
+        if not changed:
+            return {"version": snap.version, "added": []}
+        try:
+            v = _commit_schema(
+                spark, snap, schema, snap.partition_columns, conf,
+                "ADD COLUMNS",
+            )
+            return {"version": v, "added": [c for c, _ in columns]}
+        except ConcurrentWriteError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def rename_column(
+    spark, table_path: str, old: str, new: str, max_attempts: int = 5,
+) -> dict:
+    """``ALTER TABLE … RENAME COLUMN old TO new`` (mapping mode only;
+    the physical name and mapping id are unchanged — zero data I/O)."""
+    from pyspark.sql.types import StructField, StructType
+
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        snap = load_snapshot(table_path, spark=spark)
+        _require_mapping(snap, "RENAME COLUMN")
+        names = snap.schema.fieldNames()
+        if old not in names:
+            raise KeyError(f"column {old!r} not in table schema {names}")
+        if new in names:
+            raise DeltaWriteError(f"column {new!r} already exists")
+        refs = _constraints_referencing(snap.metadata.configuration, old)
+        if refs:
+            raise DeltaWriteError(
+                f"cannot rename {old!r}: referenced by CHECK "
+                f"constraint(s) {refs}"
+            )
+        fields = []
+        for f in snap.schema.fields:
+            if f.name == old:
+                fields.append(
+                    StructField(new, f.dataType, f.nullable, dict(f.metadata or {}))
+                )
+            else:
+                fields.append(f)
+        parts = [new if p == old else p for p in snap.partition_columns]
+        try:
+            v = _commit_schema(
+                spark, snap, StructType(fields), parts,
+                dict(snap.metadata.configuration), "RENAME COLUMN",
+            )
+            return {"version": v, "renamed": [old, new]}
+        except ConcurrentWriteError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def drop_columns(
+    spark, table_path: str, columns: list[str], max_attempts: int = 5,
+) -> dict:
+    """``ALTER TABLE … DROP COLUMN(S)`` (mapping mode only): the
+    fields leave the schema; the physical data stays in place and is
+    simply no longer projected."""
+    from pyspark.sql.types import StructType
+
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        snap = load_snapshot(table_path, spark=spark)
+        _require_mapping(snap, "DROP COLUMN")
+        names = snap.schema.fieldNames()
+        missing = [c for c in columns if c not in names]
+        if missing:
+            raise KeyError(f"column(s) {missing} not in table schema {names}")
+        in_part = sorted(set(columns) & set(snap.partition_columns))
+        if in_part:
+            raise DeltaWriteError(
+                f"cannot drop partition column(s) {in_part}"
+            )
+        if len(columns) >= len(names):
+            raise DeltaWriteError("cannot drop every column of a table")
+        for c in columns:
+            refs = _constraints_referencing(snap.metadata.configuration, c)
+            if refs:
+                raise DeltaWriteError(
+                    f"cannot drop {c!r}: referenced by CHECK "
+                    f"constraint(s) {refs}"
+                )
+        fields = [f for f in snap.schema.fields if f.name not in set(columns)]
+        try:
+            v = _commit_schema(
+                spark, snap, StructType(fields), snap.partition_columns,
+                dict(snap.metadata.configuration), "DROP COLUMNS",
+            )
+            return {"version": v, "dropped": list(columns)}
+        except ConcurrentWriteError as e:
+            last = e
+    raise last  # type: ignore[misc]

@@ -159,6 +159,21 @@ _DESCRIBE_RE = re.compile(
     r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_ADD_COLUMNS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+ADD\s+COLUMNS?\s*\(\s*(?P<cols>[^)]+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RENAME_COLUMN_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+RENAME\s+COLUMN\s+(?P<old>[\w`]+)\s+TO\s+(?P<new>[\w`]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_COLUMNS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+DROP\s+COLUMNS?\s+\(?\s*(?P<cols>[\w`,\s]+?)\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"\s+TO\s+(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
@@ -521,6 +536,52 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         from deltalake_datafusion_spark.delta.clone import history_df
 
         return history_df(spark, target)
+
+    m = _ADD_COLUMNS_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.columns import add_columns
+
+        cols = []
+        for part in m.group("cols").split(","):
+            bits = part.strip().split(None, 1)
+            if len(bits) != 2:
+                raise ValueError(f"bad column spec {part.strip()!r}")
+            cols.append((bits[0].strip("`"), bits[1]))
+        res = add_columns(
+            spark, _unquote_target(m.group("target"), registry), cols
+        )
+        return spark.createDataFrame(
+            [(res["version"], ",".join(res["added"]))],
+            "version long, added string",
+        )
+
+    m = _RENAME_COLUMN_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.columns import rename_column
+
+        res = rename_column(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            m.group("old").strip("`"),
+            m.group("new").strip("`"),
+        )
+        return spark.createDataFrame(
+            [(res["version"], *res["renamed"])],
+            "version long, old string, new string",
+        )
+
+    m = _DROP_COLUMNS_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.columns import drop_columns
+
+        cols = [c.strip().strip("`") for c in m.group("cols").split(",")]
+        res = drop_columns(
+            spark, _unquote_target(m.group("target"), registry), cols
+        )
+        return spark.createDataFrame(
+            [(res["version"], ",".join(res["dropped"]))],
+            "version long, dropped string",
+        )
 
     m = _RESTORE_RE.match(statement)
     if m:

@@ -1,0 +1,116 @@
+"""ALTER TABLE column DDL: ADD / RENAME / DROP COLUMN — metadata-only
+commits with Delta's column-mapping safety rules."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.columns import (
+    add_columns,
+    drop_columns,
+    rename_column,
+)
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import DeltaWriteError, write_delta
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+
+def _mk(spark, tmp_path, mapped: bool):
+    path = str(tmp_path / "t")
+    df = spark.range(10).select("id", (F.col("id") * 2).alias("v"))
+    write_delta(spark, df, path, column_mapping=mapped)
+    return path
+
+
+def test_add_columns_backfills_null(spark, tmp_path):
+    path = _mk(spark, tmp_path, mapped=False)
+    res = add_columns(spark, path, [("extra", "double"), ("tag", "string")])
+    assert res["added"] == ["extra", "tag"]
+
+    out = read_delta(spark, path)
+    assert set(out.columns) == {"id", "v", "extra", "tag"}
+    assert out.filter(F.col("extra").isNull()).count() == 10  # backfill
+
+    write_delta(
+        spark,
+        spark.range(10, 12).select(
+            "id", (F.col("id") * 2).alias("v"),
+            F.lit(1.5).alias("extra"), F.lit("x").alias("tag"),
+        ),
+        path,
+        mode="append",
+    )
+    assert read_delta(spark, path).filter("extra = 1.5").count() == 2
+    with pytest.raises(DeltaWriteError, match="already exist"):
+        add_columns(spark, path, [("v", "long")])
+
+
+def test_add_columns_mapped_assigns_fresh_ids(spark, tmp_path):
+    path = _mk(spark, tmp_path, mapped=True)
+    add_columns(spark, path, [("extra", "long")])
+    snap = load_snapshot(path, spark=spark)
+    f = snap.schema["extra"]
+    assert f.metadata["delta.columnMapping.physicalName"].startswith("col-")
+    assert read_delta(spark, path).filter(F.col("extra").isNull()).count() == 10
+
+
+def test_rename_column_mapped_preserves_data(spark, tmp_path):
+    path = _mk(spark, tmp_path, mapped=True)
+    res = rename_column(spark, path, "v", "value")
+    assert res["renamed"] == ["v", "value"]
+    out = read_delta(spark, path)
+    assert set(out.columns) == {"id", "value"}
+    assert out.agg(F.sum("value")).collect()[0][0] == sum(i * 2 for i in range(10))
+    # metadata-only: still the same physical files
+    assert load_snapshot(path, spark=spark).version == 1
+
+
+def test_rename_requires_mapping(spark, tmp_path):
+    path = _mk(spark, tmp_path, mapped=False)
+    with pytest.raises(DeltaWriteError, match="column mapping"):
+        rename_column(spark, path, "v", "value")
+
+
+def test_drop_column_mapped_and_readd_not_resurrected(spark, tmp_path):
+    path = _mk(spark, tmp_path, mapped=True)
+    res = drop_columns(spark, path, ["v"])
+    assert res["dropped"] == ["v"]
+    out = read_delta(spark, path)
+    assert set(out.columns) == {"id"}
+
+    # re-adding the same name maps to a FRESH physical column — the
+    # dropped data must not come back
+    add_columns(spark, path, [("v", "long")])
+    out2 = read_delta(spark, path)
+    assert out2.filter(F.col("v").isNotNull()).count() == 0
+
+
+def test_drop_guards(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(10).select(
+        "id", (F.col("id") % 2).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    write_delta(spark, df, path, partition_by=["p"], column_mapping=True)
+    with pytest.raises(DeltaWriteError, match="partition column"):
+        drop_columns(spark, path, ["p"])
+    with pytest.raises(KeyError):
+        drop_columns(spark, path, ["nope"])
+
+    from deltalake_datafusion_spark.delta.ops import add_check_constraint
+
+    add_check_constraint(spark, path, "v_pos", "v >= 0")
+    with pytest.raises(DeltaWriteError, match="constraint"):
+        drop_columns(spark, path, ["v"])
+
+
+def test_column_ddl_sql_forms(spark, tmp_path):
+    path = _mk(spark, tmp_path, mapped=True)
+    r1 = sql(spark, f"ALTER TABLE '{path}' ADD COLUMNS (extra double, tag string)")
+    assert r1.collect()[0]["added"] == "extra,tag"
+    r2 = sql(spark, f"ALTER TABLE delta.`{path}` RENAME COLUMN extra TO bonus")
+    assert r2.collect()[0]["new"] == "bonus"
+    r3 = sql(spark, f"ALTER TABLE '{path}' DROP COLUMNS (bonus, tag)")
+    assert r3.collect()[0]["dropped"] == "bonus,tag"
+    assert set(read_delta(spark, path).columns) == {"id", "v"}
