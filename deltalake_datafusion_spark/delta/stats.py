@@ -31,6 +31,13 @@ def _json_safe(v: Any) -> Any:
         return None  # binary stats are not representable in Delta stats JSON
     if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
         return None
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # Delta stats JSON carries decimals as numbers; float matches
+        # the skipping evaluator's comparison domain (exact to 2^53)
+        f = float(v)
+        return None if (math.isnan(f) or math.isinf(f)) else f
     return v
 
 

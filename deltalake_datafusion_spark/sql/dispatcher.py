@@ -371,7 +371,9 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 
     if re.match(
-        r"^\s*CREATE\s+TABLE\s+('|delta\.`)", statement, re.IGNORECASE
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+('|delta\.`)",
+        statement,
+        re.IGNORECASE,
     ) and "SHALLOW CLONE" not in statement.upper():
         from deltalake_datafusion_spark.sql.create_table import (
             try_create_table,

@@ -114,3 +114,35 @@ def test_column_ddl_sql_forms(spark, tmp_path):
     r3 = sql(spark, f"ALTER TABLE '{path}' DROP COLUMNS (bonus, tag)")
     assert r3.collect()[0]["dropped"] == "bonus,tag"
     assert set(read_delta(spark, path).columns) == {"id", "v"}
+
+
+def test_ctas_and_replace(spark, tmp_path, sf_dir=None):
+    """CREATE TABLE … AS SELECT and CREATE OR REPLACE TABLE … AS
+    SELECT land as engine writes (partitioned, with properties)."""
+    spark.range(50).selectExpr(
+        "id", "id % 5 AS g", "id * 1.5 AS v"
+    ).createOrReplaceTempView("ctas_src")
+    path = str(tmp_path / "t")
+
+    out = sql(
+        spark,
+        f"CREATE TABLE '{path}' USING DELTA PARTITIONED BY (g) "
+        f"TBLPROPERTIES ('delta.appendOnly' = 'false') "
+        f"AS SELECT id, g, v FROM ctas_src WHERE id < 30",
+    )
+    assert out.collect()[0]["version"] == 0
+    got = read_delta(spark, path)
+    assert got.count() == 30
+    snap = load_snapshot(path, spark=spark)
+    assert snap.partition_columns == ["g"]
+    assert snap.get_property("delta.appendOnly") == "false"
+
+    with pytest.raises(DeltaWriteError):
+        sql(spark, f"CREATE TABLE '{path}' AS SELECT * FROM ctas_src")
+
+    sql(
+        spark,
+        f"CREATE OR REPLACE TABLE delta.`{path}` AS "
+        f"SELECT id, g, v FROM ctas_src",
+    )
+    assert read_delta(spark, path).count() == 50
