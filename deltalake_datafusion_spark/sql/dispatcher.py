@@ -159,6 +159,13 @@ _DESCRIBE_RE = re.compile(
     r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+    r"(?P<target>'[^']+'|delta\.`[^`]+`)\s*"
+    r"(?:\(\s*(?P<cols>[\w`,\s]+?)\s*\)\s*)?"
+    r"(?P<select>(?:SELECT|VALUES)\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ADD_COLUMNS_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"\s+ADD\s+COLUMNS?\s*\(\s*(?P<cols>[^)]+?)\s*\)\s*;?\s*$",
@@ -538,6 +545,35 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         from deltalake_datafusion_spark.delta.clone import history_df
 
         return history_df(spark, target)
+
+    m = _INSERT_RE.match(statement)
+    if m:
+        # INSERT INTO / OVERWRITE a path-target Delta table: the query
+        # runs through Spark SQL; the result lands as one engine
+        # commit. A column list selects/reorders (remaining columns
+        # take their defaults / null through the write path).
+        from deltalake_datafusion_spark.delta.writer import write_delta
+
+        src = spark.sql(m.group("select"))
+        if m.group("cols"):
+            names = [c.strip().strip("`") for c in m.group("cols").split(",")]
+            if len(names) != len(src.columns):
+                raise ValueError(
+                    f"INSERT column list {names} does not match query "
+                    f"output ({len(src.columns)} columns)"
+                )
+            src = src.toDF(*names)
+        snap = write_delta(
+            spark,
+            src,
+            _unquote_target(m.group("target"), registry),
+            mode=(
+                "append" if m.group("mode").upper() == "INTO" else "overwrite"
+            ),
+        )
+        return spark.createDataFrame(
+            [(snap.version,)], "version long"
+        )
 
     m = _ADD_COLUMNS_RE.match(statement)
     if m:

@@ -146,3 +146,22 @@ def test_ctas_and_replace(spark, tmp_path, sf_dir=None):
         f"SELECT id, g, v FROM ctas_src",
     )
     assert read_delta(spark, path).count() == 50
+
+
+def test_insert_into_and_overwrite_sql(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sql(spark, f"CREATE TABLE '{path}' (id BIGINT, v DOUBLE)")
+    r = sql(spark, f"INSERT INTO '{path}' SELECT id, id * 1.5 AS v FROM range(10)")
+    assert r.collect()[0]["version"] == 1
+    assert read_delta(spark, path).count() == 10
+
+    # column list reorders the query output
+    sql(spark, f"INSERT INTO delta.`{path}` (v, id) "
+               f"SELECT CAST(id AS DOUBLE), id + 100 FROM range(3)")
+    out = read_delta(spark, path)
+    assert out.count() == 13
+    assert out.filter("id >= 100").count() == 3
+
+    sql(spark, f"INSERT OVERWRITE '{path}' "
+               f"SELECT id, CAST(0.5 AS DOUBLE) AS v FROM range(4)")
+    assert read_delta(spark, path).count() == 4
