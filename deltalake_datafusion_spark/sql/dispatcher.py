@@ -208,6 +208,11 @@ _TABLE_CHANGES_RE = re.compile(
     r"(?:\s*,\s*(?P<to>\d+))?\s*\)",
     re.IGNORECASE,
 )
+_DELTA_TABLE_RE = re.compile(
+    r"delta_table\s*\(\s*'(?P<arg>[^']+)'"
+    r"(?:\s*,\s*(?P<version>\d+|'(?P<ts>[^']+)'))?\s*\)",
+    re.IGNORECASE,
+)
 
 def _unquote_target(target: str, registry=None) -> str:
     t = target.strip()
@@ -699,6 +704,25 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         table_changes(spark, arg, lo, hi).createOrReplaceTempView(view)
         return view
 
+    def _expand_delta_table(match):
+        # delta_table('path' [, version | 'timestamp']) — query any
+        # Delta path directly (time travel optional), no registration.
+        from deltalake_datafusion_spark.delta.scan import read_delta
+
+        arg = match.group("arg")
+        ver = match.group("version")
+        ts = match.group("ts")
+        view = f"__delta_table_{abs(hash((arg, ver))) % 10**8}"
+        if ts is not None:
+            df = read_delta(spark, arg, timestamp_as_of=ts)
+        elif ver is not None:
+            df = read_delta(spark, arg, version=int(ver))
+        else:
+            df = read_delta(spark, arg)
+        df.createOrReplaceTempView(view)
+        return view
+
     expanded = _TABLE_FN_RE.sub(_expand, statement)
     expanded = _TABLE_CHANGES_RE.sub(_expand_changes, expanded)
+    expanded = _DELTA_TABLE_RE.sub(_expand_delta_table, expanded)
     return spark.sql(expanded)

@@ -165,3 +165,25 @@ def test_insert_into_and_overwrite_sql(spark, tmp_path):
     sql(spark, f"INSERT OVERWRITE '{path}' "
                f"SELECT id, CAST(0.5 AS DOUBLE) AS v FROM range(4)")
     assert read_delta(spark, path).count() == 4
+
+
+def test_delta_table_function_with_time_travel(spark, tmp_path):
+    """delta_table('path' [, version | 'timestamp']) queries any Delta
+    path in plain SQL, no registration."""
+    path = str(tmp_path / "t")
+    write_delta(spark, spark.range(10).selectExpr("id", "id * 2 AS v"), path)
+    write_delta(
+        spark, spark.range(10, 30).selectExpr("id", "id * 2 AS v"),
+        path, mode="append",
+    )
+
+    n = sql(spark, f"SELECT COUNT(*) AS n FROM delta_table('{path}')")
+    assert n.collect()[0]["n"] == 30
+    n0 = sql(spark, f"SELECT COUNT(*) AS n FROM delta_table('{path}', 0)")
+    assert n0.collect()[0]["n"] == 10
+    joined = sql(
+        spark,
+        f"SELECT a.id FROM delta_table('{path}') a "
+        f"JOIN delta_table('{path}', 0) b ON a.id = b.id",
+    )
+    assert joined.count() == 10
