@@ -242,10 +242,37 @@ def _iter_commit_actions(path: str, fs) -> list[dict]:
     return [json.loads(line) for line in raw.splitlines() if line.strip()]
 
 
+def _commit_timestamp(path: str, fs) -> int | None:
+    """A commit's timestamp from its commitInfo header, reading only
+    the file head (the writer emits commitInfo first; a 10k-add commit
+    costs one 64 KiB ranged read, not a full-file parse). Falls back
+    to a full parse when commitInfo isn't in the head chunk."""
+    head = fs.read_bytes(path, 0, 65536)
+    for line in head.split(b"\n"):
+        if not line.strip():
+            continue
+        try:
+            a = json.loads(line)
+        except ValueError:
+            break  # truncated mid-line — fall through to full parse
+        if a.get("commitInfo"):
+            ci = a["commitInfo"]
+            # in-commit timestamps (when the table enables them) are
+            # authoritative over the wall clock the writer saw
+            return ci.get("inCommitTimestamp", ci.get("timestamp"))
+    if len(head) < 65536:  # whole file seen, no commitInfo
+        return None
+    for a in _iter_commit_actions(path, fs):
+        if a.get("commitInfo"):
+            ci = a["commitInfo"]
+            return ci.get("inCommitTimestamp", ci.get("timestamp"))
+    return None
+
+
 def resolve_version_at_timestamp(table_path: str, ts_ms: int, spark=None) -> int:
     """Timestamp time travel: the latest version whose commit
     timestamp is ≤ ``ts_ms`` (Delta ``timestampAsOf`` semantics).
-    Metadata-only: reads each commit's commitInfo header."""
+    Metadata-only: one head-ranged read per commit."""
     table_path = strip_scheme(table_path)
     fs = fs_for(table_path, spark)
     commits, _ = list_log_files(table_path, spark)
@@ -253,14 +280,7 @@ def resolve_version_at_timestamp(table_path: str, ts_ms: int, spark=None) -> int
         raise DeltaNotFoundError(f"no Delta log at {table_path}")
     best = None
     for v, p in commits:
-        info_ts = None
-        for a in _iter_commit_actions(p, fs):
-            if a.get("commitInfo"):
-                ci = a["commitInfo"]
-                # in-commit timestamps (when the table enables them)
-                # are authoritative over the wall clock the writer saw
-                info_ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
-                break
+        info_ts = _commit_timestamp(p, fs)
         if info_ts is None:  # fall back to file mtime (spec allows)
             info_ts = next(
                 (s.mtime_ms for s in fs.list(os.path.dirname(p))
