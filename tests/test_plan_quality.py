@@ -261,3 +261,21 @@ def test_partitioned_scan_plan_is_o1_in_partition_count(spark, tmp_path):
     assert "BroadcastHashJoin" in plan  # partition-value injection join
     assert out.count() == 500
     assert out.filter("p = 250").select("v").collect()[0][0] == 500
+
+
+def test_partition_injection_join_preserves_pushdown(spark, tmp_path):
+    """Data-column predicates and column pruning must reach the
+    parquet scan THROUGH the partition-value broadcast join."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    df = spark.range(5000).select(
+        "id", (F.col("id") % 7).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    write_delta(spark, df, path, partition_by=["p"])
+    out = read_delta(spark, path, predicate="v > 5000", columns=["id", "v"])
+    plan = _plan(out)
+    assert "GreaterThan(v,5000)" in plan  # pushed through the join
+    assert "ReadSchema: struct<id:bigint,v:bigint>" in plan  # pruned
+    assert plan.count("Scan parquet") == 1
