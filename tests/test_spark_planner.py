@@ -81,3 +81,16 @@ def test_auto_planner_cuts_over_on_checkpoint_size(
     out = read_delta(spark, dv_part_table)
     assert called["n"] == 1  # auto routed through the Spark planner
     assert len(_collect_ids(out)) == 300
+
+
+def test_spark_planner_on_column_mapped_table(spark, tmp_path):
+    path = str(tmp_path / "mapped")
+    df = spark.range(100).select(
+        "id", (F.col("id") % 4).alias("part"), (F.col("id") * 3).alias("v")
+    )
+    write_delta(spark, df, path, partition_by=["part"], column_mapping=True)
+    for pred in (None, "part = 2", "v > 150"):
+        a = read_delta(spark, path, predicate=pred, planner="driver")
+        b = read_delta(spark, path, predicate=pred, planner="spark")
+        assert _collect_ids(a) == _collect_ids(b)
+        assert set(b.columns) == {"id", "part", "v"}
