@@ -33,7 +33,12 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
         [WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE]
         [WHEN NOT MATCHED THEN INSERT *]
         [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]
-    OPTIMIZE <target> [ZORDER BY (cols)]
+    OPTIMIZE <target> [WHERE <partition predicate>] [ZORDER BY (cols)]
+    RESTORE TABLE <target> TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
+    INSERT INTO|OVERWRITE <'path'|delta.`path`> [(cols)] SELECT ... | VALUES ...
+    ALTER TABLE <target> ADD COLUMNS (name type, ...)
+    ALTER TABLE <target> RENAME COLUMN old TO new     (mapping mode)
+    ALTER TABLE <target> DROP COLUMN[S] (c1, ...)      (mapping mode)
     CONVERT TO DELTA parquet.`path` [PARTITIONED BY (col type, ...)]
     COPY INTO <target> FROM 'dir' FILEFORMAT = fmt [PATTERN = 'glob']
     FSCK REPAIR TABLE <target> [DRY RUN]
@@ -49,9 +54,12 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
     CREATE TABLE <'path'|delta.`path`> (col TYPE [GENERATED …
         AS IDENTITY] [DEFAULT expr] [NOT NULL], …) [USING DELTA]
         [PARTITIONED BY (…)] [TBLPROPERTIES (…)]
+    CREATE [OR REPLACE] TABLE <'path'|delta.`path`> [USING DELTA]
+        [PARTITIONED BY (…)] [TBLPROPERTIES (…)] AS SELECT ...
     SELECT ... FROM delta_log('url') / log_replay('url') /
         directory_listing('url') / history('url') /
-        table_changes('url', from[, to])
+        table_changes('url', from[, to]) /
+        delta_table('url'[, version | 'timestamp'])
     <anything else>  → spark.sql(...)
 """
 
@@ -559,7 +567,7 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         # take their defaults / null through the write path).
         from deltalake_datafusion_spark.delta.writer import write_delta
 
-        src = spark.sql(m.group("select"))
+        src = spark.sql(expand_table_functions(spark, m.group("select")))
         if m.group("cols"):
             names = [c.strip().strip("`") for c in m.group("cols").split(",")]
             if len(names) != len(src.columns):
@@ -672,6 +680,15 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             )
 
     # Table functions: substitute temp views, then run through Catalyst.
+    return spark.sql(expand_table_functions(spark, statement))
+
+
+def expand_table_functions(spark, statement: str) -> str:
+    """Substitute the dialect's table functions (``delta_log``,
+    ``log_replay``, ``directory_listing``, ``history``,
+    ``table_changes``, ``delta_table``) with temp views so the text
+    can run through plain Spark SQL. Used by the fall-through path
+    AND the embedded selects of CTAS / INSERT."""
     def _expand(match):
         fn = match.group("fn").lower()
         arg = match.group("arg")
@@ -725,4 +742,4 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
     expanded = _TABLE_FN_RE.sub(_expand, statement)
     expanded = _TABLE_CHANGES_RE.sub(_expand_changes, expanded)
     expanded = _DELTA_TABLE_RE.sub(_expand_delta_table, expanded)
-    return spark.sql(expanded)
+    return expanded

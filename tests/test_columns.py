@@ -187,3 +187,19 @@ def test_delta_table_function_with_time_travel(spark, tmp_path):
         f"JOIN delta_table('{path}', 0) b ON a.id = b.id",
     )
     assert joined.count() == 10
+
+
+def test_table_functions_inside_ctas_and_insert(spark, tmp_path):
+    """delta_table() expands inside the embedded selects of CTAS and
+    INSERT, so SQL users can copy between Delta paths directly."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_delta(spark, spark.range(20).selectExpr("id", "id * 2 AS v"), src)
+
+    sql(spark, f"CREATE TABLE '{dst}' AS "
+               f"SELECT * FROM delta_table('{src}') WHERE id < 5")
+    assert read_delta(spark, dst).count() == 5
+
+    sql(spark, f"INSERT INTO '{dst}' "
+               f"SELECT * FROM delta_table('{src}') WHERE id >= 15")
+    assert read_delta(spark, dst).count() == 10
