@@ -1,0 +1,175 @@
+"""Generated-column partition pruning.
+
+A classic Delta layout partitions by a column GENERATED ALWAYS AS a
+*monotonic* transform of an event-time column::
+
+    event_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE))
+    PARTITIONED BY (event_date)
+
+Users filter on ``ts``; without help the partition column is
+unconstrained and every partition is scanned. Because the transform is
+monotonic non-decreasing, bounds on the base column imply bounds on
+the generated column::
+
+    ts >= L           →  event_date >= f(L)
+    ts <= U           →  event_date <= f(U)
+    ts  = V           →  event_date  = f(V)
+
+This module derives those conjuncts (driver-side, from the predicate
+IR — data never moves) so ``scan_files`` prunes partitions from a
+base-column-only predicate. At 100 TB this is the difference between
+scanning one day and scanning five years.
+
+Supported monotonic transforms (delta-spark supports the same family):
+``CAST(c AS DATE)`` / ``DATE(c)`` / ``to_date(c)``,
+``date_trunc('unit', c)`` for year/quarter/month/week/day/hour, and
+``year(c)``. Non-monotonic extracts (month(c), day(c), hour(c) as
+bare columns) are never used for range derivation.
+
+Soundness: derivation only widens never narrows — the original
+predicate is still applied in full over the scan output, so a missed
+derivation costs I/O, never correctness; a derived bound uses ``>=`` /
+``<=`` (the closure of the transform), never ``>`` / ``<``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from pyspark.sql.types import DateType, StructType, TimestampNTZType, TimestampType
+
+from deltalake_datafusion_spark.delta.predicates import (
+    And,
+    Cmp,
+    try_parse_predicate,
+)
+
+_CAST_DATE_RE = re.compile(
+    r"^\s*(?:CAST\s*\(\s*`?(?P<c1>\w+)`?\s+AS\s+DATE\s*\)"
+    r"|(?:DATE|to_date)\s*\(\s*`?(?P<c2>\w+)`?\s*\))\s*$",
+    re.IGNORECASE,
+)
+_DATE_TRUNC_RE = re.compile(
+    r"^\s*date_trunc\s*\(\s*'(?P<unit>year|quarter|month|week|day|hour)'\s*,"
+    r"\s*`?(?P<c>\w+)`?\s*\)\s*$",
+    re.IGNORECASE,
+)
+_YEAR_RE = re.compile(
+    r"^\s*year\s*\(\s*`?(?P<c>\w+)`?\s*\)\s*$", re.IGNORECASE
+)
+
+
+def _parse_base_ts(value) -> dt.datetime | None:
+    if isinstance(value, dt.datetime):
+        return value
+    if isinstance(value, dt.date):
+        return dt.datetime(value.year, value.month, value.day)
+    if isinstance(value, str):
+        try:
+            return dt.datetime.fromisoformat(
+                value.replace("T", " ").rstrip("Z")
+            )
+        except ValueError:
+            return None
+    return None
+
+
+def _trunc(t: dt.datetime, unit: str) -> dt.datetime:
+    unit = unit.lower()
+    if unit == "year":
+        return dt.datetime(t.year, 1, 1)
+    if unit == "quarter":
+        return dt.datetime(t.year, 3 * ((t.month - 1) // 3) + 1, 1)
+    if unit == "month":
+        return dt.datetime(t.year, t.month, 1)
+    if unit == "week":
+        d = t.date() - dt.timedelta(days=t.weekday())
+        return dt.datetime(d.year, d.month, d.day)
+    if unit == "day":
+        return dt.datetime(t.year, t.month, t.day)
+    return t.replace(minute=0, second=0, microsecond=0)  # hour
+
+
+def _transform_for(expr: str):
+    """generationExpression → (base column, f(datetime) → python value)
+    for monotonic transforms; None otherwise."""
+    m = _CAST_DATE_RE.match(expr)
+    if m:
+        base = m.group("c1") or m.group("c2")
+        return base, lambda t: t.date()
+    m = _DATE_TRUNC_RE.match(expr)
+    if m:
+        unit = m.group("unit")
+        return m.group("c"), lambda t: _trunc(t, unit)
+    m = _YEAR_RE.match(expr)
+    if m:
+        return m.group("c"), lambda t: t.year
+    return None
+
+
+def _fmt_literal(value, dtype) -> str | None:
+    if isinstance(dtype, DateType) and isinstance(value, dt.date):
+        return f"DATE '{value.isoformat()}'"
+    if isinstance(dtype, (TimestampType, TimestampNTZType)) and isinstance(
+        value, dt.datetime
+    ):
+        return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S')}'"
+    if isinstance(value, int):
+        return str(value)
+    return None
+
+
+def _conjuncts(node) -> list:
+    if isinstance(node, And):
+        out = []
+        for ch in node.children:
+            out.extend(_conjuncts(ch))
+        return out
+    return [node]
+
+
+def derived_partition_predicate(
+    schema: StructType, partition_columns: list[str], predicate_sql: str
+) -> str | None:
+    """Extra partition conjuncts implied by base-column bounds in
+    ``predicate_sql``, or None. Only top-level AND conjuncts are
+    inspected (bounds under OR don't constrain the whole scan)."""
+    transforms: dict[str, list] = {}  # base col → [(partition col, f, dtype)]
+    for p in partition_columns:
+        try:
+            f = schema[p]
+        except KeyError:
+            continue
+        expr = (f.metadata or {}).get("delta.generationExpression")
+        if not expr:
+            continue
+        got = _transform_for(expr)
+        if got is None:
+            continue
+        base, fn = got
+        if base in partition_columns or base not in schema.fieldNames():
+            continue
+        transforms.setdefault(base, []).append((p, fn, f.dataType))
+    if not transforms:
+        return None
+
+    pred = try_parse_predicate(predicate_sql)
+    if pred is None:
+        return None
+    derived: list[str] = []
+    for node in _conjuncts(pred):
+        if not isinstance(node, Cmp) or node.op not in ("=", "<", "<=", ">", ">="):
+            continue
+        for part_col, fn, dtype in transforms.get(node.col.name, ()):
+            t = _parse_base_ts(node.lit.value)
+            if t is None:
+                continue
+            lit = _fmt_literal(fn(t), dtype)
+            if lit is None:
+                continue
+            # monotonic closure: strict bounds on the base relax to
+            # non-strict bounds on the transform
+            op = {"<": "<=", ">": ">="}.get(node.op, node.op)
+            derived.append(f"`{part_col}` {op} {lit}")
+    return " AND ".join(derived) if derived else None

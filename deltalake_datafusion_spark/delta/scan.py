@@ -84,6 +84,26 @@ def _limit_truncate(files: list[AddFile], limit: int) -> list[AddFile]:
     return out
 
 
+def _pruning_predicate(snapshot: Snapshot, predicate: str | None) -> str | None:
+    """Predicate used for file pruning: the user predicate plus any
+    partition conjuncts implied by generated-column transforms
+    (``generated_pruning`` — monotonic-transform bound derivation).
+    The ORIGINAL predicate is still applied over the scan output, so
+    derivation only narrows I/O, never results."""
+    if not predicate:
+        return predicate
+    from deltalake_datafusion_spark.delta.generated_pruning import (
+        derived_partition_predicate,
+    )
+
+    derived = derived_partition_predicate(
+        snapshot.schema, snapshot.partition_columns, predicate
+    )
+    if derived:
+        return f"({predicate}) AND {derived}"
+    return predicate
+
+
 def scan_files(
     snapshot: Snapshot,
     predicate: str | None = None,
@@ -93,7 +113,7 @@ def scan_files(
     l2p = _logical_to_physical_map(snapshot.schema)
     files = prune_files(
         snapshot.files,
-        predicate,
+        _pruning_predicate(snapshot, predicate),
         snapshot.schema,
         snapshot.partition_columns,
         l2p,
@@ -206,7 +226,8 @@ def scan_files_spark(
     files_df = log_replay_df(spark, table_path, version)
     l2p = _logical_to_physical_map(snap.schema)
     return prune_files_df(
-        files_df, predicate, snap.schema, snap.partition_columns, l2p
+        files_df, _pruning_predicate(snap, predicate), snap.schema,
+        snap.partition_columns, l2p,
     ).select(
         F.url_decode("path").alias("path"),  # log paths are URL-encoded
         "size",
