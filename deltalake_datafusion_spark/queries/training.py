@@ -776,6 +776,70 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def delta_generated_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated-column partition pruning end-to-end: events land in a
+    table partitioned by ``event_date`` GENERATED ALWAYS AS
+    ``CAST(ts AS DATE)``; a predicate on ``ts`` alone must read only
+    the implied date partitions (``delta/generated_pruning.py``) and
+    produce the same rows as the plain filter. Returns the per-day
+    audit for the last third of the month."""
+    from pyspark.sql.types import (
+        DateType, DoubleType, LongType, StringType, StructField,
+        StructType, TimestampType,
+    )
+
+    from deltalake_datafusion_spark.delta.scan import read_delta, scan_files
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import (
+        create_delta_table, write_delta,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    path = os.path.join(_fresh_dir("gen_pruning", sf_dir), "t")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField(
+                "event_date", DateType(), True,
+                {"delta.generationExpression": "CAST(ts AS DATE)"},
+            ),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    create_delta_table(spark, path, schema, partition_by=["event_date"])
+    write_delta(
+        spark,
+        t["events"].select("event_id", "ts", "event_type", "value"),
+        path,
+        mode="append",
+    )
+    pred = "ts >= TIMESTAMP '2024-01-21 00:00:00'"
+    snap = load_snapshot(path, spark=spark)
+    n_all, n_pruned = len(scan_files(snap)), len(scan_files(snap, pred))
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)  # pruning engaged
+    return (
+        read_delta(spark, path, predicate=pred)
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_date")
+    )
+
+
+_GEN_PRUNING_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -813,5 +877,10 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec(
             "delta_spark_planner", delta_spark_planner, _SPARK_PLANNER_SQL
+        ),
+        QuerySpec(
+            "delta_generated_pruning",
+            delta_generated_pruning,
+            _GEN_PRUNING_SQL,
         ),
     ]
