@@ -291,8 +291,11 @@ def _delete_plan(
             "rows_deleted": rows_deleted,
             "touched_paths": {f.path for f in snap.files},
         }
+    from deltalake_datafusion_spark.delta.scan import _pruning_predicate
+
     candidates = prune_files(
-        snap.files, predicate, logical, snap.partition_columns, l2p
+        snap.files, _pruning_predicate(snap, predicate), logical,
+        snap.partition_columns, l2p,
     )
     if not candidates:
         return _noop_delete()
@@ -1246,8 +1249,11 @@ def _scan_with_rowmeta(spark, snap, predicate: str | None, files=None):
     if files is not None:
         candidates = files
     elif predicate:
+        from deltalake_datafusion_spark.delta.scan import _pruning_predicate
+
         candidates = prune_files(
-            snap.files, predicate, logical, snap.partition_columns, l2p
+            snap.files, _pruning_predicate(snap, predicate), logical,
+            snap.partition_columns, l2p,
         )
     else:
         candidates = snap.files
