@@ -102,6 +102,14 @@ TXN_SCHEMA = StructType(
     ]
 )
 
+DOMAIN_METADATA_SCHEMA = StructType(
+    [
+        StructField("domain", StringType()),
+        StructField("configuration", StringType()),
+        StructField("removed", BooleanType()),
+    ]
+)
+
 COMMIT_INFO_SCHEMA = StructType(
     [
         StructField("timestamp", LongType()),
@@ -119,6 +127,7 @@ LOG_SCHEMA = StructType(
         StructField("metaData", METADATA_SCHEMA),
         StructField("protocol", PROTOCOL_SCHEMA),
         StructField("txn", TXN_SCHEMA),
+        StructField("domainMetadata", DOMAIN_METADATA_SCHEMA),
         StructField("commitInfo", COMMIT_INFO_SCHEMA),
     ]
 )

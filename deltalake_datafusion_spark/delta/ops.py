@@ -217,6 +217,9 @@ def _dv_soft_delete_actions(spark, snap, rowmeta_df, candidates, fs):
                     "dataChange": True,
                     "stats": f.stats,
                     "deletionVector": _dv_to_json(dv),
+                    # row-tracking stability: a DV update re-adds the
+                    # same physical file — surviving rows keep their ids
+                    **_row_id_fields(f),
                 }
             },
         ]
@@ -1227,6 +1230,7 @@ def restore_delta(
                         "dataChange": True,
                         "stats": f.stats,
                         **({"deletionVector": _dv_to_json(f.dv)} if f.dv else {}),
+                        **_row_id_fields(f),
                     }
                 }
             )
@@ -1310,6 +1314,16 @@ def _scan_with_rowmeta(spark, snap, predicate: str | None, files=None):
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def _row_id_fields(f) -> dict:
+    """baseRowId carry-through for re-adds of an existing AddFile."""
+    if getattr(f, "base_row_id", None) is None:
+        return {}
+    return {
+        "baseRowId": f.base_row_id,
+        "defaultRowCommitVersion": f.default_row_commit_version,
+    }
 
 
 def _remove_action(f) -> dict:

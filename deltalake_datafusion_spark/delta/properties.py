@@ -62,10 +62,47 @@ def set_tblproperties(
         }
         if conf.get("delta.checkpointPolicy", "").lower() == "v2":
             needed.add("v2Checkpoint")
+        enabling_rt = (
+            conf.get("delta.enableRowTracking", "").lower() == "true"
+            and snap.metadata.configuration.get(
+                "delta.enableRowTracking", ""
+            ).lower() != "true"
+        )
+        if conf.get("delta.enableRowTracking", "").lower() == "true":
+            needed |= {"rowTracking", "domainMetadata"}
         actions = []
         up = protocol_upgrade_action(snap.protocol, needed) if needed else None
         if up is not None:
             actions.append(up)
+        if enabling_rt:
+            # backfill: re-add every live file without a baseRowId so
+            # commit()'s row-id assignment hands each a fresh block —
+            # pure metadata, zero data movement (delta-spark enablement
+            # semantics)
+            from deltalake_datafusion_spark.delta.writer import (
+                _dv_to_json as _dvj,
+                _url_encode_path as _enc,
+            )
+
+            for f in snap.files:
+                if f.base_row_id is not None:
+                    continue
+                actions.append(
+                    {
+                        "add": {
+                            "path": _enc(f.path),
+                            "partitionValues": f.partition_values,
+                            "size": f.size,
+                            "modificationTime": f.modification_time,
+                            "dataChange": False,
+                            "stats": f.stats,
+                            **(
+                                {"deletionVector": _dvj(f.dv)}
+                                if f.dv else {}
+                            ),
+                        }
+                    }
+                )
         md = _metadata_action(
             snap.schema,
             snap.partition_columns,

@@ -304,14 +304,41 @@ def scan_spark_planned(
     )
 
 
+def _inject_row_ids(spark, snapshot: Snapshot, files, df: DataFrame) -> DataFrame:
+    """Row tracking read side: ``_row_id = baseRowId + row_index``
+    (fresh row ids, Delta rowTracking feature). Files without a
+    baseRowId yield null ids. Broadcast map, same key discipline as
+    partition injection."""
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as _ST
+
+    rows = [
+        (os.path.join(snapshot.table_path, f.path), f.base_row_id)
+        for f in files
+    ]
+    meta = spark.createDataFrame(
+        rows,
+        _ST([StructField("__rid_path", StringType()),
+             StructField("__rid_base", LongType())]),
+    )
+    df = df.join(
+        F.broadcast(meta), _file_path_key() == F.col("__rid_path"), "left"
+    ).drop("__rid_path")
+    return df.withColumn(
+        "_row_id", F.col("__rid_base") + F.col("__row_index")
+    ).drop("__rid_base")
+
+
 def scan(
     spark,
     snapshot: Snapshot,
     predicate: str | None = None,
     columns: list[str] | None = None,
     limit: int | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
-    """Build the scan DataFrame for a snapshot (S1)."""
+    """Build the scan DataFrame for a snapshot (S1).
+    ``with_row_ids`` appends a ``_row_id`` column (rowTracking)."""
     logical = snapshot.schema
     phys_full = physical_schema(logical)
     part_cols = snapshot.partition_columns
@@ -326,6 +353,8 @@ def scan(
     files = scan_files(snapshot, predicate, limit)
     if not files:
         empty = spark.createDataFrame([], logical)
+        if with_row_ids:
+            empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
         return _finish(empty, predicate, columns, limit)
 
     dv_files = [f for f in files if f.dv is not None]
@@ -335,23 +364,27 @@ def scan(
     for subset, with_dv in ((plain_files, False), (dv_files, True)):
         if not subset:
             continue
-        need_fp = with_dv or bool(part_cols)
+        need_fp = with_dv or bool(part_cols) or with_row_ids
         df = _read_files(
             spark, snapshot, subset, data_schema,
-            row_index=with_dv, file_path=need_fp,
+            row_index=with_dv or with_row_ids, file_path=need_fp,
         )
         if part_cols:
             df = _inject_partition_values(spark, snapshot, subset, df, phys_full)
+        if with_row_ids:
+            df = _inject_row_ids(spark, snapshot, subset, df)
         if with_dv:
             df = _apply_dv_filter(spark, snapshot, subset, df)
-        elif need_fp:
-            df = df.drop("__file_path")
+        else:
+            df = df.drop("__file_path", "__row_index")
         branches.append(df)
 
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b, allowMissingColumns=True)
-    out = apply_schema(out, logical)
+    out = apply_schema(
+        out, logical, extra_cols=["_row_id"] if with_row_ids else None
+    )
     return _finish(out, predicate, columns, limit)
 
 
@@ -382,6 +415,7 @@ def read_delta(
     limit: int | None = None,
     timestamp_as_of: int | str | None = None,
     planner: str = "auto",
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Read a Delta table (time travel via ``version`` or
     ``timestamp_as_of`` — epoch millis or an ISO timestamp string) —
@@ -432,4 +466,7 @@ def read_delta(
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot_cached
 
     snap = load_snapshot_cached(table_path, version=version, spark=spark)
-    return scan(spark, snap, predicate=predicate, columns=columns, limit=limit)
+    return scan(
+        spark, snap, predicate=predicate, columns=columns, limit=limit,
+        with_row_ids=with_row_ids,
+    )

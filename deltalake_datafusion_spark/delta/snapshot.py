@@ -76,6 +76,8 @@ class AddFile:
     partition_values: dict[str, str] = field(default_factory=dict)
     stats: str | None = None  # raw JSON
     dv: DvDescriptor | None = None
+    base_row_id: int | None = None  # rowTracking feature
+    default_row_commit_version: int | None = None
 
     @property
     def dv_id(self) -> str:
@@ -117,6 +119,7 @@ class Snapshot:
     files: list[AddFile]
     tombstones: list[dict] = field(default_factory=list)
     app_transactions: dict[str, int] = field(default_factory=dict)
+    domain_metadata: dict[str, str] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -216,7 +219,10 @@ def _read_checkpoint_actions(
             table = papq.read_table(p)
         else:
             avail = set(papq.read_schema(p).names)
-            cols = [c for c in ("metaData", "protocol", "txn") if c in avail]
+            cols = [
+                c for c in ("metaData", "protocol", "txn", "domainMetadata")
+                if c in avail
+            ]
             table = papq.read_table(p, columns=cols)
         for row in table.to_pylist():
             row = {k: v for k, v in row.items() if v is not None}
@@ -272,43 +278,76 @@ def _commit_timestamp(path: str, fs) -> int | None:
 def resolve_version_at_timestamp(table_path: str, ts_ms: int, spark=None) -> int:
     """Timestamp time travel: the latest version whose commit
     timestamp is ≤ ``ts_ms`` (Delta ``timestampAsOf`` semantics).
-    Metadata-only: one head-ranged read per commit."""
+
+    Binary search over the commit list — O(log n) head-ranged reads
+    instead of one per commit, so a 1e5-commit table resolves in ~17
+    reads. Sound because commit timestamps are monotonic: this writer
+    always emits ``inCommitTimestamp`` strictly greater than the
+    previous commit's (``writer.py::commit``), and the Delta spec's
+    timestamp-as-of contract assumes monotonically adjusted timestamps
+    (delta-spark applies the same adjustment when reconstructing
+    history). A short forward walk after the probe absorbs any local
+    non-monotonicity in foreign-written logs."""
     table_path = strip_scheme(table_path)
     fs = fs_for(table_path, spark)
     commits, _ = list_log_files(table_path, spark)
     if not commits:
         raise DeltaNotFoundError(f"no Delta log at {table_path}")
-    best = None
-    for v, p in commits:
+    mtimes = None  # lazy: only listed if some commit lacks commitInfo
+
+    def ts_at(i: int) -> int | None:
+        nonlocal mtimes
+        v, p = commits[i]
         info_ts = _commit_timestamp(p, fs)
         if info_ts is None:  # fall back to file mtime (spec allows)
-            info_ts = next(
-                (s.mtime_ms for s in fs.list(os.path.dirname(p))
-                 if s.path == p),
-                None,
-            )
-        if info_ts is not None and info_ts <= ts_ms:
-            best = v
+            if mtimes is None:
+                mtimes = {
+                    s.path: s.mtime_ms
+                    for s in fs.list(os.path.dirname(p))
+                }
+            info_ts = mtimes.get(p)
+        return info_ts
+
+    lo, hi = 0, len(commits) - 1
+    best = None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        t = ts_at(mid)
+        if t is not None and t <= ts_ms:
+            best = mid
+            lo = mid + 1
+        else:
+            hi = mid - 1
     if best is None:
         raise DeltaNotFoundError(
             f"no commit at or before timestamp {ts_ms} at {table_path}"
         )
-    return best
+    # absorb local timestamp dips just past the probe (foreign logs)
+    while best + 1 < len(commits):
+        t = ts_at(best + 1)
+        if t is not None and t <= ts_ms:
+            best += 1
+        else:
+            break
+    return commits[best][0]
 
 
 class _ReplayState:
     """Mutable log-replay accumulator (shared by full and incremental
     replay)."""
 
-    __slots__ = ("metadata", "protocol", "adds", "tombstones", "app_transactions")
+    __slots__ = ("metadata", "protocol", "adds", "tombstones",
+                 "app_transactions", "domain_metadata")
 
     def __init__(self, metadata=None, protocol=None, adds=None,
-                 tombstones=None, app_transactions=None):
+                 tombstones=None, app_transactions=None,
+                 domain_metadata=None):
         self.metadata: Metadata | None = metadata
         self.protocol: Protocol = protocol or Protocol()
         self.adds: dict[str, AddFile] = adds or {}
         self.tombstones: list[dict] = tombstones or []
         self.app_transactions: dict[str, int] = app_transactions or {}
+        self.domain_metadata: dict[str, str] = domain_metadata or {}
 
 
 def _apply_actions(actions, state: _ReplayState, with_files: bool) -> None:
@@ -351,6 +390,8 @@ def _apply_actions(actions, state: _ReplayState, with_files: bool) -> None:
                 partition_values=dict(ad.get("partitionValues") or {}),
                 stats=stats,
                 dv=dv,
+                base_row_id=ad.get("baseRowId"),
+                default_row_commit_version=ad.get("defaultRowCommitVersion"),
             )
         elif "remove" in a and a["remove"]:
             if not with_files:
@@ -366,6 +407,14 @@ def _apply_actions(actions, state: _ReplayState, with_files: bool) -> None:
                 state.app_transactions[app] = max(
                     state.app_transactions.get(app, -1), tx.get("version", -1)
                 )
+        elif "domainMetadata" in a and a["domainMetadata"]:
+            dm = a["domainMetadata"]
+            if dm.get("removed"):
+                state.domain_metadata.pop(dm.get("domain"), None)
+            else:
+                state.domain_metadata[dm["domain"]] = dm.get(
+                    "configuration", ""
+                )
 
 
 def _finish_snapshot(table_path: str, version: int, state: _ReplayState) -> Snapshot:
@@ -380,6 +429,7 @@ def _finish_snapshot(table_path: str, version: int, state: _ReplayState) -> Snap
         files=sorted(state.adds.values(), key=lambda f: f.path),
         tombstones=state.tombstones,
         app_transactions=state.app_transactions,
+        domain_metadata=state.domain_metadata,
     )
 
 
@@ -454,6 +504,7 @@ def load_snapshot(
             adds={f.path: f for f in base.files},
             tombstones=list(base.tombstones),
             app_transactions=dict(base.app_transactions),
+            domain_metadata=dict(base.domain_metadata),
         )
         actual_version = base.version
         for v, p in tail:

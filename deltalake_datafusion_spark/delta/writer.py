@@ -225,6 +225,8 @@ def _creation_protocol(
         features.add("inCommitTimestamp")
     if conf.get("delta.checkpointPolicy", "").lower() == "v2":
         features.add("v2Checkpoint")
+    if conf.get("delta.enableRowTracking", "").lower() == "true":
+        features |= {"rowTracking", "domainMetadata"}
     if schema is not None and any(
         f.metadata and "CURRENT_DEFAULT" in f.metadata for f in schema.fields
     ):
@@ -381,6 +383,98 @@ def _prev_ict(table_path: str, version: int, fs) -> int | None:
     return None
 
 
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def row_tracking_enabled(configuration: dict[str, str] | None) -> bool:
+    return (
+        (configuration or {}).get("delta.enableRowTracking", "").lower()
+        == "true"
+    )
+
+
+def _prev_row_hwm(table_path: str, version: int, fs) -> int:
+    """``rowIdHighWaterMark`` as of ``version - 1``: walk commits
+    downward reading only file heads (this writer serializes the
+    domainMetadata action immediately after commitInfo), falling back
+    to a metadata-only snapshot load past a cleaned/checkpointed
+    boundary. Returns -1 when no rows were ever tracked."""
+    for v in range(version - 1, -1, -1):
+        path = _commit_path(table_path, v)
+        if not fs.exists(path):
+            break  # log cleaned below here — ask the snapshot
+        head = fs.read_bytes(path, 0, 65536)
+        for line in head.split(b"\n"):
+            if not line.strip():
+                continue
+            try:
+                a = json.loads(line)
+            except ValueError:
+                break  # truncated mid-line; later lines unreadable
+            dm = a.get("domainMetadata")
+            if dm and dm.get("domain") == ROW_TRACKING_DOMAIN:
+                if dm.get("removed"):
+                    return -1
+                conf = json.loads(dm.get("configuration") or "{}")
+                return int(conf.get("rowIdHighWaterMark", -1))
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    try:
+        snap = load_snapshot(table_path, version=version - 1, with_files=False)
+    except Exception:
+        return -1
+    conf = json.loads(
+        snap.domain_metadata.get(ROW_TRACKING_DOMAIN) or "{}"
+    )
+    return int(conf.get("rowIdHighWaterMark", -1))
+
+
+def _assign_row_ids(
+    table_path: str, version: int, actions: list[dict], fs
+) -> list[dict]:
+    """Row-tracking assignment (Delta ``rowTracking`` writer feature):
+    every add WITHOUT a baseRowId gets the next fresh block
+    (hwm+1 … hwm+numRecords) plus ``defaultRowCommitVersion``; a
+    domainMetadata action records the advanced high-water mark.
+    Re-added files (DV updates, RESTORE) keep their existing ids.
+    Runs INSIDE commit(), so a ConcurrentWriteError retry re-mints
+    from the fresh tip — concurrent writers can never hand out the
+    same block. Caller dicts are never mutated (copies only), so a
+    retry loop reusing its action list stays correct."""
+    from deltalake_datafusion_spark.delta.stats import parse_stats
+
+    fresh = [
+        i for i, a in enumerate(actions)
+        if a.get("add") and a["add"].get("baseRowId") is None
+    ]
+    if not fresh:
+        return actions
+    hwm = _prev_row_hwm(table_path, version, fs)
+    out = list(actions)
+    for i in fresh:
+        add = dict(out[i]["add"])
+        stats = parse_stats(add.get("stats"))
+        n = stats.get("numRecords") if stats else None
+        if n is None:
+            raise DeltaWriteError(
+                "row tracking requires numRecords stats on every new "
+                f"add (missing for {add.get('path')!r})"
+            )
+        add["baseRowId"] = hwm + 1
+        add["defaultRowCommitVersion"] = version
+        hwm += int(n)
+        out[i] = {"add": add}
+    dm = {
+        "domainMetadata": {
+            "domain": ROW_TRACKING_DOMAIN,
+            "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+            "removed": False,
+        }
+    }
+    # the domain action leads so _prev_row_hwm's head read finds it
+    return [dm] + out
+
+
 def commit(
     table_path: str,
     version: int,
@@ -396,8 +490,12 @@ def commit(
     commitInfo carries an ``inCommitTimestamp`` that is strictly
     greater than the previous commit's (Delta's inCommitTimestamp
     writer feature: commit time comes from the log, not from file
-    mtimes an object store may rewrite)."""
+    mtimes an object store may rewrite). With
+    ``delta.enableRowTracking``, fresh adds get baseRowId blocks
+    (``_assign_row_ids``)."""
     fs = fs_for(table_path, spark)
+    if row_tracking_enabled(configuration):
+        actions = _assign_row_ids(table_path, version, actions, fs)
     info = {
         "timestamp": _now_ms(),
         "operation": operation,
@@ -1187,6 +1285,16 @@ def write_checkpoint(spark, snapshot: Snapshot) -> str:
             {"txn": {"appId": app_id,
                      "version": snapshot.app_transactions[app_id]}}
         )
+    for domain in sorted(snapshot.domain_metadata):
+        rows.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": snapshot.domain_metadata[domain],
+                    "removed": False,
+                }
+            }
+        )
     for f in snapshot.files:
         rows.append(
             {
@@ -1198,6 +1306,11 @@ def write_checkpoint(spark, snapshot: Snapshot) -> str:
                     "dataChange": False,
                     "stats": f.stats,
                     **({"deletionVector": _dv_to_json(f.dv)} if f.dv else {}),
+                    **(
+                        {"baseRowId": f.base_row_id,
+                         "defaultRowCommitVersion": f.default_row_commit_version}
+                        if f.base_row_id is not None else {}
+                    ),
                 }
             }
         )
@@ -1299,6 +1412,10 @@ def write_checkpoint_spark(
     ] + [
         {"txn": {"appId": app, "version": v}}
         for app, v in sorted(snap.app_transactions.items())
+    ] + [
+        {"domainMetadata": {"domain": d, "configuration": c,
+                            "removed": False}}
+        for d, c in sorted(snap.domain_metadata.items())
     ]
     head = (
         spark.createDataFrame([(json.dumps(r),) for r in head_rows], "value string")
@@ -1459,6 +1576,11 @@ def write_checkpoint_v2(
     head_rows += [
         {"txn": {"appId": app, "version": v}}
         for app, v in sorted(snap.app_transactions.items())
+    ]
+    head_rows += [
+        {"domainMetadata": {"domain": d, "configuration": c,
+                            "removed": False}}
+        for d, c in sorted(snap.domain_metadata.items())
     ]
     head_rows += [{"sidecar": s} for s in sidecars]
 

@@ -840,6 +840,57 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking end-to-end (Delta ``rowTracking`` feature): write
+    ``part`` with ``delta.enableRowTracking``, DV-delete a slice, and
+    read back with ``_row_id``. Asserts through the result that (a)
+    pre-delete ids were globally unique across files, (b) every
+    surviving row kept its exact pre-delete id (DV deletes re-add the
+    same physical file, so blocks are stable), (c) post-delete ids stay
+    unique. All four outputs are structural constants computable from
+    the source parquet, so the DuckDB oracle is exact."""
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "part")
+    path = os.path.join(_fresh_dir("row_tracking", sf_dir), "t")
+    write_delta(
+        spark,
+        t["part"].repartition(4),
+        path,
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    # snapshot loads are eager: `before` is pinned to the pre-delete
+    # file list (no DV filter), so it still evaluates pre-delete rows
+    # after the delete below.
+    before = read_delta(spark, path, with_row_ids=True).select(
+        "p_partkey", F.col("_row_id").alias("rid0")
+    )
+    delete_delta(spark, path, "p_size > 40")
+    after = read_delta(spark, path, with_row_ids=True)
+    survivors = after.join(before, "p_partkey")
+    pre = before.agg(
+        F.countDistinct("rid0").cast("long").alias("n_unique_pre")
+    )
+    return survivors.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("_row_id").cast("long").alias("n_unique_post"),
+        F.sum((F.col("_row_id") == F.col("rid0")).cast("long"))
+        .cast("long")
+        .alias("n_stable"),
+    ).crossJoin(pre)
+
+
+_ROW_TRACKING_SQL = """
+WITH s AS (SELECT COUNT(*) AS k FROM part WHERE p_size <= 40),
+     a AS (SELECT COUNT(*) AS n FROM part)
+SELECT CAST(s.k AS BIGINT) AS n_rows, CAST(s.k AS BIGINT) AS n_unique_post,
+       CAST(s.k AS BIGINT) AS n_stable, CAST(a.n AS BIGINT) AS n_unique_pre
+FROM s, a
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -882,5 +933,8 @@ def specs() -> list[QuerySpec]:
             "delta_generated_pruning",
             delta_generated_pruning,
             _GEN_PRUNING_SQL,
+        ),
+        QuerySpec(
+            "delta_row_tracking", delta_row_tracking, _ROW_TRACKING_SQL
         ),
     ]

@@ -1,0 +1,129 @@
+"""Row tracking (Delta rowTracking + domainMetadata table features):
+fresh baseRowId blocks assigned at commit time, stable across DV
+deletes, surviving checkpoints, unique under concurrent writers."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.ops import delete_delta
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import write_delta
+
+RT_CONF = {"delta.enableRowTracking": "true"}
+
+
+def _row_ids(spark, path):
+    return {
+        r["_row_id"]
+        for r in read_delta(spark, path, with_row_ids=True)
+        .select("_row_id")
+        .collect()
+    }
+
+
+def test_append_assigns_disjoint_blocks(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(spark, spark.range(10).selectExpr("id"), path,
+                configuration=RT_CONF)
+    write_delta(spark, spark.range(10, 25).selectExpr("id"), path,
+                mode="append")
+
+    snap = load_snapshot(path, spark=spark)
+    assert "rowTracking" in snap.protocol.writer_features
+    assert "domainMetadata" in snap.protocol.writer_features
+    assert all(f.base_row_id is not None for f in snap.files)
+    # blocks are disjoint and cover exactly 25 rows
+    ids = _row_ids(spark, path)
+    assert len(ids) == 25
+    assert min(ids) == 0
+
+
+def test_row_ids_stable_across_dv_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(100).select("id", (F.col("id") * 2).alias("v"))
+    write_delta(spark, df, path, configuration=RT_CONF)
+    before = {
+        r["id"]: r["_row_id"]
+        for r in read_delta(spark, path, with_row_ids=True).collect()
+    }
+    delete_delta(spark, path, "id % 10 = 3")
+    after = {
+        r["id"]: r["_row_id"]
+        for r in read_delta(spark, path, with_row_ids=True).collect()
+    }
+    assert len(after) == 90
+    # surviving rows keep their exact pre-delete row ids
+    assert all(before[k] == v for k, v in after.items())
+
+
+def test_row_ids_survive_checkpoint(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.writer import write_checkpoint
+
+    path = str(tmp_path / "t")
+    write_delta(spark, spark.range(20).selectExpr("id"), path,
+                configuration=RT_CONF)
+    ids0 = _row_ids(spark, path)
+    snap = load_snapshot(path, spark=spark)
+    write_checkpoint(spark, snap)
+    # remove the commit JSONs → state must come from the checkpoint
+    import glob
+
+    for p in glob.glob(os.path.join(path, "_delta_log", "*.json")):
+        if not p.endswith("_last_checkpoint"):
+            os.remove(p)
+    snap2 = load_snapshot(path, spark=spark)
+    assert all(f.base_row_id is not None for f in snap2.files)
+    assert snap2.domain_metadata.get("delta.rowTracking")
+    write_delta(spark, spark.range(20, 30).selectExpr("id"), path,
+                mode="append")
+    ids1 = _row_ids(spark, path)
+    assert ids0 < ids1 and len(ids1) == 30  # hwm advanced past checkpoint
+
+
+def test_concurrent_appends_never_share_blocks(spark, tmp_path, monkeypatch):
+    from deltalake_datafusion_spark.delta import writer as wmod
+
+    path = str(tmp_path / "t")
+    write_delta(spark, spark.range(5).selectExpr("id"), path,
+                configuration=RT_CONF)
+
+    orig_stage = wmod._stage_and_move
+    fired = {"done": False}
+
+    def stage_with_race(*a, **kw):
+        moved = orig_stage(*a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            write_delta(
+                spark, spark.range(100, 140).selectExpr("id"), path,
+                mode="append",
+            )
+        return moved
+
+    monkeypatch.setattr(wmod, "_stage_and_move", stage_with_race)
+    write_delta(spark, spark.range(5, 30).selectExpr("id"), path,
+                mode="append")
+
+    ids = _row_ids(spark, path)
+    assert len(ids) == 70  # 5 + 40 + 25, all distinct
+
+
+def test_enablement_backfills_existing_files(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.properties import set_tblproperties
+
+    path = str(tmp_path / "t")
+    write_delta(spark, spark.range(30).selectExpr("id"), path)
+    assert all(
+        f.base_row_id is None
+        for f in load_snapshot(path, spark=spark).files
+    )
+    set_tblproperties(spark, path, RT_CONF)
+    snap = load_snapshot(path, spark=spark)
+    assert "rowTracking" in snap.protocol.writer_features
+    assert all(f.base_row_id is not None for f in snap.files)
+    assert len(_row_ids(spark, path)) == 30
