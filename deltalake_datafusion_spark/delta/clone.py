@@ -173,6 +173,19 @@ def clone_delta(
                 ).foreachPartition(_copy_partition)
 
     actions = [proto, md]
+    # Row tracking (and any other domain) state must survive the
+    # clone: without the delta.rowTracking high-water mark, the first
+    # append to the clone would re-mint id blocks from -1.
+    for domain in sorted(snap.domain_metadata):
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": snap.domain_metadata[domain],
+                    "removed": False,
+                }
+            }
+        )
     for f in snap.files:
         if shallow:
             path = _url_encode_path(os.path.join(src_root, f.path))
@@ -209,11 +222,20 @@ def clone_delta(
                     "dataChange": True,
                     "stats": f.stats,
                     **({"deletionVector": dvj} if dvj else {}),
+                    **(
+                        {"baseRowId": f.base_row_id,
+                         "defaultRowCommitVersion":
+                             f.default_row_commit_version}
+                        if f.base_row_id is not None else {}
+                    ),
                 }
             }
         )
     os.makedirs(dst_root, exist_ok=True)
-    commit(dst_root, 0, actions, "CLONE", spark)
+    commit(
+        dst_root, 0, actions, "CLONE", spark,
+        configuration=snap.metadata.configuration,
+    )
     return {
         "files": len(snap.files),
         "version": 0,

@@ -462,9 +462,10 @@ def update_delta(
         predicate = "true"
     snap = load_snapshot(table_path, spark=spark)
     check_append_only(snap.metadata.configuration, "UPDATE")
-    matched_df = _scan_with_rowmeta(spark, snap, predicate).filter(
-        F.expr(predicate)
-    )
+    rt_mat = _materialized_row_id_col(snap)
+    matched_df = _scan_with_rowmeta(
+        spark, snap, predicate, row_id_col=rt_mat
+    ).filter(F.expr(predicate))
     from deltalake_datafusion_spark.delta.cdf import cdf_enabled as _cdf_en
 
     # matched rows feed the rewrite AND (with the feed on) the cdc
@@ -497,13 +498,21 @@ def update_delta(
     from deltalake_datafusion_spark.delta.writer import _stage_and_move
 
     # New files with the updated rows (physical projection if mapped).
+    # Row tracking: each updated copy persists its pre-update stable id
+    # in the materialized column, so _row_id survives the UPDATE.
     from deltalake_datafusion_spark.delta.writer import _rename_to_physical
 
     logical = snap.schema
+    if rt_mat:
+        updated = updated.withColumn(rt_mat, F.col("__old_row_id"))
+    keep = list(logical.fieldNames()) + ([rt_mat] if rt_mat else [])
     out_df = (
-        _rename_to_physical(updated.select(*logical.fieldNames()), logical)
+        _rename_to_physical(
+            updated.select(*keep), logical,
+            extra_cols=[rt_mat] if rt_mat else None,
+        )
         if snap.column_mapping_mode != "none"
-        else updated.select(*logical.fieldNames())
+        else updated.select(*keep)
     )
     phys = physical_schema(logical)
     phys_parts = [
@@ -544,7 +553,7 @@ def update_delta(
         spark,
         snap.table_path,
         [(rel, size) for rel, _pv, size, _mt in moved],
-        skip_columns=set(phys_parts),
+        skip_columns=set(phys_parts) | ({rt_mat} if rt_mat else set()),
     )
     for rel, pv_phys, size, mtime_ms in moved:
         stats = stats_by_rel[rel]
@@ -665,7 +674,8 @@ def merge_delta(
                 snap.metadata.name,
             )
             md_action["metaData"]["createdTime"] = snap.metadata.created_time
-    target = _scan_with_rowmeta(spark, snap, None)
+    rt_mat = _materialized_row_id_col(snap)
+    target = _scan_with_rowmeta(spark, snap, None, row_id_col=rt_mat)
 
     t = target.alias("t")
     s = source.alias("s")
@@ -711,7 +721,10 @@ def merge_delta(
     if strategy == "auto":
         # Cost model: copy-on-write moves every touched byte; the DV
         # path costs matched rows plus a fixed encode round-trip.
-        # Prefer DVs once the rewrite would move real data.
+        # Prefer DVs once the rewrite would move real data. (Both
+        # strategies preserve stable row ids on row-tracked tables:
+        # dv keeps physical files; cow persists ids through the
+        # materialized column.)
         strategy = (
             "dv"
             if sum(f.size for f in touched) >= DV_MERGE_THRESHOLD_BYTES
@@ -810,11 +823,14 @@ def merge_delta(
                     col: _re.sub(r"\bs\.(\w+)", r"__s_\1", expr)
                     for col, expr in when_matched_update.items()
                 }
+                # Row tracking: the replacement copy keeps the target
+                # row's stable id (flows into the materialized column)
                 replacements = joined.filter(clause_matched).select(
                     *[
                         (F.expr(rw[c]) if c in rw else F.col(c)).alias(c)
                         for c in logical.fieldNames()
-                    ]
+                    ],
+                    *([F.col("__old_row_id")] if rt_mat else []),
                 )
                 new_parts.append(replacements)
             if _cdf_on:
@@ -828,7 +844,7 @@ def merge_delta(
                         pre.withColumn(_CT, F.lit("update_preimage"))
                     )
                     cdc_parts.append(
-                        replacements.withColumn(
+                        replacements.select(*logical.fieldNames()).withColumn(
                             _CT, F.lit("update_postimage")
                         )
                     )
@@ -863,7 +879,12 @@ def merge_delta(
                         .withColumn(_CT, F.lit("delete"))
                     )
                 survivors = survivors.filter(is_matched | ~bs_cond)
-            new_parts.append(survivors.select(*logical.fieldNames()))
+            new_parts.append(
+                survivors.select(
+                    *logical.fieldNames(),
+                    *([F.col("__old_row_id")] if rt_mat else []),
+                )
+            )
 
             # CDF: matched rows → delete, or pre/post image pairs; rows
             # merely rewritten untouched (no matched clause) report
@@ -896,7 +917,10 @@ def merge_delta(
                 for c in logical.fieldNames()
             ]
         )
-        new_parts.append(inserts)
+        new_parts.append(
+            inserts.withColumn("__old_row_id", F.lit(None).cast("long"))
+            if rt_mat else inserts
+        )
         if _cdf_on:
             cdc_parts.append(inserts.withColumn(_CT, F.lit("insert")))
 
@@ -931,8 +955,12 @@ def merge_delta(
             _stage_and_move,
         )
 
+        if rt_mat:
+            out = out.withColumnRenamed("__old_row_id", rt_mat)
         out_df = (
-            _rename_to_physical(out, logical)
+            _rename_to_physical(
+                out, logical, extra_cols=[rt_mat] if rt_mat else None
+            )
             if snap.column_mapping_mode != "none"
             else out
         )
@@ -951,7 +979,7 @@ def merge_delta(
             spark,
             snap.table_path,
             [(rel, size) for rel, _pv, size, _mt in moved],
-            skip_columns=set(phys_parts),
+            skip_columns=set(phys_parts) | ({rt_mat} if rt_mat else set()),
         )
         from deltalake_datafusion_spark.delta.fs import fs_for as _ff
 
@@ -1086,7 +1114,11 @@ def optimize_delta(
     for f in victims:
         groups[tuple(sorted(f.partition_values.items()))].append(f)
 
-    from deltalake_datafusion_spark.delta.writer import physical_schema as _ps
+    from deltalake_datafusion_spark.delta.writer import (
+        MATERIALIZED_ROW_ID_PROP,
+        physical_schema as _ps,
+        row_tracking_enabled,
+    )
 
     logical = snap.schema
     phys = _ps(logical)
@@ -1094,6 +1126,18 @@ def optimize_delta(
     part_idx = {logical.fieldNames().index(p) for p in part_cols}
     data_schema = StructType(
         [f for i, f in enumerate(phys.fields) if i not in part_idx]
+    )
+    # Row-tracking tables persist each rewritten row's stable id in
+    # the materialized column (Delta rowTracking spec) — ids survive
+    # compaction; readers coalesce it over baseRowId + row_index.
+    rt_mat = (
+        snap.metadata.configuration.get(MATERIALIZED_ROW_ID_PROP)
+        if row_tracking_enabled(snap.metadata.configuration)
+        else None
+    )
+    read_schema = (
+        StructType(data_schema.fields + [StructField(rt_mat, LongType())])
+        if rt_mat else data_schema
     )
     fs = fs_for(snap.table_path, spark)
 
@@ -1103,8 +1147,39 @@ def optimize_delta(
         total = sum(f.size for f in group)
         n_out = max(1, -(-total // target_file_size))
         paths = [os.path.join(snap.table_path, f.path) for f in group]
-        df = spark.read.schema(data_schema).parquet(*paths)
+        df = spark.read.schema(read_schema).parquet(*paths)
         dv_files = [f for f in group if f.dv is not None]
+        if dv_files or rt_mat:
+            df = df.select(
+                "*",
+                F.col("_metadata.row_index").alias("__row_index"),
+                F.col("_metadata.file_path").alias("__file_path"),
+            )
+        if rt_mat:
+            from deltalake_datafusion_spark.delta.scan import _file_path_key
+
+            rid_map = spark.createDataFrame(
+                [
+                    (os.path.join(snap.table_path, f.path), f.base_row_id)
+                    for f in group
+                ],
+                StructType(
+                    [StructField("__rid_path", StringType()),
+                     StructField("__rid_base", LongType())]
+                ),
+            )
+            df = df.join(
+                F.broadcast(rid_map),
+                _file_path_key() == F.col("__rid_path"),
+                "left",
+            ).drop("__rid_path")
+            df = df.withColumn(
+                rt_mat,
+                F.coalesce(
+                    F.col(f"`{rt_mat}`"),
+                    F.col("__rid_base") + F.col("__row_index"),
+                ),
+            ).drop("__rid_base")
         if dv_files:
             # Materialize deletion vectors during the rewrite — never
             # resurrect deleted rows; the compacted files carry no DV.
@@ -1112,12 +1187,9 @@ def optimize_delta(
                 dv_row_filter,
             )
 
-            df = df.select(
-                "*",
-                F.col("_metadata.row_index").alias("__row_index"),
-                F.col("_metadata.file_path").alias("__file_path"),
-            )
             df = dv_row_filter(spark, snap, dv_files, df)
+        elif rt_mat:
+            df = df.drop("__row_index", "__file_path")
         if zorder_by:
             zcols = []
             for zc in zorder_by:
@@ -1152,7 +1224,7 @@ def optimize_delta(
             skip_columns=set(
                 phys.fields[logical.fieldNames().index(p)].name
                 for p in part_cols
-            ),
+            ) | ({rt_mat} if rt_mat else set()),
         )
         for rel, size, mtime_ms in renamed:
             actions.append(
@@ -1235,7 +1307,10 @@ def restore_delta(
                 }
             )
     new_version = current.version + 1
-    commit(current.table_path, new_version, actions, "RESTORE", spark)
+    commit(
+        current.table_path, new_version, actions, "RESTORE", spark,
+        configuration=current.metadata.configuration,
+    )
     return {
         "restored_to": version,
         "files_removed": sum(1 for a in actions if "remove" in a),
@@ -1244,10 +1319,18 @@ def restore_delta(
     }
 
 
-def _scan_with_rowmeta(spark, snap, predicate: str | None, files=None):
+def _scan_with_rowmeta(
+    spark, snap, predicate: str | None, files=None,
+    row_id_col: str | None = None,
+):
     """Candidate scan carrying __row_index/__file_path through the
     logical projection, with deletion vectors applied (shared by
-    DELETE/UPDATE/MERGE)."""
+    DELETE/UPDATE/MERGE).
+
+    ``row_id_col`` (the table's materialized row-id column, row
+    tracking) additionally surfaces each row's stable id as
+    ``__old_row_id`` = coalesce(materialized, baseRowId + row_index),
+    so DML rewrites can persist it into replacement files."""
     logical = snap.schema
     l2p = _logical_to_physical_map(logical)
     if files is not None:
@@ -1267,6 +1350,15 @@ def _scan_with_rowmeta(spark, snap, predicate: str | None, files=None):
     data_schema = StructType(
         [f for i, f in enumerate(phys_full.fields) if i not in part_idx]
     )
+    read_schema = (
+        StructType(
+            data_schema.fields + [StructField(row_id_col, LongType())]
+        )
+        if row_id_col else data_schema
+    )
+    meta_cols = ["__row_index", "__file_path"] + (
+        [row_id_col] if row_id_col else []
+    )
     groups: dict[tuple, list] = defaultdict(list)
     for f in candidates:
         groups[tuple(f.partition_values.get(p) for p in part_cols)].append(f)
@@ -1274,7 +1366,7 @@ def _scan_with_rowmeta(spark, snap, predicate: str | None, files=None):
     for key, group in groups.items():
         paths = [os.path.join(snap.table_path, f.path) for f in group]
         df = (
-            spark.read.schema(data_schema)
+            spark.read.schema(read_schema)
             .parquet(*paths)
             .select(
                 "*",
@@ -1290,7 +1382,7 @@ def _scan_with_rowmeta(spark, snap, predicate: str | None, files=None):
                     phys_full.fields[li].dataType
                 ),
             )
-        df = apply_schema(df, logical, extra_cols=["__row_index", "__file_path"])
+        df = apply_schema(df, logical, extra_cols=meta_cols)
         dv_files = [f for f in group if f.dv is not None]
         if dv_files:
             # Apply deletion vectors — DML must never see (or
@@ -1308,12 +1400,51 @@ def _scan_with_rowmeta(spark, snap, predicate: str | None, files=None):
                 StructField("__row_index", LongType()),
                 StructField("__file_path", StringType()),
             ]
+            + ([StructField("__old_row_id", LongType())] if row_id_col else [])
         )
         return spark.createDataFrame([], empty_schema)
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
+    if row_id_col:
+        from deltalake_datafusion_spark.delta.scan import _file_path_key
+
+        rid_map = spark.createDataFrame(
+            [
+                (os.path.join(snap.table_path, f.path), f.base_row_id)
+                for f in candidates
+            ],
+            StructType(
+                [StructField("__rid_path", StringType()),
+                 StructField("__rid_base", LongType())]
+            ),
+        )
+        out = out.join(
+            F.broadcast(rid_map),
+            _file_path_key() == F.col("__rid_path"),
+            "left",
+        ).drop("__rid_path")
+        out = out.withColumn(
+            "__old_row_id",
+            F.coalesce(
+                F.col(f"`{row_id_col}`"),
+                F.col("__rid_base") + F.col("__row_index"),
+            ),
+        ).drop("__rid_base", row_id_col)
     return out
+
+
+def _materialized_row_id_col(snap) -> str | None:
+    """The table's materialized row-id column name, or None when row
+    tracking is off (DML then skips all id plumbing)."""
+    from deltalake_datafusion_spark.delta.writer import (
+        MATERIALIZED_ROW_ID_PROP,
+        row_tracking_enabled,
+    )
+
+    if not row_tracking_enabled(snap.metadata.configuration):
+        return None
+    return snap.metadata.configuration.get(MATERIALIZED_ROW_ID_PROP)
 
 
 def _row_id_fields(f) -> dict:

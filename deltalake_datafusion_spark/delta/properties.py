@@ -24,6 +24,7 @@ from deltalake_datafusion_spark.delta.writer import (
     ConcurrentWriteError,
     _metadata_action,
     commit,
+    ensure_row_tracking_conf,
     ict_enabled,
     protocol_upgrade_action,
 )
@@ -45,6 +46,7 @@ def set_tblproperties(
         snap = load_snapshot(table_path, spark=spark)
         conf = dict(snap.metadata.configuration)
         conf.update({k: str(v) for k, v in props.items()})
+        conf = ensure_row_tracking_conf(conf)
         enabling_ict = ict_enabled(conf) and not ict_enabled(
             snap.metadata.configuration
         )

@@ -39,7 +39,7 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from deltalake_datafusion_spark.delta.predicates import prune_files
 from deltalake_datafusion_spark.delta.schema_apply import apply_schema
@@ -304,11 +304,15 @@ def scan_spark_planned(
     )
 
 
-def _inject_row_ids(spark, snapshot: Snapshot, files, df: DataFrame) -> DataFrame:
-    """Row tracking read side: ``_row_id = baseRowId + row_index``
-    (fresh row ids, Delta rowTracking feature). Files without a
-    baseRowId yield null ids. Broadcast map, same key discipline as
-    partition injection."""
+def _inject_row_ids(
+    spark, snapshot: Snapshot, files, df: DataFrame,
+    mat_col: str | None = None,
+) -> DataFrame:
+    """Row tracking read side: ``_row_id = coalesce(materialized,
+    baseRowId + row_index)`` (stable row ids, Delta rowTracking
+    feature — the materialized column is how ids survive file
+    rewrites such as OPTIMIZE). Files without either yield null ids.
+    Broadcast map, same key discipline as partition injection."""
     from pyspark.sql.types import LongType, StringType, StructField
     from pyspark.sql.types import StructType as _ST
 
@@ -324,9 +328,12 @@ def _inject_row_ids(spark, snapshot: Snapshot, files, df: DataFrame) -> DataFram
     df = df.join(
         F.broadcast(meta), _file_path_key() == F.col("__rid_path"), "left"
     ).drop("__rid_path")
-    return df.withColumn(
-        "_row_id", F.col("__rid_base") + F.col("__row_index")
-    ).drop("__rid_base")
+    fresh = F.col("__rid_base") + F.col("__row_index")
+    rid = (
+        F.coalesce(F.col(f"`{mat_col}`"), fresh) if mat_col else fresh
+    )
+    df = df.withColumn("_row_id", rid).drop("__rid_base")
+    return df.drop(mat_col) if mat_col else df
 
 
 def scan(
@@ -360,19 +367,36 @@ def scan(
     dv_files = [f for f in files if f.dv is not None]
     plain_files = [f for f in files if f.dv is None]
 
+    mat_col = None
+    read_schema = data_schema
+    if with_row_ids:
+        from deltalake_datafusion_spark.delta.writer import (
+            MATERIALIZED_ROW_ID_PROP,
+        )
+
+        mat_col = snapshot.metadata.configuration.get(
+            MATERIALIZED_ROW_ID_PROP
+        )
+        if mat_col:
+            # rewritten files carry stable ids in this physical column;
+            # files without it project as nulls (schema imputation)
+            read_schema = StructType(
+                data_schema.fields + [StructField(mat_col, LongType())]
+            )
+
     branches: list[DataFrame] = []
     for subset, with_dv in ((plain_files, False), (dv_files, True)):
         if not subset:
             continue
         need_fp = with_dv or bool(part_cols) or with_row_ids
         df = _read_files(
-            spark, snapshot, subset, data_schema,
+            spark, snapshot, subset, read_schema,
             row_index=with_dv or with_row_ids, file_path=need_fp,
         )
         if part_cols:
             df = _inject_partition_values(spark, snapshot, subset, df, phys_full)
         if with_row_ids:
-            df = _inject_row_ids(spark, snapshot, subset, df)
+            df = _inject_row_ids(spark, snapshot, subset, df, mat_col)
         if with_dv:
             df = _apply_dv_filter(spark, snapshot, subset, df)
         else:

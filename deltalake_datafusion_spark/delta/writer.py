@@ -140,9 +140,14 @@ def physical_schema(schema: StructType) -> StructType:
     return StructType([walk_field(f) for f in schema.fields])
 
 
-def _rename_to_physical(df: DataFrame, logical: StructType) -> DataFrame:
+def _rename_to_physical(
+    df: DataFrame, logical: StructType,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
     """Project a logical-schema DataFrame into physical column names
-    (recursive struct rebuild), for writing column-mapped files."""
+    (recursive struct rebuild), for writing column-mapped files.
+    ``extra_cols`` pass through unrenamed (already-physical columns
+    such as the materialized row-id column)."""
     from pyspark.sql import functions as F
 
     def conv(col, t, phys_t):
@@ -170,6 +175,8 @@ def _rename_to_physical(df: DataFrame, logical: StructType) -> DataFrame:
     cols = []
     for f, pf in zip(logical.fields, phys.fields):
         cols.append(conv(F.col(f.name), f.dataType, pf.dataType).alias(pf.name))
+    for e in extra_cols or []:
+        cols.append(F.col(f"`{e}`"))
     return df.select(*cols)
 
 
@@ -391,6 +398,26 @@ def row_tracking_enabled(configuration: dict[str, str] | None) -> bool:
         (configuration or {}).get("delta.enableRowTracking", "").lower()
         == "true"
     )
+
+
+MATERIALIZED_ROW_ID_PROP = "delta.rowTracking.materializedRowIdColumnName"
+
+
+def ensure_row_tracking_conf(configuration: dict[str, str]) -> dict[str, str]:
+    """When row tracking is being enabled, reserve the materialized
+    row-id column name (Delta spec: file rewrites persist each row's
+    stable id under this physical column; readers compute
+    ``coalesce(materialized, baseRowId + row_index)``). Random suffix
+    so the name can never collide with a user column."""
+    if (
+        row_tracking_enabled(configuration)
+        and MATERIALIZED_ROW_ID_PROP not in configuration
+    ):
+        configuration = dict(configuration)
+        configuration[MATERIALIZED_ROW_ID_PROP] = (
+            f"_row_id_col_{uuid.uuid4().hex[:8]}"
+        )
+    return configuration
 
 
 def _prev_row_hwm(table_path: str, version: int, fs) -> int:
@@ -729,7 +756,7 @@ def create_delta_table(
     through :func:`write_delta` afterwards."""
     table_path = strip_scheme(table_path)
     partition_by = list(partition_by or [])
-    configuration = dict(configuration or {})
+    configuration = ensure_row_tracking_conf(dict(configuration or {}))
     for p in partition_by:
         if p not in schema.fieldNames():
             raise DeltaWriteError(f"partition column {p!r} not in schema")
@@ -792,6 +819,9 @@ def write_delta(
         existing = load_snapshot(table_path, spark=spark)
     except DeltaNotFoundError:
         existing = None
+
+    if existing is None:
+        configuration = ensure_row_tracking_conf(configuration)
 
     if existing is not None and mode in ("error", "errorifexists"):
         raise DeltaWriteError(f"table already exists at {table_path}")

@@ -113,6 +113,150 @@ def test_concurrent_appends_never_share_blocks(spark, tmp_path, monkeypatch):
     assert len(ids) == 70  # 5 + 40 + 25, all distinct
 
 
+def test_row_ids_survive_optimize_rewrite(spark, tmp_path):
+    """Compaction rewrites files; stable ids must survive via the
+    materialized row-id column (delta.rowTracking.
+    materializedRowIdColumnName, Delta rowTracking spec)."""
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+    from deltalake_datafusion_spark.delta.writer import (
+        MATERIALIZED_ROW_ID_PROP,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(200).select("id", (F.col("id") * 3).alias("v"))
+    write_delta(spark, df.repartition(6), path, configuration=RT_CONF)
+    snap0 = load_snapshot(path, spark=spark)
+    assert snap0.metadata.configuration.get(MATERIALIZED_ROW_ID_PROP)
+    before = {
+        r["id"]: r["_row_id"]
+        for r in read_delta(spark, path, with_row_ids=True).collect()
+    }
+    res = optimize_delta(spark, path)
+    assert res["files_compacted"] >= 2
+    after = {
+        r["id"]: r["_row_id"]
+        for r in read_delta(spark, path, with_row_ids=True).collect()
+    }
+    assert after == before
+    # a SECOND optimize must preserve the already-materialized ids
+    write_delta(
+        spark,
+        spark.range(200, 240).select("id", (F.col("id") * 3).alias("v"))
+        .repartition(3),
+        path,
+        mode="append",
+    )
+    optimize_delta(spark, path, small_file_threshold=1 << 30)
+    final = {
+        r["id"]: r["_row_id"]
+        for r in read_delta(spark, path, with_row_ids=True).collect()
+    }
+    assert len(final) == 240
+    assert all(final[k] == v for k, v in before.items())
+    assert len(set(final.values())) == 240  # appended rows got fresh ids
+
+
+def test_row_ids_survive_reorg_purge(spark, tmp_path):
+    """REORG APPLY (PURGE) materializes DVs into rewritten files —
+    surviving rows keep their ids through the rewrite."""
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+
+    path = str(tmp_path / "t")
+    df = spark.range(120).select("id", (F.col("id") % 7).alias("k"))
+    write_delta(spark, df.repartition(4), path, configuration=RT_CONF)
+    before = {
+        r["id"]: r["_row_id"]
+        for r in read_delta(spark, path, with_row_ids=True).collect()
+    }
+    delete_delta(spark, path, "k = 2")
+    optimize_delta(spark, path, purge=True)
+    snap = load_snapshot(path, spark=spark)
+    assert all(f.dv is None for f in snap.files)  # DVs purged
+    after = {
+        r["id"]: r["_row_id"]
+        for r in read_delta(spark, path, with_row_ids=True).collect()
+    }
+    assert set(after) == {r["id"] for r in df.collect() if r["id"] % 7 != 2}
+    assert all(before[k] == v for k, v in after.items())
+
+
+def test_update_preserves_row_ids(spark, tmp_path):
+    """UPDATE rewrites matched rows into new files; each copy keeps
+    its stable id via the materialized row-id column."""
+    from deltalake_datafusion_spark.delta.ops import update_delta
+
+    path = str(tmp_path / "t")
+    df = spark.range(80).select("id", (F.col("id") % 5).alias("k"))
+    write_delta(spark, df.repartition(3), path, configuration=RT_CONF)
+    before = {
+        r["id"]: r["_row_id"]
+        for r in read_delta(spark, path, with_row_ids=True).collect()
+    }
+    update_delta(spark, path, {"k": "k + 100"}, "id % 4 = 1")
+    rows = read_delta(spark, path, with_row_ids=True).collect()
+    assert len(rows) == 80
+    assert {r["id"]: r["_row_id"] for r in rows} == before
+    assert all(r["k"] >= 100 for r in rows if r["id"] % 4 == 1)
+
+
+@pytest.mark.parametrize("strategy", ["dv", "cow"])
+def test_merge_preserves_row_ids(spark, tmp_path, strategy):
+    """MERGE updated rows keep their stable ids (both physical plans);
+    inserted rows get fresh unique ids."""
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+
+    path = str(tmp_path / "t")
+    df = spark.range(60).select("id", (F.col("id") * 10).alias("v"))
+    write_delta(spark, df.repartition(3), path, configuration=RT_CONF)
+    before = {
+        r["id"]: r["_row_id"]
+        for r in read_delta(spark, path, with_row_ids=True).collect()
+    }
+    source = spark.range(40, 80).select(
+        "id", (F.col("id") + 1000).alias("v")
+    )
+    merge_delta(
+        spark, path, source, on="t.id = s.id",
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=True,
+        strategy=strategy,
+    )
+    rows = read_delta(spark, path, with_row_ids=True).collect()
+    after = {r["id"]: r["_row_id"] for r in rows}
+    assert len(after) == 80
+    assert len(set(after.values())) == 80  # unique, incl. inserts
+    assert all(after[k] == v for k, v in before.items())  # stable
+    assert all(r["v"] == r["id"] + 1000 for r in rows if r["id"] >= 40)
+
+
+def test_clone_carries_row_tracking_state(spark, tmp_path):
+    """Shallow clone keeps ids AND the high-water mark — an append to
+    the clone can never re-mint blocks already handed out."""
+    from deltalake_datafusion_spark.delta.clone import clone_delta
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_delta(spark, spark.range(50).selectExpr("id"), src,
+                configuration=RT_CONF)
+    src_ids = {
+        r["id"]: r["_row_id"]
+        for r in read_delta(spark, src, with_row_ids=True).collect()
+    }
+    clone_delta(spark, src, dst)
+    snap = load_snapshot(dst, spark=spark)
+    assert snap.domain_metadata.get("delta.rowTracking")
+    assert all(f.base_row_id is not None for f in snap.files)
+    dst_ids = {
+        r["id"]: r["_row_id"]
+        for r in read_delta(spark, dst, with_row_ids=True).collect()
+    }
+    assert dst_ids == src_ids
+    write_delta(spark, spark.range(50, 70).selectExpr("id"), dst,
+                mode="append")
+    ids = _row_ids(spark, dst)
+    assert len(ids) == 70  # appended blocks disjoint from cloned ones
+
+
 def test_enablement_backfills_existing_files(spark, tmp_path):
     from deltalake_datafusion_spark.delta.properties import set_tblproperties
 
