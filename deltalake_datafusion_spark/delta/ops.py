@@ -675,7 +675,10 @@ def merge_delta(
             )
             md_action["metaData"]["createdTime"] = snap.metadata.created_time
     rt_mat = _materialized_row_id_col(snap)
-    target = _scan_with_rowmeta(spark, snap, None, row_id_col=rt_mat)
+    rt_ver = _materialized_row_ver_col(snap)
+    target = _scan_with_rowmeta(
+        spark, snap, None, row_id_col=rt_mat, row_ver_col=rt_ver
+    )
 
     t = target.alias("t")
     s = source.alias("s")
@@ -824,13 +827,19 @@ def merge_delta(
                     for col, expr in when_matched_update.items()
                 }
                 # Row tracking: the replacement copy keeps the target
-                # row's stable id (flows into the materialized column)
+                # row's stable id (flows into the materialized column);
+                # its commit version becomes THIS commit's (null
+                # materialized → file default)
                 replacements = joined.filter(clause_matched).select(
                     *[
                         (F.expr(rw[c]) if c in rw else F.col(c)).alias(c)
                         for c in logical.fieldNames()
                     ],
                     *([F.col("__old_row_id")] if rt_mat else []),
+                    *(
+                        [F.lit(None).cast("long").alias("__old_row_commit")]
+                        if rt_ver else []
+                    ),
                 )
                 new_parts.append(replacements)
             if _cdf_on:
@@ -879,10 +888,22 @@ def merge_delta(
                         .withColumn(_CT, F.lit("delete"))
                     )
                 survivors = survivors.filter(is_matched | ~bs_cond)
+            # Row tracking: pass-through rows keep id AND last-modified
+            # version; clause-updated rows keep id, take this commit's
+            # version (null materialized → file default)
+            ver_cols = []
+            if rt_ver:
+                old_ver = F.col("__old_row_commit")
+                if when_matched_update:
+                    old_ver = F.when(
+                        clause_matched, F.lit(None).cast("long")
+                    ).otherwise(old_ver)
+                ver_cols = [old_ver.alias("__old_row_commit")]
             new_parts.append(
                 survivors.select(
                     *logical.fieldNames(),
                     *([F.col("__old_row_id")] if rt_mat else []),
+                    *ver_cols,
                 )
             )
 
@@ -917,10 +938,14 @@ def merge_delta(
                 for c in logical.fieldNames()
             ]
         )
-        new_parts.append(
-            inserts.withColumn("__old_row_id", F.lit(None).cast("long"))
-            if rt_mat else inserts
-        )
+        ins = inserts
+        if rt_mat:
+            ins = ins.withColumn("__old_row_id", F.lit(None).cast("long"))
+        if rt_ver:
+            ins = ins.withColumn(
+                "__old_row_commit", F.lit(None).cast("long")
+            )
+        new_parts.append(ins)
         if _cdf_on:
             cdc_parts.append(inserts.withColumn(_CT, F.lit("insert")))
 
@@ -955,11 +980,16 @@ def merge_delta(
             _stage_and_move,
         )
 
+        extra_phys = []
         if rt_mat:
             out = out.withColumnRenamed("__old_row_id", rt_mat)
+            extra_phys.append(rt_mat)
+        if rt_ver:
+            out = out.withColumnRenamed("__old_row_commit", rt_ver)
+            extra_phys.append(rt_ver)
         out_df = (
             _rename_to_physical(
-                out, logical, extra_cols=[rt_mat] if rt_mat else None
+                out, logical, extra_cols=extra_phys or None
             )
             if snap.column_mapping_mode != "none"
             else out
@@ -979,7 +1009,7 @@ def merge_delta(
             spark,
             snap.table_path,
             [(rel, size) for rel, _pv, size, _mt in moved],
-            skip_columns=set(phys_parts) | ({rt_mat} if rt_mat else set()),
+            skip_columns=set(phys_parts) | set(extra_phys),
         )
         from deltalake_datafusion_spark.delta.fs import fs_for as _ff
 
@@ -1115,9 +1145,7 @@ def optimize_delta(
         groups[tuple(sorted(f.partition_values.items()))].append(f)
 
     from deltalake_datafusion_spark.delta.writer import (
-        MATERIALIZED_ROW_ID_PROP,
         physical_schema as _ps,
-        row_tracking_enabled,
     )
 
     logical = snap.schema
@@ -1127,17 +1155,20 @@ def optimize_delta(
     data_schema = StructType(
         [f for i, f in enumerate(phys.fields) if i not in part_idx]
     )
-    # Row-tracking tables persist each rewritten row's stable id in
-    # the materialized column (Delta rowTracking spec) — ids survive
-    # compaction; readers coalesce it over baseRowId + row_index.
-    rt_mat = (
-        snap.metadata.configuration.get(MATERIALIZED_ROW_ID_PROP)
-        if row_tracking_enabled(snap.metadata.configuration)
-        else None
-    )
+    # Row-tracking tables persist each rewritten row's stable id AND
+    # last-modified commit version in the materialized columns (Delta
+    # rowTracking spec) — both survive compaction (rows unmodified);
+    # readers coalesce them over baseRowId + row_index / the file
+    # default.
+    rt_mat = _materialized_row_id_col(snap)
+    rt_ver = _materialized_row_ver_col(snap)
+    rt_cols = [c for c in (rt_mat, rt_ver) if c]
     read_schema = (
-        StructType(data_schema.fields + [StructField(rt_mat, LongType())])
-        if rt_mat else data_schema
+        StructType(
+            data_schema.fields
+            + [StructField(c, LongType()) for c in rt_cols]
+        )
+        if rt_cols else data_schema
     )
     fs = fs_for(snap.table_path, spark)
 
@@ -1149,23 +1180,28 @@ def optimize_delta(
         paths = [os.path.join(snap.table_path, f.path) for f in group]
         df = spark.read.schema(read_schema).parquet(*paths)
         dv_files = [f for f in group if f.dv is not None]
-        if dv_files or rt_mat:
+        if dv_files or rt_cols:
             df = df.select(
                 "*",
                 F.col("_metadata.row_index").alias("__row_index"),
                 F.col("_metadata.file_path").alias("__file_path"),
             )
-        if rt_mat:
+        if rt_cols:
             from deltalake_datafusion_spark.delta.scan import _file_path_key
 
             rid_map = spark.createDataFrame(
                 [
-                    (os.path.join(snap.table_path, f.path), f.base_row_id)
+                    (
+                        os.path.join(snap.table_path, f.path),
+                        f.base_row_id,
+                        f.default_row_commit_version,
+                    )
                     for f in group
                 ],
                 StructType(
                     [StructField("__rid_path", StringType()),
-                     StructField("__rid_base", LongType())]
+                     StructField("__rid_base", LongType()),
+                     StructField("__rid_dcv", LongType())]
                 ),
             )
             df = df.join(
@@ -1173,13 +1209,20 @@ def optimize_delta(
                 _file_path_key() == F.col("__rid_path"),
                 "left",
             ).drop("__rid_path")
-            df = df.withColumn(
-                rt_mat,
-                F.coalesce(
-                    F.col(f"`{rt_mat}`"),
-                    F.col("__rid_base") + F.col("__row_index"),
-                ),
-            ).drop("__rid_base")
+            if rt_mat:
+                df = df.withColumn(
+                    rt_mat,
+                    F.coalesce(
+                        F.col(f"`{rt_mat}`"),
+                        F.col("__rid_base") + F.col("__row_index"),
+                    ),
+                )
+            if rt_ver:
+                df = df.withColumn(
+                    rt_ver,
+                    F.coalesce(F.col(f"`{rt_ver}`"), F.col("__rid_dcv")),
+                )
+            df = df.drop("__rid_base", "__rid_dcv")
         if dv_files:
             # Materialize deletion vectors during the rewrite — never
             # resurrect deleted rows; the compacted files carry no DV.
@@ -1188,7 +1231,7 @@ def optimize_delta(
             )
 
             df = dv_row_filter(spark, snap, dv_files, df)
-        elif rt_mat:
+        elif rt_cols:
             df = df.drop("__row_index", "__file_path")
         if zorder_by:
             zcols = []
@@ -1224,7 +1267,7 @@ def optimize_delta(
             skip_columns=set(
                 phys.fields[logical.fieldNames().index(p)].name
                 for p in part_cols
-            ) | ({rt_mat} if rt_mat else set()),
+            ) | set(rt_cols),
         )
         for rel, size, mtime_ms in renamed:
             actions.append(
@@ -1322,6 +1365,7 @@ def restore_delta(
 def _scan_with_rowmeta(
     spark, snap, predicate: str | None, files=None,
     row_id_col: str | None = None,
+    row_ver_col: str | None = None,
 ):
     """Candidate scan carrying __row_index/__file_path through the
     logical projection, with deletion vectors applied (shared by
@@ -1330,7 +1374,10 @@ def _scan_with_rowmeta(
     ``row_id_col`` (the table's materialized row-id column, row
     tracking) additionally surfaces each row's stable id as
     ``__old_row_id`` = coalesce(materialized, baseRowId + row_index),
-    so DML rewrites can persist it into replacement files."""
+    so DML rewrites can persist it into replacement files;
+    ``row_ver_col`` likewise surfaces ``__old_row_commit`` =
+    coalesce(materialized, defaultRowCommitVersion) for rewrites that
+    must keep unmodified rows' last-modified versions."""
     logical = snap.schema
     l2p = _logical_to_physical_map(logical)
     if files is not None:
@@ -1350,15 +1397,15 @@ def _scan_with_rowmeta(
     data_schema = StructType(
         [f for i, f in enumerate(phys_full.fields) if i not in part_idx]
     )
+    mat_cols = [c for c in (row_id_col, row_ver_col) if c]
     read_schema = (
         StructType(
-            data_schema.fields + [StructField(row_id_col, LongType())]
+            data_schema.fields
+            + [StructField(c, LongType()) for c in mat_cols]
         )
-        if row_id_col else data_schema
+        if mat_cols else data_schema
     )
-    meta_cols = ["__row_index", "__file_path"] + (
-        [row_id_col] if row_id_col else []
-    )
+    meta_cols = ["__row_index", "__file_path"] + mat_cols
     groups: dict[tuple, list] = defaultdict(list)
     for f in candidates:
         groups[tuple(f.partition_values.get(p) for p in part_cols)].append(f)
@@ -1401,22 +1448,29 @@ def _scan_with_rowmeta(
                 StructField("__file_path", StringType()),
             ]
             + ([StructField("__old_row_id", LongType())] if row_id_col else [])
+            + ([StructField("__old_row_commit", LongType())]
+               if row_ver_col else [])
         )
         return spark.createDataFrame([], empty_schema)
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
-    if row_id_col:
+    if mat_cols:
         from deltalake_datafusion_spark.delta.scan import _file_path_key
 
         rid_map = spark.createDataFrame(
             [
-                (os.path.join(snap.table_path, f.path), f.base_row_id)
+                (
+                    os.path.join(snap.table_path, f.path),
+                    f.base_row_id,
+                    f.default_row_commit_version,
+                )
                 for f in candidates
             ],
             StructType(
                 [StructField("__rid_path", StringType()),
-                 StructField("__rid_base", LongType())]
+                 StructField("__rid_base", LongType()),
+                 StructField("__rid_dcv", LongType())]
             ),
         )
         out = out.join(
@@ -1424,13 +1478,22 @@ def _scan_with_rowmeta(
             _file_path_key() == F.col("__rid_path"),
             "left",
         ).drop("__rid_path")
-        out = out.withColumn(
-            "__old_row_id",
-            F.coalesce(
-                F.col(f"`{row_id_col}`"),
-                F.col("__rid_base") + F.col("__row_index"),
-            ),
-        ).drop("__rid_base", row_id_col)
+        if row_id_col:
+            out = out.withColumn(
+                "__old_row_id",
+                F.coalesce(
+                    F.col(f"`{row_id_col}`"),
+                    F.col("__rid_base") + F.col("__row_index"),
+                ),
+            ).drop(row_id_col)
+        if row_ver_col:
+            out = out.withColumn(
+                "__old_row_commit",
+                F.coalesce(
+                    F.col(f"`{row_ver_col}`"), F.col("__rid_dcv")
+                ),
+            ).drop(row_ver_col)
+        out = out.drop("__rid_base", "__rid_dcv")
     return out
 
 
@@ -1445,6 +1508,18 @@ def _materialized_row_id_col(snap) -> str | None:
     if not row_tracking_enabled(snap.metadata.configuration):
         return None
     return snap.metadata.configuration.get(MATERIALIZED_ROW_ID_PROP)
+
+
+def _materialized_row_ver_col(snap) -> str | None:
+    """The materialized row-commit-version column name, or None."""
+    from deltalake_datafusion_spark.delta.writer import (
+        MATERIALIZED_ROW_VER_PROP,
+        row_tracking_enabled,
+    )
+
+    if not row_tracking_enabled(snap.metadata.configuration):
+        return None
+    return snap.metadata.configuration.get(MATERIALIZED_ROW_VER_PROP)
 
 
 def _row_id_fields(f) -> dict:

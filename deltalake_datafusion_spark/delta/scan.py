@@ -306,24 +306,31 @@ def scan_spark_planned(
 
 def _inject_row_ids(
     spark, snapshot: Snapshot, files, df: DataFrame,
-    mat_col: str | None = None,
+    mat_col: str | None = None, ver_col: str | None = None,
 ) -> DataFrame:
     """Row tracking read side: ``_row_id = coalesce(materialized,
-    baseRowId + row_index)`` (stable row ids, Delta rowTracking
-    feature — the materialized column is how ids survive file
-    rewrites such as OPTIMIZE). Files without either yield null ids.
-    Broadcast map, same key discipline as partition injection."""
+    baseRowId + row_index)`` and ``_row_commit_version =
+    coalesce(materialized, defaultRowCommitVersion)`` (Delta
+    rowTracking feature — the materialized columns are how both
+    survive file rewrites such as OPTIMIZE). Files without either
+    yield nulls. Broadcast map, same key discipline as partition
+    injection."""
     from pyspark.sql.types import LongType, StringType, StructField
     from pyspark.sql.types import StructType as _ST
 
     rows = [
-        (os.path.join(snapshot.table_path, f.path), f.base_row_id)
+        (
+            os.path.join(snapshot.table_path, f.path),
+            f.base_row_id,
+            f.default_row_commit_version,
+        )
         for f in files
     ]
     meta = spark.createDataFrame(
         rows,
         _ST([StructField("__rid_path", StringType()),
-             StructField("__rid_base", LongType())]),
+             StructField("__rid_base", LongType()),
+             StructField("__rid_dcv", LongType())]),
     )
     df = df.join(
         F.broadcast(meta), _file_path_key() == F.col("__rid_path"), "left"
@@ -332,8 +339,19 @@ def _inject_row_ids(
     rid = (
         F.coalesce(F.col(f"`{mat_col}`"), fresh) if mat_col else fresh
     )
-    df = df.withColumn("_row_id", rid).drop("__rid_base")
-    return df.drop(mat_col) if mat_col else df
+    rcv = (
+        F.coalesce(F.col(f"`{ver_col}`"), F.col("__rid_dcv"))
+        if ver_col else F.col("__rid_dcv")
+    )
+    df = (
+        df.withColumn("_row_id", rid)
+        .withColumn("_row_commit_version", rcv)
+        .drop("__rid_base", "__rid_dcv")
+    )
+    for c in (mat_col, ver_col):
+        if c:
+            df = df.drop(c)
+    return df
 
 
 def scan(
@@ -361,28 +379,32 @@ def scan(
     if not files:
         empty = spark.createDataFrame([], logical)
         if with_row_ids:
-            empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
+            empty = empty.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            ).withColumn("_row_commit_version", F.lit(None).cast("long"))
         return _finish(empty, predicate, columns, limit)
 
     dv_files = [f for f in files if f.dv is not None]
     plain_files = [f for f in files if f.dv is None]
 
-    mat_col = None
+    mat_col = ver_col = None
     read_schema = data_schema
     if with_row_ids:
         from deltalake_datafusion_spark.delta.writer import (
             MATERIALIZED_ROW_ID_PROP,
+            MATERIALIZED_ROW_VER_PROP,
         )
 
-        mat_col = snapshot.metadata.configuration.get(
-            MATERIALIZED_ROW_ID_PROP
+        conf = snapshot.metadata.configuration
+        mat_col = conf.get(MATERIALIZED_ROW_ID_PROP)
+        ver_col = conf.get(MATERIALIZED_ROW_VER_PROP)
+        # rewritten files carry stable ids / commit versions in these
+        # physical columns; files without them project as nulls
+        # (schema imputation)
+        read_schema = StructType(
+            data_schema.fields
+            + [StructField(c, LongType()) for c in (mat_col, ver_col) if c]
         )
-        if mat_col:
-            # rewritten files carry stable ids in this physical column;
-            # files without it project as nulls (schema imputation)
-            read_schema = StructType(
-                data_schema.fields + [StructField(mat_col, LongType())]
-            )
 
     branches: list[DataFrame] = []
     for subset, with_dv in ((plain_files, False), (dv_files, True)):
@@ -396,7 +418,9 @@ def scan(
         if part_cols:
             df = _inject_partition_values(spark, snapshot, subset, df, phys_full)
         if with_row_ids:
-            df = _inject_row_ids(spark, snapshot, subset, df, mat_col)
+            df = _inject_row_ids(
+                spark, snapshot, subset, df, mat_col, ver_col
+            )
         if with_dv:
             df = _apply_dv_filter(spark, snapshot, subset, df)
         else:
@@ -407,7 +431,10 @@ def scan(
     for b in branches[1:]:
         out = out.unionByName(b, allowMissingColumns=True)
     out = apply_schema(
-        out, logical, extra_cols=["_row_id"] if with_row_ids else None
+        out, logical,
+        extra_cols=(
+            ["_row_id", "_row_commit_version"] if with_row_ids else None
+        ),
     )
     return _finish(out, predicate, columns, limit)
 

@@ -401,21 +401,28 @@ def row_tracking_enabled(configuration: dict[str, str] | None) -> bool:
 
 
 MATERIALIZED_ROW_ID_PROP = "delta.rowTracking.materializedRowIdColumnName"
+MATERIALIZED_ROW_VER_PROP = (
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+)
 
 
 def ensure_row_tracking_conf(configuration: dict[str, str]) -> dict[str, str]:
     """When row tracking is being enabled, reserve the materialized
-    row-id column name (Delta spec: file rewrites persist each row's
-    stable id under this physical column; readers compute
-    ``coalesce(materialized, baseRowId + row_index)``). Random suffix
-    so the name can never collide with a user column."""
-    if (
-        row_tracking_enabled(configuration)
-        and MATERIALIZED_ROW_ID_PROP not in configuration
-    ):
+    row-id / row-commit-version column names (Delta spec: file
+    rewrites persist each row's stable id — and, for rows the rewrite
+    did not modify, its last-modified commit version — under these
+    physical columns; readers compute ``coalesce(materialized,
+    default)``). Random suffix so the names can never collide with a
+    user column."""
+    if row_tracking_enabled(configuration):
         configuration = dict(configuration)
-        configuration[MATERIALIZED_ROW_ID_PROP] = (
-            f"_row_id_col_{uuid.uuid4().hex[:8]}"
+        configuration.setdefault(
+            MATERIALIZED_ROW_ID_PROP,
+            f"_row_id_col_{uuid.uuid4().hex[:8]}",
+        )
+        configuration.setdefault(
+            MATERIALIZED_ROW_VER_PROP,
+            f"_row_commit_version_col_{uuid.uuid4().hex[:8]}",
         )
     return configuration
 

@@ -85,6 +85,126 @@ def test_row_ids_survive_checkpoint(spark, tmp_path):
     assert ids0 < ids1 and len(ids1) == 30  # hwm advanced past checkpoint
 
 
+def test_row_commit_versions_track_last_modification(spark, tmp_path):
+    """``_row_commit_version`` = the commit that last modified each
+    row: appends stamp their commit, OPTIMIZE preserves (rows
+    unmodified, via the materialized version column), UPDATE/MERGE
+    restamp only the rows they changed."""
+    from deltalake_datafusion_spark.delta.ops import (
+        merge_delta, optimize_delta, update_delta,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(40).select("id", (F.col("id") % 3).alias("k"))
+    write_delta(spark, df.repartition(3), path, configuration=RT_CONF)  # v0
+
+    def versions():
+        return {
+            r["id"]: r["_row_commit_version"]
+            for r in read_delta(spark, path, with_row_ids=True).collect()
+        }
+
+    v = versions()
+    assert set(v.values()) == {0}
+    write_delta(spark, spark.range(40, 60).select(
+        "id", (F.col("id") % 3).alias("k")
+    ), path, mode="append")  # v1
+    v = versions()
+    assert all(val == (0 if k < 40 else 1) for k, val in v.items())
+
+    optimize_delta(spark, path, small_file_threshold=1 << 30)  # v2
+    assert versions() == v  # compaction modifies no rows
+
+    update_delta(spark, path, {"k": "k + 10"}, "id < 5")  # v3
+    v = versions()
+    assert all(val == 3 for k, val in v.items() if k < 5)
+    assert all(val in (0, 1) for k, val in v.items() if k >= 5)
+
+    source = spark.range(30, 45).select("id", F.lit(99).alias("k"))
+    merge_delta(
+        spark, path, source, on="t.id = s.id",
+        when_matched_update={"k": "s.k"},
+        when_not_matched_insert=True,
+        strategy="cow",
+    )  # v4
+    v = versions()
+    assert all(val == 4 for k, val in v.items() if 30 <= k < 45)
+    assert all(val != 4 for k, val in v.items() if k < 30 or k >= 45)
+
+
+def test_randomized_op_sequences_keep_ids_stable_and_unique(spark, tmp_path):
+    """Invariant fuzz: across random append / delete / update / merge /
+    optimize / purge / checkpoint sequences, (1) live row ids are
+    always unique, (2) a row that survives an operation keeps its id,
+    (3) freshly inserted rows never reuse an id ever handed out."""
+    import random
+
+    from deltalake_datafusion_spark.delta.ops import (
+        delete_delta, merge_delta, optimize_delta, update_delta,
+    )
+    from deltalake_datafusion_spark.delta.writer import (
+        write_checkpoint, write_delta as _wd,
+    )
+
+    rng = random.Random(20260814)
+    path = str(tmp_path / "t")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            "id", (F.col("id") % 13).alias("k")
+        )
+
+    _wd(spark, batch(0, 40).repartition(3), path, configuration=RT_CONF)
+    next_key = 40
+    ever_seen: set[int] = set()
+    prev = {}
+
+    for step in range(8):
+        live = {
+            r["id"]: r["_row_id"]
+            for r in read_delta(spark, path, with_row_ids=True).collect()
+        }
+        assert all(v is not None for v in live.values()), step
+        assert len(set(live.values())) == len(live), step  # unique
+        for key in live.keys() & prev.keys():
+            assert live[key] == prev[key], (step, key)  # stable
+        fresh = {v for k, v in live.items() if k not in prev}
+        assert not (fresh & ever_seen), step  # never reused
+        ever_seen |= set(live.values())
+        prev = live
+
+        op = rng.choice(
+            ["append", "delete", "update", "merge", "optimize",
+             "purge", "checkpoint"]
+        )
+        if op == "append":
+            _wd(spark, batch(next_key, next_key + 15).repartition(2),
+                path, mode="append")
+            next_key += 15
+        elif op == "delete":
+            delete_delta(spark, path, f"id % 11 = {rng.randrange(11)}")
+        elif op == "update":
+            update_delta(
+                spark, path, {"k": "k + 1"},
+                f"id % 7 = {rng.randrange(7)}",
+            )
+        elif op == "merge":
+            src = batch(next_key - 10, next_key + 5)
+            merge_delta(
+                spark, path, src, on="t.id = s.id",
+                when_matched_update={"k": "s.k + 50"},
+                when_not_matched_insert=True,
+                strategy=rng.choice(["dv", "cow"]),
+            )
+            next_key += 5
+        elif op == "optimize":
+            optimize_delta(spark, path, small_file_threshold=1 << 30)
+        elif op == "purge":
+            optimize_delta(spark, path, purge=True)
+        else:
+            write_checkpoint(spark, load_snapshot(path, spark=spark))
+
+
 def test_concurrent_appends_never_share_blocks(spark, tmp_path, monkeypatch):
     from deltalake_datafusion_spark.delta import writer as wmod
 
