@@ -279,3 +279,32 @@ def test_partition_injection_join_preserves_pushdown(spark, tmp_path):
     assert "GreaterThan(v,5000)" in plan  # pushed through the join
     assert "ReadSchema: struct<id:bigint,v:bigint>" in plan  # pruned
     assert plan.count("Scan parquet") == 1
+
+
+def test_row_id_injection_is_broadcast_and_keeps_pushdown(spark, tmp_path):
+    """Row-tracking reads attach _row_id via ONE broadcast join over a
+    per-file metadata map — a predicate still reaches the parquet scan
+    and no shuffle is introduced on the data side."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    df = spark.range(5000).select("id", (F.col("id") * 2).alias("v"))
+    write_delta(
+        spark, df.repartition(4), path,
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    out = read_delta(spark, path, predicate="v > 5000", with_row_ids=True)
+    plan = _plan(out)
+    assert "GreaterThan(v,5000)" in plan  # pushed below the join
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 1  # one data read branch
+    assert "SortMergeJoin" not in plan
+    # the only exchange is the broadcast of the tiny file map
+    import re
+
+    data_exchanges = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bExchange (hash|range|rebalance)", ln)
+    ]
+    assert not data_exchanges, data_exchanges
