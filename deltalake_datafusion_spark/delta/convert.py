@@ -114,8 +114,13 @@ def convert_to_delta(
         + [StructField(f.name, f.dataType, True) for f in part_struct.fields]
     )
 
+    from deltalake_datafusion_spark.delta.stats import (
+        data_skipping_stats_columns,
+    )
+
     stats_by_rel = collect_stats_batch(
-        spark, base, [(rel, size) for rel, size, _ in files]
+        spark, base, [(rel, size) for rel, size, _ in files],
+        stats_columns=data_skipping_stats_columns(full_schema, {}),
     )
 
     actions: list[dict] = [

@@ -547,13 +547,19 @@ def update_delta(
         matched_df.unpersist()
     adds = []
     p2l = dict(zip(phys_parts, snap.partition_columns))
-    from deltalake_datafusion_spark.delta.stats import collect_stats_batch
+    from deltalake_datafusion_spark.delta.stats import (
+        collect_stats_batch,
+        data_skipping_stats_columns,
+    )
 
     stats_by_rel = collect_stats_batch(
         spark,
         snap.table_path,
         [(rel, size) for rel, _pv, size, _mt in moved],
         skip_columns=set(phys_parts) | ({rt_mat} if rt_mat else set()),
+        stats_columns=data_skipping_stats_columns(
+            logical, snap.metadata.configuration
+        ),
     )
     for rel, pv_phys, size, mtime_ms in moved:
         stats = stats_by_rel[rel]
@@ -1003,6 +1009,7 @@ def merge_delta(
         p2l = dict(zip(phys_parts, snap.partition_columns))
         from deltalake_datafusion_spark.delta.stats import (
             collect_stats_batch as _csb,
+            data_skipping_stats_columns as _dssc,
         )
 
         stats_by_rel = _csb(
@@ -1010,6 +1017,7 @@ def merge_delta(
             snap.table_path,
             [(rel, size) for rel, _pv, size, _mt in moved],
             skip_columns=set(phys_parts) | set(extra_phys),
+            stats_columns=_dssc(logical, snap.metadata.configuration),
         )
         from deltalake_datafusion_spark.delta.fs import fs_for as _ff
 
@@ -1258,6 +1266,7 @@ def optimize_delta(
             renamed.append((rel, st.size, st.mtime_ms))
         from deltalake_datafusion_spark.delta.stats import (
             collect_stats_batch as _csb,
+            data_skipping_stats_columns as _dssc2,
         )
 
         stats_by_rel = _csb(
@@ -1268,6 +1277,7 @@ def optimize_delta(
                 phys.fields[logical.fieldNames().index(p)].name
                 for p in part_cols
             ) | set(rt_cols),
+            stats_columns=_dssc2(logical, snap.metadata.configuration),
         )
         for rel, size, mtime_ms in renamed:
             actions.append(

@@ -111,11 +111,53 @@ class _FsRandomAccessFile:
         self.closed = True
 
 
+def data_skipping_stats_columns(logical, configuration) -> set[str] | None:
+    """Physical top-level columns eligible for min/max/nullCount stats
+    under Delta's data-skipping properties:
+    ``delta.dataSkippingStatsColumns`` (explicit comma list of column
+    names, wins) or ``delta.dataSkippingNumIndexedCols`` (first N
+    schema columns; default 32, -1 = all — delta-spark defaults).
+    Returns None for "no restriction". numRecords is always collected;
+    columns outside the set simply fall back to the skipping
+    evaluator's keep-on-unknown discipline, so narrowing stats can
+    never change results — it only trades skipping power for metadata
+    size (a 1000-column table stops paying 1000-entry stats JSON per
+    file). Counting is per top-level column."""
+    conf = configuration or {}
+
+    def phys(f):
+        return (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+
+    explicit = conf.get("delta.dataSkippingStatsColumns")
+    if explicit is not None:
+        by_name = {f.name: f for f in logical.fields}
+        out = set()
+        for n in explicit.split(","):
+            n = n.strip().strip("`")
+            if not n:
+                continue
+            top = n.split(".")[0]
+            if top not in by_name:
+                raise ValueError(
+                    "delta.dataSkippingStatsColumns references unknown "
+                    f"column {n!r}"
+                )
+            out.add(phys(by_name[top]))
+        return out
+    n = int(conf.get("delta.dataSkippingNumIndexedCols", "32"))
+    if n < 0 or n >= len(logical.fields):
+        return None
+    return {phys(f) for f in logical.fields[:n]}
+
+
 def collect_file_stats(
     file_path: str,
     skip_columns: set[str] | None = None,
     fs=None,
     size: int | None = None,
+    stats_columns: set[str] | None = None,
 ) -> str:
     """Build the Delta stats JSON for one written parquet file from its
     footer. ``skip_columns`` excludes partition columns (their values
@@ -151,6 +193,8 @@ def collect_file_stats(
             top = path.split(".")[0]
             if skip_columns and top in skip_columns:
                 continue
+            if stats_columns is not None and top not in stats_columns:
+                continue  # outside the data-skipping indexed set
             entry = agg.setdefault(
                 path, {"min": None, "max": None, "nulls": 0, "has_stats": True}
             )
@@ -213,6 +257,7 @@ def collect_stats_batch(
     table_path: str,
     rel_sizes: list[tuple[str, int]],
     skip_columns: set[str] | None = None,
+    stats_columns: set[str] | None = None,
 ) -> dict[str, str]:
     """Stats JSON for many freshly-written files: executor-distributed
     footer reads when the file count is large, a driver loop when a
@@ -225,7 +270,8 @@ def collect_stats_batch(
         fs = fs_for(table_path, spark)
         return {
             rel: collect_file_stats(
-                os.path.join(table_path, rel), skip, fs=fs, size=size
+                os.path.join(table_path, rel), skip, fs=fs, size=size,
+                stats_columns=stats_columns,
             )
             for rel, size in rel_sizes
         }
@@ -241,7 +287,8 @@ def collect_stats_batch(
         fs = _ff(tp)
         for rel, size in it:
             yield rel, _cfs(
-                os.path.join(tp, rel), skip, fs=fs, size=size
+                os.path.join(tp, rel), skip, fs=fs, size=size,
+                stats_columns=stats_columns,
             )
 
     n_slices = max(1, min(len(rel_sizes) // 8, 256))

@@ -1006,11 +1006,16 @@ def write_delta(
     # Footer reads are executor-distributed for large writes.
     phys_to_logical_part = dict(zip(phys_partition_by, partition_by))
     adds = []
+    from deltalake_datafusion_spark.delta.stats import (
+        data_skipping_stats_columns,
+    )
+
     stats_by_rel = collect_stats_batch(
         spark,
         table_path,
         [(rel, size) for rel, _pv, size, _mt in moved],
         skip_columns=set(phys_partition_by),
+        stats_columns=data_skipping_stats_columns(write_schema, active_conf),
     )
     for rel, pv_phys, size, mtime_ms in moved:
         stats = stats_by_rel[rel]

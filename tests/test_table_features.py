@@ -265,3 +265,52 @@ def test_generated_columns(spark, tmp_path):
     ok = spark.createDataFrame([(3, 3.0, 6.0)], "id long, v double, v2 double")
     write_delta(spark, ok, path, mode="append")
     assert read_delta(spark, path).count() == 4
+
+
+def test_data_skipping_stats_columns_limit(spark, tmp_path):
+    """delta.dataSkippingNumIndexedCols / dataSkippingStatsColumns
+    bound which columns carry min/max/nullCount stats (wide tables
+    stop paying O(columns) stats JSON per file); numRecords always
+    collected, and predicates on unstatsed columns still return exact
+    results via keep-on-unknown skipping."""
+    import json as _json
+
+    import pytest as _pytest
+
+    df = spark.range(100).select(
+        "id",
+        (F.col("id") * 2).alias("b"),
+        (F.col("id") % 5).alias("c"),
+        (F.col("id") + 7).alias("d"),
+    )
+
+    path = str(tmp_path / "t_n")
+    write_delta(
+        spark, df, path,
+        configuration={"delta.dataSkippingNumIndexedCols": "2"},
+    )
+    snap = load_snapshot(path, spark=spark)
+    for f in snap.files:
+        st = _json.loads(f.stats)
+        assert st["numRecords"] > 0
+        assert set(st["minValues"]) == {"id", "b"}
+        assert set(st["nullCount"]) == {"id", "b"}
+    # exact answers on an unstatsed column (no file wrongly pruned)
+    assert read_delta(spark, path, predicate="d > 57").count() == 49
+
+    path2 = str(tmp_path / "t_cols")
+    write_delta(
+        spark, df, path2,
+        configuration={"delta.dataSkippingStatsColumns": "c, d"},
+    )
+    snap2 = load_snapshot(path2, spark=spark)
+    for f in snap2.files:
+        st = _json.loads(f.stats)
+        assert set(st["minValues"]) == {"c", "d"}
+    assert read_delta(spark, path2, predicate="b >= 100").count() == 50
+
+    with _pytest.raises(ValueError, match="unknown"):
+        write_delta(
+            spark, df, str(tmp_path / "t_bad"),
+            configuration={"delta.dataSkippingStatsColumns": "nope"},
+        )
