@@ -1135,6 +1135,15 @@ def optimize_delta(
     vacuumed; other files are untouched."""
     snap = load_snapshot(table_path, spark=spark)
     threshold = small_file_threshold or target_file_size // 2
+    if zorder_by is None and not purge:
+        # Liquid clustering: a table with a delta.clustering domain
+        # clusters on OPTIMIZE by its declared columns (delta-spark
+        # OPTIMIZE-on-clustered-table semantics).
+        from deltalake_datafusion_spark.delta.writer import (
+            clustering_columns,
+        )
+
+        zorder_by = clustering_columns(snap) or None
     scope = _partition_scope_files(snap, predicate)
     if purge:
         victims = [f for f in scope if f.dv is not None]

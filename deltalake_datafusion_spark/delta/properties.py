@@ -245,3 +245,64 @@ def unset_tblproperties(
         except ConcurrentWriteError as e:
             last = e
     raise last  # type: ignore[misc]
+
+
+def set_clustering(
+    spark, table_path: str, cluster_by: list[str] | None,
+    max_attempts: int = 5,
+) -> dict:
+    """ALTER TABLE … CLUSTER BY (cols) / CLUSTER BY NONE: replace (or
+    remove) the ``delta.clustering`` domain. Metadata-only — existing
+    files keep their layout; the next OPTIMIZE clusters by the new
+    columns (delta-spark liquid clustering semantics)."""
+    from deltalake_datafusion_spark.delta.writer import (
+        CLUSTERING_DOMAIN,
+        DeltaWriteError,
+        clustering_domain_action,
+    )
+
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        snap = load_snapshot(table_path, spark=spark)
+        if cluster_by and snap.partition_columns:
+            raise DeltaWriteError(
+                "CLUSTER BY and PARTITIONED BY are mutually exclusive"
+            )
+        actions: list[dict] = []
+        if cluster_by:
+            up = protocol_upgrade_action(
+                snap.protocol, {"clustering", "domainMetadata"}
+            )
+            if up is not None:
+                actions.append(up)
+            actions.append(
+                clustering_domain_action(snap.schema, cluster_by)
+            )
+        else:
+            if CLUSTERING_DOMAIN not in snap.domain_metadata:
+                return {"version": snap.version, "clustering": []}
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": CLUSTERING_DOMAIN,
+                        "configuration": "{}",
+                        "removed": True,
+                    }
+                }
+            )
+        try:
+            commit(
+                snap.table_path,
+                snap.version + 1,
+                actions,
+                "CLUSTER BY",
+                spark=spark,
+                configuration=snap.metadata.configuration,
+            )
+            return {
+                "version": snap.version + 1,
+                "clustering": list(cluster_by or []),
+            }
+        except ConcurrentWriteError as e:
+            last = e
+    raise last  # type: ignore[misc]

@@ -43,6 +43,7 @@ from deltalake_datafusion_spark.delta.fs import (
 )
 from deltalake_datafusion_spark.delta.snapshot import (
     DeltaNotFoundError,
+    Protocol,
     Snapshot,
     load_snapshot,
 )
@@ -748,6 +749,51 @@ def _stage_and_move(
     return moved
 
 
+CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def clustering_domain_action(
+    schema: StructType, cluster_by: list[str], removed: bool = False
+) -> dict:
+    """``delta.clustering`` domainMetadata carrying the clustering
+    columns as *physical* names (delta-spec liquid clustering;
+    delta-spark stores them the same way so mapped-table renames don't
+    invalidate the domain)."""
+    by_name = {f.name: f for f in schema.fields}
+    phys = []
+    for c in cluster_by:
+        if c not in by_name:
+            raise DeltaWriteError(f"clustering column {c!r} not in schema")
+        f = by_name[c]
+        phys.append(
+            [(f.metadata or {}).get("delta.columnMapping.physicalName",
+                                    f.name)]
+        )
+    return {
+        "domainMetadata": {
+            "domain": CLUSTERING_DOMAIN,
+            "configuration": json.dumps({"clusteringColumns": phys}),
+            "removed": removed,
+        }
+    }
+
+
+def clustering_columns(snapshot) -> list[str]:
+    """Logical clustering column names from the snapshot's
+    ``delta.clustering`` domain (empty when the table isn't
+    clustered)."""
+    raw = snapshot.domain_metadata.get(CLUSTERING_DOMAIN)
+    if not raw:
+        return []
+    phys_names = [p[-1] for p in json.loads(raw).get("clusteringColumns", [])]
+    p2l = {
+        (f.metadata or {}).get("delta.columnMapping.physicalName", f.name):
+            f.name
+        for f in snapshot.schema.fields
+    }
+    return [p2l.get(p, p) for p in phys_names]
+
+
 def create_delta_table(
     spark,
     table_path: str,
@@ -755,29 +801,56 @@ def create_delta_table(
     partition_by: list[str] | None = None,
     configuration: dict[str, str] | None = None,
     name: str | None = None,
+    cluster_by: list[str] | None = None,
 ) -> Snapshot:
     """CREATE TABLE: an empty Delta table from an explicit schema —
     the only way to declare identity columns (which must exist before
     the first data arrives) and the natural home for DEFAULT /
     generated-column metadata. One metadata-only commit; appends flow
-    through :func:`write_delta` afterwards."""
+    through :func:`write_delta` afterwards.
+
+    ``cluster_by`` declares liquid clustering (Delta ``clustering``
+    table feature): the column set lands in the ``delta.clustering``
+    domain and OPTIMIZE clusters data by it; mutually exclusive with
+    ``partition_by`` (delta-spark rule)."""
     table_path = strip_scheme(table_path)
     partition_by = list(partition_by or [])
+    cluster_by = list(cluster_by or [])
     configuration = ensure_row_tracking_conf(dict(configuration or {}))
     for p in partition_by:
         if p not in schema.fieldNames():
             raise DeltaWriteError(f"partition column {p!r} not in schema")
+    if cluster_by and partition_by:
+        raise DeltaWriteError(
+            "CLUSTER BY and PARTITIONED BY are mutually exclusive"
+        )
     try:
         load_snapshot(table_path, spark=spark)
         raise DeltaWriteError(f"table already exists at {table_path}")
     except DeltaNotFoundError:
         pass
+    proto = _creation_protocol(False, configuration, schema)
+    if cluster_by:
+        feats = set(proto["protocol"].get("writerFeatures") or [])
+        up = protocol_upgrade_action(
+            Protocol(
+                proto["protocol"]["minReaderVersion"],
+                proto["protocol"]["minWriterVersion"],
+                proto["protocol"].get("readerFeatures"),
+                sorted(feats) if feats else None,
+            ),
+            {"clustering", "domainMetadata"},
+        )
+        if up is not None:
+            proto = up
     actions = [
-        _creation_protocol(False, configuration, schema),
+        proto,
         _metadata_action(
             schema, partition_by, configuration, str(uuid.uuid4()), name
         ),
     ]
+    if cluster_by:
+        actions.append(clustering_domain_action(schema, cluster_by))
     commit(
         table_path, 0, actions, "CREATE TABLE", spark=spark,
         configuration=configuration,

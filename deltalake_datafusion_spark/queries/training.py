@@ -891,6 +891,65 @@ FROM s, a
 """
 
 
+def delta_clustered_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquid clustering end-to-end: events land scrambled across many
+    files in a CLUSTER BY (event_type) table; OPTIMIZE re-clusters so
+    file stats ranges become disjoint on the cluster column and a
+    predicate on it prunes files (asserted via scan_files). Returns the
+    per-type audit — identical before/after clustering, so the DuckDB
+    oracle is computed straight from the source parquet."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta, scan_files
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import (
+        create_delta_table, write_delta,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    path = os.path.join(_fresh_dir("clustered", sf_dir), "t")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    create_delta_table(spark, path, schema, cluster_by=["event_type"])
+    write_delta(
+        spark,
+        t["events"].select("event_id", "event_type", "value").repartition(8),
+        path,
+        mode="append",
+    )
+    optimize_delta(spark, path, target_file_size=32 * 1024)
+    snap = load_snapshot(path, spark=spark)
+    pred = "event_type = 'click'"
+    n_all, n_pruned = len(scan_files(snap)), len(scan_files(snap, pred))
+    assert n_all > 1 and n_pruned < n_all, (n_pruned, n_all)
+    return (
+        read_delta(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CLUSTERED_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -936,5 +995,10 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec(
             "delta_row_tracking", delta_row_tracking, _ROW_TRACKING_SQL
+        ),
+        QuerySpec(
+            "delta_clustered_optimize",
+            delta_clustered_optimize,
+            _CLUSTERED_SQL,
         ),
     ]

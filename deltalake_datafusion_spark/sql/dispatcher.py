@@ -46,6 +46,7 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
     DESCRIBE DETAIL|HISTORY <target>
     SHOW TBLPROPERTIES <target> [(key)]
     ALTER TABLE <target> ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT
+    ALTER TABLE <target> CLUSTER BY (c1, ...) | CLUSTER BY NONE
     ALTER TABLE <target> SET TBLPROPERTIES (k = v, ...)
     ALTER TABLE <target> UNSET TBLPROPERTIES [IF EXISTS] (k, ...)
     ALTER TABLE <target> ADD CONSTRAINT name CHECK (expr)
@@ -131,6 +132,12 @@ _SET_PROPS_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"\s+SET\s+TBLPROPERTIES\s*\(\s*(?P<kv>.+?)\s*\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_CLUSTER_BY_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+CLUSTER\s+BY\s+(?:\(\s*(?P<cols>[\w,\s`]+?)\s*\)|(?P<none>NONE))"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
 )
 _UNSET_PROPS_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
@@ -467,6 +474,25 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             None if m.group("drop") else m.group("expr").strip(),
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _CLUSTER_BY_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.properties import (
+            set_clustering,
+        )
+
+        cols = (
+            None
+            if m.group("none")
+            else [c.strip().strip("`") for c in m.group("cols").split(",")]
+        )
+        res = set_clustering(
+            spark, _unquote_target(m.group("target"), registry), cols
+        )
+        return spark.createDataFrame(
+            [(res["version"], ",".join(res["clustering"]))],
+            "version long, clustering string",
+        )
 
     m = _SET_PROPS_RE.match(statement)
     if m:

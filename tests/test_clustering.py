@@ -1,0 +1,137 @@
+"""Liquid clustering (Delta ``clustering`` table feature +
+``delta.clustering`` domain): CLUSTER BY at creation, OPTIMIZE
+clustering by the declared columns, ALTER TABLE CLUSTER BY / NONE,
+and clone carry-through."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from deltalake_datafusion_spark.delta.ops import optimize_delta
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import (
+    CLUSTERING_DOMAIN,
+    DeltaWriteError,
+    clustering_columns,
+    create_delta_table,
+    write_delta,
+)
+
+
+def _ranges(snap, col):
+    out = []
+    for f in snap.files:
+        st = json.loads(f.stats)
+        out.append((st["minValues"][col], st["maxValues"][col]))
+    return sorted(out)
+
+
+def test_create_clustered_table_declares_feature(spark, tmp_path):
+    path = str(tmp_path / "t")
+    schema = StructType(
+        [StructField("a", LongType()), StructField("b", LongType())]
+    )
+    snap = create_delta_table(spark, path, schema, cluster_by=["b"])
+    assert "clustering" in snap.protocol.writer_features
+    assert "domainMetadata" in snap.protocol.writer_features
+    assert clustering_columns(snap) == ["b"]
+
+    with pytest.raises(DeltaWriteError, match="mutually exclusive"):
+        create_delta_table(
+            spark, str(tmp_path / "t2"), schema,
+            partition_by=["a"], cluster_by=["b"],
+        )
+
+
+def test_optimize_clusters_by_declared_columns(spark, tmp_path):
+    """OPTIMIZE on a clustered table range-partitions by the declared
+    column: the rewritten files' [min, max] stats ranges are disjoint,
+    so skipping on the cluster column prunes to O(1) files."""
+    path = str(tmp_path / "t")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("k", LongType())]
+    )
+    create_delta_table(spark, path, schema, cluster_by=["k"])
+    # scrambled k across many small files → overlapping ranges
+    df = spark.range(4000).select(
+        "id", ((F.col("id") * 7919) % 1000).alias("k")
+    )
+    write_delta(spark, df.repartition(8), path, mode="append")
+    snap0 = load_snapshot(path, spark=spark)
+    r0 = _ranges(snap0, "k")
+    overlaps0 = sum(
+        1 for i in range(len(r0) - 1) if r0[i][1] > r0[i + 1][0]
+    )
+    assert overlaps0 > 0  # pre-optimize files overlap on k
+
+    res = optimize_delta(spark, path, target_file_size=8 * 1024)
+    assert res["files_added"] >= 2
+    snap1 = load_snapshot(path, spark=spark)
+    r1 = _ranges(snap1, "k")
+    overlaps1 = sum(
+        1 for i in range(len(r1) - 1) if r1[i][1] > r1[i + 1][0]
+    )
+    assert overlaps1 == 0  # clustered: disjoint k ranges
+    # data unchanged
+    assert read_delta(spark, path).count() == 4000
+
+
+def test_alter_cluster_by_and_none(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.properties import set_clustering
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).select("id", (F.col("id") % 9).alias("k"))
+    write_delta(spark, df, path)
+    set_clustering(spark, path, ["k"])
+    snap = load_snapshot(path, spark=spark)
+    assert clustering_columns(snap) == ["k"]
+    assert "clustering" in snap.protocol.writer_features
+    set_clustering(spark, path, None)
+    snap = load_snapshot(path, spark=spark)
+    assert clustering_columns(snap) == []
+    assert CLUSTERING_DOMAIN not in snap.domain_metadata
+
+
+def test_cluster_by_sql_forms(spark, tmp_path):
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "t").replace("'", "")
+    sql(
+        spark,
+        f"CREATE TABLE '{path}' (id BIGINT, k BIGINT) "
+        f"USING DELTA CLUSTER BY (k)",
+    )
+    snap = load_snapshot(path, spark=spark)
+    assert clustering_columns(snap) == ["k"]
+    sql(spark, f"ALTER TABLE '{path}' CLUSTER BY (id)")
+    assert clustering_columns(load_snapshot(path, spark=spark)) == ["id"]
+    sql(spark, f"ALTER TABLE '{path}' CLUSTER BY NONE")
+    assert clustering_columns(load_snapshot(path, spark=spark)) == []
+
+    # CTAS CLUSTER BY
+    path2 = str(tmp_path / "t2")
+    spark.range(50).selectExpr("id", "id % 5 AS k").createOrReplaceTempView(
+        "_clu_src"
+    )
+    sql(
+        spark,
+        f"CREATE TABLE '{path2}' USING DELTA CLUSTER BY (k) "
+        f"AS SELECT * FROM _clu_src",
+    )
+    assert clustering_columns(load_snapshot(path2, spark=spark)) == ["k"]
+
+
+def test_clone_carries_clustering(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.clone import clone_delta
+    from deltalake_datafusion_spark.delta.properties import set_clustering
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta(spark, spark.range(20).selectExpr("id"), src)
+    set_clustering(spark, src, ["id"])
+    clone_delta(spark, src, dst)
+    assert clustering_columns(load_snapshot(dst, spark=spark)) == ["id"]
