@@ -49,7 +49,42 @@ class DeltaStreamReader(DataSourceStreamReader):
 
         self.table_path = table_path
         snap = load_snapshot(table_path)
-        self.starting_version = int(options.get("startingversion", 0))
+        if "startingtimestamp" in options:
+            # delta-spark startingTimestamp: first version committed AT
+            # OR AFTER the timestamp (epoch millis or ISO string) —
+            # the version after the latest commit ≤ ts, clamped to 0.
+            from deltalake_datafusion_spark.delta.snapshot import (
+                DeltaNotFoundError,
+                resolve_version_at_timestamp,
+            )
+
+            raw = options["startingtimestamp"]
+            try:
+                ts_ms = int(raw)
+            except ValueError:
+                import datetime as _dt
+
+                ts_ms = int(
+                    _dt.datetime.fromisoformat(str(raw))
+                    .replace(tzinfo=_dt.timezone.utc)
+                    .timestamp() * 1000
+                )
+            try:
+                at = resolve_version_at_timestamp(table_path, ts_ms)
+                from deltalake_datafusion_spark.delta.snapshot import (
+                    _commit_timestamp as _cts,
+                )
+                from deltalake_datafusion_spark.delta.writer import (
+                    _commit_path as _cpath,
+                )
+                from deltalake_datafusion_spark.delta.fs import fs_for
+
+                exact = _cts(_cpath(table_path, at), fs_for(table_path))
+                self.starting_version = at if exact == ts_ms else at + 1
+            except DeltaNotFoundError:
+                self.starting_version = 0  # ts before the first commit
+        else:
+            self.starting_version = int(options.get("startingversion", 0))
         self.ignore_deletes = (
             str(options.get("ignoredeletes", "false")).lower() == "true"
         )
@@ -243,8 +278,13 @@ def read_delta_stream(
     starting_version: int = 0,
     ignore_deletes: bool = False,
     ignore_changes: bool = False,
+    starting_timestamp: int | str | None = None,
 ):
     """Convenience: streaming DataFrame over a Delta table's appends.
+
+    ``starting_timestamp`` (epoch millis or ISO string) is delta-spark's
+    ``startingTimestamp``: the stream begins at the first commit at or
+    after the timestamp instead of a version number.
 
     Passes the schema to ``load`` so Spark skips the Python-worker
     round-trip for ``DataSource.schema()``."""
@@ -253,12 +293,14 @@ def read_delta_stream(
 
     register_delta_stream_source(spark)
     snap = load_snapshot(strip_scheme(table_path))
-    return (
+    reader = (
         spark.readStream.format("delta_stream")
         .option("path", table_path)
-        .option("startingVersion", str(starting_version))
         .option("ignoreDeletes", str(ignore_deletes).lower())
         .option("ignoreChanges", str(ignore_changes).lower())
-        .schema(snap.schema)
-        .load()
     )
+    if starting_timestamp is not None:
+        reader = reader.option("startingTimestamp", str(starting_timestamp))
+    else:
+        reader = reader.option("startingVersion", str(starting_version))
+    return reader.schema(snap.schema).load()

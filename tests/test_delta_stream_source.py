@@ -153,3 +153,45 @@ def test_not_null_enforced_on_write(spark, tmp_path):
             path,
             mode="append",
         )
+
+
+def test_starting_timestamp_resolves_to_following_commit(spark, tmp_path):
+    """startingTimestamp begins the stream at the first commit AT or
+    AFTER the timestamp (delta-spark semantics): rows from earlier
+    commits never appear; an exact commit-timestamp match includes
+    that commit."""
+    from deltalake_datafusion_spark.delta.fs import fs_for
+    from deltalake_datafusion_spark.delta.snapshot import _commit_timestamp
+    from deltalake_datafusion_spark.delta.writer import _commit_path
+
+    path = os.path.join(str(tmp_path), "src")
+    write_delta(spark, spark.range(10).selectExpr("id"), path)        # v0
+    write_delta(spark, spark.range(10, 30).selectExpr("id"), path,
+                mode="append")                                         # v1
+    write_delta(spark, spark.range(30, 35).selectExpr("id"), path,
+                mode="append")                                         # v2
+    fs = fs_for(path)
+    ts1 = _commit_timestamp(_commit_path(path, 1), fs)
+
+    # exactly at v1's commit time → stream starts at v1
+    out = _run(
+        read_delta_stream(spark, path, starting_timestamp=ts1),
+        "t_ds_ts_exact",
+    )
+    assert {r["id"] for r in out.collect()} == set(range(10, 35))
+
+    # strictly after v1, before v2 → only v2
+    ts2 = _commit_timestamp(_commit_path(path, 2), fs)
+    if ts2 > ts1 + 1:
+        out2 = _run(
+            read_delta_stream(spark, path, starting_timestamp=ts1 + 1),
+            "t_ds_ts_between",
+        )
+        assert {r["id"] for r in out2.collect()} == set(range(30, 35))
+
+    # before the first commit → everything
+    out3 = _run(
+        read_delta_stream(spark, path, starting_timestamp=1),
+        "t_ds_ts_early",
+    )
+    assert out3.count() == 35
