@@ -186,3 +186,114 @@ def drop_columns(
         except ConcurrentWriteError as e:
             last = e
     raise last  # type: ignore[misc]
+
+
+# Delta typeWidening feature: allowed (from, to) widenings by Spark
+# simpleString. Integral widenings, float→double, and decimal
+# precision-only growth are value-preserving; anything else is refused
+# (the Delta spec's supported set; byte/short/int parquet pages read
+# back as the wider logical type natively in Spark 4's parquet
+# readers, so old files need no rewrite).
+_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("date", "timestamp_ntz"),
+}
+
+
+def _is_widening(old, new) -> bool:
+    from pyspark.sql.types import DecimalType
+
+    if isinstance(old, DecimalType) and isinstance(new, DecimalType):
+        # precision may grow; scale may grow by at most the precision
+        # growth (no fractional digits lost, no integral digits lost)
+        return (
+            new.precision >= old.precision
+            and new.scale >= old.scale
+            and (new.precision - old.precision)
+            >= (new.scale - old.scale)
+            and (old, new) != (old, old)
+        )
+    return (old.simpleString(), new.simpleString()) in _WIDENINGS
+
+
+def alter_column_type(
+    spark, table_path: str, column: str, new_type: str,
+    max_attempts: int = 5,
+) -> dict:
+    """ALTER TABLE … ALTER COLUMN c TYPE t (Delta ``typeWidening``
+    table feature): metadata-only widen — existing parquet files keep
+    their narrower physical type and read back widened (Spark 4
+    parquet type promotion); new writes use the wide type. The
+    per-field ``delta.typeChanges`` metadata records provenance
+    (fromType/toType/tableVersion) exactly as delta-spark does."""
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string
+
+    from deltalake_datafusion_spark.delta.writer import (
+        protocol_upgrade_action,
+    )
+
+    target = _parse_datatype_string(new_type)
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        snap = load_snapshot(table_path, spark=spark)
+        names = snap.schema.fieldNames()
+        if column not in names:
+            raise KeyError(f"column {column!r} not in table schema {names}")
+        old_f = snap.schema[column]
+        if old_f.dataType == target:
+            return {"version": snap.version, "column": column,
+                    "type": new_type}
+        if not _is_widening(old_f.dataType, target):
+            raise DeltaWriteError(
+                f"cannot change column {column!r} from "
+                f"{old_f.dataType.simpleString()} to "
+                f"{target.simpleString()}: only widening type changes "
+                "are supported (typeWidening feature)"
+            )
+        new_fields = []
+        for f in snap.schema.fields:
+            if f.name != column:
+                new_fields.append(f)
+                continue
+            md = dict(f.metadata or {})
+            changes = list(md.get("delta.typeChanges") or [])
+            changes.append(
+                {
+                    "fromType": f.dataType.simpleString(),
+                    "toType": target.simpleString(),
+                    "tableVersion": snap.version + 1,
+                }
+            )
+            md["delta.typeChanges"] = changes
+            new_fields.append(
+                StructField(f.name, target, f.nullable, md)
+            )
+        schema = StructType(new_fields)
+        actions = []
+        up = protocol_upgrade_action(snap.protocol, {"typeWidening"})
+        if up is not None:
+            actions.append(up)
+        md_action = _metadata_action(
+            schema,
+            snap.partition_columns,
+            dict(snap.metadata.configuration),
+            snap.metadata.id,
+            snap.metadata.name,
+        )
+        md_action["metaData"]["createdTime"] = snap.metadata.created_time
+        actions.append(md_action)
+        try:
+            commit(
+                snap.table_path, snap.version + 1, actions,
+                "ALTER COLUMN", spark=spark,
+                configuration=snap.metadata.configuration,
+            )
+            return {"version": snap.version + 1, "column": column,
+                    "type": new_type}
+        except ConcurrentWriteError as e:
+            last = e
+    raise last  # type: ignore[misc]

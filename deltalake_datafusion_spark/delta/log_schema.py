@@ -168,5 +168,6 @@ SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "vacuumProtocolCheck",
     "v2Checkpoint",
+    "typeWidening",
 }
 MAX_READER_VERSION = 3

@@ -270,7 +270,10 @@ _LEGACY_WRITER_FEATURES = {
     6: {"identityColumns"},
 }
 # Writer features that also gate readers.
-_READER_IMPACTING = {"deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint"}
+_READER_IMPACTING = {
+    "deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint",
+    "typeWidening",
+}
 
 
 def protocol_upgrade_action(protocol, needed_features: set[str]) -> dict | None:

@@ -46,6 +46,7 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
     DESCRIBE DETAIL|HISTORY <target>
     SHOW TBLPROPERTIES <target> [(key)]
     ALTER TABLE <target> ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT
+    ALTER TABLE <target> ALTER COLUMN c TYPE t      (typeWidening)
     ALTER TABLE <target> CLUSTER BY (c1, ...) | CLUSTER BY NONE
     ALTER TABLE <target> SET TBLPROPERTIES (k = v, ...)
     ALTER TABLE <target> UNSET TBLPROPERTIES [IF EXISTS] (k, ...)
@@ -127,6 +128,12 @@ _COL_DEFAULT_RE = re.compile(
     r"\s+ALTER\s+COLUMN\s+(?P<col>\w+|`[^`]+`)\s+"
     r"(?:SET\s+DEFAULT\s+(?P<expr>.+?)|(?P<drop>DROP\s+DEFAULT))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_COL_TYPE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+ALTER\s+COLUMN\s+(?P<col>\w+|`[^`]+`)\s+TYPE\s+"
+    r"(?P<type>[\w]+(?:\s*\([\d,\s]*\))?)\s*;?\s*$",
+    re.IGNORECASE,
 )
 _SET_PROPS_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
@@ -458,6 +465,20 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             _unquote_target(m.group("target"), registry),
             zorder_by=[c.strip() for c in z.split(",")] if z else None,
             predicate=m.group("pred"),
+        )
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _COL_TYPE_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.columns import (
+            alter_column_type,
+        )
+
+        res = alter_column_type(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            m.group("col").strip("`"),
+            m.group("type").strip(),
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 

@@ -203,3 +203,67 @@ def test_table_functions_inside_ctas_and_insert(spark, tmp_path):
     sql(spark, f"INSERT INTO '{dst}' "
                f"SELECT * FROM delta_table('{src}') WHERE id >= 15")
     assert read_delta(spark, dst).count() == 10
+
+
+def test_alter_column_type_widening(spark, tmp_path):
+    """typeWidening: metadata-only widen — old narrow parquet files
+    read back as the wide type (Spark 4 parquet promotion), new writes
+    use it, provenance lands in delta.typeChanges, protocol declares
+    the (reader-impacting) feature; narrowing is refused."""
+    from pyspark.sql.types import DoubleType, LongType
+
+    from deltalake_datafusion_spark.delta.columns import alter_column_type
+    from deltalake_datafusion_spark.delta.writer import DeltaWriteError
+
+    path = str(tmp_path / "t")
+    df = spark.range(50).select(
+        F.col("id").cast("int").alias("a"),
+        (F.col("id") * 1.5).cast("float").alias("b"),
+    )
+    write_delta(spark, df, path)
+    alter_column_type(spark, path, "a", "bigint")
+    alter_column_type(spark, path, "b", "double")
+    snap = load_snapshot(path, spark=spark)
+    assert isinstance(snap.schema["a"].dataType, LongType)
+    assert isinstance(snap.schema["b"].dataType, DoubleType)
+    assert "typeWidening" in snap.protocol.writer_features
+    assert "typeWidening" in snap.protocol.reader_features
+    changes = snap.schema["a"].metadata["delta.typeChanges"]
+    assert changes[0]["fromType"] == "int"
+    assert changes[0]["toType"] == "bigint"
+
+    # old (int32/float) files still read, as the wide types
+    out = read_delta(spark, path)
+    assert dict(out.dtypes) == {"a": "bigint", "b": "double"}
+    assert out.count() == 50
+    assert out.agg(F.sum("a")).collect()[0][0] == sum(range(50))
+
+    # appends land values beyond int range; both generations coexist
+    write_delta(
+        spark,
+        spark.range(1).select(
+            F.lit(2**40).cast("bigint").alias("a"),
+            F.lit(1e300).alias("b"),
+        ),
+        path,
+        mode="append",
+    )
+    rows = read_delta(spark, path, predicate="a > 1000000").collect()
+    assert len(rows) == 1 and rows[0]["a"] == 2**40
+
+    with pytest.raises(DeltaWriteError, match="widening"):
+        alter_column_type(spark, path, "a", "int")
+
+
+def test_alter_column_type_sql_form(spark, tmp_path):
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.range(10).select(F.col("id").cast("smallint").alias("a")),
+        path,
+    )
+    sql(spark, f"ALTER TABLE '{path}' ALTER COLUMN a TYPE int")
+    snap = load_snapshot(path, spark=spark)
+    assert snap.schema["a"].dataType.simpleString() == "int"
