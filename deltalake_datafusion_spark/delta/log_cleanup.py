@@ -106,6 +106,8 @@ def cleanup_expired_logs(
     for v, p in commits:
         if v <= latest_cp and mtimes.get(p, now) < cutoff:
             fs.delete(p)
+            # the version's .crc summary expires with its commit
+            fs.delete(os.path.join(log_dir, f"{v:020d}.crc"))
             n_commits += 1
 
     keep_cp = [p for v, p in checkpoints if v == latest_cp]

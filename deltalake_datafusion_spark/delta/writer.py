@@ -1736,7 +1736,100 @@ def write_checkpoint_v2(
 DISTRIBUTED_CHECKPOINT_THRESHOLD = 100_000
 
 
+def write_version_checksum(snapshot: Snapshot, spark=None) -> str:
+    """VERSION CHECKSUM file (``<version>.crc``, Delta spec): a
+    per-version summary of the table state — file count, total bytes,
+    DV counts, metadata, protocol, txn ledger, domain metadata —
+    written next to the commit so readers can cross-check a replayed
+    snapshot (and engines that trust it can skip recomputing
+    numFiles/sizeInBytes). Overwrite-safe: the content is a pure
+    function of the version's state."""
+    fs = fs_for(snapshot.table_path, spark)
+    dvs = [f.dv for f in snapshot.files if f.dv is not None]
+    body = {
+        "tableSizeBytes": sum(f.size for f in snapshot.files),
+        "numFiles": len(snapshot.files),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "numDeletedRecordsOpt": sum(d.cardinality for d in dvs),
+        "numDeletionVectorsOpt": len(dvs),
+        "metadata": {
+            "id": snapshot.metadata.id,
+            "name": snapshot.metadata.name,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": snapshot.metadata.schema_string,
+            "partitionColumns": snapshot.partition_columns,
+            "configuration": snapshot.metadata.configuration,
+            "createdTime": snapshot.metadata.created_time,
+        },
+        "protocol": {
+            "minReaderVersion": snapshot.protocol.min_reader_version,
+            "minWriterVersion": snapshot.protocol.min_writer_version,
+            **(
+                {"readerFeatures": snapshot.protocol.reader_features}
+                if snapshot.protocol.reader_features else {}
+            ),
+            **(
+                {"writerFeatures": snapshot.protocol.writer_features}
+                if snapshot.protocol.writer_features else {}
+            ),
+        },
+        "setTransactions": [
+            {"appId": a, "version": v}
+            for a, v in sorted(snapshot.app_transactions.items())
+        ],
+        "domainMetadata": [
+            {"domain": d, "configuration": c, "removed": False}
+            for d, c in sorted(snapshot.domain_metadata.items())
+        ],
+    }
+    path = os.path.join(
+        snapshot.table_path, "_delta_log", f"{snapshot.version:020d}.crc"
+    )
+    fs.write_atomic(path, (json.dumps(body) + "\n").encode())
+    return path
+
+
+class ChecksumMismatchError(Exception):
+    """A version's .crc summary disagrees with the replayed snapshot."""
+
+
+def verify_version_checksum(snapshot: Snapshot, spark=None) -> bool:
+    """Cross-check a snapshot against its ``<version>.crc`` (when one
+    exists). Returns False when no checksum file is present; raises
+    :class:`ChecksumMismatchError` on disagreement."""
+    fs = fs_for(snapshot.table_path, spark)
+    path = os.path.join(
+        snapshot.table_path, "_delta_log", f"{snapshot.version:020d}.crc"
+    )
+    if not fs.exists(path):
+        return False
+    crc = json.loads(fs.read_bytes(path))
+    actual = {
+        "numFiles": len(snapshot.files),
+        "tableSizeBytes": sum(f.size for f in snapshot.files),
+    }
+    problems = [
+        f"{k}: crc={crc.get(k)!r} snapshot={v!r}"
+        for k, v in actual.items()
+        if crc.get(k) != v
+    ]
+    if crc.get("setTransactions") is not None:
+        want = {
+            (t["appId"], t["version"]) for t in crc["setTransactions"]
+        }
+        have = set(snapshot.app_transactions.items())
+        if want != have:
+            problems.append(f"setTransactions: crc={want} snapshot={have}")
+    if problems:
+        raise ChecksumMismatchError(
+            f"{path}: " + "; ".join(problems)
+        )
+    return True
+
+
 def maybe_checkpoint(spark, snapshot: Snapshot) -> None:
+    write_version_checksum(snapshot, spark)
     interval = int(snapshot.get_property("delta.checkpointInterval", "10") or "10")
     if interval > 0 and snapshot.version > 0 and (snapshot.version % interval == 0):
         if snapshot.get_property("delta.checkpointPolicy", "").lower() == "v2":

@@ -104,3 +104,43 @@ def test_cleanup_drops_stale_checkpoints_not_live_sidecars(spark, tmp_path):
     for p in glob.glob(os.path.join(path, "_delta_log", "*.json")):
         os.remove(p)
     assert read_delta(spark, path).count() == 20
+
+
+def test_version_checksum_written_and_verified(spark, tmp_path):
+    """Each data commit writes <version>.crc (Delta VERSION CHECKSUM);
+    verify cross-checks numFiles/tableSizeBytes/txns; corruption is
+    detected; expired-log cleanup removes crc files with their
+    commits."""
+    import json
+
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.writer import (
+        ChecksumMismatchError,
+        verify_version_checksum,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(spark, spark.range(40).selectExpr("id"), path)
+    write_delta(spark, spark.range(40, 60).selectExpr("id"), path,
+                mode="append")
+    delete_delta(spark, path, "id % 7 = 0")
+    snap = load_snapshot(path, spark=spark)
+    crc = os.path.join(path, "_delta_log", f"{snap.version:020d}.crc")
+    assert os.path.exists(crc)
+    body = json.loads(open(crc).read())
+    assert body["numFiles"] == len(snap.files)
+    assert body["numDeletionVectorsOpt"] >= 1
+    assert verify_version_checksum(snap, spark)
+
+    # corruption detected
+    body["numFiles"] += 1
+    open(crc, "w").write(json.dumps(body))
+    with pytest.raises(ChecksumMismatchError, match="numFiles"):
+        verify_version_checksum(snap, spark)
+
+    # cleanup removes crc files alongside expired commits
+    write_checkpoint(spark, snap)
+    cleanup_expired_logs(spark, path, retention_ms=0)
+    leftover = glob.glob(os.path.join(path, "_delta_log", "*.crc"))
+    assert leftover == []  # all commits ≤ checkpoint were expired
