@@ -124,6 +124,61 @@ def _files_as_adds(bodies: list[dict]):
     return out
 
 
+def _ts_to_ms(raw: int | str) -> int:
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        import datetime as _dt
+
+        return int(
+            _dt.datetime.fromisoformat(str(raw))
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp() * 1000
+        )
+
+
+def table_changes_by_timestamp(
+    spark,
+    table_path: str,
+    starting_timestamp: int | str,
+    ending_timestamp: int | str | None = None,
+) -> DataFrame:
+    """Row-level changes between two timestamps (epoch millis or ISO
+    strings; delta-spark ``table_changes_by_timestamp``): the start
+    resolves to the first commit at/after it, the end to the last
+    commit at/before it."""
+    from deltalake_datafusion_spark.delta.fs import fs_for
+    from deltalake_datafusion_spark.delta.snapshot import (
+        DeltaNotFoundError,
+        _commit_timestamp,
+        resolve_version_at_timestamp,
+        strip_scheme,
+    )
+    from deltalake_datafusion_spark.delta.writer import _commit_path
+
+    table_path = strip_scheme(table_path)
+    ts0 = _ts_to_ms(starting_timestamp)
+    try:
+        at = resolve_version_at_timestamp(table_path, ts0, spark)
+        exact = _commit_timestamp(
+            _commit_path(table_path, at), fs_for(table_path, spark)
+        )
+        lo = at if exact == ts0 else at + 1
+    except DeltaNotFoundError:
+        lo = 0  # start predates the table
+    hi = None
+    if ending_timestamp is not None:
+        hi = resolve_version_at_timestamp(
+            table_path, _ts_to_ms(ending_timestamp), spark
+        )
+        if hi < lo:
+            raise ChangeDataFeedError(
+                f"ending timestamp resolves to version {hi}, before the "
+                f"starting timestamp's version {lo}"
+            )
+    return table_changes(spark, table_path, lo, hi)
+
+
 def table_changes(
     spark,
     table_path: str,

@@ -60,7 +60,7 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
         [PARTITIONED BY (…)] [TBLPROPERTIES (…)] AS SELECT ...
     SELECT ... FROM delta_log('url') / log_replay('url') /
         directory_listing('url') / history('url') /
-        table_changes('url', from[, to]) /
+        table_changes('url', from[, to])  (versions or 'timestamps') /
         delta_table('url'[, version | 'timestamp'])
     <anything else>  → spark.sql(...)
 """
@@ -226,8 +226,9 @@ _CLONE_RE = re.compile(
     re.IGNORECASE,
 )
 _TABLE_CHANGES_RE = re.compile(
-    r"table_changes\s*\(\s*'(?P<arg>[^']+)'\s*,\s*(?P<from>\d+)"
-    r"(?:\s*,\s*(?P<to>\d+))?\s*\)",
+    r"table_changes\s*\(\s*'(?P<arg>[^']+)'\s*,\s*"
+    r"(?P<from>\d+|'(?P<fromts>[^']+)')"
+    r"(?:\s*,\s*(?P<to>\d+|'(?P<tots>[^']+)'))?\s*\)",
     re.IGNORECASE,
 )
 _DELTA_TABLE_RE = re.compile(
@@ -759,9 +760,28 @@ def expand_table_functions(spark, statement: str) -> str:
         return view
 
     def _expand_changes(match):
-        from deltalake_datafusion_spark.delta.cdf import table_changes
+        from deltalake_datafusion_spark.delta.cdf import (
+            table_changes,
+            table_changes_by_timestamp,
+        )
 
         arg = match.group("arg")
+        fromts, tots = match.group("fromts"), match.group("tots")
+        if fromts is not None or tots is not None:
+            # timestamp bounds (quoted ISO strings / epoch millis) —
+            # both bounds must be the same kind
+            if match.group("to") is not None and (
+                (fromts is None) != (tots is None)
+            ):
+                raise SqlParseError(
+                    "table_changes bounds must both be versions or "
+                    "both be timestamps"
+                )
+            view = f"__table_changes_{abs(hash((arg, fromts, tots))) % 10**8}"
+            table_changes_by_timestamp(
+                spark, arg, fromts, tots
+            ).createOrReplaceTempView(view)
+            return view
         lo = int(match.group("from"))
         hi = int(match.group("to")) if match.group("to") else None
         view = f"__table_changes_{abs(hash((arg, lo, hi))) % 10**8}"

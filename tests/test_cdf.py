@@ -257,3 +257,42 @@ def test_table_changes_rejects_uncovered_range(spark, tmp_path):
         table_changes(spark, path, 1)
     # a range that starts after the hole still works
     assert table_changes(spark, path, 2).count() > 0
+
+
+def test_table_changes_by_timestamp(spark, tmp_path):
+    """Timestamp-bounded CDF: start = first commit at/after ts, end =
+    last commit at/before ts (delta-spark table_changes_by_timestamp);
+    SQL table function accepts quoted timestamps."""
+    from deltalake_datafusion_spark.delta.cdf import (
+        table_changes_by_timestamp,
+    )
+    from deltalake_datafusion_spark.delta.fs import fs_for
+    from deltalake_datafusion_spark.delta.snapshot import _commit_timestamp
+    from deltalake_datafusion_spark.delta.writer import _commit_path
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark, spark.range(10).selectExpr("id"), path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )                                                            # v0
+    write_delta(spark, spark.range(10, 25).selectExpr("id"), path,
+                mode="append")                                   # v1
+    delete_delta(spark, path, "id < 5")                          # v2
+    fs = fs_for(path)
+    ts1 = _commit_timestamp(_commit_path(path, 1), fs)
+    ts2 = _commit_timestamp(_commit_path(path, 2), fs)
+
+    ch = table_changes_by_timestamp(spark, path, ts1, ts2)
+    kinds = {
+        (r["_change_type"], r["_commit_version"]) for r in ch.collect()
+    }
+    assert ("insert", 1) in kinds and ("delete", 2) in kinds
+    assert not any(v == 0 for _, v in kinds)
+
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    out = sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM table_changes('{path}', '{ts1}')",
+    ).collect()
+    assert out[0]["n"] == 15 + 5  # v1 inserts + v2 deletes
