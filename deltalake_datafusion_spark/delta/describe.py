@@ -34,6 +34,9 @@ DETAIL_SCHEMA = StructType(
         StructField("properties", MapType(StringType(), StringType()), False),
         StructField("minReaderVersion", IntegerType(), False),
         StructField("minWriterVersion", IntegerType(), False),
+        StructField("clusteringColumns", ArrayType(StringType()), False),
+        StructField("numDeletionVectors", LongType(), False),
+        StructField("tableFeatures", ArrayType(StringType()), False),
     ]
 )
 
@@ -44,6 +47,7 @@ def describe_detail(spark, table_path: str) -> DataFrame:
     import datetime
 
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import clustering_columns
 
     snap = load_snapshot(table_path, spark=spark)
     md = snap.metadata
@@ -66,6 +70,12 @@ def describe_detail(spark, table_path: str) -> DataFrame:
         dict(md.configuration),
         snap.protocol.min_reader_version,
         snap.protocol.min_writer_version,
+        clustering_columns(snap),
+        sum(1 for f in snap.files if f.dv is not None),
+        sorted(
+            set(snap.protocol.writer_features or [])
+            | set(snap.protocol.reader_features or [])
+        ),
     )
     return spark.createDataFrame([row], DETAIL_SCHEMA)
 

@@ -144,3 +144,23 @@ def test_restore_table_sql_forms(spark, tmp_path):
     res2 = sql(spark, f"RESTORE TABLE delta.`{path}` TO VERSION AS OF 1")
     assert res2.collect()[0]["restored_to"] == 1
     assert read_delta(spark, path).count() == 25
+
+
+def test_describe_detail_reports_clustering_dvs_features(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.describe import describe_detail
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.properties import set_clustering
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.range(60).selectExpr("id", "id % 4 AS k"),
+        path,
+    )
+    set_clustering(spark, path, ["k"])
+    delete_delta(spark, path, "id % 9 = 2")
+    row = describe_detail(spark, path).collect()[0]
+    assert row["clusteringColumns"] == ["k"]
+    assert row["numDeletionVectors"] >= 1
+    assert "clustering" in row["tableFeatures"]
+    assert "deletionVectors" in row["tableFeatures"]
