@@ -490,6 +490,21 @@ def update_delta(
             for c in matched_df.columns
         ]
     )
+    # Generated columns not explicitly SET are recomputed from the
+    # post-update row — updating a base column must never leave its
+    # generated column stale (delta-spark UPDATE semantics).
+    for _gf in snap.schema.fields:
+        if (
+            _gf.metadata
+            and "delta.generationExpression" in _gf.metadata
+            and _gf.name not in set_exprs
+        ):
+            updated = updated.withColumn(
+                _gf.name,
+                F.expr(
+                    _gf.metadata["delta.generationExpression"]
+                ).cast(_gf.dataType),
+            )
     updated = updated.drop("__row_index", "__file_path")
     validate_constraints(
         updated, table_constraints(snap.metadata.configuration), snap.schema
@@ -748,6 +763,24 @@ def merge_delta(
 
     _cdf_on = cdf_enabled(snap.metadata.configuration)
     cdc_parts: list = []
+    # Generated columns (delta.generationExpression): recomputed on
+    # every rewritten/inserted row unless the clause assigns them
+    # explicitly — an UPDATE of a base column must never leave a stale
+    # generated value, and an INSERT without the column must compute
+    # it, matching delta-spark MERGE semantics.
+    _gen_exprs = {
+        f.name: f.metadata["delta.generationExpression"]
+        for f in logical.fields
+        if f.metadata and "delta.generationExpression" in f.metadata
+    }
+
+    def _regen(df_, skip=()):
+        for c, e in _gen_exprs.items():
+            if c not in skip:
+                df_ = df_.withColumn(
+                    c, F.expr(e).cast(logical[c].dataType)
+                )
+        return df_
 
     # Rewritten content of touched files (cow) / DV soft deletes (dv).
     new_parts = []
@@ -847,6 +880,7 @@ def merge_delta(
                         if rt_ver else []
                     ),
                 )
+                replacements = _regen(replacements, skip=set(rw))
                 new_parts.append(replacements)
             if _cdf_on:
                 pre = joined.filter(clause_matched).select(
@@ -897,6 +931,12 @@ def merge_delta(
             # Row tracking: pass-through rows keep id AND last-modified
             # version; clause-updated rows keep id, take this commit's
             # version (null materialized → file default)
+            if when_matched_update:
+                # recompute BEFORE the projection so the CDF postimage
+                # below also carries fresh generated values
+                survivors = _regen(
+                    survivors, skip=set(when_matched_update)
+                )
             ver_cols = []
             if rt_ver:
                 old_ver = F.col("__old_row_commit")
@@ -944,6 +984,9 @@ def merge_delta(
                 for c in logical.fieldNames()
             ]
         )
+        # generated columns absent from the source are computed, not
+        # inserted as null (Delta writer semantics)
+        inserts = _regen(inserts, skip=set(source.columns))
         ins = inserts
         if rt_mat:
             ins = ins.withColumn("__old_row_id", F.lit(None).cast("long"))

@@ -314,3 +314,71 @@ def test_data_skipping_stats_columns_limit(spark, tmp_path):
             spark, df, str(tmp_path / "t_bad"),
             configuration={"delta.dataSkippingStatsColumns": "nope"},
         )
+
+
+def test_generated_columns_recomputed_by_dml(spark, tmp_path):
+    """UPDATE and MERGE keep generated columns consistent: an update
+    to a base column recomputes dependent generated columns, and MERGE
+    INSERT computes them instead of writing null (delta-spark DML
+    semantics)."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from deltalake_datafusion_spark.delta.ops import merge_delta, update_delta
+    from deltalake_datafusion_spark.delta.writer import create_delta_table
+
+    path = str(tmp_path / "t")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField(
+                "name_upper", StringType(), True,
+                {"delta.generationExpression": "UPPER(name)"},
+            ),
+        ]
+    )
+    create_delta_table(spark, path, schema)
+    write_delta(
+        spark,
+        spark.range(10).selectExpr("id", "concat('u', id) AS name"),
+        path,
+        mode="append",
+    )
+
+    update_delta(spark, path, {"name": "concat(name, 'x')"}, "id < 3")
+    rows = {r["id"]: r for r in read_delta(spark, path).collect()}
+    assert all(
+        r["name_upper"] == r["name"].upper() for r in rows.values()
+    )
+    assert rows[0]["name"] == "u0x" and rows[0]["name_upper"] == "U0X"
+
+    src = spark.range(8, 14).selectExpr("id", "concat('m', id) AS name")
+    merge_delta(
+        spark, path, src, on="t.id = s.id",
+        when_matched_update={"name": "s.name"},
+        when_not_matched_insert=True,
+        strategy="cow",
+    )
+    rows = {r["id"]: r for r in read_delta(spark, path).collect()}
+    assert len(rows) == 14
+    assert all(
+        r["name_upper"] == r["name"].upper() for r in rows.values()
+    ), rows
+    assert rows[13]["name_upper"] == "M13"  # inserted: computed, not null
+    assert rows[8]["name_upper"] == "M8"    # updated: recomputed
+
+    # dv strategy too
+    src2 = spark.range(13, 16).selectExpr("id", "concat('d', id) AS name")
+    merge_delta(
+        spark, path, src2, on="t.id = s.id",
+        when_matched_update={"name": "s.name"},
+        when_not_matched_insert=True,
+        strategy="dv",
+    )
+    rows = {r["id"]: r for r in read_delta(spark, path).collect()}
+    assert all(
+        r["name_upper"] == r["name"].upper() for r in rows.values()
+    )
+    assert rows[13]["name_upper"] == "D13" and rows[15]["name_upper"] == "D15"
