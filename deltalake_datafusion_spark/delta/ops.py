@@ -974,6 +974,7 @@ def merge_delta(
                         .withColumn(_CT, F.lit("update_postimage"))
                     )
 
+    _ident_assigned: dict[str, int] = {}
     if when_not_matched_insert:
         anti = s.join(t, cond, "left_anti")
         inserts = anti.select(
@@ -987,6 +988,30 @@ def merge_delta(
         # generated columns absent from the source are computed, not
         # inserted as null (Delta writer semantics)
         inserts = _regen(inserts, skip=set(source.columns))
+        # identity columns absent from the source are minted from the
+        # high-water mark (GENERATED ALWAYS forbids explicit values);
+        # the hwm advance rides this commit's metaData — a concurrent
+        # advance fails conflict validation instead of duplicating ids
+        from deltalake_datafusion_spark.delta.identity import (
+            assign_identity,
+            identity_columns,
+        )
+        from deltalake_datafusion_spark.delta.writer import DeltaWriteError
+
+        for c, cfg in identity_columns(logical).items():
+            if c in source.columns:
+                if not cfg["allow_explicit"]:
+                    raise DeltaWriteError(
+                        f"identity column {c!r} is GENERATED ALWAYS — "
+                        "MERGE INSERT may not supply explicit values"
+                    )
+                continue
+            base = (
+                cfg["hwm"] + cfg["step"]
+                if cfg["hwm"] is not None else cfg["start"]
+            )
+            inserts = assign_identity(inserts, c, base, cfg["step"])
+            _ident_assigned[c] = cfg["step"]
         ins = inserts
         if rt_mat:
             ins = ins.withColumn("__old_row_id", F.lit(None).cast("long"))
@@ -1088,6 +1113,48 @@ def merge_delta(
                     }
                 }
             )
+        if _ident_assigned:
+            # advance the minted columns' high-water marks from the
+            # written footer stats, riding this commit's metaData
+            import json as _json
+
+            from deltalake_datafusion_spark.delta.identity import (
+                high_water_mark_from_stats,
+                schema_with_hwm,
+            )
+            from deltalake_datafusion_spark.delta.writer import (
+                _metadata_action as _md_act,
+            )
+
+            stats_list = [
+                a["add"]["stats"] for a in actions if a.get("add")
+            ]
+            new_schema = logical
+            changed = False
+            for c, step in _ident_assigned.items():
+                li = logical.fieldNames().index(c)
+                pn = phys.fields[li].name
+                hwm = high_water_mark_from_stats(stats_list, pn, step)
+                if hwm is not None:
+                    new_schema = schema_with_hwm(new_schema, c, hwm)
+                    changed = True
+            if changed:
+                if md_action is not None:
+                    md_action["metaData"]["schemaString"] = _json.dumps(
+                        new_schema.jsonValue()
+                    )
+                else:
+                    md_action = _md_act(
+                        new_schema,
+                        snap.partition_columns,
+                        dict(snap.metadata.configuration),
+                        snap.metadata.id,
+                        snap.metadata.name,
+                    )
+                    md_action["metaData"]["createdTime"] = (
+                        snap.metadata.created_time
+                    )
+                    actions.insert(0, md_action)
 
     if cdc_parts:
         cdc_df = cdc_parts[0]

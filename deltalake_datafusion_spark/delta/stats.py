@@ -130,6 +130,14 @@ def data_skipping_stats_columns(logical, configuration) -> set[str] | None:
             "delta.columnMapping.physicalName", f.name
         )
 
+    # identity columns must ALWAYS carry min/max stats: the writer
+    # recovers the high-water mark from them after each write —
+    # excluding them would silently re-mint duplicate ids.
+    ident = {
+        phys(f)
+        for f in logical.fields
+        if f.metadata and "delta.identity.start" in f.metadata
+    }
     explicit = conf.get("delta.dataSkippingStatsColumns")
     if explicit is not None:
         by_name = {f.name: f for f in logical.fields}
@@ -145,11 +153,11 @@ def data_skipping_stats_columns(logical, configuration) -> set[str] | None:
                     f"column {n!r}"
                 )
             out.add(phys(by_name[top]))
-        return out
+        return out | ident
     n = int(conf.get("delta.dataSkippingNumIndexedCols", "32"))
     if n < 0 or n >= len(logical.fields):
         return None
-    return {phys(f) for f in logical.fields[:n]}
+    return {phys(f) for f in logical.fields[:n]} | ident
 
 
 def collect_file_stats(

@@ -189,3 +189,101 @@ def test_create_table_sql_generated_column(spark, tmp_path):
     assert {(r["id"], r["id2"]) for r in out.collect()} == {
         (i, i * 2) for i in range(5)
     }
+
+
+def test_merge_insert_mints_identity_values(spark, tmp_path):
+    """MERGE INSERT on an identity table mints fresh unique ids for
+    inserted rows (never null), advances the high-water mark so later
+    appends stay disjoint, and GENERATED ALWAYS rejects a source that
+    supplies the column."""
+    import pytest as _pytest
+
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+    from deltalake_datafusion_spark.delta.writer import DeltaWriteError
+
+    path = os.path.join(str(tmp_path), "t")
+    create_delta_table(spark, path, _schema(start=1, step=1))
+    write_delta(
+        spark,
+        spark.range(20).select(
+            F.concat(F.lit("p"), F.col("id")).alias("payload")
+        ),
+        path,
+        mode="append",
+    )
+    before = {
+        r["payload"]: r["uid"] for r in read_delta(spark, path).collect()
+    }
+    assert len(set(before.values())) == 20
+
+    src = spark.range(15, 30).select(
+        F.concat(F.lit("p"), F.col("id")).alias("payload")
+    )
+    merge_delta(
+        spark, path, src, on="t.payload = s.payload",
+        when_not_matched_insert=True,
+    )
+    rows = {r["payload"]: r["uid"] for r in read_delta(spark, path).collect()}
+    assert len(rows) == 30
+    assert all(v is not None for v in rows.values())
+    assert len(set(rows.values())) == 30  # all unique, incl. minted
+    assert all(rows[k] == v for k, v in before.items())  # untouched rows
+
+    # hwm advanced: a later plain append never reuses merge-minted ids
+    write_delta(
+        spark,
+        spark.range(100, 110).select(
+            F.concat(F.lit("q"), F.col("id")).alias("payload")
+        ),
+        path,
+        mode="append",
+    )
+    uids = [r["uid"] for r in read_delta(spark, path).collect()]
+    assert len(set(uids)) == 40
+
+    # GENERATED ALWAYS refuses explicit values through MERGE
+    bad = spark.range(2).select(
+        F.lit(999).cast("long").alias("uid"),
+        F.concat(F.lit("z"), F.col("id")).alias("payload"),
+    )
+    with _pytest.raises(DeltaWriteError, match="GENERATED ALWAYS"):
+        merge_delta(
+            spark, path, bad, on="t.payload = s.payload",
+            when_not_matched_insert=True,
+        )
+
+
+def test_stats_limiting_never_drops_identity_stats(spark, tmp_path):
+    """dataSkippingNumIndexedCols must not exclude identity columns —
+    hwm recovery reads their min/max from stats."""
+    import json as _json
+
+    from pyspark.sql.types import LongType
+
+    path = os.path.join(str(tmp_path), "t")
+    schema = StructType(
+        [
+            StructField("a", StringType()),
+            identity_field("uid", start=1, step=1),
+        ]
+    )
+    create_delta_table(
+        spark, path, schema,
+        configuration={"delta.dataSkippingNumIndexedCols": "1"},
+    )
+    write_delta(
+        spark,
+        spark.range(10).select(F.lit("x").alias("a")),
+        path, mode="append",
+    )
+    write_delta(
+        spark,
+        spark.range(10).select(F.lit("y").alias("a")),
+        path, mode="append",
+    )
+    snap = load_snapshot(path, spark=spark)
+    for f in snap.files:
+        st = _json.loads(f.stats)
+        assert "uid" in st["minValues"]  # forced into the stats set
+    uids = [r["uid"] for r in read_delta(spark, path).collect()]
+    assert len(set(uids)) == 20  # hwm recovered → no duplicate mint
