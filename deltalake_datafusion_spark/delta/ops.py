@@ -1227,6 +1227,7 @@ def optimize_delta(
     zorder_by: list[str] | None = None,
     purge: bool = False,
     predicate: str | None = None,
+    only_partitions: list[dict] | None = None,
 ) -> dict:
     """OPTIMIZE: bin-pack small files into ~target_file_size files,
     optionally clustering rows by ``zorder_by`` columns
@@ -1255,6 +1256,9 @@ def optimize_delta(
 
         zorder_by = clustering_columns(snap) or None
     scope = _partition_scope_files(snap, predicate)
+    if only_partitions is not None:
+        # auto-compaction scope: exactly the partitions a write touched
+        scope = [f for f in scope if f.partition_values in only_partitions]
     if purge:
         victims = [f for f in scope if f.dv is not None]
         if not victims:

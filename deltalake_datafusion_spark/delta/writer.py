@@ -1320,7 +1320,47 @@ def write_delta(
 
     snap = load_snapshot(table_path, spark=spark)
     maybe_checkpoint(spark, snap)
+    _maybe_auto_compact(spark, snap, adds)
     return snap
+
+
+AUTO_COMPACT_PROP = "delta.autoOptimize.autoCompact"
+AUTO_COMPACT_MIN_FILES_PROP = "delta.autoOptimize.minNumFiles"
+AUTO_COMPACT_SMALL_BYTES = 128 * 1024 * 1024
+
+
+def _maybe_auto_compact(spark, snap: Snapshot, adds: list[dict]) -> None:
+    """Post-commit auto-compaction (delta-spark
+    ``delta.autoOptimize.autoCompact``): when the partitions this
+    write touched accumulate ≥ minNumFiles (default 50) files under
+    128 MiB, bin-pack THOSE partitions only — a streaming sink's
+    trickle of tiny files self-heals without a separate OPTIMIZE job,
+    and untouched partitions are never scanned."""
+    conf = snap.metadata.configuration
+    if conf.get(AUTO_COMPACT_PROP, "").lower() != "true":
+        return
+    min_files = int(conf.get(AUTO_COMPACT_MIN_FILES_PROP, "50"))
+    written_pvs = [
+        dict(a["add"].get("partitionValues") or {})
+        for a in adds
+    ]
+    seen: list[dict] = []
+    for pv in written_pvs:
+        if pv not in seen:
+            seen.append(pv)
+    small = [
+        f for f in snap.files
+        if f.size < AUTO_COMPACT_SMALL_BYTES and f.partition_values in seen
+    ]
+    if len(small) < min_files:
+        return
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+
+    optimize_delta(
+        spark, snap.table_path,
+        small_file_threshold=AUTO_COMPACT_SMALL_BYTES,
+        only_partitions=seen,
+    )
 
 
 def _max_field_id(schema: StructType) -> int:

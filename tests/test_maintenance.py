@@ -343,3 +343,55 @@ def test_vacuum_distributed_referenced_set(spark, tmp_path, monkeypatch):
     assert not os.path.exists(orphan)
     from deltalake_datafusion_spark.delta.scan import read_delta
     assert read_delta(spark, path).count() == 75  # DVs intact
+
+
+def test_auto_compaction_after_write(spark, tmp_path):
+    """delta.autoOptimize.autoCompact: once a written partition holds
+    ≥ minNumFiles small files, the write's own commit is followed by a
+    scoped bin-pack — untouched partitions keep their files."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    base = spark.range(200).selectExpr("id", "id % 2 AS p")
+    write_delta(
+        spark, base.repartition(4), path, partition_by=["p"],
+        configuration={
+            "delta.autoOptimize.autoCompact": "true",
+            "delta.autoOptimize.minNumFiles": "4",
+        },
+    )
+    snap0 = load_snapshot(path, spark=spark)
+    p1_before = [
+        f for f in snap0.files if f.partition_values.get("p") == "1"
+    ]
+    # trickle small appends into partition 0 only
+    for i in range(4):
+        write_delta(
+            spark,
+            spark.range(200 + i * 5, 205 + i * 5).selectExpr(
+                "id", "CAST(0 AS BIGINT) AS p"
+            ),
+            path, mode="append",
+        )
+    snap = load_snapshot(path, spark=spark)
+    p0 = [f for f in snap.files if f.partition_values.get("p") == "0"]
+    p1 = [f for f in snap.files if f.partition_values.get("p") == "1"]
+    # partition 0 crossed the threshold at the 3rd append (4 small
+    # files → compacted to 1); the 4th append adds one more → 2 files
+    # instead of the 5 an uncompacted trickle would leave
+    assert len(p0) == 2, [f.path for f in p0]
+    # untouched partition keeps exactly its pre-append files
+    assert sorted(f.path for f in p1) == sorted(
+        f.path for f in p1_before
+    )
+    from deltalake_datafusion_spark.delta.scan import read_delta
+
+    assert read_delta(spark, path).count() == 220
+    hist_ops = [
+        r["operation"]
+        for r in __import__(
+            "deltalake_datafusion_spark.delta.clone", fromlist=["history_df"]
+        ).history_df(spark, path).collect()
+    ]
+    assert "OPTIMIZE" in hist_ops
