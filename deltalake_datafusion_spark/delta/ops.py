@@ -1219,6 +1219,78 @@ def _partition_scope_files(snap, predicate: str | None):
     )
 
 
+def _cluster_by_zvalue(df, zcols: list[str], n_out: int):
+    """Cluster ``df`` by a true Z-order value over ``zcols``: each
+    column is quantile-bucketed into 256 ranks (one sampled
+    ``approxQuantile`` pass — skew-immune, unlike equi-width), the
+    rank bits are interleaved into a single Z-value (Arrow-batched
+    ``np.searchsorted``), and the data is range-partitioned + sorted
+    on it. Every ordered column ends with bounded per-file ranges, so
+    stats skipping works on all of them — lexicographic sort gives
+    that only to the first. Falls back to lexicographic for column
+    types without an order-preserving numeric projection."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ByteType, DateType, DecimalType, DoubleType, FloatType,
+        IntegerType, LongType, ShortType, TimestampType,
+    )
+
+    numeric_types = (
+        ByteType, ShortType, IntegerType, LongType, FloatType,
+        DoubleType, DecimalType,
+    )
+
+    def proj(c):
+        dt = df.schema[c].dataType
+        if isinstance(dt, numeric_types):
+            return F.col(f"`{c}`").cast("double")
+        if isinstance(dt, TimestampType):
+            return F.col(f"`{c}`").cast("double")
+        if isinstance(dt, DateType):
+            return F.datediff(F.col(f"`{c}`"), F.lit("1970-01-01")).cast(
+                "double"
+            )
+        return None
+
+    projs = [proj(c) for c in zcols]
+    if any(p is None for p in projs):  # non-numeric column: fall back
+        return df.repartitionByRange(
+            n_out, *[f"`{c}`" for c in zcols]
+        ).sortWithinPartitions(*[f"`{c}`" for c in zcols])
+
+    BITS = 8
+    nq = (1 << BITS) - 1
+    probs = [i / (nq + 1) for i in range(1, nq + 1)]
+    tmp_names = [f"__z_{i}" for i in range(len(zcols))]
+    numeric = df.select(
+        *[p.alias(n) for p, n in zip(projs, tmp_names)]
+    )
+    bounds = numeric.stat.approxQuantile(tmp_names, probs, 0.01)
+    bl = [np.asarray(b, dtype=np.float64) for b in bounds]
+    k = len(zcols)
+
+    def _zfn(*cols):
+        z = np.zeros(len(cols[0]), dtype=np.int64)
+        for i, s in enumerate(cols):
+            v = s.to_numpy(dtype=np.float64, na_value=np.nan)
+            b = np.searchsorted(bl[i], v, side="right").astype(np.int64)
+            b[np.isnan(v)] = 0  # nulls cluster at the low end
+            for bit in range(BITS):
+                z |= ((b >> bit) & 1) << (bit * k + i)
+        return pd.Series(z)
+
+    zvalue = pandas_udf(_zfn, "long")
+
+    return (
+        df.withColumn("__zval", zvalue(*projs))
+        .repartitionByRange(n_out, F.col("__zval"))
+        .sortWithinPartitions("__zval")
+        .drop("__zval")
+    )
+
+
 def optimize_delta(
     spark,
     table_path: str,
@@ -1369,7 +1441,18 @@ def optimize_delta(
             for zc in zorder_by:
                 li = logical.fieldNames().index(zc)
                 zcols.append(phys.fields[li].name)
-            df = df.repartitionByRange(n_out, *zcols).sortWithinPartitions(*zcols)
+            if len(zcols) >= 2:
+                # True multi-dimensional Z-order: lexicographic
+                # range-sort gives the 2nd+ columns no skipping power
+                # (their per-file ranges span the domain). Interleave
+                # quantile-bucket bits into one Z-value and cluster on
+                # it — every ordered column gets bounded per-file
+                # ranges.
+                df = _cluster_by_zvalue(df, zcols, n_out)
+            else:
+                df = df.repartitionByRange(
+                    n_out, *zcols
+                ).sortWithinPartitions(*zcols)
         else:
             df = df.coalesce(n_out)
 

@@ -395,3 +395,47 @@ def test_auto_compaction_after_write(spark, tmp_path):
         ).history_df(spark, path).collect()
     ]
     assert "OPTIMIZE" in hist_ops
+
+
+def test_zorder_multi_column_bounds_both_dimensions(spark, tmp_path):
+    """True Z-order: after OPTIMIZE ZORDER BY (x, y), per-file stats
+    ranges are bounded on BOTH columns, so a predicate on the SECOND
+    column alone prunes files (lexicographic sort cannot — the 2nd
+    column's per-file range spans the domain)."""
+    import json as _json
+
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+    from deltalake_datafusion_spark.delta.scan import scan_files
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    n = 1 << 12
+    df = spark.range(n).selectExpr(
+        "id",
+        # x and y decorrelated: bit-reversed id vs id
+        "CAST(id % 64 AS BIGINT) AS x",
+        "CAST((id * 37) % 64 AS BIGINT) AS y",
+    )
+    write_delta(spark, df.repartition(8), path)
+    optimize_delta(
+        spark, path, target_file_size=5 * 1024, zorder_by=["x", "y"]
+    )
+    snap = load_snapshot(path, spark=spark)
+    assert len(snap.files) >= 4
+    # every file's y-range is a strict subset of the domain
+    widths = []
+    for f in snap.files:
+        st = _json.loads(f.stats)
+        widths.append(st["maxValues"]["y"] - st["minValues"]["y"])
+    assert sorted(widths)[len(widths) // 2] < 63  # median file bounded
+    n_all = len(scan_files(snap))
+    n_y = len(scan_files(snap, "y < 8"))
+    n_x = len(scan_files(snap, "x < 8"))
+    assert n_y < n_all and n_x < n_all  # both dimensions prune
+    # data intact
+    from deltalake_datafusion_spark.delta.scan import read_delta
+
+    assert read_delta(spark, path).count() == n
+    assert read_delta(spark, path, predicate="y < 8").count() == \
+        df.filter("y < 8").count()
