@@ -507,9 +507,23 @@ def read_delta(
             cp = read_last_checkpoint(table_path, spark)
         except Exception:
             cp = None
-        if cp and cp.get("size", 0) > SPARK_PLANNER_FILE_THRESHOLD:
+        if (
+            cp
+            and cp.get("size", 0) > SPARK_PLANNER_FILE_THRESHOLD
+            and not with_row_ids  # row ids need the driver's file map
+        ):
             planner = "spark"
     if planner == "spark":
+        if with_row_ids:
+            # the distributed planner never materializes the file list
+            # driver-side, so the broadcast (file → baseRowId) map has
+            # nowhere to come from — fail loudly instead of silently
+            # dropping the column
+            raise ValueError(
+                "with_row_ids requires the driver planner "
+                "(planner='driver'); the Spark planner does not "
+                "materialize per-file row-id metadata"
+            )
         return scan_spark_planned(
             spark, table_path, version=version, predicate=predicate,
             columns=columns, limit=limit,

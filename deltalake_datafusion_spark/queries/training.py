@@ -950,6 +950,58 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def delta_zorder_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column Z-order end-to-end: orders spread across many
+    files are rewritten with ZORDER BY (o_custkey, o_totalprice) —
+    bit-interleaved quantile ranks — after which predicates on EITHER
+    column prune files (asserted via scan_files). The per-status audit
+    is clustering-invariant, so the DuckDB oracle reads the source
+    parquet directly."""
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta, scan_files
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "orders")
+    path = os.path.join(_fresh_dir("zorder_multi", sf_dir), "t")
+    write_delta(
+        spark,
+        t["orders"].select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        ).repartition(8),
+        path,
+    )
+    optimize_delta(
+        spark, path,
+        target_file_size=16 * 1024,
+        zorder_by=["o_custkey", "o_totalprice"],
+    )
+    snap = load_snapshot(path, spark=spark)
+    n_all = len(scan_files(snap))
+    if n_all > 4:  # enough files for pruning to be observable
+        n_ck = len(scan_files(snap, "o_custkey < 100"))
+        n_tp = len(scan_files(snap, "o_totalprice < 10000.0"))
+        assert n_ck < n_all and n_tp < n_all, (n_ck, n_tp, n_all)
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_ZORDER_MULTI_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -1000,5 +1052,8 @@ def specs() -> list[QuerySpec]:
             "delta_clustered_optimize",
             delta_clustered_optimize,
             _CLUSTERED_SQL,
+        ),
+        QuerySpec(
+            "delta_zorder_multi", delta_zorder_multi, _ZORDER_MULTI_SQL
         ),
     ]

@@ -94,3 +94,22 @@ def test_spark_planner_on_column_mapped_table(spark, tmp_path):
         b = read_delta(spark, path, predicate=pred, planner="spark")
         assert _collect_ids(a) == _collect_ids(b)
         assert set(b.columns) == {"id", "part", "v"}
+
+
+def test_spark_planner_rejects_row_ids_auto_stays_driver(spark, tmp_path):
+    """with_row_ids needs the driver planner's per-file map: explicit
+    planner='spark' fails loudly; 'auto' keeps the driver path."""
+    import pytest as _pytest
+
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark, spark.range(10).selectExpr("id"), path,
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    with _pytest.raises(ValueError, match="driver planner"):
+        read_delta(spark, path, planner="spark", with_row_ids=True)
+    out = read_delta(spark, path, planner="auto", with_row_ids=True)
+    assert out.select("_row_id").distinct().count() == 10
