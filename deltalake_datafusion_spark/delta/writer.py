@@ -1356,11 +1356,17 @@ def _maybe_auto_compact(spark, snap: Snapshot, adds: list[dict]) -> None:
         return
     from deltalake_datafusion_spark.delta.ops import optimize_delta
 
-    optimize_delta(
-        spark, snap.table_path,
-        small_file_threshold=AUTO_COMPACT_SMALL_BYTES,
-        only_partitions=seen,
-    )
+    try:
+        optimize_delta(
+            spark, snap.table_path,
+            small_file_threshold=AUTO_COMPACT_SMALL_BYTES,
+            only_partitions=seen,
+        )
+    except (ConcurrentWriteError, ConcurrentModificationError):
+        # best-effort: the triggering write already committed; a
+        # concurrent writer winning the compaction slot is fine — the
+        # next write past the threshold retries
+        pass
 
 
 def _max_field_id(schema: StructType) -> int:

@@ -33,7 +33,7 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
         [WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE]
         [WHEN NOT MATCHED THEN INSERT *]
         [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]
-    OPTIMIZE <target> [WHERE <partition predicate>] [ZORDER BY (cols)]
+    OPTIMIZE <target> [FULL] [WHERE <partition predicate>] [ZORDER BY (cols)]
     RESTORE TABLE <target> TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
     INSERT INTO|OVERWRITE <'path'|delta.`path`> [(cols)] SELECT ... | VALUES ...
     ALTER TABLE <target> ADD COLUMNS (name type, ...)
@@ -119,6 +119,7 @@ _DROP_CONSTRAINT_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"(?P<full>\s+FULL)?"
     r"(?:\s+WHERE\s+(?P<pred>.+?))?"
     r"(?:\s+ZORDER\s+BY\s+\(?(?P<zcols>[\w,\s]+?)\)?)?\s*;?\s*$",
     re.IGNORECASE,
@@ -461,9 +462,37 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         from deltalake_datafusion_spark.delta.ops import optimize_delta
 
         z = m.group("zcols")
+        target = _unquote_target(m.group("target"), registry)
+        if m.group("full"):
+            # OPTIMIZE … FULL (delta-spark: clustered tables only) —
+            # recluster every file, not just the small ones
+            from deltalake_datafusion_spark.delta.snapshot import (
+                load_snapshot,
+            )
+            from deltalake_datafusion_spark.delta.writer import (
+                clustering_columns,
+            )
+
+            snap = load_snapshot(target, spark=spark)
+            cols = clustering_columns(snap)
+            if not cols and not z:
+                raise SqlParseError(
+                    "OPTIMIZE FULL requires a clustered table "
+                    "(CLUSTER BY) or an explicit ZORDER BY"
+                )
+            res = optimize_delta(
+                spark, target,
+                zorder_by=(
+                    [c.strip() for c in z.split(",")] if z else cols
+                ),
+                predicate=m.group("pred"),
+            )
+            return spark.createDataFrame(
+                [tuple(res.values())], list(res.keys())
+            )
         res = optimize_delta(
             spark,
-            _unquote_target(m.group("target"), registry),
+            target,
             zorder_by=[c.strip() for c in z.split(",")] if z else None,
             predicate=m.group("pred"),
         )

@@ -135,3 +135,25 @@ def test_clone_carries_clustering(spark, tmp_path):
     set_clustering(spark, src, ["id"])
     clone_delta(spark, src, dst)
     assert clustering_columns(load_snapshot(dst, spark=spark)) == ["id"]
+
+
+def test_optimize_full_sql(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.properties import set_clustering
+    from deltalake_datafusion_spark.sql.dispatcher import SqlParseError, sql
+
+    path = str(tmp_path / "t")
+    df = spark.range(2000).selectExpr("id", "(id * 31) % 100 AS k")
+    write_delta(spark, df.repartition(6), path)
+    set_clustering(spark, path, ["k"])
+    out = sql(spark, f"OPTIMIZE '{path}' FULL").collect()[0]
+    assert out["files_compacted"] == 6  # FULL rewrites everything
+    snap = load_snapshot(path, spark=spark)
+    r = _ranges(snap, "k")
+    assert all(r[i][1] <= r[i + 1][0] for i in range(len(r) - 1)) or \
+        len(r) == 1
+    assert read_delta(spark, path).count() == 2000
+
+    path2 = str(tmp_path / "t2")
+    write_delta(spark, spark.range(10).selectExpr("id"), path2)
+    with pytest.raises(SqlParseError, match="clustered"):
+        sql(spark, f"OPTIMIZE '{path2}' FULL")
