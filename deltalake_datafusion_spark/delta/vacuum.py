@@ -128,13 +128,47 @@ def vacuum(
     if dry_run:
         return candidates.limit(DRY_RUN_LIMIT)
 
+    # Audit trail (delta-spark vacuumProtocolCheck behavior): a
+    # physical vacuum brackets its deletes with VACUUM START / VACUUM
+    # END commits, so history shows when files were reclaimed and a
+    # crash between them is visible as a dangling START.
+    from deltalake_datafusion_spark.delta.writer import (
+        ConcurrentWriteError,
+        commit,
+    )
+
+    def _audit(op: str, params: dict) -> None:
+        for _ in range(5):
+            cur = load_snapshot(table_path, spark=spark, with_files=False)
+            try:
+                commit(
+                    table_path, cur.version + 1, [], op, spark,
+                    operation_parameters=params,
+                    configuration=cur.metadata.configuration,
+                )
+                return
+            except ConcurrentWriteError:
+                continue
+
+    _audit(
+        "VACUUM START",
+        {
+            "retentionCheckEnabled": str(enforce_retention_duration),
+            "specifiedRetentionMillis": str(int(retain_hours * 3600_000)),
+        },
+    )
     # Distributed delete: executors remove their partition's files in
     # parallel (the reference streams deletes through VacuumExec,
     # commands/vacuum/physical.rs:106-128 — same shape, no driver
     # loop). localCheckpoint materializes the side effect exactly once
     # so re-evaluating the returned DataFrame cannot re-delete.
     deleted = candidates.mapInPandas(_delete_batches, "path string")
-    return deleted.localCheckpoint(eager=True)
+    out = deleted.localCheckpoint(eager=True)
+    _audit(
+        "VACUUM END",
+        {"status": "COMPLETED", "numDeletedFiles": str(out.count())},
+    )
+    return out
 
 
 def _referenced_paths_df(spark, table_path: str, snap):

@@ -520,6 +520,7 @@ def commit(
     operation: str,
     spark=None,
     configuration: dict[str, str] | None = None,
+    operation_parameters: dict[str, str] | None = None,
 ) -> None:
     """Atomically write ``_delta_log/<version>.json`` (create-if-absent;
     reference ``PutMode::Create`` — file_format.rs:230-242).
@@ -539,6 +540,10 @@ def commit(
         "operation": operation,
         "engineInfo": "deltalake-datafusion-spark/0.1.0",
         "txnId": str(uuid.uuid4()),
+        **(
+            {"operationParameters": operation_parameters}
+            if operation_parameters else {}
+        ),
     }
     if ict_enabled(configuration):
         prev = _prev_ict(table_path, version, fs)

@@ -439,3 +439,28 @@ def test_zorder_multi_column_bounds_both_dimensions(spark, tmp_path):
     assert read_delta(spark, path).count() == n
     assert read_delta(spark, path, predicate="y < 8").count() == \
         df.filter("y < 8").count()
+
+
+def test_vacuum_writes_audit_commits(spark, tmp_path):
+    """Physical VACUUM brackets its deletes with VACUUM START /
+    VACUUM END commits (delta-spark audit behavior); DRY RUN commits
+    nothing."""
+    from deltalake_datafusion_spark.delta.clone import history_df
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.vacuum import vacuum
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(spark, spark.range(30).selectExpr("id"), path)
+    delete_delta(spark, path, "id >= 28")  # leaves a removed file? (DV)
+    v_before = load_snapshot(path, spark=spark).version
+    vacuum(spark, path, retain_hours=0, dry_run=True,
+           enforce_retention_duration=False)
+    assert load_snapshot(path, spark=spark).version == v_before
+
+    vacuum(spark, path, retain_hours=0,
+           enforce_retention_duration=False)
+    ops = [r["operation"] for r in history_df(spark, path).collect()]
+    assert "VACUUM START" in ops and "VACUUM END" in ops
+    si, ei = ops.index("VACUUM START"), ops.index("VACUUM END")
+    assert abs(ei - si) == 1  # adjacent commits
