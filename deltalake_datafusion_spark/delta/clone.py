@@ -269,10 +269,17 @@ def history_df(spark, table_path: str) -> DataFrame:
                 v,
                 info.get("inCommitTimestamp", info.get("timestamp")),
                 info.get("operation"),
+                {
+                    k: str(v2)
+                    for k, v2 in (
+                        info.get("operationParameters") or {}
+                    ).items()
+                },
                 info.get("engineInfo"),
             )
         )
     return spark.createDataFrame(
-        sorted(rows, reverse=True),
-        "version long, timestamp long, operation string, engineInfo string",
+        sorted(rows, key=lambda r: r[0], reverse=True),
+        "version long, timestamp long, operation string, "
+        "operationParameters map<string,string>, engineInfo string",
     )
