@@ -1622,41 +1622,7 @@ def _scan_with_rowmeta(
         if mat_cols else data_schema
     )
     meta_cols = ["__row_index", "__file_path"] + mat_cols
-    groups: dict[tuple, list] = defaultdict(list)
-    for f in candidates:
-        groups[tuple(f.partition_values.get(p) for p in part_cols)].append(f)
-    branches = []
-    for key, group in groups.items():
-        paths = [os.path.join(snap.table_path, f.path) for f in group]
-        df = (
-            spark.read.schema(read_schema)
-            .parquet(*paths)
-            .select(
-                "*",
-                F.col("_metadata.row_index").alias("__row_index"),
-                F.col("_metadata.file_path").alias("__file_path"),
-            )
-        )
-        for p, raw in zip(part_cols, key):
-            li = logical.fieldNames().index(p)
-            df = df.withColumn(
-                phys_full.fields[li].name,
-                (F.lit(raw) if raw is not None else F.lit(None)).cast(
-                    phys_full.fields[li].dataType
-                ),
-            )
-        df = apply_schema(df, logical, extra_cols=meta_cols)
-        dv_files = [f for f in group if f.dv is not None]
-        if dv_files:
-            # Apply deletion vectors — DML must never see (or
-            # resurrect) rows already deleted in place.
-            from deltalake_datafusion_spark.delta.deletion_vectors import (
-                dv_row_filter,
-            )
-
-            df = dv_row_filter(spark, snap, dv_files, df, drop_meta=False)
-        branches.append(df)
-    if not branches:
+    if not candidates:
         empty_schema = StructType(
             logical.fields
             + [
@@ -1668,9 +1634,39 @@ def _scan_with_rowmeta(
                if row_ver_col else [])
         )
         return spark.createDataFrame([], empty_schema)
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
+    # ONE spark.read over every candidate file — plan size is O(1) in
+    # partition count (partition values come from the same broadcast
+    # (file → values) map the read path uses), not one union branch
+    # per partition tuple.
+    from deltalake_datafusion_spark.delta.scan import (
+        _inject_partition_values,
+    )
+
+    paths = [os.path.join(snap.table_path, f.path) for f in candidates]
+    out = (
+        spark.read.schema(read_schema)
+        .parquet(*paths)
+        .select(
+            "*",
+            F.col("_metadata.row_index").alias("__row_index"),
+            F.col("_metadata.file_path").alias("__file_path"),
+        )
+    )
+    if part_cols:
+        out = _inject_partition_values(
+            spark, snap, candidates, out, phys_full
+        )
+    out = apply_schema(out, logical, extra_cols=meta_cols)
+    dv_files = [f for f in candidates if f.dv is not None]
+    if dv_files:
+        # Apply deletion vectors — DML must never see (or resurrect)
+        # rows already deleted in place; files without a DV pass
+        # through the filter intact.
+        from deltalake_datafusion_spark.delta.deletion_vectors import (
+            dv_row_filter,
+        )
+
+        out = dv_row_filter(spark, snap, dv_files, out, drop_meta=False)
     if mat_cols:
         from deltalake_datafusion_spark.delta.scan import _file_path_key
 

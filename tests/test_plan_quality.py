@@ -308,3 +308,24 @@ def test_row_id_injection_is_broadcast_and_keeps_pushdown(spark, tmp_path):
         if re.search(r"\bExchange (hash|range|rebalance)", ln)
     ]
     assert not data_exchanges, data_exchanges
+
+
+def test_dml_candidate_scan_is_o1_in_partition_count(spark, tmp_path):
+    """The DML candidate scan (DELETE/UPDATE/MERGE rowmeta path) must
+    plan one parquet read regardless of partition count — same O(1)
+    discipline as the read path."""
+    from deltalake_datafusion_spark.delta.ops import _scan_with_rowmeta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    df = spark.range(2000).selectExpr("id", "id % 200 AS p")
+    write_delta(spark, df, path, partition_by=["p"])
+    snap = load_snapshot(path, spark=spark)
+    assert len({f.partition_values["p"] for f in snap.files}) == 200
+    out = _scan_with_rowmeta(spark, snap, None)
+    plan = _plan(out)
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan
+    assert out.count() == 2000
+    assert out.filter("p = 7").count() == 10
