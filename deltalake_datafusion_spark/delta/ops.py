@@ -1375,9 +1375,8 @@ def optimize_delta(
     )
     fs = fs_for(snap.table_path, spark)
 
-    actions: list[dict] = []
-    n_added = 0
-    for key, group in groups.items():
+    def _rewrite_group(key, group) -> list[dict]:
+        group_actions: list[dict] = []
         total = sum(f.size for f in group)
         n_out = max(1, -(-total // target_file_size))
         paths = [os.path.join(snap.table_path, f.path) for f in group]
@@ -1486,7 +1485,7 @@ def optimize_delta(
             stats_columns=_dssc2(logical, snap.metadata.configuration),
         )
         for rel, size, mtime_ms in renamed:
-            actions.append(
+            group_actions.append(
                 {
                     "add": {
                         "path": _url_encode_path(rel),
@@ -1498,14 +1497,34 @@ def optimize_delta(
                     }
                 }
             )
-            n_added += 1
         for st in sorted(fs.list_recursive(staging), key=lambda s: -len(s.path)):
             fs.delete(st.path)
         fs.delete(staging)
         for f in group:
             a = _remove_action(f)
             a["remove"]["dataChange"] = False
-            actions.append(a)
+            group_actions.append(a)
+        return group_actions
+
+    # Per-partition rewrites are independent Spark jobs — submit them
+    # from a driver-side thread pool so a many-partition OPTIMIZE
+    # saturates the cluster instead of serializing one partition at a
+    # time (Spark job submission is thread-safe; every group writes to
+    # its own staging dir).
+    actions: list[dict] = []
+    items = list(groups.items())
+    if len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
+            for part in pool.map(
+                lambda kv: _rewrite_group(kv[0], kv[1]), items
+            ):
+                actions.extend(part)
+    else:
+        for key, group in items:
+            actions.extend(_rewrite_group(key, group))
+    n_added = sum(1 for a in actions if a.get("add"))
 
     from deltalake_datafusion_spark.delta.writer import commit_with_retries
 
