@@ -620,8 +620,63 @@ def merge_delta(
     strict: bool = False,
     schema_evolution: bool = False,
     strategy: str = "auto",
+    max_restarts: int = 3,
 ) -> dict:
-    """MERGE INTO (upsert), copy-on-write strategy:
+    """MERGE INTO (upsert). On a true concurrency conflict — a
+    concurrent commit that touched this MERGE's files, advanced an
+    identity high-water mark, or changed table metadata/protocol —
+    the whole transaction RESTARTS from a fresh snapshot (re-scan
+    candidates, re-mint identity values, rebuild the metaData
+    action), the same self-healing loop ``write_delta`` runs, instead
+    of surfacing ``ConcurrentModificationError`` to the caller. Up to
+    ``max_restarts`` attempts; staged-but-uncommitted files of a
+    failed attempt are deleted before retrying. See
+    :func:`_merge_attempt` for plan semantics."""
+    from deltalake_datafusion_spark.delta.writer import (
+        ConcurrentModificationError,
+    )
+
+    last: Exception | None = None
+    for _ in range(max(1, max_restarts)):
+        try:
+            return _merge_attempt(
+                spark, table_path, source, on,
+                when_matched_update=when_matched_update,
+                when_matched_delete=when_matched_delete,
+                when_matched_condition=when_matched_condition,
+                when_not_matched_insert=when_not_matched_insert,
+                when_not_matched_by_source_delete=(
+                    when_not_matched_by_source_delete
+                ),
+                when_not_matched_by_source_condition=(
+                    when_not_matched_by_source_condition
+                ),
+                strict=strict,
+                schema_evolution=schema_evolution,
+                strategy=strategy,
+            )
+        except ConcurrentModificationError as e:
+            last = e
+    raise last
+
+
+def _merge_attempt(
+    spark,
+    table_path: str,
+    source,
+    on: str,
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: bool = False,
+    when_matched_condition: str | None = None,
+    when_not_matched_insert: bool = True,
+    when_not_matched_by_source_delete: bool = False,
+    when_not_matched_by_source_condition: str | None = None,
+    strict: bool = False,
+    schema_evolution: bool = False,
+    strategy: str = "auto",
+) -> dict:
+    """One MERGE INTO attempt against the current snapshot,
+    copy-on-write strategy:
 
     1. join source↔target on ``on`` to find *touched files* (any file
        with ≥1 matched row);
@@ -1024,6 +1079,7 @@ def merge_delta(
             cdc_parts.append(inserts.withColumn(_CT, F.lit("insert")))
 
     n_inserted = 0
+    moved: list = []
     actions: list[dict] = [md_action] if md_action is not None else []
     if dv_enc is not None:
         # DV strategy: only files that actually lost rows are touched
@@ -1164,14 +1220,30 @@ def merge_delta(
     if touched and joined_persisted:
         joined.unpersist()
 
-    from deltalake_datafusion_spark.delta.writer import commit_with_retries
+    from deltalake_datafusion_spark.delta.writer import (
+        ConcurrentModificationError,
+        commit_with_retries,
+    )
 
     # MERGE's join reads the whole target table (any target row can
     # match), so every concurrent data append is a read conflict.
-    version = commit_with_retries(
-        spark, snap.table_path, snap, actions, "MERGE",
-        modified_paths, read_predicate="true",
-    )
+    try:
+        version = commit_with_retries(
+            spark, snap.table_path, snap, actions, "MERGE",
+            modified_paths, read_predicate="true",
+        )
+    except ConcurrentModificationError:
+        # this attempt's staged data files will never be referenced —
+        # best-effort delete them before merge_delta restarts the
+        # transaction from a fresh snapshot (DV sidecars, if any, are
+        # left for VACUUM: they are tiny and unreferenced)
+        try:
+            _fs = fs_for(snap.table_path, spark)
+            for rel, _pv, _size, _mt in moved:
+                _fs.delete(os.path.join(snap.table_path, rel))
+        except Exception:
+            pass
+        raise
     out_snap = load_snapshot(table_path, spark=spark)
     maybe_checkpoint(spark, out_snap)
     return {

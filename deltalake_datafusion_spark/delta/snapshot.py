@@ -734,5 +734,9 @@ def log_replay_df(spark, table_path: str, version: int | None = None):
         F.col("add_action.partitionValues").alias("partitionValues"),
         F.col("add_action.stats").alias("stats"),
         F.col("add_action.deletionVector").alias("deletionVector"),
+        F.col("add_action.baseRowId").alias("baseRowId"),
+        F.col("add_action.defaultRowCommitVersion").alias(
+            "defaultRowCommitVersion"
+        ),
         F.col("version").alias("commit_version"),
     )

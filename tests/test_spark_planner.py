@@ -96,20 +96,70 @@ def test_spark_planner_on_column_mapped_table(spark, tmp_path):
         assert set(b.columns) == {"id", "part", "v"}
 
 
-def test_spark_planner_rejects_row_ids_auto_stays_driver(spark, tmp_path):
-    """with_row_ids needs the driver planner's per-file map: explicit
-    planner='spark' fails loudly; 'auto' keeps the driver path."""
-    import pytest as _pytest
-
-    from deltalake_datafusion_spark.delta.scan import read_delta
-    from deltalake_datafusion_spark.delta.writer import write_delta
+def test_spark_planner_row_ids_match_driver(spark, tmp_path):
+    """The distributed replay carries baseRowId/defaultRowCommitVersion
+    (reference streams every add-file field through its scan-state
+    replay, delta_log.rs:139-236): with_row_ids is planner-equivalent,
+    including after OPTIMIZE rewrote the files (materialized columns)
+    and a DV delete."""
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
 
     path = str(tmp_path / "t")
-    write_delta(
-        spark, spark.range(10).selectExpr("id"), path,
-        configuration={"delta.enableRowTracking": "true"},
-    )
-    with _pytest.raises(ValueError, match="driver planner"):
-        read_delta(spark, path, planner="spark", with_row_ids=True)
-    out = read_delta(spark, path, planner="auto", with_row_ids=True)
-    assert out.select("_row_id").distinct().count() == 10
+    df = spark.range(60).select("id", (F.col("id") * 2).alias("v"))
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):
+        write_delta(
+            spark,
+            df.filter((F.col("id") >= lo) & (F.col("id") < hi)),
+            path,
+            mode="append",
+            configuration=(
+                {"delta.enableRowTracking": "true"} if lo == 0 else None
+            ),
+        )
+    optimize_delta(spark, path)
+    delete_delta(spark, path, "id % 7 = 3")
+
+    def snap(planner):
+        return sorted(
+            (r["id"], r["_row_id"], r["_row_commit_version"])
+            for r in read_delta(
+                spark, path, with_row_ids=True, planner=planner
+            ).collect()
+        )
+
+    a, b = snap("driver"), snap("spark")
+    assert a == b
+    assert len(a) == 60 - len([i for i in range(60) if i % 7 == 3])
+    assert len({rid for _, rid, _v in a}) == len(a)  # ids unique
+
+
+def test_auto_planner_cuts_over_without_checkpoint(
+    spark, tmp_path, monkeypatch
+):
+    """auto cutover must fire from post-checkpoint commit-tail bytes
+    alone — a checkpoint-less log with many commits still routes to
+    the distributed planner (round-4 verdict: cp.size-only decision
+    never cut over on such tables)."""
+    from deltalake_datafusion_spark.delta import scan as scanmod
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        write_delta(
+            spark,
+            spark.range(i * 10, i * 10 + 10).selectExpr("id"),
+            path,
+            mode="append",
+        )
+    assert scanmod.estimate_log_actions(path, spark) > 0
+    monkeypatch.setattr(scanmod, "SPARK_PLANNER_FILE_THRESHOLD", 1)
+    called = {"n": 0}
+    orig = scanmod.scan_files_spark
+
+    def counting(*a, **kw):
+        called["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(scanmod, "scan_files_spark", counting)
+    out = read_delta(spark, path)  # planner="auto", no checkpoint
+    assert called["n"] == 1
+    assert len(_collect_ids(out)) == 30
