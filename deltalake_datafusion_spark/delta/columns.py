@@ -71,6 +71,38 @@ def _constraints_referencing(configuration: dict, column: str) -> list[str]:
     return out
 
 
+def _references_of(snap, column: str) -> list[str]:
+    """Everything in the table definition that names ``column`` and
+    would silently break (or silently mislead) after a rename/drop:
+    CHECK constraints, OTHER columns' generated-column expressions
+    (``delta.generationExpression`` — a stale expression would fail
+    every later write, or worse, recompute from the wrong column if
+    the name is ever re-added), and the
+    ``delta.dataSkippingStatsColumns`` property. delta-spark rejects
+    the DDL up front in all three cases."""
+    import re
+
+    conf = snap.metadata.configuration
+    out = [
+        f"CHECK constraint {name!r}"
+        for name in _constraints_referencing(conf, column)
+    ]
+    pat = re.compile(rf"\b{re.escape(column)}\b", re.IGNORECASE)
+    for f in snap.schema.fields:
+        if f.name == column:
+            continue  # the column's own expression renames with it
+        expr = (f.metadata or {}).get("delta.generationExpression")
+        if expr and pat.search(expr):
+            out.append(f"generated column {f.name!r} ({expr})")
+    stats_cols = conf.get("delta.dataSkippingStatsColumns")
+    if stats_cols and any(
+        c.strip().strip("`").lower() == column.lower()
+        for c in stats_cols.split(",")
+    ):
+        out.append("delta.dataSkippingStatsColumns property")
+    return out
+
+
 def add_columns(
     spark, table_path: str, columns: list[tuple[str, str]],
     max_attempts: int = 5,
@@ -120,11 +152,10 @@ def rename_column(
             raise KeyError(f"column {old!r} not in table schema {names}")
         if new in names:
             raise DeltaWriteError(f"column {new!r} already exists")
-        refs = _constraints_referencing(snap.metadata.configuration, old)
+        refs = _references_of(snap, old)
         if refs:
             raise DeltaWriteError(
-                f"cannot rename {old!r}: referenced by CHECK "
-                f"constraint(s) {refs}"
+                f"cannot rename {old!r}: referenced by {refs}"
             )
         fields = []
         for f in snap.schema.fields:
@@ -170,11 +201,10 @@ def drop_columns(
         if len(columns) >= len(names):
             raise DeltaWriteError("cannot drop every column of a table")
         for c in columns:
-            refs = _constraints_referencing(snap.metadata.configuration, c)
+            refs = _references_of(snap, c)
             if refs:
                 raise DeltaWriteError(
-                    f"cannot drop {c!r}: referenced by CHECK "
-                    f"constraint(s) {refs}"
+                    f"cannot drop {c!r}: referenced by {refs}"
                 )
         fields = [f for f in snap.schema.fields if f.name not in set(columns)]
         try:

@@ -66,6 +66,61 @@ class MergeCardinalityError(Exception):
 DV_MERGE_THRESHOLD_BYTES = 64 * 1024 * 1024
 
 
+def _reject_generated_set(schema, set_exprs: dict, op: str) -> None:
+    """Explicit SET of a generated column is rejected (delta-spark
+    behavior): a stored value inconsistent with
+    ``delta.generationExpression`` would break the soundness premise
+    of generated-column partition pruning (``generated_pruning``
+    assumes partition value = f(base)), silently wrong-pruning later
+    reads."""
+    from deltalake_datafusion_spark.delta.writer import DeltaWriteError
+
+    gen = [
+        c
+        for c in set_exprs
+        if c in schema.fieldNames()
+        and schema[c].metadata
+        and "delta.generationExpression" in schema[c].metadata
+    ]
+    if gen:
+        raise DeltaWriteError(
+            f"{op} SET may not assign generated column(s) {sorted(gen)}: "
+            "their values are always computed from "
+            "delta.generationExpression"
+        )
+
+
+def _validate_generated_values(df, schema, columns, op: str) -> None:
+    """Null-safe equality validation of explicitly-supplied generated
+    column values (same aggregate ``write_delta`` runs,
+    writer.py append path): every provided value must equal its
+    generation expression over the same row, or the commit is
+    refused. One metadata-scale aggregate job over ``df``."""
+    from deltalake_datafusion_spark.delta.writer import DeltaWriteError
+
+    gen = {
+        f.name: f.metadata["delta.generationExpression"]
+        for f in schema.fields
+        if f.metadata and "delta.generationExpression" in f.metadata
+    }
+    check = sorted(set(gen) & set(columns))
+    if not check:
+        return
+    aggs = [
+        F.sum(
+            F.when(~F.col(c).eqNullSafe(F.expr(gen[c])), 1).otherwise(0)
+        ).alias(c)
+        for c in check
+    ]
+    row = df.agg(*aggs).collect()[0]
+    for c in check:
+        if row[c]:
+            raise DeltaWriteError(
+                f"{op}: generated column {c!r} has {row[c]} row(s) not "
+                f"matching its expression ({gen[c]})"
+            )
+
+
 def _noop_delete() -> dict:
     return {
         "actions": [],
@@ -74,6 +129,26 @@ def _noop_delete() -> dict:
         "rows_deleted": 0,
         "touched_paths": set(),
     }
+
+
+def _dv_executor_write_allowed(
+    table_path: str, local_master: bool, shared_conf: bool
+) -> bool:
+    """Whether executors may write DV files straight to ``table_path``:
+    the path must be plain-filesystem AND either the master is local
+    (executors share the driver's disk by construction) or the user
+    opted in via ``lakehouse.delta.dv.executor_write`` (genuinely
+    shared mount — verified driver-side before commit)."""
+    path_local = "://" not in table_path or table_path.startswith("file://")
+    return path_local and (local_master or shared_conf)
+
+
+def _zorder_bits(k: int) -> int:
+    """Bits of rank resolution per Z-order column: 8 up to 7 columns,
+    then shrinking so ``k * bits <= 63`` — the interleaved value must
+    never reach int64's sign bit (a negative Z-value for high buckets
+    would invert the range-partition order)."""
+    return max(1, min(8, 63 // max(1, k)))
 
 
 def _dv_soft_delete_actions(spark, snap, rowmeta_df, candidates, fs):
@@ -109,7 +184,26 @@ def _dv_soft_delete_actions(spark, snap, rowmeta_df, candidates, fs):
     bc_existing = spark.sparkContext.broadcast(existing_by_path)
     bc_nrec = spark.sparkContext.broadcast(nrec_by_path)
     table_path = snap.table_path
-    executor_write = "://" not in table_path or table_path.startswith("file://")
+    # Executor-side DV file writes need storage every node can reach.
+    # A bare/file:// path proves that ONLY under a local master (one
+    # machine); on a real cluster the same path could be
+    # executor-local disk, so the commit would reference files the
+    # driver/readers cannot open. Clusters must opt in explicitly
+    # (shared NFS/fuse mount) via conf — and even then the driver
+    # verifies one written DV before committing (below).
+    _local_master = (spark.sparkContext.master or "").startswith("local")
+    try:
+        _shared_opt = (
+            spark.conf.get(
+                "lakehouse.delta.dv.executor_write", "false"
+            ).lower()
+            == "true"
+        )
+    except Exception:
+        _shared_opt = False
+    executor_write = _dv_executor_write_allowed(
+        table_path, _local_master, _shared_opt
+    )
     enc_schema = StructType(
         [
             StructField("file_path", StringType()),
@@ -171,6 +265,25 @@ def _dv_soft_delete_actions(spark, snap, rowmeta_df, candidates, fs):
         .collect()
     )
     rows_deleted = sum(r["new_deletes"] for r in hits)
+    if executor_write and not _local_master:
+        # conf-opted cluster: prove the shared-storage assumption by
+        # opening one executor-written DV from the driver BEFORE any
+        # commit references it — fail the DML, not later reads
+        first = next((r for r in hits if r["dv_token"]), None)
+        if first is not None:
+            rel = dvmod.dv_relative_path(first["dv_token"])
+            if not fs.exists(os.path.join(snap.table_path, rel)):
+                from deltalake_datafusion_spark.delta.writer import (
+                    DeltaWriteError,
+                )
+
+                raise DeltaWriteError(
+                    "lakehouse.delta.dv.executor_write=true but an "
+                    f"executor-written deletion vector ({rel}) is not "
+                    "readable from the driver — the table path is not "
+                    "shared storage; unset the conf to use the "
+                    "driver-side DV write path"
+                )
     by_path = {f.path: f for f in snap.files}
 
     full_removes = []
@@ -479,6 +592,7 @@ def update_delta(
             f"UPDATE SET targets unknown column(s) {unknown}; "
             f"table columns: {snap.schema.fieldNames()}"
         )
+    _reject_generated_set(snap.schema, set_exprs, "UPDATE")
     # ANSI/Delta UPDATE is simultaneous assignment: every SET
     # right-hand side is evaluated against the OLD row, so
     # `SET a = b, b = a` swaps. One select over the pre-update row
@@ -730,6 +844,8 @@ def _merge_attempt(
     snap = load_snapshot(table_path, spark=spark)
     check_append_only(snap.metadata.configuration, "MERGE")
     logical = snap.schema
+    if when_matched_update:
+        _reject_generated_set(logical, when_matched_update, "MERGE UPDATE")
     md_action = None
     if schema_evolution:
         from deltalake_datafusion_spark.delta.writer import (
@@ -1041,8 +1157,14 @@ def _merge_attempt(
             ]
         )
         # generated columns absent from the source are computed, not
-        # inserted as null (Delta writer semantics)
+        # inserted as null; source-SUPPLIED values are validated
+        # against the expression (Delta writer semantics — an
+        # inconsistent stored value would poison generated-column
+        # partition pruning)
         inserts = _regen(inserts, skip=set(source.columns))
+        _validate_generated_values(
+            inserts, logical, source.columns, "MERGE INSERT"
+        )
         # identity columns absent from the source are minted from the
         # high-water mark (GENERATED ALWAYS forbids explicit values);
         # the hwm advance rides this commit's metaData — a concurrent
@@ -1293,8 +1415,10 @@ def _partition_scope_files(snap, predicate: str | None):
 
 def _cluster_by_zvalue(df, zcols: list[str], n_out: int):
     """Cluster ``df`` by a true Z-order value over ``zcols``: each
-    column is quantile-bucketed into 256 ranks (one sampled
-    ``approxQuantile`` pass — skew-immune, unlike equi-width), the
+    column is quantile-bucketed into ``2^BITS`` ranks (256 for up to
+    7 columns, fewer for wider ZORDER so the interleaved value stays
+    below int64's sign bit; one sampled ``approxQuantile`` pass —
+    skew-immune, unlike equi-width), the
     rank bits are interleaved into a single Z-value (Arrow-batched
     ``np.searchsorted``), and the data is range-partitioned + sorted
     on it. Every ordered column ends with bounded per-file ranges, so
@@ -1332,7 +1456,8 @@ def _cluster_by_zvalue(df, zcols: list[str], n_out: int):
             n_out, *[f"`{c}`" for c in zcols]
         ).sortWithinPartitions(*[f"`{c}`" for c in zcols])
 
-    BITS = 8
+    k = len(zcols)
+    BITS = _zorder_bits(k)
     nq = (1 << BITS) - 1
     probs = [i / (nq + 1) for i in range(1, nq + 1)]
     tmp_names = [f"__z_{i}" for i in range(len(zcols))]
@@ -1341,7 +1466,6 @@ def _cluster_by_zvalue(df, zcols: list[str], n_out: int):
     )
     bounds = numeric.stat.approxQuantile(tmp_names, probs, 0.01)
     bl = [np.asarray(b, dtype=np.float64) for b in bounds]
-    k = len(zcols)
 
     def _zfn(*cols):
         z = np.zeros(len(cols[0]), dtype=np.int64)

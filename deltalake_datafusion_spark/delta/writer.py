@@ -437,24 +437,42 @@ def _prev_row_hwm(table_path: str, version: int, fs) -> int:
     domainMetadata action immediately after commitInfo), falling back
     to a metadata-only snapshot load past a cleaned/checkpointed
     boundary. Returns -1 when no rows were ever tracked."""
+    from deltalake_datafusion_spark.delta.snapshot import (
+        _iter_commit_actions,
+    )
+
     for v in range(version - 1, -1, -1):
         path = _commit_path(table_path, v)
         if not fs.exists(path):
             break  # log cleaned below here — ask the snapshot
         head = fs.read_bytes(path, 0, 65536)
+        truncated = len(head) == 65536
         for line in head.split(b"\n"):
             if not line.strip():
                 continue
             try:
                 a = json.loads(line)
             except ValueError:
-                break  # truncated mid-line; later lines unreadable
+                break  # truncated mid-line; rest unreadable from head
             dm = a.get("domainMetadata")
             if dm and dm.get("domain") == ROW_TRACKING_DOMAIN:
                 if dm.get("removed"):
                     return -1
                 conf = json.loads(dm.get("configuration") or "{}")
                 return int(conf.get("rowIdHighWaterMark", -1))
+        if truncated:
+            # Oversized commit (or another engine that didn't front-
+            # load the domain action): a head-only miss is NOT a
+            # verdict — descending now could return a STALE high-water
+            # mark and mint duplicate baseRowId blocks. Parse the full
+            # commit before walking down.
+            for a in _iter_commit_actions(path, fs):
+                dm = a.get("domainMetadata")
+                if dm and dm.get("domain") == ROW_TRACKING_DOMAIN:
+                    if dm.get("removed"):
+                        return -1
+                    conf = json.loads(dm.get("configuration") or "{}")
+                    return int(conf.get("rowIdHighWaterMark", -1))
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
 
     try:

@@ -27,10 +27,16 @@ CONF_UNITY_URI = "lakehouse.unity.uri"
 CONF_UNITY_TOKEN = "lakehouse.unity.token"
 CONF_ENABLE_CACHING = "lakehouse.delta.enable_caching"
 CONF_RETENTION_CHECK = "lakehouse.delta.retention_duration_check.enabled"
+# Opt-in: executors write DV files directly to the table path on a
+# NON-local master (requires genuinely shared storage — NFS/fuse).
+# Local masters always executor-write; clusters default to shipping
+# blobs to the driver. Verified driver-side before the first commit.
+CONF_DV_EXECUTOR_WRITE = "lakehouse.delta.dv.executor_write"
 
 _DEFAULTS = {
     CONF_ENABLE_CACHING: "false",
     CONF_RETENTION_CHECK: "true",
+    CONF_DV_EXECUTOR_WRITE: "false",
 }
 
 

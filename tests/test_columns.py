@@ -267,3 +267,47 @@ def test_alter_column_type_sql_form(spark, tmp_path):
     sql(spark, f"ALTER TABLE '{path}' ALTER COLUMN a TYPE int")
     snap = load_snapshot(path, spark=spark)
     assert snap.schema["a"].dataType.simpleString() == "int"
+
+
+def test_rename_drop_blocked_by_generated_and_stats_refs(spark, tmp_path):
+    """ADVICE r4 (medium): RENAME/DROP of a base column referenced by
+    another column's delta.generationExpression, or listed in
+    delta.dataSkippingStatsColumns, is rejected up front (delta-spark
+    behavior) — otherwise every later write fails at F.expr analysis,
+    or a re-added column silently feeds the stale expression."""
+    from pyspark.sql.types import (
+        DateType, LongType, StructField, StructType, TimestampType,
+    )
+    from deltalake_datafusion_spark.delta.writer import create_delta_table
+
+    path = str(tmp_path / "t")
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("v", LongType()),
+            StructField(
+                "event_date",
+                DateType(),
+                True,
+                {"delta.generationExpression": "CAST(ts AS DATE)"},
+            ),
+        ]
+    )
+    create_delta_table(
+        spark, path, schema,
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.dataSkippingStatsColumns": "v",
+        },
+    )
+    with pytest.raises(DeltaWriteError, match="generated column"):
+        rename_column(spark, path, "ts", "ts2")
+    with pytest.raises(DeltaWriteError, match="generated column"):
+        drop_columns(spark, path, ["ts"])
+    with pytest.raises(DeltaWriteError, match="dataSkippingStatsColumns"):
+        rename_column(spark, path, "v", "v2")
+    with pytest.raises(DeltaWriteError, match="dataSkippingStatsColumns"):
+        drop_columns(spark, path, ["v"])
+    # the generated column itself renames fine (expression unchanged)
+    rename_column(spark, path, "event_date", "event_day")
+    assert "event_day" in load_snapshot(path, spark=spark).schema.fieldNames()

@@ -464,3 +464,57 @@ def test_vacuum_writes_audit_commits(spark, tmp_path):
     assert "VACUUM START" in ops and "VACUUM END" in ops
     si, ei = ops.index("VACUUM START"), ops.index("VACUUM END")
     assert abs(ei - si) == 1  # adjacent commits
+
+
+def test_zorder_bits_clamp_wide_zorder():
+    """ADVICE r4 (low): bits-per-column shrink for 8+ Z-order columns
+    so the interleave never reaches int64 bit 63 (sign) — a negative
+    Z-value would invert the range-partition order."""
+    from deltalake_datafusion_spark.delta.ops import _zorder_bits
+
+    for k in range(1, 20):
+        bits = _zorder_bits(k)
+        assert 1 <= bits <= 8
+        assert k * bits <= 63, (k, bits)
+    assert _zorder_bits(7) == 8   # full resolution through 7 columns
+    assert _zorder_bits(8) == 7
+    assert _zorder_bits(63) == 1
+
+
+def test_wide_zorder_orders_by_z_not_sign(spark, tmp_path):
+    """9-column ZORDER: the top bucket must sort ABOVE the bottom one
+    (with the un-clamped 8-bit interleave its Z-value went negative)."""
+    from deltalake_datafusion_spark.delta.ops import _cluster_by_zvalue
+
+    cols = [f"c{i}" for i in range(9)]
+    df = spark.range(512).select(
+        "id", *[(F.col("id") % 256).alias(c) for c in cols]
+    )
+    out = _cluster_by_zvalue(df, cols, 4)
+    # range partitioning on the (non-negative) z-value: the partition
+    # holding the max-valued rows must be the LAST one
+    got = out.withColumn(
+        "pid", F.spark_partition_id()
+    ).groupBy("pid").agg(F.max("c0").alias("mx"), F.min("c0").alias("mn"))
+    rows = sorted(got.collect(), key=lambda r: r["pid"])
+    assert rows[-1]["mx"] == 255
+    assert rows[0]["mn"] == 0
+
+
+def test_dv_executor_write_gate():
+    """ADVICE r4 (low): executor-side DV writes are allowed for a
+    plain path only under a local master or the explicit shared-
+    storage conf — never inferred from the path alone on a cluster."""
+    from deltalake_datafusion_spark.delta.ops import (
+        _dv_executor_write_allowed,
+    )
+
+    # local master: bare/file:// paths are driver-shared by definition
+    assert _dv_executor_write_allowed("/data/t", True, False)
+    assert _dv_executor_write_allowed("file:///data/t", True, False)
+    # cluster master, no conf: executors might write their OWN disks
+    assert not _dv_executor_write_allowed("/data/t", False, False)
+    # cluster + explicit shared-storage opt-in
+    assert _dv_executor_write_allowed("/data/t", False, True)
+    # object stores never executor-write directly
+    assert not _dv_executor_write_allowed("s3://b/t", True, True)

@@ -391,3 +391,41 @@ def test_enablement_backfills_existing_files(spark, tmp_path):
     assert "rowTracking" in snap.protocol.writer_features
     assert all(f.base_row_id is not None for f in snap.files)
     assert len(_row_ids(spark, path)) == 30
+
+
+def test_prev_row_hwm_full_parse_on_truncated_head(spark, tmp_path):
+    """ADVICE r4 (low): a commit whose rowTracking domainMetadata is
+    NOT inside the first 64 KiB (another engine's action ordering, or
+    an oversized commitInfo) must be fully parsed — not skipped — or
+    the walk returns a STALE high-water mark and mints duplicate
+    baseRowId blocks."""
+    import json
+
+    from deltalake_datafusion_spark.delta.fs import fs_for
+    from deltalake_datafusion_spark.delta.writer import (
+        _commit_path,
+        _prev_row_hwm,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(spark, spark.range(10).selectExpr("id"), path,
+                configuration=RT_CONF)  # v0: hwm = 9
+    fs = fs_for(path, spark)
+    assert _prev_row_hwm(path, 1, fs) == 9
+
+    # Simulate a foreign-engine commit v1: huge commitInfo first (the
+    # domain action lands past the 64 KiB head window), domain last.
+    lines = [
+        json.dumps({"commitInfo": {
+            "timestamp": 1, "operation": "WRITE", "pad": "x" * 70_000,
+        }}),
+        json.dumps({"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": 999}),
+            "removed": False,
+        }}),
+    ]
+    fs.write_bytes(
+        _commit_path(path, 1), ("\n".join(lines) + "\n").encode()
+    )
+    assert _prev_row_hwm(path, 2, fs) == 999  # not the stale 9

@@ -382,3 +382,67 @@ def test_generated_columns_recomputed_by_dml(spark, tmp_path):
         r["name_upper"] == r["name"].upper() for r in rows.values()
     )
     assert rows[13]["name_upper"] == "D13" and rows[15]["name_upper"] == "D15"
+
+
+def test_generated_columns_guarded_in_dml(spark, tmp_path):
+    """ADVICE r4 (medium): explicit SET of a generated column is
+    rejected in UPDATE and MERGE UPDATE; MERGE INSERT validates
+    source-supplied generated values with the writer's null-safe
+    equality check — a stored value inconsistent with the expression
+    would poison generated-column partition pruning."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from deltalake_datafusion_spark.delta.ops import merge_delta, update_delta
+    from deltalake_datafusion_spark.delta.writer import (
+        DeltaWriteError,
+        create_delta_table,
+    )
+
+    path = str(tmp_path / "t")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField(
+                "name_upper", StringType(), True,
+                {"delta.generationExpression": "UPPER(name)"},
+            ),
+        ]
+    )
+    create_delta_table(spark, path, schema)
+    write_delta(
+        spark,
+        spark.range(5).selectExpr("id", "concat('u', id) AS name"),
+        path,
+        mode="append",
+    )
+
+    with pytest.raises(DeltaWriteError, match="generated column"):
+        update_delta(spark, path, {"name_upper": "'BOGUS'"}, "id = 0")
+    with pytest.raises(DeltaWriteError, match="generated column"):
+        merge_delta(
+            spark, path,
+            spark.range(2).selectExpr("id", "'x' AS name"),
+            on="t.id = s.id",
+            when_matched_update={"name_upper": "'BOGUS'"},
+        )
+
+    # MERGE INSERT with a CONSISTENT explicit generated value: accepted
+    good = spark.range(10, 12).selectExpr(
+        "id", "concat('g', id) AS name", "UPPER(concat('g', id)) AS name_upper"
+    )
+    merge_delta(spark, path, good, on="t.id = s.id")
+    rows = {r["id"]: r for r in read_delta(spark, path).collect()}
+    assert rows[10]["name_upper"] == "G10"
+
+    # ... and an INCONSISTENT one: rejected before any commit
+    bad = spark.range(20, 22).selectExpr(
+        "id", "concat('b', id) AS name", "'WRONG' AS name_upper"
+    )
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    v_before = load_snapshot(path, spark=spark).version
+    with pytest.raises(DeltaWriteError, match="not.*matching"):
+        merge_delta(spark, path, bad, on="t.id = s.id")
+    assert load_snapshot(path, spark=spark).version == v_before
