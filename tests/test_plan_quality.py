@@ -329,3 +329,77 @@ def test_dml_candidate_scan_is_o1_in_partition_count(spark, tmp_path):
     assert "Union" not in plan
     assert out.count() == 2000
     assert out.filter("p = 7").count() == 10
+
+
+def test_dv_access_plan_triage():
+    """Skip/Scan/RowSelection analog (reference delta/mod.rs:244-325):
+    contiguous prefix/suffix deletions become a codegen range filter;
+    only interior deletions keep an exact-membership bitmap."""
+    import numpy as np
+
+    from deltalake_datafusion_spark.delta.deletion_vectors import (
+        _MAX_ROW_INDEX,
+        _dv_access_plan,
+    )
+
+    # pure prefix delete [0..89] of a 100-row file: empty interior
+    mn, mx, interior = _dv_access_plan(np.arange(90), 100)
+    assert (mn, mx, len(interior)) == (90, 99, 0)
+    # pure suffix delete [90..99]
+    mn, mx, interior = _dv_access_plan(np.arange(90, 100), 100)
+    assert (mn, mx, len(interior)) == (0, 89, 0)
+    # prefix + interior + suffix
+    deleted = np.concatenate([np.arange(10), [50, 51], np.arange(95, 100)])
+    mn, mx, interior = _dv_access_plan(deleted, 100)
+    assert (mn, mx) == (10, 94)
+    assert interior.tolist() == [50, 51]
+    # unknown numRecords: suffix cannot be proven contiguous
+    mn, mx, interior = _dv_access_plan(np.arange(90, 100), None)
+    assert mn == 0 and mx == _MAX_ROW_INDEX and len(interior) == 10
+    # fully-deleted file (not normally planned): range excludes all
+    mn, mx, interior = _dv_access_plan(np.arange(100), 100)
+    assert mn == 100 and mx == -1 and len(interior) == 0
+
+
+def test_dv_contiguous_delete_scan_has_no_python(spark, tmp_path):
+    """A prefix DELETE's scan must be pure JVM codegen: the deleted
+    span is dropped by the broadcast range filter, no ArrowEvalPython
+    in the plan. An interior delete keeps the exact bitmap UDF."""
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.range(1000).select("id", (F.col("id") * 2).alias("v")),
+        path,
+    )
+    delete_delta(spark, path, "id < 900")  # 90%-deleted contiguous prefix
+    df = read_delta(spark, path)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert sorted(r["id"] for r in df.collect()) == list(range(900, 1000))
+
+    delete_delta(spark, path, "id = 950")  # interior hole → exact test
+    df2 = read_delta(spark, path)
+    assert "ArrowEvalPython" in _plan(df2)
+    got = sorted(r["id"] for r in df2.collect())
+    assert got == [i for i in range(900, 1000) if i != 950]
+
+
+def test_dv_broadcast_is_compressed_blobs(spark, tmp_path):
+    """The interior-deletion broadcast ships roaring blobs (bytes ∝
+    runs), never 8 B × cardinality int64 arrays: a 50%-interior-deleted
+    file's payload stays in the low KBs."""
+    from deltalake_datafusion_spark.delta.deletion_vectors import (
+        _dv_access_plan,
+        serialize_bitmap,
+    )
+    import numpy as np
+
+    # every even index deleted: worst-ish case (no long runs)
+    deleted = np.arange(0, 100_000, 2)
+    _mn, _mx, interior = _dv_access_plan(deleted, 100_000)
+    blob = serialize_bitmap(interior)
+    assert len(blob) < 20_000  # vs 400 KB as raw int64
