@@ -228,6 +228,7 @@ def clone_delta(
                              f.default_row_commit_version}
                         if f.base_row_id is not None else {}
                     ),
+                    **({"tags": f.tags} if f.tags else {}),
                 }
             }
         )

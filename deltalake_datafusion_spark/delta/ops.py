@@ -1514,15 +1514,32 @@ def optimize_delta(
     vacuumed; other files are untouched."""
     snap = load_snapshot(table_path, spark=spark)
     threshold = small_file_threshold or target_file_size // 2
+    from deltalake_datafusion_spark.delta.writer import clustering_columns
+
+    cluster_cols = clustering_columns(snap)
+    incremental_cluster = False
     if zorder_by is None and not purge:
         # Liquid clustering: a table with a delta.clustering domain
         # clusters on OPTIMIZE by its declared columns (delta-spark
-        # OPTIMIZE-on-clustered-table semantics).
-        from deltalake_datafusion_spark.delta.writer import (
-            clustering_columns,
-        )
-
-        zorder_by = clustering_columns(snap) or None
+        # OPTIMIZE-on-clustered-table semantics). INCREMENTAL: files
+        # written by a previous clustered OPTIMIZE carry a
+        # clusteredBy tag; only untagged (new/rewritten-elsewhere)
+        # files are re-clustered — delta-spark's liquid behavior,
+        # where a steady-state OPTIMIZE on an unchanged table
+        # rewrites nothing. OPTIMIZE FULL (explicit zorder_by)
+        # bypasses the skip and re-clusters everything — but its
+        # outputs are tagged too, so the next incremental run skips
+        # them.
+        zorder_by = cluster_cols or None
+        incremental_cluster = zorder_by is not None
+    cluster_tag: dict[str, str] | None = (
+        {
+            "clusteringProvider": "liquidClustering",
+            "clusteredBy": ",".join(zorder_by),
+        }
+        if zorder_by and list(zorder_by) == list(cluster_cols)
+        else None
+    )
     scope = _partition_scope_files(snap, predicate)
     if only_partitions is not None:
         # auto-compaction scope: exactly the partitions a write touched
@@ -1531,8 +1548,17 @@ def optimize_delta(
         victims = [f for f in scope if f.dv is not None]
         if not victims:
             return {"files_compacted": 0, "files_added": 0, "version": snap.version}
+    elif incremental_cluster:
+        victims = [
+            f
+            for f in scope
+            if (f.tags or {}).get("clusteredBy")
+            != cluster_tag["clusteredBy"]
+        ]
+        if not victims:
+            return {"files_compacted": 0, "files_added": 0, "version": snap.version}
     elif zorder_by:
-        victims = list(scope)  # clustering rewrites everything in scope
+        victims = list(scope)  # explicit ZORDER rewrites all in scope
     else:
         victims = [f for f in scope if f.size < threshold]
         if len(victims) < 2:
@@ -1690,6 +1716,11 @@ def optimize_delta(
                         "modificationTime": mtime_ms,
                         "dataChange": False,
                         "stats": stats_by_rel[rel],
+                        **(
+                            {"tags": cluster_tag}
+                            if cluster_tag is not None
+                            else {}
+                        ),
                     }
                 }
             )
@@ -1950,13 +1981,16 @@ def _materialized_row_ver_col(snap) -> str | None:
 
 
 def _row_id_fields(f) -> dict:
-    """baseRowId carry-through for re-adds of an existing AddFile."""
-    if getattr(f, "base_row_id", None) is None:
-        return {}
-    return {
-        "baseRowId": f.base_row_id,
-        "defaultRowCommitVersion": f.default_row_commit_version,
-    }
+    """baseRowId / tags carry-through for re-adds of an existing
+    AddFile (DV update, RESTORE): the physical file is unchanged, so
+    its row-id block and clustered-ness marker stay valid."""
+    out: dict = {}
+    if getattr(f, "base_row_id", None) is not None:
+        out["baseRowId"] = f.base_row_id
+        out["defaultRowCommitVersion"] = f.default_row_commit_version
+    if getattr(f, "tags", None):
+        out["tags"] = f.tags
+    return out
 
 
 def _remove_action(f) -> dict:

@@ -78,6 +78,7 @@ class AddFile:
     dv: DvDescriptor | None = None
     base_row_id: int | None = None  # rowTracking feature
     default_row_commit_version: int | None = None
+    tags: dict[str, str] | None = None  # e.g. liquid-clustering marker
 
     @property
     def dv_id(self) -> str:
@@ -392,6 +393,7 @@ def _apply_actions(actions, state: _ReplayState, with_files: bool) -> None:
                 dv=dv,
                 base_row_id=ad.get("baseRowId"),
                 default_row_commit_version=ad.get("defaultRowCommitVersion"),
+                tags=dict(ad["tags"]) if ad.get("tags") else None,
             )
         elif "remove" in a and a["remove"]:
             if not with_files:

@@ -1498,6 +1498,7 @@ def write_checkpoint(spark, snapshot: Snapshot) -> str:
                          "defaultRowCommitVersion": f.default_row_commit_version}
                         if f.base_row_id is not None else {}
                     ),
+                    **({"tags": f.tags} if f.tags else {}),
                 }
             }
         )

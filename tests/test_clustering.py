@@ -157,3 +157,109 @@ def test_optimize_full_sql(spark, tmp_path):
     write_delta(spark, spark.range(10).selectExpr("id"), path2)
     with pytest.raises(SqlParseError, match="clustered"):
         sql(spark, f"OPTIMIZE '{path2}' FULL")
+
+
+def test_clustered_optimize_is_incremental(spark, tmp_path):
+    """VERDICT r4 task 5: liquid clustering only rewrites
+    un-clustered files — a second OPTIMIZE on an unchanged clustered
+    table rewrites 0 files; after an append, only the NEW file is
+    clustered; OPTIMIZE FULL re-clusters everything and its outputs
+    are tagged so the next incremental run is again a no-op."""
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "t")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("k", LongType())]
+    )
+    create_delta_table(spark, path, schema, cluster_by=["k"])
+    df = spark.range(2000).select(
+        "id", ((F.col("id") * 7919) % 500).alias("k")
+    )
+    write_delta(spark, df.repartition(4), path, mode="append")
+
+    res1 = optimize_delta(spark, path, target_file_size=8 * 1024)
+    assert res1["files_compacted"] == 4
+    snap1 = load_snapshot(path, spark=spark)
+    assert all(
+        (f.tags or {}).get("clusteredBy") == "k" for f in snap1.files
+    )
+
+    # unchanged table → 0 rewrites, no new version
+    res2 = optimize_delta(spark, path, target_file_size=8 * 1024)
+    assert res2["files_compacted"] == 0
+    assert res2["version"] == res1["version"]
+
+    # append one small file → only IT is rewritten
+    write_delta(
+        spark,
+        spark.range(2000, 2100).select(
+            "id", ((F.col("id") * 7919) % 500).alias("k")
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    n_clustered = len(snap1.files)
+    res3 = optimize_delta(spark, path, target_file_size=8 * 1024)
+    assert res3["files_compacted"] == 1
+    snap3 = load_snapshot(path, spark=spark)
+    assert all(
+        (f.tags or {}).get("clusteredBy") == "k" for f in snap3.files
+    )
+    assert read_delta(spark, path).count() == 2100
+
+    # FULL re-clusters every file (the incremental skip is bypassed)
+    res_full = None
+    sql(spark, f"OPTIMIZE delta.`{path}` FULL")
+    snap4 = load_snapshot(path, spark=spark)
+    assert all(
+        (f.tags or {}).get("clusteredBy") == "k" for f in snap4.files
+    )
+    # globally re-clustered: disjoint k ranges across ALL files again
+    r = _ranges(snap4, "k")
+    assert all(r[i][1] <= r[i + 1][0] for i in range(len(r) - 1))
+    # ...and the next incremental OPTIMIZE is again a no-op
+    res5 = optimize_delta(spark, path, target_file_size=8 * 1024)
+    assert res5["files_compacted"] == 0
+
+
+def test_cluster_tags_survive_checkpoint_and_restore(spark, tmp_path):
+    """The clusteredBy tag must survive a checkpoint round-trip and a
+    RESTORE re-add, or incremental OPTIMIZE would silently go
+    full-rewrite after either."""
+    from deltalake_datafusion_spark.delta.ops import restore_delta
+    from deltalake_datafusion_spark.delta.writer import write_checkpoint
+
+    path = str(tmp_path / "t")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("k", LongType())]
+    )
+    create_delta_table(spark, path, schema, cluster_by=["k"])
+    write_delta(
+        spark,
+        spark.range(500).select("id", (F.col("id") % 100).alias("k")),
+        path,
+        mode="append",
+    )
+    optimize_delta(spark, path, target_file_size=8 * 1024)
+    v_opt = load_snapshot(path, spark=spark).version
+
+    write_checkpoint(spark, load_snapshot(path, spark=spark))
+    snap_cp = load_snapshot(path, spark=spark)
+    assert all(
+        (f.tags or {}).get("clusteredBy") == "k" for f in snap_cp.files
+    )
+
+    # delete-then-restore: the re-added files keep their tags
+    write_delta(
+        spark,
+        spark.range(500, 600).select("id", (F.col("id") % 100).alias("k")),
+        path,
+        mode="overwrite",
+    )
+    restore_delta(spark, path, version=v_opt)
+    snap_r = load_snapshot(path, spark=spark)
+    assert all(
+        (f.tags or {}).get("clusteredBy") == "k" for f in snap_r.files
+    )
+    res = optimize_delta(spark, path, target_file_size=8 * 1024)
+    assert res["files_compacted"] == 0  # still recognized as clustered
