@@ -139,15 +139,46 @@ def decode_image_metadata(
     )
 
 
+def pillow_resize(payload: bytes, target: tuple[int, int]) -> bytes:
+    """Real pixel transform: decode with Pillow, resize, re-encode in
+    the source format. Only importable when Pillow is installed —
+    resolved lazily so the package never hard-depends on it."""
+    import io
+
+    from PIL import Image
+
+    im = Image.open(io.BytesIO(payload))
+    fmt = im.format or "PNG"
+    out = io.BytesIO()
+    im.resize(target).save(out, format=fmt)
+    return out.getvalue()
+
+
+def _try_pillow_resize():
+    """The optional-codec seam (VERDICT r4 task 8): returns
+    :func:`pillow_resize` when Pillow imports, else None — the
+    operator falls back to its documented fail-fast."""
+    try:
+        import PIL.Image  # noqa: F401
+    except Exception:
+        return None
+    return pillow_resize
+
+
 def resize_images(
     media: DataFrame,
     target: tuple[int, int] = (224, 224),
     resize_fn: Callable[[bytes, tuple[int, int]], bytes] | None = None,
 ) -> DataFrame:
-    """Resize stage. Real implementation: PIL resize + re-encode; the
-    stub raises so nobody mistakes the fake for a real transform —
-    the *plumbing* (schema, batching) is what this exercises."""
+    """Resize stage. With Pillow installed (or an explicit
+    ``resize_fn``) this is a REAL decode→resize→re-encode transform;
+    without either it raises so nobody mistakes the fake for a real
+    transform — the *plumbing* (schema, batching) is exercised either
+    way."""
     import pandas as pd
+
+    if resize_fn is None:
+        resize_fn = _try_pillow_resize()
 
     out_schema = StructType(
         [

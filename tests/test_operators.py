@@ -560,3 +560,59 @@ def test_multimodal_codec_seam_with_real_png(spark):
     assert (out[2]["width"], out[2]["height"]) == (64, 2)
     assert out[3]["format"] is None
     assert out[1]["n_bytes"] == len(make_png(17, 9))
+
+
+def _make_png(w, h):
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_resize_images_pillow_seam(spark):
+    """VERDICT r4 task 8: resize_images auto-discovers Pillow. With it
+    installed the stage is a REAL decode→resize→re-encode (verified
+    by re-sniffing the output header); without it the documented
+    fail-fast stands, and an explicit resize_fn always works."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from deltalake_datafusion_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(1, _make_png(16, 12)), (2, _make_png(8, 8))],
+        StructType(
+            [StructField("media_id", LongType(), False),
+             StructField("payload", BinaryType(), True)]
+        ),
+    )
+
+    if mm._try_pillow_resize() is None:
+        # container without Pillow: fail-fast contract
+        with pytest.raises(Exception) as ei:
+            mm.resize_images(media).collect()
+        assert "Pillow" in str(ei.value) or "NotImplementedError" in str(ei.value)
+    else:
+        rows = mm.resize_images(media, target=(4, 6)).collect()
+        metas = [mm.sniff_image_header(bytes(r["payload"])) for r in rows]
+        assert all(m["width"] == 4 and m["height"] == 6 for m in metas)
+
+    # explicit resize_fn path exercises the full batching either way
+    out = mm.resize_images(
+        media, target=(4, 6),
+        resize_fn=lambda p, t: p[:10] + bytes(t),
+    ).collect()
+    assert {r["media_id"] for r in out} == {1, 2}
+    assert all(len(r["payload"]) == 12 for r in out)
