@@ -66,6 +66,45 @@ class MergeCardinalityError(Exception):
 DV_MERGE_THRESHOLD_BYTES = 64 * 1024 * 1024
 
 
+def _restart_on_conflict(attempt, max_restarts: int = 3):
+    """Self-healing DML/maintenance loop (delta-spark semantics): a
+    true concurrency conflict — `ConcurrentModificationError` from
+    conflict validation — restarts the WHOLE transaction against a
+    fresh snapshot (re-scan candidates, re-plan, re-commit) instead
+    of surfacing to the caller. ``attempt`` must be a zero-argument
+    callable that plans from the current tip and cleans up its own
+    staged files before letting the error escape."""
+    from deltalake_datafusion_spark.delta.writer import (
+        ConcurrentModificationError,
+    )
+
+    last: Exception | None = None
+    for _ in range(max(1, max_restarts)):
+        try:
+            return attempt()
+        except ConcurrentModificationError as e:
+            last = e
+    raise last
+
+
+def _cleanup_staged_adds(spark, table_path: str, actions: list[dict]) -> None:
+    """Best-effort delete of the data files a failed attempt staged
+    into the table (its add actions never committed, so nothing
+    references them; DV sidecars are tiny and left for VACUUM)."""
+    try:
+        fs = fs_for(table_path, spark)
+        for a in actions:
+            body = a.get("add")
+            if body and not body.get("deletionVector"):
+                import urllib.parse as _up
+
+                fs.delete(
+                    os.path.join(table_path, _up.unquote(body["path"]))
+                )
+    except Exception:
+        pass
+
+
 def _reject_generated_set(schema, set_exprs: dict, op: str) -> None:
     """Explicit SET of a generated column is rejected (delta-spark
     behavior): a stored value inconsistent with
@@ -284,7 +323,9 @@ def _dv_soft_delete_actions(spark, snap, rowmeta_df, candidates, fs):
                     "shared storage; unset the conf to use the "
                     "driver-side DV write path"
                 )
-    by_path = {f.path: f for f in snap.files}
+    # hits can only come from candidate files — O(candidates), never
+    # O(table files), driver-side
+    by_path = {f.path: f for f in candidates}
 
     full_removes = []
     written: list[tuple] = []  # (AddFile, token, offset, size, card)
@@ -519,14 +560,27 @@ def _delete_plan(
     }
 
 
-def delete_delta(spark, table_path: str, predicate: str | None = None) -> dict:
+def delete_delta(
+    spark, table_path: str, predicate: str | None = None,
+    max_restarts: int = 3,
+) -> dict:
     """Delete rows matching ``predicate``. Returns a summary dict
     {files_rewritten, files_removed, rows_deleted, version}.
 
-    Commits through the conflict-validating optimistic path: a
-    concurrent commit touching the same files (or table metadata)
-    raises ConcurrentModificationError instead of silently re-applying
-    stale actions; disjoint concurrent commits retry cleanly."""
+    Commits through the conflict-validating optimistic path; a true
+    read-write conflict (concurrent commit touching the same files,
+    appending rows that may match the predicate, or changing table
+    metadata) RESTARTS the whole transaction from a fresh snapshot —
+    re-scan, re-plan, re-commit — up to ``max_restarts`` times
+    (delta-spark semantics); disjoint concurrent commits retry
+    cheaply without re-planning."""
+    return _restart_on_conflict(
+        lambda: _delete_attempt(spark, table_path, predicate),
+        max_restarts,
+    )
+
+
+def _delete_attempt(spark, table_path: str, predicate: str | None) -> dict:
     from deltalake_datafusion_spark.delta.constraints import check_append_only
     from deltalake_datafusion_spark.delta.writer import commit_with_retries
 
@@ -558,13 +612,25 @@ def delete_delta(spark, table_path: str, predicate: str | None = None) -> dict:
 def update_delta(
     spark, table_path: str, set_exprs: dict[str, str],
     predicate: str | None = None,
+    max_restarts: int = 3,
 ) -> dict:
     """UPDATE ... SET ... [WHERE]: deletion-vector the matched rows in
     place and append the updated versions as new files. Only files
     that can contain matches (stats pruning) are touched; unmatched
     rows are never rewritten — the DV path makes UPDATE cost ∝
     matched data, not file data. ``predicate=None`` updates every
-    row."""
+    row. A true concurrency conflict restarts the whole transaction
+    from a fresh snapshot (see :func:`_restart_on_conflict`)."""
+    return _restart_on_conflict(
+        lambda: _update_attempt(spark, table_path, set_exprs, predicate),
+        max_restarts,
+    )
+
+
+def _update_attempt(
+    spark, table_path: str, set_exprs: dict[str, str],
+    predicate: str | None = None,
+) -> dict:
     from deltalake_datafusion_spark.delta.constraints import (
         check_append_only,
         table_constraints,
@@ -705,12 +771,20 @@ def update_delta(
                 }
             }
         )
-    from deltalake_datafusion_spark.delta.writer import commit_with_retries
-
-    version = commit_with_retries(
-        spark, snap.table_path, snap, plan["actions"] + adds + cdc_actions,
-        "UPDATE", plan["touched_paths"], read_predicate=predicate,
+    from deltalake_datafusion_spark.delta.writer import (
+        ConcurrentModificationError,
+        commit_with_retries,
     )
+
+    try:
+        version = commit_with_retries(
+            spark, snap.table_path, snap,
+            plan["actions"] + adds + cdc_actions,
+            "UPDATE", plan["touched_paths"], read_predicate=predicate,
+        )
+    except ConcurrentModificationError:
+        _cleanup_staged_adds(spark, snap.table_path, adds)
+        raise
     out = load_snapshot(table_path, spark=spark)
     maybe_checkpoint(spark, out)
     return {
@@ -1356,15 +1430,10 @@ def _merge_attempt(
         )
     except ConcurrentModificationError:
         # this attempt's staged data files will never be referenced —
-        # best-effort delete them before merge_delta restarts the
-        # transaction from a fresh snapshot (DV sidecars, if any, are
-        # left for VACUUM: they are tiny and unreferenced)
-        try:
-            _fs = fs_for(snap.table_path, spark)
-            for rel, _pv, _size, _mt in moved:
-                _fs.delete(os.path.join(snap.table_path, rel))
-        except Exception:
-            pass
+        # delete them before merge_delta restarts the transaction
+        # from a fresh snapshot (DV re-adds of existing files are
+        # excluded; DV sidecars are tiny and left for VACUUM)
+        _cleanup_staged_adds(spark, snap.table_path, actions)
         raise
     out_snap = load_snapshot(table_path, spark=spark)
     maybe_checkpoint(spark, out_snap)
@@ -1488,6 +1557,30 @@ def _cluster_by_zvalue(df, zcols: list[str], n_out: int):
 
 
 def optimize_delta(
+    spark,
+    table_path: str,
+    target_file_size: int = 128 * 1024 * 1024,
+    small_file_threshold: int | None = None,
+    zorder_by: list[str] | None = None,
+    purge: bool = False,
+    predicate: str | None = None,
+    only_partitions: list[dict] | None = None,
+    max_restarts: int = 3,
+) -> dict:
+    """OPTIMIZE (self-healing: a concurrent DML touching the files
+    being compacted restarts the rewrite against a fresh snapshot —
+    see :func:`_restart_on_conflict`; disjoint commits retry without
+    re-planning). See :func:`_optimize_attempt` for plan semantics."""
+    return _restart_on_conflict(
+        lambda: _optimize_attempt(
+            spark, table_path, target_file_size, small_file_threshold,
+            zorder_by, purge, predicate, only_partitions,
+        ),
+        max_restarts,
+    )
+
+
+def _optimize_attempt(
     spark,
     table_path: str,
     target_file_size: int = 128 * 1024 * 1024,
@@ -1753,13 +1846,20 @@ def optimize_delta(
             actions.extend(_rewrite_group(key, group))
     n_added = sum(1 for a in actions if a.get("add"))
 
-    from deltalake_datafusion_spark.delta.writer import commit_with_retries
-
-    version = commit_with_retries(
-        spark, snap.table_path, snap, actions,
-        "REORG" if purge else "OPTIMIZE",
-        {f.path for f in victims},
+    from deltalake_datafusion_spark.delta.writer import (
+        ConcurrentModificationError,
+        commit_with_retries,
     )
+
+    try:
+        version = commit_with_retries(
+            spark, snap.table_path, snap, actions,
+            "REORG" if purge else "OPTIMIZE",
+            {f.path for f in victims},
+        )
+    except ConcurrentModificationError:
+        _cleanup_staged_adds(spark, snap.table_path, actions)
+        raise
     out = load_snapshot(table_path, spark=spark)
     maybe_checkpoint(spark, out)
     return {

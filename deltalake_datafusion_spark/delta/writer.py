@@ -1384,6 +1384,7 @@ def _maybe_auto_compact(spark, snap: Snapshot, adds: list[dict]) -> None:
             spark, snap.table_path,
             small_file_threshold=AUTO_COMPACT_SMALL_BYTES,
             only_partitions=seen,
+            max_restarts=1,  # best-effort: don't fight a live writer
         )
     except (ConcurrentWriteError, ConcurrentModificationError):
         # best-effort: the triggering write already committed; a

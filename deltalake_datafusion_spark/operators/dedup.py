@@ -35,6 +35,7 @@ Scale design (100 TB corpora):
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import DataFrame, Window
@@ -209,20 +210,14 @@ def _signature_of_arrow(hsh: DataFrame, num_perm: int, seed: int) -> DataFrame:
     return hsh.mapInPandas(sig_batches, "id long, sig array<bigint>")
 
 
-def minhash_lsh_candidates(
-    sigs: DataFrame,
-    bands: int = 32,
-    max_bucket: int = 200,
-) -> DataFrame:
-    """LSH banding over signatures → candidate pairs (id_a < id_b).
-
-    One shuffle keyed on (band, band_hash); oversized buckets (skew /
-    degenerate content) are dropped with a count logged in the plan via
-    ``max_bucket`` — pairs inside them are overwhelmingly true dups of
-    an already-found cluster.
-    """
+def _band_hashes(sigs: DataFrame, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH band hashes — ``bands`` rows per
+    signature, entirely JVM-side. Shared by the in-batch candidate
+    join and the incremental store (which persists these rows so a
+    later ingestion joins against them instead of re-banding the
+    corpus)."""
     rows_per_band = (F.size("sig") / bands).cast("int")
-    banded = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.transform(
@@ -244,6 +239,21 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    bands: int = 32,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """LSH banding over signatures → candidate pairs (id_a < id_b).
+
+    One shuffle keyed on (band, band_hash); oversized buckets (skew /
+    degenerate content) are dropped with a count logged in the plan via
+    ``max_bucket`` — pairs inside them are overwhelmingly true dups of
+    an already-found cluster.
+    """
+    banded = _band_hashes(sigs, bands)
 
     grouped = (
         banded.groupBy("band", "bucket")
@@ -737,3 +747,141 @@ def line_dedup(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# Incremental ingestion dedup (persisted signature store)             #
+# ------------------------------------------------------------------ #
+
+
+def incremental_minhash_dedup(
+    spark,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    store_path: str,
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Dedup a NEW batch against a persisted signature store — the
+    production incremental-ingestion shape: the historical corpus's
+    TEXT is never re-read; its minhash signatures, shingle-hash sets
+    (for exact-Jaccard verification), and LSH band hashes live in two
+    Delta tables under ``store_path`` (``docs``: id/sig/sh;
+    ``bands``: id/band/bucket). One ingestion run costs
+    O(new batch) text processing + a band-hash join whose corpus-side
+    scan is metadata-scale (three ints per band row, ~0.3 % of text
+    bytes) — never O(corpus text), never all-pairs.
+
+    Deterministic drop rule: a new doc is dropped iff its exact
+    shingle-set Jaccard reaches ``threshold`` against ANY stored doc
+    or any lower-id doc of the same batch (LSH recall caveats as in
+    :func:`minhash_dedup_pairs`). Survivors' rows are appended to the
+    store (docs then bands — two commits; re-run after a crash
+    between them re-appends only bands, which at worst re-finds the
+    same duplicates).
+
+    Returns the surviving rows of ``new_docs`` (original columns).
+    """
+    from pyspark import StorageLevel
+
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import DeltaNotFoundError
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    docs_path = os.path.join(store_path, "docs")
+    bands_path = os.path.join(store_path, "bands")
+    try:
+        store_docs = read_delta(spark, docs_path)
+        store_bands = read_delta(spark, bands_path)
+    except DeltaNotFoundError:
+        store_docs = store_bands = None
+
+    sh = _hashed_shingles(new_docs, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh.count()  # eager: shared by signature build + verify joins
+    sigs = _signature_of_arrow(sh, num_perm, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    new_bands = _band_hashes(sigs, bands)
+
+    def _verified(pairs, left_sh, right_sh):
+        return (
+            pairs.join(
+                left_sh.withColumnRenamed("id", "a").withColumnRenamed(
+                    "sh", "sh_a"
+                ),
+                "a",
+            )
+            .join(
+                right_sh.withColumnRenamed("id", "b").withColumnRenamed(
+                    "sh", "sh_b"
+                ),
+                "b",
+            )
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b")
+        )
+
+    # In-batch: lower id wins (keep-first), bucket-joined, verified.
+    intra = minhash_lsh_candidates(sigs, bands, max_bucket)
+    dup_ids = _verified(intra, sh, sh).select(F.col("b").alias("id"))
+
+    if store_bands is not None:
+        # vs store: only buckets the new batch touches are counted /
+        # joined — corpus-side cost ∝ matching band rows. Oversized
+        # matched buckets are skew-capped like the in-batch path.
+        matched = store_bands.join(
+            new_bands.select("band", "bucket").distinct(),
+            ["band", "bucket"],
+            "left_semi",
+        )
+        small_buckets = (
+            matched.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .select("band", "bucket")
+        )
+        cross = (
+            new_bands.withColumnRenamed("id", "a")
+            .join(small_buckets, ["band", "bucket"], "left_semi")
+            .join(
+                matched.withColumnRenamed("id", "b"),
+                ["band", "bucket"],
+            )
+            .select("a", "b")
+            .distinct()
+        )
+        dup_vs_store = _verified(
+            cross, sh, store_docs.select("id", "sh")
+        ).select(F.col("a").alias("id"))
+        dup_ids = dup_ids.unionByName(dup_vs_store)
+
+    dup_ids = dup_ids.distinct()
+    survivors = new_docs.join(
+        dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    surv_ids = survivors.select(F.col(id_col).alias("id"))
+    surv_docs = sigs.join(surv_ids, "id", "left_semi").join(sh, "id")
+    write_delta(
+        spark, surv_docs.select("id", "sig", "sh"), docs_path, mode="append"
+    )
+    write_delta(
+        spark,
+        new_bands.join(surv_ids, "id", "left_semi"),
+        bands_path,
+        mode="append",
+    )
+    sh.unpersist()
+    sigs.unpersist()
+    return survivors

@@ -950,6 +950,70 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def delta_incremental_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental liquid clustering (delta-spark semantics): after an
+    initial clustered OPTIMIZE, a second OPTIMIZE on the unchanged
+    table rewrites 0 files; an append is re-clustered by the next
+    OPTIMIZE touching ONLY the new file (asserted in-query). The
+    returned per-nation audit is clustering-invariant, so the DuckDB
+    oracle reads the source parquet directly."""
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import (
+        create_delta_table, write_delta,
+    )
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    t = load_tables(spark, sf_dir, "customer")
+    path = os.path.join(_fresh_dir("inc_cluster", sf_dir), "t")
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_nationkey", LongType()),
+            StructField("c_acctbal", DoubleType()),
+        ]
+    )
+    create_delta_table(spark, path, schema, cluster_by=["c_nationkey"])
+    cust = t["customer"].select("c_custkey", "c_nationkey", "c_acctbal")
+    first = cust.filter("c_custkey % 5 != 0")
+    second = cust.filter("c_custkey % 5 = 0")
+    write_delta(spark, first.repartition(4), path, mode="append")
+
+    r1 = optimize_delta(spark, path, target_file_size=64 * 1024)
+    assert r1["files_compacted"] == 4, r1
+    r2 = optimize_delta(spark, path, target_file_size=64 * 1024)
+    assert r2["files_compacted"] == 0, r2  # steady state: no rewrite
+    write_delta(spark, second.coalesce(1), path, mode="append")
+    r3 = optimize_delta(spark, path, target_file_size=64 * 1024)
+    assert r3["files_compacted"] == 1, r3  # only the new file
+    snap = load_snapshot(path, spark=spark)
+    assert all(
+        (f.tags or {}).get("clusteredBy") == "c_nationkey"
+        for f in snap.files
+    )
+    return (
+        read_delta(spark, path)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_INC_CLUSTER_SQL = """
+SELECT c_nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 def delta_zorder_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column Z-order end-to-end: orders spread across many
     files are rewritten with ZORDER BY (o_custkey, o_totalprice) —
@@ -1055,5 +1119,10 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec(
             "delta_zorder_multi", delta_zorder_multi, _ZORDER_MULTI_SQL
+        ),
+        QuerySpec(
+            "delta_incremental_cluster",
+            delta_incremental_cluster,
+            _INC_CLUSTER_SQL,
         ),
     ]

@@ -371,3 +371,92 @@ def test_merge_restarts_on_concurrent_tblproperties(
     assert all(out[k] == k * 2 for k in range(5))
     conf = load_snapshot(path, spark=spark).metadata.configuration
     assert conf.get("custom.tag") == "mid-merge"
+
+
+def test_delete_and_update_restart_on_concurrent_metadata(
+    spark, tmp_path, monkeypatch
+):
+    """DELETE and UPDATE self-heal on a true conflict: a concurrent
+    SET TBLPROPERTIES lands after planning — the transaction restarts
+    from a fresh snapshot and commits; the property survives."""
+    from deltalake_datafusion_spark.delta import ops as omod
+    from deltalake_datafusion_spark.delta.ops import update_delta
+    from deltalake_datafusion_spark.delta.properties import set_tblproperties
+
+    path = os.path.join(str(tmp_path), "t")
+    write_delta(
+        spark,
+        spark.range(100).select("id", (F.col("id") * 2).alias("v")),
+        path,
+    )
+
+    orig_plan = omod._delete_plan
+    fired = {"n": 0, "armed": True}
+
+    def plan_with_race(spark_, snap_, pred, **kw):
+        out = orig_plan(spark_, snap_, pred, **kw)
+        if fired["armed"]:
+            fired["armed"] = False  # one rival per operation
+            fired["n"] += 1
+            set_tblproperties(
+                spark, path, {"custom.race": f"hit-{fired['n']}"}
+            )
+        return out
+
+    monkeypatch.setattr(omod, "_delete_plan", plan_with_race)
+    res = delete_delta(spark, path, "id < 10")
+    assert res["rows_deleted"] == 10
+
+    # UPDATE goes through _delete_plan too (old-copy DVs)
+    fired["armed"] = True
+    res2 = update_delta(spark, path, {"v": "v + 1"}, "id >= 90")
+    assert res2["rows_updated"] == 10
+
+    out = {r["id"]: r["v"] for r in read_delta(spark, path).collect()}
+    assert len(out) == 90
+    assert all(out[i] == i * 2 + 1 for i in range(90, 100))
+    assert all(out[i] == i * 2 for i in range(10, 90))
+    conf = load_snapshot(path, spark=spark).metadata.configuration
+    assert conf["custom.race"].startswith("hit-")
+
+
+def test_optimize_restarts_on_concurrent_delete(
+    spark, tmp_path, monkeypatch
+):
+    """OPTIMIZE vs a concurrent DELETE DV-ing one of the files being
+    compacted: a real file conflict — the rewrite restarts against
+    the fresh snapshot and the compacted table reflects the delete
+    (no resurrected rows, no lost delete)."""
+    from deltalake_datafusion_spark.delta import ops as omod
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+
+    path = os.path.join(str(tmp_path), "t")
+    for lo in (0, 40, 80):
+        write_delta(
+            spark,
+            spark.range(lo, lo + 40).select(
+                "id", (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            path,
+            mode="append",
+        )
+
+    orig_scope = omod._partition_scope_files
+    fired = {"done": False}
+
+    def scope_with_race(snap_, pred):
+        out = orig_scope(snap_, pred)
+        if not fired["done"]:
+            fired["done"] = True
+            delete_delta(spark, path, "id % 4 = 1")
+        return out
+
+    monkeypatch.setattr(omod, "_partition_scope_files", scope_with_race)
+    res = optimize_delta(spark, path)
+    assert res["files_compacted"] >= 2
+    got = sorted(r["id"] for r in read_delta(spark, path).collect())
+    assert got == [i for i in range(120) if i % 4 != 1]
+    # the compaction materialized the DVs: no live file carries one
+    assert all(
+        f.dv is None for f in load_snapshot(path, spark=spark).files
+    )

@@ -372,19 +372,28 @@ def test_concurrent_disjoint_commit_retries_cleanly(spark, tmp_path, monkeypatch
     assert out.filter("id >= 100").count() == 10
 
 
-def test_concurrent_conflicting_commit_raises(spark, tmp_path, monkeypatch):
-    """A concurrent DELETE that touches the same file must fail the
-    second transaction instead of silently re-applying stale actions."""
+def test_concurrent_conflicting_commit_restarts_not_reapplies(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent DELETE that touches the same file must NOT have
+    its stale actions silently re-applied at the new version: the
+    loser detects the file conflict, RESTARTS from a fresh snapshot
+    (re-plan, not blind retry), and lands the serial end state — the
+    delete applied exactly once."""
+    import deltalake_datafusion_spark.delta.ops as omod
     import deltalake_datafusion_spark.delta.writer as w
-    from deltalake_datafusion_spark.delta.writer import (
-        ConcurrentModificationError,
-    )
 
     path = str(tmp_path / "cc_conflict")
     write_delta(spark, spark.range(20).select("id").repartition(1), path)
 
     real_commit = w.commit
     fired = {"done": False}
+    plans = {"n": 0}
+    orig_plan = omod._delete_plan
+
+    def counting_plan(*a, **kw):
+        plans["n"] += 1
+        return orig_plan(*a, **kw)
 
     def racing_commit(table_path, version, actions, operation, spark_=None, **kw):
         if not fired["done"] and operation == "DELETE":
@@ -394,8 +403,12 @@ def test_concurrent_conflicting_commit_raises(spark, tmp_path, monkeypatch):
         return real_commit(table_path, version, actions, operation, spark_)
 
     monkeypatch.setattr(w, "commit", racing_commit)
-    with pytest.raises(ConcurrentModificationError):
-        delete_delta(spark, path, "id < 5")
+    monkeypatch.setattr(omod, "_delete_plan", counting_plan)
+    res = delete_delta(spark, path, "id < 5")
+    assert plans["n"] == 2  # true conflict → full re-plan, not blind retry
+    assert res["rows_deleted"] == 0  # rival already deleted them
+    got = sorted(r.id for r in read_delta(spark, path).collect())
+    assert got == list(range(5, 20))  # applied exactly once
 
 
 def test_delete_without_predicate_truncates_metadata_only(spark, tmp_path, monkeypatch):
@@ -578,22 +591,28 @@ def test_merge_matched_update_is_simultaneous(spark, tmp_path):
     assert out[2] == (30, 40)
 
 
-def test_concurrent_append_matching_read_predicate_conflicts(
+def test_concurrent_append_matching_read_predicate_replans(
     spark, tmp_path, monkeypatch
 ):
     """Delta's ConcurrentAppendException: a DELETE racing an append of
-    rows that match the DELETE's predicate must fail, not retry
-    cleanly (the appended rows were not seen by the DELETE's read)."""
+    rows that match the DELETE's predicate must NOT retry blindly (the
+    appended rows were not seen by its read) — it re-plans from the
+    fresh snapshot and deletes the appended matches too, landing the
+    serial append-then-delete state."""
+    import deltalake_datafusion_spark.delta.ops as omod
     import deltalake_datafusion_spark.delta.writer as w
-    from deltalake_datafusion_spark.delta.writer import (
-        ConcurrentModificationError,
-    )
 
     path = str(tmp_path / "cc_append_conflict")
     write_delta(spark, spark.range(20).select("id").repartition(1), path)
 
     real_commit = w.commit
     fired = {"done": False}
+    plans = {"n": 0}
+    orig_plan = omod._delete_plan
+
+    def counting_plan(*a, **kw):
+        plans["n"] += 1
+        return orig_plan(*a, **kw)
 
     def racing_commit(table_path, version, actions, operation, spark_=None, **kw):
         if not fired["done"] and operation == "DELETE":
@@ -608,8 +627,12 @@ def test_concurrent_append_matching_read_predicate_conflicts(
         return real_commit(table_path, version, actions, operation, spark_)
 
     monkeypatch.setattr(w, "commit", racing_commit)
-    with pytest.raises(ConcurrentModificationError, match="read predicate"):
-        delete_delta(spark, path, "id < 5")
+    monkeypatch.setattr(omod, "_delete_plan", counting_plan)
+    res = delete_delta(spark, path, "id < 5")
+    assert plans["n"] == 2  # matching append → full re-plan
+    assert res["rows_deleted"] == 9  # old 0..4 + appended 0..3
+    got = sorted(r.id for r in read_delta(spark, path).collect())
+    assert got == list(range(5, 20))  # no appended row escaped
 
 
 def test_concurrent_disjoint_append_retries_cleanly(
@@ -645,10 +668,13 @@ def test_concurrent_disjoint_append_retries_cleanly(
     assert out.filter("id >= 100").count() == 11
 
 
-def test_concurrent_protocol_change_conflicts(spark, tmp_path, monkeypatch):
-    """An intervening protocol-upgrade commit is as fatal as a
-    metadata change: the transaction validated against the old
-    protocol."""
+def test_concurrent_protocol_change_revalidates(spark, tmp_path, monkeypatch):
+    """An intervening protocol-upgrade commit invalidates the attempt
+    (it validated against the old protocol) — the transaction
+    restarts and re-validates against the NEW protocol before
+    committing; the upgrade survives. The attempt-level detection
+    still surfaces to a non-restarting caller."""
+    import deltalake_datafusion_spark.delta.ops as omod
     import deltalake_datafusion_spark.delta.writer as w
     from deltalake_datafusion_spark.delta.writer import (
         ConcurrentModificationError,
@@ -674,8 +700,15 @@ def test_concurrent_protocol_change_conflicts(spark, tmp_path, monkeypatch):
         return real_commit(table_path, version, actions, operation, spark_)
 
     monkeypatch.setattr(w, "commit", racing_commit)
+    # the single ATTEMPT (no restart loop) surfaces the detection
     with pytest.raises(ConcurrentModificationError, match="protocol"):
-        delete_delta(spark, path, "id < 5")
+        omod._delete_attempt(spark, path, "id < 5")
+    # ...and the public op self-heals on the next (conflict-free) pass
+    res = delete_delta(spark, path, "id < 5")
+    assert res["rows_deleted"] == 5
+    snap = load_snapshot(path, spark=spark)
+    assert snap.protocol.min_reader_version == 3  # upgrade survived
+    assert read_delta(spark, path).count() == 15
 
 
 def test_dml_on_hive_escaped_partition_dirs(spark, tmp_path):

@@ -616,3 +616,49 @@ def test_resize_images_pillow_seam(spark):
     ).collect()
     assert {r["media_id"] for r in out} == {1, 2}
     assert all(len(r["payload"]) == 12 for r in out)
+
+
+def test_incremental_minhash_dedup_store(spark, tmp_path):
+    """Incremental ingestion dedup: batch N+1 is deduped against the
+    PERSISTED signature store (signatures + shingle sets + band
+    hashes), never the historical text; keep-first within a batch;
+    dropped docs never enter the store."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    store = str(tmp_path / "sigstore")
+    t_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    t_b = "machine learning systems require careful data curation at scale"
+    t_e = "completely different content about cooking pasta with tomatoes"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    s1 = incremental_minhash_dedup(
+        spark, batch([(1, t_a), (2, t_b), (3, t_a)]),
+        "text", "doc_id", store, threshold=0.5,
+    )
+    assert sorted(r.doc_id for r in s1.collect()) == [1, 2]  # 3 ≈ 1
+
+    s2 = incremental_minhash_dedup(
+        spark, batch([(10, t_b), (11, t_e), (12, t_e)]),
+        "text", "doc_id", store, threshold=0.5,
+    )
+    assert sorted(r.doc_id for r in s2.collect()) == [11]  # 10≈store, 12≈11
+
+    # a later batch still matches content stored two runs ago
+    s3 = incremental_minhash_dedup(
+        spark, batch([(20, t_a), (21, "yet another unique sentence about astronomy and telescopes tonight")]),
+        "text", "doc_id", store, threshold=0.5,
+    )
+    assert sorted(r.doc_id for r in s3.collect()) == [21]
+
+    # store holds exactly the survivors, with band rows for each
+    stored = sorted(
+        r.id for r in read_delta(spark, store + "/docs").collect()
+    )
+    assert stored == [1, 2, 11, 21]
+    n_bands = read_delta(spark, store + "/bands").count()
+    assert n_bands == 4 * 32  # bands rows per surviving doc
