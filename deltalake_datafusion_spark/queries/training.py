@@ -1014,6 +1014,107 @@ FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def pipe_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion with a persisted signature store
+    (operators/dedup.py::incremental_minhash_dedup): batch 1 dedups
+    against itself, its survivors' minhash signatures + shingle sets +
+    LSH band hashes land in a Delta store; batch 2 (fresh docs + exact
+    copies of batch-1 docs) dedups against the STORE without re-reading
+    batch-1 text. Returns per-batch (n_in, n_survived, id_sum); the
+    DuckDB oracle replays the same keep-first / jaccard-threshold
+    semantics with exact all-pairs Jaccard."""
+    from deltalake_datafusion_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select("doc_id", "text")
+    b1 = d.filter("doc_id % 3 != 0")
+    b2 = d.filter("doc_id % 3 = 0").unionByName(
+        d.filter("doc_id % 3 != 0 AND doc_id % 7 = 1").select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    store = os.path.join(_fresh_dir("sigstore", sf_dir), "store")
+    s1 = incremental_minhash_dedup(
+        spark, b1, "text", "doc_id", store,
+        threshold=0.4, bands=64, shingle_n=3,
+    )
+    s2 = incremental_minhash_dedup(
+        spark, b2, "text", "doc_id", store,
+        threshold=0.4, bands=64, shingle_n=3,
+    )
+
+    def audit(batch, inp, surv):
+        return inp.agg(
+            F.lit(batch).alias("batch"),
+            F.count(F.lit(1)).alias("n_in"),
+        ).crossJoin(
+            surv.agg(
+                F.count(F.lit(1)).alias("n_survived"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+        )
+
+    return audit(1, b1, s1).unionByName(audit(2, b2, s2)).orderBy("batch")
+
+
+_INC_DEDUP_SQL = f"""
+WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
+b2 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 3 != 0 AND doc_id % 7 = 1
+),
+allsh AS (
+  SELECT batch, doc_id,
+    list_distinct([array_to_string(w[i:i+2], ' ')
+                   for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+  FROM (
+    SELECT 1 AS batch, doc_id, {_WORDS} AS w FROM b1
+    UNION ALL
+    SELECT 2 AS batch, doc_id, {_WORDS} AS w FROM b2
+  )
+),
+pair AS (
+  SELECT x.batch AS xb, x.doc_id AS xid, y.batch AS yb, y.doc_id AS yid,
+    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
+  FROM allsh x JOIN allsh y
+    ON NOT (x.batch = y.batch AND x.doc_id = y.doc_id)
+),
+surv1 AS (
+  SELECT doc_id FROM allsh d WHERE batch = 1 AND NOT EXISTS (
+    SELECT 1 FROM pair p
+    WHERE p.xb = 1 AND p.xid = d.doc_id AND p.yb = 1
+      AND p.yid < d.doc_id AND p.j >= 0.4)
+),
+surv2 AS (
+  SELECT doc_id FROM allsh d WHERE batch = 2
+    AND NOT EXISTS (
+      SELECT 1 FROM pair p
+      WHERE p.xb = 2 AND p.xid = d.doc_id AND p.yb = 1 AND p.j >= 0.4
+        AND p.yid IN (SELECT doc_id FROM surv1))
+    AND NOT EXISTS (
+      SELECT 1 FROM pair p
+      WHERE p.xb = 2 AND p.xid = d.doc_id AND p.yb = 2
+        AND p.yid < d.doc_id AND p.j >= 0.4)
+)
+SELECT * FROM (
+  SELECT 1 AS batch,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM b1) AS n_in,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM surv1) AS n_survived,
+    (SELECT CAST(SUM(doc_id) AS BIGINT) FROM surv1) AS id_sum
+  UNION ALL
+  SELECT 2,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM b2),
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM surv2),
+    (SELECT CAST(SUM(doc_id) AS BIGINT) FROM surv2)
+) ORDER BY batch
+"""
+
+
 def delta_zorder_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column Z-order end-to-end: orders spread across many
     files are rewritten with ZORDER BY (o_custkey, o_totalprice) —
@@ -1124,5 +1225,10 @@ def specs() -> list[QuerySpec]:
             "delta_incremental_cluster",
             delta_incremental_cluster,
             _INC_CLUSTER_SQL,
+        ),
+        QuerySpec(
+            "pipe_incremental_dedup",
+            pipe_incremental_dedup,
+            _INC_DEDUP_SQL,
         ),
     ]
