@@ -867,7 +867,12 @@ def incremental_minhash_dedup(
         ).select(F.col("a").alias("id"))
         dup_ids = dup_ids.unionByName(dup_vs_store)
 
-    dup_ids = dup_ids.distinct()
+    # Materialize the (small) duplicate-id set ONCE: everything
+    # downstream — both store writes and whatever the caller does with
+    # the returned survivors — is then an anti-join against a cached
+    # id list instead of a re-execution of the whole LSH pipeline.
+    dup_ids = dup_ids.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    dup_ids.count()
     survivors = new_docs.join(
         dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
     )
