@@ -66,6 +66,43 @@ class MergeCardinalityError(Exception):
 DV_MERGE_THRESHOLD_BYTES = 64 * 1024 * 1024
 
 
+def _dml_snapshot(spark, table_path: str, predicate: str | None):
+    """(snapshot, candidates) for a DML transaction. Past the
+    distributed-planner threshold — and given a pruning predicate —
+    the log replay + stats/partition pruning run as ONE Spark job and
+    only surviving files materialize driver-side; the returned
+    snapshot carries NO file list (driver cost ∝ matching files,
+    never log size — the same cutover the read path makes). Otherwise
+    the plain driver snapshot with ``candidates=None`` (callers prune
+    driver-side as before)."""
+    from deltalake_datafusion_spark.delta import scan as scanmod
+
+    if (
+        predicate is not None
+        and scanmod.estimate_log_actions(table_path, spark)
+        > scanmod.SPARK_PLANNER_FILE_THRESHOLD
+    ):
+        snap = load_snapshot(table_path, spark=spark, with_files=False)
+        return snap, scanmod.collect_planned_files(
+            spark, table_path, predicate
+        )
+    return load_snapshot(table_path, spark=spark), None
+
+
+def _dml_finish(spark, table_path: str, distributed: bool):
+    """Post-commit bookkeeping: .crc + interval checkpoint + log
+    cleanup. The distributed path computes state totals from a
+    Spark-side replay instead of re-materializing the file list."""
+    from deltalake_datafusion_spark.delta.writer import (
+        maybe_checkpoint_light,
+    )
+
+    if distributed:
+        maybe_checkpoint_light(spark, table_path)
+    else:
+        maybe_checkpoint(spark, load_snapshot(table_path, spark=spark))
+
+
 def _restart_on_conflict(attempt, max_restarts: int = 3):
     """Self-healing DML/maintenance loop (delta-spark semantics): a
     true concurrency conflict — `ConcurrentModificationError` from
@@ -399,7 +436,8 @@ def _dv_soft_delete_actions(spark, snap, rowmeta_df, candidates, fs):
 
 
 def _delete_plan(
-    spark, snap, predicate: str | None, emit_cdc: bool = True
+    spark, snap, predicate: str | None, emit_cdc: bool = True,
+    candidates=None,
 ) -> dict:
     """Plan a DELETE against one snapshot WITHOUT committing: returns
     {actions, files_rewritten, files_removed, rows_deleted,
@@ -448,12 +486,13 @@ def _delete_plan(
             "rows_deleted": rows_deleted,
             "touched_paths": {f.path for f in snap.files},
         }
-    from deltalake_datafusion_spark.delta.scan import _pruning_predicate
+    if candidates is None:
+        from deltalake_datafusion_spark.delta.scan import _pruning_predicate
 
-    candidates = prune_files(
-        snap.files, _pruning_predicate(snap, predicate), logical,
-        snap.partition_columns, l2p,
-    )
+        candidates = prune_files(
+            snap.files, _pruning_predicate(snap, predicate), logical,
+            snap.partition_columns, l2p,
+        )
     if not candidates:
         return _noop_delete()
 
@@ -584,9 +623,9 @@ def _delete_attempt(spark, table_path: str, predicate: str | None) -> dict:
     from deltalake_datafusion_spark.delta.constraints import check_append_only
     from deltalake_datafusion_spark.delta.writer import commit_with_retries
 
-    snap = load_snapshot(table_path, spark=spark)
+    snap, candidates = _dml_snapshot(spark, table_path, predicate)
     check_append_only(snap.metadata.configuration, "DELETE")
-    plan = _delete_plan(spark, snap, predicate)
+    plan = _delete_plan(spark, snap, predicate, candidates=candidates)
     if not plan["actions"]:
         return {
             "files_rewritten": 0,
@@ -599,8 +638,7 @@ def _delete_attempt(spark, table_path: str, predicate: str | None) -> dict:
         plan["touched_paths"],
         read_predicate=predicate if predicate is not None else "true",
     )
-    out = load_snapshot(table_path, spark=spark)
-    maybe_checkpoint(spark, out)
+    _dml_finish(spark, table_path, distributed=candidates is not None)
     return {
         "files_rewritten": plan["files_rewritten"],
         "files_removed": plan["files_removed"],
@@ -639,11 +677,11 @@ def _update_attempt(
 
     if predicate is None:
         predicate = "true"
-    snap = load_snapshot(table_path, spark=spark)
+    snap, candidates = _dml_snapshot(spark, table_path, predicate)
     check_append_only(snap.metadata.configuration, "UPDATE")
     rt_mat = _materialized_row_id_col(snap)
     matched_df = _scan_with_rowmeta(
-        spark, snap, predicate, row_id_col=rt_mat
+        spark, snap, predicate, files=candidates, row_id_col=rt_mat
     ).filter(F.expr(predicate))
     from deltalake_datafusion_spark.delta.cdf import cdf_enabled as _cdf_en
 
@@ -720,7 +758,9 @@ def _update_attempt(
     # snapshot, committed together with the replacement adds in ONE
     # atomic version: no reader or crash window ever observes the rows
     # deleted but not yet re-added.
-    plan = _delete_plan(spark, snap, predicate, emit_cdc=False)
+    plan = _delete_plan(
+        spark, snap, predicate, emit_cdc=False, candidates=candidates
+    )
 
     from deltalake_datafusion_spark.delta.cdf import (
         CHANGE_TYPE_COL,
@@ -785,8 +825,7 @@ def _update_attempt(
     except ConcurrentModificationError:
         _cleanup_staged_adds(spark, snap.table_path, adds)
         raise
-    out = load_snapshot(table_path, spark=spark)
-    maybe_checkpoint(spark, out)
+    _dml_finish(spark, table_path, distributed=candidates is not None)
     return {
         "rows_updated": plan["rows_deleted"],
         "files_added": len(adds),

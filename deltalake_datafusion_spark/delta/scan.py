@@ -286,26 +286,16 @@ def estimate_log_actions(table_path: str, spark=None) -> int:
     return est + tail_bytes // _LOG_BYTES_PER_ACTION
 
 
-def scan_spark_planned(
-    spark,
-    table_path: str,
+def collect_planned_files(
+    spark, table_path: str, predicate: str | None = None,
     version: int | None = None,
-    predicate: str | None = None,
-    columns: list[str] | None = None,
-    limit: int | None = None,
-    with_row_ids: bool = False,
-) -> DataFrame:
-    """Scan with **distributed planning**: metadata-only snapshot on
-    the driver (no file list), log replay + stats/partition pruning as
-    one Spark job (:func:`scan_files_spark`), and only the SURVIVING
-    file rows collected — driver cost ∝ matching files, never log
-    size. The same plan shape the driver planner produces follows
-    (single read + partition injection + DV filtering)."""
+) -> list[AddFile]:
+    """Distributed planning → driver-side ``AddFile`` list: log
+    replay + pruning run as a Spark job (:func:`scan_files_spark`);
+    only SURVIVING file rows come back. Shared by the spark-planned
+    read path and distributed DML candidate planning."""
     from deltalake_datafusion_spark.delta.snapshot import _parse_dv
 
-    meta_snap = load_snapshot(
-        table_path, version=version, spark=spark, with_files=False
-    )
     rows = scan_files_spark(spark, table_path, predicate, version).collect()
     files = []
     for r in rows:
@@ -336,6 +326,28 @@ def scan_spark_planned(
             )
         )
     files.sort(key=lambda f: f.path)
+    return files
+
+
+def scan_spark_planned(
+    spark,
+    table_path: str,
+    version: int | None = None,
+    predicate: str | None = None,
+    columns: list[str] | None = None,
+    limit: int | None = None,
+    with_row_ids: bool = False,
+) -> DataFrame:
+    """Scan with **distributed planning**: metadata-only snapshot on
+    the driver (no file list), log replay + stats/partition pruning as
+    one Spark job (:func:`scan_files_spark`), and only the SURVIVING
+    file rows collected — driver cost ∝ matching files, never log
+    size. The same plan shape the driver planner produces follows
+    (single read + partition injection + DV filtering)."""
+    meta_snap = load_snapshot(
+        table_path, version=version, spark=spark, with_files=False
+    )
+    files = collect_planned_files(spark, table_path, predicate, version)
     snap = Snapshot(
         table_path=meta_snap.table_path,
         version=meta_snap.version,

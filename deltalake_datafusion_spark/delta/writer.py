@@ -1807,7 +1807,9 @@ def write_checkpoint_v2(
 DISTRIBUTED_CHECKPOINT_THRESHOLD = 100_000
 
 
-def write_version_checksum(snapshot: Snapshot, spark=None) -> str:
+def write_version_checksum(
+    snapshot: Snapshot, spark=None, totals: dict | None = None
+) -> str:
     """VERSION CHECKSUM file (``<version>.crc``, Delta spec): a
     per-version summary of the table state — file count, total bytes,
     DV counts, metadata, protocol, txn ledger, domain metadata —
@@ -1817,13 +1819,20 @@ def write_version_checksum(snapshot: Snapshot, spark=None) -> str:
     function of the version's state."""
     fs = fs_for(snapshot.table_path, spark)
     dvs = [f.dv for f in snapshot.files if f.dv is not None]
+    if totals is None:
+        totals = {
+            "tableSizeBytes": sum(f.size for f in snapshot.files),
+            "numFiles": len(snapshot.files),
+            "numDeletedRecordsOpt": sum(d.cardinality for d in dvs),
+            "numDeletionVectorsOpt": len(dvs),
+        }
     body = {
-        "tableSizeBytes": sum(f.size for f in snapshot.files),
-        "numFiles": len(snapshot.files),
+        "tableSizeBytes": totals["tableSizeBytes"],
+        "numFiles": totals["numFiles"],
         "numMetadata": 1,
         "numProtocol": 1,
-        "numDeletedRecordsOpt": sum(d.cardinality for d in dvs),
-        "numDeletionVectorsOpt": len(dvs),
+        "numDeletedRecordsOpt": totals["numDeletedRecordsOpt"],
+        "numDeletionVectorsOpt": totals["numDeletionVectorsOpt"],
         "metadata": {
             "id": snapshot.metadata.id,
             "name": snapshot.metadata.name,
@@ -1897,6 +1906,75 @@ def verify_version_checksum(snapshot: Snapshot, spark=None) -> bool:
             f"{path}: " + "; ".join(problems)
         )
     return True
+
+
+def maybe_checkpoint_light(spark, table_path: str) -> None:
+    """:func:`maybe_checkpoint` for tables whose file lists stay OFF
+    the driver (the distributed DML planner path): the ``.crc`` state
+    totals come from ONE aggregate over the Spark-side log replay
+    (``log_replay_df``), the checkpoint — when the interval hits —
+    from the Spark-job writers, and log cleanup runs as usual. Driver
+    memory stays ∝ metadata, never ∝ file count."""
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.snapshot import (
+        load_snapshot,
+        log_replay_df,
+    )
+
+    snapshot = load_snapshot(table_path, spark=spark, with_files=False)
+    row = (
+        log_replay_df(spark, table_path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("size"), F.lit(0)).alias("bytes"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("deletionVector.storageType").isNotNull(),
+                        F.col("deletionVector.cardinality"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("dv_records"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("deletionVector.storageType").isNotNull(), 1
+                    )
+                ),
+                F.lit(0),
+            ).alias("dv_count"),
+        )
+        .collect()[0]
+    )
+    write_version_checksum(
+        snapshot,
+        spark,
+        totals={
+            "numFiles": row["n"],
+            "tableSizeBytes": row["bytes"],
+            "numDeletedRecordsOpt": row["dv_records"],
+            "numDeletionVectorsOpt": row["dv_count"],
+        },
+    )
+    interval = int(snapshot.get_property("delta.checkpointInterval", "10") or "10")
+    if interval > 0 and snapshot.version > 0 and (snapshot.version % interval == 0):
+        if snapshot.get_property("delta.checkpointPolicy", "").lower() == "v2":
+            write_checkpoint_v2(spark, snapshot.table_path, snapshot.version)
+        else:
+            write_checkpoint_spark(spark, snapshot.table_path, snapshot.version)
+        if (
+            snapshot.get_property(
+                "delta.enableExpiredLogCleanup", "true"
+            ).lower()
+            != "false"
+        ):
+            from deltalake_datafusion_spark.delta.log_cleanup import (
+                cleanup_expired_logs,
+            )
+
+            cleanup_expired_logs(spark, snapshot.table_path)
 
 
 def maybe_checkpoint(spark, snapshot: Snapshot) -> None:

@@ -163,3 +163,51 @@ def test_auto_planner_cuts_over_without_checkpoint(
     out = read_delta(spark, path)  # planner="auto", no checkpoint
     assert called["n"] == 1
     assert len(_collect_ids(out)) == 30
+
+
+def test_dml_distributed_candidate_planning(spark, tmp_path, monkeypatch):
+    """Past the planner threshold, DELETE/UPDATE candidates come from
+    the Spark-side log replay (driver sees only surviving files, the
+    snapshot carries no file list) and post-commit bookkeeping uses
+    the distributed state aggregate — results and the .crc must be
+    identical to the driver path."""
+    from deltalake_datafusion_spark.delta import scan as scanmod
+    from deltalake_datafusion_spark.delta.ops import update_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import (
+        verify_version_checksum,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(300).select(
+        "id", (F.col("id") % 3).alias("par"), (F.col("id") * 2).alias("v")
+    )
+    write_delta(spark, df, path, partition_by=["par"])
+
+    monkeypatch.setattr(scanmod, "SPARK_PLANNER_FILE_THRESHOLD", 0)
+    calls = {"n": 0}
+    orig = scanmod.collect_planned_files
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(scanmod, "collect_planned_files", counting)
+
+    res_d = delete_delta(spark, path, "par = 1 AND id % 2 = 0")
+    assert calls["n"] == 1
+    assert res_d["rows_deleted"] == 50
+    res_u = update_delta(spark, path, {"v": "v + 100000"}, "par = 2")
+    assert calls["n"] >= 2
+    assert res_u["rows_updated"] == 100
+
+    out = {r["id"]: r["v"] for r in read_delta(spark, path).collect()}
+    assert len(out) == 250
+    assert all(out[i] == i * 2 + 100000 for i in range(300) if i % 3 == 2)
+    assert all(
+        out[i] == i * 2
+        for i in range(300)
+        if i % 3 == 0 or (i % 3 == 1 and i % 2 == 1)
+    )
+    # the distributed .crc totals agree with a full driver replay
+    assert verify_version_checksum(load_snapshot(path, spark=spark)) is True
