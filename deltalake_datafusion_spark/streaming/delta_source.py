@@ -98,6 +98,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         # (0 = unlimited). Pacing state is in-memory only — a restart
         # re-paces from the checkpointed offset, never skips data.
         self.max_versions = int(options.get("maxversionspertrigger", 0))
+        # delta-spark's maxFilesPerTrigger / maxBytesPerTrigger: stop
+        # taking versions once the pending add-file count / bytes
+        # reaches the cap (version granularity, always ≥1 version per
+        # batch — delta-spark's "at least one file" rule).
+        self.max_files = int(options.get("maxfilespertrigger", 0))
+        self.max_bytes_trigger = int(options.get("maxbytespertrigger", 0))
         self._paced_to = self.starting_version
         self.schema_json = json.loads(snap.metadata.schema_string)
         self.partition_columns = list(snap.partition_columns)
@@ -116,8 +122,48 @@ class DeltaStreamReader(DataSourceStreamReader):
         target = max(tip + 1, self.starting_version)
         if self.max_versions > 0:
             target = min(target, self._paced_to + self.max_versions)
+        if (
+            (self.max_files > 0 or self.max_bytes_trigger > 0)
+            and target > self._paced_to
+        ):
+            target = self._clamp_by_file_budget(
+                self._paced_to, target, dict(commits)
+            )
         self._paced_to = max(self._paced_to, target)
         return {"version": target}
+
+    def _clamp_by_file_budget(
+        self, lo: int, hi: int, commits: dict[int, str]
+    ) -> int:
+        """Largest end version in (lo, hi] such that the cumulative
+        dataChange add count/bytes of (lo, end) stays within
+        maxFilesPerTrigger / maxBytesPerTrigger — taking at least one
+        version. Parses only the pending commits (the same ones
+        ``partitions`` will parse for this batch)."""
+        from deltalake_datafusion_spark.delta.fs import fs_for
+        from deltalake_datafusion_spark.delta.snapshot import (
+            _iter_commit_actions,
+        )
+
+        fs = fs_for(self.table_path)
+        files = total_bytes = 0
+        taken = lo
+        for v in range(lo, hi):
+            p = commits.get(v)
+            if p is None:
+                break  # hole: partitions() will surface it
+            for a in _iter_commit_actions(p, fs):
+                ad = a.get("add")
+                if ad and ad.get("dataChange"):
+                    files += 1
+                    total_bytes += ad.get("size", 0)
+            taken = v + 1
+            if (self.max_files and files >= self.max_files) or (
+                self.max_bytes_trigger
+                and total_bytes >= self.max_bytes_trigger
+            ):
+                break
+        return max(taken, lo + 1)
 
     def partitions(self, start: dict, end: dict):
         import urllib.parse as up

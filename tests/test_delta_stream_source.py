@@ -195,3 +195,43 @@ def test_starting_timestamp_resolves_to_following_commit(spark, tmp_path):
         "t_ds_ts_early",
     )
     assert out3.count() == 35
+
+
+def test_max_files_per_trigger_paces_offsets(spark, tmp_path):
+    """delta-spark maxFilesPerTrigger: versions accumulate into a
+    micro-batch until the pending add-file budget is reached (version
+    granularity, always ≥1 version); maxBytesPerTrigger rides the
+    same budget walk."""
+    from deltalake_datafusion_spark.streaming.delta_source import (
+        DeltaStreamReader,
+    )
+
+    path = os.path.join(str(tmp_path), "src")
+    for i in range(4):  # versions 0..3, 2 files each
+        write_delta(
+            spark,
+            spark.range(i * 10, i * 10 + 10).select("id").repartition(2),
+            path,
+            mode="append",
+        )
+
+    r = DeltaStreamReader(path, {"maxfilespertrigger": "3"})
+    offsets = [r.latestOffset()["version"] for _ in range(3)]
+    # v0 (2 files) < 3 → take v1 too (4 ≥ 3) → stop at 2; then v2+v3;
+    # then caught up at tip+1
+    assert offsets == [2, 4, 4]
+
+    # a cap smaller than one commit still takes one version per batch
+    r1 = DeltaStreamReader(path, {"maxfilespertrigger": "1"})
+    assert [r1.latestOffset()["version"] for _ in range(5)] == [1, 2, 3, 4, 4]
+
+    # byte budget: each 10-row file is a few hundred bytes; a 1-byte
+    # budget degenerates to one version per trigger
+    rb = DeltaStreamReader(path, {"maxbytespertrigger": "1"})
+    assert [rb.latestOffset()["version"] for _ in range(2)] == [1, 2]
+
+    # end-to-end: the paced stream still delivers every row
+    out = run_to_memory(
+        read_delta_stream(spark, path), "q_paced_files", "append"
+    )
+    assert out.count() == 40
