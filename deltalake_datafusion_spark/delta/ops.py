@@ -1538,7 +1538,7 @@ def _cluster_by_zvalue(df, zcols: list[str], n_out: int):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import (
         ByteType, DateType, DecimalType, DoubleType, FloatType,
-        IntegerType, LongType, ShortType, TimestampType,
+        IntegerType, LongType, ShortType, StringType, TimestampType,
     )
 
     numeric_types = (
@@ -1556,6 +1556,22 @@ def _cluster_by_zvalue(df, zcols: list[str], n_out: int):
             return F.datediff(F.col(f"`{c}`"), F.lit("1970-01-01")).cast(
                 "double"
             )
+        if isinstance(dt, StringType):
+            # Order-preserving numeric projection of the first 6 UTF-8
+            # bytes: hex the prefix, right-pad the HEX with '0' (≡
+            # zero-padding the bytes, so shorter strings sort below
+            # longer ones sharing their prefix — byte-lexicographic
+            # order survives), base-16 → integer. 48 bits fit a double
+            # exactly; prefix collisions only coarsen the quantile
+            # buckets, never reorder them.
+            h = F.rpad(
+                F.hex(
+                    F.substring(F.encode(F.col(f"`{c}`"), "utf-8"), 1, 6)
+                ),
+                12,
+                "0",
+            )
+            return F.conv(h, 16, 10).cast("double")
         return None
 
     projs = [proj(c) for c in zcols]

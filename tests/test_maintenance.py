@@ -518,3 +518,69 @@ def test_dv_executor_write_gate():
     assert _dv_executor_write_allowed("/data/t", False, True)
     # object stores never executor-write directly
     assert not _dv_executor_write_allowed("s3://b/t", True, True)
+
+
+def test_zorder_string_column_clusters(spark, tmp_path):
+    """String Z-order: the order-preserving 6-byte-prefix projection
+    lets ZORDER BY (s, y) bound BOTH a string and a numeric dimension
+    — a predicate on either prunes files; string order edge cases
+    ('az' < 'b', short-vs-long prefixes) keep byte-lex order."""
+    import json as _json
+
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta, scan_files
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    n = 1 << 12
+    df = spark.range(n).selectExpr(
+        "id",
+        # 26 string keys kNN ('kaa'..'kzz'-ish), decorrelated from y
+        "concat('k', chr(97 + CAST(id % 26 AS INT)), "
+        "chr(97 + CAST((id * 7) % 26 AS INT))) AS s",
+        "CAST((id * 37) % 64 AS BIGINT) AS y",
+    )
+    write_delta(spark, df.repartition(8), path)
+    optimize_delta(
+        spark, path, target_file_size=5 * 1024, zorder_by=["s", "y"]
+    )
+    snap = load_snapshot(path, spark=spark)
+    assert len(snap.files) >= 4
+    # both dimensions' per-file ranges are bounded → both prune
+    n_all = len(scan_files(snap))
+    n_s = len(scan_files(snap, "s < 'kg'"))
+    n_y = len(scan_files(snap, "y < 8"))
+    assert n_s < n_all and n_y < n_all
+    # content intact, predicate answers exact
+    assert read_delta(spark, path).count() == n
+    assert (
+        read_delta(spark, path, predicate="s >= 'kt'").count()
+        == df.filter("s >= 'kt'").count()
+    )
+
+
+def test_zorder_string_projection_is_order_preserving(spark):
+    """The hex-pad-conv string projection must preserve byte-lex
+    order including the 'az' < 'b' and prefix cases."""
+    from deltalake_datafusion_spark.delta.ops import _cluster_by_zvalue
+
+    vals = ["", "a", "ab", "az", "b", "ba", "aaaaaaaa", "aaaaaaab", "zz"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    # reuse the projection by probing through a 1-column cluster call:
+    # range partitioning into len(vals) buckets with a single column
+    # must order files by s — simpler: evaluate the projection inline
+    h = F.rpad(
+        F.hex(F.substring(F.encode(F.col("s"), "utf-8"), 1, 6)), 12, "0"
+    )
+    proj = F.conv(h, 16, 10).cast("double")
+    got = [
+        (r["s"], r["p"])
+        for r in df.select("s", proj.alias("p")).collect()
+    ]
+    by_string = sorted(got, key=lambda t: t[0])
+    by_proj = sorted(got, key=lambda t: t[1])
+    assert [s for s, _ in by_string] == [s for s, _ in by_proj]

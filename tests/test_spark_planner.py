@@ -211,3 +211,37 @@ def test_dml_distributed_candidate_planning(spark, tmp_path, monkeypatch):
     )
     # the distributed .crc totals agree with a full driver replay
     assert verify_version_checksum(load_snapshot(path, spark=spark)) is True
+
+
+def test_dml_distributed_finish_writes_interval_checkpoint(
+    spark, tmp_path, monkeypatch
+):
+    """The distributed post-commit path (maybe_checkpoint_light) must
+    still honor delta.checkpointInterval — via the Spark-job
+    checkpoint writer — and keep reads working off the checkpoint."""
+    import os as _os
+
+    from deltalake_datafusion_spark.delta import scan as scanmod
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.range(100).select("id", (F.col("id") % 2).alias("par")),
+        path,
+        partition_by=["par"],
+        configuration={"delta.checkpointInterval": "2"},
+    )
+    monkeypatch.setattr(scanmod, "SPARK_PLANNER_FILE_THRESHOLD", 0)
+    delete_delta(spark, path, "id < 10")   # v1
+    delete_delta(spark, path, "id >= 90")  # v2 → interval checkpoint
+    cps = [
+        f
+        for f in _os.listdir(_os.path.join(path, "_delta_log"))
+        if ".checkpoint" in f and f.endswith(".parquet")
+    ]
+    assert cps, "interval checkpoint missing on the distributed path"
+    assert _os.path.exists(
+        _os.path.join(path, "_delta_log", f"{2:020d}.crc")
+    )
+    got = sorted(r["id"] for r in read_delta(spark, path).collect())
+    assert got == list(range(10, 90))
