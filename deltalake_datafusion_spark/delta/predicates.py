@@ -89,6 +89,30 @@ class InList:
 
 
 @dataclass
+class StartsWith:
+    """``col LIKE 'prefix%'`` (the reference's ``starts_with`` node,
+    to_delta.rs): prunable against string min/max — values with the
+    prefix lie in [prefix, prefix⁺) where prefix⁺ bumps the last code
+    point."""
+
+    col: Col
+    prefix: str
+
+
+def _prefix_upper(p: str) -> str | None:
+    """Smallest string > every string starting with ``p``: bump the
+    last code point (dropping trailing U+10FFFF chars, which cannot be
+    bumped). None when no upper bound exists."""
+    chars = list(p)
+    while chars:
+        if ord(chars[-1]) < 0x10FFFF:
+            chars[-1] = chr(ord(chars[-1]) + 1)
+            return "".join(chars)
+        chars.pop()
+    return None
+
+
+@dataclass
 class Unknown:
     """Unsupported construct — evaluates to 'unknown' (keep file)."""
 
@@ -251,10 +275,26 @@ class _Parser:
                     vals.append(self._literal())
                 self.expect("rparen")
                 return Not(InList(col, [v.value for v in vals]))
+            if (k3, t3) == ("kw", "BETWEEN"):
+                # consume so the REST of the conjunction stays prunable
+                self.next()
+                self._literal()
+                self.expect("kw", "AND")
+                self._literal()
+                return Unknown("NOT BETWEEN")
+            if (k3, t3) == ("kw", "LIKE"):
+                self.next()
+                self._literal()
+                return Unknown("NOT LIKE")
             raise PredicateParseError("unsupported NOT form")
         if (k2, t2) == ("kw", "LIKE"):
             self.next()
-            self._literal()
+            pat = self._literal().value
+            if isinstance(pat, str) and "\\" not in pat and "_" not in pat:
+                if "%" not in pat:
+                    return Cmp("=", col, Lit(pat))  # no wildcard ≡ equality
+                if pat.endswith("%") and "%" not in pat[:-1]:
+                    return StartsWith(col, pat[:-1])
             return Unknown("LIKE")
         if k2 == "op":
             op = self.next()[1]
@@ -480,6 +520,8 @@ class StatsEvaluator:
             return self._eval_not(f, node.child, r)
         if isinstance(node, Cmp):
             return self._eval_cmp(f, node)
+        if isinstance(node, StartsWith):
+            return self._eval_starts_with(f, node)
         if isinstance(node, IsNull):
             return self._eval_isnull(f, node)
         if isinstance(node, InList):
@@ -542,6 +584,28 @@ class StatsEvaluator:
         if not node.negated:  # IS NULL: match iff some null exists
             return nulls > 0
         return (nrec - nulls) > 0  # IS NOT NULL: some non-null exists
+
+    def _eval_starts_with(self, f, node):
+        """LIKE-prefix pruning. Sound under the writer's stats
+        truncation discipline: stored max ≥ true max (so ``mx <
+        prefix`` proves no value reaches the prefix range) and stored
+        min ≤ true min (so ``mn ≥ prefix⁺`` proves every value sorts
+        past it). Truth is never claimed (truncated bounds can't prove
+        a definite match) — prune/keep only."""
+        from pyspark.sql.types import StringType
+
+        mn, mx, _nulls, _nrec, dtype = self._col_bounds(f, node.col.name)
+        if not isinstance(dtype, StringType) or not node.prefix:
+            return None
+        try:
+            if mx is not None and mx < node.prefix:
+                return False
+            hi = _prefix_upper(node.prefix)
+            if hi is not None and mn is not None and mn >= hi:
+                return False
+        except TypeError:
+            return None
+        return None
 
     def _eval_cmp(self, f, node):
         mn, mx, nulls, nrec, dtype = self._col_bounds(f, node.col.name)
@@ -670,6 +734,20 @@ def skipping_column(pred, schema: StructType, partition_columns,
             return F.coalesce(cond, F.lit(True))  # missing stats → keep
         if isinstance(node, InList):
             return may(Or([Cmp("=", node.col, Lit(v)) for v in node.values]))
+        if isinstance(node, StartsWith):
+            from pyspark.sql.types import StringType
+
+            refs = col_refs(node.col.name)
+            if refs is None or not node.prefix:
+                return None
+            mn, mx, dtype = refs
+            if not isinstance(dtype, StringType):
+                return None
+            cond = mx >= F.lit(node.prefix)
+            hi = _prefix_upper(node.prefix)
+            if hi is not None:
+                cond = cond & (mn < F.lit(hi))
+            return F.coalesce(cond, F.lit(True))
         if isinstance(node, IsNull):
             refs = col_refs(node.col.name)
             if refs is None or node.col.name in parts:

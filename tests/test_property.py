@@ -325,3 +325,110 @@ def test_line_dedup_matches_bruteforce(spark, corpora):
         for r in line_dedup(df, "text", "doc_id", chunk_words=chunk).collect()
     }
     assert got == expect
+
+
+# ------------------------------------------------------------------ #
+# LIKE-prefix (StartsWith) pruning                                    #
+# ------------------------------------------------------------------ #
+
+
+def test_like_parser_forms():
+    from deltalake_datafusion_spark.delta.predicates import (
+        Cmp, StartsWith, Unknown, parse_predicate,
+    )
+
+    p = parse_predicate("s LIKE 'abc%'")
+    assert isinstance(p, StartsWith) and p.prefix == "abc"
+    assert isinstance(parse_predicate("s LIKE 'abc'"), Cmp)  # no wildcard
+    assert isinstance(parse_predicate("s LIKE '%abc'"), Unknown)
+    assert isinstance(parse_predicate("s LIKE 'a%c'"), Unknown)
+    assert isinstance(parse_predicate("s LIKE 'a_c'"), Unknown)
+    # NOT LIKE / NOT BETWEEN consume cleanly: the REST of the
+    # conjunction stays prunable (previously a parse error killed
+    # pruning for the whole predicate)
+    from deltalake_datafusion_spark.delta.predicates import And
+
+    q = parse_predicate("x > 5 AND s NOT LIKE 'a%'")
+    assert isinstance(q, And)
+    assert any(isinstance(c, Cmp) for c in q.children)
+    q2 = parse_predicate("x > 5 AND x NOT BETWEEN 1 AND 3")
+    assert isinstance(q2, And)
+
+
+def test_prefix_upper_edges():
+    from deltalake_datafusion_spark.delta.predicates import _prefix_upper
+
+    assert _prefix_upper("abc") == "abd"
+    assert _prefix_upper("az") == "a{"  # '{' = chr(ord('z')+1)
+    assert _prefix_upper("a" + chr(0x10FFFF)) == "b"
+    assert _prefix_upper(chr(0x10FFFF)) is None
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.from_regex(r"[a-c]{0,4}", fullmatch=True), min_size=1, max_size=8
+    ),
+    st.from_regex(r"[a-c]{1,3}", fullmatch=True),
+)
+def test_starts_with_pruning_sound(values, prefix):
+    """A file whose stats cover ``values`` must be KEPT whenever any
+    value starts with the prefix — StartsWith pruning can never drop a
+    matching file (exact or truncated-outward stats)."""
+    import json
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from deltalake_datafusion_spark.delta.predicates import (
+        StatsEvaluator, parse_predicate,
+    )
+    from deltalake_datafusion_spark.delta.snapshot import AddFile
+
+    schema = StructType([StructField("s", StringType())])
+    stats = json.dumps(
+        {
+            "numRecords": len(values),
+            "minValues": {"s": min(values)},
+            "maxValues": {"s": max(values)},
+            "nullCount": {"s": 0},
+        }
+    )
+    f = AddFile(path="f", size=1, modification_time=0, stats=stats)
+    ev = StatsEvaluator(schema, [])
+    pred = parse_predicate(f"s LIKE '{prefix}%'")
+    if any(v.startswith(prefix) for v in values):
+        assert ev.may_match(f, pred)
+
+
+def test_like_prefix_prunes_files(spark, tmp_path):
+    """End-to-end: LIKE 'prefix%' prunes files on BOTH planners and
+    the residual filter keeps results exact."""
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.scan import (
+        read_delta, scan_files, scan_files_spark,
+    )
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    df = spark.range(260).select(
+        "id",
+        F.concat(
+            F.lit("k"),
+            F.chr(F.lit(97) + (F.col("id") % 26)),
+            F.lit("-"),
+            F.col("id").cast("string"),
+        ).alias("s"),
+    )
+    # sort so per-file s-ranges are tight → LIKE can prune
+    write_delta(spark, df.orderBy("s").repartitionByRange(8, "s"), path)
+    snap = load_snapshot(path, spark=spark)
+    pred = "s LIKE 'kb%'"
+    n_all, n_like = len(scan_files(snap)), len(scan_files(snap, pred))
+    assert n_like < n_all
+    n_spark = scan_files_spark(spark, path, pred).count()
+    assert n_spark == n_like  # driver ≡ distributed pruning
+    got = sorted(r["s"] for r in read_delta(spark, path, predicate=pred).collect())
+    want = sorted(r["s"] for r in df.filter("s LIKE 'kb%'").collect())
+    assert got == want
