@@ -245,6 +245,18 @@ class _Parser:
             if self.peek() == ("kw", "NOT"):
                 self.next()
                 negated = True
+            k3, t3 = self.peek()
+            if (k3, t3) in (("kw", "TRUE"), ("kw", "FALSE")):
+                # IS TRUE/FALSE (the reference's is_false node) prunes
+                # as equality on the boolean literal — null rows
+                # satisfy neither IS TRUE nor = TRUE, so the file sets
+                # coincide (incl. the all-null prune). The NEGATED
+                # forms match null rows, which no Cmp shape may prune
+                # away → Unknown (keep).
+                self.next()
+                if negated:
+                    return Unknown(f"IS NOT {t3}")
+                return Cmp("=", col, Lit(t3 == "TRUE"))
             self.expect("kw", "NULL")
             return IsNull(col, negated)
         if (k2, t2) == ("kw", "IN"):
@@ -594,9 +606,11 @@ class StatsEvaluator:
         a definite match) — prune/keep only."""
         from pyspark.sql.types import StringType
 
-        mn, mx, _nulls, _nrec, dtype = self._col_bounds(f, node.col.name)
+        mn, mx, nulls, nrec, dtype = self._col_bounds(f, node.col.name)
         if not isinstance(dtype, StringType) or not node.prefix:
             return None
+        if nulls is not None and nrec is not None and 0 < nrec == nulls:
+            return False  # all-null file: LIKE never matches NULL
         try:
             if mx is not None and mx < node.prefix:
                 return False
@@ -614,6 +628,8 @@ class StatsEvaluator:
         lit = _coerce(node.lit.value, dtype)
         if node.lit.value is None or lit is None:
             return None
+        if nulls is not None and nrec is not None and 0 < nrec == nulls:
+            return False  # all-null file: no comparison matches NULL
         if mn is None or mx is None:
             return None
         op = node.op
@@ -698,6 +714,16 @@ def skipping_column(pred, schema: StructType, partition_columns,
             dtype,
         )
 
+    def not_all_null(name: str):
+        """FALSE exactly when stats prove the file is all-null (no
+        comparison / LIKE matches NULL); null-safe → TRUE otherwise."""
+        if name in parts:
+            return F.lit(True)
+        phys = l2p.get(name, name)
+        nulls = F.col(f"stats_parsed.nullCount.`{phys}`")
+        nrec = F.col("stats_parsed.numRecords")
+        return F.coalesce(~((nrec > 0) & (nulls == nrec)), F.lit(True))
+
     def may(node):
         """Column: True/unknown→keep, False→prune. None = no info."""
         if isinstance(node, And):
@@ -731,7 +757,10 @@ def skipping_column(pred, schema: StructType, partition_columns,
                 cond = mx > lit if op == ">" else mx >= lit
             else:  # '!=' prunable only when min==max==lit; keep simple
                 cond = ~((mn == lit) & (mx == lit))
-            return F.coalesce(cond, F.lit(True))  # missing stats → keep
+            return (
+                F.coalesce(cond, F.lit(True))
+                & not_all_null(node.col.name)
+            )  # missing stats → keep
         if isinstance(node, InList):
             return may(Or([Cmp("=", node.col, Lit(v)) for v in node.values]))
         if isinstance(node, StartsWith):
@@ -747,7 +776,10 @@ def skipping_column(pred, schema: StructType, partition_columns,
             hi = _prefix_upper(node.prefix)
             if hi is not None:
                 cond = cond & (mn < F.lit(hi))
-            return F.coalesce(cond, F.lit(True))
+            return (
+                F.coalesce(cond, F.lit(True))
+                & not_all_null(node.col.name)
+            )
         if isinstance(node, IsNull):
             refs = col_refs(node.col.name)
             if refs is None or node.col.name in parts:

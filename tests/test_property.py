@@ -432,3 +432,57 @@ def test_like_prefix_prunes_files(spark, tmp_path):
     got = sorted(r["s"] for r in read_delta(spark, path, predicate=pred).collect())
     want = sorted(r["s"] for r in df.filter("s LIKE 'kb%'").collect())
     assert got == want
+
+
+def test_is_true_false_prune(spark, tmp_path):
+    """IS [NOT] TRUE/FALSE parse to prunable boolean comparisons (the
+    reference's is_false node): an all-false file is pruned by
+    IS TRUE; results stay exact through the residual filter (null
+    rows match IS NOT TRUE but never = TRUE)."""
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.predicates import (
+        Cmp, parse_predicate,
+    )
+    from deltalake_datafusion_spark.delta.scan import read_delta, scan_files
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    p = parse_predicate("b IS TRUE")
+    assert isinstance(p, Cmp) and p.op == "=" and p.lit.value is True
+    from deltalake_datafusion_spark.delta.predicates import Unknown as _Unk
+
+    assert isinstance(parse_predicate("b IS NOT FALSE"), _Unk)  # matches null
+
+    path = str(tmp_path / "t")
+    df = spark.range(300).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, True)
+        .when(F.col("id") % 3 == 1, False)
+        .otherwise(F.lit(None))
+        .alias("b"),
+        (F.col("id") % 3).alias("g"),
+    )
+    # one file per g value → per-file b is single-valued / all-null
+    write_delta(spark, df.repartition(3, "g").sortWithinPartitions("g"), path)
+    # repartition(3, 'g') may co-locate; write per-group explicitly
+    from deltalake_datafusion_spark.delta.ops import delete_delta  # noqa
+
+    path2 = str(tmp_path / "t2")
+    for g in range(3):
+        write_delta(
+            spark, df.filter(F.col("g") == g).coalesce(1), path2,
+            mode="append",
+        )
+    snap = load_snapshot(path2, spark=spark)
+    n_all = len(scan_files(snap))
+    assert n_all == 3
+    # the all-false AND the all-null files are both pruned for IS TRUE
+    assert len(scan_files(snap, "b IS TRUE")) == 1
+    assert len(scan_files(snap, "b IS FALSE")) == 1
+    got = sorted(
+        r["id"] for r in read_delta(
+            spark, path2, predicate="b IS NOT TRUE"
+        ).collect()
+    )
+    assert got == [i for i in range(300) if i % 3 != 0]  # false + null
