@@ -276,11 +276,16 @@ def history_df(spark, table_path: str) -> DataFrame:
                         info.get("operationParameters") or {}
                     ).items()
                 },
+                {
+                    k: str(v2)
+                    for k, v2 in (info.get("operationMetrics") or {}).items()
+                },
                 info.get("engineInfo"),
             )
         )
     return spark.createDataFrame(
         sorted(rows, key=lambda r: r[0], reverse=True),
         "version long, timestamp long, operation string, "
-        "operationParameters map<string,string>, engineInfo string",
+        "operationParameters map<string,string>, "
+        "operationMetrics map<string,string>, engineInfo string",
     )

@@ -115,6 +115,7 @@ COMMIT_INFO_SCHEMA = StructType(
         StructField("timestamp", LongType()),
         StructField("operation", StringType()),
         StructField("operationParameters", _STR_MAP),
+        StructField("operationMetrics", _STR_MAP),
         StructField("engineInfo", StringType()),
         StructField("txnId", StringType()),
     ]

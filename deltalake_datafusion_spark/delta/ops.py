@@ -637,6 +637,7 @@ def _delete_attempt(spark, table_path: str, predicate: str | None) -> dict:
         spark, snap.table_path, snap, plan["actions"], "DELETE",
         plan["touched_paths"],
         read_predicate=predicate if predicate is not None else "true",
+        operation_metrics={"numDeletedRows": str(plan["rows_deleted"])},
     )
     _dml_finish(spark, table_path, distributed=candidates is not None)
     return {
@@ -821,6 +822,9 @@ def _update_attempt(
             spark, snap.table_path, snap,
             plan["actions"] + adds + cdc_actions,
             "UPDATE", plan["touched_paths"], read_predicate=predicate,
+            operation_metrics={
+                "numUpdatedRows": str(plan["rows_deleted"])
+            },
         )
     except ConcurrentModificationError:
         _cleanup_staged_adds(spark, snap.table_path, adds)
@@ -1466,6 +1470,9 @@ def _merge_attempt(
         version = commit_with_retries(
             spark, snap.table_path, snap, actions, "MERGE",
             modified_paths, read_predicate="true",
+            operation_metrics={
+                "numTargetFilesRewritten": str(n_modified)
+            },
         )
     except ConcurrentModificationError:
         # this attempt's staged data files will never be referenced —

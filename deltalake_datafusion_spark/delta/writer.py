@@ -531,6 +531,52 @@ def _assign_row_ids(
     return [dm] + out
 
 
+def _auto_operation_metrics(actions: list[dict]) -> dict[str, str]:
+    """delta-spark-style ``operationMetrics`` derivable from the
+    actions alone (values serialized as strings, per the protocol):
+    add/remove file+byte counts, cdc file count, DVs added, and —
+    when every add carries numRecords — numOutputRows. Op-specific
+    row metrics (numDeletedRows, …) are supplied by the operations
+    through ``operation_metrics``."""
+    from deltalake_datafusion_spark.delta.stats import parse_stats
+
+    m = {
+        "numAddedFiles": 0,
+        "numRemovedFiles": 0,
+        "numAddedBytes": 0,
+        "numRemovedBytes": 0,
+        "numAddedChangeFiles": 0,
+        "numDeletionVectorsAdded": 0,
+    }
+    out_rows, rows_known = 0, True
+    for a in actions:
+        ad = a.get("add")
+        if ad:
+            m["numAddedFiles"] += 1
+            m["numAddedBytes"] += ad.get("size", 0) or 0
+            if ad.get("deletionVector"):
+                m["numDeletionVectorsAdded"] += 1
+            st = parse_stats(ad.get("stats"))
+            n = st.get("numRecords") if st else None
+            if n is None:
+                rows_known = False
+            else:
+                out_rows += int(n)
+        rm = a.get("remove")
+        if rm:
+            m["numRemovedFiles"] += 1
+            m["numRemovedBytes"] += rm.get("size", 0) or 0
+        if a.get("cdc"):
+            m["numAddedChangeFiles"] += 1
+    if not (
+        m["numAddedFiles"] or m["numRemovedFiles"] or m["numAddedChangeFiles"]
+    ):
+        return {}  # metadata-only commit: no file metrics
+    if rows_known:
+        m["numOutputRows"] = out_rows
+    return {k: str(v) for k, v in m.items()}
+
+
 def commit(
     table_path: str,
     version: int,
@@ -539,6 +585,7 @@ def commit(
     spark=None,
     configuration: dict[str, str] | None = None,
     operation_parameters: dict[str, str] | None = None,
+    operation_metrics: dict[str, str] | None = None,
 ) -> None:
     """Atomically write ``_delta_log/<version>.json`` (create-if-absent;
     reference ``PutMode::Create`` — file_format.rs:230-242).
@@ -553,6 +600,10 @@ def commit(
     fs = fs_for(table_path, spark)
     if row_tracking_enabled(configuration):
         actions = _assign_row_ids(table_path, version, actions, fs)
+    metrics = {
+        **_auto_operation_metrics(actions),
+        **{k: str(v) for k, v in (operation_metrics or {}).items()},
+    }
     info = {
         "timestamp": _now_ms(),
         "operation": operation,
@@ -562,6 +613,7 @@ def commit(
             {"operationParameters": operation_parameters}
             if operation_parameters else {}
         ),
+        **({"operationMetrics": metrics} if metrics else {}),
     }
     if ict_enabled(configuration):
         prev = _prev_ict(table_path, version, fs)
@@ -592,6 +644,7 @@ def commit_with_retries(
     touched_paths: set[str],
     max_attempts: int = 10,
     read_predicate: str | None = None,
+    operation_metrics: dict[str, str] | None = None,
 ) -> int:
     """Optimistic-concurrency commit with real conflict validation
     (the missing half of blind retry): when the target version is
@@ -648,6 +701,7 @@ def commit_with_retries(
             commit(
                 table_path, version, actions, operation, spark,
                 configuration=commit_conf,
+                operation_metrics=operation_metrics,
             )
             return version
         except ConcurrentWriteError:

@@ -164,3 +164,49 @@ def test_describe_detail_reports_clustering_dvs_features(spark, tmp_path):
     assert row["numDeletionVectors"] >= 1
     assert "clustering" in row["tableFeatures"]
     assert "deletionVectors" in row["tableFeatures"]
+
+
+def test_operation_metrics_in_history(spark, tmp_path):
+    """commitInfo.operationMetrics (delta-spark DESCRIBE HISTORY
+    parity): file/byte/row counts derived from the commit's actions
+    plus op-specific rows (numDeletedRows / numUpdatedRows)."""
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.clone import history_df
+    from deltalake_datafusion_spark.delta.ops import (
+        delete_delta, merge_delta, update_delta,
+    )
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.range(100).select("id", (F.col("id") * 2).alias("v")),
+        path,
+    )
+    delete_delta(spark, path, "id < 10")
+    update_delta(spark, path, {"v": "v + 1"}, "id >= 90")
+    merge_delta(
+        spark, path,
+        spark.range(95, 105).select(
+            F.col("id").alias("id"), (F.col("id") * 7).alias("v")
+        ),
+        on="t.id = s.id",
+        when_matched_update={"v": "s.v"},
+    )
+
+    hist = {
+        r["operation"]: dict(r["operationMetrics"] or {})
+        for r in history_df(spark, path).collect()
+    }
+    w = hist["WRITE"]
+    assert w["numAddedFiles"] >= "1" and int(w["numOutputRows"]) == 100
+    d = hist["DELETE"]
+    assert d["numDeletedRows"] == "10"
+    assert int(d["numDeletionVectorsAdded"]) >= 1
+    u = hist["UPDATE"]
+    assert u["numUpdatedRows"] == "10"
+    assert int(u["numAddedFiles"]) >= 1
+    m = hist["MERGE"]
+    assert int(m["numTargetFilesRewritten"]) >= 1
+    assert int(m["numAddedFiles"]) >= 1
