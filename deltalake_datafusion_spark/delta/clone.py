@@ -65,13 +65,17 @@ def _abs_dv(dv, src_root: str) -> dict | None:
 
 
 def clone_delta(
-    spark, src_path: str, dst_path: str, shallow: bool = True
+    spark, src_path: str, dst_path: str, shallow: bool = True,
+    version: int | None = None, timestamp_as_of: int | str | None = None,
 ) -> dict:
-    """Shallow-clone ``src_path`` at its latest version into a new
-    table at ``dst_path``. Returns {files, version, source_version}."""
+    """Clone ``src_path`` into a new table at ``dst_path`` — at its
+    latest version, or a time-travel point via ``version`` /
+    ``timestamp_as_of`` (delta-spark ``SHALLOW CLONE src VERSION AS
+    OF n``). Returns {files, version, source_version}."""
     from deltalake_datafusion_spark.delta.snapshot import (
         DeltaNotFoundError,
         load_snapshot,
+        resolve_version_at_timestamp,
         strip_scheme,
     )
     from deltalake_datafusion_spark.delta.writer import (
@@ -87,7 +91,20 @@ def clone_delta(
         raise CloneError(f"destination already exists: {dst_path}")
     except DeltaNotFoundError:
         pass
-    snap = load_snapshot(src_root, spark=spark)
+    if timestamp_as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or timestamp_as_of")
+        if isinstance(timestamp_as_of, str):
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(timestamp_as_of)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            timestamp_as_of = int(ts.timestamp() * 1000)
+        version = resolve_version_at_timestamp(
+            src_root, timestamp_as_of, spark
+        )
+    snap = load_snapshot(src_root, version=version, spark=spark)
 
     proto = {
         "protocol": {

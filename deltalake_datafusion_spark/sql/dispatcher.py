@@ -223,8 +223,13 @@ _TABLE_FN_RE = re.compile(
 )
 _CLONE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<dst>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
-    r"\s+SHALLOW\s+CLONE\s+(?P<src>'[^']+'|delta\.`[^`]+`|[\w./-]+)\s*;?\s*$",
+    r"\s+SHALLOW\s+CLONE\s+(?P<src>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?\s*;?\s*$",
     re.IGNORECASE,
+)
+_DELTA_REF_RE = re.compile(
+    r"delta\.`(?P<path>[^`@]+)(?P<ver>@v\d+)?`"
 )
 _TABLE_CHANGES_RE = re.compile(
     r"table_changes\s*\(\s*'(?P<arg>[^']+)'\s*,\s*"
@@ -427,6 +432,8 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             spark,
             _unquote_target(m.group("src"), registry),
             _unquote_target(m.group("dst"), registry),
+            version=int(m.group("ver")) if m.group("ver") else None,
+            timestamp_as_of=m.group("ts"),
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 
@@ -835,7 +842,22 @@ def expand_table_functions(spark, statement: str) -> str:
         df.createOrReplaceTempView(view)
         return view
 
+    def _expand_delta_ref(match):
+        # delta.`/path` inside any query (delta-spark path-table
+        # syntax), with optional `@vN` time-travel suffix — expands to
+        # a temp view over read_delta so plain Spark SQL runs it.
+        from deltalake_datafusion_spark.delta.scan import read_delta
+
+        path = match.group("path")
+        ver = match.group("ver")
+        view = f"__delta_ref_{abs(hash((path, ver))) % 10**8}"
+        read_delta(
+            spark, path, version=int(ver[2:]) if ver else None
+        ).createOrReplaceTempView(view)
+        return view
+
     expanded = _TABLE_FN_RE.sub(_expand, statement)
     expanded = _TABLE_CHANGES_RE.sub(_expand_changes, expanded)
     expanded = _DELTA_TABLE_RE.sub(_expand_delta_table, expanded)
+    expanded = _DELTA_REF_RE.sub(_expand_delta_ref, expanded)
     return expanded

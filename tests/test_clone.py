@@ -178,3 +178,45 @@ def test_multi_store_scan_mixes_absolute_and_relative_adds(spark, tmp_path):
     assert sorted(r.id for r in got) == [i for i in range(90) if i % 3 == 1]
     # predicate over both stores' files
     assert out.filter("v >= 120").count() == 30
+
+
+def test_clone_version_as_of(spark, tmp_path):
+    """Time-travel clone (delta-spark SHALLOW CLONE ... VERSION AS
+    OF): the clone materializes the SOURCE's old file set; SQL form
+    included; SELECT delta.`path@vN` reads the clone's own history."""
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.clone import clone_delta
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    src = str(tmp_path / "src")
+    write_delta(spark, spark.range(10).select("id"), src)           # v0
+    write_delta(spark, spark.range(10, 30).select("id"), src,
+                mode="append")                                      # v1
+
+    dst = str(tmp_path / "dst")
+    res = clone_delta(spark, src, dst, version=0)
+    assert res["source_version"] == 0
+    assert read_delta(spark, dst).count() == 10
+
+    dst2 = str(tmp_path / "dst2")
+    sql(spark, f"CREATE TABLE '{dst2}' SHALLOW CLONE '{src}' VERSION AS OF 0")
+    assert read_delta(spark, dst2).count() == 10
+
+    # plain-SQL path references with @v time travel
+    out = sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM delta.`{src}`",
+    ).collect()[0]["n"]
+    assert out == 30
+    out0 = sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM delta.`{src}@v0`",
+    ).collect()[0]["n"]
+    assert out0 == 10
+    joined = sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM delta.`{src}` a "
+        f"JOIN delta.`{dst}` b ON a.id = b.id",
+    ).collect()[0]["n"]
+    assert joined == 10
