@@ -67,11 +67,20 @@ def vacuum(
     dry_run: bool = False,
     full: bool = False,
     enforce_retention_duration: bool | None = None,
+    lite: bool = False,
 ) -> DataFrame:
     """Run VACUUM; returns a DataFrame of affected paths.
 
     ``full`` vacuums with zero retention for *unreferenced* files
     (still never deletes referenced or hidden files).
+
+    ``lite`` (delta-spark 3.3 ``VACUUM … LITE``): candidates come
+    from the LOG's remove-action tombstones (``deletionTimestamp``
+    past retention, still unreferenced) instead of a recursive
+    directory listing — O(log) instead of O(directory) planning, the
+    right mode for 1e7-file tables vacuumed on a schedule. Tradeoff
+    (same as delta-spark): orphaned files no commit ever referenced
+    (crashed writes) are not found; run a full VACUUM occasionally.
     """
     table_path = strip_scheme(table_path)
     snap = load_snapshot(table_path, spark=spark)
@@ -104,26 +113,41 @@ def vacuum(
 
     cutoff_ms = int((time.time() - retain_hours * 3600) * 1000)
 
-    listing = directory_listing(spark, table_path, recursive=True)
     ref_df, ref_small = _referenced_paths_df(spark, table_path, snap)
     if ref_small:
         ref_df = F.broadcast(ref_df)
 
-    # Hidden rule (reference vacuum/mod.rs:111-126): anything whose
-    # path RELATIVE segment starts with '_' or '.' is never touched.
-    rel = F.regexp_replace(F.col("path"), re.escape(table_path.rstrip("/")) + "/", "")
-    hidden = F.exists(
-        F.split(rel, "/"),
-        lambda seg: seg.startswith("_") | seg.startswith("."),
-    )
-    candidates = (
-        listing.filter(~F.col("is_dir"))
-        .filter(F.col("modification_time") < F.timestamp_millis(F.lit(cutoff_ms)))
-        .filter(~hidden)
-        .join(ref_df, "path", "left_anti")
-        .select("path")
-        .orderBy("path")
-    )
+    if lite:
+        candidates = (
+            _tombstone_candidates(spark, table_path, cutoff_ms)
+            .join(ref_df, "path", "left_anti")
+            .select("path")
+            .distinct()
+            .orderBy("path")
+        )
+    else:
+        listing = directory_listing(spark, table_path, recursive=True)
+        # Hidden rule (reference vacuum/mod.rs:111-126): anything whose
+        # path RELATIVE segment starts with '_' or '.' is never
+        # touched.
+        rel = F.regexp_replace(
+            F.col("path"), re.escape(table_path.rstrip("/")) + "/", ""
+        )
+        hidden = F.exists(
+            F.split(rel, "/"),
+            lambda seg: seg.startswith("_") | seg.startswith("."),
+        )
+        candidates = (
+            listing.filter(~F.col("is_dir"))
+            .filter(
+                F.col("modification_time")
+                < F.timestamp_millis(F.lit(cutoff_ms))
+            )
+            .filter(~hidden)
+            .join(ref_df, "path", "left_anti")
+            .select("path")
+            .orderBy("path")
+        )
 
     if dry_run:
         return candidates.limit(DRY_RUN_LIMIT)
@@ -169,6 +193,54 @@ def vacuum(
         {"status": "COMPLETED", "numDeletedFiles": str(out.count())},
     )
     return out
+
+
+def _tombstone_candidates(spark, table_path: str, cutoff_ms: int):
+    """LITE candidate set: absolute paths of remove-action tombstones
+    whose ``deletionTimestamp`` is past the cutoff, plus the DV files
+    those removes referenced — one distributed pass over the log, no
+    directory listing. A later re-add of the same path survives via
+    the caller's referenced-set anti-join."""
+    import pandas as pd
+
+    from deltalake_datafusion_spark.delta.snapshot import actions_df
+
+    root = table_path.rstrip("/")
+    removes = (
+        actions_df(spark, table_path)
+        .filter(F.col("remove.path").isNotNull())
+        .filter(
+            F.coalesce(F.col("remove.deletionTimestamp"), F.lit(0))
+            < F.lit(cutoff_ms)
+        )
+        .select(
+            F.col("remove.path").alias("path"),
+            F.col("remove.deletionVector.storageType").alias("dv_type"),
+            F.col("remove.deletionVector.pathOrInlineDv").alias("dv_tok"),
+        )
+    )
+    data = removes.select(
+        F.when(
+            F.col("path").startswith("/") | F.col("path").contains("://"),
+            F.url_decode("path"),
+        )
+        .otherwise(F.concat(F.lit(root + "/"), F.url_decode("path")))
+        .alias("path")
+    )
+
+    def dv_paths(batches):
+        for pdf in batches:
+            out = []
+            for tok in pdf["dv_tok"]:
+                out.append(os.path.join(root, dvmod.dv_relative_path(tok)))
+            yield pd.DataFrame({"path": out})
+
+    dv = (
+        removes.filter(F.col("dv_type") == "u")
+        .select("dv_tok")
+        .mapInPandas(dv_paths, "path string")
+    )
+    return data.unionByName(dv)
 
 
 def _referenced_paths_df(spark, table_path: str, snap):

@@ -78,7 +78,7 @@ class SqlParseError(Exception):
 
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
-    r"(?P<full>\s+FULL)?"
+    r"(?:(?P<full>\s+FULL)|(?P<lite>\s+LITE))?"
     r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?"
     r"(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$",
     re.IGNORECASE,
@@ -315,6 +315,7 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             retain_hours=float(m.group("hours")) if m.group("hours") else None,
             dry_run=bool(m.group("dry")),
             full=bool(m.group("full")),
+            lite=bool(m.group("lite")),
         )
 
     if re.match(

@@ -584,3 +584,64 @@ def test_zorder_string_projection_is_order_preserving(spark):
     by_string = sorted(got, key=lambda t: t[0])
     by_proj = sorted(got, key=lambda t: t[1])
     assert [s for s, _ in by_string] == [s for s, _ in by_proj]
+
+
+def test_vacuum_lite_uses_log_tombstones(spark, tmp_path, monkeypatch):
+    """VACUUM LITE (delta-spark 3.3): candidates come from remove
+    tombstones + their DV files, no directory listing at all; the
+    deletable set matches the listing-based vacuum on a log-complete
+    table, and live files (incl. re-added paths and current DVs)
+    survive."""
+    import deltalake_datafusion_spark.delta.vacuum as vmod
+    from deltalake_datafusion_spark.delta.ops import delete_delta, optimize_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.vacuum import vacuum
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark, spark.range(100).select("id"), path,
+        configuration={"delta.checkpointInterval": "0"},  # keep all commits
+    )
+    delete_delta(spark, path, "id < 20")             # DV on the file
+    optimize_delta(spark, path, purge=True)          # tombstones file+DV
+    write_delta(spark, spark.range(100, 120).select("id"), path,
+                mode="append")
+
+    full_dry = {
+        r["path"]
+        for r in vacuum(
+            spark, path, retain_hours=0, dry_run=True,
+            enforce_retention_duration=False,
+        ).collect()
+    }
+    lite_dry = {
+        r["path"]
+        for r in vacuum(
+            spark, path, retain_hours=0, dry_run=True,
+            enforce_retention_duration=False, lite=True,
+        ).collect()
+    }
+    assert lite_dry == full_dry and lite_dry  # same candidates, log-only
+
+    # LITE never lists the directory
+    def no_listing(*a, **kw):
+        raise AssertionError("VACUUM LITE must not list the directory")
+
+    monkeypatch.setattr(vmod, "directory_listing", no_listing)
+    deleted = {
+        r["path"]
+        for r in vacuum(
+            spark, path, retain_hours=0,
+            enforce_retention_duration=False, lite=True,
+        ).collect()
+    }
+    monkeypatch.undo()
+    assert deleted == full_dry
+    got = sorted(r["id"] for r in read_delta(spark, path).collect())
+    assert got == list(range(20, 120))
+
+    # SQL form parses
+    out = sql(spark, f"VACUUM '{path}' LITE DRY RUN")
+    assert out.count() == 0  # nothing left to reclaim
