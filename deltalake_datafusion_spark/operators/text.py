@@ -223,3 +223,46 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
             ((F.lit(2) * (nb - nbd) > nb) & (nb > 0)).cast("boolean"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size whitespace-token chunks with
+    overlap (the standard long-document training prep): one output row
+    per chunk — (id, chunk_idx, chunk_text, n_tokens). Entirely
+    JVM-side: token split → stride sequence → per-start ``slice`` →
+    ``posexplode`` — no UDF, one narrow transformation (no shuffle).
+
+    Stride = ``max_tokens - overlap``; a document shorter than
+    ``max_tokens`` yields exactly one chunk; trailing windows shorter
+    than the overlap are merged into the previous chunk by the stride
+    bound (no chunk ever starts past ``n - 1`` tokens).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    w = F.split(F.col(text_col), r"\s+")
+    n = F.size(w)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            ((n - 1 - F.lit(overlap)) / stride).cast("int"), F.lit(0)
+        ) * stride,
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.concat_ws(" ", F.slice(w, s + 1, max_tokens)),
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    return out.withColumn(
+        "n_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
+    )

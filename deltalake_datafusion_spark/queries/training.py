@@ -1115,6 +1115,54 @@ SELECT * FROM (
 """
 
 
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking (operators/text.py::chunk_documents):
+    512-token windows, 64-token overlap, JVM-only (split → stride
+    sequence → slice → posexplode, no shuffle). Emits every chunk's
+    (doc_id, chunk_idx, n_tokens, md5(chunk_text)) so the DuckDB
+    oracle verifies exact chunk CONTENT, not just counts."""
+    from deltalake_datafusion_spark.operators.text import chunk_documents
+
+    t = load_tables(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        t["documents"].select("doc_id", "text"), "text", "doc_id",
+        max_tokens=64, overlap=8,
+    )
+    return chunks.select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_TEXT_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, w,
+    range(
+      0,
+      greatest(CAST(floor((len(w) - 1 - 8) / 56) AS BIGINT), 0) * 56 + 1,
+      56
+    ) AS ss
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id,
+    CAST(s / 56 AS INT) AS chunk_idx,
+    array_to_string(w[s + 1 : s + 64], ' ') AS chunk_text
+  FROM starts, UNNEST(ss) AS u(s)
+)
+SELECT doc_id, chunk_idx,
+  CAST(len(regexp_split_to_array(chunk_text, '\s+')) AS INT) AS n_tokens,
+  md5(chunk_text) AS chunk_md5
+FROM chunks ORDER BY doc_id, chunk_idx
+"""
+
+
 def delta_zorder_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column Z-order end-to-end: orders spread across many
     files are rewritten with ZORDER BY (o_custkey, o_totalprice) —
@@ -1231,4 +1279,5 @@ def specs() -> list[QuerySpec]:
             pipe_incremental_dedup,
             _INC_DEDUP_SQL,
         ),
+        QuerySpec("text_chunking", text_chunking, _TEXT_CHUNK_SQL),
     ]

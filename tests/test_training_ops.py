@@ -365,3 +365,39 @@ def test_line_dedup_fully_duplicate_doc_empties(spark):
            line_dedup(docs, "text", "doc_id").collect()}
     assert out[1]["n_kept"] == 1
     assert out[2]["n_kept"] == 0 and out[2]["kept_text"] == ""
+
+
+def test_chunk_documents_semantics(spark):
+    """Chunking invariants: full coverage with exact overlap, single
+    chunk for short docs, stride bound (no chunk starts past n-1),
+    and a plan free of Python nodes."""
+    from deltalake_datafusion_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),
+            (2, "a b"),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "text", "doc_id", max_tokens=4, overlap=1)
+    rows = sorted(
+        (r["id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),
+        (1, 2, "w6 w7 w8 w9", 4),
+        (2, 0, "a b", 2),
+        (3, 0, "solo", 1),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # narrow: no shuffle
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", max_tokens=4, overlap=4)
