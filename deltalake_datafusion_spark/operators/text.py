@@ -266,3 +266,24 @@ def chunk_documents(
     return out.withColumn(
         "n_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
     )
+
+
+def strip_markup(col) -> Column:
+    """Boilerplate markup removal for web-scraped corpora: drop
+    script/style blocks wholesale, strip remaining tags, unescape the
+    common HTML entities, collapse whitespace — pure regexp_replace
+    chain (codegen, no UDF). Heuristic by design (a real HTML parser
+    is not expressible as Columns); matches the usual C4-style
+    pre-clean."""
+    c = F.regexp_replace(
+        col, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "
+    )
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

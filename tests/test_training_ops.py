@@ -401,3 +401,33 @@ def test_chunk_documents_semantics(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", max_tokens=4, overlap=4)
+
+
+def test_strip_markup(spark):
+    from deltalake_datafusion_spark.operators.text import strip_markup
+
+    rows = [
+        (1, "<html><body><p>Hello <b>world</b></p>"
+            "<script>var x=1;</script></body></html>"),
+        (2, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+        (3, "<style type='text/css'>p{color:red}</style>plain"),
+        (4, "no markup at all"),
+        (5, "<!-- comment -->kept"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["out"]
+        for r in df.select(
+            "id", strip_markup(F.col("text")).alias("out")
+        ).collect()
+    }
+    assert got[1] == "Hello world"
+    assert got[2] == 'a & b <tag> "q" \'s\' end'
+    assert got[3] == "plain"
+    assert got[4] == "no markup at all"
+    assert got[5] == "kept"
+    plan = (
+        df.select(strip_markup(F.col("text")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
