@@ -31,8 +31,11 @@ _COUNTER = [0]  # unique table dir per hypothesis example
 
 
 def _thread_ops(tid: int):
-    """Strategy: 2-4 ops for one thread; appends cover disjoint chunks
-    of the thread's id space, deletes hit a modulus of it."""
+    """Strategy: 2-4 ops for one thread; appends/merges cover disjoint
+    chunks of the thread's id space, deletes hit a modulus of it.
+    MERGE exercises the conflict-restart machinery under real thread
+    contention (its whole-table read predicate conflicts with every
+    concurrent data commit)."""
     append = st.tuples(
         st.just("append"),
         st.integers(min_value=0, max_value=3),  # chunk index (25 ids)
@@ -41,18 +44,30 @@ def _thread_ops(tid: int):
         st.just("delete"),
         st.integers(min_value=0, max_value=2),  # id % 3 == mod
     )
-    return st.lists(st.one_of(append, delete), min_size=2, max_size=4)
+    merge = st.tuples(
+        st.just("merge"),
+        st.integers(min_value=0, max_value=3),  # chunk index (25 ids)
+    )
+    return st.lists(
+        st.one_of(append, delete, merge), min_size=2, max_size=4
+    )
 
 
-def _apply_serial(tid: int, ops) -> set[int]:
-    """The per-thread serial semantics the concurrent run must match."""
+def _apply_serial(tid: int, ops) -> dict[int, float]:
+    """The per-thread serial semantics the concurrent run must match:
+    id → v (appends write id % 7.0; merges upsert -(chunk+1))."""
     base = tid * SPACE
-    live: set[int] = set()
+    live: dict[int, float] = {}
     for kind, arg in ops:
         if kind == "append":
-            live |= set(range(base + arg * 25, base + arg * 25 + 25))
+            for i in range(base + arg * 25, base + arg * 25 + 25):
+                live[i] = float(i % 7)
+        elif kind == "merge":
+            for i in range(base + arg * 25, base + arg * 25 + 25):
+                live[i] = float(-(arg + 1))
         else:
-            live -= {i for i in live if i % 3 == arg}
+            for i in [i for i in live if i % 3 == arg]:
+                del live[i]
     return live
 
 
@@ -69,6 +84,23 @@ def _run_thread(spark, path, tid, ops, errors):
                             .coalesce(1)
                         )
                         write_delta(spark, df, path, mode="append")
+                    elif kind == "merge":
+                        from deltalake_datafusion_spark.delta.ops import (
+                            merge_delta,
+                        )
+
+                        src = (
+                            spark.range(base + arg * 25, base + arg * 25 + 25)
+                            .select(
+                                "id",
+                                F.lit(float(-(arg + 1))).alias("v"),
+                            )
+                            .coalesce(1)
+                        )
+                        merge_delta(
+                            spark, path, src, "t.id = s.id",
+                            when_matched_update={"v": "s.v"},
+                        )
                     else:
                         delete_delta(
                             spark,
@@ -118,17 +150,21 @@ def test_n_writer_serializability(spark, tmp_path, data):
         t.join(timeout=300)
     assert not errors, f"writer threads failed: {errors}"
 
-    want = set()
+    want: dict[int, float] = {}
     for t in range(n_threads):
-        want |= _apply_serial(t, ops[t])
-    got = {r.id for r in read_delta(spark, path).select("id").collect()}
+        want.update(_apply_serial(t, ops[t]))
+    got = {
+        r["id"]: r["v"]
+        for r in read_delta(spark, path).select("id", "v").collect()
+    }
     assert got == want
 
     # every version is exactly one atomic commit file, contiguous from 0
     commits, _ = list_log_files(path)
     versions = [v for v, _ in commits]
     assert versions == list(range(len(versions)))
-    # deletes that matched nothing may no-op; every append commits once
+    # deletes that matched nothing may no-op; every append/merge
+    # commits at least once
     n_appends = sum(1 for tops in ops for k, _ in tops if k == "append")
     assert len(versions) >= n_appends + 1
 
