@@ -1687,6 +1687,18 @@ def _optimize_attempt(
         # them.
         zorder_by = cluster_cols or None
         incremental_cluster = zorder_by is not None
+    elif zorder_by and cluster_cols and list(zorder_by) != list(cluster_cols):
+        from deltalake_datafusion_spark.delta.writer import DeltaWriteError
+
+        # delta-spark: ZORDER BY is rejected on clustered tables —
+        # the clustering declaration owns the layout; re-declare via
+        # ALTER TABLE ... CLUSTER BY instead (OPTIMIZE FULL re-clusters
+        # by the declared columns and is allowed).
+        raise DeltaWriteError(
+            f"OPTIMIZE ... ZORDER BY {list(zorder_by)} is not allowed on "
+            f"a table clustered by {cluster_cols}; use ALTER TABLE ... "
+            "CLUSTER BY to change the clustering columns"
+        )
     cluster_tag: dict[str, str] | None = (
         {
             "clusteringProvider": "liquidClustering",

@@ -263,3 +263,32 @@ def test_cluster_tags_survive_checkpoint_and_restore(spark, tmp_path):
     )
     res = optimize_delta(spark, path, target_file_size=8 * 1024)
     assert res["files_compacted"] == 0  # still recognized as clustered
+
+
+def test_zorder_rejected_on_clustered_table(spark, tmp_path):
+    """delta-spark behavior: explicit OPTIMIZE ZORDER BY on a
+    clustered table is rejected (the clustering declaration owns the
+    layout); OPTIMIZE FULL — which re-clusters by the DECLARED
+    columns — stays allowed."""
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "t")
+    schema = StructType(
+        [StructField("a", LongType()), StructField("b", LongType())]
+    )
+    create_delta_table(spark, path, schema, cluster_by=["b"])
+    write_delta(
+        spark,
+        spark.range(100).select(F.col("id").alias("a"),
+                                (F.col("id") % 7).alias("b")),
+        path,
+        mode="append",
+    )
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+
+    with pytest.raises(DeltaWriteError, match="CLUSTER BY"):
+        optimize_delta(spark, path, zorder_by=["a"])
+    with pytest.raises(DeltaWriteError, match="CLUSTER BY"):
+        sql(spark, f"OPTIMIZE delta.`{path}` ZORDER BY (a)")
+    # FULL re-clusters by the declared columns — allowed
+    sql(spark, f"OPTIMIZE delta.`{path}` FULL")
