@@ -1978,7 +1978,10 @@ def maybe_checkpoint_light(spark, table_path: str) -> None:
 
     snapshot = load_snapshot(table_path, spark=spark, with_files=False)
     row = (
-        log_replay_df(spark, table_path)
+        # pinned to the snapshot's version: a commit landing between
+        # the two reads must not leak NEWER totals into THIS version's
+        # .crc (verify would raise on the mismatch later)
+        log_replay_df(spark, table_path, snapshot.version)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("size"), F.lit(0)).alias("bytes"),

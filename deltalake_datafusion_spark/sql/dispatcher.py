@@ -229,7 +229,9 @@ _CLONE_RE = re.compile(
     re.IGNORECASE,
 )
 _DELTA_REF_RE = re.compile(
-    r"delta\.`(?P<path>[^`@]+)(?P<ver>@v\d+)?`"
+    # non-greedy path so a literal '@' in a directory name survives;
+    # the @vN suffix only binds immediately before the closing backtick
+    r"delta\.`(?P<path>[^`]+?)(?P<ver>@v\d+)?`"
 )
 _TABLE_CHANGES_RE = re.compile(
     r"table_changes\s*\(\s*'(?P<arg>[^']+)'\s*,\s*"
