@@ -1965,6 +1965,25 @@ def restore_delta(
     cur_keys = {(f.path, f.dv_id): f for f in current.files}
     tgt_keys = {(f.path, f.dv_id): f for f in target.files}
 
+    # delta-spark's missing-file guard: a VACUUM may have reclaimed
+    # files the target version references — restoring would commit a
+    # table whose reads fail later. Verify every file being RE-ADDED
+    # still exists BEFORE committing (files already live in the
+    # current version need no check).
+    readds = [f for key, f in tgt_keys.items() if key not in cur_keys]
+    fs = fs_for(table_path, spark)
+    missing = [
+        f.path
+        for f in readds
+        if not fs.exists(os.path.join(table_path, f.path))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"RESTORE to version {version} needs {len(missing)} data "
+            f"file(s) already reclaimed (e.g. by VACUUM): "
+            f"{missing[:5]}{'…' if len(missing) > 5 else ''}"
+        )
+
     actions: list[dict] = []
     for key, f in cur_keys.items():
         if key not in tgt_keys:

@@ -645,3 +645,36 @@ def test_vacuum_lite_uses_log_tombstones(spark, tmp_path, monkeypatch):
     # SQL form parses
     out = sql(spark, f"VACUUM '{path}' LITE DRY RUN")
     assert out.count() == 0  # nothing left to reclaim
+
+
+def test_restore_rejects_vacuumed_versions(spark, tmp_path):
+    """delta-spark missing-file guard: RESTORE to a version whose
+    files a VACUUM reclaimed must FAIL before committing — never land
+    a table whose reads break later; restore to an intact version
+    still works."""
+    import pytest as _pytest
+
+    from deltalake_datafusion_spark.delta.ops import restore_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.vacuum import vacuum
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(spark, spark.range(10).select("id"), path)           # v0
+    write_delta(spark, spark.range(10, 30).select("id"), path,
+                mode="overwrite")                                    # v1
+    vacuum(spark, path, retain_hours=0,
+           enforce_retention_duration=False)  # reclaims v0's files
+
+    with _pytest.raises(FileNotFoundError, match="reclaimed"):
+        restore_delta(spark, path, version=0)
+    # table unchanged — the guard fired before any commit
+    assert read_delta(spark, path).count() == 20
+
+    write_delta(spark, spark.range(30, 35).select("id"), path,
+                mode="append")                                       # intact
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    tip = load_snapshot(path, spark=spark).version
+    restore_delta(spark, path, version=tip)  # intact version works
+    assert read_delta(spark, path).count() == 25
