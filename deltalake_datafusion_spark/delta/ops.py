@@ -1930,6 +1930,11 @@ def _optimize_attempt(
             spark, snap.table_path, snap, actions,
             "REORG" if purge else "OPTIMIZE",
             {f.path for f in victims},
+            operation_metrics={
+                # incremental clustering observability: how many
+                # in-scope files were already clustered and skipped
+                "numFilesSkipped": str(len(scope) - len(victims)),
+            },
         )
     except ConcurrentModificationError:
         _cleanup_staged_adds(spark, snap.table_path, actions)

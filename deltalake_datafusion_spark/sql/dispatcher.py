@@ -12,7 +12,7 @@ the same "delegate the relational tier" architecture.
 
 Grammar accepted (case-insensitive, mirroring parser.rs):
 
-    VACUUM <name | 'url' | delta.`url`> [FULL] [RETAIN n HOURS] [DRY RUN]
+    VACUUM <name | 'url' | delta.`url`> [FULL | LITE] [RETAIN n HOURS] [DRY RUN]
     CREATE CATALOG [IF NOT EXISTS] name
         [USING SHARE provider.share | MANAGED LOCATION 'url']
         [DEFAULT COLLATION 'c'] [COMMENT 'c'] [OPTIONS (k 'v', ...)]
@@ -52,7 +52,8 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
     ALTER TABLE <target> UNSET TBLPROPERTIES [IF EXISTS] (k, ...)
     ALTER TABLE <target> ADD CONSTRAINT name CHECK (expr)
     ALTER TABLE <target> DROP CONSTRAINT [IF EXISTS] name
-    CREATE TABLE <dst> SHALLOW CLONE <src>
+    CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF n | TIMESTAMP AS OF 'ts']
+    ... FROM delta.`/path[@vN]` ... (path-table references in any statement)
     CREATE TABLE <'path'|delta.`path`> (col TYPE [GENERATED …
         AS IDENTITY] [DEFAULT expr] [NOT NULL], …) [USING DELTA]
         [PARTITIONED BY (…)] [TBLPROPERTIES (…)]
