@@ -958,7 +958,12 @@ def _merge_attempt(
     columns are ignored (the pre-evolution Delta behavior)."""
     from deltalake_datafusion_spark.delta.constraints import check_append_only
 
-    snap = load_snapshot(table_path, spark=spark)
+    # MERGE reads the whole target, so past the planner threshold the
+    # surviving-file list comes from the Spark-side replay (no driver
+    # JSON log parse); the by-source clause and touched-file lookups
+    # need every live file either way, but never the log itself.
+    snap, _planned = _dml_snapshot(spark, table_path, "true")
+    all_files = _planned if _planned is not None else snap.files
     check_append_only(snap.metadata.configuration, "MERGE")
     logical = snap.schema
     if when_matched_update:
@@ -986,7 +991,8 @@ def _merge_attempt(
     rt_mat = _materialized_row_id_col(snap)
     rt_ver = _materialized_row_ver_col(snap)
     target = _scan_with_rowmeta(
-        spark, snap, None, row_id_col=rt_mat, row_ver_col=rt_ver
+        spark, snap, None, files=all_files,
+        row_id_col=rt_mat, row_ver_col=rt_ver,
     )
 
     t = target.alias("t")
@@ -1021,13 +1027,13 @@ def _merge_attempt(
     touched_paths = matched.select("__file_path").distinct()
     if when_not_matched_by_source_delete:
         # the by-source clause can delete rows from ANY file
-        touched = list(snap.files)
+        touched = list(all_files)
     else:
         touched_files = [
             _relativize(r["__file_path"], snap.table_path)
             for r in touched_paths.collect()
         ]
-        by_path = {f.path: f for f in snap.files}
+        by_path = {f.path: f for f in all_files}
         touched = [by_path[p] for p in touched_files]
 
     if strategy == "auto":
@@ -1481,8 +1487,7 @@ def _merge_attempt(
         # excluded; DV sidecars are tiny and left for VACUUM)
         _cleanup_staged_adds(spark, snap.table_path, actions)
         raise
-    out_snap = load_snapshot(table_path, spark=spark)
-    maybe_checkpoint(spark, out_snap)
+    _dml_finish(spark, table_path, distributed=_planned is not None)
     return {
         "files_rewritten": n_modified,
         "version": version,

@@ -200,13 +200,34 @@ def test_dml_distributed_candidate_planning(spark, tmp_path, monkeypatch):
     res_u = update_delta(spark, path, {"v": "v + 100000"}, "par = 2")
     assert calls["n"] >= 2
     assert res_u["rows_updated"] == 100
+    # MERGE: the whole surviving-file list comes from the Spark-side
+    # replay too (no driver log parse)
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+
+    n_before = calls["n"]
+    merge_delta(
+        spark, path,
+        spark.range(295, 305).select(
+            F.col("id").alias("id"), (F.col("id") % 3).alias("par"),
+            F.lit(-1).alias("v"),
+        ),
+        on="t.id = s.id",
+        when_matched_update={"v": "s.v"},
+    )
+    assert calls["n"] > n_before
 
     out = {r["id"]: r["v"] for r in read_delta(spark, path).collect()}
-    assert len(out) == 250
-    assert all(out[i] == i * 2 + 100000 for i in range(300) if i % 3 == 2)
+    # 250 survivors + 6 merge inserts (300..304 and the re-inserted 298)
+    assert len(out) == 256
+    assert all(out[i] == -1 for i in range(295, 305) if i in out)
+    assert all(
+        out[i] == i * 2 + 100000
+        for i in range(295)
+        if i % 3 == 2
+    )
     assert all(
         out[i] == i * 2
-        for i in range(300)
+        for i in range(295)
         if i % 3 == 0 or (i % 3 == 1 and i % 2 == 1)
     )
     # the distributed .crc totals agree with a full driver replay
