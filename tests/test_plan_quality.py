@@ -403,3 +403,51 @@ def test_dv_broadcast_is_compressed_blobs(spark, tmp_path):
     _mn, _mx, interior = _dv_access_plan(deleted, 100_000)
     blob = serialize_bitmap(interior)
     assert len(blob) < 20_000  # vs 400 KB as raw int64
+
+
+def test_like_residual_pushed_to_parquet(spark, tmp_path):
+    """The LIKE predicate prunes FILES via StartsWith stats AND the
+    residual reaches the parquet scan as a StringStartsWith pushed
+    filter — both levels of skipping are live."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    df = spark.range(200).select(
+        "id", F.concat(F.lit("k"), F.col("id").cast("string")).alias("s")
+    )
+    write_delta(spark, df, path)
+    plan = _plan(read_delta(spark, path, predicate="s LIKE 'k1%'"))
+    assert "StringStartsWith(s,k1)" in plan
+
+
+def test_incremental_dedup_plan_is_banded(spark, tmp_path):
+    """The signature-store ingestion never goes all-pairs: no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the
+    survivors plan — candidates come from equi-joins on
+    (band, bucket) and ids."""
+    from deltalake_datafusion_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared filler words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    surv = incremental_minhash_dedup(
+        spark, docs, "text", "doc_id", store, threshold=0.9
+    )
+    # second batch exercises the store-join path
+    docs2 = spark.createDataFrame(
+        [(100 + i, f"second batch item {i} entirely different") for i in range(10)],
+        "doc_id long, text string",
+    )
+    surv2 = incremental_minhash_dedup(
+        spark, docs2, "text", "doc_id", store, threshold=0.9
+    )
+    for d in (surv, surv2):
+        plan = _plan(d)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    assert surv2.count() == 10

@@ -486,3 +486,58 @@ def test_is_true_false_prune(spark, tmp_path):
         ).collect()
     )
     assert got == [i for i in range(300) if i % 3 != 0]  # false + null
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.from_regex(r"[a-z]{1,4}", fullmatch=True), min_size=1, max_size=40
+    ),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=3),
+)
+def test_chunking_reconstructs_exactly(tokens, max_tokens, overlap):
+    """Chunking invariant (pure-Python mirror of the Column algebra):
+    dropping each chunk's first `overlap` tokens (except chunk 0) and
+    concatenating reconstructs the document EXACTLY — no token lost,
+    none duplicated — for every (doc, max_tokens, overlap) shape."""
+    if overlap >= max_tokens:
+        return
+    stride = max_tokens - overlap
+    n = len(tokens)
+    max_start = max((n - 1 - overlap) // stride, 0) * stride
+    starts = list(range(0, max_start + 1, stride))
+    chunks = [tokens[s:s + max_tokens] for s in starts]
+    rebuilt = list(chunks[0])
+    for c in chunks[1:]:
+        assert c[:overlap] == rebuilt[-overlap:] if overlap else True
+        rebuilt.extend(c[overlap:])
+    assert rebuilt == tokens
+
+
+def test_chunking_column_matches_python_model(spark):
+    """The Spark Column implementation agrees with the Python model
+    over an adversarial shape sweep (doc lengths around every stride
+    boundary)."""
+    from deltalake_datafusion_spark.operators.text import chunk_documents
+
+    max_tokens, overlap = 5, 2
+    stride = max_tokens - overlap
+    docs = [
+        (n, " ".join(f"t{i}" for i in range(n)))
+        for n in range(1, 20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(
+        df, "text", "doc_id", max_tokens=max_tokens, overlap=overlap
+    ).collect():
+        got.setdefault(r["id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for n, text in docs:
+        tokens = text.split(" ")
+        max_start = max((n - 1 - overlap) // stride, 0) * stride
+        want = [
+            (i, " ".join(tokens[s:s + max_tokens]))
+            for i, s in enumerate(range(0, max_start + 1, stride))
+        ]
+        assert sorted(got[n]) == want, n
