@@ -462,6 +462,30 @@ class StatsEvaluator:
             return None
         if isinstance(node, Cmp):
             return self._eval_cmp_all(f, node)
+        if isinstance(node, StartsWith):
+            # every value in [prefix, prefix⁺) starts with the prefix
+            # (bump-last-char construction) — and the containment
+            # stays provable under outward stats truncation: stored
+            # min ≥ p ⇒ true min ≥ p; stored max < p⁺ ⇒ true max < p⁺.
+            from pyspark.sql.types import StringType
+
+            mn, mx, nulls, nrec, dtype = self._col_bounds(
+                f, node.col.name
+            )
+            if (
+                isinstance(dtype, StringType)
+                and node.prefix
+                and nulls == 0
+                and mn is not None
+                and mx is not None
+            ):
+                hi = _prefix_upper(node.prefix)
+                try:
+                    if mn >= node.prefix and hi is not None and mx < hi:
+                        return True
+                except TypeError:
+                    return None
+            return None
         if isinstance(node, InList):
             # all rows in the list ⟺ the column is a single value that
             # is in the list (mn == mx ∈ list, no nulls)

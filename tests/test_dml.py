@@ -1020,3 +1020,33 @@ def test_dv_files_written_by_executors_per_file(spark, tmp_path):
     # semantics unchanged
     from deltalake_datafusion_spark.delta.scan import read_delta
     assert read_delta(spark, path).count() == 270
+
+
+def test_delete_like_prefix_metadata_only(spark, tmp_path, monkeypatch):
+    """DELETE WHERE s LIKE 'p%': files whose stats PROVE every row has
+    the prefix (min ≥ p, max < p⁺, no nulls) drop as pure metadata —
+    zero data I/O — while mixed files still rewrite exactly."""
+    import deltalake_datafusion_spark.delta.ops as ops
+
+    path = str(tmp_path / "t")
+    # one file all-'aa*' keys, one file 'b*' keys
+    for pfx, lo in (("aa", 0), ("b", 100)):
+        write_delta(
+            spark,
+            spark.range(lo, lo + 50).selectExpr(
+                "id", f"concat('{pfx}', CAST(id AS STRING)) AS s"
+            ).coalesce(1),
+            path,
+            mode="append",
+        )
+
+    def _no_scan(*a, **kw):
+        raise AssertionError("prefix-covered DELETE must not scan data")
+
+    monkeypatch.setattr(ops, "_scan_with_rowmeta", _no_scan)
+    res = delete_delta(spark, path, "s LIKE 'aa%'")
+    monkeypatch.undo()
+    assert res["files_removed"] == 1 and res["files_rewritten"] == 0
+    assert res["rows_deleted"] == 50
+    got = sorted(r["id"] for r in read_delta(spark, path).collect())
+    assert got == list(range(100, 150))
