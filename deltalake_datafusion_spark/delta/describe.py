@@ -96,3 +96,67 @@ def show_tblproperties(
     return spark.createDataFrame(
         rows, "key string, value string"
     )
+
+
+def show_create_table(spark, table_path: str) -> DataFrame:
+    """``SHOW CREATE TABLE`` (delta-spark surface): render the CREATE
+    TABLE statement that reproduces the table's logical definition —
+    columns (with NOT NULL / GENERATED / IDENTITY / DEFAULT clauses),
+    USING DELTA, partitioning or clustering, and the user-visible
+    TBLPROPERTIES (internal bookkeeping keys elided). One-row
+    DataFrame (createtab_stmt string), like Spark's own."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import clustering_columns
+
+    snap = load_snapshot(table_path, spark=spark)
+    cols = []
+    for f in snap.schema.fields:
+        md = dict(f.metadata or {})
+        parts = [f"  `{f.name}` {f.dataType.simpleString().upper()}"]
+        if "delta.identity.start" in md:
+            kind = (
+                "ALWAYS"
+                if not md.get("delta.identity.allowExplicitInsert")
+                else "BY DEFAULT"
+            )
+            parts.append(
+                f"GENERATED {kind} AS IDENTITY (START WITH "
+                f"{md['delta.identity.start']} INCREMENT BY "
+                f"{md['delta.identity.step']})"
+            )
+        elif "delta.generationExpression" in md:
+            parts.append(
+                f"GENERATED ALWAYS AS ({md['delta.generationExpression']})"
+            )
+        if "CURRENT_DEFAULT" in md:
+            parts.append(f"DEFAULT {md['CURRENT_DEFAULT']}")
+        if not f.nullable:
+            parts.append("NOT NULL")
+        cols.append(" ".join(parts))
+    lines = [
+        f"CREATE TABLE delta.`{snap.table_path}` (",
+        ",\n".join(cols),
+        ")",
+        "USING DELTA",
+    ]
+    cluster = clustering_columns(snap)
+    if snap.partition_columns:
+        quoted = ", ".join(f"`{p}`" for p in snap.partition_columns)
+        lines.append(f"PARTITIONED BY ({quoted})")
+    elif cluster:
+        quoted = ", ".join(f"`{c}`" for c in cluster)
+        lines.append(f"CLUSTER BY ({quoted})")
+    hidden_prefixes = (
+        "delta.columnMapping.maxColumnId",
+        "delta.rowTracking.materialized",
+    )
+    props = {
+        k: v
+        for k, v in sorted(snap.metadata.configuration.items())
+        if not k.startswith(hidden_prefixes)
+    }
+    if props:
+        kv = ",\n".join(f"  '{k}' = '{v}'" for k, v in props.items())
+        lines.append("TBLPROPERTIES (\n" + kv + ")")
+    stmt = "\n".join(lines)
+    return spark.createDataFrame([(stmt,)], "createtab_stmt string")

@@ -229,6 +229,11 @@ _CLONE_RE = re.compile(
     r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?\s*;?\s*$",
     re.IGNORECASE,
 )
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+"
+    r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DELTA_REF_RE = re.compile(
     # non-greedy path so a literal '@' in a directory name survives;
     # the @vN suffix only binds immediately before the closing backtick
@@ -742,6 +747,23 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             timestamp_as_of=ts,
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _SHOW_CREATE_RE.match(statement)
+    if m:
+        target = m.group("target")
+        bare = not (
+            target.startswith("'")
+            or target.lower().startswith("delta.`")
+            or "/" in target
+        )
+        if not bare or (registry is not None and target in registry.names()):
+            from deltalake_datafusion_spark.delta.describe import (
+                show_create_table,
+            )
+
+            return show_create_table(
+                spark, _unquote_target(target, registry)
+            )
 
     m = _TBLPROPS_RE.match(statement)
     if m:

@@ -210,3 +210,68 @@ def test_operation_metrics_in_history(spark, tmp_path):
     m = hist["MERGE"]
     assert int(m["numTargetFilesRewritten"]) >= 1
     assert int(m["numAddedFiles"]) >= 1
+
+
+def test_show_create_table(spark, tmp_path):
+    """SHOW CREATE TABLE renders the reproducing DDL: columns with
+    IDENTITY / GENERATED / DEFAULT / NOT NULL clauses, USING DELTA,
+    partitioning or clustering, user-visible TBLPROPERTIES — and the
+    statement ROUND-TRIPS through the dialect to an equivalent
+    table."""
+    from pyspark.sql.types import (
+        DateType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    from deltalake_datafusion_spark.delta.identity import identity_field
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import create_delta_table
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "t")
+    schema = StructType(
+        [
+            identity_field("uid", start=10, step=2),
+            StructField("name", StringType(), False),
+            StructField("ts", TimestampType()),
+            StructField(
+                "event_date", DateType(), True,
+                {"delta.generationExpression": "CAST(ts AS DATE)"},
+            ),
+            StructField(
+                "tag", StringType(), True, {"CURRENT_DEFAULT": "'x'"},
+            ),
+        ]
+    )
+    create_delta_table(
+        spark, path, schema, partition_by=["event_date"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    stmt = sql(spark, f"SHOW CREATE TABLE '{path}'").collect()[0][
+        "createtab_stmt"
+    ]
+    assert "GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2)" in stmt
+    assert "GENERATED ALWAYS AS (CAST(ts AS DATE))" in stmt
+    assert "`name` STRING NOT NULL" in stmt
+    assert "DEFAULT 'x'" in stmt
+    assert "PARTITIONED BY (`event_date`)" in stmt
+    assert "'delta.enableChangeDataFeed' = 'true'" in stmt
+
+    # round-trip: run the rendered DDL against a new path
+    path2 = str(tmp_path / "t2")
+    sql(spark, stmt.replace(f"delta.`{path}`", f"delta.`{path2}`"))
+    s2 = load_snapshot(path2, spark=spark)
+    assert s2.schema.fieldNames() == schema.fieldNames()
+    assert s2.partition_columns == ["event_date"]
+    assert s2.metadata.configuration["delta.enableChangeDataFeed"] == "true"
+
+    # clustered table renders CLUSTER BY
+    path3 = str(tmp_path / "t3")
+    create_delta_table(
+        spark, path3,
+        StructType([StructField("a", LongType()),
+                    StructField("b", LongType())]),
+        cluster_by=["b"],
+    )
+    stmt3 = sql(spark, f"SHOW CREATE TABLE '{path3}'").collect()[0][0]
+    assert "CLUSTER BY (`b`)" in stmt3
