@@ -160,3 +160,36 @@ def show_create_table(spark, table_path: str) -> DataFrame:
         lines.append("TBLPROPERTIES (\n" + kv + ")")
     stmt = "\n".join(lines)
     return spark.createDataFrame([(stmt,)], "createtab_stmt string")
+
+
+def show_partitions(spark, table_path: str) -> DataFrame:
+    """``SHOW PARTITIONS`` (delta-spark surface): the DISTINCT
+    partition-value tuples of the live snapshot, typed per the table
+    schema — pure metadata (no data I/O; the values come from the
+    log's add actions). Errors on an unpartitioned table, matching
+    Spark."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    snap = load_snapshot(table_path, spark=spark)
+    if not snap.partition_columns:
+        raise ValueError(
+            f"SHOW PARTITIONS is not allowed on the non-partitioned "
+            f"table at {table_path}"
+        )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    cols = snap.partition_columns
+    rows = sorted(
+        {tuple(f.partition_values.get(c) for c in cols) for f in snap.files}
+    )
+    raw = spark.createDataFrame(
+        rows, StructType([StructField(c, StringType()) for c in cols])
+    )
+    typed = raw.select(
+        *[
+            F.col(c).cast(snap.schema[c].dataType).alias(c)
+            for c in cols
+        ]
+    )
+    return typed.orderBy(*cols)

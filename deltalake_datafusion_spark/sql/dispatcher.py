@@ -45,6 +45,7 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
     REORG TABLE <target> APPLY (PURGE)
     DESCRIBE DETAIL|HISTORY <target>
     SHOW TBLPROPERTIES <target> [(key)]
+    SHOW CREATE TABLE <target> / SHOW PARTITIONS <target>
     ALTER TABLE <target> ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT
     ALTER TABLE <target> ALTER COLUMN c TYPE t      (typeWidening)
     ALTER TABLE <target> CLUSTER BY (c1, ...) | CLUSTER BY NONE
@@ -227,6 +228,11 @@ _CLONE_RE = re.compile(
     r"\s+SHALLOW\s+CLONE\s+(?P<src>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
     r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_PARTS_RE = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+"
+    r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _SHOW_CREATE_RE = re.compile(
@@ -747,6 +753,23 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             timestamp_as_of=ts,
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _SHOW_PARTS_RE.match(statement)
+    if m:
+        target = m.group("target")
+        bare = not (
+            target.startswith("'")
+            or target.lower().startswith("delta.`")
+            or "/" in target
+        )
+        if not bare or (registry is not None and target in registry.names()):
+            from deltalake_datafusion_spark.delta.describe import (
+                show_partitions,
+            )
+
+            return show_partitions(
+                spark, _unquote_target(target, registry)
+            )
 
     m = _SHOW_CREATE_RE.match(statement)
     if m:

@@ -275,3 +275,39 @@ def test_show_create_table(spark, tmp_path):
     )
     stmt3 = sql(spark, f"SHOW CREATE TABLE '{path3}'").collect()[0][0]
     assert "CLUSTER BY (`b`)" in stmt3
+
+
+def test_show_partitions(spark, tmp_path):
+    """SHOW PARTITIONS: typed distinct partition tuples straight from
+    log metadata (zero data I/O); unpartitioned tables error."""
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.range(60).select(
+            "id", (F.col("id") % 3).alias("p"),
+            (F.col("id") % 2 == 0).alias("flag"),
+        ),
+        path,
+        partition_by=["p", "flag"],
+    )
+    rows = sql(spark, f"SHOW PARTITIONS '{path}'").collect()
+    assert [(r["p"], r["flag"]) for r in rows] == [
+        (0, False), (0, True), (1, False), (1, True),
+        (2, False), (2, True),
+    ]
+    schema = sql(spark, f"SHOW PARTITIONS '{path}'").schema
+    assert [f.dataType.simpleString() for f in schema.fields] == [
+        "bigint", "boolean",
+    ]
+
+    path2 = str(tmp_path / "t2")
+    write_delta(spark, spark.range(5).select("id"), path2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-partitioned"):
+        sql(spark, f"SHOW PARTITIONS '{path2}'")
