@@ -134,13 +134,16 @@ def test_row_commit_versions_track_last_modification(spark, tmp_path):
 
 def test_randomized_op_sequences_keep_ids_stable_and_unique(spark, tmp_path):
     """Invariant fuzz: across random append / delete / update / merge /
-    optimize / purge / checkpoint sequences, (1) live row ids are
-    always unique, (2) a row that survives an operation keeps its id,
-    (3) freshly inserted rows never reuse an id ever handed out."""
+    optimize / purge / checkpoint / cluster / restore sequences,
+    (1) live row ids are always unique, (2) a row that survives an
+    operation keeps its id, (3) an id permanently denotes ONE logical
+    row — a fresh row never reuses a handed-out id, and a RESTORE that
+    resurrects a row brings back its original id."""
     import random
 
     from deltalake_datafusion_spark.delta.ops import (
-        delete_delta, merge_delta, optimize_delta, update_delta,
+        delete_delta, merge_delta, optimize_delta, restore_delta,
+        update_delta,
     )
     from deltalake_datafusion_spark.delta.writer import (
         write_checkpoint, write_delta as _wd,
@@ -156,10 +159,10 @@ def test_randomized_op_sequences_keep_ids_stable_and_unique(spark, tmp_path):
 
     _wd(spark, batch(0, 40).repartition(3), path, configuration=RT_CONF)
     next_key = 40
-    ever_seen: set[int] = set()
+    ever_ids: dict[int, int] = {}  # row id → the one key it denotes
     prev = {}
 
-    for step in range(8):
+    for step in range(14):
         live = {
             r["id"]: r["_row_id"]
             for r in read_delta(spark, path, with_row_ids=True).collect()
@@ -168,14 +171,17 @@ def test_randomized_op_sequences_keep_ids_stable_and_unique(spark, tmp_path):
         assert len(set(live.values())) == len(live), step  # unique
         for key in live.keys() & prev.keys():
             assert live[key] == prev[key], (step, key)  # stable
-        fresh = {v for k, v in live.items() if k not in prev}
-        assert not (fresh & ever_seen), step  # never reused
-        ever_seen |= set(live.values())
+        for key, rid in live.items():
+            if rid in ever_ids:
+                # an id may reappear (RESTORE) but only for ITS row
+                assert ever_ids[rid] == key, (step, key, rid)
+            else:
+                ever_ids[rid] = key
         prev = live
 
         op = rng.choice(
             ["append", "delete", "update", "merge", "optimize",
-             "purge", "checkpoint"]
+             "purge", "checkpoint", "cluster", "restore"]
         )
         if op == "append":
             _wd(spark, batch(next_key, next_key + 15).repartition(2),
@@ -201,6 +207,25 @@ def test_randomized_op_sequences_keep_ids_stable_and_unique(spark, tmp_path):
             optimize_delta(spark, path, small_file_threshold=1 << 30)
         elif op == "purge":
             optimize_delta(spark, path, purge=True)
+        elif op == "cluster":
+            from deltalake_datafusion_spark.delta.properties import (
+                set_clustering,
+            )
+
+            set_clustering(spark, path, ["k"])
+            optimize_delta(spark, path)  # incremental clustered rewrite
+        elif op == "restore":
+            tip = load_snapshot(path, spark=spark).version
+            restore_delta(spark, path, version=max(tip - 1, 0))
+            # the restore may resurrect rows: refresh `prev` so the
+            # NEXT step's survivor check compares against the restored
+            # state rather than claiming the revert lost rows
+            prev = {
+                r["id"]: r["_row_id"]
+                for r in read_delta(
+                    spark, path, with_row_ids=True
+                ).collect()
+            }
         else:
             write_checkpoint(spark, load_snapshot(path, spark=spark))
 
