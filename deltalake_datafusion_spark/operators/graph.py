@@ -104,3 +104,39 @@ def dedup_keep_representatives(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Quality-preferring near-dup survivor selection: from every
+    connected component keep the row with the HIGHEST ``score_col``
+    (ties → lowest id, deterministic), instead of the arbitrary
+    min-id representative — the production choice when a quality
+    signal exists (keep the cleanest copy, drop the rest). Rows not
+    mentioned in ``pairs`` are kept as-is. One component join + one
+    per-component window — no extra shuffle beyond
+    :func:`dedup_keep_representatives`."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src, dst)
+    member_scores = comp.join(
+        df.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("__score")
+        ),
+        "id",
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.desc("__score"), F.asc("id")
+    )
+    drop = (
+        member_scores.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -431,3 +431,43 @@ def test_strip_markup(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dedup_keep_best_prefers_quality(spark):
+    """Quality-keyed survivor selection: each near-dup component keeps
+    its highest-score row (ties → lowest id); untouched rows pass
+    through; plan stays join+window (no Python, no cartesian)."""
+    from deltalake_datafusion_spark.operators.graph import (
+        dedup_keep_best, dedup_keep_representatives,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, 0.9),   # component {1,2,3}
+            (10, 0.5), (11, 0.1),           # component {10,11}
+            (20, 0.0),                      # untouched
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    best = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(
+            df, pairs, "doc_id", "quality"
+        ).collect()
+    )
+    assert best == [2, 10, 20]  # 2 beats 3 on the id tiebreak
+    # contrast: min-id representative keeps 1 (the LOWEST quality copy)
+    rep = sorted(
+        r["doc_id"]
+        for r in dedup_keep_representatives(df, pairs, "doc_id").collect()
+    )
+    assert rep == [1, 10, 20]
+    plan = (
+        dedup_keep_best(df, pairs, "doc_id", "quality")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
