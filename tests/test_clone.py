@@ -220,3 +220,19 @@ def test_clone_version_as_of(spark, tmp_path):
         f"JOIN delta.`{dst}` b ON a.id = b.id",
     ).collect()[0]["n"]
     assert joined == 10
+
+
+def test_describe_and_select_star_on_delta_ref(spark, tmp_path):
+    """Free riders of the delta.`path` expansion: plain DESCRIBE and
+    SELECT * work on path references without registration."""
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark, spark.range(7).select("id", (F.col("id") * 2).alias("v")),
+        path,
+    )
+    desc = {r["col_name"]: r["data_type"]
+            for r in sql(spark, f"DESCRIBE delta.`{path}`").collect()}
+    assert desc == {"id": "bigint", "v": "bigint"}
+    assert sql(spark, f"SELECT * FROM delta.`{path}`").count() == 7
