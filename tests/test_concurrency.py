@@ -53,22 +53,29 @@ def _thread_ops(tid: int):
     )
 
 
-def _apply_serial(tid: int, ops) -> dict[int, float]:
+def _apply_serial(tid: int, ops) -> dict[int, list[float]]:
     """The per-thread serial semantics the concurrent run must match:
-    id → v (appends write id % 7.0; merges upsert -(chunk+1))."""
+    id → MULTISET of row values. Appends ADD a row (a repeated append
+    duplicates the id — append is not upsert); a merge updates EVERY
+    matched copy or inserts one row; a delete removes every matching
+    copy."""
     base = tid * SPACE
-    live: dict[int, float] = {}
+    live: dict[int, list[float]] = {}
     for kind, arg in ops:
         if kind == "append":
             for i in range(base + arg * 25, base + arg * 25 + 25):
-                live[i] = float(i % 7)
+                live.setdefault(i, []).append(float(i % 7))
         elif kind == "merge":
             for i in range(base + arg * 25, base + arg * 25 + 25):
-                live[i] = float(-(arg + 1))
+                copies = live.get(i)
+                if copies:
+                    live[i] = [float(-(arg + 1))] * len(copies)
+                else:
+                    live[i] = [float(-(arg + 1))]
         else:
             for i in [i for i in live if i % 3 == arg]:
                 del live[i]
-    return live
+    return {k: sorted(v) for k, v in live.items() if v}
 
 
 def _run_thread(spark, path, tid, ops, errors):
@@ -150,13 +157,13 @@ def test_n_writer_serializability(spark, tmp_path, data):
         t.join(timeout=300)
     assert not errors, f"writer threads failed: {errors}"
 
-    want: dict[int, float] = {}
+    want: dict[int, list[float]] = {}
     for t in range(n_threads):
         want.update(_apply_serial(t, ops[t]))
-    got = {
-        r["id"]: r["v"]
-        for r in read_delta(spark, path).select("id", "v").collect()
-    }
+    got: dict[int, list[float]] = {}
+    for r in read_delta(spark, path).select("id", "v").collect():
+        got.setdefault(r["id"], []).append(r["v"])
+    got = {k: sorted(v) for k, v in got.items()}
     assert got == want
 
     # every version is exactly one atomic commit file, contiguous from 0
