@@ -2299,3 +2299,75 @@ def drop_check_constraint(
     expr = conf.pop(key)
     version = _commit_configuration(spark, snap, conf, "DROP CONSTRAINT")
     return {"constraint": name, "expr": expr, "version": version}
+
+
+def compute_delta_statistics(
+    spark, table_path: str, max_restarts: int = 3
+) -> dict:
+    """``ANALYZE TABLE … COMPUTE DELTA STATISTICS`` (delta-spark):
+    recompute per-file stats for live files that have NONE — the
+    post-CONVERT / foreign-writer case where missing stats disable
+    all file skipping. Executor-distributed footer reads
+    (``collect_stats_batch``); each fixed file is re-added with
+    ``dataChange=false`` carrying its DV / row-id / tag fields, in
+    one commit. Files that already have stats are untouched."""
+    return _restart_on_conflict(
+        lambda: _compute_stats_attempt(spark, table_path), max_restarts
+    )
+
+
+def _compute_stats_attempt(spark, table_path: str) -> dict:
+    from deltalake_datafusion_spark.delta.stats import (
+        collect_stats_batch,
+        data_skipping_stats_columns,
+    )
+    from deltalake_datafusion_spark.delta.writer import (
+        commit_with_retries,
+        physical_schema as _ps,
+    )
+
+    snap = load_snapshot(table_path, spark=spark)
+    victims = [f for f in snap.files if not f.stats]
+    if not victims:
+        return {"files_updated": 0, "version": snap.version}
+    logical = snap.schema
+    phys = _ps(logical)
+    part_phys = {
+        phys.fields[logical.fieldNames().index(p)].name
+        for p in snap.partition_columns
+    }
+    stats_by_rel = collect_stats_batch(
+        spark,
+        snap.table_path,
+        [(f.path, f.size) for f in victims],
+        skip_columns=part_phys,
+        stats_columns=data_skipping_stats_columns(
+            logical, snap.metadata.configuration
+        ),
+    )
+    actions = []
+    for f in victims:
+        actions.append(
+            {
+                "add": {
+                    "path": _url_encode_path(f.path),
+                    "partitionValues": f.partition_values,
+                    "size": f.size,
+                    "modificationTime": f.modification_time,
+                    # a stats backfill changes no data — streaming
+                    # readers must skip it, like OPTIMIZE rewrites
+                    "dataChange": False,
+                    "stats": stats_by_rel[f.path],
+                    **(
+                        {"deletionVector": _dv_to_json(f.dv)}
+                        if f.dv else {}
+                    ),
+                    **_row_id_fields(f),
+                }
+            }
+        )
+    version = commit_with_retries(
+        spark, snap.table_path, snap, actions, "COMPUTE STATISTICS",
+        {f.path for f in victims},
+    )
+    return {"files_updated": len(victims), "version": version}

@@ -42,6 +42,7 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
     CONVERT TO DELTA parquet.`path` [PARTITIONED BY (col type, ...)]
     COPY INTO <target> FROM 'dir' FILEFORMAT = fmt [PATTERN = 'glob']
     FSCK REPAIR TABLE <target> [DRY RUN]
+    ANALYZE TABLE <target> COMPUTE DELTA STATISTICS
     REORG TABLE <target> APPLY (PURGE)
     DESCRIBE DETAIL|HISTORY <target>
     SHOW TBLPROPERTIES <target> [(key)]
@@ -159,6 +160,12 @@ _CONVERT_RE = re.compile(
     r"^\s*CONVERT\s+TO\s+DELTA\s+"
     r"(?P<target>parquet\.`[^`]+`|'[^']+'|[\w./-]+)"
     r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<parts>[^)]+?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+"
+    r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+COMPUTE\s+DELTA\s+STATISTICS\s*;?\s*$",
     re.IGNORECASE,
 )
 _FSCK_RE = re.compile(
@@ -610,6 +617,17 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         else:
             target = _unquote_target(target, registry)
         res = convert_to_delta(spark, target, m.group("parts"))
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _ANALYZE_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.ops import (
+            compute_delta_statistics,
+        )
+
+        res = compute_delta_statistics(
+            spark, _unquote_target(m.group("target"), registry)
+        )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 
     m = _FSCK_RE.match(statement)

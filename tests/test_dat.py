@@ -1151,3 +1151,40 @@ def test_dat_version_checksum_verification(spark, tmp_path):
         json.dump({**crc, "numFiles": 2, "tableSizeBytes": 12345}, f)
     with pytest.raises(ChecksumMismatchError, match="numFiles"):
         verify_version_checksum(snap)
+
+
+def test_dat_analyze_backfills_missing_stats(spark, tmp_path):
+    """ANALYZE TABLE … COMPUTE DELTA STATISTICS: a foreign table whose
+    adds carry NO stats (file skipping disabled) gets per-file stats
+    backfilled from the parquet footers in one dataChange=false
+    commit — pruning starts working, content unchanged."""
+    from deltalake_datafusion_spark.delta.scan import scan_files
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    t = str(tmp_path / "no_stats")
+    _commit(t, 0, [
+        _protocol_action(),
+        _metadata_action(LONG_VAL),
+        _write_file(t, "f0.parquet", _ids(0, 50)),
+        _write_file(t, "f1.parquet", _ids(50, 100)),
+    ])
+    snap0 = load_snapshot(t)
+    assert all(f.stats is None for f in snap0.files)
+    # no stats → no pruning
+    assert len(scan_files(snap0, "id >= 90")) == 2
+
+    res = sql(
+        spark, f"ANALYZE TABLE '{t}' COMPUTE DELTA STATISTICS"
+    ).collect()[0]
+    assert res["files_updated"] == 2
+
+    snap1 = load_snapshot(t)
+    assert all(f.stats for f in snap1.files)
+    assert len(scan_files(snap1, "id >= 90")) == 1  # pruning live
+    rows, _cols = _scan_sorted(spark, t)
+    assert len(rows) == 100
+    # idempotent: second run touches nothing
+    res2 = sql(
+        spark, f"ANALYZE TABLE '{t}' COMPUTE DELTA STATISTICS"
+    ).collect()[0]
+    assert res2["files_updated"] == 0
