@@ -72,6 +72,26 @@ def set_tblproperties(
         )
         if conf.get("delta.enableRowTracking", "").lower() == "true":
             needed |= {"rowTracking", "domainMetadata"}
+        # Enabling column mapping on an EXISTING table: pin every
+        # field's physicalName to its current logical name (no file
+        # rewrites; later renames keep resolving old data) and record
+        # maxColumnId + the reader/writer feature — delta-spark's
+        # ALTER TBLPROPERTIES upgrade path.
+        new_schema = snap.schema
+        enabling_mapping = (
+            conf.get("delta.columnMapping.mode", "none").lower() != "none"
+            and snap.metadata.configuration.get(
+                "delta.columnMapping.mode", "none"
+            ).lower() == "none"
+        )
+        if enabling_mapping:
+            from deltalake_datafusion_spark.delta.writer import (
+                pin_mapping_to_logical,
+            )
+
+            new_schema, max_id = pin_mapping_to_logical(snap.schema)
+            conf.setdefault("delta.columnMapping.maxColumnId", str(max_id))
+            needed.add("columnMapping")
         actions = []
         up = protocol_upgrade_action(snap.protocol, needed) if needed else None
         if up is not None:
@@ -106,7 +126,7 @@ def set_tblproperties(
                     }
                 )
         md = _metadata_action(
-            snap.schema,
+            new_schema,
             snap.partition_columns,
             conf,
             snap.metadata.id,

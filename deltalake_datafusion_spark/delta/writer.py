@@ -118,6 +118,39 @@ def _assign_physical_names(schema: StructType) -> StructType:
     return StructType([walk_field(f) for f in schema.fields])
 
 
+def pin_mapping_to_logical(schema: StructType):
+    """Enable column mapping on an EXISTING table (delta-spark ALTER
+    TBLPROPERTIES upgrade): every field gets a mapping id and
+    ``physicalName`` = its CURRENT logical name — the name already in
+    the parquet files — so no file rewrites, and a later RENAME keeps
+    resolving the old data through the pinned physical name. Fields
+    that already carry mapping metadata keep it. Returns
+    (schema, max_column_id)."""
+    counter = [0]
+
+    def walk_field(f: StructField) -> StructField:
+        counter[0] += 1
+        meta = dict(f.metadata or {})
+        meta.setdefault("delta.columnMapping.id", counter[0])
+        meta.setdefault("delta.columnMapping.physicalName", f.name)
+        return StructField(f.name, walk_type(f.dataType), f.nullable, meta)
+
+    def walk_type(t):
+        if isinstance(t, StructType):
+            return StructType([walk_field(f) for f in t.fields])
+        if isinstance(t, ArrayType):
+            return ArrayType(walk_type(t.elementType), t.containsNull)
+        if isinstance(t, MapType):
+            return MapType(
+                walk_type(t.keyType), walk_type(t.valueType),
+                t.valueContainsNull,
+            )
+        return t
+
+    out = StructType([walk_field(f) for f in schema.fields])
+    return out, counter[0]
+
+
 def physical_schema(schema: StructType) -> StructType:
     """Logical schema → physical (file) schema under column mapping:
     rename every field to its physicalName, recursively. Identity when

@@ -190,3 +190,48 @@ def test_column_default_bad_expr_and_unknown_column(spark, tmp_path):
             spark,
             f"ALTER TABLE '{path}' ALTER COLUMN id SET DEFAULT bogus_fn(()",
         )
+
+
+def test_enable_column_mapping_on_existing_table(spark, tmp_path):
+    """ALTER TBLPROPERTIES columnMapping upgrade (delta-spark): fields
+    get physicalName PINNED to their current logical names — zero file
+    rewrites, and a subsequent RENAME COLUMN keeps resolving the
+    pre-upgrade parquet data through the pinned physical name."""
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.columns import rename_column
+    from deltalake_datafusion_spark.delta.properties import set_tblproperties
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.range(50).select("id", (F.col("id") * 3).alias("v")),
+        path,
+    )
+    n_files_before = len(load_snapshot(path, spark=spark).files)
+    set_tblproperties(spark, path, {"delta.columnMapping.mode": "name"})
+    snap = load_snapshot(path, spark=spark)
+    assert snap.column_mapping_mode == "name"
+    assert len(snap.files) == n_files_before  # no rewrites
+    for f in snap.schema.fields:
+        assert f.metadata["delta.columnMapping.physicalName"] == f.name
+    assert "columnMapping" in (snap.protocol.reader_features or [])
+    assert snap.metadata.configuration["delta.columnMapping.maxColumnId"] == "2"
+
+    # the upgrade's point: rename works AND old files still resolve
+    rename_column(spark, path, "v", "value")
+    out = {r["id"]: r["value"] for r in read_delta(spark, path).collect()}
+    assert out == {i: i * 3 for i in range(50)}
+
+    # new writes land under the pinned physical name; both eras read
+    write_delta(
+        spark,
+        spark.range(50, 60).select("id", (F.col("id") * 3).alias("value")),
+        path,
+        mode="append",
+    )
+    assert read_delta(spark, path).count() == 60
+    assert read_delta(spark, path, predicate="value >= 150").count() == 10
