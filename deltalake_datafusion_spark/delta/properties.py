@@ -92,6 +92,21 @@ def set_tblproperties(
             new_schema, max_id = pin_mapping_to_logical(snap.schema)
             conf.setdefault("delta.columnMapping.maxColumnId", str(max_id))
             needed.add("columnMapping")
+        elif (
+            "delta.columnMapping.mode" in props
+            and str(props["delta.columnMapping.mode"]).lower() == "none"
+            and snap.column_mapping_mode != "none"
+        ):
+            from deltalake_datafusion_spark.delta.writer import (
+                DeltaWriteError,
+            )
+
+            # delta-spark: mapping cannot be disabled — renamed/dropped
+            # columns' physical names would stop resolving old files
+            raise DeltaWriteError(
+                "delta.columnMapping.mode cannot be changed from "
+                f"{snap.column_mapping_mode!r} to 'none'"
+            )
         actions = []
         up = protocol_upgrade_action(snap.protocol, needed) if needed else None
         if up is not None:

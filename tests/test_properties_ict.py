@@ -235,3 +235,21 @@ def test_enable_column_mapping_on_existing_table(spark, tmp_path):
     )
     assert read_delta(spark, path).count() == 60
     assert read_delta(spark, path, predicate="value >= 150").count() == 10
+
+
+def test_column_mapping_cannot_be_disabled(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.properties import set_tblproperties
+    from deltalake_datafusion_spark.delta.writer import (
+        DeltaWriteError, write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark, spark.range(5).select("id"), path, column_mapping=True
+    )
+    with pytest.raises(DeltaWriteError, match="cannot be changed"):
+        set_tblproperties(
+            spark, path, {"delta.columnMapping.mode": "none"}
+        )
