@@ -253,3 +253,34 @@ def test_column_mapping_cannot_be_disabled(spark, tmp_path):
         set_tblproperties(
             spark, path, {"delta.columnMapping.mode": "none"}
         )
+
+
+def test_enable_column_mapping_on_partitioned_table(spark, tmp_path):
+    """Mapping upgrade on a PARTITIONED table: partition columns pin
+    physical = logical too, so Hive-dir-derived scans, pruning, and a
+    later rename of a DATA column all keep working."""
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.columns import rename_column
+    from deltalake_datafusion_spark.delta.properties import set_tblproperties
+    from deltalake_datafusion_spark.delta.scan import read_delta, scan_files
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.range(90).select(
+            "id", (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+        ),
+        path,
+        partition_by=["p"],
+    )
+    set_tblproperties(spark, path, {"delta.columnMapping.mode": "name"})
+    rename_column(spark, path, "v", "val")
+    snap = load_snapshot(path, spark=spark)
+    assert len(scan_files(snap, "p = 1")) < len(scan_files(snap))
+    out = read_delta(spark, path, predicate="p = 1")
+    assert sorted(r["val"] for r in out.collect()) == [
+        i * 2 for i in range(90) if i % 3 == 1
+    ]
