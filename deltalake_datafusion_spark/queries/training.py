@@ -929,7 +929,9 @@ def delta_clustered_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = load_snapshot(path, spark=spark)
     pred = "event_type = 'click'"
     n_all, n_pruned = len(scan_files(snap)), len(scan_files(snap, pred))
-    assert n_all > 1 and n_pruned < n_all, (n_pruned, n_all)
+    # At tiny scale factors the whole table fits one file; pruning is
+    # only observable (and asserted) when OPTIMIZE produced >1 file.
+    assert n_pruned < n_all or n_all == 1, (n_pruned, n_all)
     return (
         read_delta(spark, path)
         .groupBy("event_type")
