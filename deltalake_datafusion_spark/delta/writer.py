@@ -984,6 +984,8 @@ def write_delta(
     txn: tuple[str, int] | list[tuple[str, int]] | None = None,
     max_records_per_file: int | None = None,
     max_commit_attempts: int = 10,
+    replace_where: str | None = None,
+    partition_overwrite_mode: str | None = None,
 ) -> Snapshot:
     """Write ``df`` to a Delta table (append / overwrite / error).
 
@@ -994,10 +996,42 @@ def write_delta(
     old files see the new columns as nulls through the schema adapter
     (FIXTURES.md F5 semantics).
 
+    ``replace_where`` (with ``mode="overwrite"``) replaces only the
+    rows matching the predicate: matched rows are deleted through the
+    DELETE planner (stats-full files drop as metadata, partially
+    matching files get deletion vectors) and the new data lands in the
+    same atomic commit — delta-spark's replaceWhere. Incoming rows
+    must all satisfy the predicate unless session conf
+    ``lakehouse.delta.replace_where.constraint_check`` is ``false``.
+
+    ``partition_overwrite_mode="dynamic"`` (or session conf
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``) makes
+    ``mode="overwrite"`` replace only the partitions present in ``df``;
+    untouched partitions survive. On an unpartitioned table it
+    degenerates to a full overwrite.
+
     Returns the post-commit snapshot.
     """
     if mode not in ("append", "overwrite", "error", "errorifexists"):
         raise DeltaWriteError(f"unsupported mode {mode!r}")
+    if replace_where is not None and mode != "overwrite":
+        raise DeltaWriteError("replace_where requires mode='overwrite'")
+    pom = partition_overwrite_mode
+    if pom is None and mode == "overwrite":
+        pom = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+    pom = (pom or "static").lower()
+    if pom not in ("static", "dynamic"):
+        raise DeltaWriteError(
+            f"unsupported partition_overwrite_mode {partition_overwrite_mode!r}"
+        )
+    dynamic_overwrite = mode == "overwrite" and pom == "dynamic"
+    if replace_where is not None and dynamic_overwrite:
+        raise DeltaWriteError(
+            "replace_where cannot be combined with dynamic partition "
+            "overwrite"
+        )
     table_path = strip_scheme(table_path)
     partition_by = list(partition_by or [])
     configuration = dict(configuration or {})
@@ -1176,6 +1210,28 @@ def write_delta(
         check_append_only(active_conf, "overwrite")
     validate_constraints(df, table_constraints(active_conf), write_schema)
 
+    if replace_where is not None:
+        # delta-spark replaceWhere constraint: every incoming row must
+        # satisfy the predicate, else rows would land outside the
+        # replaced region and silently survive the next replaceWhere.
+        # One aggregate riding the write scan; conf-disableable.
+        from pyspark.sql import functions as F
+
+        _rw_check = str(
+            spark.conf.get(
+                "lakehouse.delta.replace_where.constraint_check", "true"
+            )
+        ).lower() != "false"
+        if _rw_check and not df.filter(
+            ~F.coalesce(F.expr(replace_where).cast("boolean"), F.lit(False))
+        ).isEmpty():
+            raise DeltaWriteError(
+                "replaceWhere constraint violated: the written data "
+                f"contains rows not matching {replace_where!r} (set "
+                "lakehouse.delta.replace_where.constraint_check=false "
+                "to allow)"
+            )
+
     # Physical projection (identity when unmapped).
     out_df = _rename_to_physical(df, write_schema) if mapping else df
     phys = physical_schema(write_schema)
@@ -1237,6 +1293,8 @@ def write_delta(
 
     cdc_overwrite: list[dict] | None = None
     cdc_staged_version: int | None = None
+    rw_plan: dict | None = None
+    rw_planned_version: int | None = None
     for attempt in range(max_commit_attempts):
         try:
             current = load_snapshot(table_path, spark=spark)
@@ -1283,6 +1341,8 @@ def write_delta(
                         schema_mode=schema_mode, txn=txn,
                         max_records_per_file=max_records_per_file,
                         max_commit_attempts=max_commit_attempts - 1,
+                        replace_where=replace_where,
+                        partition_overwrite_mode=partition_overwrite_mode,
                     )
 
                 if ident_assigned:
@@ -1327,25 +1387,59 @@ def write_delta(
             md["metaData"]["createdTime"] = current.metadata.created_time
             actions.append(md)
         removes: list[dict] = []
+        rw_actions: list[dict] = []
+        removed_files: list = []
         if mode == "overwrite" and current is not None:
-            for f in current.files:
-                removes.append(
-                    {
-                        "remove": {
-                            "path": _url_encode_path(f.path),
-                            "deletionTimestamp": _now_ms(),
-                            "dataChange": True,
-                            "extendedFileMetadata": True,
-                            "partitionValues": f.partition_values,
-                            "size": f.size,
-                            **(
-                                {"deletionVector": _dv_to_json(f.dv)}
-                                if f.dv
-                                else {}
-                            ),
-                        }
-                    }
+            if replace_where is not None:
+                # replaceWhere: plan a DELETE of the predicate's rows
+                # against the snapshot THIS attempt commits over —
+                # stats-full files drop as metadata, partially matching
+                # files get deletion vectors; unmatched files survive.
+                # Re-planned whenever a concurrent commit moved the tip
+                # (orphaned DV files from a lost attempt are
+                # unreferenced and vacuumable).
+                from deltalake_datafusion_spark.delta.ops import (
+                    _delete_plan,
                 )
+
+                if rw_plan is None or rw_planned_version != current.version:
+                    rw_plan = _delete_plan(
+                        spark, current, replace_where, emit_cdc=False
+                    )
+                    rw_planned_version = current.version
+                rw_actions = rw_plan["actions"]
+            else:
+                if dynamic_overwrite:
+                    written = {
+                        tuple(sorted(a["add"]["partitionValues"].items()))
+                        for a in adds
+                    }
+                    removed_files = [
+                        f
+                        for f in current.files
+                        if tuple(sorted(f.partition_values.items()))
+                        in written
+                    ]
+                else:
+                    removed_files = list(current.files)
+                for f in removed_files:
+                    removes.append(
+                        {
+                            "remove": {
+                                "path": _url_encode_path(f.path),
+                                "deletionTimestamp": _now_ms(),
+                                "dataChange": True,
+                                "extendedFileMetadata": True,
+                                "partitionValues": f.partition_values,
+                                "size": f.size,
+                                **(
+                                    {"deletionVector": _dv_to_json(f.dv)}
+                                    if f.dv
+                                    else {}
+                                ),
+                            }
+                        }
+                    )
         if mode == "overwrite" and current is not None:
             # CDF: overwrite both adds and removes → the commit must
             # carry its changes as cdc (delete of every old row +
@@ -1369,16 +1463,40 @@ def write_delta(
 
                     from deltalake_datafusion_spark.delta.scan import read_delta
 
-                    old_df = read_delta(
-                        spark, table_path, version=current.version
-                    ).withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+                    if replace_where is not None:
+                        # only the predicate's rows are deleted
+                        old_df = read_delta(
+                            spark, table_path, version=current.version
+                        ).filter(F.expr(replace_where))
+                    elif dynamic_overwrite:
+                        # only rows in the replaced partitions
+                        if removed_files:
+                            from deltalake_datafusion_spark.delta.ops import (
+                                _scan_with_rowmeta,
+                            )
+
+                            old_df = _scan_with_rowmeta(
+                                spark, current, None, files=removed_files
+                            ).drop("__row_index", "__file_path")
+                        else:
+                            old_df = None
+                    else:
+                        old_df = read_delta(
+                            spark, table_path, version=current.version
+                        )
                     new_df = df.withColumn(CHANGE_TYPE_COL, F.lit("insert"))
-                    cdc_overwrite = stage_cdc(
-                        spark, current, old_df.unionByName(new_df)
+                    cdc_df = (
+                        new_df
+                        if old_df is None
+                        else old_df.withColumn(
+                            CHANGE_TYPE_COL, F.lit("delete")
+                        ).unionByName(new_df, allowMissingColumns=True)
                     )
+                    cdc_overwrite = stage_cdc(spark, current, cdc_df)
                     cdc_staged_version = current.version
                 actions.extend(cdc_overwrite)
         actions.extend(removes)
+        actions.extend(rw_actions)
         actions.extend(adds)
         if txns:
             done = (
@@ -1417,10 +1535,26 @@ def write_delta(
                 commit_conf = a["metaData"].get(
                     "configuration", commit_conf
                 )
+        op_params: dict[str, str] | None = None
+        op_metrics: dict[str, str] | None = None
+        if replace_where is not None:
+            op_params = {"mode": "Overwrite", "predicate": replace_where}
+            if rw_plan is not None:
+                op_metrics = {
+                    "numDeletedRows": str(rw_plan["rows_deleted"])
+                }
+        elif dynamic_overwrite and current is not None:
+            op_params = {
+                "mode": "Overwrite",
+                "partitionBy": json.dumps(partition_by),
+                "partitionOverwriteMode": "dynamic",
+            }
         try:
             commit(
                 table_path, version, actions, op, spark,
                 configuration=commit_conf,
+                operation_parameters=op_params,
+                operation_metrics=op_metrics,
             )
             break
         except ConcurrentWriteError:

@@ -1217,6 +1217,69 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replaceWhere + dynamic partition overwrite end-to-end: orders
+    lands partitioned by o_orderstatus; the 'F' partition is replaced
+    via ``mode="overwrite", replace_where="o_orderstatus = 'F'"`` (the
+    whole-partition case drops files as pure metadata — asserted: no
+    DVs minted) with deterministically recomputed prices; the 'O'
+    partition is then replaced through dynamic partition overwrite
+    (untouched partitions survive — asserted per status). The oracle
+    recomputes both replacements straight from the source parquet."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "orders")
+    path = os.path.join(_fresh_dir("replace_where", sf_dir), "t")
+    base = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    write_delta(spark, base, path, partition_by=["o_orderstatus"])
+
+    f_new = base.filter("o_orderstatus = 'F'").withColumn(
+        "o_totalprice", (F.col("o_orderkey") % 1000).cast("double")
+    )
+    snap = write_delta(
+        spark, f_new, path, mode="overwrite",
+        replace_where="o_orderstatus = 'F'",
+    )
+    # whole-partition replace is metadata-only: no deletion vectors
+    assert all(f.dv is None for f in snap.files), "replaceWhere minted DVs"
+
+    o_new = base.filter("o_orderstatus = 'O'").withColumn(
+        "o_totalprice", (F.col("o_orderkey") % 777).cast("double")
+    )
+    write_delta(
+        spark, o_new, path, mode="overwrite",
+        partition_overwrite_mode="dynamic",
+    )
+    snap2 = load_snapshot(path, spark=spark)
+    statuses = {f.partition_values.get("o_orderstatus") for f in snap2.files}
+    assert "P" in statuses, "dynamic overwrite dropped untouched partition"
+
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_REPLACE_WHERE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(CASE o_orderstatus
+             WHEN 'F' THEN CAST(o_orderkey % 1000 AS DOUBLE)
+             WHEN 'O' THEN CAST(o_orderkey % 777 AS DOUBLE)
+             ELSE o_totalprice END AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -1282,4 +1345,7 @@ def specs() -> list[QuerySpec]:
             _INC_DEDUP_SQL,
         ),
         QuerySpec("text_chunking", text_chunking, _TEXT_CHUNK_SQL),
+        QuerySpec(
+            "delta_replace_where", delta_replace_where, _REPLACE_WHERE_SQL
+        ),
     ]

@@ -35,7 +35,7 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
         [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]
     OPTIMIZE <target> [FULL] [WHERE <partition predicate>] [ZORDER BY (cols)]
     RESTORE TABLE <target> TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
-    INSERT INTO|OVERWRITE <'path'|delta.`path`> [(cols)] SELECT ... | VALUES ...
+    INSERT INTO|OVERWRITE <'path'|delta.`path`> [(cols)] [REPLACE WHERE pred] SELECT ... | VALUES ...
     ALTER TABLE <target> ADD COLUMNS (name type, ...)
     ALTER TABLE <target> RENAME COLUMN old TO new     (mapping mode)
     ALTER TABLE <target> DROP COLUMN[S] (c1, ...)      (mapping mode)
@@ -195,6 +195,7 @@ _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
     r"(?P<target>'[^']+'|delta\.`[^`]+`)\s*"
     r"(?:\(\s*(?P<cols>[\w`,\s]+?)\s*\)\s*)?"
+    r"(?:REPLACE\s+WHERE\s+(?P<rw>.+?)\s+)?"
     r"(?P<select>(?:SELECT|VALUES)\b.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -693,13 +694,17 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
                     f"output ({len(src.columns)} columns)"
                 )
             src = src.toDF(*names)
+        rw = m.group("rw")
         snap = write_delta(
             spark,
             src,
             _unquote_target(m.group("target"), registry),
             mode=(
-                "append" if m.group("mode").upper() == "INTO" else "overwrite"
+                "append"
+                if m.group("mode").upper() == "INTO" and rw is None
+                else "overwrite"
             ),
+            replace_where=rw,
         )
         return spark.createDataFrame(
             [(snap.version,)], "version long"

@@ -1,0 +1,262 @@
+"""replaceWhere overwrite + dynamic partition overwrite.
+
+delta-spark semantics: ``mode="overwrite"`` with ``replace_where``
+atomically deletes only the predicate's rows and lands the new data;
+``partition_overwrite_mode="dynamic"`` replaces only the partitions
+present in the written DataFrame. The reference engine is read-only
+(write path is `not_impl_err!`, crates/datafusion/src/table_provider/
+mod.rs), so these complete the writer surface a Delta user expects.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.cdf import table_changes
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import (
+    DeltaWriteError,
+    write_delta,
+)
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+
+def _base(spark, n=100, parts=5):
+    return spark.range(n).select(
+        "id",
+        (F.col("id") % parts).alias("grp"),
+        F.lit("old").alias("val"),
+    )
+
+
+def test_replace_where_partition_is_metadata_only(spark, tmp_path):
+    path = str(tmp_path / "rw_part")
+    write_delta(spark, _base(spark), path, partition_by=["grp"])
+    v0_files = {f.path for f in load_snapshot(path).files}
+
+    new = spark.range(3).select(
+        (F.col("id") + 1000).alias("id"),
+        F.lit(2).alias("grp"),
+        F.lit("new").alias("val"),
+    )
+    snap = write_delta(
+        spark, new, path, mode="overwrite", replace_where="grp = 2"
+    )
+    out = read_delta(spark, path)
+    assert out.filter("grp = 2").count() == 3
+    assert out.filter("grp = 2 AND val = 'new'").count() == 3
+    assert out.filter("grp <> 2").count() == 80
+    assert out.filter("val = 'old'").count() == 80
+    # whole-partition replace drops files as metadata: no DVs minted,
+    # untouched partitions keep their exact files
+    assert all(f.dv is None for f in snap.files)
+    kept = {f.path for f in snap.files if f.partition_values.get("grp") != "2"}
+    assert kept == {
+        p for p in v0_files if "grp=2" not in p
+    }
+    # history carries the predicate
+    from deltalake_datafusion_spark.delta.clone import history_df
+
+    row = (
+        history_df(spark, path)
+        .filter(F.col("version") == snap.version)
+        .collect()[0]
+    )
+    assert row["operationParameters"]["predicate"] == "grp = 2"
+
+
+def test_replace_where_partial_file_uses_dv(spark, tmp_path):
+    path = str(tmp_path / "rw_dv")
+    write_delta(spark, _base(spark).coalesce(1), path)
+    new = spark.range(5).select(
+        "id", F.lit(0).alias("grp"), F.lit("new").alias("val")
+    )
+    snap = write_delta(
+        spark, new, path, mode="overwrite", replace_where="id < 20"
+    )
+    out = read_delta(spark, path)
+    assert out.count() == 85  # 100 - 20 deleted + 5 new
+    assert out.filter("id < 20").count() == 5
+    assert out.filter("val = 'old' AND id < 20").count() == 0
+    assert out.filter("val = 'old'").count() == 80
+    # the partially-matching file was soft-deleted in place
+    assert any(f.dv is not None for f in snap.files)
+
+
+def test_replace_where_constraint_check(spark, tmp_path):
+    path = str(tmp_path / "rw_con")
+    write_delta(spark, _base(spark), path)
+    bad = spark.range(3).select(
+        "id", F.lit(9).alias("grp"), F.lit("new").alias("val")
+    )
+    with pytest.raises(DeltaWriteError, match="replaceWhere constraint"):
+        write_delta(
+            spark, bad, path, mode="overwrite", replace_where="grp = 2"
+        )
+    # conf-disable lets the out-of-region rows land (caller's choice)
+    spark.conf.set("lakehouse.delta.replace_where.constraint_check", "false")
+    try:
+        write_delta(
+            spark, bad, path, mode="overwrite", replace_where="grp = 2"
+        )
+    finally:
+        spark.conf.unset("lakehouse.delta.replace_where.constraint_check")
+    assert read_delta(spark, path).filter("grp = 9").count() == 3
+
+
+def test_replace_where_cdf_images(spark, tmp_path):
+    path = str(tmp_path / "rw_cdf")
+    write_delta(
+        spark,
+        _base(spark, n=40, parts=4),
+        path,
+        partition_by=["grp"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    new = spark.range(2).select(
+        (F.col("id") + 500).alias("id"),
+        F.lit(1).alias("grp"),
+        F.lit("new").alias("val"),
+    )
+    snap = write_delta(
+        spark, new, path, mode="overwrite", replace_where="grp = 1"
+    )
+    ch = table_changes(spark, path, snap.version, snap.version)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    # deletes of exactly the replaced rows, inserts of exactly the new
+    assert by_type == {"delete": 10, "insert": 2}
+    deleted = ch.filter("_change_type = 'delete'")
+    assert deleted.filter("grp <> 1").count() == 0
+
+
+def test_replace_where_noop_predicate_keeps_rows(spark, tmp_path):
+    path = str(tmp_path / "rw_noop")
+    write_delta(spark, _base(spark, n=20), path)
+    new = spark.range(1).select(
+        (F.col("id") + 900).alias("id"),
+        F.lit(7).alias("grp"),
+        F.lit("new").alias("val"),
+    )
+    write_delta(
+        spark, new, path, mode="overwrite", replace_where="grp = 7"
+    )
+    assert read_delta(spark, path).count() == 21
+
+
+def test_replace_where_requires_overwrite_and_not_dynamic(spark, tmp_path):
+    path = str(tmp_path / "rw_bad")
+    write_delta(spark, _base(spark, n=10), path)
+    with pytest.raises(DeltaWriteError, match="requires mode"):
+        write_delta(
+            spark, _base(spark, n=1), path, replace_where="grp = 0"
+        )
+    with pytest.raises(DeltaWriteError, match="cannot be combined"):
+        write_delta(
+            spark,
+            _base(spark, n=1),
+            path,
+            mode="overwrite",
+            replace_where="grp = 0",
+            partition_overwrite_mode="dynamic",
+        )
+
+
+def test_replace_where_creates_missing_table(spark, tmp_path):
+    path = str(tmp_path / "rw_new")
+    snap = write_delta(
+        spark,
+        _base(spark, n=10).filter("grp = 2"),
+        path,
+        mode="overwrite",
+        replace_where="grp = 2",
+    )
+    assert snap.version == 0
+    assert read_delta(spark, path).count() == 2
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    path = str(tmp_path / "dyn")
+    write_delta(spark, _base(spark), path, partition_by=["grp"])
+    new = spark.range(4).select(
+        (F.col("id") + 100).alias("id"),
+        (F.col("id") % 2 + 1).alias("grp"),  # grp 1 and 2 only
+        F.lit("new").alias("val"),
+    )
+    write_delta(
+        spark,
+        new,
+        path,
+        mode="overwrite",
+        partition_overwrite_mode="dynamic",
+    )
+    out = read_delta(spark, path)
+    assert out.filter("grp IN (1, 2)").count() == 4
+    assert out.filter("grp IN (1, 2) AND val = 'new'").count() == 4
+    # untouched partitions survive in full
+    assert out.filter("grp NOT IN (1, 2)").count() == 60
+    assert out.filter("val = 'old'").count() == 60
+
+
+def test_dynamic_overwrite_via_spark_conf(spark, tmp_path):
+    path = str(tmp_path / "dynconf")
+    write_delta(spark, _base(spark, n=20, parts=2), path, partition_by=["grp"])
+    new = spark.range(1).select(
+        (F.col("id") + 50).alias("id"),
+        F.lit(0).alias("grp"),
+        F.lit("new").alias("val"),
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_delta(spark, new, path, mode="overwrite")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    out = read_delta(spark, path)
+    assert out.filter("grp = 0").count() == 1
+    assert out.filter("grp = 1").count() == 10  # untouched
+
+
+def test_dynamic_overwrite_unpartitioned_replaces_all(spark, tmp_path):
+    path = str(tmp_path / "dynflat")
+    write_delta(spark, _base(spark, n=30), path)
+    new = _base(spark, n=5).withColumn("val", F.lit("new"))
+    write_delta(
+        spark,
+        new,
+        path,
+        mode="overwrite",
+        partition_overwrite_mode="dynamic",
+    )
+    out = read_delta(spark, path)
+    assert out.count() == 5
+    assert out.filter("val = 'old'").count() == 0
+
+
+def test_static_overwrite_unchanged(spark, tmp_path):
+    path = str(tmp_path / "static")
+    write_delta(spark, _base(spark), path, partition_by=["grp"])
+    new = spark.range(1).select(
+        "id", F.lit(3).alias("grp"), F.lit("new").alias("val")
+    )
+    write_delta(spark, new, path, mode="overwrite")
+    assert read_delta(spark, path).count() == 1
+
+
+def test_sql_insert_replace_where(spark, tmp_path):
+    path = str(tmp_path / "rw_sql")
+    write_delta(spark, _base(spark, n=50), path, partition_by=["grp"])
+    sql(
+        spark,
+        f"INSERT INTO '{path}' REPLACE WHERE grp = 4 "
+        "SELECT CAST(id + 700 AS BIGINT) AS id, CAST(4 AS BIGINT) AS grp, "
+        "'new' AS val FROM range(2)",
+    )
+    out = read_delta(spark, path)
+    assert out.filter("grp = 4").count() == 2
+    assert out.filter("grp <> 4 AND val = 'old'").count() == 40
