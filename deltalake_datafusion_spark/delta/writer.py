@@ -907,6 +907,90 @@ def clustering_columns(snapshot) -> list[str]:
     return [p2l.get(p, p) for p in phys_names]
 
 
+def _replace_table_empty(
+    spark, existing, schema: StructType, partition_by: list[str],
+    configuration: dict[str, str], name: str | None,
+    cluster_by: list[str],
+) -> "Snapshot":
+    """CREATE OR REPLACE TABLE (no AS SELECT): one commit that removes
+    every live file and installs brand-new metadata under the same
+    table id. Protocol only upgrades; per-table domains other than the
+    row-id high-water mark are dropped; clustering (when requested)
+    is re-declared from the new column set."""
+    from deltalake_datafusion_spark.delta.constraints import (
+        check_append_only,
+    )
+
+    table_path = existing.table_path
+    check_append_only(existing.metadata.configuration, "REPLACE TABLE")
+    for attempt in range(10):
+        current = load_snapshot(table_path, spark=spark)
+        actions: list[dict] = []
+        creation = _creation_protocol(False, configuration, schema)
+        needed = set(creation["protocol"].get("writerFeatures") or [])
+        if cluster_by:
+            needed |= {"clustering", "domainMetadata"}
+        up = (
+            protocol_upgrade_action(current.protocol, needed)
+            if needed
+            else None
+        )
+        if up is not None:
+            actions.append(up)
+        md = _metadata_action(
+            schema, partition_by, configuration,
+            current.metadata.id, name or current.metadata.name,
+        )
+        md["metaData"]["createdTime"] = current.metadata.created_time
+        actions.append(md)
+        for dom in current.domain_metadata:
+            if dom == "delta.rowTracking" or (
+                dom == "delta.clustering" and cluster_by
+            ):
+                continue
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": dom,
+                        "configuration": "",
+                        "removed": True,
+                    }
+                }
+            )
+        if cluster_by:
+            actions.append(clustering_domain_action(schema, cluster_by))
+        for f in current.files:
+            actions.append(
+                {
+                    "remove": {
+                        "path": _url_encode_path(f.path),
+                        "deletionTimestamp": _now_ms(),
+                        "dataChange": True,
+                        "extendedFileMetadata": True,
+                        "partitionValues": f.partition_values,
+                        "size": f.size,
+                        **(
+                            {"deletionVector": _dv_to_json(f.dv)}
+                            if f.dv
+                            else {}
+                        ),
+                    }
+                }
+            )
+        try:
+            commit(
+                table_path, current.version + 1, actions,
+                "CREATE OR REPLACE TABLE", spark=spark,
+                configuration=configuration,
+            )
+            break
+        except ConcurrentWriteError:
+            if attempt == 9:
+                raise
+            continue
+    return load_snapshot(table_path, spark=spark)
+
+
 def create_delta_table(
     spark,
     table_path: str,
@@ -915,6 +999,8 @@ def create_delta_table(
     configuration: dict[str, str] | None = None,
     name: str | None = None,
     cluster_by: list[str] | None = None,
+    or_replace: bool = False,
+    if_not_exists: bool = False,
 ) -> Snapshot:
     """CREATE TABLE: an empty Delta table from an explicit schema —
     the only way to declare identity columns (which must exist before
@@ -925,7 +1011,13 @@ def create_delta_table(
     ``cluster_by`` declares liquid clustering (Delta ``clustering``
     table feature): the column set lands in the ``delta.clustering``
     domain and OPTIMIZE clusters data by it; mutually exclusive with
-    ``partition_by`` (delta-spark rule)."""
+    ``partition_by`` (delta-spark rule).
+
+    ``or_replace``: an existing table is replaced in one commit —
+    fresh schema/partitioning/configuration under the same table id,
+    all current files removed, history continues (CREATE OR REPLACE
+    TABLE). ``if_not_exists``: an existing table is returned
+    untouched."""
     table_path = strip_scheme(table_path)
     partition_by = list(partition_by or [])
     cluster_by = list(cluster_by or [])
@@ -937,11 +1029,24 @@ def create_delta_table(
         raise DeltaWriteError(
             "CLUSTER BY and PARTITIONED BY are mutually exclusive"
         )
+    if or_replace and if_not_exists:
+        raise DeltaWriteError(
+            "OR REPLACE and IF NOT EXISTS are mutually exclusive"
+        )
+    existing = None
     try:
-        load_snapshot(table_path, spark=spark)
-        raise DeltaWriteError(f"table already exists at {table_path}")
+        existing = load_snapshot(table_path, spark=spark)
     except DeltaNotFoundError:
         pass
+    if existing is not None:
+        if if_not_exists:
+            return existing
+        if not or_replace:
+            raise DeltaWriteError(f"table already exists at {table_path}")
+        return _replace_table_empty(
+            spark, existing, schema, partition_by, configuration, name,
+            cluster_by,
+        )
     proto = _creation_protocol(False, configuration, schema)
     if cluster_by:
         feats = set(proto["protocol"].get("writerFeatures") or [])
@@ -986,6 +1091,7 @@ def write_delta(
     max_commit_attempts: int = 10,
     replace_where: str | None = None,
     partition_overwrite_mode: str | None = None,
+    replace_table: bool = False,
 ) -> Snapshot:
     """Write ``df`` to a Delta table (append / overwrite / error).
 
@@ -1032,6 +1138,13 @@ def write_delta(
             "replace_where cannot be combined with dynamic partition "
             "overwrite"
         )
+    if replace_table and (
+        mode != "overwrite" or replace_where is not None or dynamic_overwrite
+    ):
+        raise DeltaWriteError(
+            "replace_table requires mode='overwrite' and cannot be "
+            "combined with replace_where or dynamic partition overwrite"
+        )
     table_path = strip_scheme(table_path)
     partition_by = list(partition_by or [])
     configuration = dict(configuration or {})
@@ -1045,6 +1158,20 @@ def write_delta(
     try:
         existing = load_snapshot(table_path, spark=spark)
     except DeltaNotFoundError:
+        existing = None
+
+    # REPLACE TABLE: the DataFrame DEFINES the table — schema,
+    # partitioning, and configuration come from the caller, not the
+    # replaced table. Treat the write as a create that commits over
+    # the old version (removing its files); history and table id
+    # continue through the replace.
+    replaced = existing if replace_table and existing is not None else None
+    if replaced is not None:
+        from deltalake_datafusion_spark.delta.constraints import (
+            check_append_only as _cao,
+        )
+
+        _cao(replaced.metadata.configuration, "REPLACE TABLE")
         existing = None
 
     if existing is None:
@@ -1312,6 +1439,40 @@ def write_delta(
                     str(uuid.uuid4()), name,
                 )
             )
+        elif replaced is not None:
+            # REPLACE TABLE: brand-new metadata (schema, partitioning,
+            # configuration) under the SAME table id — history and the
+            # version lineage continue; the protocol only ever
+            # upgrades (readers of the old protocol must keep working).
+            creation = _creation_protocol(mapping, configuration, write_schema)
+            needed = set(creation["protocol"].get("writerFeatures") or [])
+            up = (
+                protocol_upgrade_action(current.protocol, needed)
+                if needed
+                else None
+            )
+            if up is not None:
+                actions.append(up)
+            md = _metadata_action(
+                write_schema, partition_by, configuration,
+                current.metadata.id, name or current.metadata.name,
+            )
+            md["metaData"]["createdTime"] = current.metadata.created_time
+            actions.append(md)
+            # stale per-table domains (e.g. liquid clustering) do not
+            # survive a replace
+            for dom in current.domain_metadata:
+                if dom == "delta.rowTracking":
+                    continue  # row-id high-water mark must never regress
+                actions.append(
+                    {
+                        "domainMetadata": {
+                            "domain": dom,
+                            "configuration": "",
+                            "removed": True,
+                        }
+                    }
+                )
         elif schema_changed or ident_assigned:
             # Schema evolution or identity high-water-mark advance:
             # re-emit metaData with the updated schema (same table id —
@@ -1343,6 +1504,7 @@ def write_delta(
                         max_commit_attempts=max_commit_attempts - 1,
                         replace_where=replace_where,
                         partition_overwrite_mode=partition_overwrite_mode,
+                        replace_table=replace_table,
                     )
 
                 if ident_assigned:
@@ -1440,7 +1602,12 @@ def write_delta(
                             }
                         }
                     )
-        if mode == "overwrite" and current is not None:
+        # REPLACE TABLE is a schema boundary: change files for this
+        # commit would have to carry the NEW schema while the staging
+        # machinery writes under the replaced table's metadata — and
+        # delta-spark itself refuses CDF reads across incompatible
+        # schema changes. Skip explicit cdc on replace commits.
+        if mode == "overwrite" and current is not None and replaced is None:
             # CDF: overwrite both adds and removes → the commit must
             # carry its changes as cdc (delete of every old row +
             # insert of every new one); synthesis cannot describe it.
@@ -1525,6 +1692,8 @@ def write_delta(
                 for a, v in txns
             )
         op = "WRITE" if current is None else mode.upper()
+        if replaced is not None and current is not None:
+            op = "REPLACE TABLE AS SELECT"
         commit_conf = (
             current.metadata.configuration
             if current is not None

@@ -56,11 +56,14 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
     ALTER TABLE <target> DROP CONSTRAINT [IF EXISTS] name
     CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF n | TIMESTAMP AS OF 'ts']
     ... FROM delta.`/path[@vN]` ... (path-table references in any statement)
-    CREATE TABLE <'path'|delta.`path`> (col TYPE [GENERATED …
-        AS IDENTITY] [DEFAULT expr] [NOT NULL], …) [USING DELTA]
-        [PARTITIONED BY (…)] [TBLPROPERTIES (…)]
-    CREATE [OR REPLACE] TABLE <'path'|delta.`path`> [USING DELTA]
-        [PARTITIONED BY (…)] [TBLPROPERTIES (…)] AS SELECT ...
+    TRUNCATE TABLE <target>   (metadata-only; schema/history survive)
+    CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <'path'|delta.`path`>
+        (col TYPE [GENERATED … AS IDENTITY] [DEFAULT expr]
+        [NOT NULL], …) [USING DELTA] [PARTITIONED BY (…)]
+        [CLUSTER BY (…)] [TBLPROPERTIES (…)]
+    CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <'path'|delta.`path`>
+        [USING DELTA] [PARTITIONED BY (…)] [TBLPROPERTIES (…)]
+        AS SELECT ...
     SELECT ... FROM delta_log('url') / log_replay('url') /
         directory_listing('url') / history('url') /
         table_changes('url', from[, to])  (versions or 'timestamps') /
@@ -90,6 +93,11 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
 )
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
@@ -388,6 +396,20 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             [tuple(res.values())], list(res.keys())
         )
 
+    m = _TRUNCATE_RE.match(statement)
+    if m:
+        # TRUNCATE TABLE = predicate-less DELETE: every live file is
+        # removed as pure metadata (zero data I/O unless CDF must
+        # capture the rows); schema, history, and properties survive.
+        from deltalake_datafusion_spark.delta.ops import delete_delta
+
+        res = delete_delta(
+            spark, _unquote_target(m.group("target"), registry), None
+        )
+        return spark.createDataFrame(
+            [tuple(res.values())], list(res.keys())
+        )
+
     m = _UPDATE_RE.match(statement)
     if m:
         from deltalake_datafusion_spark.delta.ops import update_delta
@@ -435,7 +457,8 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 
     if re.match(
-        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+('|delta\.`)",
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
+        r"(IF\s+NOT\s+EXISTS\s+)?('|delta\.`)",
         statement,
         re.IGNORECASE,
     ) and "SHALLOW CLONE" not in statement.upper():

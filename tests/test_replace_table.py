@@ -1,0 +1,198 @@
+"""CREATE OR REPLACE TABLE / IF NOT EXISTS / TRUNCATE TABLE.
+
+delta-spark semantics: REPLACE installs brand-new metadata (schema,
+partitioning, configuration) under the same table id in one commit
+that removes every live file — history and time travel continue
+through the replace. TRUNCATE is a predicate-less DELETE: metadata-
+only file removal, schema and properties survive.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import (
+    DeltaWriteError,
+    create_delta_table,
+    write_delta,
+)
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+
+def test_replace_table_ctas_changes_schema_and_partitioning(spark, tmp_path):
+    path = str(tmp_path / "rt")
+    old = spark.range(50).select(
+        "id", (F.col("id") % 5).alias("grp"), F.lit("x").alias("s")
+    )
+    write_delta(spark, old, path, partition_by=["grp"])
+    v0 = load_snapshot(path)
+
+    new = spark.range(7).select(
+        (F.col("id") * 10).alias("k"), F.lit(1.5).alias("w")
+    )
+    snap = write_delta(
+        spark, new, path, mode="overwrite", replace_table=True,
+        partition_by=[],
+    )
+    assert snap.version == v0.version + 1
+    assert snap.schema.fieldNames() == ["k", "w"]
+    assert snap.partition_columns == []
+    assert snap.metadata.id == v0.metadata.id  # same table identity
+    out = read_delta(spark, path)
+    assert out.columns == ["k", "w"]
+    assert out.count() == 7
+    # time travel across the replace still works
+    assert read_delta(spark, path, version=v0.version).count() == 50
+
+
+def test_replace_table_keeps_history_and_protocol_upgrades_only(
+    spark, tmp_path
+):
+    path = str(tmp_path / "rtp")
+    write_delta(
+        spark,
+        spark.range(5).select("id"),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    p0 = load_snapshot(path).protocol
+    snap = write_delta(
+        spark,
+        spark.range(3).select(F.col("id").alias("n")),
+        path,
+        mode="overwrite",
+        replace_table=True,
+    )
+    # CDF was a feature of the OLD table; the protocol must not drop it
+    feats = set(snap.protocol.writer_features or [])
+    old_feats = set(p0.writer_features or [])
+    assert old_feats <= feats or snap.protocol.min_writer_version >= p0.min_writer_version
+    assert "delta.enableChangeDataFeed" not in snap.metadata.configuration
+
+
+def test_create_or_replace_empty_table(spark, tmp_path):
+    path = str(tmp_path / "cor")
+    write_delta(
+        spark,
+        spark.range(10).select("id", F.lit("a").alias("v")),
+        path,
+        partition_by=["v"],
+    )
+    schema = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    snap = create_delta_table(spark, path, schema, or_replace=True)
+    assert snap.schema.fieldNames() == ["name", "score"]
+    assert snap.partition_columns == []
+    assert read_delta(spark, path).count() == 0
+    # plain create on the now-existing table still errors
+    with pytest.raises(DeltaWriteError, match="already exists"):
+        create_delta_table(spark, path, schema)
+    # IF NOT EXISTS returns the live table untouched
+    same = create_delta_table(
+        spark, path, StructType([StructField("z", LongType())]),
+        if_not_exists=True,
+    )
+    assert same.schema.fieldNames() == ["name", "score"]
+
+
+def test_replace_drops_stale_clustering_domain(spark, tmp_path):
+    path = str(tmp_path / "rtc")
+    schema = StructType(
+        [StructField("a", LongType()), StructField("b", LongType())]
+    )
+    create_delta_table(spark, path, schema, cluster_by=["a"])
+    snap = create_delta_table(
+        spark, path,
+        StructType([StructField("x", LongType())]),
+        or_replace=True,
+    )
+    assert "delta.clustering" not in snap.domain_metadata
+    # and re-clustering on the new columns works
+    snap2 = create_delta_table(
+        spark, path,
+        StructType([StructField("y", LongType())]),
+        cluster_by=["y"],
+        or_replace=True,
+    )
+    assert "delta.clustering" in snap2.domain_metadata
+
+
+def test_sql_create_or_replace_ctas_and_if_not_exists(spark, tmp_path):
+    path = str(tmp_path / "sqlrt")
+    sql(spark, f"CREATE TABLE '{path}' AS SELECT id, id % 3 AS g FROM range(30)")
+    sql(
+        spark,
+        f"CREATE OR REPLACE TABLE '{path}' PARTITIONED BY (p) AS "
+        "SELECT id AS n, CAST(id % 2 AS STRING) AS p FROM range(8)",
+    )
+    snap = load_snapshot(path)
+    assert snap.schema.fieldNames() == ["n", "p"]
+    assert snap.partition_columns == ["p"]
+    assert read_delta(spark, path).count() == 8
+    # IF NOT EXISTS: no-op on the existing table
+    sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS '{path}' AS SELECT 1 AS only_col",
+    )
+    assert load_snapshot(path).schema.fieldNames() == ["n", "p"]
+    sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS '{path}' (zz BIGINT) USING DELTA",
+    )
+    assert load_snapshot(path).schema.fieldNames() == ["n", "p"]
+
+
+def test_truncate_table_is_metadata_only(spark, tmp_path):
+    path = str(tmp_path / "trunc")
+    write_delta(
+        spark,
+        spark.range(100).select("id", (F.col("id") % 4).alias("g")),
+        path,
+        partition_by=["g"],
+    )
+    v_before = load_snapshot(path).version
+    res = sql(spark, f"TRUNCATE TABLE '{path}'").collect()[0].asDict()
+    assert res["rows_deleted"] == 100
+    assert res["files_rewritten"] == 0  # pure metadata
+    snap = load_snapshot(path)
+    assert snap.version == v_before + 1
+    assert read_delta(spark, path).count() == 0
+    # schema and partitioning survive; appends keep working
+    assert snap.schema.fieldNames() == ["id", "g"]
+    write_delta(
+        spark,
+        spark.range(3).select("id", (F.col("id") % 4).alias("g")),
+        path,
+        mode="append",
+    )
+    assert read_delta(spark, path).count() == 3
+    # time travel to the pre-truncate version
+    assert read_delta(spark, path, version=v_before).count() == 100
+
+
+def test_replace_table_rejected_on_append_only(spark, tmp_path):
+    path = str(tmp_path / "rtao")
+    write_delta(
+        spark,
+        spark.range(5).select("id"),
+        path,
+        configuration={"delta.appendOnly": "true"},
+    )
+    with pytest.raises(Exception, match="append"):
+        write_delta(
+            spark,
+            spark.range(2).select(F.col("id").alias("z")),
+            path,
+            mode="overwrite",
+            replace_table=True,
+        )
