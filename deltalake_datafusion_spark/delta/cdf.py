@@ -25,6 +25,7 @@ changed bytes; the commit walk itself is metadata-only.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -179,6 +180,26 @@ def table_changes_by_timestamp(
     return table_changes(spark, table_path, lo, hi)
 
 
+def _incompatible_schema_change(md: dict, end_schema) -> str | None:
+    """Why a mid-range metaData action breaks the feed under the end
+    schema — None when the change is purely additive (every field of
+    the commit's schema still exists, same type, in the end schema)."""
+    import json as _json
+
+    try:
+        fields = _json.loads(md.get("schemaString") or "{}").get("fields", [])
+    except ValueError:
+        return None
+    end = {f.name: f.dataType.jsonValue() for f in end_schema.fields}
+    for f in fields:
+        name = f.get("name")
+        if name not in end:
+            return f"column {name!r} no longer exists"
+        if f.get("type") != end[name]:
+            return f"column {name!r} changed type"
+    return None
+
+
 def table_changes(
     spark,
     table_path: str,
@@ -230,6 +251,31 @@ def table_changes(
             f"_delta_log at {table_path} (log cleanup); start from "
             f"version {min(present)} or later"
         )
+    # The feed is shaped by the schema AT THE END of the range
+    # (delta-spark semantics): a bounded range ending before a later
+    # REPLACE/retype reads under the schema its commits were written
+    # with, not today's.
+    if end != snap.version:
+        snap = load_snapshot(table_path, version=end, spark=spark)
+    # The schema in effect when the range STARTS must also be
+    # additively compatible with the end schema: in-range commits may
+    # remove (delete-image) rows written under it.
+    start_v = max(starting_version, 0)
+    if start_v != snap.version:
+        start_snap = load_snapshot(
+            table_path, version=start_v, spark=spark, with_files=False
+        )
+        err = _incompatible_schema_change(
+            {"schemaString": json.dumps(start_snap.schema.jsonValue())},
+            snap.schema,
+        )
+        if err:
+            raise ChangeDataFeedError(
+                f"the table schema at version {start_v} is incompatible "
+                f"with the schema at version {end} ({err}) — a REPLACE "
+                "TABLE / DROP COLUMN / retype sits inside the range; "
+                "split the read at that boundary"
+            )
     logical_cols = snap.schema.fieldNames()
     l2p = _physical_names(snap)
     p2l = {v: k for k, v in l2p.items()}
@@ -252,6 +298,23 @@ def table_changes(
             if a.get("commitInfo"):
                 ts_ms = a["commitInfo"].get("timestamp", 0)
                 break
+        # A schema change inside the range: additive evolution (new
+        # nullable columns) reads fine under the END schema (old
+        # changes backfill null); anything else — REPLACE TABLE, a
+        # dropped column, a retype — would silently mis-shape earlier
+        # changes, so refuse loudly (delta-spark's incompatible-
+        # data-schema CDF error).
+        for a in actions:
+            md = a.get("metaData")
+            if not md:
+                continue
+            err = _incompatible_schema_change(md, snap.schema)
+            if err:
+                raise ChangeDataFeedError(
+                    f"commit {v} changed the table schema incompatibly "
+                    f"({err}); CDF cannot span it — end before version "
+                    f"{v} or start at/after it"
+                )
         cdcs = [a["cdc"] for a in actions if a.get("cdc")]
         if cdcs:
             paths = [os.path.join(table_path, c["path"]) for c in cdcs]
@@ -259,6 +322,13 @@ def table_changes(
             df = df.select(
                 *[F.col(f"`{c}`").alias(p2l.get(c, c)) for c in df.columns]
             )
+            # columns added to the table AFTER this commit: backfill
+            # null so the feed carries the end schema
+            for f in snap.schema.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
             parts.append(finalize(_with_commit_meta(df, v, ts_ms)))
             continue
         adds = [a["add"] for a in actions if a.get("add") and a["add"].get("dataChange")]
@@ -269,8 +339,9 @@ def table_changes(
         ]
         if adds and removes:
             raise ChangeDataFeedError(
-                f"commit {v} mixes adds and removes without cdc actions — "
-                "written without CDF enabled; start table_changes after it"
+                f"commit {v} mixes adds and removes without cdc actions "
+                "(an overwrite/REPLACE written without CDF, or a replace "
+                "boundary); start table_changes after it"
             )
         for bodies, ctype in ((adds, "insert"), (removes, "delete")):
             if not bodies:

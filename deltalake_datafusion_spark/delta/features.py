@@ -1,0 +1,295 @@
+"""ALTER TABLE … DROP FEATURE — protocol downgrade (delta-spark).
+
+A table feature is removable only when the CURRENT version carries no
+trace of it: the enabling property is off, no live file depends on it
+(e.g. deletion vectors), no schema element uses it (identity /
+generated / defaults), no domain holds its state. Writer-only
+features drop in one metadata commit. READER-impacting features
+additionally require ``TRUNCATE HISTORY``: older versions may still
+carry traces a reader of the downgraded protocol cannot handle, so
+the log is checkpointed at the current version and every earlier
+commit and checkpoint is deleted before the downgrade lands
+(delta-spark's two-phase drop collapsed into the explicit
+TRUNCATE HISTORY form — without it the drop of a reader feature is
+refused, mirroring delta-spark's 24-hour-wait error).
+
+The protocol only ever *shrinks*: the dropped feature leaves
+``writerFeatures``/``readerFeatures``; when the remainder is
+expressible as a legacy protocol (nothing beyond appendOnly /
+invariants) the table downgrades all the way to ``(1, 2)`` so
+pre-table-features readers work again.
+
+``delta.feature.<name> = supported`` in SET TBLPROPERTIES is the
+inverse path (enable a feature without its property), handled in
+:mod:`deltalake_datafusion_spark.delta.properties`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import StructField, StructType
+
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import (
+    _LEGACY_WRITER_FEATURES,
+    _READER_IMPACTING,
+    CLUSTERING_DOMAIN,
+    ConcurrentWriteError,
+    DeltaWriteError,
+    ROW_TRACKING_DOMAIN,
+    _metadata_action,
+    commit,
+)
+
+# every feature name this engine can mint — the universe for both
+# DROP FEATURE validation and delta.feature.* enablement
+KNOWN_FEATURES = {
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "generatedColumns", "columnMapping", "identityColumns",
+    "deletionVectors", "rowTracking", "domainMetadata", "clustering",
+    "v2Checkpoint", "inCommitTimestamp", "typeWidening",
+    "allowColumnDefaults", "vacuumProtocolCheck", "timestampNtz",
+}
+
+
+def effective_writer_features(protocol) -> set[str]:
+    """Explicit writerFeatures plus what a legacy minWriterVersion
+    implies (Delta spec migration table) — the set DROP FEATURE
+    validates membership against."""
+    have = set(protocol.writer_features or [])
+    if protocol.min_writer_version < 7:
+        for v, feats in _LEGACY_WRITER_FEATURES.items():
+            if protocol.min_writer_version >= v:
+                have |= feats
+    return have
+
+
+def _prop_true(snap, key: str) -> bool:
+    return (snap.metadata.configuration.get(key, "") or "").lower() == "true"
+
+
+def _trace_error(snap, feature: str) -> str | None:
+    """Why ``feature`` cannot be dropped at the current version —
+    None when it is clean."""
+    conf = snap.metadata.configuration
+    if feature == "changeDataFeed" and _prop_true(
+        snap, "delta.enableChangeDataFeed"
+    ):
+        return "delta.enableChangeDataFeed is still true; unset it first"
+    if feature == "appendOnly" and _prop_true(snap, "delta.appendOnly"):
+        return "delta.appendOnly is still true; unset it first"
+    if feature == "inCommitTimestamp" and _prop_true(
+        snap, "delta.enableInCommitTimestamps"
+    ):
+        return "delta.enableInCommitTimestamps is still true; unset it first"
+    if feature == "checkConstraints":
+        names = [k for k in conf if k.startswith("delta.constraints.")]
+        if names:
+            return f"table still has CHECK constraints: {sorted(names)}"
+    if feature == "deletionVectors":
+        if _prop_true(snap, "delta.enableDeletionVectors"):
+            return "delta.enableDeletionVectors is still true; unset it first"
+        with_dv = sum(1 for f in snap.files if f.dv is not None)
+        if with_dv:
+            return (
+                f"{with_dv} live file(s) carry deletion vectors; run "
+                "REORG TABLE … APPLY (PURGE) first"
+            )
+    if feature == "rowTracking" and _prop_true(
+        snap, "delta.enableRowTracking"
+    ):
+        return "delta.enableRowTracking is still true; unset it first"
+    if feature == "v2Checkpoint" and (
+        conf.get("delta.checkpointPolicy", "").lower() == "v2"
+    ):
+        return "delta.checkpointPolicy is still 'v2'; unset it first"
+    if feature == "typeWidening":
+        widened = [
+            f.name
+            for f in snap.schema.fields
+            if f.metadata and "delta.typeChanges" in f.metadata
+        ]
+        if widened:
+            return (
+                f"column(s) {widened} carry type-change history; files "
+                "written under the narrow type would read wrong without "
+                "the feature — rewrite the table first"
+            )
+    if feature == "columnMapping" and snap.column_mapping_mode != "none":
+        mismatched = [
+            f.name
+            for f in snap.schema.fields
+            if (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+            != f.name
+        ]
+        if mismatched:
+            return (
+                "column mapping cannot be removed: physical names differ "
+                f"from logical names for {mismatched} (a past RENAME/DROP "
+                "COLUMN) — existing files would stop resolving"
+            )
+    if feature == "identityColumns":
+        idents = [
+            f.name
+            for f in snap.schema.fields
+            if f.metadata and "delta.identity.start" in f.metadata
+        ]
+        if idents:
+            return f"table still has identity column(s): {idents}"
+    if feature == "generatedColumns":
+        gens = [
+            f.name
+            for f in snap.schema.fields
+            if f.metadata and "delta.generationExpression" in f.metadata
+        ]
+        if gens:
+            return f"table still has generated column(s): {gens}"
+    if feature == "allowColumnDefaults":
+        defs = [
+            f.name
+            for f in snap.schema.fields
+            if f.metadata and "CURRENT_DEFAULT" in f.metadata
+        ]
+        if defs:
+            return f"column(s) {defs} still have DEFAULT values"
+    if feature == "clustering" and CLUSTERING_DOMAIN in snap.domain_metadata:
+        return "table is clustered; run ALTER TABLE … CLUSTER BY NONE first"
+    if feature == "domainMetadata":
+        # the row-id high-water mark rides this feature but is harmless
+        # to readers; anything else is live state
+        others = sorted(
+            d for d in snap.domain_metadata if d != ROW_TRACKING_DOMAIN
+        )
+        if others:
+            return f"table still has metadata domains: {others}"
+        if "rowTracking" in effective_writer_features(snap.protocol):
+            return "rowTracking still depends on domainMetadata; drop it first"
+    return None
+
+
+def _downgraded_protocol(protocol, feature: str) -> dict:
+    remaining = effective_writer_features(protocol) - {feature}
+    readers = sorted(f for f in remaining if f in _READER_IMPACTING)
+    # vacuumProtocolCheck is an engine-added marker (this engine always
+    # writes VACUUM audit commits); it never blocks the full downgrade
+    if not readers and remaining <= {
+        "appendOnly", "invariants", "vacuumProtocolCheck"
+    }:
+        # expressible as a legacy protocol: pre-table-features readers
+        # and writers work again
+        return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    body: dict = {"minWriterVersion": 7, "writerFeatures": sorted(remaining)}
+    if readers:
+        body["minReaderVersion"] = 3
+        body["readerFeatures"] = readers
+    else:
+        body["minReaderVersion"] = 1
+    return {"protocol": body}
+
+
+def _strip_mapping_metadata(schema: StructType) -> StructType:
+    fields = []
+    for f in schema.fields:
+        md = {
+            k: v
+            for k, v in (f.metadata or {}).items()
+            if not k.startswith("delta.columnMapping.")
+        }
+        fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    return StructType(fields)
+
+
+def drop_feature(
+    spark,
+    table_path: str,
+    feature: str,
+    truncate_history: bool = False,
+    max_attempts: int = 5,
+) -> dict:
+    """ALTER TABLE … DROP FEATURE ``feature`` [TRUNCATE HISTORY]."""
+    if feature not in KNOWN_FEATURES:
+        raise DeltaWriteError(
+            f"unknown table feature {feature!r}; known: "
+            f"{sorted(KNOWN_FEATURES)}"
+        )
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        snap = load_snapshot(table_path, spark=spark)
+        have = effective_writer_features(snap.protocol)
+        if feature not in have and feature not in set(
+            snap.protocol.reader_features or []
+        ):
+            raise DeltaWriteError(
+                f"feature {feature!r} is not present on the table "
+                f"(protocol has {sorted(have)})"
+            )
+        err = _trace_error(snap, feature)
+        if err:
+            raise DeltaWriteError(f"cannot drop feature {feature!r}: {err}")
+        if feature in _READER_IMPACTING and not truncate_history:
+            raise DeltaWriteError(
+                f"{feature!r} is a reader feature: historical versions may "
+                "still carry traces a downgraded reader cannot handle. "
+                "Re-run with TRUNCATE HISTORY to checkpoint the current "
+                "version and drop all earlier history."
+            )
+
+        actions: list[dict] = [_downgraded_protocol(snap.protocol, feature)]
+        conf = dict(snap.metadata.configuration)
+        schema = snap.schema
+        md_changed = False
+        if feature == "inCommitTimestamp":
+            for k in (
+                "delta.enableInCommitTimestamps",
+                "delta.inCommitTimestampEnablementVersion",
+                "delta.inCommitTimestampEnablementTimestamp",
+            ):
+                md_changed |= conf.pop(k, None) is not None
+        if feature == "columnMapping" and snap.column_mapping_mode != "none":
+            # physical names proved equal to logical names above: files
+            # resolve without the mapping layer, so the schema sheds its
+            # mapping metadata and the mode properties go away
+            schema = _strip_mapping_metadata(schema)
+            conf.pop("delta.columnMapping.mode", None)
+            conf.pop("delta.columnMapping.maxColumnId", None)
+            md_changed = True
+        if md_changed:
+            md = _metadata_action(
+                schema, snap.partition_columns, conf,
+                snap.metadata.id, snap.metadata.name,
+            )
+            md["metaData"]["createdTime"] = snap.metadata.created_time
+            actions.append(md)
+
+        truncated = {"commits_deleted": 0, "checkpoints_deleted": 0}
+        if truncate_history:
+            # checkpoint the CURRENT version, then expire everything
+            # older than it — readers of the downgraded protocol can
+            # never replay a version that used the feature
+            from deltalake_datafusion_spark.delta.log_cleanup import (
+                cleanup_expired_logs,
+            )
+            from deltalake_datafusion_spark.delta.writer import (
+                write_checkpoint,
+            )
+
+            write_checkpoint(spark, snap)
+            truncated = cleanup_expired_logs(
+                spark, table_path, retention_ms=0
+            )
+        try:
+            commit(
+                snap.table_path, snap.version + 1, actions, "DROP FEATURE",
+                spark=spark, configuration=conf,
+                operation_parameters={
+                    "featureName": feature,
+                    "truncateHistory": str(bool(truncate_history)).lower(),
+                },
+            )
+            return {
+                "version": snap.version + 1,
+                "feature": feature,
+                "commits_deleted": truncated.get("commits_deleted", 0),
+            }
+        except ConcurrentWriteError as e:
+            last = e
+    raise last  # type: ignore[misc]

@@ -41,6 +41,21 @@ def set_tblproperties(
     spark, table_path: str, props: dict[str, str], max_attempts: int = 5
 ) -> dict:
     """Merge ``props`` into the table configuration (one commit)."""
+    # delta.feature.<name> = supported: pure protocol enablement — the
+    # feature lands in writerFeatures (and readerFeatures when reader-
+    # impacting) WITHOUT its behavior property, and the delta.feature.*
+    # key itself is never stored in the table configuration
+    # (delta-spark semantics).
+    from deltalake_datafusion_spark.delta.writer import feature_props
+
+    explicit_features = feature_props(props)
+    if explicit_features:
+        props = {
+            k: v
+            for k, v in props.items()
+            if not k.lower().startswith("delta.feature.")
+        }
+
     last: Exception | None = None
     for _ in range(max_attempts):
         snap = load_snapshot(table_path, spark=spark)
@@ -61,7 +76,7 @@ def set_tblproperties(
             feat
             for key, feat in _FEATURE_PROPS.items()
             if conf.get(key, "false").lower() == "true"
-        }
+        } | explicit_features
         if conf.get("delta.checkpointPolicy", "").lower() == "v2":
             needed.add("v2Checkpoint")
         enabling_rt = (
@@ -235,6 +250,95 @@ def set_column_default(
                 configuration=snap.metadata.configuration,
             )
             return {"version": snap.version + 1, "column": column}
+        except ConcurrentWriteError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def sync_identity(
+    spark, table_path: str, column: str, max_attempts: int = 5
+) -> dict:
+    """ALTER TABLE … ALTER COLUMN c SYNC IDENTITY (delta-spark).
+
+    Recomputes the identity high-water mark from the column's ACTUAL
+    values — the repair after explicit inserts (GENERATED BY DEFAULT)
+    outran the mark, or after deletes left it far ahead. One
+    column-pruned aggregate over the live data (DV-correct), then a
+    metadata-only commit; the new mark is the data extreme rounded up
+    to the next valid ``start + n*step`` value, so future mints never
+    collide. An empty table (or one whose values sit entirely before
+    ``start``) clears the mark back to the unstarted state."""
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.identity import (
+        identity_columns,
+        schema_with_hwm,
+    )
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import DeltaWriteError
+
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        snap = load_snapshot(table_path, spark=spark)
+        info = identity_columns(snap.schema).get(column)
+        if info is None:
+            raise DeltaWriteError(
+                f"column {column!r} is not an identity column"
+            )
+        start, step = info["start"], info["step"]
+        agg = F.max(column) if step > 0 else F.min(column)
+        extreme = (
+            read_delta(spark, table_path)
+            .agg(agg.alias("v"))
+            .collect()[0]["v"]
+        )
+        if extreme is None or (
+            extreme < start if step > 0 else extreme > start
+        ):
+            new_hwm = None  # no valid identity value consumed yet
+        else:
+            n = -((start - int(extreme)) // step)
+            new_hwm = start + n * step
+
+        from pyspark.sql.types import StructField, StructType
+
+        if new_hwm is not None:
+            schema = schema_with_hwm(snap.schema, column, new_hwm)
+        else:
+            fields = []
+            for f in snap.schema.fields:
+                if f.name != column:
+                    fields.append(f)
+                    continue
+                md = dict(f.metadata or {})
+                md.pop("delta.identity.highWaterMark", None)
+                fields.append(
+                    StructField(f.name, f.dataType, f.nullable, md)
+                )
+            schema = StructType(fields)
+        md_action = _metadata_action(
+            schema,
+            snap.partition_columns,
+            dict(snap.metadata.configuration),
+            snap.metadata.id,
+            snap.metadata.name,
+        )
+        md_action["metaData"]["createdTime"] = snap.metadata.created_time
+        try:
+            commit(
+                snap.table_path,
+                snap.version + 1,
+                [md_action],
+                "SYNC IDENTITY",
+                spark=spark,
+                configuration=snap.metadata.configuration,
+                operation_parameters={"column": column},
+            )
+            return {
+                "version": snap.version + 1,
+                "column": column,
+                "high_water_mark": new_hwm,
+            }
         except ConcurrentWriteError as e:
             last = e
     raise last  # type: ignore[misc]

@@ -68,6 +68,7 @@ def vacuum(
     full: bool = False,
     enforce_retention_duration: bool | None = None,
     lite: bool = False,
+    inventory: DataFrame | None = None,
 ) -> DataFrame:
     """Run VACUUM; returns a DataFrame of affected paths.
 
@@ -81,6 +82,17 @@ def vacuum(
     right mode for 1e7-file tables vacuumed on a schedule. Tradeoff
     (same as delta-spark): orphaned files no commit ever referenced
     (crashed writes) are not found; run a full VACUUM occasionally.
+
+    ``inventory`` (delta-spark 3.1 ``VACUUM … USING INVENTORY``): a
+    caller-supplied listing DataFrame replaces the recursive directory
+    walk — the scale path when the store already maintains one (S3
+    Inventory, a nightly listing job): a 1e8-object prefix is never
+    re-listed. Columns: ``path`` (absolute, or relative to the table
+    root) plus optional ``is_dir``/``isDir`` and ``modification_time``/
+    ``modificationTime`` (timestamp or epoch millis). All retention,
+    hidden-file, and referenced-set guards still apply — a stale or
+    wrong inventory can at worst delete an unreferenced file early,
+    never a referenced one.
     """
     table_path = strip_scheme(table_path)
     snap = load_snapshot(table_path, spark=spark)
@@ -117,6 +129,9 @@ def vacuum(
     if ref_small:
         ref_df = F.broadcast(ref_df)
 
+    if lite and inventory is not None:
+        raise VacuumError("USING INVENTORY cannot be combined with LITE")
+
     if lite:
         candidates = (
             _tombstone_candidates(spark, table_path, cutoff_ms)
@@ -126,7 +141,11 @@ def vacuum(
             .orderBy("path")
         )
     else:
-        listing = directory_listing(spark, table_path, recursive=True)
+        listing = (
+            _normalize_inventory(inventory, table_path)
+            if inventory is not None
+            else directory_listing(spark, table_path, recursive=True)
+        )
         # Hidden rule (reference vacuum/mod.rs:111-126): anything whose
         # path RELATIVE segment starts with '_' or '.' is never
         # touched.
@@ -193,6 +212,51 @@ def vacuum(
         {"status": "COMPLETED", "numDeletedFiles": str(out.count())},
     )
     return out
+
+
+def _normalize_inventory(inventory: DataFrame, table_path: str) -> DataFrame:
+    """Adapt a caller inventory to the listing schema the filter stage
+    expects: absolute ``path``, boolean ``is_dir``, timestamp
+    ``modification_time``. Accepts delta-spark's camelCase names and
+    epoch-millis mtimes; missing mtime means "old enough" (epoch 0 —
+    the retention guard then only protects files the LOG still
+    references, which the anti-join enforces anyway)."""
+    from pyspark.sql.types import (
+        BooleanType, LongType, TimestampType,
+    )
+
+    cols = {c.lower(): c for c in inventory.columns}
+    if "path" not in cols:
+        raise VacuumError(
+            f"inventory must have a 'path' column (got {inventory.columns})"
+        )
+    root = table_path.rstrip("/")
+    path = F.col(cols["path"]).cast("string")
+    abs_path = F.when(
+        path.startswith("/") | path.contains("://"), path
+    ).otherwise(F.concat(F.lit(root + "/"), path))
+
+    dir_col = cols.get("is_dir") or cols.get("isdir")
+    is_dir = (
+        F.col(dir_col).cast(BooleanType())
+        if dir_col
+        else F.lit(False)
+    )
+    mt_col = cols.get("modification_time") or cols.get("modificationtime")
+    if mt_col is None:
+        mtime = F.timestamp_millis(F.lit(0))
+    else:
+        dt = inventory.schema[mt_col].dataType
+        mtime = (
+            F.col(mt_col).cast(TimestampType())
+            if isinstance(dt, TimestampType)
+            else F.timestamp_millis(F.col(mt_col).cast(LongType()))
+        )
+    return inventory.select(
+        abs_path.alias("path"),
+        is_dir.alias("is_dir"),
+        mtime.alias("modification_time"),
+    )
 
 
 def _tombstone_candidates(spark, table_path: str, cutoff_ms: int):

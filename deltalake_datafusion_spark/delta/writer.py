@@ -279,6 +279,7 @@ def _creation_protocol(
         features.add("identityColumns")
     if any(k.startswith("delta.constraints.") for k in conf):
         features.add("checkConstraints")
+    features |= feature_props(conf)
     if not features:
         return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
     features.add("vacuumProtocolCheck")
@@ -377,6 +378,30 @@ def merge_schema_fields(
     return evolved, configuration, True
 
 
+def feature_props(configuration: dict[str, str] | None) -> set[str]:
+    """Features named by ``delta.feature.<name> = supported`` keys —
+    protocol enablement only, the key itself is never stored
+    (delta-spark semantics). Unknown names / other values rejected."""
+    out: set[str] = set()
+    for key, val in (configuration or {}).items():
+        if not key.lower().startswith("delta.feature."):
+            continue
+        from deltalake_datafusion_spark.delta.features import KNOWN_FEATURES
+
+        if str(val).lower() not in ("supported", "enabled"):
+            raise DeltaWriteError(f"{key} must be 'supported' (got {val!r})")
+        name = key[len("delta.feature."):]
+        by_lower = {f.lower(): f for f in KNOWN_FEATURES}
+        feat = by_lower.get(name.lower())
+        if feat is None:
+            raise DeltaWriteError(
+                f"unknown table feature {name!r}; known: "
+                f"{sorted(KNOWN_FEATURES)}"
+            )
+        out.add(feat)
+    return out
+
+
 def _metadata_action(
     schema: StructType,
     partition_by: list[str],
@@ -391,7 +416,11 @@ def _metadata_action(
             "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps(schema.jsonValue()),
             "partitionColumns": partition_by,
-            "configuration": configuration,
+            "configuration": {
+                k: v
+                for k, v in configuration.items()
+                if not k.lower().startswith("delta.feature.")
+            },
             "createdTime": _now_ms(),
         }
     }

@@ -1280,6 +1280,137 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def delta_replace_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE OR REPLACE TABLE / TRUNCATE lifecycle: orders lands via
+    CTAS partitioned by o_orderstatus; TRUNCATE empties it as pure
+    metadata (schema + partitioning survive, asserted); CREATE OR
+    REPLACE then installs a brand-new lineitem-derived schema and
+    partitioning under the SAME table id in one commit; IF NOT EXISTS
+    leaves the result untouched. Time travel still reaches every
+    pre-replace version. The oracle recomputes the final table
+    straight from lineitem."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.sql.dispatcher import sql as dsql
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    path = os.path.join(_fresh_dir("replace_table", sf_dir), "t")
+    t["orders"].createOrReplaceTempView("rt_orders")
+    t["lineitem"].createOrReplaceTempView("rt_lineitem")
+
+    dsql(
+        spark,
+        f"CREATE TABLE '{path}' PARTITIONED BY (o_orderstatus) AS "
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM rt_orders",
+    )
+    v0 = load_snapshot(path)
+    res = dsql(spark, f"TRUNCATE TABLE '{path}'").collect()[0].asDict()
+    assert res["files_rewritten"] == 0, "TRUNCATE touched data files"
+    truncated = load_snapshot(path)
+    assert truncated.schema.fieldNames() == v0.schema.fieldNames()
+    assert read_delta(spark, path).count() == 0
+
+    dsql(
+        spark,
+        f"CREATE OR REPLACE TABLE '{path}' PARTITIONED BY (l_returnflag) "
+        "AS SELECT l_orderkey, l_quantity, l_returnflag FROM rt_lineitem "
+        "WHERE l_partkey % 10 = 0",
+    )
+    dsql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS '{path}' AS SELECT 1 AS should_not_land",
+    )
+    snap = load_snapshot(path)
+    assert snap.metadata.id == v0.metadata.id, "table identity changed"
+    assert snap.partition_columns == ["l_returnflag"]
+    # time travel across truncate AND replace
+    assert read_delta(spark, path, version=v0.version).count() == t[
+        "orders"
+    ].count()
+
+    return (
+        read_delta(spark, path)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_REPLACE_TABLE_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem WHERE l_partkey % 10 = 0
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def delta_drop_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature lifecycle: customer lands with deletionVectors enabled
+    via ``delta.feature.deletionVectors=supported`` +
+    ``delta.enableDeletionVectors``; a scattered DELETE mints real DVs;
+    REORG PURGE materializes them; DROP FEATURE deletionVectors
+    TRUNCATE HISTORY downgrades the protocol (asserted: feature gone
+    from both reader and writer sets, earlier commits expired) — and
+    the surviving rows still read back exactly. Oracle replays the
+    delete predicate over customer."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.sql.dispatcher import sql as dsql
+
+    t = load_tables(spark, sf_dir, "customer")
+    path = os.path.join(_fresh_dir("drop_feature", sf_dir), "t")
+    base = t["customer"].select("c_custkey", "c_acctbal", "c_mktsegment")
+    write_delta(
+        spark, base.repartition(4), path,
+        configuration={
+            "delta.feature.deletionVectors": "supported",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    dsql(spark, f"DELETE FROM '{path}' WHERE c_custkey % 5 = 0")
+    assert any(
+        f.dv for f in load_snapshot(path).files
+    ), "scattered DELETE minted no DVs"
+    dsql(spark, f"REORG TABLE '{path}' APPLY (PURGE)")
+    dsql(
+        spark,
+        f"ALTER TABLE '{path}' UNSET TBLPROPERTIES "
+        "('delta.enableDeletionVectors')",
+    )
+    dsql(
+        spark,
+        f"ALTER TABLE '{path}' DROP FEATURE deletionVectors "
+        "TRUNCATE HISTORY",
+    )
+    snap = load_snapshot(path)
+    assert "deletionVectors" not in set(snap.protocol.writer_features or [])
+    assert "deletionVectors" not in set(snap.protocol.reader_features or [])
+
+    return (
+        read_delta(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_DROP_FEATURE_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+FROM customer WHERE c_custkey % 5 <> 0
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -1347,5 +1478,11 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_chunking", text_chunking, _TEXT_CHUNK_SQL),
         QuerySpec(
             "delta_replace_where", delta_replace_where, _REPLACE_WHERE_SQL
+        ),
+        QuerySpec(
+            "delta_replace_table", delta_replace_table, _REPLACE_TABLE_SQL
+        ),
+        QuerySpec(
+            "delta_drop_feature", delta_drop_feature, _DROP_FEATURE_SQL
         ),
     ]

@@ -12,7 +12,11 @@ the same "delegate the relational tier" architecture.
 
 Grammar accepted (case-insensitive, mirroring parser.rs):
 
-    VACUUM <name | 'url' | delta.`url`> [FULL | LITE] [RETAIN n HOURS] [DRY RUN]
+    VACUUM <name | 'url' | delta.`url`> [FULL | LITE]
+        [USING INVENTORY delta.`url` | (SELECT ...)]
+        [RETAIN n HOURS] [DRY RUN]
+    ALTER TABLE <target> DROP FEATURE name [TRUNCATE HISTORY]
+    ALTER TABLE <target> ALTER COLUMN c SYNC IDENTITY
     CREATE CATALOG [IF NOT EXISTS] name
         [USING SHARE provider.share | MANAGED LOCATION 'url']
         [DEFAULT COLLATION 'c'] [COMMENT 'c'] [OPTIONS (k 'v', ...)]
@@ -85,9 +89,11 @@ class SqlParseError(Exception):
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"(?:(?P<full>\s+FULL)|(?P<lite>\s+LITE))?"
+    r"(?:\s+USING\s+INVENTORY\s+"
+    r"(?:delta\.`(?P<invpath>[^`]+)`|\(\s*(?P<invsel>.+?)\s*\)))?"
     r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?"
     r"(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
@@ -145,6 +151,17 @@ _COL_TYPE_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"\s+ALTER\s+COLUMN\s+(?P<col>\w+|`[^`]+`)\s+TYPE\s+"
     r"(?P<type>[\w]+(?:\s*\([\d,\s]*\))?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_FEATURE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+DROP\s+FEATURE\s+(?P<name>[\w]+)"
+    r"(?P<trunc>\s+TRUNCATE\s+HISTORY)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SYNC_IDENTITY_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+ALTER\s+COLUMN\s+(?P<col>\w+|`[^`]+`)\s+SYNC\s+IDENTITY\s*;?\s*$",
     re.IGNORECASE,
 )
 _SET_PROPS_RE = re.compile(
@@ -339,6 +356,15 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
     if m:
         from deltalake_datafusion_spark.delta.vacuum import vacuum
 
+        inventory = None
+        if m.group("invpath"):
+            from deltalake_datafusion_spark.delta.scan import read_delta
+
+            inventory = read_delta(spark, m.group("invpath"))
+        elif m.group("invsel"):
+            inventory = spark.sql(
+                expand_table_functions(spark, m.group("invsel"))
+            )
         return vacuum(
             spark,
             _unquote_target(m.group("target"), registry),
@@ -346,6 +372,7 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             dry_run=bool(m.group("dry")),
             full=bool(m.group("full")),
             lite=bool(m.group("lite")),
+            inventory=inventory,
         )
 
     if re.match(
@@ -564,6 +591,32 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             m.group("type").strip(),
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _DROP_FEATURE_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.features import drop_feature
+
+        res = drop_feature(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            m.group("name"),
+            truncate_history=bool(m.group("trunc")),
+        )
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _SYNC_IDENTITY_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.properties import sync_identity
+
+        res = sync_identity(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            m.group("col").strip("`"),
+        )
+        return spark.createDataFrame(
+            [(res["version"], res["column"], res["high_water_mark"])],
+            "version long, column string, high_water_mark long",
+        )
 
     m = _COL_DEFAULT_RE.match(statement)
     if m:

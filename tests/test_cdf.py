@@ -296,3 +296,58 @@ def test_table_changes_by_timestamp(spark, tmp_path):
         f"SELECT COUNT(*) AS n FROM table_changes('{path}', '{ts1}')",
     ).collect()
     assert out[0]["n"] == 15 + 5  # v1 inserts + v2 deletes
+
+
+def test_cdf_refuses_incompatible_schema_change_in_range(spark, tmp_path):
+    """A REPLACE TABLE (or drop/retype) inside the requested range
+    must fail loudly — earlier changes cannot be shaped under the end
+    schema (delta-spark's incompatible-data-schema CDF error)."""
+    path = _mk(spark, tmp_path, "cdfrepl")
+    delete_delta(spark, path, "id >= 8")
+    write_delta(
+        spark,
+        spark.range(3).select(F.col("id").alias("k")),
+        path,
+        mode="overwrite",
+        replace_table=True,
+        configuration=CDF,
+    )
+    with pytest.raises(ChangeDataFeedError, match="incompatibl"):
+        table_changes(spark, path, 0)
+    # a range that ends before the replace still reads
+    rows = table_changes(spark, path, 0, 1).collect()
+    assert {r._change_type for r in rows} == {"insert", "delete"}
+    # the replace commit itself is a schema boundary (no cdc); a range
+    # starting AFTER it reads the new schema
+    with pytest.raises(ChangeDataFeedError, match="boundary"):
+        table_changes(spark, path, 2, 2)
+    write_delta(
+        spark,
+        spark.createDataFrame([(9,)], "k long"),
+        path,
+        mode="append",
+    )
+    after = table_changes(spark, path, 3).collect()
+    assert {r.k for r in after if r._change_type == "insert"} == {9}
+
+
+def test_cdf_additive_evolution_backfills_null(spark, tmp_path):
+    """Columns added mid-range: earlier changes carry NULL for them —
+    the feed always has the END schema."""
+    path = _mk(spark, tmp_path, "cdfevol")
+    update_delta(spark, path, {"v": "v + 1"}, "id = 3")  # cdc parquet at v1
+    write_delta(
+        spark,
+        spark.range(2).select(
+            "id", (F.col("id") * 2.0).alias("v"), F.lit("x").alias("tag")
+        ),
+        path,
+        mode="append",
+        schema_mode="merge",
+    )
+    rows = table_changes(spark, path, 0).collect()
+    assert "tag" in rows[0].asDict()
+    pre_evolve = [r for r in rows if r._commit_version <= 1]
+    assert pre_evolve and all(r.tag is None for r in pre_evolve)
+    post = [r for r in rows if r._commit_version == 2]
+    assert {r.tag for r in post} == {"x"}

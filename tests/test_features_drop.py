@@ -1,0 +1,275 @@
+"""ALTER TABLE DROP FEATURE / delta.feature.* enablement /
+VACUUM USING INVENTORY / ALTER COLUMN SYNC IDENTITY.
+
+delta-spark semantics: a feature drops only when the current version
+carries no trace of it; reader features additionally require TRUNCATE
+HISTORY. delta.feature.<name>=supported upgrades the protocol without
+storing the key. VACUUM USING INVENTORY replaces the directory walk
+with a caller listing. SYNC IDENTITY recomputes the high-water mark
+from actual column values.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.features import drop_feature
+from deltalake_datafusion_spark.delta.properties import (
+    set_tblproperties,
+    sync_identity,
+    unset_tblproperties,
+)
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import (
+    DeltaWriteError,
+    create_delta_table,
+    write_delta,
+)
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+
+def test_drop_writer_feature_downgrades_to_legacy(spark, tmp_path):
+    path = str(tmp_path / "dfw")
+    write_delta(
+        spark, spark.range(5).select("id"), path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    assert "changeDataFeed" in (
+        load_snapshot(path).protocol.writer_features or []
+    )
+    # trace present: property still on
+    with pytest.raises(DeltaWriteError, match="still true"):
+        drop_feature(spark, path, "changeDataFeed")
+    unset_tblproperties(spark, path, ["delta.enableChangeDataFeed"])
+    res = drop_feature(spark, path, "changeDataFeed")
+    snap = load_snapshot(path)
+    feats = set(snap.protocol.writer_features or [])
+    assert "changeDataFeed" not in feats
+    # nothing left beyond legacy capabilities → full downgrade
+    assert snap.protocol.min_writer_version == 2
+    assert snap.protocol.min_reader_version == 1
+    assert res["version"] == snap.version
+    # reads and writes still work after the downgrade
+    write_delta(spark, spark.range(3).select("id"), path, mode="append")
+    assert read_delta(spark, path).count() == 8
+
+
+def test_drop_reader_feature_requires_truncate_history(spark, tmp_path):
+    path = str(tmp_path / "dfr")
+    write_delta(
+        spark, spark.range(20).select("id").repartition(2), path,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    from deltalake_datafusion_spark.delta.ops import delete_delta, optimize_delta
+
+    delete_delta(spark, path, "id % 4 = 0")  # scatters → real DVs
+    assert any(f.dv for f in load_snapshot(path).files)
+    unset_tblproperties(spark, path, ["delta.enableDeletionVectors"])
+    # live DV trace blocks the drop
+    with pytest.raises(DeltaWriteError, match="REORG"):
+        drop_feature(spark, path, "deletionVectors", truncate_history=True)
+    optimize_delta(spark, path, purge=True)
+    # reader feature without TRUNCATE HISTORY is refused
+    with pytest.raises(DeltaWriteError, match="TRUNCATE HISTORY"):
+        drop_feature(spark, path, "deletionVectors")
+    v_before = load_snapshot(path).version
+    res = sql(
+        spark,
+        f"ALTER TABLE '{path}' DROP FEATURE deletionVectors "
+        "TRUNCATE HISTORY",
+    ).collect()[0].asDict()
+    snap = load_snapshot(path)
+    assert "deletionVectors" not in set(snap.protocol.writer_features or [])
+    assert "deletionVectors" not in set(snap.protocol.reader_features or [])
+    assert snap.version == v_before + 1
+    assert res["commits_deleted"] > 0
+    # pre-truncation commit JSONs are gone; the table still reads
+    log = os.path.join(path, "_delta_log")
+    commits = [f for f in os.listdir(log) if f.endswith(".json")]
+    assert commits == [f"{snap.version:020d}.json"]
+    assert read_delta(spark, path).count() == 15
+    assert {r.id for r in read_delta(spark, path).collect()} == {
+        i for i in range(20) if i % 4 != 0
+    }
+
+
+def test_drop_feature_unknown_and_absent(spark, tmp_path):
+    path = str(tmp_path / "dfu")
+    write_delta(spark, spark.range(3).select("id"), path)
+    with pytest.raises(DeltaWriteError, match="unknown table feature"):
+        drop_feature(spark, path, "noSuchFeature")
+    with pytest.raises(DeltaWriteError, match="not present"):
+        drop_feature(spark, path, "deletionVectors", truncate_history=True)
+
+
+def test_delta_feature_property_enables_without_storing_key(spark, tmp_path):
+    path = str(tmp_path / "featprop")
+    write_delta(spark, spark.range(3).select("id"), path)
+    sql(
+        spark,
+        f"ALTER TABLE '{path}' SET TBLPROPERTIES "
+        "('delta.feature.deletionVectors' = 'supported')",
+    )
+    snap = load_snapshot(path)
+    assert "deletionVectors" in set(snap.protocol.writer_features or [])
+    assert "deletionVectors" in set(snap.protocol.reader_features or [])
+    # the delta.feature.* key itself is never stored
+    assert not any(
+        k.startswith("delta.feature.") for k in snap.metadata.configuration
+    )
+    with pytest.raises(DeltaWriteError, match="unknown table feature"):
+        set_tblproperties(
+            spark, path, {"delta.feature.bogus": "supported"}
+        )
+    with pytest.raises(DeltaWriteError, match="must be 'supported'"):
+        set_tblproperties(
+            spark, path, {"delta.feature.rowTracking": "maybe"}
+        )
+
+
+def test_vacuum_using_inventory(spark, tmp_path):
+    path = str(tmp_path / "vinv")
+    write_delta(spark, spark.range(100).select("id"), path)
+    # orphan files: one the inventory knows about, one it doesn't
+    orphan1 = os.path.join(path, "orphan-1.parquet")
+    orphan2 = os.path.join(path, "orphan-2.parquet")
+    for p in (orphan1, orphan2):
+        with open(p, "wb") as fh:
+            fh.write(b"junk")
+    live = {f.path for f in load_snapshot(path).files}
+    inv_rows = [(orphan1, False, 0)] + [
+        (os.path.join(path, p), False, 0) for p in sorted(live)
+    ]
+    inventory = spark.createDataFrame(
+        inv_rows, "path string, isDir boolean, modificationTime long"
+    )
+    inventory.createOrReplaceTempView("vac_inventory")
+    spark.conf.set(
+        "lakehouse.delta.retention_duration_check.enabled", "false"
+    )
+    try:
+        out = sql(
+            spark,
+            f"VACUUM '{path}' USING INVENTORY "
+            "(SELECT path, isDir, modificationTime FROM vac_inventory) "
+            "RETAIN 0 HOURS DRY RUN",
+        )
+        got = {r.path for r in out.collect()}
+        # only the inventory-listed orphan is a candidate; referenced
+        # files are anti-joined away; the unlisted orphan is invisible
+        # by design
+        assert got == {orphan1}
+        # physical delete removes exactly that file
+        deleted = sql(
+            spark,
+            f"VACUUM '{path}' USING INVENTORY "
+            "(SELECT path, isDir, modificationTime FROM vac_inventory) "
+            "RETAIN 0 HOURS",
+        )
+        assert {r.path for r in deleted.collect()} == {orphan1}
+    finally:
+        spark.conf.set(
+            "lakehouse.delta.retention_duration_check.enabled", "true"
+        )
+    assert not os.path.exists(orphan1)
+    assert os.path.exists(orphan2)
+    assert read_delta(spark, path).count() == 100
+
+
+def test_vacuum_inventory_relative_paths_and_lite_conflict(spark, tmp_path):
+    path = str(tmp_path / "vinvrel")
+    write_delta(spark, spark.range(10).select("id"), path)
+    orphan = os.path.join(path, "stray.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+    inventory = spark.createDataFrame(
+        [("stray.parquet",)], "path string"
+    )  # relative path, no isDir/mtime columns
+    from deltalake_datafusion_spark.delta.vacuum import VacuumError, vacuum
+
+    out = vacuum(
+        spark, path, retain_hours=0, dry_run=True,
+        enforce_retention_duration=False, inventory=inventory,
+    )
+    assert {r.path for r in out.collect()} == {orphan}
+    with pytest.raises(VacuumError, match="LITE"):
+        vacuum(spark, path, dry_run=True, lite=True, inventory=inventory)
+    with pytest.raises(VacuumError, match="'path' column"):
+        vacuum(
+            spark, path, dry_run=True,
+            enforce_retention_duration=False,
+            inventory=spark.createDataFrame([(1,)], "x long"),
+        )
+
+
+def test_sync_identity_after_explicit_inserts(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.identity import (
+        identity_columns,
+        identity_field,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    path = str(tmp_path / "syncid")
+    schema = StructType(
+        [
+            identity_field("id", start=1, step=2, allow_explicit_insert=True),
+            StructField("v", LongType()),
+        ]
+    )
+    create_delta_table(spark, path, schema)
+    # explicit inserts outrun the (unset) high-water mark
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, 1), (204, 2)], "id long, v long"),
+        path,
+        mode="append",
+    )
+    res = sql(
+        spark, f"ALTER TABLE '{path}' ALTER COLUMN id SYNC IDENTITY"
+    ).collect()[0].asDict()
+    # 204 is not on the 1+2k (odd) grid → rounds up to 205
+    assert res["high_water_mark"] == 205
+    info = identity_columns(load_snapshot(path).schema)["id"]
+    assert info["hwm"] == 205
+    # subsequent generated values start past the synced mark
+    write_delta(
+        spark,
+        spark.createDataFrame([(3,)], "v long"),
+        path,
+        mode="append",
+    )
+    ids = [r.id for r in read_delta(spark, path).collect()]
+    assert len(set(ids)) == 3 and max(ids) > 205
+
+
+def test_sync_identity_clears_hwm_on_empty_table(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.identity import (
+        identity_columns,
+        identity_field,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    path = str(tmp_path / "syncempty")
+    schema = StructType(
+        [identity_field("id"), StructField("v", LongType())]
+    )
+    create_delta_table(spark, path, schema)
+    write_delta(
+        spark,
+        spark.createDataFrame([(1,)], "v long"),
+        path,
+        mode="append",
+    )
+    assert identity_columns(load_snapshot(path).schema)["id"]["hwm"] is not None
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+
+    delete_delta(spark, path, None)
+    res = sync_identity(spark, path, "id")
+    assert res["high_water_mark"] is None
+    assert identity_columns(load_snapshot(path).schema)["id"]["hwm"] is None
+    with pytest.raises(DeltaWriteError, match="not an identity column"):
+        sync_identity(spark, path, "v")
