@@ -629,6 +629,80 @@ def history(spark, table_path: str):
     )
 
 
+def _conform_to_log_schema(df):
+    """Project a checkpoint DataFrame (inferred parquet schema) onto
+    LOG_SCHEMA exactly: foreign checkpoints may carry extra nested
+    add-fields (e.g. the typed ``stats_parsed`` struct delta-spark
+    writes under ``writeStatsAsStruct``) or miss optional ones — both
+    would break the union with JSON-commit actions. ``stats_parsed``
+    is folded into the JSON ``stats`` string (coalesce: explicit JSON
+    wins) so the distributed planner prunes stats-as-struct tables
+    exactly like the driver replay does. Null action rows stay null
+    (replay dispatches on top-level non-nullness)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from deltalake_datafusion_spark.delta.log_schema import LOG_SCHEMA
+
+    def conform(src, actual, target):
+        """Column ``src`` of type ``actual`` reshaped to ``target`` —
+        recursive over structs (missing fields → null, extra fields
+        dropped), plain cast elsewhere; null structs stay null."""
+        if actual == target:
+            return src
+        if isinstance(target, StructType) and isinstance(actual, StructType):
+            actual_sub = {sf.name: sf.dataType for sf in actual.fields}
+            sub = [
+                (
+                    conform(
+                        src.getField(sf.name), actual_sub[sf.name],
+                        sf.dataType,
+                    )
+                    if sf.name in actual_sub
+                    else F.lit(None).cast(sf.dataType)
+                ).alias(sf.name)
+                for sf in target.fields
+            ]
+            return (
+                F.when(src.isNotNull(), F.struct(*sub))
+                .otherwise(F.lit(None).cast(target))
+            )
+        return src.cast(target)
+
+    have = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in LOG_SCHEMA.fields:
+        if f.name not in have:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            continue
+        actual = have[f.name]
+        if (
+            f.name == "add"
+            and isinstance(actual, StructType)
+            and "stats_parsed" in {sf.name for sf in actual.fields}
+        ):
+            # fold the typed struct into the JSON string the replay /
+            # pruning machinery consumes (explicit JSON wins)
+            df_add = F.col("add")
+            conformed = conform(df_add, actual, f.dataType)
+            folded = F.when(
+                df_add.isNotNull(),
+                conformed.withField(
+                    "stats",
+                    F.coalesce(
+                        df_add.getField("stats")
+                        if "stats" in {sf.name for sf in actual.fields}
+                        else F.lit(None).cast("string"),
+                        F.to_json(df_add.getField("stats_parsed")),
+                    ),
+                ),
+            ).otherwise(F.lit(None).cast(f.dataType))
+            cols.append(folded.alias(f.name))
+            continue
+        cols.append(conform(F.col(f.name), actual, f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
 def actions_df(spark, table_path: str, version: int | None = None):
     """All log actions as a DataFrame with the kernel log schema
     (the ``delta_log`` metadata table, reference delta_log.rs:42-136)."""
@@ -675,11 +749,7 @@ def actions_df(spark, table_path: str, version: int | None = None):
                     ).to_pylist()
                     if r.get("sidecar")
                 ]
-        cp = spark.read.parquet(*cp_paths)
-        for f in LOG_SCHEMA.fieldNames():
-            if f not in cp.columns:
-                cp = cp.withColumn(f, F.lit(None).cast(LOG_SCHEMA[f].dataType))
-        cp = cp.select(*LOG_SCHEMA.fieldNames())
+        cp = _conform_to_log_schema(spark.read.parquet(*cp_paths))
         if v2:
             # drop sidecar / checkpointMetadata marker rows (all-null
             # after the LOG_SCHEMA projection)
@@ -689,13 +759,9 @@ def actions_df(spark, table_path: str, version: int | None = None):
                 any_set = c if any_set is None else (any_set | c)
             cp = cp.filter(any_set)
         if sidecar_paths:
-            sc = spark.read.parquet(*sidecar_paths)
-            for f in LOG_SCHEMA.fieldNames():
-                if f not in sc.columns:
-                    sc = sc.withColumn(
-                        f, F.lit(None).cast(LOG_SCHEMA[f].dataType)
-                    )
-            cp = cp.unionByName(sc.select(*LOG_SCHEMA.fieldNames()))
+            cp = cp.unionByName(
+                _conform_to_log_schema(spark.read.parquet(*sidecar_paths))
+            )
         cp = cp.withColumn("version", F.lit(cp_version).cast("long"))
         # Commits ≤ checkpoint version are superseded by the checkpoint.
         dfs = [d.filter(F.col("version") > cp_version) for d in dfs]

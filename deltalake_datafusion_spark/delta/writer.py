@@ -1929,6 +1929,7 @@ def write_checkpoint(spark, snapshot: Snapshot) -> str:
 
     df = spark.createDataFrame([(json.dumps(r),) for r in rows], "value string")
     parsed = df.select(F.from_json("value", LOG_SCHEMA).alias("a")).select("a.*")
+    parsed = _with_stats_parsed(parsed, snapshot)
     parsed.coalesce(1).write.mode("overwrite").parquet(staging)
 
     fs = fs_for(snapshot.table_path, spark)
@@ -1946,6 +1947,74 @@ def write_checkpoint(spark, snapshot: Snapshot) -> str:
         json.dumps({"version": snapshot.version, "size": len(rows)}).encode(),
     )
     return final
+
+
+def _stats_struct_type(schema: StructType):
+    """The typed ``stats_parsed`` struct delta-spark writes under
+    ``delta.checkpoint.writeStatsAsStruct``: numRecords plus
+    min/maxValues mirroring the PHYSICAL data schema (min/max-able
+    leaves only — arrays/maps/binary carry no Delta-level stats) and
+    nullCount with long leaves. Field names are physical (the stats
+    JSON is keyed by parquet column paths)."""
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, LongType, MapType, StructField,
+    )
+
+    def phys(f) -> str:
+        return (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+
+    def minmax(dt):
+        if isinstance(dt, StructType):
+            fields = []
+            for f in dt.fields:
+                sub = minmax(f.dataType)
+                if sub is not None:
+                    fields.append(StructField(phys(f), sub, True))
+            return StructType(fields) if fields else None
+        if isinstance(dt, (ArrayType, MapType, BinaryType)):
+            return None
+        return dt
+
+    def nulls(dt):
+        if isinstance(dt, StructType):
+            return StructType(
+                [StructField(phys(f), nulls(f.dataType), True) for f in dt.fields]
+            )
+        return LongType()
+
+    mm = minmax(schema) or StructType([])
+    return StructType(
+        [
+            StructField("numRecords", LongType(), True),
+            StructField("minValues", mm, True),
+            StructField("maxValues", mm, True),
+            StructField("nullCount", nulls(schema), True),
+        ]
+    )
+
+
+def _with_stats_parsed(df, snapshot):
+    """When ``delta.checkpoint.writeStatsAsStruct`` is true, widen the
+    checkpoint's ``add`` struct with a typed ``stats_parsed`` column
+    parsed from the stats JSON — one ``from_json`` expression, no
+    extra pass (delta-spark's struct-stats checkpoint shape; readers
+    with typed-column pruning skip the per-file JSON parse)."""
+    conf = snapshot.metadata.configuration
+    if (
+        conf.get("delta.checkpoint.writeStatsAsStruct", "") or ""
+    ).lower() != "true":
+        return df
+    from pyspark.sql import functions as F
+
+    st = _stats_struct_type(snapshot.schema)
+    return df.withColumn(
+        "add",
+        F.col("add").withField(
+            "stats_parsed", F.from_json(F.col("add.stats"), st)
+        ),
+    )
 
 
 def write_checkpoint_spark(
@@ -2037,9 +2106,9 @@ def write_checkpoint_spark(
     n_parts = parts or max(1, math.ceil(n_live / 500_000))
     log_dir = os.path.join(snap.table_path, "_delta_log")
     staging = os.path.join(log_dir, f".cp_{uuid.uuid4().hex}")
-    head.unionByName(ck).repartition(n_parts).write.mode("overwrite").parquet(
-        staging
-    )
+    _with_stats_parsed(head.unionByName(ck), snap).repartition(
+        n_parts
+    ).write.mode("overwrite").parquet(staging)
 
     fs = fs_for(snap.table_path, spark)
     staged = sorted(
@@ -2133,7 +2202,9 @@ def write_checkpoint_v2(
     log_dir = os.path.join(snap.table_path, "_delta_log")
     sidecar_dir = os.path.join(log_dir, "_sidecars")
     staging = os.path.join(log_dir, f".cp2_{uuid.uuid4().hex}")
-    live.repartition(n_parts).write.mode("overwrite").parquet(staging)
+    _with_stats_parsed(live, snap).repartition(n_parts).write.mode(
+        "overwrite"
+    ).parquet(staging)
 
     fs = fs_for(snap.table_path, spark)
     fs.mkdirs(sidecar_dir)

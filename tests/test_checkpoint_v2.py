@@ -112,3 +112,62 @@ def test_v2_checkpoint_actions_df_and_log_replay(spark, tmp_path):
     assert n_adds == len(snap_before.files)
     assert df.filter("metaData IS NOT NULL").count() == 1
     assert df.filter("protocol IS NOT NULL").count() == 1
+
+
+def test_write_stats_as_struct(spark, tmp_path):
+    """delta.checkpoint.writeStatsAsStruct: checkpoints carry a typed
+    stats_parsed struct beside the JSON string — the struct round-trips
+    through both our replay paths and matches the JSON values."""
+    import json as _json
+
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.scan import scan_files_spark
+    from deltalake_datafusion_spark.delta.writer import (
+        write_checkpoint,
+        write_checkpoint_spark,
+    )
+
+    path = str(tmp_path / "statsstruct")
+    write_delta(
+        spark,
+        spark.range(100).select(
+            "id", (F.col("id") % 7).alias("g"), F.lit("s").alias("t")
+        ).repartition(3),
+        path,
+        configuration={"delta.checkpoint.writeStatsAsStruct": "true"},
+    )
+    cp = write_checkpoint(spark, load_snapshot(path))
+    schema = papq.read_schema(cp)
+    add_names = [f.name for f in schema.field("add").type]
+    assert "stats_parsed" in add_names
+    tbl = papq.read_table(cp, columns=["add"]).to_pylist()
+    adds = [r["add"] for r in tbl if r.get("add") and r["add"].get("path")]
+    assert adds
+    for a in adds:
+        parsed = a["stats_parsed"]
+        js = _json.loads(a["stats"])
+        assert parsed["numRecords"] == js["numRecords"]
+        assert parsed["minValues"]["id"] == js["minValues"]["id"]
+        assert parsed["maxValues"]["g"] == js["maxValues"]["g"]
+        assert parsed["nullCount"]["t"] == js["nullCount"]["t"]
+    # the distributed writer carries the same struct
+    write_delta(
+        spark, spark.range(5).select(
+            (F.col("id") + 500).alias("id"),
+            F.lit(0).alias("g"), F.lit("u").alias("t"),
+        ), path, mode="append",
+    )
+    parts = write_checkpoint_spark(spark, path)
+    assert all(
+        "stats_parsed"
+        in [f.name for f in papq.read_schema(p).field("add").type]
+        for p in parts
+    )
+    # replay through BOTH planners still prunes and reads exactly
+    snap = load_snapshot(path)
+    assert len(snap.files) > 1 and all(f.stats for f in snap.files)
+    kept = scan_files_spark(spark, path, predicate="id >= 500").collect()
+    assert len(kept) >= 1
+    assert read_delta(spark, path).count() == 105

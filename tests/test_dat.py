@@ -863,6 +863,14 @@ def test_dat_stats_as_struct(spark, tmp_path):
     assert [os.path.basename(f.path) for f in kept] == ["f1.parquet"]
     rows, _ = _scan_sorted(spark, t)
     assert len(rows) == 8
+    # the DISTRIBUTED planner folds stats_parsed into the stats JSON
+    # (actions_df conforms foreign checkpoint structs to LOG_SCHEMA),
+    # so it prunes exactly like the driver replay
+    from deltalake_datafusion_spark.delta.scan import scan_files_spark
+
+    planned = scan_files_spark(spark, t, predicate="id >= 100").collect()
+    assert [os.path.basename(r.path) for r in planned] == ["f1.parquet"]
+    assert json.loads(planned[0].stats)["minValues"]["id"] == 100
 
 
 # ---------------------------------------------------------------------------
