@@ -1494,13 +1494,12 @@ def _merge_attempt(
     }
 
 
-def _partition_scope_files(snap, predicate: str | None):
-    """Resolve an ``OPTIMIZE … WHERE`` scope: the predicate may
-    reference **partition columns only** (delta-spark's rule — a data
-    predicate can't soundly scope a rewrite), and files are selected
-    by exact partition-value evaluation."""
+def _validate_partition_predicate(snap, predicate: str | None):
+    """``OPTIMIZE … WHERE`` predicates may reference partition columns
+    only (delta-spark's rule — a data predicate can't soundly scope a
+    rewrite). Returns the parsed predicate (None for no predicate)."""
     if not predicate:
-        return list(snap.files)
+        return None
     from deltalake_datafusion_spark.delta.predicates import (
         And, Cmp, InList, IsNull, Not, Or, try_parse_predicate,
     )
@@ -1527,6 +1526,15 @@ def _partition_scope_files(snap, predicate: str | None):
             "OPTIMIZE WHERE may reference partition columns only "
             f"(got {bad}; partition columns: {sorted(part)})"
         )
+    return pred
+
+
+def _partition_scope_files(snap, predicate: str | None):
+    """Resolve an ``OPTIMIZE … WHERE`` scope driver-side: validate the
+    predicate, then select files by exact partition-value evaluation."""
+    if not predicate:
+        return list(snap.files)
+    _validate_partition_predicate(snap, predicate)
     l2p = _logical_to_physical_map(snap.schema)
     return prune_files(
         snap.files, predicate, snap.schema, snap.partition_columns, l2p
@@ -1671,8 +1679,20 @@ def _optimize_attempt(
     ``purge=True`` is Delta's ``REORG TABLE … APPLY (PURGE)``: rewrite
     exactly the files that carry deletion vectors (whatever their
     size), materializing the soft deletes so the DV data can be
-    vacuumed; other files are untouched."""
-    snap = load_snapshot(table_path, spark=spark)
+    vacuumed; other files are untouched.
+
+    Past the distributed-planner threshold, victim selection runs as
+    ONE Spark job (log replay + scope pruning + the victim condition —
+    size/DV/cluster-tag — all executor-side) and only actual victims
+    reach the driver: a steady-state OPTIMIZE on a 1e6-file table
+    collects ~nothing, the same cutover the read and DML paths make."""
+    from deltalake_datafusion_spark.delta import scan as scanmod
+
+    distributed = (
+        scanmod.estimate_log_actions(table_path, spark)
+        > scanmod.SPARK_PLANNER_FILE_THRESHOLD
+    )
+    snap = load_snapshot(table_path, spark=spark, with_files=not distributed)
     threshold = small_file_threshold or target_file_size // 2
     from deltalake_datafusion_spark.delta.writer import clustering_columns
 
@@ -1712,29 +1732,61 @@ def _optimize_attempt(
         if zorder_by and list(zorder_by) == list(cluster_cols)
         else None
     )
-    scope = _partition_scope_files(snap, predicate)
-    if only_partitions is not None:
-        # auto-compaction scope: exactly the partitions a write touched
-        scope = [f for f in scope if f.partition_values in only_partitions]
-    if purge:
-        victims = [f for f in scope if f.dv is not None]
-        if not victims:
-            return {"files_compacted": 0, "files_added": 0, "version": snap.version}
-    elif incremental_cluster:
-        victims = [
-            f
-            for f in scope
-            if (f.tags or {}).get("clusteredBy")
-            != cluster_tag["clusteredBy"]
-        ]
-        if not victims:
-            return {"files_compacted": 0, "files_added": 0, "version": snap.version}
-    elif zorder_by:
-        victims = list(scope)  # explicit ZORDER rewrites all in scope
+    if distributed:
+        _validate_partition_predicate(snap, predicate)
+        if purge:
+            cond = F.col("deletionVector.storageType").isNotNull()
+        elif incremental_cluster:
+            cond = (
+                F.coalesce(
+                    F.col("tags").getItem("clusteredBy"), F.lit("")
+                )
+                != F.lit(cluster_tag["clusteredBy"])
+            )
+        elif zorder_by:
+            cond = None
+        else:
+            cond = F.col("size") < F.lit(threshold)
+        victims = scanmod.collect_planned_files(
+            spark, table_path, predicate, where=cond
+        )
+        if only_partitions is not None:
+            victims = [
+                f for f in victims if f.partition_values in only_partitions
+            ]
+        # observability only (numFilesSkipped): in-scope count, one
+        # metadata-scale job
+        scope_count = (
+            scanmod.scan_files_spark(spark, table_path, predicate).count()
+            if cond is not None
+            else len(victims)
+        )
     else:
-        victims = [f for f in scope if f.size < threshold]
-        if len(victims) < 2:
-            return {"files_compacted": 0, "files_added": 0, "version": snap.version}
+        scope = _partition_scope_files(snap, predicate)
+        if only_partitions is not None:
+            # auto-compaction scope: exactly the partitions the write
+            # touched
+            scope = [
+                f for f in scope if f.partition_values in only_partitions
+            ]
+        if purge:
+            victims = [f for f in scope if f.dv is not None]
+        elif incremental_cluster:
+            victims = [
+                f
+                for f in scope
+                if (f.tags or {}).get("clusteredBy")
+                != cluster_tag["clusteredBy"]
+            ]
+        elif zorder_by:
+            victims = list(scope)  # explicit ZORDER rewrites all in scope
+        else:
+            victims = [f for f in scope if f.size < threshold]
+        scope_count = len(scope)
+    if (purge or incremental_cluster) and not victims:
+        return {"files_compacted": 0, "files_added": 0, "version": snap.version}
+    if not purge and not incremental_cluster and not zorder_by and len(victims) < 2:
+        return {"files_compacted": 0, "files_added": 0, "version": snap.version}
 
     # group victims by partition tuple; rewrite per partition
     groups: dict[tuple, list] = defaultdict(list)
@@ -1938,14 +1990,13 @@ def _optimize_attempt(
             operation_metrics={
                 # incremental clustering observability: how many
                 # in-scope files were already clustered and skipped
-                "numFilesSkipped": str(len(scope) - len(victims)),
+                "numFilesSkipped": str(scope_count - len(victims)),
             },
         )
     except ConcurrentModificationError:
         _cleanup_staged_adds(spark, snap.table_path, actions)
         raise
-    out = load_snapshot(table_path, spark=spark)
-    maybe_checkpoint(spark, out)
+    _dml_finish(spark, table_path, distributed)
     return {
         "files_compacted": len(victims),
         "files_added": n_added,

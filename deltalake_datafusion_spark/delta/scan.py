@@ -236,6 +236,7 @@ def scan_files_spark(
         "deletionVector",
         "baseRowId",
         "defaultRowCommitVersion",
+        "tags",
     )
 
 
@@ -289,14 +290,21 @@ def estimate_log_actions(table_path: str, spark=None) -> int:
 def collect_planned_files(
     spark, table_path: str, predicate: str | None = None,
     version: int | None = None,
+    where=None,
 ) -> list[AddFile]:
     """Distributed planning → driver-side ``AddFile`` list: log
     replay + pruning run as a Spark job (:func:`scan_files_spark`);
     only SURVIVING file rows come back. Shared by the spark-planned
-    read path and distributed DML candidate planning."""
+    read path, distributed DML candidate planning, and distributed
+    OPTIMIZE victim selection (``where``: an extra executor-side
+    filter over the planned-file rows — e.g. ``size < threshold`` —
+    so only actual victims ever reach the driver)."""
     from deltalake_datafusion_spark.delta.snapshot import _parse_dv
 
-    rows = scan_files_spark(spark, table_path, predicate, version).collect()
+    planned = scan_files_spark(spark, table_path, predicate, version)
+    if where is not None:
+        planned = planned.filter(where)
+    rows = planned.collect()
     files = []
     for r in rows:
         dvd = r["deletionVector"]
@@ -323,6 +331,7 @@ def collect_planned_files(
                 dv=dv,
                 base_row_id=r["baseRowId"],
                 default_row_commit_version=r["defaultRowCommitVersion"],
+                tags=dict(r["tags"]) if r["tags"] else None,
             )
         )
     files.sort(key=lambda f: f.path)

@@ -806,5 +806,6 @@ def log_replay_df(spark, table_path: str, version: int | None = None):
         F.col("add_action.defaultRowCommitVersion").alias(
             "defaultRowCommitVersion"
         ),
+        F.col("add_action.tags").alias("tags"),
         F.col("version").alias("commit_version"),
     )

@@ -266,3 +266,66 @@ def test_dml_distributed_finish_writes_interval_checkpoint(
     )
     got = sorted(r["id"] for r in read_delta(spark, path).collect())
     assert got == list(range(10, 90))
+
+
+def test_optimize_distributed_victim_selection(spark, tmp_path, monkeypatch):
+    """Past the planner threshold, OPTIMIZE victim selection runs as a
+    Spark job (size/DV/cluster-tag condition executor-side) and only
+    victims reach the driver — results identical to the driver path."""
+    from deltalake_datafusion_spark.delta import scan as scanmod
+    from deltalake_datafusion_spark.delta.ops import (
+        delete_delta,
+        optimize_delta,
+    )
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    path = str(tmp_path / "opt")
+    df = spark.range(200).select(
+        "id", (F.col("id") % 2).alias("par"), (F.col("id") * 3).alias("v")
+    )
+    # several appends → several small files per partition
+    write_delta(spark, df.filter("id < 80"), path, partition_by=["par"])
+    write_delta(spark, df.filter("id >= 80 AND id < 150"), path, mode="append")
+    write_delta(spark, df.filter("id >= 150"), path, mode="append")
+    n_files = len(load_snapshot(path).files)
+    assert n_files > 2
+
+    monkeypatch.setattr(scanmod, "SPARK_PLANNER_FILE_THRESHOLD", 0)
+    calls = {"n": 0}
+    orig = scanmod.collect_planned_files
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(scanmod, "collect_planned_files", counting)
+
+    # bin-pack: every small file is a victim via the Spark-side filter
+    res = optimize_delta(spark, path)
+    assert calls["n"] == 1
+    assert res["files_compacted"] == n_files
+    snap = load_snapshot(path)
+    assert len(snap.files) <= 2  # one compacted file per partition
+    assert read_delta(spark, path).count() == 200
+
+    # WHERE scope + victim condition both run in the job; the
+    # untouched partition's file is not a victim
+    write_delta(spark, df, path, mode="append")
+    res = optimize_delta(spark, path, predicate="par = 0")
+    files_after = load_snapshot(path).files
+    assert {f.partition_values["par"] for f in files_after} == {"0", "1"}
+    assert read_delta(spark, path).count() == 400
+
+    # REORG PURGE: only the DV-carrying file is collected
+    monkeypatch.setattr(scanmod, "SPARK_PLANNER_FILE_THRESHOLD", 10**9)
+    delete_delta(spark, path, "id % 7 = 3 AND par = 1")
+    monkeypatch.setattr(scanmod, "SPARK_PLANNER_FILE_THRESHOLD", 0)
+    dv_files = [f for f in load_snapshot(path).files if f.dv]
+    assert dv_files
+    res = optimize_delta(spark, path, purge=True)
+    assert res["files_compacted"] == len(dv_files)
+    assert not any(f.dv for f in load_snapshot(path).files)
+    n_deleted = 2 * len(
+        [i for i in range(200) if i % 7 == 3 and i % 2 == 1]
+    )  # every id appears twice after the re-append
+    assert read_delta(spark, path).count() == 400 - n_deleted
