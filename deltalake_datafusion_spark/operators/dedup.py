@@ -676,6 +676,112 @@ def embedding_near_dup_lsh(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 16,
+    threshold: float = 0.95,
+    max_cluster: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus by embedding, then drop
+    documents whose within-cluster cosine to a lower-id cluster-mate
+    exceeds ``threshold`` — removing *semantic* duplicates
+    (paraphrases, templated rewrites) that token-level
+    MinHash/SimHash can't see.
+
+    Deterministic re-expression (so an exact SQL oracle can replay
+    it): the ``k`` lowest-id vectors are the cluster seeds; every
+    vector joins the seed with the highest cosine (ties → lowest seed
+    index — the paper's k-means is replaced by one assignment pass,
+    which keeps the within-cluster-only comparison structure that
+    gives SemDeDup its O(Σ|cluster|²) ≪ O(n²) cost); within a cluster
+    a document is dropped iff a LOWER-id cluster-mate is within
+    ``threshold`` (keep-first).
+
+    Scale shape: the seed matrix broadcasts (k × dim floats); the
+    assignment is one Arrow-batched pass over the corpus (no
+    shuffle); the pair stage shuffles once on cluster id and compares
+    within clusters only. Pick ``k ∝ n / target_cluster_size``;
+    ``max_cluster`` fails fast when a cluster would explode the pair
+    stage (raise k, or pre-split by a coarse LSH bucket).
+
+    Returns (id, cluster, is_dup) for every document.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    from deltalake_datafusion_spark.operators.similarity import (
+        strict_cosine_pandas_udf,
+    )
+
+    seeds = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    seed_mat = np.asarray([list(r["v"]) for r in seeds], dtype=np.float64)
+    seed_norm = np.sqrt((seed_mat * seed_mat).sum(axis=1))
+
+    def _assign(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.asarray(vs.tolist(), dtype=np.float64)
+        # strict-fold-equivalent: dot is a plain sum over the (small,
+        # fixed) dimension — same float64 operation order everywhere
+        dots = np.zeros((len(vs), seed_mat.shape[0]))
+        for i in range(seed_mat.shape[1]):
+            dots += m[:, i:i + 1] * seed_mat[:, i][None, :]
+        norms = np.zeros(len(vs))
+        for i in range(seed_mat.shape[1]):
+            norms += m[:, i] * m[:, i]
+        cos = dots / (np.sqrt(norms)[:, None] * seed_norm[None, :])
+        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+
+    _assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    assign = pandas_udf(_assign, IntegerType())
+
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        assign(F.col(vec_col).cast("array<double>")).alias("cluster"),
+    )
+    if max_cluster is not None:
+        worst = (
+            assigned.groupBy("cluster").count().agg(F.max("count")).first()[0]
+        )
+        if worst and worst > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: largest cluster has {worst} members "
+                f"(> max_cluster={max_cluster}); raise k so the "
+                "within-cluster pair stage stays bounded"
+            )
+    cos = strict_cosine_pandas_udf()
+    a = assigned.select(
+        F.col("cluster"), F.col("id").alias("a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("id").alias("b"), F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", cos(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("b").alias("id"))
+        .distinct()
+    )
+    return assigned.select("id", "cluster").join(
+        dropped.withColumn("is_dup", F.lit(True)), "id", "left"
+    ).select(
+        "id", "cluster", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )
+
+
 # ------------------------------------------------------------------ #
 # Line-level dedup (C4-style)                                         #
 # ------------------------------------------------------------------ #

@@ -233,6 +233,79 @@ ORDER BY d.bucket, d.event_type
 """
 
 
+def pipe_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted near-dup corpus: seed-cluster
+    assignment (16 lowest-id seeds, argmax cosine, ties → lowest seed)
+    + within-cluster keep-first drop at cosine ≥ 0.99. The planted
+    copies (id+1000000, cosine ≈ 0.999 to their source) land in their
+    source's cluster and are exactly the drops. Per-cluster audit:
+    members, dups, checksum of dropped ids."""
+    from deltalake_datafusion_spark.operators.dedup import semantic_dedup
+
+    c = _near_dup_corpus(spark, sf_dir)
+    out = semantic_dedup(c, vec_col="v", id_col="vec_id", k=16, threshold=0.99)
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_dup"), F.col("id"))), F.lit(0)
+            ).alias("dropped_id_sum"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# The oracle replays the deterministic SemDeDup re-expression exactly:
+# same corpus, same strict-left-fold cosine, same argmax tie-break
+# (ORDER BY cosine DESC, seed index ASC), same keep-first drop rule.
+_SEMANTIC_DEDUP_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END)
+  FROM base WHERE vec_id % 7 = 0
+), seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS seed_idx, v AS sv
+  FROM corpus ORDER BY vec_id LIMIT 16
+), scored AS (
+  SELECT c.vec_id, c.v, s.seed_idx,
+    list_reduce(list_transform(list_zip(c.v, s.sv), p -> p[1] * p[2]), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(c.v, e -> e * e), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(s.sv, e -> e * e), (x, y) -> x + y)))
+      AS cosine
+  FROM corpus c CROSS JOIN seeds s
+), assigned AS (
+  SELECT vec_id, v, seed_idx AS cluster FROM (
+    SELECT vec_id, v, seed_idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, seed_idx ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT y.vec_id FROM assigned x JOIN assigned y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE
+    list_reduce(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]), (s, t) -> s + t)
+      / (sqrt(list_reduce(list_transform(x.v, e -> e * e), (s, t) -> s + t))
+         * sqrt(list_reduce(list_transform(y.v, e -> e * e), (s, t) -> s + t)))
+      >= 0.99
+)
+SELECT a.cluster, COUNT(*) AS n_members,
+       CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dups,
+       CAST(COALESCE(SUM(CASE WHEN d.vec_id IS NOT NULL THEN a.vec_id END), 0)
+         AS BIGINT) AS dropped_id_sum
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+GROUP BY a.cluster ORDER BY a.cluster
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_asof_join", q_asof_join, _ASOF_SQL),
@@ -240,4 +313,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("q_gapfill_rollup", q_gapfill_rollup, _GAPFILL_SQL),
         QuerySpec("dedup_embedding", dedup_embedding, _DEDUP_EMB_SQL),
         QuerySpec("dedup_embedding_lsh", dedup_embedding_lsh, _DEDUP_EMB_SQL),
+        QuerySpec(
+            "pipe_semantic_dedup", pipe_semantic_dedup, _SEMANTIC_DEDUP_SQL
+        ),
     ]

@@ -662,3 +662,39 @@ def test_incremental_minhash_dedup_store(spark, tmp_path):
     assert stored == [1, 2, 11, 21]
     n_bands = read_delta(spark, store + "/bands").count()
     assert n_bands == 4 * 32  # bands rows per surviving doc
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark):
+    """SemDeDup: planted near-copies (cosine ≈ 0.999 to their source)
+    are dropped, everything else survives; the max_cluster guard
+    fails fast instead of exploding the pair stage."""
+    import numpy as np
+    import pytest
+
+    from deltalake_datafusion_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 16)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    # plant copies of every 10th vector with a tiny perturbation
+    for i in range(0, 60, 10):
+        v = base[i].copy()
+        v[0] += 0.01
+        rows.append((1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    out = semantic_dedup(
+        df, vec_col="v", id_col="vec_id", k=8, threshold=0.99
+    ).collect()
+    dropped = {r.id for r in out if r.is_dup}
+    assert dropped == {1000 + i for i in range(0, 60, 10)}
+    # copies land in their source's cluster
+    cl = {r.id: r.cluster for r in out}
+    assert all(cl[1000 + i] == cl[i] for i in range(0, 60, 10))
+
+    with pytest.raises(ValueError, match="max_cluster"):
+        semantic_dedup(
+            df, vec_col="v", id_col="vec_id", k=1, threshold=0.99,
+            max_cluster=10,
+        )
