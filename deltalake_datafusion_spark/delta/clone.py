@@ -129,6 +129,7 @@ def clone_delta(
         str(uuid.uuid4()),
         snap.metadata.name,
     )
+    md["metaData"]["description"] = snap.metadata.description
     if not shallow:
         # Deep clone: copy every data file (and DV file) src→dst — on
         # the EXECUTORS for local paths (one foreachPartition over the

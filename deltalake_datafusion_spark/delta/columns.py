@@ -43,6 +43,9 @@ def _commit_schema(spark, snap, schema, partition_columns, configuration,
         snap.metadata.name,
     )
     md["metaData"]["createdTime"] = snap.metadata.created_time
+    md["metaData"]["description"] = (
+        snap.metadata.description
+    )
     actions.append(md)
     commit(
         snap.table_path, snap.version + 1, actions, op, spark=spark,
@@ -315,6 +318,9 @@ def alter_column_type(
             snap.metadata.name,
         )
         md_action["metaData"]["createdTime"] = snap.metadata.created_time
+        md_action["metaData"]["description"] = (
+            snap.metadata.description
+        )
         actions.append(md_action)
         try:
             commit(

@@ -26,6 +26,7 @@ DETAIL_SCHEMA = StructType(
         StructField("format", StringType(), False),
         StructField("id", StringType(), True),
         StructField("name", StringType(), True),
+        StructField("description", StringType(), True),
         StructField("location", StringType(), False),
         StructField("createdAt", TimestampType(), True),
         StructField("partitionColumns", ArrayType(StringType()), False),
@@ -62,6 +63,7 @@ def describe_detail(spark, table_path: str) -> DataFrame:
         "delta",
         md.id,
         md.name,
+        md.description,
         snap.table_path,
         created,
         list(snap.partition_columns),
@@ -132,6 +134,9 @@ def show_create_table(spark, table_path: str) -> DataFrame:
             parts.append(f"DEFAULT {md['CURRENT_DEFAULT']}")
         if not f.nullable:
             parts.append("NOT NULL")
+        if "comment" in md:
+            esc = str(md["comment"]).replace("'", "''")
+            parts.append(f"COMMENT '{esc}'")
         cols.append(" ".join(parts))
     lines = [
         f"CREATE TABLE delta.`{snap.table_path}` (",
@@ -139,6 +144,9 @@ def show_create_table(spark, table_path: str) -> DataFrame:
         ")",
         "USING DELTA",
     ]
+    if snap.metadata.description is not None:
+        esc = snap.metadata.description.replace("'", "''")
+        lines.append(f"COMMENT '{esc}'")
     cluster = clustering_columns(snap)
     if snap.partition_columns:
         quoted = ", ".join(f"`{p}`" for p in snap.partition_columns)

@@ -258,6 +258,9 @@ def drop_feature(
                 snap.metadata.id, snap.metadata.name,
             )
             md["metaData"]["createdTime"] = snap.metadata.created_time
+            md["metaData"]["description"] = (
+                snap.metadata.description
+            )
             actions.append(md)
 
         truncated = {"commits_deleted": 0, "checkpoints_deleted": 0}

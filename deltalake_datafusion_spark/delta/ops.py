@@ -988,6 +988,9 @@ def _merge_attempt(
                 snap.metadata.name,
             )
             md_action["metaData"]["createdTime"] = snap.metadata.created_time
+            md_action["metaData"]["description"] = (
+                snap.metadata.description
+            )
     rt_mat = _materialized_row_id_col(snap)
     rt_ver = _materialized_row_ver_col(snap)
     target = _scan_with_rowmeta(
@@ -1454,6 +1457,9 @@ def _merge_attempt(
                     )
                     md_action["metaData"]["createdTime"] = (
                         snap.metadata.created_time
+                    )
+                    md_action["metaData"]["description"] = (
+                        snap.metadata.description
                     )
                     actions.insert(0, md_action)
 
@@ -2300,6 +2306,9 @@ def _commit_configuration(
         snap.metadata.name,
     )
     md["metaData"]["createdTime"] = snap.metadata.created_time
+    md["metaData"]["description"] = (
+        snap.metadata.description
+    )
     actions.append(md)
     version = snap.version + 1
     commit(snap.table_path, version, actions, op, spark)

@@ -163,6 +163,9 @@ def set_tblproperties(
             snap.metadata.name,
         )
         md["metaData"]["createdTime"] = snap.metadata.created_time
+        md["metaData"]["description"] = (
+            snap.metadata.description
+        )
         actions.append(md)
         try:
             commit(
@@ -239,6 +242,9 @@ def set_column_default(
             snap.metadata.name,
         )
         md_action["metaData"]["createdTime"] = snap.metadata.created_time
+        md_action["metaData"]["description"] = (
+            snap.metadata.description
+        )
         actions.append(md_action)
         try:
             commit(
@@ -250,6 +256,73 @@ def set_column_default(
                 configuration=snap.metadata.configuration,
             )
             return {"version": snap.version + 1, "column": column}
+        except ConcurrentWriteError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def comment_on(
+    spark,
+    table_path: str,
+    comment: str | None,
+    column: str | None = None,
+    max_attempts: int = 5,
+) -> dict:
+    """COMMENT ON TABLE t IS 'text' / COMMENT ON COLUMN t.c IS 'text'
+    (IS NULL clears). Table comments live in ``metaData.description``,
+    column comments in the field's ``comment`` metadata — both the
+    delta-spark conventions; one metadata-only commit."""
+    from pyspark.sql.types import StructField, StructType
+
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        snap = load_snapshot(table_path, spark=spark)
+        schema = snap.schema
+        description = snap.metadata.description
+        if column is None:
+            description = comment
+        else:
+            if column not in schema.fieldNames():
+                raise KeyError(
+                    f"column {column!r} not in table schema "
+                    f"{schema.fieldNames()}"
+                )
+            fields = []
+            for f in schema.fields:
+                if f.name != column:
+                    fields.append(f)
+                    continue
+                md = dict(f.metadata or {})
+                if comment is None:
+                    md.pop("comment", None)
+                else:
+                    md["comment"] = comment
+                fields.append(
+                    StructField(f.name, f.dataType, f.nullable, md)
+                )
+            schema = StructType(fields)
+        md_action = _metadata_action(
+            schema,
+            snap.partition_columns,
+            dict(snap.metadata.configuration),
+            snap.metadata.id,
+            snap.metadata.name,
+        )
+        md_action["metaData"]["createdTime"] = snap.metadata.created_time
+        md_action["metaData"]["description"] = description
+        try:
+            commit(
+                snap.table_path,
+                snap.version + 1,
+                [md_action],
+                "COMMENT ON",
+                spark=spark,
+                configuration=snap.metadata.configuration,
+            )
+            return {
+                "version": snap.version + 1,
+                "target": column or "table",
+            }
         except ConcurrentWriteError as e:
             last = e
     raise last  # type: ignore[misc]
@@ -324,6 +397,9 @@ def sync_identity(
             snap.metadata.name,
         )
         md_action["metaData"]["createdTime"] = snap.metadata.created_time
+        md_action["metaData"]["description"] = (
+            snap.metadata.description
+        )
         try:
             commit(
                 snap.table_path,
@@ -371,6 +447,9 @@ def unset_tblproperties(
             snap.metadata.name,
         )
         md["metaData"]["createdTime"] = snap.metadata.created_time
+        md["metaData"]["description"] = (
+            snap.metadata.description
+        )
         try:
             commit(
                 snap.table_path,

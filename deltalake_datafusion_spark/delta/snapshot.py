@@ -93,6 +93,7 @@ class Metadata:
     configuration: dict[str, str]
     name: str | None = None
     created_time: int | None = None
+    description: str | None = None
 
     @property
     def schema(self) -> StructType:
@@ -362,6 +363,7 @@ def _apply_actions(actions, state: _ReplayState, with_files: bool) -> None:
                 configuration=dict(md.get("configuration") or {}),
                 name=md.get("name"),
                 created_time=md.get("createdTime"),
+                description=md.get("description"),
             )
         elif "protocol" in a and a["protocol"]:
             pr = a["protocol"]

@@ -939,7 +939,7 @@ def clustering_columns(snapshot) -> list[str]:
 def _replace_table_empty(
     spark, existing, schema: StructType, partition_by: list[str],
     configuration: dict[str, str], name: str | None,
-    cluster_by: list[str],
+    cluster_by: list[str], description: str | None = None,
 ) -> "Snapshot":
     """CREATE OR REPLACE TABLE (no AS SELECT): one commit that removes
     every live file and installs brand-new metadata under the same
@@ -971,6 +971,7 @@ def _replace_table_empty(
             current.metadata.id, name or current.metadata.name,
         )
         md["metaData"]["createdTime"] = current.metadata.created_time
+        md["metaData"]["description"] = description
         actions.append(md)
         for dom in current.domain_metadata:
             if dom == "delta.rowTracking" or (
@@ -1030,6 +1031,7 @@ def create_delta_table(
     cluster_by: list[str] | None = None,
     or_replace: bool = False,
     if_not_exists: bool = False,
+    description: str | None = None,
 ) -> Snapshot:
     """CREATE TABLE: an empty Delta table from an explicit schema —
     the only way to declare identity columns (which must exist before
@@ -1074,7 +1076,7 @@ def create_delta_table(
             raise DeltaWriteError(f"table already exists at {table_path}")
         return _replace_table_empty(
             spark, existing, schema, partition_by, configuration, name,
-            cluster_by,
+            cluster_by, description,
         )
     proto = _creation_protocol(False, configuration, schema)
     if cluster_by:
@@ -1090,12 +1092,11 @@ def create_delta_table(
         )
         if up is not None:
             proto = up
-    actions = [
-        proto,
-        _metadata_action(
-            schema, partition_by, configuration, str(uuid.uuid4()), name
-        ),
-    ]
+    md = _metadata_action(
+        schema, partition_by, configuration, str(uuid.uuid4()), name
+    )
+    md["metaData"]["description"] = description
+    actions = [proto, md]
     if cluster_by:
         actions.append(clustering_domain_action(schema, cluster_by))
     commit(
@@ -1576,6 +1577,9 @@ def write_delta(
                 current.metadata.name,
             )
             md["metaData"]["createdTime"] = current.metadata.created_time
+            md["metaData"]["description"] = (
+                current.metadata.description
+            )
             actions.append(md)
         removes: list[dict] = []
         rw_actions: list[dict] = []
@@ -1875,6 +1879,7 @@ def write_checkpoint(spark, snapshot: Snapshot) -> str:
             "metaData": {
                 "id": snapshot.metadata.id,
                 "name": snapshot.metadata.name,
+                "description": snapshot.metadata.description,
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": snapshot.metadata.schema_string,
                 "partitionColumns": snapshot.metadata.partition_columns,
@@ -2079,6 +2084,7 @@ def write_checkpoint_spark(
             "metaData": {
                 "id": snap.metadata.id,
                 "name": snap.metadata.name,
+                "description": snap.metadata.description,
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": snap.metadata.schema_string,
                 "partitionColumns": snap.metadata.partition_columns,
@@ -2244,6 +2250,7 @@ def write_checkpoint_v2(
             "metaData": {
                 "id": snap.metadata.id,
                 "name": snap.metadata.name,
+                "description": snap.metadata.description,
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": snap.metadata.schema_string,
                 "partitionColumns": snap.metadata.partition_columns,

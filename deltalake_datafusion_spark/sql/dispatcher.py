@@ -213,8 +213,16 @@ _REORG_RE = re.compile(
 )
 _DESCRIBE_RE = re.compile(
     r"^\s*DESCRIBE\s+(?P<what>DETAIL|HISTORY)\s+"
-    r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)\s*;?\s*$",
+    r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
     re.IGNORECASE,
+)
+_COMMENT_RE = re.compile(
+    r"^\s*COMMENT\s+ON\s+(?:(?P<tbl>TABLE)|COLUMN)\s+"
+    r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+?)"
+    r"(?(tbl)|\.(?P<col>\w+|`[^`]+`))"
+    r"\s+IS\s+(?:'(?P<text>(?:[^']|'')*)'|(?P<null>NULL))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
@@ -751,7 +759,27 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             return describe_detail(spark, target)
         from deltalake_datafusion_spark.delta.clone import history_df
 
-        return history_df(spark, target)
+        out = history_df(spark, target)
+        if m.group("limit"):
+            # history is newest-first; LIMIT n = the n most recent
+            out = out.limit(int(m.group("limit")))
+        return out
+
+    m = _COMMENT_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.properties import comment_on
+
+        res = comment_on(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            None
+            if m.group("null")
+            else m.group("text").replace("''", "'"),
+            column=(m.group("col") or "").strip("`") or None,
+        )
+        return spark.createDataFrame(
+            [tuple(res.values())], list(res.keys())
+        )
 
     m = _INSERT_RE.match(statement)
     if m:

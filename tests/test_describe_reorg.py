@@ -311,3 +311,72 @@ def test_show_partitions(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="non-partitioned"):
         sql(spark, f"SHOW PARTITIONS '{path2}'")
+
+
+def test_comments_table_and_column(spark, tmp_path):
+    """COMMENT ON TABLE/COLUMN, column COMMENT in CREATE DDL, table
+    COMMENT clause, DESCRIBE DETAIL description, SHOW CREATE TABLE
+    round-trip — all the delta-spark comment surfaces."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "cmt")
+    sql(
+        spark,
+        f"CREATE TABLE '{path}' ("
+        "id BIGINT NOT NULL COMMENT 'primary key', "
+        "v DOUBLE COMMENT 'it''s a value'"
+        ") USING DELTA COMMENT 'my table'",
+    )
+    snap = load_snapshot(path)
+    assert snap.metadata.description == "my table"
+    assert snap.schema["id"].metadata["comment"] == "primary key"
+    assert snap.schema["v"].metadata["comment"] == "it's a value"
+
+    sql(spark, f"COMMENT ON TABLE '{path}' IS 'renamed purpose'")
+    sql(spark, f"COMMENT ON COLUMN '{path}'.v IS 'volts'")
+    snap = load_snapshot(path)
+    assert snap.metadata.description == "renamed purpose"
+    assert snap.schema["v"].metadata["comment"] == "volts"
+
+    detail = sql(spark, f"DESCRIBE DETAIL '{path}'").collect()[0]
+    assert detail.description == "renamed purpose"
+
+    # comments survive unrelated metadata commits
+    sql(spark, f"ALTER TABLE '{path}' SET TBLPROPERTIES ('k' = 'v')")
+    snap = load_snapshot(path)
+    assert snap.metadata.description == "renamed purpose"
+    assert snap.schema["id"].metadata["comment"] == "primary key"
+
+    # SHOW CREATE TABLE renders both and round-trips
+    stmt = sql(spark, f"SHOW CREATE TABLE '{path}'").collect()[0][0]
+    assert "COMMENT 'renamed purpose'" in stmt
+    assert "COMMENT 'primary key'" in stmt
+    path2 = str(tmp_path / "cmt2")
+    sql(spark, stmt.replace(path, path2))
+    snap2 = load_snapshot(path2)
+    assert snap2.metadata.description == "renamed purpose"
+    assert snap2.schema["v"].metadata["comment"] == "volts"
+
+    # IS NULL clears
+    sql(spark, f"COMMENT ON TABLE '{path}' IS NULL")
+    assert load_snapshot(path).metadata.description is None
+
+    # a REPLACE installs the new definition's (absent) comment
+    sql(spark, f"COMMENT ON TABLE '{path}' IS 'pre-replace'")
+    sql(spark, f"CREATE OR REPLACE TABLE '{path}' (z BIGINT) USING DELTA")
+    assert load_snapshot(path).metadata.description is None
+
+
+def test_describe_history_limit(spark, tmp_path):
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "histlim")
+    write_delta(spark, spark.range(3).select("id"), path)
+    for i in range(4):
+        write_delta(
+            spark, spark.range(2).select("id"), path, mode="append"
+        )
+    rows = sql(spark, f"DESCRIBE HISTORY '{path}' LIMIT 2").collect()
+    assert len(rows) == 2
+    assert [r.version for r in rows] == [4, 3]  # newest first
