@@ -107,33 +107,61 @@ def _references_of(snap, column: str) -> list[str]:
 
 
 def add_columns(
-    spark, table_path: str, columns: list[tuple[str, str]],
+    spark, table_path: str, columns: list[tuple],
     max_attempts: int = 5,
 ) -> dict:
-    """``ALTER TABLE … ADD COLUMNS (name type, …)``. Appends nullable
-    fields; metadata-only."""
-    from pyspark.sql.types import StructField, _parse_datatype_string
+    """``ALTER TABLE … ADD COLUMNS (name type [FIRST | AFTER c], …)``.
+    Appends nullable fields; metadata-only. Each entry is
+    ``(name, type)`` or ``(name, type, position)`` with position
+    ``"first"`` / ``("after", ref)`` — schema ORDER is pure metadata
+    (files resolve columns by name/physical name), so positioning
+    costs nothing (delta-spark rule: positioned adds don't touch
+    data)."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
+    norm = [
+        (c[0], c[1], c[2] if len(c) > 2 else None) for c in columns
+    ]
     last: Exception | None = None
     for _ in range(max_attempts):
         snap = load_snapshot(table_path, spark=spark)
         names = set(snap.schema.fieldNames())
-        dupes = [c for c, _ in columns if c in names]
+        dupes = [c for c, _, _ in norm if c in names]
         if dupes:
             raise DeltaWriteError(f"column(s) already exist: {dupes}")
         new_fields = [
             StructField(c, _parse_datatype_string(t), True)
-            for c, t in columns
+            for c, t, _ in norm
         ]
         schema, conf, changed = merge_schema_fields(snap, new_fields)
         if not changed:
             return {"version": snap.version, "added": []}
+        fields = list(schema.fields)
+        for cname, _t, pos in norm:
+            if pos is None:
+                continue
+            f = next(x for x in fields if x.name == cname)
+            fields.remove(f)
+            if pos == "first":
+                fields.insert(0, f)
+            else:
+                ref = pos[1]
+                idx = next(
+                    (i for i, x in enumerate(fields) if x.name == ref),
+                    None,
+                )
+                if idx is None:
+                    raise DeltaWriteError(
+                        f"AFTER column {ref!r} not in table schema"
+                    )
+                fields.insert(idx + 1, f)
+        schema = StructType(fields)
         try:
             v = _commit_schema(
                 spark, snap, schema, snap.partition_columns, conf,
                 "ADD COLUMNS",
             )
-            return {"version": v, "added": [c for c, _ in columns]}
+            return {"version": v, "added": [c for c, _, _ in norm]}
         except ConcurrentWriteError as e:
             last = e
     raise last  # type: ignore[misc]

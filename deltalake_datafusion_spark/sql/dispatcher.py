@@ -100,6 +100,13 @@ _DELETE_RE = re.compile(
     r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_LIKE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS\s+)?)"
+    r"(?P<target>'[^']+'|delta\.`[^`]+`)"
+    r"\s+LIKE\s+(?P<src>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"(?:\s+USING\s+DELTA)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"\s*;?\s*$",
@@ -429,6 +436,52 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         )
         return spark.createDataFrame(
             [tuple(res.values())], list(res.keys())
+        )
+
+    m = _CREATE_LIKE_RE.match(statement)
+    if m:
+        # CREATE TABLE dst LIKE src: empty table with src's logical
+        # schema, partitioning, and user properties. Engine-managed
+        # identity state (mapping ids, identity high-water marks) does
+        # NOT carry over — the new table starts fresh.
+        from pyspark.sql.types import StructField, StructType
+
+        from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+        from deltalake_datafusion_spark.delta.writer import (
+            create_delta_table,
+        )
+
+        src = load_snapshot(
+            _unquote_target(m.group("src"), registry), spark=spark,
+            with_files=False,
+        )
+        fields = []
+        for f in src.schema.fields:
+            md = {
+                k: v
+                for k, v in (f.metadata or {}).items()
+                if not k.startswith("delta.columnMapping.")
+                and k != "delta.identity.highWaterMark"
+            }
+            fields.append(StructField(f.name, f.dataType, f.nullable, md))
+        conf = {
+            k: v
+            for k, v in src.metadata.configuration.items()
+            if not k.startswith(
+                ("delta.columnMapping.", "delta.rowTracking.materialized")
+            )
+        }
+        snap = create_delta_table(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            StructType(fields),
+            partition_by=list(src.partition_columns),
+            configuration=conf,
+            if_not_exists=bool(m.group("ine")),
+        )
+        return spark.createDataFrame(
+            [(snap.table_path, snap.version)],
+            "location string, version long",
         )
 
     m = _TRUNCATE_RE.match(statement)
@@ -823,7 +876,22 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             bits = part.strip().split(None, 1)
             if len(bits) != 2:
                 raise ValueError(f"bad column spec {part.strip()!r}")
-            cols.append((bits[0].strip("`"), bits[1]))
+            spec = bits[1]
+            pos = None
+            pm = re.search(
+                r"\s+(?:(?P<first>FIRST)|AFTER\s+(?P<after>\w+|`[^`]+`))"
+                r"\s*$",
+                spec,
+                re.IGNORECASE,
+            )
+            if pm:
+                pos = (
+                    "first"
+                    if pm.group("first")
+                    else ("after", pm.group("after").strip("`"))
+                )
+                spec = spec[: pm.start()]
+            cols.append((bits[0].strip("`"), spec, pos))
         res = add_columns(
             spark, _unquote_target(m.group("target"), registry), cols
         )

@@ -91,6 +91,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        # delta-spark 2.4+ (supersedes ignoreChanges): commits that
+        # delete or rewrite existing rows are skipped ENTIRELY — their
+        # adds are not re-emitted, so downstream never sees duplicates
+        self.skip_change_commits = (
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
         self.max_bytes = int(
             options.get("maxbytesperpartition", 128 * 1024 * 1024)
         )
@@ -197,6 +203,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                     adds.append(a["add"])
                 if a.get("remove") and a["remove"].get("dataChange", True):
                     removed = True
+            if removed and self.skip_change_commits:
+                continue  # the whole change commit is invisible
             if removed and not (self.ignore_deletes or self.ignore_changes):
                 raise DeltaStreamSourceError(
                     f"commit {v} removed data files; a Delta streaming "
@@ -325,6 +333,7 @@ def read_delta_stream(
     ignore_deletes: bool = False,
     ignore_changes: bool = False,
     starting_timestamp: int | str | None = None,
+    skip_change_commits: bool = False,
 ):
     """Convenience: streaming DataFrame over a Delta table's appends.
 
@@ -344,6 +353,7 @@ def read_delta_stream(
         .option("path", table_path)
         .option("ignoreDeletes", str(ignore_deletes).lower())
         .option("ignoreChanges", str(ignore_changes).lower())
+        .option("skipChangeCommits", str(skip_change_commits).lower())
     )
     if starting_timestamp is not None:
         reader = reader.option("startingTimestamp", str(starting_timestamp))

@@ -311,3 +311,55 @@ def test_rename_drop_blocked_by_generated_and_stats_refs(spark, tmp_path):
     # the generated column itself renames fine (expression unchanged)
     rename_column(spark, path, "event_date", "event_day")
     assert "event_day" in load_snapshot(path, spark=spark).schema.fieldNames()
+
+
+def test_add_column_first_and_after(spark, tmp_path):
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "pos")
+    write_delta(
+        spark,
+        spark.range(5).select("id", (F.col("id") * 2).alias("v")),
+        path,
+    )
+    sql(
+        spark,
+        f"ALTER TABLE '{path}' ADD COLUMNS "
+        "(lead STRING FIRST, mid DOUBLE AFTER id, tail BIGINT)",
+    )
+    snap = load_snapshot(path)
+    assert snap.schema.fieldNames() == ["lead", "id", "mid", "v", "tail"]
+    # existing rows backfill null in every position; appends work
+    rows = read_delta(spark, path).orderBy("id").collect()
+    assert rows[0].lead is None and rows[0].mid is None
+    assert [r.id for r in rows] == list(range(5))
+    with pytest.raises(Exception, match="AFTER column"):
+        sql(
+            spark,
+            f"ALTER TABLE '{path}' ADD COLUMNS (x LONG AFTER nope)",
+        )
+
+
+def test_create_table_like(spark, tmp_path):
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    src = str(tmp_path / "likesrc")
+    dst = str(tmp_path / "likedst")
+    write_delta(
+        spark,
+        spark.range(10).select(
+            "id", (F.col("id") % 3).alias("g"), F.lit(1.0).alias("v")
+        ),
+        src,
+        partition_by=["g"],
+        configuration={"delta.appendOnly": "false", "custom.tag": "yes"},
+    )
+    sql(spark, f"CREATE TABLE '{dst}' LIKE '{src}' USING DELTA")
+    s = load_snapshot(dst)
+    assert s.schema.fieldNames() == ["id", "g", "v"]
+    assert s.partition_columns == ["g"]
+    assert s.metadata.configuration.get("custom.tag") == "yes"
+    assert read_delta(spark, dst).count() == 0
+    # IF NOT EXISTS: live table untouched
+    sql(spark, f"CREATE TABLE IF NOT EXISTS '{dst}' LIKE '{src}'")
+    assert load_snapshot(dst).version == s.version

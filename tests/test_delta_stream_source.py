@@ -235,3 +235,38 @@ def test_max_files_per_trigger_paces_offsets(spark, tmp_path):
         read_delta_stream(spark, path), "q_paced_files", "append"
     )
     assert out.count() == 40
+
+
+def test_skip_change_commits(spark, tmp_path):
+    """skipChangeCommits: delete/rewrite commits are invisible — their
+    adds are never re-emitted (no duplicates downstream)."""
+    from deltalake_datafusion_spark.delta.ops import delete_delta, update_delta
+
+    path = str(tmp_path / "skipcc")
+    write_delta(
+        spark,
+        spark.range(10).select("id", (F.col("id") * 1.0).alias("v")),
+        path,
+    )
+    delete_delta(spark, path, "id >= 8")       # change commit
+    update_delta(spark, path, {"v": "v + 1"}, "id = 0")  # change commit
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, 0.0)], "id long, v double"),
+        path,
+        mode="append",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        read_delta_stream(spark, path, skip_change_commits=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    # v0 appends + the final append; the delete and update commits
+    # contributed nothing (no re-emitted rewrites, no dropped rows)
+    assert got == list(range(10)) + [100]
