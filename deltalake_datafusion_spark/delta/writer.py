@@ -2001,25 +2001,34 @@ def _stats_struct_type(schema: StructType):
 
 
 def _with_stats_parsed(df, snapshot):
-    """When ``delta.checkpoint.writeStatsAsStruct`` is true, widen the
-    checkpoint's ``add`` struct with a typed ``stats_parsed`` column
-    parsed from the stats JSON — one ``from_json`` expression, no
-    extra pass (delta-spark's struct-stats checkpoint shape; readers
-    with typed-column pruning skip the per-file JSON parse)."""
+    """Checkpoint stats shaping (delta-spark properties):
+    ``delta.checkpoint.writeStatsAsStruct=true`` widens ``add`` with a
+    typed ``stats_parsed`` column parsed from the stats JSON — one
+    ``from_json`` expression, no extra pass (readers with typed-column
+    pruning skip the per-file JSON parse);
+    ``delta.checkpoint.writeStatsAsJson=false`` omits the JSON string
+    from the checkpoint (commits keep theirs — only the checkpoint
+    representation changes)."""
     conf = snapshot.metadata.configuration
-    if (
+    struct_on = (
         conf.get("delta.checkpoint.writeStatsAsStruct", "") or ""
-    ).lower() != "true":
+    ).lower() == "true"
+    json_off = (
+        conf.get("delta.checkpoint.writeStatsAsJson", "true") or "true"
+    ).lower() == "false"
+    if not struct_on and not json_off:
         return df
     from pyspark.sql import functions as F
 
-    st = _stats_struct_type(snapshot.schema)
-    return df.withColumn(
-        "add",
-        F.col("add").withField(
+    add = F.col("add")
+    if struct_on:
+        st = _stats_struct_type(snapshot.schema)
+        add = add.withField(
             "stats_parsed", F.from_json(F.col("add.stats"), st)
-        ),
-    )
+        )
+    if json_off:
+        add = add.withField("stats", F.lit(None).cast("string"))
+    return df.withColumn("add", add)
 
 
 def write_checkpoint_spark(

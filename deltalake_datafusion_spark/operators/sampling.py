@@ -228,3 +228,42 @@ def domain_mixture(
         )
         .orderBy(domain_col)
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data
+    export: every row gets a shard (uniform, md5-derived) and a
+    0-based position within its shard (ascending md5 order — the
+    "random" read order). Same (shard, pos) for the same (id, seed)
+    on ANY engine with md5, so shuffles are reproducible across reruns
+    and the DuckDB oracle replays them exactly.
+
+    Scale shape: shard assignment is pure codegen; the position is one
+    ``row_number`` window per shard — a single hash shuffle on the
+    shard key, each shard sorted independently (no global sort, no
+    driver state). Downstream writers use
+    ``.repartition("shard").write.partitionBy("shard")`` to land one
+    file set per shard.
+    """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % num_shards
+    )
+    w = Window.partitionBy("shard").orderBy("__key")
+    return (
+        df.withColumn("__key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w) - F.lit(1))
+        .drop("__key")
+    )

@@ -1411,6 +1411,52 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def pipe_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding (training-data export):
+    every document gets an md5-derived shard and a within-shard
+    position in md5 order. The per-shard audit includes an
+    ORDER-SENSITIVE checksum (sum of doc_id · (pos+1)) so the oracle
+    verifies the exact shuffle order, not just the membership."""
+    from deltalake_datafusion_spark.operators.sampling import shuffle_shards
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = shuffle_shards(
+        docs.select("doc_id", "n_chars"), "doc_id", num_shards=8, seed=3
+    )
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.col("doc_id") * (F.col("pos") + 1)).alias(
+                "order_checksum"
+            ),
+            F.max("pos").alias("max_pos"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SHARD_SHUFFLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || '#3') AS k,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#3'), 1, 8))
+              AS BIGINT) % 8 AS shard
+  FROM documents
+), positioned AS (
+  SELECT doc_id, shard,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k) - 1 AS pos
+  FROM keyed
+)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(doc_id * (pos + 1)) AS BIGINT) AS order_checksum,
+       CAST(MAX(pos) AS BIGINT) AS max_pos
+FROM positioned GROUP BY shard ORDER BY shard
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -1484,5 +1530,8 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec(
             "delta_drop_feature", delta_drop_feature, _DROP_FEATURE_SQL
+        ),
+        QuerySpec(
+            "pipe_shard_shuffle", pipe_shard_shuffle, _SHARD_SHUFFLE_SQL
         ),
     ]

@@ -171,3 +171,53 @@ def test_write_stats_as_struct(spark, tmp_path):
     kept = scan_files_spark(spark, path, predicate="id >= 500").collect()
     assert len(kept) >= 1
     assert read_delta(spark, path).count() == 105
+
+
+def test_write_stats_as_json_false(spark, tmp_path):
+    """delta.checkpoint.writeStatsAsJson=false + writeStatsAsStruct:
+    the checkpoint carries ONLY the typed struct; our replay folds it
+    back, so pruning and reads are unchanged even after the commit
+    JSONs expire."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.log_cleanup import (
+        cleanup_expired_logs,
+    )
+    from deltalake_datafusion_spark.delta.scan import (
+        scan_files,
+        scan_files_spark,
+    )
+    from deltalake_datafusion_spark.delta.writer import write_checkpoint
+
+    path = str(tmp_path / "jsonoff")
+    write_delta(
+        spark,
+        spark.range(50).select("id").repartition(2),
+        path,
+        configuration={
+            "delta.checkpoint.writeStatsAsStruct": "true",
+            "delta.checkpoint.writeStatsAsJson": "false",
+        },
+    )
+    cp = write_checkpoint(spark, load_snapshot(path))
+    adds = [
+        r["add"]
+        for r in papq.read_table(cp, columns=["add"]).to_pylist()
+        if r.get("add") and r["add"].get("path")
+    ]
+    assert adds and all(a["stats"] is None for a in adds)
+    assert all(a["stats_parsed"]["numRecords"] is not None for a in adds)
+    # expire the commit JSONs: the checkpoint is now the only source
+    cleanup_expired_logs(spark, path, retention_ms=0)
+    log = os.path.join(path, "_delta_log")
+    assert not [f for f in os.listdir(log) if f.endswith(".json")
+                and not f.startswith("_")]
+    snap = load_snapshot(path)
+    assert all(f.stats and _json.loads(f.stats)["numRecords"] for f in snap.files)
+    assert len(scan_files(snap, predicate="id < 0")) == 0  # pruning works
+    assert scan_files_spark(spark, path, "id < 0").count() == 0
+    assert read_delta(spark, path).count() == 50
