@@ -34,6 +34,9 @@ from deltalake_datafusion_spark.delta.writer import (
 
 def _commit_schema(spark, snap, schema, partition_columns, configuration,
                    op: str) -> int:
+    from deltalake_datafusion_spark.delta.writer import check_writable
+
+    check_writable(snap)
     actions = []
     md = _metadata_action(
         schema,

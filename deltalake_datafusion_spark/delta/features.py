@@ -41,14 +41,11 @@ from deltalake_datafusion_spark.delta.writer import (
 )
 
 # every feature name this engine can mint — the universe for both
-# DROP FEATURE validation and delta.feature.* enablement
-KNOWN_FEATURES = {
-    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
-    "generatedColumns", "columnMapping", "identityColumns",
-    "deletionVectors", "rowTracking", "domainMetadata", "clustering",
-    "v2Checkpoint", "inCommitTimestamp", "typeWidening",
-    "allowColumnDefaults", "vacuumProtocolCheck", "timestampNtz",
-}
+# DROP FEATURE validation and delta.feature.* enablement (the same set
+# the writability gate accepts: what we can mint, we can honor)
+from deltalake_datafusion_spark.delta.log_schema import (
+    SUPPORTED_WRITER_FEATURES as KNOWN_FEATURES,
+)
 
 
 def effective_writer_features(protocol) -> set[str]:

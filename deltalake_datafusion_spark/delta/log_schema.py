@@ -172,3 +172,18 @@ SUPPORTED_READER_FEATURES = {
     "typeWidening",
 }
 MAX_READER_VERSION = 3
+
+# Writer features this engine implements. A table whose protocol
+# demands anything outside this set is READABLE but not WRITABLE —
+# committing to it without honoring the unknown feature's invariants
+# would corrupt it for the engine that set it (delta-spark refuses the
+# same way). Checked by ``writer.check_writable`` on every write/DML/
+# DDL entry point.
+SUPPORTED_WRITER_FEATURES = {
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "generatedColumns", "columnMapping", "identityColumns",
+    "deletionVectors", "rowTracking", "domainMetadata", "clustering",
+    "v2Checkpoint", "inCommitTimestamp", "typeWidening",
+    "allowColumnDefaults", "vacuumProtocolCheck", "timestampNtz",
+}
+MAX_WRITER_VERSION = 7

@@ -43,6 +43,7 @@ from deltalake_datafusion_spark.delta.writer import (
     _dv_to_json,
     _now_ms,
     _url_encode_path,
+    check_writable,
     commit,
     maybe_checkpoint,
     physical_schema,
@@ -83,10 +84,13 @@ def _dml_snapshot(spark, table_path: str, predicate: str | None):
         > scanmod.SPARK_PLANNER_FILE_THRESHOLD
     ):
         snap = load_snapshot(table_path, spark=spark, with_files=False)
+        check_writable(snap)
         return snap, scanmod.collect_planned_files(
             spark, table_path, predicate
         )
-    return load_snapshot(table_path, spark=spark), None
+    snap = load_snapshot(table_path, spark=spark)
+    check_writable(snap)
+    return snap, None
 
 
 def _dml_finish(spark, table_path: str, distributed: bool):
@@ -1699,6 +1703,7 @@ def _optimize_attempt(
         > scanmod.SPARK_PLANNER_FILE_THRESHOLD
     )
     snap = load_snapshot(table_path, spark=spark, with_files=not distributed)
+    check_writable(snap)
     threshold = small_file_threshold or target_file_size // 2
     from deltalake_datafusion_spark.delta.writer import clustering_columns
 
@@ -2028,6 +2033,7 @@ def restore_delta(
 
         version = resolve_version_at_timestamp(table_path, timestamp_as_of, spark)
     current = load_snapshot(table_path, spark=spark)
+    check_writable(current)
     target = load_snapshot(table_path, version=version, spark=spark)
     cur_keys = {(f.path, f.dv_id): f for f in current.files}
     tgt_keys = {(f.path, f.dv_id): f for f in target.files}

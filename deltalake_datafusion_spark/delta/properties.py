@@ -56,9 +56,12 @@ def set_tblproperties(
             if not k.lower().startswith("delta.feature.")
         }
 
+    from deltalake_datafusion_spark.delta.writer import check_writable
+
     last: Exception | None = None
     for _ in range(max_attempts):
         snap = load_snapshot(table_path, spark=spark)
+        check_writable(snap)
         conf = dict(snap.metadata.configuration)
         conf.update({k: str(v) for k, v in props.items()})
         conf = ensure_row_tracking_conf(conf)

@@ -310,6 +310,35 @@ _READER_IMPACTING = {
 }
 
 
+def check_writable(snapshot) -> None:
+    """Refuse to commit to a table whose protocol demands writer
+    features this engine doesn't implement — writing while ignoring an
+    unknown feature's invariants would corrupt the table for the
+    engine that set it (delta-spark's writer-version gate). Reads are
+    unaffected (reader gating lives in the snapshot loader)."""
+    from deltalake_datafusion_spark.delta.log_schema import (
+        MAX_WRITER_VERSION,
+        SUPPORTED_WRITER_FEATURES,
+    )
+
+    p = snapshot.protocol
+    if p.min_writer_version > MAX_WRITER_VERSION:
+        raise DeltaWriteError(
+            f"table requires writer version {p.min_writer_version}, "
+            f"this engine supports ≤{MAX_WRITER_VERSION} — the table "
+            "stays readable, but writes are refused"
+        )
+    unsupported = sorted(
+        set(p.writer_features or []) - SUPPORTED_WRITER_FEATURES
+    )
+    if unsupported:
+        raise DeltaWriteError(
+            f"table requires writer features {unsupported} this engine "
+            "does not implement — writing would violate their "
+            "invariants; the table stays readable"
+        )
+
+
 def protocol_upgrade_action(protocol, needed_features: set[str]) -> dict | None:
     """Protocol action adding ``needed_features`` (None when the table
     already has them). Upgrading a legacy protocol re-expresses its
@@ -1187,6 +1216,7 @@ def write_delta(
 
     try:
         existing = load_snapshot(table_path, spark=spark)
+        check_writable(existing)
     except DeltaNotFoundError:
         existing = None
 

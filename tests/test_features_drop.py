@@ -273,3 +273,50 @@ def test_sync_identity_clears_hwm_on_empty_table(spark, tmp_path):
     assert identity_columns(load_snapshot(path).schema)["id"]["hwm"] is None
     with pytest.raises(DeltaWriteError, match="not an identity column"):
         sync_identity(spark, path, "v")
+
+
+def test_unknown_writer_feature_blocks_writes_not_reads(spark, tmp_path):
+    """A foreign table demanding a writer feature this engine doesn't
+    implement stays READABLE but every write/DML/DDL entry point
+    refuses — committing while ignoring the feature's invariants would
+    corrupt it (delta-spark's writer gate)."""
+    import json
+
+    from deltalake_datafusion_spark.delta.ops import (
+        delete_delta,
+        optimize_delta,
+        update_delta,
+    )
+
+    path = str(tmp_path / "foreign")
+    write_delta(spark, spark.range(10).select("id"), path)
+    # splice an unknown writer feature into the protocol
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["icebergCompatV9"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    assert read_delta(spark, path).count() == 10  # reads fine
+    with pytest.raises(DeltaWriteError, match="icebergCompatV9"):
+        write_delta(spark, spark.range(2).select("id"), path, mode="append")
+    with pytest.raises(DeltaWriteError, match="writer features"):
+        delete_delta(spark, path, "id = 1")
+    with pytest.raises(DeltaWriteError, match="writer features"):
+        update_delta(spark, path, {"id": "id + 1"}, "id = 2")
+    with pytest.raises(DeltaWriteError, match="writer features"):
+        optimize_delta(spark, path)
+    with pytest.raises(DeltaWriteError, match="writer features"):
+        set_tblproperties(spark, path, {"k": "v"})
+    from deltalake_datafusion_spark.delta.columns import add_columns
+
+    with pytest.raises(DeltaWriteError, match="writer features"):
+        add_columns(spark, path, [("z", "bigint")])
