@@ -851,6 +851,7 @@ def merge_delta(
     when_matched_condition: str | None = None,
     when_not_matched_insert: bool = True,
     when_not_matched_by_source_delete: bool = False,
+    when_not_matched_by_source_update: dict[str, str] | None = None,
     when_not_matched_by_source_condition: str | None = None,
     strict: bool = False,
     schema_evolution: bool = False,
@@ -883,6 +884,9 @@ def merge_delta(
                 when_not_matched_by_source_delete=(
                     when_not_matched_by_source_delete
                 ),
+                when_not_matched_by_source_update=(
+                    when_not_matched_by_source_update
+                ),
                 when_not_matched_by_source_condition=(
                     when_not_matched_by_source_condition
                 ),
@@ -905,6 +909,7 @@ def _merge_attempt(
     when_matched_condition: str | None = None,
     when_not_matched_insert: bool = True,
     when_not_matched_by_source_delete: bool = False,
+    when_not_matched_by_source_update: dict[str, str] | None = None,
     when_not_matched_by_source_condition: str | None = None,
     strict: bool = False,
     schema_evolution: bool = False,
@@ -1032,8 +1037,30 @@ def _merge_attempt(
             )
 
     touched_paths = matched.select("__file_path").distinct()
-    if when_not_matched_by_source_delete:
-        # the by-source clause can delete rows from ANY file
+    bs_active = when_not_matched_by_source_delete or (
+        when_not_matched_by_source_update is not None
+    )
+    if when_not_matched_by_source_delete and (
+        when_not_matched_by_source_update is not None
+    ):
+        raise ValueError(
+            "WHEN NOT MATCHED BY SOURCE: DELETE and UPDATE are exclusive"
+        )
+    if when_not_matched_by_source_update:
+        import re as _re0
+
+        bad = [
+            e
+            for e in when_not_matched_by_source_update.values()
+            if _re0.search(r"\bs\.", e)
+        ]
+        if bad:
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE UPDATE may reference target "
+                f"columns only (no s.*): {bad}"
+            )
+    if bs_active:
+        # a by-source clause can touch rows in ANY file
         touched = list(all_files)
     else:
         touched_files = [
@@ -1087,7 +1114,7 @@ def _merge_attempt(
     new_parts = []
     dv_enc = None
     if touched:
-        if when_not_matched_by_source_delete:
+        if bs_active:
             tf = target
         else:
             tf = target.join(touched_paths, "__file_path", "left_semi")
@@ -1126,7 +1153,7 @@ def _merge_attempt(
         else:
             clause_matched = is_matched
         bs_cond = None
-        if when_not_matched_by_source_delete:
+        if bs_active:
             bs_cond = (
                 F.expr(when_not_matched_by_source_condition)
                 if when_not_matched_by_source_condition
@@ -1145,7 +1172,7 @@ def _merge_attempt(
             )
             if bs_cond is not None:
                 to_clear = to_clear | (~is_matched & bs_cond)
-                if _cdf_on:
+                if _cdf_on and when_not_matched_by_source_delete:
                     cdc_parts.append(
                         joined.filter(~is_matched & bs_cond)
                         .select(*logical.fieldNames())
@@ -1183,6 +1210,41 @@ def _merge_attempt(
                 )
                 replacements = _regen(replacements, skip=set(rw))
                 new_parts.append(replacements)
+            if when_not_matched_by_source_update is not None:
+                # by-source UPDATE: the unmatched rows were soft-
+                # deleted above; write their updated copies (stable
+                # row id kept, commit version restamped)
+                bs_fire = ~is_matched & bs_cond
+                bs_repl = joined.filter(bs_fire).select(
+                    *[
+                        (
+                            F.expr(when_not_matched_by_source_update[c])
+                            if c in when_not_matched_by_source_update
+                            else F.col(c)
+                        ).alias(c)
+                        for c in logical.fieldNames()
+                    ],
+                    *([F.col("__old_row_id")] if rt_mat else []),
+                    *(
+                        [F.lit(None).cast("long").alias("__old_row_commit")]
+                        if rt_ver else []
+                    ),
+                )
+                bs_repl = _regen(
+                    bs_repl, skip=set(when_not_matched_by_source_update)
+                )
+                new_parts.append(bs_repl)
+                if _cdf_on:
+                    cdc_parts.append(
+                        joined.filter(bs_fire)
+                        .select(*logical.fieldNames())
+                        .withColumn(_CT, F.lit("update_preimage"))
+                    )
+                    cdc_parts.append(
+                        bs_repl.select(*logical.fieldNames()).withColumn(
+                            _CT, F.lit("update_postimage")
+                        )
+                    )
             if _cdf_on:
                 pre = joined.filter(clause_matched).select(
                     *logical.fieldNames()
@@ -1221,7 +1283,7 @@ def _merge_attempt(
                     ]
                 )
         if strategy != "dv":
-            if bs_cond is not None:
+            if bs_cond is not None and when_not_matched_by_source_delete:
                 if _cdf_on:
                     cdc_parts.append(
                         survivors.filter(~is_matched & bs_cond)
@@ -1229,6 +1291,36 @@ def _merge_attempt(
                         .withColumn(_CT, F.lit("delete"))
                     )
                 survivors = survivors.filter(is_matched | ~bs_cond)
+            elif when_not_matched_by_source_update is not None:
+                # by-source UPDATE (cow): simultaneous assignment over
+                # the OLD row, fired only on unmatched rows passing the
+                # condition
+                bs_fire = ~is_matched & F.coalesce(bs_cond, F.lit(False))
+                if _cdf_on:
+                    cdc_parts.append(
+                        survivors.filter(bs_fire)
+                        .select(*logical.fieldNames())
+                        .withColumn(_CT, F.lit("update_preimage"))
+                    )
+                bs_new = {
+                    col: F.when(bs_fire, F.expr(expr)).otherwise(F.col(col))
+                    for col, expr in when_not_matched_by_source_update.items()
+                }
+                survivors = survivors.select(
+                    *[
+                        bs_new[c].alias(c) if c in bs_new else F.col(c)
+                        for c in survivors.columns
+                    ]
+                )
+                survivors = _regen(
+                    survivors, skip=set(when_not_matched_by_source_update)
+                )
+                if _cdf_on:
+                    cdc_parts.append(
+                        survivors.filter(bs_fire)
+                        .select(*logical.fieldNames())
+                        .withColumn(_CT, F.lit("update_postimage"))
+                    )
             # Row tracking: pass-through rows keep id AND last-modified
             # version; clause-updated rows keep id, take this commit's
             # version (null materialized → file default)
@@ -1244,6 +1336,11 @@ def _merge_attempt(
                 if when_matched_update:
                     old_ver = F.when(
                         clause_matched, F.lit(None).cast("long")
+                    ).otherwise(old_ver)
+                if when_not_matched_by_source_update is not None:
+                    old_ver = F.when(
+                        ~is_matched & F.coalesce(bs_cond, F.lit(False)),
+                        F.lit(None).cast("long"),
                     ).otherwise(old_ver)
                 ver_cols = [old_ver.alias("__old_row_commit")]
             new_parts.append(

@@ -36,7 +36,7 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
         USING <view> [AS s] ON <cond>
         [WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE]
         [WHEN NOT MATCHED THEN INSERT *]
-        [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]
+        [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...]
     OPTIMIZE <target> [FULL] [WHERE <partition predicate>] [ZORDER BY (cols)]
     RESTORE TABLE <target> TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
     INSERT INTO|OVERWRITE <'path'|delta.`path`> [(cols)] [REPLACE WHERE pred] SELECT ... | VALUES ...
@@ -127,7 +127,8 @@ _MERGE_RE = re.compile(
     r"THEN\s+(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<mdel>DELETE)))?"
     r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*(?P<ins>))?"
     r"(?:\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+"
-    r"(?:AND\s+(?P<bscond>.+?)\s+)?THEN\s+(?P<bsdel>DELETE))?"
+    r"(?:AND\s+(?P<bscond>.+?)\s+)?THEN\s+"
+    r"(?:(?P<bsdel>DELETE)|UPDATE\s+SET\s+(?P<bssets>.+?)))?"
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -516,15 +517,20 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
 
     m = _MERGE_RE.match(statement)
     if m and (m.group("sets") or m.group("mdel") or m.group("ins") is not None
-              or m.group("bsdel")):
+              or m.group("bsdel") or m.group("bssets")):
         from deltalake_datafusion_spark.delta.ops import merge_delta
 
-        sets = None
-        if m.group("sets"):
-            sets = {}
-            for part in _split_top_level_commas(m.group("sets")):
+        def _parse_sets(text):
+            out = {}
+            for part in _split_top_level_commas(text):
                 col, _, expr = part.partition("=")
-                sets[col.strip().strip("`")] = expr.strip()
+                out[col.strip().strip("`")] = expr.strip()
+            return out
+
+        sets = _parse_sets(m.group("sets")) if m.group("sets") else None
+        bssets = (
+            _parse_sets(m.group("bssets")) if m.group("bssets") else None
+        )
         res = merge_delta(
             spark,
             _unquote_target(m.group("target"), registry),
@@ -537,6 +543,7 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             ),
             when_not_matched_insert=m.group("ins") is not None,
             when_not_matched_by_source_delete=bool(m.group("bsdel")),
+            when_not_matched_by_source_update=bssets,
             when_not_matched_by_source_condition=(
                 m.group("bscond").strip() if m.group("bscond") else None
             ),

@@ -1050,3 +1050,96 @@ def test_delete_like_prefix_metadata_only(spark, tmp_path, monkeypatch):
     assert res["rows_deleted"] == 50
     got = sorted(r["id"] for r in read_delta(spark, path).collect())
     assert got == list(range(100, 150))
+
+
+def test_merge_by_source_update_cow_and_dv(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN UPDATE SET (delta-spark): target
+    rows without a source match get the assignments (target-only
+    expressions), identical under both physical strategies."""
+    for strategy in ("cow", "dv"):
+        path = str(tmp_path / f"bsu_{strategy}")
+        write_delta(
+            spark,
+            spark.range(10).select(
+                "id", F.lit("live").alias("st"), (F.col("id") * 1.0).alias("v")
+            ),
+            path,
+        )
+        src = spark.createDataFrame(
+            [(3, "live", 30.0), (20, "live", 200.0)],
+            "id long, st string, v double",
+        )
+        merge_delta(
+            spark, path, src, "t.id = s.id",
+            when_matched_update={"v": "s.v"},
+            when_not_matched_by_source_update={
+                "st": "'stale'", "v": "v + 1000"
+            },
+            when_not_matched_by_source_condition="id >= 5",
+            strategy=strategy,
+        )
+        out = {r.id: (r.st, r.v) for r in read_delta(spark, path).collect()}
+        assert out[3] == ("live", 30.0)          # matched update
+        assert out[20] == ("live", 200.0)        # insert
+        assert out[7] == ("stale", 1007.0)       # by-source update
+        assert out[2] == ("live", 2.0)           # condition filtered
+        assert len(out) == 11
+
+
+def test_merge_by_source_update_cdc_and_validation(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.cdf import table_changes
+
+    path = str(tmp_path / "bsu_cdc")
+    write_delta(
+        spark,
+        spark.range(4).select("id", (F.col("id") * 1.0).alias("v")),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    src = spark.createDataFrame([(0, 99.0)], "id long, v double")
+    merge_delta(
+        spark, path, src, "t.id = s.id",
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"v": "v * -1"},
+    )
+    ch = table_changes(spark, path, 1).collect()
+    pre = {r.id: r.v for r in ch if r._change_type == "update_preimage"}
+    post = {r.id: r.v for r in ch if r._change_type == "update_postimage"}
+    assert pre == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
+    assert post == {0: 99.0, 1: -1.0, 2: -2.0, 3: -3.0}
+    # exclusivity + target-only validation
+    with pytest.raises(ValueError, match="exclusive"):
+        merge_delta(
+            spark, path, src, "t.id = s.id",
+            when_not_matched_by_source_delete=True,
+            when_not_matched_by_source_update={"v": "0"},
+        )
+    with pytest.raises(ValueError, match="target"):
+        merge_delta(
+            spark, path, src, "t.id = s.id",
+            when_not_matched_by_source_update={"v": "s.v"},
+        )
+
+
+def test_merge_by_source_update_sql(spark, tmp_path):
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "bsu_sql")
+    write_delta(
+        spark,
+        spark.range(6).select("id", F.lit(1).cast("long").alias("flag")),
+        path,
+    )
+    spark.createDataFrame(
+        [(2, 9)], "id long, flag long"
+    ).createOrReplaceTempView("bsu_src")
+    sql(
+        spark,
+        f"MERGE INTO '{path}' AS t USING bsu_src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET flag = s.flag "
+        "WHEN NOT MATCHED BY SOURCE AND id > 3 THEN UPDATE SET "
+        "flag = CAST(0 AS BIGINT)",
+    )
+    out = {r.id: r.flag for r in read_delta(spark, path).collect()}
+    assert out == {0: 1, 1: 1, 2: 9, 3: 1, 4: 0, 5: 0}
