@@ -451,3 +451,40 @@ def test_incremental_dedup_plan_is_banded(spark, tmp_path):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
     assert surv2.count() == 10
+
+
+def test_shuffle_shards_single_exchange(spark, sf_dir):
+    """Scale guard: the deterministic shuffle costs ONE hash exchange
+    (shard key); shard assignment and the md5 key are pure codegen —
+    no global sort, no Python."""
+    from deltalake_datafusion_spark.operators.sampling import shuffle_shards
+
+    t = load_tables(spark, sf_dir, "documents")
+    plan = _plan(
+        shuffle_shards(t["documents"].select("doc_id"), "doc_id", 8)
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_assignment_stage_no_shuffle(spark, sf_dir):
+    """Scale guard: SemDeDup's cluster assignment is one Arrow-batched
+    map over the corpus (broadcast seed matrix — NO exchange before
+    the assignment); the only shuffles are the within-cluster pair
+    join's, keyed on the cluster id."""
+    from deltalake_datafusion_spark.operators.dedup import semantic_dedup
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    corpus = t["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    out = semantic_dedup(corpus, vec_col="v", id_col="vec_id", k=8,
+                         threshold=0.99, max_cluster=None)
+    plan = _plan(out)
+    # the assignment UDF itself runs pre-shuffle: an ArrowEval node
+    # exists, and every Exchange in the plan is hash-partitioned on
+    # cluster/id join keys (no range partitioning / global sort)
+    assert "ArrowEvalPython" in plan
+    assert "Exchange rangepartitioning" not in plan
