@@ -850,6 +850,8 @@ def merge_delta(
     when_matched_delete: bool = False,
     when_matched_condition: str | None = None,
     when_not_matched_insert: bool = True,
+    when_not_matched_condition: str | None = None,
+    when_not_matched_values: dict[str, str] | None = None,
     when_not_matched_by_source_delete: bool = False,
     when_not_matched_by_source_update: dict[str, str] | None = None,
     when_not_matched_by_source_condition: str | None = None,
@@ -881,6 +883,8 @@ def merge_delta(
                 when_matched_delete=when_matched_delete,
                 when_matched_condition=when_matched_condition,
                 when_not_matched_insert=when_not_matched_insert,
+                when_not_matched_condition=when_not_matched_condition,
+                when_not_matched_values=when_not_matched_values,
                 when_not_matched_by_source_delete=(
                     when_not_matched_by_source_delete
                 ),
@@ -908,6 +912,8 @@ def _merge_attempt(
     when_matched_delete: bool = False,
     when_matched_condition: str | None = None,
     when_not_matched_insert: bool = True,
+    when_not_matched_condition: str | None = None,
+    when_not_matched_values: dict[str, str] | None = None,
     when_not_matched_by_source_delete: bool = False,
     when_not_matched_by_source_update: dict[str, str] | None = None,
     when_not_matched_by_source_condition: str | None = None,
@@ -1374,23 +1380,57 @@ def _merge_attempt(
 
     _ident_assigned: dict[str, int] = {}
     if when_not_matched_insert:
+        import re as _re2
+
         anti = s.join(t, cond, "left_anti")
-        inserts = anti.select(
-            *[
-                (F.col(c) if c in source.columns else F.lit(None))
-                .cast(logical[c].dataType)
-                .alias(c)
-                for c in logical.fieldNames()
-            ]
-        )
-        # generated columns absent from the source are computed, not
-        # inserted as null; source-SUPPLIED values are validated
-        # against the expression (Delta writer semantics — an
-        # inconsistent stored value would poison generated-column
-        # partition pruning)
-        inserts = _regen(inserts, skip=set(source.columns))
+        # WHEN NOT MATCHED AND <cond>: source-column predicate narrows
+        # the inserted set; null condition = false (SQL 3VL)
+        if when_not_matched_condition:
+            nc = _re2.sub(
+                r"\bs\.(\w+)", r"\1", when_not_matched_condition
+            )
+            anti = anti.filter(F.coalesce(F.expr(nc), F.lit(False)))
+        if when_not_matched_values is not None:
+            # INSERT (cols) VALUES (exprs): explicit column mapping —
+            # expressions over s.*; unassigned columns take null (then
+            # defaults / generated / identity fill in below)
+            unknown = sorted(
+                set(when_not_matched_values) - set(logical.fieldNames())
+            )
+            if unknown:
+                raise ValueError(
+                    f"MERGE INSERT assigns unknown column(s) {unknown}"
+                )
+            vals = {
+                c: _re2.sub(r"\bs\.(\w+)", r"\1", e)
+                for c, e in when_not_matched_values.items()
+            }
+            inserts = anti.select(
+                *[
+                    (F.expr(vals[c]) if c in vals else F.lit(None))
+                    .cast(logical[c].dataType)
+                    .alias(c)
+                    for c in logical.fieldNames()
+                ]
+            )
+            supplied = set(vals)
+        else:
+            inserts = anti.select(
+                *[
+                    (F.col(c) if c in source.columns else F.lit(None))
+                    .cast(logical[c].dataType)
+                    .alias(c)
+                    for c in logical.fieldNames()
+                ]
+            )
+            supplied = set(source.columns)
+        # generated columns not explicitly assigned are computed, not
+        # inserted as null; SUPPLIED values are validated against the
+        # expression (Delta writer semantics — an inconsistent stored
+        # value would poison generated-column partition pruning)
+        inserts = _regen(inserts, skip=supplied)
         _validate_generated_values(
-            inserts, logical, source.columns, "MERGE INSERT"
+            inserts, logical, supplied, "MERGE INSERT"
         )
         # identity columns absent from the source are minted from the
         # high-water mark (GENERATED ALWAYS forbids explicit values);
@@ -1403,7 +1443,7 @@ def _merge_attempt(
         from deltalake_datafusion_spark.delta.writer import DeltaWriteError
 
         for c, cfg in identity_columns(logical).items():
-            if c in source.columns:
+            if c in supplied:
                 if not cfg["allow_explicit"]:
                     raise DeltaWriteError(
                         f"identity column {c!r} is GENERATED ALWAYS — "

@@ -35,7 +35,7 @@ Grammar accepted (case-insensitive, mirroring parser.rs):
     MERGE [WITH SCHEMA EVOLUTION] INTO <target> [AS t]
         USING <view> [AS s] ON <cond>
         [WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE]
-        [WHEN NOT MATCHED THEN INSERT *]
+        [WHEN NOT MATCHED [AND cond] THEN INSERT * | (cols) VALUES (exprs)]
         [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...]
     OPTIMIZE <target> [FULL] [WHERE <partition predicate>] [ZORDER BY (cols)]
     RESTORE TABLE <target> TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
@@ -125,7 +125,10 @@ _MERGE_RE = re.compile(
     r"\s+ON\s+(?P<cond>.+?)"
     r"(?:\s+WHEN\s+MATCHED\s+(?:AND\s+(?P<mcond>.+?)\s+)?"
     r"THEN\s+(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<mdel>DELETE)))?"
-    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*(?P<ins>))?"
+    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(?P<nmcond>.+?)\s+)?"
+    r"THEN\s+INSERT\s+(?:\*(?P<ins>)"
+    r"|\(\s*(?P<inscols>[\w`,\s]+?)\s*\)\s*"
+    r"VALUES\s*\(\s*(?P<insvals>.+?)\s*\)))?"
     r"(?:\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+"
     r"(?:AND\s+(?P<bscond>.+?)\s+)?THEN\s+"
     r"(?:(?P<bsdel>DELETE)|UPDATE\s+SET\s+(?P<bssets>.+?)))?"
@@ -517,7 +520,7 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
 
     m = _MERGE_RE.match(statement)
     if m and (m.group("sets") or m.group("mdel") or m.group("ins") is not None
-              or m.group("bsdel") or m.group("bssets")):
+              or m.group("insvals") or m.group("bsdel") or m.group("bssets")):
         from deltalake_datafusion_spark.delta.ops import merge_delta
 
         def _parse_sets(text):
@@ -541,7 +544,30 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             when_matched_condition=(
                 m.group("mcond").strip() if m.group("mcond") else None
             ),
-            when_not_matched_insert=m.group("ins") is not None,
+            when_not_matched_insert=(
+                m.group("ins") is not None or bool(m.group("insvals"))
+            ),
+            when_not_matched_condition=(
+                m.group("nmcond").strip() if m.group("nmcond") else None
+            ),
+            when_not_matched_values=(
+                dict(
+                    zip(
+                        [
+                            c.strip().strip("`")
+                            for c in m.group("inscols").split(",")
+                        ],
+                        [
+                            v.strip()
+                            for v in _split_top_level_commas(
+                                m.group("insvals")
+                            )
+                        ],
+                    )
+                )
+                if m.group("insvals")
+                else None
+            ),
             when_not_matched_by_source_delete=bool(m.group("bsdel")),
             when_not_matched_by_source_update=bssets,
             when_not_matched_by_source_condition=(

@@ -1143,3 +1143,64 @@ def test_merge_by_source_update_sql(spark, tmp_path):
     )
     out = {r.id: r.flag for r in read_delta(spark, path).collect()}
     assert out == {0: 1, 1: 1, 2: 9, 3: 1, 4: 0, 5: 0}
+
+
+def test_merge_insert_condition_and_values(spark, tmp_path):
+    """WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs):
+    explicit column mapping with expressions over s.*, condition-
+    narrowed; unassigned columns take null."""
+    path = str(tmp_path / "mrg_insvals")
+    write_delta(
+        spark,
+        spark.range(3).select(
+            "id", F.lit("t").alias("tag"), (F.col("id") * 1.0).alias("v")
+        ),
+        path,
+    )
+    src = spark.createDataFrame(
+        [(10, 5.0), (11, -1.0), (1, 9.0)], "id long, score double"
+    )
+    merge_delta(
+        spark, path, src, "t.id = s.id",
+        when_matched_update={"v": "s.score"},
+        when_not_matched_condition="s.score > 0",
+        when_not_matched_values={
+            "id": "s.id", "v": "s.score * 2", "tag": "'new'"
+        },
+    )
+    out = {r.id: (r.tag, r.v) for r in read_delta(spark, path).collect()}
+    assert out[1] == ("t", 9.0)          # matched update
+    assert out[10] == ("new", 10.0)      # values insert, expr applied
+    assert 11 not in out                  # insert condition filtered
+    assert len(out) == 4
+
+    # unknown assigned column rejected
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown column"):
+        merge_delta(
+            spark, path, src, "t.id = s.id",
+            when_not_matched_values={"nope": "s.id"},
+        )
+
+
+def test_merge_insert_values_sql(spark, tmp_path):
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "mrg_insvals_sql")
+    write_delta(
+        spark,
+        spark.range(2).select("id", (F.col("id") * 1.0).alias("v")),
+        path,
+    )
+    spark.createDataFrame(
+        [(5, 50.0), (6, -6.0)], "id long, score double"
+    ).createOrReplaceTempView("iv_src")
+    sql(
+        spark,
+        f"MERGE INTO '{path}' AS t USING iv_src AS s ON t.id = s.id "
+        "WHEN NOT MATCHED AND s.score > 0 THEN "
+        "INSERT (id, v) VALUES (s.id, s.score + 1)",
+    )
+    out = {r.id: r.v for r in read_delta(spark, path).collect()}
+    assert out == {0: 0.0, 1: 1.0, 5: 51.0}
