@@ -841,6 +841,109 @@ def _update_attempt(
     }
 
 
+def _normalize_merge_clauses(
+    when_matched,
+    when_matched_update,
+    when_matched_delete,
+    when_matched_condition,
+    when_not_matched,
+    when_not_matched_insert,
+    when_not_matched_condition,
+    when_not_matched_values,
+    when_not_matched_by_source,
+    when_not_matched_by_source_delete,
+    when_not_matched_by_source_update,
+    when_not_matched_by_source_condition,
+):
+    """Fold the legacy single-clause keyword surface and the ordered
+    multi-clause lists into three canonical clause lists (Delta's
+    multi-clause MERGE: any number of WHEN MATCHED / WHEN NOT MATCHED /
+    WHEN NOT MATCHED BY SOURCE clauses, evaluated in order,
+    first-true-wins per row). Mixing a list with its legacy scalar
+    form is rejected."""
+    if when_matched is not None:
+        if when_matched_update or when_matched_delete:
+            raise ValueError(
+                "pass either when_matched=[...] or the legacy "
+                "when_matched_update/when_matched_delete, not both"
+            )
+        m_clauses = list(when_matched)
+    elif when_matched_delete:
+        m_clauses = [
+            {"condition": when_matched_condition, "delete": True}
+        ]
+    elif when_matched_update:
+        m_clauses = [
+            {
+                "condition": when_matched_condition,
+                "update": when_matched_update,
+            }
+        ]
+    else:
+        m_clauses = []
+
+    if when_not_matched is not None:
+        nm_clauses = list(when_not_matched)
+    elif when_not_matched_insert:
+        nm_clauses = [
+            {
+                "condition": when_not_matched_condition,
+                "values": when_not_matched_values,
+            }
+        ]
+    else:
+        nm_clauses = []
+
+    if when_not_matched_by_source is not None:
+        if when_not_matched_by_source_delete or (
+            when_not_matched_by_source_update is not None
+        ):
+            raise ValueError(
+                "pass either when_not_matched_by_source=[...] or the "
+                "legacy by-source keywords, not both"
+            )
+        bs_clauses = list(when_not_matched_by_source)
+    else:
+        if when_not_matched_by_source_delete and (
+            when_not_matched_by_source_update is not None
+        ):
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE: DELETE and UPDATE are "
+                "exclusive in the legacy keyword form; use "
+                "when_not_matched_by_source=[...] for multiple clauses"
+            )
+        if when_not_matched_by_source_delete:
+            bs_clauses = [
+                {
+                    "condition": when_not_matched_by_source_condition,
+                    "delete": True,
+                }
+            ]
+        elif when_not_matched_by_source_update is not None:
+            bs_clauses = [
+                {
+                    "condition": when_not_matched_by_source_condition,
+                    "update": when_not_matched_by_source_update,
+                }
+            ]
+        else:
+            bs_clauses = []
+
+    for cl in m_clauses:
+        if bool(cl.get("delete")) == bool(cl.get("update")):
+            raise ValueError(
+                "each WHEN MATCHED clause needs exactly one of "
+                f"update=... or delete=True: {cl!r}"
+            )
+    for cl in bs_clauses:
+        if bool(cl.get("delete")) == bool(cl.get("update") is not None):
+            raise ValueError(
+                "each WHEN NOT MATCHED BY SOURCE clause needs exactly "
+                f"one of update=... or delete=True: {cl!r}"
+            )
+    return m_clauses, nm_clauses, bs_clauses
+
+
 def merge_delta(
     spark,
     table_path: str,
@@ -855,6 +958,9 @@ def merge_delta(
     when_not_matched_by_source_delete: bool = False,
     when_not_matched_by_source_update: dict[str, str] | None = None,
     when_not_matched_by_source_condition: str | None = None,
+    when_matched: list[dict] | None = None,
+    when_not_matched: list[dict] | None = None,
+    when_not_matched_by_source: list[dict] | None = None,
     strict: bool = False,
     schema_evolution: bool = False,
     strategy: str = "auto",
@@ -868,10 +974,32 @@ def merge_delta(
     action), the same self-healing loop ``write_delta`` runs, instead
     of surfacing ``ConcurrentModificationError`` to the caller. Up to
     ``max_restarts`` attempts; staged-but-uncommitted files of a
-    failed attempt are deleted before retrying. See
+    failed attempt are deleted before retrying.
+
+    Ordered multi-clause MERGE (Delta's full grammar): pass
+    ``when_matched=[{"condition": c1, "update": {...}},
+    {"condition": c2, "delete": True}, ...]`` (any number of clauses;
+    per matched row the FIRST clause whose condition holds fires —
+    later clauses never see it; a row matching no clause passes
+    through unchanged), ``when_not_matched=[{"condition": ...,
+    "values": {...}|None}, ...]`` (``values=None`` = INSERT *), and
+    ``when_not_matched_by_source=[{"condition": ...,
+    "delete": True|"update": {...}}, ...]``. The legacy scalar
+    keywords are sugar for single-clause lists. See
     :func:`_merge_attempt` for plan semantics."""
     from deltalake_datafusion_spark.delta.writer import (
         ConcurrentModificationError,
+    )
+
+    m_clauses, nm_clauses, bs_clauses = _normalize_merge_clauses(
+        when_matched, when_matched_update, when_matched_delete,
+        when_matched_condition,
+        when_not_matched, when_not_matched_insert,
+        when_not_matched_condition, when_not_matched_values,
+        when_not_matched_by_source,
+        when_not_matched_by_source_delete,
+        when_not_matched_by_source_update,
+        when_not_matched_by_source_condition,
     )
 
     last: Exception | None = None
@@ -879,21 +1007,9 @@ def merge_delta(
         try:
             return _merge_attempt(
                 spark, table_path, source, on,
-                when_matched_update=when_matched_update,
-                when_matched_delete=when_matched_delete,
-                when_matched_condition=when_matched_condition,
-                when_not_matched_insert=when_not_matched_insert,
-                when_not_matched_condition=when_not_matched_condition,
-                when_not_matched_values=when_not_matched_values,
-                when_not_matched_by_source_delete=(
-                    when_not_matched_by_source_delete
-                ),
-                when_not_matched_by_source_update=(
-                    when_not_matched_by_source_update
-                ),
-                when_not_matched_by_source_condition=(
-                    when_not_matched_by_source_condition
-                ),
+                m_clauses=m_clauses,
+                nm_clauses=nm_clauses,
+                bs_clauses=bs_clauses,
                 strict=strict,
                 schema_evolution=schema_evolution,
                 strategy=strategy,
@@ -908,15 +1024,9 @@ def _merge_attempt(
     table_path: str,
     source,
     on: str,
-    when_matched_update: dict[str, str] | None = None,
-    when_matched_delete: bool = False,
-    when_matched_condition: str | None = None,
-    when_not_matched_insert: bool = True,
-    when_not_matched_condition: str | None = None,
-    when_not_matched_values: dict[str, str] | None = None,
-    when_not_matched_by_source_delete: bool = False,
-    when_not_matched_by_source_update: dict[str, str] | None = None,
-    when_not_matched_by_source_condition: str | None = None,
+    m_clauses: list[dict],
+    nm_clauses: list[dict],
+    bs_clauses: list[dict],
     strict: bool = False,
     schema_evolution: bool = False,
     strategy: str = "auto",
@@ -936,23 +1046,17 @@ def _merge_attempt(
     rewrite share one shuffle. ``on`` must reference target columns
     as ``t.col`` and source columns as ``s.col``.
 
-    ``when_not_matched_by_source_delete=True`` adds the Delta
-    WHEN NOT MATCHED BY SOURCE [AND condition] THEN DELETE clause:
-    target rows without a source match (optionally narrowed by the
-    condition over target columns) are dropped. This clause must
-    examine every target row, so it rewrites all files — the
-    documented cost of the full-sync MERGE shape.
+    Clause lists come pre-normalized from
+    :func:`_normalize_merge_clauses` (ordered, first-true-wins per
+    row; null condition = false, SQL 3VL). ``bs_clauses`` (WHEN NOT
+    MATCHED BY SOURCE) must examine every target row, so they rewrite
+    (or DV-scan) all files — the documented cost of the full-sync
+    MERGE shape.
 
     ``strict=True`` enforces the ANSI/Delta MERGE cardinality rule:
     if any target row is matched by more than one source row, raise
     :class:`MergeCardinalityError` instead of silently duplicating
     the row (the non-strict default documents the duplication).
-
-    ``when_matched_condition`` is Delta's ``WHEN MATCHED AND <cond>``:
-    the update/delete clause only fires for matched rows satisfying
-    the condition (``t.col`` = target, ``s.col`` = source); matched
-    rows failing it are rewritten unchanged. A null condition value
-    counts as false, per SQL three-valued logic.
 
     ``strategy`` selects the physical plan: the default ``"auto"``
     picks ``"dv"`` when the touched files hold ≥64 MiB (rewriting
@@ -981,8 +1085,9 @@ def _merge_attempt(
     all_files = _planned if _planned is not None else snap.files
     check_append_only(snap.metadata.configuration, "MERGE")
     logical = snap.schema
-    if when_matched_update:
-        _reject_generated_set(logical, when_matched_update, "MERGE UPDATE")
+    for _cl in m_clauses:
+        if _cl.get("update"):
+            _reject_generated_set(logical, _cl["update"], "MERGE UPDATE")
     md_action = None
     if schema_evolution:
         from deltalake_datafusion_spark.delta.writer import (
@@ -1043,26 +1148,22 @@ def _merge_attempt(
             )
 
     touched_paths = matched.select("__file_path").distinct()
-    bs_active = when_not_matched_by_source_delete or (
-        when_not_matched_by_source_update is not None
-    )
-    if when_not_matched_by_source_delete and (
-        when_not_matched_by_source_update is not None
-    ):
-        raise ValueError(
-            "WHEN NOT MATCHED BY SOURCE: DELETE and UPDATE are exclusive"
-        )
-    if when_not_matched_by_source_update:
+    bs_active = bool(bs_clauses)
+    for _cl in bs_clauses:
         import re as _re0
 
         bad = [
             e
-            for e in when_not_matched_by_source_update.values()
+            for e in (_cl.get("update") or {}).values()
             if _re0.search(r"\bs\.", e)
-        ]
+        ] + (
+            [_cl["condition"]]
+            if _cl.get("condition") and _re0.search(r"\bs\.", _cl["condition"])
+            else []
+        )
         if bad:
             raise ValueError(
-                "WHEN NOT MATCHED BY SOURCE UPDATE may reference target "
+                "WHEN NOT MATCHED BY SOURCE may reference target "
                 f"columns only (no s.*): {bad}"
             )
     if bs_active:
@@ -1146,44 +1247,72 @@ def _merge_attempt(
                     _f.name, F.lit(None).cast(_f.dataType)
                 )
         import re as _re
+        from functools import reduce as _reduce
+        from operator import or_ as _or
+
+        def _rw_set(e):
+            # SET / condition expressions reference source cols as
+            # s.<col> and target cols as t.<col> (or plain names);
+            # in `joined` those live as __s_<col> / <col>
+            return _re.sub(
+                r"\bt\.(\w+)", r"\1", _re.sub(r"\bs\.(\w+)", r"__s_\1", e)
+            )
 
         is_matched = F.col("__s___matched").isNotNull()
-        if when_matched_condition:
-            # WHEN MATCHED AND <cond>: t.col → target (plain name in
-            # the joined frame), s.col → __s_<col>; null cond = false.
-            cnd = _re.sub(r"\bs\.(\w+)", r"__s_\1", when_matched_condition)
-            cnd = _re.sub(r"\bt\.(\w+)", r"\1", cnd)
-            clause_matched = is_matched & F.coalesce(
-                F.expr(cnd), F.lit(False)
-            )
-        else:
-            clause_matched = is_matched
-        bs_cond = None
-        if bs_active:
-            bs_cond = (
-                F.expr(when_not_matched_by_source_condition)
-                if when_not_matched_by_source_condition
+        # Ordered clause firing (Delta multi-clause MERGE): per row the
+        # FIRST clause whose condition holds fires; null cond = false
+        # (SQL 3VL); a conditionless clause always fires for its branch.
+        m_fire: list = []
+        _prev = F.lit(False)
+        for cl in m_clauses:
+            c = cl.get("condition")
+            cc = (
+                F.coalesce(F.expr(_rw_set(c)), F.lit(False))
+                if c
                 else F.lit(True)
             )
-        if strategy == "dv":
-            # Deletion-vector strategy: matched (and by-source) rows
-            # are soft-deleted in place; only replacement/insert rows
-            # are written. Cost ∝ changed rows, never touched files.
-            # With no matched clause at all, matched rows are left
-            # untouched (the cow pass-through semantics).
-            to_clear = (
-                clause_matched
-                if (when_matched_update or when_matched_delete)
-                else F.lit(False)
+            f = is_matched & ~_prev & cc
+            m_fire.append(f)
+            _prev = _prev | f
+        clause_matched = _prev  # any matched clause fired
+
+        bs_fire: list = []
+        _prevb = F.lit(False)
+        for cl in bs_clauses:
+            c = cl.get("condition")
+            cc = (
+                F.coalesce(F.expr(c), F.lit(False)) if c else F.lit(True)
             )
-            if bs_cond is not None:
-                to_clear = to_clear | (~is_matched & bs_cond)
-                if _cdf_on and when_not_matched_by_source_delete:
-                    cdc_parts.append(
-                        joined.filter(~is_matched & bs_cond)
-                        .select(*logical.fieldNames())
-                        .withColumn(_CT, F.lit("delete"))
-                    )
+            f = ~is_matched & ~_prevb & cc
+            bs_fire.append(f)
+            _prevb = _prevb | f
+        bs_any = _prevb
+
+        def _clause_repl(fire, sets):
+            """Replacement copy of clause-fired rows (dv strategy):
+            simultaneous assignment over the OLD row; stable row id
+            kept, commit version restamped to this commit."""
+            repl = joined.filter(fire).select(
+                *[
+                    (
+                        F.expr(_rw_set(sets[c])) if c in sets else F.col(c)
+                    ).alias(c)
+                    for c in logical.fieldNames()
+                ],
+                *([F.col("__old_row_id")] if rt_mat else []),
+                *(
+                    [F.lit(None).cast("long").alias("__old_row_commit")]
+                    if rt_ver else []
+                ),
+            )
+            return _regen(repl, skip=set(sets))
+
+        if strategy == "dv":
+            # Deletion-vector strategy: clause-fired rows (matched and
+            # by-source) are soft-deleted in place; only replacement /
+            # insert rows are written. Cost ∝ changed rows, never
+            # touched files. Rows firing no clause are left untouched.
+            to_clear = clause_matched | bs_any
             dv_enc = _dv_soft_delete_actions(
                 spark,
                 snap,
@@ -1193,56 +1322,42 @@ def _merge_attempt(
                 touched,
                 fs_for(snap.table_path, spark),
             )
-            replacements = None
-            if when_matched_update and not when_matched_delete:
-                rw = {
-                    col: _re.sub(r"\bs\.(\w+)", r"__s_\1", expr)
-                    for col, expr in when_matched_update.items()
-                }
-                # Row tracking: the replacement copy keeps the target
-                # row's stable id (flows into the materialized column);
-                # its commit version becomes THIS commit's (null
-                # materialized → file default)
-                replacements = joined.filter(clause_matched).select(
-                    *[
-                        (F.expr(rw[c]) if c in rw else F.col(c)).alias(c)
-                        for c in logical.fieldNames()
-                    ],
-                    *([F.col("__old_row_id")] if rt_mat else []),
-                    *(
-                        [F.lit(None).cast("long").alias("__old_row_commit")]
-                        if rt_ver else []
-                    ),
-                )
-                replacements = _regen(replacements, skip=set(rw))
-                new_parts.append(replacements)
-            if when_not_matched_by_source_update is not None:
-                # by-source UPDATE: the unmatched rows were soft-
-                # deleted above; write their updated copies (stable
-                # row id kept, commit version restamped)
-                bs_fire = ~is_matched & bs_cond
-                bs_repl = joined.filter(bs_fire).select(
-                    *[
-                        (
-                            F.expr(when_not_matched_by_source_update[c])
-                            if c in when_not_matched_by_source_update
-                            else F.col(c)
-                        ).alias(c)
-                        for c in logical.fieldNames()
-                    ],
-                    *([F.col("__old_row_id")] if rt_mat else []),
-                    *(
-                        [F.lit(None).cast("long").alias("__old_row_commit")]
-                        if rt_ver else []
-                    ),
-                )
-                bs_repl = _regen(
-                    bs_repl, skip=set(when_not_matched_by_source_update)
-                )
+            for k, cl in enumerate(m_clauses):
+                if cl.get("delete"):
+                    if _cdf_on:
+                        cdc_parts.append(
+                            joined.filter(m_fire[k])
+                            .select(*logical.fieldNames())
+                            .withColumn(_CT, F.lit("delete"))
+                        )
+                    continue
+                repl = _clause_repl(m_fire[k], cl["update"])
+                new_parts.append(repl)
+                if _cdf_on:
+                    cdc_parts.append(
+                        joined.filter(m_fire[k])
+                        .select(*logical.fieldNames())
+                        .withColumn(_CT, F.lit("update_preimage"))
+                    )
+                    cdc_parts.append(
+                        repl.select(*logical.fieldNames()).withColumn(
+                            _CT, F.lit("update_postimage")
+                        )
+                    )
+            for k, cl in enumerate(bs_clauses):
+                if cl.get("delete"):
+                    if _cdf_on:
+                        cdc_parts.append(
+                            joined.filter(bs_fire[k])
+                            .select(*logical.fieldNames())
+                            .withColumn(_CT, F.lit("delete"))
+                        )
+                    continue
+                bs_repl = _clause_repl(bs_fire[k], cl["update"])
                 new_parts.append(bs_repl)
                 if _cdf_on:
                     cdc_parts.append(
-                        joined.filter(bs_fire)
+                        joined.filter(bs_fire[k])
                         .select(*logical.fieldNames())
                         .withColumn(_CT, F.lit("update_preimage"))
                     )
@@ -1251,102 +1366,92 @@ def _merge_attempt(
                             _CT, F.lit("update_postimage")
                         )
                     )
-            if _cdf_on:
-                pre = joined.filter(clause_matched).select(
-                    *logical.fieldNames()
-                )
-                if when_matched_delete:
-                    cdc_parts.append(pre.withColumn(_CT, F.lit("delete")))
-                elif when_matched_update:
-                    cdc_parts.append(
-                        pre.withColumn(_CT, F.lit("update_preimage"))
-                    )
-                    cdc_parts.append(
-                        replacements.select(*logical.fieldNames()).withColumn(
-                            _CT, F.lit("update_postimage")
-                        )
-                    )
-        elif when_matched_delete:
-            survivors = joined.filter(~clause_matched)
         else:
+            # Copy-on-write: one projection applies every update clause
+            # as a per-column CASE chain (fires are mutually exclusive),
+            # evaluated against the OLD row — simultaneous assignment,
+            # so `SET a = t.b, b = t.a` swaps. Delete-clause rows are
+            # filtered out; everything else passes through.
+            del_fires = [
+                m_fire[k]
+                for k, cl in enumerate(m_clauses)
+                if cl.get("delete")
+            ] + [
+                bs_fire[k]
+                for k, cl in enumerate(bs_clauses)
+                if cl.get("delete")
+            ]
+            upd_all = [
+                (m_fire[k], cl["update"])
+                for k, cl in enumerate(m_clauses)
+                if cl.get("update")
+            ] + [
+                (bs_fire[k], cl["update"])
+                for k, cl in enumerate(bs_clauses)
+                if cl.get("update")
+            ]
             survivors = joined
-            if when_matched_update:
-                # Simultaneous assignment (ANSI/Delta MERGE): every
-                # UPDATE SET right-hand side is evaluated against the
-                # OLD target row in one select, so `SET a = t.b,
-                # b = t.a` swaps instead of seeing a's new value.
-                new_cols = {}
-                for col, expr in when_matched_update.items():
-                    # update expressions reference source cols as s.<col>
-                    rewritten = _re.sub(r"\bs\.(\w+)", r"__s_\1", expr)
-                    new_cols[col] = F.when(
-                        clause_matched, F.expr(rewritten)
-                    ).otherwise(F.col(col))
-                survivors = joined.select(
-                    *[
-                        new_cols[c].alias(c) if c in new_cols else F.col(c)
-                        for c in joined.columns
-                    ]
-                )
-        if strategy != "dv":
-            if bs_cond is not None and when_not_matched_by_source_delete:
+            if del_fires:
+                any_del = _reduce(_or, del_fires)
                 if _cdf_on:
                     cdc_parts.append(
-                        survivors.filter(~is_matched & bs_cond)
+                        joined.filter(any_del)
                         .select(*logical.fieldNames())
                         .withColumn(_CT, F.lit("delete"))
                     )
-                survivors = survivors.filter(is_matched | ~bs_cond)
-            elif when_not_matched_by_source_update is not None:
-                # by-source UPDATE (cow): simultaneous assignment over
-                # the OLD row, fired only on unmatched rows passing the
-                # condition
-                bs_fire = ~is_matched & F.coalesce(bs_cond, F.lit(False))
+                survivors = survivors.filter(~any_del)
+            any_upd = (
+                _reduce(_or, [f for f, _ in upd_all]) if upd_all else None
+            )
+            if upd_all:
                 if _cdf_on:
                     cdc_parts.append(
-                        survivors.filter(bs_fire)
+                        survivors.filter(any_upd)
                         .select(*logical.fieldNames())
                         .withColumn(_CT, F.lit("update_preimage"))
                     )
-                bs_new = {
-                    col: F.when(bs_fire, F.expr(expr)).otherwise(F.col(col))
-                    for col, expr in when_not_matched_by_source_update.items()
-                }
+                new_cols = {}
+                assigned = set().union(*[set(u) for _, u in upd_all])
+                for c in assigned:
+                    col_expr = F.col(c)
+                    for f, u in reversed(upd_all):
+                        if c in u:
+                            col_expr = F.when(
+                                f, F.expr(_rw_set(u[c]))
+                            ).otherwise(col_expr)
+                    new_cols[c] = col_expr
                 survivors = survivors.select(
                     *[
-                        bs_new[c].alias(c) if c in bs_new else F.col(c)
+                        new_cols[c].alias(c) if c in new_cols else F.col(c)
                         for c in survivors.columns
                     ]
                 )
-                survivors = _regen(
-                    survivors, skip=set(when_not_matched_by_source_update)
-                )
+                # recompute generated columns BEFORE the postimage
+                # capture so CDF carries fresh values; explicit SET of
+                # generated cols is rejected for matched clauses above,
+                # by-source-assigned generated cols keep their values
+                _bs_gen = {
+                    c
+                    for _, u in upd_all
+                    for c in u
+                    if c in _gen_exprs
+                }
+                survivors = _regen(survivors, skip=_bs_gen)
                 if _cdf_on:
                     cdc_parts.append(
-                        survivors.filter(bs_fire)
+                        survivors.filter(any_upd)
                         .select(*logical.fieldNames())
                         .withColumn(_CT, F.lit("update_postimage"))
                     )
             # Row tracking: pass-through rows keep id AND last-modified
             # version; clause-updated rows keep id, take this commit's
             # version (null materialized → file default)
-            if when_matched_update:
-                # recompute BEFORE the projection so the CDF postimage
-                # below also carries fresh generated values
-                survivors = _regen(
-                    survivors, skip=set(when_matched_update)
-                )
             ver_cols = []
             if rt_ver:
                 old_ver = F.col("__old_row_commit")
-                if when_matched_update:
+                if any_upd is not None:
                     old_ver = F.when(
-                        clause_matched, F.lit(None).cast("long")
-                    ).otherwise(old_ver)
-                if when_not_matched_by_source_update is not None:
-                    old_ver = F.when(
-                        ~is_matched & F.coalesce(bs_cond, F.lit(False)),
-                        F.lit(None).cast("long"),
+                        any_upd, F.lit(None).cast("long")
                     ).otherwise(old_ver)
                 ver_cols = [old_ver.alias("__old_row_commit")]
             new_parts.append(
@@ -1357,105 +1462,127 @@ def _merge_attempt(
                 )
             )
 
-            # CDF: matched rows → delete, or pre/post image pairs; rows
-            # merely rewritten untouched (no matched clause) report
-            # nothing.
-            if _cdf_on:
-                pre = joined.filter(clause_matched).select(
-                    *logical.fieldNames()
-                )
-                if when_matched_delete:
-                    cdc_parts.append(
-                        pre.withColumn(_CT, F.lit("delete"))
-                    )
-                elif when_matched_update:
-                    cdc_parts.append(
-                        pre.withColumn(_CT, F.lit("update_preimage"))
-                    )
-                    cdc_parts.append(
-                        survivors.filter(clause_matched)
-                        .select(*logical.fieldNames())
-                        .withColumn(_CT, F.lit("update_postimage"))
-                    )
-
     _ident_assigned: dict[str, int] = {}
-    if when_not_matched_insert:
+    if nm_clauses:
         import re as _re2
 
-        anti = s.join(t, cond, "left_anti")
-        # WHEN NOT MATCHED AND <cond>: source-column predicate narrows
-        # the inserted set; null condition = false (SQL 3VL)
-        if when_not_matched_condition:
-            nc = _re2.sub(
-                r"\bs\.(\w+)", r"\1", when_not_matched_condition
-            )
-            anti = anti.filter(F.coalesce(F.expr(nc), F.lit(False)))
-        if when_not_matched_values is not None:
-            # INSERT (cols) VALUES (exprs): explicit column mapping —
-            # expressions over s.*; unassigned columns take null (then
-            # defaults / generated / identity fill in below)
-            unknown = sorted(
-                set(when_not_matched_values) - set(logical.fieldNames())
-            )
-            if unknown:
-                raise ValueError(
-                    f"MERGE INSERT assigns unknown column(s) {unknown}"
-                )
-            vals = {
-                c: _re2.sub(r"\bs\.(\w+)", r"\1", e)
-                for c, e in when_not_matched_values.items()
-            }
-            inserts = anti.select(
-                *[
-                    (F.expr(vals[c]) if c in vals else F.lit(None))
-                    .cast(logical[c].dataType)
-                    .alias(c)
-                    for c in logical.fieldNames()
-                ]
-            )
-            supplied = set(vals)
-        else:
-            inserts = anti.select(
-                *[
-                    (F.col(c) if c in source.columns else F.lit(None))
-                    .cast(logical[c].dataType)
-                    .alias(c)
-                    for c in logical.fieldNames()
-                ]
-            )
-            supplied = set(source.columns)
-        # generated columns not explicitly assigned are computed, not
-        # inserted as null; SUPPLIED values are validated against the
-        # expression (Delta writer semantics — an inconsistent stored
-        # value would poison generated-column partition pruning)
-        inserts = _regen(inserts, skip=supplied)
-        _validate_generated_values(
-            inserts, logical, supplied, "MERGE INSERT"
-        )
-        # identity columns absent from the source are minted from the
-        # high-water mark (GENERATED ALWAYS forbids explicit values);
-        # the hwm advance rides this commit's metaData — a concurrent
-        # advance fails conflict validation instead of duplicating ids
         from deltalake_datafusion_spark.delta.identity import (
             assign_identity,
             identity_columns,
         )
         from deltalake_datafusion_spark.delta.writer import DeltaWriteError
 
-        for c, cfg in identity_columns(logical).items():
-            if c in supplied:
-                if not cfg["allow_explicit"]:
+        anti = s.join(t, cond, "left_anti")
+        id_cols = identity_columns(logical)
+        # Ordered WHEN NOT MATCHED clauses: per source row the first
+        # clause whose condition holds inserts it (null cond = false);
+        # rows firing no clause are not inserted.
+        frames: list = []  # (projected frame, supplied column set)
+        _prev_f = F.lit(False)
+        for cl in nm_clauses:
+            c = cl.get("condition")
+            if c:
+                nc = _re2.sub(r"\bs\.(\w+)", r"\1", c)
+                fc = F.coalesce(F.expr(nc), F.lit(False))
+            else:
+                fc = F.lit(True)
+            fire = ~_prev_f & fc
+            _prev_f = _prev_f | fire
+            frame = anti.filter(fire)
+            vals_map = cl.get("values")
+            if vals_map is not None:
+                # INSERT (cols) VALUES (exprs): explicit column mapping
+                # — expressions over s.*; unassigned columns take null
+                # (then defaults / generated / identity fill in below)
+                unknown = sorted(
+                    set(vals_map) - set(logical.fieldNames())
+                )
+                if unknown:
+                    raise ValueError(
+                        f"MERGE INSERT assigns unknown column(s) {unknown}"
+                    )
+                vals = {
+                    c2: _re2.sub(r"\bs\.(\w+)", r"\1", e)
+                    for c2, e in vals_map.items()
+                }
+                ins_f = frame.select(
+                    *[
+                        (F.expr(vals[c2]) if c2 in vals else F.lit(None))
+                        .cast(logical[c2].dataType)
+                        .alias(c2)
+                        for c2 in logical.fieldNames()
+                    ]
+                )
+                supplied = set(vals)
+            else:
+                ins_f = frame.select(
+                    *[
+                        (F.col(c2) if c2 in source.columns else F.lit(None))
+                        .cast(logical[c2].dataType)
+                        .alias(c2)
+                        for c2 in logical.fieldNames()
+                    ]
+                )
+                supplied = set(source.columns)
+            # generated columns not explicitly assigned are computed,
+            # not inserted as null; SUPPLIED values are validated
+            # against the expression (Delta writer semantics — an
+            # inconsistent stored value would poison generated-column
+            # partition pruning)
+            ins_f = _regen(ins_f, skip=supplied)
+            _validate_generated_values(
+                ins_f, logical, supplied, "MERGE INSERT"
+            )
+            for c2, cfg in id_cols.items():
+                if c2 in supplied and not cfg["allow_explicit"]:
                     raise DeltaWriteError(
-                        f"identity column {c!r} is GENERATED ALWAYS — "
+                        f"identity column {c2!r} is GENERATED ALWAYS — "
                         "MERGE INSERT may not supply explicit values"
                     )
+            frames.append((ins_f, supplied))
+        # identity columns absent from a clause's assignments are
+        # minted from the high-water mark; the hwm advance rides this
+        # commit's metaData — a concurrent advance fails conflict
+        # validation instead of duplicating ids. With clauses that
+        # mix explicit and minted values, only the rows of
+        # non-supplying clauses are minted (block ids may leave gaps).
+        for c2 in id_cols:
+            for i, (ins_f, supplied) in enumerate(frames):
+                frames[i] = (
+                    ins_f.withColumn(
+                        f"__mint_{c2}", F.lit(c2 not in supplied)
+                    ),
+                    supplied,
+                )
+        inserts = frames[0][0]
+        for ins_f, _sup in frames[1:]:
+            inserts = inserts.unionByName(ins_f)
+        for c2, cfg in id_cols.items():
+            minting = [c2 not in sup for _f, sup in frames]
+            if not any(minting):
+                inserts = inserts.drop(f"__mint_{c2}")
                 continue
             base = (
                 cfg["hwm"] + cfg["step"]
                 if cfg["hwm"] is not None else cfg["start"]
             )
-            inserts = assign_identity(inserts, c, base, cfg["step"])
-            _ident_assigned[c] = cfg["step"]
+            if all(minting):
+                inserts = assign_identity(
+                    inserts, c2, base, cfg["step"]
+                )
+            else:
+                minted = (
+                    F.lit(base)
+                    + F.lit(cfg["step"]) * F.monotonically_increasing_id()
+                ).cast("long")
+                inserts = inserts.withColumn(
+                    c2,
+                    F.when(F.col(f"__mint_{c2}"), minted).otherwise(
+                        F.col(c2)
+                    ),
+                )
+            inserts = inserts.drop(f"__mint_{c2}")
+            _ident_assigned[c2] = cfg["step"]
         ins = inserts
         if rt_mat:
             ins = ins.withColumn("__old_row_id", F.lit(None).cast("long"))

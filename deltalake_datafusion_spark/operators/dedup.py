@@ -993,6 +993,13 @@ def incremental_minhash_dedup(
         bands_path,
         mode="append",
     )
+    # Materialize the survivors (batch-scale) so every cached
+    # intermediate can be released NOW instead of leaking for the
+    # session's lifetime: localCheckpoint blocks are reclaimed by the
+    # ContextCleaner when the returned frame is garbage-collected,
+    # unlike a .persist() nobody unpersists.
+    survivors = survivors.localCheckpoint()
+    dup_ids.unpersist()
     sh.unpersist()
     sigs.unpersist()
     return survivors

@@ -123,16 +123,28 @@ _MERGE_RE = re.compile(
     r"(?:\s+AS\s+t)?"
     r"\s+USING\s+(?P<source>\w+)(?:\s+AS\s+s)?"
     r"\s+ON\s+(?P<cond>.+?)"
-    r"(?:\s+WHEN\s+MATCHED\s+(?:AND\s+(?P<mcond>.+?)\s+)?"
-    r"THEN\s+(?:UPDATE\s+SET\s+(?P<sets>.+?)|(?P<mdel>DELETE)))?"
-    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(?P<nmcond>.+?)\s+)?"
-    r"THEN\s+INSERT\s+(?:\*(?P<ins>)"
-    r"|\(\s*(?P<inscols>[\w`,\s]+?)\s*\)\s*"
-    r"VALUES\s*\(\s*(?P<insvals>.+?)\s*\)))?"
-    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+"
-    r"(?:AND\s+(?P<bscond>.+?)\s+)?THEN\s+"
-    r"(?:(?P<bsdel>DELETE)|UPDATE\s+SET\s+(?P<bssets>.+?)))?"
-    r"\s*;?\s*$",
+    r"(?P<clauses>(?:\s+WHEN\s+(?:NOT\s+)?MATCHED\b.*)?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# WHEN-clause boundary: any number of ordered MATCHED / NOT MATCHED /
+# NOT MATCHED BY SOURCE clauses (Delta's multi-clause MERGE grammar).
+_WHEN_SPLIT_RE = re.compile(
+    r"\s+WHEN\s+(?=(?:NOT\s+)?MATCHED\b)", re.IGNORECASE
+)
+_W_BS_RE = re.compile(
+    r"^NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+"
+    r"(?:(?P<del>DELETE)|UPDATE\s+SET\s+(?P<sets>.+))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_W_NM_RE = re.compile(
+    r"^NOT\s+MATCHED\s*(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+INSERT\s+"
+    r"(?:\*\s*|\(\s*(?P<cols>[\w`,\s]+?)\s*\)\s*"
+    r"VALUES\s*\(\s*(?P<vals>.+?)\s*\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_W_M_RE = re.compile(
+    r"^MATCHED\s*(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+"
+    r"(?:UPDATE\s+SET\s+(?P<sets>.+)|(?P<del>DELETE))\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ADD_CONSTRAINT_RE = re.compile(
@@ -519,8 +531,7 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 
     m = _MERGE_RE.match(statement)
-    if m and (m.group("sets") or m.group("mdel") or m.group("ins") is not None
-              or m.group("insvals") or m.group("bsdel") or m.group("bssets")):
+    if m and m.group("clauses").strip():
         from deltalake_datafusion_spark.delta.ops import merge_delta
 
         def _parse_sets(text):
@@ -530,49 +541,90 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
                 out[col.strip().strip("`")] = expr.strip()
             return out
 
-        sets = _parse_sets(m.group("sets")) if m.group("sets") else None
-        bssets = (
-            _parse_sets(m.group("bssets")) if m.group("bssets") else None
-        )
+        # Ordered multi-clause grammar: split the tail on WHEN
+        # boundaries and classify each clause; evaluation order in
+        # merge_delta is the statement order within each branch.
+        m_clauses: list[dict] = []
+        nm_clauses: list[dict] = []
+        bs_clauses: list[dict] = []
+        parts = [
+            p
+            for p in _WHEN_SPLIT_RE.split(m.group("clauses"))
+            if p.strip()
+        ]
+        for part in parts:
+            part = part.strip().rstrip(";").strip()
+            w = _W_BS_RE.match(part)
+            if w:
+                bs_clauses.append(
+                    {
+                        "condition": (
+                            w.group("cond").strip()
+                            if w.group("cond") else None
+                        ),
+                        **(
+                            {"delete": True}
+                            if w.group("del")
+                            else {"update": _parse_sets(w.group("sets"))}
+                        ),
+                    }
+                )
+                continue
+            w = _W_NM_RE.match(part)
+            if w:
+                nm_clauses.append(
+                    {
+                        "condition": (
+                            w.group("cond").strip()
+                            if w.group("cond") else None
+                        ),
+                        "values": (
+                            dict(
+                                zip(
+                                    [
+                                        c.strip().strip("`")
+                                        for c in w.group("cols").split(",")
+                                    ],
+                                    [
+                                        v.strip()
+                                        for v in _split_top_level_commas(
+                                            w.group("vals")
+                                        )
+                                    ],
+                                )
+                            )
+                            if w.group("vals")
+                            else None
+                        ),
+                    }
+                )
+                continue
+            w = _W_M_RE.match(part)
+            if w:
+                m_clauses.append(
+                    {
+                        "condition": (
+                            w.group("cond").strip()
+                            if w.group("cond") else None
+                        ),
+                        **(
+                            {"delete": True}
+                            if w.group("del")
+                            else {"update": _parse_sets(w.group("sets"))}
+                        ),
+                    }
+                )
+                continue
+            raise ValueError(f"MERGE: unparseable WHEN clause: {part!r}")
         res = merge_delta(
             spark,
             _unquote_target(m.group("target"), registry),
             spark.table(m.group("source")),
             on=m.group("cond").strip(),
-            when_matched_update=sets,
-            when_matched_delete=bool(m.group("mdel")),
-            when_matched_condition=(
-                m.group("mcond").strip() if m.group("mcond") else None
-            ),
-            when_not_matched_insert=(
-                m.group("ins") is not None or bool(m.group("insvals"))
-            ),
-            when_not_matched_condition=(
-                m.group("nmcond").strip() if m.group("nmcond") else None
-            ),
-            when_not_matched_values=(
-                dict(
-                    zip(
-                        [
-                            c.strip().strip("`")
-                            for c in m.group("inscols").split(",")
-                        ],
-                        [
-                            v.strip()
-                            for v in _split_top_level_commas(
-                                m.group("insvals")
-                            )
-                        ],
-                    )
-                )
-                if m.group("insvals")
-                else None
-            ),
-            when_not_matched_by_source_delete=bool(m.group("bsdel")),
-            when_not_matched_by_source_update=bssets,
-            when_not_matched_by_source_condition=(
-                m.group("bscond").strip() if m.group("bscond") else None
-            ),
+            when_matched=m_clauses,
+            when_not_matched=nm_clauses,
+            when_not_matched_by_source=bs_clauses,
+            when_not_matched_insert=False,
             schema_evolution=bool(m.group("evolve")),
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))

@@ -1,0 +1,297 @@
+"""Ordered multi-clause MERGE (Delta's full grammar: any number of
+WHEN MATCHED / WHEN NOT MATCHED / WHEN NOT MATCHED BY SOURCE clauses,
+evaluated in statement order, first-true-wins per row) — API + SQL.
+
+Reference behavior modeled on delta-spark's DeltaMergeBuilder (multiple
+``whenMatched(...)``/``whenNotMatched(...)`` calls) and the Delta SQL
+MERGE grammar; the reference engine itself is read-only
+(crates/datafusion/src/table_provider — no write path), so this is
+beyond-reference surface held to delta-spark semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.ops import merge_delta
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.writer import write_delta
+
+
+def _seed(spark, path, cdf=False):
+    cfg = {"delta.enableChangeDataFeed": "true"} if cdf else None
+    write_delta(
+        spark,
+        spark.range(8).select(
+            "id",
+            (F.col("id") * 10.0).alias("v"),
+            F.lit("base").alias("st"),
+        ),
+        path,
+        configuration=cfg,
+    )
+
+
+def _src(spark):
+    # ids 0..3 matched, 100/101 unmatched
+    return spark.createDataFrame(
+        [
+            (0, 5.0, "a"),
+            (1, 500.0, "b"),
+            (2, 5.0, "a"),
+            (3, 500.0, "b"),
+            (100, 1.0, "a"),
+            (101, 2.0, "b"),
+        ],
+        "id long, v double, st string",
+    )
+
+
+@pytest.mark.parametrize("strategy", ["cow", "dv"])
+def test_multi_matched_clauses_first_true_wins(spark, tmp_path, strategy):
+    """Two WHEN MATCHED clauses: rows satisfying both take the FIRST
+    (delete), rows satisfying only the second update, rows satisfying
+    neither pass through unchanged — identical under both physical
+    strategies."""
+    path = str(tmp_path / f"mm_{strategy}")
+    _seed(spark, path)
+    merge_delta(
+        spark, path, _src(spark), "t.id = s.id",
+        when_matched=[
+            {"condition": "s.v < 100", "delete": True},
+            {"condition": "s.st = 'b'", "update": {"v": "s.v + t.v"}},
+        ],
+        when_not_matched=[],
+        strategy=strategy,
+    )
+    out = {r.id: (r.v, r.st) for r in read_delta(spark, path).collect()}
+    # id 0: v=5<100 → clause 1 deletes (even though st='a' fails c2)
+    # id 2: v=5<100 AND st='a' → clause 1 deletes
+    assert 0 not in out and 2 not in out
+    # id 1, 3: v=500 fails clause 1, st='b' fires clause 2
+    assert out[1] == (500.0 + 10.0, "base")
+    assert out[3] == (500.0 + 30.0, "base")
+    # ids 4..7 unmatched by source: untouched
+    assert out[4] == (40.0, "base")
+    assert len(out) == 6  # 8 - 2 deleted, no insert clause
+
+
+def test_multi_matched_order_matters(spark, tmp_path):
+    """Swapping clause order changes which clause a doubly-satisfying
+    row takes — pinning true ordered evaluation, not priority by kind."""
+    path = str(tmp_path / "mm_order")
+    _seed(spark, path)
+    merge_delta(
+        spark, path, _src(spark), "t.id = s.id",
+        when_matched=[
+            {"condition": "s.st = 'a'", "update": {"st": "'first'"}},
+            {"condition": "s.v < 100", "update": {"st": "'second'"}},
+        ],
+        when_not_matched=[],
+    )
+    out = {r.id: r.st for r in read_delta(spark, path).collect()}
+    assert out[0] == "first"   # satisfies both → first clause
+    assert out[2] == "first"
+    assert out[1] == "base"    # satisfies neither (v=500, st='b')...
+    assert out[3] == "base"
+
+
+def test_multi_not_matched_clauses(spark, tmp_path):
+    """Two WHEN NOT MATCHED clauses with different assignments: each
+    unmatched source row takes the first clause whose condition holds;
+    rows matching no clause are not inserted."""
+    path = str(tmp_path / "nm_multi")
+    _seed(spark, path)
+    src = spark.createDataFrame(
+        [(100, 1.0, "a"), (101, 2.0, "b"), (102, 3.0, "c")],
+        "id long, v double, st string",
+    )
+    merge_delta(
+        spark, path, src, "t.id = s.id",
+        when_matched=[],
+        when_not_matched=[
+            {"condition": "s.st = 'a'", "values": {
+                "id": "s.id", "v": "s.v * 100", "st": "'ins_a'"}},
+            {"condition": "s.st = 'b'", "values": None},  # INSERT *
+        ],
+    )
+    out = {r.id: (r.v, r.st) for r in read_delta(spark, path).collect()}
+    assert out[100] == (100.0, "ins_a")   # clause 1 mapping
+    assert out[101] == (2.0, "b")         # clause 2 star insert
+    assert 102 not in out                  # no clause fired
+    assert len(out) == 10
+
+
+@pytest.mark.parametrize("strategy", ["cow", "dv"])
+def test_multi_by_source_clauses(spark, tmp_path, strategy):
+    """Ordered BY SOURCE clauses: delete-then-update mixing (previously
+    exclusive in the legacy keyword form)."""
+    path = str(tmp_path / f"bs_{strategy}")
+    _seed(spark, path)
+    src = spark.createDataFrame([(0, 0.0, "x")], "id long, v double, st string")
+    merge_delta(
+        spark, path, src, "t.id = s.id",
+        when_matched=[],
+        when_not_matched=[],
+        when_not_matched_by_source=[
+            {"condition": "id >= 6", "delete": True},
+            {"condition": "id >= 4", "update": {"st": "'stale'"}},
+        ],
+        strategy=strategy,
+    )
+    out = {r.id: r.st for r in read_delta(spark, path).collect()}
+    assert 6 not in out and 7 not in out        # clause 1 delete
+    assert out[4] == "stale" and out[5] == "stale"  # clause 2 update
+    assert out[1] == "base"                     # no clause
+    assert out[0] == "base"                     # matched → by-source skips
+    assert len(out) == 6
+
+
+def test_multi_clause_sql_form(spark, tmp_path):
+    """Full multi-clause statement through the extended dialect."""
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "mm_sql")
+    _seed(spark, path)
+    _src(spark).createOrReplaceTempView("mm_src")
+    sql(
+        spark,
+        f"MERGE INTO '{path}' AS t USING mm_src AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.v < 100 THEN DELETE "
+        "WHEN MATCHED AND s.st = 'b' THEN UPDATE SET v = s.v + t.v "
+        "WHEN NOT MATCHED AND s.st = 'a' THEN "
+        "INSERT (id, v, st) VALUES (s.id, s.v * 100, 'ins_a') "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND id >= 6 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET st = 'stale'",
+    )
+    out = {r.id: (r.v, r.st) for r in read_delta(spark, path).collect()}
+    assert 0 not in out and 2 not in out               # matched delete
+    assert out[1] == (510.0, "base")                   # matched update
+    assert out[100] == (100.0, "ins_a")                # insert clause 1
+    assert out[101] == (2.0, "b")                      # insert clause 2
+    assert 6 not in out and 7 not in out               # by-source delete
+    assert out[4] == (40.0, "stale")                   # by-source update
+    assert len(out) == 6
+
+
+def test_multi_clause_cdf_images(spark, tmp_path):
+    """CDF: each clause contributes the right change images — delete
+    rows report delete, update rows report pre/post pairs, inserts
+    report insert."""
+    from deltalake_datafusion_spark.delta.cdf import table_changes
+
+    path = str(tmp_path / "mm_cdf")
+    _seed(spark, path, cdf=True)
+    merge_delta(
+        spark, path, _src(spark), "t.id = s.id",
+        when_matched=[
+            {"condition": "s.v < 100", "delete": True},
+            {"condition": "s.st = 'b'", "update": {"v": "s.v"}},
+        ],
+        when_not_matched=[
+            {"condition": "s.id = 100", "values": None},
+        ],
+    )
+    ch = table_changes(spark, path, 1).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r._change_type, set()).add(r.id)
+    assert by_type["delete"] == {0, 2}
+    assert by_type["update_preimage"] == {1, 3}
+    assert by_type["update_postimage"] == {1, 3}
+    assert by_type["insert"] == {100}
+    post = {r.id: r.v for r in ch if r._change_type == "update_postimage"}
+    assert post == {1: 500.0, 3: 500.0}
+
+
+def test_generated_set_rejected_in_every_matched_clause(spark, tmp_path):
+    """Explicit SET of a generated column is rejected whichever clause
+    carries it."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from deltalake_datafusion_spark.delta.writer import (
+        DeltaWriteError,
+        create_delta_table,
+    )
+
+    path = str(tmp_path / "mm_gen")
+    create_delta_table(
+        spark, path,
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField(
+                    "dbl", LongType(), True,
+                    {"delta.generationExpression": "id * 2"},
+                ),
+            ]
+        ),
+    )
+    write_delta(
+        spark, spark.range(3).select("id"), path, mode="append",
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(DeltaWriteError, match="generated"):
+        merge_delta(
+            spark, path, src, "t.id = s.id",
+            when_matched=[
+                {"condition": "s.id = 0", "update": {"id": "s.id"}},
+                {"condition": None, "update": {"dbl": "99"}},
+            ],
+            when_not_matched=[],
+        )
+
+
+def test_identity_minted_only_for_non_supplying_clauses(spark, tmp_path):
+    """Insert clauses that don't assign a BY DEFAULT identity column
+    get minted ids; a clause assigning it explicitly keeps its values;
+    ids stay unique."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from deltalake_datafusion_spark.delta.identity import identity_field
+    from deltalake_datafusion_spark.delta.writer import create_delta_table
+
+    path = str(tmp_path / "mm_ident")
+    create_delta_table(
+        spark, path,
+        StructType(
+            [
+                identity_field(
+                    "uid", start=1000, step=1, allow_explicit_insert=True
+                ),
+                StructField("k", LongType()),
+            ]
+        ),
+    )
+    src = spark.createDataFrame(
+        [(1, "exp"), (2, "mint"), (3, "mint")], "k long, kind string"
+    )
+    merge_delta(
+        spark, path, src, "t.k = s.k",
+        when_matched=[],
+        when_not_matched=[
+            {"condition": "s.kind = 'exp'", "values": {
+                "uid": "-5", "k": "s.k"}},
+            {"condition": None, "values": {"k": "s.k"}},
+        ],
+    )
+    rows = {r.k: r.uid for r in read_delta(spark, path).collect()}
+    assert rows[1] == -5                       # explicit kept
+    assert rows[2] >= 1000 and rows[3] >= 1000  # minted from hwm
+    assert rows[2] != rows[3]
+
+
+def test_legacy_and_list_forms_are_exclusive(spark, tmp_path):
+    path = str(tmp_path / "mm_excl")
+    _seed(spark, path)
+    src = _src(spark)
+    with pytest.raises(ValueError, match="not both"):
+        merge_delta(
+            spark, path, src, "t.id = s.id",
+            when_matched=[{"condition": None, "delete": True}],
+            when_matched_update={"v": "s.v"},
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        merge_delta(
+            spark, path, src, "t.id = s.id",
+            when_matched=[{"condition": None}],
+        )
