@@ -1524,6 +1524,24 @@ def _merge_attempt(
                     ]
                 )
                 supplied = set(source.columns)
+            # Column DEFAULT values (allowColumnDefaults): a column
+            # the clause doesn't assign takes its declared default
+            # instead of null (delta-spark MERGE INSERT semantics);
+            # applied before regen so generated expressions see the
+            # defaulted base values.
+            for f2 in logical.fields:
+                if (
+                    f2.name not in supplied
+                    and f2.name not in _gen_exprs
+                    and f2.metadata
+                    and "CURRENT_DEFAULT" in f2.metadata
+                ):
+                    ins_f = ins_f.withColumn(
+                        f2.name,
+                        F.expr(f2.metadata["CURRENT_DEFAULT"]).cast(
+                            f2.dataType
+                        ),
+                    )
             # generated columns not explicitly assigned are computed,
             # not inserted as null; SUPPLIED values are validated
             # against the expression (Delta writer semantics — an

@@ -1457,6 +1457,75 @@ FROM positioned GROUP BY shard ORDER BY shard
 """
 
 
+def delta_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-clause MERGE (Delta's full grammar) through the
+    SQL dialect: three WHEN MATCHED clauses (conditional DELETE,
+    conditional UPDATE, unconditional UPDATE), two WHEN NOT MATCHED
+    inserts (explicit VALUES then INSERT *), and two BY SOURCE clauses
+    (conditional DELETE then conditional UPDATE) — first-true-wins per
+    row, all landing in ONE commit. Target = even customers, source =
+    every-3rd customers."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    t = load_tables(spark, sf_dir, "customer")
+    c = t["customer"]
+    path = os.path.join(_fresh_dir("merge_multi", sf_dir), "t")
+    write_delta(spark, c.filter("c_custkey % 2 = 0").repartition(4), path)
+    c.filter("c_custkey % 3 = 0").createOrReplaceTempView("mm_src_q")
+    sql(
+        spark,
+        f"MERGE INTO '{path}' AS t USING mm_src_q AS s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE "
+        "WHEN MATCHED AND s.c_mktsegment = 'BUILDING' "
+        "THEN UPDATE SET c_acctbal = s.c_acctbal + 1000 "
+        "WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal - 50 "
+        "WHEN NOT MATCHED AND s.c_acctbal > 0 THEN "
+        "INSERT (c_custkey, c_mktsegment, c_acctbal) "
+        "VALUES (s.c_custkey, s.c_mktsegment, s.c_acctbal * 2) "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND c_acctbal < 0 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE AND c_mktsegment = 'MACHINERY' "
+        "THEN UPDATE SET c_acctbal = 0",
+    )
+    df = read_delta(spark, path)
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_MERGE_MULTI_SQL = """
+WITH final AS (
+  SELECT c_mktsegment,
+         CASE
+           WHEN c_custkey % 6 = 0 AND c_mktsegment = 'BUILDING'
+             THEN c_acctbal + 1000
+           WHEN c_custkey % 6 = 0 THEN c_acctbal - 50
+           WHEN c_custkey % 2 = 0 AND c_mktsegment = 'MACHINERY' THEN 0
+           WHEN c_custkey % 2 = 0 THEN c_acctbal
+           WHEN c_acctbal > 0 THEN c_acctbal * 2
+           ELSE c_acctbal
+         END AS bal
+  FROM customer
+  WHERE (c_custkey % 6 = 0 AND c_acctbal >= 0)
+     OR (c_custkey % 2 = 0 AND c_custkey % 3 <> 0 AND c_acctbal >= 0)
+     OR (c_custkey % 3 = 0 AND c_custkey % 2 <> 0)
+)
+SELECT c_mktsegment, COUNT(*) AS n,
+  CAST(SUM(CAST(bal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -1533,5 +1602,8 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec(
             "pipe_shard_shuffle", pipe_shard_shuffle, _SHARD_SHUFFLE_SQL
+        ),
+        QuerySpec(
+            "delta_merge_multi", delta_merge_multi, _MERGE_MULTI_SQL
         ),
     ]

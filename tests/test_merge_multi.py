@@ -295,3 +295,39 @@ def test_legacy_and_list_forms_are_exclusive(spark, tmp_path):
             spark, path, src, "t.id = s.id",
             when_matched=[{"condition": None}],
         )
+
+
+def test_merge_insert_applies_column_defaults(spark, tmp_path):
+    """A MERGE INSERT clause that doesn't assign a DEFAULT-carrying
+    column writes the default, not null (delta-spark allowColumnDefaults
+    semantics) — for both star inserts (source lacks the column) and
+    explicit VALUES clauses."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from deltalake_datafusion_spark.delta.writer import create_delta_table
+
+    path = str(tmp_path / "mm_dflt")
+    create_delta_table(
+        spark, path,
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField(
+                    "tier", StringType(), True,
+                    {"CURRENT_DEFAULT": "'standard'"},
+                ),
+            ]
+        ),
+        configuration={"delta.feature.allowColumnDefaults": "supported"},
+    )
+    src = spark.createDataFrame([(1,), (2,)], "id long")
+    merge_delta(
+        spark, path, src, "t.id = s.id",
+        when_matched=[],
+        when_not_matched=[
+            {"condition": "s.id = 1", "values": {"id": "s.id"}},
+            {"condition": None, "values": None},  # star: source lacks tier
+        ],
+    )
+    out = {r.id: r.tier for r in read_delta(spark, path).collect()}
+    assert out == {1: "standard", 2: "standard"}
