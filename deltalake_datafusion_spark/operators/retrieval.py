@@ -1,0 +1,146 @@
+"""Lexical corpus retrieval: BM25 top-k search over a document table.
+
+Complements the embedding-based ANN tier (``operators/similarity.py``)
+with the classic sparse-retrieval scorer — the workhorse for corpus
+exploration, hard-negative mining, and contamination triage in
+training-data pipelines. The reference engine has no text-retrieval
+operator; semantics follow the standard Okapi BM25 formulation
+(Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework"),
+with the Lucene-style non-negative idf ``ln(1 + (N - df + 0.5) /
+(df + 0.5))``.
+
+Scale design (the 100 TB path):
+- The corpus token stream is **semi-joined to the broadcast query-term
+  set before any shuffle** — per-run shuffle bytes are proportional to
+  occurrences of the query's terms, never the corpus vocabulary. A
+  10-term query over a 100 TB corpus shuffles only that query's
+  posting lists.
+- Document lengths are a per-row expression (no shuffle); the two
+  corpus scalars (N, avgdl) are one aggregate.
+- Scoring is a broadcast join (query terms are driver-small by
+  contract) plus one ``groupBy(query, doc)`` over matched postings;
+  top-k is a per-query window over scored docs only.
+- Zero Python UDFs — every expression is JVM codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: tokenizer shared by corpus and queries: lowercase, split on runs of
+#: non-alphanumeric characters (mirrors the DuckDB oracle's
+#: ``string_split_regex(lower(x), '[^a-z0-9]+')``)
+_TOKEN_RE = "[^a-z0-9]+"
+
+
+def _tokens(col):
+    return F.filter(
+        F.split(F.lower(col), _TOKEN_RE), lambda t: t != F.lit("")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_round: int | None = None,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    ``docs``: the corpus (any size). ``queries``: driver-small by
+    contract (it is broadcast; tens of thousands of queries are fine,
+    millions are not — batch them). Returns
+    ``(query_id, doc_id, score, rank)``, rank 1 = best, ties broken by
+    ascending ``doc_id``; documents sharing no term with the query are
+    not returned (BM25 score 0).
+
+    The score is the standard Okapi sum over matched terms::
+
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    with ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` — df counted
+    document-level over the full corpus, dl = document token count,
+    avgdl = corpus mean.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _tokens(F.col(text_col)).alias("__toks"),
+    )
+    lens = toks.select("doc_id", F.size("__toks").alias("dl"))
+    n_avg = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(n_avg["n"]), float(n_avg["avgdl"])
+
+    q_terms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                F.array_distinct(_tokens(F.col(query_text_col)))
+            ).alias("term"),
+        )
+    )
+    term_set = q_terms.select("term").distinct()
+
+    # postings of query terms only: the broadcast semi-join runs
+    # BEFORE the tf groupBy, so the corpus-side shuffle carries just
+    # the query's posting lists
+    postings = (
+        toks.select("doc_id", F.explode("__toks").alias("term"))
+        .join(F.broadcast(term_set), "term", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(lens, "doc_id")
+    )
+    df_counts = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+
+    contrib = (
+        postings.join(F.broadcast(df_counts), "term")
+        .join(F.broadcast(q_terms), "term")
+        .withColumn(
+            "__c",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                )
+            ),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("__c").alias("score")
+    )
+    if score_round is not None:
+        # rank on the ROUNDED score: documents with identical postings
+        # then tie exactly (whatever order their contributions summed
+        # in) and break deterministically on doc_id — required for
+        # cross-engine reproducibility of the ranking
+        scored = scored.withColumn(
+            "score", F.round("score", score_round)
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -1526,6 +1526,80 @@ FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval for four fixed queries over the documents
+    corpus (``operators/retrieval.py::bm25_topk``). Scores are rounded
+    to 6 decimals BEFORE ranking (both engines) so equal-posting
+    documents tie exactly and break on doc_id — the same strict
+    cross-engine determinism convention the ANN queries use."""
+    from deltalake_datafusion_spark.operators.retrieval import bm25_topk
+
+    t = load_tables(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [
+            (0, "spark window aggregation"),
+            (1, "hash join merge table"),
+            (2, "stream batch filter"),
+            (3, "customer order sort key"),
+        ],
+        "query_id int, query_text string",
+    )
+    return bm25_topk(
+        t["documents"], queries, k=5, score_round=6
+    ).orderBy("query_id", "rank")
+
+
+_BM25_SQL = """
+WITH q(query_id, query_text) AS (
+  VALUES (0, 'spark window aggregation'), (1, 'hash join merge table'),
+         (2, 'stream batch filter'), (3, 'customer order sort key')
+),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS tk
+  FROM documents
+),
+lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+qterms AS (
+  SELECT query_id, unnest(list_distinct(
+    list_filter(string_split_regex(lower(query_text), '[^a-z0-9]+'),
+                t -> t <> ''))) AS term
+  FROM q
+),
+postings AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+pl AS (SELECT p.doc_id, p.term, p.tf, l.dl
+       FROM postings p JOIN lens l USING (doc_id)),
+dfc AS (SELECT term, COUNT(*) AS df FROM pl GROUP BY term),
+contrib AS (
+  SELECT qt.query_id, pl.doc_id,
+    ln(1.0 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+      * (pl.tf * 2.2)
+      / (pl.tf + 1.2 * (0.25 + 0.75 * pl.dl / s.avgdl)) AS c
+  FROM pl JOIN dfc USING (term) JOIN qterms qt USING (term), stats s
+),
+scored AS (
+  SELECT query_id, doc_id, ROUND(SUM(c), 6) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -1606,4 +1680,5 @@ def specs() -> list[QuerySpec]:
         QuerySpec(
             "delta_merge_multi", delta_merge_multi, _MERGE_MULTI_SQL
         ),
+        QuerySpec("text_bm25", text_bm25, _BM25_SQL),
     ]

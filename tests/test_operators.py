@@ -698,3 +698,43 @@ def test_semantic_dedup_drops_planted_near_dups(spark):
             df, vec_col="v", id_col="vec_id", k=1, threshold=0.99,
             max_cluster=10,
         )
+
+
+def test_bm25_topk_semantics_and_plan(spark):
+    """BM25 ranks the term-dense short doc above a long diluted one,
+    excludes no-overlap docs, ties break on doc_id; the corpus-side
+    plan is pure codegen (no Python) with the query-term semi-join
+    BEFORE the tf aggregation."""
+    import math
+
+    from deltalake_datafusion_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark join"),            # dense in 'spark'
+            (2, "spark " + "filler " * 50),             # diluted
+            (3, "completely unrelated words here"),     # no overlap
+            (4, "spark shuffle spark join"),            # identical to 1
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, "spark join")], "query_id int, query_text string"
+    )
+    out = bm25_topk(docs, q, k=10, score_round=6).orderBy("rank").collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids                 # zero-overlap never returned
+    assert ids[:2] == [1, 4]            # identical docs tie → doc_id order
+    assert out[0].score == out[1].score
+    assert ids[2] == 2                  # diluted doc ranks below
+    # hand-check doc 1's score: N=4, dl=4, avgdl=(4+51+4+4)/4
+    n, avgdl, k1, b = 4, (4 + 51 + 4 + 4) / 4, 1.2, 0.75
+    def bm(tf, df, dl):
+        return math.log(1 + (n - df + 0.5) / (df + 0.5)) * (
+            tf * (k1 + 1)
+        ) / (tf + k1 * (1 - b + b * dl / avgdl))
+    expected = round(bm(2, 3, 4) + bm(1, 2, 4), 6)  # spark df=3, join df=2
+    assert abs(out[0].score - expected) < 1e-6
+
+    plan = bm25_topk(docs, q, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan         # zero UDFs — all codegen
