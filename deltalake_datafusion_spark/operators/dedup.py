@@ -1003,3 +1003,119 @@ def incremental_minhash_dedup(
     sh.unpersist()
     sigs.unpersist()
     return survivors
+
+
+def dedup_substring_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_occurrences: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "hash",
+) -> DataFrame:
+    """Exact duplicated-substring removal (the span-level dedup of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): every k-token window occurring
+    ``min_occurrences``+ times corpus-wide keeps its FIRST occurrence
+    (lowest ``(doc_id, start)``) and every other occurrence's token
+    range is deleted from its document. Catches the boilerplate /
+    license-header / template duplication that document-level MinHash
+    can't (the containing documents differ), which measurably improves
+    LM training (op. cit. §4).
+
+    Returns ``(id_col, text_col, n_tokens, n_removed)`` — the cleaned
+    text is whitespace-normalized (single spaces) since it is rebuilt
+    from tokens.
+
+    Scale design: the paper builds a suffix array; the distributed
+    equivalent here is one pass of k-token window keys — shuffle rows
+    ≈ corpus token count, the algorithm's inherent cost, with
+    ``key="hash"`` (default) shuffling 8-byte xxhash64 keys instead of
+    the window text (collisions only ever delete a false span, never
+    corrupt counts structurally; use ``key="text"`` for exactness —
+    the oracle-checked mode). The first-occurrence choice is a
+    partial-aggregatable ``min(struct(doc, start))`` per key — NO
+    per-key window function, so a span repeated millions of times
+    (the exact case this operator exists for) never serializes one
+    reducer; the residual join skew is AQE's skew-join case.
+    Reconstruction is one anti-join plus one per-document sorted
+    collect (bounded by document size)."""
+    if key not in ("hash", "text"):
+        raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
+    tk = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = docs.select(
+        F.col(id_col).alias("__id"), tk.alias("__tk")
+    )
+    wins = (
+        base.filter(F.size("__tk") >= k)
+        .select(
+            "__id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(__tk) - {k}), "
+                    f"i -> struct(i AS start, "
+                    f"concat_ws(' ', slice(__tk, i + 1, {k})) AS w))"
+                )
+            ).alias("win"),
+        )
+        .select(
+            "__id",
+            F.col("win.start").alias("start"),
+            F.col("win.w").alias("w"),
+        )
+    )
+    wkey = F.xxhash64("w") if key == "hash" else F.col("w")
+    occ = wins.select("__id", "start", wkey.alias("wk"))
+    dup_keys = (
+        occ.groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_occurrences)
+        .select("wk")
+    )
+    dup_occ = occ.join(dup_keys, "wk", "left_semi")
+    firsts = dup_occ.groupBy("wk").agg(
+        F.min(F.struct("__id", "start")).alias("f")
+    )
+    losers = dup_occ.join(firsts, "wk").filter(
+        ~(
+            (F.col("__id") == F.col("f.__id"))
+            & (F.col("start") == F.col("f.start"))
+        )
+    )
+    deleted = (
+        losers.select(
+            "__id",
+            F.explode(
+                F.expr(f"sequence(start, start + {k} - 1)")
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "__id", F.posexplode("__tk").alias("pos", "tok")
+    )
+    kept = toks.join(deleted, ["__id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        base.select("__id", F.size("__tk").alias("n_tokens"))
+        .join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("__clean", F.lit("")).alias(text_col),
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))
+            ).alias("n_removed"),
+        )
+    )

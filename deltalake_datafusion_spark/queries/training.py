@@ -1600,6 +1600,99 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring removal
+    (``operators/dedup.py::dedup_substring_spans``, Lee et al. 2022):
+    documents ∪ planted copies sharing each original's 40-token prefix
+    — every duplicated 8-token window keeps its first occurrence, so
+    the copies lose the whole shared prefix while originals stay
+    byte-identical. Oracle replays the identical window / first-
+    occurrence / deletion semantics in SQL; cleaned text compared by
+    md5."""
+    from deltalake_datafusion_spark.operators.dedup import (
+        dedup_substring_spans,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].filter("doc_id < 40").select("doc_id", "text")
+    tk = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    copies = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(tk, 1, 40)),
+            F.lit(" zz"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = dedup_substring_spans(
+        d.unionByName(copies), k=8, key="text"
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    ).orderBy("doc_id")
+
+
+_SPAN_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id,
+    array_to_string(list_slice(
+      list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''),
+      1, 40), ' ')
+    || ' zz' || doc_id AS text
+  FROM documents WHERE doc_id < 40
+),
+toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM corpus
+),
+wins AS (
+  SELECT doc_id, i AS start,
+    array_to_string(list_slice(tk, i + 1, i + 8), ' ') AS w
+  FROM toks, unnest(range(0, len(tk) - 7)) AS t(i)
+  WHERE len(tk) >= 8
+),
+marked AS (
+  SELECT doc_id, start,
+    ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, start) AS rn,
+    COUNT(*) OVER (PARTITION BY w) AS cnt
+  FROM wins
+),
+deleted AS (
+  SELECT DISTINCT doc_id, pos
+  FROM (SELECT doc_id, start FROM marked WHERE cnt >= 2 AND rn > 1) l,
+       unnest(range(l.start, l.start + 8)) AS t(pos)
+),
+toklist AS (
+  SELECT doc_id, i AS pos, tk[i + 1] AS tok
+  FROM toks, unnest(range(0, len(tk))) AS t(i)
+),
+kept AS (
+  SELECT tl.doc_id, tl.pos, tl.tok
+  FROM toklist tl ANTI JOIN deleted d
+    ON tl.doc_id = d.doc_id AND tl.pos = d.pos
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, len(tk) AS n_tokens FROM toks)
+SELECT b.doc_id, md5(COALESCE(r.clean, '')) AS fp,
+  CAST(b.n_tokens AS BIGINT) AS n_tokens,
+  CAST(b.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -1681,4 +1774,5 @@ def specs() -> list[QuerySpec]:
             "delta_merge_multi", delta_merge_multi, _MERGE_MULTI_SQL
         ),
         QuerySpec("text_bm25", text_bm25, _BM25_SQL),
+        QuerySpec("text_span_dedup", text_span_dedup, _SPAN_DEDUP_SQL),
     ]

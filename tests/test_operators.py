@@ -738,3 +738,42 @@ def test_bm25_topk_semantics_and_plan(spark):
 
     plan = bm25_topk(docs, q, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan         # zero UDFs — all codegen
+
+
+def test_dedup_substring_spans_semantics(spark):
+    """Span dedup: first occurrence (lowest doc_id, start) survives,
+    every other occurrence's k-token range is deleted — including
+    repeats WITHIN one document; hash and text key modes agree; docs
+    without duplicated spans come back whitespace-normalized but
+    token-identical."""
+    import pytest as _pytest
+
+    from deltalake_datafusion_spark.operators.dedup import (
+        dedup_substring_spans,
+    )
+
+    boiler = "p q r s t u v w"  # 8 tokens, will repeat
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro1 {boiler} tail1"),
+            (2, f"{boiler} middle2 {boiler}"),   # two occurrences in-doc
+            (3, "a b c d e f g h i"),
+        ],
+        "doc_id long, text string",
+    )
+    for key in ("text", "hash"):
+        out = {
+            r.doc_id: r
+            for r in dedup_substring_spans(docs, k=8, key=key).collect()
+        }
+        # doc 1 holds the first occurrence (start 1) → untouched
+        assert out[1].text == f"intro1 {boiler} tail1"
+        assert out[1].n_removed == 0
+        # doc 2: both its occurrences lose (doc 1 was first) → only
+        # the non-boiler token survives
+        assert out[2].text == "middle2"
+        assert out[2].n_removed == 16
+        assert out[3].n_removed == 0
+
+    with _pytest.raises(ValueError, match="key"):
+        dedup_substring_spans(docs, key="zstd")
