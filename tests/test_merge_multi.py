@@ -331,3 +331,164 @@ def test_merge_insert_applies_column_defaults(spark, tmp_path):
     )
     out = {r.id: r.tier for r in read_delta(spark, path).collect()}
     assert out == {1: "standard", 2: "standard"}
+
+
+# ------------------------------------------------------------------ #
+# Model-based fuzz: random clause lists vs a Python reference model    #
+# ------------------------------------------------------------------ #
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_FUZZ_COUNTER = [0]
+
+# (condition SQL over t./s., python predicate(trow, srow))
+_M_CONDS = [
+    (None, lambda t, s: True),
+    ("s.sv % 2 = 0", lambda t, s: s["sv"] % 2 == 0),
+    ("t.v > 50", lambda t, s: t["v"] > 50),
+    ("s.sv > t.v", lambda t, s: s["sv"] > t["v"]),
+]
+# (clause dict fragment, python action(trow, srow) -> new row | None)
+_M_ACTS = [
+    ({"update": {"v": "s.sv"}}, lambda t, s: {**t, "v": s["sv"]}),
+    (
+        {"update": {"v": "t.v + s.sv"}},
+        lambda t, s: {**t, "v": t["v"] + s["sv"]},
+    ),
+    ({"delete": True}, lambda t, s: None),
+]
+_NM_CONDS = [
+    (None, lambda s: True),
+    ("s.sv % 2 = 1", lambda s: s["sv"] % 2 == 1),
+]
+_NM_VALS = [
+    (None, lambda s: {"id": s["id"], "v": None}),  # INSERT * (no v in src)
+    (
+        {"id": "s.id", "v": "s.sv * 2"},
+        lambda s: {"id": s["id"], "v": s["sv"] * 2},
+    ),
+]
+_BS_CONDS = [
+    (None, lambda t: True),
+    ("v < 30", lambda t: t["v"] < 30),
+]
+_BS_ACTS = [
+    ({"delete": True}, lambda t: None),
+    ({"update": {"v": "v + 1000"}}, lambda t: {**t, "v": t["v"] + 1000}),
+]
+
+
+@st.composite
+def _merge_case(draw):
+    tgt = draw(
+        st.dictionaries(
+            st.integers(0, 9), st.integers(0, 99), min_size=1, max_size=8
+        )
+    )
+    src = draw(
+        st.dictionaries(
+            st.integers(0, 14), st.integers(0, 99), min_size=1, max_size=8
+        )
+    )
+    m = draw(
+        st.lists(
+            st.tuples(st.sampled_from(_M_CONDS), st.sampled_from(_M_ACTS)),
+            min_size=0,
+            max_size=3,
+        )
+    )
+    nm = draw(
+        st.lists(
+            st.tuples(st.sampled_from(_NM_CONDS), st.sampled_from(_NM_VALS)),
+            min_size=0,
+            max_size=2,
+        )
+    )
+    bs = draw(
+        st.lists(
+            st.tuples(st.sampled_from(_BS_CONDS), st.sampled_from(_BS_ACTS)),
+            min_size=0,
+            max_size=2,
+        )
+    )
+    strategy = draw(st.sampled_from(["cow", "dv"]))
+    return tgt, src, m, nm, bs, strategy
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(case=_merge_case())
+def test_multi_clause_merge_matches_model(spark, tmp_path_factory, case):
+    """Randomized clause lists (0-3 matched, 0-2 not-matched, 0-2
+    by-source; both physical strategies) produce exactly the state a
+    row-by-row first-true-wins Python model computes."""
+    tgt, src, m, nm, bs, strategy = case
+    _FUZZ_COUNTER[0] += 1
+    path = str(
+        tmp_path_factory.mktemp("mmf") / f"t{_FUZZ_COUNTER[0]}"
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, v) for i, v in tgt.items()], "id long, v long"
+        ),
+        path,
+    )
+    source = spark.createDataFrame(
+        [(i, v) for i, v in src.items()], "id long, sv long"
+    )
+    merge_delta(
+        spark, path, source, "t.id = s.id",
+        when_matched=[
+            {"condition": c[0], **a[0]} for c, a in m
+        ],
+        when_not_matched=[
+            {"condition": c[0], "values": v[0]} for c, v in nm
+        ],
+        when_not_matched_by_source=[
+            {"condition": c[0], **a[0]} for c, a in bs
+        ],
+        strategy=strategy,
+    )
+
+    # reference model
+    expected: list[tuple] = []
+    for i in sorted(tgt):
+        trow = {"id": i, "v": tgt[i]}
+        if i in src:
+            srow = {"id": i, "sv": src[i]}
+            out = trow
+            for c, a in m:
+                if c[1](trow, srow):
+                    out = a[1](trow, srow)
+                    break
+            if out is not None:
+                expected.append((out["id"], out["v"]))
+        else:
+            out = trow
+            for c, a in bs:
+                if c[1](trow):
+                    out = a[1](trow)
+                    break
+            if out is not None:
+                expected.append((out["id"], out["v"]))
+    for i in sorted(src):
+        if i in tgt:
+            continue
+        srow = {"id": i, "sv": src[i]}
+        for c, v in nm:
+            if c[1](srow):
+                r = v[1](srow)
+                expected.append((r["id"], r["v"]))
+                break
+
+    got = sorted(
+        [(r.id, r.v) for r in read_delta(spark, path).collect()]
+    )
+    assert got == sorted(expected)
