@@ -146,6 +146,18 @@ def _cleanup_staged_adds(spark, table_path: str, actions: list[dict]) -> None:
         pass
 
 
+def _ow_enabled(snap) -> bool:
+    """delta.autoOptimize.optimizeWrite from the table configuration."""
+    from deltalake_datafusion_spark.delta.writer import OPTIMIZE_WRITE_PROP
+
+    return (
+        str(
+            snap.metadata.configuration.get(OPTIMIZE_WRITE_PROP, "false")
+        ).lower()
+        == "true"
+    )
+
+
 def _reject_generated_set(schema, set_exprs: dict, op: str) -> None:
     """Explicit SET of a generated column is rejected (delta-spark
     behavior): a stored value inconsistent with
@@ -757,7 +769,10 @@ def _update_attempt(
         phys.fields[logical.fieldNames().index(p)].name
         for p in snap.partition_columns
     ]
-    moved = _stage_and_move(spark, out_df, snap.table_path, phys_parts)
+    moved = _stage_and_move(
+        spark, out_df, snap.table_path, phys_parts,
+        optimize_write=_ow_enabled(snap),
+    )
 
     # DV the old copies of the matched rows — PLANNED against the same
     # snapshot, committed together with the replacement adds in ONE
@@ -1663,7 +1678,10 @@ def _merge_attempt(
             phys.fields[logical.fieldNames().index(p)].name
             for p in snap.partition_columns
         ]
-        moved = _stage_and_move(spark, out_df, snap.table_path, phys_parts)
+        moved = _stage_and_move(
+            spark, out_df, snap.table_path, phys_parts,
+            optimize_write=_ow_enabled(snap),
+        )
         p2l = dict(zip(phys_parts, snap.partition_columns))
         from deltalake_datafusion_spark.delta.stats import (
             collect_stats_batch as _csb,

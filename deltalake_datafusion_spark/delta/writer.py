@@ -860,26 +860,42 @@ def _add_body_as_file(body: dict, decoded_path: str):
     )
 
 
+OPTIMIZE_WRITE_PROP = "delta.autoOptimize.optimizeWrite"
+
+
 def _stage_and_move(
     spark,
     df: DataFrame,
     table_path: str,
     partition_by: list[str],
     max_records_per_file: int | None = None,
+    optimize_write: bool = False,
 ) -> list[tuple[str, dict[str, str | None], int, int]]:
     """Write data via Spark into a staging dir, then move part-files to
     their final (unique) names under the table root. Returns
     [(relative_path, partitionValues, size, mtime_ms)] — size/mtime
     come from the pre-move listing (rename preserves them), so callers
     never re-stat: no per-file os.stat (breaks on object stores) and
-    no extra HEAD round-trip per file at 100k-file scale."""
+    no extra HEAD round-trip per file at 100k-file scale.
+
+    ``optimize_write`` (``delta.autoOptimize.optimizeWrite``): the
+    pre-write shuffle becomes an AQE REBALANCE — partitions are
+    coalesced toward ``spark.sql.adaptive.advisoryPartitionSizeInBytes``
+    AND oversized/skewed ones are split, so an unpartitioned append
+    from a 2000-task upstream lands a handful of right-sized files
+    instead of 2000 shards, and a hot partition value still splits
+    across files (plain hash repartition would serialize it)."""
     fs = fs_for(table_path, spark)
     staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex}")
-    if partition_by:
-        # Optimize-write: cluster rows by partition value before the
-        # write so each partition yields a handful of right-sized files
-        # instead of (shuffle.partitions × values) tiny ones. At 100 TB
-        # the repartition cost is one shuffle; the small-files cost is
+    if optimize_write:
+        from pyspark.sql import functions as F
+
+        df = df.hint("rebalance", *[F.col(f"`{p}`") for p in partition_by])
+    elif partition_by:
+        # Cluster rows by partition value before the write so each
+        # partition yields a handful of right-sized files instead of
+        # (shuffle.partitions × values) tiny ones. At 100 TB the
+        # repartition cost is one shuffle; the small-files cost is
         # paid by every future scan.
         df = df.repartition(*[f"`{p}`" for p in partition_by])
     writer = df.write.mode("overwrite")
@@ -1427,7 +1443,11 @@ def write_delta(
     ]
 
     moved = _stage_and_move(
-        spark, out_df, table_path, phys_partition_by, max_records_per_file
+        spark, out_df, table_path, phys_partition_by, max_records_per_file,
+        optimize_write=(
+            str(active_conf.get(OPTIMIZE_WRITE_PROP, "false")).lower()
+            == "true"
+        ),
     )
 
     # Stats from footers; partition columns excluded (their values are

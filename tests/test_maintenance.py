@@ -678,3 +678,56 @@ def test_restore_rejects_vacuumed_versions(spark, tmp_path):
     tip = load_snapshot(path, spark=spark).version
     restore_delta(spark, path, version=tip)  # intact version works
     assert read_delta(spark, path).count() == 25
+
+
+def test_optimize_write_rebalances_output(spark, tmp_path):
+    """delta.autoOptimize.optimizeWrite: the pre-write shuffle becomes
+    an AQE REBALANCE, so a 64-task upstream lands a handful of
+    right-sized files instead of 64 shards; without the property the
+    incoming partitioning is kept. DML rewrites inherit it too."""
+    from deltalake_datafusion_spark.delta.ops import update_delta
+
+    data = spark.range(2000).select(
+        "id", F.lit("x").alias("s")
+    ).repartition(64)
+
+    off = str(tmp_path / "ow_off")
+    write_delta(spark, data, off)
+    n_off = len(load_snapshot(off, spark=spark).files)
+    assert n_off >= 32  # incoming partitioning kept (64 non-empty-ish)
+
+    on = str(tmp_path / "ow_on")
+    write_delta(
+        spark, data, on,
+        configuration={"delta.autoOptimize.optimizeWrite": "true"},
+    )
+    snap = load_snapshot(on, spark=spark)
+    n_on = len(snap.files)
+    assert n_on <= 4  # tiny table coalesces to ~1 advisory-sized file
+    from deltalake_datafusion_spark.delta.scan import read_delta
+
+    assert read_delta(spark, on).count() == 2000
+
+    # an UPDATE rewrite also lands rebalanced files
+    update_delta(spark, on, {"s": "'y'"}, "id < 1000")
+    snap2 = load_snapshot(on, spark=spark)
+    assert len(snap2.files) <= n_on + 4
+    assert read_delta(spark, on).filter("s = 'y'").count() == 1000
+
+    # partitioned + optimizeWrite: one-ish file per partition value
+    part = str(tmp_path / "ow_part")
+    write_delta(
+        spark,
+        spark.range(1000).select(
+            "id", (F.col("id") % 3).alias("p")
+        ).repartition(32),
+        part,
+        partition_by=["p"],
+        configuration={"delta.autoOptimize.optimizeWrite": "true"},
+    )
+    files = load_snapshot(part, spark=spark).files
+    per_part: dict = {}
+    for f in files:
+        per_part.setdefault(f.partition_values["p"], []).append(f)
+    assert set(per_part) == {"0", "1", "2"}
+    assert all(len(v) <= 2 for v in per_part.values())
