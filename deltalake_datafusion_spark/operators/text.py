@@ -287,3 +287,79 @@ def strip_markup(col) -> Column:
         c = F.replace(c, F.lit(ent), F.lit(rep))
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus token-frequency table ``(token, count)`` — the input to
+    vocabulary construction, stopword derivation, and the frequency-
+    based quality score below. Tokens are lowercased alphanumeric runs.
+
+    Scale: one groupBy with map-side partial aggregation — the shuffle
+    carries one row per distinct token per map task (Zipf: a few
+    million rows corpus-wide), never the token stream itself."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token")
+    )
+    out = toks.groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+    if min_count > 1:
+        out = out.filter(F.col("count") >= min_count)
+    return out
+
+
+def corpus_frequency_score(
+    df: DataFrame,
+    freqs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 200_000,
+    floor_count: int = 1,
+) -> DataFrame:
+    """Per-document frequency quality score: the mean ``ln(count)`` of
+    the document's tokens under a corpus frequency table — the cheap
+    stand-in for the CCNet/KenLM perplexity filter (Wenzek et al.
+    2020, arXiv:1911.00359): documents made of corpus-typical words
+    score high, gibberish / rare-token soup scores low. Returns
+    ``(id_col, n_tokens, freq_score)``; empty documents score null.
+
+    Scale: only the top-``vocab_size`` tokens by count are used
+    (driver-broadcast, Zipf makes the tail irrelevant); tokens outside
+    the vocabulary take ``floor_count``. The scoring pass is the
+    token explode + one broadcast join + one per-doc aggregate —
+    no corpus-keyed shuffle beyond the doc-id combine."""
+    from pyspark.sql import functions as F
+
+    # top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # partial top-k, no single-task global sort)
+    top = (
+        freqs.orderBy(F.col("count").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token", "count")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("__pos", "token"),
+    )
+    scored = toks.join(F.broadcast(top), "token", "left").select(
+        id_col,
+        F.log(
+            F.coalesce(F.col("count"), F.lit(floor_count)).cast("double")
+        ).alias("__lc"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("__lc").alias("freq_score"),
+    )

@@ -1693,6 +1693,61 @@ ORDER BY b.doc_id
 """
 
 
+def text_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based quality scoring (CCNet-style perplexity proxy,
+    ``operators/text.py::corpus_frequency_score``): corpus token
+    frequencies → per-document mean ln(count) under a top-20 vocabulary
+    (small on purpose so the out-of-vocabulary floor path is exercised)
+    → per-language aggregate. Documents with zero tokens drop out (no
+    score) — identical in the oracle."""
+    from deltalake_datafusion_spark.operators.text import (
+        corpus_frequency_score,
+        token_frequencies,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"]
+    freqs = token_frequencies(d)
+    scores = corpus_frequency_score(d, freqs, vocab_size=20)
+    return (
+        scores.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("freq_score"), 6).alias("avg_score"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_FREQ_QUALITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')) AS token
+  FROM documents
+),
+freqs AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+top AS (
+  SELECT token, cnt FROM freqs ORDER BY cnt DESC, token ASC LIMIT 20
+),
+scored AS (
+  SELECT t.doc_id, t.lang,
+    ln(CAST(COALESCE(tp.cnt, 1) AS DOUBLE)) AS lc
+  FROM toks t LEFT JOIN top tp USING (token)
+),
+per_doc AS (
+  SELECT doc_id, any_value(lang) AS lang, COUNT(*) AS n_tokens,
+         AVG(lc) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(score), 6) AS avg_score,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -1775,4 +1830,5 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec("text_bm25", text_bm25, _BM25_SQL),
         QuerySpec("text_span_dedup", text_span_dedup, _SPAN_DEDUP_SQL),
+        QuerySpec("text_freq_quality", text_freq_quality, _FREQ_QUALITY_SQL),
     ]
