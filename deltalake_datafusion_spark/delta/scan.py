@@ -435,11 +435,23 @@ def scan(
     phys_full = physical_schema(logical)
     part_cols = snapshot.partition_columns
     part_idx = {logical.fieldNames().index(p) for p in part_cols}
+    # Column mapping mode "id" (Iceberg-converted / foreign tables):
+    # parquet columns resolve by FIELD ID, not name — annotate the
+    # read schema with parquet.field.id and turn on Spark's fieldId
+    # reader (files may carry arbitrary column names).
+    phys_for_read = phys_full
+    if snapshot.column_mapping_mode == "id":
+        from deltalake_datafusion_spark.delta.writer import (
+            physical_schema_field_ids,
+        )
+
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        phys_for_read = physical_schema_field_ids(logical)
     # Physical *data* schema = physical schema minus partition columns
     # (partition values live in the log, not the files — reference
     # injects them via per-file transforms, table_format.rs:20-21).
     data_schema = StructType(
-        [f for i, f in enumerate(phys_full.fields) if i not in part_idx]
+        [f for i, f in enumerate(phys_for_read.fields) if i not in part_idx]
     )
 
     files = scan_files(snapshot, predicate, limit)

@@ -174,6 +174,38 @@ def physical_schema(schema: StructType) -> StructType:
     return StructType([walk_field(f) for f in schema.fields])
 
 
+def physical_schema_field_ids(schema: StructType) -> StructType:
+    """Physical (file) schema annotated with ``parquet.field.id``
+    metadata taken from each field's ``delta.columnMapping.id`` — the
+    read schema for column-mapping mode ``id`` tables (Iceberg-
+    converted / foreign), where parquet columns resolve by FIELD ID
+    via Spark's parquet fieldId reader, not by name (the file's column
+    names can be anything)."""
+
+    def walk_field(f: StructField) -> StructField:
+        md = f.metadata or {}
+        name = md.get("delta.columnMapping.physicalName", f.name)
+        out_md = {}
+        if "delta.columnMapping.id" in md:
+            out_md["parquet.field.id"] = int(md["delta.columnMapping.id"])
+        return StructField(name, walk_type(f.dataType), f.nullable, out_md)
+
+    def walk_type(t):
+        if isinstance(t, StructType):
+            return StructType([walk_field(f) for f in t.fields])
+        if isinstance(t, ArrayType):
+            return ArrayType(walk_type(t.elementType), t.containsNull)
+        if isinstance(t, MapType):
+            return MapType(
+                walk_type(t.keyType),
+                walk_type(t.valueType),
+                t.valueContainsNull,
+            )
+        return t
+
+    return StructType([walk_field(f) for f in schema.fields])
+
+
 def _rename_to_physical(
     df: DataFrame, logical: StructType,
     extra_cols: list[str] | None = None,
@@ -327,6 +359,13 @@ def check_writable(snapshot) -> None:
             f"table requires writer version {p.min_writer_version}, "
             f"this engine supports ≤{MAX_WRITER_VERSION} — the table "
             "stays readable, but writes are refused"
+        )
+    if snapshot.column_mapping_mode == "id":
+        raise DeltaWriteError(
+            "column mapping mode 'id' tables are readable but not "
+            "writable by this engine (parquet field-id authoring for "
+            "new files is not implemented); rewrite under mode 'name' "
+            "to take writes"
         )
     unsupported = sorted(
         set(p.writer_features or []) - SUPPORTED_WRITER_FEATURES

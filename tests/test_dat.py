@@ -1196,3 +1196,86 @@ def test_dat_analyze_backfills_missing_stats(spark, tmp_path):
         spark, f"ANALYZE TABLE '{t}' COMPUTE DELTA STATISTICS"
     ).collect()[0]
     assert res2["files_updated"] == 0
+
+
+def test_dat_column_mapping_id_mode(spark, tmp_path):
+    """Column mapping mode 'id' (Iceberg-converted shape): parquet
+    columns carry arbitrary NAMES but delta field ids — resolution
+    must go by parquet field id, not name. The table is readable;
+    writes are refused (field-id authoring unimplemented)."""
+    import pytest as _pytest
+
+    from deltalake_datafusion_spark.delta.writer import (
+        DeltaWriteError,
+        write_delta,
+    )
+
+    t = str(tmp_path / "cm_id")
+    # parquet file with names NOTHING like the delta physical names
+    arrow = pa.table(
+        {
+            "iceberg_a": pa.array([1, 2, 3], pa.int64()),
+            "iceberg_b": pa.array(["x", "y", "z"], pa.string()),
+        }
+    )
+    schema = pa.schema(
+        [
+            pa.field(
+                "iceberg_a", pa.int64(),
+                metadata={b"PARQUET:field_id": b"1"},
+            ),
+            pa.field(
+                "iceberg_b", pa.string(),
+                metadata={b"PARQUET:field_id": b"2"},
+            ),
+        ]
+    )
+    arrow = arrow.cast(schema)
+    add = _write_file(t, "part-idmode.parquet", arrow)
+    fields = [
+        _field(
+            "id", "long",
+            metadata={
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-aaaa",
+            },
+        ),
+        _field(
+            "tag", "string",
+            metadata={
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-bbbb",
+            },
+        ),
+    ]
+    _commit(t, 0, [
+        _protocol_action(
+            reader=2, writer=5,
+        ),
+        _metadata_action(
+            fields,
+            configuration={
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": "2",
+            },
+        ),
+        add,
+    ])
+    snap = load_snapshot(t, spark=spark)
+    assert snap.column_mapping_mode == "id"
+    rows = sorted(
+        tuple(r) for r in read_delta(spark, t).collect()
+    )
+    assert rows == [(1, "x"), (2, "y"), (3, "z")]
+    # logical names surface, not parquet or physical names
+    assert read_delta(spark, t).columns == ["id", "tag"]
+    # predicate over the logical schema still works (by-id read path)
+    assert read_delta(spark, t, predicate="id >= 2").count() == 2
+
+    with _pytest.raises(DeltaWriteError, match="mode 'id'"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(9, "w")], "id long, tag string"),
+            t,
+            mode="append",
+        )
