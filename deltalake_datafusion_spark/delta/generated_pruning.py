@@ -23,7 +23,11 @@ scanning one day and scanning five years.
 Supported monotonic transforms (delta-spark supports the same family):
 ``CAST(c AS DATE)`` / ``DATE(c)`` / ``to_date(c)``,
 ``date_trunc('unit', c)`` for year/quarter/month/week/day/hour, and
-``year(c)``. Non-monotonic extracts (month(c), day(c), hour(c) as
+``year(c)``; additionally, for EQUALITY predicates on the base
+column, the deterministic-but-cyclic extracts ``month(c)`` /
+``day(c)`` / ``hour(c)`` derive partition equality (a `ts = T` point
+lookup prunes a (year, month)-partitioned table to one partition).
+Non-monotonic extracts under range predicates (month(c), day(c) as
 bare columns) are never used for range derivation.
 
 Soundness: derivation only widens never narrows — the original
@@ -57,6 +61,16 @@ _DATE_TRUNC_RE = re.compile(
 )
 _YEAR_RE = re.compile(
     r"^\s*year\s*\(\s*`?(?P<c>\w+)`?\s*\)\s*$", re.IGNORECASE
+)
+_MONTH_RE = re.compile(
+    r"^\s*month\s*\(\s*`?(?P<c>\w+)`?\s*\)\s*$", re.IGNORECASE
+)
+_DAY_RE = re.compile(
+    r"^\s*(?:day|dayofmonth)\s*\(\s*`?(?P<c>\w+)`?\s*\)\s*$",
+    re.IGNORECASE,
+)
+_HOUR_RE = re.compile(
+    r"^\s*hour\s*\(\s*`?(?P<c>\w+)`?\s*\)\s*$", re.IGNORECASE
 )
 
 
@@ -108,6 +122,23 @@ def _transform_for(expr: str):
     return None
 
 
+def _transform_for_eq(expr: str):
+    """generationExpression → (base column, f) for DETERMINISTIC but
+    non-monotonic extracts (month/day/hour): an equality on the base
+    still implies partition = f(literal) — delta-spark derives these
+    for `ts = T` point lookups — but range predicates imply nothing
+    (month(ts) cycles), so these never feed bound derivation."""
+    for rx, fn in (
+        (_MONTH_RE, lambda t: t.month),
+        (_DAY_RE, lambda t: t.day),
+        (_HOUR_RE, lambda t: t.hour),
+    ):
+        m = rx.match(expr)
+        if m:
+            return m.group("c"), fn
+    return None
+
+
 def _fmt_literal(value, dtype) -> str | None:
     if isinstance(dtype, DateType) and isinstance(value, dt.date):
         return f"DATE '{value.isoformat()}'"
@@ -136,6 +167,7 @@ def derived_partition_predicate(
     ``predicate_sql``, or None. Only top-level AND conjuncts are
     inspected (bounds under OR don't constrain the whole scan)."""
     transforms: dict[str, list] = {}  # base col → [(partition col, f, dtype)]
+    eq_transforms: dict[str, list] = {}  # equality-only (non-monotonic)
     for p in partition_columns:
         try:
             f = schema[p]
@@ -145,13 +177,17 @@ def derived_partition_predicate(
         if not expr:
             continue
         got = _transform_for(expr)
+        reg = transforms
+        if got is None:
+            got = _transform_for_eq(expr)
+            reg = eq_transforms
         if got is None:
             continue
         base, fn = got
         if base in partition_columns or base not in schema.fieldNames():
             continue
-        transforms.setdefault(base, []).append((p, fn, f.dataType))
-    if not transforms:
+        reg.setdefault(base, []).append((p, fn, f.dataType))
+    if not transforms and not eq_transforms:
         return None
 
     pred = try_parse_predicate(predicate_sql)
@@ -172,4 +208,16 @@ def derived_partition_predicate(
             # non-strict bounds on the transform
             op = {"<": "<=", ">": ">="}.get(node.op, node.op)
             derived.append(f"`{part_col}` {op} {lit}")
+        if node.op == "=":
+            # non-monotonic extracts: equality on the base implies
+            # partition = f(literal); ranges imply nothing (cyclic)
+            for part_col, fn, dtype in eq_transforms.get(
+                node.col.name, ()
+            ):
+                t = _parse_base_ts(node.lit.value)
+                if t is None:
+                    continue
+                lit = _fmt_literal(fn(t), dtype)
+                if lit is not None:
+                    derived.append(f"`{part_col}` = {lit}")
     return " AND ".join(derived) if derived else None
