@@ -1941,10 +1941,22 @@ def _cluster_by_zvalue(df, zcols: list[str], n_out: int):
     )
 
 
+def parse_byte_size(s: str) -> int:
+    """``delta.targetFileSize``-style byte size: plain bytes or a
+    b/kb/mb/gb-suffixed value (delta-spark accepts both)."""
+    t = str(s).strip().lower()
+    for suf, mul in (
+        ("gb", 1024**3), ("mb", 1024**2), ("kb", 1024), ("b", 1)
+    ):
+        if t.endswith(suf):
+            return int(float(t[: -len(suf)].strip()) * mul)
+    return int(t)
+
+
 def optimize_delta(
     spark,
     table_path: str,
-    target_file_size: int = 128 * 1024 * 1024,
+    target_file_size: int | None = None,
     small_file_threshold: int | None = None,
     zorder_by: list[str] | None = None,
     purge: bool = False,
@@ -1955,7 +1967,20 @@ def optimize_delta(
     """OPTIMIZE (self-healing: a concurrent DML touching the files
     being compacted restarts the rewrite against a fresh snapshot —
     see :func:`_restart_on_conflict`; disjoint commits retry without
-    re-planning). See :func:`_optimize_attempt` for plan semantics."""
+    re-planning). ``target_file_size`` defaults to the table's
+    ``delta.targetFileSize`` property when set (delta-spark), else
+    128 MiB. See :func:`_optimize_attempt` for plan semantics."""
+    if target_file_size is None:
+        from deltalake_datafusion_spark.delta.snapshot import (
+            load_snapshot as _ls,
+        )
+
+        prop = _ls(
+            table_path, spark=spark, with_files=False
+        ).metadata.configuration.get("delta.targetFileSize")
+        target_file_size = (
+            parse_byte_size(prop) if prop else 128 * 1024 * 1024
+        )
     return _restart_on_conflict(
         lambda: _optimize_attempt(
             spark, table_path, target_file_size, small_file_threshold,

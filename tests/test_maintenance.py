@@ -731,3 +731,46 @@ def test_optimize_write_rebalances_output(spark, tmp_path):
         per_part.setdefault(f.partition_values["p"], []).append(f)
     assert set(per_part) == {"0", "1", "2"}
     assert all(len(v) <= 2 for v in per_part.values())
+
+
+def test_optimize_honors_target_file_size_property(spark, tmp_path):
+    """delta.targetFileSize: OPTIMIZE without an explicit size splits
+    output at the property's value (8kb here → several files), and
+    parse_byte_size accepts plain bytes and suffixed forms."""
+    from deltalake_datafusion_spark.delta.ops import (
+        optimize_delta,
+        parse_byte_size,
+    )
+
+    assert parse_byte_size("104857600") == 100 * 1024 * 1024
+    assert parse_byte_size("8kb") == 8192
+    assert parse_byte_size("1.5MB") == int(1.5 * 1024 * 1024)
+    assert parse_byte_size(" 2gb ") == 2 * 1024**3
+
+    path = str(tmp_path / "tfs")
+    for i in range(4):
+        write_delta(
+            spark,
+            spark.range(i * 500, (i + 1) * 500).select("id").coalesce(1),
+            path,
+            mode="append" if i else "overwrite",
+            configuration=(
+                {"delta.targetFileSize": "1mb"} if i == 0 else None
+            ),
+        )
+    # property (1mb → 512kb victim threshold) drives compaction with
+    # no explicit size argument
+    res = optimize_delta(spark, path)
+    assert res["files_compacted"] == 4
+    assert len(load_snapshot(path, spark=spark).files) == 1
+    from deltalake_datafusion_spark.delta.scan import read_delta
+
+    assert read_delta(spark, path).count() == 2000
+    # a property too small to see the files as victims → no-op
+    from deltalake_datafusion_spark.delta.properties import (
+        set_tblproperties,
+    )
+
+    set_tblproperties(spark, path, {"delta.targetFileSize": "512b"})
+    res2 = optimize_delta(spark, path)
+    assert res2["files_compacted"] == 0
