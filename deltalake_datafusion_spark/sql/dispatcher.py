@@ -306,8 +306,9 @@ _SHOW_CREATE_RE = re.compile(
 )
 _DELTA_REF_RE = re.compile(
     # non-greedy path so a literal '@' in a directory name survives;
-    # the @vN suffix only binds immediately before the closing backtick
-    r"delta\.`(?P<path>[^`]+?)(?P<ver>@v\d+)?`"
+    # the @vN / @yyyyMMddHHmmssSSS suffix only binds immediately
+    # before the closing backtick (delta-spark time-travel syntax)
+    r"delta\.`(?P<path>[^`]+?)(?P<ver>@v\d+|@\d{17})?`"
 )
 _TABLE_CHANGES_RE = re.compile(
     r"table_changes\s*\(\s*'(?P<arg>[^']+)'\s*,\s*"
@@ -1180,8 +1181,18 @@ def expand_table_functions(spark, statement: str) -> str:
         path = match.group("path")
         ver = match.group("ver")
         view = f"__delta_ref_{abs(hash((path, ver))) % 10**8}"
+        version = ts = None
+        if ver and ver.startswith("@v"):
+            version = int(ver[2:])
+        elif ver:
+            # @yyyyMMddHHmmssSSS (delta-spark timestamp suffix)
+            d = ver[1:]
+            ts = (
+                f"{d[0:4]}-{d[4:6]}-{d[6:8]} "
+                f"{d[8:10]}:{d[10:12]}:{d[12:14]}.{d[14:17]}"
+            )
         read_delta(
-            spark, path, version=int(ver[2:]) if ver else None
+            spark, path, version=version, timestamp_as_of=ts
         ).createOrReplaceTempView(view)
         return view
 

@@ -236,3 +236,42 @@ def test_describe_and_select_star_on_delta_ref(spark, tmp_path):
             for r in sql(spark, f"DESCRIBE delta.`{path}`").collect()}
     assert desc == {"id": "bigint", "v": "bigint"}
     assert sql(spark, f"SELECT * FROM delta.`{path}`").count() == 7
+
+
+def test_path_ref_timestamp_suffix(spark, tmp_path):
+    """delta.`path@yyyyMMddHHmmssSSS` time-travels by timestamp in any
+    SQL query (delta-spark suffix syntax); a pre-history timestamp
+    errors like versioned travel does."""
+    import datetime as dt
+
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "ts_ref")
+    write_delta(spark, spark.range(3).select("id"), path)
+    write_delta(
+        spark, spark.range(3, 10).select("id"), path, mode="append"
+    )
+    # timestamp right after v0's commit → sees only v0's rows
+    v0_ts = load_snapshot(path, version=0, spark=spark)
+    t0 = None
+    import json
+    import os
+
+    with open(
+        os.path.join(path, "_delta_log", f"{0:020d}.json")
+    ) as f:
+        for line in f:
+            a = json.loads(line)
+            if "commitInfo" in a:
+                t0 = a["commitInfo"]["timestamp"]
+                break
+    assert t0 is not None
+    stamp = dt.datetime.utcfromtimestamp(t0 / 1000).strftime(
+        "%Y%m%d%H%M%S"
+    ) + f"{t0 % 1000:03d}"
+    n = sql(
+        spark, f"SELECT COUNT(*) AS n FROM delta.`{path}@{stamp}`"
+    ).collect()[0]["n"]
+    assert n == 3
