@@ -364,3 +364,77 @@ def alter_column_type(
         except ConcurrentWriteError as e:
             last = e
     raise last  # type: ignore[misc]
+
+
+def alter_column_nullability(
+    spark, table_path: str, column: str, nullable: bool,
+    max_attempts: int = 5,
+) -> dict:
+    """``ALTER TABLE … ALTER COLUMN c SET NOT NULL / DROP NOT NULL``
+    (delta-spark): SET validates the existing data first — one
+    column-pruned, DV-correct existence scan (``limit 1`` short-
+    circuit) — then lands a metadata-only commit flipping the field's
+    nullability; DROP is pure metadata. Partition columns allowed;
+    nested fields rejected (delta-spark top-level rule)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    from deltalake_datafusion_spark.delta.scan import scan
+    from deltalake_datafusion_spark.delta.writer import check_writable
+
+    if "." in column:
+        raise DeltaWriteError(
+            "SET/DROP NOT NULL supports top-level columns only"
+        )
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        snap = load_snapshot(table_path, spark=spark)
+        check_writable(snap)
+        names = snap.schema.fieldNames()
+        if column not in names:
+            raise KeyError(f"column {column!r} not in table schema {names}")
+        old_f = snap.schema[column]
+        if old_f.nullable == nullable:
+            return {"version": snap.version, "column": column,
+                    "nullable": nullable}
+        if not nullable:
+            # delta-spark behavior: verify no stored nulls BEFORE
+            # declaring the invariant — otherwise every future read
+            # under the invariant would be a lie
+            has_null = (
+                scan(spark, snap, columns=[column])
+                .filter(F.col(column).isNull())
+                .limit(1)
+                .count()
+            )
+            if has_null:
+                raise DeltaWriteError(
+                    f"cannot SET NOT NULL on {column!r}: existing rows "
+                    "contain nulls"
+                )
+        new_fields = [
+            StructField(f.name, f.dataType, nullable, f.metadata)
+            if f.name == column else f
+            for f in snap.schema.fields
+        ]
+        schema = StructType(new_fields)
+        md_action = _metadata_action(
+            schema,
+            snap.partition_columns,
+            dict(snap.metadata.configuration),
+            snap.metadata.id,
+            snap.metadata.name,
+        )
+        md_action["metaData"]["createdTime"] = snap.metadata.created_time
+        md_action["metaData"]["description"] = snap.metadata.description
+        try:
+            commit(
+                snap.table_path, snap.version + 1, [md_action],
+                "ALTER COLUMN", spark=spark,
+                configuration=snap.metadata.configuration,
+            )
+            return {"version": snap.version + 1, "column": column,
+                    "nullable": nullable}
+        except ConcurrentWriteError as e:
+            last = e
+    raise last  # type: ignore[misc]

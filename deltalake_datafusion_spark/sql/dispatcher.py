@@ -176,6 +176,12 @@ _COL_TYPE_RE = re.compile(
     r"(?P<type>[\w]+(?:\s*\([\d,\s]*\))?)\s*;?\s*$",
     re.IGNORECASE,
 )
+_COL_NULLABILITY_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+ALTER\s+COLUMN\s+(?P<col>\w+|`[^`]+`)\s+"
+    r"(?:SET\s+NOT\s+NULL|(?P<drop>DROP\s+NOT\s+NULL))\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DROP_FEATURE_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"\s+DROP\s+FEATURE\s+(?P<name>[\w]+)"
@@ -722,6 +728,20 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             target,
             zorder_by=[c.strip() for c in z.split(",")] if z else None,
             predicate=m.group("pred"),
+        )
+        return spark.createDataFrame([tuple(res.values())], list(res.keys()))
+
+    m = _COL_NULLABILITY_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.columns import (
+            alter_column_nullability,
+        )
+
+        res = alter_column_nullability(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            m.group("col").strip("`"),
+            nullable=bool(m.group("drop")),
         )
         return spark.createDataFrame([tuple(res.values())], list(res.keys()))
 

@@ -363,3 +363,55 @@ def test_create_table_like(spark, tmp_path):
     # IF NOT EXISTS: live table untouched
     sql(spark, f"CREATE TABLE IF NOT EXISTS '{dst}' LIKE '{src}'")
     assert load_snapshot(dst).version == s.version
+
+
+def test_alter_column_nullability(spark, tmp_path):
+    """SET NOT NULL validates existing data then flips metadata; a
+    null-carrying column is rejected; DROP NOT NULL is pure metadata;
+    the invariant is enforced on the next write; SQL forms work."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.columns import (
+        alter_column_nullability,
+    )
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import (
+        DeltaWriteError,
+        write_delta,
+    )
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "nn")
+    write_delta(
+        spark,
+        spark.range(5).select(
+            "id", F.lit("v").alias("s"),
+            F.when(F.col("id") < 3, F.col("id")).alias("maybe"),
+        ),
+        path,
+    )
+    # clean column: SET NOT NULL succeeds via SQL
+    sql(spark, f"ALTER TABLE '{path}' ALTER COLUMN s SET NOT NULL")
+    snap = load_snapshot(path, spark=spark)
+    assert snap.schema["s"].nullable is False
+    # invariant enforced on the next write
+    with _pytest.raises(Exception, match="(?i)null"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(9, None, 1)], "id long, s string, maybe long"),
+            path,
+            mode="append",
+        )
+    # null-carrying column rejected
+    with _pytest.raises(DeltaWriteError, match="contain nulls"):
+        alter_column_nullability(spark, path, "maybe", nullable=False)
+    # DROP NOT NULL restores nullability
+    sql(spark, f"ALTER TABLE '{path}' ALTER COLUMN s DROP NOT NULL")
+    assert load_snapshot(path, spark=spark).schema["s"].nullable is True
+    write_delta(
+        spark,
+        spark.createDataFrame([(9, None, 1)], "id long, s string, maybe long"),
+        path,
+        mode="append",
+    )
