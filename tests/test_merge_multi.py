@@ -492,3 +492,47 @@ def test_multi_clause_merge_matches_model(spark, tmp_path_factory, case):
         [(r.id, r.v) for r in read_delta(spark, path).collect()]
     )
     assert got == sorted(expected)
+
+
+def test_multi_clause_with_evolution_and_row_tracking(spark, tmp_path):
+    """Multi-clause MERGE composes with WITH SCHEMA EVOLUTION (later
+    clauses may assign the just-evolved column) and row tracking
+    (updated rows keep their stable _row_id; inserts mint fresh)."""
+    from deltalake_datafusion_spark.delta.scan import read_delta as rd
+
+    path = str(tmp_path / "mm_evo_rt")
+    write_delta(
+        spark,
+        spark.range(4).select("id", (F.col("id") * 10.0).alias("v")),
+        path,
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    before = {
+        r.id: r._row_id
+        for r in rd(spark, path, with_row_ids=True).collect()
+    }
+    src = spark.createDataFrame(
+        [(1, 111.0, "gold"), (2, 222.0, "iron"), (9, 900.0, "gold")],
+        "id long, v double, tier string",
+    )
+    merge_delta(
+        spark, path, src, "t.id = s.id",
+        when_matched=[
+            {"condition": "s.tier = 'gold'",
+             "update": {"v": "s.v", "tier": "s.tier"}},
+            {"condition": None, "update": {"tier": "'base'"}},
+        ],
+        when_not_matched=[{"condition": None, "values": None}],
+        schema_evolution=True,
+    )
+    rows = {
+        r.id: r for r in rd(spark, path, with_row_ids=True).collect()
+    }
+    assert rows[1].v == 111.0 and rows[1].tier == "gold"
+    assert rows[2].v == 20.0 and rows[2].tier == "base"
+    assert rows[0].tier is None           # untouched pre-evolution row
+    assert rows[9].tier == "gold"         # insert carries its value
+    # stable ids: every pre-existing row keeps its _row_id
+    for i in (0, 1, 2, 3):
+        assert rows[i]._row_id == before[i]
+    assert rows[9]._row_id not in set(before.values())

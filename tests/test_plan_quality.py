@@ -488,3 +488,35 @@ def test_semantic_dedup_assignment_stage_no_shuffle(spark, sf_dir):
     # cluster/id join keys (no range partitioning / global sort)
     assert "ArrowEvalPython" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_bm25_plan_broadcasts_query_terms(spark, sf_dir):
+    """Scale guard: BM25's corpus-side postings filter is a BROADCAST
+    semi join on the query-term set (corpus vocabulary never shuffles
+    wholesale), the term→query scoring joins are broadcast too, and
+    there is no Python node or cartesian product anywhere."""
+    from deltalake_datafusion_spark.operators.retrieval import bm25_topk
+
+    t = load_tables(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(0, "spark join window")], "query_id int, query_text string"
+    )
+    plan = _plan(bm25_topk(t["documents"], q, k=5))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_plan_is_codegen(spark, sf_dir):
+    """Scale guard: substring-span dedup is pure codegen (no Python
+    node — windows via transform/sequence/slice expressions, first
+    occurrence via partial-aggregatable min(struct), reconstruction
+    via sorted collect_list) and joins only on keys — no cartesian."""
+    from deltalake_datafusion_spark.operators.dedup import (
+        dedup_substring_spans,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    plan = _plan(dedup_substring_spans(t["documents"], k=8))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
