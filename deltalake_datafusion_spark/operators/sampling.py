@@ -267,3 +267,54 @@ def shuffle_shards(
         .withColumn("pos", F.row_number().over(w) - F.lit(1))
         .drop("__key")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    token_col,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual-LM sampling
+    rule, XLM-R / mT5: ``p_d ∝ (n_d / N)^alpha``, renormalized): low
+    ``alpha`` flattens the distribution toward rare domains, alpha=1
+    is proportional sampling. Emits per domain the available tokens,
+    raw share, tempered weight, and the largest no-upsampling target
+    (same budget rule as :func:`domain_mixture`:
+    ``T = min(avail/weight)``; every domain supplies its share from
+    real data).
+
+    Cost: one aggregation over the corpus + O(#domains) scalar
+    broadcasts — nothing at data scale."""
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    avail = df.groupBy(domain_col).agg(
+        F.sum(tok).cast("double").alias("avail_tokens")
+    )
+    tot = avail.agg(F.sum("avail_tokens").alias("__tot"))
+    shared = avail.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("avail_tokens") / F.col("__tot")
+    )
+    pw = shared.withColumn("__p", F.pow(F.col("share"), F.lit(alpha)))
+    psum = pw.agg(F.sum("__p").alias("__ps"))
+    weighted = (
+        pw.crossJoin(F.broadcast(psum))
+        .withColumn("weight", F.col("__p") / F.col("__ps"))
+        .drop("__tot", "__p", "__ps")
+    )
+    budget = weighted.agg(
+        F.min(F.col("avail_tokens") / F.col("weight")).alias("__budget")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(budget))
+        .select(
+            F.col(domain_col),
+            "avail_tokens",
+            "share",
+            "weight",
+            (F.col("weight") * F.col("__budget")).alias("target_tokens"),
+            (
+                F.col("weight") * F.col("__budget")
+                / F.col("avail_tokens")
+            ).alias("sample_rate"),
+        )
+    )

@@ -1748,6 +1748,61 @@ FROM per_doc GROUP BY lang ORDER BY lang
 """
 
 
+def pipe_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling weights over document languages
+    (``operators/sampling.py::temperature_mixture``, alpha=0.5 — the
+    XLM-R-style p ∝ share^alpha rule): rare languages get upweighted
+    relative to their share; the no-upsampling budget rule caps the
+    total. Floats rounded to 6 for cross-engine hashing."""
+    from deltalake_datafusion_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].withColumn(
+        "n_tok", F.size(F.split(F.col("text"), r"\s+"))
+    )
+    out = temperature_mixture(d, "lang", "n_tok", alpha=0.5)
+    return out.select(
+        "lang",
+        F.col("avail_tokens").cast("long").alias("avail_tokens"),
+        F.round("share", 6).alias("share"),
+        F.round("weight", 6).alias("weight"),
+        F.round("target_tokens", 2).alias("target_tokens"),
+        F.round("sample_rate", 6).alias("sample_rate"),
+    ).orderBy("lang")
+
+
+_TEMP_MIX_SQL = """
+WITH avail AS (
+  SELECT lang,
+    CAST(SUM(len(string_split_regex(text, '\\s+'))) AS DOUBLE)
+      AS avail_tokens
+  FROM documents GROUP BY lang
+),
+shared AS (
+  SELECT lang, avail_tokens,
+    avail_tokens / (SELECT SUM(avail_tokens) FROM avail) AS share
+  FROM avail
+),
+weighted AS (
+  SELECT lang, avail_tokens, share,
+    POWER(share, 0.5)
+      / (SELECT SUM(POWER(share, 0.5)) FROM shared) AS weight
+  FROM shared
+),
+budget AS (
+  SELECT MIN(avail_tokens / weight) AS b FROM weighted
+)
+SELECT lang, CAST(avail_tokens AS BIGINT) AS avail_tokens,
+  ROUND(share, 6) AS share, ROUND(weight, 6) AS weight,
+  ROUND(weight * (SELECT b FROM budget), 2) AS target_tokens,
+  ROUND(weight * (SELECT b FROM budget) / avail_tokens, 6)
+    AS sample_rate
+FROM weighted ORDER BY lang
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -1831,4 +1886,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_bm25", text_bm25, _BM25_SQL),
         QuerySpec("text_span_dedup", text_span_dedup, _SPAN_DEDUP_SQL),
         QuerySpec("text_freq_quality", text_freq_quality, _FREQ_QUALITY_SQL),
+        QuerySpec(
+            "pipe_temperature_mixture",
+            pipe_temperature_mixture,
+            _TEMP_MIX_SQL,
+        ),
     ]
