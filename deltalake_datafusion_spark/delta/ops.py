@@ -146,6 +146,20 @@ def _cleanup_staged_adds(spark, table_path: str, actions: list[dict]) -> None:
         pass
 
 
+def _nested_field_type(schema, dotted: str):
+    """Data type at a dotted struct path (``addr.city``), or None when
+    the path crosses a non-struct (array/map) — callers then skip the
+    implicit cast and let Spark analyze."""
+    from pyspark.sql.types import StructType
+
+    t = schema
+    for part in dotted.split("."):
+        if not isinstance(t, StructType) or part not in t.fieldNames():
+            return None
+        t = t[part].dataType
+    return t
+
+
 def _ow_enabled(snap) -> bool:
     """delta.autoOptimize.optimizeWrite from the table configuration."""
     from deltalake_datafusion_spark.delta.writer import OPTIMIZE_WRITE_PROP
@@ -707,23 +721,61 @@ def _update_attempt(
     _upd_persist = _cdf_en(snap.metadata.configuration)
     if _upd_persist:
         matched_df = matched_df.persist()
-    unknown = [c for c in set_exprs if c not in matched_df.columns]
+    # Nested-field assignments (delta-spark `SET addr.city = …`):
+    # group dotted targets by their top-level struct column; the
+    # struct is rebuilt via withField, every RHS still evaluated
+    # against the OLD row.
+    top_sets: dict[str, str] = {}
+    nested_sets: dict[str, list[tuple[str, str]]] = {}
+    for k, v in set_exprs.items():
+        if "." in k:
+            base, rest = k.split(".", 1)
+            nested_sets.setdefault(base, []).append((rest, v))
+        else:
+            top_sets[k] = v
+    both = sorted(set(top_sets) & set(nested_sets))
+    if both:
+        raise ValueError(
+            f"UPDATE SET assigns both column(s) {both} and their "
+            "nested fields — pick one level"
+        )
+    unknown = [
+        c
+        for c in list(top_sets) + list(nested_sets)
+        if c not in matched_df.columns
+    ]
     if unknown:
         raise ValueError(
             f"UPDATE SET targets unknown column(s) {unknown}; "
             f"table columns: {snap.schema.fieldNames()}"
         )
     _reject_generated_set(snap.schema, set_exprs, "UPDATE")
+
+    def _new_col(c):
+        # assignments cast to the declared field type (delta-spark
+        # implicit cast: `SET score = 1.0` must stay DOUBLE, not the
+        # literal's DECIMAL(2,1) — a type drift here would write
+        # parquet files unreadable under the table schema)
+        if c in top_sets:
+            return (
+                F.expr(top_sets[c]).cast(snap.schema[c].dataType).alias(c)
+            )
+        if c in nested_sets:
+            e = F.col(c)
+            for rest, rhs in nested_sets[c]:
+                ft = _nested_field_type(snap.schema, f"{c}.{rest}")
+                rc = F.expr(rhs)
+                e = e.withField(rest, rc.cast(ft) if ft else rc)
+            return e.alias(c)
+        return F.col(c)
+
     # ANSI/Delta UPDATE is simultaneous assignment: every SET
     # right-hand side is evaluated against the OLD row, so
     # `SET a = b, b = a` swaps. One select over the pre-update row
     # (never a sequential withColumn chain, which would leak
     # already-updated values into later assignments).
     updated = matched_df.select(
-        *[
-            F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
-            for c in matched_df.columns
-        ]
+        *[_new_col(c) for c in matched_df.columns]
     )
     # Generated columns not explicitly SET are recomputed from the
     # post-update row — updating a base column must never leave its
@@ -1310,7 +1362,13 @@ def _merge_attempt(
             repl = joined.filter(fire).select(
                 *[
                     (
-                        F.expr(_rw_set(sets[c])) if c in sets else F.col(c)
+                        # implicit cast to the declared type
+                        # (delta-spark assignment semantics)
+                        F.expr(_rw_set(sets[c])).cast(
+                            logical[c].dataType
+                        )
+                        if c in sets
+                        else F.col(c)
                     ).alias(c)
                     for c in logical.fieldNames()
                 ],
@@ -1432,7 +1490,10 @@ def _merge_attempt(
                     for f, u in reversed(upd_all):
                         if c in u:
                             col_expr = F.when(
-                                f, F.expr(_rw_set(u[c]))
+                                f,
+                                F.expr(_rw_set(u[c])).cast(
+                                    logical[c].dataType
+                                ),
                             ).otherwise(col_expr)
                     new_cols[c] = col_expr
                 survivors = survivors.select(

@@ -1204,3 +1204,40 @@ def test_merge_insert_values_sql(spark, tmp_path):
     )
     out = {r.id: r.v for r in read_delta(spark, path).collect()}
     assert out == {0: 0.0, 1: 1.0, 5: 51.0}
+
+
+def test_update_nested_struct_fields(spark, tmp_path):
+    """UPDATE SET addr.city = … rebuilds the struct in place
+    (delta-spark nested assignment): sibling fields survive, multiple
+    nested targets on one struct compose, RHS sees the OLD row, and
+    mixing a column with its own nested field is rejected. SQL form
+    parses the dotted target."""
+    from deltalake_datafusion_spark.delta.ops import update_delta
+    from deltalake_datafusion_spark.sql.dispatcher import sql as dsql
+
+    path = str(tmp_path / "nested_upd")
+    df = spark.createDataFrame(
+        [(0, ("ber", 10, 1.0)), (1, ("par", 20, 2.0)), (2, ("rom", 30, 3.0))],
+        "id long, addr struct<city string, zip int, score double>",
+    )
+    write_delta(spark, df, path)
+    update_delta(
+        spark, path,
+        {"addr.city": "upper(addr.city)", "addr.score": "addr.zip * 1.0"},
+        "id < 2",
+    )
+    out = {r.id: r.addr for r in read_delta(spark, path).collect()}
+    assert out[0].city == "BER" and out[0].zip == 10 and out[0].score == 10.0
+    assert out[1].city == "PAR" and out[1].zip == 20 and out[1].score == 20.0
+    assert out[2].city == "rom" and out[2].score == 3.0  # untouched
+
+    with pytest.raises(ValueError, match="nested"):
+        update_delta(
+            spark, path,
+            {"addr": "named_struct('city','x','zip',1,'score',0.0)",
+             "addr.city": "'y'"},
+        )
+
+    dsql(spark, f"UPDATE '{path}' SET addr.zip = addr.zip + 100 WHERE id = 2")
+    out2 = {r.id: r.addr for r in read_delta(spark, path).collect()}
+    assert out2[2].zip == 130 and out2[2].city == "rom"
