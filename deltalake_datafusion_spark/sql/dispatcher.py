@@ -316,6 +316,11 @@ _DELTA_REF_RE = re.compile(
     # before the closing backtick (delta-spark time-travel syntax)
     r"delta\.`(?P<path>[^`]+?)(?P<ver>@v\d+|@\d{17})?`"
 )
+_TRAVEL_RE = re.compile(
+    r"delta\.`(?P<path>[^`]+?)`\s+(?:VERSION\s+AS\s+OF\s+(?P<n>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')",
+    re.IGNORECASE,
+)
 _TABLE_CHANGES_RE = re.compile(
     r"table_changes\s*\(\s*'(?P<arg>[^']+)'\s*,\s*"
     r"(?P<from>\d+|'(?P<fromts>[^']+)')"
@@ -1219,5 +1224,21 @@ def expand_table_functions(spark, statement: str) -> str:
     expanded = _TABLE_FN_RE.sub(_expand, statement)
     expanded = _TABLE_CHANGES_RE.sub(_expand_changes, expanded)
     expanded = _DELTA_TABLE_RE.sub(_expand_delta_table, expanded)
+    # FROM delta.`p` VERSION AS OF n / TIMESTAMP AS OF 'ts' (delta-
+    # spark SQL time travel): fold the clause into the ref suffix
+    # before expansion so one code path resolves all travel forms
+    def _fold_travel(match):
+        path, ver, ts = match.group("path"), match.group("n"), match.group("ts")
+        if ver is not None:
+            return f"delta.`{path}@v{ver}`"
+        view = f"__delta_tt_{abs(hash((path, ts))) % 10**8}"
+        from deltalake_datafusion_spark.delta.scan import read_delta
+
+        read_delta(spark, path, timestamp_as_of=ts).createOrReplaceTempView(
+            view
+        )
+        return view
+
+    expanded = _TRAVEL_RE.sub(_fold_travel, expanded)
     expanded = _DELTA_REF_RE.sub(_expand_delta_ref, expanded)
     return expanded

@@ -275,3 +275,41 @@ def test_path_ref_timestamp_suffix(spark, tmp_path):
         spark, f"SELECT COUNT(*) AS n FROM delta.`{path}@{stamp}`"
     ).collect()[0]["n"]
     assert n == 3
+
+
+def test_select_version_timestamp_as_of_clauses(spark, tmp_path):
+    """SELECT ... FROM delta.`p` VERSION AS OF n / TIMESTAMP AS OF 'ts'
+    (delta-spark SQL time travel) resolve through the dialect."""
+    import json
+    import os
+
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "tt_sql")
+    write_delta(spark, spark.range(4).select("id"), path)
+    write_delta(
+        spark, spark.range(4, 9).select("id"), path, mode="append"
+    )
+    n0 = sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM delta.`{path}` VERSION AS OF 0",
+    ).collect()[0]["n"]
+    assert n0 == 4
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json")) as f:
+        t0 = next(
+            json.loads(l)["commitInfo"]["timestamp"]
+            for l in f
+            if "commitInfo" in l
+        )
+    import datetime as dt
+
+    iso = dt.datetime.utcfromtimestamp(t0 / 1000).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    ) + f".{t0 % 1000:03d}"
+    nts = sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM delta.`{path}` "
+        f"TIMESTAMP AS OF '{iso}'",
+    ).collect()[0]["n"]
+    assert nts == 4
