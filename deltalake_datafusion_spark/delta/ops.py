@@ -1355,21 +1355,54 @@ def _merge_attempt(
             _prevb = _prevb | f
         bs_any = _prevb
 
+        def _group_sets(sets):
+            """Split SET targets into top-level and nested (dotted)
+            assignments grouped by their base struct column."""
+            top: dict[str, str] = {}
+            nst: dict[str, list[tuple[str, str]]] = {}
+            for k, v in sets.items():
+                if "." in k:
+                    b, rest = k.split(".", 1)
+                    nst.setdefault(b, []).append((rest, v))
+                else:
+                    top[k] = v
+            both = sorted(set(top) & set(nst))
+            if both:
+                raise ValueError(
+                    f"MERGE UPDATE assigns both column(s) {both} and "
+                    "their nested fields — pick one level"
+                )
+            unknown = sorted(
+                (set(top) | set(nst)) - set(logical.fieldNames())
+            )
+            if unknown:
+                raise ValueError(
+                    f"MERGE UPDATE assigns unknown column(s) {unknown}"
+                )
+            return top, nst
+
+        def _set_expr(c, top, nst):
+            """New value of column ``c`` under one clause's SET map —
+            implicit cast to the declared type (delta-spark assignment
+            semantics); nested targets rebuild the struct via
+            withField, every RHS over the OLD row."""
+            if c in top:
+                return F.expr(_rw_set(top[c])).cast(logical[c].dataType)
+            e = F.col(c)
+            for rest, rhs in nst.get(c, ()):
+                ft = _nested_field_type(logical, f"{c}.{rest}")
+                rc = F.expr(_rw_set(rhs))
+                e = e.withField(rest, rc.cast(ft) if ft else rc)
+            return e
+
         def _clause_repl(fire, sets):
             """Replacement copy of clause-fired rows (dv strategy):
             simultaneous assignment over the OLD row; stable row id
             kept, commit version restamped to this commit."""
+            top, nst = _group_sets(sets)
             repl = joined.filter(fire).select(
                 *[
-                    (
-                        # implicit cast to the declared type
-                        # (delta-spark assignment semantics)
-                        F.expr(_rw_set(sets[c])).cast(
-                            logical[c].dataType
-                        )
-                        if c in sets
-                        else F.col(c)
-                    ).alias(c)
+                    _set_expr(c, top, nst).alias(c)
                     for c in logical.fieldNames()
                 ],
                 *([F.col("__old_row_id")] if rt_mat else []),
@@ -1378,7 +1411,7 @@ def _merge_attempt(
                     if rt_ver else []
                 ),
             )
-            return _regen(repl, skip=set(sets))
+            return _regen(repl, skip=set(top))
 
         if strategy == "dv":
             # Deletion-vector strategy: clause-fired rows (matched and
@@ -1484,16 +1517,18 @@ def _merge_attempt(
                         .withColumn(_CT, F.lit("update_preimage"))
                     )
                 new_cols = {}
-                assigned = set().union(*[set(u) for _, u in upd_all])
-                for c in assigned:
+                per_clause = []
+                affected: set[str] = set()
+                for f, u in upd_all:
+                    top, nst = _group_sets(u)
+                    per_clause.append((f, top, nst))
+                    affected |= set(top) | set(nst)
+                for c in affected:
                     col_expr = F.col(c)
-                    for f, u in reversed(upd_all):
-                        if c in u:
+                    for f, top, nst in reversed(per_clause):
+                        if c in top or c in nst:
                             col_expr = F.when(
-                                f,
-                                F.expr(_rw_set(u[c])).cast(
-                                    logical[c].dataType
-                                ),
+                                f, _set_expr(c, top, nst)
                             ).otherwise(col_expr)
                     new_cols[c] = col_expr
                 survivors = survivors.select(

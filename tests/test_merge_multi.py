@@ -536,3 +536,38 @@ def test_multi_clause_with_evolution_and_row_tracking(spark, tmp_path):
     for i in (0, 1, 2, 3):
         assert rows[i]._row_id == before[i]
     assert rows[9]._row_id not in set(before.values())
+
+
+@pytest.mark.parametrize("strategy", ["cow", "dv"])
+def test_merge_update_nested_fields(spark, tmp_path, strategy):
+    """MERGE UPDATE SET addr.city = ... (nested assignment) under both
+    physical strategies: sibling fields survive, values come from the
+    source row; unknown columns are rejected."""
+    path = str(tmp_path / f"mn_{strategy}")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(0, ("ber", 10)), (1, ("par", 20))],
+            "id long, addr struct<city string, zip int>",
+        ),
+        path,
+    )
+    src = spark.createDataFrame([(0, "ROM")], "id long, nc string")
+    merge_delta(
+        spark, path, src, "t.id = s.id",
+        when_matched=[
+            {"condition": None, "update": {"addr.city": "s.nc"}},
+        ],
+        when_not_matched=[],
+        strategy=strategy,
+    )
+    out = {r.id: r.addr for r in read_delta(spark, path).collect()}
+    assert out[0].city == "ROM" and out[0].zip == 10
+    assert out[1].city == "par" and out[1].zip == 20
+
+    with pytest.raises(ValueError, match="unknown"):
+        merge_delta(
+            spark, path, src, "t.id = s.id",
+            when_matched=[{"condition": None, "update": {"nope": "1"}}],
+            when_not_matched=[],
+        )
