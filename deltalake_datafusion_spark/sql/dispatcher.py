@@ -121,7 +121,8 @@ _MERGE_RE = re.compile(
     r"^\s*MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
     r"INTO\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"(?:\s+AS\s+t)?"
-    r"\s+USING\s+(?P<source>\w+)(?:\s+AS\s+s)?"
+    r"\s+USING\s+(?P<source>\w+|delta\.`[^`]+`|'[^']+'"
+    r"|\((?P<subq>.+?)\))(?:\s+AS\s+s)?"
     r"\s+ON\s+(?P<cond>.+?)"
     r"(?P<clauses>(?:\s+WHEN\s+(?:NOT\s+)?MATCHED\b.*)?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -628,10 +629,22 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
                 )
                 continue
             raise ValueError(f"MERGE: unparseable WHEN clause: {part!r}")
+        src_txt = m.group("source")
+        if m.group("subq"):
+            # USING (SELECT …): Spark SQL plans the subquery
+            source_df = spark.sql(m.group("subq"))
+        elif src_txt.startswith("delta.`") or src_txt.startswith("'"):
+            from deltalake_datafusion_spark.delta.scan import read_delta
+
+            source_df = read_delta(
+                spark, _unquote_target(src_txt, registry)
+            )
+        else:
+            source_df = spark.table(src_txt)
         res = merge_delta(
             spark,
             _unquote_target(m.group("target"), registry),
-            spark.table(m.group("source")),
+            source_df,
             on=m.group("cond").strip(),
             when_matched=m_clauses,
             when_not_matched=nm_clauses,

@@ -571,3 +571,36 @@ def test_merge_update_nested_fields(spark, tmp_path, strategy):
             when_matched=[{"condition": None, "update": {"nope": "1"}}],
             when_not_matched=[],
         )
+
+
+def test_merge_using_path_and_subquery_sources(spark, tmp_path):
+    """MERGE USING delta.`path` and USING (SELECT …) source forms."""
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    tgt = str(tmp_path / "mu_t")
+    srcp = str(tmp_path / "mu_s")
+    _seed(spark, tgt)
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, 999.0, "z")], "id long, v double, st string"
+        ),
+        srcp,
+    )
+    sql(
+        spark,
+        f"MERGE INTO '{tgt}' AS t USING delta.`{srcp}` AS s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v",
+    )
+    out = {r.id: r.v for r in read_delta(spark, tgt).collect()}
+    assert out[1] == 999.0
+
+    sql(
+        spark,
+        f"MERGE INTO '{tgt}' AS t USING "
+        "(SELECT 2 AS id, -5.0 AS v) AS s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    out2 = {r.id: r.v for r in read_delta(spark, tgt).collect()}
+    assert out2[2] == -5.0
