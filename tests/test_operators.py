@@ -777,3 +777,69 @@ def test_dedup_substring_spans_semantics(spark):
 
     with _pytest.raises(ValueError, match="key"):
         dedup_substring_spans(docs, key="zstd")
+
+
+def test_dedup_substring_spans_matches_model():
+    """Hypothesis: random tiny corpora (small alphabet → frequent
+    window collisions) — the operator's kept tokens must equal a
+    straightforward Python reference implementation's."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+    from pyspark.sql import SparkSession
+
+    from deltalake_datafusion_spark.operators.dedup import (
+        dedup_substring_spans,
+    )
+
+    spark = SparkSession.builder.master("local[4]").config(
+        "spark.sql.shuffle.partitions", "4"
+    ).getOrCreate()
+
+    def model(docs, k):
+        toks = {i: t.split() for i, t in docs}
+        wins = []  # (doc, start, window tuple)
+        for i, tk in sorted(toks.items()):
+            for s in range(len(tk) - k + 1):
+                wins.append((i, s, tuple(tk[s:s + k])))
+        from collections import Counter
+
+        counts = Counter(w for _, _, w in wins)
+        first = {}
+        for i, s, w in sorted(wins):
+            if counts[w] >= 2 and w not in first:
+                first[w] = (i, s)
+        deleted = set()
+        for i, s, w in wins:
+            if counts[w] >= 2 and first[w] != (i, s):
+                deleted |= {(i, p) for p in range(s, s + k)}
+        out = {}
+        for i, tk in toks.items():
+            kept = [t for p, t in enumerate(tk) if (i, p) not in deleted]
+            out[i] = (" ".join(kept), len(tk), len(tk) - len(kept))
+        return out
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from("abc"), min_size=0, max_size=12
+            ).map(lambda ts: " ".join(ts)),
+            min_size=1,
+            max_size=6,
+        ),
+        k=st.integers(2, 4),
+    )
+    def run(docs, k):
+        rows = list(enumerate(docs))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_tokens, r.n_removed)
+            for r in dedup_substring_spans(
+                df, k=k, key="text"
+            ).collect()
+        }
+        assert got == model(rows, k)
+
+    run()
