@@ -1803,6 +1803,67 @@ FROM weighted ORDER BY lang
 """
 
 
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (Structured Streaming's stateful
+    two-sided join): clicks ⋈ purchases per user where the purchase
+    lands within 1 hour of the click — both sides watermarked so the
+    join state is bounded; run with availableNow to completion, then
+    aggregated per user. The final pair set must equal the batch
+    self-join, which is what the oracle computes."""
+    from deltalake_datafusion_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_val"),
+        )
+        .withWatermark("c_ts", "30 days")
+    )
+    buys = (
+        ev.filter("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", "30 days")
+    )
+    pairs = clicks.join(
+        buys,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    )
+    out = run_to_memory(pairs, "q_stream_stream_join", "append")
+    return (
+        out.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("c_val").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("click_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAM_JOIN_SQL = """
+SELECT c.user_id, COUNT(*) AS n_pairs,
+  CAST(SUM(CAST(c.value AS DECIMAL(12,2))) AS DOUBLE) AS click_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id ORDER BY c.user_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -1890,5 +1951,8 @@ def specs() -> list[QuerySpec]:
             "pipe_temperature_mixture",
             pipe_temperature_mixture,
             _TEMP_MIX_SQL,
+        ),
+        QuerySpec(
+            "streaming_stream_join", streaming_stream_join, _STREAM_JOIN_SQL
         ),
     ]
