@@ -170,6 +170,7 @@ SUPPORTED_READER_FEATURES = {
     "vacuumProtocolCheck",
     "v2Checkpoint",
     "typeWidening",
+    "variantType",
 }
 MAX_READER_VERSION = 3
 
@@ -185,5 +186,6 @@ SUPPORTED_WRITER_FEATURES = {
     "deletionVectors", "rowTracking", "domainMetadata", "clustering",
     "v2Checkpoint", "inCommitTimestamp", "typeWidening",
     "allowColumnDefaults", "vacuumProtocolCheck", "timestampNtz",
+    "variantType",
 }
 MAX_WRITER_VERSION = 7

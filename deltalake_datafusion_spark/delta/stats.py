@@ -174,17 +174,25 @@ def collect_file_stats(
     ranged reads through the handler instead of a local open."""
     import pyarrow.parquet as papq
 
-    if "://" in file_path and not file_path.startswith("file://"):
-        if fs is None or size is None:
-            raise ValueError(
-                f"remote path {file_path!r} needs fs and size for "
-                "footer stats collection"
-            )
-        md = papq.ParquetFile(
-            _FsRandomAccessFile(fs, file_path, size)
-        ).metadata
-    else:
-        md = papq.ParquetFile(file_path).metadata
+    try:
+        if "://" in file_path and not file_path.startswith("file://"):
+            if fs is None or size is None:
+                raise ValueError(
+                    f"remote path {file_path!r} needs fs and size for "
+                    "footer stats collection"
+                )
+            md = papq.ParquetFile(
+                _FsRandomAccessFile(fs, file_path, size)
+            ).metadata
+        else:
+            md = papq.ParquetFile(file_path).metadata
+    except OSError:
+        # footer uses a logical type this pyarrow can't parse (e.g.
+        # VARIANT) — commit the add WITHOUT stats, exactly like a
+        # foreign stat-less table: data skipping keeps-on-unknown,
+        # correctness unaffected; numRecords-dependent shortcuts
+        # (limit truncation, empty-part cleanup) simply don't fire
+        return None
     num_records = md.num_rows
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}

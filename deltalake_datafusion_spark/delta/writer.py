@@ -273,6 +273,43 @@ def _protocol_action(enable_dv: bool, column_mapping: bool) -> dict:
     return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 
+def _schema_type_features(schema: StructType | None) -> set[str]:
+    """Table features implied by column TYPES, recursively:
+    ``timestamp_ntz`` → ``timestampNtz``, ``variant`` →
+    ``variantType`` (the Delta spec's type-gated features — a reader
+    without them must not attempt the table)."""
+    if schema is None:
+        return set()
+    from pyspark.sql.types import ArrayType as _At
+    from pyspark.sql.types import MapType as _Mt
+    from pyspark.sql.types import StructType as _St
+    from pyspark.sql.types import TimestampNTZType as _Ntz
+
+    try:
+        from pyspark.sql.types import VariantType as _Vt
+    except ImportError:  # pre-variant Spark
+        _Vt = None
+
+    out: set[str] = set()
+
+    def walk(t):
+        if isinstance(t, _St):
+            for f in t.fields:
+                walk(f.dataType)
+        elif isinstance(t, _At):
+            walk(t.elementType)
+        elif isinstance(t, _Mt):
+            walk(t.keyType)
+            walk(t.valueType)
+        elif isinstance(t, _Ntz):
+            out.add("timestampNtz")
+        elif _Vt is not None and isinstance(t, _Vt):
+            out.add("variantType")
+
+    walk(schema)
+    return out
+
+
 def _creation_protocol(
     column_mapping: bool,
     configuration: dict[str, str],
@@ -311,6 +348,7 @@ def _creation_protocol(
         features.add("identityColumns")
     if any(k.startswith("delta.constraints.") for k in conf):
         features.add("checkConstraints")
+    features |= _schema_type_features(schema)
     features |= feature_props(conf)
     if not features:
         return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -338,7 +376,7 @@ _LEGACY_WRITER_FEATURES = {
 # Writer features that also gate readers.
 _READER_IMPACTING = {
     "deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint",
-    "typeWidening",
+    "typeWidening", "variantType",
 }
 
 
@@ -1548,6 +1586,17 @@ def write_delta(
             current = None
         version = 0 if current is None else current.version + 1
         actions: list[dict] = []
+        if current is not None and replaced is None:
+            # schema-evolution appends introducing type-gated features
+            # (timestamp_ntz / variant columns) must upgrade the
+            # protocol in the same commit
+            _type_needed = _schema_type_features(write_schema)
+            if _type_needed:
+                _up = protocol_upgrade_action(
+                    current.protocol, _type_needed
+                )
+                if _up is not None:
+                    actions.append(_up)
         if current is None:
             actions.append(
                 _creation_protocol(mapping, configuration, write_schema)

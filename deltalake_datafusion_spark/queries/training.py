@@ -1864,6 +1864,52 @@ GROUP BY c.user_id ORDER BY c.user_id
 """
 
 
+def delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``variantType`` end-to-end: the events ``props`` JSON
+    strings become a VARIANT column, land in a Delta table (reader+
+    writer feature declared, adds stat-less — pyarrow can't parse
+    VARIANT footers), survive a DELETE, and aggregate back out via
+    ``variant_get``. The oracle extracts the same JSON field in
+    DuckDB."""
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "events")
+    path = os.path.join(_fresh_dir("variant", sf_dir), "t")
+    write_delta(
+        spark,
+        t["events"].selectExpr(
+            "event_id", "event_type", "parse_json(props) AS payload"
+        ),
+        path,
+    )
+    delete_delta(spark, path, "event_id % 10 = 0")
+    return (
+        read_delta(spark, path)
+        .selectExpr(
+            "event_type",
+            "variant_get(payload, '$.k', 'long') AS k",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS k_sum
+FROM events
+WHERE event_id % 10 <> 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -1955,4 +2001,5 @@ def specs() -> list[QuerySpec]:
         QuerySpec(
             "streaming_stream_join", streaming_stream_join, _STREAM_JOIN_SQL
         ),
+        QuerySpec("delta_variant", delta_variant, _VARIANT_SQL),
     ]

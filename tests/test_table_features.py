@@ -446,3 +446,62 @@ def test_generated_columns_guarded_in_dml(spark, tmp_path):
     with pytest.raises(DeltaWriteError, match="not.*matching"):
         merge_delta(spark, path, bad, on="t.id = s.id")
     assert load_snapshot(path, spark=spark).version == v_before
+
+
+def test_variant_type_tables(spark, tmp_path):
+    """Delta variantType (Spark 4 VARIANT columns): creation declares
+    the reader+writer feature, appends/reads/DML round-trip through
+    the binary encoding, and stats collection degrades to stat-less
+    adds (pyarrow cannot parse VARIANT footers) without breaking
+    anything — exactly the foreign stat-less table discipline."""
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "vt")
+    df = spark.sql(
+        "SELECT id, parse_json(concat('{\"k\":', id, ',\"tag\":\"t', id, '\"}')) AS payload "
+        "FROM range(6)"
+    )
+    write_delta(spark, df, path)
+    snap = load_snapshot(path, spark=spark)
+    assert "variantType" in (snap.protocol.writer_features or [])
+    assert "variantType" in (snap.protocol.reader_features or [])
+    assert snap.schema["payload"].dataType.typeName() == "variant"
+
+    out = {
+        r.id: (r.k, r.tag)
+        for r in read_delta(spark, path).selectExpr(
+            "id",
+            "variant_get(payload, '$.k', 'long') AS k",
+            "variant_get(payload, '$.tag', 'string') AS tag",
+        ).collect()
+    }
+    assert out == {i: (i, f"t{i}") for i in range(6)}
+
+    # DML over the stat-less variant files
+    delete_delta(spark, path, "id < 2")
+    assert read_delta(spark, path).count() == 4
+    write_delta(spark, df.filter("id = 0"), path, mode="append")
+    rows = read_delta(spark, path).selectExpr(
+        "id", "to_json(payload) AS j"
+    ).orderBy("id").collect()
+    assert rows[0].j == '{"k":0,"tag":"t0"}'
+    assert len(rows) == 5
+
+    # appending a variant column to a non-variant table upgrades the
+    # protocol in the same commit (schema evolution)
+    p2 = str(tmp_path / "vt_evolve")
+    write_delta(spark, spark.range(3).select("id"), p2)
+    assert load_snapshot(p2, spark=spark).protocol.min_writer_version == 2
+    write_delta(
+        spark,
+        spark.sql("SELECT id, parse_json('1') AS v FROM range(3, 5)"),
+        p2,
+        mode="append",
+        schema_mode="merge",
+    )
+    s2 = load_snapshot(p2, spark=spark)
+    assert "variantType" in (s2.protocol.writer_features or [])
+    assert read_delta(spark, p2).count() == 5
