@@ -148,6 +148,16 @@ def _trace_error(snap, feature: str) -> str | None:
         ]
         if defs:
             return f"column(s) {defs} still have DEFAULT values"
+    if feature in ("timestampNtz", "variantType"):
+        from deltalake_datafusion_spark.delta.writer import (
+            _schema_type_features,
+        )
+
+        if feature in _schema_type_features(snap.schema):
+            return (
+                f"the schema still contains columns requiring {feature} "
+                "(timestamp_ntz / variant); drop or retype them first"
+            )
     if feature == "clustering" and CLUSTERING_DOMAIN in snap.domain_metadata:
         return "table is clustered; run ALTER TABLE … CLUSTER BY NONE first"
     if feature == "domainMetadata":

@@ -320,3 +320,25 @@ def test_unknown_writer_feature_blocks_writes_not_reads(spark, tmp_path):
 
     with pytest.raises(DeltaWriteError, match="writer features"):
         add_columns(spark, path, [("z", "bigint")])
+
+
+def test_drop_variant_type_blocked_while_column_exists(spark, tmp_path):
+    """DROP FEATURE variantType must refuse while a variant column is
+    in the schema — a spec reader without the feature would otherwise
+    misread the table."""
+    import pytest as _pytest
+
+    from deltalake_datafusion_spark.delta.features import drop_feature
+    from deltalake_datafusion_spark.delta.writer import (
+        DeltaWriteError,
+        write_delta,
+    )
+
+    path = str(tmp_path / "vt_drop")
+    write_delta(
+        spark,
+        spark.sql("SELECT id, parse_json('1') AS v FROM range(3)"),
+        path,
+    )
+    with _pytest.raises(DeltaWriteError, match="variant"):
+        drop_feature(spark, path, "variantType", truncate_history=True)
