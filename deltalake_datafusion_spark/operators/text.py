@@ -363,3 +363,48 @@ def corpus_frequency_score(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("__lc").alias("freq_score"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int | None = None
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies over whitespace tokens — the
+    statistic one BPE merge round consumes (Sennrich et al. 2016,
+    arXiv:1508.07909: the highest-count pair becomes the next merge).
+    Symbols here are characters within a token (space-joined), i.e.
+    the classic first-round formulation; repeated rounds would re-run
+    over the merged vocabulary. Returns ``(left, right, count)``,
+    optionally the global ``top_k`` by (count desc, left, right).
+
+    Scale: tokens explode to character pairs via a zip of two shifted
+    slices (pure codegen, no Python); the count is one partial-
+    aggregated groupBy whose shuffle carries distinct pairs per map
+    task (alphabet², tiny); top-k is TakeOrderedAndProject."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok")
+    )
+    chars = toks.select(F.split(F.col("tok"), "").alias("cs"))
+    pairs = chars.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("cs"), 1, F.greatest(F.size("cs") - 1, F.lit(0))),
+                F.slice(F.col("cs"), 2, F.greatest(F.size("cs") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+            )
+        ).alias("p")
+    ).select("p.left", "p.right")
+    out = pairs.groupBy("left", "right").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("count").desc(), F.col("left"), F.col("right")
+        ).limit(top_k)
+    return out

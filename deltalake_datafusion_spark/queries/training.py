@@ -1910,6 +1910,35 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-character pair counts over the corpus
+    (``operators/text.py::bpe_pair_counts``) — the statistic one BPE
+    merge round consumes; global top-20 by (count desc, pair)."""
+    from deltalake_datafusion_spark.operators.text import bpe_pair_counts
+
+    t = load_tables(spark, sf_dir, "documents")
+    return bpe_pair_counts(t["documents"], top_k=20)
+
+
+_BPE_PAIRS_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+    AS tok
+  FROM documents
+),
+chars AS (SELECT string_split(tok, '') AS cs FROM toks),
+pairs AS (
+  SELECT cs[i + 1] AS left, cs[i + 2] AS right
+  FROM chars, unnest(range(0, len(cs) - 1)) AS t(i)
+  WHERE len(cs) >= 2
+)
+SELECT "left", "right", COUNT(*) AS count
+FROM pairs GROUP BY 1, 2
+ORDER BY count DESC, "left", "right" LIMIT 20
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -2002,4 +2031,5 @@ def specs() -> list[QuerySpec]:
             "streaming_stream_join", streaming_stream_join, _STREAM_JOIN_SQL
         ),
         QuerySpec("delta_variant", delta_variant, _VARIANT_SQL),
+        QuerySpec("text_bpe_pairs", text_bpe_pairs, _BPE_PAIRS_SQL),
     ]
