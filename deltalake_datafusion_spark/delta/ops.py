@@ -2832,6 +2832,12 @@ def _compute_stats_attempt(spark, table_path: str) -> dict:
             logical, snap.metadata.configuration
         ),
     )
+    # footers this pyarrow can't parse (e.g. VARIANT columns) yield no
+    # stats — skip them instead of committing a pointless re-add every
+    # run (keeps ANALYZE idempotent on such tables)
+    victims = [f for f in victims if stats_by_rel.get(f.path)]
+    if not victims:
+        return {"files_updated": 0, "version": snap.version}
     actions = []
     for f in victims:
         actions.append(
