@@ -126,6 +126,20 @@ def cleanup_expired_logs(
             drop_sidecars |= _sidecars_of(p)
     drop_sidecars -= keep_sidecars
 
+    # A compacted log file is superseded exactly when every commit it
+    # covers is deletable — i.e. its end is checkpoint-covered and it
+    # has aged out like any commit. Keeping the same cutoff rule means
+    # a compacted file never outlives the range it stands in for.
+    from deltalake_datafusion_spark.delta.logcompact import (
+        list_compacted_files,
+    )
+
+    n_compacted = 0
+    for _s, e, p in list_compacted_files(table_path, spark):
+        if e <= latest_cp and mtimes.get(p, now) < cutoff:
+            if fs.delete(p):
+                n_compacted += 1
+
     for p in drop_cp:
         fs.delete(p)
     sidecar_dir = os.path.join(log_dir, "_sidecars")
@@ -137,4 +151,5 @@ def cleanup_expired_logs(
         "commits_deleted": n_commits,
         "checkpoints_deleted": len(drop_cp),
         "sidecars_deleted": n_sidecars,
+        "compacted_deleted": n_compacted,
     }

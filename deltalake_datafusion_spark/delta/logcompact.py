@@ -1,0 +1,179 @@
+"""Minor log compaction: ``{start}.{end}.compacted.json`` files.
+
+Delta's log-compaction optimization (PROTOCOL.md "Log Compaction
+Files"; delta-spark writes them via ``OptimizedWriterUtils`` /
+``minorCompaction.delta.log``) reconciles the actions of a commit
+range into a single JSON file so that cold snapshot construction
+opens one file instead of ``end - start + 1``. Readers MAY substitute
+a compacted file for the individual commits when — and only when —
+the replay window needs the entire range.
+
+The reconciliation rules match commit replay exactly:
+
+- latest ``metaData`` / ``protocol`` in the range (if any),
+- latest ``txn`` per appId, latest ``domainMetadata`` per domain,
+- one live ``add`` per path (a later remove of the same path cancels
+  the add; a later add supersedes it),
+- ``remove`` tombstones for paths removed in the range and not
+  re-added afterwards (needed by VACUUM and CDF replay),
+- ``commitInfo`` is NOT carried (it is per-commit provenance).
+
+This mirrors the reference's single-pass action reconciliation in
+its log replay (``crates/datafusion/src/table_provider/delta_log.rs``)
+applied offline to a bounded range.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from deltalake_datafusion_spark.delta.fs import fs_for, strip_scheme
+
+COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
+
+
+def _log_dir(table_path: str) -> str:
+    return os.path.join(strip_scheme(table_path), "_delta_log")
+
+
+def list_compacted_files(
+    table_path: str, spark=None
+) -> list[tuple[int, int, str]]:
+    """Ordered ``(start, end, path)`` for every compacted log file."""
+    fs = fs_for(table_path, spark)
+    log_dir = _log_dir(table_path)
+    out: list[tuple[int, int, str]] = []
+    if not fs.exists(log_dir):
+        return out
+    for st in fs.list(log_dir):
+        m = COMPACTED_RE.match(os.path.basename(st.path))
+        if m:
+            out.append((int(m.group(1)), int(m.group(2)), st.path))
+    return sorted(out)
+
+
+def reconcile_actions(action_lists: list[list[dict]]) -> list[dict]:
+    """Reconcile per-commit action lists (oldest first) into the
+    minimal equivalent action list, in replay-stable order."""
+    metadata = None
+    protocol = None
+    txns: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
+    adds: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
+    for actions in action_lists:
+        for a in actions:
+            if "commitInfo" in a:
+                continue
+            if "metaData" in a:
+                metadata = a
+            elif "protocol" in a:
+                protocol = a
+            elif "txn" in a:
+                txns[a["txn"]["appId"]] = a
+            elif "domainMetadata" in a:
+                domains[a["domainMetadata"]["domain"]] = a
+            elif "add" in a:
+                p = a["add"]["path"]
+                adds[p] = a
+                removes.pop(p, None)
+            elif "remove" in a:
+                p = a["remove"]["path"]
+                removes[p] = a
+                adds.pop(p, None)
+            elif "cdc" in a:
+                # CDC file actions are commit-scoped (readers resolve
+                # them per-version); a compacted file is not a valid
+                # CDF source, so they are dropped — CDF replay always
+                # reads the individual commits (delta/cdf.py).
+                continue
+            else:
+                # unknown single-key action: keep last per key
+                domains[json.dumps(a, sort_keys=True)] = a
+    out: list[dict] = []
+    if protocol is not None:
+        out.append(protocol)
+    if metadata is not None:
+        out.append(metadata)
+    out.extend(txns[k] for k in sorted(txns))
+    out.extend(
+        domains[k] for k in sorted(domains) if "domainMetadata" in domains[k]
+    )
+    out.extend(
+        domains[k]
+        for k in sorted(domains)
+        if "domainMetadata" not in domains[k]
+    )
+    out.extend(removes[p] for p in sorted(removes))
+    out.extend(adds[p] for p in sorted(adds))
+    return out
+
+
+def compact_log(
+    spark,
+    table_path: str,
+    start: int | None = None,
+    end: int | None = None,
+) -> dict:
+    """Write ``{start}.{end}.compacted.json`` reconciling the commit
+    range (inclusive). Defaults: the full post-latest-checkpoint tail
+    (or the whole log when no checkpoint exists) up to the tip.
+
+    The write is create-if-absent: compaction is idempotent and two
+    racers produce the identical file content, so a lost race is
+    success. Purely additive — no commit version is consumed and no
+    existing log file is touched.
+    """
+    from deltalake_datafusion_spark.delta.snapshot import (
+        DeltaNotFoundError,
+        _iter_commit_actions,
+        list_log_files,
+    )
+
+    table_path = strip_scheme(table_path)
+    fs = fs_for(table_path, spark)
+    commits, checkpoints = list_log_files(table_path, spark)
+    if not commits:
+        raise DeltaNotFoundError(f"no Delta commits at {table_path}")
+    versions = {v for v, _ in commits}
+    if start is None:
+        cp = max((v for v, _ in checkpoints), default=-1)
+        start = cp + 1 if (cp + 1) in versions else min(versions)
+    if end is None:
+        end = max(versions)
+    if start >= end:
+        return {"start": start, "end": end, "written": False,
+                "reason": "range shorter than 2 commits"}
+    missing = [v for v in range(start, end + 1) if v not in versions]
+    if missing:
+        raise DeltaNotFoundError(
+            f"cannot compact [{start}, {end}]: missing commit(s) "
+            f"{missing[:5]} (log-cleaned or never written)"
+        )
+    by_version = dict(commits)
+    action_lists = [
+        _iter_commit_actions(by_version[v], fs) for v in range(start, end + 1)
+    ]
+    actions = reconcile_actions(action_lists)
+    name = f"{start:020d}.{end:020d}.compacted.json"
+    path = os.path.join(_log_dir(table_path), name)
+    data = ("\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
+            + "\n").encode("utf-8")
+    from deltalake_datafusion_spark.delta.fs import AlreadyExistsError
+
+    written = True
+    try:
+        fs.write_atomic(path, data)
+    except (FileExistsError, AlreadyExistsError):
+        # compaction is deterministic given the range, so a lost race
+        # (or a re-run) produced the identical file — success.
+        written = False
+    return {
+        "start": start,
+        "end": end,
+        "written": written,
+        "path": path,
+        "actions": len(actions),
+    }

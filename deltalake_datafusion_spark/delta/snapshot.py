@@ -553,10 +553,70 @@ def load_snapshot(
     state = _ReplayState()
     _apply_actions(_read_checkpoint_actions(cp_paths, with_files), state, with_files)
     actual_version = cp_version
-    for v, p in replay_commits:
+    for _kind, _s, seg_end, p in _plan_commit_replay(
+        table_path, replay_commits, cp_version, version, spark
+    ):
         _apply_actions(_iter_commit_actions(p, fs), state, with_files)
-        actual_version = v
+        actual_version = seg_end
     return _finish_snapshot(table_path, actual_version, state)
+
+
+def _plan_commit_replay(
+    table_path: str,
+    replay_commits: list[tuple[int, str]],
+    cp_version: int,
+    version: int | None,
+    spark=None,
+) -> list[tuple[str, int, int, str]]:
+    """Substitute ``{s}.{e}.compacted.json`` files for runs of
+    individual commits (PROTOCOL.md log-compaction reading rule: a
+    compacted file may stand in for commits ``s..e`` only when the
+    replay window needs that ENTIRE range — it must start past the
+    checkpoint and end at or before the requested version).
+
+    Returns ``(kind, start, end, path)`` segments in replay order;
+    each segment's file is line-delimited action JSON either way.
+    Greedy widest-match keeps the file-open count minimal; any
+    version not covered by a usable compacted range replays its own
+    commit JSON unchanged.
+    """
+    from deltalake_datafusion_spark.delta.logcompact import (
+        list_compacted_files,
+    )
+
+    if not replay_commits:
+        return []
+    try:
+        compacted = list_compacted_files(table_path, spark)
+    except OSError:
+        compacted = []
+    if not compacted:
+        return [("commit", v, v, p) for v, p in replay_commits]
+    versions = [v for v, _ in replay_commits]
+    present = set(versions)
+    hi = versions[-1] if version is None else min(versions[-1], version)
+    best_by_start: dict[int, tuple[int, str]] = {}
+    for s, e, p in compacted:
+        if s > cp_version and e <= hi and (
+            s not in best_by_start or e > best_by_start[s][0]
+        ):
+            best_by_start[s] = (e, p)
+    by_version = dict(replay_commits)
+    plan: list[tuple[str, int, int, str]] = []
+    i = 0
+    while i < len(versions):
+        v = versions[i]
+        sub = best_by_start.get(v)
+        if sub is not None:
+            e, p = sub
+            if all(x in present for x in range(v, e + 1)):
+                plan.append(("compacted", v, e, p))
+                while i < len(versions) and versions[i] <= e:
+                    i += 1
+                continue
+        plan.append(("commit", v, v, by_version[v]))
+        i += 1
+    return plan
 
 
 # Process-wide latest-snapshot cache, gated on the
