@@ -812,6 +812,7 @@ def _update_attempt(
         _rename_to_physical(
             updated.select(*keep), logical,
             extra_cols=[rt_mat] if rt_mat else None,
+            field_ids=snap.column_mapping_mode == "id",
         )
         if snap.column_mapping_mode != "none"
         else updated.select(*keep)
@@ -1764,7 +1765,8 @@ def _merge_attempt(
             extra_phys.append(rt_ver)
         out_df = (
             _rename_to_physical(
-                out, logical, extra_cols=extra_phys or None
+                out, logical, extra_cols=extra_phys or None,
+                field_ids=snap.column_mapping_mode == "id",
             )
             if snap.column_mapping_mode != "none"
             else out
@@ -2244,6 +2246,21 @@ def _optimize_attempt(
     rt_mat = _materialized_row_id_col(snap)
     rt_ver = _materialized_row_ver_col(snap)
     rt_cols = [c for c in (rt_mat, rt_ver) if c]
+    # Mode-'id' tables resolve parquet columns by FIELD ID (the files
+    # may carry alien names, e.g. Iceberg-converted) — annotate the
+    # read schema and flip Spark's fieldId reader, exactly like the
+    # scan path; rewritten files are stamped with the same ids below.
+    id_mode = snap.column_mapping_mode == "id"
+    if id_mode:
+        from deltalake_datafusion_spark.delta.writer import (
+            physical_schema_field_ids,
+        )
+
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        fid = physical_schema_field_ids(logical)
+        data_schema = StructType(
+            [f for i, f in enumerate(fid.fields) if i not in part_idx]
+        )
     read_schema = (
         StructType(
             data_schema.fields
@@ -2333,6 +2350,12 @@ def _optimize_attempt(
         else:
             df = df.coalesce(n_out)
 
+        if id_mode:
+            from deltalake_datafusion_spark.delta.writer import (
+                stamp_field_ids,
+            )
+
+            df = stamp_field_ids(df, logical)
         staging = os.path.join(snap.table_path, f"_optimize_{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         pv = dict(key)
@@ -2546,6 +2569,18 @@ def _scan_with_rowmeta(
     data_schema = StructType(
         [f for i, f in enumerate(phys_full.fields) if i not in part_idx]
     )
+    if snap.column_mapping_mode == "id":
+        # resolve parquet columns by FIELD ID (alien file names), same
+        # as the scan path and the OPTIMIZE rewrite
+        from deltalake_datafusion_spark.delta.writer import (
+            physical_schema_field_ids,
+        )
+
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        fid = physical_schema_field_ids(logical)
+        data_schema = StructType(
+            [f for i, f in enumerate(fid.fields) if i not in part_idx]
+        )
     mat_cols = [c for c in (row_id_col, row_ver_col) if c]
     read_schema = (
         StructType(

@@ -209,11 +209,23 @@ def physical_schema_field_ids(schema: StructType) -> StructType:
 def _rename_to_physical(
     df: DataFrame, logical: StructType,
     extra_cols: list[str] | None = None,
+    field_ids: bool = False,
 ) -> DataFrame:
     """Project a logical-schema DataFrame into physical column names
     (recursive struct rebuild), for writing column-mapped files.
     ``extra_cols`` pass through unrenamed (already-physical columns
-    such as the materialized row-id column)."""
+    such as the materialized row-id column).
+
+    ``field_ids=True`` (column-mapping mode ``id``) additionally
+    stamps every field's ``parquet.field.id`` metadata so Spark's
+    parquet writer emits PARQUET field ids
+    (``spark.sql.parquet.fieldId.write.enabled``, default on) — new
+    files then resolve by id like the table's existing ones. Nested
+    ids ride the ``df.to`` struct-rebuild cast; top-level columns
+    additionally need an explicit Alias-with-metadata because a
+    pass-through attribute keeps its ORIGINAL (empty) metadata in the
+    physical plan — the ``.to`` schema alone silently drops top-level
+    ids at write time (verified against Spark 4.1)."""
     from pyspark.sql import functions as F
 
     def conv(col, t, phys_t):
@@ -243,7 +255,27 @@ def _rename_to_physical(
         cols.append(conv(F.col(f.name), f.dataType, pf.dataType).alias(pf.name))
     for e in extra_cols or []:
         cols.append(F.col(f"`{e}`"))
-    return df.select(*cols)
+    out = df.select(*cols)
+    return stamp_field_ids(out, logical) if field_ids else out
+
+
+def stamp_field_ids(df: DataFrame, logical: StructType) -> DataFrame:
+    """Stamp ``parquet.field.id`` metadata onto a physically-named
+    DataFrame so the parquet writer emits field ids (column-mapping
+    mode ``id``). Columns not in the mapped schema (e.g. materialized
+    row-tracking columns, read by NAME per the Delta spec) pass
+    through without an id. See the ``_rename_to_physical`` docstring
+    for why both the ``.to`` cast (nested ids) and the top-level
+    Alias-with-metadata are required."""
+    from pyspark.sql import functions as F
+
+    by_phys = {f.name: f for f in physical_schema_field_ids(logical).fields}
+    target_fields = [by_phys.get(c, df.schema[c]) for c in df.columns]
+    out = df.to(StructType(target_fields))
+    return out.select(*[
+        F.col(f"`{f.name}`").alias(f.name, metadata=dict(f.metadata or {}))
+        for f in target_fields
+    ])
 
 
 # ------------------------------------------------------------------ #
@@ -397,13 +429,6 @@ def check_writable(snapshot) -> None:
             f"table requires writer version {p.min_writer_version}, "
             f"this engine supports ≤{MAX_WRITER_VERSION} — the table "
             "stays readable, but writes are refused"
-        )
-    if snapshot.column_mapping_mode == "id":
-        raise DeltaWriteError(
-            "column mapping mode 'id' tables are readable but not "
-            "writable by this engine (parquet field-id authoring for "
-            "new files is not implemented); rewrite under mode 'name' "
-            "to take writes"
         )
     unsupported = sorted(
         set(p.writer_features or []) - SUPPORTED_WRITER_FEATURES
@@ -1512,8 +1537,14 @@ def write_delta(
                 "to allow)"
             )
 
-    # Physical projection (identity when unmapped).
-    out_df = _rename_to_physical(df, write_schema) if mapping else df
+    # Physical projection (identity when unmapped). Mode 'id' tables
+    # (Iceberg-converted / foreign) additionally stamp parquet field
+    # ids so the new files resolve by id like the existing ones.
+    id_mode = existing is not None and existing.column_mapping_mode == "id"
+    out_df = (
+        _rename_to_physical(df, write_schema, field_ids=id_mode)
+        if mapping else df
+    )
     phys = physical_schema(write_schema)
     phys_partition_by = [
         phys.fields[write_schema.fieldNames().index(p)].name for p in partition_by

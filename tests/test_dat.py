@@ -1201,14 +1201,10 @@ def test_dat_analyze_backfills_missing_stats(spark, tmp_path):
 def test_dat_column_mapping_id_mode(spark, tmp_path):
     """Column mapping mode 'id' (Iceberg-converted shape): parquet
     columns carry arbitrary NAMES but delta field ids — resolution
-    must go by parquet field id, not name. The table is readable;
-    writes are refused (field-id authoring unimplemented)."""
-    import pytest as _pytest
-
-    from deltalake_datafusion_spark.delta.writer import (
-        DeltaWriteError,
-        write_delta,
-    )
+    must go by parquet field id, not name. Both reads AND writes work:
+    new files are authored with PARQUET field ids matching the
+    mapping, so they resolve alongside the alien-named originals."""
+    from deltalake_datafusion_spark.delta.writer import write_delta
 
     t = str(tmp_path / "cm_id")
     # parquet file with names NOTHING like the delta physical names
@@ -1272,10 +1268,50 @@ def test_dat_column_mapping_id_mode(spark, tmp_path):
     # predicate over the logical schema still works (by-id read path)
     assert read_delta(spark, t, predicate="id >= 2").count() == 2
 
-    with _pytest.raises(DeltaWriteError, match="mode 'id'"):
-        write_delta(
-            spark,
-            spark.createDataFrame([(9, "w")], "id long, tag string"),
-            t,
-            mode="append",
-        )
+    # append: the new file must carry PARQUET field ids so it resolves
+    # by id exactly like the Iceberg-written original
+    write_delta(
+        spark,
+        spark.createDataFrame([(9, "w")], "id long, tag string"),
+        t,
+        mode="append",
+    )
+    snap2 = load_snapshot(t, spark=spark)
+    new_files = [f.path for f in snap2.files if f.path != add["add"]["path"]]
+    assert new_files
+    import pyarrow.parquet as _papq
+
+    for nf in new_files:
+        sch = _papq.read_schema(os.path.join(t, nf))
+        ids = {
+            sch.field(i).name: (sch.field(i).metadata or {}).get(
+                b"PARQUET:field_id"
+            )
+            for i in range(len(sch.names))
+        }
+        assert ids == {"col-aaaa": b"1", "col-bbbb": b"2"}
+    rows = sorted(tuple(r) for r in read_delta(spark, t).collect())
+    assert rows == [(1, "x"), (2, "y"), (3, "z"), (9, "w")]
+
+    # DML rewrite resolves the alien file by id and re-authors ids
+    from deltalake_datafusion_spark.delta.ops import (
+        optimize_delta,
+        update_delta,
+    )
+
+    update_delta(spark, t, {"tag": "'Y'"}, "id = 2")
+    rows = sorted(tuple(r) for r in read_delta(spark, t).collect())
+    assert rows == [(1, "x"), (2, "Y"), (3, "z"), (9, "w")]
+
+    # OPTIMIZE compacts alien + native files into one id-stamped file
+    optimize_delta(spark, t, target_file_size=1 << 30)
+    snap3 = load_snapshot(t, spark=spark)
+    for f in snap3.files:
+        sch = _papq.read_schema(os.path.join(t, f.path))
+        got = {
+            (sch.field(i).metadata or {}).get(b"PARQUET:field_id")
+            for i in range(len(sch.names))
+        }
+        assert got >= {b"1", b"2"}
+    rows = sorted(tuple(r) for r in read_delta(spark, t).collect())
+    assert rows == [(1, "x"), (2, "Y"), (3, "z"), (9, "w")]
