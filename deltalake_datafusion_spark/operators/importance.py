@@ -1,0 +1,94 @@
+"""Data selection with importance resampling (DSIR).
+
+Xie et al. 2023 (arXiv:2302.03169): score every raw document by the
+log-likelihood ratio of a TARGET hashed n-gram bag-of-words model
+over a RAW model — documents distributionally closer to the target
+(e.g. a trusted high-quality corpus) score higher and are kept with
+probability ∝ exp(score). Features are hashed unigrams (the paper
+uses hashed uni+bigrams; the hashing + ratio machinery is identical),
+estimated with add-one smoothing over ``n_buckets`` hash buckets.
+
+Scale shape (the whole point of DSIR — it is a LINEAR scorer):
+- two bucket-count aggregations (shuffle carries ≤ ``n_buckets``
+  rows per map task after partial aggregation),
+- the bucket→log-ratio model is a ``n_buckets``-row broadcast,
+- scoring is one map-side join + per-doc aggregate: the corpus
+  shuffles ONCE (on doc id) and never on text.
+
+Everything is built-in expressions — the md5-based bucket hash keeps
+the operator reproducible across engines (same trick as the repo's
+sampling/sharding operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text_col), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+
+
+def _bucket(token: Column, n_buckets: int) -> Column:
+    """Deterministic, engine-portable hash bucket: first 8 hex chars
+    of md5 as an integer, mod n_buckets (same value in any engine
+    with md5 — unlike Spark's murmur ``hash``)."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def dsir_log_ratio(
+    df: DataFrame,
+    target_predicate: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-document DSIR score: mean over the document's hashed
+    unigram features of ``ln p_target(b) - ln p_raw(b)`` with
+    add-one smoothing. Returns ``(id_col, n_tokens, dsir_score)``;
+    documents with zero tokens drop out (no features → no score),
+    mirroring the frequency-score operator's convention.
+
+    ``target_predicate`` marks the rows that define the target
+    distribution (a trusted subset riding in the same DataFrame —
+    e.g. a curated source/language); the raw distribution is the
+    whole input.
+    """
+    feats = df.select(
+        F.col(id_col),
+        target_predicate.alias("__is_target"),
+        F.explode(_tokens(F.col(text_col))).alias("__tok"),
+    ).select(
+        id_col, "__is_target", _bucket(F.col("__tok"), n_buckets).alias("__b")
+    )
+
+    counts = feats.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("tgt_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("raw_cnt").alias("raw_total"),
+        F.sum("tgt_cnt").alias("tgt_total"),
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log((F.col("tgt_cnt") + 1)
+                  / (F.col("tgt_total") + F.lit(n_buckets)))
+            - F.log((F.col("raw_cnt") + 1)
+                    / (F.col("raw_total") + F.lit(n_buckets)))
+        ).alias("__lr"),
+    )
+
+    scored = feats.join(F.broadcast(model), "__b", "left")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("__lr").alias("dsir_score"),
+    )

@@ -408,3 +408,65 @@ def bpe_pair_counts(
             F.col("count").desc(), F.col("left"), F.col("right")
         ).limit(top_k)
     return out
+
+
+# Deterministic demo merge table: the first rounds a byte-level BPE
+# trained on English text converges to (cf. the GPT-2 vocabulary's
+# leading merges). Applying a FIXED table keeps the operator and any
+# external re-implementation (e.g. a SQL oracle) bit-identical; a
+# production run would feed `bpe_pair_counts` output back in rank
+# order instead.
+BPE_DEMO_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("an", "d"), ("o", "r"), ("e", "n"),
+    ("a", "t"), ("e", "s"), ("o", "u"), ("in", "g"), ("t", "o"),
+]
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a ranked BPE merge table (Sennrich et al. 2016): encoding
+    applies each merge, in rank order, to every adjacent symbol pair
+    it matches — which is exactly a sequence of left-to-right
+    non-overlapping string replaces over a space-separated symbol
+    stream. Words are isolated with a ``|`` boundary symbol so merges
+    never cross word edges.
+
+    Returns ``(id_col, n_chars_norm, n_bpe_tokens, encoded)`` where
+    ``encoded`` is the final space-separated symbol stream and
+    ``n_bpe_tokens`` counts non-boundary symbols (what a tokenizer
+    would emit).
+
+    Scale: a fixed chain of ``replace`` expressions — pure whole-stage
+    codegen, zero shuffles, zero UDFs; cost is O(len(text) · #merges)
+    per row, embarrassingly parallel.
+    """
+    from pyspark.sql import functions as F
+
+    merges = BPE_DEMO_MERGES if merges is None else merges
+    # normalize: lowercase, non-letters → word boundary '|'
+    s = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", "|")
+    )
+    # spread into symbols: every char followed by a space
+    s = F.regexp_replace(s, "(.)", r"$1 ")
+    col = s
+    for left, right in merges:
+        col = F.replace(
+            col, F.lit(f"{left} {right} "), F.lit(f"{left}{right} ")
+        )
+    enc = F.trim(col)
+    syms = F.filter(
+        F.split(enc, " "), lambda t: (t != F.lit("")) & (t != F.lit("|"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", ""))
+         .alias("n_chars_norm"),
+        F.size(syms).alias("n_bpe_tokens"),
+        enc.alias("encoded"),
+    )

@@ -1939,6 +1939,125 @@ ORDER BY count DESC, "left", "right" LIMIT 20
 """
 
 
+def pipe_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023,
+    ``operators/importance.py``): English docs define the target
+    hashed-unigram distribution, the whole corpus the raw one; every
+    document scores the mean target/raw log-likelihood ratio of its
+    hashed tokens. Per-language audit: count, mean score, and how
+    many documents the resampler would prefer (score > 0). English
+    must come out on top — its own distribution defines the target."""
+    from deltalake_datafusion_spark.operators.importance import (
+        dsir_log_ratio,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    scores = dsir_log_ratio(
+        d, F.col("lang") == "en", n_buckets=2048
+    )
+    return (
+        scores.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dsir_score"), 6).alias("avg_dsir"),
+            F.sum(
+                F.when(F.col("dsir_score") > 0, 1).otherwise(0)
+            ).cast("long").alias("n_target_like"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 2048 AS b
+  FROM (
+    SELECT doc_id, lang,
+      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '')) AS tok
+    FROM documents
+  )
+),
+counts AS (
+  SELECT b, COUNT(*) AS raw_cnt,
+    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_cnt
+  FROM toks GROUP BY b
+),
+tot AS (
+  SELECT SUM(raw_cnt) AS raw_total, SUM(tgt_cnt) AS tgt_total FROM counts
+),
+model AS (
+  SELECT b,
+    ln(CAST(tgt_cnt + 1 AS DOUBLE) / CAST(tgt_total + 2048 AS DOUBLE))
+    - ln(CAST(raw_cnt + 1 AS DOUBLE) / CAST(raw_total + 2048 AS DOUBLE))
+      AS lr
+  FROM counts, tot
+),
+perdoc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens, AVG(m.lr) AS score
+  FROM toks t JOIN model m USING (b) GROUP BY t.doc_id
+)
+SELECT d.lang, COUNT(*) AS n_docs, ROUND(AVG(p.score), 6) AS avg_dsir,
+  CAST(SUM(CASE WHEN p.score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_target_like
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding under a fixed ranked merge table
+    (``operators/text.py::bpe_encode``) on a deterministic document
+    sample: normalized char count, emitted token count, and the md5
+    of the full encoded symbol stream (so the oracle verifies the
+    exact encoding, not just counts)."""
+    from deltalake_datafusion_spark.operators.text import bpe_encode
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    enc = bpe_encode(d.filter(F.col("doc_id") % 29 == 0))
+    return enc.select(
+        "doc_id",
+        "n_chars_norm",
+        "n_bpe_tokens",
+        F.md5("encoded").alias("enc_md5"),
+    ).orderBy("doc_id")
+
+
+def _bpe_replace_chain(expr: str) -> str:
+    from deltalake_datafusion_spark.operators.text import BPE_DEMO_MERGES
+
+    for left, right in BPE_DEMO_MERGES:
+        expr = f"replace({expr}, '{left} {right} ', '{left}{right} ')"
+    return expr
+
+
+_BPE_ENCODE_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(text), '[^a-z]+', '|', 'g')) AS s,
+    length(regexp_replace(lower(text), '[^a-z]+', '', 'g'))
+      AS n_chars_norm
+  FROM documents WHERE doc_id % 29 = 0
+),
+spread AS (
+  SELECT doc_id, n_chars_norm,
+    regexp_replace(s, '(.)', '\\1 ', 'g') AS e
+  FROM norm
+),
+merged AS (
+  SELECT doc_id, n_chars_norm, trim({_bpe_replace_chain('e')}) AS enc
+  FROM spread
+)
+SELECT doc_id, n_chars_norm,
+  len(list_filter(string_split(enc, ' '),
+                  t -> t <> '' AND t <> '|')) AS n_bpe_tokens,
+  md5(enc) AS enc_md5
+FROM merged ORDER BY doc_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -2032,4 +2151,6 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec("delta_variant", delta_variant, _VARIANT_SQL),
         QuerySpec("text_bpe_pairs", text_bpe_pairs, _BPE_PAIRS_SQL),
+        QuerySpec("pipe_dsir_select", pipe_dsir_select, _DSIR_SQL),
+        QuerySpec("text_bpe_encode", text_bpe_encode, _BPE_ENCODE_SQL),
     ]

@@ -471,3 +471,57 @@ def test_dedup_keep_best_prefers_quality(spark):
     )
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bpe_encode_exact(spark):
+    """Hand-verified BPE application: merges apply in rank order,
+    never across the '|' word boundary, zero shuffles / zero UDFs."""
+    from deltalake_datafusion_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "The theano, and-er!"), (2, ""), (3, "!!!")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bpe_encode(df).collect()}
+    # "the theano and er" →
+    #  the: t h e → th e → the
+    #  theano: the a n o → the an o
+    #  and: an d → and ; er: e r → er
+    assert rows[1]["encoded"] == "the | the an o | and | er |"
+    assert rows[1]["n_bpe_tokens"] == 6
+    assert rows[1]["n_chars_norm"] == 14
+    assert rows[2]["n_bpe_tokens"] == 0
+    assert rows[3]["n_bpe_tokens"] == 0
+
+    plan = bpe_encode(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs wording like the target subset score higher; the scorer
+    broadcasts the bucket model (corpus never shuffles on text)."""
+    from deltalake_datafusion_spark.operators.importance import (
+        dsir_log_ratio,
+    )
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", True),
+        (2, "alpha beta alpha beta gamma", True),
+        (3, "zulu yankee xray zulu yankee", False),
+        (4, "alpha beta gamma beta alpha", False),  # target-like, raw
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    out = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_log_ratio(df, F.col("t")).collect()
+    }
+    assert out[4] > out[3]  # target-like wording wins
+    assert min(out[1], out[2]) > out[3]  # target members beat outsiders
+    # every doc's token count flows through
+    plan = (
+        dsir_log_ratio(df, F.col("t"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
