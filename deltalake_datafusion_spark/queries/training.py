@@ -2058,6 +2058,128 @@ FROM merged ORDER BY doc_id
 """
 
 
+def delta_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minor log compaction (``delta/logcompact.py``): a 5-commit
+    table (4 appends + a DV DELETE) compacts its whole log into one
+    ``0.4.compacted.json``; a cold reload must produce the identical
+    snapshot — including the deletion vector riding the re-added
+    file — and the scan result is what the oracle computes from the
+    source parquet."""
+    from deltalake_datafusion_spark.delta.logcompact import (
+        compact_log,
+        list_compacted_files,
+    )
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import (
+        clear_snapshot_cache,
+        load_snapshot,
+    )
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    t = load_tables(spark, sf_dir, "orders")
+    path = os.path.join(_fresh_dir("log_compact", sf_dir), "t")
+    o = t["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for i in range(4):
+        write_delta(
+            spark,
+            o.filter(F.col("o_orderkey") % 4 == i),
+            path,
+            mode="append" if i else "error",
+        )
+    delete_delta(spark, path, "o_orderkey % 10 = 0")
+    before = load_snapshot(path, spark=spark)
+    res = compact_log(spark, path)
+    assert res["written"] and (res["start"], res["end"]) == (
+        0, before.version,
+    ), res
+    assert len(list_compacted_files(path)) == 1
+    clear_snapshot_cache()
+    after = load_snapshot(path, spark=spark)
+    assert after.version == before.version
+    assert sorted((f.path, f.dv_id) for f in after.files) == sorted(
+        (f.path, f.dv_id) for f in before.files
+    )
+    assert any(f.dv is not None for f in after.files)
+    return (
+        read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_LOG_COMPACT_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders WHERE o_orderkey % 10 <> 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows (Structured Streaming
+    ``session_window`` with a 30-minute gap, per user): sessions run
+    while consecutive events arrive strictly within the gap, and the
+    final state must equal the batch gaps-and-islands computation the
+    oracle performs. Per-user audit: session count, event count,
+    busiest-session size."""
+    from deltalake_datafusion_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    sessions = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(sessions, "q_session_windows", "complete")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSION_WINDOWS_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+),
+per AS (
+  SELECT user_id, sid, COUNT(*) AS n_events FROM sess GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+  CAST(SUM(n_events) AS BIGINT) AS n_events,
+  MAX(n_events) AS max_session_events
+FROM per GROUP BY user_id ORDER BY user_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -2153,4 +2275,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_bpe_pairs", text_bpe_pairs, _BPE_PAIRS_SQL),
         QuerySpec("pipe_dsir_select", pipe_dsir_select, _DSIR_SQL),
         QuerySpec("text_bpe_encode", text_bpe_encode, _BPE_ENCODE_SQL),
+        QuerySpec("delta_log_compact", delta_log_compact, _LOG_COMPACT_SQL),
+        QuerySpec(
+            "streaming_session_windows",
+            streaming_session_windows,
+            _SESSION_WINDOWS_SQL,
+        ),
     ]
