@@ -72,7 +72,16 @@ def reconcile_actions(action_lists: list[list[dict]]) -> list[dict]:
             elif "protocol" in a:
                 protocol = a
             elif "txn" in a:
-                txns[a["txn"]["appId"]] = a
+                # replay keeps the MAX version per appId (snapshot.py
+                # _apply_actions) — "last occurrence wins" would let a
+                # lower later version regress the app's watermark
+                app = a["txn"]["appId"]
+                prev = txns.get(app)
+                if prev is None or (
+                    a["txn"].get("version", -1)
+                    >= prev["txn"].get("version", -1)
+                ):
+                    txns[app] = a
             elif "domainMetadata" in a:
                 domains[a["domainMetadata"]["domain"]] = a
             elif "add" in a:

@@ -224,3 +224,105 @@ def test_foreign_compacted_file_is_used(spark, tmp_path, counters):
     assert read_delta(spark, path).count() == 30
     assert f"{0:020d}.{1:020d}.compacted.json" in counters["paths"]
     assert f"{1:020d}.json" not in counters["paths"]
+
+
+# ------------------------------------------------------------------ #
+# Property: reconciled replay ≡ sequential replay                     #
+# ------------------------------------------------------------------ #
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PATHS = [f"p{i}.parquet" for i in range(6)]
+_APPS = ["appA", "appB"]
+_DOMAINS = ["d1", "d2"]
+
+
+def _action(draw):
+    kind = draw(st.sampled_from(
+        ["add", "remove", "metaData", "txn", "domain", "domain_rm"]
+    ))
+    if kind == "add":
+        return {"add": {
+            "path": draw(st.sampled_from(_PATHS)),
+            "size": draw(st.integers(0, 999)),
+            "modificationTime": 1,
+            "partitionValues": {},
+            "deletionVector": (
+                {"storageType": "u", "pathOrInlineDv": "ab12", "offset": 1,
+                 "sizeInBytes": 40, "cardinality": 2}
+                if draw(st.booleans()) else None
+            ),
+        }}
+    if kind == "remove":
+        return {"remove": {
+            "path": draw(st.sampled_from(_PATHS)),
+            "deletionTimestamp": draw(st.integers(0, 99)),
+            "dataChange": True,
+        }}
+    if kind == "metaData":
+        return {"metaData": {
+            "id": "m", "schemaString": "{}", "partitionColumns": [],
+            "configuration": {"k": str(draw(st.integers(0, 5)))},
+        }}
+    if kind == "txn":
+        return {"txn": {
+            "appId": draw(st.sampled_from(_APPS)),
+            "version": draw(st.integers(0, 20)),
+        }}
+    if kind == "domain":
+        return {"domainMetadata": {
+            "domain": draw(st.sampled_from(_DOMAINS)),
+            "configuration": str(draw(st.integers(0, 5))),
+        }}
+    return {"domainMetadata": {
+        "domain": draw(st.sampled_from(_DOMAINS)), "removed": True,
+    }}
+
+
+@st.composite
+def _commits(draw):
+    n_commits = draw(st.integers(1, 6))
+    out = []
+    for _ in range(n_commits):
+        n = draw(st.integers(1, 5))
+        commit = [{"commitInfo": {"timestamp": 1}}]
+        commit += [_action(draw) for _ in range(n)]
+        out.append(commit)
+    return out
+
+
+@given(_commits())
+@settings(max_examples=200, deadline=None)
+def test_reconcile_equivalent_to_sequential_replay(commits):
+    """Replaying the reconciled action list must land the same state
+    as replaying the commits one by one: identical live adds (incl.
+    DV identity), metadata, per-app txn watermarks, and domain
+    metadata; reconciled tombstones are the subset still standing."""
+    base_meta = {"metaData": {
+        "id": "m0", "schemaString": "{}", "partitionColumns": [],
+        "configuration": {},
+    }}
+
+    def replay(action_lists):
+        state = snapmod._ReplayState()
+        for actions in action_lists:
+            snapmod._apply_actions(actions, state, True)
+        return state
+
+    seq = replay([[base_meta]] + commits)
+    rec = replay([[base_meta], reconcile_actions(commits)])
+
+    assert {
+        p: (f.size, f.dv_id) for p, f in seq.adds.items()
+    } == {p: (f.size, f.dv_id) for p, f in rec.adds.items()}
+    assert seq.metadata.configuration == rec.metadata.configuration
+    assert seq.app_transactions == rec.app_transactions
+    assert seq.domain_metadata == rec.domain_metadata
+    # every reconciled tombstone is a real one, and every path that
+    # ended removed (not re-added) is tombstoned in both
+    seq_tomb = {t["path"] for t in seq.tombstones}
+    rec_tomb = {t["path"] for t in rec.tombstones}
+    assert rec_tomb <= seq_tomb
+    final_removed = seq_tomb - set(seq.adds)
+    assert final_removed <= rec_tomb
