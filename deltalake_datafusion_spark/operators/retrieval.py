@@ -144,3 +144,43 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): fuse named
+    rankings into ``score = Σ 1/(k + rank)`` per id, the standard
+    hybrid-retrieval combiner for BM25 + dense lists. Returns
+    ``(id_col, rrf_score, n_systems)`` — callers order by
+    ``(rrf_score desc, id)`` and cut to their fused top-k.
+
+    Cross-engine determinism: inputs are integer ranks, so each
+    contribution is the same double in any engine; with the two-system
+    case the sum is order-independent (two-term float addition is
+    commutative), so no rounding is needed before ranking.
+
+    Scale: each ranking is already a top-k (tiny); the fusion is a
+    union + one groupBy on id over ≤ Σk rows — driver-free,
+    broadcast-sized.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = [
+        df.select(
+            F.col(id_col).alias("__id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+             ).alias("__contrib"),
+        )
+        for _name, df in rankings
+    ]
+    allc = reduce(lambda a, b: a.unionByName(b), parts)
+    return allc.groupBy(F.col("__id").alias(id_col)).agg(
+        F.sum("__contrib").alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )

@@ -2180,6 +2180,107 @@ FROM per GROUP BY user_id ORDER BY user_id
 """
 
 
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-30 fused with a dense cosine
+    top-30 by reciprocal-rank fusion
+    (``operators/retrieval.py::rrf_fuse``, Cormack et al. 2009) —
+    the standard two-system RAG retrieval combiner. Ranks are integers
+    (pinned deterministic by the bm25/ANN conventions), so the fused
+    doubles are bit-identical cross-engine without rounding."""
+    from deltalake_datafusion_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from deltalake_datafusion_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    lex_q = spark.createDataFrame(
+        [(0, "customer order sort key")], "query_id int, query_text string"
+    )
+    lex = bm25_topk(docs, lex_q, k=30, score_round=6)
+    dense_q = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dense = brute_force_topk(emb, dense_q, k=30).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([("bm25", lex), ("dense", dense)])
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(15)
+
+
+_HYBRID_RRF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS tk
+  FROM documents
+),
+lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+qterms AS (
+  SELECT unnest(['customer', 'order', 'sort', 'key']) AS term
+),
+postings AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+  WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+pl AS (SELECT p.doc_id, p.term, p.tf, l.dl
+       FROM postings p JOIN lens l USING (doc_id)),
+dfc AS (SELECT term, COUNT(*) AS df FROM pl GROUP BY term),
+contrib AS (
+  SELECT pl.doc_id,
+    ln(1.0 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+      * (pl.tf * 2.2)
+      / (pl.tf + 1.2 * (0.25 + 0.75 * pl.dl / s.avgdl)) AS c
+  FROM pl JOIN dfc USING (term), stats s
+),
+lex AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY ROUND(SUM(c), 6) DESC, doc_id ASC)
+      AS rank
+  FROM contrib GROUP BY doc_id
+  ORDER BY rank LIMIT 30
+),
+dbl AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dense_scored AS (
+  SELECT c.vec_id AS doc_id,
+    list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]),
+                (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(q.v, x -> x * x),
+                          (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(c.v, x -> x * x),
+                            (x, y) -> x + y))) AS cosine
+  FROM dbl q JOIN dbl c ON TRUE
+  WHERE q.vec_id = 7
+),
+dense AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM dense_scored ORDER BY rank LIMIT 30
+),
+contribs AS (
+  SELECT doc_id, 1.0 / (60.0 + rank) AS contrib FROM lex
+  UNION ALL
+  SELECT doc_id, 1.0 / (60.0 + rank) AS contrib FROM dense
+),
+fused AS (
+  SELECT doc_id, SUM(contrib) AS rrf_score,
+    COUNT(*) AS n_systems
+  FROM contribs GROUP BY doc_id
+)
+SELECT doc_id, rrf_score, n_systems
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 15
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -2281,4 +2382,5 @@ def specs() -> list[QuerySpec]:
             streaming_session_windows,
             _SESSION_WINDOWS_SQL,
         ),
+        QuerySpec("text_hybrid_rrf", text_hybrid_rrf, _HYBRID_RRF_SQL),
     ]
