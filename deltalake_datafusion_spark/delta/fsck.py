@@ -21,17 +21,39 @@ from deltalake_datafusion_spark.delta.snapshot import load_snapshot
 
 def fsck_repair(spark, table_path: str, dry_run: bool = False) -> dict:
     """Returns {files_checked, files_missing, version}; ``dry_run``
-    reports without committing."""
+    reports without committing.
+
+    Like delta-spark's FSCK, an add whose DELETION VECTOR file is
+    gone is just as dangling as one whose data file is gone — a scan
+    would either fail or (worse) resurrect the deleted rows — so both
+    existence checks ride the same executor pass: each task receives
+    ``(add_path, extra_path_to_check)`` and reports the add as
+    missing if EITHER is absent ('i' inline and 'p' absolute DVs
+    outside the table root are checked as given)."""
+    from deltalake_datafusion_spark.delta.deletion_vectors import (
+        dv_relative_path,
+    )
+
     snap = load_snapshot(table_path, spark=spark)
-    paths = [f.path for f in snap.files]
     tp = snap.table_path
+
+    def dv_check_path(f) -> str | None:
+        if f.dv is None or f.dv.storage_type == "i":
+            return None
+        if f.dv.storage_type == "p":
+            return f.dv.path_or_inline
+        return os.path.join(tp, dv_relative_path(f.dv.path_or_inline))
+
+    paths = [(f.path, dv_check_path(f)) for f in snap.files]
 
     def check(it):
         from deltalake_datafusion_spark.delta.fs import fs_for as _ff
 
         fs = _ff(tp)
-        for rel in it:
+        for rel, dv_path in it:
             if not fs.exists(os.path.join(tp, rel)):
+                yield rel
+            elif dv_path is not None and not fs.exists(dv_path):
                 yield rel
 
     if paths:

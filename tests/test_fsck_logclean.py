@@ -144,3 +144,39 @@ def test_version_checksum_written_and_verified(spark, tmp_path):
     cleanup_expired_logs(spark, path, retention_ms=0)
     leftover = glob.glob(os.path.join(path, "_delta_log", "*.crc"))
     assert leftover == []  # all commits ≤ checkpoint were expired
+
+
+def test_fsck_detects_missing_deletion_vector(spark, tmp_path):
+    """An add whose DV file was deleted out-of-band is dangling
+    (a scan would fail or resurrect deleted rows): FSCK drops it."""
+    import glob as _glob
+
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+
+    path = os.path.join(str(tmp_path), "t")
+    write_delta(spark, spark.range(100).select("id"), path)
+    delete_delta(spark, path, "id % 3 = 0")
+    snap = load_snapshot(path, spark=spark)
+    assert any(f.dv is not None for f in snap.files)
+
+    dv_files = _glob.glob(os.path.join(path, "**", "deletion_vector_*.bin"),
+                          recursive=True)
+    assert dv_files
+    os.remove(dv_files[0])
+
+    res = fsck_repair(spark, path, dry_run=True)
+    assert res["files_missing"] >= 1
+    fsck_repair(spark, path)
+    after = load_snapshot(path, spark=spark)
+    # the dangling DV-bearing add is gone; every surviving DV resolves
+    from deltalake_datafusion_spark.delta.deletion_vectors import (
+        dv_relative_path,
+    )
+
+    for f in after.files:
+        if f.dv is not None and f.dv.storage_type == "u":
+            assert os.path.exists(
+                os.path.join(path, dv_relative_path(f.dv.path_or_inline))
+            )
+    read_delta(spark, path).count()
+    assert fsck_repair(spark, path, dry_run=True)["files_missing"] == 0
