@@ -162,8 +162,25 @@ def list_log_files(
     table_path: str, spark=None
 ) -> tuple[list[tuple[int, str]], list[tuple[int, str]]]:
     """Ordered (version, path) lists of commit JSONs and checkpoints."""
+    commits, checkpoints, _ = list_log_files_all(table_path, spark)
+    return commits, checkpoints
+
+
+def list_log_files_all(
+    table_path: str, spark=None
+) -> tuple[
+    list[tuple[int, str]],
+    list[tuple[int, str]],
+    list[tuple[int, int, str]],
+]:
+    """One directory listing → (commits, checkpoints, compacted) where
+    compacted entries are ``(start, end, path)``. Object-store LIST is
+    the expensive metadata op — every cold snapshot load pays exactly
+    one."""
+    from deltalake_datafusion_spark.delta.logcompact import COMPACTED_RE
+
     fs = fs_for(table_path, spark)
-    commits, checkpoints = [], []
+    commits, checkpoints, compacted = [], [], []
     for st in fs.list(_log_dir(table_path)):
         name = os.path.basename(st.path)
         m = _COMMIT_RE.match(name)
@@ -173,7 +190,11 @@ def list_log_files(
         m = _CHECKPOINT_RE.match(name)
         if m:
             checkpoints.append((int(m.group(1)), st.path))
-    return sorted(commits), sorted(checkpoints)
+            continue
+        m = COMPACTED_RE.match(name)
+        if m:
+            compacted.append((int(m.group(1)), int(m.group(2)), st.path))
+    return sorted(commits), sorted(checkpoints), sorted(compacted)
 
 
 def read_last_checkpoint(table_path: str, spark=None) -> dict | None:
@@ -460,7 +481,7 @@ def load_snapshot(
     """
     table_path = strip_scheme(table_path)
     fs = fs_for(table_path, spark)
-    commits, checkpoints = list_log_files(table_path, spark)
+    commits, checkpoints, compacted = list_log_files_all(table_path, spark)
     if not commits and not checkpoints:
         raise DeltaNotFoundError(f"no Delta log at {table_path}")
 
@@ -554,7 +575,7 @@ def load_snapshot(
     _apply_actions(_read_checkpoint_actions(cp_paths, with_files), state, with_files)
     actual_version = cp_version
     for _kind, _s, seg_end, p in _plan_commit_replay(
-        table_path, replay_commits, cp_version, version, spark
+        replay_commits, compacted, cp_version, version
     ):
         _apply_actions(_iter_commit_actions(p, fs), state, with_files)
         actual_version = seg_end
@@ -562,11 +583,10 @@ def load_snapshot(
 
 
 def _plan_commit_replay(
-    table_path: str,
     replay_commits: list[tuple[int, str]],
+    compacted: list[tuple[int, int, str]],
     cp_version: int,
     version: int | None,
-    spark=None,
 ) -> list[tuple[str, int, int, str]]:
     """Substitute ``{s}.{e}.compacted.json`` files for runs of
     individual commits (PROTOCOL.md log-compaction reading rule: a
@@ -578,18 +598,11 @@ def _plan_commit_replay(
     each segment's file is line-delimited action JSON either way.
     Greedy widest-match keeps the file-open count minimal; any
     version not covered by a usable compacted range replays its own
-    commit JSON unchanged.
+    commit JSON unchanged. ``compacted`` comes from the SAME directory
+    listing the caller already has — no extra LIST round-trip.
     """
-    from deltalake_datafusion_spark.delta.logcompact import (
-        list_compacted_files,
-    )
-
     if not replay_commits:
         return []
-    try:
-        compacted = list_compacted_files(table_path, spark)
-    except OSError:
-        compacted = []
     if not compacted:
         return [("commit", v, v, p) for v, p in replay_commits]
     versions = [v for v, _ in replay_commits]
