@@ -2653,6 +2653,7 @@ def maybe_checkpoint_light(spark, table_path: str) -> None:
             )
 
             cleanup_expired_logs(spark, snapshot.table_path)
+    maybe_compact_log(spark, snapshot)
 
 
 def maybe_checkpoint(spark, snapshot: Snapshot) -> None:
@@ -2676,3 +2677,33 @@ def maybe_checkpoint(spark, snapshot: Snapshot) -> None:
             )
 
             cleanup_expired_logs(spark, snapshot.table_path)
+    maybe_compact_log(spark, snapshot)
+
+
+def maybe_compact_log(spark, snapshot: Snapshot) -> None:
+    """Auto minor log compaction — the post-commit hook shape of
+    delta-spark's log compaction: with
+    ``lakehouse.delta.log_compaction.interval = n`` (engine conf,
+    n ≥ 2; unset/0 = off), every n-th commit reconciles the last n
+    commit JSONs into ``{v-n+1}.{v}.compacted.json``, so cold loads
+    between checkpoints open ~interval-fold fewer log files.
+    Best-effort like the checkpoint hook: compaction is purely
+    additive and idempotent, so any failure (or losing the
+    create-if-absent race to a concurrent writer) leaves a correct
+    log."""
+    try:
+        n = int(
+            spark.conf.get("lakehouse.delta.log_compaction.interval", "0")
+            or "0"
+        )
+    except ValueError:
+        return
+    v = snapshot.version
+    if n < 2 or v < n - 1 or (v + 1) % n != 0:
+        return
+    from deltalake_datafusion_spark.delta.logcompact import compact_log
+
+    try:
+        compact_log(spark, snapshot.table_path, start=v - n + 1, end=v)
+    except Exception:
+        pass

@@ -326,3 +326,31 @@ def test_reconcile_equivalent_to_sequential_replay(commits):
     assert rec_tomb <= seq_tomb
     final_removed = seq_tomb - set(seq.adds)
     assert final_removed <= rec_tomb
+
+
+def test_auto_log_compaction_conf(spark, tmp_path):
+    """lakehouse.delta.log_compaction.interval = n writes
+    {v-n+1}.{v}.compacted.json on every n-th commit via the
+    post-commit hook; off by default."""
+    path = os.path.join(str(tmp_path), "t")
+    spark.conf.set("lakehouse.delta.log_compaction.interval", "3")
+    try:
+        for i in range(6):  # versions 0..5
+            write_delta(
+                spark, spark.range(i * 5, i * 5 + 5).select("id"),
+                path, mode="append" if i else "error",
+            )
+        got = [(s, e) for s, e, _p in list_compacted_files(path)]
+        assert got == [(0, 2), (3, 5)]
+        assert read_delta(spark, path).count() == 30
+    finally:
+        spark.conf.unset("lakehouse.delta.log_compaction.interval")
+
+    # off by default: no new compacted ranges appear
+    path2 = os.path.join(str(tmp_path), "t2")
+    for i in range(4):
+        write_delta(
+            spark, spark.range(5).select("id"), path2,
+            mode="append" if i else "error",
+        )
+    assert list_compacted_files(path2) == []
