@@ -470,3 +470,77 @@ def bpe_encode(
         F.size(syms).alias("n_bpe_tokens"),
         enc.alias("encoded"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document sketches (Schleimer et al. 2003, the MOSS
+    local fingerprinting algorithm): hash every k-gram of tokens, then
+    keep the minimum hash of each sliding window of ``w`` consecutive
+    k-grams — guaranteed to share fingerprints with any copy of a
+    substring longer than w+k-1 tokens, at ~2/(w+1) the density of
+    keeping everything. Returns one row per (id, fingerprint) with
+    the gram position of each selected hash.
+
+    Cross-engine portability: the k-gram hash is the md5-derived
+    63-bit integer the repo's other portable hashes use.
+
+    Scale: explode to k-grams (positions ride along), one
+    window-function pass partitioned by document (the only shuffle —
+    on id, never on text), then distinct. No UDFs; the window min is
+    O(w) per row inside codegen.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: t != F.lit(""),
+        ).alias("__tk"),
+    ).filter(F.size("__tk") >= k)
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.slice(
+                    F.col("__tk"), 1, F.size("__tk") - F.lit(k - 1)
+                ),
+                lambda _t, i: F.concat_ws(
+                    " ", F.slice(F.col("__tk"), i + 1, k)
+                ),
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        id_col,
+        "pos",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+        ).alias("h"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    # rightmost-minimum tie rule: pick (min h, max pos among its
+    # occurrences in the window) — deterministic in any engine
+    picked = grams.select(
+        id_col,
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np")))
+        .over(win)
+        .alias("__m"),
+        F.count(F.lit(1)).over(win).alias("__n"),
+    ).filter(F.col("__n") >= w)
+    return picked.select(
+        id_col,
+        F.col("__m.h").alias("fingerprint"),
+        (-F.col("__m.np")).alias("gram_pos"),
+    ).distinct()

@@ -2281,6 +2281,77 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 15
 """
 
 
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document sketches (Schleimer et al. 2003 — the MOSS
+    fingerprinting algorithm, ``operators/text.py::
+    winnow_fingerprints``): min-hash of each sliding window of k-gram
+    hashes with the rightmost-minimum tie rule. Per sampled document:
+    sketch size and the md5 of the full ordered sketch, so the oracle
+    verifies every selected (fingerprint, position) pair exactly."""
+    from deltalake_datafusion_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    fp = winnow_fingerprints(
+        d.filter(F.col("doc_id") % 31 == 0), k=5, w=4
+    )
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("sketch_size"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat_ws(
+                                ":",
+                                F.col("fingerprint"),
+                                F.col("gram_pos"),
+                            )
+                        )
+                    ),
+                )
+            ).alias("sketch_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WINNOW_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS tk
+  FROM documents WHERE doc_id % 31 = 0
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+    CAST(('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 15))
+         AS BIGINT) AS h
+  FROM toks, unnest(range(1, len(tk) - 5 + 2)) AS t(i)
+  WHERE len(tk) >= 5
+),
+winmin AS (
+  SELECT doc_id,
+    min({'h': h, 'np': -pos}) OVER w AS m,
+    count(*) OVER w AS n
+  FROM grams
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+),
+sel AS (
+  SELECT DISTINCT doc_id, m.h AS fingerprint, -m.np AS gram_pos
+  FROM winmin WHERE n >= 4
+)
+SELECT doc_id, COUNT(*) AS sketch_size,
+  md5(array_to_string(list_sort(list(fingerprint || ':' || gram_pos)),
+                      ',')) AS sketch_md5
+FROM sel GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -2383,4 +2454,5 @@ def specs() -> list[QuerySpec]:
             _SESSION_WINDOWS_SQL,
         ),
         QuerySpec("text_hybrid_rrf", text_hybrid_rrf, _HYBRID_RRF_SQL),
+        QuerySpec("text_winnowing", text_winnowing, _WINNOW_SQL),
     ]

@@ -525,3 +525,37 @@ def test_dsir_prefers_target_like_docs(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing's core guarantee: two documents sharing a substring
+    of at least w+k-1 tokens share at least one fingerprint; sketches
+    never use Python and shuffle only on doc id."""
+    from deltalake_datafusion_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "zulu " + shared + " yankee xray whiskey victor"),
+            (3, "completely different words with no overlap here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, k=5, w=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]          # shared substring detected
+    assert not (by_doc[1] & by_doc[3])    # disjoint text, no collision
+    # density: sketch is a strict subset of all k-gram hashes
+    n_grams_1 = len(df.collect()[0]["text"].split()) - 4
+    assert 0 < len(by_doc[1]) < n_grams_1
+
+    plan = (
+        winnow_fingerprints(df, k=5, w=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
