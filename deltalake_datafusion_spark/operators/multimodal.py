@@ -262,3 +262,131 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
         F.concat(F.lit("synthetic://"), F.col("source")).alias("source_uri"),
     )
+
+
+def sniff_wav_header(payload: bytes) -> dict | None:
+    """REAL zero-dependency RIFF/WAVE header decode (public format:
+    RIFF container, ``fmt `` chunk, ``data`` chunk): PCM layout —
+    sample rate, channels, bits per sample, data byte range, and the
+    derived frame count / duration. Returns None for non-WAV bytes;
+    same codec-seam role as :func:`sniff_image_header`."""
+    import struct as _struct
+
+    if payload is None or len(payload) < 44:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_off, data_len = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = _struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = pos + 8
+        if cid == b"fmt " and clen >= 16 and body + 16 <= len(payload):
+            (_audio_fmt, channels, sample_rate, _byte_rate,
+             block_align, bits) = _struct.unpack(
+                "<HHIIHH", payload[body:body + 16]
+            )
+            fmt = (channels, sample_rate, block_align, bits)
+        elif cid == b"data":
+            data_off, data_len = body, clen
+        pos = body + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data_off is None:
+        return None
+    channels, sample_rate, block_align, bits = fmt
+    if not (channels and sample_rate and block_align):
+        return None
+    n_frames = data_len // block_align
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(channels),
+        "bits_per_sample": int(bits),
+        "block_align": int(block_align),
+        "data_offset": int(data_off),
+        "data_bytes": int(data_len),
+        "n_frames": int(n_frames),
+        "duration_ms": int(n_frames * 1000 // sample_rate),
+    }
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("bits_per_sample", IntegerType(), True),
+        StructField("block_align", IntegerType(), True),
+        StructField("data_offset", IntegerType(), True),
+        StructField("data_bytes", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+
+def decode_audio_metadata(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], dict | None] = sniff_wav_header,
+) -> DataFrame:
+    """Audio header metadata via mapInPandas (Arrow batches); the
+    default decoder is the REAL WAV sniffer, so genuine RIFF payloads
+    parse without any external codec."""
+    import pandas as pd
+
+    cols = [f.name for f in AUDIO_META_SCHEMA.fields if f.name != "media_id"]
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            metas = [decode_fn(p) or {} for p in pdf["payload"]]
+            out = {"media_id": pdf["media_id"].values}
+            for c in cols:
+                out[c] = [m.get(c) for m in metas]
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, AUDIO_META_SCHEMA
+    )
+
+
+def segment_audio(
+    audio_meta: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+) -> DataFrame:
+    """Sliding-window audio segmentation over PARSED metadata — the
+    stage between header decode and feature extraction in a speech
+    pipeline. Emits per segment the millisecond span AND the exact
+    PCM byte range (offset/length from frame arithmetic), so a
+    downstream reader fetches only the segment's bytes (ranged GET),
+    never the whole object.
+
+    Pure expression tree (``sequence`` + ``explode``): zero UDFs, no
+    shuffle — segmentation is embarrassingly row-parallel.
+    """
+    from pyspark.sql import functions as F
+
+    last_start = F.greatest(
+        F.lit(0),
+        (F.col("duration_ms") - F.lit(window_ms)).cast("long"),
+    )
+    seg = F.explode(
+        F.sequence(F.lit(0).cast("long"), last_start, F.lit(hop_ms))
+    ).alias("start_ms")
+    out = audio_meta.filter(
+        F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0)
+    ).select("*", seg)
+    frame_of = (
+        lambda ms: (ms * F.col("sample_rate") / 1000).cast("long")
+    )
+    start_f = frame_of(F.col("start_ms"))
+    end_ms = F.least(
+        F.col("start_ms") + F.lit(window_ms),
+        F.col("duration_ms").cast("long"),
+    )
+    end_f = frame_of(end_ms)
+    return out.select(
+        "media_id",
+        F.col("start_ms"),
+        end_ms.alias("end_ms"),
+        (F.col("data_offset") + start_f * F.col("block_align"))
+        .alias("byte_offset"),
+        ((end_f - start_f) * F.col("block_align")).alias("byte_length"),
+    )
