@@ -778,21 +778,42 @@ def _conform_to_log_schema(df):
     return df.select(*cols)
 
 
-def actions_df(spark, table_path: str, version: int | None = None):
+def actions_df(
+    spark, table_path: str, version: int | None = None,
+    use_compacted: bool = False,
+):
     """All log actions as a DataFrame with the kernel log schema
-    (the ``delta_log`` metadata table, reference delta_log.rs:42-136)."""
+    (the ``delta_log`` metadata table, reference delta_log.rs:42-136).
+
+    ``use_compacted`` substitutes ``{s}.{e}.compacted.json`` files for
+    fully-covered post-checkpoint commit runs (rows carry version =
+    the range END — valid because reconciliation already resolved
+    intra-range conflicts, so cross-file latest-version-wins dedup is
+    unaffected). Only for replay consumers (``log_replay_df``): the
+    ``delta_log`` metadata table must keep showing the real per-commit
+    action stream, so it stays off by default."""
     from pyspark.sql import functions as F
     from deltalake_datafusion_spark.delta.log_schema import LOG_SCHEMA
 
     table_path = strip_scheme(table_path)
-    commits, checkpoints = list_log_files(table_path, spark)
+    commits, checkpoints, compacted = list_log_files_all(table_path, spark)
     if version is not None:
         commits = [(v, p) for v, p in commits if v <= version]
         checkpoints = [(v, p) for v, p in checkpoints if v <= version]
 
+    cp_version_pre = max((v for v, _ in checkpoints), default=-1)
     dfs = []
     if commits:
-        paths = [p for _, p in commits]
+        if use_compacted:
+            segs = _plan_commit_replay(
+                [(v, p) for v, p in commits if v > cp_version_pre],
+                compacted, cp_version_pre, version,
+            )
+            paths = [p for _k, _s, _e, p in segs] + [
+                p for v, p in commits if v <= cp_version_pre
+            ]
+        else:
+            paths = [p for _, p in commits]
         df = (
             spark.read.schema(LOG_SCHEMA)
             .json(paths)
@@ -800,7 +821,17 @@ def actions_df(spark, table_path: str, version: int | None = None):
         )
         df = df.withColumn(
             "version",
-            F.regexp_extract(F.col("_file"), r"(\d{20})\.json", 1).cast("long"),
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(
+                        F.col("_file"), r"(\d{20})\.json$", 1
+                    ),
+                    F.lit(""),
+                ),
+                F.regexp_extract(
+                    F.col("_file"), r"\.(\d{20})\.compacted\.json$", 1
+                ),
+            ).cast("long"),
         ).drop("_file")
         dfs.append(df)
     cp_version = max((v for v, _ in checkpoints), default=-1)
@@ -856,7 +887,7 @@ def log_replay_df(spark, table_path: str, version: int | None = None):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    df = actions_df(spark, table_path, version)
+    df = actions_df(spark, table_path, version, use_compacted=True)
     acts = df.select(
         "version",
         F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),

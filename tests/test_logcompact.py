@@ -354,3 +354,37 @@ def test_auto_log_compaction_conf(spark, tmp_path):
             mode="append" if i else "error",
         )
     assert list_compacted_files(path2) == []
+
+
+def test_distributed_replay_uses_compacted(spark, tmp_path):
+    """log_replay_df (the Spark-planner replay) reads compacted files
+    in place of covered commit runs and lands the identical file set;
+    the delta_log metadata table keeps the real per-commit stream."""
+    from deltalake_datafusion_spark.delta.snapshot import (
+        actions_df,
+        log_replay_df,
+    )
+
+    path = _build(spark, tmp_path)
+    expected = sorted(
+        f.path for f in load_snapshot(path, spark=spark).files
+    )
+    before = sorted(r["path"] for r in log_replay_df(spark, path).collect())
+    compact_log(spark, path)
+    after_df = log_replay_df(spark, path)
+    after = sorted(r["path"] for r in after_df.collect())
+    assert before == after == expected
+    # the replay's json scan reads the compacted file, not the
+    # individual commits it covers
+    inputs = [os.path.basename(f) for f in after_df.inputFiles()]
+    assert any(f.endswith(".compacted.json") for f in inputs)
+    assert "00000000000000000001.json" not in inputs
+    # metadata table unchanged: per-commit rows, no compacted source
+    meta_inputs = [
+        os.path.basename(f) for f in actions_df(spark, path).inputFiles()
+    ]
+    assert not any(f.endswith(".compacted.json") for f in meta_inputs)
+    assert "00000000000000000001.json" in meta_inputs
+    # commit_version survives as the range end for compacted rows
+    vmax = after_df.agg(F.max("commit_version")).collect()[0][0]
+    assert vmax == load_snapshot(path, spark=spark).version
