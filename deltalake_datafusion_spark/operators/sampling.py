@@ -318,3 +318,53 @@ def temperature_mixture(
             ).alias("sample_rate"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    strata: list[str] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "ws1",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006): each row draws ``u ~ U(0,1)`` and the k largest
+    ``u^(1/w)`` win — every row's inclusion probability is
+    proportional to its weight, exactly, in one pass. The standard
+    way to sample a corpus by quality score at scale.
+
+    Ranking uses the equivalent key ``ln(u)/w`` (monotone in
+    ``u^(1/w)``, numerically safer than the 1/w-th power for tiny
+    weights). ``u`` is md5-derived from (id, seed) — deterministic
+    and identical in any engine, the repo's portable-randomness
+    convention. Non-positive weights never win (key = -inf ordering).
+
+    Scale: one TakeOrderedAndProject per stratum (window top-k when
+    ``strata`` given) — no global sort, no driver collection.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    # 53-bit md5-derived uniform in (0, 1]; +1 avoids ln(0)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col(id_col), F.lit(seed))), 1, 13
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(1).cast("long")) / F.lit(float(1 << 52))
+    key = F.when(
+        F.col(weight_col) > 0, F.log(u) / F.col(weight_col)
+    ).otherwise(F.lit(float("-inf"))).alias("__key")
+    scored = df.select("*", key)
+    if strata:
+        w = Window.partitionBy(*strata).orderBy(
+            F.desc("__key"), F.col(id_col)
+        )
+        out = scored.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= k
+        ).drop("__rn")
+    else:
+        out = scored.orderBy(F.desc("__key"), F.col(id_col)).limit(k)
+    return out.drop("__key")

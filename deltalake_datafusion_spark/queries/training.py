@@ -2352,6 +2352,49 @@ FROM sel GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006, ``operators/sampling.py::weighted_sample``): 10 docs per
+    language with inclusion probability ∝ document length, via the
+    ln(u)/w exponential-key top-k under md5-derived portable
+    randomness. Per-language audit of the selected set."""
+    from deltalake_datafusion_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    picked = weighted_sample(d, "n_chars", 10, strata=["lang"])
+    return (
+        picked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+    CASE WHEN n_chars > 0 THEN
+      ln((CAST(('0x' || substr(md5(doc_id || '#ws1'), 1, 13)) AS BIGINT)
+          + 1) / 4503599627370496.0) / n_chars
+    ELSE -1e308 END AS key
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY key DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+  CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM ranked WHERE rn <= 10 GROUP BY lang ORDER BY lang
+"""
+
+
 def specs() -> list[QuerySpec]:
     # Delta-op queries first: the driver's CORRECTNESS file is
     # size-bounded, so the reference-parity tier must sit inside the
@@ -2455,4 +2498,9 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec("text_hybrid_rrf", text_hybrid_rrf, _HYBRID_RRF_SQL),
         QuerySpec("text_winnowing", text_winnowing, _WINNOW_SQL),
+        QuerySpec(
+            "pipe_weighted_sample",
+            pipe_weighted_sample,
+            _WEIGHTED_SAMPLE_SQL,
+        ),
     ]

@@ -559,3 +559,23 @@ def test_winnowing_guarantee(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_proportional_to_weight(spark):
+    """E-S keys: heavier rows win more often across seeds; k caps per
+    stratum; zero/negative weights never selected when enough
+    positive-weight rows exist."""
+    from deltalake_datafusion_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, "a", 1000 if i < 10 else 1) for i in range(60)]
+    rows += [(100 + i, "a", 0) for i in range(5)]  # zero weight
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    wins = {r["doc_id"] for r in
+            weighted_sample(df, "w", 20, strata=["lang"]).collect()}
+    assert len(wins) == 20
+    assert not wins & {100 + i for i in range(5)}
+    # the 10 heavy rows (1000x weight) should essentially always all win
+    heavy = wins & set(range(10))
+    assert len(heavy) >= 8
