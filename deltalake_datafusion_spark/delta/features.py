@@ -112,12 +112,19 @@ def _trace_error(snap, feature: str) -> str | None:
                 "the feature — rewrite the table first"
             )
     if feature == "columnMapping" and snap.column_mapping_mode != "none":
-        mismatched = [
-            f.name
-            for f in snap.schema.fields
-            if (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
-            != f.name
-        ]
+        if snap.column_mapping_mode == "id":
+            # id-mode files resolve columns by parquet field id, not
+            # name — the physical column names in the files are
+            # unconstrained (an importing engine may have written
+            # anything), so even physicalName==logical does not prove
+            # the files are readable without the mapping. Refuse.
+            return (
+                "column mapping cannot be removed from a mode-'id' "
+                "table: files resolve by parquet field id and their "
+                "column names are not guaranteed to match the logical "
+                "schema — rewrite the table under mode 'none' first"
+            )
+        mismatched = _mapping_mismatches(snap.schema)
         if mismatched:
             return (
                 "column mapping cannot be removed: physical names differ "
@@ -193,16 +200,68 @@ def _downgraded_protocol(protocol, feature: str) -> dict:
     return {"protocol": body}
 
 
+def _mapping_mismatches(schema: StructType, prefix: str = "") -> list:
+    """Dotted paths of every (arbitrarily nested) field whose
+    ``delta.columnMapping.physicalName`` differs from its logical name.
+    Mapping metadata is assigned recursively at write time
+    (``writer._assign_physical_names``), so the removal check must
+    walk nested struct/array/map element types too — a top-level-only
+    check would let a table with a renamed nested field downgrade and
+    stop resolving."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    out: list = []
+
+    def _walk_type(dt, path):
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                p = f"{path}.{f.name}" if path else f.name
+                phys = (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                if phys != f.name:
+                    out.append(p)
+                _walk_type(f.dataType, p)
+        elif isinstance(dt, ArrayType):
+            _walk_type(dt.elementType, f"{path}.element")
+        elif isinstance(dt, MapType):
+            _walk_type(dt.keyType, f"{path}.key")
+            _walk_type(dt.valueType, f"{path}.value")
+
+    _walk_type(schema, prefix)
+    return out
+
+
 def _strip_mapping_metadata(schema: StructType) -> StructType:
-    fields = []
-    for f in schema.fields:
-        md = {
-            k: v
-            for k, v in (f.metadata or {}).items()
-            if not k.startswith("delta.columnMapping.")
-        }
-        fields.append(StructField(f.name, f.dataType, f.nullable, md))
-    return StructType(fields)
+    """Remove ``delta.columnMapping.*`` metadata from every field at
+    every nesting depth (mirrors the recursive assignment in
+    ``writer._assign_physical_names``)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    def _strip_type(dt):
+        if isinstance(dt, StructType):
+            fields = []
+            for f in dt.fields:
+                md = {
+                    k: v
+                    for k, v in (f.metadata or {}).items()
+                    if not k.startswith("delta.columnMapping.")
+                }
+                fields.append(
+                    StructField(f.name, _strip_type(f.dataType), f.nullable, md)
+                )
+            return StructType(fields)
+        if isinstance(dt, ArrayType):
+            return ArrayType(_strip_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(
+                _strip_type(dt.keyType),
+                _strip_type(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    return _strip_type(schema)
 
 
 def drop_feature(

@@ -72,16 +72,12 @@ def reconcile_actions(action_lists: list[list[dict]]) -> list[dict]:
             elif "protocol" in a:
                 protocol = a
             elif "txn" in a:
-                # replay keeps the MAX version per appId (snapshot.py
-                # _apply_actions) — "last occurrence wins" would let a
-                # lower later version regress the app's watermark
-                app = a["txn"]["appId"]
-                prev = txns.get(app)
-                if prev is None or (
-                    a["txn"].get("version", -1)
-                    >= prev["txn"].get("version", -1)
-                ):
-                    txns[app] = a
+                # last occurrence wins per appId, matching delta-spark /
+                # delta-rs replay (and snapshot.py _apply_actions) — the
+                # compacted file must be a drop-in substitute for the
+                # raw commits under FOREIGN readers too, so it must not
+                # invent a higher watermark than forward replay yields
+                txns[a["txn"]["appId"]] = a
             elif "domainMetadata" in a:
                 domains[a["domainMetadata"]["domain"]] = a
             elif "add" in a:

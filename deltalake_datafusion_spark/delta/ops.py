@@ -128,6 +128,34 @@ def _restart_on_conflict(attempt, max_restarts: int = 3):
     raise last
 
 
+_FID_KEY = "spark.sql.parquet.fieldId.read.enabled"
+
+
+def _with_field_id_restore(spark, fn):
+    """Run ``fn`` and restore ``spark.sql.parquet.fieldId.read.enabled``
+    afterwards. Mode-'id' scans inside DML / OPTIMIZE flip the SESSION
+    conf (the parquet reader consults the session conf at execution
+    time, so a per-read option cannot carry it), and every scan those
+    operations build is fully executed before they return — restoring
+    here keeps the flag from leaking into unrelated reads for the rest
+    of the session. (``read_delta`` on a mode-'id' table returns a
+    LAZY DataFrame, so the scan path cannot restore; documented there.)"""
+    try:
+        prev = spark.conf.get(_FID_KEY)
+    except Exception:
+        prev = None
+    try:
+        return fn()
+    finally:
+        try:
+            if prev is None:
+                spark.conf.unset(_FID_KEY)
+            else:
+                spark.conf.set(_FID_KEY, prev)
+        except Exception:
+            pass
+
+
 def _cleanup_staged_adds(spark, table_path: str, actions: list[dict]) -> None:
     """Best-effort delete of the data files a failed attempt staged
     into the table (its add actions never committed, so nothing
@@ -643,9 +671,12 @@ def delete_delta(
     re-scan, re-plan, re-commit — up to ``max_restarts`` times
     (delta-spark semantics); disjoint concurrent commits retry
     cheaply without re-planning."""
-    return _restart_on_conflict(
-        lambda: _delete_attempt(spark, table_path, predicate),
-        max_restarts,
+    return _with_field_id_restore(
+        spark,
+        lambda: _restart_on_conflict(
+            lambda: _delete_attempt(spark, table_path, predicate),
+            max_restarts,
+        ),
     )
 
 
@@ -690,9 +721,12 @@ def update_delta(
     matched data, not file data. ``predicate=None`` updates every
     row. A true concurrency conflict restarts the whole transaction
     from a fresh snapshot (see :func:`_restart_on_conflict`)."""
-    return _restart_on_conflict(
-        lambda: _update_attempt(spark, table_path, set_exprs, predicate),
-        max_restarts,
+    return _with_field_id_restore(
+        spark,
+        lambda: _restart_on_conflict(
+            lambda: _update_attempt(spark, table_path, set_exprs, predicate),
+            max_restarts,
+        ),
     )
 
 
@@ -1070,21 +1104,24 @@ def merge_delta(
         when_not_matched_by_source_condition,
     )
 
-    last: Exception | None = None
-    for _ in range(max(1, max_restarts)):
-        try:
-            return _merge_attempt(
-                spark, table_path, source, on,
-                m_clauses=m_clauses,
-                nm_clauses=nm_clauses,
-                bs_clauses=bs_clauses,
-                strict=strict,
-                schema_evolution=schema_evolution,
-                strategy=strategy,
-            )
-        except ConcurrentModificationError as e:
-            last = e
-    raise last
+    def _run():
+        last: Exception | None = None
+        for _ in range(max(1, max_restarts)):
+            try:
+                return _merge_attempt(
+                    spark, table_path, source, on,
+                    m_clauses=m_clauses,
+                    nm_clauses=nm_clauses,
+                    bs_clauses=bs_clauses,
+                    strict=strict,
+                    schema_evolution=schema_evolution,
+                    strategy=strategy,
+                )
+            except ConcurrentModificationError as e:
+                last = e
+        raise last
+
+    return _with_field_id_restore(spark, _run)
 
 
 def _merge_attempt(
@@ -1156,6 +1193,15 @@ def _merge_attempt(
     for _cl in m_clauses:
         if _cl.get("update"):
             _reject_generated_set(logical, _cl["update"], "MERGE UPDATE")
+    # WHEN NOT MATCHED BY SOURCE UPDATE is held to the same rule: an
+    # explicitly-assigned generated column would be stored unvalidated
+    # and poison generated-column partition pruning on later reads.
+    for _cl in bs_clauses:
+        if _cl.get("update"):
+            _reject_generated_set(
+                logical, _cl["update"],
+                "MERGE NOT MATCHED BY SOURCE UPDATE",
+            )
     md_action = None
     if schema_evolution:
         from deltalake_datafusion_spark.delta.writer import (
@@ -1540,15 +1586,9 @@ def _merge_attempt(
                 )
                 # recompute generated columns BEFORE the postimage
                 # capture so CDF carries fresh values; explicit SET of
-                # generated cols is rejected for matched clauses above,
-                # by-source-assigned generated cols keep their values
-                _bs_gen = {
-                    c
-                    for _, u in upd_all
-                    for c in u
-                    if c in _gen_exprs
-                }
-                survivors = _regen(survivors, skip=_bs_gen)
+                # generated cols is rejected for every clause kind
+                # (matched AND by-source) above, so nothing is skipped
+                survivors = _regen(survivors)
                 if _cdf_on:
                     cdc_parts.append(
                         survivors.filter(any_upd)
@@ -2079,12 +2119,15 @@ def optimize_delta(
         target_file_size = (
             parse_byte_size(prop) if prop else 128 * 1024 * 1024
         )
-    return _restart_on_conflict(
-        lambda: _optimize_attempt(
-            spark, table_path, target_file_size, small_file_threshold,
-            zorder_by, purge, predicate, only_partitions,
+    return _with_field_id_restore(
+        spark,
+        lambda: _restart_on_conflict(
+            lambda: _optimize_attempt(
+                spark, table_path, target_file_size, small_file_threshold,
+                zorder_by, purge, predicate, only_partitions,
+            ),
+            max_restarts,
         ),
-        max_restarts,
     )
 
 

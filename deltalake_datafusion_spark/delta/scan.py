@@ -445,6 +445,13 @@ def scan(
             physical_schema_field_ids,
         )
 
+        # Deliberately NOT restored: the returned DataFrame is lazy
+        # and the parquet reader consults the session conf at each
+        # ACTION, so restoring here would break later executions of
+        # this very scan. Harmless to non-id reads (schemas without
+        # parquet.field.id metadata fall back to name resolution);
+        # the contained DML/OPTIMIZE paths do save/restore
+        # (ops._with_field_id_restore).
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         phys_for_read = physical_schema_field_ids(logical)
     # Physical *data* schema = physical schema minus partition columns

@@ -429,9 +429,11 @@ def _apply_actions(actions, state: _ReplayState, with_files: bool) -> None:
             tx = a["txn"]
             app = tx.get("appId")
             if app is not None:
-                state.app_transactions[app] = max(
-                    state.app_transactions.get(app, -1), tx.get("version", -1)
-                )
+                # last-write-wins per appId (delta-spark / delta-rs
+                # replay semantics; replay is forward so the latest
+                # commit's txn overwrites) — a later LOWER version is
+                # honored, matching what a foreign reader would see
+                state.app_transactions[app] = tx.get("version", -1)
         elif "domainMetadata" in a and a["domainMetadata"]:
             dm = a["domainMetadata"]
             if dm.get("removed"):

@@ -269,8 +269,31 @@ def stamp_field_ids(df: DataFrame, logical: StructType) -> DataFrame:
     Alias-with-metadata are required."""
     from pyspark.sql import functions as F
 
+    def _relax(dt):
+        # nullability relaxed recursively: ``.to`` refuses a nullable
+        # column where the target is non-nullable, and DML projections
+        # (CASE chains) are nullable even over non-null data — the
+        # stamp only needs names + field-id metadata; the Delta log
+        # schema, not parquet optionality, governs readers
+        if isinstance(dt, StructType):
+            return StructType(
+                [
+                    StructField(f.name, _relax(f.dataType), True,
+                                dict(f.metadata or {}))
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, ArrayType):
+            return ArrayType(_relax(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(_relax(dt.keyType), _relax(dt.valueType), True)
+        return dt
+
     by_phys = {f.name: f for f in physical_schema_field_ids(logical).fields}
-    target_fields = [by_phys.get(c, df.schema[c]) for c in df.columns]
+    target_fields = [
+        StructField(f.name, _relax(f.dataType), True, dict(f.metadata or {}))
+        for f in (by_phys.get(c, df.schema[c]) for c in df.columns)
+    ]
     out = df.to(StructType(target_fields))
     return out.select(*[
         F.col(f"`{f.name}`").alias(f.name, metadata=dict(f.metadata or {}))
@@ -351,7 +374,10 @@ def _creation_protocol(
     configuration/schema needs table features (column mapping, CDF,
     constraints, appendOnly, generated columns)."""
     features: set[str] = set()
-    if column_mapping:
+    conf0 = configuration or {}
+    if column_mapping or (
+        conf0.get("delta.columnMapping.mode", "none") != "none"
+    ):
         features.add("columnMapping")
     if schema is not None and any(
         f.metadata and "delta.generationExpression" in f.metadata
@@ -1101,6 +1127,10 @@ def _replace_table_empty(
     check_append_only(existing.metadata.configuration, "REPLACE TABLE")
     for attempt in range(10):
         current = load_snapshot(table_path, spark=spark)
+        # same gate as every other commit path: refuse to commit over
+        # a protocol demanding writer features this engine does not
+        # implement (their invariants would be silently violated)
+        check_writable(current)
         actions: list[dict] = []
         creation = _creation_protocol(False, configuration, schema)
         needed = set(creation["protocol"].get("writerFeatures") or [])
@@ -1325,6 +1355,12 @@ def write_delta(
     table_path = strip_scheme(table_path)
     partition_by = list(partition_by or [])
     configuration = dict(configuration or {})
+    # delta.columnMapping.mode in the configuration implies the flag:
+    # otherwise a create with mode 'name'/'id' in config but
+    # column_mapping=False would commit an inconsistent table (mode
+    # set, schema unmapped, legacy protocol)
+    if configuration.get("delta.columnMapping.mode", "none") != "none":
+        column_mapping = True
     # Originals for a full restart (identity / mapped-schema conflicts
     # re-mint against a fresh snapshot): df before any column
     # injection, caller's raw partition/config args.
@@ -1540,7 +1576,11 @@ def write_delta(
     # Physical projection (identity when unmapped). Mode 'id' tables
     # (Iceberg-converted / foreign) additionally stamp parquet field
     # ids so the new files resolve by id like the existing ones.
-    id_mode = existing is not None and existing.column_mapping_mode == "id"
+    id_mode = (
+        existing.column_mapping_mode == "id"
+        if existing is not None
+        else configuration.get("delta.columnMapping.mode") == "id"
+    )
     out_df = (
         _rename_to_physical(df, write_schema, field_ids=id_mode)
         if mapping else df

@@ -683,6 +683,10 @@ def semantic_dedup(
     k: int = 16,
     threshold: float = 0.95,
     max_cluster: int | None = 100_000,
+    strategy: str = "auto",
+    flat_max_seeds: int = 4096,
+    n_coarse: int | None = None,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus by embedding, then drop
@@ -700,15 +704,32 @@ def semantic_dedup(
     a document is dropped iff a LOWER-id cluster-mate is within
     ``threshold`` (keep-first).
 
-    Scale shape: the seed matrix broadcasts (k × dim floats); the
-    assignment is one Arrow-batched pass over the corpus (no
-    shuffle); the pair stage shuffles once on cluster id and compares
-    within clusters only. Pick ``k ∝ n / target_cluster_size``;
-    ``max_cluster`` fails fast when a cluster would explode the pair
-    stage (raise k, or pre-split by a coarse LSH bucket).
+    Assignment strategies (``k ∝ n / target_cluster_size`` means k
+    grows with the corpus, so the assignment must not ceiling on k):
 
-    Returns (id, cluster, is_dup) for every document.
+    - ``"flat"``: the seed matrix broadcasts (k × dim floats) and the
+      assignment is one Arrow-batched pass over the corpus (no
+      shuffle). Right up to a few thousand seeds; past that the
+      broadcast and the O(k) per-row argmax both grow without bound.
+    - ``"two_level"``: IVF-shaped. A bounded-sample spherical k-means
+      (``similarity._kmeans_anchors`` — O(n_coarse · dim) broadcast,
+      independent of k) coarse-partitions the space; SEEDS stay
+      DISTRIBUTED (never driver-collected, never broadcast) and are
+      assigned to their coarse list once; every vector probes its
+      ``n_probe`` nearest seed-bearing lists and takes the argmax
+      cosine over the ~n_probe·k/n_coarse seeds there — one bucketed
+      shuffle join, candidates per row ∝ n_probe·k/n_coarse ≪ k.
+      With ``n_probe = n_coarse`` the probe is exhaustive and the
+      result is IDENTICAL to flat (pytest-pinned); with fewer probes
+      it is the standard IVF approximation.
+    - ``"auto"``: flat while ``k ≤ flat_max_seeds``, else two_level
+      with ``n_coarse = ⌈√k⌉`` and ``n_probe = 4`` (overridable).
+
+    ``max_cluster`` fails fast when a cluster would explode the pair
+    stage (raise k). Returns (id, cluster, is_dup) for every document.
     """
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -718,38 +739,52 @@ def semantic_dedup(
         strict_cosine_pandas_udf,
     )
 
-    seeds = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy("id")
-        .limit(k)
-        .collect()
-    )
-    seed_mat = np.asarray([list(r["v"]) for r in seeds], dtype=np.float64)
-    seed_norm = np.sqrt((seed_mat * seed_mat).sum(axis=1))
+    if strategy == "auto":
+        strategy = "flat" if k <= flat_max_seeds else "two_level"
+    if strategy == "two_level":
+        assigned = _semantic_assign_two_level(
+            df, vec_col, id_col, k,
+            n_coarse=n_coarse or max(2, math.isqrt(k - 1) + 1),
+            n_probe=n_probe or 4,
+        )
+    elif strategy == "flat":
+        seeds = (
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .orderBy("id")
+            .limit(k)
+            .collect()
+        )
+        seed_mat = np.asarray(
+            [list(r["v"]) for r in seeds], dtype=np.float64
+        )
+        seed_norm = np.sqrt((seed_mat * seed_mat).sum(axis=1))
 
-    def _assign(vs):
-        if len(vs) == 0:
-            return pd.Series([], dtype="int32")
-        m = np.asarray(vs.tolist(), dtype=np.float64)
-        # strict-fold-equivalent: dot is a plain sum over the (small,
-        # fixed) dimension — same float64 operation order everywhere
-        dots = np.zeros((len(vs), seed_mat.shape[0]))
-        for i in range(seed_mat.shape[1]):
-            dots += m[:, i:i + 1] * seed_mat[:, i][None, :]
-        norms = np.zeros(len(vs))
-        for i in range(seed_mat.shape[1]):
-            norms += m[:, i] * m[:, i]
-        cos = dots / (np.sqrt(norms)[:, None] * seed_norm[None, :])
-        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+        def _assign(vs):
+            if len(vs) == 0:
+                return pd.Series([], dtype="int32")
+            m = np.asarray(vs.tolist(), dtype=np.float64)
+            # strict-fold-equivalent: dot is a plain sum over the
+            # (small, fixed) dimension — same float64 operation order
+            # everywhere
+            dots = np.zeros((len(vs), seed_mat.shape[0]))
+            for i in range(seed_mat.shape[1]):
+                dots += m[:, i:i + 1] * seed_mat[:, i][None, :]
+            norms = np.zeros(len(vs))
+            for i in range(seed_mat.shape[1]):
+                norms += m[:, i] * m[:, i]
+            cos = dots / (np.sqrt(norms)[:, None] * seed_norm[None, :])
+            return pd.Series(np.argmax(cos, axis=1).astype("int32"))
 
-    _assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
-    assign = pandas_udf(_assign, IntegerType())
+        _assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+        assign = pandas_udf(_assign, IntegerType())
 
-    assigned = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        assign(F.col(vec_col).cast("array<double>")).alias("cluster"),
-    )
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            assign(F.col(vec_col).cast("array<double>")).alias("cluster"),
+        )
+    else:
+        raise ValueError(f"unknown semantic_dedup strategy {strategy!r}")
     if max_cluster is not None:
         worst = (
             assigned.groupBy("cluster").count().agg(F.max("count")).first()[0]
@@ -779,6 +814,103 @@ def semantic_dedup(
         dropped.withColumn("is_dup", F.lit(True)), "id", "left"
     ).select(
         "id", "cluster", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )
+
+
+def _semantic_assign_two_level(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_coarse: int,
+    n_probe: int,
+) -> DataFrame:
+    """Two-level SemDeDup seed assignment (the ``"two_level"``
+    strategy of :func:`semantic_dedup`): coarse spherical-k-means
+    lists bound the broadcast at O(n_coarse · dim) and the per-vector
+    work at O(n_probe · k / n_coarse), independent of k.
+
+    Seeds (the k lowest-id vectors) stay distributed end-to-end: a
+    global sort-limit ranks them, a broadcast-anchor argmax buckets
+    them by coarse list, and the corpus meets them in ONE shuffle
+    join on list_id. Probing is restricted to seed-BEARING lists so
+    every vector always has candidates. Cosines use the strict
+    left-fold Arrow kernel — bit-identical to the flat path, so an
+    exhaustive probe (n_probe ≥ n_coarse) reproduces flat exactly.
+
+    Returns ``(id, v, cluster)`` — the flat path's contract."""
+    from pyspark.sql import Window
+
+    from deltalake_datafusion_spark.operators.similarity import (
+        _kmeans_anchors,
+        cosine_col,
+        strict_cosine_pandas_udf,
+    )
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # seed index = rank by id among the k lowest-id vectors; k rows,
+    # metadata scale (the merge table of this operator, in effect)
+    w_seed = Window.orderBy("id")
+    seeds = (
+        base.orderBy("id").limit(k)
+        .withColumn("seed_idx", (F.row_number().over(w_seed) - 1))
+    )
+    anchors = spark.createDataFrame(
+        [
+            (i, c)
+            for i, c in enumerate(
+                _kmeans_anchors(base, n_coarse, "id", "v")
+            )
+        ],
+        "list_id int, avec array<double>",
+    )
+    a = F.broadcast(anchors)
+
+    def _argmax_list(frame, key, vcol, out, anchor_frame):
+        scored = frame.crossJoin(anchor_frame).select(
+            *frame.columns,
+            "list_id",
+            cosine_col(F.col(vcol), F.col("avec")).alias("__sim"),
+        )
+        w = Window.partitionBy(key).orderBy(
+            F.desc("__sim"), F.asc("list_id")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= out)
+            .drop("__sim", "__rn")
+        )
+
+    seed_lists = _argmax_list(
+        seeds.select("seed_idx", F.col("v").alias("sv")), "seed_idx",
+        "sv", 1, a,
+    )
+    # vectors rank probes over seed-BEARING lists only, so every
+    # vector is guaranteed ≥1 candidate seed
+    live = F.broadcast(
+        anchors.join(
+            seed_lists.select("list_id").distinct(), "list_id", "left_semi"
+        )
+    )
+    probes = _argmax_list(base, "id", "v", n_probe, live)
+
+    cos = strict_cosine_pandas_udf()
+    cand = probes.join(seed_lists, "list_id").select(
+        "id", "v", "seed_idx", cos(F.col("v"), F.col("sv")).alias("__cos")
+    )
+    w_best = Window.partitionBy("id").orderBy(
+        F.desc("__cos"), F.asc("seed_idx")
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "id", "v", F.col("seed_idx").cast("int").alias("cluster")
+        )
     )
 
 

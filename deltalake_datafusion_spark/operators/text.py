@@ -410,6 +410,244 @@ def bpe_pair_counts(
     return out
 
 
+def _bpe_word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct-word frequency table — the ONE pass that touches corpus
+    bytes during BPE training (Sennrich et al. 2016 §3.2 trains on word
+    counts, not the running text). Returns ``(syms array<string>,
+    freq long)`` where syms are the word's characters.
+
+    Scale: tokenize + explode map-side; the groupBy shuffle carries
+    DISTINCT words after partial aggregation — Heaps'-law metadata
+    scale (~1e6–1e7 rows for a 100 TB corpus), never corpus scale.
+    Normalization matches :func:`bpe_pair_counts` / :func:`bpe_encode`
+    (lowercase, ``[a-z0-9]+`` runs)."""
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("tok")
+    )
+    return toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq")).select(
+        F.split(F.col("tok"), "").alias("syms"), "freq"
+    )
+
+
+def _bpe_train_inmem(
+    words: list[list[str]], freqs: list[int], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Exact in-memory BPE merge loop over a word-frequency table
+    (the fastBPE / HF-tokenizers post-count phase): an incremental
+    pair index — applying a merge re-counts only the words that
+    contain the pair — so 10k merges over a millions-of-words vocab
+    run in seconds. Tie-break (count desc, left asc, right asc),
+    identical to the distributed path."""
+    from collections import defaultdict
+
+    pair_counts: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    for wi, (syms, fq) in enumerate(zip(words, freqs)):
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += fq
+            pair_words[(a, b)].add(wi)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        live = [(p, c) for p, c in pair_counts.items() if c > 0]
+        if not live:
+            break
+        best, best_c = min(live, key=lambda kv: (-kv[1], kv[0]))
+        merges.append((best[0], best[1], best_c))
+        a, b = best
+        merged = a + b
+        for wi in list(pair_words.get(best, ())):
+            syms, fq = words[wi], freqs[wi]
+            for x, y in zip(syms, syms[1:]):
+                pair_counts[(x, y)] -= fq
+                s = pair_words.get((x, y))
+                if s is not None:
+                    s.discard(wi)
+            new: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            words[wi] = new
+            for x, y in zip(new, new[1:]):
+                pair_counts[(x, y)] += fq
+                pair_words[(x, y)].add(wi)
+        pair_counts = defaultdict(
+            int, {p: c for p, c in pair_counts.items() if c > 0}
+        )
+    return merges
+
+
+def _bpe_apply_merge_col(syms, a: str, b: str):
+    """Left-to-right non-overlapping application of merge ``(a, b)`` to
+    a symbol array — a pure ``F.aggregate`` fold (JVM-evaluated, no
+    Python, no regex): state carries (accumulated array, pending
+    previous symbol); each element either completes the pair or
+    flushes the pending symbol."""
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(st, x):
+        hit = st["prev"].eqNullSafe(F.lit(a)) & (x == F.lit(b))
+        return F.struct(
+            F.when(hit, F.concat(st["acc"], F.array(F.lit(a + b))))
+            .when(st["prev"].isNull(), st["acc"])
+            .otherwise(F.concat(st["acc"], F.array(st["prev"])))
+            .alias("acc"),
+            F.when(hit, F.lit(None).cast("string")).otherwise(x).alias("prev"),
+        )
+
+    return F.aggregate(
+        syms,
+        acc0,
+        step,
+        lambda st: F.when(
+            st["prev"].isNull(), st["acc"]
+        ).otherwise(F.concat(st["acc"], F.array(st["prev"]))),
+    )
+
+
+def learn_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    strategy: str = "auto",
+    driver_max_words: int = 2_000_000,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str, int]]:
+    """Train a BPE merge table on a corpus (Sennrich et al. 2016,
+    arXiv:1508.07909): iteratively take the highest-frequency adjacent
+    symbol pair and merge it, ``n_merges`` times. Returns the ranked
+    merge table ``[(left, right, pair_count), …]`` — O(n_merges)
+    driver rows, ready to feed :func:`bpe_encode`.
+
+    Ties break (count desc, left asc, right asc) — deterministic in
+    any engine, and identical across both strategies.
+
+    Strategies:
+
+    - ``"driver"``: ONE distributed pass builds the distinct-word
+      frequency table (the only pass over corpus bytes; Heaps'-law
+      metadata scale), collected and trained in memory with an
+      incremental pair index (the fastBPE / HF-tokenizers shape) —
+      the right choice whenever the vocab fits the driver, which for
+      word-tokenized text it essentially always does.
+    - ``"distributed"``: the vocab DataFrame stays on executors; each
+      iteration recounts pairs (map work ∝ vocab symbols — already
+      ≪ corpus — shuffle ∝ DISTINCT pairs after partial agg, tiny),
+      collects exactly ONE row (the argmax), and applies the merge as
+      an ``F.aggregate`` fold guarded by an adjacency test so only
+      words containing the pair rebuild. ``localCheckpoint`` every
+      ``checkpoint_every`` iterations truncates lineage. For vocabs
+      too large to collect.
+    - ``"auto"``: driver path when the distinct-word count ≤
+      ``driver_max_words``, else distributed.
+
+    Both paths produce bit-identical merge tables (equivalence is
+    pytest-pinned; the training itself is fuzz-tested against an
+    independent reference model)."""
+    if n_merges <= 0:
+        return []
+    vocab = _bpe_word_freqs(df, text_col)
+    if strategy == "auto":
+        n_words = vocab.limit(driver_max_words + 1).count()
+        strategy = "driver" if n_words <= driver_max_words else "distributed"
+    if strategy == "driver":
+        rows = vocab.collect()
+        words = [list(r["syms"]) for r in rows]
+        freqs = [r["freq"] for r in rows]
+        return _bpe_train_inmem(words, freqs, n_merges)
+    if strategy != "distributed":
+        raise ValueError(f"unknown learn_bpe strategy {strategy!r}")
+
+    cur = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for it in range(n_merges):
+        left = F.slice(
+            F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))
+        )
+        right = F.slice(
+            F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))
+        )
+        pairs = cur.select(
+            F.explode(
+                F.zip_with(
+                    left, right,
+                    lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((a, b, c))
+        has_pair = F.exists(
+            F.zip_with(
+                left, right,
+                lambda x, y: (x == F.lit(a)) & (y == F.lit(b)),
+            ),
+            lambda v: v,
+        )
+        cur = cur.select(
+            F.when(has_pair, _bpe_apply_merge_col(F.col("syms"), a, b))
+            .otherwise(F.col("syms"))
+            .alias("syms"),
+            "freq",
+        )
+        if (it + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return merges
+
+
+def learn_bpe_df(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    strategy: str = "auto",
+) -> DataFrame:
+    """:func:`learn_bpe` as a DataFrame ``(rank, left, right,
+    pair_count)`` — the query-registry / SQL-surface form."""
+    spark = df.sparkSession
+    merges = learn_bpe(df, n_merges, text_col=text_col, strategy=strategy)
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField("left", StringType()),
+            StructField("right", StringType()),
+            StructField("pair_count", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)], schema
+    )
+
+
 # Deterministic demo merge table: the first rounds a byte-level BPE
 # trained on English text converges to (cf. the GPT-2 vocabulary's
 # leading merges). Applying a FIXED table keeps the operator and any
@@ -428,47 +666,181 @@ def bpe_encode(
     merges: list[tuple[str, str]] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    strategy: str = "auto",
+    chain_max_merges: int = 1000,
 ) -> DataFrame:
     """Apply a ranked BPE merge table (Sennrich et al. 2016): encoding
-    applies each merge, in rank order, to every adjacent symbol pair
-    it matches — which is exactly a sequence of left-to-right
-    non-overlapping string replaces over a space-separated symbol
-    stream. Words are isolated with a ``|`` boundary symbol so merges
-    never cross word edges.
+    applies each merge, in rank order, as one left-to-right
+    non-overlapping pass over the symbol stream — for a VALID merge
+    table (every operand is a base character or an earlier merge's
+    result, which training guarantees) this is provably identical to
+    the classic lowest-rank-first priority encode, because a merge at
+    rank k only ever creates pairs whose rank is > k. Words are
+    isolated with a ``|`` boundary symbol so merges never cross word
+    edges.
 
     Returns ``(id_col, n_chars_norm, n_bpe_tokens, encoded)`` where
     ``encoded`` is the final space-separated symbol stream and
     ``n_bpe_tokens`` counts non-boundary symbols (what a tokenizer
     would emit).
 
-    Scale: a fixed chain of ``replace`` expressions — pure whole-stage
-    codegen, zero shuffles, zero UDFs; cost is O(len(text) · #merges)
-    per row, embarrassingly parallel.
-    """
+    Strategies:
+
+    - ``"chain"``: a fixed chain of ``replace`` expressions over a
+      double-space-separated symbol stream — pure whole-stage
+      codegen, zero shuffles, zero UDFs; cost O(len·#merges) per row.
+      (The double-space separators make each symbol carry its own
+      boundary on BOTH sides, so a replace of `` a  b `` can never
+      match a symbol SUFFIX — e.g. merge ``(a, t)`` against stream
+      ``ta t`` — and adjacent occurrences never share a boundary
+      character, so one pass merges them all left-to-right.)
+    - ``"arrow"``: an Arrow-batched ``mapInPandas`` encoder with a
+      per-partition distinct-word cache and a rank-indexed classic
+      BPE loop — O(word² lookups) per DISTINCT word instead of
+      O(len·#merges) per row; the production path for real merge
+      tables (10k–50k merges), where a 50k-replace chain would both
+      overwhelm the optimizer and do 50k passes over every row.
+    - ``"auto"``: chain for ≤ ``chain_max_merges`` merges (stay in
+      codegen), arrow past it.
+
+    Both produce identical output (equivalence is pytest-pinned on
+    demo AND learned tables)."""
     from pyspark.sql import functions as F
 
     merges = BPE_DEMO_MERGES if merges is None else merges
-    # normalize: lowercase, non-letters → word boundary '|'
+    merges = [(a, b) for a, b, *_ in merges]  # accept (l, r, count) rows
+    if strategy == "auto":
+        strategy = "chain" if len(merges) <= chain_max_merges else "arrow"
+    if strategy == "arrow":
+        return _bpe_encode_arrow(df, merges, text_col, id_col)
+    if strategy != "chain":
+        raise ValueError(f"unknown bpe_encode strategy {strategy!r}")
+    # normalize: lowercase, non-alphanumeric runs → word boundary '|'
     s = F.trim(
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", "|")
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "|")
     )
-    # spread into symbols: every char followed by a space
-    s = F.regexp_replace(s, "(.)", r"$1 ")
+    # spread into symbols: single space at the ends, two between
+    # symbols (each symbol owns a boundary on both sides)
+    s = F.concat(F.lit(" "), F.regexp_replace(s, "(.)", r"$1  "))
     col = s
     for left, right in merges:
         col = F.replace(
-            col, F.lit(f"{left} {right} "), F.lit(f"{left}{right} ")
+            col, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
         )
-    enc = F.trim(col)
     syms = F.filter(
-        F.split(enc, " "), lambda t: (t != F.lit("")) & (t != F.lit("|"))
+        F.split(col, " +"), lambda t: t != F.lit("")
     )
+    enc = F.array_join(syms, " ")
     return df.select(
         F.col(id_col),
-        F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", ""))
-         .alias("n_chars_norm"),
-        F.size(syms).alias("n_bpe_tokens"),
+        F.length(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "")
+        ).alias("n_chars_norm"),
+        F.size(F.filter(syms, lambda t: t != F.lit("|")))
+         .alias("n_bpe_tokens"),
         enc.alias("encoded"),
+    )
+
+
+def _bpe_encode_arrow(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Arrow-batched classic BPE encode (the ``"arrow"`` strategy of
+    :func:`bpe_encode`): rank-dict lookup + merge-all-occurrences of
+    the lowest-rank pair, repeated — with a per-partition distinct-
+    word cache (natural text repeats words heavily, so most words
+    encode once per partition). Identical output to the replace chain
+    for valid merge tables (see :func:`bpe_encode` docstring)."""
+    import re as _re
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    pairs_by_rank = list(merges)
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("n_chars_norm", IntegerType()),
+            StructField("n_bpe_tokens", IntegerType()),
+            StructField("encoded", StringType()),
+        ]
+    )
+
+    def encode_batches(it):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        word_re = _re.compile(r"[^a-z0-9]+")
+
+        def encode_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w)
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                a, b = pairs_by_rank[best]
+                merged = a + b
+                new: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        new.append(merged)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                syms = new
+            cache[w] = syms
+            return syms
+
+        for pdf in it:
+            ids, nchars, ntoks, encs = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = "" if text is None else str(text).lower()
+                # replace-chain parity: non-alphanumeric runs collapse
+                # to ONE '|' symbol, kept at the ends too (the chain's
+                # trim strips spaces, not boundary symbols)
+                segs = word_re.sub("|", t).split("|") if t else []
+                symbols: list[str] = []
+                for j, w in enumerate(segs):
+                    if j:
+                        symbols.append("|")
+                    if w:
+                        symbols.extend(encode_word(w))
+                ids.append(did)
+                nchars.append(len(word_re.sub("", t)))
+                ntoks.append(sum(1 for s in symbols if s != "|"))
+                encs.append(" ".join(symbols))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_chars_norm": nchars,
+                    "n_bpe_tokens": ntoks,
+                    "encoded": encs,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        encode_batches, schema=out_schema
     )
 
 

@@ -2026,36 +2026,116 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_replace_chain(expr: str) -> str:
+    # double-space symbol stream (see operators/text.py::bpe_encode):
+    # each symbol owns a boundary space on BOTH sides, so a replace of
+    # ' a  b ' can never match a symbol suffix and adjacent
+    # occurrences never share a boundary character
     from deltalake_datafusion_spark.operators.text import BPE_DEMO_MERGES
 
     for left, right in BPE_DEMO_MERGES:
-        expr = f"replace({expr}, '{left} {right} ', '{left}{right} ')"
+        expr = f"replace({expr}, ' {left}  {right} ', ' {left}{right} ')"
     return expr
 
 
 _BPE_ENCODE_SQL = f"""
 WITH norm AS (
   SELECT doc_id,
-    trim(regexp_replace(lower(text), '[^a-z]+', '|', 'g')) AS s,
-    length(regexp_replace(lower(text), '[^a-z]+', '', 'g'))
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', '|', 'g')) AS s,
+    length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
       AS n_chars_norm
   FROM documents WHERE doc_id % 29 = 0
 ),
 spread AS (
   SELECT doc_id, n_chars_norm,
-    regexp_replace(s, '(.)', '\\1 ', 'g') AS e
+    ' ' || regexp_replace(s, '(.)', '\\1  ', 'g') AS e
   FROM norm
 ),
 merged AS (
-  SELECT doc_id, n_chars_norm, trim({_bpe_replace_chain('e')}) AS enc
+  SELECT doc_id, n_chars_norm,
+    list_filter(string_split_regex({_bpe_replace_chain('e')}, ' +'),
+                t -> t <> '') AS syms
   FROM spread
 )
 SELECT doc_id, n_chars_norm,
-  len(list_filter(string_split(enc, ' '),
-                  t -> t <> '' AND t <> '|')) AS n_bpe_tokens,
-  md5(enc) AS enc_md5
+  len(list_filter(syms, t -> t <> '|')) AS n_bpe_tokens,
+  md5(array_to_string(syms, ' ')) AS enc_md5
 FROM merged ORDER BY doc_id
 """
+
+
+_BPE_TRAIN_MERGES = 20
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING
+    (``operators/text.py::learn_bpe``, Sennrich et al. 2016): one
+    corpus pass builds the distinct-word frequency table, then 20
+    merge rounds each take the globally highest-count adjacent symbol
+    pair (ties: count desc, left, right) and apply it. Returns the
+    ranked merge table — the artifact a tokenizer build produces.
+    The oracle replays the exact loop as an unrolled 20-stage CTE
+    chain in DuckDB, so the full merge table is value-hash-checked
+    cross-engine."""
+    from deltalake_datafusion_spark.operators.text import learn_bpe_df
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return learn_bpe_df(
+        d.filter(F.col("doc_id") % 13 == 0), _BPE_TRAIN_MERGES
+    )
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    """Unrolled BPE-training oracle: w0 = distinct-word frequency
+    table as a double-space symbol stream (`` a  b  c ``, symbols own
+    a boundary space on both sides — see bpe_encode); each round k
+    computes pair counts (p{k}), the deterministic argmax (b{k}),
+    and the merged word table (w{k})."""
+    parts = [
+        """w0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(string_split(tok, ''), '  ') || ' ' AS s,
+         freq
+  FROM (
+    SELECT tok, COUNT(*) AS freq FROM (
+      SELECT unnest(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+        AS tok
+      FROM documents WHERE doc_id % 13 = 0
+    ) GROUP BY tok
+  )
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS MATERIALIZED (
+  SELECT syms[i + 1] AS l, syms[i + 2] AS r, SUM(freq) AS c
+  FROM (
+    SELECT list_filter(string_split_regex(s, ' +'), t -> t <> '') AS syms,
+           freq
+    FROM w{k - 1}
+  ), unnest(range(0, len(syms) - 1)) AS t(i)
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+w{k} AS MATERIALIZED (
+  SELECT replace(w.s, ' ' || b.l || '  ' || b.r || ' ',
+                 ' ' || b.l || b.r || ' ') AS s, w.freq
+  FROM w{k - 1} w, b{k} b
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {k - 1} AS rank, l, r, c FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(rank AS INTEGER) AS rank, l AS "left", r AS "right",
+       CAST(c AS BIGINT) AS pair_count
+FROM ({union}) ORDER BY rank
+"""
+    )
+
+
+_BPE_TRAIN_SQL = _bpe_train_sql(_BPE_TRAIN_MERGES)
 
 
 def delta_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2503,4 +2583,5 @@ def specs() -> list[QuerySpec]:
             pipe_weighted_sample,
             _WEIGHTED_SAMPLE_SQL,
         ),
+        QuerySpec("text_bpe_train", text_bpe_train, _BPE_TRAIN_SQL),
     ]

@@ -1,0 +1,239 @@
+"""Distributed BPE tokenizer training (operators/text.py::learn_bpe)
+and the Arrow fast encoder (bpe_encode strategy='arrow').
+
+Pinned against an INDEPENDENT naive reference model (full pair
+recount every round — deliberately different code shape from both
+shipped strategies), hypothesis-fuzzed on small corpora; the two
+shipped strategies are additionally pinned equal to each other, and
+encode-under-learned-merges is pinned chain == arrow.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deltalake_datafusion_spark.operators.text import (
+    BPE_DEMO_MERGES,
+    bpe_encode,
+    learn_bpe,
+)
+
+
+def _ref_learn(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
+    """Naive reference: word freqs, then full pair recount per round,
+    argmax by (count desc, left, right), left-to-right non-overlapping
+    application."""
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                wc[w] += 1
+    wf = [(list(w), c) for w, c in wc.items()]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for syms, c in wf:
+            for p in zip(syms, syms[1:]):
+                pc[p] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((best[0], best[1], pc[best]))
+        a, b = best
+        out = []
+        for syms, c in wf:
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            out.append((new, c))
+        wf = out
+    return merges
+
+
+def _ref_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = list(word)
+    for a, b in merges:
+        new, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                new.append(a + b)
+                i += 2
+            else:
+                new.append(syms[i])
+                i += 1
+        syms = new
+    return syms
+
+
+CORPUS = [
+    "the theme of the thesis is thin, the thin theme",
+    "low lower lowest newer newest wide wider widest",
+    "banana bandana ananas and a band",
+    "aaa aaaa ab abab ba 0x7f 42 and 42",
+    "tat tata atta attack tactic",
+]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab1 .x", min_size=0, max_size=24
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_learn_bpe_driver_fuzz_vs_reference(spark, texts, n):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = learn_bpe(df, n, strategy="driver")
+    assert got == _ref_learn(texts, n)
+
+
+def test_learn_bpe_strategies_identical(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    ref = _ref_learn(CORPUS, 14)
+    assert learn_bpe(df, 14, strategy="driver") == ref
+    assert (
+        learn_bpe(df, 14, strategy="distributed", checkpoint_every=5) == ref
+    )
+    # auto resolves to driver at this size and agrees
+    assert learn_bpe(df, 14) == ref
+
+
+def test_learn_bpe_exhausts_pairs(spark):
+    """Asking for more merges than exist stops at exhaustion (every
+    word reduced to one symbol)."""
+    df = spark.createDataFrame([("aa aa ab",)], "text string")
+    got = learn_bpe(df, 50, strategy="driver")
+    # words: aa(×2), ab — pairs (a,a)×2, (a,b)×1 → merge (a,a,2),
+    # then (a,b,1), then nothing
+    assert got == [("a", "a", 2), ("a", "b", 1)]
+    assert learn_bpe(df, 50, strategy="distributed") == got
+
+
+def test_bpe_encode_arrow_equals_chain_demo(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The theano, and-er!"),
+            (2, ""),
+            (3, "!!!"),
+            (4, "thee 123 to-ing"),
+            (5, "?? leading and trailing ??"),
+        ],
+        "doc_id long, text string",
+    )
+    chain = {
+        r["doc_id"]: r.asDict()
+        for r in bpe_encode(df, strategy="chain").collect()
+    }
+    arrow = {
+        r["doc_id"]: r.asDict()
+        for r in bpe_encode(df, strategy="arrow").collect()
+    }
+    assert chain == arrow
+    # the old single-space scheme's canary stays fixed
+    assert chain[1]["encoded"] == "the | the an o | and | er |"
+
+
+def test_bpe_encode_no_suffix_corruption(spark):
+    """A merge whose left operand is a SUFFIX of an earlier merge's
+    result must not fire across the symbol boundary: symbols
+    ``ta t`` with merge ``(a, t)`` stay ``ta t`` (the single-space
+    replace scheme corrupted this to ``tat``)."""
+    merges = [("t", "a"), ("a", "t")]
+    df = spark.createDataFrame([(1, "tat")], "doc_id long, text string")
+    for strategy in ("chain", "arrow"):
+        row = bpe_encode(df, merges, strategy=strategy).collect()[0]
+        assert row["encoded"] == "ta t", strategy
+        assert row["n_bpe_tokens"] == 2, strategy
+
+
+def test_bpe_encode_arrow_equals_chain_learned(spark):
+    """Train on the corpus, then encode it under the learned table —
+    chain and arrow agree exactly, and both match a per-word
+    replay of the merge passes."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = learn_bpe(df, 25, strategy="driver")
+    chain = {
+        r["doc_id"]: r.asDict()
+        for r in bpe_encode(df, merges, strategy="chain").collect()
+    }
+    arrow = {
+        r["doc_id"]: r.asDict()
+        for r in bpe_encode(df, merges, strategy="arrow").collect()
+    }
+    assert chain == arrow
+    pairs_only = [(a, b) for a, b, _ in merges]
+    for i, t in enumerate(CORPUS):
+        segs = re.sub(r"[^a-z0-9]+", "|", t.lower()).split("|")
+        symbols: list[str] = []
+        for j, w in enumerate(segs):
+            if j:
+                symbols.append("|")
+            if w:
+                symbols.extend(_ref_encode_word(w, pairs_only))
+        assert chain[i]["encoded"] == " ".join(symbols), t
+
+
+def test_bpe_encode_auto_cutover(spark):
+    """auto = chain for small tables (pure codegen, no Python stage),
+    arrow past the threshold (a 50k-replace chain is not a plan)."""
+    df = spark.createDataFrame([(1, "the cat")], "doc_id long, text string")
+    plan_small = (
+        bpe_encode(df, BPE_DEMO_MERGES)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan_small
+    assert "MapInPandas" not in plan_small
+    big = BPE_DEMO_MERGES + [
+        (f"q{i}", f"z{i}") for i in range(1200)
+    ]
+    plan_big = (
+        bpe_encode(df, big)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan_big
+    # and the big-table arrow output on inert extra merges equals the
+    # demo chain output (the q/z merges never fire)
+    got = bpe_encode(df, big).collect()[0]
+    want = bpe_encode(df, BPE_DEMO_MERGES, strategy="chain").collect()[0]
+    assert got.asDict() == want.asDict()
+
+
+def test_bpe_encode_arrow_10k_merges_timing(spark):
+    """10k-merge table through the arrow encoder: the distinct-word
+    cache makes repeated words free; just a sanity bound, the real
+    point is it completes where a 10k-replace chain would not even
+    build a plan."""
+    import time
+
+    merges = learn_bpe(
+        spark.createDataFrame([(t,) for t in CORPUS * 3], "text string"),
+        60,
+        strategy="driver",
+    )
+    merges = merges + [(f"q{i}", f"z{i}", 0) for i in range(10_000)]
+    df = spark.createDataFrame(
+        [(i, CORPUS[i % len(CORPUS)]) for i in range(2000)],
+        "doc_id long, text string",
+    )
+    t0 = time.time()
+    n = bpe_encode(df, merges, strategy="arrow").count()
+    dt = time.time() - t0
+    assert n == 2000
+    assert dt < 120

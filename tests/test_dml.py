@@ -1241,3 +1241,38 @@ def test_update_nested_struct_fields(spark, tmp_path):
     dsql(spark, f"UPDATE '{path}' SET addr.zip = addr.zip + 100 WHERE id = 2")
     out2 = {r.id: r.addr for r in read_delta(spark, path).collect()}
     assert out2[2].zip == 130 and out2[2].city == "rom"
+
+
+def test_dml_restores_field_id_read_conf(spark, tmp_path):
+    """Mode-'id' DML flips spark.sql.parquet.fieldId.read.enabled for
+    its own scans but restores the session value afterwards — the flag
+    must not leak into unrelated reads (ADVICE r5)."""
+    key = "spark.sql.parquet.fieldId.read.enabled"
+    path = str(tmp_path / "fid_restore")
+    write_delta(
+        spark, spark.range(10).select("id"), path,
+        configuration={"delta.columnMapping.mode": "id"},
+    )
+    spark.conf.set(key, "false")
+    try:
+        res = delete_delta(spark, path, "id >= 8")
+        assert res["rows_deleted"] == 2
+        assert spark.conf.get(key) == "false"
+        update_delta(spark, path, {"id": "id + 100"}, "id = 0")
+        assert spark.conf.get(key) == "false"
+        from deltalake_datafusion_spark.delta.ops import optimize_delta
+
+        optimize_delta(spark, path)
+        assert spark.conf.get(key) == "false"
+        # a PRIOR read's "true" survives DML (its lazy DataFrame still
+        # needs the flag at action time)
+        spark.conf.set(key, "true")
+        df = read_delta(spark, path)
+        delete_delta(spark, path, "id = 1")
+        assert spark.conf.get(key) == "true"
+        assert df.count() >= 0
+    finally:
+        spark.conf.unset(key)
+    # values are intact after all the flag juggling
+    got = sorted(r.id for r in read_delta(spark, path).collect())
+    assert got == [2, 3, 4, 5, 6, 7, 100]

@@ -320,6 +320,15 @@ def test_unknown_writer_feature_blocks_writes_not_reads(spark, tmp_path):
 
     with pytest.raises(DeltaWriteError, match="writer features"):
         add_columns(spark, path, [("z", "bigint")])
+    # CREATE OR REPLACE TABLE (no AS SELECT) goes through the same gate
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    with pytest.raises(DeltaWriteError, match="writer features"):
+        create_delta_table(
+            spark, path,
+            StructType([StructField("id", LongType())]),
+            or_replace=True,
+        )
 
 
 def test_drop_variant_type_blocked_while_column_exists(spark, tmp_path):
@@ -342,3 +351,107 @@ def test_drop_variant_type_blocked_while_column_exists(spark, tmp_path):
     )
     with _pytest.raises(DeltaWriteError, match="variant"):
         drop_feature(spark, path, "variantType", truncate_history=True)
+
+
+def test_drop_column_mapping_checks_nested_fields(spark, tmp_path):
+    """The columnMapping removal check recurses through nested structs:
+    a divergent physicalName on a NESTED field (e.g. a foreign
+    writer's nested rename) blocks the drop — files would stop
+    resolving after the downgrade (ADVICE r5)."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from deltalake_datafusion_spark.delta.columns import _commit_schema
+
+    path = str(tmp_path / "cm_nested")
+    write_delta(
+        spark,
+        spark.range(4).select(
+            "id", F.struct(F.col("id").alias("a")).alias("s")
+        ),
+        path,
+    )
+    # upgrade pins physical == logical at every level → drop allowed
+    set_tblproperties(spark, path, {"delta.columnMapping.mode": "name"})
+    # simulate a foreign nested rename: logical s.a → s.b, physical
+    # name stays 'a' (exactly what a mapping-aware engine commits)
+    snap = load_snapshot(path, spark=spark)
+    s_field = snap.schema["s"]
+    a = s_field.dataType["a"]
+    renamed = StructType(
+        [
+            snap.schema["id"],
+            StructField(
+                "s",
+                StructType(
+                    [StructField("b", LongType(), a.nullable,
+                                 dict(a.metadata or {}))]
+                ),
+                s_field.nullable,
+                dict(s_field.metadata or {}),
+            ),
+        ]
+    )
+    _commit_schema(
+        spark, snap, renamed, snap.partition_columns,
+        dict(snap.metadata.configuration), "RENAME COLUMN",
+    )
+    with pytest.raises(DeltaWriteError, match="s.b"):
+        drop_feature(spark, path, "columnMapping", truncate_history=True)
+
+
+def test_drop_column_mapping_refused_for_id_mode(spark, tmp_path):
+    """Mode-'id' files resolve by parquet field id — column names in
+    the files are unconstrained, so the drop is refused outright."""
+    path = str(tmp_path / "cm_id")
+    write_delta(
+        spark,
+        spark.range(4).select("id"),
+        path,
+        configuration={"delta.columnMapping.mode": "id"},
+    )
+    with pytest.raises(DeltaWriteError, match="mode-'id'"):
+        drop_feature(spark, path, "columnMapping", truncate_history=True)
+
+
+def test_drop_column_mapping_strips_nested_metadata(spark, tmp_path):
+    """A clean (pinned, never-renamed) nested table drops columnMapping
+    and sheds delta.columnMapping.* metadata at EVERY depth."""
+    path = str(tmp_path / "cm_strip")
+    write_delta(
+        spark,
+        spark.range(4).select(
+            "id", F.struct(F.col("id").alias("a")).alias("s")
+        ),
+        path,
+    )
+    set_tblproperties(spark, path, {"delta.columnMapping.mode": "name"})
+    snap = load_snapshot(path, spark=spark)
+    assert "delta.columnMapping.physicalName" in (
+        snap.schema["s"].dataType["a"].metadata or {}
+    )
+    drop_feature(spark, path, "columnMapping", truncate_history=True)
+    snap = load_snapshot(path, spark=spark)
+    assert snap.column_mapping_mode == "none"
+
+    def _no_mapping(dt):
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                assert not any(
+                    k.startswith("delta.columnMapping.")
+                    for k in (f.metadata or {})
+                ), f.name
+                _no_mapping(f.dataType)
+        elif isinstance(dt, ArrayType):
+            _no_mapping(dt.elementType)
+        elif isinstance(dt, MapType):
+            _no_mapping(dt.keyType)
+            _no_mapping(dt.valueType)
+
+    _no_mapping(snap.schema)
+    assert {r.id for r in read_delta(spark, path).collect()} == {0, 1, 2, 3}

@@ -388,3 +388,43 @@ def test_distributed_replay_uses_compacted(spark, tmp_path):
     # commit_version survives as the range end for compacted rows
     vmax = after_df.agg(F.max("commit_version")).collect()[0][0]
     assert vmax == load_snapshot(path, spark=spark).version
+
+
+def test_txn_last_write_wins_matches_foreign_replay(
+    spark, tmp_path, counters
+):
+    """SetTransaction reconciliation is last-occurrence-wins per appId
+    (delta-spark / delta-rs replay): a foreign writer committing a
+    LOWER version later must yield that lower watermark from the raw
+    commits, the compacted file, and a checkpointed replay alike
+    (ADVICE r5 — the compacted file must be a drop-in substitute for
+    foreign readers too)."""
+    path = os.path.join(str(tmp_path), "txn_lww")
+    write_delta(spark, spark.range(5).select("id"), path)
+    log = os.path.join(path, "_delta_log")
+    # two foreign commits: appA v7, then appA v3 (later but lower)
+    for v, txv in ((1, 7), (2, 3)):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            f.write(json.dumps({"txn": {"appId": "appA", "version": txv,
+                                        "lastUpdated": 0}}) + "\n")
+    snap = load_snapshot(path, spark=spark)
+    assert snap.app_transactions == {"appA": 3}
+
+    # reconcile_actions agrees
+    out = reconcile_actions(
+        [
+            [{"txn": {"appId": "appA", "version": 7}}],
+            [{"txn": {"appId": "appA", "version": 3}}],
+        ]
+    )
+    txns = [a for a in out if "txn" in a]
+    assert txns == [{"txn": {"appId": "appA", "version": 3}}]
+
+    # compacted file substitutes for the raw commits with the same state
+    compact_log(spark, path, 0, 2)
+    counters["commits"] = 0
+    counters["paths"].clear()
+    snap2 = load_snapshot(path, spark=spark)
+    assert counters["paths"] == [f"{0:020d}.{2:020d}.compacted.json"]
+    assert snap2.app_transactions == {"appA": 3}
+    assert {r.id for r in read_delta(spark, path).collect()} == set(range(5))

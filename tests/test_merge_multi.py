@@ -241,6 +241,85 @@ def test_generated_set_rejected_in_every_matched_clause(spark, tmp_path):
         )
 
 
+def test_generated_set_rejected_in_by_source_clause(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE UPDATE is held to the same
+    generated-column rule as matched clauses: an explicit SET would
+    store an unvalidated value and poison generated-column partition
+    pruning on later reads (ADVICE r5)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from deltalake_datafusion_spark.delta.writer import (
+        DeltaWriteError,
+        create_delta_table,
+    )
+
+    path = str(tmp_path / "mm_gen_bs")
+    create_delta_table(
+        spark, path,
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField(
+                    "dbl", LongType(), True,
+                    {"delta.generationExpression": "id * 2"},
+                ),
+            ]
+        ),
+    )
+    write_delta(spark, spark.range(3).select("id"), path, mode="append")
+    src = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(DeltaWriteError, match="generated"):
+        merge_delta(
+            spark, path, src, "t.id = s.id",
+            when_matched=[],
+            when_not_matched=[],
+            when_not_matched_by_source=[
+                {"condition": None, "update": {"dbl": "99"}},
+            ],
+        )
+
+
+def test_by_source_update_regenerates_generated_columns(spark, tmp_path):
+    """A by-source UPDATE that changes a generated column's base
+    recomputes the generated value (never leaves it stale)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from deltalake_datafusion_spark.delta.writer import create_delta_table
+
+    path = str(tmp_path / "mm_gen_bs_regen")
+    create_delta_table(
+        spark, path,
+        StructType(
+            [
+                StructField("id", LongType()),
+                StructField("base", LongType()),
+                StructField(
+                    "dbl", LongType(), True,
+                    {"delta.generationExpression": "base * 2"},
+                ),
+            ]
+        ),
+    )
+    write_delta(
+        spark,
+        spark.range(4).select("id", F.col("id").alias("base")),
+        path, mode="append",
+    )
+    src = spark.createDataFrame([(0,), (1,)], "id long")
+    merge_delta(
+        spark, path, src, "t.id = s.id",
+        when_matched=[],
+        when_not_matched=[],
+        when_not_matched_by_source=[
+            {"condition": None, "update": {"base": "t.base + 100"}},
+        ],
+    )
+    rows = {r.id: (r.base, r.dbl) for r in read_delta(spark, path).collect()}
+    assert rows == {
+        0: (0, 0), 1: (1, 2), 2: (102, 204), 3: (103, 206),
+    }
+
+
 def test_identity_minted_only_for_non_supplying_clauses(spark, tmp_path):
     """Insert clauses that don't assign a BY DEFAULT identity column
     get minted ids; a clause assigning it explicitly keeps its values;

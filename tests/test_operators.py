@@ -700,6 +700,99 @@ def test_semantic_dedup_drops_planted_near_dups(spark):
         )
 
 
+def test_semantic_dedup_two_level_exhaustive_equals_flat(spark):
+    """two_level with an exhaustive probe (n_probe = n_coarse) is
+    bit-identical to flat — same seeds, same strict cosine kernel,
+    same (cos desc, seed_idx asc) tie-break — while never collecting
+    or broadcasting the seed table."""
+    import numpy as np
+
+    from deltalake_datafusion_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(80, 12)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    for i in range(0, 80, 16):
+        v = base[i].copy()
+        v[0] += 0.01
+        rows.append((2000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    flat = {
+        r.id: (r.cluster, r.is_dup)
+        for r in semantic_dedup(
+            df, "v", "vec_id", k=12, threshold=0.99, strategy="flat"
+        ).collect()
+    }
+    two = {
+        r.id: (r.cluster, r.is_dup)
+        for r in semantic_dedup(
+            df, "v", "vec_id", k=12, threshold=0.99,
+            strategy="two_level", n_coarse=5, n_probe=5,
+        ).collect()
+    }
+    assert two == flat
+    # narrow probe still catches the planted near-dups (their source
+    # is by construction in the same coarse neighborhood)
+    narrow = semantic_dedup(
+        df, "v", "vec_id", k=12, threshold=0.99,
+        strategy="two_level", n_coarse=5, n_probe=2,
+    ).collect()
+    dropped = {r.id for r in narrow if r.is_dup}
+    assert {2000 + i for i in range(0, 80, 16)} <= dropped
+
+
+def test_semantic_dedup_auto_cutover_and_no_seed_broadcast(spark):
+    """auto = flat under flat_max_seeds, two_level past it; the
+    two_level plan has no broadcast sized with k (only the coarse
+    anchor and live-list broadcasts)."""
+    import numpy as np
+
+    from deltalake_datafusion_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(rng.randn(50, 8))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    flat = {
+        r.id: r.cluster
+        for r in semantic_dedup(
+            df, "v", "vec_id", k=10, threshold=0.999,
+            strategy="auto", flat_max_seeds=64,
+        ).collect()
+    }
+    auto_two = {
+        r.id: r.cluster
+        for r in semantic_dedup(
+            df, "v", "vec_id", k=10, threshold=0.999,
+            strategy="auto", flat_max_seeds=4, n_coarse=4, n_probe=4,
+        ).collect()
+    }
+    assert auto_two == flat  # exhaustive probe ⇒ identical assignment
+    # with auto-broadcast off, the assignment stage's only
+    # BroadcastExchanges are the EXPLICIT O(n_coarse) anchor/live
+    # frames; the k-row seed table reaches its join via shuffle
+    # (SortMergeJoin), never broadcast
+    from deltalake_datafusion_spark.operators.dedup import (
+        _semantic_assign_two_level,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            _semantic_assign_two_level(df, "v", "vec_id", 10, 4, 2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("BroadcastExchange") <= 3
+    assert "SortMergeJoin [list_id" in plan
+
+
 def test_bm25_topk_semantics_and_plan(spark):
     """BM25 ranks the term-dense short doc above a long diluted one,
     excludes no-overlap docs, ties break on doc_id; the corpus-side
