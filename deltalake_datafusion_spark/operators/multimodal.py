@@ -297,6 +297,7 @@ def sniff_wav_header(payload: bytes) -> dict | None:
         return None
     n_frames = data_len // block_align
     return {
+        "format": "wav",
         "sample_rate": int(sample_rate),
         "n_channels": int(channels),
         "bits_per_sample": int(bits),
@@ -308,9 +309,141 @@ def sniff_wav_header(payload: bytes) -> dict | None:
     }
 
 
+def sniff_flac_header(payload: bytes) -> dict | None:
+    """REAL zero-dependency FLAC STREAMINFO decode (public format:
+    ``fLaC`` magic, metadata blocks, STREAMINFO block type 0 carries
+    a packed 20-bit sample rate / 3-bit channels / 5-bit bps / 36-bit
+    total-sample count). ``data_offset`` is the first audio-frame
+    byte (after the metadata blocks); frames are variable-length, so
+    ``block_align`` is None — byte-exact segmentation applies to PCM
+    only."""
+    import struct as _struct
+
+    if payload is None or len(payload) < 42 or payload[:4] != b"fLaC":
+        return None
+    pos, info = 4, None
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        (blen,) = _struct.unpack(">I", b"\x00" + payload[pos + 1:pos + 4])
+        body = pos + 4
+        if btype == 0 and blen >= 34 and body + 34 <= len(payload):
+            packed = int.from_bytes(payload[body + 10:body + 18], "big")
+            rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            info = (rate, channels, bps, total)
+        pos = body + blen
+        if last:
+            break
+    if info is None:
+        return None
+    rate, channels, bps, total = info
+    if not rate:
+        return None
+    return {
+        "format": "flac",
+        "sample_rate": int(rate),
+        "n_channels": int(channels),
+        "bits_per_sample": int(bps),
+        "block_align": None,
+        "data_offset": int(pos),
+        "data_bytes": int(len(payload) - pos),
+        "n_frames": int(total),
+        "duration_ms": int(total * 1000 // rate),
+    }
+
+
+_MP3_BITRATES_V1L3 = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_BITRATES_V2L3 = [
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+]
+_MP3_RATES = {
+    3: [44100, 48000, 32000],   # MPEG1
+    2: [22050, 24000, 16000],   # MPEG2
+    0: [11025, 12000, 8000],    # MPEG2.5
+}
+
+
+def sniff_mp3_header(payload: bytes) -> dict | None:
+    """REAL zero-dependency MPEG Layer III frame-header decode
+    (public format): optional ID3v2 tag (syncsafe length), then the
+    first 0xFFE frame sync — version / sample-rate / bitrate /
+    channel-mode bits. Duration is the CBR estimate
+    (audio_bytes·8/bitrate — the standard header-only estimate;
+    exact VBR duration needs a full frame walk or a Xing header).
+    ``bits_per_sample`` / ``block_align`` are None (lossy codec)."""
+    if payload is None or len(payload) < 10:
+        return None
+    pos = 0
+    if payload[:3] == b"ID3":
+        size = (
+            (payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    elif payload[:2] not in (b"\xff\xfb", b"\xff\xfa", b"\xff\xf3",
+                             b"\xff\xf2", b"\xff\xe3", b"\xff\xe2"):
+        return None
+    if pos + 4 > len(payload):
+        return None
+    b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+    if payload[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 0x3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b1 >> 1) & 0x3            # 1 = Layer III
+    if version == 1 or layer != 1:
+        return None
+    rate_idx = (b2 >> 2) & 0x3
+    br_idx = (b2 >> 4) & 0xF
+    if rate_idx == 3 or br_idx in (0, 15):
+        return None
+    rate = _MP3_RATES[version][rate_idx]
+    kbps = (
+        _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+    )[br_idx]
+    mode = (b3 >> 6) & 0x3             # 3 = mono
+    channels = 1 if mode == 3 else 2
+    audio_bytes = len(payload) - pos
+    duration_ms = audio_bytes * 8 * 1000 // (kbps * 1000)
+    samples_per_frame = 1152 if version == 3 else 576
+    frame_bytes = samples_per_frame // 8 * kbps * 1000 // rate
+    return {
+        "format": "mp3",
+        "sample_rate": int(rate),
+        "n_channels": int(channels),
+        "bits_per_sample": None,
+        "block_align": None,
+        "data_offset": int(pos),
+        "data_bytes": int(audio_bytes),
+        "n_frames": int(audio_bytes // max(frame_bytes, 1)),
+        "duration_ms": int(duration_ms),
+    }
+
+
+def sniff_audio_header(payload: bytes) -> dict | None:
+    """Magic-byte dispatch over the real audio sniffers: RIFF → WAV,
+    fLaC → FLAC, ID3/frame-sync → MP3. None for anything else."""
+    if payload is None or len(payload) < 4:
+        return None
+    if payload[:4] == b"RIFF":
+        meta = sniff_wav_header(payload)
+        if meta is not None:
+            meta.setdefault("format", "wav")
+        return meta
+    if payload[:4] == b"fLaC":
+        return sniff_flac_header(payload)
+    return sniff_mp3_header(payload)
+
+
 AUDIO_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
         StructField("sample_rate", IntegerType(), True),
         StructField("n_channels", IntegerType(), True),
         StructField("bits_per_sample", IntegerType(), True),
@@ -324,11 +457,12 @@ AUDIO_META_SCHEMA = StructType(
 
 def decode_audio_metadata(
     media: DataFrame,
-    decode_fn: Callable[[bytes], dict | None] = sniff_wav_header,
+    decode_fn: Callable[[bytes], dict | None] = sniff_audio_header,
 ) -> DataFrame:
     """Audio header metadata via mapInPandas (Arrow batches); the
-    default decoder is the REAL WAV sniffer, so genuine RIFF payloads
-    parse without any external codec."""
+    default decoder dispatches by magic bytes over the REAL WAV /
+    FLAC / MP3 sniffers, so genuine payloads of all three public
+    formats parse without any external codec."""
     import pandas as pd
 
     cols = [f.name for f in AUDIO_META_SCHEMA.fields if f.name != "media_id"]
@@ -371,7 +505,11 @@ def segment_audio(
         F.sequence(F.lit(0).cast("long"), last_start, F.lit(hop_ms))
     ).alias("start_ms")
     out = audio_meta.filter(
-        F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0)
+        F.col("duration_ms").isNotNull()
+        & (F.col("duration_ms") > 0)
+        # byte-exact segment ranges need fixed-size PCM frames; lossy
+        # / variable-frame formats (mp3, flac) carry block_align=None
+        & F.col("block_align").isNotNull()
     ).select("*", seg)
     frame_of = (
         lambda ms: (ms * F.col("sample_rate") / 1000).cast("long")

@@ -844,6 +844,80 @@ def _bpe_encode_arrow(
     )
 
 
+def winnow_match(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document winnowing matcher — the MOSS use case (Schleimer
+    et al. 2003 §4): bucket the :func:`winnow_fingerprints` sketches
+    by fingerprint and emit every document pair sharing at least
+    ``min_shared`` fingerprints, with the count and each side's first
+    matching gram position (where the overlap starts). A pair sharing
+    f fingerprints under (k, w) shares, with winnowing's guarantee,
+    copied substrings totalling ≥ f·k tokens — the plagiarism /
+    license-text / boilerplate detector token-level dedup families
+    approximate.
+
+    Skew cap: fingerprints appearing in more than ``max_bucket``
+    documents are dropped BEFORE the pair join (MOSS's own practice —
+    ubiquitous fingerprints are boilerplate, and an unbounded bucket
+    would explode the O(bucket²) pair stage; the same cap every LSH
+    operator in this repo applies).
+
+    Scale shape: sketches are ~2/(w+1) of the gram stream; one
+    groupBy(fingerprint) counts bucket sizes (partial-aggregated),
+    one shuffle join on fingerprint forms within-bucket pairs, one
+    groupBy(pair) aggregates — never all-pairs, never corpus text
+    after the sketch stage. Returns
+    ``(doc_a, doc_b, n_shared, first_pos_a, first_pos_b)``.
+    """
+    from pyspark.sql import functions as F
+
+    # one row per (doc, fingerprint): a fingerprint repeated within a
+    # document (self-repeated text) keeps its FIRST position, so the
+    # pair stage counts shared FINGERPRINTS, not position cross
+    # products
+    fps = (
+        winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+        .groupBy(id_col, "fingerprint")
+        .agg(F.min("gram_pos").alias("gram_pos"))
+    )
+    # drop boilerplate fingerprints (bucket bigger than max_bucket)
+    sizes = fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    live = fps.join(
+        sizes.filter(F.col("__n") <= max_bucket).select("fingerprint"),
+        "fingerprint",
+        "left_semi",
+    )
+    a = live.select(
+        "fingerprint",
+        F.col(id_col).alias("doc_a"),
+        F.col("gram_pos").alias("pos_a"),
+    )
+    b = live.select(
+        "fingerprint",
+        F.col(id_col).alias("doc_b"),
+        F.col("gram_pos").alias("pos_b"),
+    )
+    pairs = a.join(b, "fingerprint").filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min("pos_a").alias("first_pos_a"),
+            F.min("pos_b").alias("first_pos_b"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 5,

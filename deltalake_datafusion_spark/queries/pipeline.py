@@ -784,6 +784,130 @@ FROM vid
 """
 
 
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV header parse + audio segmentation on GENUINE RIFF bytes
+    (``operators/multimodal.py::sniff_wav_header`` / ``segment_audio``):
+    payloads are canonical PCM WAVs built from deterministic
+    parameters of doc_id (sample rate, channels, frame count), every
+    5th doc a non-WAV payload that must parse to null. The oracle
+    recomputes duration / segment spans / byte ranges arithmetically
+    from the same parameters — so the REAL header parser and the
+    frame arithmetic are cross-engine value-checked, not just
+    row-counted."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        decode_audio_metadata,
+        segment_audio,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        import struct
+
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 5 == 3:
+                    payloads.append(b"plainly not a RIFF payload")
+                    continue
+                rate = 8000 + (did % 5) * 4000
+                ch = 1 + did % 2
+                block = ch * 2  # 16-bit PCM
+                frames = 200 + (did % 37) * 83
+                dlen = frames * block
+                hdr = (
+                    b"RIFF" + struct.pack("<I", 36 + dlen) + b"WAVE"
+                    + b"fmt " + struct.pack(
+                        "<IHHIIHH", 16, 1, ch, rate, rate * block, block, 16
+                    )
+                    + b"data" + struct.pack("<I", dlen)
+                )
+                payloads.append(hdr + b"\x00" * dlen)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    meta = decode_audio_metadata(media)
+    segs = segment_audio(meta, window_ms=200, hop_ms=100)
+    per_doc = segs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("byte_length").alias("seg_bytes"),
+        F.sum("byte_offset").alias("offset_sum"),
+        F.max("end_ms").alias("last_end_ms"),
+    )
+    return (
+        meta.select("media_id", "sample_rate", "duration_ms")
+        .join(per_doc, "media_id", "left")
+        .select(
+            "media_id",
+            "sample_rate",
+            "duration_ms",
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("seg_bytes", F.lit(0)).alias("seg_bytes"),
+            F.coalesce("offset_sum", F.lit(0)).alias("offset_sum"),
+            F.coalesce("last_end_ms", F.lit(0)).alias("last_end_ms"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_AUDIO_SQL = """
+WITH params AS (
+  SELECT doc_id AS media_id,
+    CASE WHEN doc_id % 5 = 3 THEN NULL
+         ELSE 8000 + (doc_id % 5) * 4000 END AS rate,
+    CASE WHEN doc_id % 5 = 3 THEN NULL
+         ELSE (1 + doc_id % 2) * 2 END AS block,
+    CASE WHEN doc_id % 5 = 3 THEN NULL
+         ELSE 200 + (doc_id % 37) * 83 END AS frames
+  FROM documents WHERE doc_id % 17 = 0
+),
+meta AS (
+  SELECT media_id, rate, block, (frames * 1000) // rate AS dur
+  FROM params
+),
+segs AS (
+  SELECT media_id, rate, block, dur,
+    unnest(range(0, greatest(dur - 200, 0) + 1, 100)) AS start_ms
+  FROM meta WHERE dur IS NOT NULL AND dur > 0
+),
+spans AS (
+  SELECT media_id,
+    least(start_ms + 200, dur) AS end_ms,
+    CAST(FLOOR(start_ms * rate / 1000.0) AS BIGINT) AS f0,
+    CAST(FLOOR(least(start_ms + 200, dur) * rate / 1000.0) AS BIGINT)
+      AS f1,
+    block
+  FROM segs
+),
+per_doc AS (
+  SELECT media_id,
+    COUNT(*) AS n_segments,
+    CAST(SUM((f1 - f0) * block) AS BIGINT) AS seg_bytes,
+    CAST(SUM(44 + f0 * block) AS BIGINT) AS offset_sum,
+    CAST(MAX(end_ms) AS BIGINT) AS last_end_ms
+  FROM spans GROUP BY media_id
+)
+SELECT m.media_id,
+  CAST(m.rate AS INT) AS sample_rate,
+  CAST(m.dur AS INT) AS duration_ms,
+  COALESCE(p.n_segments, 0) AS n_segments,
+  COALESCE(p.seg_bytes, 0) AS seg_bytes,
+  COALESCE(p.offset_sum, 0) AS offset_sum,
+  COALESCE(p.last_end_ms, 0) AS last_end_ms
+FROM meta m LEFT JOIN per_doc p USING (media_id)
+ORDER BY m.media_id
+"""
+
+
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function surface over the embedding column: size /
     element_at / array_min / array_max / sort+slice+fold — all scalar
@@ -904,4 +1028,5 @@ def specs() -> list[QuerySpec]:
         QuerySpec("q_array_explode", q_array_explode, _ARRAY_EXPLODE_SQL),
         QuerySpec("multimodal_meta", multimodal_meta, _MULTIMODAL_SQL),
         QuerySpec("multimodal_frames", multimodal_frames, _FRAMES_SQL),
+        QuerySpec("multimodal_audio", multimodal_audio, _AUDIO_SQL),
     ]

@@ -2432,6 +2432,68 @@ FROM sel GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def text_winnow_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document winnowing matcher (``operators/text.py::
+    winnow_match`` — the MOSS pair finder consuming
+    :func:`text_winnowing`'s sketches): document pairs sharing ≥ 2
+    fingerprints under (k=5, w=4), boilerplate fingerprints
+    (> 64 docs) dropped before the bucket join. Emits the shared
+    count and each side's first matching gram position."""
+    from deltalake_datafusion_spark.operators.text import winnow_match
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return winnow_match(
+        d.filter(F.col("doc_id") % 3 == 0),
+        k=5, w=4, min_shared=2, max_bucket=64,
+    ).orderBy("doc_a", "doc_b")
+
+
+_WINNOW_MATCH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS tk
+  FROM documents WHERE doc_id % 3 = 0
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+    CAST(('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 15))
+         AS BIGINT) AS h
+  FROM toks, unnest(range(1, len(tk) - 5 + 2)) AS t(i)
+  WHERE len(tk) >= 5
+),
+winmin AS (
+  SELECT doc_id,
+    min({'h': h, 'np': -pos}) OVER w AS m,
+    count(*) OVER w AS n
+  FROM grams
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+),
+sel AS (
+  SELECT doc_id, m.h AS fingerprint,
+         CAST(MIN(-m.np) AS INT) AS gram_pos
+  FROM winmin WHERE n >= 4 GROUP BY doc_id, m.h
+),
+live AS (
+  SELECT s.* FROM sel s JOIN (
+    SELECT fingerprint FROM sel GROUP BY fingerprint
+    HAVING COUNT(*) <= 64
+  ) f USING (fingerprint)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.gram_pos AS pos_a, b.gram_pos AS pos_b
+  FROM live a JOIN live b USING (fingerprint)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, COUNT(*) AS n_shared,
+  CAST(MIN(pos_a) AS INT) AS first_pos_a,
+  CAST(MIN(pos_b) AS INT) AS first_pos_b
+FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2
+"""
+
+
 def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis & Spirakis
     2006, ``operators/sampling.py::weighted_sample``): 10 docs per
@@ -2584,4 +2646,5 @@ def specs() -> list[QuerySpec]:
             _WEIGHTED_SAMPLE_SQL,
         ),
         QuerySpec("text_bpe_train", text_bpe_train, _BPE_TRAIN_SQL),
+        QuerySpec("text_winnow_match", text_winnow_match, _WINNOW_MATCH_SQL),
     ]

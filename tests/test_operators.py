@@ -966,6 +966,7 @@ def test_wav_sniff_and_segmentation(spark):
     payload = wav()  # 20000 frames @8 kHz = 2500 ms
     meta = sniff_wav_header(payload)
     assert meta == {
+        "format": "wav",
         "sample_rate": 8000, "n_channels": 1, "bits_per_sample": 16,
         "block_align": 2, "data_offset": 44, "data_bytes": 40000,
         "n_frames": 20000, "duration_ms": 2500,
@@ -999,3 +1000,85 @@ def test_wav_sniff_and_segmentation(spark):
         .executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_flac_mp3_sniff_and_dispatch(spark):
+    """REAL FLAC STREAMINFO and MPEG Layer III header parses on
+    genuine bytes; decode_audio_metadata dispatches by magic, and
+    segmentation skips variable-frame formats (no block_align)."""
+    import struct
+
+    from deltalake_datafusion_spark.operators.multimodal import (
+        decode_audio_metadata,
+        segment_audio,
+        sniff_audio_header,
+        sniff_flac_header,
+        sniff_mp3_header,
+    )
+
+    def flac(rate=44100, channels=2, bps=16, total=441000):
+        packed = (
+            (rate << 44)
+            | ((channels - 1) << 41)
+            | ((bps - 1) << 36)
+            | total
+        )
+        streaminfo = (
+            struct.pack(">HH", 4096, 4096)       # min/max block size
+            + b"\x00\x00\x00" * 2                 # min/max frame size
+            + packed.to_bytes(8, "big")
+            + b"\x00" * 16                        # md5 of raw audio
+        )
+        return (
+            b"fLaC"
+            + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
+            + streaminfo
+            + b"\x11" * 500                       # fake frames
+        )
+
+    f = sniff_flac_header(flac())
+    assert f == {
+        "format": "flac", "sample_rate": 44100, "n_channels": 2,
+        "bits_per_sample": 16, "block_align": None,
+        "data_offset": 42, "data_bytes": 500,
+        "n_frames": 441000, "duration_ms": 10000,
+    }
+    assert sniff_flac_header(b"fLaCxx") is None
+
+    def mp3(n_bytes=4000, with_id3=True):
+        # MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), stereo
+        hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+        id3 = b"ID3\x03\x00\x00\x00\x00\x00\x1e" + b"\x00" * 30
+        body = hdr + b"\x00" * (n_bytes - 4)
+        return (id3 + body) if with_id3 else body
+
+    m = sniff_mp3_header(mp3())
+    assert (
+        m["format"], m["sample_rate"], m["n_channels"], m["data_offset"]
+    ) == ("mp3", 44100, 2, 40)
+    assert m["bits_per_sample"] is None and m["block_align"] is None
+    # CBR estimate: 4000 bytes @128 kbps = 250 ms
+    assert m["duration_ms"] == 250
+    assert sniff_mp3_header(mp3(with_id3=False))["data_offset"] == 0
+    assert sniff_mp3_header(b"OggS" + b"\x00" * 100) is None
+
+    # dispatch by magic
+    assert sniff_audio_header(flac())["format"] == "flac"
+    assert sniff_audio_header(mp3())["format"] == "mp3"
+    assert sniff_audio_header(b"junk" * 30) is None
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(flac())),
+            (2, bytearray(mp3())),
+            (3, bytearray(b"junk" * 30)),
+        ],
+        "media_id long, payload binary",
+    )
+    parsed = decode_audio_metadata(media)
+    rows = {r["media_id"]: r for r in parsed.collect()}
+    assert rows[1]["format"] == "flac" and rows[1]["duration_ms"] == 10000
+    assert rows[2]["format"] == "mp3" and rows[2]["sample_rate"] == 44100
+    assert rows[3]["format"] is None
+    # variable-frame formats have no byte-exact segments
+    assert segment_audio(parsed, 1000, 500).count() == 0

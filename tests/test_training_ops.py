@@ -561,6 +561,47 @@ def test_winnowing_guarantee(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_winnow_match_planted_plagiarism(spark):
+    """winnow_match finds exactly the planted copier pairs: a long
+    copied passage yields many shared fingerprints, disjoint docs
+    yield none, a boilerplate fingerprint in > max_bucket docs is
+    dropped before the pair stage."""
+    from deltalake_datafusion_spark.operators.text import winnow_match
+
+    stolen = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards brew quartz potions under a pale moon tonight"
+    )
+    boiler = "all rights reserved copyright notice applies here fully"
+    rows = [
+        (1, "intro words before " + stolen + " and an ending"),
+        (2, "another opening then " + stolen + " closes differently"),
+        (3, "totally unrelated content about gardening and soil ph"),
+        (4, "more unrelated prose on sailing knots and tide charts"),
+    ]
+    # plant boilerplate into MANY docs so its fingerprints exceed the cap
+    rows += [(100 + i, boiler + f" filler{i} unique trailer {i}")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = winnow_match(df, k=5, w=4, min_shared=2, max_bucket=6).collect()
+    pairs = {(r.doc_a, r.doc_b): r.n_shared for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    # the copied span starts after 3 (doc 1) / 3 (doc 2) leading tokens
+    match = {(r.doc_a, r.doc_b): r for r in out}[(1, 2)]
+    assert match.first_pos_a >= 0 and match.first_pos_b >= 0
+    # no pair involves the disjoint docs
+    assert not any(3 in p or 4 in p for p in pairs)
+    # boilerplate fingerprints (10 docs > max_bucket=6) were dropped:
+    # the filler docs share ONLY the boilerplate, so no 100+ pairs
+    assert not any(p[0] >= 100 for p in pairs)
+    # raising the cap brings the boilerplate ring back
+    with_cap = winnow_match(
+        df, k=5, w=4, min_shared=1, max_bucket=64
+    ).collect()
+    assert any(r.doc_a >= 100 and r.doc_b >= 100 for r in with_cap)
+
+
 def test_weighted_sample_proportional_to_weight(spark):
     """E-S keys: heavier rows win more often across seeds; k caps per
     stratum; zero/negative weights never selected when enough
