@@ -64,10 +64,29 @@ def _prop_true(snap, key: str) -> bool:
     return (snap.metadata.configuration.get(key, "") or "").lower() == "true"
 
 
-def _trace_error(snap, feature: str) -> str | None:
+def _trace_error(snap, feature: str, spark=None) -> str | None:
     """Why ``feature`` cannot be dropped at the current version —
     None when it is clean."""
     conf = snap.metadata.configuration
+    if feature == "checkpointProtection":
+        v = conf.get("delta.requireCheckpointProtectionBeforeVersion")
+        if v is not None:
+            from deltalake_datafusion_spark.delta.snapshot import (
+                list_log_files,
+            )
+
+            commits, checkpoints = list_log_files(snap.table_path, spark)
+            protected = [
+                ver
+                for ver, _ in list(commits) + list(checkpoints)
+                if ver < int(v)
+            ]
+            if protected:
+                return (
+                    f"history before version {v} is still protected "
+                    f"({len(protected)} log file(s)); run metadata "
+                    "cleanup past that boundary first"
+                )
     if feature == "changeDataFeed" and _prop_true(
         snap, "delta.enableChangeDataFeed"
     ):
@@ -180,8 +199,12 @@ def _trace_error(snap, feature: str) -> str | None:
     return None
 
 
-def _downgraded_protocol(protocol, feature: str) -> dict:
-    remaining = effective_writer_features(protocol) - {feature}
+def _downgraded_protocol(
+    protocol, feature: str, extra: frozenset | set = frozenset()
+) -> dict:
+    remaining = (effective_writer_features(protocol) - {feature}) | set(
+        extra
+    )
     readers = sorted(f for f in remaining if f in _READER_IMPACTING)
     # vacuumProtocolCheck is an engine-added marker (this engine always
     # writes VACUUM audit commits); it never blocks the full downgrade
@@ -288,18 +311,24 @@ def drop_feature(
                 f"feature {feature!r} is not present on the table "
                 f"(protocol has {sorted(have)})"
             )
-        err = _trace_error(snap, feature)
+        err = _trace_error(snap, feature, spark)
         if err:
             raise DeltaWriteError(f"cannot drop feature {feature!r}: {err}")
-        if feature in _READER_IMPACTING and not truncate_history:
-            raise DeltaWriteError(
-                f"{feature!r} is a reader feature: historical versions may "
-                "still carry traces a downgraded reader cannot handle. "
-                "Re-run with TRUNCATE HISTORY to checkpoint the current "
-                "version and drop all earlier history."
-            )
+        # Reader features: historical versions may still carry traces a
+        # downgraded reader cannot handle. TRUNCATE HISTORY deletes that
+        # history; WITHOUT it the modern (Delta 4.x) path applies
+        # checkpointProtection instead — checkpoint the pre-drop state,
+        # mark every earlier log file protected via
+        # delta.requireCheckpointProtectionBeforeVersion, and let
+        # readers of the downgraded tip replay from the protected
+        # checkpoint, never the old commits. History stays available
+        # for time travel (old commits carry the old protocol).
+        protect = feature in _READER_IMPACTING and not truncate_history
+        extra = {"checkpointProtection"} if protect else frozenset()
 
-        actions: list[dict] = [_downgraded_protocol(snap.protocol, feature)]
+        actions: list[dict] = [
+            _downgraded_protocol(snap.protocol, feature, extra)
+        ]
         conf = dict(snap.metadata.configuration)
         schema = snap.schema
         md_changed = False
@@ -318,6 +347,22 @@ def drop_feature(
             conf.pop("delta.columnMapping.mode", None)
             conf.pop("delta.columnMapping.maxColumnId", None)
             md_changed = True
+        if feature == "checkpointProtection":
+            md_changed |= (
+                conf.pop(
+                    "delta.requireCheckpointProtectionBeforeVersion", None
+                )
+                is not None
+            )
+        if protect:
+            # everything before the drop commit is protected: metadata
+            # cleanup must either truncate all of it in one sweep (up
+            # to a checkpoint at or past this boundary) or delete none
+            # of it — see log_cleanup.cleanup_expired_logs
+            conf["delta.requireCheckpointProtectionBeforeVersion"] = str(
+                snap.version + 1
+            )
+            md_changed = True
         if md_changed:
             md = _metadata_action(
                 schema, snap.partition_columns, conf,
@@ -330,6 +375,14 @@ def drop_feature(
             actions.append(md)
 
         truncated = {"commits_deleted": 0, "checkpoints_deleted": 0}
+        if protect:
+            # the protected checkpoint: tip readers replay from here,
+            # never from the commits that used the dropped feature
+            from deltalake_datafusion_spark.delta.writer import (
+                write_checkpoint,
+            )
+
+            write_checkpoint(spark, snap)
         if truncate_history:
             # checkpoint the CURRENT version, then expire everything
             # older than it — readers of the downgraded protocol can

@@ -84,8 +84,8 @@ def cleanup_expired_logs(
     Returns {commits_deleted, checkpoints_deleted, sidecars_deleted}."""
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
 
+    snap = load_snapshot(table_path, spark=spark, with_files=False)
     if retention_ms is None:
-        snap = load_snapshot(table_path, spark=spark, with_files=False)
         retention_ms = parse_duration_ms(
             snap.metadata.configuration.get("delta.logRetentionDuration")
         )
@@ -102,20 +102,47 @@ def cleanup_expired_logs(
     log_dir = os.path.dirname(checkpoints[0][1])
     mtimes = {st.path: st.mtime_ms for st in fs.list(log_dir)}
 
+    def _deletable_commit(v, p):
+        return v <= latest_cp and mtimes.get(p, now) < cutoff
+
+    def _deletable_cp(v, p):
+        return v < latest_cp and mtimes.get(p, now) < cutoff
+
+    # checkpointProtection (Delta 4.x): log files before
+    # delta.requireCheckpointProtectionBeforeVersion may only go in ONE
+    # sweep that clears ALL of them — a partial cleanup below the
+    # boundary could leave a replay window that starts mid-history
+    # where the dropped reader feature's traces are unreadable to the
+    # downgraded protocol. If any protected file must stay (age /
+    # coverage), every protected file stays this sweep.
+    protect_v = int(
+        snap.metadata.configuration.get(
+            "delta.requireCheckpointProtectionBeforeVersion", 0
+        )
+    )
+    if protect_v:
+        prot_commits = [(v, p) for v, p in commits if v < protect_v]
+        prot_cps = [(v, p) for v, p in checkpoints if v < protect_v]
+        all_go = all(
+            _deletable_commit(v, p) for v, p in prot_commits
+        ) and all(_deletable_cp(v, p) for v, p in prot_cps)
+        if not all_go:
+            skip = {p for _, p in prot_commits} | {p for _, p in prot_cps}
+            commits = [(v, p) for v, p in commits if p not in skip]
+            checkpoints = [
+                (v, p) for v, p in checkpoints if p not in skip
+            ]
+
     n_commits = 0
     for v, p in commits:
-        if v <= latest_cp and mtimes.get(p, now) < cutoff:
+        if _deletable_commit(v, p):
             fs.delete(p)
             # the version's .crc summary expires with its commit
             fs.delete(os.path.join(log_dir, f"{v:020d}.crc"))
             n_commits += 1
 
     keep_cp = [p for v, p in checkpoints if v == latest_cp]
-    drop_cp = [
-        p
-        for v, p in checkpoints
-        if v < latest_cp and mtimes.get(p, now) < cutoff
-    ]
+    drop_cp = [p for v, p in checkpoints if _deletable_cp(v, p)]
     keep_sidecars: set[str] = set()
     for p in keep_cp:
         if _V2_CP_RE.search(os.path.basename(p)):

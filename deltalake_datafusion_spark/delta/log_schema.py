@@ -186,6 +186,6 @@ SUPPORTED_WRITER_FEATURES = {
     "deletionVectors", "rowTracking", "domainMetadata", "clustering",
     "v2Checkpoint", "inCommitTimestamp", "typeWidening",
     "allowColumnDefaults", "vacuumProtocolCheck", "timestampNtz",
-    "variantType",
+    "variantType", "checkpointProtection",
 }
 MAX_WRITER_VERSION = 7

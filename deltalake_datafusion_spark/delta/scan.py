@@ -222,7 +222,12 @@ def scan_files_spark(
     from deltalake_datafusion_spark.delta.predicates import prune_files_df
     from deltalake_datafusion_spark.delta.snapshot import log_replay_df, load_snapshot
 
-    snap = load_snapshot(table_path, version=version, spark=spark)
+    # metadata-only replay: the whole point of this planner is that
+    # the DRIVER never parses the add actions — schema / partition
+    # columns / protocol are all it needs here
+    snap = load_snapshot(
+        table_path, version=version, spark=spark, with_files=False
+    )
     files_df = log_replay_df(spark, table_path, version)
     l2p = _logical_to_physical_map(snap.schema)
     return prune_files_df(

@@ -266,9 +266,29 @@ def _read_checkpoint_actions(
     return actions
 
 
-def _iter_commit_actions(path: str, fs) -> list[dict]:
+_META_ACTION_MARKS = (
+    '"metaData"', '"protocol"', '"txn"', '"domainMetadata"',
+)
+
+
+def _iter_commit_actions(path: str, fs, with_files: bool = True) -> list[dict]:
     raw = fs.read_bytes(path).decode("utf-8")
-    return [json.loads(line) for line in raw.splitlines() if line.strip()]
+    if with_files:
+        return [
+            json.loads(line) for line in raw.splitlines() if line.strip()
+        ]
+    # metadata-only replay: skip the json parse for add/remove/cdc
+    # lines (the overwhelming bulk of a large log) via a substring
+    # prefilter — a line is parsed only when it can possibly carry
+    # metaData/protocol/txn/domainMetadata. False positives (e.g. a
+    # partition column literally named txn) just cost one parse;
+    # false negatives are impossible (a real action line contains its
+    # unescaped key).
+    return [
+        json.loads(line)
+        for line in raw.splitlines()
+        if line.strip() and any(m in line for m in _META_ACTION_MARKS)
+    ]
 
 
 def _commit_timestamp(path: str, fs) -> int | None:
@@ -535,7 +555,9 @@ def load_snapshot(
         )
         actual_version = base.version
         for v, p in tail:
-            _apply_actions(_iter_commit_actions(p, fs), state, with_files)
+            _apply_actions(
+                _iter_commit_actions(p, fs, with_files), state, with_files
+            )
             actual_version = v
         return _finish_snapshot(table_path, actual_version, state)
 
@@ -579,7 +601,9 @@ def load_snapshot(
     for _kind, _s, seg_end, p in _plan_commit_replay(
         replay_commits, compacted, cp_version, version
     ):
-        _apply_actions(_iter_commit_actions(p, fs), state, with_files)
+        _apply_actions(
+            _iter_commit_actions(p, fs, with_files), state, with_files
+        )
         actual_version = seg_end
     return _finish_snapshot(table_path, actual_version, state)
 

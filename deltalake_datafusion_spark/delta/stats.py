@@ -284,13 +284,17 @@ def collect_stats_batch(
     skip = set(skip_columns or ())
     if spark is None or len(rel_sizes) <= _BATCH_STATS_THRESHOLD:
         fs = fs_for(table_path, spark)
-        return {
-            rel: collect_file_stats(
-                os.path.join(table_path, rel), skip, fs=fs, size=size,
-                stats_columns=stats_columns,
-            )
-            for rel, size in rel_sizes
-        }
+        return _with_numrecords_fallback(
+            spark,
+            table_path,
+            {
+                rel: collect_file_stats(
+                    os.path.join(table_path, rel), skip, fs=fs, size=size,
+                    stats_columns=stats_columns,
+                )
+                for rel, size in rel_sizes
+            },
+        )
 
     tp = table_path
 
@@ -308,11 +312,64 @@ def collect_stats_batch(
             )
 
     n_slices = max(1, min(len(rel_sizes) // 8, 256))
-    return dict(
-        spark.sparkContext.parallelize(rel_sizes, n_slices)
-        .mapPartitions(worker)
-        .collect()
+    return _with_numrecords_fallback(
+        spark,
+        table_path,
+        dict(
+            spark.sparkContext.parallelize(rel_sizes, n_slices)
+            .mapPartitions(worker)
+            .collect()
+        ),
     )
+
+
+def _with_numrecords_fallback(
+    spark, table_path: str, stats_by_rel: dict
+) -> dict:
+    """Recover ``numRecords``-only stats for files whose footer pyarrow
+    cannot parse (VARIANT logical types): ONE batched Spark count over
+    exactly the failed files, grouped by ``_metadata.file_path`` —
+    Spark 4.1 reads variant parquet natively. Partial stats are valid
+    Delta stats: data skipping stays keep-on-unknown (no min/max), but
+    limit pushdown, empty-part cleanup, and COUNT(*) shortcuts work
+    again for variant tables."""
+    missing = sorted(
+        rel for rel, s in stats_by_rel.items() if s is None
+    )
+    if not missing or spark is None:
+        return stats_by_rel
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    try:
+        counts = (
+            spark.read.parquet(
+                *[os.path.join(table_path, r) for r in missing]
+            )
+            .groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .count()
+            .collect()
+        )
+    except Exception:
+        return stats_by_rel  # unreadable even to Spark — stay stat-less
+    by_suffix = {}
+    for r in counts:
+        fp = urllib.parse.unquote(
+            urllib.parse.urlparse(r["__fp"]).path
+        )
+        by_suffix[fp] = r["count"]
+    for rel in missing:
+        dec = urllib.parse.unquote(rel)
+        hit = None
+        for fp, n in by_suffix.items():
+            if fp.endswith("/" + dec) or fp.endswith(dec):
+                hit = n
+                break
+        # the batched read covered every missing file, so a file that
+        # contributed no group is genuinely empty (0 rows)
+        stats_by_rel[rel] = json.dumps({"numRecords": hit or 0})
+    return stats_by_rel
 
 
 def _lt(a: Any, b: Any) -> bool:

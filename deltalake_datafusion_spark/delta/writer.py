@@ -385,6 +385,11 @@ def _creation_protocol(
     ):
         features.add("generatedColumns")
     conf = configuration or {}
+    if conf.get("delta.enableDeletionVectors", "").lower() == "true":
+        # delta-spark grants the feature at creation, before the first
+        # DELETE writes a DV (the DML path also upgrades lazily for
+        # tables that enabled the property later)
+        features.add("deletionVectors")
     if conf.get("delta.enableChangeDataFeed", "").lower() == "true":
         features.add("changeDataFeed")
     if conf.get("delta.appendOnly", "").lower() == "true":

@@ -73,9 +73,6 @@ def test_drop_reader_feature_requires_truncate_history(spark, tmp_path):
     with pytest.raises(DeltaWriteError, match="REORG"):
         drop_feature(spark, path, "deletionVectors", truncate_history=True)
     optimize_delta(spark, path, purge=True)
-    # reader feature without TRUNCATE HISTORY is refused
-    with pytest.raises(DeltaWriteError, match="TRUNCATE HISTORY"):
-        drop_feature(spark, path, "deletionVectors")
     v_before = load_snapshot(path).version
     res = sql(
         spark,
@@ -455,3 +452,108 @@ def test_drop_column_mapping_strips_nested_metadata(spark, tmp_path):
 
     _no_mapping(snap.schema)
     assert {r.id for r in read_delta(spark, path).collect()} == {0, 1, 2, 3}
+
+
+def test_drop_reader_feature_with_checkpoint_protection(spark, tmp_path):
+    """DROP FEATURE on a reader feature WITHOUT TRUNCATE HISTORY takes
+    the Delta 4.x checkpointProtection path: the pre-drop state is
+    checkpointed, the downgrade commit adds checkpointProtection +
+    delta.requireCheckpointProtectionBeforeVersion, history survives
+    for time travel, and metadata cleanup refuses partial sweeps below
+    the protection boundary."""
+    import json
+
+    from deltalake_datafusion_spark.delta.log_cleanup import (
+        cleanup_expired_logs,
+    )
+    from deltalake_datafusion_spark.delta.ops import (
+        delete_delta,
+        optimize_delta,
+    )
+    from deltalake_datafusion_spark.delta.writer import write_checkpoint
+
+    path = str(tmp_path / "cp_prot")
+    write_delta(
+        spark, spark.range(20).select("id").repartition(2), path,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delete_delta(spark, path, "id % 4 = 0")
+    optimize_delta(spark, path, purge=True)
+    unset_tblproperties(spark, path, ["delta.enableDeletionVectors"])
+    v_before = load_snapshot(path).version
+
+    res = drop_feature(spark, path, "deletionVectors")  # no truncate
+    snap = load_snapshot(path)
+    drop_v = v_before + 1
+    assert res["version"] == drop_v and res["commits_deleted"] == 0
+    assert "deletionVectors" not in set(snap.protocol.writer_features or [])
+    assert "deletionVectors" not in set(snap.protocol.reader_features or [])
+    assert "checkpointProtection" in set(snap.protocol.writer_features or [])
+    assert snap.metadata.configuration[
+        "delta.requireCheckpointProtectionBeforeVersion"
+    ] == str(drop_v)
+    # the protected checkpoint exists at the pre-drop version
+    log = os.path.join(path, "_delta_log")
+    cps = [f for f in os.listdir(log) if f.endswith(".checkpoint.parquet")]
+    assert f"{v_before:020d}.checkpoint.parquet" in cps
+    # history survived: every commit json still present, time travel OK
+    commits = sorted(f for f in os.listdir(log) if f.endswith(".json"))
+    assert commits[0] == f"{0:020d}.json"
+    assert read_delta(spark, path).count() == 15
+    from deltalake_datafusion_spark.delta.scan import read_delta as _rd
+
+    assert _rd(spark, path, version=0).count() == 20
+
+    # partial cleanup below the boundary is refused: age everything
+    # except one protected commit → NOTHING below the boundary goes
+    now = int(__import__("time").time() * 1000)
+    young = os.path.join(log, f"{1:020d}.json")
+    os.utime(young, (now / 1000, now / 1000))
+    for f in commits:
+        if f != f"{1:020d}.json":
+            os.utime(os.path.join(log, f), (1, 1))
+    for f in cps:
+        os.utime(os.path.join(log, f), (1, 1))
+    out = cleanup_expired_logs(spark, path, retention_ms=10_000_000)
+    assert out["commits_deleted"] == 0 and out["checkpoints_deleted"] == 0
+    assert sorted(
+        f for f in os.listdir(log) if f.endswith(".json")
+    ) == commits
+
+    # a full sweep past the boundary is allowed: checkpoint the tip,
+    # age everything → all protected files go at once
+    write_checkpoint(spark, load_snapshot(path))
+    for f in os.listdir(log):
+        if f.endswith(".json") or ".checkpoint" in f:
+            os.utime(os.path.join(log, f), (1, 1))
+    out2 = cleanup_expired_logs(spark, path, retention_ms=0)
+    assert out2["commits_deleted"] >= drop_v
+    left = sorted(f for f in os.listdir(log) if f.endswith(".json"))
+    assert left == []  # all commits ≤ the tip checkpoint expired
+    assert read_delta(spark, path).count() == 15
+
+    # with protected history gone, checkpointProtection itself drops
+    # and the property is stripped
+    drop_feature(spark, path, "checkpointProtection")
+    snap3 = load_snapshot(path)
+    assert "checkpointProtection" not in set(
+        snap3.protocol.writer_features or []
+    )
+    assert (
+        "delta.requireCheckpointProtectionBeforeVersion"
+        not in snap3.metadata.configuration
+    )
+
+
+def test_checkpoint_protection_drop_blocked_while_history_remains(
+    spark, tmp_path
+):
+    path = str(tmp_path / "cp_prot_blocked")
+    write_delta(
+        spark, spark.range(8).select("id"), path,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    unset_tblproperties(spark, path, ["delta.enableDeletionVectors"])
+    drop_feature(spark, path, "deletionVectors")
+    with pytest.raises(DeltaWriteError, match="protected"):
+        drop_feature(spark, path, "checkpointProtection")

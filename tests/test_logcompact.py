@@ -36,10 +36,10 @@ def counters(monkeypatch):
     c = {"commits": 0, "paths": []}
     orig = snapmod._iter_commit_actions
 
-    def count(path, fs):
+    def count(path, fs, with_files=True):
         c["commits"] += 1
         c["paths"].append(os.path.basename(path))
-        return orig(path, fs)
+        return orig(path, fs, with_files)
 
     monkeypatch.setattr(snapmod, "_iter_commit_actions", count)
     return c

@@ -31,9 +31,9 @@ def counters(monkeypatch):
     orig_commit = snapmod._iter_commit_actions
     orig_cp = snapmod._read_checkpoint_actions
 
-    def count_commit(path, fs):
+    def count_commit(path, fs, with_files=True):
         counts["commits"] += 1
-        return orig_commit(path, fs)
+        return orig_commit(path, fs, with_files)
 
     def count_cp(paths, with_files=True):
         counts["checkpoints"] += len(paths)
