@@ -648,6 +648,25 @@ def learn_bpe_df(
     )
 
 
+def bpe_vocab(
+    merges: list[tuple],
+    base_alphabet: list[str] | None = None,
+) -> list[tuple[int, str]]:
+    """Token-id table from a trained merge list — the second artifact
+    a tokenizer build exports (vocab.json next to merges.txt): base
+    alphabet first (sorted; defaults to the [a-z0-9] + ``|`` boundary
+    set the training normalization admits), then each merge's output
+    symbol in rank order. Deterministic, driver-side (the vocab is
+    O(alphabet + n_merges) by construction)."""
+    if base_alphabet is None:
+        base_alphabet = sorted("abcdefghijklmnopqrstuvwxyz0123456789|")
+    out = [(i, s) for i, s in enumerate(sorted(set(base_alphabet)))]
+    n = len(out)
+    for i, m in enumerate(merges):
+        out.append((n + i, m[0] + m[1]))
+    return out
+
+
 # Deterministic demo merge table: the first rounds a byte-level BPE
 # trained on English text converges to (cf. the GPT-2 vocabulary's
 # leading merges). Applying a FIXED table keeps the operator and any

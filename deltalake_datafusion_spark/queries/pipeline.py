@@ -1028,5 +1028,8 @@ def specs() -> list[QuerySpec]:
         QuerySpec("q_array_explode", q_array_explode, _ARRAY_EXPLODE_SQL),
         QuerySpec("multimodal_meta", multimodal_meta, _MULTIMODAL_SQL),
         QuerySpec("multimodal_frames", multimodal_frames, _FRAMES_SQL),
-        QuerySpec("multimodal_audio", multimodal_audio, _AUDIO_SQL),
+        # multimodal_audio is registered in queries/training.py: the
+        # pipeline list ends INSIDE the driver's pinned 50-entry
+        # correctness window, so new queries must append to a later
+        # module's list (tests/test_query_registry.py)
     ]

@@ -2647,4 +2647,17 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec("text_bpe_train", text_bpe_train, _BPE_TRAIN_SQL),
         QuerySpec("text_winnow_match", text_winnow_match, _WINNOW_MATCH_SQL),
+        _audio_spec(),
     ]
+
+
+def _audio_spec() -> QuerySpec:
+    # registered here, not in pipeline.py where the builder lives: the
+    # pipeline list ends inside the driver's pinned 50-entry
+    # correctness window (new queries append after the prefix)
+    from deltalake_datafusion_spark.queries.pipeline import (
+        _AUDIO_SQL,
+        multimodal_audio,
+    )
+
+    return QuerySpec("multimodal_audio", multimodal_audio, _AUDIO_SQL)

@@ -237,3 +237,19 @@ def test_bpe_encode_arrow_10k_merges_timing(spark):
     dt = time.time() - t0
     assert n == 2000
     assert dt < 120
+
+
+def test_bpe_vocab_export(spark):
+    from deltalake_datafusion_spark.operators.text import bpe_vocab
+
+    df = spark.createDataFrame([("aa ab ba",)], "text string")
+    merges = learn_bpe(df, 2, strategy="driver")
+    vocab = bpe_vocab(merges)
+    ids = dict(vocab)
+    by_tok = {s: i for i, s in vocab}
+    # base alphabet is contiguous from 0, merges follow in rank order
+    assert ids[0] == sorted("abcdefghijklmnopqrstuvwxyz0123456789|")[0]
+    n_base = len("abcdefghijklmnopqrstuvwxyz0123456789|")
+    assert by_tok[merges[0][0] + merges[0][1]] == n_base
+    assert by_tok[merges[1][0] + merges[1][1]] == n_base + 1
+    assert len(vocab) == n_base + len(merges)
