@@ -115,11 +115,17 @@ def cleanup_expired_logs(
     # where the dropped reader feature's traces are unreadable to the
     # downgraded protocol. If any protected file must stay (age /
     # coverage), every protected file stays this sweep.
-    protect_v = int(
-        snap.metadata.configuration.get(
-            "delta.requireCheckpointProtectionBeforeVersion", 0
+    try:
+        protect_v = int(
+            snap.metadata.configuration.get(
+                "delta.requireCheckpointProtectionBeforeVersion", 0
+            )
         )
-    )
+    except (TypeError, ValueError):
+        # unparseable foreign value: protect EVERYTHING (the safe
+        # direction — never delete history whose protection boundary
+        # we cannot read)
+        protect_v = 1 << 62
     if protect_v:
         prot_commits = [(v, p) for v, p in commits if v < protect_v]
         prot_cps = [(v, p) for v, p in checkpoints if v < protect_v]

@@ -863,6 +863,150 @@ def _bpe_encode_arrow(
     )
 
 
+def lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = 50_000,
+    max_bigrams: int = 200_000,
+    lam: float = 0.5,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document perplexity under a corpus-trained interpolated
+    bigram language model — the CCNet / Gopher LM-filtering step
+    (Wenzek et al. 2020 train KenLM and drop high-perplexity docs;
+    this is the distributed, engine-portable re-expression with a
+    bigram model instead of a 5-gram).
+
+    Model: unigram table = the ``top_vocab`` most frequent tokens
+    (ties: token asc); bigram table = the ``max_bigrams`` most
+    frequent in-vocab pairs. Probability of each document bigram::
+
+        p(w | prev) = λ · c(prev,w)/c(prev)          (0 if unmodeled)
+                    + (1-λ) · (c(w)+1)/(N+V)         (add-one unigram)
+
+    with c(w)=0 for out-of-vocab w, N = total tokens, V = distinct
+    tokens (both model-corpus-wide, uncapped — the smoothing
+    denominator). Counts come from ``train_df`` when given (the CCNet
+    shape: train on a clean reference corpus, score the crawl —
+    self-training perfectly predicts every singleton junk bigram, so
+    cross-corpus is the filtering configuration), else from ``df``
+    itself. Returns ``(id, n_bigrams, avg_nll, ppl)`` per document
+    with ≥1 bigram, avg_nll = mean −ln p rounded to 6 (the
+    cross-engine float convention the DSIR operator established),
+    ppl = exp(avg_nll).
+
+    Scale shape: token/bigram counting is partial-aggregated (shuffle
+    carries distinct grams per map task, Zipf-bounded); the model is
+    top-k'd via TakeOrderedAndProject and BROADCAST (≤ top_vocab +
+    max_bigrams rows by construction — never corpus-scale); scoring
+    is one pass over the corpus bigram stream with two broadcast
+    joins and a doc-id aggregation. Corpus text shuffles once, on
+    doc id."""
+    from pyspark.sql import functions as F
+
+    def _tokenized(frame):
+        return frame.select(
+            F.col(id_col).alias("id"),
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            ).alias("__tk"),
+        )
+
+    def _bigrams(tk_frame):
+        return tk_frame.select(
+            "id",
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("__tk"), 1,
+                        F.greatest(F.size("__tk") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        F.col("__tk"), 2,
+                        F.greatest(F.size("__tk") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
+                )
+            ).alias("bg"),
+        ).select("id", "bg.prev", "bg.w")
+
+    toks = _tokenized(df)
+    model_toks = _tokenized(train_df) if train_df is not None else toks
+    stream = model_toks.select(
+        "id",
+        F.posexplode("__tk").alias("pos", "w"),
+    )
+    uni_all = stream.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    totals = uni_all.agg(
+        F.sum("cw").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_total, v_total = int(totals["n"] or 0), int(totals["v"] or 0)
+    if n_total == 0:
+        return stream.select(
+            F.col("id").alias(id_col),
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(None).cast("double").alias("avg_nll"),
+            F.lit(None).cast("double").alias("ppl"),
+        ).limit(0)
+    vocab = (
+        uni_all.orderBy(F.col("cw").desc(), F.col("w")).limit(top_vocab)
+    )
+    bigrams_stream = _bigrams(toks)
+    model_bigrams = (
+        _bigrams(model_toks) if train_df is not None else bigrams_stream
+    )
+    bi_model = (
+        model_bigrams.groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("cbi"))
+        .join(F.broadcast(vocab.select(F.col("w").alias("prev"))), "prev")
+        .join(F.broadcast(vocab.select("w")), "w")
+        .orderBy(F.col("cbi").desc(), F.col("prev"), F.col("w"))
+        .limit(max_bigrams)
+    )
+    scored = (
+        bigrams_stream
+        .join(
+            F.broadcast(vocab.select(F.col("w"), F.col("cw"))),
+            "w", "left",
+        )
+        .join(
+            F.broadcast(
+                vocab.select(
+                    F.col("w").alias("prev"), F.col("cw").alias("cprev")
+                )
+            ),
+            "prev", "left",
+        )
+        .join(F.broadcast(bi_model), ["prev", "w"], "left")
+        .select(
+            "id",
+            (
+                F.lit(lam)
+                * F.coalesce(
+                    F.col("cbi") / F.col("cprev"), F.lit(0.0)
+                )
+                + F.lit(1.0 - lam)
+                * (
+                    (F.coalesce(F.col("cw"), F.lit(0)) + F.lit(1))
+                    / F.lit(float(n_total + v_total))
+                )
+            ).alias("p"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(-F.log("p")), 6).alias("avg_nll"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        "avg_nll",
+        F.round(F.exp("avg_nll"), 6).alias("ppl"),
+    )
+
+
 def winnow_match(
     df: DataFrame,
     k: int = 5,

@@ -2494,6 +2494,64 @@ FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2
 """
 
 
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity (``operators/text.py::
+    lm_perplexity`` — the CCNet/Gopher LM-filtering step, Wenzek et
+    al. 2020): model trained on the WHOLE corpus (top-vocab unigrams +
+    in-vocab bigrams, interpolated add-one smoothing), every 23rd
+    document's (bigram count, mean −ln p, perplexity) value-checked."""
+    from deltalake_datafusion_spark.operators.text import lm_perplexity
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return (
+        lm_perplexity(d)
+        .filter(F.col("doc_id") % 23 == 0)
+        .orderBy("doc_id")
+    )
+
+
+_LM_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS tk
+  FROM documents
+),
+stream AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+uni AS (SELECT w, COUNT(*) AS cw FROM stream GROUP BY w),
+tot AS (SELECT SUM(cw) AS n, COUNT(*) AS v FROM uni),
+vocab AS (SELECT w, cw FROM uni ORDER BY cw DESC, w LIMIT 50000),
+bis AS (
+  SELECT doc_id, tk[i + 1] AS prev, tk[i + 2] AS w
+  FROM toks, unnest(range(0, len(tk) - 1)) AS t(i)
+  WHERE len(tk) >= 2
+),
+bim AS (
+  SELECT b.prev AS prev, b.w AS w, COUNT(*) AS cbi
+  FROM bis b
+  JOIN vocab vp ON b.prev = vp.w
+  JOIN vocab vw ON b.w = vw.w
+  GROUP BY 1, 2
+  ORDER BY cbi DESC, b.prev, b.w LIMIT 200000
+),
+scored AS (
+  SELECT b.doc_id,
+    0.5 * COALESCE(CAST(m.cbi AS DOUBLE) / CAST(vp.cw AS DOUBLE), 0.0)
+    + 0.5 * (COALESCE(vw.cw, 0) + 1) / CAST(t.n + t.v AS DOUBLE) AS p
+  FROM bis b
+  LEFT JOIN vocab vw ON b.w = vw.w
+  LEFT JOIN vocab vp ON b.prev = vp.w
+  LEFT JOIN bim m ON b.prev = m.prev AND b.w = m.w
+  CROSS JOIN tot t
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  ROUND(AVG(-ln(p)), 6) AS avg_nll,
+  ROUND(exp(ROUND(AVG(-ln(p)), 6)), 6) AS ppl
+FROM scored WHERE doc_id % 23 = 0
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def pipe_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis & Spirakis
     2006, ``operators/sampling.py::weighted_sample``): 10 docs per
@@ -2648,6 +2706,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_bpe_train", text_bpe_train, _BPE_TRAIN_SQL),
         QuerySpec("text_winnow_match", text_winnow_match, _WINNOW_MATCH_SQL),
         _audio_spec(),
+        QuerySpec("text_lm_perplexity", text_lm_perplexity, _LM_PPL_SQL),
     ]
 
 

@@ -620,3 +620,67 @@ def test_weighted_sample_proportional_to_weight(spark):
     # the 10 heavy rows (1000x weight) should essentially always all win
     heavy = wins & set(range(10))
     assert len(heavy) >= 8
+
+
+def test_lm_perplexity_matches_local_model(spark):
+    """Bigram-LM perplexity equals an independent local computation of
+    the same interpolated model; repetitive text scores lower ppl than
+    novel text; the corpus-side plan stays JVM (broadcast model joins,
+    no Python stage)."""
+    import math
+    import re
+    from collections import Counter
+
+    from deltalake_datafusion_spark.operators.text import lm_perplexity
+
+    texts = {
+        1: "the cat sat on the mat the cat sat again",
+        2: "the cat sat on the mat",
+        3: "zq xv wk jn qp",
+        4: "the the the the the",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll, r.ppl)
+        for r in lm_perplexity(df).collect()
+    }
+
+    tok = {
+        i: re.split(r"[^a-z0-9]+", t.lower()) for i, t in texts.items()
+    }
+    tok = {i: [w for w in ws if w] for i, ws in tok.items()}
+    uni = Counter(w for ws in tok.values() for w in ws)
+    bi = Counter(
+        p for ws in tok.values() for p in zip(ws, ws[1:])
+    )
+    n, v = sum(uni.values()), len(uni)
+    for i, ws in tok.items():
+        if len(ws) < 2:
+            assert i not in got
+            continue
+        nlls = []
+        for prev, w in zip(ws, ws[1:]):
+            p = 0.5 * (bi[(prev, w)] / uni[prev]) + 0.5 * (
+                (uni[w] + 1) / (n + v)
+            )
+            nlls.append(-math.log(p))
+        avg = round(sum(nlls) / len(nlls), 6)
+        assert got[i] == (len(nlls), avg, round(math.exp(avg), 6)), i
+    # self-training perfectly predicts junk's singleton bigrams (the
+    # documented reason train_df exists); under a model trained on the
+    # CLEAN docs only (the CCNet shape), junk scores the worst
+    clean = df.filter("doc_id != 3")
+    cross = {
+        r.doc_id: r.ppl
+        for r in lm_perplexity(df, train_df=clean).collect()
+    }
+    assert cross[3] > max(cross[1], cross[2], cross[4])
+
+    plan = (
+        lm_perplexity(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "BroadcastExchange" in plan  # the model side
