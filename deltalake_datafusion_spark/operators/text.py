@@ -1041,16 +1041,38 @@ def winnow_match(
     """
     from pyspark.sql import functions as F
 
-    # one row per (doc, fingerprint): a fingerprint repeated within a
-    # document (self-repeated text) keeps its FIRST position, so the
-    # pair stage counts shared FINGERPRINTS, not position cross
-    # products
+    pairs = _winnow_pair_rows(df, k, w, max_bucket, text_col, id_col)
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min("pos_a").alias("first_pos_a"),
+            F.min("pos_b").alias("first_pos_b"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def _winnow_pair_rows(
+    df: DataFrame,
+    k: int,
+    w: int,
+    max_bucket: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared pair stage of :func:`winnow_match` / :func:`winnow_spans`:
+    per-(doc, fingerprint) dedup to the FIRST position (so downstream
+    counts mean shared fingerprints, not position cross products),
+    boilerplate cap, bucket self-join. Returns one row per
+    ``(doc_a, doc_b, fingerprint, pos_a, pos_b)`` with doc_a < doc_b."""
+    from pyspark.sql import functions as F
+
     fps = (
         winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
         .groupBy(id_col, "fingerprint")
         .agg(F.min("gram_pos").alias("gram_pos"))
     )
-    # drop boilerplate fingerprints (bucket bigger than max_bucket)
     sizes = fps.groupBy("fingerprint").agg(
         F.count(F.lit(1)).alias("__n")
     )
@@ -1069,15 +1091,73 @@ def winnow_match(
         F.col(id_col).alias("doc_b"),
         F.col("gram_pos").alias("pos_b"),
     )
-    pairs = a.join(b, "fingerprint").filter(F.col("doc_a") < F.col("doc_b"))
+    return a.join(b, "fingerprint").filter(F.col("doc_a") < F.col("doc_b"))
+
+
+def winnow_spans(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 64,
+    gap: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Copied-SPAN reconstruction over the winnowing matches — what
+    MOSS actually displays (Schleimer et al. 2003 §5: matched
+    fingerprints are merged into contiguous highlighted passages).
+    Shared fingerprints of a document pair are ordered by position in
+    doc_a and split into islands wherever either side jumps more than
+    ``gap`` gram positions (default ``w + k`` — one full winnowing
+    window) or doc_b's position runs backwards (a reordered match is
+    a different span). Each island becomes one span row::
+
+        (doc_a, doc_b, start_a, end_a, start_b, end_b, n_fingerprints)
+
+    ``end_* = last gram position + k - 1`` (a k-gram covers k
+    tokens). Only pairs with ≥ ``min_shared`` total shared
+    fingerprints are reported.
+
+    Scale shape: everything up to the pair rows is
+    :func:`winnow_match`'s bucketed join (never all-pairs); the
+    islands pass is one window over (doc_a, doc_b) — rows per pair ≤
+    shared fingerprints, already sketch-scale."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    gap = (w + k) if gap is None else gap
+    pairs = _winnow_pair_rows(df, k, w, max_bucket, text_col, id_col)
+    w_tot = Window.partitionBy("doc_a", "doc_b")
+    w_ord = w_tot.orderBy("pos_a", "pos_b")
+    ordered = (
+        pairs.withColumn("__tot", F.count(F.lit(1)).over(w_tot))
+        .filter(F.col("__tot") >= min_shared)
+        .withColumn("__pa", F.lag("pos_a").over(w_ord))
+        .withColumn("__pb", F.lag("pos_b").over(w_ord))
+    )
+    new_island = (
+        F.col("__pa").isNull()
+        | (F.col("pos_a") - F.col("__pa") > gap)
+        | (F.col("pos_b") < F.col("__pb"))
+        | (F.col("pos_b") - F.col("__pb") > gap)
+    )
+    ordered = ordered.withColumn(
+        "__isl",
+        F.sum(new_island.cast("int")).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
     return (
-        pairs.groupBy("doc_a", "doc_b")
+        ordered.groupBy("doc_a", "doc_b", "__isl")
         .agg(
-            F.count(F.lit(1)).alias("n_shared"),
-            F.min("pos_a").alias("first_pos_a"),
-            F.min("pos_b").alias("first_pos_b"),
+            F.min("pos_a").alias("start_a"),
+            (F.max("pos_a") + F.lit(k - 1)).alias("end_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_b") + F.lit(k - 1)).alias("end_b"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
         )
-        .filter(F.col("n_shared") >= min_shared)
+        .drop("__isl")
     )
 
 

@@ -2494,6 +2494,92 @@ FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2
 """
 
 
+def text_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-span reconstruction over winnowing matches
+    (``operators/text.py::winnow_spans`` — MOSS §5's highlighted
+    passages): shared fingerprints split into islands at >w+k gram
+    jumps (either side) or backward motion, each island one
+    (start, end) token span per side."""
+    from deltalake_datafusion_spark.operators.text import winnow_spans
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    return winnow_spans(
+        d.filter(F.col("doc_id") % 3 == 0),
+        k=5, w=4, min_shared=2, max_bucket=64,
+    ).orderBy("doc_a", "doc_b", "start_a", "start_b")
+
+
+_WINNOW_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS tk
+  FROM documents WHERE doc_id % 3 = 0
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+    CAST(('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 15))
+         AS BIGINT) AS h
+  FROM toks, unnest(range(1, len(tk) - 5 + 2)) AS t(i)
+  WHERE len(tk) >= 5
+),
+winmin AS (
+  SELECT doc_id,
+    min({'h': h, 'np': -pos}) OVER w AS m,
+    count(*) OVER w AS n
+  FROM grams
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+),
+sel AS (
+  SELECT doc_id, m.h AS fingerprint,
+         CAST(MIN(-m.np) AS INT) AS gram_pos
+  FROM winmin WHERE n >= 4 GROUP BY doc_id, m.h
+),
+live AS (
+  SELECT s.* FROM sel s JOIN (
+    SELECT fingerprint FROM sel GROUP BY fingerprint
+    HAVING COUNT(*) <= 64
+  ) f USING (fingerprint)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.gram_pos AS pos_a, b.gram_pos AS pos_b
+  FROM live a JOIN live b USING (fingerprint)
+  WHERE a.doc_id < b.doc_id
+),
+keep AS (
+  SELECT doc_a, doc_b, pos_a, pos_b FROM (
+    SELECT p.*, COUNT(*) OVER (PARTITION BY doc_a, doc_b) AS tot
+    FROM pairs p
+  ) WHERE tot >= 2
+),
+lagged AS (
+  SELECT doc_a, doc_b, pos_a, pos_b,
+    lag(pos_a) OVER w AS pa, lag(pos_b) OVER w AS pb
+  FROM keep
+  WINDOW w AS (PARTITION BY doc_a, doc_b ORDER BY pos_a, pos_b)
+),
+isl AS (
+  SELECT doc_a, doc_b, pos_a, pos_b,
+    SUM(CASE WHEN pa IS NULL OR pos_a - pa > 9
+              OR pos_b < pb OR pos_b - pb > 9
+         THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_a, doc_b ORDER BY pos_a, pos_b
+            ROWS UNBOUNDED PRECEDING) AS g
+  FROM lagged
+)
+SELECT doc_a, doc_b,
+  CAST(MIN(pos_a) AS INT) AS start_a,
+  CAST(MAX(pos_a) + 4 AS INT) AS end_a,
+  CAST(MIN(pos_b) AS INT) AS start_b,
+  CAST(MAX(pos_b) + 4 AS INT) AS end_b,
+  COUNT(*) AS n_fingerprints
+FROM isl GROUP BY doc_a, doc_b, g
+ORDER BY doc_a, doc_b, start_a, start_b
+"""
+
+
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM perplexity (``operators/text.py::
     lm_perplexity`` — the CCNet/Gopher LM-filtering step, Wenzek et
@@ -2707,6 +2793,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_winnow_match", text_winnow_match, _WINNOW_MATCH_SQL),
         _audio_spec(),
         QuerySpec("text_lm_perplexity", text_lm_perplexity, _LM_PPL_SQL),
+        QuerySpec("text_winnow_spans", text_winnow_spans, _WINNOW_SPANS_SQL),
     ]
 
 

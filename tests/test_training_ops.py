@@ -684,3 +684,37 @@ def test_lm_perplexity_matches_local_model(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "BroadcastExchange" in plan  # the model side
+
+
+def test_winnow_spans_reconstructs_planted_passages(spark):
+    """Two separately-planted copied passages come back as two
+    distinct spans covering the right token ranges on both sides."""
+    from deltalake_datafusion_spark.operators.text import winnow_spans
+
+    pass1 = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    pass2 = "nine eight seven six five four three two one zero launch"
+    filler_a = "unrelated middle words here that nobody copied at all today"
+    filler_b = "different separator text sits between the two stolen parts"
+    df = spark.createDataFrame(
+        [
+            (1, pass1 + " " + filler_a + " " + pass2),
+            (2, "intro bits " + pass1 + " " + filler_b + " " + pass2),
+            (3, "no shared content in this document whatsoever to find"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_spans(df, k=5, w=4, min_shared=2).collect()
+    spans = [r for r in out if (r.doc_a, r.doc_b) == (1, 2)]
+    assert len(spans) == 2
+    spans.sort(key=lambda r: r.start_a)
+    s1, s2 = spans
+    n1 = len(pass1.split())
+    # first span sits inside passage 1 on both sides
+    assert s1.start_a >= 0 and s1.end_a < n1
+    assert 2 <= s1.start_b and s1.end_b < 2 + n1  # "intro bits" offset
+    # second span starts after passage 1 + filler on both sides
+    assert s2.start_a >= n1 + len(filler_a.split())
+    assert s2.start_b >= 2 + n1 + len(filler_b.split())
+    assert s1.end_a < s2.start_a
+    # no spans for the disjoint doc
+    assert not any(3 in (r.doc_a, r.doc_b) for r in out)
