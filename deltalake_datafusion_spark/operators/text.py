@@ -667,6 +667,50 @@ def bpe_vocab(
     return out
 
 
+def bpe_token_ids(
+    df: DataFrame,
+    merges: list[tuple] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Documents → token-ID sequences under a trained merge table —
+    the artifact a training-data pipeline actually materializes
+    (ids, not symbol strings). :func:`bpe_encode` produces the symbol
+    stream; each symbol then maps through the :func:`bpe_vocab` table
+    (boundary ``|`` included — sequence models keep word boundaries).
+
+    Returns ``(id_col, n_tokens, ids array<int>)``.
+
+    Scale: the vocab lookup is a LITERAL map expression (vocab is
+    O(alphabet + n_merges) — even a 50k-merge table is a ~1 MB
+    literal), so the whole pipeline stays in the encode strategy's
+    plan shape: pure codegen under ``chain``, one Arrow stage under
+    ``arrow``; zero shuffles, zero joins."""
+    from itertools import chain as _chain
+
+    from pyspark.sql import functions as F
+
+    merges = BPE_DEMO_MERGES if merges is None else merges
+    vocab = bpe_vocab(merges)
+    lookup = F.create_map(
+        *[F.lit(x) for x in _chain.from_iterable(
+            (tok, i) for i, tok in vocab
+        )]
+    )
+    enc = bpe_encode(
+        df, merges, text_col=text_col, id_col=id_col, strategy=strategy
+    )
+    syms = F.filter(F.split("encoded", " "), lambda t: t != F.lit(""))
+    return enc.select(
+        F.col(id_col),
+        F.size(syms).alias("n_tokens"),
+        F.transform(
+            syms, lambda s: lookup[s].cast("int")
+        ).alias("ids"),
+    )
+
+
 # Deterministic demo merge table: the first rounds a byte-level BPE
 # trained on English text converges to (cf. the GPT-2 vocabulary's
 # leading merges). Applying a FIXED table keeps the operator and any

@@ -2138,6 +2138,59 @@ FROM ({union}) ORDER BY rank
 _BPE_TRAIN_SQL = _bpe_train_sql(_BPE_TRAIN_MERGES)
 
 
+def text_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → token-ID sequences (``operators/text.py::
+    bpe_token_ids``): the symbol stream of ``text_bpe_encode`` mapped
+    through the exported vocab table — the tensor-ready artifact. The
+    oracle rebuilds the identical vocab (VALUES generated from the
+    same merge constant) and md5s the full ID sequence."""
+    from deltalake_datafusion_spark.operators.text import bpe_token_ids
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    out = bpe_token_ids(d.filter(F.col("doc_id") % 29 == 0))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.concat_ws(",", F.col("ids"))).alias("ids_md5"),
+    ).orderBy("doc_id")
+
+
+def _bpe_ids_sql() -> str:
+    from deltalake_datafusion_spark.operators.text import (
+        BPE_DEMO_MERGES,
+        bpe_vocab,
+    )
+
+    vocab = bpe_vocab(BPE_DEMO_MERGES)
+    keys = ", ".join(f"'{tok}'" for _, tok in vocab)
+    vals = ", ".join(str(i) for i, _ in vocab)
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', '|', 'g')) AS s
+  FROM documents WHERE doc_id % 29 = 0
+),
+spread AS (
+  SELECT doc_id, ' ' || regexp_replace(s, '(.)', '\\1  ', 'g') AS e
+  FROM norm
+),
+merged AS (
+  SELECT doc_id,
+    list_filter(string_split_regex({_bpe_replace_chain('e')}, ' +'),
+                t -> t <> '') AS syms
+  FROM spread
+),
+ids AS (
+  SELECT m.doc_id, m.syms,
+    list_transform(m.syms, s -> vm.vmap[s][1]) AS idlist
+  FROM merged m CROSS JOIN (SELECT MAP([{keys}], [{vals}]) AS vmap) vm
+)
+SELECT doc_id, len(syms) AS n_tokens,
+  md5(array_to_string(idlist, ',')) AS ids_md5
+FROM ids ORDER BY doc_id
+"""
+
+
 def delta_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minor log compaction (``delta/logcompact.py``): a 5-commit
     table (4 appends + a DV DELETE) compacts its whole log into one
@@ -2794,6 +2847,7 @@ def specs() -> list[QuerySpec]:
         _audio_spec(),
         QuerySpec("text_lm_perplexity", text_lm_perplexity, _LM_PPL_SQL),
         QuerySpec("text_winnow_spans", text_winnow_spans, _WINNOW_SPANS_SQL),
+        QuerySpec("text_bpe_ids", text_bpe_ids, _bpe_ids_sql()),
     ]
 
 

@@ -253,3 +253,29 @@ def test_bpe_vocab_export(spark):
     assert by_tok[merges[0][0] + merges[0][1]] == n_base
     assert by_tok[merges[1][0] + merges[1][1]] == n_base + 1
     assert len(vocab) == n_base + len(merges)
+
+
+def test_bpe_token_ids_roundtrip(spark):
+    """Token IDs decode back to the symbol stream through the vocab
+    table, boundary tokens included; learned tables work end-to-end
+    (train → vocab → ids)."""
+    from deltalake_datafusion_spark.operators.text import (
+        bpe_token_ids,
+        bpe_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = learn_bpe(df, 18, strategy="driver")
+    by_id = {i: tok for i, tok in bpe_vocab(merges)}
+    out = {r.doc_id: r for r in bpe_token_ids(df, merges).collect()}
+    enc = {
+        r["doc_id"]: r["encoded"]
+        for r in bpe_encode(df, merges).collect()
+    }
+    for i in out:
+        assert out[i].n_tokens == len(out[i].ids)
+        assert None not in out[i].ids
+        decoded = " ".join(by_id[t] for t in out[i].ids)
+        assert decoded == enc[i]
