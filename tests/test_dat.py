@@ -1315,3 +1315,79 @@ def test_dat_column_mapping_id_mode(spark, tmp_path):
         assert got >= {b"1", b"2"}
     rows = sorted(tuple(r) for r in read_delta(spark, t).collect())
     assert rows == [(1, "x"), (2, "Y"), (3, "z"), (9, "w")]
+
+
+def test_dat_foreign_checkpoint_protection(spark, tmp_path):
+    """A FOREIGN table carrying checkpointProtection (delta-spark 4.x
+    protected DROP FEATURE): reads work, this engine's writes are
+    allowed (the feature is supported), and metadata cleanup honors
+    the protection boundary — nothing below
+    requireCheckpointProtectionBeforeVersion goes in a partial sweep."""
+    import time as _time
+
+    from deltalake_datafusion_spark.delta.log_cleanup import (
+        cleanup_expired_logs,
+    )
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import (
+        write_checkpoint,
+        write_delta,
+    )
+
+    t = os.path.join(str(tmp_path), "fcp")
+    a0 = _write_file(t, "f0.parquet", _ids(0, 5))
+    _commit(t, 0, [
+        _protocol_action(reader=1, writer=2),
+        _metadata_action(LONG_VAL),
+        a0,
+    ])
+    a1 = _write_file(t, "f1.parquet", _ids(5, 10))
+    _commit(t, 1, [a1])
+    # the foreign protected drop: checkpoint v1, then v2 = downgrade +
+    # protection metadata (shape delta-spark writes)
+    write_checkpoint(spark, load_snapshot(t, spark=spark))
+    _commit(t, 2, [
+        _protocol_action(
+            reader=1, writer=7,
+            writer_features=["checkpointProtection"],
+        ),
+        _metadata_action(
+            LONG_VAL,
+            configuration={
+                "delta.requireCheckpointProtectionBeforeVersion": "2"
+            },
+        ),
+    ])
+
+    snap = load_snapshot(t, spark=spark)
+    assert "checkpointProtection" in (snap.protocol.writer_features or [])
+    assert {r.id for r in read_delta(spark, t).collect()} == set(range(10))
+    # writes allowed — the engine supports the feature's invariant
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, 1.0)], "id long, val double"),
+        t, mode="append",
+    )
+    assert read_delta(spark, t).count() == 11
+
+    # partial cleanup below the boundary refused (commit 1 kept young)
+    log = os.path.join(t, "_delta_log")
+    now = _time.time()
+    for f in os.listdir(log):
+        if f.endswith(".json") or ".checkpoint" in f:
+            os.utime(os.path.join(log, f), (1, 1))
+    os.utime(os.path.join(log, f"{1:020d}.json"), (now, now))
+    before = sorted(os.listdir(log))
+    out = cleanup_expired_logs(spark, t, retention_ms=10_000_000)
+    assert out["commits_deleted"] == 0
+    assert sorted(os.listdir(log)) == before
+
+    # full sweep past the boundary: checkpoint the tip, age everything
+    write_checkpoint(spark, load_snapshot(t, spark=spark))
+    for f in os.listdir(log):
+        if f.endswith(".json") or ".checkpoint" in f:
+            os.utime(os.path.join(log, f), (1, 1))
+    out2 = cleanup_expired_logs(spark, t, retention_ms=0)
+    assert out2["commits_deleted"] >= 3
+    assert read_delta(spark, t).count() == 11
