@@ -147,8 +147,12 @@ def cleanup_expired_logs(
             fs.delete(os.path.join(log_dir, f"{v:020d}.crc"))
             n_commits += 1
 
-    keep_cp = [p for v, p in checkpoints if v == latest_cp]
     drop_cp = [p for v, p in checkpoints if _deletable_cp(v, p)]
+    # sidecars referenced by ANY retained checkpoint stay (the Delta
+    # spec allows sidecar files to be shared across checkpoints — a
+    # protected or still-young checkpoint must not lose its sidecars
+    # through an expired checkpoint that happens to reference them)
+    keep_cp = [p for _v, p in checkpoints if p not in set(drop_cp)]
     keep_sidecars: set[str] = set()
     for p in keep_cp:
         if _V2_CP_RE.search(os.path.basename(p)):

@@ -267,6 +267,10 @@ def collect_file_stats(
 # commit latency (a 100 TB write can emit thousands of files).
 _BATCH_STATS_THRESHOLD = 32
 
+# Cap on per-file count jobs in the footer-unparseable (VARIANT)
+# numRecords fallback — one tiny Spark job per file.
+_NUMRECORDS_FALLBACK_MAX_FILES = 256
+
 
 def collect_stats_batch(
     spark,
@@ -338,37 +342,23 @@ def _with_numrecords_fallback(
     )
     if not missing or spark is None:
         return stats_by_rel
-    import urllib.parse
-
-    from pyspark.sql import functions as F
-
-    try:
-        counts = (
-            spark.read.parquet(
-                *[os.path.join(table_path, r) for r in missing]
-            )
-            .groupBy(F.col("_metadata.file_path").alias("__fp"))
-            .count()
-            .collect()
-        )
-    except Exception:
-        return stats_by_rel  # unreadable even to Spark — stay stat-less
-    by_suffix = {}
-    for r in counts:
-        fp = urllib.parse.unquote(
-            urllib.parse.urlparse(r["__fp"]).path
-        )
-        by_suffix[fp] = r["count"]
-    for rel in missing:
-        dec = urllib.parse.unquote(rel)
-        hit = None
-        for fp, n in by_suffix.items():
-            if fp.endswith("/" + dec) or fp.endswith(dec):
-                hit = n
-                break
-        # the batched read covered every missing file, so a file that
-        # contributed no group is genuinely empty (0 rows)
-        stats_by_rel[rel] = json.dumps({"numRecords": hit or 0})
+    # Per-file counts, NOT a grouped read with path matching back to
+    # rels: mapping _metadata.file_path URIs to raw fs rels is lossy
+    # (URL escaping in partition dirs), and a mapping miss would turn
+    # a populated file into a "proven-empty" one — which the writers'
+    # empty-part cleanup would then DELETE. A file the fallback cannot
+    # count stays stat-less (the conservative direction). Bounded: the
+    # fallback only fires for files pyarrow's footer parser rejects
+    # (VARIANT tables), a per-commit handful; past the cap the rest
+    # simply stay stat-less.
+    for rel in missing[:_NUMRECORDS_FALLBACK_MAX_FILES]:
+        try:
+            n = spark.read.parquet(
+                os.path.join(table_path, rel)
+            ).count()
+        except Exception:
+            continue  # unreadable even to Spark — stay stat-less
+        stats_by_rel[rel] = json.dumps({"numRecords": int(n)})
     return stats_by_rel
 
 

@@ -343,14 +343,19 @@ def sniff_flac_header(payload: bytes) -> dict | None:
     rate, channels, bps, total = info
     if not rate:
         return None
+    # a declared block length past the payload end means the container
+    # is truncated (e.g. a ranged-GET prefix that cut through an
+    # artwork block): STREAMINFO fields are still good, but the frame
+    # byte range is unknowable — leave it null rather than negative
+    truncated = pos > len(payload)
     return {
         "format": "flac",
         "sample_rate": int(rate),
         "n_channels": int(channels),
         "bits_per_sample": int(bps),
         "block_align": None,
-        "data_offset": int(pos),
-        "data_bytes": int(len(payload) - pos),
+        "data_offset": None if truncated else int(pos),
+        "data_bytes": None if truncated else int(len(payload) - pos),
         "n_frames": int(total),
         "duration_ms": int(total * 1000 // rate),
     }

@@ -559,7 +559,13 @@ def learn_bpe(
     if n_merges <= 0:
         return []
     vocab = _bpe_word_freqs(df, text_col)
+    checkpointed = False
     if strategy == "auto":
+        # materialize the vocab BEFORE the sizing count so the corpus
+        # is tokenized exactly once — the count and whichever training
+        # path follows both read the checkpointed rows
+        vocab = vocab.localCheckpoint(eager=True)
+        checkpointed = True
         n_words = vocab.limit(driver_max_words + 1).count()
         strategy = "driver" if n_words <= driver_max_words else "distributed"
     if strategy == "driver":
@@ -570,7 +576,7 @@ def learn_bpe(
     if strategy != "distributed":
         raise ValueError(f"unknown learn_bpe strategy {strategy!r}")
 
-    cur = vocab.localCheckpoint(eager=True)
+    cur = vocab if checkpointed else vocab.localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     for it in range(n_merges):
         left = F.slice(
@@ -661,9 +667,17 @@ def bpe_vocab(
     if base_alphabet is None:
         base_alphabet = sorted("abcdefghijklmnopqrstuvwxyz0123456789|")
     out = [(i, s) for i, s in enumerate(sorted(set(base_alphabet)))]
-    n = len(out)
-    for i, m in enumerate(merges):
-        out.append((n + i, m[0] + m[1]))
+    seen = {s for _, s in out}
+    for m in merges:
+        sym = m[0] + m[1]
+        # two merges can legitimately concatenate to the same string
+        # (('t','he') and ('th','e') both yield 'the'); the vocab is a
+        # SYMBOL table, so the first (lowest-rank) occurrence wins —
+        # duplicate keys would also break map-based id lookups
+        if sym in seen:
+            continue
+        seen.add(sym)
+        out.append((len(out), sym))
     return out
 
 
@@ -778,10 +792,12 @@ def bpe_encode(
         return _bpe_encode_arrow(df, merges, text_col, id_col)
     if strategy != "chain":
         raise ValueError(f"unknown bpe_encode strategy {strategy!r}")
-    # normalize: lowercase, non-alphanumeric runs → word boundary '|'
-    s = F.trim(
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "|")
-    )
+    # normalize: lowercase, non-alphanumeric runs → word boundary '|';
+    # NULL text coalesces to '' so the two strategies agree (the arrow
+    # path maps None to '' — 'auto' must not change outputs for null
+    # rows at the cutover)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    s = F.trim(F.regexp_replace(F.lower(txt), "[^a-z0-9]+", "|"))
     # spread into symbols: single space at the ends, two between
     # symbols (each symbol owns a boundary on both sides)
     s = F.concat(F.lit(" "), F.regexp_replace(s, "(.)", r"$1  "))
@@ -797,7 +813,7 @@ def bpe_encode(
     return df.select(
         F.col(id_col),
         F.length(
-            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "")
+            F.regexp_replace(F.lower(txt), "[^a-z0-9]+", "")
         ).alias("n_chars_norm"),
         F.size(F.filter(syms, lambda t: t != F.lit("|")))
          .alias("n_bpe_tokens"),
