@@ -1251,3 +1251,131 @@ def dedup_substring_spans(
             ).alias("n_removed"),
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# Bloom-filter prefiltered exact dedup (incremental ingestion)        #
+# ------------------------------------------------------------------ #
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> list[int]:
+    """Build a Bloom filter over ``key_col`` as a list of 64-bit words
+    (length ``n_bits/64``) — the classic k-hash bit array, with the
+    repo's PORTABLE md5-derived hashing (``h_i(key) = md5_63(key ||
+    ':' || i) mod n_bits``) so any engine can reproduce membership
+    decisions bit-for-bit.
+
+    Scale shape: keys explode to ``n_hashes`` bit positions map-side;
+    ONE partial-aggregated groupBy on the word index ORs the set bits
+    (shuffle rows ≤ n_bits/64 per map task); the driver receives the
+    word array — 2 MiB for the default 1M-bit filter regardless of
+    corpus size. Size n_bits ≈ 10–15 bits per expected distinct key
+    for ~1 % false positives (Bloom 1970)."""
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    key = F.col(key_col).cast("string")
+    seeds = F.array(*[F.lit(i) for i in range(n_hashes)])
+    bits = df.select(
+        F.explode(
+            F.transform(
+                seeds,
+                lambda s: F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(key, F.lit(":"), s)), 1, 15
+                        ),
+                        16, 10,
+                    ).cast("long"),
+                    F.lit(n_bits),
+                ),
+            )
+        ).alias("bit")
+    )
+    words = (
+        bits.select(
+            F.expr("shiftright(bit, 6)").alias("word"),
+            F.expr("shiftleft(1L, CAST(bit % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("m"))
+        .collect()
+    )
+    arr = [0] * (n_bits // 64)
+    for r in words:
+        arr[int(r["word"])] = int(r["m"])
+    return arr
+
+
+def bloom_might_contain(
+    key, words: list[int], n_hashes: int = 5
+):
+    """Membership-test Column over a :func:`bloom_build` word array:
+    true iff every hash bit is set. The filter ships as an array
+    LITERAL (broadcast with the plan) — pure codegen, no join."""
+    n_bits = len(words) * 64
+    warr = F.lit(words)
+    # 2^b masks as a 64-entry long-array literal: the DSL's shiftleft
+    # takes only a LITERAL bit count, and bit 63 must be the sign bit
+    pow2 = F.lit(
+        [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    )
+
+    def _bit(i):
+        pos = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key.cast("string"), F.lit(f":{i}"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(n_bits),
+        )
+        word = F.element_at(
+            warr, (F.floor(pos / 64) + 1).cast("int")
+        )
+        mask = F.element_at(pow2, ((pos % 64) + 1).cast("int"))
+        return word.bitwiseAND(mask) != 0
+
+    out = _bit(0)
+    for i in range(1, n_hashes):
+        out = out & _bit(i)
+    return out
+
+
+def bloom_dedup_against(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """EXACT incremental dedup accelerated by a Bloom prefilter: rows
+    of ``new_df`` whose key does not appear in ``history_df``. A Bloom
+    filter over the history keys (no false negatives) splits the new
+    batch map-side:
+
+    - definitely-new rows (filter says absent) pass straight through —
+      ZERO join work, the common case when most of a crawl batch is
+      genuinely new;
+    - possibly-seen rows (~history-distinct · fp-rate + true dups) are
+      verified with an exact left_anti join against the history keys.
+
+    Result is EXACT (the filter only ever routes rows to the verify
+    join, never drops them); at 100 TB the anti-join's shuffle shrinks
+    from |new batch| to |possible dups|. The history side still scans
+    once to build the filter — amortize by persisting the word array
+    next to an incremental signature store (see
+    ``incremental_dedup``)."""
+    words = bloom_build(history_df, key_col, n_bits, n_hashes)
+    maybe = bloom_might_contain(F.col(key_col), words, n_hashes)
+    definitely_new = new_df.filter(~maybe)
+    verified = new_df.filter(maybe).join(
+        history_df.select(key_col).distinct(), key_col, "left_anti"
+    )
+    return definitely_new.unionByName(verified)

@@ -2633,6 +2633,39 @@ ORDER BY doc_a, doc_b, start_a, start_b
 """
 
 
+def pipe_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered EXACT incremental dedup
+    (``operators/dedup.py::bloom_dedup_against``): new batch = every
+    3rd document, history = every 2nd; the portable md5-hash Bloom
+    over history keys routes definitely-new rows past the verify join
+    (zero join work for the common case), possibly-seen rows get the
+    exact left_anti check. The result is EXACT, so the oracle is the
+    plain anti-join — the filter is an accelerator, never an
+    approximation."""
+    from deltalake_datafusion_spark.operators.dedup import (
+        bloom_dedup_against,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    out = bloom_dedup_against(
+        new, hist, "text", n_bits=1 << 17, n_hashes=5
+    )
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+_BLOOM_DEDUP_SQL = """
+SELECT n.doc_id, n.lang, n.n_chars
+FROM documents n
+WHERE n.doc_id % 3 = 0 AND NOT EXISTS (
+  SELECT 1 FROM documents h
+  WHERE h.doc_id % 2 = 0 AND h.text = n.text
+)
+ORDER BY n.doc_id
+"""
+
+
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM perplexity (``operators/text.py::
     lm_perplexity`` — the CCNet/Gopher LM-filtering step, Wenzek et
@@ -2848,6 +2881,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_lm_perplexity", text_lm_perplexity, _LM_PPL_SQL),
         QuerySpec("text_winnow_spans", text_winnow_spans, _WINNOW_SPANS_SQL),
         QuerySpec("text_bpe_ids", text_bpe_ids, _bpe_ids_sql()),
+        QuerySpec("pipe_bloom_dedup", pipe_bloom_dedup, _BLOOM_DEDUP_SQL),
     ]
 
 

@@ -1082,3 +1082,60 @@ def test_flac_mp3_sniff_and_dispatch(spark):
     assert rows[3]["format"] is None
     # variable-frame formats have no byte-exact segments
     assert segment_audio(parsed, 1000, 500).count() == 0
+
+
+def test_bloom_dedup_exact_and_prefilter_routes(spark):
+    """bloom_dedup_against is EXACT (equals the plain anti-join) on
+    planted duplicates; the filter has no false negatives by
+    construction; the definitely-new branch carries most rows at a
+    sane filter size (fp-rate sanity)."""
+    from deltalake_datafusion_spark.operators.dedup import (
+        bloom_build,
+        bloom_dedup_against,
+        bloom_might_contain,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"fresh document number {i}") for i in range(300)]
+        + [(2000 + i, f"history document number {i}") for i in range(0, 300, 3)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id
+        for r in bloom_dedup_against(
+            new, hist, "text", n_bits=1 << 13, n_hashes=5
+        ).collect()
+    }
+    want = {
+        r.doc_id
+        for r in new.join(
+            hist.select("text").distinct(), "text", "left_anti"
+        ).collect()
+    }
+    assert got == want
+    assert all(d < 2000 for d in got)  # every replay dropped
+
+    # no false negatives: every history key tests positive
+    words = bloom_build(hist, "text", n_bits=1 << 13, n_hashes=5)
+    fn = hist.filter(
+        ~bloom_might_contain(F.col("text"), words, 5)
+    ).count()
+    assert fn == 0
+    # false-positive sanity: most genuinely-new keys test negative
+    fp = new.filter(F.col("doc_id") < 2000).filter(
+        bloom_might_contain(F.col("text"), words, 5)
+    ).count()
+    assert fp < 60  # 300 fresh keys, 8192-bit filter, 5 hashes
+
+    # the prefilter is pure codegen: no Python stage, no join on the
+    # definitely-new branch's side of the union
+    plan = (
+        bloom_dedup_against(new, hist, "text", n_bits=1 << 13)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Union" in plan
