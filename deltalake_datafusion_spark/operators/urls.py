@@ -1,0 +1,104 @@
+"""URL canonicalization and domain operators — the fetch-frontier /
+provenance step of a web-corpus pipeline (RefinedWeb / FineWeb filter
+and dedup by canonical URL and registered domain before anything
+touches document text).
+
+Pure `pyspark.sql.functions` expression trees (regex in the
+Java-regex ∩ RE2 common subset, no lookarounds/backrefs), so the same
+patterns replay in any engine and the operators run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query parameters that never identify content (tracking)
+TRACKING_PARAMS = r"(utm_[a-z]+|fbclid|gclid|mc_cid|mc_eid|ref_src)"
+
+
+def normalize_url(col) -> Column:
+    """Canonical URL form:
+
+    1. ``scheme://host[:port]`` lowercased (path/query case kept —
+       paths are case-significant);
+    2. fragment stripped;
+    3. default ports stripped (``:80`` for http, ``:443`` for https);
+    4. tracking query parameters removed (:data:`TRACKING_PARAMS`),
+       separator debris tidied (``?&`` / ``&&`` / trailing ``?``/``&``);
+    5. ``/`` appended to a bare authority (``https://a.com`` →
+       ``https://a.com/``).
+    """
+    u = F.trim(col)
+    prefix = F.regexp_extract(u, r"^[^/]*//[^/?#]*", 0)
+    rest = F.substring(u, F.length(prefix) + 1, F.lit(1 << 30))
+    u = F.concat(F.lower(prefix), rest)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80(/|\?|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443(/|\?|$)", r"$1$2")
+    u = F.regexp_replace(
+        u, r"([?&])" + TRACKING_PARAMS + r"=[^&#]*", r"$1"
+    )
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.when(
+        u.rlike(r"^[a-z][a-z0-9+.-]*://[^/?#]+$"), F.concat(u, F.lit("/"))
+    ).otherwise(u)
+    return u
+
+
+def url_host(col) -> Column:
+    """Lowercased host of a URL (port and userinfo stripped)."""
+    return F.lower(
+        F.regexp_extract(col, r"^[^/]*//(?:[^/@]*@)?([^/:?#]+)", 1)
+    )
+
+
+def url_registered_domain(col) -> Column:
+    """Last-two-labels registered domain (``a.b.example.co`` →
+    ``example.co``). Heuristic: a faithful mapping needs the public
+    suffix list (e.g. ``example.co.uk``); this is the
+    dependency-free approximation, documented as such — swap in a
+    PSL-backed UDF for production TLD handling."""
+    host = url_host(col)
+    return F.when(
+        host.rlike(r"\.[^.]+\.[^.]+$"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
+    ).otherwise(host)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str, id_col: str
+) -> DataFrame:
+    """Keep one row (min id) per CANONICAL URL — crawl frontiers
+    re-fetch the same page through tracking-parameter and fragment
+    variants; one digest shuffle, same shape as ``exact_dedup``."""
+    keyed = df.withColumn("__canon", normalize_url(F.col(url_col)))
+    keep = (
+        keyed.select(F.md5("__canon").alias("__d"), F.col(id_col).alias("__i"))
+        .groupBy("__d")
+        .agg(F.min("__i").alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: DataFrame,
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Drop (or keep, for auditing) rows whose registered domain is in
+    the blocklist — one BROADCAST semi/anti join on the domain (the
+    blocklist is always metadata-scale; corpus text never shuffles).
+    ``blocked_domains`` must have a ``domain`` column."""
+    how = "left_semi" if keep_blocked else "left_anti"
+    return df.withColumn(
+        "__dom", url_registered_domain(F.col(url_col))
+    ).join(
+        F.broadcast(blocked_domains.select(F.col("domain").alias("__dom"))),
+        "__dom",
+        how,
+    ).drop("__dom")

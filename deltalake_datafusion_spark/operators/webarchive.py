@@ -1,0 +1,178 @@
+"""WARC (ISO 28500) web-archive ingestion — the first step of a
+CommonCrawl-style training-data pipeline.
+
+A ``.warc.gz`` file is a concatenation of independently-gzipped
+members, one WARC record each: a ``WARC/1.x`` version line, MIME-style
+named headers (``WARC-Type``, ``WARC-Target-URI``, ``Content-Length``
+…), a blank line, then exactly ``Content-Length`` bytes of content,
+then ``\\r\\n\\r\\n``. Everything here is stdlib (zlib handles the gzip
+members via ``unused_data`` iteration) and runs as Arrow-batched
+``mapInPandas`` — archives are opaque binary payloads exactly like the
+image/audio columns in :mod:`operators.multimodal`, so a 100 TB crawl
+partition-parallelizes by archive with zero Python-row overhead.
+
+Real-format parity notes: multi-member AND single-stream gzip both
+parse (``zlib.decompressobj(wbits=47)`` accepts either), plain
+uncompressed WARC too; header names are case-insensitive; records
+with unparseable headers or truncated content are skipped, not
+errors (crawl archives contain garbage — a 100 TB ingest must not
+die on one bad record).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WARC_RECORD_SCHEMA = StructType(
+    [
+        StructField("archive_id", LongType(), False),
+        StructField("record_idx", IntegerType(), True),
+        StructField("warc_type", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("warc_date", StringType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("content_length", LongType(), True),
+        StructField("content", StringType(), True),
+    ]
+)
+
+
+def _gunzip_members(payload: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream; plain bytes
+    pass through untouched."""
+    if len(payload) < 2 or payload[:2] != b"\x1f\x8b":
+        return payload
+    out = []
+    rest = payload
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=47)  # auto gzip/zlib header
+        try:
+            out.append(d.decompress(rest))
+            out.append(d.flush())
+        except zlib.error:
+            break
+        rest = d.unused_data
+        if not rest:
+            break
+    return b"".join(out)
+
+
+def parse_warc_bytes(payload: bytes) -> list[dict]:
+    """Parse one WARC archive's bytes into record dicts — the
+    zero-dependency reference parser (ISO 28500 record grammar).
+    Malformed records are skipped."""
+    if not payload:
+        return []
+    data = _gunzip_members(payload)
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # seek the version line
+        vstart = data.find(b"WARC/", pos)
+        if vstart < 0:
+            break
+        hdr_end = data.find(b"\r\n\r\n", vstart)
+        if hdr_end < 0:
+            break
+        try:
+            head = data[vstart:hdr_end].decode("utf-8", "replace")
+        except Exception:
+            pos = hdr_end + 4
+            continue
+        lines = head.split("\r\n")
+        headers = {}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            break  # truncated archive — stop cleanly
+        body = data[body_start:body_start + clen]
+        records.append(
+            {
+                "warc_type": headers.get("warc-type"),
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "content_type": headers.get("content-type"),
+                "content_length": clen,
+                "content": body.decode("utf-8", "replace"),
+            }
+        )
+        pos = body_start + clen
+    return records
+
+
+def parse_warc_records(
+    archives: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "archive_id",
+) -> DataFrame:
+    """Explode binary WARC archives into one row per record
+    (:data:`WARC_RECORD_SCHEMA`) via Arrow-batched ``mapInPandas`` —
+    the ingestion fan-out of a crawl pipeline. Downstream stages
+    (language ID, quality scoring, dedup) consume the ``content``
+    column like any text corpus."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+        for pdf in it:
+            rows = {c: [] for c in cols}
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                recs = parse_warc_bytes(
+                    bytes(payload) if payload is not None else b""
+                )
+                for i, r in enumerate(recs):
+                    rows["archive_id"].append(aid)
+                    rows["record_idx"].append(i)
+                    for k in (
+                        "warc_type", "target_uri", "warc_date",
+                        "content_type", "content_length", "content",
+                    ):
+                        rows[k].append(r[k])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return archives.select(
+        archives[id_col].alias("archive_id"), payload_col
+    ).mapInPandas(batches, WARC_RECORD_SCHEMA)
+
+
+def build_warc_bytes(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Serialize records into genuine WARC bytes (one gzip member per
+    record when ``gzip_members`` — the ``.warc.gz`` convention). The
+    write-side twin of :func:`parse_warc_bytes`; used by tests and the
+    oracle query to plant archives with known content."""
+    import gzip as _gzip
+
+    out = []
+    for r in records:
+        body = r["content"].encode("utf-8")
+        head = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {r.get('warc_type', 'response')}\r\n"
+            f"WARC-Target-URI: {r.get('target_uri', '')}\r\n"
+            f"WARC-Date: {r.get('warc_date', '2026-01-01T00:00:00Z')}\r\n"
+            f"Content-Type: {r.get('content_type', 'text/plain')}\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            "\r\n"
+        ).encode("utf-8")
+        rec = head + body + b"\r\n\r\n"
+        out.append(_gzip.compress(rec) if gzip_members else rec)
+    return b"".join(out)

@@ -2666,6 +2666,226 @@ ORDER BY n.doc_id
 """
 
 
+def pipe_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC web-archive ingestion (``operators/webarchive.py``):
+    genuine multi-member ``.warc.gz`` archives are built from
+    deterministic doc_id parameters (record count, URIs, bodies =
+    prefixes of the document text), exploded by the REAL ISO 28500
+    parser, and aggregated per archive; the oracle recomputes record
+    counts, utf-8 byte totals, and full URI/content digests
+    arithmetically from the same parameters — so the gzip-member
+    walk, header parse, and Content-Length body extraction are
+    value-checked cross-engine."""
+    from deltalake_datafusion_spark.operators.webarchive import (
+        build_warc_bytes,
+        parse_warc_records,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") % 19 == 0)
+        .select("doc_id", "text")
+    )
+
+    def build(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                n = 1 + did % 4
+                recs = [
+                    {
+                        "warc_type": (
+                            "response" if j % 2 == 0 else "metadata"
+                        ),
+                        "target_uri": f"https://ex-{did}.org/p/{j}",
+                        "content": str(text)[: 20 + 7 * j],
+                    }
+                    for j in range(n)
+                ]
+                ids.append(did)
+                payloads.append(build_warc_bytes(recs))
+            yield pd.DataFrame(
+                {"archive_id": ids, "payload": payloads}
+            )
+
+    archives = docs.mapInPandas(
+        build, "archive_id long, payload binary"
+    )
+    recs = parse_warc_records(archives)
+    ordered = F.array_sort(
+        F.collect_list(F.struct("record_idx", "target_uri", "content"))
+    )
+    return (
+        recs.groupBy("archive_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("content_length").alias("total_bytes"),
+            F.md5(
+                F.concat_ws(
+                    "|", F.transform(ordered, lambda s: s["target_uri"])
+                )
+            ).alias("uris_md5"),
+            F.md5(
+                F.concat_ws(
+                    "|", F.transform(ordered, lambda s: s["content"])
+                )
+            ).alias("content_md5"),
+            F.sum(
+                F.when(F.col("warc_type") == "response", 1).otherwise(0)
+            ).cast("long").alias("n_responses"),
+        )
+        .orderBy("archive_id")
+    )
+
+
+_WARC_SQL = """
+WITH recs AS (
+  SELECT doc_id AS archive_id, j,
+    'https://ex-' || doc_id || '.org/p/' || j AS uri,
+    substr(text, 1, CAST(20 + 7 * j AS INT)) AS content,
+    CASE WHEN j % 2 = 0 THEN 1 ELSE 0 END AS is_resp
+  FROM documents, unnest(range(0, 1 + doc_id % 4)) AS t(j)
+  WHERE doc_id % 19 = 0
+)
+SELECT archive_id,
+  COUNT(*) AS n_records,
+  CAST(SUM(octet_length(encode(content))) AS BIGINT) AS total_bytes,
+  md5(string_agg(uri, '|' ORDER BY j)) AS uris_md5,
+  md5(string_agg(content, '|' ORDER BY j)) AS content_md5,
+  CAST(SUM(is_resp) AS BIGINT) AS n_responses
+FROM recs GROUP BY archive_id ORDER BY archive_id
+"""
+
+
+def pipe_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain rollup
+    (``operators/urls.py``): four messy URL variants per document
+    (uppercase authority, default ports, fragments, utm/fbclid
+    tracking params, bare authority) normalize to canonical form;
+    per-domain counts and a digest of the full sorted canonical list.
+    The oracle replays the identical regex pipeline in DuckDB (the
+    patterns live in the Java-regex ∩ RE2 common subset by design)."""
+    from deltalake_datafusion_spark.operators.urls import (
+        normalize_url,
+        url_registered_domain,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") % 5 == 0
+    )
+    k = F.col("doc_id") % 7
+    raw = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Ex"), k, F.lit(".COM:443/Page/"),
+                F.col("doc_id"),
+                F.lit("?utm_source=tw&id="), F.col("doc_id"),
+                F.lit("&utm_medium=m"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://ex"), k, F.lit(".com:80/a/"),
+                F.col("doc_id"), F.lit("#section"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://Sub.EX"), k, F.lit(".com/b?id="),
+                F.col("doc_id"), F.lit("&fbclid=xyz"), F.col("doc_id"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://ex"), k, F.lit(".com")))
+    )
+    urls = d.select("doc_id", raw.alias("url"))
+    canon = urls.select(
+        "doc_id",
+        normalize_url(F.col("url")).alias("canon"),
+        url_registered_domain(F.col("url")).alias("domain"),
+    )
+    return (
+        canon.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("canon").alias("n_canon"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("canon")))
+            ).alias("urls_md5"),
+        )
+        .orderBy("domain")
+    )
+
+
+_URL_NORM_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://WWW.Ex' || (doc_id % 7) || '.COM:443/Page/'
+        || doc_id || '?utm_source=tw&id=' || doc_id || '&utm_medium=m'
+      WHEN 1 THEN 'http://ex' || (doc_id % 7) || '.com:80/a/'
+        || doc_id || '#section'
+      WHEN 2 THEN 'https://Sub.EX' || (doc_id % 7) || '.com/b?id='
+        || doc_id || '&fbclid=xyz' || doc_id
+      ELSE 'https://ex' || (doc_id % 7) || '.com'
+    END AS url
+  FROM documents WHERE doc_id % 5 = 0
+),
+pre AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^[^/]*//[^/?#]*', 0) AS prefix
+  FROM raw
+),
+steps AS (
+  SELECT doc_id,
+    lower(prefix) || substr(url, length(prefix) + 1) AS u1
+  FROM pre
+),
+s2 AS (SELECT doc_id, regexp_replace(u1, '#.*$', '', 'g') AS u FROM steps),
+s3 AS (
+  SELECT doc_id, regexp_replace(
+    regexp_replace(u, '^(http://[^/:?#]+):80(/|\\?|$)', '\\1\\2', 'g'),
+    '^(https://[^/:?#]+):443(/|\\?|$)', '\\1\\2', 'g') AS u
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, regexp_replace(
+    u, '([?&])(utm_[a-z]+|fbclid|gclid|mc_cid|mc_eid|ref_src)=[^&#]*',
+    '\\1', 'g') AS u
+  FROM s3
+),
+s5 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(
+      u, '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$', '', 'g') AS u
+  FROM s4
+),
+canon AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(u, '^[a-z][a-z0-9+.-]*://[^/?#]+$')
+         THEN u || '/' ELSE u END AS canon,
+    lower(regexp_extract(u, '^[^/]*//(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
+  FROM s5
+),
+dom AS (
+  SELECT doc_id, canon,
+    CASE WHEN regexp_matches(host, '\\.[^.]+\\.[^.]+$')
+         THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+         ELSE host END AS domain
+  FROM canon
+)
+SELECT domain, COUNT(*) AS n_urls,
+  COUNT(DISTINCT canon) AS n_canon,
+  md5(array_to_string(list_sort(list(canon)), ',')) AS urls_md5
+FROM dom GROUP BY domain ORDER BY domain
+"""
+
+
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM perplexity (``operators/text.py::
     lm_perplexity`` — the CCNet/Gopher LM-filtering step, Wenzek et
@@ -2882,6 +3102,8 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_winnow_spans", text_winnow_spans, _WINNOW_SPANS_SQL),
         QuerySpec("text_bpe_ids", text_bpe_ids, _bpe_ids_sql()),
         QuerySpec("pipe_bloom_dedup", pipe_bloom_dedup, _BLOOM_DEDUP_SQL),
+        QuerySpec("pipe_warc_ingest", pipe_warc_ingest, _WARC_SQL),
+        QuerySpec("pipe_url_normalize", pipe_url_normalize, _URL_NORM_SQL),
     ]
 
 

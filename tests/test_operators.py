@@ -1139,3 +1139,121 @@ def test_bloom_dedup_exact_and_prefilter_routes(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Union" in plan
+
+
+def test_warc_parse_roundtrip_and_resilience(spark):
+    """Genuine WARC bytes round-trip through build->parse (gzip
+    members, single-stream gzip, and plain); malformed records are
+    skipped; truncated archives stop cleanly."""
+    import gzip
+
+    from deltalake_datafusion_spark.operators.webarchive import (
+        build_warc_bytes,
+        parse_warc_bytes,
+        parse_warc_records,
+    )
+
+    recs = [
+        {"warc_type": "response", "target_uri": "https://a.org/1",
+         "content": "hello world body one"},
+        {"warc_type": "metadata", "target_uri": "https://a.org/2",
+         "content": "second body with \r\n embedded newlines \r\n ok"},
+        {"warc_type": "response", "target_uri": "https://a.org/3",
+         "content": "ünïcödé content ✓"},
+    ]
+    for payload in (
+        build_warc_bytes(recs),                       # multi-member gz
+        gzip.compress(build_warc_bytes(recs, False)),  # one gz stream
+        build_warc_bytes(recs, gzip_members=False),    # plain
+    ):
+        got = parse_warc_bytes(payload)
+        assert [r["target_uri"] for r in got] == [
+            r["target_uri"] for r in recs
+        ]
+        assert [r["content"] for r in got] == [r["content"] for r in recs]
+        assert all(
+            g["content_length"] == len(r["content"].encode())
+            for g, r in zip(got, recs)
+        )
+
+    # malformed record in the middle is skipped, the rest parse
+    plain = build_warc_bytes(recs, gzip_members=False)
+    bad = (b"WARC/1.0\r\nWARC-Type: junk\r\nContent-Length: NOPE\r\n"
+           b"\r\nxxx\r\n\r\n")
+    parts = plain.split(b"WARC/1.0", 2)
+    spliced = (b"WARC/1.0" + parts[1] + bad
+               + b"WARC/1.0" + parts[2])
+    got = parse_warc_bytes(spliced)
+    assert [r["target_uri"] for r in got] == [
+        "https://a.org/1", "https://a.org/2", "https://a.org/3"
+    ]
+    # truncation mid-body stops cleanly with the complete prefix
+    assert [
+        r["target_uri"] for r in parse_warc_bytes(plain[: len(plain) - 30])
+    ] == ["https://a.org/1", "https://a.org/2"]
+
+    # the distributed explode matches the local parser
+    media = spark.createDataFrame(
+        [(1, bytearray(build_warc_bytes(recs))), (2, bytearray(b"junk"))],
+        "archive_id long, payload binary",
+    )
+    rows = parse_warc_records(media).collect()
+    assert len(rows) == 3 and all(r.archive_id == 1 for r in rows)
+    assert [r.record_idx for r in rows] == [0, 1, 2]
+    assert rows[2].content == "ünïcödé content ✓"
+
+
+def test_url_normalize_dedup_and_blocklist(spark):
+    """Canonicalization collapses tracking/port/fragment/case variants
+    of the same page; url_dedup keeps one; the blocklist filter drops
+    by registered domain with a broadcast anti-join (no Python)."""
+    from deltalake_datafusion_spark.operators.urls import (
+        domain_blocklist_filter,
+        normalize_url,
+        url_dedup,
+        url_registered_domain,
+    )
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Page/1?utm_source=a&id=7"),
+        (2, "https://www.example.com/Page/1?id=7&utm_medium=b#top"),
+        (3, "https://www.example.com/Page/1?id=7"),
+        (4, "http://other.org:80/x"),
+        (5, "http://other.org/x"),
+        (6, "https://blocked.bad/evil?gclid=z"),
+        (7, "https://sub.deep.blocked.bad/more"),
+        (8, "https://example.com"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    canon = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", normalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert canon[1] == canon[2] == canon[3] \
+        == "https://www.example.com/Page/1?id=7"
+    assert canon[4] == canon[5] == "http://other.org/x"
+    assert canon[6] == "https://blocked.bad/evil"
+    assert canon[8] == "https://example.com/"
+
+    kept = {r.doc_id for r in url_dedup(df, "url", "doc_id").collect()}
+    assert kept == {1, 4, 6, 7, 8}  # min id per canonical URL
+
+    doms = {
+        r.doc_id: r.d
+        for r in df.select(
+            "doc_id", url_registered_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    assert doms[1] == "example.com" and doms[7] == "blocked.bad"
+
+    blocked = spark.createDataFrame([("blocked.bad",)], "domain string")
+    out = domain_blocklist_filter(df, "url", blocked)
+    assert {r.doc_id for r in out.collect()} == {1, 2, 3, 4, 5, 8}
+    plan = (
+        domain_blocklist_filter(df, "url", blocked)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Broadcast" in plan
