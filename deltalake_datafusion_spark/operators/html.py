@@ -1,0 +1,76 @@
+"""HTML → text extraction and link harvesting — the stage between
+web-archive ingestion (:mod:`operators.webarchive`) and the text
+corpus (what trafilatura/jusText do in single-node pipelines, as a
+dependency-free heuristic).
+
+Pure expression trees over patterns in the Java-regex ∩ RE2 common
+subset ((?is) flags, lazy quantifiers, no lookarounds), so the same
+chain replays in any engine and extraction runs at scan speed — at
+100 TB the HTML tier is the largest byte volume in the pipeline and
+must not leave whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# entity → replacement, applied in order (amp LAST so '&amp;lt;'
+# decodes to '&lt;' not '<' — single-pass decode semantics)
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+_BLOCK_TAGS = (
+    "p|div|br|h[1-6]|li|tr|td|table|ul|ol|blockquote|section|article"
+    "|header|footer|nav|pre"
+)
+
+
+def html_to_text(col) -> Column:
+    """Visible text of an HTML document:
+
+    1. ``<script>``/``<style>`` blocks and comments removed (content
+       AND tags);
+    2. block-level tags become newlines (paragraph structure kept);
+    3. every remaining tag stripped;
+    4. the basic named entities decoded (amp last — single-pass);
+    5. whitespace collapsed (space runs → one space, 3+ newlines →
+       a blank line), trimmed."""
+    c = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, rf"(?i)</?(?:{_BLOCK_TAGS})\b[^>]*>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", "")
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.trim(c)
+
+
+def extract_links(col) -> Column:
+    """``href`` targets of anchor tags, in document order — the crawl
+    frontier's outlink harvest. Returns ``array<string>``; feed
+    through :func:`operators.urls.normalize_url` + ``url_dedup`` for
+    frontier dedup."""
+    return F.regexp_extract_all(
+        col,
+        F.lit(r'(?is)<a\b[^>]*?href\s*=\s*["\x27]([^"\x27#][^"\x27]*)'),
+        1,
+    )
+
+
+def html_text_share(col) -> Column:
+    """Visible-text bytes / raw HTML bytes — the boilerplate-ratio
+    quality signal (Gopher filters pages whose markup dwarfs their
+    text)."""
+    raw_len = F.length(col)
+    return F.when(raw_len > 0, F.length(html_to_text(col)) / raw_len
+                  ).otherwise(F.lit(0.0))

@@ -2886,6 +2886,101 @@ FROM dom GROUP BY domain ORDER BY domain
 """
 
 
+def pipe_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction + outlink harvest
+    (``operators/html.py``): synthetic pages (script/style blocks,
+    comments, block tags, entities, two anchor forms) built from
+    document text; per page the md5 of the extracted visible text,
+    the link list digest, and the boilerplate text-share. The oracle
+    replays the identical regex chain in DuckDB."""
+    from deltalake_datafusion_spark.operators.html import (
+        extract_links,
+        html_text_share,
+        html_to_text,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") % 11 == 0
+    )
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head><style>p{color:red}</style><script>var x="'),
+        did, F.lit('";</script></head><body><!-- hidden -->'),
+        F.lit("<h1>Title "), did, F.lit("</h1><p>"),
+        F.substring(F.col("text"), 1, 60),
+        F.lit(" &amp; more &lt;tags&gt;</p>"),
+        F.lit('<a href="https://ex'), did % 7, F.lit(".com/p/"), did,
+        F.lit('">l1</a><a href=\'/rel/'), did, F.lit("'>l2</a>"),
+        F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return pages.select(
+        "doc_id",
+        F.md5(html_to_text(F.col("html"))).alias("text_md5"),
+        F.size(extract_links(F.col("html"))).alias("n_links"),
+        F.md5(
+            F.concat_ws("|", extract_links(F.col("html")))
+        ).alias("links_md5"),
+        F.round(html_text_share(F.col("html")), 6).alias("text_share"),
+    ).orderBy("doc_id")
+
+
+_HTML_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+    '<html><head><style>p{color:red}</style><script>var x="'
+    || doc_id || '";</script></head><body><!-- hidden -->'
+    || '<h1>Title ' || doc_id || '</h1><p>' || substr(text, 1, 60)
+    || ' &amp; more &lt;tags&gt;</p>'
+    || '<a href="https://ex' || (doc_id % 7) || '.com/p/' || doc_id
+    || '">l1</a><a href=''/rel/' || doc_id || '''>l2</a>'
+    || '</body></html>' AS html
+  FROM documents WHERE doc_id % 11 = 0
+),
+stripped AS (
+  SELECT doc_id, html,
+    regexp_replace(regexp_replace(regexp_replace(html,
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g') AS s1
+  FROM pages
+),
+untagged AS (
+  SELECT doc_id, html,
+    regexp_replace(regexp_replace(s1,
+      '(?i)</?(?:p|div|br|h[1-6]|li|tr|td|table|ul|ol|blockquote|section|article|header|footer|nav|pre)\b[^>]*>',
+      chr(10), 'g'),
+      '(?s)<[^>]*>', '', 'g') AS s2
+  FROM stripped
+),
+decoded AS (
+  SELECT doc_id, html,
+    replace(replace(replace(replace(replace(replace(s2,
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS s3
+  FROM untagged
+),
+cleaned AS (
+  SELECT doc_id, html,
+    trim(regexp_replace(regexp_replace(regexp_replace(s3,
+      '[ \t\r]+', ' ', 'g'),
+      ' ?\n ?', chr(10), 'g'),
+      '\n{3,}', chr(10) || chr(10), 'g')) AS txt
+  FROM decoded
+)
+SELECT doc_id,
+  md5(txt) AS text_md5,
+  CAST(len(regexp_extract_all(html,
+    '(?is)<a\b[^>]*?href\s*=\s*["'']([^"''#][^"'']*)', 1)) AS INT)
+    AS n_links,
+  md5(array_to_string(regexp_extract_all(html,
+    '(?is)<a\b[^>]*?href\s*=\s*["'']([^"''#][^"'']*)', 1), '|'))
+    AS links_md5,
+  ROUND(CAST(length(txt) AS DOUBLE) / length(html), 6) AS text_share
+FROM cleaned ORDER BY doc_id
+"""
+
+
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM perplexity (``operators/text.py::
     lm_perplexity`` — the CCNet/Gopher LM-filtering step, Wenzek et
@@ -3104,6 +3199,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("pipe_bloom_dedup", pipe_bloom_dedup, _BLOOM_DEDUP_SQL),
         QuerySpec("pipe_warc_ingest", pipe_warc_ingest, _WARC_SQL),
         QuerySpec("pipe_url_normalize", pipe_url_normalize, _URL_NORM_SQL),
+        QuerySpec("pipe_html_extract", pipe_html_extract, _HTML_SQL),
     ]
 
 

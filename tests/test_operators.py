@@ -1257,3 +1257,46 @@ def test_url_normalize_dedup_and_blocklist(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Broadcast" in plan
+
+
+def test_html_to_text_and_links(spark):
+    """Hand-verified extraction: scripts/styles/comments gone, block
+    tags become line breaks, entities decode single-pass, links
+    harvest in document order (fragments excluded); zero Python in
+    the plan."""
+    from deltalake_datafusion_spark.operators.html import (
+        extract_links,
+        html_text_share,
+        html_to_text,
+    )
+
+    html = (
+        "<html><head><title>T</title><style>p {}</style>"
+        "<script>if (1 < 2) alert('x');</script></head>"
+        "<body><!-- secret --><h1>Head</h1>"
+        "<p>One &amp; two &lt;three&gt;</p>"
+        "<p>A&amp;amp;B</p>"
+        '<a href="https://a.org/1">x</a>'
+        "<a href='/rel/2'>y</a>"
+        '<a href="#frag">skip</a>'
+        "<ul><li>item1</li><li>item2</li></ul></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    row = df.select(
+        html_to_text(F.col("html")).alias("t"),
+        extract_links(F.col("html")).alias("l"),
+        html_text_share(F.col("html")).alias("s"),
+    ).collect()[0]
+    assert "secret" not in row.t and "alert" not in row.t
+    assert "T" in row.t.splitlines()[0]  # title text is visible text
+    assert "One & two <three>" in row.t
+    assert "A&amp;B" in row.t  # single-pass decode: &amp;amp; → &amp;
+    assert "item1" in row.t and "item2" in row.t
+    assert row.l == ["https://a.org/1", "/rel/2"]  # fragment skipped
+    assert 0.0 < row.s < 0.5
+
+    plan = (
+        df.select(html_to_text(F.col("html")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
