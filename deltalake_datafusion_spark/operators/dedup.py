@@ -1258,6 +1258,23 @@ def dedup_substring_spans(
 # ------------------------------------------------------------------ #
 
 
+def _bloom_bit_pos(key, seed, n_bits: int):
+    """Portable Bloom hash: ``md5_63(key || ':' || seed) mod n_bits``.
+    ONE definition shared by build and probe — any drift between the
+    two (substring length, separator) would silently produce false
+    negatives, i.e. wrongly dropped documents."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(":"), seed)),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(n_bits),
+    )
+
+
 def bloom_build(
     df: DataFrame,
     key_col: str,
@@ -1278,22 +1295,14 @@ def bloom_build(
     for ~1 % false positives (Bloom 1970)."""
     if n_bits % 64:
         raise ValueError("n_bits must be a multiple of 64")
-    key = F.col(key_col).cast("string")
+    key = F.col(key_col)
     seeds = F.array(*[F.lit(i) for i in range(n_hashes)])
-    bits = df.select(
+    # null keys carry no bits: SQL equality never matches NULL, so a
+    # null history key can never make a new row a duplicate (and a
+    # null word index would crash the driver fold below)
+    bits = df.filter(key.isNotNull()).select(
         F.explode(
-            F.transform(
-                seeds,
-                lambda s: F.pmod(
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(key, F.lit(":"), s)), 1, 15
-                        ),
-                        16, 10,
-                    ).cast("long"),
-                    F.lit(n_bits),
-                ),
-            )
+            F.transform(seeds, lambda s: _bloom_bit_pos(key, s, n_bits))
         ).alias("bit")
     )
     words = (
@@ -1326,16 +1335,7 @@ def bloom_might_contain(
     )
 
     def _bit(i):
-        pos = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(key.cast("string"), F.lit(f":{i}"))),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("long"),
-            F.lit(n_bits),
-        )
+        pos = _bloom_bit_pos(key, F.lit(i), n_bits)
         word = F.element_at(
             warr, (F.floor(pos / 64) + 1).cast("int")
         )
@@ -1373,7 +1373,14 @@ def bloom_dedup_against(
     next to an incremental signature store (see
     ``incremental_dedup``)."""
     words = bloom_build(history_df, key_col, n_bits, n_hashes)
-    maybe = bloom_might_contain(F.col(key_col), words, n_hashes)
+    # null-key rows pass straight through: SQL equality never matches
+    # NULL, so the anti-join would keep them — and the Bloom predicate
+    # is NULL for them, which would otherwise drop them from BOTH
+    # branches (coalesce makes the routing total)
+    maybe = F.coalesce(
+        bloom_might_contain(F.col(key_col), words, n_hashes),
+        F.lit(False),
+    )
     definitely_new = new_df.filter(~maybe)
     verified = new_df.filter(maybe).join(
         history_df.select(key_col).distinct(), key_col, "left_anti"

@@ -68,9 +68,11 @@ def extract_links(col) -> Column:
 
 
 def html_text_share(col) -> Column:
-    """Visible-text bytes / raw HTML bytes — the boilerplate-ratio
-    quality signal (Gopher filters pages whose markup dwarfs their
-    text)."""
-    raw_len = F.length(col)
-    return F.when(raw_len > 0, F.length(html_to_text(col)) / raw_len
-                  ).otherwise(F.lit(0.0))
+    """Visible-text BYTES / raw HTML bytes (utf-8) — the
+    boilerplate-ratio quality signal (Gopher filters pages whose
+    markup dwarfs their text). Byte-based so CJK/Cyrillic pages score
+    on the same scale as ASCII ones."""
+    raw_len = F.octet_length(col)
+    return F.when(
+        raw_len > 0, F.octet_length(html_to_text(col)) / raw_len
+    ).otherwise(F.lit(0.0))

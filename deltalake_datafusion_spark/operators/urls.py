@@ -30,9 +30,15 @@ def normalize_url(col) -> Column:
        ``https://a.com/``).
     """
     u = F.trim(col)
+    # scheme and host lowercase; USERINFO keeps its case (RFC 3986 —
+    # credentials are case-significant, and lowercasing would merge
+    # distinct resources in url_dedup)
     prefix = F.regexp_extract(u, r"^[^/]*//[^/?#]*", 0)
+    scheme = F.regexp_extract(prefix, r"^([^/]*//)", 1)
+    userinfo = F.regexp_extract(prefix, r"^[^/]*//([^/@?#]*@)", 1)
+    hostport = F.regexp_extract(prefix, r"^[^/]*//(?:[^/@?#]*@)?(.*)$", 1)
     rest = F.substring(u, F.length(prefix) + 1, F.lit(1 << 30))
-    u = F.concat(F.lower(prefix), rest)
+    u = F.concat(F.lower(scheme), userinfo, F.lower(hostport), rest)
     u = F.regexp_replace(u, r"#.*$", "")
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80(/|\?|$)", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443(/|\?|$)", r"$1$2")
@@ -74,14 +80,12 @@ def url_dedup(
     """Keep one row (min id) per CANONICAL URL — crawl frontiers
     re-fetch the same page through tracking-parameter and fragment
     variants; one digest shuffle, same shape as ``exact_dedup``."""
+    from deltalake_datafusion_spark.operators.dedup import exact_dedup
+
     keyed = df.withColumn("__canon", normalize_url(F.col(url_col)))
-    keep = (
-        keyed.select(F.md5("__canon").alias("__d"), F.col(id_col).alias("__i"))
-        .groupBy("__d")
-        .agg(F.min("__i").alias(id_col))
-        .select(id_col)
-    )
-    return df.join(keep, id_col, "left_semi")
+    return exact_dedup(
+        keyed, "__canon", id_col, normalize=False
+    ).drop("__canon")
 
 
 def domain_blocklist_filter(

@@ -101,9 +101,20 @@ def parse_warc_bytes(payload: bytes) -> list[dict]:
         except ValueError:
             pos = hdr_end + 4
             continue
+        if clen < 0:
+            # a negative length would walk pos BACKWARD and loop
+            # forever on the same version line — treat like any other
+            # unparseable header
+            pos = hdr_end + 4
+            continue
         body_start = hdr_end + 4
         if body_start + clen > n:
-            break  # truncated archive — stop cleanly
+            # either genuine truncation (no further 'WARC/' markers —
+            # the seek loop ends naturally) or a corrupt oversized
+            # length (resync at the next version line recovers the
+            # rest of the archive instead of discarding it)
+            pos = hdr_end + 4
+            continue
         body = data[body_start:body_start + clen]
         records.append(
             {

@@ -2843,7 +2843,10 @@ pre AS (
 ),
 steps AS (
   SELECT doc_id,
-    lower(prefix) || substr(url, length(prefix) + 1) AS u1
+    lower(regexp_extract(prefix, '^([^/]*//)', 1))
+    || regexp_extract(prefix, '^[^/]*//([^/@?#]*@)', 1)
+    || lower(regexp_extract(prefix, '^[^/]*//(?:[^/@?#]*@)?(.*)$', 1))
+    || substr(url, length(prefix) + 1) AS u1
   FROM pre
 ),
 s2 AS (SELECT doc_id, regexp_replace(u1, '#.*$', '', 'g') AS u FROM steps),
@@ -2976,7 +2979,8 @@ SELECT doc_id,
   md5(array_to_string(regexp_extract_all(html,
     '(?is)<a\b[^>]*?href\s*=\s*["'']([^"''#][^"'']*)', 1), '|'))
     AS links_md5,
-  ROUND(CAST(length(txt) AS DOUBLE) / length(html), 6) AS text_share
+  ROUND(CAST(octet_length(encode(txt)) AS DOUBLE)
+        / octet_length(encode(html)), 6) AS text_share
 FROM cleaned ORDER BY doc_id
 """
 

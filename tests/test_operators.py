@@ -1233,6 +1233,11 @@ def test_url_normalize_dedup_and_blocklist(spark):
     }
     assert canon[1] == canon[2] == canon[3] \
         == "https://www.example.com/Page/1?id=7"
+    # userinfo keeps its case (RFC 3986); scheme/host still lowercase
+    ui = spark.createDataFrame(
+        [(1, "HTTPS://ApiToken@Ex.COM/X")], "doc_id long, url string"
+    ).select(normalize_url(F.col("url")).alias("c")).collect()[0].c
+    assert ui == "https://ApiToken@ex.com/X"
     assert canon[4] == canon[5] == "http://other.org/x"
     assert canon[6] == "https://blocked.bad/evil"
     assert canon[8] == "https://example.com/"
@@ -1300,3 +1305,60 @@ def test_html_to_text_and_links(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_warc_hostile_lengths_and_bloom_nulls(spark):
+    """Review-pass regressions: a negative Content-Length must not
+    loop forever; a corrupt oversized length resyncs at the next
+    record instead of discarding the archive tail; null keys neither
+    crash bloom_build nor vanish from bloom_dedup_against."""
+    from deltalake_datafusion_spark.operators.dedup import (
+        bloom_build,
+        bloom_dedup_against,
+    )
+    from deltalake_datafusion_spark.operators.webarchive import (
+        build_warc_bytes,
+        parse_warc_bytes,
+    )
+
+    neg = (b"WARC/1.0\r\nWARC-Type: junk\r\nContent-Length: -1000\r\n"
+           b"\r\nxxx\r\n\r\n")
+    assert parse_warc_bytes(neg) == []
+
+    good = build_warc_bytes(
+        [
+            {"warc_type": "response", "target_uri": "https://a/1",
+             "content": "one"},
+            {"warc_type": "response", "target_uri": "https://a/2",
+             "content": "two"},
+        ],
+        gzip_members=False,
+    )
+    oversize = (b"WARC/1.0\r\nWARC-Type: bad\r\n"
+                b"Content-Length: 999999999\r\n\r\nstub\r\n\r\n")
+    half = len(good) // 2
+    first, second = good[:half], good[half:]
+    # splice the corrupt record between the two good ones
+    spliced = first + second  # sanity: intact parses 2
+    assert len(parse_warc_bytes(spliced)) == 2
+    recs = parse_warc_bytes(
+        good.split(b"WARC/1.0")[0]
+        + b"WARC/1.0" + good.split(b"WARC/1.0", 2)[1]
+        + oversize
+        + b"WARC/1.0" + good.split(b"WARC/1.0", 2)[2]
+    )
+    assert [r["target_uri"] for r in recs] == ["https://a/1", "https://a/2"]
+
+    hist = spark.createDataFrame(
+        [(1, "seen"), (2, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "seen"), (11, "fresh"), (12, None)],
+        "doc_id long, text string",
+    )
+    words = bloom_build(hist, "text")  # must not crash on the null
+    assert any(words)
+    got = {r.doc_id for r in
+           bloom_dedup_against(new, hist, "text").collect()}
+    # anti-join semantics: NULL never matches → null-key row survives
+    assert got == {11, 12}
