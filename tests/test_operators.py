@@ -1362,3 +1362,88 @@ def test_warc_hostile_lengths_and_bloom_nulls(spark):
            bloom_dedup_against(new, hist, "text").collect()}
     # anti-join semantics: NULL never matches → null-key row survives
     assert got == {11, 12}
+
+
+def test_warc_fuzz_roundtrip_and_no_crash():
+    """Hypothesis: build→parse round-trips arbitrary record sets
+    (embedded CRLFs in content included — Content-Length framing, not
+    delimiters), and the parser never raises or loops on arbitrary
+    byte garbage (every loop path advances the cursor)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deltalake_datafusion_spark.operators.webarchive import (
+        build_warc_bytes,
+        parse_warc_bytes,
+    )
+
+    content = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        max_size=80,
+    )
+    record = st.fixed_dictionaries(
+        {
+            "warc_type": st.sampled_from(["response", "metadata"]),
+            "target_uri": st.from_regex(
+                r"https://[a-z]{1,8}\.org/[a-z0-9]{0,6}", fullmatch=True
+            ),
+            "content": content,
+        }
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(record, max_size=5), st.booleans())
+    def roundtrip(recs, gz):
+        got = parse_warc_bytes(build_warc_bytes(recs, gzip_members=gz))
+        assert [r["content"] for r in got] == [r["content"] for r in recs]
+        assert [r["target_uri"] for r in got] == [
+            r["target_uri"] for r in recs
+        ]
+
+    roundtrip()
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=400))
+    def no_crash(payload):
+        out = parse_warc_bytes(payload)
+        assert isinstance(out, list)
+
+    no_crash()
+
+    # garbage that LOOKS like WARC must also terminate
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=200))
+    def warcish_no_crash(suffix):
+        out = parse_warc_bytes(b"WARC/1.0\r\nContent-Length:" + suffix)
+        assert isinstance(out, list)
+
+    warcish_no_crash()
+
+
+def test_normalize_url_idempotent_and_total(spark):
+    """Hypothesis: canonicalization is IDEMPOTENT (the defining
+    property of a canonical form) and total (never raises) over
+    messy URL-shaped strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deltalake_datafusion_spark.operators.urls import normalize_url
+
+    url = st.from_regex(
+        r"(HTTPS?|https?)://([A-Za-z0-9]{1,6}@)?[A-Za-z0-9.]{1,12}"
+        r"(:\d{1,4})?(/[A-Za-z0-9/._~-]{0,12})?"
+        r"(\?[a-z0-9=&;_]{0,20})?(#[a-z0-9]{0,6})?",
+        fullmatch=True,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(url, min_size=1, max_size=8))
+    def idem(urls):
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = df.select(normalize_url(F.col("url")).alias("c"))
+        twice = once.select(normalize_url(F.col("c")).alias("c"))
+        assert [r.c for r in once.collect()] == [
+            r.c for r in twice.collect()
+        ]
+
+    idem()
