@@ -126,6 +126,13 @@ def cleanup_expired_logs(
         # direction — never delete history whose protection boundary
         # we cannot read)
         protect_v = 1 << 62
+    # Snapshot BEFORE the protection filter: protected checkpoints are
+    # removed from `checkpoints` below so they are never deleted, but
+    # their sidecars must still count as retained — a sidecar shared
+    # between a protected checkpoint and an expired one would otherwise
+    # be deleted, corrupting exactly the history checkpointProtection
+    # exists to preserve.
+    all_cps = list(checkpoints)
     if protect_v:
         prot_commits = [(v, p) for v, p in commits if v < protect_v]
         prot_cps = [(v, p) for v, p in checkpoints if v < protect_v]
@@ -152,7 +159,7 @@ def cleanup_expired_logs(
     # spec allows sidecar files to be shared across checkpoints — a
     # protected or still-young checkpoint must not lose its sidecars
     # through an expired checkpoint that happens to reference them)
-    keep_cp = [p for _v, p in checkpoints if p not in set(drop_cp)]
+    keep_cp = [p for _v, p in all_cps if p not in set(drop_cp)]
     keep_sidecars: set[str] = set()
     for p in keep_cp:
         if _V2_CP_RE.search(os.path.basename(p)):

@@ -322,6 +322,7 @@ def sniff_flac_header(payload: bytes) -> dict | None:
     if payload is None or len(payload) < 42 or payload[:4] != b"fLaC":
         return None
     pos, info = 4, None
+    ended_via_last = False
     while pos + 4 <= len(payload):
         hdr = payload[pos]
         last = bool(hdr & 0x80)
@@ -337,17 +338,20 @@ def sniff_flac_header(payload: bytes) -> dict | None:
             info = (rate, channels, bps, total)
         pos = body + blen
         if last:
+            ended_via_last = True
             break
     if info is None:
         return None
     rate, channels, bps, total = info
     if not rate:
         return None
-    # a declared block length past the payload end means the container
-    # is truncated (e.g. a ranged-GET prefix that cut through an
-    # artwork block): STREAMINFO fields are still good, but the frame
-    # byte range is unknowable — leave it null rather than negative
-    truncated = pos > len(payload)
+    # the frame range is knowable ONLY when the metadata walk ended at
+    # the last-block flag with pos inside the payload; any other exit
+    # (declared block length past the end, OR the next 4-byte block
+    # header itself incomplete) means the container is truncated —
+    # STREAMINFO fields are still good, but data_offset would point
+    # into a partial metadata header, so leave the range null
+    truncated = (not ended_via_last) or pos > len(payload)
     return {
         "format": "flac",
         "sample_rate": int(rate),
@@ -391,14 +395,31 @@ def sniff_mp3_header(payload: bytes) -> dict | None:
             | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F)
         )
         pos = 10 + size
+        # ID3v2 footer flag adds a 10-byte footer after the tag body
+        if payload[5] & 0x10:
+            pos += 10
     elif payload[:2] not in (b"\xff\xfb", b"\xff\xfa", b"\xff\xf3",
                              b"\xff\xf2", b"\xff\xe3", b"\xff\xe2"):
         return None
     if pos + 4 > len(payload):
         return None
-    b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
-    if payload[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
+    if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+        # encoders commonly pad between the ID3 tag and the first
+        # frame — scan forward (bounded) for the next frame sync
+        scan_end = min(len(payload) - 1, pos + 65536)
+        found = -1
+        i = payload.find(b"\xff", pos, scan_end)
+        while i != -1 and i + 1 < len(payload):
+            if (payload[i + 1] & 0xE0) == 0xE0:
+                found = i
+                break
+            i = payload.find(b"\xff", i + 1, scan_end)
+        if found == -1:
+            return None
+        pos = found
+    if pos + 4 > len(payload):
         return None
+    b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
     version = (b1 >> 3) & 0x3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
     layer = (b1 >> 1) & 0x3            # 1 = Layer III
     if version == 1 or layer != 1:

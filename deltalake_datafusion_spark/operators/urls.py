@@ -57,7 +57,7 @@ def normalize_url(col) -> Column:
 def url_host(col) -> Column:
     """Lowercased host of a URL (port and userinfo stripped)."""
     return F.lower(
-        F.regexp_extract(col, r"^[^/]*//(?:[^/@]*@)?([^/:?#]+)", 1)
+        F.regexp_extract(col, r"^[^/]*//(?:[^/@?#]*@)?([^/:?#]+)", 1)
     )
 
 

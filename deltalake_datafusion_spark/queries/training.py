@@ -2872,7 +2872,7 @@ canon AS (
   SELECT doc_id,
     CASE WHEN regexp_matches(u, '^[a-z][a-z0-9+.-]*://[^/?#]+$')
          THEN u || '/' ELSE u END AS canon,
-    lower(regexp_extract(u, '^[^/]*//(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
+    lower(regexp_extract(u, '^[^/]*//(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
   FROM s5
 ),
 dom AS (

@@ -106,6 +106,67 @@ def test_cleanup_drops_stale_checkpoints_not_live_sidecars(spark, tmp_path):
     assert read_delta(spark, path).count() == 20
 
 
+def test_cleanup_protected_checkpoint_keeps_shared_sidecars(spark, tmp_path):
+    """Round-7 ADVICE regression: a sidecar shared between a PROTECTED
+    checkpoint (checkpointProtection filtered it out of the cleanup
+    candidate lists) and an expired dropped checkpoint must survive —
+    keep_sidecars has to be built from the pre-protection-filter
+    checkpoint list."""
+    import time as _time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from deltalake_datafusion_spark.delta.log_cleanup import _sidecars_of
+    from deltalake_datafusion_spark.delta.writer import write_checkpoint_v2
+
+    path = os.path.join(str(tmp_path), "t")
+    write_delta(
+        spark,
+        spark.range(10).select("id"),
+        path,
+        configuration={
+            "delta.checkpointPolicy": "v2",
+            "delta.requireCheckpointProtectionBeforeVersion": "2",
+        },
+    )
+    write_checkpoint_v2(spark, path)  # protected (v0 < 2)
+    log_dir = os.path.join(path, "_delta_log")
+    cp0 = glob.glob(os.path.join(log_dir, "*.checkpoint.*.parquet"))[0]
+    shared = sorted(_sidecars_of(cp0))
+    assert shared
+    for i in range(3):  # commits v1..v3
+        write_delta(spark, spark.range(10).select("id"), path, mode="append")
+    write_checkpoint_v2(spark, path)  # latest, kept
+
+    # hand-craft an UNPROTECTED expired v2 checkpoint at version 2 that
+    # references the protected checkpoint's sidecar (the Delta spec
+    # allows sidecar sharing across checkpoints)
+    fake = os.path.join(
+        log_dir, f"{2:020d}.checkpoint.{uuid.uuid4()}.parquet"
+    )
+    papq.write_table(
+        pa.table({"sidecar": [{"path": s} for s in shared]}), fake
+    )
+
+    # keep the protected checkpoint young so checkpointProtection's
+    # all-or-nothing rule filters every protected file out of the sweep
+    future = _time.time() + 3600
+    os.utime(cp0, (future, future))
+
+    cleanup_expired_logs(spark, path, retention_ms=0)
+
+    assert not os.path.exists(fake)  # expired fake checkpoint dropped
+    assert os.path.exists(cp0)       # protected checkpoint retained
+    for s in shared:                 # and its sidecars were NOT deleted
+        assert os.path.exists(os.path.join(log_dir, "_sidecars", s))
+    # protected history still replays: drop the _last_checkpoint hint
+    # and JSON commits after v0's checkpoint would be needed — just
+    # verify the protected checkpoint itself is readable
+    assert _sidecars_of(cp0) == set(shared)
+
+
 def test_version_checksum_written_and_verified(spark, tmp_path):
     """Each data commit writes <version>.crc (Delta VERSION CHECKSUM);
     verify cross-checks numFiles/tableSizeBytes/txns; corruption is

@@ -1084,6 +1084,66 @@ def test_flac_mp3_sniff_and_dispatch(spark):
     assert segment_audio(parsed, 1000, 500).count() == 0
 
 
+def test_sniffer_edge_cases_r7(spark):
+    """Round-7 ADVICE regressions: FLAC metadata walk truncated on a
+    partial block header must report an unknown frame range; MP3 with
+    an ID3v2 footer flag or inter-tag padding still parses; url_host
+    excludes ?/# from the userinfo pattern."""
+    import struct
+
+    from deltalake_datafusion_spark.operators.multimodal import (
+        sniff_flac_header,
+        sniff_mp3_header,
+    )
+
+    packed = (44100 << 44) | (1 << 41) | (15 << 36) | 441000
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)
+        + b"\x00\x00\x00" * 2
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16
+    )
+    # STREAMINFO is NOT last; the next block header is cut to 2 bytes
+    # (pos+4 > len without the last flag) — previously data_offset
+    # pointed into the partial header, now the range must be null
+    trunc = (
+        b"fLaC"
+        + bytes([0x00]) + len(streaminfo).to_bytes(3, "big")
+        + streaminfo
+        + b"\x04\x00"
+    )
+    f = sniff_flac_header(trunc)
+    assert f is not None and f["sample_rate"] == 44100
+    assert f["data_offset"] is None and f["data_bytes"] is None
+    # and the clean last-block exit still yields a concrete range
+    ok = (
+        b"fLaC"
+        + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
+        + streaminfo
+        + b"\x11" * 100
+    )
+    assert sniff_flac_header(ok)["data_offset"] == 42
+
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 996
+    # ID3v2 with the footer flag (0x10): +10 bytes after the tag body
+    id3_footer = b"ID3\x04\x00\x10\x00\x00\x00\x1e" + b"\x00" * 30
+    m = sniff_mp3_header(id3_footer + b"3DI" + b"\x00" * 7 + frame)
+    assert m is not None and m["data_offset"] == 50
+    # padding between the tag and the first frame sync
+    id3 = b"ID3\x03\x00\x00\x00\x00\x00\x1e" + b"\x00" * 30
+    m2 = sniff_mp3_header(id3 + b"\x00" * 17 + frame)
+    assert m2 is not None and m2["data_offset"] == 57
+    assert m2["sample_rate"] == 44100
+
+    from deltalake_datafusion_spark.operators.urls import url_host
+
+    rows = spark.createDataFrame(
+        [("https://a.com?x=1@y",), ("https://u:p@b.com/x",)],
+        "url string",
+    ).select(url_host(F.col("url")).alias("h")).collect()
+    assert [r.h for r in rows] == ["a.com", "b.com"]
+
+
 def test_bloom_dedup_exact_and_prefilter_routes(spark):
     """bloom_dedup_against is EXACT (equals the plain anti-join) on
     planted duplicates; the filter has no false negatives by
