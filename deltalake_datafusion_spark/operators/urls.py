@@ -63,10 +63,12 @@ def url_host(col) -> Column:
 
 def url_registered_domain(col) -> Column:
     """Last-two-labels registered domain (``a.b.example.co`` →
-    ``example.co``). Heuristic: a faithful mapping needs the public
-    suffix list (e.g. ``example.co.uk``); this is the
-    dependency-free approximation, documented as such — swap in a
-    PSL-backed UDF for production TLD handling."""
+    ``example.co``). Heuristic, wrong for second-level ccTLD
+    registries (``example.co.uk`` → ``co.uk``) — the faithful
+    PSL-backed mapping is :func:`operators.psl.with_registered_domain`
+    (broadcast longest-suffix join, still zero-Python); this
+    expression-only form remains for contexts that need a bare
+    ``Column`` with no join."""
     host = url_host(col)
     return F.when(
         host.rlike(r"\.[^.]+\.[^.]+$"),
@@ -93,15 +95,28 @@ def domain_blocklist_filter(
     url_col: str,
     blocked_domains: DataFrame,
     keep_blocked: bool = False,
+    psl: bool = True,
 ) -> DataFrame:
     """Drop (or keep, for auditing) rows whose registered domain is in
     the blocklist — one BROADCAST semi/anti join on the domain (the
     blocklist is always metadata-scale; corpus text never shuffles).
-    ``blocked_domains`` must have a ``domain`` column."""
+    ``blocked_domains`` must have a ``domain`` column.
+
+    ``psl=True`` (default) resolves the registered domain through the
+    vendored Public Suffix List (``operators/psl.py``) so
+    ``example.co.uk`` in the blocklist blocks exactly that registrant
+    — never the whole ``co.uk`` namespace; ``psl=False`` keeps the
+    join-free last-two-labels heuristic."""
+    if psl:
+        from deltalake_datafusion_spark.operators.psl import (
+            with_registered_domain,
+        )
+
+        keyed = with_registered_domain(df, url_col, out_col="__dom")
+    else:
+        keyed = df.withColumn("__dom", url_registered_domain(F.col(url_col)))
     how = "left_semi" if keep_blocked else "left_anti"
-    return df.withColumn(
-        "__dom", url_registered_domain(F.col(url_col))
-    ).join(
+    return keyed.join(
         F.broadcast(blocked_domains.select(F.col("domain").alias("__dom"))),
         "__dom",
         how,

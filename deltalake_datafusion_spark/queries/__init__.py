@@ -73,6 +73,7 @@ def all_query_specs() -> list[QuerySpec]:
         timeseries,
         tpch_adapted,
         training,
+        web,
     )
 
     # Delta/DML tier first: the driver records correctness results in a
@@ -87,4 +88,5 @@ def all_query_specs() -> list[QuerySpec]:
         + timeseries.specs()
         + relational.specs()
         + tpch_adapted.specs()
+        + web.specs()
     )
