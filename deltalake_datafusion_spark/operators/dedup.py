@@ -1275,12 +1275,33 @@ def _bloom_bit_pos(key, seed, n_bits: int):
     )
 
 
+# past this the filter no longer ships as a codegen array literal
+# (a 2^26-bit filter is a 1M-entry long array — already ~8 MiB of
+# plan); bigger filters go through a driver broadcast variable probed
+# in an Arrow mapInPandas stage (same bits, same hashes — exactness
+# and membership decisions are identical by construction)
+BLOOM_LITERAL_MAX_BITS = 1 << 26
+
+
+def bloom_auto_bits(n_keys: int, bits_per_key: int = 12) -> int:
+    """Size a Bloom filter from an (approximate) history key count:
+    10–15 bits/key ≈ 0.3–1 % false positives (Bloom 1970); rounded up
+    to a power of two (≥ 2^13) so ``pos % n_bits`` stays cheap and
+    HLL sizing error is absorbed by the rounding."""
+    raw = max(int(n_keys), 1) * bits_per_key
+    n = 1 << 13
+    while n < raw:
+        n <<= 1
+    return n
+
+
 def bloom_build(
     df: DataFrame,
     key_col: str,
     n_bits: int = 1 << 20,
     n_hashes: int = 5,
-) -> list[int]:
+    as_numpy: bool = False,
+):
     """Build a Bloom filter over ``key_col`` as a list of 64-bit words
     (length ``n_bits/64``) — the classic k-hash bit array, with the
     repo's PORTABLE md5-derived hashing (``h_i(key) = md5_63(key ||
@@ -1292,7 +1313,12 @@ def bloom_build(
     (shuffle rows ≤ n_bits/64 per map task); the driver receives the
     word array — 2 MiB for the default 1M-bit filter regardless of
     corpus size. Size n_bits ≈ 10–15 bits per expected distinct key
-    for ~1 % false positives (Bloom 1970)."""
+    for ~1 % false positives (Bloom 1970), or let
+    :func:`bloom_dedup_against` auto-size from a history HLL count.
+
+    ``as_numpy=True`` returns a ``numpy.uint64`` array (the compact
+    form a broadcast variable wants) instead of a Python long list
+    (the form ``F.lit`` wants)."""
     if n_bits % 64:
         raise ValueError("n_bits must be a multiple of 64")
     key = F.col(key_col)
@@ -1314,6 +1340,15 @@ def bloom_build(
         .agg(F.bit_or("mask").alias("m"))
         .collect()
     )
+    if as_numpy:
+        import numpy as np
+
+        arr = np.zeros(n_bits // 64, dtype=np.uint64)
+        for r in words:
+            arr[int(r["word"])] = np.uint64(
+                int(r["m"]) & 0xFFFFFFFFFFFFFFFF
+            )
+        return arr
     arr = [0] * (n_bits // 64)
     for r in words:
         arr[int(r["word"])] = int(r["m"])
