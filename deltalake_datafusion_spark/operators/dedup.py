@@ -1277,9 +1277,11 @@ def _bloom_bit_pos(key, seed, n_bits: int):
 
 # past this the filter no longer ships as a codegen array literal
 # (a 2^26-bit filter is a 1M-entry long array — already ~8 MiB of
-# plan); bigger filters go through a driver broadcast variable probed
-# in an Arrow mapInPandas stage (same bits, same hashes — exactness
-# and membership decisions are identical by construction)
+# plan); :func:`bloom_dedup_against` routes bigger filters through a
+# driver BROADCAST VARIABLE probed in an Arrow mapInPandas stage
+# (:func:`bloom_might_contain_broadcast`) — same md5 bit positions,
+# so membership decisions are identical by construction
+# (equivalence is pytest-pinned in tests/test_operators.py)
 BLOOM_LITERAL_MAX_BITS = 1 << 26
 
 
@@ -1383,12 +1385,84 @@ def bloom_might_contain(
     return out
 
 
+def _bloom_bit_pos_py(key: str, seed: int, n_bits: int) -> int:
+    """Python replay of :func:`_bloom_bit_pos` — MUST stay bit-for-bit
+    in lockstep with the Column form (same UTF-8 md5, same 15-hex-char
+    prefix = 60 bits, same ``:`` separator, same modulus) or the
+    broadcast probe would diverge from the literal probe and silently
+    drop documents. Equivalence is pytest-pinned."""
+    import hashlib
+
+    h = hashlib.md5(f"{key}:{seed}".encode("utf-8")).hexdigest()[:15]
+    return int(h, 16) % n_bits
+
+
+def bloom_might_contain_broadcast(
+    df: DataFrame,
+    key_col: str,
+    words,
+    n_hashes: int = 5,
+    out_col: str = "__bloom_maybe",
+) -> DataFrame:
+    """Membership test against a :func:`bloom_build(as_numpy=True)
+    <bloom_build>` word array shipped as a Spark BROADCAST VARIABLE
+    and probed in ONE Arrow ``mapInPandas`` stage — the scale path for
+    filters past :data:`BLOOM_LITERAL_MAX_BITS`, where an array
+    literal would bloat every task's plan. The broadcast ships the
+    8-byte-per-64-bits array once per executor (torrent broadcast),
+    not once per task; the probe computes the IDENTICAL md5-derived
+    bit positions as :func:`bloom_might_contain`, so the two paths
+    make the same membership decisions bit for bit.
+
+    Adds boolean ``out_col`` (False for NULL keys — matching the
+    ``coalesce(…, False)`` routing of the literal path). Keys are
+    cast to string BY SPARK before the Python stage so both paths
+    hash the same rendering of non-string keys."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.ascontiguousarray(words, dtype=np.uint64)
+    n_bits = int(arr.size) * 64
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(arr)
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    keyed = df.withColumn("__bloomkey", F.col(key_col).cast("string"))
+    out_schema = StructType(
+        list(keyed.schema.fields) + [StructField(out_col, BooleanType())]
+    )
+
+    def probe(batches):
+        w = bc.value
+        for pdf in batches:
+            keys = pdf["__bloomkey"]
+            res = []
+            for k in keys:
+                if k is None or (isinstance(k, float) and pd.isna(k)):
+                    res.append(False)
+                    continue
+                hit = True
+                for s in range(n_hashes):
+                    pos = _bloom_bit_pos_py(k, s, n_bits)
+                    if not (int(w[pos >> 6]) >> (pos & 63)) & 1:
+                        hit = False
+                        break
+                res.append(hit)
+            pdf[out_col] = pd.Series(res, index=pdf.index, dtype=bool)
+            yield pdf
+
+    return keyed.mapInPandas(probe, out_schema).drop("__bloomkey")
+
+
 def bloom_dedup_against(
     new_df: DataFrame,
     history_df: DataFrame,
     key_col: str,
-    n_bits: int = 1 << 20,
+    n_bits: int | None = 1 << 20,
     n_hashes: int = 5,
+    bits_per_key: int = 12,
+    max_literal_bits: int | None = None,
 ) -> DataFrame:
     """EXACT incremental dedup accelerated by a Bloom prefilter: rows
     of ``new_df`` whose key does not appear in ``history_df``. A Bloom
@@ -1406,18 +1480,47 @@ def bloom_dedup_against(
     from |new batch| to |possible dups|. The history side still scans
     once to build the filter — amortize by persisting the word array
     next to an incremental signature store (see
-    ``incremental_dedup``)."""
-    words = bloom_build(history_df, key_col, n_bits, n_hashes)
+    ``incremental_dedup``).
+
+    Sizing and shipping are automatic:
+
+    - ``n_bits=None`` auto-sizes via :func:`bloom_auto_bits` from the
+      history's ``approx_count_distinct`` key count (HyperLogLog — one
+      cheap aggregate; the power-of-two rounding absorbs HLL error);
+    - filters ≤ ``max_literal_bits`` (default
+      :data:`BLOOM_LITERAL_MAX_BITS`) ship as a pure-codegen array
+      LITERAL (:func:`bloom_might_contain` — zero Python); bigger
+      filters ship as a broadcast variable probed in one Arrow
+      ``mapInPandas`` stage (:func:`bloom_might_contain_broadcast`) —
+      identical bits, identical decisions, pytest-pinned."""
+    if max_literal_bits is None:
+        max_literal_bits = BLOOM_LITERAL_MAX_BITS
+    if n_bits is None:
+        n_keys = history_df.agg(
+            F.approx_count_distinct(key_col).alias("n")
+        ).first()["n"]
+        n_bits = bloom_auto_bits(n_keys, bits_per_key)
     # null-key rows pass straight through: SQL equality never matches
     # NULL, so the anti-join would keep them — and the Bloom predicate
     # is NULL for them, which would otherwise drop them from BOTH
-    # branches (coalesce makes the routing total)
-    maybe = F.coalesce(
-        bloom_might_contain(F.col(key_col), words, n_hashes),
-        F.lit(False),
-    )
-    definitely_new = new_df.filter(~maybe)
-    verified = new_df.filter(maybe).join(
+    # branches (the literal path coalesces, the broadcast path emits
+    # False — either way the routing is total)
+    if n_bits <= max_literal_bits:
+        words = bloom_build(history_df, key_col, n_bits, n_hashes)
+        maybe = F.coalesce(
+            bloom_might_contain(F.col(key_col), words, n_hashes),
+            F.lit(False),
+        )
+        routed = new_df.withColumn("__bloom_maybe", maybe)
+    else:
+        arr = bloom_build(
+            history_df, key_col, n_bits, n_hashes, as_numpy=True
+        )
+        routed = bloom_might_contain_broadcast(
+            new_df, key_col, arr, n_hashes, out_col="__bloom_maybe"
+        )
+    definitely_new = routed.filter(~F.col("__bloom_maybe"))
+    verified = routed.filter(F.col("__bloom_maybe")).join(
         history_df.select(key_col).distinct(), key_col, "left_anti"
     )
-    return definitely_new.unionByName(verified)
+    return definitely_new.unionByName(verified).drop("__bloom_maybe")

@@ -1201,6 +1201,148 @@ def test_bloom_dedup_exact_and_prefilter_routes(spark):
     assert "Union" in plan
 
 
+def test_bloom_auto_bits_sizing():
+    """bloom_auto_bits: 10-15 bits/key rounded up to a power of two,
+    floored at 2^13."""
+    from deltalake_datafusion_spark.operators.dedup import bloom_auto_bits
+
+    assert bloom_auto_bits(0) == 1 << 13
+    assert bloom_auto_bits(1) == 1 << 13
+    assert bloom_auto_bits(1000) == 1 << 14          # 12k -> 16k
+    assert bloom_auto_bits(1_000_000) == 1 << 24     # 12M -> 16.8M
+    assert bloom_auto_bits(100, bits_per_key=15) == 1 << 13
+    n = bloom_auto_bits(10_000_000)
+    assert n % 64 == 0 and n & (n - 1) == 0 and n >= 120_000_000
+
+
+def test_bloom_python_hash_lockstep(spark):
+    """_bloom_bit_pos_py replays the Column hash bit-for-bit — the
+    invariant the broadcast probe path rests on."""
+    from deltalake_datafusion_spark.operators.dedup import (
+        _bloom_bit_pos,
+        _bloom_bit_pos_py,
+    )
+
+    keys = ["", "a", "héllo wörld", "line\nbreak", "1234", "x" * 500]
+    n_bits = 1 << 17
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    for seed in (0, 3, 7):
+        got = [
+            r.p
+            for r in df.select(
+                _bloom_bit_pos(F.col("k"), F.lit(seed), n_bits).alias("p")
+            ).collect()
+        ]
+        want = [_bloom_bit_pos_py(k, seed, n_bits) for k in keys]
+        assert got == want
+    # non-string keys hash their Spark string rendering on both paths
+    dl = spark.createDataFrame([(42,), (-7,)], "k long")
+    got = [
+        r.p
+        for r in dl.select(
+            _bloom_bit_pos(F.col("k"), F.lit(1), n_bits).alias("p")
+        ).collect()
+    ]
+    assert got == [
+        _bloom_bit_pos_py("42", 1, n_bits),
+        _bloom_bit_pos_py("-7", 1, n_bits),
+    ]
+
+
+def test_bloom_literal_broadcast_equivalence(spark):
+    """The broadcast-variable mapInPandas probe makes the IDENTICAL
+    membership decisions as the codegen literal probe (same bits,
+    same hashes) — and bloom_build(as_numpy=True) carries the same
+    words as the literal list form."""
+    from deltalake_datafusion_spark.operators.dedup import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_might_contain_broadcast,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(i, f"history document number {i}") for i in range(0, 200, 2)]
+        + [(900 + i, f"fresh document number {i}") for i in range(150)]
+        + [(9999, None)],
+        "doc_id long, text string",
+    )
+    n_bits, n_hashes = 1 << 14, 5
+    words = bloom_build(hist, "text", n_bits, n_hashes)
+    arr = bloom_build(hist, "text", n_bits, n_hashes, as_numpy=True)
+    assert [int(w) & ((1 << 64) - 1) for w in words] == [
+        int(x) for x in arr
+    ]
+
+    lit = {
+        r.doc_id: r.m
+        for r in probe.select(
+            "doc_id",
+            F.coalesce(
+                bloom_might_contain(F.col("text"), words, n_hashes),
+                F.lit(False),
+            ).alias("m"),
+        ).collect()
+    }
+    bc = {
+        r.doc_id: r.m
+        for r in bloom_might_contain_broadcast(
+            probe, "text", arr, n_hashes, out_col="m"
+        ).select("doc_id", "m").collect()
+    }
+    assert lit == bc
+    assert all(lit[i] for i in range(0, 200, 2))  # no false negatives
+    assert lit[9999] is False                     # null key routes new
+
+
+def test_bloom_dedup_auto_size_and_broadcast_route(spark):
+    """bloom_dedup_against: n_bits=None auto-sizes from the history
+    HLL count; a filter past max_literal_bits routes through the
+    broadcast mapInPandas path; BOTH give the exact anti-join answer
+    and the same rows as the literal path."""
+    from deltalake_datafusion_spark.operators.dedup import (
+        bloom_dedup_against,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i}") for i in range(250)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"fresh document number {i}") for i in range(200)]
+        + [(2000 + i, f"history document number {i}") for i in range(0, 250, 5)]
+        + [(3000, None)],
+        "doc_id long, text string",
+    )
+    want = {
+        r.doc_id
+        for r in new.join(
+            hist.select("text").distinct(), "text", "left_anti"
+        ).collect()
+    }
+
+    auto = bloom_dedup_against(new, hist, "text", n_bits=None)
+    assert {r.doc_id for r in auto.collect()} == want
+    assert set(auto.columns) == set(new.columns)
+
+    # force the broadcast route by shrinking the literal ceiling
+    bc = bloom_dedup_against(
+        new, hist, "text", n_bits=1 << 14, max_literal_bits=1 << 10
+    )
+    assert {r.doc_id for r in bc.collect()} == want
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+
+    # literal route at the same size: identical rows, zero Python
+    lit = bloom_dedup_against(new, hist, "text", n_bits=1 << 14)
+    assert {r.doc_id for r in lit.collect()} == want
+    lplan = lit._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in lplan and "ArrowEvalPython" not in lplan
+
+
 def test_warc_parse_roundtrip_and_resilience(spark):
     """Genuine WARC bytes round-trip through build->parse (gzip
     members, single-stream gzip, and plain); malformed records are
