@@ -378,10 +378,33 @@ _MP3_RATES = {
 }
 
 
+def _mp3_parse_header(payload: bytes, pos: int) -> tuple | None:
+    """Validate a candidate MPEG Layer III frame header at ``pos``:
+    sync pattern AND legal version/layer/sample-rate/bitrate fields.
+    Returns ``(version, rate_idx, br_idx)`` or None — the scan loop
+    in :func:`sniff_mp3_header` keeps scanning past candidates that
+    match the 0xFFE sync bytes but fail field validation (a false
+    sync inside padding must not hide a parseable file)."""
+    if pos + 4 > len(payload):
+        return None
+    if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+        return None
+    b1, b2 = payload[pos + 1], payload[pos + 2]
+    version = (b1 >> 3) & 0x3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b1 >> 1) & 0x3            # 1 = Layer III
+    if version == 1 or layer != 1:
+        return None
+    rate_idx = (b2 >> 2) & 0x3
+    br_idx = (b2 >> 4) & 0xF
+    if rate_idx == 3 or br_idx in (0, 15):
+        return None
+    return version, rate_idx, br_idx
+
+
 def sniff_mp3_header(payload: bytes) -> dict | None:
     """REAL zero-dependency MPEG Layer III frame-header decode
     (public format): optional ID3v2 tag (syncsafe length), then the
-    first 0xFFE frame sync — version / sample-rate / bitrate /
+    first VALID frame header — version / sample-rate / bitrate /
     channel-mode bits. Duration is the CBR estimate
     (audio_bytes·8/bitrate — the standard header-only estimate;
     exact VBR duration needs a full frame walk or a Xing header).
@@ -401,33 +424,26 @@ def sniff_mp3_header(payload: bytes) -> dict | None:
     elif payload[:2] not in (b"\xff\xfb", b"\xff\xfa", b"\xff\xf3",
                              b"\xff\xf2", b"\xff\xe3", b"\xff\xe2"):
         return None
-    if pos + 4 > len(payload):
-        return None
-    if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+    hdr = _mp3_parse_header(payload, pos)
+    if hdr is None:
+        if pos == 0:
+            return None  # no ID3 tag: no padding convention to scan
         # encoders commonly pad between the ID3 tag and the first
-        # frame — scan forward (bounded) for the next frame sync
+        # frame — scan forward (bounded) for the next frame sync,
+        # validating the FULL header at each candidate so a false
+        # sync pattern in the padding doesn't end the search early
         scan_end = min(len(payload) - 1, pos + 65536)
-        found = -1
         i = payload.find(b"\xff", pos, scan_end)
-        while i != -1 and i + 1 < len(payload):
-            if (payload[i + 1] & 0xE0) == 0xE0:
-                found = i
+        while i != -1:
+            hdr = _mp3_parse_header(payload, i)
+            if hdr is not None:
+                pos = i
                 break
             i = payload.find(b"\xff", i + 1, scan_end)
-        if found == -1:
+        if hdr is None:
             return None
-        pos = found
-    if pos + 4 > len(payload):
-        return None
-    b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
-    version = (b1 >> 3) & 0x3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-    layer = (b1 >> 1) & 0x3            # 1 = Layer III
-    if version == 1 or layer != 1:
-        return None
-    rate_idx = (b2 >> 2) & 0x3
-    br_idx = (b2 >> 4) & 0xF
-    if rate_idx == 3 or br_idx in (0, 15):
-        return None
+    version, rate_idx, br_idx = hdr
+    b3 = payload[pos + 3]
     rate = _MP3_RATES[version][rate_idx]
     kbps = (
         _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3

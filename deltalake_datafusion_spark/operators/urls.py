@@ -106,12 +106,58 @@ def domain_blocklist_filter(
     vendored Public Suffix List (``operators/psl.py``) so
     ``example.co.uk`` in the blocklist blocks exactly that registrant
     — never the whole ``co.uk`` namespace; ``psl=False`` keeps the
-    join-free last-two-labels heuristic."""
+    join-free last-two-labels heuristic.
+
+    MIGRATION NOTE (psl=False → psl=True): under the PSL mapping a
+    blocklist entry that is itself a public suffix (``co.uk``,
+    ``blogspot.com``) can never equal any proper subdomain's
+    registered domain — it blocks only a host exactly equal to it, so
+    namespace-wide entries that "worked" under the heuristic silently
+    under-block. The blocklist is metadata-scale, so this function
+    VALIDATES it driver-side and emits a ``UserWarning`` naming (a)
+    entries that are PSL public suffixes and (b) entries that are not
+    in registered-domain form (e.g. ``www.example.co.uk``) and can
+    therefore never match; pass explicit registrants instead, or
+    ``psl=False`` for the old namespace-prefix behavior."""
     if psl:
         from deltalake_datafusion_spark.operators.psl import (
+            is_public_suffix_py,
+            registrable_domain_py,
             with_registered_domain,
         )
 
+        entries = [
+            r["domain"]
+            for r in blocked_domains.select("domain").collect()
+            if r["domain"] is not None
+        ]
+        suffixes = [e for e in entries if is_public_suffix_py(e)]
+        non_reg = [
+            e
+            for e in entries
+            if e not in suffixes and registrable_domain_py(e) != e.lower()
+        ]
+        if suffixes or non_reg:
+            import warnings
+
+            parts = []
+            if suffixes:
+                parts.append(
+                    "entries that are PSL public suffixes and only "
+                    f"match an exactly-equal host: {sorted(suffixes)}"
+                )
+            if non_reg:
+                parts.append(
+                    "entries not in registered-domain form (never "
+                    f"match): {sorted(non_reg)}"
+                )
+            warnings.warn(
+                "domain_blocklist_filter(psl=True): " + "; ".join(parts)
+                + " — list explicit registrants, or use psl=False for "
+                "namespace-prefix blocking",
+                UserWarning,
+                stacklevel=2,
+            )
         keyed = with_registered_domain(df, url_col, out_col="__dom")
     else:
         keyed = df.withColumn("__dom", url_registered_domain(F.col(url_col)))

@@ -1,7 +1,11 @@
-"""Round-7 web/quality tier queries: PSL registered domains, the
-Bloom scale path, classifier scoring, and the end-to-end web
-pipeline. Appended AFTER the pinned correctness-window prefix
-(queries/__init__.py ordering rule)."""
+"""Web/quality tier queries (appended AFTER the pinned
+correctness-window prefix — queries/__init__.py ordering rule):
+
+- ``pipe_domain_psl`` — PSL registered-domain resolution;
+- ``text_classifier_score`` — hashed-n-gram linear quality classifier;
+- ``pipe_domain_mirror`` — domain-level MinHash mirror detection;
+- ``pipe_web_e2e`` — the WARC→HTML→URL→filter→dedup chain end to end.
+"""
 
 from __future__ import annotations
 
@@ -9,18 +13,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deltalake_datafusion_spark.queries import QuerySpec, load_tables
-from deltalake_datafusion_spark.operators.psl import PSL_PATH
+from deltalake_datafusion_spark.operators.psl import PSL_PATH, parse_psl
+
+
+# The synthetic host mix, exercising every PSL rule class at every
+# key depth the snapshot carries: second-level ccTLD registries
+# (2-label rules), private platforms (2/3-label), US locality 3-label
+# rules under 4-label hosts, wildcard and exception rules, and the
+# 4/5-label AWS/Fastly-style zones. Each case is (prefix, suffix,
+# varies): varies=True splices ``doc_id % 5`` between the two so a
+# case yields 5 distinct hosts. Spark Column and DuckDB SQL are both
+# generated from THIS list so the two cannot drift.
+_PSL_HOST_CASES = [
+    ("a.b.site", ".co.uk", True),
+    ("www.biz", ".com.au", True),
+    ("user", ".github.io", True),
+    ("deep.sub.example", ".org", True),
+    ("www.ck", "", False),
+    ("shop.w", ".ck", True),
+    ("sub.city.kawasaki.jp", "", False),
+    ("x.other", ".kawasaki.jp", True),
+    ("district", ".k12.ca.us", True),
+    ("blog", ".blogspot.co.uk", True),
+    ("app", ".eu-west-1.elasticbeanstalk.com", True),
+    ("bkt", ".s3.dualstack.us-east-1.amazonaws.com", True),
+]
 
 
 def pipe_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSL registered-domain resolution (``operators/psl.py``):
     synthetic hosts exercising second-level ccTLD registries
-    (``co.uk``/``com.au``), a private-domain rule (``github.io``),
-    wildcard rules (``*.ck``, ``*.kawasaki.jp``) and exception rules
-    (``!www.ck``, ``!city.kawasaki.jp``), rolled up per registered
-    domain. The oracle replays the IDENTICAL candidate-join +
-    greatest() arithmetic in DuckDB, parsing the same vendored PSL
-    snapshot with ``read_text`` — the rule data and the algorithm are
+    (``co.uk``/``com.au``), private-domain rules at depths 2-5
+    (``github.io``, ``blogspot.co.uk``, ``eu-west-1.elasticbeanstalk
+    .com``, ``s3.dualstack.us-east-1.amazonaws.com``), the US
+    locality scheme (``k12.ca.us``), wildcard rules (``*.ck``,
+    ``*.kawasaki.jp``) and exception rules (``!www.ck``,
+    ``!city.kawasaki.jp``), rolled up per registered domain. The
+    oracle replays the IDENTICAL candidate-join + greatest()
+    arithmetic in DuckDB, parsing the same vendored PSL snapshot with
+    ``read_text`` and generating one candidate join per rule depth
+    k=1..kmax FROM THE FILE — the rule data and the algorithm are
     both under test, not a hardcoded answer key."""
     from deltalake_datafusion_spark.operators.psl import (
         with_registered_domain,
@@ -30,21 +62,15 @@ def pipe_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 0
     )
     k = F.col("doc_id") % 5
-    host = (
-        F.when(F.col("doc_id") % 8 == 0,
-               F.concat(F.lit("a.b.site"), k, F.lit(".co.uk")))
-        .when(F.col("doc_id") % 8 == 1,
-              F.concat(F.lit("www.biz"), k, F.lit(".com.au")))
-        .when(F.col("doc_id") % 8 == 2,
-              F.concat(F.lit("user"), k, F.lit(".github.io")))
-        .when(F.col("doc_id") % 8 == 3,
-              F.concat(F.lit("deep.sub.example"), k, F.lit(".org")))
-        .when(F.col("doc_id") % 8 == 4, F.lit("www.ck"))
-        .when(F.col("doc_id") % 8 == 5,
-              F.concat(F.lit("shop.w"), k, F.lit(".ck")))
-        .when(F.col("doc_id") % 8 == 6, F.lit("sub.city.kawasaki.jp"))
-        .otherwise(F.concat(F.lit("x.other"), k, F.lit(".kawasaki.jp")))
-    )
+    branches = [
+        F.concat(F.lit(pre), k, F.lit(suf)) if varies else F.lit(pre)
+        for pre, suf, varies in _PSL_HOST_CASES
+    ]
+    host = branches[-1]
+    for i in range(len(branches) - 2, -1, -1):
+        host = F.when(
+            F.col("doc_id") % len(_PSL_HOST_CASES) == i, branches[i]
+        ).otherwise(host)
     urls = d.select(
         "doc_id",
         F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("doc_id"))
@@ -62,10 +88,48 @@ def pipe_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The vendored snapshot's longest rule key has 3 labels — the oracle
-# hardcodes candidate joins k=1..3 to match (tests/test_psl.py pins
-# kmax==3 so the two cannot drift silently).
-_DOMAIN_PSL_SQL = f"""
+def _psl_oracle_sql() -> str:
+    """Generate the DuckDB replay of the PSL lookup with one candidate
+    join per rule depth k=1..kmax, where kmax is derived from the SAME
+    vendored snapshot the Spark operator parses — a deeper snapshot
+    needs no oracle edit (tests/test_psl.py pins the current shape so
+    a swap is still a conscious act)."""
+    _, kmax = parse_psl(PSL_PATH)
+    cases = _PSL_HOST_CASES
+
+    def _case(pre: str, suf: str, varies: bool) -> str:
+        if varies:
+            return f"'{pre}' || (doc_id % 5) || '{suf}'"
+        return f"'{pre}'"
+
+    case_sql = "\n      ".join(
+        f"WHEN {i} THEN {_case(*c)}" for i, c in enumerate(cases[:-1])
+    )
+    else_sql = _case(*cases[-1])
+    cand_cols = ",\n    ".join(
+        f"CASE WHEN n >= {k} THEN array_to_string("
+        f"list_slice(l, n-{k - 1}, n), '.') END AS c{k}"
+        for k in range(1, kmax + 1)
+    )
+    join_flags = ",\n    ".join(
+        f"coalesce(r{k}.has_norm, false) AS n{k}, "
+        f"coalesce(r{k}.has_wild, false) AS w{k}, "
+        f"coalesce(r{k}.has_exc, false) AS e{k}"
+        for k in range(1, kmax + 1)
+    )
+    joins = "\n  ".join(
+        f"LEFT JOIN rules r{k} ON r{k}.klab = {k} AND r{k}.key = cand.c{k}"
+        for k in range(1, kmax + 1)
+    )
+    exc_terms = ", ".join(
+        f"CASE WHEN e{k} THEN {k} ELSE 0 END" for k in range(1, kmax + 1)
+    )
+    cand_terms = ", ".join(
+        f"CASE WHEN n{k} THEN {k} ELSE 0 END, "
+        f"CASE WHEN w{k} AND n >= {k + 1} THEN {k + 1} ELSE 0 END"
+        for k in range(1, kmax + 1)
+    )
+    return f"""
 WITH lines AS (
   SELECT trim(unnest(string_split(content, chr(10)))) AS r
   FROM read_text('{PSL_PATH}')
@@ -88,15 +152,9 @@ rules AS (
 ),
 hosts AS (
   SELECT doc_id,
-    CASE doc_id % 8
-      WHEN 0 THEN 'a.b.site' || (doc_id % 5) || '.co.uk'
-      WHEN 1 THEN 'www.biz' || (doc_id % 5) || '.com.au'
-      WHEN 2 THEN 'user' || (doc_id % 5) || '.github.io'
-      WHEN 3 THEN 'deep.sub.example' || (doc_id % 5) || '.org'
-      WHEN 4 THEN 'www.ck'
-      WHEN 5 THEN 'shop.w' || (doc_id % 5) || '.ck'
-      WHEN 6 THEN 'sub.city.kawasaki.jp'
-      ELSE 'x.other' || (doc_id % 5) || '.kawasaki.jp'
+    CASE doc_id % {len(cases)}
+      {case_sql}
+      ELSE {else_sql}
     END AS host
   FROM documents WHERE doc_id % 3 = 0
 ),
@@ -107,35 +165,18 @@ lab AS (
 ),
 cand AS (
   SELECT *,
-    CASE WHEN n >= 1 THEN array_to_string(list_slice(l, n, n), '.') END AS c1,
-    CASE WHEN n >= 2 THEN array_to_string(list_slice(l, n-1, n), '.') END AS c2,
-    CASE WHEN n >= 3 THEN array_to_string(list_slice(l, n-2, n), '.') END AS c3
+    {cand_cols}
   FROM lab
 ),
 joined AS (
   SELECT cand.doc_id, cand.host, cand.l, cand.n,
-    coalesce(r1.has_norm, false) AS n1, coalesce(r1.has_wild, false) AS w1,
-    coalesce(r1.has_exc, false) AS e1,
-    coalesce(r2.has_norm, false) AS n2, coalesce(r2.has_wild, false) AS w2,
-    coalesce(r2.has_exc, false) AS e2,
-    coalesce(r3.has_norm, false) AS n3, coalesce(r3.has_wild, false) AS w3,
-    coalesce(r3.has_exc, false) AS e3
+    {join_flags}
   FROM cand
-  LEFT JOIN rules r1 ON r1.klab = 1 AND r1.key = cand.c1
-  LEFT JOIN rules r2 ON r2.klab = 2 AND r2.key = cand.c2
-  LEFT JOIN rules r3 ON r3.klab = 3 AND r3.key = cand.c3
+  {joins}
 ),
 pslen AS (
-  SELECT *, greatest(CASE WHEN e1 THEN 1 ELSE 0 END,
-                     CASE WHEN e2 THEN 2 ELSE 0 END,
-                     CASE WHEN e3 THEN 3 ELSE 0 END, 0) AS el,
-            greatest(1,
-                     CASE WHEN n1 THEN 1 ELSE 0 END,
-                     CASE WHEN n2 THEN 2 ELSE 0 END,
-                     CASE WHEN n3 THEN 3 ELSE 0 END,
-                     CASE WHEN w1 AND n >= 2 THEN 2 ELSE 0 END,
-                     CASE WHEN w2 AND n >= 3 THEN 3 ELSE 0 END,
-                     CASE WHEN w3 AND n >= 4 THEN 4 ELSE 0 END) AS cd
+  SELECT *, greatest({exc_terms}, 0) AS el,
+            greatest(1, {cand_terms}) AS cd
   FROM joined
 ),
 dom AS (
@@ -152,5 +193,5 @@ FROM dom GROUP BY domain ORDER BY domain
 
 def specs() -> list[QuerySpec]:
     return [
-        QuerySpec("pipe_domain_psl", pipe_domain_psl, _DOMAIN_PSL_SQL),
+        QuerySpec("pipe_domain_psl", pipe_domain_psl, _psl_oracle_sql()),
     ]

@@ -1135,6 +1135,20 @@ def test_sniffer_edge_cases_r7(spark):
     assert m2 is not None and m2["data_offset"] == 57
     assert m2["sample_rate"] == 44100
 
+    # round-8 ADVICE: a FALSE sync in the padding (0xFF + 0xE0-masked
+    # second byte but invalid fields — bitrate index 0) must not end
+    # the scan; the valid frame that follows is still found
+    false_sync = bytes([0xFF, 0xFB, 0x00, 0x00])  # br_idx=0: invalid
+    m3 = sniff_mp3_header(id3 + b"\x00" * 5 + false_sync + b"\x00" * 8 + frame)
+    assert m3 is not None and m3["data_offset"] == 57
+    assert m3["sample_rate"] == 44100
+    # reserved version (b1 bits 0b...01..) false sync likewise skipped
+    false_ver = bytes([0xFF, 0xEB, 0x90, 0x00])   # version=1: reserved
+    m4 = sniff_mp3_header(id3 + false_ver + b"\x00" * 4 + frame)
+    assert m4 is not None and m4["data_offset"] == 48
+    # still None when no valid header exists in the scan window
+    assert sniff_mp3_header(id3 + false_sync * 20) is None
+
     from deltalake_datafusion_spark.operators.urls import url_host
 
     rows = spark.createDataFrame(

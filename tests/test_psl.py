@@ -141,12 +141,16 @@ def test_psl_plan_is_broadcast_and_python_free(spark):
 
 
 def test_psl_snapshot_shape_pinned():
-    """The vendored snapshot's longest rule key has 3 labels — the
-    DuckDB oracle (queries/web.py) hardcodes candidate joins k=1..3,
-    so a deeper snapshot must update both together. Also pin the rule
-    classes the tests above rely on."""
+    """The vendored snapshot (round-8 expansion, generated by
+    tools/gen_psl_snapshot.py): ≥1500 rules, longest key 5 labels —
+    the Spark operator runs K=5 broadcast joins and the DuckDB oracle
+    (queries/web.py) GENERATES candidate joins k=1..kmax from the
+    same file, so a deeper snapshot adapts automatically; this pin
+    makes a swap a conscious act. Also pin the rule classes the tests
+    above rely on."""
     rules, kmax = parse_psl(PSL_PATH)
-    assert kmax == 3
+    assert kmax == 5
+    assert len(rules) >= 1500
     by_key = {r[0]: r for r in rules}
     assert by_key["co.uk"][2] is True          # normal rule
     assert by_key["ck"][3] is True             # wildcard *.ck
@@ -154,9 +158,113 @@ def test_psl_snapshot_shape_pinned():
     assert by_key["kawasaki.jp"][3] is True    # wildcard *.kawasaki.jp
     assert by_key["city.kawasaki.jp"][4] is True
     assert by_key["github.io"][2] is True      # private section parsed
-    rules_icann, _ = parse_psl(PSL_PATH, include_private=False)
+    # round-8 long-tail additions
+    assert by_key["k12.ca.us"][2] is True      # US locality scheme
+    assert by_key["blogspot.co.uk"][2] is True
+    assert by_key["eu-west-1.elasticbeanstalk.com"][2] is True
+    assert by_key["s3.dualstack.us-east-1.amazonaws.com"][2] is True
+    assert by_key["compute.amazonaws.com.cn"][3] is True  # 5-label rule
+    rules_icann, kmax_icann = parse_psl(PSL_PATH, include_private=False)
     keys_icann = {r[0] for r in rules_icann}
     assert "github.io" not in keys_icann and "co.uk" in keys_icann
+    assert kmax_icann == 3
+
+
+def test_psl_long_tail_semantics(spark):
+    """Round-8 snapshot expansion: 3-5-label rules resolve at the
+    right granularity (the round-7 subset collapsed these to TLD+1)."""
+    got = _resolve(spark, [
+        "district.k12.ca.us", "www.district.k12.ca.us",
+        "library.lib.tx.us", "city.ca.us",
+        "blog.blogspot.co.uk", "a.blog.blogspot.co.uk",
+        "app.eu-west-1.elasticbeanstalk.com",
+        "bkt.s3.dualstack.us-east-1.amazonaws.com",
+        "vm.subnet.compute.amazonaws.com.cn",
+        "shard.a.ssl.fastly.net",
+        "x.naturbruksgymn.se",
+    ])
+    assert got["district.k12.ca.us"] == "district.k12.ca.us"
+    assert got["www.district.k12.ca.us"] == "district.k12.ca.us"
+    assert got["library.lib.tx.us"] == "library.lib.tx.us"
+    assert got["city.ca.us"] == "city.ca.us"  # registrant under ca.us
+    assert got["blog.blogspot.co.uk"] == "blog.blogspot.co.uk"
+    assert got["a.blog.blogspot.co.uk"] == "blog.blogspot.co.uk"
+    assert got["app.eu-west-1.elasticbeanstalk.com"] \
+        == "app.eu-west-1.elasticbeanstalk.com"
+    assert got["bkt.s3.dualstack.us-east-1.amazonaws.com"] \
+        == "bkt.s3.dualstack.us-east-1.amazonaws.com"
+    # *.compute.amazonaws.com.cn: the wildcard label is the suffix,
+    # one more label is the registrant
+    assert got["vm.subnet.compute.amazonaws.com.cn"] \
+        == "vm.subnet.compute.amazonaws.com.cn"
+    assert got["shard.a.ssl.fastly.net"] == "shard.a.ssl.fastly.net"
+    assert got["x.naturbruksgymn.se"] == "x.naturbruksgymn.se"
+
+
+def test_psl_python_matcher_lockstep(spark):
+    """registrable_domain_py (the driver-side matcher the blocklist
+    validation uses) agrees with the broadcast-join DataFrame path on
+    every rule class."""
+    from deltalake_datafusion_spark.operators.psl import (
+        is_public_suffix_py,
+        registrable_domain_py,
+    )
+
+    hosts = [
+        "a.b.example.co.uk", "example.co.uk", "x.co.jp", "example.com",
+        "user.github.io", "a.b.user.blogspot.com", "shop.w3.ck",
+        "w3.ck", "www.ck", "sub.www.ck", "x.other.kawasaki.jp",
+        "sub.city.kawasaki.jp", "city.kawasaki.jp", "foo.bar.unknowntld",
+        "co.uk", "com", "github.io", "WWW.Example.CO.UK",
+        "district.k12.ca.us", "www.district.k12.ca.us",
+        "bkt.s3.dualstack.us-east-1.amazonaws.com",
+        "vm.subnet.compute.amazonaws.com.cn",
+    ]
+    got = _resolve(spark, hosts)
+    for h in hosts:
+        assert registrable_domain_py(h) == got[h], h
+    assert is_public_suffix_py("co.uk")
+    assert is_public_suffix_py("github.io")
+    assert is_public_suffix_py("k12.ca.us")
+    assert is_public_suffix_py("w3.ck")          # via wildcard *.ck
+    assert not is_public_suffix_py("www.ck")     # exception rule
+    assert not is_public_suffix_py("example.co.uk")
+    assert is_public_suffix_py("unknowntld")  # default rule: any TLD
+    assert is_public_suffix_py("com")
+
+
+def test_blocklist_warns_on_unmatchable_entries(spark):
+    """ADVICE r7: a blocklist entry that is itself a public suffix
+    (or is not in registered-domain form) can never match under
+    psl=True — the filter now warns, naming the entries."""
+    from deltalake_datafusion_spark.operators.urls import (
+        domain_blocklist_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.co.uk/x"), (2, "https://b.other.com/y")],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame(
+        [("co.uk",), ("www.example.co.uk",), ("example.co.uk",)],
+        "domain string",
+    )
+    with pytest.warns(UserWarning) as rec:
+        kept = {r.doc_id for r in
+                domain_blocklist_filter(df, "url", blocked).collect()}
+    assert kept == {2}  # example.co.uk still blocks its registrant
+    msg = "".join(str(w.message) for w in rec)
+    assert "co.uk" in msg and "www.example.co.uk" in msg
+    assert "example.co.uk" in msg  # listed inside www. entry anyway
+    # a clean blocklist stays silent
+    import warnings as _w
+
+    clean = spark.createDataFrame([("example.co.uk",)], "domain string")
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        kept2 = {r.doc_id for r in
+                 domain_blocklist_filter(df, "url", clean).collect()}
+    assert kept2 == {2}
 
 
 def test_psl_rejects_ambiguous_args(spark):

@@ -1,0 +1,375 @@
+#!/usr/bin/env python
+"""Regenerate the vendored Public Suffix List snapshot.
+
+The container has no network access, so the repo vendors a CURATED
+SUBSET of the Public Suffix List (https://publicsuffix.org/list/ —
+public data, MPL 2.0) assembled from well-known published rules: the
+major ccTLD second-level registries, the US locality scheme
+(``k12/cc/lib.<state>.us``), the JP prefecture + city wildcard block,
+wildcard-only ccTLDs, and the widely-used private-domain platforms
+(blogspot.*, AWS S3/ELB regional zones, Azure, Fastly, GitHub/GitLab
+pages, …). Where a production deployment needs the full ~10k-rule
+list, drop a fresh https://publicsuffix.org/list/public_suffix_list.dat
+over ``deltalake_datafusion_spark/data/public_suffix_list.dat`` —
+``operators/psl.py`` parses the complete file format and derives the
+join depth (kmax) from the file, and the DuckDB oracle in
+``queries/web.py`` generates its candidate joins from the same file,
+so no code changes are needed.
+
+Run: ``python tools/gen_psl_snapshot.py`` (rewrites the data file).
+"""
+
+from __future__ import annotations
+
+import os
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "deltalake_datafusion_spark",
+    "data",
+    "public_suffix_list.dat",
+)
+
+US_STATES = [
+    "ak", "al", "ar", "az", "ca", "co", "ct", "dc", "de", "fl", "ga",
+    "hi", "ia", "id", "il", "in", "ks", "ky", "la", "ma", "md", "me",
+    "mi", "mn", "mo", "ms", "mt", "nc", "nd", "ne", "nh", "nj", "nm",
+    "nv", "ny", "oh", "ok", "or", "pa", "ri", "sc", "sd", "tn", "tx",
+    "ut", "va", "vt", "wa", "wi", "wv", "wy",
+]
+
+JP_PREFECTURES = [
+    "aichi", "akita", "aomori", "chiba", "ehime", "fukui", "fukuoka",
+    "fukushima", "gifu", "gunma", "hiroshima", "hokkaido", "hyogo",
+    "ibaraki", "ishikawa", "iwate", "kagawa", "kagoshima", "kanagawa",
+    "kochi", "kumamoto", "kyoto", "mie", "miyagi", "miyazaki",
+    "nagano", "nagasaki", "nara", "niigata", "oita", "okayama",
+    "okinawa", "osaka", "saga", "saitama", "shiga", "shimane",
+    "shizuoka", "tochigi", "tokushima", "tokyo", "tottori", "toyama",
+    "wakayama", "yamagata", "yamaguchi", "yamanashi",
+]
+
+JP_CITY_WILDCARDS = [
+    "kawasaki", "kitakyushu", "kobe", "nagoya", "sapporo", "sendai",
+    "yokohama",
+]
+
+# ccTLD second-level registries (label lists under each TLD)
+CC_SLD = {
+    "uk": ["ac", "co", "gov", "ltd", "me", "net", "nhs", "org", "plc",
+           "police", "sch"],
+    "au": ["com", "net", "org", "edu", "gov", "asn", "id", "act",
+           "nsw", "nt", "qld", "sa", "tas", "vic", "wa"],
+    "jp": ["ac", "ad", "co", "ed", "go", "gr", "lg", "ne", "or"],
+    "nz": ["ac", "co", "geek", "gen", "govt", "iwi", "kiwi", "maori",
+           "net", "org", "school"],
+    "za": ["ac", "co", "edu", "gov", "law", "mil", "net", "nom",
+           "org", "school", "web"],
+    "br": ["adv", "agr", "am", "arq", "art", "ato", "bio", "blog",
+           "bmd", "cim", "cng", "cnt", "com", "coop", "eco", "ecn",
+           "edu", "emp", "eng", "esp", "etc", "eti", "far", "flog",
+           "fm", "fnd", "fot", "fst", "g12", "ggf", "gov", "imb",
+           "ind", "inf", "jor", "jus", "leg", "lel", "mat", "med",
+           "mil", "mp", "mus", "net", "not", "ntr", "odo", "org",
+           "ppg", "pro", "psc", "psi", "qsl", "radio", "rec", "slg",
+           "srv", "taxi", "teo", "tmp", "trd", "tur", "tv", "vet",
+           "vlog", "wiki", "zlg"],
+    "cn": ["ac", "com", "edu", "gov", "mil", "net", "org", "ah",
+           "bj", "cq", "fj", "gd", "gs", "gx", "gz", "ha", "hb",
+           "he", "hi", "hl", "hn", "jl", "js", "jx", "ln", "nm",
+           "nx", "qh", "sc", "sd", "sh", "sn", "sx", "tj", "tw",
+           "xj", "xz", "yn", "zj"],
+    "in": ["ac", "co", "edu", "firm", "gen", "gov", "ind", "mil",
+           "net", "nic", "org", "res"],
+    "kr": ["ac", "co", "es", "go", "hs", "kg", "mil", "ms", "ne",
+           "or", "pe", "re", "sc", "seoul", "busan", "daegu",
+           "daejeon", "gwangju", "incheon", "ulsan", "gyeonggi",
+           "gangwon", "chungbuk", "chungnam", "jeonbuk", "jeonnam",
+           "gyeongbuk", "gyeongnam", "jeju"],
+    "tw": ["com", "edu", "gov", "idv", "mil", "net", "org", "club",
+           "ebiz", "game"],
+    "hk": ["com", "edu", "gov", "idv", "net", "org"],
+    "mo": ["com", "edu", "gov", "net", "org"],
+    "mx": ["com", "edu", "gob", "net", "org"],
+    "ar": ["com", "edu", "gob", "gov", "int", "mil", "net", "org",
+           "tur", "musica"],
+    "tr": ["av", "bbs", "bel", "biz", "com", "dr", "edu", "gen",
+           "gov", "info", "k12", "mil", "name", "net", "org", "pol",
+           "tel", "tsk", "tv", "web"],
+    "il": ["ac", "co", "gov", "idf", "k12", "muni", "net", "org"],
+    "ua": ["com", "edu", "gov", "in", "net", "org", "kiev", "kharkov",
+           "lviv", "odessa", "dnepropetrovsk", "donetsk"],
+    "pl": ["biz", "com", "edu", "gov", "info", "net", "org", "waw",
+           "warszawa", "wroc", "krakow", "poznan", "gda", "gdansk",
+           "lodz", "slask", "szczecin"],
+    "es": ["com", "edu", "gob", "nom", "org"],
+    "id": ["ac", "biz", "co", "desa", "go", "mil", "my", "net", "or",
+           "ponpes", "sch", "web"],
+    "sg": ["com", "edu", "gov", "net", "org", "per"],
+    "my": ["com", "edu", "gov", "mil", "name", "net", "org"],
+    "th": ["ac", "co", "go", "in", "mi", "net", "or"],
+    "vn": ["ac", "biz", "com", "edu", "gov", "health", "info", "int",
+           "name", "net", "org", "pro"],
+    "ph": ["com", "edu", "gov", "i", "mil", "net", "ngo", "org"],
+    "pk": ["biz", "com", "edu", "fam", "gob", "gok", "gon", "gop",
+           "gos", "gov", "net", "org", "web"],
+    "lk": ["assn", "com", "edu", "gov", "grp", "hotel", "int", "ltd",
+           "net", "ngo", "org", "sch", "soc", "web"],
+    "bd_explicit": [],  # wildcard-only, handled below
+    "eg": ["com", "edu", "eun", "gov", "mil", "name", "net", "org",
+           "sci"],
+    "sa": ["com", "edu", "gov", "med", "net", "org", "pub", "sch"],
+    "ae": ["ac", "co", "gov", "mil", "net", "org", "sch"],
+    "qa": ["com", "edu", "gov", "mil", "name", "net", "org", "sch"],
+    "kw": ["com", "edu", "emb", "gov", "ind", "net", "org"],
+    "om": ["co", "com", "edu", "gov", "med", "museum", "net", "org",
+           "pro"],
+    "bh": ["com", "edu", "gov", "net", "org"],
+    "jo": ["com", "edu", "gov", "mil", "name", "net", "org", "sch"],
+    "lb": ["com", "edu", "gov", "net", "org"],
+    "ir": ["ac", "co", "gov", "id", "net", "org", "sch"],
+    "iq": ["com", "edu", "gov", "mil", "net", "org"],
+    "ng": ["com", "edu", "gov", "i", "mil", "mobi", "name", "net",
+           "org", "sch"],
+    "ke": ["ac", "co", "go", "info", "me", "mobi", "ne", "or", "sc"],
+    "tz": ["ac", "co", "go", "hotel", "info", "me", "mil", "mobi",
+           "ne", "or", "sc", "tv"],
+    "ug": ["ac", "co", "com", "go", "ne", "or", "org", "sc"],
+    "zm": ["ac", "biz", "co", "com", "edu", "gov", "info", "mil",
+           "net", "org", "sch"],
+    "zw": ["ac", "co", "gov", "mil", "org"],
+    "mz": ["ac", "adv", "co", "edu", "gov", "mil", "net", "org"],
+    "bw": ["co", "org"],
+    "na": ["alt", "co", "com", "gov", "net", "org"],
+    "et": ["biz", "com", "edu", "gov", "info", "name", "net", "org"],
+    "dz": ["art", "asso", "com", "edu", "gov", "net", "org", "pol"],
+    "ma": ["ac", "co", "gov", "net", "org", "press"],
+    "tn": ["com", "ens", "fin", "gov", "ind", "info", "intl", "nat",
+           "net", "org", "perso", "tourism"],
+    "sn": ["art", "com", "edu", "gouv", "org", "perso", "univ"],
+    "cl": ["co", "gob", "gov", "mil"],
+    "pe": ["com", "edu", "gob", "mil", "net", "nom", "org"],
+    "co_colombia": [],  # Colombia handled explicitly below under "co"
+    "ve": ["arts", "bib", "co", "com", "e12", "edu", "firm", "gob",
+           "gov", "info", "int", "mil", "net", "org", "rec", "store",
+           "tec", "web"],
+    "ec": ["com", "edu", "fin", "gob", "gov", "info", "k12", "med",
+           "mil", "net", "org", "pro"],
+    "bo": ["com", "edu", "gob", "int", "mil", "net", "org", "tv",
+           "web"],
+    "py": ["com", "coop", "edu", "gov", "mil", "net", "org"],
+    "uy": ["com", "edu", "gub", "mil", "net", "org"],
+    "cr": ["ac", "co", "ed", "fi", "go", "or", "sa"],
+    "gt": ["com", "edu", "gob", "ind", "mil", "net", "org"],
+    "pa": ["abo", "ac", "com", "edu", "gob", "ing", "med", "net",
+           "nom", "org", "sld"],
+    "do": ["art", "com", "edu", "gob", "gov", "mil", "net", "org",
+           "sld", "web"],
+    "cu": ["com", "edu", "gov", "inf", "net", "org"],
+    "pr": ["ac", "biz", "com", "edu", "est", "gov", "info", "isla",
+           "name", "net", "org", "pro", "prof"],
+    "tt": ["biz", "co", "com", "edu", "gov", "info", "mil", "name",
+           "net", "org", "pro"],
+    "ru": ["ac", "edu", "gov", "int", "mil", "test"],
+    "by": ["com", "gov", "mil", "of"],
+    "kz": ["com", "edu", "gov", "mil", "net", "org"],
+    "uz": ["co", "com", "net", "org"],
+    "ge": ["com", "edu", "gov", "mil", "net", "org", "pvt"],
+    "am": ["co", "com", "commune", "net", "org"],
+    "az": ["biz", "com", "edu", "gov", "info", "int", "mil", "name",
+           "net", "org", "pp", "pro"],
+    "fr": ["aeroport", "asso", "avocat", "chambagri", "com", "gouv",
+           "nom", "notaires", "pharmacien", "prd", "tm"],
+    "it": ["edu", "gov"],
+    "at": ["ac", "co", "gv", "or"],
+    "gr": ["com", "edu", "gov", "net", "org"],
+    "pt": ["com", "edu", "gov", "int", "net", "nome", "org", "publ"],
+    "ro": ["arts", "com", "firm", "info", "nom", "nt", "org", "rec",
+           "store", "tm", "www"],
+    "hu": ["2000", "agrar", "bolt", "casino", "city", "co", "erotica",
+           "erotika", "film", "forum", "games", "hotel", "info",
+           "ingatlan", "jogasz", "konyvelo", "lakas", "media", "news",
+           "org", "priv", "reklam", "sex", "shop", "sport", "suli",
+           "szex", "tm", "tozsde", "utazas", "video"],
+    "hr": ["com", "from", "iz", "name"],
+    "rs": ["ac", "co", "edu", "gov", "in", "org"],
+    "ba": ["com", "edu", "gov", "mil", "net", "org"],
+    "mk": ["com", "edu", "gov", "inf", "name", "net", "org"],
+    "ee": ["aip", "com", "edu", "fie", "gov", "lib", "med", "org",
+           "pri", "riik"],
+    "lv": ["asn", "com", "conf", "edu", "gov", "id", "mil", "net",
+           "org"],
+    "lt": ["gov"],
+    "is": ["com", "edu", "gov", "int", "net", "org"],
+    "ie": ["gov"],
+    "no": ["dep", "fhs", "folkebibl", "fylkesbibl", "herad", "idrett",
+           "kommune", "mil", "museum", "priv", "stat", "vgs"],
+    "mn": ["edu", "gov", "org"],
+    "la": ["com", "edu", "gov", "info", "int", "net", "org", "per"],
+    "kg": ["com", "edu", "gov", "mil", "net", "org"],
+    "tj": ["ac", "biz", "co", "com", "edu", "go", "gov", "int", "mil",
+           "name", "net", "nic", "org", "test", "web"],
+    "ca": ["ab", "bc", "gc", "mb", "nb", "nf", "nl", "ns", "nt", "nu",
+           "on", "pe", "qc", "sk", "yt"],
+}
+
+GENERIC_TLDS = [
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "name", "mobi", "io", "co", "me", "tv", "cc", "app", "dev",
+    "xyz", "site", "online", "shop", "blog", "art", "club", "cloud",
+    "live", "news", "page", "space", "store", "tech", "top", "vip",
+    "wiki", "work", "zone",
+]
+
+# Colombia shares the "co" TLD with the commercial use
+CO_COLOMBIA = ["com", "edu", "gov", "mil", "net", "nom", "org"]
+
+WILDCARD_ONLY_CC = ["bd", "ck", "er", "fk", "jm", "kh", "mm", "np",
+                    "pg", "ye"]
+
+# Sweden: single-letter + digit second-level zones (published scheme)
+SE_SLD = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [
+    "ac", "bd", "brand", "c", "d", "e", "f", "fh", "fhsk", "fhv",
+    "g", "h", "i", "k", "komforb", "kommunalforbund", "komvux", "l",
+    "lanbib", "m", "n", "naturbruksgymn", "o", "org", "p", "parti",
+    "pp", "press", "r", "s", "t", "tm", "u", "w", "x", "y", "z",
+]
+
+BLOGSPOT_SUFFIXES = [
+    "ae", "al", "am", "ba", "be", "bg", "bj", "ca", "cf", "ch", "cl",
+    "co.at", "co.id", "co.il", "co.ke", "co.nz", "co.uk", "co.za",
+    "com", "com.ar", "com.au", "com.br", "com.by", "com.co",
+    "com.cy", "com.ee", "com.eg", "com.es", "com.mt", "com.ng",
+    "com.tr", "com.uy", "cv", "cz", "de", "dk", "fi", "fr", "gr",
+    "hk", "hr", "hu", "ie", "in", "is", "it", "jp", "kr", "li", "lt",
+    "lu", "md", "mk", "mr", "mx", "my", "nl", "no", "pe", "pt", "qa",
+    "re", "ro", "rs", "ru", "se", "sg", "si", "sk", "sn", "td", "tw",
+    "ug", "vn",
+]
+
+AWS_REGIONS = [
+    "us-east-1", "us-east-2", "us-west-1", "us-west-2",
+    "af-south-1", "ap-east-1", "ap-northeast-1", "ap-northeast-2",
+    "ap-northeast-3", "ap-south-1", "ap-southeast-1",
+    "ap-southeast-2", "ca-central-1", "eu-central-1", "eu-north-1",
+    "eu-south-1", "eu-west-1", "eu-west-2", "eu-west-3",
+    "me-south-1", "sa-east-1",
+]
+
+PRIVATE_SIMPLE = [
+    # hosting platforms where each subdomain is an independent
+    # registrant (all published PSL private-section entries)
+    "github.io", "githubusercontent.com", "gitlab.io",
+    "blogspot.com", "wordpress.com", "netlify.app", "vercel.app",
+    "herokuapp.com", "herokussl.com", "web.app", "firebaseapp.com",
+    "pages.dev", "workers.dev", "appspot.com", "azurewebsites.net",
+    "cloudfront.net", "elasticbeanstalk.com", "awsglobalaccelerator.com",
+    "azurestaticapps.net", "azure-api.net", "azureedge.net",
+    "azurecontainer.io", "azurefd.net", "trafficmanager.net",
+    "cloudapp.azure.com", "blob.core.windows.net",
+    "cloudfunctions.net", "run.app", "translate.goog", "withgoogle.com",
+    "fly.dev", "onrender.com", "repl.co", "replit.dev", "glitch.me",
+    "surge.sh", "neocities.org", "readthedocs.io", "rhcloud.com",
+    "now.sh", "deno.dev", "shinyapps.io", "hf.space", "ngrok.io",
+    "ngrok-free.app", "linodeusercontent.com", "duckdns.org",
+    "dyndns.org", "no-ip.org", "webflow.io", "wixsite.com",
+    "editorx.io", "bitbucket.io", "sourceforge.io", "gitbook.io",
+    "hashnode.dev", "fastly-terrarium.com", "framer.app", "framer.website",
+    "vercel.sh", "000webhostapp.com", "wpenginepowered.com",
+    "stackhero-network.com", "lambda-url.us-east-1.on.aws",
+]
+
+
+def main() -> None:
+    lines: list[str] = []
+    a = lines.append
+    a("// Public Suffix List — curated snapshot (SUBSET of upstream).")
+    a("// Source: the Public Suffix List maintained by the Mozilla")
+    a("// Foundation, https://publicsuffix.org/list/ (public data, MPL")
+    a("// 2.0). Assembled offline from published rules (see")
+    a("// tools/gen_psl_snapshot.py); hosts under registries absent")
+    a("// from this subset resolve via the PSL default rule (last")
+    a("// label), i.e. they collapse to TLD+1. To deploy the faithful")
+    a("// full mapping, replace this file with a fresh upstream")
+    a("// snapshot — operators/psl.py and the DuckDB oracle both derive")
+    a("// the join depth (kmax) and all rule semantics from this file.")
+    a("// ===BEGIN ICANN DOMAINS===")
+    a("// generic TLDs (explicit for fidelity; default rule covers the rest)")
+    for t in GENERIC_TLDS:
+        a(t)
+    for tld in sorted(k for k in CC_SLD if "_" not in k):
+        a(f"// .{tld}")
+        a(tld)
+        for sld in CC_SLD[tld]:
+            a(f"{sld}.{tld}")
+    a("// Colombia (shares .co with commercial registrations)")
+    for sld in CO_COLOMBIA:
+        a(f"{sld}.co")
+    a("// Japan: prefectures and the city wildcard/exception block")
+    for p in JP_PREFECTURES:
+        a(f"{p}.jp")
+    for c in JP_CITY_WILDCARDS:
+        a(f"*.{c}.jp")
+    for c in JP_CITY_WILDCARDS:
+        a(f"!city.{c}.jp")
+    a("// Sweden: published single-letter/organisational zones")
+    a("se")
+    for s in sorted(set(SE_SLD)):
+        a(f"{s}.se")
+    a("// United States: RFC 1480 locality scheme per state")
+    a("us")
+    a("dni.us")
+    a("fed.us")
+    a("isa.us")
+    a("kids.us")
+    a("nsn.us")
+    for st in US_STATES:
+        a(f"{st}.us")
+        a(f"k12.{st}.us")
+        a(f"cc.{st}.us")
+        a(f"lib.{st}.us")
+    a("// wildcard-only ccTLDs (every second-level label is a public suffix)")
+    for t in WILDCARD_ONLY_CC:
+        a(f"*.{t}")
+    a("!www.ck")
+    a("// ===END ICANN DOMAINS===")
+    a("// ===BEGIN PRIVATE DOMAINS===")
+    for d in PRIVATE_SIMPLE:
+        a(d)
+    a("// Blogger per-country zones")
+    for s in BLOGSPOT_SUFFIXES:
+        if s != "com":  # blogspot.com already listed
+            a(f"blogspot.{s}")
+    a("// AWS: S3 / EC2 / ELB regional zones")
+    a("s3.amazonaws.com")
+    a("*.compute.amazonaws.com")
+    a("*.compute-1.amazonaws.com")
+    a("*.compute.amazonaws.com.cn")
+    a("*.elb.amazonaws.com")
+    a("*.elb.amazonaws.com.cn")
+    a("us-east-1.amazonaws.com")
+    for r in AWS_REGIONS:
+        a(f"s3.{r}.amazonaws.com")
+        a(f"s3-website.{r}.amazonaws.com")
+        a(f"s3.dualstack.{r}.amazonaws.com")
+        a(f"{r}.elasticbeanstalk.com")
+    a("// Fastly shared-certificate zones")
+    a("fastly.net")
+    a("a.ssl.fastly.net")
+    a("b.ssl.fastly.net")
+    a("global.ssl.fastly.net")
+    a("a.prod.fastly.net")
+    a("global.prod.fastly.net")
+    a("map.fastly.net")
+    a("freetls.fastly.net")
+    a("// ===END PRIVATE DOMAINS===")
+    with open(OUT, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    n_rules = sum(
+        1 for ln in lines if ln and not ln.startswith("//")
+    )
+    print(f"wrote {OUT}: {len(lines)} lines, {n_rules} rules")
+
+
+if __name__ == "__main__":
+    main()
