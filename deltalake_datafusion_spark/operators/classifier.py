@@ -1,0 +1,144 @@
+"""Model-based quality classification — linear (fastText-shape)
+classifier INFERENCE as a pure expression tree.
+
+Every published LLM data recipe includes a model-based quality stage
+(GPT-3's LR filter over reference corpora, LLaMA's fastText
+classifier, CCNet's LM filter): score = sigmoid(bias + mean of
+hashed-n-gram feature weights), keep by threshold. The reference
+engine has no equivalent operator; this implements the inference
+stage Spark-first.
+
+Spark shape: the model is metadata-scale (a weight vector of
+``n_buckets`` doubles + a bias), shipped as a plan LITERAL — zero
+Python, zero join, zero shuffle; per row the cost is one md5 per
+feature and an array fold, all inside whole-stage codegen. At 100 TB
+this runs at scan speed like every other text operator. Training is
+out of scope by design (train offline / driver-side on a labeled
+sample — metadata-scale by definition); inference is the 100 TB
+path.
+
+The feature hash is the repo's portable md5 arithmetic
+(``CAST(('0x' || substr(md5(tok),1,8)) AS BIGINT) % n_buckets``), so
+any engine replays bucket assignment — the DuckDB oracle for
+``text_classifier_score`` recomputes the identical dot product.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.operators.dedup import words_col
+
+
+def hash_bucket(col, n_buckets: int) -> Column:
+    """Portable feature-hash bucket: first 8 md5 hex chars (32 bits,
+    always non-negative) mod ``n_buckets`` — replayable verbatim in
+    DuckDB/any ANSI engine."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def _feature_array(col, include_bigrams: bool) -> Column:
+    """Unigram (+ word-bigram) feature strings of a text column,
+    using the repo-wide normalize/split convention (lowercase,
+    alnum-only). Bigrams are joined with a single space — the
+    fastText word-n-gram convention."""
+    w = F.filter(words_col(col), lambda t: t != "")
+    if not include_bigrams:
+        return w
+    n = F.size(w)
+    big = F.zip_with(
+        F.slice(w, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(w, big)
+
+
+def classifier_logit(
+    col,
+    weights: list[float],
+    bias: float = 0.0,
+    include_bigrams: bool = True,
+) -> Column:
+    """The pre-sigmoid score: ``bias + mean_f weights[h(f)]`` over the
+    hashed features of ``col`` (``bias`` alone for an empty text —
+    total, never null). ``weights`` ships as an array literal — size
+    it metadata-scale (2^12..2^20 buckets; 2^20 doubles ≈ 8 MiB of
+    plan is the practical ceiling, like the Bloom literal)."""
+    n_buckets = len(weights)
+    feats = _feature_array(col, include_bigrams)
+    warr = F.lit([float(x) for x in weights])
+    dot = F.aggregate(
+        F.transform(
+            feats,
+            lambda t: F.element_at(
+                warr, (hash_bucket(t, n_buckets) + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(feats)
+    return F.when(n > 0, F.lit(float(bias)) + dot / n).otherwise(
+        F.lit(float(bias))
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    text_col: str = "text",
+    include_bigrams: bool = True,
+    out_col: str = "quality_score",
+    logit_col: str | None = "quality_logit",
+) -> DataFrame:
+    """Append the linear classifier's sigmoid score (and optionally
+    the raw logit) for ``text_col``. Keep-by-threshold composes as a
+    plain ``.filter(F.col(out_col) >= t)`` — equivalently
+    ``logit >= ln(t/(1-t))``, which avoids the transcendental in the
+    hot predicate."""
+    z = classifier_logit(
+        F.col(text_col), weights, bias, include_bigrams
+    )
+    out = df.withColumn("__clf_z", z)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__clf_z")))
+    out = out.withColumn(out_col, score)
+    if logit_col:
+        out = out.withColumn(logit_col, F.col("__clf_z"))
+    return out.drop("__clf_z")
+
+
+def lexicon_weights(
+    positive: list[str],
+    negative: list[str],
+    n_buckets: int = 4096,
+    scale: float = 1.0,
+) -> list[float]:
+    """Driver-side helper: a weight vector from a seed lexicon
+    (positive words += scale, negative -= scale at their hashed
+    buckets — the degenerate hand-built model; real deployments load
+    trained weights). Uses the SAME md5 bucket arithmetic as the
+    Column form."""
+    import hashlib
+
+    w = [0.0] * n_buckets
+    for word, s in [(p, scale) for p in positive] + [
+        (q, -scale) for q in negative
+    ]:
+        b = int(hashlib.md5(word.encode("utf-8")).hexdigest()[:8], 16) % (
+            n_buckets
+        )
+        w[b] += s
+    return w
+
+
+def sigmoid(z: float) -> float:
+    """Reference sigmoid for tests/driver-side thresholds."""
+    return 1.0 / (1.0 + math.exp(-z))

@@ -191,7 +191,88 @@ FROM dom GROUP BY domain ORDER BY domain
 """
 
 
+# deterministic DYADIC weight vector for the oracle query: every
+# weight is k/1024 (exact in binary), so per-document dot products
+# are EXACT floating-point sums — order-independent, bit-identical
+# across engines; the keep decision (logit > 0) therefore matches
+# deterministically, not just "to 6 decimals"
+_CLF_BUCKETS = 4096
+_CLF_BIAS = 0.125  # dyadic, nonzero so empty docs classify stably
+
+
+def _clf_weights() -> list[float]:
+    return [
+        ((b * 2654435761) % 2048 - 1024) / 1024.0
+        for b in range(_CLF_BUCKETS)
+    ]
+
+
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality classifier inference
+    (``operators/classifier.py``): hashed unigram+bigram features →
+    plan-literal weight-vector dot product → logit / sigmoid — the
+    fastText-linear stage every published LLM data recipe includes
+    (GPT-3 LR filter, LLaMA fastText filter). The weight vector here
+    is a deterministic dyadic function of the bucket index so the
+    DuckDB oracle replays the IDENTICAL md5 bucket + dot-product
+    arithmetic; per-language keep counts compare exactly, mean logits
+    to 6 decimals (repo float convention)."""
+    from deltalake_datafusion_spark.operators.classifier import (
+        classifier_score,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    scored = classifier_score(
+        d, _clf_weights(), bias=_CLF_BIAS, include_bigrams=True
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("quality_logit") > 0, 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+            F.round(F.avg("quality_logit"), 6).alias("avg_logit"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CLASSIFIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang,
+    list_concat(w, list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i+1])) AS f
+  FROM toks
+),
+scored AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(f) > 0 THEN {_CLF_BIAS} + coalesce(list_sum(
+      list_transform(f, t ->
+        (CAST(((CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                % {_CLF_BUCKETS}) * 2654435761) % 2048 AS DOUBLE)
+         - 1024) / 1024.0
+      )), 0.0) / CAST(len(f) AS DOUBLE)
+    ELSE {_CLF_BIAS} END AS z
+  FROM feats
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  ROUND(AVG(z), 6) AS avg_logit
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("pipe_domain_psl", pipe_domain_psl, _psl_oracle_sql()),
+        QuerySpec(
+            "text_classifier_score", text_classifier_score, _CLASSIFIER_SQL
+        ),
     ]

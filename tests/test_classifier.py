@@ -1,0 +1,103 @@
+"""Linear quality-classifier inference (operators/classifier.py):
+hand-computed model equivalence, lexicon weights, empty/null
+totality, and the zero-Python plan guard."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.operators.classifier import (
+    classifier_score,
+    hash_bucket,
+    lexicon_weights,
+    sigmoid,
+)
+
+
+def _bucket(tok: str, n: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n
+
+
+def _ref_logit(text: str, w: list[float], bias: float,
+               bigrams: bool = True) -> float:
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    feats = list(toks)
+    if bigrams:
+        feats += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    if not feats:
+        return bias
+    return bias + sum(w[_bucket(t, len(w))] for t in feats) / len(feats)
+
+
+def test_classifier_matches_hand_computed_model(spark):
+    n = 64
+    w = [((b * 37) % 16 - 8) / 8.0 for b in range(n)]  # dyadic
+    bias = 0.25
+    rows = [
+        (1, "good clean prose with varied words"),
+        (2, "spam spam spam buy now buy now"),
+        (3, "x"),
+        (4, ""),
+        (5, None),
+        (6, "Mixed CASE text, with punctuation!  and   spaces"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.quality_logit, r.quality_score)
+        for r in classifier_score(df, w, bias=bias).collect()
+    }
+    for doc_id, text in rows:
+        want_z = _ref_logit(text or "", w, bias)
+        z, s = got[doc_id]
+        assert abs(z - want_z) < 1e-12, (doc_id, z, want_z)
+        assert abs(s - sigmoid(want_z)) < 1e-12
+    # empty and null text both classify at the bias (total, non-null)
+    assert got[4][0] == bias and got[5][0] == bias
+
+
+def test_classifier_unigram_only_and_threshold_compose(spark):
+    w = lexicon_weights(["excellent", "informative"], ["spam"],
+                        n_buckets=256, scale=2.0)
+    df = spark.createDataFrame(
+        [(1, "excellent informative article"),
+         (2, "spam spam spam"),
+         (3, "neutral words only")],
+        "doc_id long, text string",
+    )
+    out = classifier_score(df, w, text_col="text",
+                           include_bigrams=False)
+    kept = {r.doc_id for r in
+            out.filter(F.col("quality_score") >= 0.5).collect()}
+    assert 1 in kept and 2 not in kept
+    # lexicon weights use the same bucket arithmetic as the Column
+    b = {r.t: r.b for r in spark.createDataFrame(
+        [("excellent",), ("spam",)], "t string"
+    ).select("t", hash_bucket(F.col("t"), 256).alias("b")).collect()}
+    assert w[b["excellent"]] > 0 > w[b["spam"]]
+
+
+def test_classifier_plan_is_pure_codegen(spark):
+    """Scale guard: inference is a plan-literal dot product — no
+    Python stage, no join, no shuffle (filter composes into the
+    scan)."""
+    w = [0.0] * 128
+    df = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = classifier_score(df, w).filter(F.col("quality_score") > 0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_sigmoid_monotone_threshold_identity():
+    for t in (0.3, 0.5, 0.9):
+        z = math.log(t / (1 - t))
+        assert abs(sigmoid(z) - t) < 1e-12
