@@ -88,24 +88,45 @@ def pipe_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _psl_oracle_sql() -> str:
-    """Generate the DuckDB replay of the PSL lookup with one candidate
-    join per rule depth k=1..kmax, where kmax is derived from the SAME
-    vendored snapshot the Spark operator parses — a deeper snapshot
-    needs no oracle edit (tests/test_psl.py pins the current shape so
-    a swap is still a conscious act)."""
+def psl_rules_cte_sql() -> str:
+    """DuckDB CTE bodies parsing the vendored PSL snapshot into the
+    rule table — shared by every oracle that resolves registered
+    domains. Yields CTEs ``psl_lines`` / ``psl_parsed`` /
+    ``psl_rules(key, klab, has_norm, has_wild, has_exc)``."""
+    return f"""psl_lines AS (
+  SELECT trim(unnest(string_split(content, chr(10)))) AS r
+  FROM read_text('{PSL_PATH}')
+),
+psl_parsed AS (
+  SELECT
+    CASE WHEN r LIKE '!%' THEN substr(r, 2)
+         WHEN r LIKE '*.%' THEN substr(r, 3)
+         ELSE r END AS key,
+    r LIKE '*.%' AS wild,
+    r LIKE '!%' AS exc
+  FROM psl_lines WHERE r <> '' AND r NOT LIKE '//%'
+),
+psl_rules AS (
+  SELECT key, len(string_split(key, '.')) AS klab,
+         bool_or(NOT wild AND NOT exc) AS has_norm,
+         bool_or(wild) AS has_wild,
+         bool_or(exc) AS has_exc
+  FROM psl_parsed GROUP BY key
+)"""
+
+
+def psl_domain_stages_sql(src: str, passthru: list[str],
+                          out: str = "psl_dom") -> str:
+    """DuckDB CTE bodies replaying the prevailing-rule arithmetic of
+    ``with_registered_domain`` over CTE ``src`` (which must carry a
+    lowercase ``host`` column plus ``passthru`` columns), one
+    candidate join per rule depth k=1..kmax — kmax derived from the
+    SAME vendored snapshot the Spark operator parses, so a deeper
+    snapshot needs no oracle edit. Final CTE ``out`` carries
+    ``passthru + [host, domain]``."""
     _, kmax = parse_psl(PSL_PATH)
-    cases = _PSL_HOST_CASES
-
-    def _case(pre: str, suf: str, varies: bool) -> str:
-        if varies:
-            return f"'{pre}' || (doc_id % 5) || '{suf}'"
-        return f"'{pre}'"
-
-    case_sql = "\n      ".join(
-        f"WHEN {i} THEN {_case(*c)}" for i, c in enumerate(cases[:-1])
-    )
-    else_sql = _case(*cases[-1])
+    pt = ", ".join(passthru)
+    pt_comma = f"{pt}, " if pt else ""
     cand_cols = ",\n    ".join(
         f"CASE WHEN n >= {k} THEN array_to_string("
         f"list_slice(l, n-{k - 1}, n), '.') END AS c{k}"
@@ -118,7 +139,8 @@ def _psl_oracle_sql() -> str:
         for k in range(1, kmax + 1)
     )
     joins = "\n  ".join(
-        f"LEFT JOIN rules r{k} ON r{k}.klab = {k} AND r{k}.key = cand.c{k}"
+        f"LEFT JOIN psl_rules r{k} ON r{k}.klab = {k} "
+        f"AND r{k}.key = psl_cand.c{k}"
         for k in range(1, kmax + 1)
     )
     exc_terms = ", ".join(
@@ -129,27 +151,55 @@ def _psl_oracle_sql() -> str:
         f"CASE WHEN w{k} AND n >= {k + 1} THEN {k + 1} ELSE 0 END"
         for k in range(1, kmax + 1)
     )
+    qual = ", ".join(f"psl_cand.{c}" for c in passthru)
+    qual_comma = f"{qual}, " if qual else ""
+    return f"""psl_lab AS (
+  SELECT {pt_comma}host, string_split(host, '.') AS l,
+         len(string_split(host, '.')) AS n
+  FROM {src}
+),
+psl_cand AS (
+  SELECT *,
+    {cand_cols}
+  FROM psl_lab
+),
+psl_joined AS (
+  SELECT {qual_comma}psl_cand.host, psl_cand.l, psl_cand.n,
+    {join_flags}
+  FROM psl_cand
+  {joins}
+),
+psl_len AS (
+  SELECT *, greatest({exc_terms}, 0) AS el,
+            greatest(1, {cand_terms}) AS cd
+  FROM psl_joined
+),
+{out} AS (
+  SELECT {pt_comma}host,
+    CASE WHEN n > p THEN array_to_string(list_slice(l, n - p, n), '.')
+         ELSE host END AS domain
+  FROM (SELECT *, CASE WHEN el > 0 THEN el - 1 ELSE cd END AS p
+        FROM psl_len)
+)"""
+
+
+def _psl_oracle_sql() -> str:
+    """The DuckDB replay of pipe_domain_psl, assembled from the shared
+    rule-parse + domain-stage fragments (tests/test_psl.py pins the
+    snapshot shape so a swap is still a conscious act)."""
+    cases = _PSL_HOST_CASES
+
+    def _case(pre: str, suf: str, varies: bool) -> str:
+        if varies:
+            return f"'{pre}' || (doc_id % 5) || '{suf}'"
+        return f"'{pre}'"
+
+    case_sql = "\n      ".join(
+        f"WHEN {i} THEN {_case(*c)}" for i, c in enumerate(cases[:-1])
+    )
+    else_sql = _case(*cases[-1])
     return f"""
-WITH lines AS (
-  SELECT trim(unnest(string_split(content, chr(10)))) AS r
-  FROM read_text('{PSL_PATH}')
-),
-parsed AS (
-  SELECT
-    CASE WHEN r LIKE '!%' THEN substr(r, 2)
-         WHEN r LIKE '*.%' THEN substr(r, 3)
-         ELSE r END AS key,
-    r LIKE '*.%' AS wild,
-    r LIKE '!%' AS exc
-  FROM lines WHERE r <> '' AND r NOT LIKE '//%'
-),
-rules AS (
-  SELECT key, len(string_split(key, '.')) AS klab,
-         bool_or(NOT wild AND NOT exc) AS has_norm,
-         bool_or(wild) AS has_wild,
-         bool_or(exc) AS has_exc
-  FROM parsed GROUP BY key
-),
+WITH {psl_rules_cte_sql()},
 hosts AS (
   SELECT doc_id,
     CASE doc_id % {len(cases)}
@@ -158,36 +208,10 @@ hosts AS (
     END AS host
   FROM documents WHERE doc_id % 3 = 0
 ),
-lab AS (
-  SELECT doc_id, host, string_split(host, '.') AS l,
-         len(string_split(host, '.')) AS n
-  FROM hosts
-),
-cand AS (
-  SELECT *,
-    {cand_cols}
-  FROM lab
-),
-joined AS (
-  SELECT cand.doc_id, cand.host, cand.l, cand.n,
-    {join_flags}
-  FROM cand
-  {joins}
-),
-pslen AS (
-  SELECT *, greatest({exc_terms}, 0) AS el,
-            greatest(1, {cand_terms}) AS cd
-  FROM joined
-),
-dom AS (
-  SELECT doc_id, host,
-    CASE WHEN n > p THEN array_to_string(list_slice(l, n - p, n), '.')
-         ELSE host END AS domain
-  FROM (SELECT *, CASE WHEN el > 0 THEN el - 1 ELSE cd END AS p FROM pslen)
-)
+{psl_domain_stages_sql("hosts", ["doc_id"])}
 SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
        CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
-FROM dom GROUP BY domain ORDER BY domain
+FROM psl_dom GROUP BY domain ORDER BY domain
 """
 
 
@@ -269,10 +293,231 @@ FROM scored GROUP BY lang ORDER BY lang
 """
 
 
+def pipe_web_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web tier END TO END in one query — WARC ingestion → HTML →
+    text extraction → URL canonicalization → quality filter → exact
+    URL dedup → PSL registered-domain rollup — so tier INTEGRATION
+    (stage hand-offs, filter-then-dedup ordering, id propagation) is
+    oracle-pinned, not just each stage alone:
+
+    1. every 13th document becomes a real multi-record ``.warc.gz``
+       archive (1-3 records; every 3rd record is ``metadata`` to
+       exercise the type filter) with messy uppercase/tracking-param
+       URIs over two PSL-distinct host families;
+    2. ``parse_warc_records`` (real ISO 28500 parse) → responses;
+    3. ``html_to_text`` extracts visible text; token-count quality
+       gate (≥10) drops thin pages BEFORE dedup, so dedup's min-id
+       winner can differ from the raw stream's — ordering is tested;
+    4. ``url_dedup`` keeps one record per canonical URL (tracking
+       params stripped → cross-archive duplicates collapse);
+    5. ``with_registered_domain`` rolls up per PSL registrant.
+
+    The oracle replays every stage arithmetically in DuckDB from the
+    same doc_id parameters (record synthesis, HTML strip chain, URL
+    regex chain, window dedup, candidate-join PSL)."""
+    from deltalake_datafusion_spark.operators.html import html_to_text
+    from deltalake_datafusion_spark.operators.psl import (
+        with_registered_domain,
+    )
+    from deltalake_datafusion_spark.operators.text import token_count
+    from deltalake_datafusion_spark.operators.urls import (
+        normalize_url,
+        url_dedup,
+    )
+    from deltalake_datafusion_spark.operators.webarchive import (
+        build_warc_bytes,
+        parse_warc_records,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id", "text")
+    )
+
+    def build(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                recs = []
+                for j in range(1 + did % 3):
+                    k = (did + j) % 9
+                    host = (
+                        f"Site{k}.Example.CO.UK"
+                        if j % 2 == 0
+                        else f"Blog{k}.BlogSpot.Co.UK"
+                    )
+                    uri = (
+                        f"HTTPS://{host}:443/art/{(did * 3 + j) % 40}"
+                        f"?utm_source=a{did}&utm_campaign=c"
+                    )
+                    html = (
+                        f'<html><head><script>var x="{j}";</script>'
+                        f"</head><body><h1>Title {did}</h1><p>"
+                        + str(text)[: 40 + 9 * j]
+                        + " &amp; more</p></body></html>"
+                    )
+                    recs.append(
+                        {
+                            "warc_type": (
+                                "metadata" if j == 2 else "response"
+                            ),
+                            "target_uri": uri,
+                            "content": html,
+                        }
+                    )
+                ids.append(did)
+                payloads.append(build_warc_bytes(recs))
+            yield pd.DataFrame({"archive_id": ids, "payload": payloads})
+
+    archives = docs.mapInPandas(build, "archive_id long, payload binary")
+    recs = parse_warc_records(archives).filter(
+        F.col("warc_type") == "response"
+    )
+    pages = recs.select(
+        (F.col("archive_id") * 10 + F.col("record_idx")).alias("rec_id"),
+        "target_uri",
+        html_to_text(F.col("content")).alias("txt"),
+    ).withColumn("n_tokens", token_count(F.col("txt")))
+    quality = pages.filter(F.col("n_tokens") >= 10)
+    deduped = url_dedup(quality, "target_uri", "rec_id")
+    canon = deduped.withColumn("canon", normalize_url(F.col("target_uri")))
+    dom = with_registered_domain(canon, "canon", out_col="domain")
+    return (
+        dom.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("canon")))
+            ).alias("pages_md5"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _web_e2e_oracle_sql() -> str:
+    return f"""
+WITH {psl_rules_cte_sql()},
+recs AS (
+  SELECT doc_id, j, text, doc_id * 10 + j AS rec_id,
+    CASE WHEN j % 2 = 0
+      THEN 'Site' || ((doc_id + j) % 9) || '.Example.CO.UK'
+      ELSE 'Blog' || ((doc_id + j) % 9) || '.BlogSpot.Co.UK'
+    END AS rhost
+  FROM documents, unnest(range(0, 1 + doc_id % 3)) AS t(j)
+  WHERE doc_id % 13 = 0 AND j <> 2
+),
+built AS (
+  SELECT rec_id,
+    'HTTPS://' || rhost || ':443/art/' || ((doc_id * 3 + j) % 40)
+      || '?utm_source=a' || doc_id || '&utm_campaign=c' AS uri,
+    '<html><head><script>var x="' || j || '";</script></head><body>'
+      || '<h1>Title ' || doc_id || '</h1><p>'
+      || substr(text, 1, CAST(40 + 9 * j AS INT))
+      || ' &amp; more</p></body></html>' AS html
+  FROM recs
+),
+stripped AS (
+  SELECT rec_id, uri,
+    regexp_replace(regexp_replace(regexp_replace(html,
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g') AS s1
+  FROM built
+),
+untagged AS (
+  SELECT rec_id, uri,
+    regexp_replace(regexp_replace(s1,
+      '(?i)</?(?:p|div|br|h[1-6]|li|tr|td|table|ul|ol|blockquote|section|article|header|footer|nav|pre)\\b[^>]*>',
+      chr(10), 'g'),
+      '(?s)<[^>]*>', '', 'g') AS s2
+  FROM stripped
+),
+decoded AS (
+  SELECT rec_id, uri,
+    replace(replace(replace(replace(replace(replace(s2,
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS s3
+  FROM untagged
+),
+pages AS (
+  SELECT rec_id, uri,
+    trim(regexp_replace(regexp_replace(regexp_replace(s3,
+      '[ \\t\\r]+', ' ', 'g'),
+      ' ?\\n ?', chr(10), 'g'),
+      '\\n{{3,}}', chr(10) || chr(10), 'g')) AS txt
+  FROM decoded
+),
+toks AS (
+  SELECT rec_id, uri,
+    len(list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'),
+                    w -> w <> '')) AS n_tokens
+  FROM pages
+),
+quality AS (SELECT * FROM toks WHERE n_tokens >= 10),
+pre AS (
+  SELECT rec_id, n_tokens, uri,
+    regexp_extract(uri, '^[^/]*//[^/?#]*', 0) AS prefix
+  FROM quality
+),
+u1 AS (
+  SELECT rec_id, n_tokens,
+    lower(regexp_extract(prefix, '^([^/]*//)', 1))
+    || regexp_extract(prefix, '^[^/]*//([^/@?#]*@)', 1)
+    || lower(regexp_extract(prefix, '^[^/]*//(?:[^/@?#]*@)?(.*)$', 1))
+    || substr(uri, length(prefix) + 1) AS u
+  FROM pre
+),
+u2 AS (SELECT rec_id, n_tokens,
+              regexp_replace(u, '#.*$', '', 'g') AS u FROM u1),
+u3 AS (
+  SELECT rec_id, n_tokens, regexp_replace(
+    regexp_replace(u, '^(http://[^/:?#]+):80(/|\\?|$)', '\\1\\2', 'g'),
+    '^(https://[^/:?#]+):443(/|\\?|$)', '\\1\\2', 'g') AS u
+  FROM u2
+),
+u4 AS (
+  SELECT rec_id, n_tokens, regexp_replace(
+    u, '([?&])(utm_[a-z]+|fbclid|gclid|mc_cid|mc_eid|ref_src)=[^&#]*',
+    '\\1', 'g') AS u
+  FROM u3
+),
+u5 AS (
+  SELECT rec_id, n_tokens,
+    regexp_replace(regexp_replace(regexp_replace(
+      u, '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$', '', 'g') AS u
+  FROM u4
+),
+canon AS (
+  SELECT rec_id, n_tokens,
+    CASE WHEN regexp_matches(u, '^[a-z][a-z0-9+.-]*://[^/?#]+$')
+         THEN u || '/' ELSE u END AS canon
+  FROM u5
+),
+deduped AS (
+  SELECT rec_id, n_tokens, canon,
+    lower(regexp_extract(canon, '^[^/]*//(?:[^/@?#]*@)?([^/:?#]+)', 1))
+      AS host
+  FROM canon
+  QUALIFY row_number() OVER (PARTITION BY canon ORDER BY rec_id) = 1
+),
+{psl_domain_stages_sql("deduped", ["rec_id", "n_tokens", "canon"])}
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_pages,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  md5(array_to_string(list_sort(list(canon)), ',')) AS pages_md5
+FROM psl_dom GROUP BY domain ORDER BY domain
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("pipe_domain_psl", pipe_domain_psl, _psl_oracle_sql()),
         QuerySpec(
             "text_classifier_score", text_classifier_score, _CLASSIFIER_SQL
         ),
+        QuerySpec("pipe_web_e2e", pipe_web_e2e, _web_e2e_oracle_sql()),
     ]
