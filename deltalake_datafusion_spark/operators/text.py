@@ -517,6 +517,76 @@ def _bpe_apply_merge_col(syms, a: str, b: str):
     )
 
 
+def _select_merge_batch(
+    rows: list[tuple[str, str, int]],
+    batch: int,
+    collection_complete: bool,
+) -> list[tuple[str, str, int]]:
+    """Greedy SOUND batch selection over the collected top pair
+    counts (rank order: count desc, left asc, right asc): pick up to
+    ``batch`` pairwise symbol-disjoint pairs such that sequential BPE
+    would provably pick exactly this sequence — i.e. the batched and
+    one-at-a-time paths are BIT-IDENTICAL (pytest-fuzzed).
+
+    Soundness argument (why each selected pair stays the argmax after
+    the earlier selected merges apply):
+
+    - a pair DISJOINT from all earlier selections keeps its exact
+      count (merging two adjacent other symbols never creates or
+      destroys an (x,y) adjacency when x,y are untouched symbols, and
+      a merge's concat can never equal an existing symbol — any
+      concat of two current symbols is a strictly longer new string);
+    - pairs OVERLAPPING a selected symbol can only keep or lose count
+      (their occurrences are a shrinking subset), and pairs CREATED
+      by a merge (w·ab / ab·z) inherit count ≤ some pre-merge
+      overlapping pair (count(w,ab) ≤ count(w,a)). So requiring the
+      candidate's count to STRICTLY exceed every collected
+      overlapping pair's count — and, when the collection was
+      truncated, the last collected count (an upper bound on every
+      unseen pair) — guarantees no changed/created/unseen pair can
+      reach it, ties included;
+    - unchanged non-selected pairs ranked below the candidate stay
+      below it (same count, same deterministic tie-break).
+
+    Rank order also fixes the recorded pair_count: each selected
+    pair's count is its pre-round count, which equals its count at
+    its own sequential merge step (disjointness). Returns at least
+    one pair (the true argmax is always safe)."""
+    sel: list[tuple[str, str, int]] = []
+    sel_syms: set[str] = set()
+    sel_keys: set[tuple[str, str]] = set()
+    guard = 0 if collection_complete else rows[-1][2]
+    for a, b, c in rows:
+        if len(sel) >= batch:
+            break
+        if not sel:
+            sel.append((a, b, c))
+            sel_syms.update((a, b))
+            sel_keys.add((a, b))
+            continue
+        if a in sel_syms or b in sel_syms:
+            continue
+        overlap_bound = max(
+            (
+                cq
+                for (x, y, cq) in rows
+                if (x, y) not in sel_keys
+                and (x in sel_syms or y in sel_syms)
+            ),
+            default=0,
+        )
+        if c > max(overlap_bound, guard):
+            sel.append((a, b, c))
+            sel_syms.update((a, b))
+            sel_keys.add((a, b))
+        else:
+            # counts only shrink down the rank order and the bound
+            # only grows as selections accumulate — nothing later
+            # can qualify this round
+            break
+    return sel
+
+
 def learn_bpe(
     df: DataFrame,
     n_merges: int,
@@ -524,6 +594,7 @@ def learn_bpe(
     strategy: str = "auto",
     driver_max_words: int = 2_000_000,
     checkpoint_every: int = 8,
+    batch_merges: int = 8,
 ) -> list[tuple[str, str, int]]:
     """Train a BPE merge table on a corpus (Sennrich et al. 2016,
     arXiv:1508.07909): iteratively take the highest-frequency adjacent
@@ -543,19 +614,23 @@ def learn_bpe(
       the right choice whenever the vocab fits the driver, which for
       word-tokenized text it essentially always does.
     - ``"distributed"``: the vocab DataFrame stays on executors; each
-      iteration recounts pairs (map work ∝ vocab symbols — already
+      ROUND recounts pairs (map work ∝ vocab symbols — already
       ≪ corpus — shuffle ∝ DISTINCT pairs after partial agg, tiny),
-      collects exactly ONE row (the argmax), and applies the merge as
-      an ``F.aggregate`` fold guarded by an adjacency test so only
-      words containing the pair rebuild. ``localCheckpoint`` every
-      ``checkpoint_every`` iterations truncates lineage. For vocabs
-      too large to collect.
+      collects the top ``4·batch_merges`` rows (still metadata), and
+      applies up to ``batch_merges`` provably-independent merges in
+      ONE pass (:func:`_select_merge_batch` — the batched table is
+      bit-identical to one-at-a-time by construction), cutting the
+      per-merge Spark-job scheduling floor ~``batch_merges``×. Merges
+      apply as ``F.aggregate`` folds guarded by adjacency tests so
+      only words containing a pair rebuild. ``localCheckpoint`` every
+      ``checkpoint_every`` rounds truncates lineage. For vocabs too
+      large to collect.
     - ``"auto"``: driver path when the distinct-word count ≤
       ``driver_max_words``, else distributed.
 
-    Both paths produce bit-identical merge tables (equivalence is
-    pytest-pinned; the training itself is fuzz-tested against an
-    independent reference model)."""
+    All paths produce bit-identical merge tables (equivalence is
+    pytest-pinned, incl. a batched-vs-B=1 fuzz; the training itself
+    is fuzz-tested against an independent reference model)."""
     if n_merges <= 0:
         return []
     vocab = _bpe_word_freqs(df, text_col)
@@ -578,7 +653,9 @@ def learn_bpe(
 
     cur = vocab if checkpointed else vocab.localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    for it in range(n_merges):
+    batch_merges = max(int(batch_merges), 1)
+    rounds = 0
+    while len(merges) < n_merges:
         left = F.slice(
             F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))
         )
@@ -594,31 +671,47 @@ def learn_bpe(
             ).alias("p"),
             "freq",
         )
+        want = n_merges - len(merges)
+        k_collect = max(4 * min(batch_merges, want), 16)
         top = (
             pairs.groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
-            .limit(1)
+            .limit(k_collect)
             .collect()
         )
         if not top:
             break
-        a, b, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
-        merges.append((a, b, c))
-        has_pair = F.exists(
-            F.zip_with(
-                left, right,
-                lambda x, y: (x == F.lit(a)) & (y == F.lit(b)),
-            ),
-            lambda v: v,
+        sel = _select_merge_batch(
+            [(r["l"], r["r"], int(r["c"])) for r in top],
+            min(batch_merges, want),
+            collection_complete=len(top) < k_collect,
         )
-        cur = cur.select(
-            F.when(has_pair, _bpe_apply_merge_col(F.col("syms"), a, b))
-            .otherwise(F.col("syms"))
-            .alias("syms"),
-            "freq",
-        )
-        if (it + 1) % checkpoint_every == 0:
+        merges.extend(sel)
+        # ONE pass applies the whole batch: adjacency flags are all
+        # computed on the PRE-round symbols (selected pairs are
+        # symbol-disjoint and a merge's concat is a brand-new string,
+        # so no selected pair's adjacencies are created or destroyed
+        # by another's application), then the rebuilds nest in rank
+        # order
+        def _pair_flag(a: str, b: str):
+            return F.exists(
+                F.zip_with(
+                    left, right,
+                    lambda x, y: (x == F.lit(a)) & (y == F.lit(b)),
+                ),
+                lambda v: v,
+            )
+
+        flags = [_pair_flag(a, b) for a, b, _ in sel]
+        syms = F.col("syms")
+        for (a, b, _), flag in zip(sel, flags):
+            syms = F.when(flag, _bpe_apply_merge_col(syms, a, b)).otherwise(
+                syms
+            )
+        cur = cur.select(syms.alias("syms"), "freq")
+        rounds += 1
+        if rounds % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
     return merges
 

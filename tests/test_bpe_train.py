@@ -113,6 +113,78 @@ def test_learn_bpe_strategies_identical(spark):
     assert learn_bpe(df, 14) == ref
 
 
+def test_learn_bpe_batched_equals_single_step(spark):
+    """Round-8: the batched distributed path (top-B provably
+    independent merges per round, _select_merge_batch) is
+    BIT-IDENTICAL to B=1 and to the independent reference — on
+    corpora engineered to stress the soundness conditions: chained
+    overlapping pairs, exact count ties resolved by tie-break, and
+    pairs whose merge creates high-count follow-up pairs."""
+    corpora = [
+        CORPUS,
+        # heavy overlap: every top pair shares symbols with the next
+        ["aaaa aaa aa", "abab aba ab", "bbb bab abb"],
+        # exact ties everywhere (uniform counts, tie-break order)
+        ["ab cd ef gh", "ab cd ef gh", "ij kl mn op"],
+        # merge creates a pair that immediately dominates
+        ["xy xyz xyzw xyzw xyzw", "zw zw wz"],
+        # single word — nothing disjoint, batch must degrade to 1
+        ["aaaaaaaa"],
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        ref = _ref_learn(texts, 12)
+        b1 = learn_bpe(
+            df, 12, strategy="distributed", batch_merges=1
+        )
+        b4 = learn_bpe(
+            df, 12, strategy="distributed", batch_merges=4,
+            checkpoint_every=3,
+        )
+        b8 = learn_bpe(df, 12, strategy="distributed", batch_merges=8)
+        assert b1 == ref, texts
+        assert b4 == ref, texts
+        assert b8 == ref, texts
+
+
+def test_select_merge_batch_soundness_unit():
+    """_select_merge_batch unit semantics: argmax always selected;
+    overlapping candidates skipped; strict-dominance gate vs both the
+    overlapping max and the truncation guard; stop at first failure."""
+    from deltalake_datafusion_spark.operators.text import (
+        _select_merge_batch,
+    )
+
+    rows = [
+        ("a", "b", 10),   # argmax
+        ("a", "c", 9),    # overlaps 'a' -> skipped, sets bound 9
+        ("d", "e", 8),    # disjoint but 8 <= 9 -> stop
+        ("f", "g", 7),
+    ]
+    assert _select_merge_batch(rows, 4, True) == [("a", "b", 10)]
+    rows2 = [
+        ("a", "b", 10),
+        ("d", "e", 8),    # disjoint, 8 > overlap(0)/guard(0) -> take
+        ("f", "g", 8),    # disjoint, tie with previous is fine
+        ("a", "x", 7),    # overlaps -> skip
+        ("h", "i", 7),    # 7 <= overlap bound 7 -> stop
+    ]
+    assert _select_merge_batch(rows2, 4, True) == [
+        ("a", "b", 10), ("d", "e", 8), ("f", "g", 8),
+    ]
+    # truncated collection with guard 7 changes nothing here (both
+    # 8-count picks still strictly exceed it)...
+    assert _select_merge_batch(rows2, 4, False) == [
+        ("a", "b", 10), ("d", "e", 8), ("f", "g", 8),
+    ]
+    # ...but a truncation guard EQUAL to a candidate's count blocks it
+    rows3 = [("a", "b", 10), ("d", "e", 8), ("f", "g", 8)]
+    assert _select_merge_batch(rows3, 4, False) == [("a", "b", 10)]
+    assert _select_merge_batch(rows3, 4, True) == rows3
+    # batch=1 is plain argmax
+    assert _select_merge_batch(rows2, 1, True) == [("a", "b", 10)]
+
+
 def test_learn_bpe_exhausts_pairs(spark):
     """Asking for more merges than exist stops at exhaustion (every
     word reduced to one symbol)."""
