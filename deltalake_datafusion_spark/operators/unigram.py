@@ -1,0 +1,373 @@
+"""Unigram-LM tokenizer training (SentencePiece-style, Kudo 2018,
+arXiv:1804.10959) — the other mainstream subword algorithm next to
+BPE (``operators/text.py::learn_bpe``).
+
+Model: each piece carries a probability; a word's segmentation score
+is the product of its pieces' probabilities. Training here is the
+deterministic HARD-EM (Viterbi-EM) variant: the E-step assigns each
+word its single best segmentation (max-prob DP lattice walk), the
+M-step re-estimates piece probabilities from the freq-weighted usage
+counts, and pruning drops the lowest-count multi-char pieces until
+the target vocab size (single characters are never pruned, so every
+string stays segmentable — SentencePiece's required-character rule).
+Hard-EM is chosen over soft forward-backward EM deliberately: counts
+stay INTEGERS, so the driver and distributed strategies are
+bit-identical and the result is reproducible across runs and
+engines; the published soft-EM refines the same fixed points.
+
+Spark shape — identical scale profile to ``learn_bpe``:
+
+- ONE distributed pass over corpus bytes builds the distinct-word
+  frequency table (Heaps'-law metadata scale);
+- ``strategy="driver"`` collects it and trains in memory (the right
+  call whenever the word vocab fits the driver — essentially always
+  for word-split text);
+- ``strategy="distributed"`` keeps the word table on executors: each
+  E-step broadcasts the current piece log-probs and runs the Viterbi
+  DP in an Arrow ``mapInPandas`` stage, shuffling only the
+  piece-count PARTIAL AGGREGATES (≤ |vocab| rows per task); the
+  driver sees one metadata-scale count table per round. Rounds are
+  O(em_rounds · prune rounds), each ONE Spark job — no per-piece
+  jobs.
+
+The reference engine has no tokenizer training; this extends the LLM
+data-pipeline tier (SURVEY.md §2 additions).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.operators.dedup import words_col
+
+_NEG = float("-inf")
+
+
+def viterbi_segment(
+    word: str, logp: dict[str, float], max_piece_len: int
+) -> list[str]:
+    """Best (max sum-of-logprob) segmentation of ``word`` over the
+    piece table. Ties break toward the LONGEST last piece (the DP
+    scans split points left to right and keeps the first maximum),
+    deterministically. Falls back to per-character pieces for
+    positions no piece covers (unknown chars score one floor below
+    the vocab minimum so known pieces always win)."""
+    n = len(word)
+    floor = (min(logp.values()) if logp else 0.0) - 20.0
+    best = [_NEG] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j > 1:
+                    continue
+                lp = floor  # unknown single char: always available
+            s = best[j] + lp
+            if s > best[i]:
+                best[i] = s
+                back[i] = j
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def _seed_counts(
+    word_freqs: list[tuple[str, int]], max_piece_len: int
+) -> Counter:
+    """Substring candidate counts: every substring up to
+    ``max_piece_len`` of every distinct word, freq-weighted per
+    occurrence position (the SentencePiece seed heuristic)."""
+    cand: Counter = Counter()
+    for w, f in word_freqs:
+        n = len(w)
+        for i in range(n):
+            for length in range(1, min(max_piece_len, n - i) + 1):
+                cand[w[i:i + length]] += f
+    return cand
+
+
+def _unigram_train_inmem(
+    word_freqs: list[tuple[str, int]],
+    vocab_size: int,
+    max_piece_len: int,
+    em_rounds: int,
+    prune_fraction: float,
+    seed_size: int,
+) -> list[tuple[str, int, float]]:
+    """Driver-side trainer: in-memory seed + in-memory E-step, shared
+    EM/prune loop. Returns ``[(piece, count, logprob)]`` sorted by
+    (count desc, piece asc)."""
+    cand = _seed_counts(word_freqs, max_piece_len)
+    chars = {w[i] for w, _ in word_freqs for i in range(len(w))}
+    multi = sorted(
+        ((p, c) for p, c in cand.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(seed_size - len(chars), 0)]
+    seed_counts = {p: cand[p] for p in chars}
+    seed_counts.update(dict(multi))
+
+    def estep(logp: dict[str, float]) -> Counter:
+        c: Counter = Counter()
+        for w, f in word_freqs:
+            for p in viterbi_segment(w, logp, max_piece_len):
+                c[p] += f
+        return c
+
+    return _unigram_train_loop(
+        seed_counts, chars, vocab_size, em_rounds, prune_fraction, estep
+    )
+
+
+def _word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct-word frequency table — the single pass over corpus
+    bytes (same shape as learn_bpe's)."""
+    return (
+        df.select(
+            F.explode(
+                F.filter(words_col(F.col(text_col)), lambda w: w != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def learn_unigram(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    em_rounds: int = 2,
+    prune_fraction: float = 0.25,
+    seed_size: int | None = None,
+    strategy: str = "auto",
+    driver_max_words: int = 2_000_000,
+) -> list[tuple[str, int, float]]:
+    """Train a unigram-LM piece table on a corpus. Returns
+    ``[(piece, count, logprob)]`` (count desc, piece asc) — both
+    strategies bit-identical (integer counts; pytest-pinned)."""
+    if seed_size is None:
+        seed_size = max(vocab_size * 4, 64)
+    vocab = _word_freqs(df, text_col)
+    checkpointed = False
+    if strategy == "auto":
+        vocab = vocab.localCheckpoint(eager=True)
+        checkpointed = True
+        n_words = vocab.limit(driver_max_words + 1).count()
+        strategy = "driver" if n_words <= driver_max_words else "distributed"
+    if strategy == "driver":
+        word_freqs = [
+            (r["word"], int(r["freq"])) for r in vocab.collect()
+        ]
+        return _unigram_train_inmem(
+            word_freqs, vocab_size, max_piece_len, em_rounds,
+            prune_fraction, seed_size,
+        )
+    if strategy != "distributed":
+        raise ValueError(f"unknown learn_unigram strategy {strategy!r}")
+
+    wf = vocab if checkpointed else vocab.localCheckpoint(eager=True)
+    spark = df.sparkSession
+
+    # the seed substring count is ONE distributed pass + a
+    # metadata-scale top-k collect; per-word character sets ride along
+    def seed_fn(it):
+        import pandas as pd
+
+        for pdf in it:
+            c: Counter = Counter()
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                n = len(w)
+                f = int(f)
+                for i in range(n):
+                    for ln in range(1, min(max_piece_len, n - i) + 1):
+                        c[w[i:i + ln]] += f
+            yield pd.DataFrame(
+                {"piece": list(c.keys()), "cnt": list(c.values())}
+            )
+
+    seeded = (
+        wf.mapInPandas(seed_fn, "piece string, cnt long")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    chars_rows = seeded.filter(F.length("piece") == 1).collect()
+    top_multi = (
+        seeded.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(max(seed_size - len(chars_rows), 0))
+        .collect()
+    )
+    # hand the in-memory trainer a FAKE word list that reproduces the
+    # seed exactly? No — inject the real pieces: bypass _seed_counts
+    # by running the same trainer with a distributed E-step and the
+    # pre-computed seed.
+    seed_counts = {r["piece"]: int(r["cnt"]) for r in chars_rows}
+    seed_counts.update({r["piece"]: int(r["cnt"]) for r in top_multi})
+    chars = {r["piece"] for r in chars_rows}
+
+    def estep(logp: dict[str, float]) -> Counter:
+        bc = spark.sparkContext.broadcast((dict(logp), max_piece_len))
+
+        def run(it):
+            import pandas as pd
+
+            lp, mpl = bc.value
+            for pdf in it:
+                c: Counter = Counter()
+                for w, f in zip(pdf["word"], pdf["freq"]):
+                    f = int(f)
+                    for p in viterbi_segment(w, lp, mpl):
+                        c[p] += f
+                yield pd.DataFrame(
+                    {"piece": list(c.keys()), "cnt": list(c.values())}
+                )
+
+        rows = (
+            wf.mapInPandas(run, "piece string, cnt long")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        return Counter({r["piece"]: int(r["cnt"]) for r in rows})
+
+    return _unigram_train_loop(
+        seed_counts, chars, vocab_size, em_rounds, prune_fraction, estep
+    )
+
+
+def _unigram_train_loop(
+    seed_counts: dict[str, int],
+    chars: set[str],
+    vocab_size: int,
+    em_rounds: int,
+    prune_fraction: float,
+    estep,
+) -> list[tuple[str, int, float]]:
+    """EM + prune loop shared logic given a pre-computed seed and an
+    injected E-step (the tail of :func:`_unigram_train_inmem`, split
+    out so the distributed path reuses it verbatim)."""
+    counts = dict(seed_counts)
+
+    def _logp_of(cnts: dict[str, int]) -> dict[str, float]:
+        total = sum(cnts.values())
+        return {p: math.log(c / total) for p, c in cnts.items() if c > 0}
+
+    logp = _logp_of(counts)
+    target = max(vocab_size, len(chars))
+    while True:
+        for _ in range(em_rounds):
+            used = estep(logp)
+            counts = {p: int(c) for p, c in used.items() if c > 0}
+            for ch in chars:
+                counts.setdefault(ch, 1)
+            logp = _logp_of(counts)
+        n_multi = sum(1 for p in counts if len(p) > 1)
+        if len(counts) <= target or n_multi == 0:
+            break
+        n_drop = min(
+            len(counts) - target,
+            max(1, int(n_multi * prune_fraction)),
+        )
+        prunable = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda kv: (kv[1], kv[0]),
+        )
+        for p, _ in prunable[:n_drop]:
+            del counts[p]
+        logp = _logp_of(counts)
+    return sorted(
+        ((p, c, logp[p]) for p, c in counts.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+
+
+def learn_unigram_df(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """:func:`learn_unigram` as a DataFrame ``(rank, piece, count,
+    logprob)`` — the query-registry / SQL-surface form (logprob
+    rounded to 6 for cross-engine hashing conventions)."""
+    spark = df.sparkSession
+    model = learn_unigram(df, vocab_size, text_col=text_col, **kw)
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField("piece", StringType()),
+            StructField("count", LongType()),
+            StructField("logprob", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (i, p, c, round(lp, 6))
+            for i, (p, c, lp) in enumerate(model)
+        ],
+        schema,
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    model: list[tuple[str, int, float]],
+    text_col: str = "text",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Segment ``text_col`` with a trained piece table — Viterbi DP
+    per word in ONE Arrow ``mapInPandas`` stage, the model shipped as
+    a broadcast variable (metadata-scale, like the BPE merge table)."""
+    spark = df.sparkSession
+    logp = {p: lp for p, _, lp in model}
+    max_len = max((len(p) for p in logp), default=1)
+    bc = spark.sparkContext.broadcast((logp, max_len))
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(StringType()))]
+    )
+    import re as _re
+
+    def run(it):
+        import pandas as pd
+
+        lp, mpl = bc.value
+        for pdf in it:
+            res = []
+            for t in pdf[text_col]:
+                if t is None:
+                    res.append([])
+                    continue
+                pieces: list[str] = []
+                # [^\W_]+ ≈ the repo's \p{L}\p{N} word convention
+                for w in _re.findall(r"[^\W_]+", str(t).lower()):
+                    pieces.extend(viterbi_segment(w, lp, mpl))
+                res.append(pieces)
+            pdf[out_col] = pd.Series(res, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

@@ -513,6 +513,27 @@ FROM psl_dom GROUP BY domain ORDER BY domain
 """
 
 
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training
+    (``operators/unigram.py`` — Kudo 2018 hard-EM variant): seed
+    substring candidates → Viterbi-EM expected counts → prune to the
+    target vocab, on every 2nd document. NO SQL ORACLE by design — an
+    iterative EM fixed point isn't expressible in ANSI SQL (the
+    driver records the weaker rows-only check); correctness is
+    pinned in tests/test_unigram.py against an independent reference
+    implementation and a driver≡distributed equality test."""
+    from deltalake_datafusion_spark.operators.unigram import (
+        learn_unigram_df,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        F.col("doc_id") % 2 == 0
+    )
+    return learn_unigram_df(
+        d, vocab_size=48, max_piece_len=6, em_rounds=2
+    ).orderBy("rank")
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("pipe_domain_psl", pipe_domain_psl, _psl_oracle_sql()),
@@ -520,4 +541,5 @@ def specs() -> list[QuerySpec]:
             "text_classifier_score", text_classifier_score, _CLASSIFIER_SQL
         ),
         QuerySpec("pipe_web_e2e", pipe_web_e2e, _web_e2e_oracle_sql()),
+        QuerySpec("text_unigram_train", text_unigram_train, None),
     ]

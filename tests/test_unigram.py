@@ -1,0 +1,166 @@
+"""Unigram-LM tokenizer training (operators/unigram.py): pinned
+against an independent in-test reference (hard-EM over the same word
+frequencies, different code shape), driver ≡ distributed equality,
+encode totality, and pruning invariants."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.operators.unigram import (
+    learn_unigram,
+    learn_unigram_df,
+    unigram_encode,
+    viterbi_segment,
+)
+
+CORPUS = [
+    "the theme of the thesis is thin, the thin theme",
+    "low lower lowest newer newest wide wider widest",
+    "banana bandana ananas and a band",
+    "internationalization and internments intern",
+]
+
+
+def _ref_words(texts):
+    import re
+
+    wc = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                wc[w] += 1
+    return wc
+
+
+def _ref_viterbi(word, logp, mpl):
+    # different shape from the module: forward table of (score, path)
+    table = [(0.0, [])] + [(-math.inf, None)] * len(word)
+    for i in range(1, len(word) + 1):
+        floor = min(logp.values()) - 20.0
+        for j in range(max(0, i - mpl), i):
+            p = word[j:i]
+            lp = logp.get(p, floor if i - j == 1 else None)
+            if lp is None or table[j][1] is None:
+                continue
+            s = table[j][0] + lp
+            if s > table[i][0]:
+                table[i] = (s, table[j][1] + [p])
+    return table[len(word)][1]
+
+
+def _ref_train(texts, vocab_size, mpl=8, em_rounds=2, frac=0.25,
+               seed_size=None):
+    wc = _ref_words(texts)
+    if seed_size is None:
+        seed_size = max(vocab_size * 4, 64)
+    cand = Counter()
+    for w, f in wc.items():
+        for i in range(len(w)):
+            for L in range(1, min(mpl, len(w) - i) + 1):
+                cand[w[i:i + L]] += f
+    chars = {c for w in wc for c in w}
+    counts = {c: cand[c] for c in chars}
+    for p, c in sorted(
+        ((p, c) for p, c in cand.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(seed_size - len(chars), 0)]:
+        counts[p] = c
+
+    def logp_of(cn):
+        tot = sum(cn.values())
+        return {p: math.log(c / tot) for p, c in cn.items() if c > 0}
+
+    lp = logp_of(counts)
+    target = max(vocab_size, len(chars))
+    while True:
+        for _ in range(em_rounds):
+            used = Counter()
+            for w, f in wc.items():
+                for p in _ref_viterbi(w, lp, mpl):
+                    used[p] += f
+            counts = {p: c for p, c in used.items() if c > 0}
+            for ch in chars:
+                counts.setdefault(ch, 1)
+            lp = logp_of(counts)
+        n_multi = sum(1 for p in counts if len(p) > 1)
+        if len(counts) <= target or n_multi == 0:
+            break
+        n_drop = min(len(counts) - target,
+                     max(1, int(n_multi * frac)))
+        for p, _ in sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda kv: (kv[1], kv[0]),
+        )[:n_drop]:
+            del counts[p]
+        lp = logp_of(counts)
+    return sorted(((p, c, lp[p]) for p, c in counts.items()),
+                  key=lambda t: (-t[1], t[0]))
+
+
+def test_unigram_driver_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = learn_unigram(df, 40, strategy="driver", max_piece_len=6)
+    want = _ref_train(CORPUS, 40, mpl=6)
+    assert [(p, c) for p, c, _ in got] == [(p, c) for p, c, _ in want]
+    for (_, _, a), (_, _, b) in zip(got, want):
+        assert abs(a - b) < 1e-12
+
+
+def test_unigram_distributed_identical_to_driver(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    drv = learn_unigram(df, 40, strategy="driver", max_piece_len=6)
+    dist = learn_unigram(df, 40, strategy="distributed", max_piece_len=6)
+    assert [(p, c) for p, c, _ in drv] == [(p, c) for p, c, _ in dist]
+    # auto resolves to driver at this size
+    assert learn_unigram(df, 40, max_piece_len=6) == drv
+
+
+def test_unigram_vocab_invariants(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    model = learn_unigram(df, 30, strategy="driver", max_piece_len=6)
+    pieces = [p for p, _, _ in model]
+    chars = {c for t in CORPUS for c in t.lower() if c.isalnum()}
+    # every required character survives pruning
+    assert chars <= set(pieces)
+    # vocab converges to the target (or the char floor)
+    assert len(pieces) <= max(30, len(chars)) + 0
+    # probabilities normalize over counts
+    total = sum(c for _, c, _ in model)
+    for p, c, lp in model:
+        assert abs(lp - math.log(c / total)) < 1e-12
+    # multi-char pieces actually learned
+    assert any(len(p) >= 3 for p in pieces)
+
+
+def test_unigram_encode_total_and_in_vocab(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    model = learn_unigram(df, 40, strategy="driver", max_piece_len=6)
+    vocab = {p for p, _, _ in model}
+    enc = unigram_encode(df, model, out_col="pieces")
+    import re
+
+    for r in enc.collect():
+        words = [w for w in re.split(r"[^a-z0-9]+", r.text.lower()) if w]
+        assert "".join(r.pieces) == "".join(words)
+        assert all(p in vocab for p in r.pieces)
+
+
+def test_unigram_df_form(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    out = learn_unigram_df(df, 30, max_piece_len=6)
+    rows = out.collect()
+    assert [r.rank for r in rows] == list(range(len(rows)))
+    assert rows[0]["count"] >= rows[-1]["count"]
+    assert set(out.columns) == {"rank", "piece", "count", "logprob"}
+
+
+def test_viterbi_prefers_known_pieces():
+    logp = {"ab": math.log(0.5), "a": math.log(0.25),
+            "b": math.log(0.25)}
+    assert viterbi_segment("ab", logp, 4) == ["ab"]
+    # unknown char falls to the floor but still segments
+    assert viterbi_segment("axb", logp, 4) == ["a", "x", "b"]
