@@ -167,3 +167,127 @@ def domain_blocklist_filter(
         "__dom",
         how,
     ).drop("__dom")
+
+
+def url_path(col) -> Column:
+    """Path component of a URL (query/fragment excluded; ``/`` for a
+    bare authority so the set element is always non-empty)."""
+    p = F.regexp_extract(col, r"^[^/]*//[^/?#]*([^?#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def domain_mirror_pairs(
+    df: DataFrame,
+    url_col: str,
+    threshold: float = 0.6,
+    num_perm: int = 64,
+    bands: int = 32,
+    psl: bool = True,
+    max_bucket: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """MIRROR-SITE detection: near-duplicate registered DOMAINS by
+    MinHash-LSH over each domain's URL *path set* — mirrors serve the
+    same content tree under a different registrant, so their path
+    sets are near-identical even when hosts, schemes and tracking
+    params differ. The standard crawl-dedup companion to per-document
+    near-dup (a mirror is caught once at the domain level instead of
+    once per page).
+
+    Returns ``(domain_a, domain_b, n_paths_a, n_paths_b, n_common,
+    jaccard)`` for exact path-set Jaccard ≥ ``threshold``,
+    ``domain_a < domain_b``.
+
+    Scale shape: the corpus collapses to one distinct-path-hash set
+    per registered domain (shuffles carry only (domain, 8-byte hash)
+    digests — URLs and text never move); MinHash signatures, LSH
+    banding and the candidate join are the shared machinery of
+    ``operators/dedup.py`` (never all-pairs across domains); exact
+    verification joins only LSH candidates. PSL keying (round-8
+    snapshot) is what makes the unit of comparison the REGISTRANT —
+    the two-label heuristic would fold every ``*.co.uk`` mirror
+    family into one key and miss them all."""
+    from deltalake_datafusion_spark.operators.dedup import (
+        _signature_of,
+        minhash_lsh_candidates,
+    )
+
+    if psl:
+        from deltalake_datafusion_spark.operators.psl import (
+            with_registered_domain,
+        )
+
+        keyed = with_registered_domain(df, url_col, out_col="domain")
+    else:
+        keyed = df.withColumn(
+            "domain", url_registered_domain(F.col(url_col))
+        )
+    paths = keyed.select(
+        "domain", url_path(F.col(url_col)).alias("__path")
+    ).distinct()
+    sets_ = paths.groupBy("domain").agg(
+        F.collect_set(F.xxhash64("__path")).alias("sh")
+    )
+    hsh = sets_.select(F.xxhash64("domain").alias("id"), "sh")
+    names = sets_.select(
+        F.xxhash64("domain").alias("id"),
+        "domain",
+        F.size("sh").alias("n_paths"),
+    )
+    sigs = _signature_of(hsh, num_perm, seed)
+    cands = minhash_lsh_candidates(sigs, bands, max_bucket)
+    verified = (
+        cands.join(
+            hsh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")),
+            "a",
+        )
+        .join(
+            hsh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")),
+            "b",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "n_common", "jaccard")
+    )
+    out = (
+        verified.join(
+            names.select(
+                F.col("id").alias("a"),
+                F.col("domain").alias("dom_x"),
+                F.col("n_paths").alias("np_x"),
+            ),
+            "a",
+        )
+        .join(
+            names.select(
+                F.col("id").alias("b"),
+                F.col("domain").alias("dom_y"),
+                F.col("n_paths").alias("np_y"),
+            ),
+            "b",
+        )
+    )
+    first = F.col("dom_x") <= F.col("dom_y")
+    return out.select(
+        F.when(first, F.col("dom_x")).otherwise(F.col("dom_y")).alias(
+            "domain_a"
+        ),
+        F.when(first, F.col("dom_y")).otherwise(F.col("dom_x")).alias(
+            "domain_b"
+        ),
+        F.when(first, F.col("np_x")).otherwise(F.col("np_y")).alias(
+            "n_paths_a"
+        ),
+        F.when(first, F.col("np_y")).otherwise(F.col("np_x")).alias(
+            "n_paths_b"
+        ),
+        "n_common",
+        "jaccard",
+    )

@@ -534,6 +534,81 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def pipe_domain_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection (``operators/urls.py::
+    domain_mirror_pairs``): every document contributes a primary URL
+    under ``site<d>.co.uk`` and a mirror URL under ``site<d>-m.com``
+    with the SAME path except for every 7th document — 25 planted
+    mirror families whose path-set Jaccard the pipeline must find via
+    MinHash-LSH over per-domain path sets and verify exactly. The
+    oracle computes ground-truth exact Jaccard over the same path
+    sets (all-pairs is fine at oracle scale; the Spark side is
+    banded LSH and must reach recall 1 on every pair ≥ threshold for
+    the hashes to match — the recall of the 32-band/2-row
+    configuration at j ≥ 0.6 makes a miss probability ≤ 1e-6, and
+    the seeded pipeline is deterministic)."""
+    from deltalake_datafusion_spark.operators.urls import (
+        domain_mirror_pairs,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    fam = F.col("doc_id") % 25
+    m = F.col("doc_id") % 89
+    primary = F.concat(
+        F.lit("https://site"), fam, F.lit(".co.uk/p/"), fam, F.lit("/"), m
+    )
+    mirror = F.concat(
+        F.lit("https://site"), fam, F.lit("-m.com"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/only/")).otherwise(
+            F.lit("/p/")
+        ),
+        fam, F.lit("/"), m,
+    )
+    urls = d.select(
+        F.explode(F.array(primary, mirror)).alias("url")
+    )
+    pairs = domain_mirror_pairs(
+        urls, "url", threshold=0.6, num_perm=64, bands=32
+    )
+    return pairs.select(
+        "domain_a", "domain_b", "n_paths_a", "n_paths_b", "n_common",
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("domain_a", "domain_b")
+
+
+_DOMAIN_MIRROR_SQL = """
+WITH base AS (
+  SELECT doc_id, doc_id % 25 AS d, doc_id % 89 AS m FROM documents
+),
+urls AS (
+  SELECT 'site' || d || '.co.uk' AS domain,
+         '/p/' || d || '/' || m AS path
+  FROM base
+  UNION ALL
+  SELECT 'site' || d || '-m.com' AS domain,
+         CASE WHEN doc_id % 7 = 0 THEN '/only/' ELSE '/p/' END
+           || d || '/' || m AS path
+  FROM base
+),
+paths AS (SELECT DISTINCT domain, path FROM urls),
+counts AS (SELECT domain, COUNT(*) AS n FROM paths GROUP BY domain),
+common AS (
+  SELECT a.domain AS da, b.domain AS db, COUNT(*) AS c
+  FROM paths a JOIN paths b ON a.path = b.path AND a.domain < b.domain
+  GROUP BY 1, 2
+)
+SELECT da AS domain_a, db AS domain_b,
+  CAST(ca.n AS INT) AS n_paths_a, CAST(cb.n AS INT) AS n_paths_b,
+  CAST(c AS INT) AS n_common,
+  ROUND(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+FROM common
+JOIN counts ca ON ca.domain = da
+JOIN counts cb ON cb.domain = db
+WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.6
+ORDER BY domain_a, domain_b
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("pipe_domain_psl", pipe_domain_psl, _psl_oracle_sql()),
@@ -542,4 +617,7 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec("pipe_web_e2e", pipe_web_e2e, _web_e2e_oracle_sql()),
         QuerySpec("text_unigram_train", text_unigram_train, None),
+        QuerySpec(
+            "pipe_domain_mirror", pipe_domain_mirror, _DOMAIN_MIRROR_SQL
+        ),
     ]

@@ -267,6 +267,40 @@ def test_blocklist_warns_on_unmatchable_entries(spark):
     assert kept2 == {2}
 
 
+def test_domain_mirror_pairs_planted(spark):
+    """domain_mirror_pairs finds a planted mirror family (same path
+    tree, different registrant) with the exact Jaccard, keys by PSL
+    registrant (a *.co.uk mirror family is invisible to the 2-label
+    heuristic), and does not pair unrelated domains."""
+    from deltalake_datafusion_spark.operators.urls import (
+        domain_mirror_pairs,
+    )
+
+    rows = []
+    # planted mirrors: alpha.co.uk vs alpha-m.net share 9 of 10 paths
+    for i in range(10):
+        rows.append((f"https://x.Alpha.CO.UK/p/{i}",))
+        rows.append(
+            (f"https://alpha-m.net/{'only' if i == 0 else 'p'}/{i}",)
+        )
+    # decoy domain with a disjoint tree
+    for i in range(10):
+        rows.append((f"https://beta.org/q/{i}",))
+    df = spark.createDataFrame(rows, "url string")
+    got = domain_mirror_pairs(
+        df, "url", threshold=0.6, num_perm=64, bands=32
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.domain_a, r.domain_b) == ("alpha-m.net", "alpha.co.uk")
+    assert r.n_paths_a == 10 and r.n_paths_b == 10
+    assert r.n_common == 9
+    assert abs(r.jaccard - 9 / 11) < 1e-12
+    # below threshold: nothing survives the exact verify
+    none = domain_mirror_pairs(df, "url", threshold=0.9).collect()
+    assert none == []
+
+
 def test_psl_rejects_ambiguous_args(spark):
     df = spark.createDataFrame([("https://a.com/x", "a.com")],
                                "url string, host string")
