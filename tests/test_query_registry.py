@@ -33,7 +33,8 @@ def test_every_spec_is_well_formed():
     assert len(set(names)) == len(names)  # unique
     no_oracle = [s.name for s in specs if not s.oracle]
     # rows-only checks are reserved for cross-engine-nondeterministic
-    # sketches; everything else must carry a DuckDB oracle
-    assert no_oracle == ["q_approx_aggs"], no_oracle
+    # sketches and non-SQL-expressible iterative algorithms (unigram
+    # EM); everything else must carry a DuckDB oracle
+    assert no_oracle == ["q_approx_aggs", "text_unigram_train"], no_oracle
     for s in specs:
         assert callable(s.build), s.name
