@@ -3,8 +3,9 @@ correctness-window prefix — queries/__init__.py ordering rule):
 
 - ``pipe_domain_psl`` — PSL registered-domain resolution;
 - ``text_classifier_score`` — hashed-n-gram linear quality classifier;
-- ``pipe_domain_mirror`` — domain-level MinHash mirror detection;
-- ``pipe_web_e2e`` — the WARC→HTML→URL→filter→dedup chain end to end.
+- ``pipe_web_e2e`` — the WARC→HTML→URL→filter→dedup chain end to end;
+- ``text_unigram_train`` — unigram-LM tokenizer training (rows-only);
+- ``pipe_domain_mirror`` — domain-level MinHash mirror detection.
 """
 
 from __future__ import annotations
