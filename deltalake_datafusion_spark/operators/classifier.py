@@ -142,3 +142,96 @@ def lexicon_weights(
 def sigmoid(z: float) -> float:
     """Reference sigmoid for tests/driver-side thresholds."""
     return 1.0 / (1.0 + math.exp(-z))
+
+
+def train_linear_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    include_bigrams: bool = True,
+    n_iters: int = 50,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> tuple[list[float], float]:
+    """Full-batch logistic-regression TRAINING over the identical
+    featurization :func:`classifier_score` uses at inference (hashed
+    unigram+bigram buckets, mean normalization) — returns
+    ``(weights, bias)`` ready to pass straight to inference.
+
+    Spark shape: the corpus is featurized ONCE (md5 bucket arrays,
+    ``localCheckpoint``ed — iterations never re-hash text); each GD
+    iteration is ONE job: the logit is an expression over the bucket
+    array with the current weights as a plan literal, the per-row
+    residual fans out to (bucket, residual/n_feats) pairs, and a
+    partial-aggregated ``groupBy(bucket)`` returns ≤ ``n_buckets``
+    gradient rows to the driver. Shuffle per iteration ∝ n_buckets ·
+    tasks, independent of corpus size; the model (n_buckets doubles)
+    is metadata-scale by construction. The label must be 0/1.
+
+    Full-batch (not SGD) keeps the run deterministic up to
+    floating-point partial-aggregation order — repeat runs agree to
+    ~1e-12 relative, pinned loosely in tests; there is no sampling
+    randomness anywhere."""
+    feats = _feature_array(F.col(text_col), include_bigrams)
+    base = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        F.transform(
+            feats,
+            lambda t: (hash_bucket(t, n_buckets)).cast("int"),
+        ).alias("__b"),
+    ).localCheckpoint(eager=True)
+    n_docs = base.count()
+    if n_docs == 0:
+        return [0.0] * n_buckets, 0.0
+
+    w = [0.0] * n_buckets
+    bias = 0.0
+    for _ in range(n_iters):
+        warr = F.lit(w)
+        dot = F.aggregate(
+            F.transform(
+                F.col("__b"), lambda b: F.element_at(warr, b + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nf = F.size("__b")
+        z = F.when(nf > 0, F.lit(bias) + dot / nf).otherwise(F.lit(bias))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = (p - F.col("__y")).alias("__e")
+        inv = F.when(nf > 0, F.lit(1.0) / nf).otherwise(F.lit(0.0))
+        # one exploded (bucket, err·weight) stream per iteration; the
+        # sentinel bucket -1 carries the bias gradient so weight and
+        # bias gradients come back in the SAME single aggregation job
+        pairs = F.concat(
+            F.transform(
+                F.col("__b"),
+                lambda b: F.struct(b.alias("bk"), inv.alias("wgt")),
+            ),
+            F.array(
+                F.struct(
+                    F.lit(-1).alias("bk"), F.lit(1.0).alias("wgt")
+                )
+            ),
+        )
+        rows = (
+            base.select(err, F.explode(pairs).alias("__p"))
+            .groupBy("__p.bk")
+            .agg(F.sum(F.col("__e") * F.col("__p.wgt")).alias("__g"))
+            .collect()
+        )
+        bias_grad = 0.0
+        grad = [0.0] * n_buckets
+        for r in rows:
+            if int(r["bk"]) < 0:
+                bias_grad = float(r["__g"])
+            else:
+                grad[int(r["bk"])] = float(r["__g"])
+        scale = lr / n_docs
+        w = [
+            wi - scale * (gi + l2 * wi)
+            for wi, gi in zip(w, grad)
+        ]
+        bias -= scale * float(bias_grad)
+    return w, bias

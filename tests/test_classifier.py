@@ -101,3 +101,93 @@ def test_sigmoid_monotone_threshold_identity():
     for t in (0.3, 0.5, 0.9):
         z = math.log(t / (1 - t))
         assert abs(sigmoid(z) - t) < 1e-12
+
+
+def _train_rows():
+    pos = ["excellent informative well researched article",
+           "clear thorough useful excellent guide",
+           "informative excellent detailed writeup",
+           "useful thorough informative research"]
+    neg = ["buy now spam click here spam",
+           "spam spam free money click now",
+           "click buy spam free offer",
+           "free spam now buy click"]
+    rows = []
+    for i in range(6):
+        rows += [(f"{p} v{i}", 1) for p in pos]
+        rows += [(f"{n} v{i}", 0) for n in neg]
+    return rows
+
+
+def _ref_gd(rows, n_buckets, n_iters, lr, bigrams=True):
+    """Independent numpy full-batch GD over the same featurization."""
+    import numpy as np
+    import re
+
+    X, y = [], []
+    for text, label in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])] \
+            if bigrams else toks
+        x = np.zeros(n_buckets)
+        for f in feats:
+            x[_bucket(f, n_buckets)] += 1.0
+        if feats:
+            x /= len(feats)
+        X.append(x)
+        y.append(float(label))
+    X = np.vstack(X)
+    y = np.array(y)
+    w = np.zeros(n_buckets)
+    b = 0.0
+    n = len(y)
+    for _ in range(n_iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        e = p - y
+        w -= lr / n * (X.T @ e)
+        b -= lr / n * e.sum()
+    return w, b
+
+
+def test_train_linear_classifier_matches_numpy_reference(spark):
+    from deltalake_datafusion_spark.operators.classifier import (
+        train_linear_classifier,
+    )
+
+    rows = _train_rows()
+    df = spark.createDataFrame(rows, "text string, label int")
+    w, b = train_linear_classifier(
+        df, "label", n_buckets=256, n_iters=15, lr=2.0
+    )
+    import numpy as np
+
+    w_ref, b_ref = _ref_gd(rows, 256, 15, 2.0)
+    assert abs(b - b_ref) < 1e-9
+    assert float(np.max(np.abs(np.array(w) - w_ref))) < 1e-9
+
+
+def test_train_then_score_separates_planted_classes(spark):
+    from deltalake_datafusion_spark.operators.classifier import (
+        classifier_score,
+        train_linear_classifier,
+    )
+
+    rows = _train_rows()
+    df = spark.createDataFrame(rows, "text string, label int")
+    w, b = train_linear_classifier(
+        df, "label", n_buckets=256, n_iters=60, lr=4.0
+    )
+    scored = classifier_score(df, w, bias=b).collect()
+    correct = sum(
+        1 for r in scored if (r.quality_score >= 0.5) == (r.label == 1)
+    )
+    assert correct == len(rows)  # linearly separable planted classes
+    # and the trained model generalizes to unseen mixes of the lexicon
+    unseen = spark.createDataFrame(
+        [("excellent thorough article", 1),
+         ("spam click free buy", 0)],
+        "text string, label int",
+    )
+    out = classifier_score(unseen, w, bias=b).collect()
+    for r in out:
+        assert (r.quality_score >= 0.5) == (r.label == 1)

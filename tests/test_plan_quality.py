@@ -520,3 +520,37 @@ def test_span_dedup_plan_is_codegen(spark, sf_dir):
     plan = _plan(dedup_substring_spans(t["documents"], k=8))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_domain_mirror_plan_is_banded_not_all_pairs(spark):
+    """Round-8: mirror detection must stay LSH-banded — no cartesian
+    product across domains, no Python stage, PSL lookup broadcast."""
+    from deltalake_datafusion_spark.operators.urls import (
+        domain_mirror_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(f"https://site{i % 9}.co.uk/p/{i}",) for i in range(200)],
+        "url string",
+    )
+    plan = _plan(domain_mirror_pairs(df, "url"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # the K PSL suffix joins
+
+
+def test_classifier_inference_inlines_into_scan(spark, sf_dir):
+    """Round-8: classifier scoring composes into the scan stage —
+    no exchange before the filter, weight vector is a plan literal."""
+    from deltalake_datafusion_spark.operators.classifier import (
+        classifier_score,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    out = classifier_score(
+        t["documents"].select("doc_id", "text"), [0.25] * 64
+    ).filter(F.col("quality_score") > 0.5)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
