@@ -426,3 +426,208 @@ def brute_force_near_dup(
     if probe.rdd.getNumPartitions() < target:
         probe = probe.repartition(target)
     return probe.mapInPandas(score, "a long, b long, cosine double")
+
+
+# ------------------------------------------------------------------ #
+# Product quantization (PQ / ADC)                                     #
+# ------------------------------------------------------------------ #
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou, Douze, Schmid
+    2011, "Product Quantization for Nearest Neighbor Search"): split
+    each vector into ``m`` subvectors and run EUCLIDEAN k-means with
+    ``k`` centroids independently per subspace. Returns
+    ``codebooks[j][c]`` = centroid ``c`` of subspace ``j``, every
+    value rounded to 6 decimals so the codebooks replay bit-for-bit
+    as plan/SQL literals in any engine.
+
+    Scale shape: same bounded-deterministic-sample trick as
+    ``_kmeans_anchors`` — the driver Lloyd loops are
+    O(sample · dim · iters) regardless of corpus size; the trained
+    model is m·k·(dim/m) floats (KBs), metadata-scale forever."""
+    import numpy as np
+
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([list(r[1]) for r in sample], dtype=np.float64)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        rng = np.random.RandomState(seed + j)
+        kk = min(k, n)
+        # k-means++ seeding on squared euclidean distance
+        cents = [S[rng.randint(n)]]
+        for _ in range(1, kk):
+            d2 = np.min(
+                np.stack([((S - c) ** 2).sum(axis=1) for c in cents]),
+                axis=0,
+            )
+            total = d2.sum()
+            if total <= 0:
+                cents.append(S[rng.randint(n)])
+                continue
+            cents.append(S[rng.choice(n, p=d2 / total)])
+        C = np.stack(cents)
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            newC = np.zeros_like(C)
+            for c in range(kk):
+                members = S[assign == c]
+                if len(members) == 0:
+                    worst = np.argmax(np.min(d, axis=1))
+                    newC[c] = S[worst]
+                else:
+                    newC[c] = members.mean(axis=0)
+            if np.allclose(newC, C, atol=1e-9):
+                C = newC
+                break
+            C = newC
+        codebooks.append(
+            [[round(float(x), 6) for x in row] for row in C]
+        )
+    return codebooks
+
+
+def _sq_dist(a, b):
+    """Squared euclidean distance between two array<double> columns —
+    strict left-fold aggregate (deterministic, engine-replayable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode_col(vec_col, codebooks: list[list[list[float]]]):
+    """PQ code of a vector column: per subspace the index of the
+    nearest centroid (ties → smallest index via array_position's
+    first-match contract). Pure expression tree — m·k squared
+    distances per row, all codegen; the codebooks ride in the plan
+    as literals (KBs)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    codes = []
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        dists = F.array(*[_sq_dist(sub, F.lit(c)) for c in cb])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append the PQ code (array<int>, length m) — the 100 TB storage
+    win: m small ints (m·log2(k) bits information) replace dim floats
+    per vector in the candidate-search index (for dim=64, m=8, k=16:
+    8 bytes of code vs 256 bytes of float32 — 32×)."""
+    return df.withColumn(out_col, pq_encode_col(F.col(vec_col), codebooks))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = 8,
+    n_centroids: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """PQ-ADC top-k with exact re-rank: corpus vectors are PQ-encoded
+    once (materializable as the compressed index); per (query,
+    vector) the APPROXIMATE distance is the asymmetric-distance
+    computation Σ_j ‖q_sub_j − centroid[code_j]‖² — the query stays
+    un-quantized, only the corpus is coded; the top ``k·refine`` ADC
+    candidates per query are re-ranked by exact cosine.
+
+    Same output contract as the other top-k operators:
+    (query_id, neighbor_id, cosine, rank). At scale the ADC pass
+    reads m ints + the broadcast codebooks per row instead of dim
+    floats, and the exact re-rank touches only k·refine vectors per
+    query."""
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, m=m, k=n_centroids, id_col=id_col, vec_col=vec_col,
+            seed=seed,
+        )
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    coded = pq_encode(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nvec"),
+        ),
+        codebooks,
+        vec_col="nvec",
+        out_col="code",
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.transform(
+                F.col(query_vec_col), lambda x: x.cast("double")
+            ).alias("qvec"),
+        )
+    )
+    pairs = coded.crossJoin(q)
+    adc = None
+    for j, cb in enumerate(codebooks):
+        qsub = F.slice(F.col("qvec"), j * dsub + 1, dsub)
+        cent = F.element_at(
+            F.lit(cb), F.element_at(F.col("code"), j + 1) + 1
+        )
+        term = _sq_dist(qsub, cent)
+        adc = term if adc is None else adc + term
+    scored = pairs.select(
+        "query_id", "neighbor_id", "nvec", "qvec", adc.alias("adc")
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") <= k * refine)
+    )
+    exact = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_col(F.col("qvec"), F.col("nvec")).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

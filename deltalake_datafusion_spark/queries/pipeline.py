@@ -654,6 +654,26 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC retrieval (round 8,
+    ``operators/similarity.py::pq_topk`` — Jégou et al. 2011): the
+    corpus is PQ-coded (m=8 subspaces × 16 centroids → 8 small ints
+    per 64-dim vector, a 32× compressed index), queries rank by the
+    asymmetric distance over the coded corpus, and the top k·refine
+    ADC candidates re-rank by exact cosine. On the planted corpus the
+    near-duplicate's quantization cells match its original's almost
+    everywhere, so ADC ranks it far above the random-pair ceiling and
+    the refined top-2 equals the exact answer — same brute-force
+    oracle contract as sim_lsh_topk / sim_ivf_topk."""
+    from deltalake_datafusion_spark.operators.similarity import pq_topk
+
+    corpus, queries = _planted_embeddings(spark, sf_dir)
+    return pq_topk(
+        corpus, queries, k=2, m=8, n_centroids=16, refine=8,
+        id_col="vec_id", vec_col="v",
+    ).orderBy("query_id", "rank")
+
+
 def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 symmetric quantization audit over the embeddings table:
     per-vector scale + quantized values reproduced exactly by the

@@ -611,6 +611,15 @@ ORDER BY domain_a, domain_b
 
 
 def specs() -> list[QuerySpec]:
+    # sim_pq_topk lives in queries/pipeline.py next to its ANN
+    # siblings but registers HERE so new names append after the
+    # pinned 50-entry correctness-window prefix (sim_ivf_topk sits
+    # inside it — inserting beside it would shift pinned positions)
+    from deltalake_datafusion_spark.queries.pipeline import (
+        _SIM_PLANTED_SQL,
+        sim_pq_topk,
+    )
+
     return [
         QuerySpec("pipe_domain_psl", pipe_domain_psl, _psl_oracle_sql()),
         QuerySpec(
@@ -621,4 +630,5 @@ def specs() -> list[QuerySpec]:
         QuerySpec(
             "pipe_domain_mirror", pipe_domain_mirror, _DOMAIN_MIRROR_SQL
         ),
+        QuerySpec("sim_pq_topk", sim_pq_topk, _SIM_PLANTED_SQL),
     ]

@@ -143,6 +143,70 @@ def test_lsh_topk_recall_vs_bruteforce(spark, emb):
     assert hits / total >= 0.3
 
 
+def test_pq_train_encode_shapes_and_determinism(spark, emb):
+    """pq_train: m codebooks × k centroids × dim/m values, rounded to
+    6dp, deterministic; pq_encode: codes in [0,k), self-consistent
+    with a local argmin replay."""
+    cbs = similarity.pq_train(emb, m=8, k=16, sample_rows=256)
+    assert len(cbs) == 8 and all(len(cb) == 16 for cb in cbs)
+    assert all(len(c) == 8 for cb in cbs for c in cb)
+    assert all(round(x, 6) == x for cb in cbs for c in cb for x in c)
+    assert cbs == similarity.pq_train(emb, m=8, k=16, sample_rows=256)
+
+    coded = similarity.pq_encode(
+        emb.filter("vec_id < 20"), cbs, vec_col="embedding"
+    ).collect()
+    for r in coded:
+        assert len(r.pq_code) == 8
+        assert all(0 <= c < 16 for c in r.pq_code)
+        # local argmin replay (ties -> smallest index, like the Column)
+        v = [float(x) for x in r.embedding]
+        for j, cb in enumerate(cbs):
+            sub = v[j * 8:(j + 1) * 8]
+            dists = [
+                sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in cb
+            ]
+            assert r.pq_code[j] == dists.index(min(dists))
+
+
+def test_pq_topk_recall_and_planted_exactness(spark, emb):
+    """PQ-ADC + exact re-rank: self always survives; recall of the
+    exact top-5 is high at refine=8; a near-duplicate planted far
+    above the random ceiling is retrieved exactly."""
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    approx = similarity.pq_topk(
+        emb, queries, k=5, m=8, n_centroids=16, refine=8
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q, s in approx_sets.items():
+        assert q in s  # ADC distance of a vector to its own code is minimal
+    hits = sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets
+    )
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.6
+    # exact cosine values on the overlap match brute force bit-for-bit
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert r.cosine == exact_cos[(r.query_id, r.neighbor_id)]
+
+
+def test_pq_rejects_indivisible_dim(spark, emb):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        similarity.pq_train(emb, m=7, k=8, sample_rows=64)
+
+
 def test_ivf_topk_recall(spark, emb):
     queries = emb.filter("vec_id < 10").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
