@@ -83,6 +83,68 @@ def viterbi_segment(
     return out
 
 
+def _logsumexp(vals: list[float]) -> float:
+    m = max(vals)
+    if m == _NEG:
+        return _NEG
+    return m + math.log(sum(math.exp(v - m) for v in vals))
+
+
+def soft_counts(
+    word: str, logp: dict[str, float], max_piece_len: int
+) -> dict[str, float]:
+    """Forward-backward EXPECTED piece counts of one word under the
+    unigram model (the published soft E-step, Kudo 2018 §3.2):
+    posterior of lattice edge (j,i) = exp(α[j] + logp + β[i] − α[n]),
+    computed in log space (logsumexp) so long words cannot underflow.
+    Unknown single characters get the same one-below-vocab floor as
+    :func:`viterbi_segment`, keeping every word's lattice connected."""
+    n = len(word)
+    floor = (min(logp.values()) if logp else 0.0) - 20.0
+
+    def _lp(j: int, i: int) -> float | None:
+        piece = word[j:i]
+        lp = logp.get(piece)
+        if lp is None and i - j == 1:
+            lp = floor
+        return lp
+
+    la = [_NEG] * (n + 1)
+    la[0] = 0.0
+    for i in range(1, n + 1):
+        vals = []
+        for j in range(max(0, i - max_piece_len), i):
+            lp = _lp(j, i)
+            if lp is not None and la[j] != _NEG:
+                vals.append(la[j] + lp)
+        if vals:
+            la[i] = _logsumexp(vals)
+    lb = [_NEG] * (n + 1)
+    lb[n] = 0.0
+    for j in range(n - 1, -1, -1):
+        vals = []
+        for i in range(j + 1, min(n, j + max_piece_len) + 1):
+            lp = _lp(j, i)
+            if lp is not None and lb[i] != _NEG:
+                vals.append(lp + lb[i])
+        if vals:
+            lb[j] = _logsumexp(vals)
+    z = la[n]
+    out: dict[str, float] = {}
+    if z == _NEG:
+        return out
+    for j in range(n):
+        for i in range(j + 1, min(n, j + max_piece_len) + 1):
+            lp = _lp(j, i)
+            if lp is None or la[j] == _NEG or lb[i] == _NEG:
+                continue
+            post = math.exp(la[j] + lp + lb[i] - z)
+            if post > 0.0:
+                piece = word[j:i]
+                out[piece] = out.get(piece, 0.0) + post
+    return out
+
+
 def _seed_counts(
     word_freqs: list[tuple[str, int]], max_piece_len: int
 ) -> Counter:
@@ -105,8 +167,10 @@ def _unigram_train_inmem(
     em_rounds: int,
     prune_fraction: float,
     seed_size: int,
+    em_mode: str = "hard",
 ) -> list[tuple[str, int, float]]:
-    """Driver-side trainer: in-memory seed + in-memory E-step, shared
+    """Driver-side trainer: in-memory seed + in-memory E-step (hard
+    Viterbi counts or soft forward-backward expected counts), shared
     EM/prune loop. Returns ``[(piece, count, logprob)]`` sorted by
     (count desc, piece asc)."""
     cand = _seed_counts(word_freqs, max_piece_len)
@@ -118,15 +182,26 @@ def _unigram_train_inmem(
     seed_counts = {p: cand[p] for p in chars}
     seed_counts.update(dict(multi))
 
-    def estep(logp: dict[str, float]) -> Counter:
-        c: Counter = Counter()
-        for w, f in word_freqs:
-            for p in viterbi_segment(w, logp, max_piece_len):
-                c[p] += f
-        return c
+    if em_mode == "hard":
+        def estep(logp: dict[str, float]) -> Counter:
+            c: Counter = Counter()
+            for w, f in word_freqs:
+                for p in viterbi_segment(w, logp, max_piece_len):
+                    c[p] += f
+            return c
+    elif em_mode == "soft":
+        def estep(logp: dict[str, float]) -> Counter:
+            c: Counter = Counter()
+            for w, f in word_freqs:
+                for p, e in soft_counts(w, logp, max_piece_len).items():
+                    c[p] += f * e
+            return c
+    else:
+        raise ValueError(f"unknown em_mode {em_mode!r}")
 
     return _unigram_train_loop(
-        seed_counts, chars, vocab_size, em_rounds, prune_fraction, estep
+        seed_counts, chars, vocab_size, em_rounds, prune_fraction, estep,
+        em_mode=em_mode,
     )
 
 
@@ -154,10 +229,20 @@ def learn_unigram(
     seed_size: int | None = None,
     strategy: str = "auto",
     driver_max_words: int = 2_000_000,
+    em_mode: str = "hard",
 ) -> list[tuple[str, int, float]]:
     """Train a unigram-LM piece table on a corpus. Returns
-    ``[(piece, count, logprob)]`` (count desc, piece asc) — both
-    strategies bit-identical (integer counts; pytest-pinned)."""
+    ``[(piece, count, logprob)]`` (count desc, piece asc).
+
+    ``em_mode="hard"`` (default) uses Viterbi best-segmentation
+    counts — integer counts make the driver and distributed
+    strategies BIT-identical (pytest-pinned) and the result
+    reproducible across engines. ``em_mode="soft"`` uses the
+    published forward-backward EXPECTED counts (Kudo 2018 §3.2,
+    :func:`soft_counts`) — float counts, so the two strategies agree
+    to FP-aggregation tolerance rather than bit-for-bit."""
+    if em_mode not in ("hard", "soft"):
+        raise ValueError(f"unknown em_mode {em_mode!r}")
     if seed_size is None:
         seed_size = max(vocab_size * 4, 64)
     vocab = _word_freqs(df, text_col)
@@ -173,7 +258,7 @@ def learn_unigram(
         ]
         return _unigram_train_inmem(
             word_freqs, vocab_size, max_piece_len, em_rounds,
-            prune_fraction, seed_size,
+            prune_fraction, seed_size, em_mode=em_mode,
         )
     if strategy != "distributed":
         raise ValueError(f"unknown learn_unigram strategy {strategy!r}")
@@ -218,33 +303,43 @@ def learn_unigram(
     seed_counts.update({r["piece"]: int(r["cnt"]) for r in top_multi})
     chars = {r["piece"] for r in chars_rows}
 
+    cnt_type = "long" if em_mode == "hard" else "double"
+
     def estep(logp: dict[str, float]) -> Counter:
-        bc = spark.sparkContext.broadcast((dict(logp), max_piece_len))
+        bc = spark.sparkContext.broadcast(
+            (dict(logp), max_piece_len, em_mode)
+        )
 
         def run(it):
             import pandas as pd
 
-            lp, mpl = bc.value
+            lp, mpl, mode = bc.value
             for pdf in it:
                 c: Counter = Counter()
                 for w, f in zip(pdf["word"], pdf["freq"]):
                     f = int(f)
-                    for p in viterbi_segment(w, lp, mpl):
-                        c[p] += f
+                    if mode == "hard":
+                        for p in viterbi_segment(w, lp, mpl):
+                            c[p] += f
+                    else:
+                        for p, e in soft_counts(w, lp, mpl).items():
+                            c[p] += f * e
                 yield pd.DataFrame(
                     {"piece": list(c.keys()), "cnt": list(c.values())}
                 )
 
         rows = (
-            wf.mapInPandas(run, "piece string, cnt long")
+            wf.mapInPandas(run, f"piece string, cnt {cnt_type}")
             .groupBy("piece")
             .agg(F.sum("cnt").alias("cnt"))
             .collect()
         )
-        return Counter({r["piece"]: int(r["cnt"]) for r in rows})
+        conv = int if em_mode == "hard" else float
+        return Counter({r["piece"]: conv(r["cnt"]) for r in rows})
 
     return _unigram_train_loop(
-        seed_counts, chars, vocab_size, em_rounds, prune_fraction, estep
+        seed_counts, chars, vocab_size, em_rounds, prune_fraction, estep,
+        em_mode=em_mode,
     )
 
 
@@ -255,11 +350,16 @@ def _unigram_train_loop(
     em_rounds: int,
     prune_fraction: float,
     estep,
+    em_mode: str = "hard",
 ) -> list[tuple[str, int, float]]:
     """EM + prune loop shared logic given a pre-computed seed and an
     injected E-step (the tail of :func:`_unigram_train_inmem`, split
-    out so the distributed path reuses it verbatim)."""
+    out so the distributed path reuses it verbatim). Hard mode keeps
+    INTEGER counts (bit-identical across strategies); soft mode keeps
+    the float expected counts (the published EM — strategies agree to
+    FP aggregation tolerance)."""
     counts = dict(seed_counts)
+    cast = int if em_mode == "hard" else float
 
     def _logp_of(cnts: dict[str, int]) -> dict[str, float]:
         total = sum(cnts.values())
@@ -270,9 +370,9 @@ def _unigram_train_loop(
     while True:
         for _ in range(em_rounds):
             used = estep(logp)
-            counts = {p: int(c) for p, c in used.items() if c > 0}
+            counts = {p: cast(c) for p, c in used.items() if c > 0}
             for ch in chars:
-                counts.setdefault(ch, 1)
+                counts.setdefault(ch, cast(1))
             logp = _logp_of(counts)
         n_multi = sum(1 for p in counts if len(p) > 1)
         if len(counts) <= target or n_multi == 0:
@@ -324,7 +424,10 @@ def learn_unigram_df(
     )
     return spark.createDataFrame(
         [
-            (i, p, c, round(lp, 6))
+            # soft-EM expected counts are floats; the DF surface keeps
+            # an integer count column (rounded), logprob carries the
+            # exact model value either way
+            (i, p, int(round(c)), round(lp, 6))
             for i, (p, c, lp) in enumerate(model)
         ],
         schema,
