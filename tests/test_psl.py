@@ -267,6 +267,39 @@ def test_blocklist_warns_on_unmatchable_entries(spark):
     assert kept2 == {2}
 
 
+def test_idna_ascii_host_stage(spark):
+    """with_ascii_host: IDN labels encode to punycode (label by
+    label), ASCII hosts pass byte-identical, rejects fall through
+    unchanged, NULL stays NULL; the encoded host then resolves to the
+    right PSL registrant."""
+    from deltalake_datafusion_spark.operators.psl import (
+        idna_ascii_py,
+        with_ascii_host,
+        with_registered_domain,
+    )
+
+    assert idna_ascii_py("MÜNCHEN.de") == "xn--mnchen-3ya.de"
+    assert idna_ascii_py("www.example.co.uk") == "www.example.co.uk"
+    assert idna_ascii_py("..weird..") == "..weird.."
+
+    df = spark.createDataFrame(
+        [(1, "shop.bücher.co.uk"), (2, "Sub.Example.COM"), (3, None)],
+        "i long, host string",
+    )
+    enc = with_ascii_host(df, "host")
+    got = {r.i: r.ascii_host for r in enc.collect()}
+    assert got[1] == "shop.xn--bcher-kva.co.uk"
+    assert got[2] == "sub.example.com"
+    assert got[3] is None
+    dom = with_registered_domain(
+        enc.filter("host is not null"), host_col="ascii_host",
+        out_col="rd",
+    )
+    rds = {r.i: r.rd for r in dom.collect()}
+    assert rds[1] == "xn--bcher-kva.co.uk"
+    assert rds[2] == "example.com"
+
+
 def test_domain_mirror_pairs_planted(spark):
     """domain_mirror_pairs finds a planted mirror family (same path
     tree, different registrant) with the exact Jaccard, keys by PSL
