@@ -334,6 +334,38 @@ def test_domain_mirror_pairs_planted(spark):
     assert none == []
 
 
+def test_psl_matcher_property_fuzz(spark):
+    """Property fuzz: random hosts assembled from snapshot rule keys,
+    wildcard stems, random labels, and pathological shapes — the
+    driver-side Python matcher and the broadcast-join DataFrame path
+    must agree on every one (one batched comparison, deterministic
+    seed)."""
+    import random
+
+    from deltalake_datafusion_spark.operators.psl import (
+        registrable_domain_py,
+    )
+
+    rng = random.Random(8)
+    rules, _ = parse_psl(PSL_PATH)
+    keys = [r[0] for r in rules]
+    frags = ["www", "a", "b1", "deep", "x-y", "shop", "k12", "city"]
+    hosts = []
+    for _ in range(300):
+        parts = [rng.choice(frags) for _ in range(rng.randint(0, 3))]
+        tail = rng.choice(
+            [rng.choice(keys), rng.choice(keys), rng.choice(frags),
+             f"{rng.choice(frags)}.{rng.choice(keys)}"]
+        )
+        hosts.append(".".join(parts + [tail]))
+    hosts += ["com", "a.b.c.d.e.f.co.uk", "k12.ca.us", "x.k12.ca.us",
+              "kawasaki.jp", "q.kawasaki.jp", "r.q.kawasaki.jp"]
+    hosts = sorted(set(hosts))
+    got = _resolve(spark, hosts)
+    for h in hosts:
+        assert got[h] == registrable_domain_py(h), h
+
+
 def test_psl_rejects_ambiguous_args(spark):
     df = spark.createDataFrame([("https://a.com/x", "a.com")],
                                "url string, host string")

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Measure the Bloom dedup literal vs broadcast probe paths.
+
+Usage: python tools/bench_bloom.py [sf_dir] — times
+``bloom_dedup_against`` at the same auto-sized n_bits through (a) the
+codegen array-literal probe and (b) the broadcast-variable + Arrow
+``mapInPandas`` probe (forced via ``max_literal_bits``), verifying
+both return identical rows. Recorded per-round in PARITY.md so the
+crossover economics stay measured, not guessed.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.operators.dedup import (
+        bloom_auto_bits,
+        bloom_dedup_against,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = d.filter(F.col("doc_id") % 2 == 0).localCheckpoint(eager=True)
+    new = d.filter(F.col("doc_id") % 3 == 0).localCheckpoint(eager=True)
+    n_keys = hist.agg(F.approx_count_distinct("text")).first()[0]
+    n_bits = bloom_auto_bits(n_keys)
+    print(f"history keys ~{n_keys}, auto n_bits = {n_bits}")
+
+    def run(tag, **kw):
+        times, counts = [], []
+        for _ in range(3):
+            t0 = time.time()
+            counts.append(
+                bloom_dedup_against(new, hist, "text", **kw).count()
+            )
+            times.append(time.time() - t0)
+        times.sort()
+        print(
+            f"{tag:10s} median {times[1]:.2f}s runs={[round(t, 2) for t in times]}"
+            f" rows={counts[0]}"
+        )
+        return counts[0]
+
+    a = run("literal", n_bits=n_bits)
+    b = run("broadcast", n_bits=n_bits, max_literal_bits=1)
+    assert a == b, (a, b)
+    print("identical row counts: OK")
+
+
+if __name__ == "__main__":
+    main()
