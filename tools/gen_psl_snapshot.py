@@ -115,7 +115,6 @@ CC_SLD = {
            "gos", "gov", "net", "org", "web"],
     "lk": ["assn", "com", "edu", "gov", "grp", "hotel", "int", "ltd",
            "net", "ngo", "org", "sch", "soc", "web"],
-    "bd_explicit": [],  # wildcard-only, handled below
     "eg": ["com", "edu", "eun", "gov", "mil", "name", "net", "org",
            "sci"],
     "sa": ["com", "edu", "gov", "med", "net", "org", "pub", "sch"],
@@ -149,7 +148,6 @@ CC_SLD = {
     "sn": ["art", "com", "edu", "gouv", "org", "perso", "univ"],
     "cl": ["co", "gob", "gov", "mil"],
     "pe": ["com", "edu", "gob", "mil", "net", "nom", "org"],
-    "co_colombia": [],  # Colombia handled explicitly below under "co"
     "ve": ["arts", "bib", "co", "com", "e12", "edu", "firm", "gob",
            "gov", "info", "int", "mil", "net", "org", "rec", "store",
            "tec", "web"],
@@ -297,7 +295,7 @@ def main() -> None:
     a("// generic TLDs (explicit for fidelity; default rule covers the rest)")
     for t in GENERIC_TLDS:
         a(t)
-    for tld in sorted(k for k in CC_SLD if "_" not in k):
+    for tld in sorted(CC_SLD):
         a(f"// .{tld}")
         a(tld)
         for sld in CC_SLD[tld]:
