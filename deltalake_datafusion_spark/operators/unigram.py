@@ -83,6 +83,18 @@ def viterbi_segment(
     return out
 
 
+# soft-EM expected counts are quantized to this grid (per word,
+# BEFORE any aggregation) so that summing them is INTEGER arithmetic:
+# exact and order-independent. Float accumulation order differs
+# between runs (driver collect order, shuffle partial-agg order) and
+# a 1e-16 jitter can flip a near-tie pruning decision into a
+# different final vocabulary — integer sums make the driver and
+# distributed strategies bit-identical in soft mode too. 2^-30
+# granularity (~1e-9 of a count) is far below any meaningful
+# difference in an EM count estimate.
+SOFT_SCALE = 1 << 30
+
+
 def _logsumexp(vals: list[float]) -> float:
     m = max(vals)
     if m == _NEG:
@@ -194,7 +206,7 @@ def _unigram_train_inmem(
             c: Counter = Counter()
             for w, f in word_freqs:
                 for p, e in soft_counts(w, logp, max_piece_len).items():
-                    c[p] += f * e
+                    c[p] += f * int(round(e * SOFT_SCALE))
             return c
     else:
         raise ValueError(f"unknown em_mode {em_mode!r}")
@@ -235,12 +247,13 @@ def learn_unigram(
     ``[(piece, count, logprob)]`` (count desc, piece asc).
 
     ``em_mode="hard"`` (default) uses Viterbi best-segmentation
-    counts — integer counts make the driver and distributed
-    strategies BIT-identical (pytest-pinned) and the result
-    reproducible across engines. ``em_mode="soft"`` uses the
-    published forward-backward EXPECTED counts (Kudo 2018 §3.2,
-    :func:`soft_counts`) — float counts, so the two strategies agree
-    to FP-aggregation tolerance rather than bit-for-bit."""
+    counts. ``em_mode="soft"`` uses the published forward-backward
+    EXPECTED counts (Kudo 2018 §3.2, :func:`soft_counts`), quantized
+    per word to the :data:`SOFT_SCALE` integer grid before any
+    aggregation. Either way counts aggregate as INTEGERS — exact and
+    order-independent — so the driver and distributed strategies are
+    BIT-identical in both modes (pytest-pinned) and results are
+    reproducible run to run."""
     if em_mode not in ("hard", "soft"):
         raise ValueError(f"unknown em_mode {em_mode!r}")
     if seed_size is None:
@@ -303,8 +316,6 @@ def learn_unigram(
     seed_counts.update({r["piece"]: int(r["cnt"]) for r in top_multi})
     chars = {r["piece"] for r in chars_rows}
 
-    cnt_type = "long" if em_mode == "hard" else "double"
-
     def estep(logp: dict[str, float]) -> Counter:
         bc = spark.sparkContext.broadcast(
             (dict(logp), max_piece_len, em_mode)
@@ -322,20 +333,22 @@ def learn_unigram(
                         for p in viterbi_segment(w, lp, mpl):
                             c[p] += f
                     else:
+                        # SOFT_SCALE quantization BEFORE aggregation:
+                        # integer sums are order-independent, so this
+                        # path is bit-identical to the driver's
                         for p, e in soft_counts(w, lp, mpl).items():
-                            c[p] += f * e
+                            c[p] += f * int(round(e * SOFT_SCALE))
                 yield pd.DataFrame(
                     {"piece": list(c.keys()), "cnt": list(c.values())}
                 )
 
         rows = (
-            wf.mapInPandas(run, f"piece string, cnt {cnt_type}")
+            wf.mapInPandas(run, "piece string, cnt long")
             .groupBy("piece")
             .agg(F.sum("cnt").alias("cnt"))
             .collect()
         )
-        conv = int if em_mode == "hard" else float
-        return Counter({r["piece"]: conv(r["cnt"]) for r in rows})
+        return Counter({r["piece"]: int(r["cnt"]) for r in rows})
 
     return _unigram_train_loop(
         seed_counts, chars, vocab_size, em_rounds, prune_fraction, estep,
@@ -354,15 +367,26 @@ def _unigram_train_loop(
 ) -> list[tuple[str, int, float]]:
     """EM + prune loop shared logic given a pre-computed seed and an
     injected E-step (the tail of :func:`_unigram_train_inmem`, split
-    out so the distributed path reuses it verbatim). Hard mode keeps
-    INTEGER counts (bit-identical across strategies); soft mode keeps
-    the float expected counts (the published EM — strategies agree to
-    FP aggregation tolerance)."""
+    out so the distributed path reuses it verbatim). Both modes
+    aggregate INTEGER counts (soft mode: expected counts on the
+    :data:`SOFT_SCALE` grid), so both strategies are bit-identical;
+    soft counts convert back to unit scale here for the M-step and
+    the returned model."""
     counts = dict(seed_counts)
-    cast = int if em_mode == "hard" else float
+    if em_mode == "hard":
+        cast = int
+        floor_val = 1
+    else:
+        def cast(c):
+            return c / SOFT_SCALE
+
+        floor_val = 1.0
 
     def _logp_of(cnts: dict[str, int]) -> dict[str, float]:
-        total = sum(cnts.values())
+        # fsum: exactly-rounded, ORDER-INDEPENDENT total — dict
+        # insertion order (which varies with collect/shuffle order)
+        # must not perturb the model probabilities
+        total = math.fsum(cnts.values())
         return {p: math.log(c / total) for p, c in cnts.items() if c > 0}
 
     logp = _logp_of(counts)
@@ -372,7 +396,7 @@ def _unigram_train_loop(
             used = estep(logp)
             counts = {p: cast(c) for p, c in used.items() if c > 0}
             for ch in chars:
-                counts.setdefault(ch, cast(1))
+                counts.setdefault(ch, floor_val)
             logp = _logp_of(counts)
         n_multi = sum(1 for p in counts if len(p) > 1)
         if len(counts) <= target or n_multi == 0:

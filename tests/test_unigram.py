@@ -71,7 +71,7 @@ def _ref_train(texts, vocab_size, mpl=8, em_rounds=2, frac=0.25,
         counts[p] = c
 
     def logp_of(cn):
-        tot = sum(cn.values())
+        tot = math.fsum(cn.values())
         return {p: math.log(c / tot) for p, c in cn.items() if c > 0}
 
     lp = logp_of(counts)
@@ -181,7 +181,13 @@ def test_soft_counts_hand_computed_lattice():
 
 def test_unigram_soft_em_trains_and_matches_reference(spark):
     """Soft-EM driver path vs an independent forward-backward
-    reference over the same word frequencies."""
+    reference over the same word frequencies — including the
+    SOFT_SCALE quantization that makes expected-count aggregation
+    integer-exact (order-independent: the word iteration order here
+    deliberately differs from the operator's)."""
+    from deltalake_datafusion_spark.operators.unigram import (
+        SOFT_SCALE,
+    )
     from deltalake_datafusion_spark.operators.unigram import (
         soft_counts as _sc,
     )
@@ -191,7 +197,8 @@ def test_unigram_soft_em_trains_and_matches_reference(spark):
         df, 40, strategy="driver", max_piece_len=6, em_mode="soft"
     )
     # independent loop: reuse the reference seed/prune skeleton but
-    # with forward-backward expected counts
+    # with forward-backward expected counts; iterate words in
+    # REVERSED order — integer sums must make that invisible
     wc = _ref_words(CORPUS)
     cand = Counter()
     for w, f in wc.items():
@@ -208,7 +215,7 @@ def test_unigram_soft_em_trains_and_matches_reference(spark):
         counts[pc] = float(cc)
 
     def logp_of(cn):
-        tot = sum(cn.values())
+        tot = math.fsum(cn.values())
         return {p: math.log(c / tot) for p, c in cn.items() if c > 0}
 
     lp = logp_of(counts)
@@ -216,10 +223,12 @@ def test_unigram_soft_em_trains_and_matches_reference(spark):
     while True:
         for _ in range(2):
             used = Counter()
-            for w, f in wc.items():
+            for w, f in reversed(list(wc.items())):
                 for pp, e in _sc(w, lp, 6).items():
-                    used[pp] += f * e
-            counts = {p: float(c) for p, c in used.items() if c > 0}
+                    used[pp] += f * int(round(e * SOFT_SCALE))
+            counts = {
+                p: c / SOFT_SCALE for p, c in used.items() if c > 0
+            }
             for ch in chars:
                 counts.setdefault(ch, 1.0)
             lp = logp_of(counts)
@@ -237,10 +246,13 @@ def test_unigram_soft_em_trains_and_matches_reference(spark):
                   key=lambda t: (-t[1], t[0]))
     assert [p for p, _, _ in got] == [p for p, _, _ in want]
     for (_, ca, la), (_, cb, lb) in zip(got, want):
-        assert abs(ca - cb) < 1e-9 and abs(la - lb) < 1e-12
+        assert ca == cb and abs(la - lb) < 1e-12
 
 
-def test_unigram_soft_distributed_matches_driver_tolerance(spark):
+def test_unigram_soft_distributed_bit_identical_to_driver(spark):
+    """SOFT_SCALE integer aggregation makes the soft strategies
+    bit-identical, not merely tolerant — shuffle/collect order cannot
+    flip a near-tie pruning decision."""
     df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
     drv = learn_unigram(
         df, 40, strategy="driver", max_piece_len=6, em_mode="soft"
@@ -248,9 +260,11 @@ def test_unigram_soft_distributed_matches_driver_tolerance(spark):
     dist = learn_unigram(
         df, 40, strategy="distributed", max_piece_len=6, em_mode="soft"
     )
-    assert [p for p, _, _ in drv] == [p for p, _, _ in dist]
-    for (_, ca, _), (_, cb, _) in zip(drv, dist):
-        assert abs(ca - cb) < 1e-6 * max(ca, 1.0)
+    assert drv == dist
+    # and repeat runs of the same strategy are identical too
+    assert drv == learn_unigram(
+        df, 40, strategy="driver", max_piece_len=6, em_mode="soft"
+    )
 
 
 def test_viterbi_prefers_known_pieces():
@@ -259,3 +273,25 @@ def test_viterbi_prefers_known_pieces():
     assert viterbi_segment("ab", logp, 4) == ["ab"]
     # unknown char falls to the floor but still segments
     assert viterbi_segment("axb", logp, 4) == ["a", "x", "b"]
+
+
+def test_unigram_soft_order_independence_shuffled():
+    """The regression that motivated SOFT_SCALE: word iteration order
+    (collect/shuffle order in production) must not change the trained
+    model. 8 shuffles of the word-frequency list → identical models."""
+    import random
+
+    from deltalake_datafusion_spark.operators.unigram import (
+        _unigram_train_inmem,
+    )
+
+    wc = _ref_words(CORPUS)
+    base = list(wc.items())
+    ref = None
+    for seed in range(8):
+        wf = base[:]
+        random.Random(seed).shuffle(wf)
+        m = _unigram_train_inmem(wf, 40, 6, 2, 0.25, 160, em_mode="soft")
+        if ref is None:
+            ref = m
+        assert m == ref, f"order-dependent at shuffle seed {seed}"
