@@ -536,16 +536,81 @@ def pq_encode_col(vec_col, codebooks: list[list[list[float]]]):
     return F.array(*codes)
 
 
+def _pq_encode_arrow(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Arrow-batched PQ encode — BIT-IDENTICAL to the expression form
+    (pinned in tests): distances accumulate element by element in
+    array order, exactly replicating the codegen left fold (a plain
+    numpy ``.sum`` would pairwise-reduce and could flip near-tie
+    argmins), and ``argmin`` takes the first minimum like
+    ``array_position``. ~an order of magnitude faster per row than
+    m·k interpreted higher-order aggregates; used by ``pq_topk`` for
+    the index build."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]  # k×dsub
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+
+    def run(it):
+        for pdf in it:
+            X = np.asarray(
+                [list(v) for v in pdf[vec_col]], dtype=np.float64
+            )
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                S = X[:, j * dsub:(j + 1) * dsub]
+                d = np.zeros((len(X), C[j].shape[0]))
+                for e in range(dsub):
+                    diff = S[:, e:e + 1] - C[j][None, :, e]
+                    d += diff * diff  # element-order fold == codegen
+                codes[:, j] = np.argmin(d, axis=1)  # first min, like
+                # array_position(dists, array_min(dists))
+            pdf[out_col] = pd.Series(
+                [row.tolist() for row in codes],
+                index=pdf.index,
+                dtype=object,
+            )
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    strategy: str = "expr",
 ) -> DataFrame:
     """Append the PQ code (array<int>, length m) — the 100 TB storage
     win: m small ints (m·log2(k) bits information) replace dim floats
     per vector in the candidate-search index (for dim=64, m=8, k=16:
-    8 bytes of code vs 256 bytes of float32 — 32×)."""
+    8 bytes of code vs 256 bytes of float32 — 32×).
+
+    ``strategy="expr"`` (default) is the zero-Python codegen form;
+    ``"arrow"`` is the batched numpy form — same codes bit-for-bit
+    (fold order replicated; pytest-pinned), faster for bulk index
+    builds."""
+    if strategy == "arrow":
+        return _pq_encode_arrow(df, codebooks, vec_col, out_col)
+    if strategy != "expr":
+        raise ValueError(f"unknown pq_encode strategy {strategy!r}")
     return df.withColumn(out_col, pq_encode_col(F.col(vec_col), codebooks))
 
 
@@ -582,6 +647,8 @@ def pq_topk(
         )
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    # arrow encode for the bulk index build (bit-identical to the
+    # codegen form, pinned); the ADC scoring below stays codegen
     coded = pq_encode(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -590,6 +657,7 @@ def pq_topk(
         codebooks,
         vec_col="nvec",
         out_col="code",
+        strategy="arrow",
     )
     q = F.broadcast(
         queries.select(

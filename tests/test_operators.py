@@ -200,6 +200,34 @@ def test_pq_topk_recall_and_planted_exactness(spark, emb):
             assert r.cosine == exact_cos[(r.query_id, r.neighbor_id)]
 
 
+def test_pq_encode_arrow_bit_identical_to_expr(spark, emb):
+    """The Arrow-batched encoder replicates the codegen fold order
+    element by element — identical codes on every vector (including
+    argmin tie behavior)."""
+    cbs = similarity.pq_train(emb, m=8, k=16, sample_rows=256)
+    sub = emb.filter("vec_id < 200")
+    expr = {
+        r.vec_id: list(r.pq_code)
+        for r in similarity.pq_encode(sub, cbs).collect()
+    }
+    arrow = {
+        r.vec_id: list(r.pq_code)
+        for r in similarity.pq_encode(
+            sub, cbs, strategy="arrow"
+        ).collect()
+    }
+    assert expr == arrow
+    # exact-tie argmin: duplicate centroids force equal distances;
+    # both forms must pick the FIRST index
+    tie_cb = [[[0.0] * 8, [0.0] * 8] + [[9.9] * 8] * 2] * 8
+    tdf = spark.createDataFrame(
+        [(1, [0.1] * 64)], "vec_id long, embedding array<double>"
+    )
+    e = similarity.pq_encode(tdf, tie_cb).first().pq_code
+    a = similarity.pq_encode(tdf, tie_cb, strategy="arrow").first().pq_code
+    assert list(e) == list(a) == [0] * 8
+
+
 def test_pq_rejects_indivisible_dim(spark, emb):
     import pytest as _pt
 
