@@ -1,0 +1,147 @@
+"""Portable, MERGEABLE HyperLogLog sketches as pure expression trees
+(Flajolet et al. 2007) — cross-engine-deterministic approximate
+distinct counting.
+
+Spark's built-in ``approx_count_distinct`` is a sketch whose hash is
+engine-local, so queries built on it can only be rows-only checked
+(the repo's ``q_approx_aggs``). This HLL derives every register from
+the repo's portable md5 arithmetic and keeps the register SUM in
+exact integer units, so the whole sketch — registers, merges, and
+the final estimate arithmetic — replays bit-for-bit in DuckDB/any
+ANSI engine, making approximate distinct counts ORACLE-CHECKABLE.
+
+Register math (b index bits, m = 2^b registers, 60-bit md5 hash):
+
+- ``idx = h & (m-1)``; ``w = h >> b`` (52 usable bits at b=8);
+- ``rho = 52 − bitlen(w) + 1`` (leading-zero rank; ``bitlen`` via
+  the engine's integer→binary-string length — integer-exact, no
+  floating log2 whose last ulp could differ between libms);
+- per group per register keep ``max(rho)`` — the classic mergeable
+  state: UNION of sketches = element-wise register max;
+- estimate: ``α_m · m² / Σ 2^(−M_j)``, with the register sum carried
+  as a LONG in units of 2^−53 (every term 2^(53−rho) is an exact
+  power of two; the sum of ≤ m+zero terms stays < 2^63), so the only
+  floating-point steps are one division and the small-range
+  linear-counting branch — identical across engines;
+- small-range correction: raw ≤ 2.5·m and V>0 → ``m·ln(m/V)``.
+
+Scale shape: ONE partial-aggregated groupBy (group, register) — the
+shuffle carries ≤ m rows per group per task regardless of corpus
+size — then a metadata-scale per-group rollup. Sketches persist as
+(group, idx, reg) rows and merge across days/partitions with a plain
+``groupBy … max`` — the property that makes HLL the standard for
+incremental distinct-count rollups at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_W = 52  # usable hash bits above the index at b=8 (60 - 8)
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    b: int = 8,
+) -> DataFrame:
+    """(group_cols…, idx, reg) register rows — the persistable,
+    mergeable sketch state. NULL keys carry no information (SQL
+    distinct-count semantics ignore NULL)."""
+    m = 1 << b
+    w_bits = 60 - b
+    key = F.col(key_col)
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    idx = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, b)
+    # integer-exact bit length via base-2 string render — NOT log2
+    # (floating log could differ in the last ulp between engines)
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w > 0, F.lit(w_bits) - bitlen + 1).otherwise(
+        F.lit(w_bits + 1)
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(*group_cols, idx.alias("idx"), rho.alias("rho"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(
+    sketch_a: DataFrame, sketch_b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Union of two sketches: element-wise register max — the HLL
+    merge is lossless (sketch(A ∪ B) ≡ merge(sketch(A), sketch(B)),
+    register for register; pytest-pinned)."""
+    return (
+        sketch_a.unionByName(sketch_b)
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    group_cols: list[str],
+    b: int = 8,
+    out_col: str = "n_distinct_est",
+) -> DataFrame:
+    """Per-group cardinality estimate from register rows. The
+    register sum is an exact LONG (units of 2^-53): absent registers
+    contribute 2^53 each, a register with rank rho contributes
+    2^(53-rho) — so the pre-division arithmetic is integer-identical
+    in any engine."""
+    m = 1 << b
+    alpha = _hll_alpha(m)
+    w_bits = 60 - b
+    unit = 1 << (w_bits + 1)  # 2^53 at b=8: the rho=0 (absent) term
+    per = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        # shiftleft in the DSL takes only a literal bit count — the
+        # SQL form accepts a column
+        F.sum(
+            F.expr(f"shiftleft(1L, CAST({w_bits + 1} - reg AS INT))")
+        ).alias("__zp"),
+    )
+    z = (F.col("__zp") + (F.lit(m) - F.col("__n")) * F.lit(unit)).cast(
+        "double"
+    )
+    raw = F.lit(alpha * m * m) * F.lit(float(unit)) / z
+    v = (F.lit(m) - F.col("__n")).cast("double")  # zero registers
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return per.select(*group_cols, est.alias(out_col))
+
+
+def approx_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    b: int = 8,
+    out_col: str = "n_distinct_est",
+) -> DataFrame:
+    """Sketch + estimate in one call — the drop-in portable
+    ``approx_count_distinct`` (relative error ≈ 1.04/√m: ~6.5 % at
+    the default 256 registers; raise ``b`` for tighter bounds)."""
+    return hll_estimate(
+        hll_sketch(df, key_col, group_cols, b), group_cols, b, out_col
+    )

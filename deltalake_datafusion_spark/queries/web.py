@@ -610,6 +610,95 @@ ORDER BY domain_a, domain_b
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable mergeable HyperLogLog (``operators/sketches.py``):
+    per-language approximate distinct document texts, both from one
+    whole-corpus sketch and from MERGING two half-corpus sketches —
+    mergeability is lossless (register-wise max), so the two
+    estimates are identical doubles. Unlike ``q_approx_aggs`` (built
+    on Spark's engine-local sketch, rows-only checkable), every step
+    here — md5 registers, integer-exact register sums, the estimate
+    division, the linear-counting branch — replays in DuckDB, so the
+    approximate answer itself is HASH-CHECKED. Exact counts ride
+    along to document the ≈1.04/√256 error envelope."""
+    from deltalake_datafusion_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    whole = hll_estimate(
+        hll_sketch(d, "text", ["lang"]), ["lang"], out_col="est"
+    )
+    half_a = hll_sketch(d.filter(F.col("doc_id") % 2 == 0), "text", ["lang"])
+    half_b = hll_sketch(d.filter(F.col("doc_id") % 2 == 1), "text", ["lang"])
+    merged = hll_estimate(
+        hll_merge(half_a, half_b, ["lang"]), ["lang"], out_col="est_merged"
+    )
+    exact = d.groupBy("lang").agg(
+        F.countDistinct("text").alias("n_exact")
+    )
+    return (
+        exact.join(whole, "lang")
+        .join(merged, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            F.round("est", 4).alias("hll_est"),
+            F.round("est_merged", 4).alias("hll_est_merged"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _hll_oracle_sql() -> str:
+    m = 256
+    alpha_m2 = repr((0.7213 / (1 + 1.079 / m)) * m * m)
+    unit = float(1 << 53)
+    return f"""
+WITH h AS (
+  SELECT lang,
+    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+regs AS (
+  SELECT lang, h & {m - 1} AS idx,
+    MAX(CASE WHEN (h >> 8) > 0 THEN 52 - length(bin(h >> 8)) + 1
+             ELSE 53 END) AS reg
+  FROM h GROUP BY lang, idx
+),
+per AS (
+  SELECT lang, COUNT(*) AS n,
+    SUM(CAST(1 AS BIGINT) << CAST(53 - reg AS INT)) AS zp
+  FROM regs GROUP BY lang
+),
+est AS (
+  SELECT lang,
+    CASE WHEN raw <= 2.5 * {m} AND v > 0
+         THEN CAST({float(m)!r} AS DOUBLE)
+              * ln(CAST({float(m)!r} AS DOUBLE) / v)
+         ELSE raw END AS e
+  FROM (
+    SELECT lang,
+      CAST({alpha_m2} AS DOUBLE) * CAST({unit!r} AS DOUBLE)
+        / CAST(zp + ({m} - n) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+        AS raw,
+      CAST({m} - n AS DOUBLE) AS v
+    FROM per
+  )
+),
+exact AS (
+  SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
+  FROM documents GROUP BY lang
+)
+SELECT exact.lang, n_exact, ROUND(e, 4) AS hll_est,
+       ROUND(e, 4) AS hll_est_merged
+FROM exact JOIN est ON est.lang = exact.lang
+ORDER BY exact.lang
+"""
+
+
 def specs() -> list[QuerySpec]:
     # sim_pq_topk lives in queries/pipeline.py next to its ANN
     # siblings but registers HERE so new names append after the
@@ -631,4 +720,5 @@ def specs() -> list[QuerySpec]:
             "pipe_domain_mirror", pipe_domain_mirror, _DOMAIN_MIRROR_SQL
         ),
         QuerySpec("sim_pq_topk", sim_pq_topk, _SIM_PLANTED_SQL),
+        QuerySpec("q_hll_distinct", q_hll_distinct, _hll_oracle_sql()),
     ]

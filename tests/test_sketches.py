@@ -1,0 +1,74 @@
+"""Portable mergeable HyperLogLog (operators/sketches.py): accuracy
+envelope, lossless merge, null handling, and plan guards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.operators.sketches import (
+    approx_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+
+
+def test_hll_accuracy_envelope(spark):
+    """Relative error within ~3 standard errors (1.04/sqrt(m)) across
+    a range of true cardinalities, incl. the linear-counting range."""
+    for n in (50, 500, 5000):
+        df = spark.createDataFrame(
+            [(f"key-{i}", "g") for i in range(n)] * 2,  # dups ignored
+            "k string, g string",
+        )
+        est = approx_distinct(df, "k", ["g"], b=8).first().n_distinct_est
+        assert abs(est - n) / n < 3 * 1.04 / 16, (n, est)
+    # higher b tightens the envelope
+    df = spark.createDataFrame(
+        [(f"key-{i}", "g") for i in range(5000)], "k string, g string"
+    )
+    est12 = approx_distinct(df, "k", ["g"], b=12).first().n_distinct_est
+    assert abs(est12 - 5000) / 5000 < 3 * 1.04 / 64
+
+
+def test_hll_merge_is_lossless(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) REGISTER FOR
+    REGISTER, so the merged estimate is the identical double."""
+    df = spark.createDataFrame(
+        [(i, f"v{i % 700}", "g") for i in range(2000)],
+        "i long, k string, g string",
+    )
+    whole = hll_sketch(df, "k", ["g"])
+    a = hll_sketch(df.filter("i % 2 = 0"), "k", ["g"])
+    b = hll_sketch(df.filter("i % 2 = 1"), "k", ["g"])
+    merged = hll_merge(a, b, ["g"])
+    w = {(r.g, r.idx): r.reg for r in whole.collect()}
+    m = {(r.g, r.idx): r.reg for r in merged.collect()}
+    assert w == m
+    ew = hll_estimate(whole, ["g"]).first().n_distinct_est
+    em = hll_estimate(merged, ["g"]).first().n_distinct_est
+    assert ew == em  # identical doubles, not just close
+
+
+def test_hll_nulls_and_groups(spark):
+    """NULL keys carry no information; groups estimate independently;
+    an all-null group vanishes (no registers), matching
+    COUNT(DISTINCT) over an empty set having no row."""
+    df = spark.createDataFrame(
+        [("a", "g1"), (None, "g1"), ("b", "g1"), (None, "g2")],
+        "k string, g string",
+    )
+    rows = approx_distinct(df, "k", ["g"]).collect()
+    got = {r.g: r.n_distinct_est for r in rows}
+    assert set(got) == {"g1"}
+    assert abs(got["g1"] - 2) < 0.1  # linear counting is near-exact here
+
+
+def test_hll_plan_is_pure_codegen(spark):
+    df = spark.createDataFrame(
+        [(f"k{i}", "g") for i in range(100)], "k string, g string"
+    )
+    out = approx_distinct(df, "k", ["g"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
