@@ -97,3 +97,77 @@ def gapfill(
                 f"{c}_locf", F.last(F.col(c), ignorenulls=True).over(w)
             )
     return filled
+
+
+def funnel_first_touch(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """FIRST-TOUCH conversion funnel: per user, anchor at the FIRST
+    occurrence of ``steps[0]``, then for each later step take the
+    first strictly-later occurrence of the next step — optionally all
+    within ``window_seconds`` of the anchor. Returns one row per user
+    who reached step 1: ``(user, depth, t_1..t_k)`` with NULL
+    timestamps past the reached depth.
+
+    This is the product-analytics "first-touch" variant (deterministic
+    and auditable: every timestamp in the output is a real event);
+    an any-chain windowFunnel can find strictly more conversions but
+    reports no canonical witness. Semantics are STRICT in time
+    (``t_{i+1} > t_i``), so same-timestamp events never chain.
+
+    Scale shape: step 1 is one partial-aggregated min per user; each
+    later step is one min-aggregation of that step's events joined to
+    the (users × 1 row) frontier — K-1 hash joins keyed on the user,
+    each shuffling only that step's event type, never the whole
+    stream. No windows over full event sequences, no per-user
+    collect."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    base = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__t"),
+    )
+    cur = (
+        base.filter(F.col("__t") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        # distinct column names on the event side: both branches
+        # descend from `base`, and Spark's ambiguous-self-join check
+        # needs the join key/filter columns to be unambiguous
+        ev = base.filter(F.col("__t") == step).select(
+            F.col("__u").alias("__eu"), F.col("__ts").alias("__ets")
+        )
+        cond = F.col("__ets") > F.col(f"t_{i - 1}")
+        if window_seconds is not None:
+            cond = cond & (
+                F.col("__ets")
+                <= F.col("t_1")
+                + F.expr(f"INTERVAL {window_seconds} SECOND")
+            )
+        nxt = (
+            ev.join(cur, F.col("__eu") == F.col("__u"))
+            .filter(cond)
+            .groupBy("__u")
+            .agg(F.min("__ets").alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, "__u", "left")
+    depth = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        depth = F.when(F.col(f"t_{i}").isNotNull(), F.lit(i)).otherwise(
+            depth
+        )
+    # depth is the longest PREFIX reached: t_i is only ever computed
+    # from t_{i-1}, so a non-null t_i implies all earlier are non-null
+    return cur.select(
+        F.col("__u").alias(user_col),
+        depth.alias("depth"),
+        *[F.col(f"t_{i}") for i in range(1, len(steps) + 1)],
+    )

@@ -699,6 +699,71 @@ ORDER BY exact.lang
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion funnel
+    (``operators/rollup.py::funnel_first_touch``): view → click →
+    purchase within 7 days of the user's first view, strict event
+    ordering. Per-depth user counts plus mean anchor→step latencies
+    (microsecond integer sums — exact, order-free — divided once, so
+    the averages hash-match cross-engine). The oracle is an
+    INDEPENDENT SQL formulation (chained min-joins), not a replay."""
+    from deltalake_datafusion_spark.operators.rollup import (
+        funnel_first_touch,
+    )
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    f = funnel_first_touch(
+        e, ["view", "click", "purchase"], window_seconds=604800
+    )
+    d12 = (F.unix_micros("t_2") - F.unix_micros("t_1")) / F.lit(1e6)
+    d13 = (F.unix_micros("t_3") - F.unix_micros("t_1")) / F.lit(1e6)
+    return (
+        f.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg(d12), 4).alias("avg_s_to_click"),
+            F.round(F.avg(d13), 4).alias("avg_s_to_purchase"),
+        )
+        .orderBy("depth")
+    )
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 604800 SECOND
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s1.t1 + INTERVAL 604800 SECOND
+  GROUP BY e.user_id
+),
+f AS (
+  SELECT s1.user_id, t1, t2, t3,
+    CASE WHEN t3 IS NOT NULL THEN 3
+         WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
+  FROM s1
+  LEFT JOIN s2 ON s1.user_id = s2.user_id
+  LEFT JOIN s3 ON s1.user_id = s3.user_id
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users,
+  ROUND(AVG((epoch_us(t2) - epoch_us(t1)) / 1e6), 4) AS avg_s_to_click,
+  ROUND(AVG((epoch_us(t3) - epoch_us(t1)) / 1e6), 4) AS avg_s_to_purchase
+FROM f GROUP BY depth ORDER BY depth
+"""
+
+
 def specs() -> list[QuerySpec]:
     # sim_pq_topk lives in queries/pipeline.py next to its ANN
     # siblings but registers HERE so new names append after the
@@ -721,4 +786,5 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec("sim_pq_topk", sim_pq_topk, _SIM_PLANTED_SQL),
         QuerySpec("q_hll_distinct", q_hll_distinct, _hll_oracle_sql()),
+        QuerySpec("q_funnel", q_funnel, _FUNNEL_SQL),
     ]

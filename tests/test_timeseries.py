@@ -124,3 +124,51 @@ def test_gapfill_zero_and_locf(spark):
     assert got[("b", "2024-01-01 00:00:00")][1] is None  # before first obs
     assert got[("b", "2024-01-01 01:00:00")] == (1, 7.0)
     assert got[("b", "2024-01-01 03:00:00")] == (0, 7.0)
+
+
+def test_funnel_first_touch_semantics(spark):
+    """Hand-built sequences: full conversion, strict ordering (equal
+    timestamps never chain), window cutoff anchored at the FIRST
+    step-1 event, partial depths, and missing anchors."""
+    import datetime as dt
+
+    from deltalake_datafusion_spark.operators.rollup import (
+        funnel_first_touch,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(u, s, t):
+        return (u, t0 + dt.timedelta(seconds=t), s)
+
+    rows = [
+        # u1: clean view(0) -> click(10) -> purchase(20)
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # u2: click BEFORE the first view never counts; later click does
+        ev(2, "click", 0), ev(2, "view", 5), ev(2, "click", 30),
+        # u3: click at the SAME timestamp as view -> strict, no chain
+        ev(3, "view", 0), ev(3, "click", 0),
+        # u4: purchase outside the window of the FIRST view (anchor
+        # does not slide to the later view)
+        ev(4, "view", 0), ev(4, "click", 10),
+        ev(4, "view", 500), ev(4, "purchase", 700),
+        # u5: no view at all -> absent from the funnel
+        ev(5, "click", 0), ev(5, "purchase", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r.user_id: r
+        for r in funnel_first_touch(
+            df, ["view", "click", "purchase"], window_seconds=600
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].depth == 3
+    assert out[2].depth == 2  # pre-anchor click ignored, t=30 counts
+    assert out[2].t_2 == t0 + dt.timedelta(seconds=30)
+    assert out[3].depth == 1  # equal ts never chains
+    assert out[4].depth == 2  # purchase at 700 > anchor(0)+600
+    with __import__("pytest").raises(ValueError):
+        funnel_first_touch(df, ["view"])
