@@ -171,3 +171,56 @@ def funnel_first_touch(
         depth.alias("depth"),
         *[F.col(f"t_{i}") for i in range(1, len(steps) + 1)],
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention matrix: users cohort by the time bucket of
+    their FIRST event; retention at offset k = distinct users of that
+    cohort active in cohort_bucket + k. Returns ``(cohort, offset,
+    n_active, cohort_size, retention)`` — the standard
+    product-analytics rollup.
+
+    Buckets are epoch-aligned fixed windows (``floor(epoch /
+    bucket)``), deterministic and engine-portable (calendar weeks
+    differ across engines' week-start conventions). Scale shape: one
+    min-aggregation per user (the cohort), one broadcast-joinable
+    (user → cohort) map joined back to the event stream, then one
+    distinct + count aggregation keyed on (cohort, offset) — shuffles
+    carry (user, bucket) digests only. Retention is an exact ratio of
+    two longs (one double division — hash-stable)."""
+    # integer division (not float floor): bucket assignment at exact
+    # boundaries must be bit-deterministic and engine-portable
+    b = F.expr(
+        f"unix_micros({ts_col}) div {bucket_seconds * 1_000_000}"
+    )
+    ev = df.select(F.col(user_col).alias("__u"), b.alias("__b"))
+    cohorts = ev.groupBy("__u").agg(F.min("__b").alias("__cohort"))
+    sizes = cohorts.groupBy("__cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = (
+        ev.join(cohorts, "__u")
+        .select(
+            "__cohort",
+            (F.col("__b") - F.col("__cohort")).alias("offset"),
+            "__u",
+        )
+        .distinct()
+        .groupBy("__cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        active.join(sizes, "__cohort")
+        .select(
+            F.col("__cohort").alias("cohort"),
+            "offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
+    )

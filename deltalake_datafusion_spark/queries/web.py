@@ -764,6 +764,52 @@ FROM f GROUP BY depth ORDER BY depth
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (``operators/rollup.py::
+    cohort_retention``): users cohort by the epoch-aligned week of
+    their first event; per (cohort, week offset) distinct active
+    users and the retention ratio (exact long/long division). The
+    oracle is an independent SQL formulation over the same integer
+    bucket arithmetic."""
+    from deltalake_datafusion_spark.operators.rollup import (
+        cohort_retention,
+    )
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    out = cohort_retention(e, bucket_seconds=7 * 86400)
+    return out.select(
+        "cohort", "offset", "n_active", "cohort_size",
+        F.round("retention", 6).alias("retention"),
+    ).orderBy("cohort", "offset")
+
+
+_COHORT_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS b FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(b) AS cohort FROM ev GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort
+),
+active AS (
+  SELECT DISTINCT c.cohort, e.b - c.cohort AS off, e.user_id
+  FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+),
+counts AS (
+  SELECT cohort, off, COUNT(*) AS n_active
+  FROM active GROUP BY cohort, off
+)
+SELECT counts.cohort, off AS "offset",
+  CAST(n_active AS BIGINT) AS n_active,
+  CAST(cohort_size AS BIGINT) AS cohort_size,
+  ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+FROM counts JOIN sizes ON counts.cohort = sizes.cohort
+ORDER BY counts.cohort, off
+"""
+
+
 def specs() -> list[QuerySpec]:
     # sim_pq_topk lives in queries/pipeline.py next to its ANN
     # siblings but registers HERE so new names append after the
@@ -787,4 +833,5 @@ def specs() -> list[QuerySpec]:
         QuerySpec("sim_pq_topk", sim_pq_topk, _SIM_PLANTED_SQL),
         QuerySpec("q_hll_distinct", q_hll_distinct, _hll_oracle_sql()),
         QuerySpec("q_funnel", q_funnel, _FUNNEL_SQL),
+        QuerySpec("q_cohort_retention", q_cohort_retention, _COHORT_SQL),
     ]

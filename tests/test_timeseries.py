@@ -172,3 +172,42 @@ def test_funnel_first_touch_semantics(spark):
     assert out[4].depth == 2  # purchase at 700 > anchor(0)+600
     with __import__("pytest").raises(ValueError):
         funnel_first_touch(df, ["view"])
+
+
+def test_cohort_retention_semantics(spark):
+    """Hand-built cohorts: bucket by first event, offsets count
+    distinct users (duplicate activity in a bucket counts once),
+    retention ratio exact."""
+    import datetime as dt
+
+    from deltalake_datafusion_spark.operators.rollup import (
+        cohort_retention,
+    )
+
+    day = 86400
+    t0 = dt.datetime(2026, 1, 1)  # epoch-aligned enough: fixed buckets
+
+    def ev(u, d):
+        return (u, t0 + dt.timedelta(days=d))
+
+    rows = [
+        ev(1, 0), ev(1, 0), ev(1, 7), ev(1, 14),   # cohort c, offs 0,1,2
+        ev(2, 1), ev(2, 8),                         # cohort c, offs 0,1
+        ev(3, 2),                                   # cohort c, off 0
+        ev(4, 21), ev(4, 35),                       # cohort c+3, offs 0,2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = cohort_retention(df, bucket_seconds=7 * day)
+    got = {
+        (r.cohort, r.offset): (r.n_active, r.cohort_size, r.retention)
+        for r in out.collect()
+    }
+    cohorts = sorted({c for c, _ in got})
+    c0, c1 = cohorts[0], cohorts[1]
+    assert c1 == c0 + 3
+    assert got[(c0, 0)] == (3, 3, 1.0)
+    assert got[(c0, 1)][0] == 2 and abs(got[(c0, 1)][2] - 2 / 3) < 1e-12
+    assert got[(c0, 2)][0] == 1
+    assert got[(c1, 0)] == (1, 1, 1.0)
+    assert got[(c1, 2)] == (1, 1, 1.0)
+    assert (c1, 1) not in got  # inactive offsets absent (sparse matrix)
