@@ -224,3 +224,107 @@ def cohort_retention(
             (F.col("n_active") / F.col("cohort_size")).alias("retention"),
         )
     )
+
+
+_WF_SENT = -(1 << 62)  # "no chain reaches this level yet"
+
+
+def window_funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """ANY-CHAIN windowed funnel (the ClickHouse ``windowFunnel``
+    semantics, strict ordering): per user the deepest level L such
+    that SOME strictly-time-increasing chain of ``steps[0..L-1]``
+    events exists with the whole chain within ``window_seconds`` of
+    its own first event — unlike :func:`funnel_first_touch`, the
+    anchor slides, so a late restart can still convert. Returns
+    ``(user, depth)`` for users with at least one step-1 event.
+
+    One shuffle: events of the funnel types collect per user into a
+    time-sorted array (bounded by per-user activity — the same
+    ingestion shape ClickHouse uses) and a single ``F.aggregate``
+    fold runs the classic DP: ``best[L]`` = the LATEST chain-start
+    among chains reaching level L using events strictly earlier than
+    the current timestamp (keeping the max start dominates — it can
+    only widen the remaining window). Two state arrays make
+    strictness exact under equal timestamps: updates read the
+    snapshot ``vis`` frozen at the previous distinct timestamp, so
+    same-ts events never chain off each other. Pure expression tree
+    — no UDF; the DuckDB oracle is an independent EXISTS-chain
+    formulation."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    k = len(steps)
+    w_us = None if window_seconds is None else window_seconds * 1_000_000
+    lvl = None
+    for i, s in enumerate(reversed(steps), start=0):
+        j = k - i  # level of step s
+        lvl = (
+            F.when(F.col("__t") == s, F.lit(j))
+            if lvl is None
+            else F.when(F.col("__t") == s, F.lit(j)).otherwise(lvl)
+        )
+    ev = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.unix_micros(F.col(ts_col)).alias("__ts"),
+            F.col(type_col).alias("__t"),
+        )
+        .filter(lvl.isNotNull())
+        .select("__u", "__ts", lvl.alias("__l"))
+    )
+    seq = ev.groupBy("__u").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__ts"), F.col("__l")))
+        ).alias("__seq")
+    )
+    sent = F.lit(_WF_SENT).cast("long")
+    init = F.struct(
+        F.array(*([sent] * k)).alias("vis"),
+        F.array(*([sent] * k)).alias("cur"),
+        sent.alias("lts"),
+    )
+
+    def step_fn(st, e):
+        newer = e["__ts"] > st["lts"]
+        vis = F.when(newer, st["cur"]).otherwise(st["vis"])
+        lts = F.when(newer, e["__ts"]).otherwise(st["lts"])
+        prev = F.element_at(vis, (e["__l"] - 1).cast("int"))
+        in_win = (
+            F.lit(True)
+            if w_us is None
+            else (e["__ts"] - prev <= F.lit(w_us))
+        )
+        cur = F.transform(
+            st["cur"],
+            lambda v, i: F.when(
+                (i + 1) == e["__l"],
+                F.when(e["__l"] == 1, F.greatest(v, e["__ts"])).otherwise(
+                    F.when(
+                        (prev > F.lit(_WF_SENT)) & in_win,
+                        F.greatest(v, prev),
+                    ).otherwise(v)
+                ),
+            ).otherwise(v),
+        )
+        return F.struct(vis.alias("vis"), cur.alias("cur"), lts.alias("lts"))
+
+    final = F.aggregate(F.col("__seq"), init, step_fn)
+    depth = F.aggregate(
+        F.transform(
+            final["cur"],
+            lambda v, i: F.when(v > F.lit(_WF_SENT), i + 1).otherwise(
+                F.lit(0)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return seq.select(
+        F.col("__u").alias(user_col), depth.alias("depth")
+    ).filter(F.col("depth") >= 1)

@@ -810,6 +810,61 @@ ORDER BY counts.cohort, off
 """
 
 
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-chain windowed funnel (``operators/rollup.py::
+    window_funnel`` — ClickHouse ``windowFunnel`` semantics, strict
+    ordering): deepest view→click→purchase chain within 1 hour of the
+    chain's own (sliding) anchor, rolled up to per-depth user counts.
+    The oracle is an independent EXISTS-chain SQL formulation —
+    all-pairs is fine at oracle scale; the Spark side is the
+    single-shuffle sorted-fold DP."""
+    from deltalake_datafusion_spark.operators.rollup import window_funnel
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    f = window_funnel(
+        e, ["view", "click", "purchase"], window_seconds=3600
+    )
+    return (
+        f.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("depth")
+    )
+
+
+_WINDOW_FUNNEL_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+),
+d2 AS (
+  SELECT DISTINCT e1.user_id
+  FROM events e1
+  JOIN events e2 ON e2.user_id = e1.user_id
+   AND e2.event_type = 'click' AND e2.ts > e1.ts
+   AND e2.ts <= e1.ts + INTERVAL 3600 SECOND
+  WHERE e1.event_type = 'view'
+),
+d3 AS (
+  SELECT DISTINCT e1.user_id
+  FROM events e1
+  JOIN events e2 ON e2.user_id = e1.user_id
+   AND e2.event_type = 'click' AND e2.ts > e1.ts
+  JOIN events e3 ON e3.user_id = e1.user_id
+   AND e3.event_type = 'purchase' AND e3.ts > e2.ts
+   AND e3.ts <= e1.ts + INTERVAL 3600 SECOND
+  WHERE e1.event_type = 'view'
+),
+f AS (
+  SELECT u.user_id,
+    CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+         WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+         ELSE 1 END AS depth
+  FROM u
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM f GROUP BY depth ORDER BY depth
+"""
+
+
 def specs() -> list[QuerySpec]:
     # sim_pq_topk lives in queries/pipeline.py next to its ANN
     # siblings but registers HERE so new names append after the
@@ -834,4 +889,5 @@ def specs() -> list[QuerySpec]:
         QuerySpec("q_hll_distinct", q_hll_distinct, _hll_oracle_sql()),
         QuerySpec("q_funnel", q_funnel, _FUNNEL_SQL),
         QuerySpec("q_cohort_retention", q_cohort_retention, _COHORT_SQL),
+        QuerySpec("q_window_funnel", q_window_funnel, _WINDOW_FUNNEL_SQL),
     ]

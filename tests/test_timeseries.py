@@ -211,3 +211,54 @@ def test_cohort_retention_semantics(spark):
     assert got[(c1, 0)] == (1, 1, 1.0)
     assert got[(c1, 2)] == (1, 1, 1.0)
     assert (c1, 1) not in got  # inactive offsets absent (sparse matrix)
+
+
+def test_window_funnel_any_chain_semantics(spark):
+    """Any-chain windowFunnel vs first-touch: a late restart converts
+    under the sliding anchor but not under the first-touch anchor;
+    strict ordering holds; users without step 1 are absent; the DP's
+    max-start dominance picks the chain that still fits the window."""
+    import datetime as dt
+
+    from deltalake_datafusion_spark.operators.rollup import (
+        funnel_first_touch,
+        window_funnel,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(u, s, t):
+        return (u, t0 + dt.timedelta(seconds=t), s)
+
+    rows = [
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # late restart: chain 500->520->540 fits a 100 s window even
+        # though nothing chains from the first view at 0
+        ev(2, "view", 0), ev(2, "click", 10),
+        ev(2, "view", 500), ev(2, "click", 520), ev(2, "purchase", 540),
+        ev(3, "view", 0), ev(3, "click", 0),      # equal ts: no chain
+        ev(4, "purchase", 0), ev(4, "click", 5), ev(4, "view", 10),
+        ev(5, "click", 0),                         # no step-1: absent
+        # max-start dominance: two view anchors; only the later one
+        # leaves room for the purchase inside the window
+        ev(6, "view", 0), ev(6, "view", 80),
+        ev(6, "click", 90), ev(6, "purchase", 170),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    wf = {r.user_id: r.depth for r in window_funnel(
+        df, ["view", "click", "purchase"], window_seconds=100
+    ).collect()}
+    assert wf == {1: 3, 2: 3, 3: 1, 4: 1, 6: 3}
+    ft = {r.user_id: r.depth for r in funnel_first_touch(
+        df, ["view", "click", "purchase"], window_seconds=100
+    ).collect()}
+    # first-touch anchors at the FIRST view: u2 converts only to
+    # click, u6's purchase at 170 is outside 0+100
+    assert ft[2] == 2 and ft[6] == 2 and ft[1] == 3
+    # no window: order alone decides
+    nw = {r.user_id: r.depth for r in window_funnel(
+        df, ["view", "click", "purchase"]
+    ).collect()}
+    assert nw[4] == 1 and nw[1] == 3
