@@ -652,51 +652,58 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hll_oracle_sql() -> str:
-    m = 256
+def _hll_estimate_tail_sql(m: int = 256) -> str:
+    """The register→estimate CTE chain shared by every HLL oracle —
+    expects a preceding CTE ``h(grp, h)``."""
     alpha_m2 = repr((0.7213 / (1 + 1.079 / m)) * m * m)
     unit = float(1 << 53)
-    return f"""
-WITH h AS (
-  SELECT lang,
-    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
-  FROM documents WHERE text IS NOT NULL
-),
-regs AS (
-  SELECT lang, h & {m - 1} AS idx,
+    return f"""regs AS (
+  SELECT grp, h & {m - 1} AS idx,
     MAX(CASE WHEN (h >> 8) > 0 THEN 52 - length(bin(h >> 8)) + 1
              ELSE 53 END) AS reg
-  FROM h GROUP BY lang, idx
+  FROM h GROUP BY grp, idx
 ),
 per AS (
-  SELECT lang, COUNT(*) AS n,
+  SELECT grp, COUNT(*) AS n,
     SUM(CAST(1 AS BIGINT) << CAST(53 - reg AS INT)) AS zp
-  FROM regs GROUP BY lang
+  FROM regs GROUP BY grp
 ),
 est AS (
-  SELECT lang,
+  SELECT grp,
     CASE WHEN raw <= 2.5 * {m} AND v > 0
          THEN CAST({float(m)!r} AS DOUBLE)
               * ln(CAST({float(m)!r} AS DOUBLE) / v)
          ELSE raw END AS e
   FROM (
-    SELECT lang,
+    SELECT grp,
       CAST({alpha_m2} AS DOUBLE) * CAST({unit!r} AS DOUBLE)
         / CAST(zp + ({m} - n) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
         AS raw,
       CAST({m} - n AS DOUBLE) AS v
     FROM per
   )
+)"""
+
+
+def _hll_oracle_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT lang AS grp,
+    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
 ),
+{_hll_estimate_tail_sql()},
 exact AS (
   SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
   FROM documents GROUP BY lang
 )
 SELECT exact.lang, n_exact, ROUND(e, 4) AS hll_est,
        ROUND(e, 4) AS hll_est_merged
-FROM exact JOIN est ON est.lang = exact.lang
+FROM exact JOIN est ON est.grp = exact.lang
 ORDER BY exact.lang
 """
+
+
 
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -865,6 +872,48 @@ FROM f GROUP BY depth ORDER BY depth
 """
 
 
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable HLL as STREAMING state: per event type,
+    approximate distinct users over the event stream — the register
+    table (``hll_sketch``) is a plain streaming max-aggregation
+    (bounded state: ≤ groups × 256 rows), run to completion with
+    availableNow, then estimated batch-side. Because register max is
+    order-free and the hash is portable, the streaming result equals
+    the batch sketch EXACTLY and the DuckDB oracle hash-checks the
+    approximate estimates — the incremental distinct-count rollup
+    pattern (day-over-day sketch merge) as a live query."""
+    from deltalake_datafusion_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from deltalake_datafusion_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    regs = hll_sketch(ev, "user_id", ["event_type"])
+    out = run_to_memory(regs, "q_hll_stream", "complete")
+    return (
+        hll_estimate(out, ["event_type"], out_col="est")
+        .select("event_type", F.round("est", 4).alias("hll_users"))
+        .orderBy("event_type")
+    )
+
+
+_STREAMING_HLL_SQL = f"""
+WITH h AS (
+  SELECT event_type AS grp,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+{_hll_estimate_tail_sql()}
+SELECT grp AS event_type, ROUND(e, 4) AS hll_users
+FROM est ORDER BY grp
+"""
+
+
 def specs() -> list[QuerySpec]:
     # sim_pq_topk lives in queries/pipeline.py next to its ANN
     # siblings but registers HERE so new names append after the
@@ -890,4 +939,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("q_funnel", q_funnel, _FUNNEL_SQL),
         QuerySpec("q_cohort_retention", q_cohort_retention, _COHORT_SQL),
         QuerySpec("q_window_funnel", q_window_funnel, _WINDOW_FUNNEL_SQL),
+        QuerySpec(
+            "streaming_hll_distinct",
+            streaming_hll_distinct,
+            _STREAMING_HLL_SQL,
+        ),
     ]
