@@ -1,11 +1,19 @@
-"""Web/quality tier queries (appended AFTER the pinned
-correctness-window prefix — queries/__init__.py ordering rule):
+"""Round-8 queries (this module is the APPEND-ONLY tail of the
+registry — new names land here so the driver's pinned 50-entry
+correctness-window prefix never shifts; queries/__init__.py ordering
+rule):
 
 - ``pipe_domain_psl`` — PSL registered-domain resolution;
 - ``text_classifier_score`` — hashed-n-gram linear quality classifier;
 - ``pipe_web_e2e`` — the WARC→HTML→URL→filter→dedup chain end to end;
 - ``text_unigram_train`` — unigram-LM tokenizer training (rows-only);
-- ``pipe_domain_mirror`` — domain-level MinHash mirror detection.
+- ``pipe_domain_mirror`` — domain-level MinHash mirror detection;
+- ``sim_pq_topk`` — product-quantization ADC retrieval;
+- ``q_hll_distinct`` / ``streaming_hll_distinct`` — portable
+  mergeable HyperLogLog, batch and as streaming state;
+- ``q_funnel`` / ``q_window_funnel`` — first-touch and any-chain
+  conversion funnels;
+- ``q_cohort_retention`` — cohort retention matrix.
 """
 
 from __future__ import annotations
@@ -914,6 +922,51 @@ FROM est ORDER BY grp
 """
 
 
+def q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE-frame window (trailing 1 hour per event
+    type): the frame is defined by ORDER-VALUE DISTANCE (microsecond
+    epoch), not row count — ties at the same timestamp are all in
+    frame, so the result is deterministic without a tie-break column.
+    Every 37th event reports its trailing count and exact-decimal
+    trailing sum. Completes §2.2 window coverage with the range-frame
+    class (rows-frames, ranks and lag/lead are covered elsewhere)."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-(3600 * 1_000_000 - 1), 0)
+    )
+    out = e.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )
+    return out.filter(F.col("event_id") % 37 == 0).orderBy("event_id")
+
+
+_MOVING_WINDOW_SQL = """
+WITH win AS (
+  SELECT event_id, event_type,
+    COUNT(*) OVER w AS n_1h,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+  FROM events
+  WINDOW w AS (
+    PARTITION BY event_type ORDER BY epoch_us(ts)
+    RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW
+  )
+)
+SELECT event_id, event_type, n_1h, sum_1h
+FROM win WHERE event_id % 37 = 0 ORDER BY event_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     # sim_pq_topk lives in queries/pipeline.py next to its ANN
     # siblings but registers HERE so new names append after the
@@ -944,4 +997,5 @@ def specs() -> list[QuerySpec]:
             streaming_hll_distinct,
             _STREAMING_HLL_SQL,
         ),
+        QuerySpec("q_moving_window", q_moving_window, _MOVING_WINDOW_SQL),
     ]
