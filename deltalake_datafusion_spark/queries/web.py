@@ -967,6 +967,52 @@ FROM win WHERE event_id % 37 = 0 ORDER BY event_id
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event transition matrix (the Markov-chain view of a
+    clickstream): count consecutive (event → next event) pairs per
+    user ordered by time with a deterministic tie-break, plus each
+    transition's share of its source row — one lag window + one
+    aggregate, both shuffle-keyed on the user/event digests."""
+    from pyspark.sql import Window
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type", 1).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w2 = Window.partitionBy("src")
+    return (
+        counts.select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(w2), 6).alias("share"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS src,
+    LEAD(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS dst
+  FROM events
+),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n FROM pairs
+  WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, CAST(n AS BIGINT) AS n,
+  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS share
+FROM counts ORDER BY src, dst
+"""
+
+
 def specs() -> list[QuerySpec]:
     # sim_pq_topk lives in queries/pipeline.py next to its ANN
     # siblings but registers HERE so new names append after the
@@ -998,4 +1044,8 @@ def specs() -> list[QuerySpec]:
             _STREAMING_HLL_SQL,
         ),
         QuerySpec("q_moving_window", q_moving_window, _MOVING_WINDOW_SQL),
+        QuerySpec(
+            "q_event_transitions", q_event_transitions,
+            _EVENT_TRANSITIONS_SQL,
+        ),
     ]
