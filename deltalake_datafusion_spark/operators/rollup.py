@@ -186,17 +186,26 @@ def cohort_retention(
     product-analytics rollup.
 
     Buckets are epoch-aligned fixed windows (``floor(epoch /
-    bucket)``), deterministic and engine-portable (calendar weeks
-    differ across engines' week-start conventions). Scale shape: one
+    bucket)`` — true FLOOR division via pmod-adjusted integer
+    arithmetic, so pre-1970 timestamps (negative epoch micros) land
+    in the same bucket as DuckDB's ``//``; Spark's bare ``div``
+    truncates toward zero and would shift them by one), deterministic
+    and engine-portable (calendar weeks differ across engines'
+    week-start conventions). Scale shape: one
     min-aggregation per user (the cohort), one broadcast-joinable
     (user → cohort) map joined back to the event stream, then one
     distinct + count aggregation keyed on (cohort, offset) — shuffles
     carry (user, bucket) digests only. Retention is an exact ratio of
     two longs (one double division — hash-stable)."""
-    # integer division (not float floor): bucket assignment at exact
-    # boundaries must be bit-deterministic and engine-portable
+    # integer FLOOR division (not float floor, not truncating div):
+    # bucket assignment at exact boundaries must be bit-deterministic
+    # and engine-portable, including negative (pre-1970) epochs —
+    # pmod yields the non-negative remainder, so the subtraction is
+    # exactly divisible and `div` lands on the floor
+    n_us = bucket_seconds * 1_000_000
     b = F.expr(
-        f"unix_micros({ts_col}) div {bucket_seconds * 1_000_000}"
+        f"(unix_micros({ts_col}) - pmod(unix_micros({ts_col}), {n_us}))"
+        f" div {n_us}"
     )
     ev = df.select(F.col(user_col).alias("__u"), b.alias("__b"))
     cohorts = ev.groupBy("__u").agg(F.min("__b").alias("__cohort"))
@@ -259,6 +268,16 @@ def window_funnel(
     formulation."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        # each event is assigned exactly ONE level (its smallest
+        # matching step index), so a repeated event type could never
+        # convert past its first occurrence — reject loudly rather
+        # than silently capping depth (ClickHouse windowFunnel allows
+        # repeated conditions; this implementation does not)
+        raise ValueError(
+            "window_funnel steps must be distinct event types; "
+            f"got duplicates in {steps!r}"
+        )
     k = len(steps)
     w_us = None if window_seconds is None else window_seconds * 1_000_000
     lvl = None

@@ -539,12 +539,19 @@ def _select_merge_batch(
     - pairs OVERLAPPING a selected symbol can only keep or lose count
       (their occurrences are a shrinking subset), and pairs CREATED
       by a merge (w·ab / ab·z) inherit count ≤ some pre-merge
-      overlapping pair (count(w,ab) ≤ count(w,a)). So requiring the
+      overlapping pair (count(w,ab) ≤ count(w,a)) — EXCEPT the
+      self-composition of a selected pair with itself: merging
+      (a,a) creates (aa,aa) whose generating pair is the selected
+      pair, which the overlap scan excludes. Its count is bounded by
+      ``c_sel // 2`` (a run of 2k ``a``-s yields k ``aa``-s and at
+      most ``k // 2`` non-overlapping (aa,aa) adjacencies; per-run
+      floors sum to ≤ the floor of the total). So requiring the
       candidate's count to STRICTLY exceed every collected
-      overlapping pair's count — and, when the collection was
-      truncated, the last collected count (an upper bound on every
-      unseen pair) — guarantees no changed/created/unseen pair can
-      reach it, ties included;
+      overlapping pair's count, ``c_sel // 2`` for every selected
+      left==right pair, and — when the collection was truncated — the
+      last collected count (an upper bound on every unseen pair),
+      guarantees no changed/created/unseen pair can reach it, ties
+      included;
     - unchanged non-selected pairs ranked below the candidate stay
       below it (same count, same deterministic tie-break).
 
@@ -556,6 +563,7 @@ def _select_merge_batch(
     sel_syms: set[str] = set()
     sel_keys: set[tuple[str, str]] = set()
     guard = 0 if collection_complete else rows[-1][2]
+    self_bound = 0
     for a, b, c in rows:
         if len(sel) >= batch:
             break
@@ -563,6 +571,8 @@ def _select_merge_batch(
             sel.append((a, b, c))
             sel_syms.update((a, b))
             sel_keys.add((a, b))
+            if a == b:
+                self_bound = c // 2
             continue
         if a in sel_syms or b in sel_syms:
             continue
@@ -575,13 +585,15 @@ def _select_merge_batch(
             ),
             default=0,
         )
-        if c > max(overlap_bound, guard):
+        if c > max(overlap_bound, guard, self_bound):
             sel.append((a, b, c))
             sel_syms.update((a, b))
             sel_keys.add((a, b))
+            if a == b:
+                self_bound = max(self_bound, c // 2)
         else:
-            # counts only shrink down the rank order and the bound
-            # only grows as selections accumulate — nothing later
+            # counts only shrink down the rank order and the bounds
+            # only grow as selections accumulate — nothing later
             # can qualify this round
             break
     return sel

@@ -730,14 +730,21 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = funnel_first_touch(
         e, ["view", "click", "purchase"], window_seconds=604800
     )
-    d12 = (F.unix_micros("t_2") - F.unix_micros("t_1")) / F.lit(1e6)
-    d13 = (F.unix_micros("t_3") - F.unix_micros("t_1")) / F.lit(1e6)
+    # exact long sums of raw microsecond deltas, divided ONCE —
+    # order-free, so the averages hash-match cross-engine (a per-row
+    # double average would be summation-order-dependent)
+    us12 = F.unix_micros("t_2") - F.unix_micros("t_1")
+    us13 = F.unix_micros("t_3") - F.unix_micros("t_1")
     return (
         f.groupBy("depth")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
-            F.round(F.avg(d12), 4).alias("avg_s_to_click"),
-            F.round(F.avg(d13), 4).alias("avg_s_to_purchase"),
+            F.round(
+                F.sum(us12) / F.count(us12) / F.lit(1e6), 4
+            ).alias("avg_s_to_click"),
+            F.round(
+                F.sum(us13) / F.count(us13) / F.lit(1e6), 4
+            ).alias("avg_s_to_purchase"),
         )
         .orderBy("depth")
     )
@@ -773,8 +780,10 @@ f AS (
   LEFT JOIN s3 ON s1.user_id = s3.user_id
 )
 SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users,
-  ROUND(AVG((epoch_us(t2) - epoch_us(t1)) / 1e6), 4) AS avg_s_to_click,
-  ROUND(AVG((epoch_us(t3) - epoch_us(t1)) / 1e6), 4) AS avg_s_to_purchase
+  ROUND(CAST(SUM(epoch_us(t2) - epoch_us(t1)) AS DOUBLE)
+        / COUNT(t2) / 1e6, 4) AS avg_s_to_click,
+  ROUND(CAST(SUM(epoch_us(t3) - epoch_us(t1)) AS DOUBLE)
+        / COUNT(t3) / 1e6, 4) AS avg_s_to_purchase
 FROM f GROUP BY depth ORDER BY depth
 """
 

@@ -130,6 +130,13 @@ def test_learn_bpe_batched_equals_single_step(spark):
         ["xy xyz xyzw xyzw xyzw", "zw zw wz"],
         # single word — nothing disjoint, batch must degrade to 1
         ["aaaaaaaa"],
+        # ADVICE r8: self-composing merge (b,b)->(bb,bb) with a
+        # mid-count unrelated pair — the batch gate must bound the
+        # created (bb,bb) by c_sel//2, not just the overlap scan
+        ["ca bbbbbb"] * 4,
+        ["cc bbbbbbbb dd", "cc bbbb dd"],
+        # long single-char runs of TWO symbols plus a mid-count pair
+        ["aaaaaaaaaaaa xy", "bbbbbbbb xy", "xy xy"],
     ]
     for texts in corpora:
         df = spark.createDataFrame([(t,) for t in texts], "text string")
@@ -183,6 +190,21 @@ def test_select_merge_batch_soundness_unit():
     assert _select_merge_batch(rows3, 4, True) == rows3
     # batch=1 is plain argmax
     assert _select_merge_batch(rows2, 1, True) == [("a", "b", 10)]
+    # ADVICE r8: a selected left==right pair (b,b) creates (bb,bb)
+    # with count up to c_sel//2 = 5, which the overlap scan never
+    # sees — a disjoint mid-count pair must NOT qualify at <= 5
+    rows4 = [("b", "b", 10), ("c", "a", 4), ("d", "e", 3)]
+    assert _select_merge_batch(rows4, 8, True) == [("b", "b", 10)]
+    # ...but strictly above the self-bound it still qualifies
+    rows5 = [("b", "b", 10), ("c", "a", 6), ("d", "e", 3)]
+    assert _select_merge_batch(rows5, 8, True) == [
+        ("b", "b", 10), ("c", "a", 6),
+    ]
+    # the self-bound persists for later candidates in the same batch
+    rows6 = [("b", "b", 10), ("c", "a", 6), ("d", "e", 5)]
+    assert _select_merge_batch(rows6, 8, True) == [
+        ("b", "b", 10), ("c", "a", 6),
+    ]
 
 
 def test_learn_bpe_exhausts_pairs(spark):

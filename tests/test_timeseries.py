@@ -262,3 +262,46 @@ def test_window_funnel_any_chain_semantics(spark):
         df, ["view", "click", "purchase"]
     ).collect()}
     assert nw[4] == 1 and nw[1] == 3
+
+
+def test_window_funnel_rejects_duplicate_steps(spark):
+    """ADVICE r8: each event maps to exactly one level (its smallest
+    matching step index), so a funnel with a repeated event type
+    could never convert past the repeat — reject loudly."""
+    import datetime as dt
+
+    import pytest
+
+    from deltalake_datafusion_spark.operators.rollup import window_funnel
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        window_funnel(df, ["view", "click", "view"])
+
+
+def test_cohort_retention_negative_epoch_floor(spark):
+    """ADVICE r8: bucketing uses true FLOOR division, so pre-1970
+    timestamps land where DuckDB's `//` puts them — a user first seen
+    at epoch -1 us cohorts into bucket -1, not bucket 0 (truncating
+    `div` would give 0), and their epoch +1 us activity is offset 1."""
+    import datetime as dt
+
+    from deltalake_datafusion_spark.operators.rollup import (
+        cohort_retention,
+    )
+
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [
+        (1, epoch - dt.timedelta(microseconds=1)),   # bucket -1
+        (1, epoch + dt.timedelta(microseconds=1)),   # bucket 0
+        (2, epoch - dt.timedelta(days=8)),            # bucket -2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = cohort_retention(df, bucket_seconds=7 * 86400)
+    got = {
+        (r.cohort, r.offset): r.n_active for r in out.collect()
+    }
+    assert got == {(-1, 0): 1, (-1, 1): 1, (-2, 0): 1}
