@@ -1,0 +1,190 @@
+"""Published corpus-quality rule sets as pure expression trees:
+Gopher document rules (Rae et al. 2021, "Scaling Language Models",
+Appendix A1.1) and C4 line-level cleaning (Raffel et al. 2020,
+"Exploring the Limits of Transfer Learning", §2.2).
+
+Every rule evaluates as integer arithmetic over token/line counts
+(``3·n ≤ Σlen ≤ 10·n`` instead of a float mean, ``cnt·10 ≤ ratio·n``
+instead of a float division), so the flags are bit-deterministic and
+the whole stage hash-replays in any ANSI engine. Zero UDFs, zero
+shuffles — the rules inline into the scan projection (whole-stage
+codegen), the shape a 100 TB filter pass needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_BULLETS = ["- ", "* ", "• "]
+
+
+def _count_occ(col: Column, needle: str) -> Column:
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def gopher_quality_rules(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher quality heuristics (Rae et al. 2021 A1.1) per document.
+
+    Adds integer feature columns and boolean rule flags:
+
+    - ``n_words`` in [50, 100000] (``rule_word_count``)
+    - mean word length in [3, 10] — evaluated as
+      ``3·n_words ≤ sum_word_len ≤ 10·n_words`` (``rule_mean_word_len``)
+    - symbol-to-word ratio (# and ellipsis) ≤ 0.1 —
+      ``n_symbols·10 ≤ n_words`` (``rule_symbol_ratio``)
+    - ≤ 90 % of lines start with a bullet (``rule_bullet_lines``)
+    - ≤ 30 % of lines end with an ellipsis (``rule_ellipsis_lines``)
+    - ≥ 80 % of words contain an alphabetic char —
+      ``n_alpha_words·5 ≥ n_words·4`` (``rule_alpha_words``)
+    - ≥ 2 distinct required stop words present (``rule_stop_words``)
+
+    ``gopher_keep`` is the conjunction. Words split on whitespace
+    (space or newline — multi-line pages must not fuse words across
+    line joints); lines on ``\\n``."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, "[ \n]"), lambda w: w != "")
+    lines = F.filter(F.split(text, "\n"), lambda l: l != "")
+    n_words = F.size(words).cast("long")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_sym = (
+        _count_occ(text, "#") + _count_occ(text, "...")
+        + _count_occ(text, "…")
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.reduce(
+                F.array(*[F.lit(b) for b in _BULLETS]),
+                F.lit(False),
+                lambda acc, b: acc | l.startswith(b),
+            ),
+        )
+    ).cast("long")
+    ell = F.size(
+        F.filter(
+            lines,
+            lambda l: l.endswith("...") | l.endswith("…"),
+        )
+    ).cast("long")
+    stop_hits = F.reduce(
+        F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(F.array_contains(words, s), 1).otherwise(0),
+    )
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("sum_word_len", sum_len)
+        .withColumn("n_alpha_words", n_alpha)
+        .withColumn("n_symbols", n_sym)
+        .withColumn("n_lines", n_lines)
+        .withColumn("n_bullet_lines", bullet)
+        .withColumn("n_ellipsis_lines", ell)
+        .withColumn("n_stop_hits", stop_hits)
+    )
+    c = F.col
+    return (
+        out.withColumn(
+            "rule_word_count",
+            (c("n_words") >= 50) & (c("n_words") <= 100_000),
+        )
+        .withColumn(
+            "rule_mean_word_len",
+            (c("sum_word_len") >= 3 * c("n_words"))
+            & (c("sum_word_len") <= 10 * c("n_words")),
+        )
+        .withColumn(
+            "rule_symbol_ratio", c("n_symbols") * 10 <= c("n_words")
+        )
+        .withColumn(
+            "rule_bullet_lines",
+            c("n_bullet_lines") * 10 <= 9 * c("n_lines"),
+        )
+        .withColumn(
+            "rule_ellipsis_lines",
+            c("n_ellipsis_lines") * 10 <= 3 * c("n_lines"),
+        )
+        .withColumn(
+            "rule_alpha_words",
+            c("n_alpha_words") * 5 >= 4 * c("n_words"),
+        )
+        .withColumn("rule_stop_words", c("n_stop_hits") >= 2)
+        .withColumn(
+            "gopher_keep",
+            c("rule_word_count")
+            & c("rule_mean_word_len")
+            & c("rule_symbol_ratio")
+            & c("rule_bullet_lines")
+            & c("rule_ellipsis_lines")
+            & c("rule_alpha_words")
+            & c("rule_stop_words"),
+        )
+    )
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020 §2.2) per document:
+
+    line level — keep only lines (trimmed) that end in a terminal
+    punctuation mark (``. ! ? "``), contain ≥ 3 space-separated
+    words, and do not mention ``javascript`` (case-insensitive);
+
+    page level — drop the page when it contains ``{``, the phrase
+    ``lorem ipsum`` (case-insensitive), or fewer than 5 sentences
+    after line filtering (sentence count = terminal punctuation marks
+    in the kept text; the published pipeline splits on sentence
+    terminators, which this integer count reproduces for the
+    one-terminal-per-sentence case).
+
+    Adds ``n_lines``, ``n_kept_lines``, ``n_sentences``,
+    ``c4_text`` (kept lines re-joined) and ``c4_keep``."""
+    text = F.col(text_col)
+    # NOTE: the lambda must take exactly one arg — passing F.trim
+    # directly would bind transform's (element, index) pair to the
+    # two-parameter trim(col, trimstr) overload and strip index
+    # digits off the lines
+    lines = F.transform(
+        F.filter(F.split(text, "\n"), lambda l: F.trim(l) != ""),
+        lambda l: F.trim(l),
+    )
+    n_lines = F.size(lines).cast("long")
+
+    def line_ok(l):
+        n_w = F.size(F.filter(F.split(l, " "), lambda w: w != ""))
+        return (
+            l.rlike('[.!?"]$')
+            & (n_w >= 3)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    c4_text = F.array_join(kept, "\n")
+    n_sent = (
+        _count_occ(c4_text, ".")
+        + _count_occ(c4_text, "!")
+        + _count_occ(c4_text, "?")
+    ).cast("long")
+    out = (
+        df.withColumn("n_lines", n_lines)
+        .withColumn("n_kept_lines", F.size(kept).cast("long"))
+        .withColumn("c4_text", c4_text)
+        .withColumn("n_sentences", n_sent)
+    )
+    return out.withColumn(
+        "c4_keep",
+        (F.col("n_sentences") >= 5)
+        & ~text.contains("{")
+        & ~F.lower(text).contains("lorem ipsum"),
+    )

@@ -88,7 +88,221 @@ FROM probe ORDER BY n_exact DESC, word
 """
 
 
+def _synth_page_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-line 'web page' per document — the same
+    pattern the web tier uses to synthesize WARC records: the word
+    soup is chunked into 6-word lines and decorated by pure integer
+    arithmetic on (doc_id + line index), giving the line-level
+    cleaning rules real discriminating power (bullets, ellipses,
+    missing terminals, javascript mentions, lorem-ipsum / curly-brace
+    pages). String ops only, so DuckDB replays the synthesis
+    byte-for-byte."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    n = F.size(words)
+    idx = F.sequence(
+        F.lit(0), F.floor((n - F.lit(1)) / F.lit(6)).cast("int")
+    )
+
+    def mk_line(i):
+        k = F.col("doc_id") + i
+        base = F.array_join(F.slice(words, i * 6 + 1, 6), " ")
+        prefix = F.when(k % 11 == 0, F.lit("- ")).otherwise(F.lit(""))
+        suffix = (
+            F.when(k % 17 == 0, F.lit(" javascript."))
+            .when(k % 13 == 0, F.lit("..."))
+            .when(k % 3 != 0, F.lit("."))
+            .otherwise(F.lit(""))
+        )
+        return F.concat(prefix, base, suffix)
+
+    empty = F.array().cast("array<string>")
+    extras = F.concat(
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.array(F.lit("lorem ipsum dolor sit.")),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 29 == 0,
+            F.array(F.lit("config { x } done.")),
+        ).otherwise(empty),
+    )
+    page = F.array_join(F.concat(F.transform(idx, mk_line), extras), "\n")
+    return docs.filter(
+        F.col("text").isNotNull() & (F.size(words) > 0)
+    ).select("doc_id", page.alias("text"))
+
+
+_SYNTH_PAGE_SQL = """
+base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+pages AS (
+  SELECT doc_id,
+    array_to_string(
+      list_concat(
+        list_concat(
+          list_transform(
+            generate_series(0, CAST((len(ws) - 1) // 6 AS INT)),
+            i ->
+              (CASE WHEN (doc_id + i) % 11 = 0 THEN '- ' ELSE '' END)
+              || array_to_string(ws[i*6+1 : i*6+6], ' ')
+              || (CASE WHEN (doc_id + i) % 17 = 0 THEN ' javascript.'
+                       WHEN (doc_id + i) % 13 = 0 THEN '...'
+                       WHEN (doc_id + i) % 3 <> 0 THEN '.'
+                       ELSE '' END)),
+          CASE WHEN doc_id % 23 = 0
+               THEN ['lorem ipsum dolor sit.'] ELSE [] END),
+        CASE WHEN doc_id % 29 = 0
+             THEN ['config { x } done.'] ELSE [] END),
+      chr(10)) AS text
+  FROM base WHERE len(ws) > 0
+)
+"""
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 A1.1;
+    ``operators/quality_rules.py::gopher_quality_rules``) over the
+    synthesized pages: every feature is an integer count and every
+    rule an integer comparison, so the per-document flags value-hash
+    across engines. Pure projection — the rules inline into the scan
+    (no shuffle, no Python)."""
+    from deltalake_datafusion_spark.operators.quality_rules import (
+        gopher_quality_rules,
+    )
+
+    out = gopher_quality_rules(_synth_page_df(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_words", "sum_word_len", "n_alpha_words",
+        "n_symbols", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+        "n_stop_hits", "rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_bullet_lines", "rule_ellipsis_lines",
+        "rule_alpha_words", "rule_stop_words", "gopher_keep",
+    ).orderBy("doc_id")
+
+
+_GOPHER_SQL = f"""
+WITH {_SYNTH_PAGE_SQL},
+feat AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '[ \n]'), w -> w <> '') AS ws,
+    list_filter(string_split(text, chr(10)), l -> l <> '') AS ls,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      + CAST((length(text) - length(replace(text, '...', ''))) / 3
+             AS BIGINT)
+      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+      AS n_symbols
+  FROM pages
+),
+agg AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+      AS sum_word_len,
+    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+         AS BIGINT) AS n_alpha_words,
+    n_symbols,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(ls, l ->
+      l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS BIGINT)
+      AS n_bullet_lines,
+    CAST(len(list_filter(ls, l ->
+      l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS n_ellipsis_lines,
+    CAST(
+      (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END) +
+      (CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END) +
+      (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END) +
+      (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END) +
+      (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END) +
+      (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END) +
+      (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END) +
+      (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_stop_hits
+  FROM feat
+)
+SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_symbols,
+  n_lines, n_bullet_lines, n_ellipsis_lines, n_stop_hits,
+  (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+  (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+    AS rule_mean_word_len,
+  (n_symbols * 10 <= n_words) AS rule_symbol_ratio,
+  (n_bullet_lines * 10 <= 9 * n_lines) AS rule_bullet_lines,
+  (n_ellipsis_lines * 10 <= 3 * n_lines) AS rule_ellipsis_lines,
+  (n_alpha_words * 5 >= 4 * n_words) AS rule_alpha_words,
+  (n_stop_hits >= 2) AS rule_stop_words,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+   AND (n_symbols * 10 <= n_words)
+   AND (n_bullet_lines * 10 <= 9 * n_lines)
+   AND (n_ellipsis_lines * 10 <= 3 * n_lines)
+   AND (n_alpha_words * 5 >= 4 * n_words)
+   AND (n_stop_hits >= 2)) AS gopher_keep
+FROM agg ORDER BY doc_id
+"""
+
+
+def text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2;
+    ``operators/quality_rules.py::c4_line_filter``) over the
+    synthesized pages: per document the line counts before/after the
+    terminal-punctuation / ≥3-words / no-javascript line rules, the
+    sentence count, the md5 digest of the cleaned text, and the
+    page-level keep decision (≥5 sentences, no '{', no lorem ipsum).
+    Pure projection, value-hash checkable."""
+    from deltalake_datafusion_spark.operators.quality_rules import (
+        c4_line_filter,
+    )
+
+    out = c4_line_filter(_synth_page_df(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_lines", "n_kept_lines", "n_sentences",
+        F.md5("c4_text").alias("c4_digest"), "c4_keep",
+    ).orderBy("doc_id")
+
+
+_C4_SQL = f"""
+WITH {_SYNTH_PAGE_SQL},
+split AS (
+  SELECT doc_id, text,
+    list_transform(
+      list_filter(string_split(text, chr(10)), l -> trim(l) <> ''),
+      l -> trim(l)) AS ls
+  FROM pages
+),
+kept AS (
+  SELECT doc_id, text, CAST(len(ls) AS BIGINT) AS n_lines,
+    list_filter(ls, l ->
+      regexp_matches(l, '[.!?"]$')
+      AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+      AND NOT contains(lower(l), 'javascript')) AS kl
+  FROM split
+),
+joined AS (
+  SELECT doc_id, text, n_lines,
+    CAST(len(kl) AS BIGINT) AS n_kept_lines,
+    COALESCE(array_to_string(kl, chr(10)), '') AS c4_text
+  FROM kept
+)
+SELECT doc_id, n_lines, n_kept_lines,
+  CAST((length(c4_text) - length(replace(c4_text, '.', '')))
+     + (length(c4_text) - length(replace(c4_text, '!', '')))
+     + (length(c4_text) - length(replace(c4_text, '?', '')))
+     AS BIGINT) AS n_sentences,
+  md5(c4_text) AS c4_digest,
+  (((length(c4_text) - length(replace(c4_text, '.', '')))
+     + (length(c4_text) - length(replace(c4_text, '!', '')))
+     + (length(c4_text) - length(replace(c4_text, '?', '')))) >= 5
+   AND NOT contains(text, '{{')
+   AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep
+FROM joined ORDER BY doc_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_cms_heavy_hitters", q_cms_heavy_hitters, _CMS_SQL),
+        QuerySpec("text_gopher_rules", text_gopher_rules, _GOPHER_SQL),
+        QuerySpec("text_c4_filter", text_c4_filter, _C4_SQL),
     ]

@@ -1,0 +1,112 @@
+"""Gopher/C4 corpus-quality rule sets
+(operators/quality_rules.py): hand-built semantics matrices and a
+pure-projection plan guard (no Python, no Exchange)."""
+
+from __future__ import annotations
+
+from deltalake_datafusion_spark.operators.quality_rules import (
+    c4_line_filter,
+    gopher_quality_rules,
+)
+
+
+def _doc(spark, text, doc_id=1):
+    return spark.createDataFrame(
+        [(doc_id, text)], "doc_id long, text string"
+    )
+
+
+def test_gopher_rules_semantics(spark):
+    """Each rule trips on exactly the engineered violation."""
+    good = (
+        "the quick brown fox jumps over that lazy dog and runs with "
+        "great speed toward home today " * 3
+    ).strip()  # 48 words... pad to >=50
+    good = good + " more words here"
+    r = gopher_quality_rules(_doc(spark, good)).first()
+    assert r.n_words >= 50 and r.gopher_keep, r
+    # too few words
+    r = gopher_quality_rules(_doc(spark, "the cat and that dog")).first()
+    assert not r.rule_word_count and not r.gopher_keep
+    # mean word length out of range (long tokens)
+    long_tok = " ".join(["supercalifragilistic"] * 60) + " the and"
+    r = gopher_quality_rules(_doc(spark, long_tok)).first()
+    assert not r.rule_mean_word_len
+    # symbol ratio: 8 hashes in 60 words trips 10% threshold? 8*10>62
+    sym = " ".join(["the and word"] * 20) + " " + " ".join(["#"] * 8)
+    r = gopher_quality_rules(_doc(spark, sym)).first()
+    assert r.n_symbols == 8
+    assert not r.rule_symbol_ratio  # 8*10 > 68 words
+    # bullet lines > 90%
+    bullets = "\n".join(["- the item and that"] * 10)
+    r = gopher_quality_rules(_doc(spark, bullets)).first()
+    assert r.n_bullet_lines == 10 and not r.rule_bullet_lines
+    # ellipsis line endings > 30%
+    ell = "\n".join(["the thing and more..."] * 2 + ["plain the and"])
+    r = gopher_quality_rules(_doc(spark, ell)).first()
+    assert r.n_ellipsis_lines == 2 and not r.rule_ellipsis_lines
+    # alpha-word fraction < 80%
+    nums = " ".join(["123 456"] * 30) + " the and"
+    r = gopher_quality_rules(_doc(spark, nums)).first()
+    assert not r.rule_alpha_words
+    # stop words: needs >= 2 distinct
+    r = gopher_quality_rules(
+        _doc(spark, " ".join(["the"] * 60))
+    ).first()
+    assert r.n_stop_hits == 1 and not r.rule_stop_words
+
+
+def test_c4_line_semantics(spark):
+    """Terminal punctuation, >=3 words, javascript, lorem ipsum,
+    curly braces, >=5 sentences."""
+    text = "\n".join(
+        [
+            "This line ends with a period.",      # kept
+            "So does this one!",                  # kept (!)
+            'A quoted ending."',                  # kept (")
+            "no terminal punctuation here",       # dropped
+            "Short.",                             # dropped (<3 words)
+            "Enable JavaScript to continue.",     # dropped (javascript)
+            "Another proper sentence right here.",  # kept
+            "And one final good sentence now.",   # kept
+        ]
+    )
+    r = c4_line_filter(_doc(spark, text)).first()
+    assert r.n_lines == 8
+    assert r.n_kept_lines == 5
+    assert r.n_sentences == 5
+    assert r.c4_keep
+    assert "JavaScript" not in r.c4_text
+    assert "no terminal" not in r.c4_text
+    # lorem ipsum page dropped even with enough sentences
+    lorem = text + "\nNow lorem ipsum appears sadly."
+    assert not c4_line_filter(_doc(spark, lorem)).first().c4_keep
+    # curly-brace page dropped
+    curly = text + "\nCode with brace { inside it fails."
+    assert not c4_line_filter(_doc(spark, curly)).first().c4_keep
+    # fewer than 5 sentences after filtering -> dropped
+    few = "\n".join(["A good little sentence here."] * 4)
+    r = c4_line_filter(_doc(spark, few)).first()
+    assert r.n_sentences == 4 and not r.c4_keep
+    # whitespace-only lines vanish before counting; others trimmed
+    r = c4_line_filter(
+        _doc(spark, "   \n  Trimmed sentence sits here.  \n \n")
+    ).first()
+    assert r.n_lines == 1 and r.n_kept_lines == 1
+    assert r.c4_text == "Trimmed sentence sits here."
+
+
+def test_quality_rules_plan_is_pure_projection(spark, sf_dir):
+    """Both rule sets inline into the scan: no Exchange, no Python
+    eval anywhere in the physical plan."""
+    from deltalake_datafusion_spark.queries.analytics import (
+        text_c4_filter,
+        text_gopher_rules,
+    )
+
+    for q in (text_gopher_rules, text_c4_filter):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        # the query's output orderBy adds one range exchange; the
+        # rules themselves must add NO hash shuffle and NO Python
+        assert "Exchange hashpartitioning" not in plan, plan[:1500]
+        assert "Python" not in plan, plan[:1500]
