@@ -300,9 +300,96 @@ FROM joined ORDER BY doc_id
 """
 
 
+def pipe_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate detection
+    (``operators/fuzzy.py::fuzzy_near_duplicates``): deterministic
+    char-level mutants are planted next to the corpus (one deletion
+    for doc_id % 7 == 0, one substitution for doc_id % 11 == 0 — the
+    entity-resolution shape: typo'd titles), then deletion-
+    neighborhood (FastSS) blocking + exact Levenshtein verify
+    recovers every pair at distance ≤ 1. The oracle is the
+    INDEPENDENT all-pairs Levenshtein ground truth — the Spark side
+    is never all-pairs, so a hash match proves the blocking scheme's
+    completeness on real data."""
+    from deltalake_datafusion_spark.operators.fuzzy import (
+        fuzzy_near_duplicates,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    base = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    m1 = (
+        docs.filter(
+            F.col("text").isNotNull()
+            & (F.col("doc_id") % 7 == 0)
+            & (F.length("text") > F.col("doc_id") % 50 + 1)
+        )
+        .select(
+            (F.col("doc_id") + 100_000).alias("id"),
+            F.expr(
+                "concat(substr(text, 1, CAST(pmod(doc_id, 50) AS INT)),"
+                " substr(text, CAST(pmod(doc_id, 50) AS INT) + 2))"
+            ).alias("text"),
+        )
+    )
+    m2 = (
+        docs.filter(
+            F.col("text").isNotNull()
+            & (F.col("doc_id") % 11 == 0)
+            & (F.length("text") >= F.col("doc_id") % 40 + 1)
+        )
+        .select(
+            (F.col("doc_id") + 200_000).alias("id"),
+            F.expr(
+                "concat(substr(text, 1, CAST(pmod(doc_id, 40) AS INT)),"
+                " 'Z',"
+                " substr(text, CAST(pmod(doc_id, 40) AS INT) + 2))"
+            ).alias("text"),
+        )
+    )
+    corpus = base.unionByName(m1).unionByName(m2)
+    return fuzzy_near_duplicates(corpus, "id", "text", max_dist=1).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_FUZZY_SQL = """
+WITH base AS (
+  SELECT doc_id AS id, text FROM documents WHERE text IS NOT NULL
+),
+m1 AS (
+  SELECT doc_id + 100000 AS id,
+    substr(text, 1, CAST(doc_id % 50 AS INT))
+      || substr(text, CAST(doc_id % 50 AS INT) + 2) AS text
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id % 7 = 0
+    AND length(text) > doc_id % 50 + 1
+),
+m2 AS (
+  SELECT doc_id + 200000 AS id,
+    substr(text, 1, CAST(doc_id % 40 AS INT)) || 'Z'
+      || substr(text, CAST(doc_id % 40 AS INT) + 2) AS text
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id % 11 = 0
+    AND length(text) >= doc_id % 40 + 1
+),
+allr AS (
+  SELECT * FROM base UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2
+)
+SELECT a.id AS id_a, b.id AS id_b,
+  CAST(levenshtein(a.text, b.text) AS INT) AS dist
+FROM allr a JOIN allr b ON a.id < b.id
+WHERE abs(length(a.text) - length(b.text)) <= 1
+  AND levenshtein(a.text, b.text) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_cms_heavy_hitters", q_cms_heavy_hitters, _CMS_SQL),
         QuerySpec("text_gopher_rules", text_gopher_rules, _GOPHER_SQL),
         QuerySpec("text_c4_filter", text_c4_filter, _C4_SQL),
+        QuerySpec("pipe_fuzzy_dedup", pipe_fuzzy_dedup, _FUZZY_SQL),
     ]
