@@ -386,10 +386,94 @@ ORDER BY id_a, id_b
 """
 
 
+PR_ITERS = 8
+PR_SCALE_BITS = 40
+PR_DAMPING = 85
+
+
+def pipe_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank
+    (``operators/graph.py::pagerank_integer``) over a deterministic
+    50-node domain link graph synthesized from ``documents`` (two
+    arithmetic edge families per doc — heavy-tailed in-degree). Every
+    step is integer floor division, so the 8-iteration ranks are
+    bit-identical cross-engine; the oracle UNROLLS the same
+    iterations as chained SQL CTEs. Per iteration the Spark plan is
+    one groupBy shuffle plus a broadcast-size ranks join."""
+    from deltalake_datafusion_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = F.col("doc_id")
+    e1 = docs.select(
+        (d % 50).alias("src"), ((d * 7 + 3) % 50).alias("dst")
+    )
+    e2 = docs.select(
+        ((d * 3 + 1) % 50).alias("src"),
+        (((d % 17) * 5) % 50).alias("dst"),
+    )
+    ranks = pagerank_integer(
+        e1.unionByName(e2),
+        iterations=PR_ITERS,
+        scale_bits=PR_SCALE_BITS,
+        damping_pct=PR_DAMPING,
+    )
+    return ranks.select("node", "rank").orderBy(F.desc("rank"), "node")
+
+
+def _pagerank_sql(
+    t_iters: int = PR_ITERS,
+    damping: int = PR_DAMPING,
+    scale_bits: int = PR_SCALE_BITS,
+) -> str:
+    s = 1 << scale_bits
+    parts = [
+        f"""
+WITH e0 AS (
+  SELECT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst FROM documents
+  UNION ALL
+  SELECT (doc_id * 3 + 1) % 50, ((doc_id % 17) * 5) % 50 FROM documents
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION SELECT dst FROM e)
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+pr0 AS (
+  SELECT node, CAST({s} // n AS BIGINT) AS rank FROM nodes, nn
+)"""
+    ]
+    for t in range(1, t_iters + 1):
+        parts.append(
+            f""",
+c{t} AS (
+  SELECT e.dst AS node, SUM(p.rank // deg.deg) AS c
+  FROM e JOIN pr{t - 1} p ON e.src = p.node
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+pr{t} AS (
+  SELECT nodes.node,
+    CAST(({s} * {100 - damping}) // (100 * nn.n)
+         + ({damping} * COALESCE(c{t}.c, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN c{t} ON c{t}.node = nodes.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, rank FROM pr{t_iters} ORDER BY rank DESC, node"
+    )
+    return "".join(parts)
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_cms_heavy_hitters", q_cms_heavy_hitters, _CMS_SQL),
         QuerySpec("text_gopher_rules", text_gopher_rules, _GOPHER_SQL),
         QuerySpec("text_c4_filter", text_c4_filter, _C4_SQL),
         QuerySpec("pipe_fuzzy_dedup", pipe_fuzzy_dedup, _FUZZY_SQL),
+        QuerySpec("pipe_pagerank", pipe_pagerank, _pagerank_sql()),
     ]

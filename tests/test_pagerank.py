@@ -1,0 +1,83 @@
+"""Integer PageRank (operators/graph.py::pagerank_integer): exact
+lockstep vs an independent pure-Python integer replay, structural
+sanity (hub dominance), determinism across partitionings, and
+duplicate/self-loop edge handling."""
+
+from __future__ import annotations
+
+from deltalake_datafusion_spark.operators.graph import pagerank_integer
+
+
+def _py_pagerank(edges, iterations=8, scale_bits=40, damping=85):
+    edges = {(a, b) for a, b in edges if a != b}
+    nodes = sorted({x for e in edges for x in e})
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(nodes)
+    s = 1 << scale_bits
+    base = (s * (100 - damping)) // (100 * n)
+    r = {v: s // n for v in nodes}
+    for _ in range(iterations):
+        c = {v: 0 for v in nodes}
+        for a, b in edges:
+            c[b] += r[a] // deg[a]
+        r = {v: base + (damping * c[v]) // 100 for v in nodes}
+    return r
+
+
+def _spark_pr(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.rank for r in pagerank_integer(df, **kw).collect()
+    }
+
+
+def test_pagerank_matches_python_replay(spark):
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (6, 3),
+        (3, 4), (2, 4), (4, 1), (5, 1), (6, 1), (1, 6),
+    ]
+    assert _spark_pr(spark, edges) == _py_pagerank(edges)
+    # different iteration counts too
+    assert _spark_pr(spark, edges, iterations=3) == _py_pagerank(
+        edges, iterations=3
+    )
+
+
+def test_pagerank_hub_dominates_star(spark):
+    """All spokes point at the hub: at convergence the hub's rank
+    strictly exceeds every spoke's. (Needs enough iterations: the
+    hub↔spoke back-edges form a 2-cycle whose oscillation decays as
+    0.85^t — at t=8 the transient can still dominate, which is
+    correct PageRank behavior, so this test runs t=40.)"""
+    edges = [(i, 0) for i in range(1, 9)] + [(0, 1), (0, 2)]
+    r = _spark_pr(spark, edges, iterations=40)
+    assert r == _py_pagerank(edges, iterations=40)
+    assert r[0] > max(v for k, v in r.items() if k != 0)
+
+
+def test_pagerank_self_loops_and_dupes_ignored(spark):
+    """Self-loops and duplicate edges do not change the result."""
+    clean = [(1, 2), (2, 3), (3, 1)]
+    noisy = clean + [(1, 1), (2, 2), (1, 2), (1, 2), (3, 1)]
+    assert _spark_pr(spark, clean) == _spark_pr(spark, noisy)
+    # symmetric 3-cycle: all ranks equal
+    r = _spark_pr(spark, clean)
+    assert len(set(r.values())) == 1
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    """Integer sums are order-free: 1 vs 16 partitions give identical
+    longs (a float PageRank would drift in the last ulp)."""
+    import random
+
+    rng = random.Random(4)
+    edges = [
+        (rng.randrange(30), rng.randrange(30)) for _ in range(300)
+    ]
+    df1 = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    df16 = spark.createDataFrame(edges, "src long, dst long").repartition(16)
+    r1 = {r.node: r.rank for r in pagerank_integer(df1).collect()}
+    r16 = {r.node: r.rank for r in pagerank_integer(df16).collect()}
+    assert r1 == r16 == _py_pagerank(edges)
