@@ -347,3 +347,149 @@ def window_funnel(
     return seq.select(
         F.col("__u").alias(user_col), depth.alias("depth")
     ).filter(F.col("depth") >= 1)
+
+
+def rolling_anomaly_counts(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    lookback: int = 50,
+    min_history: int = 20,
+    sigma_num: int = 3,
+    sigma_den: int = 2,
+) -> DataFrame:
+    """Rolling z-score anomaly detection in EXACT integer arithmetic:
+    per group, each point compares against the trailing ``lookback``
+    rows (excluding itself); it is anomalous when
+    ``|x − μ| > (sigma_num/sigma_den)·σ`` over that window. The test
+    is evaluated without ever forming μ or σ as floats —
+
+        (n·x − s1)² · sigma_den² > sigma_num² · (n·s2 − s1²)
+
+    with x the value in integer cents and s1/s2 the window's exact
+    integer sum / sum-of-squares — so the flags (and their per-group
+    counts) are bit-deterministic and hash-identical in any engine.
+    (A float z-score would depend on the engine's sliding-window
+    summation tree: DuckDB's segment tree and Spark's running fold
+    add in different orders.)
+
+    One shuffle (the window partition); returns
+    ``(group, n_checked, n_anomalies)``."""
+    from pyspark.sql import Window
+
+    c = F.round(F.col(value_col) * 100).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(c).over(w)
+    s2 = F.sum(c * c).over(w)
+    checked = n >= min_history
+    dev = n * c - s1
+    flag = checked & (
+        dev * dev * (sigma_den * sigma_den)
+        > (sigma_num * sigma_num) * (n * s2 - s1 * s1)
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            checked.cast("long").alias("__chk"),
+            flag.cast("long").alias("__anom"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("__chk").alias("n_checked"),
+            F.sum("__anom").alias("n_anomalies"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    int_col,
+    n_buckets: int = 256,
+    percents: list[int] | None = None,
+) -> DataFrame:
+    """Portable approximate quantiles from a fixed equi-width integer
+    histogram, next to the exact answers: for each percent p, the
+    estimate is the LOWER BOUNDARY of the first bucket whose
+    cumulative count reaches ``ceil(p·N/100)``, and the exact value
+    is the true k-th smallest at the same rank — both derived from
+    integer arithmetic only (bucket width ``(max−min) div B + 1``,
+    thresholds via ceiling division), so estimate AND exact hash
+    across engines. ``int_col`` must be an integer Column.
+
+    Scale shape: the histogram is ONE partial-aggregated groupBy
+    (≤ ``n_buckets`` rows per task); the exact side is one groupBy
+    on distinct values plus a cumulative window over ≤ distinct
+    values — the standard two-pass quantile shape. Returns
+    ``(p, est, exact)`` as integers in the input's units."""
+    from pyspark.sql import Window
+
+    percents = percents or [50, 95, 99]
+    vals = df.select(int_col.alias("__c")).filter(F.col("__c").isNotNull())
+    mm = vals.agg(
+        F.min("__c").alias("__lo"),
+        F.max("__c").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    with_b = vals.crossJoin(F.broadcast(mm)).withColumn(
+        "__w", F.expr(f"((__hi - __lo) div {n_buckets}) + 1L")
+    ).withColumn("__b", F.expr("(__c - __lo) div __w"))
+    buckets = (
+        with_b.groupBy("__b", "__lo", "__w", "__n")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__cum",
+            F.sum("__cnt").over(
+                Window.orderBy("__b").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    ps = (
+        mm.select(
+            "__n",
+            F.explode(
+                F.array(*[F.lit(p) for p in percents])
+            ).alias("p"),
+        )
+        .withColumn("__thr", F.expr("(__n * p + 99) div 100"))
+        .select("p", "__thr")
+    )
+    est = (
+        buckets.join(
+            F.broadcast(ps), F.col("__cum") >= F.col("__thr")
+        )
+        .groupBy("p")
+        .agg(
+            F.min(F.expr("__lo + __b * __w")).alias("est")
+        )
+    )
+    exact_cum = (
+        vals.groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__cum",
+            F.sum("__cnt").over(
+                Window.orderBy("__c").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    exact = (
+        exact_cum.join(
+            F.broadcast(ps), F.col("__cum") >= F.col("__thr")
+        )
+        .groupBy("p")
+        .agg(F.min("__c").alias("exact"))
+    )
+    return est.join(exact, "p").select("p", "est", "exact")

@@ -469,6 +469,148 @@ pr{t} AS (
     return "".join(parts)
 
 
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly counts
+    (``operators/rollup.py::rolling_anomaly_counts``): per event
+    type, each value tests ``|x − μ| > 1.5σ`` against its trailing
+    50-event window — evaluated entirely in integer cents via the
+    cross-multiplied form ``(n·x − s1)²·4 > 9·(n·s2 − s1²)``, so the
+    flags hash across engines (a float z-score would depend on the
+    sliding-window summation tree). One window shuffle."""
+    from deltalake_datafusion_spark.operators.rollup import (
+        rolling_anomaly_counts,
+    )
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    return rolling_anomaly_counts(e).orderBy("event_type")
+
+
+_ANOMALY_SQL = """
+WITH w AS (
+  SELECT event_type,
+    CAST(round(value * 100) AS BIGINT) AS c,
+    COUNT(*) OVER win AS n,
+    SUM(CAST(round(value * 100) AS BIGINT)) OVER win AS s1,
+    SUM(CAST(round(value * 100) AS BIGINT)
+        * CAST(round(value * 100) AS BIGINT)) OVER win AS s2
+  FROM events WHERE value IS NOT NULL
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+  CAST(SUM(CASE WHEN n >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_checked,
+  CAST(SUM(CASE WHEN n >= 20
+    AND (n*c - s1) * (n*c - s1) * 4 > 9 * (n*s2 - s1*s1)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable approximate quantiles
+    (``operators/rollup.py::histogram_quantiles``): p50/p95/p99 of
+    ``events.value`` estimated from a 256-bucket equi-width integer
+    histogram (lower-boundary rule, ceiling-division ranks) next to
+    the exact k-th smallest at the same rank — both pure integer
+    arithmetic until one final /100, so approximate AND exact answers
+    value-hash. The histogram shuffle is bounded at 256 rows per
+    task by partial aggregation."""
+    from deltalake_datafusion_spark.operators.rollup import (
+        histogram_quantiles,
+    )
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    q = histogram_quantiles(
+        e.filter(F.col("value").isNotNull()), cents, n_buckets=256
+    )
+    return q.select(
+        "p",
+        (F.col("est") / 100.0).alias("est_value"),
+        (F.col("exact") / 100.0).alias("exact_value"),
+    ).orderBy("p")
+
+
+_HISTQ_SQL = """
+WITH vals AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+  WHERE value IS NOT NULL
+),
+mm AS (
+  SELECT MIN(c) AS lo, MAX(c) AS hi, COUNT(*) AS n FROM vals
+),
+b AS (
+  SELECT ((c - lo) // (((hi - lo) // 256) + 1)) AS bkt,
+         lo, ((hi - lo) // 256) + 1 AS w, n
+  FROM vals, mm
+),
+hist AS (
+  SELECT bkt, lo, w, n, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT bkt, lo, w, n,
+    SUM(cnt) OVER (ORDER BY bkt
+                   ROWS UNBOUNDED PRECEDING) AS cm
+  FROM hist
+),
+ps AS (
+  SELECT p, (n * p + 99) // 100 AS thr FROM mm,
+    (SELECT UNNEST([50, 95, 99]) AS p)
+),
+est AS (
+  SELECT p, MIN(lo + bkt * w) AS est
+  FROM cum JOIN ps ON cm >= thr GROUP BY p
+),
+ecum AS (
+  SELECT c, SUM(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cm
+  FROM (SELECT c, COUNT(*) AS cnt FROM vals GROUP BY c)
+),
+ex AS (
+  SELECT p, MIN(c) AS exact FROM ecum JOIN ps ON cm >= thr GROUP BY p
+)
+SELECT est.p, CAST(est AS DOUBLE) / 100.0 AS est_value,
+  CAST(exact AS DOUBLE) / 100.0 AS exact_value
+FROM est JOIN ex ON est.p = ex.p ORDER BY est.p
+"""
+
+
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the
+    static ``customer`` dimension (broadcast — the canonical
+    stream-side-unbounded / dim-side-small shape) on
+    ``user_id = c_custkey``, then aggregates exact decimal revenue
+    per market segment; run to completion with availableNow. The
+    oracle is the plain batch join+agg, which the streaming answer
+    must equal exactly."""
+    from deltalake_datafusion_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    j = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
+    )
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return run_to_memory(
+        agg, "q_stream_static_join", "complete"
+    ).orderBy("c_mktsegment")
+
+
+_STREAM_STATIC_SQL = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_cms_heavy_hitters", q_cms_heavy_hitters, _CMS_SQL),
@@ -476,4 +618,12 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_c4_filter", text_c4_filter, _C4_SQL),
         QuerySpec("pipe_fuzzy_dedup", pipe_fuzzy_dedup, _FUZZY_SQL),
         QuerySpec("pipe_pagerank", pipe_pagerank, _pagerank_sql()),
+        QuerySpec("q_rolling_anomaly", q_rolling_anomaly, _ANOMALY_SQL),
+        QuerySpec(
+            "q_histogram_quantiles", q_histogram_quantiles, _HISTQ_SQL
+        ),
+        QuerySpec(
+            "streaming_static_join", streaming_static_join,
+            _STREAM_STATIC_SQL,
+        ),
     ]

@@ -305,3 +305,107 @@ def test_cohort_retention_negative_epoch_floor(spark):
         (r.cohort, r.offset): r.n_active for r in out.collect()
     }
     assert got == {(-1, 0): 1, (-1, 1): 1, (-2, 0): 1}
+
+
+def test_rolling_anomaly_counts_semantics(spark):
+    """A planted spike after a stable run is flagged; points inside
+    the noise band and points without min_history are not."""
+    import datetime as dt
+
+    from deltalake_datafusion_spark.operators.rollup import (
+        rolling_anomaly_counts,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # 30 stable points around 100.00 +- 1, then one spike at 500.00
+    for i in range(30):
+        rows.append(
+            (i, t0 + dt.timedelta(seconds=i), "a", 100.0 + (i % 3) - 1)
+        )
+    rows.append((30, t0 + dt.timedelta(seconds=30), "a", 500.0))
+    # a second group with too little history: nothing checked
+    rows += [
+        (100 + i, t0 + dt.timedelta(seconds=i), "b", 50.0 + i)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        r.event_type: (r.n_checked, r.n_anomalies)
+        for r in rolling_anomaly_counts(df, min_history=20).collect()
+    }
+    # group a: points 20..30 have history -> 11 checked, only the
+    # spike exceeds 1.5 sigma of the +-1 band
+    assert got["a"] == (11, 1)
+    assert got["b"] == (0, 0)
+
+
+def test_rolling_anomaly_integer_exactness(spark):
+    """1 vs 16 partitions give identical counts (integer arithmetic
+    is reduction-order-free)."""
+    import datetime as dt
+    import random
+
+    from deltalake_datafusion_spark.operators.rollup import (
+        rolling_anomaly_counts,
+    )
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (
+            i,
+            t0 + dt.timedelta(seconds=i),
+            "g" + str(i % 3),
+            round(rng.uniform(0, 400), 2),
+        )
+        for i in range(600)
+    ]
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    r1 = {
+        (r.event_type): (r.n_checked, r.n_anomalies)
+        for r in rolling_anomaly_counts(
+            spark.createDataFrame(rows, schema).coalesce(1)
+        ).collect()
+    }
+    r16 = {
+        (r.event_type): (r.n_checked, r.n_anomalies)
+        for r in rolling_anomaly_counts(
+            spark.createDataFrame(rows, schema).repartition(16)
+        ).collect()
+    }
+    assert r1 == r16
+
+
+def test_histogram_quantiles_bracketing(spark):
+    """For every percent: exact == the true k-th smallest
+    (k = ceil(p*N/100)) and the histogram estimate is its bucket's
+    lower boundary: est <= exact < est + width."""
+    import math
+    import random
+
+    from deltalake_datafusion_spark.operators.rollup import (
+        histogram_quantiles,
+    )
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(11)
+    vals = [rng.randrange(0, 100_000) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    out = {
+        r.p: (r.est, r.exact)
+        for r in histogram_quantiles(
+            df, SF.col("c"), n_buckets=256
+        ).collect()
+    }
+    s = sorted(vals)
+    lo, hi, n = min(vals), max(vals), len(vals)
+    w = (hi - lo) // 256 + 1
+    for p in (50, 95, 99):
+        k = math.ceil(p * n / 100)
+        exact = s[k - 1]
+        est, got_exact = out[p]
+        assert got_exact == exact, (p, got_exact, exact)
+        assert est <= exact < est + w, (p, est, exact, w)
