@@ -1,0 +1,277 @@
+"""Per-file Bloom-filter index for point-lookup file skipping.
+
+Min/max stats pruning (``delta/predicates.py``) cannot skip files for
+equality lookups on high-cardinality columns whose values interleave
+across files (every file's [min, max] covers the probe). The classic
+fix — Databricks ships it as ``CREATE BLOOMFILTER INDEX``, Parquet as
+column-level bloom pages — is a per-file Bloom filter consulted at
+PLANNING time. This module implements it as a maintenance operation
+(like OPTIMIZE): ``build_bloom_index`` indexes the current snapshot's
+live files with ONE distributed Spark job and writes a sidecar JSON
+under ``<table>/_bloom_index/`` (underscore-prefixed → invisible to
+readers and protected by VACUUM's hidden-file rules, exactly like
+``_delta_log``); ``prune_files_bloom`` then drops planned files whose
+filters prove the probed value absent.
+
+Correctness contract (same ``Inexact`` discipline as stats pruning,
+reference ``table_provider/delta/mod.rs:83-88``): only top-level AND
+conjuncts of the form ``col = literal`` / ``col IN (...)`` on indexed
+columns are consulted; anything else — file missing from the index
+(written after the index was built, e.g. by later DML), non-indexed
+column, OR/NOT context, NULL probe — keeps the file. The full
+predicate is always re-applied above the scan, so bloom pruning can
+only reduce I/O, never change results (pytest-pinned: planned results
+with and without the index are identical while the planned file set
+shrinks).
+
+Hash scheme: the repo's portable md5 arithmetic — probe ``j`` of
+``k`` sets bit ``int(md5(f"{j}:{value_str}")[:15hex], 16) & (m-1)``
+with ``value_str`` the engine string rendering of the value. The
+build job computes the same expression as Columns; the lookup mirrors
+it in Python, and a lockstep pytest pins the two. Filters are stored
+sparsely ({word_index: hex_word}) so a 2^13-bit filter with few
+distinct values costs bytes, not kilobytes.
+
+Scale shape: the build is one scan of the indexed columns, exploded
+to k (file, col, word) bit contributions and partial-aggregated with
+``bit_or`` — the shuffle is bounded by files × cols × m/64 words, not
+rows. Lookup is driver-side metadata math over the planned file list.
+
+Limitations (documented, loud): column-mapping tables and partition
+columns are rejected at build time (physical readback names differ /
+values live in partitionValues, not the file).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.fs import fs_for, strip_scheme
+
+BLOOM_DIR = "_bloom_index"
+DEFAULT_M_BITS = 1 << 13
+DEFAULT_K = 4
+
+
+def _bit_pos_col(col, j: int, m_bits: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(j)), F.lit(":"), col.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .bitwiseAND(F.lit(m_bits - 1))
+    )
+
+
+def _bit_pos_py(value_str: str, j: int, m_bits: int) -> int:
+    h = hashlib.md5(f"{j}:{value_str}".encode("utf-8")).hexdigest()[:15]
+    return int(h, 16) & (m_bits - 1)
+
+
+def build_bloom_index(
+    spark,
+    table_path: str,
+    columns: list[str],
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> dict:
+    """Index the current snapshot's live files on ``columns`` and
+    write ``_bloom_index/index-<version>.json``. Returns the index
+    document (also the return contract for tests)."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    snap = load_snapshot(table_path, spark=spark)
+    if snap.column_mapping_mode != "none":
+        raise ValueError(
+            "bloom index does not support column-mapping tables "
+            "(physical readback names differ)"
+        )
+    bad = set(columns) & set(snap.partition_columns)
+    if bad:
+        raise ValueError(
+            f"cannot bloom-index partition columns {sorted(bad)}: their "
+            "values live in partitionValues, use partition pruning"
+        )
+    missing = set(columns) - {f.name for f in snap.schema.fields}
+    if missing:
+        raise ValueError(f"unknown columns {sorted(missing)}")
+
+    entries: dict[str, dict[str, dict[str, str]]] = {
+        f.path: {} for f in snap.files
+    }
+    if snap.files:
+        paths = [os.path.join(snap.table_path, f.path) for f in snap.files]
+        df = spark.read.parquet(*paths).select(
+            F.col("_metadata.file_path").alias("__fp"), *columns
+        )
+        pairs = []
+        for c in columns:
+            for j in range(k):
+                pairs.append(
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        _bit_pos_col(F.col(c), j, m_bits).alias("pos"),
+                    )
+                )
+        words = (
+            df.select("__fp", F.explode(F.array(*pairs)).alias("p"))
+            .filter(F.col("p.pos").isNotNull())
+            .select(
+                "__fp",
+                "p.col",
+                F.expr("p.pos div 64").alias("w"),
+                F.expr("shiftleft(1L, CAST(pmod(p.pos, 64) AS INT))").alias(
+                    "b"
+                ),
+            )
+            .groupBy("__fp", "col", "w")
+            .agg(F.expr("bit_or(b)").alias("word"))
+            .collect()
+        )
+        # normalize the scan's file URI back to the log-relative path
+        from urllib.parse import unquote
+
+        base = strip_scheme(snap.table_path).rstrip("/")
+        for r in words:
+            p = unquote(re.sub(r"^file:(//)?", "", r["__fp"]))
+            rel = os.path.relpath(p, base)
+            entries.setdefault(rel, {}).setdefault(r.col, {})[str(r.w)] = (
+                format(r.word & ((1 << 64) - 1), "x")
+            )
+    doc = {
+        "version": snap.version,
+        "mBits": m_bits,
+        "k": k,
+        "columns": list(columns),
+        "files": entries,
+    }
+    fs = fs_for(table_path, spark)
+    d = os.path.join(strip_scheme(table_path), BLOOM_DIR)
+    fs.mkdirs(d)
+    fs.write_atomic(
+        os.path.join(d, f"index-{snap.version:020d}.json"),
+        json.dumps(doc).encode("utf-8"),
+    )
+    return doc
+
+
+def load_bloom_index(table_path: str, spark=None) -> dict | None:
+    """Latest index document, or None when the table has no bloom
+    index. One directory listing + one small JSON read."""
+    fs = fs_for(table_path, spark)
+    d = os.path.join(strip_scheme(table_path), BLOOM_DIR)
+    try:
+        stats = fs.list(d)
+    except (FileNotFoundError, OSError):
+        return None
+    names = sorted(
+        s.path for s in stats
+        if re.search(r"index-\d+\.json$", s.path)
+    )
+    if not names:
+        return None
+    return json.loads(fs.read_bytes(names[-1]).decode("utf-8"))
+
+
+def _eq_probes(pred, indexed: set[str]) -> list[tuple[str, list[str]]]:
+    """Top-level AND conjuncts usable as bloom probes:
+    ``col = lit`` → [value]; ``col IN (...)`` → values (file survives
+    when ANY probe may be present). Everything else contributes
+    nothing (keep-on-unknown)."""
+    from deltalake_datafusion_spark.delta.predicates import (
+        And,
+        Cmp,
+        InList,
+        Lit,
+    )
+
+    out: list[tuple[str, list[str]]] = []
+    stack = [pred]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, And):
+            stack.extend(node.children)
+        elif (
+            isinstance(node, Cmp)
+            and node.op == "="
+            and node.col.name in indexed
+            and isinstance(node.lit, Lit)
+            and node.lit.value is not None
+        ):
+            out.append((node.col.name, [_render(node.lit.value)]))
+        elif (
+            isinstance(node, InList)
+            and node.col.name in indexed
+            and node.values
+            and all(v is not None for v in node.values)
+        ):
+            out.append((node.col.name, [_render(v) for v in node.values]))
+    return out
+
+
+def _render(v) -> str:
+    """Python rendering that matches Spark's CAST(x AS STRING) for
+    the supported probe types (ints, strings, bools)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _might_contain(filters: dict, value_str: str, m_bits: int, k: int) -> bool:
+    for j in range(k):
+        pos = _bit_pos_py(value_str, j, m_bits)
+        word = filters.get(str(pos // 64))
+        if word is None or not (int(word, 16) >> (pos % 64)) & 1:
+            return False
+    return True
+
+
+def prune_files_bloom(files, predicate_sql: str | None, index: dict | None):
+    """Drop planned files whose bloom filters prove every probe value
+    absent. Keep-on-unknown throughout."""
+    if not index or not predicate_sql:
+        return list(files)
+    from deltalake_datafusion_spark.delta.predicates import (
+        try_parse_predicate,
+    )
+
+    pred = try_parse_predicate(predicate_sql)
+    if pred is None:
+        return list(files)
+    probes = _eq_probes(pred, set(index.get("columns", [])))
+    if not probes:
+        return list(files)
+    m_bits, k = index["mBits"], index["k"]
+    fmap = index.get("files", {})
+    out = []
+    for f in files:
+        cols = fmap.get(f.path)
+        if cols is None:
+            out.append(f)  # file unknown to the index — keep
+            continue
+        keep = True
+        for col, values in probes:
+            filt = cols.get(col)
+            if filt is None:
+                continue  # column not indexed in this entry — unknown
+            if not any(
+                _might_contain(filt, v, m_bits, k) for v in values
+            ):
+                keep = False  # every probe value provably absent
+                break
+        if keep:
+            out.append(f)
+    return out

@@ -118,6 +118,22 @@ def scan_files(
         snapshot.partition_columns,
         l2p,
     )
+    if predicate and files:
+        # bloom-index pruning (delta/bloom_index.py): equality probes
+        # against the table's sidecar per-file filters; keep-on-unknown
+        # everywhere (no index / remote store without a session /
+        # unindexed file or column), so this only narrows I/O
+        try:
+            from deltalake_datafusion_spark.delta.bloom_index import (
+                load_bloom_index,
+                prune_files_bloom,
+            )
+
+            idx = load_bloom_index(snapshot.table_path)
+            if idx is not None:
+                files = prune_files_bloom(files, predicate, idx)
+        except (ValueError, OSError):
+            pass
     if limit is not None and predicate is None:
         files = _limit_truncate(files, limit)
     return files

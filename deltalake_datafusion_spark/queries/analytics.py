@@ -611,6 +611,55 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def delta_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-index point lookups
+    (``delta/bloom_index.py``): documents land in an 8-file Delta
+    table (hash layout — min/max stats can't skip, ids interleave),
+    ``build_bloom_index`` writes the sidecar, then three equality
+    lookups and one IN probe plan through ``scan_files`` with bloom
+    pruning. The oracle selects the same rows straight off the
+    parquet view — bloom pruning must be invisible in results (the
+    file-set shrinkage itself is pinned in
+    tests/test_bloom_index.py)."""
+    import os
+    import shutil
+
+    from deltalake_datafusion_spark.delta.bloom_index import (
+        build_bloom_index,
+    )
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    key = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join("/tmp/spark_graft_work", f"bloomidx_{key}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, "t")
+    write_delta(
+        spark,
+        docs.select("doc_id", "lang", "n_chars").repartition(8, "doc_id"),
+        path,
+    )
+    build_bloom_index(spark, path, ["doc_id"])
+    a = read_delta(spark, path, predicate="doc_id = 7")
+    b = read_delta(spark, path, predicate="doc_id = 123")
+    c = read_delta(spark, path, predicate="doc_id IN (44, 333, 499)")
+    return (
+        a.unionByName(b)
+        .unionByName(c)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_BLOOM_SKIP_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id = 7 OR doc_id = 123 OR doc_id IN (44, 333, 499)
+ORDER BY doc_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_cms_heavy_hitters", q_cms_heavy_hitters, _CMS_SQL),
@@ -625,5 +674,8 @@ def specs() -> list[QuerySpec]:
         QuerySpec(
             "streaming_static_join", streaming_static_join,
             _STREAM_STATIC_SQL,
+        ),
+        QuerySpec(
+            "delta_bloom_skipping", delta_bloom_skipping, _BLOOM_SKIP_SQL
         ),
     ]

@@ -1,0 +1,174 @@
+"""Per-file Bloom index (delta/bloom_index.py): Column/Python hash
+lockstep, result invariance + file-set shrinkage on point lookups,
+keep-on-unknown for post-index files, IN probes, build-time
+rejections, and VACUUM protection of the sidecar."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.bloom_index import (
+    _bit_pos_py,
+    build_bloom_index,
+    load_bloom_index,
+    prune_files_bloom,
+)
+from deltalake_datafusion_spark.delta.scan import read_delta, scan_files
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import write_delta
+
+
+def _table(spark, path, n=400, parts=8):
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("s"),
+            (F.col("id") % 4).alias("grp"),
+        )
+        .repartition(parts, "k")
+    )
+    write_delta(spark, df, path)
+    return load_snapshot(path, spark=spark)
+
+
+def test_bit_pos_lockstep(spark):
+    """The build job's Column bit positions equal the lookup's Python
+    mirror for ints, strings, and bools."""
+    from deltalake_datafusion_spark.delta.bloom_index import _bit_pos_col
+
+    df = spark.createDataFrame(
+        [(123,), (0,), (999999,)], "v long"
+    ).select(
+        "v",
+        *[_bit_pos_col(F.col("v"), j, 1 << 13).alias(f"p{j}") for j in range(4)],
+    )
+    for r in df.collect():
+        for j in range(4):
+            assert r[f"p{j}"] == _bit_pos_py(str(r.v), j, 1 << 13)
+    sdf = spark.createDataFrame([("abc",), ("",)], "v string").select(
+        "v", _bit_pos_col(F.col("v"), 2, 1 << 10).alias("p")
+    )
+    for r in sdf.collect():
+        assert r.p == _bit_pos_py(r.v, 2, 1 << 10)
+
+
+def test_bloom_pruning_shrinks_files_not_results(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snap = _table(spark, path)
+    assert len(snap.files) > 1
+    build_bloom_index(spark, path, ["k", "s"])
+    snap = load_snapshot(path, spark=spark)
+    # planning: the bloom index must cut the planned file set for a
+    # point lookup (min/max can't: ids interleave across hash parts)
+    pred = "k = 123"
+    planned = scan_files(snap, predicate=pred)
+    assert 0 < len(planned) < len(snap.files)
+    # results identical to the unindexed answer
+    rows = read_delta(spark, path, predicate=pred).collect()
+    assert [(r.k, r.s) for r in rows] == [(123, "v123")]
+    # string column probes too
+    rows = read_delta(spark, path, predicate="s = 'v77'").collect()
+    assert [(r.k, r.s) for r in rows] == [(77, "v77")]
+    # absent value: bloom proves absence in (almost) every file and
+    # the result is still correct (empty)
+    assert read_delta(spark, path, predicate="k = 99999").count() == 0
+    assert len(scan_files(snap, predicate="k = 99999")) < len(snap.files)
+
+
+def test_bloom_in_list_and_conjunction(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    build_bloom_index(spark, path, ["k"])
+    snap = load_snapshot(path, spark=spark)
+    got = sorted(
+        r.k for r in read_delta(
+            spark, path, predicate="k IN (3, 250, 399)"
+        ).collect()
+    )
+    assert got == [3, 250, 399]
+    planned = scan_files(snap, predicate="k IN (3, 250, 399)")
+    assert len(planned) <= len(snap.files)
+    # conjunction with a non-indexed column keeps correctness
+    got = read_delta(
+        spark, path, predicate="k = 10 AND grp = 2"
+    ).collect()
+    assert [(r.k, r.grp) for r in got] == [(10, 2)]
+    # OR context must NOT prune via bloom (keep-on-unknown)
+    assert read_delta(
+        spark, path, predicate="k = 10 OR grp = 3"
+    ).count() == 101
+
+
+def test_bloom_keep_on_unknown_after_append(spark, tmp_path):
+    """Files written AFTER the index build are absent from the index
+    and must always be scanned."""
+    path = str(tmp_path / "t")
+    _table(spark, path, n=100, parts=2)
+    build_bloom_index(spark, path, ["k"])
+    extra = spark.createDataFrame(
+        [(5000, "v5000", 0)], "k long, s string, grp long"
+    )
+    write_delta(spark, extra, path, mode="append")
+    rows = read_delta(spark, path, predicate="k = 5000").collect()
+    assert [(r.k, r.s) for r in rows] == [(5000, "v5000")]
+
+
+def test_bloom_build_rejections(spark, tmp_path):
+    path = str(tmp_path / "p")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("part")
+    )
+    write_delta(spark, df, path, partition_by=["part"])
+    with pytest.raises(ValueError, match="partition"):
+        build_bloom_index(spark, path, ["part"])
+    with pytest.raises(ValueError, match="unknown"):
+        build_bloom_index(spark, path, ["nope"])
+    with pytest.raises(ValueError, match="power of two"):
+        build_bloom_index(spark, path, ["k"], m_bits=1000)
+
+
+def test_bloom_prune_files_unit_keep_on_unknown():
+    """Driver-side pruning semantics without Spark: unknown file /
+    unindexed column / unparseable predicate all keep."""
+    class F_:
+        def __init__(self, path):
+            self.path = path
+
+    idx = {
+        "mBits": 1 << 10,
+        "k": 4,
+        "columns": ["k"],
+        "files": {
+            "a.parquet": {"k": {}},  # empty filter: nothing present
+        },
+    }
+    files = [F_("a.parquet"), F_("b.parquet")]
+    out = prune_files_bloom(files, "k = 7", idx)
+    assert [f.path for f in out] == ["b.parquet"]  # a proven absent
+    assert len(prune_files_bloom(files, None, idx)) == 2
+    assert len(prune_files_bloom(files, "weird !! syntax", idx)) == 2
+    assert len(prune_files_bloom(files, "other = 7", idx)) == 2
+
+
+def test_bloom_sidecar_survives_vacuum(spark, tmp_path):
+    import os
+
+    from deltalake_datafusion_spark.delta.vacuum import vacuum
+
+    path = str(tmp_path / "t")
+    _table(spark, path, n=50, parts=2)
+    build_bloom_index(spark, path, ["k"])
+    # overwrite makes old files tombstones; vacuum with 0 retention
+    write_delta(spark, spark.range(5).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+        (F.col("id") % 4).alias("grp"),
+    ), path, mode="overwrite")
+    vacuum(
+        spark, path, retain_hours=0, dry_run=False,
+        enforce_retention_duration=False,
+    )
+    assert os.path.isdir(os.path.join(path, "_bloom_index"))
+    assert load_bloom_index(path) is not None
