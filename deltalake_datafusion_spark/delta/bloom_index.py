@@ -275,3 +275,20 @@ def prune_files_bloom(files, predicate_sql: str | None, index: dict | None):
         if keep:
             out.append(f)
     return out
+
+
+def drop_bloom_index(table_path: str, spark=None) -> int:
+    """Delete every sidecar index file; returns how many were
+    removed. Scans fall back to stats-only pruning immediately."""
+    fs = fs_for(table_path, spark)
+    d = os.path.join(strip_scheme(table_path), BLOOM_DIR)
+    try:
+        stats = fs.list(d)
+    except (FileNotFoundError, OSError):
+        return 0
+    n = 0
+    for s in stats:
+        if re.search(r"index-\d+\.json$", s.path):
+            fs.delete(s.path)
+            n += 1
+    return n

@@ -95,6 +95,18 @@ _VACUUM_RE = re.compile(
     r"(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_BLOOM_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?"
+    r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
+    r"\s+FOR\s+COLUMNS\s*\(\s*(?P<cols>[^)]+?)\s*\)"
+    r"(?:\s+OPTIONS\s*\(\s*(?P<opts>[^)]*?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_BLOOM_DROP_RE = re.compile(
+    r"^\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?"
+    r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
     r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
@@ -418,6 +430,59 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             lite=bool(m.group("lite")),
             inventory=inventory,
         )
+
+    m = _BLOOM_CREATE_RE.match(statement)
+    if m:
+        # CREATE BLOOMFILTER INDEX ON [TABLE] t FOR COLUMNS (a, b)
+        #   [OPTIONS (mBits = 8192, k = 4)]  — Databricks-style DDL
+        # for the sidecar point-lookup index (delta/bloom_index.py)
+        from deltalake_datafusion_spark.delta.bloom_index import (
+            DEFAULT_K,
+            DEFAULT_M_BITS,
+            build_bloom_index,
+        )
+
+        cols = [
+            c.strip().strip("`")
+            for c in m.group("cols").split(",")
+            if c.strip()
+        ]
+        opts = {}
+        for kv in (m.group("opts") or "").split(","):
+            if "=" in kv:
+                key, val = kv.split("=", 1)
+                opts[key.strip().strip("'\"").lower()] = val.strip().strip(
+                    "'\""
+                )
+        doc = build_bloom_index(
+            spark,
+            _unquote_target(m.group("target"), registry),
+            cols,
+            m_bits=int(opts.get("mbits", DEFAULT_M_BITS)),
+            k=int(opts.get("k", DEFAULT_K)),
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    len(doc["files"]),
+                    ",".join(doc["columns"]),
+                    doc["mBits"],
+                    doc["k"],
+                )
+            ],
+            "n_files_indexed long, columns string, m_bits long, k long",
+        )
+
+    m = _BLOOM_DROP_RE.match(statement)
+    if m:
+        from deltalake_datafusion_spark.delta.bloom_index import (
+            drop_bloom_index,
+        )
+
+        n = drop_bloom_index(
+            _unquote_target(m.group("target"), registry), spark
+        )
+        return spark.createDataFrame([(n,)], "n_indexes_dropped long")
 
     if re.match(
         r"^\s*(CREATE\s+(SCHEMA|SHARE|CONNECTION|(EXTERNAL\s+)?LOCATION"

@@ -172,3 +172,30 @@ def test_bloom_sidecar_survives_vacuum(spark, tmp_path):
     )
     assert os.path.isdir(os.path.join(path, "_bloom_index"))
     assert load_bloom_index(path) is not None
+
+
+def test_bloom_sql_ddl(spark, tmp_path):
+    """CREATE/DROP BLOOMFILTER INDEX through the extended dialect."""
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    path = str(tmp_path / "t")
+    snap0 = _table(spark, path, n=64, parts=4)
+    # baseline: what stats-only pruning plans for the probe
+    stats_only = len(scan_files(snap0, predicate="k = 3"))
+    out = sql(
+        spark,
+        f"CREATE BLOOMFILTER INDEX ON TABLE delta.`{path}` "
+        "FOR COLUMNS (k, s) OPTIONS (mBits = 4096, k = 3)",
+    ).first()
+    assert out.n_files_indexed == len(snap0.files) > 1
+    assert out.columns == "k,s" and out.m_bits == 4096 and out.k == 3
+    idx = load_bloom_index(path)
+    assert idx["mBits"] == 4096 and idx["k"] == 3
+    snap = load_snapshot(path, spark=spark)
+    assert len(scan_files(snap, predicate="k = 3")) < stats_only
+    dropped = sql(
+        spark, f"DROP BLOOMFILTER INDEX ON delta.`{path}`"
+    ).first()
+    assert dropped.n_indexes_dropped == 1
+    assert load_bloom_index(path) is None
+    assert len(scan_files(snap, predicate="k = 3")) == stats_only
