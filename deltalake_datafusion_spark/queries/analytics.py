@@ -660,6 +660,82 @@ ORDER BY doc_id
 """
 
 
+def pipe_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over ``documents``: per column the
+    row count, null count, exact distinct count, and md5 digests of
+    the (string-rendered) min/max — the schema-drift / data-quality
+    dashboard table every ingestion pipeline maintains. One wide
+    aggregate job; the long format comes from a stack over the
+    single aggregate row, so no per-column scans."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(
+                F.col(c).isNull().cast("long")
+            ).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__dist"),
+            F.md5(F.min(F.col(c)).cast("string")).alias(f"{c}__min"),
+            F.md5(F.max(F.col(c)).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__dist, {c}__min, {c}__max"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_md5, max_md5)"
+        )
+    ).orderBy("column_name")
+
+
+_PROFILE_SQL = """
+WITH w AS (
+  SELECT
+    COUNT(*) AS n,
+    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS doc_id_nulls,
+    COUNT(DISTINCT doc_id) AS doc_id_dist,
+    md5(CAST(MIN(doc_id) AS VARCHAR)) AS doc_id_min,
+    md5(CAST(MAX(doc_id) AS VARCHAR)) AS doc_id_max,
+    SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_nulls,
+    COUNT(DISTINCT text) AS text_dist,
+    md5(MIN(text)) AS text_min, md5(MAX(text)) AS text_max,
+    SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_nulls,
+    COUNT(DISTINCT lang) AS lang_dist,
+    md5(MIN(lang)) AS lang_min, md5(MAX(lang)) AS lang_max,
+    SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source_nulls,
+    COUNT(DISTINCT source) AS source_dist,
+    md5(MIN(source)) AS source_min, md5(MAX(source)) AS source_max,
+    SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_chars_nulls,
+    COUNT(DISTINCT n_chars) AS n_chars_dist,
+    md5(CAST(MIN(n_chars) AS VARCHAR)) AS n_chars_min,
+    md5(CAST(MAX(n_chars) AS VARCHAR)) AS n_chars_max
+  FROM documents
+)
+SELECT column_name, CAST(n AS BIGINT) AS n_rows,
+  CAST(n_nulls AS BIGINT) AS n_nulls,
+  CAST(n_distinct AS BIGINT) AS n_distinct, min_md5, max_md5
+FROM (
+  SELECT 'doc_id' AS column_name, n, doc_id_nulls AS n_nulls,
+    doc_id_dist AS n_distinct, doc_id_min AS min_md5,
+    doc_id_max AS max_md5 FROM w
+  UNION ALL SELECT 'text', n, text_nulls, text_dist,
+    text_min, text_max FROM w
+  UNION ALL SELECT 'lang', n, lang_nulls, lang_dist,
+    lang_min, lang_max FROM w
+  UNION ALL SELECT 'source', n, source_nulls, source_dist,
+    source_min, source_max FROM w
+  UNION ALL SELECT 'n_chars', n, n_chars_nulls, n_chars_dist,
+    n_chars_min, n_chars_max FROM w
+)
+ORDER BY column_name
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_cms_heavy_hitters", q_cms_heavy_hitters, _CMS_SQL),
@@ -678,4 +754,5 @@ def specs() -> list[QuerySpec]:
         QuerySpec(
             "delta_bloom_skipping", delta_bloom_skipping, _BLOOM_SKIP_SQL
         ),
+        QuerySpec("pipe_data_profile", pipe_data_profile, _PROFILE_SQL),
     ]
