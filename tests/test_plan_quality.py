@@ -554,3 +554,50 @@ def test_classifier_inference_inlines_into_scan(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round9_cms_sketch_partial_aggregates(spark, sf_dir):
+    """The CMS sketch groupBy partial-aggregates before its exchange:
+    the shuffle carries (j, bucket) digests, never tokens."""
+    import re
+
+    from deltalake_datafusion_spark.queries.analytics import (
+        q_cms_heavy_hitters,
+    )
+
+    plan = (
+        q_cms_heavy_hitters(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+    # the sketch aggregation shuffle partitions on (j, bucket)
+    assert re.search(r"Exchange hashpartitioning\(j#\d+, bucket#\d+", plan)
+    # map-side combine: a partial_sum runs below that exchange
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_round9_pagerank_broadcasts_ranks(spark, sf_dir):
+    """Each PageRank iteration joins the n-row rank table via
+    broadcast — no shuffle lands on the edge table for the join; the
+    only hash exchanges are contribution groupBys and edge dedup."""
+    from deltalake_datafusion_spark.queries.analytics import pipe_pagerank
+
+    plan = (
+        pipe_pagerank(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_round9_quality_and_profile_no_python(spark, sf_dir):
+    """Profiler and fuzzy-dedup plans stay JVM-side end to end."""
+    from deltalake_datafusion_spark.queries.analytics import (
+        pipe_data_profile,
+        pipe_fuzzy_dedup,
+    )
+
+    for q in (pipe_data_profile, pipe_fuzzy_dedup):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan, plan[:1200]
