@@ -1,0 +1,45 @@
+"""Unicode normalization for text pipelines.
+
+Dedup keys, fingerprints, and tokenizers all assume one canonical
+byte form per string; crawled text mixes precomposed (NFC) and
+decomposed (NFD) sequences — 'é' as U+00E9 vs 'e'+U+0301 — which
+hash differently while rendering identically. Spark has no built-in
+Unicode normalizer, so this is a vectorized Arrow stage
+(``pandas_udf``): one Python batch pass, no row-at-a-time UDF.
+DuckDB's ``nfc_normalize`` replays it, making the stage
+oracle-checkable (both sides implement Unicode TR #15 NFC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _nfc_udf():
+    # constructed lazily: the pandas_udf decorator resolves its DDL
+    # return type against the ACTIVE session, so building it at
+    # import time would require a SparkContext before one exists
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None
+            else None
+        )
+
+    return nfc
+
+
+def with_nfc_text(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Add (or replace) ``out_col`` with the NFC normalization of
+    ``text_col``. Pure projection — the Arrow stage pipelines with
+    the scan, no shuffle."""
+    return df.withColumn(out_col or text_col, _nfc_udf()(F.col(text_col)))

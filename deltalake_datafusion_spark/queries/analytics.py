@@ -736,6 +736,48 @@ ORDER BY column_name
 """
 
 
+# decomposed sequences appended to every document so NFC has real
+# work: e+COMBINING ACUTE, n+COMBINING TILDE, A+COMBINING RING
+_NFC_SUFFIX = " café niño Ångström"
+
+
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization
+    (``operators/normalize.py::with_nfc_text`` — vectorized Arrow
+    stage; Spark has no built-in normalizer): every document gets a
+    deterministic decomposed suffix (combining accents), is
+    NFC-normalized, and reports per-doc char lengths before/after
+    plus the md5 of the canonical form. DuckDB replays with its
+    native ``nfc_normalize`` — two independent TR #15
+    implementations (Python unicodedata vs utf8proc) must agree
+    byte for byte."""
+    from deltalake_datafusion_spark.operators.normalize import (
+        with_nfc_text,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    raw = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_NFC_SUFFIX)).alias("raw"),
+    )
+    out = with_nfc_text(raw, "raw", "norm")
+    return out.select(
+        "doc_id",
+        F.length("raw").alias("len_raw"),
+        F.length("norm").alias("len_nfc"),
+        F.md5("norm").alias("nfc_md5"),
+    ).orderBy("doc_id")
+
+
+_NFC_SQL = f"""
+SELECT doc_id,
+  length(text || '{_NFC_SUFFIX}') AS len_raw,
+  length(nfc_normalize(text || '{_NFC_SUFFIX}')) AS len_nfc,
+  md5(nfc_normalize(text || '{_NFC_SUFFIX}')) AS nfc_md5
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_cms_heavy_hitters", q_cms_heavy_hitters, _CMS_SQL),
@@ -755,4 +797,5 @@ def specs() -> list[QuerySpec]:
             "delta_bloom_skipping", delta_bloom_skipping, _BLOOM_SKIP_SQL
         ),
         QuerySpec("pipe_data_profile", pipe_data_profile, _PROFILE_SQL),
+        QuerySpec("text_nfc_normalize", text_nfc_normalize, _NFC_SQL),
     ]

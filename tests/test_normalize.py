@@ -1,0 +1,37 @@
+"""Unicode NFC normalization (operators/normalize.py): composition
+semantics, null passthrough, ASCII identity, and the Arrow (not
+row-at-a-time) plan shape."""
+
+from __future__ import annotations
+
+import unicodedata
+
+from deltalake_datafusion_spark.operators.normalize import with_nfc_text
+
+
+def test_nfc_semantics(spark):
+    rows = [
+        (1, "café"),            # e + combining acute -> é
+        (2, "café"),             # already NFC
+        (3, "Ångström"),  # ring + diaeresis compose
+        (4, None),
+        (5, "plain ascii"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.text for r in with_nfc_text(df).collect()}
+    assert got[1] == got[2] == "café"
+    assert got[3] == unicodedata.normalize("NFC", rows[2][1])
+    assert len(got[3]) == 8  # Ångström: composed
+    assert got[4] is None
+    assert got[5] == "plain ascii"
+    assert got[6] == ""
+
+
+def test_nfc_plan_is_arrow_batched(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    plan = (
+        with_nfc_text(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan, plan[:800]
+    assert "BatchEvalPython" not in plan  # the row-at-a-time path
