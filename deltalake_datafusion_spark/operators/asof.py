@@ -122,3 +122,55 @@ def range_join(
         F.col(f"r.{right_ts}").alias(f"r_{right_ts}"),
         gap.alias("gap_us"),
     )
+
+
+def scd2_build(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    attr_cols: list[str] | None = None,
+    dedupe_unchanged: bool = True,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension TYPE 2 table from a change
+    log: per key, each observed state becomes a validity interval
+    ``[valid_from, valid_to)`` with ``valid_to`` = the next change's
+    timestamp (NULL on the current row, plus ``is_current``). With
+    ``dedupe_unchanged`` consecutive rows whose tracked attributes
+    did not change collapse into one interval (the standard dbt
+    snapshot semantics — a reload that repeats the same state must
+    not split history).
+
+    Scale shape: ONE shuffle (the per-key window); change collapsing
+    is a lag-compare + running filter inside the same window — no
+    self-join, no second shuffle. Equality over attributes is
+    null-safe (``<=>``). Pass ``tiebreak_cols`` (e.g. a change-log
+    sequence id) whenever timestamps can repeat within a key —
+    window order must be total or the version chain is
+    nondeterministic."""
+    attr_cols = attr_cols or [
+        c for c in df.columns if c not in set(key_cols) | {ts_col}
+    ]
+    order = [ts_col, *(tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    cur = df.select(
+        *key_cols, ts_col, *(tiebreak_cols or []), *attr_cols
+    )
+    if dedupe_unchanged:
+        changed = F.lit(False)
+        for c in attr_cols:
+            changed = changed | ~F.col(c).eqNullSafe(
+                F.lag(F.col(c)).over(w)
+            )
+        first = F.row_number().over(w) == 1
+        cur = cur.withColumn("__keep", first | changed).filter(
+            "__keep"
+        ).drop("__keep")
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    out = cur.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())

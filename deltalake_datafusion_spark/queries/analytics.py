@@ -778,6 +778,73 @@ FROM documents WHERE text IS NOT NULL ORDER BY doc_id
 """
 
 
+def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build
+    (``operators/asof.py::scd2_build`` — the dbt snapshot shape):
+    the event stream becomes per-user validity intervals of
+    ``event_type`` with consecutive unchanged states collapsed, one
+    window shuffle, deterministic under timestamp ties via the
+    event_id tie-break. Per user: version count, current state, and
+    an md5 over the sorted (state, valid_from, valid_to) history.
+    The oracle is an independent lag/lead SQL formulation."""
+    from deltalake_datafusion_spark.operators.asof import scd2_build
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    scd = scd2_build(
+        e, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    )
+    elem = F.concat(
+        F.col("event_type"),
+        F.lit("@"),
+        F.unix_micros("valid_from").cast("string"),
+        F.lit("@"),
+        F.coalesce(
+            F.unix_micros("valid_to").cast("string"), F.lit("-1")
+        ),
+    )
+    return (
+        scd.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.max(
+                F.when(F.col("is_current"), F.col("event_type"))
+            ).alias("current_type"),
+            F.md5(
+                F.array_join(F.sort_array(F.collect_list(elem)), "|")
+            ).alias("history_md5"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SCD2_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+    LAG(event_type) OVER w AS prev,
+    ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+kept AS (
+  SELECT user_id, ts, event_id, event_type FROM o
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+),
+v AS (
+  SELECT user_id, event_type, ts AS valid_from,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS valid_to
+  FROM kept
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_versions,
+  MAX(CASE WHEN valid_to IS NULL THEN event_type END) AS current_type,
+  md5(array_to_string(list_sort(list(
+    event_type || '@' || epoch_us(valid_from) || '@'
+    || COALESCE(CAST(epoch_us(valid_to) AS VARCHAR), '-1'))), '|'))
+    AS history_md5
+FROM v GROUP BY user_id ORDER BY user_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_cms_heavy_hitters", q_cms_heavy_hitters, _CMS_SQL),
@@ -798,4 +865,5 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec("pipe_data_profile", pipe_data_profile, _PROFILE_SQL),
         QuerySpec("text_nfc_normalize", text_nfc_normalize, _NFC_SQL),
+        QuerySpec("q_scd2_versions", q_scd2_versions, _SCD2_SQL),
     ]

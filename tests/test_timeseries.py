@@ -409,3 +409,52 @@ def test_histogram_quantiles_bracketing(spark):
         est, got_exact = out[p]
         assert got_exact == exact, (p, got_exact, exact)
         assert est <= exact < est + w, (p, est, exact, w)
+
+
+def test_scd2_build_semantics(spark):
+    """Validity chains, unchanged-state collapsing, null-safe attr
+    compare, tie-break determinism, is_current flag."""
+    import datetime as dt
+
+    from deltalake_datafusion_spark.operators.asof import scd2_build
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(eid, u, s, st):
+        return (eid, u, t0 + dt.timedelta(seconds=s), st)
+
+    rows = [
+        ev(1, 1, 0, "a"), ev(2, 1, 10, "a"),   # unchanged -> collapse
+        ev(3, 1, 20, "b"), ev(4, 1, 30, None),  # null state tracked
+        ev(5, 1, 40, None),                     # null == null: collapse
+        ev(6, 1, 50, "a"),
+        ev(7, 2, 0, "x"),
+        # user 3: equal timestamps -> event_id breaks the tie
+        ev(9, 3, 0, "q"), ev(8, 3, 0, "p"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, state string"
+    )
+    out = scd2_build(
+        df, ["user_id"], "ts", ["state"], tiebreak_cols=["event_id"]
+    ).orderBy("user_id", "valid_from")
+    got = [
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in out.collect()
+    ]
+    u1 = [g for g in got if g[0] == 1]
+    assert [g[1] for g in u1] == ["a", "b", None, "a"]
+    assert u1[0][2] == t0 and u1[0][3] == t0 + dt.timedelta(seconds=20)
+    assert u1[-1][4] is True and u1[-1][3] is None
+    assert all(not g[4] for g in u1[:-1])
+    u2 = [g for g in got if g[0] == 2]
+    assert len(u2) == 1 and u2[0][4] is True
+    # tie: event 8 (p) precedes event 9 (q) by id
+    u3 = [g for g in got if g[0] == 3]
+    assert [g[1] for g in u3] == ["p", "q"]
+    # no collapsing when asked: every row is a version
+    full = scd2_build(
+        df, ["user_id"], "ts", ["state"],
+        dedupe_unchanged=False, tiebreak_cols=["event_id"],
+    )
+    assert full.filter("user_id = 1").count() == 6
