@@ -845,6 +845,105 @@ FROM v GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra cardinality estimation: the distinct-user
+    OVERLAP between click and purchase audiences via
+    inclusion–exclusion over three portable HLL sketches
+    (|A∩B| ≈ est(A) + est(B) − est(A∪B)) — the join-size /
+    audience-overlap estimator, computable from stored per-segment
+    sketches without touching raw data. Register arithmetic replays
+    in DuckDB, so the approximate answer hash-checks next to the
+    exact overlap."""
+    from deltalake_datafusion_spark.operators.sketches import (
+        approx_distinct,
+    )
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    clicks = e.filter(F.col("event_type") == "click")
+    purch = e.filter(F.col("event_type") == "purchase")
+    tagged = (
+        clicks.select(F.lit("a").alias("grp"), "user_id")
+        .unionByName(purch.select(F.lit("b").alias("grp"), "user_id"))
+        .unionByName(
+            e.filter(F.col("event_type").isin("click", "purchase"))
+            .select(F.lit("ab").alias("grp"), "user_id")
+        )
+    )
+    est = approx_distinct(tagged, "user_id", ["grp"])
+    wide = est.agg(
+        F.max(
+            F.when(F.col("grp") == "a", F.col("n_distinct_est"))
+        ).alias("ea"),
+        F.max(
+            F.when(F.col("grp") == "b", F.col("n_distinct_est"))
+        ).alias("eb"),
+        F.max(
+            F.when(F.col("grp") == "ab", F.col("n_distinct_est"))
+        ).alias("eab"),
+    )
+    exact = (
+        clicks.select("user_id")
+        .intersect(purch.select("user_id"))
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return wide.crossJoin(exact).select(
+        "exact_overlap",
+        F.round("ea", 4).alias("hll_click"),
+        F.round("eb", 4).alias("hll_purchase"),
+        F.round(
+            F.col("ea") + F.col("eb") - F.col("eab"), 4
+        ).alias("hll_overlap"),
+    )
+
+
+_HLL_SETOPS_SQL = f"""
+WITH h AS (
+  SELECT 'a' AS grp,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+  UNION ALL
+  SELECT 'b',
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT)
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+  UNION ALL
+  SELECT 'ab',
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT)
+  FROM events WHERE event_type IN ('click', 'purchase')
+    AND user_id IS NOT NULL
+),
+{{tail}},
+wide AS (
+  SELECT
+    MAX(CASE WHEN grp = 'a' THEN e END) AS ea,
+    MAX(CASE WHEN grp = 'b' THEN e END) AS eb,
+    MAX(CASE WHEN grp = 'ab' THEN e END) AS eab
+  FROM est
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  )
+)
+SELECT exact_overlap, ROUND(ea, 4) AS hll_click,
+  ROUND(eb, 4) AS hll_purchase,
+  ROUND(ea + eb - eab, 4) AS hll_overlap
+FROM wide, exact
+"""
+
+
+def _hll_setops_sql() -> str:
+    from deltalake_datafusion_spark.queries.web import (
+        _hll_estimate_tail_sql,
+    )
+
+    return _HLL_SETOPS_SQL.format(tail=_hll_estimate_tail_sql())
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_cms_heavy_hitters", q_cms_heavy_hitters, _CMS_SQL),
@@ -866,4 +965,5 @@ def specs() -> list[QuerySpec]:
         QuerySpec("pipe_data_profile", pipe_data_profile, _PROFILE_SQL),
         QuerySpec("text_nfc_normalize", text_nfc_normalize, _NFC_SQL),
         QuerySpec("q_scd2_versions", q_scd2_versions, _SCD2_SQL),
+        QuerySpec("q_hll_set_ops", q_hll_set_ops, _hll_setops_sql()),
     ]
