@@ -150,6 +150,7 @@ def pagerank_integer(
     scale_bits: int = 40,
     damping_pct: int = 85,
     checkpoint_every: int = 4,
+    dangling: str = "drop",
 ) -> DataFrame:
     """Deterministic INTEGER-arithmetic PageRank (Page et al. 1999)
     over an edge DataFrame — every step is integer floor division and
@@ -165,11 +166,14 @@ def pagerank_integer(
     - new rank = ``(S·(100-damping_pct)) div (100·n)  +
       (damping_pct · Σ contribs) div 100`` with ``S = 2^scale_bits``
       and ``n`` the node count;
-    - dangling-node mass is DROPPED, not redistributed (the classic
-      formulation spreads it uniformly) — the simplification keeps
-      every step a pure edge join and is documented contract: ranks
-      of non-dangling-fed nodes are slightly deflated, order is
-      preserved for graphs whose dangling mass is small.
+    - dangling-node mass: ``dangling="uniform"`` spreads it evenly
+      (the classic formulation) — each node receives
+      ``(Σ dangling ranks) div n`` inside the damped term, computed
+      as ONE O(1)-row anti-join aggregate per iteration and
+      broadcast back; ``dangling="drop"`` (default) discards it —
+      cheaper by that aggregate, slightly deflating ranks of nodes
+      not fed by dangling mass. Both modes replay exactly in the
+      unrolled SQL oracle.
 
     Scale shape: per iteration ONE shuffle (the contribution
     groupBy on dst) plus a broadcast-size ranks join (ranks carry n
@@ -194,6 +198,8 @@ def pagerank_integer(
     S = 1 << scale_bits
     init = S // n
     base = (S * (100 - damping_pct)) // (100 * n)
+    if dangling not in ("drop", "uniform"):
+        raise ValueError("dangling must be 'drop' or 'uniform'")
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
     for t in range(iterations):
@@ -205,19 +211,33 @@ def pagerank_integer(
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(
-                contrib.withColumnRenamed("dst", "node"), "node", "left"
+        joined = nodes.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        )
+        if dangling == "uniform":
+            dang = (
+                ranks.join(
+                    deg.withColumnRenamed("src", "node"),
+                    "node",
+                    "left_anti",
+                )
+                .agg(
+                    F.coalesce(F.sum("rank"), F.lit(0))
+                    .cast("long")
+                    .alias("__dt")
+                )
             )
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(c, 0L)) div 100"
-                    )
-                ).alias("rank"),
+            joined = joined.crossJoin(F.broadcast(dang))
+            damped = F.expr(
+                f"({damping_pct} * (coalesce(c, 0L) + __dt div {n}))"
+                " div 100"
             )
+        else:
+            damped = F.expr(
+                f"({damping_pct} * coalesce(c, 0L)) div 100"
+            )
+        ranks = joined.select(
+            "node", (F.lit(base) + damped).alias("rank")
         )
         if (t + 1) % checkpoint_every == 0 and t + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)

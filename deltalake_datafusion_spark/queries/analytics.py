@@ -394,12 +394,15 @@ PR_DAMPING = 85
 def pipe_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-arithmetic PageRank
     (``operators/graph.py::pagerank_integer``) over a deterministic
-    50-node domain link graph synthesized from ``documents`` (two
-    arithmetic edge families per doc — heavy-tailed in-degree). Every
-    step is integer floor division, so the 8-iteration ranks are
-    bit-identical cross-engine; the oracle UNROLLS the same
-    iterations as chained SQL CTEs. Per iteration the Spark plan is
-    one groupBy shuffle plus a broadcast-size ranks join."""
+    60-node domain link graph synthesized from ``documents`` (two
+    arithmetic edge families per doc; nodes 50-59 are sinks with no
+    out-edges, exercising UNIFORM dangling-mass redistribution — the
+    classic formulation). Every step is integer floor division, so
+    the 8-iteration ranks are bit-identical cross-engine; the oracle
+    UNROLLS the same iterations (including the per-iteration dangling
+    aggregate) as chained SQL CTEs. Per iteration the Spark plan is
+    one groupBy shuffle, one O(1)-row dangling aggregate, and a
+    broadcast-size ranks join."""
     from deltalake_datafusion_spark.operators.graph import (
         pagerank_integer,
     )
@@ -409,15 +412,17 @@ def pipe_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = docs.select(
         (d % 50).alias("src"), ((d * 7 + 3) % 50).alias("dst")
     )
+    # nodes 50-59 appear only as destinations → dangling; uniform
+    # mode redistributes their mass (the classic formulation)
     e2 = docs.select(
-        ((d * 3 + 1) % 50).alias("src"),
-        (((d % 17) * 5) % 50).alias("dst"),
+        (d % 50).alias("src"), (50 + d % 10).alias("dst")
     )
     ranks = pagerank_integer(
         e1.unionByName(e2),
         iterations=PR_ITERS,
         scale_bits=PR_SCALE_BITS,
         damping_pct=PR_DAMPING,
+        dangling="uniform",
     )
     return ranks.select("node", "rank").orderBy(F.desc("rank"), "node")
 
@@ -433,7 +438,7 @@ def _pagerank_sql(
 WITH e0 AS (
   SELECT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst FROM documents
   UNION ALL
-  SELECT (doc_id * 3 + 1) % 50, ((doc_id % 17) * 5) % 50 FROM documents
+  SELECT doc_id % 50, 50 + doc_id % 10 FROM documents
 ),
 e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
 deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
@@ -455,11 +460,17 @@ c{t} AS (
   JOIN deg ON deg.src = e.src
   GROUP BY e.dst
 ),
+d{t} AS (
+  SELECT COALESCE(SUM(p.rank), 0) AS dt
+  FROM pr{t - 1} p LEFT JOIN deg ON deg.src = p.node
+  WHERE deg.src IS NULL
+),
 pr{t} AS (
   SELECT nodes.node,
     CAST(({s} * {100 - damping}) // (100 * nn.n)
-         + ({damping} * COALESCE(c{t}.c, 0)) // 100 AS BIGINT) AS rank
-  FROM nodes CROSS JOIN nn
+         + ({damping} * (COALESCE(c{t}.c, 0) + d{t}.dt // nn.n))
+           // 100 AS BIGINT) AS rank
+  FROM nodes CROSS JOIN nn CROSS JOIN d{t}
   LEFT JOIN c{t} ON c{t}.node = nodes.node
 )"""
         )

@@ -81,3 +81,60 @@ def test_pagerank_deterministic_across_partitionings(spark):
     r1 = {r.node: r.rank for r in pagerank_integer(df1).collect()}
     r16 = {r.node: r.rank for r in pagerank_integer(df16).collect()}
     assert r1 == r16 == _py_pagerank(edges)
+
+
+def _py_pagerank_uniform(edges, iterations=8, scale_bits=40, damping=85):
+    edges = {(a, b) for a, b in edges if a != b}
+    nodes = sorted({x for e in edges for x in e})
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(nodes)
+    s = 1 << scale_bits
+    base = (s * (100 - damping)) // (100 * n)
+    r = {v: s // n for v in nodes}
+    for _ in range(iterations):
+        dt = sum(r[v] for v in nodes if v not in deg)
+        c = {v: 0 for v in nodes}
+        for a, b in edges:
+            c[b] += r[a] // deg[a]
+        r = {
+            v: base + (damping * (c[v] + dt // n)) // 100 for v in nodes
+        }
+    return r
+
+
+def test_pagerank_uniform_dangling_matches_replay(spark):
+    """Graph with sinks: uniform mode redistributes their mass (exact
+    integer lockstep with the replay) and sinks still accumulate rank
+    strictly above the drop-mode result."""
+    edges = [
+        (1, 2), (2, 3), (3, 1), (1, 9), (2, 9), (4, 9), (3, 4),
+        (4, 1),
+    ]  # node 9 is a sink
+    df = spark.createDataFrame(edges, "src long, dst long")
+    uni = {
+        r.node: r.rank
+        for r in pagerank_integer(df, dangling="uniform").collect()
+    }
+    assert uni == _py_pagerank_uniform(edges)
+    drop = {
+        r.node: r.rank
+        for r in pagerank_integer(df, dangling="drop").collect()
+    }
+    # with no dangling nodes the two modes agree exactly
+    ring = [(1, 2), (2, 3), (3, 1)]
+    rdf = spark.createDataFrame(ring, "src long, dst long")
+    assert {
+        r.node: r.rank
+        for r in pagerank_integer(rdf, dangling="uniform").collect()
+    } == {
+        r.node: r.rank
+        for r in pagerank_integer(rdf, dangling="drop").collect()
+    }
+    # uniform conserves more mass: total rank strictly above drop
+    assert sum(uni.values()) > sum(drop.values())
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank_integer(df, dangling="bogus")
