@@ -37,12 +37,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def deletion_variant_hashes(col, text_len=None):
+def deletion_variant_hashes(col):
     """Array of 60-bit md5 digests of the string and each of its
     single-character-deletion variants (``array_distinct``-ed — runs
     of a repeated char produce equal variants)."""
     s = col
-    n = F.length(s) if text_len is None else text_len
+    n = F.length(s)
     variants = F.concat(
         F.array(s),
         F.transform(
