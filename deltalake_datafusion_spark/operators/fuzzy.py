@@ -38,9 +38,16 @@ from pyspark.sql import functions as F
 
 
 def deletion_variant_hashes(col):
-    """Array of 60-bit md5 digests of the string and each of its
-    single-character-deletion variants (``array_distinct``-ed — runs
-    of a repeated char produce equal variants)."""
+    """Array of 64-bit xxhash64 digests of the string and each of
+    its single-character-deletion variants (``array_distinct``-ed —
+    runs of a repeated char produce equal variants).
+
+    xxhash64, not the repo's portable md5: these digests are
+    ENGINE-INTERNAL blocking keys (the oracle is the independent
+    all-pairs ground truth, so nothing replays them), the exact
+    verify step kills any collision-born false candidate, and
+    hashing is the operator's dominant cost — O(L) bytes per variant,
+    O(L²) per string — so the cheap hash is the right one."""
     s = col
     n = F.length(s)
     variants = F.concat(
@@ -53,12 +60,7 @@ def deletion_variant_hashes(col):
         ),
     )
     return F.array_distinct(
-        F.transform(
-            variants,
-            lambda v: F.conv(F.substring(F.md5(v), 1, 15), 16, 10).cast(
-                "long"
-            ),
-        )
+        F.transform(variants, lambda v: F.xxhash64(v))
     )
 
 
@@ -82,6 +84,11 @@ def fuzzy_near_duplicates(
         "__id",
         F.explode(deletion_variant_hashes(F.col("__txt"))).alias("__h"),
     )
+    # materialize the digests ONCE: generation costs O(L) md5 bytes
+    # per variant (O(L²) per string) and the self-join would
+    # otherwise recompute it for both sides — the checkpoint is
+    # (id, 8-byte hash) rows, tiny next to the hashing it saves
+    var = var.localCheckpoint(eager=True)
     cand = (
         var.alias("a")
         .join(var.alias("b"), "__h")

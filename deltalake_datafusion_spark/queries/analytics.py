@@ -316,13 +316,16 @@ def pipe_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    base = docs.filter(F.col("text").isNotNull()).select(
-        F.col("doc_id").alias("id"), "text"
+    # 64-char keys: edit-distance dedup is a SHORT-STRING operator
+    # (titles, entity names) — the deletion neighborhood is O(L)
+    # variants of O(L) bytes each, so the key length is the cost knob
+    keys = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.substring("text", 1, 64).alias("text")
     )
+    base = keys.select(F.col("doc_id").alias("id"), "text")
     m1 = (
-        docs.filter(
-            F.col("text").isNotNull()
-            & (F.col("doc_id") % 7 == 0)
+        keys.filter(
+            (F.col("doc_id") % 7 == 0)
             & (F.length("text") > F.col("doc_id") % 50 + 1)
         )
         .select(
@@ -334,9 +337,8 @@ def pipe_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     m2 = (
-        docs.filter(
-            F.col("text").isNotNull()
-            & (F.col("doc_id") % 11 == 0)
+        keys.filter(
+            (F.col("doc_id") % 11 == 0)
             & (F.length("text") >= F.col("doc_id") % 40 + 1)
         )
         .select(
@@ -355,24 +357,26 @@ def pipe_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUZZY_SQL = """
-WITH base AS (
-  SELECT doc_id AS id, text FROM documents WHERE text IS NOT NULL
+WITH keys AS (
+  SELECT doc_id, substr(text, 1, 64) AS text FROM documents
+  WHERE text IS NOT NULL
+),
+base AS (
+  SELECT doc_id AS id, text FROM keys
 ),
 m1 AS (
   SELECT doc_id + 100000 AS id,
     substr(text, 1, CAST(doc_id % 50 AS INT))
       || substr(text, CAST(doc_id % 50 AS INT) + 2) AS text
-  FROM documents
-  WHERE text IS NOT NULL AND doc_id % 7 = 0
-    AND length(text) > doc_id % 50 + 1
+  FROM keys
+  WHERE doc_id % 7 = 0 AND length(text) > doc_id % 50 + 1
 ),
 m2 AS (
   SELECT doc_id + 200000 AS id,
     substr(text, 1, CAST(doc_id % 40 AS INT)) || 'Z'
       || substr(text, CAST(doc_id % 40 AS INT) + 2) AS text
-  FROM documents
-  WHERE text IS NOT NULL AND doc_id % 11 = 0
-    AND length(text) >= doc_id % 40 + 1
+  FROM keys
+  WHERE doc_id % 11 = 0 AND length(text) >= doc_id % 40 + 1
 ),
 allr AS (
   SELECT * FROM base UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2
