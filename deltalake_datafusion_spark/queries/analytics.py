@@ -637,7 +637,6 @@ def delta_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-set shrinkage itself is pinned in
     tests/test_bloom_index.py)."""
     import os
-    import shutil
 
     from deltalake_datafusion_spark.delta.bloom_index import (
         build_bloom_index,
@@ -646,11 +645,7 @@ def delta_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_datafusion_spark.delta.writer import write_delta
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    key = os.path.basename(sf_dir.rstrip("/"))
-    base = os.path.join("/tmp/spark_graft_work", f"bloomidx_{key}")
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    path = os.path.join(base, "t")
+    path = os.path.join(_work_dir("bloomidx", sf_dir), "t")
     write_delta(
         spark,
         docs.select("doc_id", "lang", "n_chars").repartition(8, "doc_id"),
@@ -959,6 +954,97 @@ def _hll_setops_sql() -> str:
     return _HLL_SETOPS_SQL.format(tail=_hll_estimate_tail_sql())
 
 
+def _work_dir(name: str, sf_dir: str) -> str:
+    import os
+    import shutil
+
+    key = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join("/tmp/spark_graft_work", f"{name}_{key}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source handler: customers export to headered CSV (quoted
+    strings survive embedded delimiters) and read back with an
+    EXPLICIT schema — no inference job, the contract a production
+    ingest needs — then aggregate per market segment. The oracle
+    aggregates the original parquet: the format round-trip must be
+    lossless for longs/strings/doubles."""
+    import os
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    d = os.path.join(_work_dir("csvrt", sf_dir), "c")
+    cust.write.mode("overwrite").option("header", True).csv(d)
+    back = (
+        spark.read.schema(
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string"
+        )
+        .option("header", True)
+        .csv(d)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_bal"),
+            F.count_distinct("c_nationkey").alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_CSV_RT_SQL = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source handler (the reference's JSON reader S13
+    generalized to data files): orders export to JSONL and read back
+    with an explicit schema (timestamps through the default ISO
+    format under the UTC session), then a status × priority rollup.
+    Oracle on the original parquet — lossless round-trip required."""
+    import os
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    d = os.path.join(_work_dir("jsonrt", sf_dir), "o")
+    orders.write.mode("overwrite").json(d)
+    back = spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string"
+    ).json(d)
+    return (
+        back.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.max(F.unix_micros("o_orderdate")).alias("max_date_us"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+_JSONL_RT_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+    AS total_price,
+  MAX(epoch_us(o_orderdate)) AS max_date_us
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_cms_heavy_hitters", q_cms_heavy_hitters, _CMS_SQL),
@@ -981,4 +1067,6 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_nfc_normalize", text_nfc_normalize, _NFC_SQL),
         QuerySpec("q_scd2_versions", q_scd2_versions, _SCD2_SQL),
         QuerySpec("q_hll_set_ops", q_hll_set_ops, _hll_setops_sql()),
+        QuerySpec("q_csv_roundtrip", q_csv_roundtrip, _CSV_RT_SQL),
+        QuerySpec("q_jsonl_roundtrip", q_jsonl_roundtrip, _JSONL_RT_SQL),
     ]
