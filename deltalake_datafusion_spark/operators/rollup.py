@@ -493,3 +493,53 @@ def histogram_quantiles(
         .agg(F.min("__c").alias("exact"))
     )
     return est.join(exact, "p").select("p", "est", "exact")
+
+
+def ohlc_bars(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """OHLC resampling bars (the market-data shape, useful for any
+    metric stream): per (group, epoch-aligned bucket) the OPEN
+    (first value by time), HIGH, LOW, CLOSE (last value), count, and
+    the exact integer-cents sum. First/last resolve through a
+    zero-padded (epoch-micros ‖ tiebreak) string key, so the bars
+    are total-order deterministic under repeated timestamps and the
+    same ``min_by``/``arg_min`` arithmetic replays in any engine.
+
+    ONE partial-aggregated groupBy — min_by/max_by/min/max/sum all
+    combine map-side, so the shuffle carries one row per (group,
+    bucket) per task regardless of stream size."""
+    us = F.unix_micros(F.col(ts_col))
+    key = F.concat(
+        F.lpad(us.cast("string"), 20, "0"),
+        F.lpad(F.col(tiebreak_col).cast("string"), 12, "0"),
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    bucket = F.expr(
+        f"unix_micros({ts_col}) div {bucket_seconds * 1_000_000}"
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            bucket.alias("bucket"),
+            key.alias("__k"),
+            F.col(value_col).alias("__v"),
+            cents.alias("__c"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(
+            F.min_by("__v", "__k").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max_by("__v", "__k").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__c").alias("sum_cents"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

@@ -368,3 +368,48 @@ def weighted_sample(
     else:
         out = scored.orderBy(F.desc("__key"), F.col(id_col)).limit(k)
     return out.drop("__key")
+
+
+def split_train_val_test(
+    df: DataFrame,
+    key_col: str,
+    weights: tuple[int, int, int] = (90, 5, 5),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment: the
+    md5 fraction of ``salt ‖ key`` lands each row in a split by
+    integer-percent cumulative thresholds. Properties every training
+    pipeline needs and random splits don't give:
+
+    - REPRODUCIBLE across runs, engines, partitionings, and cluster
+      sizes (pure hash arithmetic, no RNG state);
+    - STABLE under corpus growth — a document keeps its split when
+      new data arrives (no leakage drift between training runs);
+    - keyable: split on a GROUP key (e.g. registered domain) to keep
+      correlated rows out of eval.
+
+    Pure projection (no shuffle). ``weights`` are integer percents
+    summing to 100; thresholds compare the 60-bit hash against exact
+    integer cutoffs (``2^60 · cum / 100``), so assignment is
+    bit-deterministic. Adds a ``split`` column."""
+    a, b, c = weights
+    if a + b + c != 100 or min(a, b, c) < 0:
+        raise ValueError("weights must be non-negative and sum to 100")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"),
+                           F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    t1 = ((1 << 60) * a) // 100
+    t2 = ((1 << 60) * (a + b)) // 100
+    return df.withColumn(
+        "split",
+        F.when(h < t1, F.lit("train"))
+        .when(h < t2, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -1045,6 +1045,85 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling bars (``operators/rollup.py::ohlc_bars``):
+    hourly open/high/low/close of ``events.value`` per event type —
+    first/last resolve through a zero-padded (micros ‖ event_id)
+    string key, so the bars are total-order deterministic and the
+    identical ``arg_min``/``arg_max`` arithmetic replays in DuckDB.
+    One partial-aggregated shuffle."""
+    from deltalake_datafusion_spark.operators.rollup import ohlc_bars
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    out = ohlc_bars(e, bucket_seconds=3600)
+    return out.select(
+        "event_type", "bucket", "open", "high", "low", "close", "n",
+        "sum_cents",
+    ).orderBy("event_type", "bucket")
+
+
+_OHLC_SQL = """
+WITH e AS (
+  SELECT event_type,
+    epoch_us(ts) // 3600000000 AS bucket,
+    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+      || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k,
+    value,
+    CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bucket,
+  arg_min(value, k) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  arg_max(value, k) AS close,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(c) AS BIGINT) AS sum_cents
+FROM e GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+def pipe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (``operators/sampling.py::split_train_val_test``): 90/5/5 by the
+    md5 fraction of the document key — reproducible across engines,
+    partitionings, and corpus growth (a doc keeps its split forever).
+    Rolled up per (lang, split) with an id-sum checksum so every
+    single assignment participates in the hash."""
+    from deltalake_datafusion_spark.operators.sampling import (
+        split_train_val_test,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    out = split_train_val_test(docs, "doc_id", (90, 5, 5))
+    return (
+        out.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+_SPLIT_SQL = f"""
+WITH h AS (
+  SELECT lang, doc_id,
+    CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+          1, 15)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT lang,
+  CASE WHEN hv < {((1 << 60) * 90) // 100} THEN 'train'
+       WHEN hv < {((1 << 60) * 95) // 100} THEN 'val'
+       ELSE 'test' END AS split,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM h GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_cms_heavy_hitters", q_cms_heavy_hitters, _CMS_SQL),
@@ -1069,4 +1148,6 @@ def specs() -> list[QuerySpec]:
         QuerySpec("q_hll_set_ops", q_hll_set_ops, _hll_setops_sql()),
         QuerySpec("q_csv_roundtrip", q_csv_roundtrip, _CSV_RT_SQL),
         QuerySpec("q_jsonl_roundtrip", q_jsonl_roundtrip, _JSONL_RT_SQL),
+        QuerySpec("q_ohlc_bars", q_ohlc_bars, _OHLC_SQL),
+        QuerySpec("pipe_split_assign", pipe_split_assign, _SPLIT_SQL),
     ]

@@ -458,3 +458,74 @@ def test_scd2_build_semantics(spark):
         dedupe_unchanged=False, tiebreak_cols=["event_id"],
     )
     assert full.filter("user_id = 1").count() == 6
+
+
+def test_ohlc_bars_semantics(spark):
+    """Open/close pick by time with tiebreak; high/low exact; ties on
+    equal timestamps resolved by event_id."""
+    import datetime as dt
+
+    from deltalake_datafusion_spark.operators.rollup import ohlc_bars
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ev(eid, s, v):
+        return (eid, t0 + dt.timedelta(seconds=s), "a", v)
+
+    rows = [
+        ev(5, 0, 10.0), ev(4, 0, 11.0),   # equal ts: open = id 4
+        ev(6, 30, 99.0), ev(7, 60, 1.0),
+        ev(8, 3599, 50.0), ev(9, 3599, 51.0),  # close = id 9
+        ev(10, 3600, 7.0),                 # next hour bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r.event_type, r.bucket): r
+        for r in ohlc_bars(df, bucket_seconds=3600).collect()
+    }
+    b0 = sorted(k[1] for k in out)[0]
+    r = out[("a", b0)]
+    assert r.open == 11.0   # event_id 4 at the tied first timestamp
+    assert r.close == 51.0  # event_id 9 at the tied last timestamp
+    assert r.high == 99.0 and r.low == 1.0 and r.n == 6
+    assert r.sum_cents == sum(
+        round(v * 100) for _, _, _, v in rows[:-1]
+    )
+    r2 = out[("a", b0 + 1)]
+    assert (r2.open, r2.close, r2.n) == (7.0, 7.0, 1)
+
+
+def test_split_train_val_test(spark):
+    """Deterministic, stable, and roughly proportioned; rejects bad
+    weights; identical assignment across partitionings."""
+    import pytest
+
+    from deltalake_datafusion_spark.operators.sampling import (
+        split_train_val_test,
+    )
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = {r.k: r.split for r in split_train_val_test(df, "k").collect()}
+    b = {
+        r.k: r.split
+        for r in split_train_val_test(df.repartition(16), "k").collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert 0.02 < c["val"] / 2000 < 0.08
+    assert 0.02 < c["test"] / 2000 < 0.08
+    # stability under growth: the first 2000 keep their splits
+    big = spark.range(4000).withColumnRenamed("id", "k")
+    a2 = {
+        r.k: r.split
+        for r in split_train_val_test(big, "k").collect()
+        if r.k < 2000
+    }
+    assert a2 == a
+    with pytest.raises(ValueError):
+        split_train_val_test(df, "k", (80, 10, 5))
