@@ -1124,6 +1124,77 @@ FROM h GROUP BY 1, 2 ORDER BY lang, split
 """
 
 
+def streaming_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch as STREAMING state: per-user event
+    frequencies accumulate into the d×1024 counter table as a plain
+    streaming sum-aggregation (bounded state ≤ d·w rows), run to
+    completion with availableNow, then the exact top-10 users are
+    point-queried against the STREAMED sketch batch-side. Counter
+    sums are order-free integers, so the streamed sketch equals the
+    batch sketch EXACTLY and the DuckDB oracle hash-checks the
+    estimates — the incremental heavy-hitter rollup as a live
+    query."""
+    from deltalake_datafusion_spark.operators.sketches import (
+        cms_lookup,
+        cms_sketch,
+    )
+    from deltalake_datafusion_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    sk = cms_sketch(
+        ev.select("user_id"), "user_id", d=CMS_D, w_bits=CMS_W_BITS
+    )
+    streamed = run_to_memory(sk, "q_cms_stream", "complete")
+    e = load_tables(spark, sf_dir, "events")["events"]
+    top = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(10)
+    )
+    est = cms_lookup(streamed, top, "user_id", d=CMS_D, w_bits=CMS_W_BITS)
+    return est.select("user_id", "n_exact", "cms_est").orderBy(
+        F.desc("n_exact"), F.asc("user_id")
+    )
+
+
+_STREAMING_CMS_SQL = f"""
+WITH ids AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
+),
+top AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM ids GROUP BY user_id
+  ORDER BY n_exact DESC, user_id LIMIT 10
+),
+js AS (SELECT j FROM range({CMS_D}) t(j)),
+sketch AS (
+  SELECT j,
+    CAST(('0x' || substr(md5(j || ':' || CAST(user_id AS VARCHAR)),
+          1, 15)) AS BIGINT) & {(1 << CMS_W_BITS) - 1} AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ids CROSS JOIN js GROUP BY 1, 2
+),
+probe AS (
+  SELECT top.user_id, top.n_exact,
+    MIN(COALESCE(sk.cnt, 0)) AS cms_est
+  FROM top CROSS JOIN js
+  LEFT JOIN sketch sk ON sk.j = js.j
+    AND sk.bucket = (
+      CAST(('0x' || substr(md5(js.j || ':'
+            || CAST(top.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        & {(1 << CMS_W_BITS) - 1})
+  GROUP BY top.user_id, top.n_exact
+)
+SELECT user_id, n_exact, CAST(cms_est AS BIGINT) AS cms_est
+FROM probe ORDER BY n_exact DESC, user_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_cms_heavy_hitters", q_cms_heavy_hitters, _CMS_SQL),
@@ -1150,4 +1221,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("q_jsonl_roundtrip", q_jsonl_roundtrip, _JSONL_RT_SQL),
         QuerySpec("q_ohlc_bars", q_ohlc_bars, _OHLC_SQL),
         QuerySpec("pipe_split_assign", pipe_split_assign, _SPLIT_SQL),
+        QuerySpec(
+            "streaming_cms_topk", streaming_cms_topk, _STREAMING_CMS_SQL
+        ),
     ]
