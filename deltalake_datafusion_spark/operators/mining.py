@@ -1,0 +1,98 @@
+"""Frequent co-occurrence (market-basket pair) mining.
+
+The first stage of association-rule mining (Agrawal & Srikant, VLDB'94
+Apriori) restricted to 2-itemsets — the workhorse of co-purchase /
+co-click analysis, and in LLM-pipeline terms the "documents that cite
+X also cite Y" signal. The reference engine has no mining surface
+(SURVEY.md §2.1 is the Delta scan/maintenance set); this is
+beyond-reference work, designed Spark-first.
+
+Scale design:
+- The pair generation is a self-join keyed on the basket id, so each
+  task's work is quadratic only in its OWN basket's distinct-item
+  count — never in corpus size. ``max_basket_items`` drops
+  pathological mega-baskets (a bot session touching every SKU) before
+  the join, the standard guard in production basket mining; dropped
+  baskets are a deterministic, documented exclusion, not silent
+  truncation.
+- Support counting is one groupBy on the pair key with map-side
+  partial aggregation; lift arithmetic is pure integer (parts per
+  million, floor division), so results hash-compare cross-engine.
+- Top-k selection is a global sort of the already-aggregated pair
+  table (at most |items|² rows, usually far fewer) — not of the raw
+  transactions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Co-occurrence pairs ``(ia, ib, n_pair, lift_ppm)`` with
+    ``ia < ib``, ``n_pair >= min_support``.
+
+    ``lift_ppm = floor(1e6 * n_pair * n_baskets / (n_ia * n_ib))`` —
+    the classic lift statistic scaled to an exact integer (ppm) so the
+    output is hash-stable cross-engine.
+    """
+    it = (
+        baskets.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    if max_basket_items is not None:
+        sizes = it.groupBy("bk").agg(F.count(F.lit(1)).alias("bn"))
+        it = (
+            it.join(sizes, "bk")
+            .filter(F.col("bn") <= max_basket_items)
+            .drop("bn")
+        )
+    n_baskets = it.select("bk").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    supp = it.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = it.alias("a"), it.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("ia"), F.col("b.item").alias("ib")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+    return (
+        pairs.join(
+            F.broadcast(supp.select(F.col("item").alias("ia"),
+                                    F.col("n_item").alias("n_ia"))),
+            "ia",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("item").alias("ib"),
+                                    F.col("n_item").alias("n_ib"))),
+            "ib",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "ia",
+            "ib",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            # exact integer floor division — never a double rounding
+            F.expr(
+                "(n_pair * n * 1000000L) div (n_ia * n_ib)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -1,0 +1,135 @@
+"""Exact set-similarity self-join with prefix filtering (PPJoin-lite).
+
+Complements the approximate near-dup tier (MinHash banding at
+``operators/dedup.py:170``): banding trades recall for speed; this
+operator returns EVERY pair whose Jaccard similarity meets the
+threshold, exactly, while still never materializing the all-pairs
+cross product. The reference engine has no set-similarity surface at
+all (its operators are the Delta scan/maintenance set — SURVEY.md
+§2.1); this is beyond-reference LLM-pipeline work, designed
+Spark-first after the published AllPairs/PPJoin family (Bayardo et
+al., WWW'07; Xiao et al., WWW'08).
+
+Prefix-filter theorem used here: order the token universe by any
+fixed total order. For a set ``A`` and threshold ``tau``, Jaccard
+``J(A,B) >= tau`` implies ``|A ∩ B| >= ceil(tau·|A|)`` (because
+``|A ∪ B| >= |A|``), and by pigeonhole any ``B`` meeting that overlap
+must share at least one token with the first
+``|A| - ceil(tau·|A|) + 1`` tokens of ``A`` under the order. Joining
+on prefix tokens only — ordered rarest-first so prefix buckets are
+the SMALLEST buckets — yields a candidate superset, which one exact
+intersection count then verifies.
+
+Scale design (the reason this survives 100 TB where the DuckDB
+oracle's brute-force token join would not):
+- The global token order is (document-frequency asc, hash, token) —
+  computed with one groupBy, joined back by token. No global
+  row_number: the order key is carried as a struct and compared
+  directly, so there is no single-partition sort anywhere.
+- Prefix selection is a per-set window (partitioned by set id), so
+  the heaviest task is bounded by the largest single set.
+- Candidate generation joins PREFIX tokens only. Rarest-first
+  ordering makes every join bucket small by construction: a token
+  kept in many prefixes is a token with low document frequency.
+- Verification re-joins candidates to the two token lists keyed on
+  (id, token) — bucket sizes bounded by set sizes, never by corpus
+  size. All integer arithmetic; zero UDFs; whole-stage codegen end
+  to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def set_similarity_join(
+    sets: DataFrame,
+    id_col: str,
+    token_col: str,
+    tau_num: int,
+    tau_den: int,
+) -> DataFrame:
+    """All pairs ``(a, b)`` with ``a < b`` and Jaccard(tokens_a,
+    tokens_b) ``>= tau_num / tau_den``, exactly.
+
+    ``sets`` has one row per (set, token); duplicates are collapsed
+    internally. Returns ``(a, b, inter, uni)`` with BIGINT
+    intersection / union sizes — the caller derives the ratio, so the
+    result is hash-stable cross-engine (no float in the contract).
+    """
+    if not (0 < tau_num <= tau_den):
+        raise ValueError("tau must be in (0, 1]")
+    tok = (
+        sets.select(
+            F.col(id_col).cast("long").alias("sid"),
+            F.col(token_col).alias("w"),
+        )
+        .filter(F.col("w").isNotNull())
+        .distinct()
+    )
+    # Global rarest-first total order, carried as a comparable struct
+    # (df asc, then a deterministic hash to spread ties, then the
+    # token itself as the final tiebreak). One aggregation, no sort.
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ordered = tok.join(freq, "w").select(
+        "sid",
+        "w",
+        F.struct(
+            F.col("df"), F.xxhash64("w").alias("h"), F.col("w")
+        ).alias("okey"),
+    )
+    sizes = tok.groupBy("sid").agg(F.count(F.lit(1)).alias("n"))
+    # Prefix length |A| - ceil(tau*|A|) + 1; ceil(a*b/c) as integer
+    # arithmetic: -((-a*b) div c).
+    by_rarity = Window.partitionBy("sid").orderBy("okey")
+    pref = (
+        ordered.withColumn("pos", F.row_number().over(by_rarity))
+        .join(sizes, "sid")
+        .filter(
+            F.col("pos")
+            <= F.col("n")
+            + F.expr(f"(-{tau_num} * n) div {tau_den}")
+            + F.lit(1)
+        )
+        .select("sid", "w", "n")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.sid") < F.col("b.sid"))
+            # size filter: tau <= min/max  =>  tau*max <= den*min
+            & (F.col("a.n") * tau_num <= F.col("b.n") * tau_den)
+            & (F.col("b.n") * tau_num <= F.col("a.n") * tau_den),
+        )
+        .select(
+            F.col("a.sid").alias("ia"),
+            F.col("b.sid").alias("ib"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    # Exact verification: intersection size via two key-bounded joins.
+    ta = tok.select(F.col("sid").alias("ia"), "w")
+    tb = tok.select(F.col("sid").alias("ib"), "w")
+    inter = (
+        cand.join(ta, "ia")
+        .join(tb, ["ib", "w"])
+        .groupBy("ia", "ib", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "uni", F.col("na") + F.col("nb") - F.col("inter")
+        )
+        .filter(F.col("inter") * tau_den >= F.lit(tau_num) * F.col("uni"))
+        .select(
+            F.col("ia").alias("a"),
+            F.col("ib").alias("b"),
+            F.col("inter").cast("long").alias("inter"),
+            F.col("uni").cast("long").alias("uni"),
+        )
+    )

@@ -69,6 +69,7 @@ def all_query_specs() -> list[QuerySpec]:
         analytics,
         delta_tier,
         delta_tier2,
+        mining,
         pipeline,
         relational,
         timeseries,
@@ -91,4 +92,5 @@ def all_query_specs() -> list[QuerySpec]:
         + tpch_adapted.specs()
         + web.specs()
         + analytics.specs()
+        + mining.specs()
     )

@@ -1,0 +1,349 @@
+"""Round-9 continuation tier: graph mining, exact set-similarity
+join, market-basket pairs, Deequ-style quality checks, and
+exponentially-weighted smoothing.
+
+Every query pairs the Spark plan with a DuckDB oracle; all output
+columns are integers / strings / booleans so value hashes compare
+exactly cross-engine (the repo's standing discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.queries import QuerySpec, load_tables
+
+# ---------------------------------------------------------------- #
+# q_triangle_count                                                  #
+# ---------------------------------------------------------------- #
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (``operators/graph.py::
+    triangle_counts`` — degree-oriented, the Suri–Vassilvitskii
+    'curse of the last reducer' algorithm) over a deterministic
+    50-node graph synthesized from ``documents``: each doc d
+    contributes the 3-clique {d%50, (7d+3)%50, (13d+5)%50}, so
+    triangles are guaranteed and overlapping cliques create emergent
+    ones. The oracle replays the same orientation join in SQL."""
+    from deltalake_datafusion_spark.operators.graph import triangle_counts
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = F.col("doc_id")
+    na = (d % 50).alias("a")
+    nb = ((d * 7 + 3) % 50).alias("b")
+    nc = ((d * 13 + 5) % 50).alias("c")
+    tri = docs.select(na, nb, nc)
+    edges = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        .unionByName(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+    )
+    out = triangle_counts(edges, "u", "v")
+    return out.orderBy(F.desc("n_tri"), "node")
+
+
+_TRIANGLE_SQL = """
+WITH e0 AS (
+  SELECT doc_id % 50 AS u, (doc_id * 7 + 3) % 50 AS v FROM documents
+  UNION ALL
+  SELECT doc_id % 50, (doc_id * 13 + 5) % 50 FROM documents
+  UNION ALL
+  SELECT (doc_id * 7 + 3) % 50, (doc_id * 13 + 5) % 50 FROM documents
+),
+sym AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0)
+  WHERE u <> v
+),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+o AS (
+  SELECT s.u AS lo, s.v AS hi
+  FROM sym s JOIN deg da ON da.u = s.u JOIN deg db ON db.u = s.v
+  WHERE (da.d < db.d) OR (da.d = db.d AND s.u < s.v)
+),
+tri AS (
+  SELECT w1.lo AS apex, w1.hi AS bn, w2.hi AS cn
+  FROM o w1 JOIN o w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+  WHERE EXISTS (
+    SELECT 1 FROM o e
+    WHERE (e.lo = w1.hi AND e.hi = w2.hi)
+       OR (e.lo = w2.hi AND e.hi = w1.hi))
+),
+corners AS (
+  SELECT apex AS node FROM tri
+  UNION ALL SELECT bn FROM tri
+  UNION ALL SELECT cn FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM corners GROUP BY node ORDER BY n_tri DESC, node
+"""
+
+# ---------------------------------------------------------------- #
+# dedup_setjoin                                                      #
+# ---------------------------------------------------------------- #
+
+SJ_TAU_NUM, SJ_TAU_DEN = 4, 5  # Jaccard >= 0.8
+
+
+def dedup_setjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-duplicate pairs by 3-word-shingle Jaccard >= 0.8
+    via the prefix-filtered set-similarity join
+    (``operators/setjoin.py`` — AllPairs/PPJoin family). The
+    approximate MinHash tier (``dedup_minhash``) trades recall for
+    speed; this returns every qualifying pair exactly, still without
+    an all-pairs product (rarest-first prefix pruning). The oracle is
+    the honest brute force: a full token self-join in DuckDB —
+    feasible at oracle scale, which is the point."""
+    from deltalake_datafusion_spark.operators.setjoin import (
+        set_similarity_join,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    words = F.split(F.col("text"), " ")
+    shingled = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", words.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"
+                )
+            ).alias("sh"),
+        )
+    )
+    pairs = set_similarity_join(
+        shingled, "doc_id", "sh", SJ_TAU_NUM, SJ_TAU_DEN
+    )
+    return pairs.orderBy("a", "b")
+
+
+_SETJOIN_SQL = f"""
+WITH doc AS (
+  SELECT doc_id, string_split(text, ' ') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+idx AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+  FROM doc WHERE len(l) >= 3
+),
+tok AS (
+  SELECT DISTINCT doc_id,
+    l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)] || ' '
+      || l[CAST(i + 2 AS INT)] AS w
+  FROM idx
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS a, db AS b, c AS inter,
+  CAST(sa.n + sb.n - c AS BIGINT) AS uni
+FROM inter
+JOIN sz sa ON sa.doc_id = da
+JOIN sz sb ON sb.doc_id = db
+WHERE c * {SJ_TAU_DEN} >= {SJ_TAU_NUM} * (sa.n + sb.n - c)
+ORDER BY a, b
+"""
+
+# ---------------------------------------------------------------- #
+# q_basket_pairs                                                     #
+# ---------------------------------------------------------------- #
+
+BP_MOD = 200
+BP_TOPK = 25
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 co-purchased item pairs with exact integer lift
+    (``operators/mining.py::basket_pairs``): basket = order, item =
+    ``l_partkey % 200``; support >= 2, ranked by (support desc, ia,
+    ib) so the selected set is deterministic under ties."""
+    from deltalake_datafusion_spark.operators.mining import basket_pairs
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    items = li.select(
+        F.col("l_orderkey").alias("bk"),
+        (F.col("l_partkey") % BP_MOD).alias("item"),
+    )
+    pairs = basket_pairs(items, "bk", "item", min_support=2)
+    return pairs.orderBy(F.desc("n_pair"), "ia", "ib").limit(BP_TOPK)
+
+
+_BASKET_SQL = f"""
+WITH it AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey % {BP_MOD} AS item
+  FROM lineitem
+),
+nb AS (SELECT COUNT(DISTINCT bk) AS n FROM it),
+supp AS (SELECT item, COUNT(*) AS n_item FROM it GROUP BY item),
+p AS (
+  SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT ia, ib, n_pair,
+  (n_pair * n * 1000000) // (sa.n_item * sb.n_item) AS lift_ppm
+FROM p
+JOIN supp sa ON sa.item = ia
+JOIN supp sb ON sb.item = ib
+CROSS JOIN nb
+ORDER BY n_pair DESC, ia, ib LIMIT {BP_TOPK}
+"""
+
+# ---------------------------------------------------------------- #
+# pipe_quality_checks                                                #
+# ---------------------------------------------------------------- #
+
+
+def pipe_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative constraint suite over ``orders``
+    (``operators/checks.py::constraint_report``): six checks compiled
+    into ONE aggregation pass — completeness, key uniqueness,
+    non-negativity, categorical containment, a scaled min bound, and
+    a size floor. Report is (check, metric BIGINT, passed BOOL)."""
+    from deltalake_datafusion_spark.operators.checks import (
+        Check,
+        constraint_report,
+    )
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    rep = constraint_report(
+        orders,
+        [
+            Check.complete("o_custkey"),
+            Check.unique("o_orderkey"),
+            Check.non_negative("o_totalprice"),
+            Check.in_set("o_orderstatus", ["O", "F", "P"]),
+            Check.min_at_least("o_totalprice", 0, scale=100),
+            Check.size_at_least(1000),
+        ],
+    )
+    return rep.orderBy("check")
+
+
+_QUALITY_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+    COUNT(o_custkey) AS cc,
+    COUNT(DISTINCT o_orderkey) AS cd,
+    COALESCE(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END), 0)
+      AS neg,
+    COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+      AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END), 0)
+      AS outs,
+    CAST(FLOOR(MIN(o_totalprice) * 100) AS BIGINT) AS mn
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'complete_o_custkey' AS "check",
+    (cc * 1000000) // n AS metric,
+    (cc * 1000000) // n >= 1000000 AS passed FROM m
+  UNION ALL
+  SELECT 'unique_o_orderkey', (cd * 1000000) // n,
+    (cd * 1000000) // n = 1000000 FROM m
+  UNION ALL
+  SELECT 'non_negative_o_totalprice', CAST(neg AS BIGINT),
+    neg = 0 FROM m
+  UNION ALL
+  SELECT 'in_set_o_orderstatus', CAST(outs AS BIGINT),
+    outs = 0 FROM m
+  UNION ALL
+  SELECT 'min_o_totalprice', mn, mn >= 0 FROM m
+  UNION ALL
+  SELECT 'size', CAST(n AS BIGINT), n >= 1000 FROM m
+) ORDER BY "check"
+"""
+
+# ---------------------------------------------------------------- #
+# q_ewma_smooth                                                      #
+# ---------------------------------------------------------------- #
+
+EWMA_K = 8  # window depth; weights 2^(K-1-k) for lag k (alpha = 1/2)
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over the trailing 8
+    events per event_type, in exact integer arithmetic: x = cents =
+    floor(value*100 + 0.5) (IEEE-exact cross-engine), weight
+    2^(7-k) for lag k, emitted as a (num, den) integer pair so no
+    float enters the contract. Fixed-depth lags keep the whole thing
+    inside one window spec — pure codegen, one shuffle on
+    event_type; output is the 3 most recent rows per type."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    x = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", "event_id", "ts", x.alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for k in range(EWMA_K):
+        wt = 1 << (EWMA_K - 1 - k)
+        lk = F.lag("cents", k).over(w) if k else F.col("cents")
+        num = num + F.coalesce(lk * wt, F.lit(0))
+        den = den + F.when(lk.isNotNull(), F.lit(wt)).otherwise(0)
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+    )
+    out = base.select(
+        "event_type",
+        "event_id",
+        num.alias("ewma_num"),
+        den.alias("ewma_den"),
+        rn.alias("rn"),
+    )
+    return out.filter(F.col("rn") <= 3).drop("rn").orderBy(
+        "event_type", "event_id"
+    )
+
+
+def _ewma_sql(k_depth: int = EWMA_K) -> str:
+    nums, dens = [], []
+    for k in range(k_depth):
+        wt = 1 << (k_depth - 1 - k)
+        lk = (
+            "cents"
+            if k == 0
+            else f"LAG(cents, {k}) OVER (PARTITION BY event_type"
+            " ORDER BY ts, event_id)"
+        )
+        nums.append(f"COALESCE({lk} * {wt}, 0)")
+        dens.append(f"CASE WHEN {lk} IS NOT NULL THEN {wt} ELSE 0 END")
+    return f"""
+WITH base AS (
+  SELECT event_type, event_id, ts,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+sm AS (
+  SELECT event_type, event_id,
+    CAST({' + '.join(nums)} AS BIGINT) AS ewma_num,
+    CAST({' + '.join(dens)} AS BIGINT) AS ewma_den,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+      ORDER BY ts DESC, event_id DESC) AS rn
+  FROM base
+)
+SELECT event_type, event_id, ewma_num, ewma_den
+FROM sm WHERE rn <= 3 ORDER BY event_type, event_id
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("q_triangle_count", q_triangle_count, _TRIANGLE_SQL),
+        QuerySpec("dedup_setjoin", dedup_setjoin, _SETJOIN_SQL),
+        QuerySpec("q_basket_pairs", q_basket_pairs, _BASKET_SQL),
+        QuerySpec(
+            "pipe_quality_checks", pipe_quality_checks, _QUALITY_SQL
+        ),
+        QuerySpec("q_ewma_smooth", q_ewma_smooth, _ewma_sql()),
+    ]

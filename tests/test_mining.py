@@ -1,0 +1,311 @@
+"""Unit tests for the round-9 continuation tier: triangle counting,
+exact prefix-filtered set-similarity join, market-basket pairs, the
+Deequ-style constraint suite, and the EWMA query arithmetic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- #
+# triangle_counts                                                   #
+# ---------------------------------------------------------------- #
+
+
+def test_triangles_two_cliques_sharing_a_node(spark):
+    from deltalake_datafusion_spark.operators.graph import triangle_counts
+
+    # triangles {1,2,3} and {3,4,5}; plus noise: a reversed duplicate
+    # edge, a self-loop, and a dangling edge (5,6).
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (1, 3),
+            (3, 4), (4, 5), (3, 5),
+            (2, 1),  # reversed duplicate
+            (4, 4),  # self-loop
+            (5, 6),  # dangling
+        ],
+        "a long, b long",
+    )
+    got = {
+        r["node"]: r["n_tri"]
+        for r in triangle_counts(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_triangles_k4_counts_each_node_three_times(spark):
+    from deltalake_datafusion_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {
+        r["node"]: r["n_tri"]
+        for r in triangle_counts(
+            spark.createDataFrame(k4, "a long, b long")
+        ).collect()
+    }
+    # K4 has C(4,3)=4 triangles; each node sits in exactly 3.
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_bipartite_graph_has_none(spark):
+    from deltalake_datafusion_spark.operators.graph import triangle_counts
+
+    bip = [(a, 10 + b) for a in range(3) for b in range(3)]
+    assert (
+        triangle_counts(
+            spark.createDataFrame(bip, "a long, b long")
+        ).count()
+        == 0
+    )
+
+
+# ---------------------------------------------------------------- #
+# set_similarity_join                                                #
+# ---------------------------------------------------------------- #
+
+
+def _sets_df(spark, sets: dict[int, list[str]]):
+    rows = [(i, w) for i, ws in sets.items() for w in ws]
+    return spark.createDataFrame(rows, "sid long, w string")
+
+
+def test_setjoin_exact_pair_and_nonpair(spark):
+    from deltalake_datafusion_spark.operators.setjoin import (
+        set_similarity_join,
+    )
+
+    df = _sets_df(
+        spark,
+        {
+            1: ["x", "y", "z"],
+            2: ["x", "y", "z", "w"],  # J(1,2) = 3/4
+            3: ["p", "q"],            # disjoint
+            4: ["x", "p"],            # J(1,4) = 1/4
+        },
+    )
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["uni"])
+        for r in set_similarity_join(df, "sid", "w", 7, 10).collect()
+    }
+    assert got == {(1, 2): (3, 4)}
+
+
+def test_setjoin_matches_bruteforce_on_random_sets(spark):
+    import random
+
+    from deltalake_datafusion_spark.operators.setjoin import (
+        set_similarity_join,
+    )
+
+    rng = random.Random(9)
+    vocab = [f"t{i}" for i in range(40)]
+    sets = {
+        i: sorted(rng.sample(vocab, rng.randint(5, 20)))
+        for i in range(30)
+    }
+    tau_num, tau_den = 6, 10
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            ia = len(set(sets[a]) & set(sets[b]))
+            un = len(set(sets[a]) | set(sets[b]))
+            if ia * tau_den >= tau_num * un:
+                expect[(a, b)] = (ia, un)
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["uni"])
+        for r in set_similarity_join(
+            _sets_df(spark, sets), "sid", "w", tau_num, tau_den
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_setjoin_duplicate_tokens_collapse(spark):
+    from deltalake_datafusion_spark.operators.setjoin import (
+        set_similarity_join,
+    )
+
+    df = _sets_df(spark, {1: ["x", "x", "y"], 2: ["y", "x"]})
+    got = set_similarity_join(df, "sid", "w", 1, 1).collect()
+    assert [(r["a"], r["b"], r["inter"], r["uni"]) for r in got] == [
+        (1, 2, 2, 2)
+    ]
+
+
+def test_setjoin_rejects_bad_tau(spark):
+    from deltalake_datafusion_spark.operators.setjoin import (
+        set_similarity_join,
+    )
+
+    df = _sets_df(spark, {1: ["x"]})
+    with pytest.raises(ValueError):
+        set_similarity_join(df, "sid", "w", 0, 10)
+    with pytest.raises(ValueError):
+        set_similarity_join(df, "sid", "w", 11, 10)
+
+
+# ---------------------------------------------------------------- #
+# basket_pairs                                                       #
+# ---------------------------------------------------------------- #
+
+
+def test_basket_pairs_counts_and_lift(spark):
+    from deltalake_datafusion_spark.operators.mining import basket_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (3, "a"),  # duplicate item in basket collapses
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, item string")
+    got = {
+        (r["ia"], r["ib"]): (r["n_pair"], r["lift_ppm"])
+        for r in basket_pairs(df, "bk", "item").collect()
+    }
+    # supports: a=3, b=3, c=2, n_baskets=4
+    # (a,b)=2: lift = 2*4/(3*3) = 8/9 -> 888888 ppm
+    # (a,c)=2: lift = 2*4/(3*2) = 4/3 -> 1333333 ppm
+    # (b,c)=1: lift = 1*4/(3*2) = 2/3 -> 666666 ppm
+    assert got == {
+        ("a", "b"): (2, 888888),
+        ("a", "c"): (2, 1333333),
+        ("b", "c"): (1, 666666),
+    }
+
+
+def test_basket_pairs_min_support_and_cap(spark):
+    from deltalake_datafusion_spark.operators.mining import basket_pairs
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"), (2, "c"), (2, "d"),  # dropped by cap=3
+    ]
+    df = spark.createDataFrame(rows, "bk long, item string")
+    got = basket_pairs(
+        df, "bk", "item", min_support=1, max_basket_items=3
+    ).collect()
+    assert {(r["ia"], r["ib"], r["n_pair"]) for r in got} == {
+        ("a", "b", 1)
+    }
+    assert (
+        basket_pairs(df, "bk", "item", min_support=3).count() == 0
+    )
+
+
+# ---------------------------------------------------------------- #
+# constraint_report                                                  #
+# ---------------------------------------------------------------- #
+
+
+def test_constraint_report_flags_violations(spark):
+    from deltalake_datafusion_spark.operators.checks import (
+        Check,
+        constraint_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0),
+            (2, "F", -3.0),     # negative
+            (2, "X", 5.0),      # dup key + out-of-set status
+            (4, None, None),    # null status tolerated by in_set
+        ],
+        "k long, st string, v double",
+    )
+    rep = {
+        r["check"]: (r["metric"], r["passed"])
+        for r in constraint_report(
+            df,
+            [
+                Check.complete("v"),
+                Check.unique("k"),
+                Check.non_negative("v"),
+                Check.in_set("st", ["O", "F"]),
+                Check.min_at_least("v", 0, scale=100),
+                Check.size_at_least(3),
+            ],
+        ).collect()
+    }
+    assert rep["complete_v"] == (750000, False)
+    assert rep["unique_k"] == (750000, False)
+    assert rep["non_negative_v"] == (1, False)
+    assert rep["in_set_st"] == (1, False)
+    assert rep["min_v"] == (-300, False)
+    assert rep["size"] == (4, True)
+
+
+def test_constraint_report_all_green_and_one_pass_plan(spark):
+    from deltalake_datafusion_spark.operators.checks import (
+        Check,
+        constraint_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "O", 1.5), (2, "F", 2.5)], "k long, st string, v double"
+    )
+    rep = constraint_report(
+        df,
+        [
+            Check.complete("v"),
+            Check.unique("k"),
+            Check.non_negative("v"),
+            Check.in_set("st", ["O", "F"]),
+        ],
+    )
+    assert all(r["passed"] for r in rep.collect())
+    # single aggregation pass: exactly one HashAggregate pair chain,
+    # no join, no extra scans
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_constraint_report_empty_checks_raise(spark):
+    from deltalake_datafusion_spark.operators.checks import (
+        constraint_report,
+    )
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        constraint_report(df, [])
+
+
+# ---------------------------------------------------------------- #
+# query-level: oracle lockstep at sf0.001                            #
+# ---------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_triangle_count",
+        "dedup_setjoin",
+        "q_basket_pairs",
+        "pipe_quality_checks",
+        "q_ewma_smooth",
+    ],
+)
+def test_mining_queries_match_oracle(spark, duck, sf_dir, name):
+    from deltalake_datafusion_spark.queries import mining
+    from tools.check_oracle import compare
+
+    spec = {s.name: s for s in mining.specs()}[name]
+    assert (
+        compare(name, spec.build(spark, sf_dir), spec.oracle, duck)
+        == "OK"
+    )
+
+
+def test_ewma_full_window_weights_sum_to_255(spark, sf_dir):
+    """Rows with >= 8 predecessors must have den == 2^8 - 1 == 255;
+    the query returns the 3 latest rows per type, which at sf0.001
+    all have full windows."""
+    from deltalake_datafusion_spark.queries.mining import q_ewma_smooth
+
+    rows = q_ewma_smooth(spark, sf_dir).collect()
+    assert rows and all(r["ewma_den"] == 255 for r in rows)

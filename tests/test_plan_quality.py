@@ -601,3 +601,38 @@ def test_round9_quality_and_profile_no_python(spark, sf_dir):
     for q in (pipe_data_profile, pipe_fuzzy_dedup):
         plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan, plan[:1200]
+
+
+def test_mining_tier_no_python_and_no_cartesian(spark, sf_dir):
+    """The whole round-9 mining tier is pure codegen: no Python
+    stages, no cartesian products anywhere (every join is keyed —
+    the setjoin verifies on (id, token), the wedge join on the apex,
+    basket pairs on the basket id)."""
+    from deltalake_datafusion_spark.queries.mining import (
+        dedup_setjoin,
+        q_basket_pairs,
+        q_ewma_smooth,
+        q_triangle_count,
+    )
+
+    for q in (q_triangle_count, dedup_setjoin, q_basket_pairs,
+              q_ewma_smooth):
+        plan = (
+            q(spark, sf_dir)._jdf.queryExecution().executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan, plan[:1200]
+        assert "Cartesian" not in plan, plan[:1200]
+
+
+def test_setjoin_has_no_global_sort_before_limit(spark, sf_dir):
+    """Prefix ranking must be the per-set window, never a global
+    row_number: the optimized plan contains no single-partition
+    Exchange (the 100 TB killer)."""
+    from deltalake_datafusion_spark.queries.mining import dedup_setjoin
+
+    plan = (
+        dedup_setjoin(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan, plan[:1500]
