@@ -24,6 +24,37 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executor Python workers.
+
+    A driver-provided session may have been launched from any cwd
+    with no PYTHONPATH; the handful of Arrow-batched stages
+    (mapInPandas in the Delta write path, multimodal decode, Bloom
+    probe) pickle functions that import this package on the worker.
+    addPyFile distributes a zip of the package once per context —
+    idempotent via a context attribute, ~1 s, driver-side data files
+    (e.g. the PSL snapshot) are still read from the repo path."""
+    sc = spark.sparkContext
+    if getattr(sc, "_ddfs_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg = os.path.join(_REPO, "deltalake_datafusion_spark")
+    fd, zpath = tempfile.mkstemp(
+        prefix="ddfs_pkg_", suffix=".zip"
+    )
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _REPO))
+    sc.addPyFile(zpath)
+    sc._ddfs_pkg_shipped = True
+
+
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply engine-required session confs to a driver-provided session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -31,6 +62,10 @@ def _configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # runtime-immutable in some builds; load_tables copes
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # already importable via the driver's own PYTHONPATH
     return spark
 
 

@@ -337,6 +337,320 @@ FROM sm WHERE rn <= 3 ORDER BY event_type, event_id
 """
 
 
+
+
+# ---------------------------------------------------------------- #
+# q_kcore                                                           #
+# ---------------------------------------------------------------- #
+
+KC_MOD = 150
+KC_K = 6
+KC_UNROLL = 8  # oracle unrolls 8 peel rounds; Spark converges in 4
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (``operators/graph.py::k_core`` —
+    iterative peeling) of a deterministic hub-skewed 150-node graph
+    synthesized from ``documents`` (two arithmetic edge families
+    whose destinations concentrate on small ids, so peeling cascades
+    for 4 rounds before the 85-node 6-core stabilizes). The oracle
+    unrolls the peel as chained CTEs — one round per CTE, idempotent
+    after convergence, so 8 unrolled rounds reproduce the fixed
+    point exactly."""
+    from deltalake_datafusion_spark.operators.graph import k_core
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = F.col("doc_id")
+    f1 = docs.select(
+        (d % KC_MOD).alias("u"),
+        (d % (2 + (d % 60))).alias("v"),
+    )
+    f2 = docs.select(
+        ((d * 13 + 1) % KC_MOD).alias("u"),
+        (d % (2 + ((d * 3) % 40))).alias("v"),
+    )
+    core = k_core(f1.unionByName(f2), KC_K, "u", "v")
+    return core.orderBy(F.desc("deg"), "node")
+
+
+def _kcore_sql(rounds: int = KC_UNROLL) -> str:
+    parts = [
+        f"""
+WITH e0raw AS (
+  SELECT doc_id % {KC_MOD} AS u, doc_id % (2 + (doc_id % 60)) AS v
+  FROM documents
+  UNION ALL
+  SELECT (doc_id * 13 + 1) % {KC_MOD},
+         doc_id % (2 + ((doc_id * 3) % 40))
+  FROM documents
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM e0raw UNION ALL SELECT v AS u, u AS v FROM e0raw)
+  WHERE u <> v
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+k{i} AS MATERIALIZED (
+  SELECT u FROM e{i - 1} GROUP BY u HAVING COUNT(*) >= {KC_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM e{i - 1}
+  WHERE u IN (SELECT u FROM k{i}) AND v IN (SELECT u FROM k{i})
+)"""
+        )
+    parts.append(
+        f"""
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM e{rounds} GROUP BY u ORDER BY deg DESC, node
+"""
+    )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------- #
+# q_concurrency                                                      #
+# ---------------------------------------------------------------- #
+
+
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type by the classic sweep-line:
+    each event occupies [ts, ts + (event_id % 7 + 1) minutes); +1/-1
+    boundary deltas are SUMMED PER TIMESTAMP before the running
+    total, so intra-timestamp ordering can never make the answer
+    nondeterministic (the post-boundary value is order-free). The
+    running sum is partitioned by event_type — no global window, no
+    single-partition exchange. Output: (event_type, peak, peak_at =
+    earliest instant attaining the peak)."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    start = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    end = ev.select(
+        "event_type",
+        F.expr("timestampadd(MINUTE, event_id % 7 + 1, ts)").alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = (
+        start.unionByName(end)
+        .groupBy("event_type", "t")
+        .agg(F.sum("delta").alias("d"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    conc = deltas.withColumn("conc", F.sum("d").over(w))
+    rank = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("conc"), "t")
+    )
+    return (
+        conc.withColumn("rk", rank)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("conc").cast("long").alias("peak"),
+            F.col("t").alias("peak_at"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CONCURRENCY_SQL = """
+WITH bounds AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 1 MINUTE * (event_id % 7 + 1), -1
+  FROM events
+),
+d AS (
+  SELECT event_type, t, SUM(delta) AS d
+  FROM bounds GROUP BY event_type, t
+),
+run AS (
+  SELECT event_type, t,
+    SUM(d) OVER (PARTITION BY event_type ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS conc
+  FROM d
+),
+rk AS (
+  SELECT event_type, t, conc,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY conc DESC, t) AS rk
+  FROM run
+)
+SELECT event_type, CAST(conc AS BIGINT) AS peak, t AS peak_at
+FROM rk WHERE rk = 1 ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------- #
+# text_tfidf_terms                                                   #
+# ---------------------------------------------------------------- #
+
+TFIDF_DOCS = 20
+TFIDF_TOPN = 3
+
+
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by df-normalized term
+    frequency, all integer arithmetic: score_ppm = (tf * 1e6) div df
+    with df computed over the WHOLE corpus (the idf denominator),
+    output restricted to doc_id < 20 for a bounded result. Ties break
+    on the term string, so top-3 is deterministic. Plan: one tf
+    aggregation, one df aggregation, a broadcast-size join of the
+    restricted docs, one per-doc window."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tok.select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.filter(F.col("doc_id") < TFIDF_DOCS)
+        .join(df_, "w")
+        .withColumn("score_ppm", F.expr("(tf * 1000000L) div df"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.desc("score_ppm"), "w"
+        )
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= TFIDF_TOPN)
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "score_ppm",
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2
+),
+df AS (
+  SELECT w, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok2)
+  GROUP BY w
+),
+scored AS (
+  SELECT tf.doc_id, tf.w, (tf.tf * 1000000) // df.df AS score_ppm
+  FROM tf JOIN df ON tf.w = df.w WHERE tf.doc_id < {TFIDF_DOCS}
+),
+rk AS (
+  SELECT doc_id, w, score_ppm,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score_ppm DESC, w) AS rk
+  FROM scored
+)
+SELECT doc_id, w AS term, CAST(score_ppm AS BIGINT) AS score_ppm,
+  CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= {TFIDF_TOPN} ORDER BY doc_id, rk
+"""
+
+
+# ---------------------------------------------------------------- #
+# delta_cdf_scd2                                                     #
+# ---------------------------------------------------------------- #
+
+
+def delta_cdf_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tier integration: a CDF-enabled Delta dimension receives
+    two UPDATE commits; the change feed (insert + update_postimage
+    rows keyed by _commit_version) drives ``scd2_build`` into a
+    Type-2 history, aggregated per segment as (segment, n_hist
+    versions ever, n_current rows). Ties the Delta write/CDF tier to
+    the SCD2 operator in one oracle-checked query; the oracle replays
+    the two updates as CASE chains over the source parquet and
+    collapses unchanged states exactly like dedupe_unchanged."""
+    from deltalake_datafusion_spark.delta.cdf import table_changes
+    from deltalake_datafusion_spark.delta.ops import update_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.operators.asof import scd2_build
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+
+    t = load_tables(spark, sf_dir, "customer")
+    path = _fresh_dir("cdf_scd2", sf_dir)
+    write_delta(
+        spark,
+        t["customer"]
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .repartition(2),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    update_delta(
+        spark, path, {"c_mktsegment": "'MACHINERY'"}, "c_acctbal < 0"
+    )
+    update_delta(
+        spark, path, {"c_mktsegment": "'PREMIUM'"}, "c_acctbal > 9000"
+    )
+    ch = table_changes(spark, path, 0).filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    )
+    scd = scd2_build(
+        ch.select("c_custkey", "_commit_version", "c_mktsegment"),
+        ["c_custkey"],
+        "_commit_version",
+        ["c_mktsegment"],
+    )
+    return (
+        scd.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hist"),
+            F.sum(
+                F.when(F.col("is_current"), 1).otherwise(0)
+            ).cast("long").alias("n_current"),
+        )
+        .orderBy("segment")
+    )
+
+
+_CDF_SCD2_SQL = """
+WITH s AS (
+  SELECT c_custkey, c_mktsegment AS s0,
+    CASE WHEN c_acctbal < 0 THEN 'MACHINERY' ELSE c_mktsegment END
+      AS s1,
+    CASE WHEN c_acctbal > 9000 THEN 'PREMIUM'
+         WHEN c_acctbal < 0 THEN 'MACHINERY'
+         ELSE c_mktsegment END AS s2
+  FROM customer
+),
+hist AS (
+  SELECT s0 AS segment, FALSE AS cur FROM s WHERE s1 <> s0 OR s2 <> s1
+  UNION ALL
+  SELECT s1, FALSE FROM s WHERE s1 <> s0 AND s2 <> s1
+  UNION ALL
+  SELECT s2, TRUE FROM s
+)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_hist,
+  CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_current
+FROM hist GROUP BY segment ORDER BY segment
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("q_triangle_count", q_triangle_count, _TRIANGLE_SQL),
@@ -346,4 +660,8 @@ def specs() -> list[QuerySpec]:
             "pipe_quality_checks", pipe_quality_checks, _QUALITY_SQL
         ),
         QuerySpec("q_ewma_smooth", q_ewma_smooth, _ewma_sql()),
+        QuerySpec("q_kcore", q_kcore, _kcore_sql()),
+        QuerySpec("q_concurrency", q_concurrency, _CONCURRENCY_SQL),
+        QuerySpec("text_tfidf_terms", text_tfidf_terms, _TFIDF_SQL),
+        QuerySpec("delta_cdf_scd2", delta_cdf_scd2, _CDF_SCD2_SQL),
     ]

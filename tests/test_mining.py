@@ -288,6 +288,10 @@ def test_constraint_report_empty_checks_raise(spark):
         "q_basket_pairs",
         "pipe_quality_checks",
         "q_ewma_smooth",
+        "q_kcore",
+        "q_concurrency",
+        "text_tfidf_terms",
+        "delta_cdf_scd2",
     ],
 )
 def test_mining_queries_match_oracle(spark, duck, sf_dir, name):
@@ -309,3 +313,74 @@ def test_ewma_full_window_weights_sum_to_255(spark, sf_dir):
 
     rows = q_ewma_smooth(spark, sf_dir).collect()
     assert rows and all(r["ewma_den"] == 255 for r in rows)
+
+
+# ---------------------------------------------------------------- #
+# k_core                                                             #
+# ---------------------------------------------------------------- #
+
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    from deltalake_datafusion_spark.operators.graph import k_core
+
+    # K4 clique (0..3) with a pendant path 3-4-5: 2-core = the clique
+    # (peeling 5 exposes 4, which then peels too — a 2-round cascade).
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(3, 4), (4, 5)]
+    got = {
+        r["node"]: r["deg"]
+        for r in k_core(
+            spark.createDataFrame(edges, "a long, b long"), 2
+        ).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_k_too_high_empties(spark):
+    from deltalake_datafusion_spark.operators.graph import k_core
+
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert (
+        k_core(spark.createDataFrame(edges, "a long, b long"), 4).count()
+        == 0
+    )
+
+
+def test_kcore_rejects_bad_k(spark):
+    from deltalake_datafusion_spark.operators.graph import k_core
+
+    with pytest.raises(ValueError):
+        k_core(spark.range(1).selectExpr("id as a", "id+1 as b"), 0)
+
+
+def test_kcore_query_converges_within_oracle_unroll(spark, sf_dir):
+    """The oracle unrolls KC_UNROLL peel rounds; the Spark loop must
+    reach its fixed point within that budget or the oracle would be
+    comparing a non-converged state."""
+    from deltalake_datafusion_spark.operators.graph import k_core
+    from deltalake_datafusion_spark.queries.mining import (
+        KC_K,
+        KC_MOD,
+        KC_UNROLL,
+    )
+    from deltalake_datafusion_spark.queries import load_tables
+    from pyspark.sql import functions as FF
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = FF.col("doc_id")
+    f1 = docs.select((d % KC_MOD).alias("u"),
+                     (d % (2 + (d % 60))).alias("v"))
+    f2 = docs.select(((d * 13 + 1) % KC_MOD).alias("u"),
+                     (d % (2 + ((d * 3) % 40))).alias("v"))
+    edges = f1.unionByName(f2)
+    fixed = {
+        (r["node"], r["deg"])
+        for r in k_core(edges, KC_K, "u", "v").collect()
+    }
+    capped = {
+        (r["node"], r["deg"])
+        for r in k_core(
+            edges, KC_K, "u", "v", max_iter=KC_UNROLL
+        ).collect()
+    }
+    assert fixed == capped and len(fixed) > 0

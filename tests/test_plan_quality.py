@@ -611,12 +611,14 @@ def test_mining_tier_no_python_and_no_cartesian(spark, sf_dir):
     from deltalake_datafusion_spark.queries.mining import (
         dedup_setjoin,
         q_basket_pairs,
+        q_concurrency,
         q_ewma_smooth,
         q_triangle_count,
+        text_tfidf_terms,
     )
 
     for q in (q_triangle_count, dedup_setjoin, q_basket_pairs,
-              q_ewma_smooth):
+              q_ewma_smooth, q_concurrency, text_tfidf_terms):
         plan = (
             q(spark, sf_dir)._jdf.queryExecution().executedPlan()
             .toString()
