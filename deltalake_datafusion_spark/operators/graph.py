@@ -365,3 +365,63 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .select(F.col("u").alias("node"), "deg")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+    directed: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source BFS hop distances (Pregel-style frontier
+    relaxation) over an edge DataFrame — the classic distributed
+    shortest-path shape (unit edge weights).
+
+    ``sources`` is a one-column DataFrame of seed node ids; each seed
+    starts at distance 0 and every round each node takes
+    ``min(current, min over in-edges of neighbor+1)``. After D rounds
+    (D = eccentricity of the source set) the table is the exact hop
+    distance; extra rounds are no-ops, so a FIXED ``iterations`` is
+    both deterministic and oracle-replayable (the DuckDB oracle
+    unrolls the same rounds as chained CTEs — all-integer arithmetic,
+    bit-identical across engines and partitionings). Unreached nodes
+    simply never enter the distance table (no sentinel values).
+
+    Scale shape: per round ONE shuffle join (edges ⋈ frontier, keyed
+    on ``src``) and ONE groupBy-min keyed on node — the same
+    per-round cost as :func:`connected_components`; AQE handles
+    skew/coalescing. ``localCheckpoint`` every ``checkpoint_every``
+    rounds truncates the iterative lineage. Nothing is ever
+    collected to the driver.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    e = e.localCheckpoint(eager=True)
+    seed_col = sources.columns[0]
+    dist = sources.select(
+        F.col(seed_col).alias("node"), F.lit(0).cast("long").alias("dist")
+    ).distinct()
+    for t in range(iterations):
+        relaxed = (
+            e.join(dist.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("dist") + F.lit(1)).alias("dist"))
+            .withColumnRenamed("dst", "node")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (t + 1) % checkpoint_every == 0 and t + 1 < iterations:
+            dist = dist.localCheckpoint(eager=True)
+    return dist

@@ -66,6 +66,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 
 def all_query_specs() -> list[QuerySpec]:
     from deltalake_datafusion_spark.queries import (
+        advanced,
         analytics,
         delta_tier,
         delta_tier2,
@@ -93,4 +94,5 @@ def all_query_specs() -> list[QuerySpec]:
         + web.specs()
         + analytics.specs()
         + mining.specs()
+        + advanced.specs()
     )

@@ -1,0 +1,304 @@
+"""Round-9 continuation tier (b): multi-source BFS shortest paths,
+RFM customer segmentation, marketing touch attribution, and 2-D
+skyline (Pareto frontier).
+
+Every query pairs the Spark plan with a DuckDB oracle; all output
+columns are integers / strings so value hashes compare exactly
+cross-engine (the repo's standing discipline — no float leaves any
+query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.queries import QuerySpec, load_tables
+
+# ---------------------------------------------------------------- #
+# q_bfs_hops                                                        #
+# ---------------------------------------------------------------- #
+
+BFS_ITERS = 8
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances
+    (``operators/graph.py::bfs_distances``) over the same
+    deterministic 60-node domain link graph as ``pipe_pagerank``
+    (two arithmetic edge families per doc; nodes 50-59 are pure
+    sinks). Seeds are nodes ``{0, 17, 34}``; 8 Pregel-style
+    relaxation rounds — all-integer, so distances are bit-identical
+    cross-engine and the oracle UNROLLS the same rounds as chained
+    CTEs. Per round the Spark plan is one shuffle join (edges ⋈
+    frontier) plus one groupBy-min; unreached nodes never enter the
+    table."""
+    from deltalake_datafusion_spark.operators.graph import bfs_distances
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = F.col("doc_id")
+    e1 = docs.select(
+        (d % 50).alias("src"), ((d * 7 + 3) % 50).alias("dst")
+    )
+    e2 = docs.select(
+        (d % 50).alias("src"), (50 + d % 10).alias("dst")
+    )
+    edges = e1.unionByName(e2)
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        F.col("node").isin(0, 17, 34)
+    )
+    dist = bfs_distances(edges, seeds, iterations=BFS_ITERS)
+    return dist.select("node", "dist").orderBy("node")
+
+
+def _bfs_sql(iters: int = BFS_ITERS) -> str:
+    parts = [
+        """
+WITH e0 AS (
+  SELECT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % 50, 50 + doc_id % 10 FROM documents
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+d0 AS (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM e
+  WHERE src IN (0, 17, 34)
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+d{t} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{t - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + 1 AS dist
+    FROM e JOIN d{t - 1} p ON e.src = p.node
+  ) GROUP BY node
+)"""
+        )
+    parts.append(f"\nSELECT node, dist FROM d{iters} ORDER BY node")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------- #
+# q_rfm_segments                                                    #
+# ---------------------------------------------------------------- #
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, recency (days from
+    last order to the corpus max date), frequency (order count) and
+    monetary (lifetime cents), each NTILE(4)-bucketed under a TOTAL
+    order (metric, then custkey — ntile over a partial order is
+    engine-dependent; the tiebreak makes it deterministic), then
+    rolled up to segment counts + exact cents. One shuffle to the
+    per-customer aggregate; the three ntiles share one unpartitioned
+    sort each (customer-count-sized, the standard RFM shape — at
+    100 TB you'd swap ntile for fixed quantile cutpoints computed
+    once and broadcast)."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_dt"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("cents"),
+    )
+    mx = per.agg(F.max("last_dt").alias("mx"))
+    per = per.crossJoin(F.broadcast(mx)).withColumn(
+        "rec_days", F.datediff(F.col("mx"), F.col("last_dt")).cast("long")
+    )
+    wr = Window.orderBy(F.col("rec_days"), F.col("o_custkey"))
+    wf = Window.orderBy(F.desc("freq"), F.col("o_custkey"))
+    wm = Window.orderBy(F.desc("cents"), F.col("o_custkey"))
+    scored = per.select(
+        "o_custkey",
+        "cents",
+        F.ntile(4).over(wr).cast("long").alias("r_q"),
+        F.ntile(4).over(wf).cast("long").alias("f_q"),
+        F.ntile(4).over(wm).cast("long").alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("segment_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+_RFM_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+    MAX(o_orderdate) AS last_dt,
+    CAST(COUNT(*) AS BIGINT) AS freq,
+    CAST(SUM(FLOOR(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+mx AS (SELECT MAX(last_dt) AS mx FROM per),
+scored AS (
+  SELECT o_custkey, cents,
+    CAST(NTILE(4) OVER (ORDER BY datediff('day', last_dt, mx),
+                        o_custkey) AS BIGINT) AS r_q,
+    CAST(NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_q,
+    CAST(NTILE(4) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS m_q
+  FROM per CROSS JOIN mx
+)
+SELECT r_q, f_q, m_q,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(cents) AS BIGINT) AS segment_cents
+FROM scored GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_attribution                                                     #
+# ---------------------------------------------------------------- #
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch marketing attribution: for every
+    ``purchase`` event, the earliest and the most recent PRECEDING
+    non-purchase event type of the same user (IGNORE NULLS window
+    frames over one per-user sort — ROWS UNBOUNDED PRECEDING..1
+    PRECEDING), rolled up to purchases + exact revenue cents per
+    (first_touch, last_touch) pair. Purchases with no preceding
+    touch attribute to 'none'. ONE shuffle (the per-user window);
+    the rollup reuses the map-side combine."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.first(touch, ignorenulls=True).over(w).alias("ft"),
+        F.last(touch, ignorenulls=True).over(w).alias("lt"),
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("ft"), F.lit("none")).alias("first_touch"),
+            F.coalesce(F.col("lt"), F.lit("none")).alias("last_touch"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type,
+    CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS cents,
+    FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+  FROM events
+)
+SELECT COALESCE(ft, 'none') AS first_touch,
+  COALESCE(lt, 'none') AS last_touch,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM marked WHERE event_type = 'purchase'
+GROUP BY 1, 2 ORDER BY first_touch, last_touch
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_skyline                                                         #
+# ---------------------------------------------------------------- #
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) per return flag: line items not
+    dominated on (price low, quantity high). Point p is dominated
+    iff another point has price ≤ AND qty ≥ with one strict — i.e.
+    ``max(qty | price < p.price) ≥ p.qty  OR  max(qty | price =
+    p.price) > p.qty``. Both maxima are single window expressions
+    (a RANGE ..1 PRECEDING cummax over integer cents and a
+    price-group max), so the O(n²) dominance test collapses to ONE
+    sort per partition — the textbook sort-based sweep, linear after
+    the window shuffle. All-integer output."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    pts = (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+            F.floor(F.col("l_quantity") + F.lit(0.5))
+            .cast("long")
+            .alias("qty"),
+        )
+        .groupBy("l_returnflag", "price_cents", "qty")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+    w_lt = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("l_returnflag", "price_cents")
+    flagged = pts.select(
+        "l_returnflag",
+        "price_cents",
+        "qty",
+        "n_items",
+        F.max("qty").over(w_lt).alias("m_lt"),
+        F.max("qty").over(w_eq).alias("m_eq"),
+    )
+    keep = (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("qty"))) & (
+        F.col("m_eq") <= F.col("qty")
+    )
+    return (
+        flagged.filter(keep)
+        .select("l_returnflag", "price_cents", "qty", "n_items")
+        .orderBy("l_returnflag", "price_cents")
+    )
+
+
+_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT l_returnflag,
+    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+    CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+    CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY 1, 2, 3
+),
+flagged AS (
+  SELECT l_returnflag, price_cents, qty, n_items,
+    MAX(qty) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lt,
+    MAX(qty) OVER (PARTITION BY l_returnflag, price_cents) AS m_eq
+  FROM pts
+)
+SELECT l_returnflag, price_cents, qty, n_items
+FROM flagged
+WHERE (m_lt IS NULL OR m_lt < qty) AND m_eq <= qty
+ORDER BY l_returnflag, price_cents
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("q_bfs_hops", q_bfs_hops, _bfs_sql()),
+        QuerySpec("q_rfm_segments", q_rfm_segments, _RFM_SQL),
+        QuerySpec("q_attribution", q_attribution, _ATTRIBUTION_SQL),
+        QuerySpec("q_skyline", q_skyline, _SKYLINE_SQL),
+    ]

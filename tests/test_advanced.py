@@ -1,0 +1,205 @@
+"""Round-9 continuation tier (b): BFS shortest paths, RFM
+segmentation, touch attribution, and the 2-D skyline — semantics
+pinned against independent pure-Python replays plus partitioning
+invariance for the iterative operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.operators.graph import bfs_distances
+
+
+def _py_bfs(edges, sources, directed=True):
+    adj = {}
+    es = {(a, b) for a, b in edges if a != b}
+    if not directed:
+        es |= {(b, a) for a, b in es}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    while frontier:
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+def _spark_bfs(spark, edges, sources, parts=None, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    if parts:
+        e = e.repartition(parts)
+    s = spark.createDataFrame([(x,) for x in sources], "node long")
+    return {r.node: r.dist for r in bfs_distances(e, s, **kw).collect()}
+
+
+def test_bfs_path_graph_exact_hops(spark):
+    edges = [(i, i + 1) for i in range(6)]
+    assert _spark_bfs(spark, edges, [0]) == {i: i for i in range(7)}
+
+
+def test_bfs_unreached_nodes_absent(spark):
+    # 0->1->2 ; 10->11 disconnected from the seed
+    edges = [(0, 1), (1, 2), (10, 11)]
+    got = _spark_bfs(spark, edges, [0])
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_multi_source_takes_min(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (9, 4), (9, 8), (8, 3)]
+    got = _spark_bfs(spark, edges, [0, 9])
+    assert got == _py_bfs(edges, [0, 9])
+    assert got[4] == 1  # via seed 9, not 4 hops via seed 0
+
+
+def test_bfs_directed_vs_undirected(spark):
+    edges = [(1, 0), (2, 1)]  # only inbound paths to 0
+    assert _spark_bfs(spark, edges, [0]) == {0: 0}
+    assert _spark_bfs(spark, edges, [0], directed=False) == {
+        0: 0,
+        1: 1,
+        2: 2,
+    }
+
+
+def test_bfs_extra_iterations_are_fixed_point(spark):
+    edges = [(i, (i * 3 + 1) % 17) for i in range(17)] + [
+        (i, (i + 5) % 17) for i in range(17)
+    ]
+    a = _spark_bfs(spark, edges, [0], iterations=8)
+    b = _spark_bfs(spark, edges, [0], iterations=12)
+    assert a == b == _py_bfs(edges, [0])
+
+
+def test_bfs_partitioning_invariant(spark):
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40)] + [
+        (i, (i + 11) % 40) for i in range(40)
+    ]
+    assert _spark_bfs(spark, edges, [0, 13], parts=1) == _spark_bfs(
+        spark, edges, [0, 13], parts=16
+    )
+
+
+def test_bfs_duplicate_edges_and_self_loops_ignored(spark):
+    edges = [(0, 0), (0, 1), (0, 1), (1, 1), (1, 2)]
+    assert _spark_bfs(spark, edges, [0]) == {0: 0, 1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------- #
+# skyline semantics                                                 #
+# ---------------------------------------------------------------- #
+
+
+def _py_skyline(points):
+    """Brute-force O(n²) Pareto frontier: minimize price, maximize
+    qty; weak dominance with one strict coordinate."""
+    out = []
+    for p, q in points:
+        dominated = any(
+            (p2 <= p and q2 >= q and (p2 < p or q2 > q))
+            for p2, q2 in points
+        )
+        if not dominated:
+            out.append((p, q))
+    return sorted(set(out))
+
+
+def _spark_skyline(spark, points):
+    df = spark.createDataFrame(
+        [("A", p, q) for p, q in points], "g string, price long, qty long"
+    )
+    from pyspark.sql import Window
+
+    pts = df.groupBy("g", "price", "qty").count()
+    w_lt = (
+        Window.partitionBy("g")
+        .orderBy("price")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("g", "price")
+    flagged = pts.select(
+        "price",
+        "qty",
+        F.max("qty").over(w_lt).alias("m_lt"),
+        F.max("qty").over(w_eq).alias("m_eq"),
+    )
+    keep = (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("qty"))) & (
+        F.col("m_eq") <= F.col("qty")
+    )
+    return sorted(
+        (r.price, r.qty) for r in flagged.filter(keep).collect()
+    )
+
+
+@pytest.mark.parametrize(
+    "points",
+    [
+        [(1, 1), (2, 2), (3, 3)],  # all on frontier (price up, qty up)
+        [(3, 1), (2, 2), (1, 3)],  # only (1,3) survives? no — all do
+        [(1, 5), (2, 5), (1, 4)],  # ties on both axes
+        [(1, 1), (1, 1), (2, 1)],  # duplicates dominate nothing
+        [(5, 1), (4, 2), (3, 3), (2, 2), (1, 1), (3, 4), (2, 4)],
+    ],
+)
+def test_skyline_window_sweep_matches_bruteforce(spark, points):
+    assert _spark_skyline(spark, points) == _py_skyline(points)
+
+
+def test_skyline_hypothesis_style_grid(spark):
+    import itertools
+
+    pts = [
+        (1 + (i * 7 + j * 3) % 9, 1 + (i * 5 + j * 11) % 8)
+        for i, j in itertools.product(range(6), range(5))
+    ]
+    assert _spark_skyline(spark, pts) == _py_skyline(pts)
+
+
+# ---------------------------------------------------------------- #
+# attribution semantics                                             #
+# ---------------------------------------------------------------- #
+
+
+def test_attribution_first_and_last_touch(spark):
+    rows = [
+        # user 1: view, click, purchase -> ft=view, lt=click
+        (1, 1, 10, "view", 0.0),
+        (1, 2, 20, "click", 0.0),
+        (1, 3, 30, "purchase", 5.0),
+        # user 1 second purchase right after -> ft=view, lt=click
+        (1, 4, 40, "purchase", 7.0),
+        # user 2: bare purchase -> none/none
+        (2, 5, 10, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, t, ty, v) for u, e, t, ty, v in rows],
+        "user_id long, event_id long, ts long, event_type string, value double",
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    out = (
+        df.select(
+            "event_type",
+            F.first(touch, ignorenulls=True).over(w).alias("ft"),
+            F.last(touch, ignorenulls=True).over(w).alias("lt"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce("ft", F.lit("none")).alias("ft"),
+            F.coalesce("lt", F.lit("none")).alias("lt"),
+        )
+    )
+    got = sorted((r.ft, r.lt) for r in out.collect())
+    assert got == [("none", "none"), ("view", "click"), ("view", "click")]

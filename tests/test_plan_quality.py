@@ -638,3 +638,41 @@ def test_setjoin_has_no_global_sort_before_limit(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan, plan[:1500]
+
+
+def test_advanced_tier_no_python_and_no_cartesian(spark, sf_dir):
+    """Round-9b tier (BFS / RFM / attribution / skyline) is pure
+    codegen: no Python stages, no cartesian products (the RFM
+    max-date join is an explicit broadcast; BFS joins are keyed on
+    src/node)."""
+    from deltalake_datafusion_spark.queries.advanced import (
+        q_attribution,
+        q_bfs_hops,
+        q_rfm_segments,
+        q_skyline,
+    )
+
+    for q in (q_bfs_hops, q_rfm_segments, q_attribution, q_skyline):
+        plan = (
+            q(spark, sf_dir)._jdf.queryExecution().executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan, plan[:1200]
+        assert "CartesianProduct" not in plan, plan[:1200]
+
+
+def test_skyline_and_attribution_single_window_shuffle(spark, sf_dir):
+    """The skyline sweep and the attribution windows must not add a
+    single-partition global sort: every Exchange is hash-partitioned
+    on the window keys (l_returnflag / user_id)."""
+    from deltalake_datafusion_spark.queries.advanced import (
+        q_attribution,
+        q_skyline,
+    )
+
+    for q in (q_skyline, q_attribution):
+        df = q(spark, sf_dir)
+        df.collect()  # finalize adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        body = plan.split("TakeOrdered")[0]
+        assert "SinglePartition" not in body, body[:1500]
