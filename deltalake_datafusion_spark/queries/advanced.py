@@ -301,4 +301,72 @@ def specs() -> list[QuerySpec]:
         QuerySpec("q_rfm_segments", q_rfm_segments, _RFM_SQL),
         QuerySpec("q_attribution", q_attribution, _ATTRIBUTION_SQL),
         QuerySpec("q_skyline", q_skyline, _SKYLINE_SQL),
+        QuerySpec(
+            "delta_generate_manifest",
+            delta_generate_manifest,
+            _GEN_MANIFEST_SQL,
+        ),
     ]
+
+
+# ---------------------------------------------------------------- #
+# delta_generate_manifest                                           #
+# ---------------------------------------------------------------- #
+
+
+def delta_generate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATE symlink_format_manifest end to end
+    (``delta/manifest.py``): nation → Delta partitioned by
+    n_regionkey → GENERATE (via the SQL dialect) → whole-partition
+    DELETE (region 0's files drop from the log — no DVs) →
+    re-GENERATE (stale partition manifest removed) → read the table
+    back THROUGH the manifest tree (spark.read.text of the symlink
+    files → parquet scan of exactly those files) → aggregate. The
+    oracle replays the post-delete aggregate on the source rows, so
+    a manifest pointing at any dropped/stale file hash-mismatches."""
+    from deltalake_datafusion_spark.delta.manifest import (
+        read_manifest_paths,
+    )
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+    from deltalake_datafusion_spark.sql.dispatcher import sql as lsql
+
+    t = load_tables(spark, sf_dir, "nation")["nation"]
+    path = _fresh_dir("genmanifest", sf_dir)
+    write_delta(spark, t, path, partition_by=["n_regionkey"])
+    lsql(spark, f"GENERATE symlink_format_manifest FOR TABLE delta.`{path}`")
+    delete_delta(spark, path, "n_regionkey = 0")
+    summary = lsql(
+        spark, f"GENERATE symlink_format_manifest FOR TABLE delta.`{path}`"
+    )
+    files = [
+        r.path.removeprefix("file://")
+        for r in read_manifest_paths(spark, path).collect()
+    ]
+    # Hive-partitioned data files don't materialize the partition
+    # column; a symlink-manifest consumer recovers it from the
+    # directory path — replicate that contract here.
+    back = spark.read.parquet(*files).withColumn(
+        "n_regionkey",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), "n_regionkey=([^/]+)", 1
+        ).cast("long"),
+    )
+    return back.crossJoin(F.broadcast(summary)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_nationkey").cast("long").alias("sum_key"),
+        F.countDistinct("n_regionkey").cast("long").alias("n_regions"),
+        F.max("manifests_written").alias("manifests_written"),
+        F.max("manifests_deleted").alias("manifests_deleted"),
+    )
+
+
+_GEN_MANIFEST_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+  CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n_regions,
+  CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS manifests_written,
+  CAST(1 AS BIGINT) AS manifests_deleted
+FROM nation WHERE n_regionkey <> 0
+"""

@@ -95,6 +95,11 @@ _VACUUM_RE = re.compile(
     r"(?P<dry>\s+DRY\s+RUN)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_GENERATE_RE = re.compile(
+    r"^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+"
+    r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _BLOOM_CREATE_RE = re.compile(
     r"^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?"
     r"(?P<target>'[^']+'|delta\.`[^`]+`|[\w./-]+)"
@@ -429,6 +434,28 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             full=bool(m.group("full")),
             lite=bool(m.group("lite")),
             inventory=inventory,
+        )
+
+    m = _GENERATE_RE.match(statement)
+    if m:
+        # GENERATE symlink_format_manifest FOR TABLE t — delta-spark's
+        # DeltaGenerateCommand (delta/manifest.py)
+        from deltalake_datafusion_spark.delta.manifest import (
+            generate_symlink_manifest,
+        )
+
+        summary = generate_symlink_manifest(
+            spark, _unquote_target(m.group("target"), registry)
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    summary["manifests_written"],
+                    summary["files_listed"],
+                    summary["manifests_deleted"],
+                )
+            ],
+            "manifests_written long, files_listed long, manifests_deleted long",
         )
 
     m = _BLOOM_CREATE_RE.match(statement)

@@ -1,0 +1,138 @@
+"""GENERATE symlink_format_manifest (delta/manifest.py): manifest
+tree shape, full-regeneration stale cleanup, DV / column-mapping
+rejection, Hive path escaping, and the SQL statement."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from deltalake_datafusion_spark.delta.manifest import (
+    MANIFEST_DIR,
+    _escape_hive,
+    generate_symlink_manifest,
+    read_manifest_paths,
+)
+from deltalake_datafusion_spark.delta.ops import delete_delta
+from deltalake_datafusion_spark.delta.writer import write_delta
+
+
+def _read(path):
+    with open(path) as fh:
+        return [ln for ln in fh.read().splitlines() if ln]
+
+
+def test_unpartitioned_manifest_lists_all_active_files(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.range(100).withColumnRenamed("id", "v")
+    write_delta(spark, df.repartition(3), p)
+    s = generate_symlink_manifest(spark, p)
+    assert s == {
+        "manifests_written": 1,
+        "files_listed": 3,
+        "manifests_deleted": 0,
+    }
+    lines = _read(os.path.join(p, MANIFEST_DIR, "manifest"))
+    assert len(lines) == 3
+    assert all(ln.startswith("file://") for ln in lines)
+    assert lines == sorted(lines)
+    # every listed file exists and is a live parquet file
+    for ln in lines:
+        assert os.path.exists(ln.removeprefix("file://"))
+
+
+def test_partitioned_manifest_tree_and_stale_cleanup(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "v long, part long"
+    )
+    write_delta(spark, df, p, partition_by=["part"])
+    s = generate_symlink_manifest(spark, p)
+    assert s["manifests_written"] == 3
+    for part in (0, 1, 2):
+        mp = os.path.join(p, MANIFEST_DIR, f"part={part}", "manifest")
+        assert os.path.exists(mp)
+        for ln in _read(mp):
+            assert f"part={part}" in ln
+    # whole-partition delete drops files; regeneration removes the
+    # stale partition manifest (delta-spark full-regen semantics)
+    delete_delta(spark, p, "part = 1")
+    s2 = generate_symlink_manifest(spark, p)
+    assert s2["manifests_written"] == 2
+    assert s2["manifests_deleted"] == 1
+    assert not os.path.exists(
+        os.path.join(p, MANIFEST_DIR, "part=1", "manifest")
+    )
+
+
+def test_manifest_read_back_matches_table(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], "v long, part long"
+    )
+    write_delta(spark, df, p, partition_by=["part"])
+    delete_delta(spark, p, "part = 0")
+    generate_symlink_manifest(spark, p)
+    files = [
+        r.path.removeprefix("file://")
+        for r in read_manifest_paths(spark, p).collect()
+    ]
+    back = spark.read.parquet(*files)
+    assert sorted(r.v for r in back.collect()) == list(range(1, 20, 2))
+
+
+def test_dv_table_rejected(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.range(50).withColumnRenamed("id", "v")
+    write_delta(
+        spark,
+        df.coalesce(1),
+        p,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delete_delta(spark, p, "v = 7")  # soft delete -> DV on the file
+    with pytest.raises(ValueError, match="deletion vectors"):
+        generate_symlink_manifest(spark, p)
+
+
+def test_column_mapping_table_rejected(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.range(5).withColumnRenamed("id", "v")
+    write_delta(
+        spark,
+        df,
+        p,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    with pytest.raises(ValueError, match="column-mapping"):
+        generate_symlink_manifest(spark, p)
+
+
+def test_hive_escaping_and_null_partition(spark, tmp_path):
+    assert _escape_hive("a/b:c=d") == "a%2Fb%3Ac%3Dd"
+    assert _escape_hive("plain-1.2_3") == "plain-1.2_3"
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "x/y"), (2, None)], "v long, part string"
+    )
+    write_delta(spark, df, p, partition_by=["part"])
+    generate_symlink_manifest(spark, p)
+    root = os.path.join(p, MANIFEST_DIR)
+    assert os.path.exists(os.path.join(root, "part=x%2Fy", "manifest"))
+    assert os.path.exists(
+        os.path.join(root, "part=__HIVE_DEFAULT_PARTITION__", "manifest")
+    )
+
+
+def test_generate_sql_statement(spark, tmp_path):
+    from deltalake_datafusion_spark.sql.dispatcher import sql as lsql
+
+    p = str(tmp_path / "t")
+    write_delta(spark, spark.range(10).repartition(2), p)
+    out = lsql(
+        spark, f"GENERATE symlink_format_manifest FOR TABLE delta.`{p}`"
+    ).collect()[0]
+    assert out.manifests_written == 1
+    assert out.files_listed == 2
+    assert os.path.exists(os.path.join(p, MANIFEST_DIR, "manifest"))
