@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HLL_W = 52  # usable hash bits above the index at b=8 (60 - 8)
@@ -358,4 +358,88 @@ def hdr_quantiles(
             F.col("cum").cast("long").alias("n_le"),
         )
         .orderBy("p")
+    )
+
+
+# ------------------------------------------------------------------ #
+# KMV (k-minimum-values) distinct sketch                              #
+# ------------------------------------------------------------------ #
+
+KMV_K = 64
+# estimate arithmetic: ((k-1) << KMV_EST_SHIFT) div (kth >> KMV_DROP)
+# — pure int64 (63·2^40 < 2^46; kth>>20 < 2^40), exact in any engine.
+KMV_EST_SHIFT = 40
+KMV_DROP = 20
+
+
+def kmv_sketch(
+    df: DataFrame, key: str, group_cols=(), k: int = KMV_K
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002;
+    Beyer et al. 2007): per group, the ``k`` smallest DISTINCT
+    60-bit portable md5 hashes of ``key`` — the second mergeable
+    distinct-count sketch beside :func:`hll_sketch`, and the one
+    that also supports SET algebra by hash membership (union = merge
+    + re-truncate; intersection via the Beyer et al. matching-hash
+    estimator, see :func:`kmv_set_ops` users).
+
+    Everything is integer: the sketch IS k (group, h) rows, so it
+    persists as a table and merges with plain relational ops.
+    Scale shape: one distinct (partial-aggregated) + one per-group
+    top-k window — the shuffle carries distinct hashes, the state k
+    rows per group."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    g = list(group_cols)
+    hashes = (
+        df.filter(F.col(key).isNotNull())
+        .select(*[F.col(c) for c in g], h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*g).orderBy("h") if g else Window.orderBy("h")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_cols=(), k: int = KMV_K) -> DataFrame:
+    """Union of two KMV sketches: merge hash rows, dedup, keep the k
+    smallest per group — the lossless union property (the union
+    sketch equals the sketch of the unioned data)."""
+    g = list(group_cols)
+    hashes = a.unionByName(b).distinct()
+    w = Window.partitionBy(*g).orderBy("h") if g else Window.orderBy("h")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols=(), k: int = KMV_K
+) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch, all-integer:
+    fewer than k hashes seen → the sketch is the exact distinct set
+    (estimate = its size); otherwise ``(k-1)·2^40 div (h_k >> 20)``
+    with ``h_k`` the k-th minimum over the 60-bit hash space — the
+    classic (k-1)/h_k estimator carried in int64 (documented 2^-20
+    precision drop on h_k is ~1e-6 relative; the estimator's own
+    stddev at k=64 is ~12%)."""
+    g = list(group_cols)
+    agg = sketch.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+        F.max("h").alias("kth"),
+    )
+    est = F.when(F.col("n_seen") < k, F.col("n_seen")).otherwise(
+        F.expr(
+            f"CAST({(k - 1)} AS BIGINT) * {1 << KMV_EST_SHIFT} div "
+            f"greatest(shiftright(kth, {KMV_DROP}), 1L)"
+        )
+    )
+    return agg.select(
+        *g, "n_seen", "kth", est.cast("long").alias("n_distinct_est")
     )

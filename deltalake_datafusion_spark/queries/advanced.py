@@ -306,6 +306,7 @@ def specs() -> list[QuerySpec]:
             delta_generate_manifest,
             _GEN_MANIFEST_SQL,
         ),
+        QuerySpec("q_kmv_distinct", q_kmv_distinct, _KMV_SQL),
     ]
 
 
@@ -369,4 +370,139 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
   CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS manifests_written,
   CAST(1 AS BIGINT) AS manifests_deleted
 FROM nation WHERE n_regionkey <> 0
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_kmv_distinct                                                    #
+# ---------------------------------------------------------------- #
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketches with SET ALGEBRA
+    (``operators/sketches.py``): per-audience distinct-user
+    estimates for click and purchase, a lossless-union merge, and
+    the Beyer et al. matching-hash intersection estimator — all
+    integer arithmetic over the portable 60-bit md5 hash, so every
+    number (including the approximations) hash-checks against the
+    DuckDB replay. Exact intersection sits beside the estimate.
+    Sketch build: one distinct + one per-group top-k window; the
+    merged state is ≤ k rows per group."""
+    from deltalake_datafusion_spark.operators.sketches import (
+        KMV_K,
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    e = load_tables(spark, sf_dir, "events")["events"]
+    clicks = e.filter(F.col("event_type") == "click")
+    purch = e.filter(F.col("event_type") == "purchase")
+    sa = kmv_sketch(clicks, "user_id").localCheckpoint(eager=True)
+    sb = kmv_sketch(purch, "user_id").localCheckpoint(eager=True)
+    su = kmv_merge(sa, sb)
+    ea = kmv_estimate(sa).select(
+        F.lit("click").alias("grp"), "n_seen", "n_distinct_est"
+    )
+    eb = kmv_estimate(sb).select(
+        F.lit("purchase").alias("grp"), "n_seen", "n_distinct_est"
+    )
+    eu = kmv_estimate(su).select(
+        F.lit("union").alias("grp"), "n_seen", "n_distinct_est"
+    )
+    # intersection: union-sketch hashes present in BOTH input sketches
+    matches = (
+        su.join(sa, "h", "left_semi")
+        .join(sb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    inter = (
+        eu.withColumnRenamed("n_distinct_est", "est_u")
+        .crossJoin(F.broadcast(matches))
+        .select(
+            F.lit("intersect_est").alias("grp"),
+            F.col("m").alias("n_seen"),
+            F.expr(f"m * est_u div {KMV_K}").alias("n_distinct_est"),
+        )
+    )
+    exact = (
+        clicks.select("user_id")
+        .intersect(purch.select("user_id"))
+        .agg(
+            F.lit("intersect_exact").alias("grp"),
+            F.count(F.lit(1)).cast("long").alias("n_seen"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_est"),
+        )
+    )
+    return (
+        ea.unionByName(eb)
+        .unionByName(eu)
+        .unionByName(inter)
+        .unionByName(exact)
+        .orderBy("grp")
+    )
+
+
+_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT 'a' AS grp,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+  UNION
+  SELECT DISTINCT 'b',
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT)
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h,
+      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= 64
+),
+su AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM sk)
+  ) WHERE rn <= 64
+),
+est AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_seen,
+    CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+      ELSE (63 * (1::BIGINT << 40))
+           // GREATEST(MAX(h) >> 20, 1) END AS BIGINT) AS e
+  FROM sk GROUP BY grp
+),
+estu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+    CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+      ELSE (63 * (1::BIGINT << 40))
+           // GREATEST(MAX(h) >> 20, 1) END AS BIGINT) AS e
+  FROM su
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM su
+  WHERE h IN (SELECT h FROM sk WHERE grp = 'a')
+    AND h IN (SELECT h FROM sk WHERE grp = 'b')
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  )
+)
+SELECT 'click' AS grp, n_seen, e AS n_distinct_est FROM est WHERE grp = 'a'
+UNION ALL
+SELECT 'purchase', n_seen, e FROM est WHERE grp = 'b'
+UNION ALL
+SELECT 'union', n_seen, e FROM estu
+UNION ALL
+SELECT 'intersect_est', m.m, CAST(m.m * estu.e // 64 AS BIGINT)
+FROM m, estu
+UNION ALL
+SELECT 'intersect_exact', n, n FROM exact
+ORDER BY grp
 """

@@ -138,3 +138,77 @@ def test_cms_weighted_counts(spark):
         for r in cms_sketch(weighted, "k", weight_col="w").collect()
     }
     assert s1 == s2
+
+
+# ------------------------------------------------------------------ #
+# KMV                                                                 #
+# ------------------------------------------------------------------ #
+
+
+def test_kmv_below_k_is_exact(spark):
+    from deltalake_datafusion_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], "v long")
+    sk = kmv_sketch(df, "v", k=64)
+    est = kmv_estimate(sk, k=64).collect()[0]
+    assert est.n_seen == 10
+    assert est.n_distinct_est == 10  # below k -> exact
+
+
+def test_kmv_estimate_within_band(spark):
+    from deltalake_datafusion_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "v long")
+    est = kmv_estimate(kmv_sketch(df, "v", k=64), k=64).collect()[0]
+    assert est.n_seen == 64
+    # stddev ~ n/sqrt(k-2) ~ 12.7%; allow 4 sigma
+    assert abs(est.n_distinct_est - n) < n * 0.5
+
+
+def test_kmv_merge_is_lossless_union(spark):
+    from deltalake_datafusion_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(0, 300)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(150, 450)], "v long")
+    u = a.unionByName(b)
+    merged = kmv_merge(
+        kmv_sketch(a, "v", k=32), kmv_sketch(b, "v", k=32), k=32
+    )
+    direct = kmv_sketch(u, "v", k=32)
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in direct.collect()
+    )
+
+
+def test_kmv_partitioning_invariant_and_grouped(spark):
+    from deltalake_datafusion_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    rows = [(f"g{i % 3}", i) for i in range(900)]
+    df1 = spark.createDataFrame(rows, "g string, v long").repartition(1)
+    df16 = spark.createDataFrame(rows, "g string, v long").repartition(16)
+    e1 = {
+        (r.g, r.n_distinct_est)
+        for r in kmv_estimate(
+            kmv_sketch(df1, "v", ["g"], k=64), ["g"], k=64
+        ).collect()
+    }
+    e16 = {
+        (r.g, r.n_distinct_est)
+        for r in kmv_estimate(
+            kmv_sketch(df16, "v", ["g"], k=64), ["g"], k=64
+        ).collect()
+    }
+    assert e1 == e16 and len(e1) == 3
