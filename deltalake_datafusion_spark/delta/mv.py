@@ -1,0 +1,159 @@
+"""Incrementally-maintained aggregate materialized views driven by
+the Change Data Feed.
+
+The lakehouse pattern the reference's CDF surface exists to serve
+(reference CDF read path: `crates/datafusion` table-changes scan;
+SURVEY.md §2.1 S1/S7): keep a groupBy aggregate table in sync with a
+large base table WITHOUT recomputing it — read the base's row-level
+changes since the last applied version, reduce them to per-group
+SIGNED deltas, and MERGE the deltas into the view. For
+count/sum-style (abelian-group) aggregates this is exact:
+
+- ``insert`` / ``update_postimage`` rows contribute ``+1`` count and
+  ``+value`` sums;
+- ``delete`` / ``update_preimage`` rows contribute ``-1`` / ``-value``;
+- a group whose maintained count reaches 0 is DELETED from the view
+  (it no longer exists in the base aggregate).
+
+The applied-version watermark is persisted ON the view itself as a
+table property (``lakehouse.mv.baseVersion``), so refresh is
+idempotent-at-least-once: re-running a refresh after a crash re-reads
+from the recorded watermark (each refresh is one atomic Delta commit
+on the view — property update and data merge commit together is NOT
+required for exactness because reapplying an already-applied version
+range is prevented by reading the watermark from the view's own
+committed metadata).
+
+Scale shape: the refresh touches only the CDF of the new commits
+(O(changed rows)) and the matched groups of the view (MERGE prunes by
+file stats on the group key). Nothing rescans the base table; the
+map-side combine reduces change rows to one delta row per group
+before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MV_BASE_VERSION_KEY = "lakehouse.mv.baseVersion"
+MV_COUNT_COL = "mv_count"
+
+
+def _sum_col(c: str) -> str:
+    return f"mv_sum_{c}"
+
+
+def build_aggregate_mv(
+    spark,
+    base_path: str,
+    mv_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> dict:
+    """Full build of the aggregate view (count + sums per group) at
+    the base table's current version; records the watermark."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    base_ver = load_snapshot(base_path, spark=spark).version
+    df = read_delta(spark, base_path)
+    aggs = [F.count(F.lit(1)).cast("long").alias(MV_COUNT_COL)] + [
+        F.sum(c).alias(_sum_col(c)) for c in sum_cols
+    ]
+    mv = df.groupBy(*group_cols).agg(*aggs)
+    write_delta(
+        spark,
+        mv,
+        mv_path,
+        configuration={MV_BASE_VERSION_KEY: str(base_ver)},
+    )
+    return {"base_version": base_ver, "mode": "full"}
+
+
+def refresh_aggregate_mv(
+    spark,
+    base_path: str,
+    mv_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> dict:
+    """Incremental refresh: apply the base's CDF since the view's
+    recorded watermark as signed per-group deltas via one MERGE.
+    No-op (and no commit) when the base has no new versions."""
+    from deltalake_datafusion_spark.delta.cdf import table_changes
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+    from deltalake_datafusion_spark.delta.properties import (
+        set_tblproperties,
+    )
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    mv_snap = load_snapshot(mv_path, spark=spark)
+    raw = (mv_snap.metadata.configuration or {}).get(MV_BASE_VERSION_KEY)
+    if raw is None:
+        raise ValueError(
+            f"{mv_path} has no {MV_BASE_VERSION_KEY} property — not a "
+            "maintained aggregate view (build_aggregate_mv first)"
+        )
+    applied = int(raw)
+    base_ver = load_snapshot(base_path, spark=spark).version
+    if base_ver <= applied:
+        return {"base_version": applied, "mode": "noop", "groups_touched": 0}
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    ch = table_changes(spark, base_path, applied + 1, base_ver)
+    deltas = (
+        ch.withColumn("__sign", sign)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__sign").cast("long").alias("d_count"),
+            *[
+                F.sum(F.col(c) * F.col("__sign")).alias(f"d_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    changed = F.col("d_count") != 0
+    for c in sum_cols:
+        changed = changed | (F.col(f"d_{c}") != 0)
+    deltas = deltas.filter(changed)
+    on = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in group_cols)
+    update = {
+        MV_COUNT_COL: f"t.{MV_COUNT_COL} + s.d_count",
+        **{
+            _sum_col(c): f"coalesce(t.{_sum_col(c)}, 0) + coalesce(s.d_{c}, 0)"
+            for c in sum_cols
+        },
+    }
+    insert_vals = {
+        **{c: f"s.`{c}`" for c in group_cols},
+        MV_COUNT_COL: "s.d_count",
+        **{_sum_col(c): f"s.d_{c}" for c in sum_cols},
+    }
+    deltas = deltas.localCheckpoint(eager=True)  # one CDF read, reused
+    n_groups = deltas.count()
+    merge_delta(
+        spark,
+        mv_path,
+        deltas,
+        on=on,
+        when_matched=[
+            {
+                "condition": f"t.{MV_COUNT_COL} + s.d_count <= 0",
+                "delete": True,
+            },
+            {"update": update},
+        ],
+        when_not_matched=[
+            {"condition": "s.d_count > 0", "values": insert_vals}
+        ],
+    )
+    set_tblproperties(spark, mv_path, {MV_BASE_VERSION_KEY: str(base_ver)})
+    return {
+        "base_version": base_ver,
+        "mode": "incremental",
+        "groups_touched": n_groups,
+    }

@@ -307,6 +307,7 @@ def specs() -> list[QuerySpec]:
             _GEN_MANIFEST_SQL,
         ),
         QuerySpec("q_kmv_distinct", q_kmv_distinct, _KMV_SQL),
+        QuerySpec("delta_mv_incremental", delta_mv_incremental, _MV_SQL),
     ]
 
 
@@ -505,4 +506,84 @@ FROM m, estu
 UNION ALL
 SELECT 'intersect_exact', n, n FROM exact
 ORDER BY grp
+"""
+
+
+# ---------------------------------------------------------------- #
+# delta_mv_incremental                                              #
+# ---------------------------------------------------------------- #
+
+
+def delta_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate materialized view
+    (``delta/mv.py``): orders → CDF-enabled Delta base → full MV
+    build (count + cents per priority) → append + in-place update +
+    delete on the base → ONE incremental refresh that reads only the
+    new commits' change feed, reduces it to signed per-group deltas,
+    and MERGEs them into the view (groups reaching count 0 are
+    deleted). The returned view must equal the full recompute of the
+    final base state — which is exactly what the oracle computes
+    from the source rows, so any drift in the delta arithmetic or
+    the watermark hash-mismatches."""
+    from deltalake_datafusion_spark.delta.mv import (
+        build_aggregate_mv,
+        refresh_aggregate_mv,
+    )
+    from deltalake_datafusion_spark.delta.ops import (
+        delete_delta,
+        update_delta,
+    )
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    base = _fresh_dir("mvbase", sf_dir)
+    mv = _fresh_dir("mvview", sf_dir)
+    cdf = {"delta.enableChangeDataFeed": "true"}
+    rows = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    write_delta(spark, rows, base, configuration=cdf)
+    build_aggregate_mv(spark, base, mv, ["g"], ["cents"])
+    extra = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("id"),
+        F.lit("Z-NEW").alias("g"),
+        (F.col("o_orderkey") % 997).cast("long").alias("cents"),
+    )
+    write_delta(spark, extra, base, mode="append", configuration=cdf)
+    update_delta(spark, base, set_exprs={"cents": "cents * 2"},
+                 predicate="id % 13 = 0")
+    delete_delta(spark, base, "id % 17 = 5")
+    refresh_aggregate_mv(spark, base, mv, ["g"], ["cents"])
+    return (
+        read_delta(spark, mv)
+        .select("g", "mv_count", F.col("mv_sum_cents").cast("long")
+                .alias("mv_sum_cents"))
+        .orderBy("g")
+    )
+
+
+_MV_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS id, o_orderpriority AS g,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'Z-NEW',
+    CAST(o_orderkey % 997 AS BIGINT)
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+after_update AS (
+  SELECT id, g,
+    CASE WHEN id % 13 = 0 THEN cents * 2 ELSE cents END AS cents
+  FROM base
+),
+final AS (SELECT * FROM after_update WHERE NOT (id % 17 = 5))
+SELECT g, CAST(COUNT(*) AS BIGINT) AS mv_count,
+  CAST(SUM(cents) AS BIGINT) AS mv_sum_cents
+FROM final GROUP BY g ORDER BY g
 """

@@ -1,0 +1,155 @@
+"""Incremental aggregate materialized views (delta/mv.py): every
+refresh must leave the view EXACTLY equal to the full recompute of
+the base at its current version — inserts, updates (including
+group-moving updates), deletes, group disappearance, and idempotent
+no-op refreshes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.mv import (
+    MV_BASE_VERSION_KEY,
+    build_aggregate_mv,
+    refresh_aggregate_mv,
+)
+from deltalake_datafusion_spark.delta.ops import (
+    delete_delta,
+    update_delta,
+)
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.writer import write_delta
+
+CDF = {"delta.enableChangeDataFeed": "true"}
+
+
+def _base(spark, path, n=40):
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+    write_delta(spark, df, path, configuration=CDF)
+    return df
+
+
+def _mv_state(spark, mv_path):
+    return {
+        (r.g): (r.mv_count, r.mv_sum_v)
+        for r in read_delta(spark, mv_path).collect()
+    }
+
+
+def _expected(spark, base_path):
+    return {
+        (r.g): (r.c, r.s)
+        for r in read_delta(spark, base_path)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("v").alias("s"),
+        )
+        .collect()
+    }
+
+
+def test_full_build_matches_group_agg(spark, tmp_path):
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    res = build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    assert res["mode"] == "full"
+    assert _mv_state(spark, m) == _expected(spark, b)
+
+
+def test_incremental_insert_update_delete(spark, tmp_path):
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    # append rows into existing and brand-new groups
+    extra = spark.createDataFrame(
+        [(100, 0, 7), (101, 9, 11), (102, 9, 13)], "id long, g long, v long"
+    )
+    write_delta(spark, extra, b, mode="append", configuration=CDF)
+    # update some values in place
+    update_delta(spark, b, set_exprs={"v": "v + 1"}, predicate="id < 4")
+    # delete a few rows
+    delete_delta(spark, b, "id >= 36 AND id < 40")
+    res = refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    assert res["mode"] == "incremental"
+    assert _mv_state(spark, m) == _expected(spark, b)
+
+
+def test_group_disappears_when_count_reaches_zero(spark, tmp_path):
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    delete_delta(spark, b, "g = 2")
+    refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    state = _mv_state(spark, m)
+    assert 2 not in state
+    assert state == _expected(spark, b)
+
+
+def test_group_moving_update(spark, tmp_path):
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    # move all of group 1 into group 0 (key-changing update)
+    update_delta(spark, b, set_exprs={"g": "0"}, predicate="g = 1")
+    refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    state = _mv_state(spark, m)
+    assert 1 not in state
+    assert state == _expected(spark, b)
+
+
+def test_noop_refresh_and_watermark(spark, tmp_path):
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    res = refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    assert res["mode"] == "noop"
+    # refresh after change bumps the recorded watermark
+    delete_delta(spark, b, "id = 0")
+    res2 = refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    assert res2["mode"] == "incremental"
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    conf = load_snapshot(m, spark=spark).metadata.configuration
+    assert conf[MV_BASE_VERSION_KEY] == str(res2["base_version"])
+    # and a second refresh is a no-op again (idempotence)
+    assert refresh_aggregate_mv(spark, b, m, ["g"], ["v"])["mode"] == "noop"
+
+
+def test_multi_round_equivalence(spark, tmp_path):
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b, n=60)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    for step in range(3):
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(1000 + step * 10 + i, (i + step) % 6, i * 3 + step)
+                 for i in range(8)],
+                "id long, g long, v long",
+            ),
+            b,
+            mode="append",
+            configuration=CDF,
+        )
+        update_delta(
+            spark, b,
+            set_exprs={"v": "v * 2"},
+            predicate=f"id % 7 = {step}",
+        )
+        delete_delta(spark, b, f"id % 11 = {step}")
+        refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+        assert _mv_state(spark, m) == _expected(spark, b), f"step {step}"
+
+
+def test_refresh_requires_mv_property(spark, tmp_path):
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    write_delta(spark, spark.range(3), m)  # plain table, not an MV
+    with pytest.raises(ValueError, match="not a"):
+        refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
