@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MV_BASE_VERSION_KEY = "lakehouse.mv.baseVersion"
+MV_LAST_BATCH_KEY = "lakehouse.mv.lastBatchId"
 MV_COUNT_COL = "mv_count"
 
 
@@ -101,12 +102,35 @@ def refresh_aggregate_mv(
     if base_ver <= applied:
         return {"base_version": applied, "mode": "noop", "groups_touched": 0}
 
+    ch = table_changes(spark, base_path, applied + 1, base_ver)
+    n_groups = apply_change_deltas(spark, mv_path, ch, group_cols, sum_cols)
+    set_tblproperties(spark, mv_path, {MV_BASE_VERSION_KEY: str(base_ver)})
+    return {
+        "base_version": base_ver,
+        "mode": "incremental",
+        "groups_touched": n_groups,
+    }
+
+
+def apply_change_deltas(
+    spark,
+    mv_path: str,
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> int:
+    """Reduce a change-feed DataFrame (logical columns +
+    ``_change_type``) to signed per-group deltas and MERGE them into
+    the view; returns the number of touched groups. Shared by the
+    batch refresh and the streaming foreachBatch sink — the reduction
+    happens map-side before the merge's shuffle."""
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
-    ch = table_changes(spark, base_path, applied + 1, base_ver)
     deltas = (
-        ch.withColumn("__sign", sign)
+        changes.withColumn("__sign", sign)
         .groupBy(*group_cols)
         .agg(
             F.sum("__sign").cast("long").alias("d_count"),
@@ -135,6 +159,8 @@ def refresh_aggregate_mv(
     }
     deltas = deltas.localCheckpoint(eager=True)  # one CDF read, reused
     n_groups = deltas.count()
+    if n_groups == 0:
+        return 0
     merge_delta(
         spark,
         mv_path,
@@ -151,9 +177,61 @@ def refresh_aggregate_mv(
             {"condition": "s.d_count > 0", "values": insert_vals}
         ],
     )
-    set_tblproperties(spark, mv_path, {MV_BASE_VERSION_KEY: str(base_ver)})
-    return {
-        "base_version": base_ver,
-        "mode": "incremental",
-        "groups_touched": n_groups,
-    }
+    return n_groups
+
+
+def streaming_refresh_aggregate_mv(
+    spark,
+    base_path: str,
+    mv_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+    starting_version: int | None = None,
+    timeout_s: int = 300,
+) -> None:
+    """CONTINUOUS view maintenance: consume the base's change feed as
+    a stream (``streaming/cdf_source.py``) and apply each micro-batch
+    through :func:`apply_change_deltas` in a foreachBatch sink with
+    availableNow semantics. Exactly-once across restarts: the
+    recorded ``lakehouse.mv.lastBatchId`` property skips micro-batches
+    that already merged before a crash (the standard foreachBatch
+    idempotence pattern — Structured Streaming replays the last batch
+    on recovery), while the checkpoint tracks source offsets."""
+    from deltalake_datafusion_spark.delta.properties import (
+        set_tblproperties,
+    )
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.streaming.cdf_source import (
+        read_change_stream,
+    )
+
+    mv_snap = load_snapshot(mv_path, spark=spark)
+    conf = mv_snap.metadata.configuration or {}
+    if MV_BASE_VERSION_KEY not in conf:
+        raise ValueError(
+            f"{mv_path} has no {MV_BASE_VERSION_KEY} property — not a "
+            "maintained aggregate view (build_aggregate_mv first)"
+        )
+    if starting_version is None:
+        starting_version = int(conf[MV_BASE_VERSION_KEY]) + 1
+    last_applied = int(conf.get(MV_LAST_BATCH_KEY, "-1"))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_applied:
+            return  # replayed batch already merged before a restart
+        apply_change_deltas(
+            spark, mv_path, batch_df, group_cols, sum_cols
+        )
+        set_tblproperties(
+            spark, mv_path, {MV_LAST_BATCH_KEY: str(batch_id)}
+        )
+
+    q = (
+        read_change_stream(spark, base_path, starting_version)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

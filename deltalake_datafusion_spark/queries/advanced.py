@@ -308,6 +308,8 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec("q_kmv_distinct", q_kmv_distinct, _KMV_SQL),
         QuerySpec("delta_mv_incremental", delta_mv_incremental, _MV_SQL),
+        QuerySpec("streaming_mv_refresh", streaming_mv_refresh, _SMV_SQL),
+        QuerySpec("q_unpivot", q_unpivot, _UNPIVOT_SQL),
     ]
 
 
@@ -586,4 +588,123 @@ final AS (SELECT * FROM after_update WHERE NOT (id % 17 = 5))
 SELECT g, CAST(COUNT(*) AS BIGINT) AS mv_count,
   CAST(SUM(cents) AS BIGINT) AS mv_sum_cents
 FROM final GROUP BY g ORDER BY g
+"""
+
+
+# ---------------------------------------------------------------- #
+# streaming_mv_refresh                                              #
+# ---------------------------------------------------------------- #
+
+
+def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS materialized-view maintenance
+    (``delta/mv.py::streaming_refresh_aggregate_mv``): the base's
+    change feed consumed as a STREAM (version-offset micro-batches
+    through the delta_cdf source) with a foreachBatch sink that
+    reduces each batch to signed deltas and MERGEs them into the
+    view; availableNow drains all pending commits, the recorded
+    lastBatchId makes replayed batches no-ops. Same exactness
+    contract as the batch refresh: the view must equal the full
+    recompute of the final base state, which is what the oracle
+    computes from the source rows."""
+    from deltalake_datafusion_spark.delta.mv import (
+        build_aggregate_mv,
+        streaming_refresh_aggregate_mv,
+    )
+    from deltalake_datafusion_spark.delta.ops import (
+        delete_delta,
+        update_delta,
+    )
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    base = _fresh_dir("smvbase", sf_dir)
+    mv = _fresh_dir("smvview", sf_dir)
+    ck = _fresh_dir("smvckpt", sf_dir)
+    cdf = {"delta.enableChangeDataFeed": "true"}
+    rows = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("g"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    write_delta(spark, rows, base, configuration=cdf)
+    build_aggregate_mv(spark, base, mv, ["g"], ["cents"])
+    update_delta(spark, base, set_exprs={"cents": "cents + 250"},
+                 predicate="id % 9 = 1")
+    delete_delta(spark, base, "id % 23 = 7")
+    streaming_refresh_aggregate_mv(spark, base, mv, ["g"], ["cents"], ck)
+    return (
+        read_delta(spark, mv)
+        .select("g", "mv_count", F.col("mv_sum_cents").cast("long")
+                .alias("mv_sum_cents"))
+        .orderBy("g")
+    )
+
+
+_SMV_SQL = """
+WITH base AS (
+  SELECT c_custkey AS id, c_mktsegment AS g,
+    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer
+),
+after_update AS (
+  SELECT id, g,
+    CASE WHEN id % 9 = 1 THEN cents + 250 ELSE cents END AS cents
+  FROM base
+),
+final AS (SELECT * FROM after_update WHERE NOT (id % 23 = 7))
+SELECT g, CAST(COUNT(*) AS BIGINT) AS mv_count,
+  CAST(SUM(cents) AS BIGINT) AS mv_sum_cents
+FROM final GROUP BY g ORDER BY g
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_unpivot                                                         #
+# ---------------------------------------------------------------- #
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long melt): per return flag, three integer
+    metrics computed as ONE wide aggregate, then melted into
+    (flag, metric, value) rows with ``DataFrame.unpivot`` — the
+    relational MELT every feature-store export needs; the metric
+    column stays a literal so the melt is zero-shuffle on top of the
+    aggregate."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)))
+        .cast("long")
+        .alias("total_qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["total_qty", "total_cents", "n_items"],
+        "metric",
+        "value",
+    ).orderBy("l_returnflag", "metric")
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+    CAST(SUM(FLOOR(l_quantity + 0.5)) AS BIGINT) AS total_qty,
+    CAST(SUM(FLOOR(l_extendedprice * 100 + 0.5)) AS BIGINT) AS total_cents,
+    CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value FROM (
+  SELECT l_returnflag, 'total_qty' AS metric, total_qty AS value FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'total_cents', total_cents FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'n_items', n_items FROM wide
+) ORDER BY l_returnflag, metric
 """

@@ -153,3 +153,47 @@ def test_refresh_requires_mv_property(spark, tmp_path):
     write_delta(spark, spark.range(3), m)  # plain table, not an MV
     with pytest.raises(ValueError, match="not a"):
         refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+
+
+def test_streaming_refresh_matches_full_recompute(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.mv import (
+        streaming_refresh_aggregate_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    ck = str(tmp_path / "ck")
+    _base(spark, b)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(200, 7, 5), (201, 7, 6)], "id long, g long, v long"
+        ),
+        b,
+        mode="append",
+        configuration=CDF,
+    )
+    update_delta(spark, b, set_exprs={"v": "v + 100"}, predicate="g = 3")
+    delete_delta(spark, b, "g = 0")
+    streaming_refresh_aggregate_mv(spark, b, m, ["g"], ["v"], ck)
+    assert _mv_state(spark, m) == _expected(spark, b)
+    # a second run over the SAME checkpoint applies nothing new
+    streaming_refresh_aggregate_mv(spark, b, m, ["g"], ["v"], ck)
+    assert _mv_state(spark, m) == _expected(spark, b)
+
+
+def test_streaming_refresh_then_more_changes(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.mv import (
+        streaming_refresh_aggregate_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    ck = str(tmp_path / "ck")
+    _base(spark, b, n=24)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    delete_delta(spark, b, "id < 4")
+    streaming_refresh_aggregate_mv(spark, b, m, ["g"], ["v"], ck)
+    assert _mv_state(spark, m) == _expected(spark, b)
+    update_delta(spark, b, set_exprs={"v": "v * 3"}, predicate="id >= 20")
+    streaming_refresh_aggregate_mv(spark, b, m, ["g"], ["v"], ck)
+    assert _mv_state(spark, m) == _expected(spark, b)
