@@ -570,3 +570,202 @@ def segment_audio(
         .alias("byte_offset"),
         ((end_f - start_f) * F.col("block_align")).alias("byte_length"),
     )
+
+
+# ------------------------------------------------------------------ #
+# MP4 / ISO-BMFF container sniffing (video tier)                      #
+# ------------------------------------------------------------------ #
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), True),
+        StructField("major_brand", StringType(), True),
+        StructField("timescale", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_tracks", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for ISO-BMFF boxes in
+    buf[start:end]; handles 32-bit sizes, size==1 (64-bit largesize)
+    and size==0 (to end of enclosing box). Stops on malformed data."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def sniff_mp4_header(payload: bytes) -> dict | None:
+    """REAL zero-dependency ISO-BMFF (MP4/MOV) container decode
+    (public format: ISO/IEC 14496-12): walks the top-level box tree,
+    reads the ``ftyp`` major brand, the ``moov/mvhd`` timescale +
+    duration (version 0 and version 1 layouts), counts ``trak``
+    boxes, and takes the max ``tkhd`` 16.16-fixed width/height over
+    tracks (audio tracks carry 0×0). Returns None for non-BMFF
+    bytes — same null contract as the image/audio sniffers. No pixel
+    decode: at 100 TB you triage/route/segment by container metadata
+    and only ranged-GET the samples a downstream stage needs."""
+    import struct
+
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    major = None
+    timescale = duration = None
+    n_tracks = 0
+    width = height = 0
+    for btype, b0, b1 in _iter_boxes(payload, 0, len(payload)):
+        if btype == b"ftyp" and b1 - b0 >= 4:
+            major = payload[b0 : b0 + 4].decode("ascii", "replace").strip()
+        elif btype == b"moov":
+            for ctype, c0, c1 in _iter_boxes(payload, b0, b1):
+                if ctype == b"mvhd" and c1 - c0 >= 4:
+                    ver = payload[c0]
+                    if ver == 1 and c1 - c0 >= 4 + 8 + 8 + 4 + 8:
+                        timescale = struct.unpack(
+                            ">I", payload[c0 + 20 : c0 + 24]
+                        )[0]
+                        duration = struct.unpack(
+                            ">Q", payload[c0 + 24 : c0 + 32]
+                        )[0]
+                    elif ver == 0 and c1 - c0 >= 4 + 4 + 4 + 4 + 4:
+                        timescale = struct.unpack(
+                            ">I", payload[c0 + 12 : c0 + 16]
+                        )[0]
+                        duration = struct.unpack(
+                            ">I", payload[c0 + 16 : c0 + 20]
+                        )[0]
+                elif ctype == b"trak":
+                    n_tracks += 1
+                    for ttype, t0, t1 in _iter_boxes(payload, c0, c1):
+                        if ttype != b"tkhd":
+                            continue
+                        ver = payload[t0]
+                        # v0: 4 flags + 4+4 times + 4 id + 4 res + 4 dur
+                        # v1: 4 flags + 8+8 times + 4 id + 4 res + 8 dur
+                        base = t0 + (4 + 8 + 8 + 4 + 4 + 8 if ver == 1
+                                     else 4 + 4 + 4 + 4 + 4 + 4)
+                        wh = base + 8 + 2 + 2 + 2 + 2 + 36
+                        if t1 - wh >= 8:
+                            w = struct.unpack(
+                                ">I", payload[wh : wh + 4]
+                            )[0] >> 16
+                            h = struct.unpack(
+                                ">I", payload[wh + 4 : wh + 8]
+                            )[0] >> 16
+                            width = max(width, w)
+                            height = max(height, h)
+    if timescale is None or not timescale:
+        return None
+    return {
+        "major_brand": major,
+        "timescale": int(timescale),
+        "duration_ms": int(duration * 1000 // timescale),
+        "n_tracks": int(n_tracks),
+        "width": int(width),
+        "height": int(height),
+    }
+
+
+def decode_video_metadata(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], dict | None] = sniff_mp4_header,
+) -> DataFrame:
+    """Video container metadata via mapInPandas (Arrow batches) over
+    the REAL ISO-BMFF sniffer — same plumbing contract as
+    :func:`decode_audio_metadata` (schema'd nulls for undecodable
+    payloads, batch-shaped Python, no row-at-a-time UDF)."""
+    import pandas as pd
+
+    cols = [f.name for f in VIDEO_META_SCHEMA.fields if f.name != "media_id"]
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            metas = [decode_fn(p) or {} for p in pdf["payload"]]
+            out = {"media_id": pdf["media_id"].values}
+            for c in cols:
+                out[c] = [m.get(c) for m in metas]
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, VIDEO_META_SCHEMA
+    )
+
+
+def build_mp4_bytes(
+    timescale: int,
+    duration: int,
+    tracks: list[tuple[int, int]],
+    major_brand: bytes = b"isom",
+    mvhd_version: int = 0,
+) -> bytes:
+    """Deterministically synthesize a minimal VALID ISO-BMFF box tree
+    (ftyp + moov[mvhd + trak[tkhd]×n] + mdat) — the test/query
+    fixture generator for :func:`sniff_mp4_header`; width/height per
+    track as 16.16 fixed point."""
+    import struct
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    ftyp = box(b"ftyp", major_brand + struct.pack(">I", 512) + b"isommp42")
+    if mvhd_version == 1:
+        mvhd_body = (
+            b"\x01\x00\x00\x00"
+            + struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + struct.pack(">I", 0x00010000)
+            + struct.pack(">H", 0x0100)
+            + b"\x00" * 10
+            + _UNITY_MATRIX
+            + b"\x00" * 24
+            + struct.pack(">I", len(tracks) + 1)
+        )
+    else:
+        mvhd_body = (
+            b"\x00\x00\x00\x00"
+            + struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">I", 0x00010000)
+            + struct.pack(">H", 0x0100)
+            + b"\x00" * 10
+            + _UNITY_MATRIX
+            + b"\x00" * 24
+            + struct.pack(">I", len(tracks) + 1)
+        )
+    traks = b""
+    for i, (w, h) in enumerate(tracks):
+        tkhd_body = (
+            b"\x00\x00\x00\x07"
+            + struct.pack(">IIII", 0, 0, i + 1, 0)
+            + struct.pack(">I", duration)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0x0100 if w == 0 else 0, 0)
+            + _UNITY_MATRIX
+            + struct.pack(">II", w << 16, h << 16)
+        )
+        traks += box(b"trak", box(b"tkhd", tkhd_body))
+    moov = box(b"moov", box(b"mvhd", mvhd_body) + traks)
+    return ftyp + moov + box(b"mdat", b"\x00" * 16)
+
+
+_UNITY_MATRIX = (
+    b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x40\x00\x00\x00"
+)

@@ -310,6 +310,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("delta_mv_incremental", delta_mv_incremental, _MV_SQL),
         QuerySpec("streaming_mv_refresh", streaming_mv_refresh, _SMV_SQL),
         QuerySpec("q_unpivot", q_unpivot, _UNPIVOT_SQL),
+        QuerySpec("multimodal_video", multimodal_video, _VIDEO_SQL),
     ]
 
 
@@ -707,4 +708,90 @@ SELECT l_returnflag, metric, value FROM (
   UNION ALL
   SELECT l_returnflag, 'n_items', n_items FROM wide
 ) ORDER BY l_returnflag, metric
+"""
+
+
+# ---------------------------------------------------------------- #
+# multimodal_video                                                  #
+# ---------------------------------------------------------------- #
+
+
+def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF (MP4) container parse on GENUINE box trees
+    (``operators/multimodal.py::sniff_mp4_header``): payloads are
+    minimal valid ftyp+moov+mdat files built from deterministic
+    parameters of doc_id (brand, timescale, duration, track list,
+    mvhd version 0 AND 1), every 6th doc a non-BMFF payload that
+    must parse to schema'd nulls. The oracle recomputes
+    brand/duration/track/geometry arithmetically from the same
+    parameters, so the REAL box-walker is value-checked cross-engine.
+    Arrow-batched mapInPandas; no pixel decode — 100 TB video triage
+    is container metadata + ranged sample reads."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_mp4_bytes,
+        decode_video_metadata,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 6 == 2:
+                    payloads.append(b"certainly not an iso-bmff box tree")
+                    continue
+                ts = [600, 1000, 90000][did % 3]
+                dur = ts * (3 + did % 29) + did % 997
+                tracks = [
+                    (320 + (did % 5) * 160, 180 + (did % 5) * 90)
+                ]
+                if did % 2 == 1:
+                    tracks.append((0, 0))  # audio track: 0x0 geometry
+                payloads.append(
+                    build_mp4_bytes(
+                        ts,
+                        dur,
+                        tracks,
+                        major_brand=b"mp42" if did % 4 == 1 else b"isom",
+                        mvhd_version=1 if did % 4 == 1 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return decode_video_metadata(media).orderBy("media_id")
+
+
+_VIDEO_SQL = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+    doc_id % 6 = 2 AS garbage,
+    CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+         ELSE 90000 END AS BIGINT) AS ts
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT media_id,
+  CASE WHEN garbage THEN NULL
+       WHEN media_id % 4 = 1 THEN 'mp42' ELSE 'isom' END AS major_brand,
+  CASE WHEN garbage THEN NULL ELSE ts END AS timescale,
+  CASE WHEN garbage THEN NULL
+       ELSE (ts * (3 + media_id % 29) + media_id % 997) * 1000 // ts
+       END AS duration_ms,
+  CASE WHEN garbage THEN NULL
+       ELSE CAST(1 + media_id % 2 AS BIGINT) END AS n_tracks,
+  CASE WHEN garbage THEN NULL
+       ELSE CAST(320 + (media_id % 5) * 160 AS BIGINT) END AS width,
+  CASE WHEN garbage THEN NULL
+       ELSE CAST(180 + (media_id % 5) * 90 AS BIGINT) END AS height
+FROM p ORDER BY media_id
 """

@@ -203,3 +203,88 @@ def test_attribution_first_and_last_touch(spark):
     )
     got = sorted((r.ft, r.lt) for r in out.collect())
     assert got == [("none", "none"), ("view", "click"), ("view", "click")]
+
+
+# ---------------------------------------------------------------- #
+# MP4 / ISO-BMFF sniffer                                            #
+# ---------------------------------------------------------------- #
+
+
+def test_mp4_sniffer_v0_and_v1():
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_mp4_bytes,
+        sniff_mp4_header,
+    )
+
+    b = build_mp4_bytes(1000, 7500, [(640, 360), (0, 0)])
+    assert sniff_mp4_header(b) == {
+        "major_brand": "isom",
+        "timescale": 1000,
+        "duration_ms": 7500,
+        "n_tracks": 2,
+        "width": 640,
+        "height": 360,
+    }
+    b1 = build_mp4_bytes(
+        90000, 90000 * 61 + 7, [(1920, 1080)],
+        major_brand=b"mp42", mvhd_version=1,
+    )
+    got = sniff_mp4_header(b1)
+    assert got["major_brand"] == "mp42"
+    assert got["duration_ms"] == (90000 * 61 + 7) * 1000 // 90000
+    assert (got["width"], got["height"]) == (1920, 1080)
+
+
+def test_mp4_sniffer_rejects_garbage_and_truncation():
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_mp4_bytes,
+        sniff_mp4_header,
+    )
+
+    assert sniff_mp4_header(None) is None
+    assert sniff_mp4_header(b"") is None
+    assert sniff_mp4_header(b"RIFF....WAVE" + b"\x00" * 32) is None
+    b = build_mp4_bytes(600, 1200, [(320, 240)])
+    # truncating inside moov must not crash; no mvhd reached -> None
+    assert sniff_mp4_header(b[:40]) is None
+    # declared box size beyond buffer -> walker stops cleanly
+    import struct
+
+    evil = struct.pack(">I", 1 << 30) + b"ftyp" + b"isom" + b"\x00" * 64
+    assert sniff_mp4_header(evil) is None
+
+
+def test_mp4_sniffer_largesize_box():
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_mp4_bytes,
+        sniff_mp4_header,
+    )
+    import struct
+
+    base = build_mp4_bytes(1000, 5000, [(64, 48)])
+    # rewrap the trailing mdat as a size==1 (64-bit largesize) box
+    mdat_body = b"\x00" * 16
+    large = (
+        struct.pack(">I", 1) + b"mdat"
+        + struct.pack(">Q", 16 + len(mdat_body)) + mdat_body
+    )
+    without_mdat = base[: -(8 + 16)]
+    got = sniff_mp4_header(without_mdat + large)
+    assert got is not None and got["duration_ms"] == 5000
+
+
+def test_decode_video_metadata_null_contract(spark):
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_mp4_bytes,
+        decode_video_metadata,
+    )
+
+    rows = [
+        (1, bytearray(build_mp4_bytes(1000, 3000, [(100, 80)]))),
+        (2, bytearray(b"junk")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in decode_video_metadata(df).collect()}
+    assert got[1].duration_ms == 3000 and got[1].width == 100
+    assert got[2].timescale is None and got[3].timescale is None
