@@ -25,7 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -96,3 +96,74 @@ def basket_pairs(
             ).alias("lift_ppm"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """PMI collocation mining (Church & Hanks 1990): adjacent token
+    pairs whose joint frequency beats the independence expectation —
+    the classic multi-word-expression detector ("new york",
+    "machine learning") every tokenizer-training pipeline runs before
+    merging MWEs.
+
+    Scoring stays INTEGER: PMI = log(p(ab)/(p(a)p(b))) ranks
+    identically to the cross-multiplied ratio ``n_ab·T / (n_a·n_b)``
+    (T = total bigrams), emitted as ``pmi_ratio_x1000 = (n_ab·T·1000)
+    div (n_a·n_b)`` so the score hash-checks cross-engine (a float
+    log differs in the last ulp between libms). Ties break on the
+    token pair.
+
+    Plan shape: the bigram list is built INSIDE the row via
+    ``arrays_zip(slice, slice)`` (pure codegen, no positional
+    self-join); then one groupBy per table (bigrams, unigrams), two
+    keyed joins of bigram counts to the vocab-sized unigram counts,
+    and an O(1)-row total broadcast. int64 bound: n_ab·T·1000 needs
+    T ≲ 3·10^6 tokens per run — at larger corpora drop the ×1000
+    quantizer or compute on a sampled T (documented ceiling, same
+    ranking)."""
+    arr = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+    )
+    toks = df.filter(F.col(text_col).isNotNull()).select(arr.alias("l"))
+    uni = (
+        toks.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                F.expr("slice(l, 2, greatest(size(l) - 1, 0))"),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    total = big.agg(F.sum("n_ab").cast("long").alias("t_big"))
+    scored = (
+        big.filter(F.col("n_ab") >= min_count)
+        .join(uni.withColumnRenamed("w", "a").withColumnRenamed("n_w", "n_a"), "a")
+        .join(uni.withColumnRenamed("w", "b").withColumnRenamed("n_w", "n_b"), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.expr("(n_ab * t_big * 1000L) div (n_a * n_b)").alias(
+                "pmi_ratio_x1000"
+            ),
+        )
+    )
+    # top-k via TakeOrderedAndProject (no full-sort exchange); the
+    # rank column is minted on the ≤ top_n survivors only
+    top = scored.orderBy(
+        F.desc("pmi_ratio_x1000"), "a", "b"
+    ).limit(top_n)
+    w = Window.orderBy(F.desc("pmi_ratio_x1000"), "a", "b")
+    return top.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).orderBy("rk")

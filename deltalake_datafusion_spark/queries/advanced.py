@@ -311,6 +311,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("streaming_mv_refresh", streaming_mv_refresh, _SMV_SQL),
         QuerySpec("q_unpivot", q_unpivot, _UNPIVOT_SQL),
         QuerySpec("multimodal_video", multimodal_video, _VIDEO_SQL),
+        QuerySpec("text_collocations", text_collocations, _COLLOC_SQL),
     ]
 
 
@@ -794,4 +795,60 @@ SELECT media_id,
   CASE WHEN garbage THEN NULL
        ELSE CAST(180 + (media_id % 5) * 90 AS BIGINT) END AS height
 FROM p ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------- #
+# text_collocations                                                 #
+# ---------------------------------------------------------------- #
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining
+    (``operators/mining.py::pmi_collocations``): top-20 adjacent
+    token pairs of the documents corpus by the integer
+    cross-multiplied PMI ratio ``n_ab·T·1000 div (n_a·n_b)`` — the
+    multi-word-expression detector run before tokenizer training.
+    Bigrams are built inside the row (arrays_zip of two slices, pure
+    codegen); the oracle replays the same tokenization and
+    arithmetic with parallel unnest zipping."""
+    from deltalake_datafusion_spark.operators.mining import (
+        pmi_collocations,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return pmi_collocations(docs, "text", min_count=5, top_n=20)
+
+
+_COLLOC_SQL = """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS (
+  SELECT w, COUNT(*) AS n_w FROM (SELECT unnest(l) AS w FROM toks)
+  GROUP BY w
+),
+pairs AS (
+  SELECT unnest(l[1:len(l) - 1]) AS a, unnest(l[2:len(l)]) AS b
+  FROM toks WHERE len(l) >= 2
+),
+big AS (SELECT a, b, COUNT(*) AS n_ab FROM pairs GROUP BY a, b),
+tot AS (SELECT SUM(n_ab) AS t_big FROM big),
+scored AS (
+  SELECT big.a, big.b, CAST(big.n_ab AS BIGINT) AS n_ab,
+    CAST((big.n_ab * tot.t_big * 1000) // (ua.n_w * ub.n_w)
+         AS BIGINT) AS pmi_ratio_x1000
+  FROM big, tot
+  JOIN uni ua ON ua.w = big.a
+  JOIN uni ub ON ub.w = big.b
+  WHERE big.n_ab >= 5
+)
+SELECT a, b, n_ab, pmi_ratio_x1000,
+  CAST(ROW_NUMBER() OVER (ORDER BY pmi_ratio_x1000 DESC, a, b)
+       AS BIGINT) AS rk
+FROM scored
+ORDER BY pmi_ratio_x1000 DESC, a, b
+LIMIT 20
 """

@@ -288,3 +288,38 @@ def test_decode_video_metadata_null_contract(spark):
     got = {r.media_id: r for r in decode_video_metadata(df).collect()}
     assert got[1].duration_ms == 3000 and got[1].width == 100
     assert got[2].timescale is None and got[3].timescale is None
+
+
+# ---------------------------------------------------------------- #
+# PMI collocations                                                  #
+# ---------------------------------------------------------------- #
+
+
+def test_pmi_collocations_ranks_mwe_first(spark):
+    from deltalake_datafusion_spark.operators.mining import (
+        pmi_collocations,
+    )
+
+    # "san francisco" always adjacent; "the" ubiquitous -> low PMI
+    rows = [("san francisco is the best city in the bay",)] * 4 + [
+        ("the city by the bay is the best",)
+    ] * 4
+    df = spark.createDataFrame(rows, "text string")
+    got = pmi_collocations(df, min_count=2, top_n=5).collect()
+    assert (got[0].a, got[0].b) == ("san", "francisco")
+    # exact integer replay of the top score
+    n_ab, t = 4, sum(len(r[0].split()) - 1 for r in rows)
+    assert got[0].pmi_ratio_x1000 == (n_ab * t * 1000) // (4 * 4)
+    assert got[0].rk == 1
+
+
+def test_pmi_collocations_min_count_filters(spark):
+    from deltalake_datafusion_spark.operators.mining import (
+        pmi_collocations,
+    )
+
+    df = spark.createDataFrame(
+        [("alpha beta",), ("alpha beta",), ("gamma delta",)], "text string"
+    )
+    got = pmi_collocations(df, min_count=2, top_n=10).collect()
+    assert [(r.a, r.b) for r in got] == [("alpha", "beta")]
