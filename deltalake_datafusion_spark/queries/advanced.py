@@ -312,6 +312,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("q_unpivot", q_unpivot, _UNPIVOT_SQL),
         QuerySpec("multimodal_video", multimodal_video, _VIDEO_SQL),
         QuerySpec("text_collocations", text_collocations, _COLLOC_SQL),
+        QuerySpec("pipe_ppr", pipe_ppr, _ppr_sql()),
     ]
 
 
@@ -852,3 +853,112 @@ FROM scored
 ORDER BY pmi_ratio_x1000 DESC, a, b
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------- #
+# pipe_ppr                                                          #
+# ---------------------------------------------------------------- #
+
+PPR_ITERS = 8
+PPR_SCALE_BITS = 40
+PPR_DAMPING = 85
+PPR_SEEDS = (0, 7, 21)
+
+
+def pipe_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank
+    (``operators/graph.py::personalized_pagerank_integer``) over the
+    60-node doc link graph, teleporting to seeds {0, 7, 21} — ranks
+    measure link proximity to the seed topic. Same integer-exact
+    contract as pipe_pagerank: the oracle unrolls all 8 iterations
+    (per-iteration dangling aggregate teleported to the seeds
+    included) as chained CTEs; top-25 by rank."""
+    from deltalake_datafusion_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = F.col("doc_id")
+    edges = docs.select(
+        (d % 50).alias("src"), ((d * 7 + 3) % 50).alias("dst")
+    ).unionByName(
+        docs.select((d % 50).alias("src"), (50 + d % 10).alias("dst"))
+    )
+    seeds = spark.createDataFrame([(s,) for s in PPR_SEEDS], "node long")
+    ranks = personalized_pagerank_integer(
+        edges,
+        seeds,
+        iterations=PPR_ITERS,
+        scale_bits=PPR_SCALE_BITS,
+        damping_pct=PPR_DAMPING,
+    )
+    return (
+        ranks.orderBy(F.desc("rank"), "node").limit(25)
+        .select("node", "rank")
+    )
+
+
+def _ppr_sql(
+    iters: int = PPR_ITERS,
+    damping: int = PPR_DAMPING,
+    scale_bits: int = PPR_SCALE_BITS,
+) -> str:
+    s = 1 << scale_bits
+    seeds = ", ".join(str(x) for x in PPR_SEEDS)
+    parts = [
+        f"""
+WITH e0 AS (
+  SELECT doc_id % 50 AS src, (doc_id * 7 + 3) % 50 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % 50, 50 + doc_id % 10 FROM documents
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION SELECT dst FROM e)
+),
+sm AS (
+  SELECT node,
+    CASE WHEN node IN ({seeds}) THEN 1 ELSE 0 END AS is_seed
+  FROM nodes
+),
+mm AS (SELECT SUM(is_seed) AS m FROM sm),
+pr0 AS (
+  SELECT node, is_seed,
+    CAST(CASE WHEN is_seed = 1 THEN {s} // m ELSE 0 END AS BIGINT)
+      AS rank
+  FROM sm, mm
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+c{t} AS (
+  SELECT e.dst AS node, SUM(p.rank // deg.deg) AS c
+  FROM e JOIN pr{t - 1} p ON e.src = p.node
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+d{t} AS (
+  SELECT COALESCE(SUM(p.rank), 0) AS dt
+  FROM pr{t - 1} p LEFT JOIN deg ON deg.src = p.node
+  WHERE deg.src IS NULL
+),
+pr{t} AS (
+  SELECT sm.node, sm.is_seed,
+    CAST(CASE WHEN sm.is_seed = 1
+              THEN ({s} * {100 - damping}) // (100 * mm.m)
+              ELSE 0 END
+         + ({damping} * (COALESCE(c{t}.c, 0)
+              + CASE WHEN sm.is_seed = 1 THEN d{t}.dt // mm.m
+                     ELSE 0 END)) // 100 AS BIGINT) AS rank
+  FROM sm CROSS JOIN mm CROSS JOIN d{t}
+  LEFT JOIN c{t} ON c{t}.node = sm.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, rank FROM pr{iters}"
+        " ORDER BY rank DESC, node LIMIT 25"
+    )
+    return "".join(parts)

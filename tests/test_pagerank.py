@@ -138,3 +138,80 @@ def test_pagerank_uniform_dangling_matches_replay(spark):
 
     with pytest.raises(ValueError):
         pagerank_integer(df, dangling="bogus")
+
+
+# ------------------------------------------------------------------ #
+# personalized PageRank                                                #
+# ------------------------------------------------------------------ #
+
+
+def _py_ppr(edges, seeds, iterations=8, scale_bits=40, damping=85):
+    edges = {(a, b) for a, b in edges if a != b}
+    nodes = sorted({x for e in edges for x in e})
+    seeds = [x for x in seeds if x in set(nodes)]
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    m = len(seeds)
+    s = 1 << scale_bits
+    base = (s * (100 - damping)) // (100 * m)
+    r = {v: (s // m if v in seeds else 0) for v in nodes}
+    for _ in range(iterations):
+        c = {v: 0 for v in nodes}
+        for a, b in edges:
+            c[b] += r[a] // deg[a]
+        dt = sum(r[v] for v in nodes if v not in deg)
+        r = {
+            v: (base if v in seeds else 0)
+            + (damping * (c[v] + (dt // m if v in seeds else 0))) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_ppr_matches_python_replay(spark):
+    from deltalake_datafusion_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (6, 3),
+        (3, 4), (2, 4), (4, 1), (5, 1), (6, 1), (1, 6), (6, 7),
+    ]  # node 7 is a sink -> dangling mass teleports to seeds
+    e = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank_integer(e, sd).collect()
+    }
+    assert got == _py_ppr(edges, [1, 4])
+
+
+def test_ppr_seeds_outrank_far_nodes(spark):
+    from deltalake_datafusion_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+
+    # two disjoint cycles; seeding one leaves the other at rank 0
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank_integer(e, sd).collect()
+    }
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+    assert got[10] == 0 and got[11] == 0 and got[12] == 0
+
+
+def test_ppr_requires_seed_in_graph(spark):
+    import pytest
+
+    from deltalake_datafusion_spark.operators.graph import (
+        personalized_pagerank_integer,
+    )
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    sd = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank_integer(e, sd)
