@@ -313,6 +313,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("multimodal_video", multimodal_video, _VIDEO_SQL),
         QuerySpec("text_collocations", text_collocations, _COLLOC_SQL),
         QuerySpec("pipe_ppr", pipe_ppr, _ppr_sql()),
+        QuerySpec("q_woe_encoding", q_woe_encoding, _WOE_SQL),
     ]
 
 
@@ -962,3 +963,90 @@ pr{t} AS (
         " ORDER BY rank DESC, node LIMIT 25"
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------- #
+# q_woe_encoding                                                    #
+# ---------------------------------------------------------------- #
+
+
+def q_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence categorical encoding (the credit-scoring /
+    feature-engineering standard): per (feature, category), the
+    good/bad class balance vs the global balance, emitted as the
+    integer cross-multiplied ratio ``woe_ratio_ppm = (n_good_cat ·
+    T_bad · 10^6) div (n_bad_cat · T_good)`` with +1 Laplace
+    smoothing (WOE = ln of that ratio — same ranking, and the ratio
+    hash-checks cross-engine while ln differs in the last ulp).
+    Label: order fully shipped (o_orderstatus = 'F'). Two stacked
+    features (priority, order year) in ONE pass: unpivot-style
+    union → single groupBy → O(1)-row totals broadcast."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    lab = o.select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("good"),
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("string").alias("order_year"),
+    )
+    stacked = lab.select(
+        F.lit("priority").alias("feature"),
+        F.col("priority").alias("category"),
+        "good",
+    ).unionByName(
+        lab.select(
+            F.lit("order_year").alias("feature"),
+            F.col("order_year").alias("category"),
+            "good",
+        )
+    )
+    per = stacked.groupBy("feature", "category").agg(
+        F.sum("good").cast("long").alias("n_good"),
+        F.sum(1 - F.col("good")).cast("long").alias("n_bad"),
+    )
+    tot = lab.agg(
+        F.sum("good").cast("long").alias("t_good"),
+        F.sum(1 - F.col("good")).cast("long").alias("t_bad"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "feature",
+            "category",
+            "n_good",
+            "n_bad",
+            F.expr(
+                "((n_good + 1) * (t_bad + 1) * 1000000L)"
+                " div ((n_bad + 1) * (t_good + 1))"
+            ).alias("woe_ratio_ppm"),
+        )
+        .orderBy("feature", "category")
+    )
+
+
+_WOE_SQL = """
+WITH lab AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good,
+    o_orderpriority AS priority,
+    CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS order_year
+  FROM orders
+),
+stacked AS (
+  SELECT 'priority' AS feature, priority AS category, good FROM lab
+  UNION ALL
+  SELECT 'order_year', order_year, good FROM lab
+),
+per AS (
+  SELECT feature, category,
+    CAST(SUM(good) AS BIGINT) AS n_good,
+    CAST(SUM(1 - good) AS BIGINT) AS n_bad
+  FROM stacked GROUP BY feature, category
+),
+tot AS (
+  SELECT CAST(SUM(good) AS BIGINT) AS t_good,
+    CAST(SUM(1 - good) AS BIGINT) AS t_bad
+  FROM lab
+)
+SELECT feature, category, n_good, n_bad,
+  CAST(((n_good + 1) * (t_bad + 1) * 1000000)
+       // ((n_bad + 1) * (t_good + 1)) AS BIGINT) AS woe_ratio_ppm
+FROM per, tot ORDER BY feature, category
+"""
