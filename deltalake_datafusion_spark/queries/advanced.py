@@ -314,6 +314,8 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_collocations", text_collocations, _COLLOC_SQL),
         QuerySpec("pipe_ppr", pipe_ppr, _ppr_sql()),
         QuerySpec("q_woe_encoding", q_woe_encoding, _WOE_SQL),
+        QuerySpec("q_cusum_changepoints", q_cusum_changepoints, _CUSUM_SQL),
+        QuerySpec("text_phrase_search", text_phrase_search, _PHRASE_SQL),
     ]
 
 
@@ -1049,4 +1051,193 @@ SELECT feature, category, n_good, n_bad,
   CAST(((n_good + 1) * (t_bad + 1) * 1000000)
        // ((n_bad + 1) * (t_good + 1)) AS BIGINT) AS woe_ratio_ppm
 FROM per, tot ORDER BY feature, category
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_cusum_changepoints                                              #
+# ---------------------------------------------------------------- #
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point statistics (Page 1954) per event type, in
+    EXACT integer arithmetic: the one-sided CUSUM recursion
+    ``S_t = max(0, S_{t-1} + dev_t)`` is not a window function, but
+    its closed form IS: ``S_t = P_t − min(0, min_{j≤t} P_j)`` with
+    ``P`` the prefix sum of deviations — one prefix-sum window + one
+    running-min window over the same sort, pure codegen, one
+    shuffle. Deviations are mean-centered without floats by scaling:
+    ``dev = cents·n − s1`` (n, s1 per-type count/sum, broadcast
+    back); the alarm threshold is 3× the scaled mean absolute
+    deviation. Emits per type the point/alarm counts and the peak
+    statistic — all BIGINT, oracle replays every step."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+    )
+    j = base.join(F.broadcast(stats), "event_type").withColumn(
+        "dev", F.col("cents") * F.col("n") - F.col("s1")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = j.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        F.abs("dev").alias("absdev"),
+        F.sum("dev").over(w).alias("p"),
+    )
+    cur = pre.select(
+        "event_type",
+        "n",
+        "absdev",
+        (F.col("p") - F.least(F.lit(0), F.min("p").over(w))).alias("stat"),
+    )
+    # alarms need the threshold which needs sum_absdev — second pass
+    # over the windowed stats via a broadcast join of the tiny
+    # per-type aggregate (no recompute of the window)
+    thr = F.expr("3 * sum_absdev div n")
+    thr_df = (
+        cur.groupBy("event_type")
+        .agg(F.sum("absdev").alias("sum_absdev"))
+        .join(stats.select("event_type", "n"), "event_type")
+        .select("event_type", thr.alias("thr"))
+    )
+    return (
+        cur.join(F.broadcast(thr_df), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(F.when(F.col("stat") > F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_alarms"),
+            F.max("stat").cast("long").alias("max_stat"),
+            F.max("thr").cast("long").alias("threshold"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CUSUM_SQL = """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(cents) AS BIGINT) AS s1
+  FROM base GROUP BY event_type
+),
+dev AS (
+  SELECT b.event_type, b.ts, b.event_id, s.n,
+    b.cents * s.n - s.s1 AS dev
+  FROM base b JOIN stats s USING (event_type)
+),
+pre AS (
+  SELECT event_type, ts, event_id, n, ABS(dev) AS absdev,
+    SUM(dev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS p
+  FROM dev
+),
+cur AS (
+  SELECT event_type, n, absdev,
+    p - LEAST(0, MIN(p) OVER (PARTITION BY event_type
+        ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS stat
+  FROM pre
+),
+thr AS (
+  SELECT event_type, 3 * SUM(absdev) // MAX(n) AS thr
+  FROM cur GROUP BY event_type
+)
+SELECT c.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_points,
+  CAST(SUM(CASE WHEN c.stat > t.thr THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_alarms,
+  CAST(MAX(c.stat) AS BIGINT) AS max_stat,
+  CAST(MAX(t.thr) AS BIGINT) AS threshold
+FROM cur c JOIN thr t USING (event_type)
+GROUP BY c.event_type ORDER BY c.event_type
+"""
+
+
+# ---------------------------------------------------------------- #
+# text_phrase_search                                                #
+# ---------------------------------------------------------------- #
+
+PHRASE = ("merge", "join")
+
+
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: exact occurrences of the
+    phrase "merge join" via a POSITIONAL postings join —
+    ``posexplode`` builds (doc_id, token, pos) postings, the phrase
+    match is one self-join keyed on (doc_id, pos+1) — the inverted-
+    index-with-positions plan every full-text engine runs for quoted
+    queries (BM25 handles bag-of-words; this adds order
+    sensitivity). Postings are filtered to the phrase's tokens
+    BEFORE the join (pushdown: postings lists for two terms, not
+    the whole corpus). Output: per-doc occurrence counts (doc_id <
+    400 for a bounded result) plus the corpus-wide total as group -1."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+        ).alias("pos", "w"),
+    )
+    p1 = toks.filter(F.col("w") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    p2 = toks.filter(F.col("w") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("p0")
+    )
+    hits = p1.join(p2, ["doc_id", "p0"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    per_doc = hits.filter(F.col("doc_id") < 400)
+    total = hits.agg(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+    return per_doc.unionByName(total).orderBy("doc_id")
+
+
+_PHRASE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, w, i - 1 AS pos FROM (
+    SELECT doc_id,
+      unnest(list_filter(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+'),
+                         x -> x <> '')) AS w,
+      unnest(range(1, len(list_filter(regexp_split_to_array(lower(text),
+                                                            '[^a-z0-9]+'),
+                                      x -> x <> '')) + 1)) AS i
+    FROM documents WHERE text IS NOT NULL
+  )
+),
+hits AS (
+  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.w = '{PHRASE[0]}' AND b.w = '{PHRASE[1]}'
+  GROUP BY a.doc_id
+)
+SELECT doc_id, n_occurrences FROM hits WHERE doc_id < 400
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(SUM(n_occurrences) AS BIGINT) FROM hits
+ORDER BY doc_id
 """
