@@ -316,6 +316,8 @@ def specs() -> list[QuerySpec]:
         QuerySpec("q_woe_encoding", q_woe_encoding, _WOE_SQL),
         QuerySpec("q_cusum_changepoints", q_cusum_changepoints, _CUSUM_SQL),
         QuerySpec("text_phrase_search", text_phrase_search, _PHRASE_SQL),
+        QuerySpec("delta_version_diff", delta_version_diff, _VDIFF_SQL),
+        QuerySpec("q_vwap", q_vwap, _VWAP_SQL),
     ]
 
 
@@ -1240,4 +1242,133 @@ SELECT doc_id, n_occurrences FROM hits WHERE doc_id < 400
 UNION ALL
 SELECT CAST(-1 AS BIGINT), CAST(SUM(n_occurrences) AS BIGINT) FROM hits
 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- #
+# delta_version_diff                                                #
+# ---------------------------------------------------------------- #
+
+
+def delta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF between two table versions WITHOUT the change
+    feed: time-travel both versions and EXCEPT ALL each way — the
+    audit/debug operator for tables where CDF was never enabled
+    (CDF can only be read forward from when it was turned on; diff
+    works on any pair of retained versions). Multiset semantics:
+    EXCEPT ALL counts duplicates, so a row appearing twice and
+    deleted once shows net 1. Returns added/removed/surviving counts
+    + exact added/removed key sums; the oracle replays the same two
+    edits arithmetically. Both sides are plain Delta scans — stats
+    pruning and column pruning apply as usual."""
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+
+    n = load_tables(spark, sf_dir, "nation")["nation"]
+    path = _fresh_dir("vdiff", sf_dir)
+    rows = n.select("n_nationkey", "n_regionkey")
+    write_delta(spark, rows, path)                     # v0
+    write_delta(
+        spark,
+        rows.filter(F.col("n_nationkey") % 3 == 0).select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            "n_regionkey",
+        ),
+        path,
+        mode="append",
+    )                                                   # v1
+    delete_delta(spark, path, "n_regionkey = 2")        # v2
+    v_from = read_delta(spark, path, version=0)
+    v_to = read_delta(spark, path)
+    added = v_to.exceptAll(v_from)
+    removed = v_from.exceptAll(v_to)
+    return (
+        added.agg(
+            F.count(F.lit(1)).cast("long").alias("n_added"),
+            F.coalesce(F.sum("n_nationkey"), F.lit(0))
+            .cast("long")
+            .alias("added_key_sum"),
+        )
+        .crossJoin(
+            removed.agg(
+                F.count(F.lit(1)).cast("long").alias("n_removed"),
+                F.coalesce(F.sum("n_nationkey"), F.lit(0))
+                .cast("long")
+                .alias("removed_key_sum"),
+            )
+        )
+        .crossJoin(
+            v_to.agg(F.count(F.lit(1)).cast("long").alias("n_final"))
+        )
+    )
+
+
+_VDIFF_SQL = """
+WITH v0 AS (SELECT n_nationkey, n_regionkey FROM nation),
+v2 AS (
+  SELECT * FROM (
+    SELECT n_nationkey, n_regionkey FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100, n_regionkey FROM nation
+    WHERE n_nationkey % 3 = 0
+  ) WHERE n_regionkey <> 2
+),
+added AS (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v0),
+removed AS (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v2)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM added) AS n_added,
+  (SELECT CAST(COALESCE(SUM(n_nationkey), 0) AS BIGINT) FROM added)
+    AS added_key_sum,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM removed) AS n_removed,
+  (SELECT CAST(COALESCE(SUM(n_nationkey), 0) AS BIGINT) FROM removed)
+    AS removed_key_sum,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM v2) AS n_final
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_vwap                                                            #
+# ---------------------------------------------------------------- #
+
+
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per event type and day — the
+    finance resampling beside OHLC bars, kept EXACT by emitting the
+    (num, den) integer pair instead of the division: num =
+    Σ(price_cents·qty), den = Σ qty with qty a deterministic
+    function of event_id. One groupBy, map-side combined."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("px"),
+        (F.col("event_id") % 9 + 1).cast("long").alias("qty"),
+    )
+    out = base.groupBy(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day_s")
+    ).agg(
+        F.sum(F.col("px") * F.col("qty")).cast("long").alias("vwap_num"),
+        F.sum("qty").cast("long").alias("vwap_den"),
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+    )
+    return out.filter(F.substring("day_s", 9, 2) <= "03").orderBy(
+        "event_type", "day_s"
+    )
+
+
+_VWAP_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS px,
+    CAST(event_id % 9 + 1 AS BIGINT) AS qty
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s,
+  CAST(SUM(px * qty) AS BIGINT) AS vwap_num,
+  CAST(SUM(qty) AS BIGINT) AS vwap_den,
+  CAST(COUNT(*) AS BIGINT) AS n_trades
+FROM base WHERE EXTRACT(day FROM day) <= 3
+GROUP BY event_type, day ORDER BY event_type, day_s
 """
