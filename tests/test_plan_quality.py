@@ -676,3 +676,68 @@ def test_skyline_and_attribution_single_window_shuffle(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         body = plan.split("TakeOrdered")[0]
         assert "SinglePartition" not in body, body[:1500]
+
+
+def test_round9b_new_queries_no_python_no_cartesian(spark, sf_dir):
+    """The round-9b additions stay JVM-side with keyed joins only
+    (multimodal_video is excluded: its decode stage is intentionally
+    an Arrow mapInPandas; delta_version_diff too — its DV-deleted
+    side reads through the documented Arrow _is_live row filter)."""
+    from deltalake_datafusion_spark.queries.advanced import (
+        q_cusum_changepoints,
+        q_kmv_distinct,
+        q_unpivot,
+        q_vwap,
+        q_woe_encoding,
+        text_collocations,
+        text_phrase_search,
+    )
+
+    for q in (
+        q_kmv_distinct,
+        q_cusum_changepoints,
+        text_phrase_search,
+        text_collocations,
+        q_woe_encoding,
+        q_unpivot,
+        q_vwap,
+    ):
+        plan = (
+            q(spark, sf_dir)._jdf.queryExecution().executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan, (q.__name__, plan[:900])
+        assert "CartesianProduct" not in plan, (q.__name__, plan[:900])
+
+
+def test_phrase_search_filters_postings_before_join(spark, sf_dir):
+    """The phrase join's inputs must be term-filtered postings, not
+    the whole corpus: both join children carry a w = 'term' filter
+    below the exchange."""
+    from deltalake_datafusion_spark.queries.advanced import (
+        text_phrase_search,
+    )
+
+    plan = (
+        text_phrase_search(spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("merge") >= 1 and plan.count("join") >= 1
+    # the two posting filters appear as literal equality predicates
+    assert "= merge" in plan and "= join" in plan
+
+
+def test_ppr_and_bfs_single_shuffle_per_round(spark, sf_dir):
+    """Iterative graph ops: the per-iteration plan joins on src and
+    aggregates on node — no single-partition exchange anywhere."""
+    from deltalake_datafusion_spark.queries.advanced import (
+        pipe_ppr,
+        q_bfs_hops,
+    )
+
+    for q in (q_bfs_hops, pipe_ppr):
+        df = q(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        body = plan.split("TakeOrdered")[0]
+        assert "SinglePartition" not in body, (q.__name__, body[:900])
+        assert "Python" not in plan, (q.__name__,)
