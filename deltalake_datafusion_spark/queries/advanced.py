@@ -318,6 +318,12 @@ def specs() -> list[QuerySpec]:
         QuerySpec("text_phrase_search", text_phrase_search, _PHRASE_SQL),
         QuerySpec("delta_version_diff", delta_version_diff, _VDIFF_SQL),
         QuerySpec("q_vwap", q_vwap, _VWAP_SQL),
+        QuerySpec(
+            "dedup_threshold_curve",
+            dedup_threshold_curve,
+            _threshold_curve_sql(),
+        ),
+        QuerySpec("q_benford", q_benford, _BENFORD_SQL),
     ]
 
 
@@ -1371,4 +1377,135 @@ SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s,
   CAST(COUNT(*) AS BIGINT) AS n_trades
 FROM base WHERE EXTRACT(day FROM day) <= 3
 GROUP BY event_type, day ORDER BY event_type, day_s
+"""
+
+
+# ---------------------------------------------------------------- #
+# dedup_threshold_curve                                             #
+# ---------------------------------------------------------------- #
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-selection curve for near-dup dedup: the exact
+    Jaccard pair set (one prefix-filtered set-similarity join at the
+    lowest threshold of interest, 0.3) histogrammed into 0.1-wide
+    similarity bands — pairs-per-band is what you look at before
+    committing a dedup threshold on a new corpus. ONE pair
+    computation serves every candidate threshold (contrast: naive
+    per-threshold reruns); the oracle recomputes the bands from the
+    independent all-pairs join."""
+    from deltalake_datafusion_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from deltalake_datafusion_spark.queries.pipeline import (
+        _perturbed_docs,
+    )
+
+    corpus = _perturbed_docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", threshold=0.3, shingle_n=3
+    )
+    band = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("long")
+    return (
+        pairs.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("band")
+    )
+
+
+def _threshold_curve_sql() -> str:
+    from deltalake_datafusion_spark.queries.pipeline import (
+        _PERTURB_SQL,
+        _WORDS,
+    )
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM ({_PERTURB_SQL})
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(w[i:i+2], ' ')
+                   for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+  FROM (SELECT doc_id, {_WORDS} AS w FROM corpus)
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT CAST(LEAST(FLOOR(jaccard * 10), 9) AS BIGINT) AS band,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs WHERE jaccard >= 0.3
+GROUP BY 1 ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_benford                                                         #
+# ---------------------------------------------------------------- #
+
+# Benford expected first-digit frequencies, ppm (log10(1+1/d))
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181,
+                66947, 57992, 51153, 45757)
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    data-forensics screen for fabricated or truncated numeric
+    columns. Per digit: observed count, observed ppm, the published
+    Benford expectation (log10(1+1/d), vendored as integer ppm
+    constants so no engine computes a log), and the scaled absolute
+    deviation — all BIGINT. One scan + one 9-row aggregate."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("string"), 1, 1
+    ).cast("long")
+    per = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("t"))
+    exp_ppm = F.element_at(
+        F.array(*[F.lit(v) for v in _BENFORD_PPM]), F.col("digit").cast("int")
+    ).cast("long")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000L div t").alias("obs_ppm"),
+            exp_ppm.alias("benford_ppm"),
+            F.abs(F.expr("n * 1000000L div t") - exp_ppm).alias(
+                "abs_dev_ppm"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_SQL = f"""
+WITH per AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM per),
+exp AS (
+  SELECT * FROM (VALUES {", ".join(f"({d+1}, {v})" for d, v in enumerate(_BENFORD_PPM))})
+    AS e(digit, benford_ppm)
+)
+SELECT per.digit, per.n,
+  CAST(per.n * 1000000 // tot.t AS BIGINT) AS obs_ppm,
+  CAST(exp.benford_ppm AS BIGINT) AS benford_ppm,
+  CAST(ABS(per.n * 1000000 // tot.t - exp.benford_ppm) AS BIGINT)
+    AS abs_dev_ppm
+FROM per, tot JOIN exp ON exp.digit = per.digit
+ORDER BY per.digit
 """
