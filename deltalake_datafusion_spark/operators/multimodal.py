@@ -769,3 +769,251 @@ _UNITY_MATRIX = (
     + b"\x00\x01\x00\x00" + b"\x00" * 12
     + b"\x40\x00\x00\x00"
 )
+
+
+# ------------------------------------------------------------------ #
+# Real PNG grayscale decode (stdlib zlib) + perceptual aHash          #
+# ------------------------------------------------------------------ #
+
+
+def build_png_gray8(pixels: list, filters: list | None = None) -> bytes:
+    """Synthesize a VALID 8-bit grayscale PNG (color type 0) from a
+    row-major pixel matrix, optionally forcing a per-row filter type
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth) so tests exercise every
+    defilter branch. stdlib-only (zlib + struct)."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    filters = filters or [0] * h
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    prev = [0] * w
+    for y, row in enumerate(pixels):
+        ft = filters[y]
+        raw.append(ft)
+        for x, v in enumerate(row):
+            a = row[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if ft == 0:
+                raw.append(v & 0xFF)
+            elif ft == 1:
+                raw.append((v - a) & 0xFF)
+            elif ft == 2:
+                raw.append((v - b) & 0xFF)
+            elif ft == 3:
+                raw.append((v - (a + b) // 2) & 0xFF)
+            else:
+                raw.append((v - paeth(a, b, c)) & 0xFF)
+        prev = row
+
+    def chunk(t: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray8(payload: bytes):
+    """REAL stdlib-only PNG decode for 8-bit grayscale non-interlaced
+    images (public format: PNG spec §4.5.4 filters, RFC 1950/1951
+    inflate via zlib): parses IHDR, concatenates IDAT chunks,
+    inflates, and reverses all five scanline filters. Returns the
+    row-major pixel matrix, or None for anything that is not an
+    8-bit gray PNG (other color types need a palette/channels —
+    that's the Pillow seam)."""
+    import struct
+    import zlib
+
+    if payload is None or len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w = 8, None
+    idat = bytearray()
+    h = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if typ == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if not w or not h or bit_depth != 8 or color_type != 0 or interlace:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (w + 1):
+        return None
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    out = []
+    prev = [0] * w
+    for y in range(h):
+        ft = raw[y * (w + 1)]
+        line = raw[y * (w + 1) + 1 : (y + 1) * (w + 1)]
+        row = [0] * w
+        for x in range(w):
+            v = line[x]
+            a = row[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if ft == 0:
+                row[x] = v
+            elif ft == 1:
+                row[x] = (v + a) & 0xFF
+            elif ft == 2:
+                row[x] = (v + b) & 0xFF
+            elif ft == 3:
+                row[x] = (v + (a + b) // 2) & 0xFF
+            elif ft == 4:
+                row[x] = (v + paeth(a, b, c)) & 0xFF
+            else:
+                return None
+        out.append(row)
+        prev = row
+    return out
+
+
+def ahash64(payload: bytes) -> int | None:
+    """Perceptual average-hash of an 8-bit gray PNG, all-integer:
+    decode → EXACT integer box-average to an 8×8 grid (cell value =
+    pixel sum div pixel count; requires dims divisible by 8 — the
+    triage contract for thumbnails) → global mean = cell sum div 64
+    → bit i set iff cell_i > mean. Returned as the SIGNED 64-bit
+    two's-complement value (bit 63 = sign) so it stores in a LONG
+    column; near-dup = small hamming distance, computed engine-side
+    with bit_count(a XOR b)."""
+    px = decode_png_gray8(payload)
+    if px is None:
+        return None
+    h, w = len(px), len(px[0])
+    if h % 8 or w % 8:
+        return None
+    bh, bw = h // 8, w // 8
+    cells = []
+    for cy in range(8):
+        for cx in range(8):
+            s = sum(
+                px[cy * bh + y][cx * bw + x]
+                for y in range(bh)
+                for x in range(bw)
+            )
+            cells.append(s // (bh * bw))
+    mean = sum(cells) // 64
+    u = 0
+    for i, c in enumerate(cells):
+        if c > mean:
+            u |= 1 << i
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def ahash_image_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, ahash) via Arrow-batched mapInPandas over the real
+    PNG decoder; undecodable payloads → null hash (filtered by the
+    pair join downstream)."""
+    import pandas as pd
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), True),
+            StructField("ahash", LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "ahash": [ahash64(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema)
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Image near-dup pairs by aHash hamming distance ≤ t, banded by
+    the PIGEONHOLE principle: split the 64-bit hash into t+1 bands —
+    two hashes within hamming t must agree on ≥ 1 whole band, so a
+    bucket join on (band index, band value) is COMPLETE; exact
+    verification is one codegen ``bit_count(a XOR b)``. Same
+    never-all-pairs shape as the SimHash/MinHash tiers; bucket skew
+    (solid-color corpora) is AQE's skew-join case."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    h = hashes.filter(F.col("ahash").isNotNull())
+    bands = None
+    for i in range(n_bands):
+        lo = i * width
+        w_i = 64 - lo if i == n_bands - 1 else width
+        mask = (1 << w_i) - 1
+        b = h.select(
+            "media_id",
+            "ahash",
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned("ahash", lo)
+            .bitwiseAND(F.lit(mask).cast("long"))
+            .alias("bv"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    left = bands.select(
+        F.col("media_id").alias("a"),
+        F.col("ahash").alias("ha"),
+        "band",
+        "bv",
+    )
+    right = bands.select(
+        F.col("media_id").alias("b"),
+        F.col("ahash").alias("hb"),
+        "band",
+        "bv",
+    )
+    cand = (
+        left.join(right, ["band", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -324,6 +324,11 @@ def specs() -> list[QuerySpec]:
             _threshold_curve_sql(),
         ),
         QuerySpec("q_benford", q_benford, _BENFORD_SQL),
+        QuerySpec(
+            "multimodal_image_dedup",
+            multimodal_image_dedup,
+            _image_dedup_sql(),
+        ),
     ]
 
 
@@ -1508,4 +1513,130 @@ SELECT per.digit, per.n,
     AS abs_dev_ppm
 FROM per, tot JOIN exp ON exp.digit = per.digit
 ORDER BY per.digit
+"""
+
+
+# ---------------------------------------------------------------- #
+# multimodal_image_dedup                                            #
+# ---------------------------------------------------------------- #
+
+
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup on GENUINE PNG bytes: payloads are
+    real 8-bit grayscale PNGs (stdlib zlib deflate, per-row filters
+    cycling through all five PNG filter types), decoded by the REAL
+    stdlib inflate+defilter decoder, aHashed (integer 8×8
+    box-average bits), and paired by hamming ≤ 3 via the pigeonhole
+    band join (``operators/multimodal.py::ahash_near_dup_pairs`` —
+    complete, never all-pairs). Pixels are a deterministic function
+    of doc_id, so the ORACLE recomputes every pixel, cell, hash bit,
+    and pair arithmetically — any decode/defilter/hash bug
+    hash-mismatches. Output: near-dup pairs + hamming, plus the
+    hash-distinct count as row (-1, -1, n)."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        ahash_image_hashes,
+        ahash_near_dup_pairs,
+        build_png_gray8,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") % 19 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, variant = did % 12, did % 3
+                px = [
+                    [
+                        255
+                        if (
+                            (variant == 1 and x < 2 and y < 2)
+                            or (
+                                variant == 2
+                                and (
+                                    (x < 2 and y < 2)
+                                    or (x >= 14 and y >= 14)
+                                )
+                            )
+                        )
+                        else (x * 7 + y * 13 + g * 37) % 256
+                        for x in range(16)
+                    ]
+                    for y in range(16)
+                ]
+                payloads.append(
+                    build_png_gray8(px, [y % 5 for y in range(16)])
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    hashes = ahash_image_hashes(media).localCheckpoint(eager=True)
+    pairs = ahash_near_dup_pairs(hashes, max_hamming=3)
+    n_hashes = hashes.agg(
+        F.lit(-1).cast("long").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        F.countDistinct("ahash").cast("long").alias("hamming"),
+    )
+    return pairs.unionByName(n_hashes).orderBy("a", "b")
+
+
+def _image_dedup_sql() -> str:
+    pow2 = ", ".join(
+        f"({i}, {1 << i}::HUGEINT)" for i in range(64)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, doc_id % 12 AS g, doc_id % 3 AS variant
+  FROM documents WHERE doc_id % 19 = 0
+),
+pix AS (
+  SELECT doc_id,
+    (y.y // 2) * 8 + (x.x // 2) AS ci,
+    CASE WHEN (variant = 1 AND x.x < 2 AND y.y < 2)
+           OR (variant = 2 AND ((x.x < 2 AND y.y < 2)
+                                OR (x.x >= 14 AND y.y >= 14)))
+         THEN 255
+         ELSE (x.x * 7 + y.y * 13 + g * 37) % 256 END AS v
+  FROM docs,
+    (SELECT unnest(range(16)) AS x) x,
+    (SELECT unnest(range(16)) AS y) y
+),
+cells AS (
+  SELECT doc_id, ci, SUM(v) // 4 AS cv FROM pix GROUP BY doc_id, ci
+),
+means AS (SELECT doc_id, SUM(cv) // 64 AS m FROM cells GROUP BY doc_id),
+pow2(i, p) AS (VALUES {pow2}),
+bits AS (
+  SELECT c.doc_id,
+    SUM(CASE WHEN c.cv > means.m THEN pow2.p ELSE 0::HUGEINT END) AS u
+  FROM cells c JOIN means USING (doc_id) JOIN pow2 ON pow2.i = c.ci
+  GROUP BY c.doc_id
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+              THEN u - 18446744073709551616::HUGEINT
+              ELSE u END AS BIGINT) AS ahash
+  FROM bits
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+)
+SELECT a, b, hamming FROM pairs
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+  CAST(COUNT(DISTINCT ahash) AS BIGINT) FROM hashes
+ORDER BY a, b
 """

@@ -323,3 +323,94 @@ def test_pmi_collocations_min_count_filters(spark):
     )
     got = pmi_collocations(df, min_count=2, top_n=10).collect()
     assert [(r.a, r.b) for r in got] == [("alpha", "beta")]
+
+
+# ---------------------------------------------------------------- #
+# PNG decode + perceptual aHash                                     #
+# ---------------------------------------------------------------- #
+
+
+def test_png_roundtrip_all_filter_types():
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_png_gray8,
+        decode_png_gray8,
+    )
+
+    px = [[(x * 7 + y * 13) % 256 for x in range(16)] for y in range(16)]
+    for flt in (
+        [0] * 16, [1] * 16, [2] * 16, [3] * 16, [4] * 16,
+        [y % 5 for y in range(16)],
+    ):
+        assert decode_png_gray8(build_png_gray8(px, flt)) == px, flt
+
+
+def test_png_decode_rejects_non_gray8_and_garbage():
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_png_gray8,
+        decode_png_gray8,
+    )
+
+    assert decode_png_gray8(None) is None
+    assert decode_png_gray8(b"not a png") is None
+    b = bytearray(build_png_gray8([[1, 2], [3, 4]]))
+    b[25] = 2  # IHDR color_type -> RGB: out of the gray8 contract
+    assert decode_png_gray8(bytes(b)) is None
+    # corrupt the IDAT stream -> clean None, not an exception
+    b2 = bytearray(build_png_gray8([[1, 2], [3, 4]]))
+    b2[45] ^= 0xFF
+    assert decode_png_gray8(bytes(b2)) is None
+
+
+def test_ahash_flat_vs_gradient_and_sign_bit():
+    from deltalake_datafusion_spark.operators.multimodal import (
+        ahash64,
+        build_png_gray8,
+    )
+
+    flat = [[100] * 16 for _ in range(16)]
+    assert ahash64(build_png_gray8(flat)) == 0  # nothing above mean
+    # bright bottom-right half sets the high cells incl. bit 63
+    grad = [[255 if y >= 8 else 0] * 16 for y in range(16)]
+    grad = [[255 if y >= 8 else 0 for _ in range(16)] for y in range(16)]
+    h = ahash64(build_png_gray8(grad))
+    assert h < 0  # bit 63 set -> negative two's-complement long
+    assert ahash64(b"junk") is None
+
+
+def test_ahash_banding_complete_vs_bruteforce(spark):
+    from deltalake_datafusion_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+    )
+
+    # crafted hashes: pairs at hamming 0..4 incl. cross-band flips
+    def s64(v):
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, s64(base)),
+        (2, s64(base ^ 0b1)),                   # hamming 1 (band 0)
+        (3, s64(base ^ (1 << 17) ^ (1 << 35))),  # hamming 2 (bands 1,2)
+        (4, s64(base ^ (1 << 5) ^ (1 << 21) ^ (1 << 63))),  # hamming 3
+        (5, s64(base ^ 0b1111)),                # hamming 4 -> excluded
+        (6, None),                              # null -> ignored
+    ]
+    df = spark.createDataFrame(rows, "media_id long, ahash long")
+    got = sorted(
+        (r.a, r.b, r.hamming)
+        for r in ahash_near_dup_pairs(df, max_hamming=3).collect()
+    )
+    import itertools
+
+    hs = {i: h for i, h in rows if h is not None}
+    def ham(u, v):
+        return bin((u ^ v) & ((1 << 64) - 1)).count("1")
+
+    want = sorted(
+        (a, b, ham(hs[a], hs[b]))
+        for a, b in itertools.combinations(sorted(hs), 2)
+        if ham(hs[a], hs[b]) <= 3
+    )
+    assert got == want
+    assert (1, 2, 1) in got and (1, 4, 3) in got
