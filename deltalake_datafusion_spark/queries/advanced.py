@@ -329,6 +329,11 @@ def specs() -> list[QuerySpec]:
             multimodal_image_dedup,
             _image_dedup_sql(),
         ),
+        QuerySpec(
+            "multimodal_audio_energy",
+            multimodal_audio_energy,
+            _AUDIO_ENERGY_SQL,
+        ),
     ]
 
 
@@ -1639,4 +1644,90 @@ UNION ALL
 SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
   CAST(COUNT(DISTINCT ahash) AS BIGINT) FROM hashes
 ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------- #
+# multimodal_audio_energy                                           #
+# ---------------------------------------------------------------- #
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM sample parsing
+    (``operators/multimodal.py::pcm_window_energy``): genuine mono
+    16-bit WAVs whose samples are the deterministic triangle-ish
+    sequence ``((i·37 + doc_id·101) mod 2001) − 1000``; the operator
+    parses the byte stream with a zero-copy numpy int16 view and
+    emits per 400-frame window the exact integer energy Σs². The
+    oracle recomputes every sample and window sum arithmetically —
+    a byte-offset or endianness bug in the parser hash-mismatches.
+    Output: per-media window count, total frames, total energy;
+    every 7th payload is junk and contributes nothing."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_wav_pcm16,
+        pcm_window_energy,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") % 23 == 0)
+        .select("doc_id")
+    )
+
+    def build(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 7 == 3:
+                    payloads.append(b"not riff audio")
+                    continue
+                n = 500 + (did % 13) * 211
+                samples = [
+                    ((i * 37 + did * 101) % 2001) - 1000
+                    for i in range(n)
+                ]
+                payloads.append(build_wav_pcm16(samples))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    eng = pcm_window_energy(media, window_frames=400)
+    return (
+        eng.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+            F.sum("sumsq").cast("long").alias("total_energy"),
+            F.max("sumsq").cast("long").alias("peak_window_energy"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_AUDIO_ENERGY_SQL = """
+WITH docs AS (
+  SELECT doc_id, 500 + (doc_id % 13) * 211 AS n
+  FROM documents WHERE doc_id % 23 = 0 AND doc_id % 7 <> 3
+),
+samples AS (
+  SELECT doc_id, i.i AS i, n,
+    ((i.i * 37 + doc_id * 101) % 2001) - 1000 AS s
+  FROM docs, LATERAL (SELECT unnest(range(n)) AS i) i
+),
+win AS (
+  SELECT doc_id, i // 400 AS seg_idx,
+    CAST(COUNT(*) AS BIGINT) AS n_frames,
+    CAST(SUM(s * s) AS BIGINT) AS sumsq
+  FROM samples GROUP BY doc_id, i // 400
+)
+SELECT doc_id AS media_id,
+  CAST(COUNT(*) AS BIGINT) AS n_windows,
+  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+  CAST(SUM(sumsq) AS BIGINT) AS total_energy,
+  CAST(MAX(sumsq) AS BIGINT) AS peak_window_energy
+FROM win GROUP BY doc_id ORDER BY media_id
 """

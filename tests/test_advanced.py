@@ -414,3 +414,41 @@ def test_ahash_banding_complete_vs_bruteforce(spark):
     )
     assert got == want
     assert (1, 2, 1) in got and (1, 4, 3) in got
+
+
+def test_pcm_window_energy_exact_and_skip(spark):
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_wav_pcm16,
+        pcm_window_energy,
+    )
+
+    samples = [((i * 3) % 201) - 100 for i in range(950)]
+    rows = [
+        (1, bytearray(build_wav_pcm16(samples))),
+        (2, bytearray(b"junk")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r.media_id, r.seg_idx): (r.n_frames, r.sumsq)
+        for r in pcm_window_energy(df, window_frames=400).collect()
+    }
+    assert set(k[0] for k in got) == {1}
+    assert got[(1, 0)] == (400, sum(s * s for s in samples[:400]))
+    assert got[(1, 2)] == (150, sum(s * s for s in samples[800:]))
+
+
+def test_pcm_energy_negative_samples_and_endianness(spark):
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_wav_pcm16,
+        pcm_window_energy,
+    )
+
+    samples = [-32768, 32767, -1, 0, 1]
+    df = spark.createDataFrame(
+        [(7, bytearray(build_wav_pcm16(samples)))],
+        "media_id long, payload binary",
+    )
+    r = pcm_window_energy(df, window_frames=400).collect()[0]
+    assert r.sumsq == sum(s * s for s in samples)
+    assert r.n_frames == 5
