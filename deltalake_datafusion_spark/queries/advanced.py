@@ -334,6 +334,10 @@ def specs() -> list[QuerySpec]:
             multimodal_audio_energy,
             _AUDIO_ENERGY_SQL,
         ),
+        QuerySpec("q_linreg_trend", q_linreg_trend, _LINREG_SQL),
+        QuerySpec(
+            "q_gini_concentration", q_gini_concentration, _GINI_SQL
+        ),
     ]
 
 
@@ -1730,4 +1734,149 @@ SELECT doc_id AS media_id,
   CAST(SUM(sumsq) AS BIGINT) AS total_energy,
   CAST(MAX(sumsq) AS BIGINT) AS peak_window_energy
 FROM win GROUP BY doc_id ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_linreg_trend                                                    #
+# ---------------------------------------------------------------- #
+
+
+def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of event value over time, EXACT: the
+    closed-form slope ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` emitted
+    as its integer numerator/denominator pair (x = days since the
+    type's first event, y = cents) — covariance and trend direction
+    without a single float (Spark's regr_slope sums doubles whose
+    value depends on reduction order). Two passes: an O(groups)
+    min-date aggregate broadcast back, then ONE map-side-combined
+    groupBy accumulating the five sums."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    mins = base.groupBy("event_type").agg(F.min("d").alias("d0"))
+    xy = base.join(F.broadcast(mins), "event_type").select(
+        "event_type",
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("x"),
+        "y",
+    )
+    agg = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.expr("n * sxy - sx * sy").alias("slope_num"),
+        F.expr("n * sxx - sx * sx").alias("slope_den"),
+        F.expr(
+            "CASE WHEN n * sxy - sx * sy > 0 THEN 'up' "
+            "WHEN n * sxy - sx * sy < 0 THEN 'down' ELSE 'flat' END"
+        ).alias("trend"),
+    ).orderBy("event_type")
+
+
+_LINREG_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+mins AS (SELECT event_type, MIN(d) AS d0 FROM base GROUP BY event_type),
+xy AS (
+  SELECT b.event_type,
+    CAST(datediff('day', m.d0, b.d) AS BIGINT) AS x, b.y
+  FROM base b JOIN mins m USING (event_type)
+),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, n,
+  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+  CASE WHEN n * sxy - sx * sy > 0 THEN 'up'
+       WHEN n * sxy - sx * sy < 0 THEN 'down' ELSE 'flat' END AS trend
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_gini_concentration                                              #
+# ---------------------------------------------------------------- #
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Gini coefficient) per order priority,
+    EXACT: over the sorted per-customer revenues the Gini is
+    ``(2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`` — emitted as its integer
+    numerator/denominator pair. Rank comes from one per-priority
+    window over the customer aggregate (total order: cents then
+    custkey); everything after is a map-side-combined groupBy."""
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    per = o.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "cents", "o_custkey"
+    )
+    ranked = per.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum(F.col("i") * F.col("cents")).cast("long").alias("sic"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_customers",
+            "total_cents",
+            F.expr("2 * sic - (n_customers + 1) * total_cents").alias(
+                "gini_num"
+            ),
+            F.expr("n_customers * total_cents").alias("gini_den"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_GINI_SQL = """
+WITH per AS (
+  SELECT o_orderpriority, o_custkey,
+    CAST(SUM(FLOOR(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_orderpriority, o_custkey
+),
+ranked AS (
+  SELECT o_orderpriority, cents,
+    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents, o_custkey) AS BIGINT) AS i
+  FROM per
+),
+agg AS (
+  SELECT o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS n_customers,
+    CAST(SUM(cents) AS BIGINT) AS total_cents,
+    CAST(SUM(i * cents) AS BIGINT) AS sic
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_customers, total_cents,
+  CAST(2 * sic - (n_customers + 1) * total_cents AS BIGINT) AS gini_num,
+  CAST(n_customers * total_cents AS BIGINT) AS gini_den
+FROM agg ORDER BY o_orderpriority
 """
