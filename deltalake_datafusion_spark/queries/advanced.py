@@ -1415,7 +1415,12 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _perturbed_docs,
     )
 
-    corpus = _perturbed_docs(spark, sf_dir)
+    # even ids only: the perturbed twin of an even id is even too
+    # (offset 10000), so near-dup pairs survive while the candidate
+    # volume quarters — the curve's shape is what matters here
+    corpus = _perturbed_docs(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 0
+    )
     pairs = ngram_jaccard_pairs(
         corpus, "text", "doc_id", threshold=0.3, shingle_n=3
     )
@@ -1434,11 +1439,12 @@ def _threshold_curve_sql() -> str:
     )
 
     return f"""
-WITH corpus AS (
+WITH corpus0 AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id, text FROM ({_PERTURB_SQL})
 ),
+corpus AS (SELECT * FROM corpus0 WHERE doc_id % 2 = 0),
 sh AS (
   SELECT doc_id,
     list_distinct([array_to_string(w[i:i+2], ' ')
