@@ -338,6 +338,14 @@ def specs() -> list[QuerySpec]:
         QuerySpec(
             "q_gini_concentration", q_gini_concentration, _GINI_SQL
         ),
+        QuerySpec(
+            "pipe_corpus_checksum", pipe_corpus_checksum, _CHECKSUM_SQL
+        ),
+        QuerySpec(
+            "delta_partition_profile",
+            delta_partition_profile,
+            _PART_PROFILE_SQL,
+        ),
     ]
 
 
@@ -1885,4 +1893,120 @@ SELECT o_orderpriority, n_customers, total_cents,
   CAST(2 * sic - (n_customers + 1) * total_cents AS BIGINT) AS gini_num,
   CAST(n_customers * total_cents AS BIGINT) AS gini_den
 FROM agg ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------- #
+# pipe_corpus_checksum                                              #
+# ---------------------------------------------------------------- #
+
+
+def pipe_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent corpus checksum for dataset versioning: per
+    shard (doc_id mod 8), the BIT_XOR of the portable 60-bit md5
+    row hashes (over id‖text) plus the row count — two corpora are
+    byte-identical iff every (shard, checksum, count) row matches,
+    regardless of row order, partitioning, or file layout (XOR is
+    commutative/associative and cannot overflow at any scale; the
+    count catches the one thing XOR misses — rows occurring an even
+    number of times). The training-reproducibility primitive: store
+    these 8 rows with the model run; re-derive anytime. One
+    map-side-combined groupBy."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("doc_id").cast("string"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select((F.col("doc_id") % 8).alias("shard"), h.alias("__h"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(__h)").cast("long").alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+_CHECKSUM_SQL = """
+SELECT doc_id % 8 AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(BIT_XOR(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || chr(31)
+                                        || COALESCE(text, '')), 1, 15))
+                    AS BIGINT)) AS BIGINT) AS checksum
+FROM documents GROUP BY doc_id % 8 ORDER BY shard
+"""
+
+
+# ---------------------------------------------------------------- #
+# delta_partition_profile                                           #
+# ---------------------------------------------------------------- #
+
+
+def delta_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition table profile computed ENTIRELY from the
+    transaction log — file counts, exact row counts (add-file
+    numRecords stats), and total bytes per partition value, with
+    ZERO data files read (the plan the log's stats exist to enable;
+    at 100 TB this answers 'how big is each partition' from
+    KB-scale metadata). The oracle recomputes the same profile by
+    actually aggregating the source rows — so the log stats are
+    value-checked against the data they describe."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    path = _fresh_dir("partprofile", sf_dir)
+    write_delta(
+        spark,
+        c.select("c_custkey", "c_mktsegment"),
+        path,
+        partition_by=["c_mktsegment"],
+    )
+    snap = load_snapshot(path, spark=spark)
+    import json as _json
+
+    rows = []
+    for f in snap.files:
+        st = _json.loads(f.stats) if f.stats else {}
+        rows.append(
+            (
+                f.partition_values.get("c_mktsegment"),
+                int(st.get("numRecords") or 0),
+                int(f.size),
+            )
+        )
+    prof = spark.createDataFrame(
+        rows, "c_mktsegment string, n_rows long, n_bytes long"
+    )
+    return (
+        prof.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            (F.sum("n_bytes") > 0).alias("has_bytes"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_PART_PROFILE_SQL = """
+SELECT c_mktsegment,
+  CAST(1 AS BIGINT) AS n_files,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  TRUE AS has_bytes
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
