@@ -346,6 +346,9 @@ def specs() -> list[QuerySpec]:
             delta_partition_profile,
             _PART_PROFILE_SQL,
         ),
+        QuerySpec(
+            "streaming_late_drop", streaming_late_drop, _LATE_DROP_SQL
+        ),
     ]
 
 
@@ -2009,4 +2012,109 @@ SELECT c_mktsegment,
   CAST(COUNT(*) AS BIGINT) AS n_rows,
   TRUE AS has_bytes
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------- #
+# streaming_late_drop                                               #
+# ---------------------------------------------------------------- #
+
+
+def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics pinned end to end, one commit
+    per micro-batch (maxVersionsPerTrigger=1, processing-time
+    trigger, stop when drained): commit 0 streams days 1-5 of
+    events; commit 1 a day-10 row that advances the watermark past
+    those windows and EVICTS them; commit 2 RE-SENDS every day-1
+    event — now beyond the eviction watermark, so the engine must
+    DROP them (Spark's late threshold is the watermark used for the
+    last state eviction) — plus a day-12 row; commit 3 a day-14 row
+    that flushes the day-10 window. The appended result must hold
+    days 1-5 EXACTLY ONCE with the original counts plus the single
+    day-10 row: un-dropped late data would re-emit day 1 (extra
+    row), doubling it; eager dropping would lose days 3-5."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+    from deltalake_datafusion_spark.streaming.delta_source import (
+        register_delta_stream_source,
+    )
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    base = ev.filter(F.col("ts") < "2024-01-06").select(
+        "event_id", "ts", "event_type"
+    )
+    path = _fresh_dir("latedrop", sf_dir)
+
+    def bump(eid: int, ts: str):
+        return spark.createDataFrame(
+            [(eid, ts, "view")],
+            "event_id long, ts string, event_type string",
+        ).select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+        )
+
+    write_delta(spark, base, path)                          # commit 0
+    write_delta(spark, bump(999999999, "2024-01-10 12:00:00"),
+                path, mode="append")                        # commit 1
+    late = base.filter(F.col("ts") < "2024-01-02")
+    write_delta(
+        spark,
+        late.unionByName(bump(999999998, "2024-01-12 12:00:00")),
+        path,
+        mode="append",
+    )                                                       # commit 2
+    write_delta(spark, bump(999999997, "2024-01-14 12:00:00"),
+                path, mode="append")                        # commit 3
+
+    register_delta_stream_source(spark)
+    snap = load_snapshot(path)
+    stream = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .schema(snap.schema)
+        .load()
+    )
+    counts = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "n_events",
+        )
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("q_streaming_late_drop")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 240
+    while (
+        _time.time() < deadline
+        and spark.table("q_streaming_late_drop").count() < 6
+    ):
+        _time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    return spark.table("q_streaming_late_drop").orderBy("day")
+
+
+_LATE_DROP_SQL = """
+SELECT day, n_events FROM (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE ts < '2024-01-06'
+  GROUP BY 1
+  UNION ALL
+  SELECT '2024-01-10', CAST(1 AS BIGINT)
+) ORDER BY day
 """
