@@ -349,6 +349,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec(
             "streaming_late_drop", streaming_late_drop, _LATE_DROP_SQL
         ),
+        QuerySpec(
+            "pipe_entity_resolution", pipe_entity_resolution, _er_sql()
+        ),
     ]
 
 
@@ -2118,3 +2121,138 @@ SELECT day, n_events FROM (
   SELECT '2024-01-10', CAST(1 AS BIGINT)
 ) ORDER BY day
 """
+
+
+# ---------------------------------------------------------------- #
+# pipe_entity_resolution                                            #
+# ---------------------------------------------------------------- #
+
+ER_UNROLL = 6  # oracle label-propagation rounds (clusters are tiny)
+
+
+def pipe_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END TO END — the MDM pipeline assembled
+    from the repo's operators: deterministic duplicate records are
+    planted (every 7th customer gets a typo'd twin: first name char
+    replaced, +123 cents), then deletion-neighborhood FUZZY blocking
+    + exact Levenshtein verify (complete at distance ≤ 1) finds
+    match pairs, CONNECTED COMPONENTS clusters them, and
+    SURVIVORSHIP keeps each cluster's (cents, id)-max record.
+    Names are md5-hex so unrelated records don't collide at
+    distance 1. Output: input/pair/entity counts + the exact
+    survivor cents sum; the oracle replays blocking as the all-pairs
+    Levenshtein truth and unrolls label propagation — so blocking
+    completeness AND clustering AND survivorship are all
+    value-checked."""
+    from deltalake_datafusion_spark.operators.fuzzy import (
+        fuzzy_near_duplicates,
+    )
+    from deltalake_datafusion_spark.operators.graph import (
+        connected_components,
+    )
+
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    base = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12).alias(
+            "name"
+        ),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    dupes = base.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + 10000000).alias("id"),
+        F.concat(F.lit("z"), F.substring("name", 2, 11)).alias("name"),
+        (F.col("cents") + 123).alias("cents"),
+    )
+    recs = base.unionByName(dupes).localCheckpoint(eager=True)
+    pairs = fuzzy_near_duplicates(recs, "id", "name", max_dist=1)
+    comp = connected_components(pairs, "id_a", "id_b")
+    labeled = recs.join(
+        comp.withColumnRenamed("id", "rid"),
+        recs["id"] == F.col("rid"),
+        "left",
+    ).select(
+        "id",
+        "cents",
+        F.coalesce("comp", recs["id"]).alias("entity"),
+    )
+    survivors = labeled.groupBy("entity").agg(
+        F.max("cents").alias("best_cents"),
+        F.count(F.lit(1)).cast("long").alias("sz"),
+    )
+    return (
+        survivors.agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.sum("sz").cast("long").alias("n_input"),
+            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_merged_entities"),
+            F.sum("best_cents").cast("long").alias("survivor_cents"),
+        )
+    )
+
+
+def _er_sql(rounds: int = ER_UNROLL) -> str:
+    parts = [
+        """
+WITH base AS (
+  SELECT c_custkey AS id,
+    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS name,
+    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer WHERE c_custkey % 3 = 0
+),
+recs AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT id + 10000000, 'z' || substr(name, 2, 11), cents + 123
+  FROM base WHERE id % 7 = 0
+),
+pairs AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM recs a JOIN recs b ON a.id < b.id
+  WHERE abs(length(a.name) - length(b.name)) <= 1
+    AND levenshtein(a.name, b.name) <= 1
+),
+l0 AS (
+  SELECT id, LEAST(id, MIN(nb)) AS lbl FROM (
+    SELECT ia AS id, ib AS nb FROM pairs
+    UNION ALL SELECT ib, ia FROM pairs
+  ) GROUP BY id
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+l{t} AS (
+  SELECT n.id, LEAST(n.lbl, COALESCE(MIN(p.lbl), n.lbl)) AS lbl
+  FROM l{t - 1} n
+  LEFT JOIN (
+    SELECT ia AS id, ib AS nb FROM pairs
+    UNION ALL SELECT ib, ia FROM pairs
+  ) e ON e.id = n.id
+  LEFT JOIN l{t - 1} p ON p.id = e.nb
+  GROUP BY n.id, n.lbl
+)"""
+        )
+    parts.append(
+        f""",
+labeled AS (
+  SELECT r.id, r.cents, COALESCE(l.lbl, r.id) AS entity
+  FROM recs r LEFT JOIN l{rounds} l ON l.id = r.id
+),
+surv AS (
+  SELECT entity,
+    MAX(cents) AS best_cents,
+    CAST(COUNT(*) AS BIGINT) AS sz
+  FROM labeled GROUP BY entity
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
+  CAST(SUM(sz) AS BIGINT) AS n_input,
+  CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_merged_entities,
+  CAST(SUM(best_cents) AS BIGINT) AS survivor_cents
+FROM surv"""
+    )
+    return "".join(parts)
