@@ -2095,7 +2095,7 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.writeStream.format("memory")
         .queryName("q_streaming_late_drop")
         .outputMode("append")
-        .trigger(processingTime="300 milliseconds")
+        .trigger(processingTime="150 milliseconds")
         .start()
     )
     import time as _time
@@ -2105,7 +2105,7 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         _time.time() < deadline
         and spark.table("q_streaming_late_drop").count() < 6
     ):
-        _time.sleep(1)
+        _time.sleep(0.2)
     q.stop()
     q.awaitTermination(60)
     return spark.table("q_streaming_late_drop").orderBy("day")
