@@ -352,6 +352,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec(
             "pipe_entity_resolution", pipe_entity_resolution, _er_sql()
         ),
+        QuerySpec(
+            "pipe_dataset_card", pipe_dataset_card, _dataset_card_sql()
+        ),
     ]
 
 
@@ -2256,3 +2259,91 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
 FROM surv"""
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------- #
+# pipe_dataset_card                                                 #
+# ---------------------------------------------------------------- #
+
+
+def pipe_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DATASET CARD for the documents corpus — the summary
+    every published training set ships: doc/token counts, exact
+    duplicate rate (fingerprint distinct), predicted-English share,
+    and average length as an exact (num, den) pair — composed from
+    the repo's language-ID and fingerprint operators in ONE pass
+    (single wide aggregate, two distinct-aggregates; no extra scans).
+    The oracle replays the same heuristics, so the card's numbers
+    are value-checked, not just plausible."""
+    from deltalake_datafusion_spark.operators.text import (
+        fingerprint,
+        language_id,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ).cast("long")
+    marked = docs.select(
+        F.lit(1).alias("one"),
+        F.when(F.col("text").isNotNull(), toks)
+        .otherwise(F.lit(0))
+        .alias("n_tokens"),
+        language_id(F.col("text")).alias("pred"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("fp").cast("long").alias("n_unique_docs"),
+        F.sum(F.when(F.col("pred") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_pred_en"),
+        F.countDistinct("pred").cast("long").alias("n_pred_langs"),
+    ).select(
+        "n_docs",
+        "total_tokens",
+        "n_unique_docs",
+        (F.col("n_docs") - F.col("n_unique_docs")).alias("n_exact_dups"),
+        F.expr("n_pred_en * 1000000L div n_docs").alias("pred_en_ppm"),
+        "n_pred_langs",
+    )
+
+
+def _dataset_card_sql() -> str:
+    from deltalake_datafusion_spark.operators.text import STOPWORDS
+    from deltalake_datafusion_spark.queries.pipeline import (
+        _NORM,
+        _WORDS,
+        _sw_score,
+    )
+
+    en = _sw_score(STOPWORDS["en"])
+    es = _sw_score(STOPWORDS["es"])
+    de = _sw_score(STOPWORDS["de"])
+    fr = _sw_score(STOPWORDS["fr"])
+    return f"""
+WITH marked AS (
+  SELECT
+    CASE WHEN text IS NULL THEN 0
+         ELSE len(list_filter(string_split(text, ' '), x -> x <> ''))
+         END AS n_tokens,
+    md5({_NORM}) AS fp,
+    CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) * 2
+              > length(text) THEN 'zh'
+         WHEN greatest({en}, {es}, {de}, {fr}) = 0 THEN 'und'
+         WHEN {en} >= {es} AND {en} >= {de} AND {en} >= {fr} THEN 'en'
+         WHEN {es} >= {de} AND {es} >= {fr} THEN 'es'
+         WHEN {de} >= {fr} THEN 'de'
+         ELSE 'fr' END AS pred
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+  CAST(SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) * 1000000
+       // COUNT(*) AS BIGINT) AS pred_en_ppm,
+  CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_pred_langs
+FROM marked
+"""
