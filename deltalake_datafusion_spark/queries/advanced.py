@@ -355,6 +355,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec(
             "pipe_dataset_card", pipe_dataset_card, _dataset_card_sql()
         ),
+        QuerySpec("q_hll_rollup", q_hll_rollup, _hll_rollup_sql()),
     ]
 
 
@@ -2346,4 +2347,92 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        // COUNT(*) AS BIGINT) AS pred_en_ppm,
   CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_pred_langs
 FROM marked
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_hll_rollup                                                      #
+# ---------------------------------------------------------------- #
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ROLLUP HIERARCHY — the 100 TB distinct-count pattern:
+    build (day, hour) HLL register rows ONCE over the first week of
+    events, then answer daily AND overall distinct-user questions
+    purely by MERGING registers (element-wise max — lossless,
+    pytest-pinned) with zero raw re-reads. Exact distincts sit
+    beside the estimates; the oracle recomputes registers per level
+    directly, which equals the merged hierarchy by associativity of
+    max. This is why sketch state persists as rows: yesterday's
+    hourly sketches answer this quarter's questions."""
+    from deltalake_datafusion_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    ev = (
+        load_tables(spark, sf_dir, "events")["events"]
+        .filter(F.col("ts") < "2024-01-08")
+        .select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").alias("hr"),
+            "user_id",
+        )
+    )
+    hourly = hll_sketch(ev, "user_id", ["day", "hr"]).localCheckpoint(
+        eager=True
+    )
+    daily = hourly.groupBy("day", "idx").agg(F.max("reg").alias("reg"))
+    overall = (
+        hourly.withColumn("day", F.lit("ALL"))
+        .groupBy("day", "idx")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est = hll_estimate(daily.unionByName(overall), ["day"])
+    ex_day = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    ex_all = ev.agg(
+        F.lit("ALL").alias("day"),
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+    )
+    return (
+        est.join(ex_day.unionByName(ex_all), "day")
+        .select("day", "n_exact",
+                F.round("n_distinct_est", 4).alias("hll_est"))
+        .orderBy("day")
+    )
+
+
+def _hll_rollup_sql() -> str:
+    from deltalake_datafusion_spark.queries.web import (
+        _hll_estimate_tail_sql,
+    )
+
+    return f"""
+WITH ev AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id
+  FROM events WHERE ts < '2024-01-08'
+),
+h AS (
+  SELECT day AS grp,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM ev WHERE user_id IS NOT NULL
+  UNION ALL
+  SELECT 'ALL',
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT)
+  FROM ev WHERE user_id IS NOT NULL
+),
+{_hll_estimate_tail_sql()},
+exact AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM ev GROUP BY day
+  UNION ALL
+  SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM ev
+)
+SELECT exact.day, n_exact, ROUND(e, 4) AS hll_est
+FROM exact JOIN est ON est.grp = exact.day
+ORDER BY exact.day
 """
