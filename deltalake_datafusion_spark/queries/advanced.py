@@ -356,6 +356,7 @@ def specs() -> list[QuerySpec]:
             "pipe_dataset_card", pipe_dataset_card, _dataset_card_sql()
         ),
         QuerySpec("q_hll_rollup", q_hll_rollup, _hll_rollup_sql()),
+        QuerySpec("q_seasonality", q_seasonality, _SEASONALITY_SQL),
     ]
 
 
@@ -2435,4 +2436,51 @@ exact AS (
 SELECT exact.day, n_exact, ROUND(e, 4) AS hll_est
 FROM exact JOIN est ON est.grp = exact.day
 ORDER BY exact.day
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_seasonality                                                     #
+# ---------------------------------------------------------------- #
+
+
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: event counts + exact revenue
+    cents per (day-of-week, 6-hour bucket). Day-of-week computed
+    from EPOCH-DAY ARITHMETIC (``(days + 4) mod 7``, 0=Sunday) —
+    engine calendars disagree on dow numbering (Spark 1=Sunday,
+    DuckDB 0=Sunday, isodow 1=Monday), integer arithmetic doesn't.
+    One map-side-combined groupBy over a 28-cell grid."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    dow = F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")) + 4, 7)
+    return (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            dow.cast("long").alias("dow"),
+            (F.hour("ts") / 6).cast("long").alias("hour_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.floor(
+                    F.coalesce(F.col("value"), F.lit(0.0)) * 100
+                    + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("dow", "hour_bucket")
+    )
+
+
+_SEASONALITY_SQL = """
+SELECT
+  CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+       AS BIGINT) AS dow,
+  CAST(EXTRACT(hour FROM ts) // 6 AS BIGINT) AS hour_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(FLOOR(COALESCE(value, 0) * 100 + 0.5)) AS BIGINT) AS cents
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1, 2 ORDER BY dow, hour_bucket
 """
