@@ -741,3 +741,30 @@ def test_ppr_and_bfs_single_shuffle_per_round(spark, sf_dir):
         body = plan.split("TakeOrdered")[0]
         assert "SinglePartition" not in body, (q.__name__, body[:900])
         assert "Python" not in plan, (q.__name__,)
+
+
+def test_round9b_final_additions_no_python(spark, sf_dir):
+    """Dataset card, HLL rollup, seasonality, WOE/Benford-style
+    aggregates: pure expression trees (fingerprint/langid/sketch
+    registers are md5 expression arithmetic, not UDFs)."""
+    from deltalake_datafusion_spark.queries.advanced import (
+        pipe_corpus_checksum,
+        pipe_dataset_card,
+        q_benford,
+        q_hll_rollup,
+        q_seasonality,
+    )
+
+    for q in (
+        pipe_dataset_card,
+        q_hll_rollup,
+        q_seasonality,
+        q_benford,
+        pipe_corpus_checksum,
+    ):
+        plan = (
+            q(spark, sf_dir)._jdf.queryExecution().executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan, (q.__name__, plan[:900])
+        assert "CartesianProduct" not in plan, (q.__name__,)
