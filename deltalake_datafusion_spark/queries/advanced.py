@@ -357,6 +357,10 @@ def specs() -> list[QuerySpec]:
         ),
         QuerySpec("q_hll_rollup", q_hll_rollup, _hll_rollup_sql()),
         QuerySpec("q_seasonality", q_seasonality, _SEASONALITY_SQL),
+        QuerySpec("text_readability", text_readability, _READABILITY_SQL),
+        QuerySpec(
+            "q_new_vs_returning", q_new_vs_returning, _NEW_RETURNING_SQL
+        ),
     ]
 
 
@@ -2483,4 +2487,125 @@ SELECT
   CAST(SUM(FLOOR(COALESCE(value, 0) * 100 + 0.5)) AS BIGINT) AS cents
 FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2 ORDER BY dow, hour_bucket
+"""
+
+
+# ---------------------------------------------------------------- #
+# text_readability                                                  #
+# ---------------------------------------------------------------- #
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid grade level as an EXACT RATIONAL: per doc the
+    word count, sentence count (., !, ? runs; min 1), and syllable
+    estimate (vowel groups per word — the standard approximation),
+    then ``100·grade = (39·W² + 1180·Syl·Snt − 1559·Snt·W) /
+    (Snt·W)`` emitted as the integer (num, den) pair — the readability
+    gate of quality pipelines without a float in the contract. Pure
+    expression tree (regexp counts), one scan; doc_id < 30 for a
+    bounded result."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    words = F.size(
+        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    ).cast("long")
+    sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")).cast(
+            "long"
+        ),
+        F.lit(1).cast("long"),
+    )
+    syllables = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("long")
+    base = docs.filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 30)
+    ).select(
+        "doc_id",
+        words.alias("w"),
+        sentences.alias("snt"),
+        syllables.alias("syl"),
+    ).filter(F.col("w") > 0)
+    return base.select(
+        "doc_id",
+        "w",
+        "snt",
+        "syl",
+        (
+            F.lit(39) * F.col("w") * F.col("w")
+            + F.lit(1180) * F.col("syl") * F.col("snt")
+            - F.lit(1559) * F.col("snt") * F.col("w")
+        ).alias("grade_num_x100"),
+        (F.col("snt") * F.col("w")).alias("grade_den"),
+    ).orderBy("doc_id")
+
+
+_READABILITY_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+'),
+                         x -> x <> '')) AS BIGINT) AS w,
+    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+             1) AS snt,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         AS BIGINT) AS syl
+  FROM documents WHERE text IS NOT NULL AND doc_id < 30
+)
+SELECT doc_id, w, snt, syl,
+  CAST(39 * w * w + 1180 * syl * snt - 1559 * snt * w
+       AS BIGINT) AS grade_num_x100,
+  CAST(snt * w AS BIGINT) AS grade_den
+FROM base WHERE w > 0 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_new_vs_returning                                                #
+# ---------------------------------------------------------------- #
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning user split per day — the product-analytics
+    staple: a user's FIRST-ever event day marks them new that day,
+    returning after (min-ts window per user, then one day rollup);
+    exact revenue cents per segment beside the counts. Two shuffles
+    (per-user window + day rollup), both map-side combined."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id")
+    marked = ev.filter(F.col("ts").isNotNull()).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.when(
+            F.to_date("ts") == F.to_date(F.min("ts").over(w)), "new"
+        )
+        .otherwise("returning")
+        .alias("segment"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        marked.filter(F.col("day") < "2024-01-08")
+        .groupBy("day", "segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("day", "segment")
+    )
+
+
+_NEW_RETURNING_SQL = """
+WITH marked AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+    CASE WHEN CAST(ts AS DATE) =
+              CAST(MIN(ts) OVER (PARTITION BY user_id) AS DATE)
+         THEN 'new' ELSE 'returning' END AS segment,
+    CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT day, segment,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(cents) AS BIGINT) AS cents
+FROM marked WHERE day < '2024-01-08'
+GROUP BY day, segment ORDER BY day, segment
 """
