@@ -361,6 +361,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec(
             "q_new_vs_returning", q_new_vs_returning, _NEW_RETURNING_SQL
         ),
+        QuerySpec("q_cohort_ltv", q_cohort_ltv, _COHORT_LTV_SQL),
     ]
 
 
@@ -2608,4 +2609,90 @@ SELECT day, segment,
   CAST(SUM(cents) AS BIGINT) AS cents
 FROM marked WHERE day < '2024-01-08'
 GROUP BY day, segment ORDER BY day, segment
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_cohort_ltv                                                      #
+# ---------------------------------------------------------------- #
+
+LTV_BUCKET = 7 * 86400  # weekly cohorts, epoch-aligned
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curve — the revenue companion to the
+    retention matrix: users cohort by the epoch-aligned week of
+    their first event (pmod-adjusted FLOOR division, the repo's
+    pre-1970-safe bucketing); per (cohort, week offset) the exact
+    purchase cents, then the CUMULATIVE LTV per cohort as a running
+    sum window — all integer. Plan: one per-user min window, one
+    (cohort, offset) rollup, one tiny per-cohort running-sum
+    window."""
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    b = LTV_BUCKET
+    epoch = F.expr("unix_micros(ts) div 1000000")
+    bucket = F.expr(
+        f"(unix_micros(ts) div 1000000 - pmod(unix_micros(ts)"
+        f" div 1000000, {b})) div {b}"
+    )
+    base = ev.filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        bucket.cast("long").alias("bkt"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100
+                    + F.lit(0.5)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cents"),
+    )
+    w_user = Window.partitionBy("user_id")
+    marked = base.select(
+        (F.col("bkt") - F.min("bkt").over(w_user)).alias("offset"),
+        F.min("bkt").over(w_user).alias("cohort"),
+        "cents",
+    )
+    per = marked.groupBy("cohort", "offset").agg(
+        F.sum("cents").cast("long").alias("cents")
+    )
+    w_run = (
+        Window.partitionBy("cohort")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per.select(
+        "cohort",
+        "offset",
+        "cents",
+        F.sum("cents").over(w_run).cast("long").alias("cum_ltv_cents"),
+    ).orderBy("cohort", "offset")
+
+
+_COHORT_LTV_SQL = f"""
+WITH base AS (
+  SELECT user_id,
+    (epoch(ts)::BIGINT - ((epoch(ts)::BIGINT % {LTV_BUCKET}
+      + {LTV_BUCKET}) % {LTV_BUCKET})) / {LTV_BUCKET} AS bkt,
+    CASE WHEN event_type = 'purchase'
+         THEN CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT)
+         ELSE 0 END AS cents
+  FROM events WHERE ts IS NOT NULL
+),
+marked AS (
+  SELECT CAST(bkt - MIN(bkt) OVER (PARTITION BY user_id) AS BIGINT)
+           AS "offset",
+    CAST(MIN(bkt) OVER (PARTITION BY user_id) AS BIGINT) AS cohort,
+    cents
+  FROM base
+),
+per AS (
+  SELECT cohort, "offset", CAST(SUM(cents) AS BIGINT) AS cents
+  FROM marked GROUP BY cohort, "offset"
+)
+SELECT cohort, "offset", cents,
+  CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY "offset"
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS cum_ltv_cents
+FROM per ORDER BY cohort, "offset"
 """

@@ -452,3 +452,44 @@ def test_pcm_energy_negative_samples_and_endianness(spark):
     r = pcm_window_energy(df, window_frames=400).collect()[0]
     assert r.sumsq == sum(s * s for s in samples)
     assert r.n_frames == 5
+
+
+# ---------------------------------------------------------------- #
+# CUSUM closed form vs direct recursion                             #
+# ---------------------------------------------------------------- #
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """S_t = max(0, S_{t-1} + dev_t)  ≡  P_t − min(0, min_{j≤t} P_j):
+    pinned on adversarial deviation sequences (all-negative, spike
+    trains, alternating, pseudo-random)."""
+    from pyspark.sql import Window
+
+    seqs = [
+        [-5, -3, -8, -1],
+        [1, 2, 3, 4, 5],
+        [10, -20, 10, -20, 30],
+        [0, 0, 0],
+        [((i * 37) % 21) - 10 for i in range(50)],
+    ]
+    for devs in seqs:
+        s, want = 0, []
+        for d in devs:
+            s = max(0, s + d)
+            want.append(s)
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(devs)], "i long, dev long"
+        )
+        w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+        pre = df.select("i", F.sum("dev").over(w).alias("p"))
+        got = [
+            r.s
+            for r in pre.select(
+                "i",
+                (F.col("p") - F.least(F.lit(0), F.min("p").over(w)))
+                .alias("s"),
+            )
+            .orderBy("i")
+            .collect()
+        ]
+        assert got == want, devs
