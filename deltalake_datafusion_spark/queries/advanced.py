@@ -362,6 +362,7 @@ def specs() -> list[QuerySpec]:
             "q_new_vs_returning", q_new_vs_returning, _NEW_RETURNING_SQL
         ),
         QuerySpec("q_cohort_ltv", q_cohort_ltv, _COHORT_LTV_SQL),
+        QuerySpec("q_share_of_total", q_share_of_total, _SHARE_SQL),
     ]
 
 
@@ -2695,4 +2696,55 @@ SELECT cohort, "offset", cents,
        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        AS BIGINT) AS cum_ltv_cents
 FROM per ORDER BY cohort, "offset"
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_share_of_total                                                  #
+# ---------------------------------------------------------------- #
+
+
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each market segment's share of its region's
+    revenue, integer ppm via a partition-total window over the
+    (region, segment) aggregate — the percent-of-total window
+    pattern with zero extra scans (the denominator reuses the
+    aggregate, not the base table)."""
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    per = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_regionkey").alias("region"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("region")
+    return per.select(
+        "region",
+        "segment",
+        "cents",
+        F.expr(
+            "cents * 1000000L div sum(cents) over"
+            " (partition by region)"
+        ).alias("share_ppm"),
+    ).orderBy("region", "segment")
+
+
+_SHARE_SQL = """
+WITH per AS (
+  SELECT n.n_regionkey AS region, c.c_mktsegment AS segment,
+    CAST(SUM(FLOOR(c.c_acctbal * 100 + 0.5)) AS BIGINT) AS cents
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT region, segment, cents,
+  CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY region)
+       AS BIGINT) AS share_ppm
+FROM per ORDER BY region, segment
 """
