@@ -136,3 +136,28 @@ def test_generate_sql_statement(spark, tmp_path):
     assert out.manifests_written == 1
     assert out.files_listed == 2
     assert os.path.exists(os.path.join(p, MANIFEST_DIR, "manifest"))
+
+
+def test_manifest_after_optimize_points_at_compacted_files(spark, tmp_path):
+    """OPTIMIZE rewrites the file set; regeneration must list ONLY
+    the compacted files and the read-through must still equal the
+    table."""
+    from deltalake_datafusion_spark.delta.ops import optimize_delta
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(40)], "v long, part long"
+    )
+    write_delta(spark, df.repartition(4), p, partition_by=["part"])
+    generate_symlink_manifest(spark, p)
+    before = {
+        r.path for r in read_manifest_paths(spark, p).collect()
+    }
+    optimize_delta(spark, p)
+    s = generate_symlink_manifest(spark, p)
+    after = {r.path for r in read_manifest_paths(spark, p).collect()}
+    assert after != before  # compaction changed the listed files
+    assert s["files_listed"] == len(after)
+    files = [x.removeprefix("file://") for x in after]
+    back = spark.read.parquet(*files)
+    assert sorted(r.v for r in back.collect()) == list(range(40))
