@@ -141,7 +141,11 @@ def generate_symlink_manifest(spark, table_path: str) -> dict:
 def read_manifest_paths(spark, table_path: str):
     """All file URIs currently listed under the manifest tree, as a
     DataFrame with one ``path`` column (read with spark.read.text —
-    distributed, no driver parsing)."""
+    distributed, no driver parsing). ``path`` is the PERCENT-DECODED
+    filesystem path (manifest entries are percent-encoded ``file://``
+    URIs per the symlink-manifest convention; consumers need the
+    decoded path back — a table path containing a space or ``%``
+    must round-trip to the real file)."""
     import os
 
     from pyspark.sql import functions as F
@@ -151,5 +155,14 @@ def read_manifest_paths(spark, table_path: str):
         spark.read.option("recursiveFileLookup", "true")
         .text(mroot)
         .filter(F.length("value") > 0)
-        .select(F.col("value").alias("path"))
+        # url_decode is Spark ≥3.4 built-in (JVM-side, codegen) — it
+        # inverts urllib.parse.quote exactly for %XX escapes; '+' is
+        # in our quote-safe set so it is never an encoded space here,
+        # and url_decode leaves literal '+' intact only in the path
+        # segment sense — so re-encode '+' first to keep it literal.
+        .select(
+            F.url_decode(
+                F.replace(F.col("value"), F.lit("+"), F.lit("%2B"))
+            ).alias("path")
+        )
     )

@@ -1063,7 +1063,14 @@ def pcm_window_energy(
                 ):
                     continue
                 off, nbytes = meta["data_offset"], meta["data_bytes"]
-                n = nbytes // 2
+                # the sniffer reports the RIFF header's declared data
+                # length verbatim; a truncated/malformed payload can
+                # declare more bytes than it carries — clamp to what is
+                # actually present so np.frombuffer can't raise and fail
+                # the job (skip contract: bad payloads contribute no
+                # rows, they never poison the batch)
+                avail = max(0, len(p) - off)
+                n = min(nbytes, avail) // 2
                 if n == 0:
                     continue
                 s = np.frombuffer(p, dtype="<i2", count=n, offset=off)

@@ -397,12 +397,23 @@ def kmv_sketch(
         .select(*[F.col(c) for c in g], h.alias("h"))
         .distinct()
     )
-    w = Window.partitionBy(*g).orderBy("h") if g else Window.orderBy("h")
-    return (
-        hashes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _k_smallest(hashes, g, k)
+
+
+def _k_smallest(hashes: DataFrame, g: list, k: int) -> DataFrame:
+    """k smallest ``h`` per group. Grouped: per-group window (state =
+    k rows/group). UNGROUPED: ``sort().limit()`` — Spark plans it as
+    ``TakeOrderedAndProject`` (per-partition top-k, then a k-row
+    driver-side merge), never a single-partition global window — so
+    the whole-dataset sketch stays scalable."""
+    if g:
+        w = Window.partitionBy(*g).orderBy("h")
+        return (
+            hashes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+    return hashes.sort("h").limit(k)
 
 
 def kmv_merge(a: DataFrame, b: DataFrame, group_cols=(), k: int = KMV_K) -> DataFrame:
@@ -411,12 +422,7 @@ def kmv_merge(a: DataFrame, b: DataFrame, group_cols=(), k: int = KMV_K) -> Data
     sketch equals the sketch of the unioned data)."""
     g = list(group_cols)
     hashes = a.unionByName(b).distinct()
-    w = Window.partitionBy(*g).orderBy("h") if g else Window.orderBy("h")
-    return (
-        hashes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _k_smallest(hashes, g, k)
 
 
 def kmv_estimate(

@@ -113,43 +113,59 @@ def domain_blocklist_filter(
     ``blogspot.com``) can never equal any proper subdomain's
     registered domain — it blocks only a host exactly equal to it, so
     namespace-wide entries that "worked" under the heuristic silently
-    under-block. The blocklist is metadata-scale, so this function
-    VALIDATES it driver-side and emits a ``UserWarning`` naming (a)
-    entries that are PSL public suffixes and (b) entries that are not
-    in registered-domain form (e.g. ``www.example.co.uk``) and can
+    under-block. This function VALIDATES the blocklist and emits a
+    ``UserWarning`` with counts + up-to-20 samples of (a) entries
+    that are PSL public suffixes and (b) entries that are not in
+    registered-domain form (e.g. ``www.example.co.uk``) and can
     therefore never match; pass explicit registrants instead, or
-    ``psl=False`` for the old namespace-prefix behavior."""
+    ``psl=False`` for the old namespace-prefix behavior. The
+    validation runs as ONE distributed aggregate over the blocklist
+    (plus two early-exit ``limit`` jobs for samples, only when
+    something is flagged) — never a full driver-side collect, so a
+    10M-entry blocklist can't stall the driver on a warning path."""
     if psl:
         from deltalake_datafusion_spark.operators.psl import (
-            is_public_suffix_py,
-            registrable_domain_py,
             with_registered_domain,
         )
 
-        entries = [
-            r["domain"]
-            for r in blocked_domains.select("domain").collect()
-            if r["domain"] is not None
-        ]
-        suffixes = [e for e in entries if is_public_suffix_py(e)]
-        non_reg = [
-            e
-            for e in entries
-            if e not in suffixes and registrable_domain_py(e) != e.lower()
-        ]
-        if suffixes or non_reg:
+        checked = with_registered_domain(
+            blocked_domains.select(F.lower("domain").alias("domain"))
+            .filter(F.col("domain").isNotNull()),
+            host_col="domain",
+            out_col="__reg",
+            suffix_len_col="__ps",
+        ).withColumn("__nlab", F.size(F.split(F.col("domain"), r"\.")))
+        is_suffix = F.col("__nlab") <= F.col("__ps")
+        is_nonreg = (~is_suffix) & (F.col("__nlab") > F.col("__ps") + 1)
+        counts = checked.agg(
+            F.sum(is_suffix.cast("long")).alias("n_suffix"),
+            F.sum(is_nonreg.cast("long")).alias("n_nonreg"),
+        ).collect()[0]
+        n_suffix = counts["n_suffix"] or 0
+        n_nonreg = counts["n_nonreg"] or 0
+        if n_suffix or n_nonreg:
             import warnings
 
-            parts = []
-            if suffixes:
-                parts.append(
-                    "entries that are PSL public suffixes and only "
-                    f"match an exactly-equal host: {sorted(suffixes)}"
+            def _samples(flag) -> list[str]:
+                return sorted(
+                    r["domain"]
+                    for r in checked.filter(flag)
+                    .select("domain")
+                    .limit(20)
+                    .collect()
                 )
-            if non_reg:
+
+            parts = []
+            if n_suffix:
                 parts.append(
-                    "entries not in registered-domain form (never "
-                    f"match): {sorted(non_reg)}"
+                    f"{n_suffix} entries that are PSL public suffixes "
+                    "and only match an exactly-equal host: "
+                    f"{_samples(is_suffix)}"
+                )
+            if n_nonreg:
+                parts.append(
+                    f"{n_nonreg} entries not in registered-domain "
+                    f"form (never match): {_samples(is_nonreg)}"
                 )
             warnings.warn(
                 "domain_blocklist_filter(psl=True): " + "; ".join(parts)

@@ -454,6 +454,38 @@ def test_pcm_energy_negative_samples_and_endianness(spark):
     assert r.n_frames == 5
 
 
+def test_pcm_energy_truncated_wav_clamped_not_crash(spark):
+    """ADVICE r9: a WAV whose RIFF data chunk DECLARES more bytes than
+    the payload carries must not raise inside mapInPandas (that fails
+    the whole job) — the energy op clamps to the bytes present; a
+    payload with zero real audio bytes contributes no rows."""
+    import struct
+
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_wav_pcm16,
+        pcm_window_energy,
+    )
+
+    samples = [100, -200, 300, -400]
+    wav = bytearray(build_wav_pcm16(samples))
+    # inflate the declared data-chunk length far past the payload
+    wav[40:44] = struct.pack("<I", 10_000)
+    # a second payload truncated to the header only (declares data,
+    # carries none)
+    empty = bytearray(build_wav_pcm16([1, 2, 3]))[:44]
+    empty[40:44] = struct.pack("<I", 6)
+    df = spark.createDataFrame(
+        [(1, wav), (2, empty), (3, bytearray(build_wav_pcm16(samples)))],
+        "media_id long, payload binary",
+    )
+    got = {
+        r.media_id: (r.n_frames, r.sumsq)
+        for r in pcm_window_energy(df, window_frames=400).collect()
+    }
+    want = (4, sum(s * s for s in samples))
+    assert got == {1: want, 3: want}
+
+
 # ---------------------------------------------------------------- #
 # CUSUM closed form vs direct recursion                             #
 # ---------------------------------------------------------------- #

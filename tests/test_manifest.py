@@ -161,3 +161,25 @@ def test_manifest_after_optimize_points_at_compacted_files(spark, tmp_path):
     files = [x.removeprefix("file://") for x in after]
     back = spark.read.parquet(*files)
     assert sorted(r.v for r in back.collect()) == list(range(40))
+
+
+def test_manifest_roundtrip_path_with_space_and_percent(spark, tmp_path):
+    """ADVICE r9: manifest entries are percent-encoded file:// URIs;
+    read_manifest_paths must hand back the DECODED filesystem path so
+    a table rooted at a directory containing a space or '%' (or '+',
+    which URLDecoder would otherwise eat as an encoded space)
+    round-trips to real files."""
+    p = str(tmp_path / "t dir %x +plus")
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    write_delta(spark, df.coalesce(1), p)
+    generate_symlink_manifest(spark, p)
+    raw = _read(os.path.join(p, MANIFEST_DIR, "manifest"))
+    assert all("%20" in ln and "%25x" in ln for ln in raw)  # encoded on disk
+    files = [
+        r.path.removeprefix("file://")
+        for r in read_manifest_paths(spark, p).collect()
+    ]
+    assert all(os.path.exists(f) for f in files)
+    assert all("t dir %x +plus" in f for f in files)
+    back = spark.read.parquet(*files)
+    assert sorted(r.v for r in back.collect()) == list(range(10))

@@ -212,3 +212,25 @@ def test_kmv_partitioning_invariant_and_grouped(spark):
         ).collect()
     }
     assert e1 == e16 and len(e1) == 3
+
+
+def test_kmv_ungrouped_plan_is_top_k_not_global_window(spark):
+    """ADVICE r9: the whole-dataset (ungrouped) KMV sketch must plan
+    as TakeOrderedAndProject (per-partition top-k + k-row driver
+    merge), never a single-partition global Window — the Window form
+    funnels every distinct hash of the dataset into one task."""
+    from deltalake_datafusion_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    df = spark.range(10_000).withColumnRenamed("id", "v")
+    sk = kmv_sketch(df, "v", k=64)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    merged = kmv_merge(sk, kmv_sketch(df.filter("v % 2 = 0"), "v", k=64))
+    mplan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in mplan and "Window" not in mplan
+    # and the sketch is still exactly the k smallest distinct hashes
+    assert sk.count() == 64
