@@ -15,20 +15,31 @@ count/sum-style (abelian-group) aggregates this is exact:
 - a group whose maintained count reaches 0 is DELETED from the view
   (it no longer exists in the base aggregate).
 
-The applied-version watermark is persisted ON the view itself as a
-table property (``lakehouse.mv.baseVersion``), so refresh is
-idempotent-at-least-once: re-running a refresh after a crash re-reads
-from the recorded watermark (each refresh is one atomic Delta commit
-on the view — property update and data merge commit together is NOT
-required for exactness because reapplying an already-applied version
-range is prevented by reading the watermark from the view's own
-committed metadata).
+CRASH SAFETY (ADVICE r9): the applied-version watermark commits
+ATOMICALLY with the merged data — a ``txn`` (SetTransaction) action
+with ``appId = "lakehouse.mv"`` rides the very same Delta commit as
+the MERGE's add/remove actions (delta-spark's idempotent-write
+pattern). There is no second commit to lose, so a crash can never
+leave the watermark lagging the data and double-apply a CDF range on
+the next refresh. The ``lakehouse.mv.baseVersion`` table property
+still records the FULL-BUILD version (it is written atomically with
+the build's data by ``write_delta(configuration=...)``) and marks the
+table as a maintained view; the effective watermark is
+``max(txn version, property)``.
+
+The streaming path keys its replay guard on the base's
+``_commit_version`` (monotone, lineage-independent) instead of the
+micro-batch id — a restart with a FRESH checkpoint directory (batch
+ids reset to 0) or a later batch refresh both consult the same
+committed watermark, so nothing is double-applied or silently
+skipped across checkpoint lineages.
 
 Scale shape: the refresh touches only the CDF of the new commits
 (O(changed rows)) and the matched groups of the view (MERGE prunes by
 file stats on the group key). Nothing rescans the base table; the
 map-side combine reduces change rows to one delta row per group
-before the shuffle.
+before the shuffle. See :mod:`delta.mv_join` for the fact⋈dim star
+MV with two-sided delta maintenance.
 """
 
 from __future__ import annotations
@@ -37,12 +48,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MV_BASE_VERSION_KEY = "lakehouse.mv.baseVersion"
-MV_LAST_BATCH_KEY = "lakehouse.mv.lastBatchId"
+MV_TXN_APP = "lakehouse.mv"
 MV_COUNT_COL = "mv_count"
 
 
 def _sum_col(c: str) -> str:
     return f"mv_sum_{c}"
+
+
+def _now_ms() -> int:
+    import time
+
+    return int(time.time() * 1000)
+
+
+def mv_watermark(mv_snap) -> int | None:
+    """Effective applied-base-version watermark of a maintained view:
+    the ``lakehouse.mv`` SetTransaction version (advanced atomically
+    with every incremental MERGE) or, for a freshly-built view, the
+    ``lakehouse.mv.baseVersion`` property (committed atomically with
+    the full build). None → not a maintained view."""
+    txn = mv_snap.app_transactions.get(MV_TXN_APP)
+    raw = (mv_snap.metadata.configuration or {}).get(MV_BASE_VERSION_KEY)
+    prop = int(raw) if raw is not None else None
+    if txn is None and prop is None:
+        return None
+    return max(v for v in (txn, prop) if v is not None)
+
+
+def _txn_action(version: int) -> dict:
+    return {
+        "txn": {
+            "appId": MV_TXN_APP,
+            "version": int(version),
+            "lastUpdated": _now_ms(),
+        }
+    }
 
 
 def build_aggregate_mv(
@@ -53,7 +94,8 @@ def build_aggregate_mv(
     sum_cols: list[str],
 ) -> dict:
     """Full build of the aggregate view (count + sums per group) at
-    the base table's current version; records the watermark."""
+    the base table's current version; the watermark (property + txn)
+    commits atomically with the built data."""
     from deltalake_datafusion_spark.delta.scan import read_delta
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
     from deltalake_datafusion_spark.delta.writer import write_delta
@@ -69,6 +111,7 @@ def build_aggregate_mv(
         mv,
         mv_path,
         configuration={MV_BASE_VERSION_KEY: str(base_ver)},
+        txn=(MV_TXN_APP, base_ver),
     )
     return {"base_version": base_ver, "mode": "full"}
 
@@ -81,30 +124,28 @@ def refresh_aggregate_mv(
     sum_cols: list[str],
 ) -> dict:
     """Incremental refresh: apply the base's CDF since the view's
-    recorded watermark as signed per-group deltas via one MERGE.
+    recorded watermark as signed per-group deltas via ONE MERGE
+    commit that also carries the advanced watermark (txn action).
     No-op (and no commit) when the base has no new versions."""
     from deltalake_datafusion_spark.delta.cdf import table_changes
-    from deltalake_datafusion_spark.delta.ops import merge_delta
-    from deltalake_datafusion_spark.delta.properties import (
-        set_tblproperties,
-    )
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
 
     mv_snap = load_snapshot(mv_path, spark=spark)
-    raw = (mv_snap.metadata.configuration or {}).get(MV_BASE_VERSION_KEY)
-    if raw is None:
+    applied = mv_watermark(mv_snap)
+    if applied is None:
         raise ValueError(
-            f"{mv_path} has no {MV_BASE_VERSION_KEY} property — not a "
-            "maintained aggregate view (build_aggregate_mv first)"
+            f"{mv_path} has no {MV_BASE_VERSION_KEY} property or "
+            f"{MV_TXN_APP} txn — not a maintained aggregate view "
+            "(build_aggregate_mv first)"
         )
-    applied = int(raw)
     base_ver = load_snapshot(base_path, spark=spark).version
     if base_ver <= applied:
         return {"base_version": applied, "mode": "noop", "groups_touched": 0}
 
     ch = table_changes(spark, base_path, applied + 1, base_ver)
-    n_groups = apply_change_deltas(spark, mv_path, ch, group_cols, sum_cols)
-    set_tblproperties(spark, mv_path, {MV_BASE_VERSION_KEY: str(base_ver)})
+    n_groups = apply_change_deltas(
+        spark, mv_path, ch, group_cols, sum_cols, advance_to=base_ver
+    )
     return {
         "base_version": base_ver,
         "mode": "incremental",
@@ -118,12 +159,19 @@ def apply_change_deltas(
     changes: DataFrame,
     group_cols: list[str],
     sum_cols: list[str],
+    advance_to: int | None = None,
 ) -> int:
     """Reduce a change-feed DataFrame (logical columns +
     ``_change_type``) to signed per-group deltas and MERGE them into
     the view; returns the number of touched groups. Shared by the
     batch refresh and the streaming foreachBatch sink — the reduction
-    happens map-side before the merge's shuffle."""
+    happens map-side before the merge's shuffle.
+
+    ``advance_to`` (a base-table version) is committed as the
+    ``lakehouse.mv`` txn watermark IN THE SAME COMMIT as the merge.
+    When the deltas all cancel (zero touched groups) the watermark
+    still advances — as a txn-only commit — so the CDF range is never
+    re-read forever."""
     from deltalake_datafusion_spark.delta.ops import merge_delta
 
     sign = F.when(
@@ -160,6 +208,8 @@ def apply_change_deltas(
     deltas = deltas.localCheckpoint(eager=True)  # one CDF read, reused
     n_groups = deltas.count()
     if n_groups == 0:
+        if advance_to is not None:
+            _advance_watermark_only(spark, mv_path, advance_to)
         return 0
     merge_delta(
         spark,
@@ -176,8 +226,34 @@ def apply_change_deltas(
         when_not_matched=[
             {"condition": "s.d_count > 0", "values": insert_vals}
         ],
+        extra_actions=(
+            [_txn_action(advance_to)] if advance_to is not None else None
+        ),
     )
     return n_groups
+
+
+def _advance_watermark_only(spark, mv_path: str, base_ver: int) -> None:
+    """Commit that carries ONLY the watermark txn action (the deltas
+    of the applied CDF range cancelled to nothing)."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import (
+        check_writable,
+        commit_with_retries,
+    )
+
+    snap = load_snapshot(mv_path, spark=spark)
+    check_writable(snap)
+    if snap.app_transactions.get(MV_TXN_APP, -1) >= base_ver:
+        return  # a concurrent refresh already advanced past us
+    commit_with_retries(
+        spark,
+        mv_path,
+        snap,
+        [_txn_action(base_ver)],
+        "SET TRANSACTION",
+        set(),
+    )
 
 
 def streaming_refresh_aggregate_mv(
@@ -193,38 +269,45 @@ def streaming_refresh_aggregate_mv(
     """CONTINUOUS view maintenance: consume the base's change feed as
     a stream (``streaming/cdf_source.py``) and apply each micro-batch
     through :func:`apply_change_deltas` in a foreachBatch sink with
-    availableNow semantics. Exactly-once across restarts: the
-    recorded ``lakehouse.mv.lastBatchId`` property skips micro-batches
-    that already merged before a crash (the standard foreachBatch
-    idempotence pattern — Structured Streaming replays the last batch
-    on recovery), while the checkpoint tracks source offsets."""
-    from deltalake_datafusion_spark.delta.properties import (
-        set_tblproperties,
-    )
+    availableNow semantics.
+
+    Exactly-once across restarts AND checkpoint lineages: each batch
+    first drops rows at-or-below the view's committed watermark
+    (``_commit_version <= watermark``), then merges the rest with the
+    new max ``_commit_version`` as the watermark txn IN THE SAME
+    COMMIT. A replayed batch (crash after merge, before checkpoint)
+    filters to empty; a fresh checkpoint dir (batch ids restart at 0)
+    is harmless because the guard never looks at batch ids; and a
+    later batch ``refresh_aggregate_mv`` sees the advanced watermark
+    and reads only genuinely-new commits."""
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
     from deltalake_datafusion_spark.streaming.cdf_source import (
         read_change_stream,
     )
 
     mv_snap = load_snapshot(mv_path, spark=spark)
-    conf = mv_snap.metadata.configuration or {}
-    if MV_BASE_VERSION_KEY not in conf:
+    if mv_watermark(mv_snap) is None:
         raise ValueError(
-            f"{mv_path} has no {MV_BASE_VERSION_KEY} property — not a "
-            "maintained aggregate view (build_aggregate_mv first)"
+            f"{mv_path} has no {MV_BASE_VERSION_KEY} property or "
+            f"{MV_TXN_APP} txn — not a maintained aggregate view "
+            "(build_aggregate_mv first)"
         )
     if starting_version is None:
-        starting_version = int(conf[MV_BASE_VERSION_KEY]) + 1
-    last_applied = int(conf.get(MV_LAST_BATCH_KEY, "-1"))
+        starting_version = mv_watermark(mv_snap) + 1
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_applied:
-            return  # replayed batch already merged before a restart
+        # one tiny driver-side log read per micro-batch: the committed
+        # watermark (the guard must come from the view, not from this
+        # process — that is what makes replays and fresh checkpoints
+        # safe)
+        applied = mv_watermark(load_snapshot(mv_path, spark=spark))
+        fresh = batch_df.filter(F.col("_commit_version") > F.lit(applied))
+        fresh = fresh.localCheckpoint(eager=True)
+        hi = fresh.agg(F.max("_commit_version").alias("v")).collect()[0]["v"]
+        if hi is None:
+            return  # fully-replayed batch — already merged before a crash
         apply_change_deltas(
-            spark, mv_path, batch_df, group_cols, sum_cols
-        )
-        set_tblproperties(
-            spark, mv_path, {MV_LAST_BATCH_KEY: str(batch_id)}
+            spark, mv_path, fresh, group_cols, sum_cols, advance_to=int(hi)
         )
 
     q = (

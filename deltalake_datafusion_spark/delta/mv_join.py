@@ -1,0 +1,445 @@
+"""Incrementally-maintained JOIN (fact⋈dim star) materialized views
+with TWO-SIDED Change-Data-Feed delta maintenance.
+
+The classic hard case past :mod:`delta.mv`'s single-table aggregate:
+an MV defined as
+
+    SELECT g..., COUNT(*), SUM(m)...
+    FROM fact JOIN dim ON fact.fk = dim.dk
+    GROUP BY g...
+
+where the group columns may come from EITHER side (e.g. revenue by
+customer segment). Both base tables evolve independently; the view
+must track both without recomputing.
+
+Maintenance algebra (classic incremental view maintenance for
+bag-algebra joins, e.g. Griffin & Libkin, SIGMOD'95): writing the
+base updates as signed bags ``F_new = F_old + ΔF``,
+``D_new = D_old + ΔD``,
+
+    Δ(F⋈D) = ΔF⋈D_new  +  F_new⋈ΔD  −  ΔF⋈ΔD
+
+(the third term removes the double count of change-pairs present in
+both of the first two). Each joined row carries the PRODUCT of the
+operand signs; the signed rows then reduce to per-group
+count/sum deltas and MERGE into the view exactly like the aggregate
+MV — a group whose maintained count reaches 0 is deleted.
+
+Scale shape (what each term reads at 100 TB):
+
+- ``ΔF⋈D_new`` — only the fact's CDF tail (O(changed fact rows))
+  joined to the CURRENT dim with a broadcast (dims are the small
+  side of a star schema by definition). The 100-TB fact table is
+  NEVER scanned for fact-only changes; a plan/unit guard pins this.
+- ``F_new⋈ΔD`` — the one term that must look at standing fact rows:
+  it is pruned to the CHANGED DIM KEYS ONLY (an ``IN`` predicate
+  pushed into the Delta scan when the key set is small enough to
+  inline — enabling stats-based file skipping — else a broadcast
+  semi-join). Dim updates touch a bounded key set, so this reads
+  O(fact rows of changed keys), not the table. When ΔD is empty the
+  term (and the fact scan) is skipped entirely.
+- ``ΔF⋈ΔD`` — CDF tail ⋈ broadcast CDF tail; negligible.
+
+CRASH SAFETY: like :mod:`delta.mv`, the applied-version watermarks —
+one per base table, as ``txn`` actions ``lakehouse.mv.fact`` /
+``lakehouse.mv.dim`` — ride the SAME Delta commit as the MERGE, so a
+crash can never double-apply a CDF range.
+
+Semantic contract: the dim side must be UNIQUE on the join key at
+every version (the star-schema invariant); duplicate keys would
+multiply fact rows in the view exactly as they would in the defining
+query.
+
+Reference provenance: the reference exposes the Delta CDF/log-replay
+surface this consumes (SURVEY.md §2.1 S1/S7/S8) but implements no
+view maintenance; this module is the lakehouse pattern that surface
+exists to serve (VERDICT r9 "Next round" #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.mv import (
+    MV_COUNT_COL,
+    _now_ms,
+    _sum_col,
+)
+
+MV_FACT_TXN_APP = "lakehouse.mv.fact"
+MV_DIM_TXN_APP = "lakehouse.mv.dim"
+MV_JOIN_KEY = "lakehouse.mv.join"
+# past this many changed dim keys, fall back from an inlined IN
+# predicate (stats-prunable) to a broadcast semi-join on the fact scan
+MAX_INLINE_KEYS = 10_000
+
+
+def _txn(app: str, version: int) -> dict:
+    return {
+        "txn": {
+            "appId": app,
+            "version": int(version),
+            "lastUpdated": _now_ms(),
+        }
+    }
+
+
+def join_mv_watermarks(mv_snap) -> tuple[int, int] | None:
+    """(applied fact version, applied dim version) from the view's
+    SetTransaction ledger; None → not a maintained join view."""
+    f = mv_snap.app_transactions.get(MV_FACT_TXN_APP)
+    d = mv_snap.app_transactions.get(MV_DIM_TXN_APP)
+    if f is None or d is None:
+        return None
+    return int(f), int(d)
+
+
+def _split_group_cols(
+    group_cols: list[str], fact_fields: set[str], dim_fields: set[str]
+) -> tuple[list[str], list[str]]:
+    """Resolve each group column to exactly one side (error on
+    ambiguity — qualify by renaming a base column instead)."""
+    fact_g, dim_g = [], []
+    for c in group_cols:
+        in_f, in_d = c in fact_fields, c in dim_fields
+        if in_f and in_d:
+            raise ValueError(
+                f"group column {c!r} exists in both fact and dim — "
+                "rename one side; the MV schema is unqualified"
+            )
+        if in_f:
+            fact_g.append(c)
+        elif in_d:
+            dim_g.append(c)
+        else:
+            raise ValueError(f"group column {c!r} in neither base table")
+    return fact_g, dim_g
+
+
+def build_join_mv(
+    spark,
+    fact_path: str,
+    dim_path: str,
+    mv_path: str,
+    *,
+    fact_key: str,
+    dim_key: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> dict:
+    """Full build of the star MV at the bases' current versions; both
+    watermarks commit atomically with the built data."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    f_snap = load_snapshot(fact_path, spark=spark)
+    d_snap = load_snapshot(dim_path, spark=spark)
+    f_ver, d_ver = f_snap.version, d_snap.version
+    _split_group_cols(  # validate side resolution up front
+        group_cols,
+        {f.name for f in f_snap.schema.fields},
+        {f.name for f in d_snap.schema.fields},
+    )
+    fact = read_delta(spark, fact_path, version=f_ver)
+    dim = read_delta(spark, dim_path, version=d_ver)
+    joined = fact.join(
+        F.broadcast(dim), fact[fact_key] == dim[dim_key], "inner"
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias(MV_COUNT_COL)] + [
+        F.sum(c).alias(_sum_col(c)) for c in sum_cols
+    ]
+    mv = joined.groupBy(*[fact[c] if c in fact.columns else dim[c]
+                          for c in group_cols]).agg(*aggs)
+    write_delta(
+        spark,
+        mv,
+        mv_path,
+        configuration={MV_JOIN_KEY: f"{fact_key}={dim_key}"},
+        txn=[(MV_FACT_TXN_APP, f_ver), (MV_DIM_TXN_APP, d_ver)],
+    )
+    return {"fact_version": f_ver, "dim_version": d_ver, "mode": "full"}
+
+
+def _signed(ch: DataFrame, cols: list[str]) -> DataFrame:
+    """Project a CDF frame to ``cols`` + ``__sign`` (+1 for
+    insert/update_postimage, −1 for delete/update_preimage)."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return ch.select(*cols, sign.alias("__sign"))
+
+
+def _key_predicate(keys: list, key_col: str):
+    """Inline an IN predicate over the changed dim keys for the fact
+    scan's stats-based file skipping — int/str keys only (others fall
+    back to the semi-join path)."""
+    if not keys or len(keys) > MAX_INLINE_KEYS:
+        return None
+    if all(isinstance(k, (int,)) and not isinstance(k, bool) for k in keys):
+        lits = ", ".join(str(k) for k in sorted(keys))
+    elif all(isinstance(k, str) for k in keys):
+        esc = [k.replace("'", "''") for k in sorted(keys)]
+        lits = ", ".join(f"'{k}'" for k in esc)
+    else:
+        return None
+    return f"{key_col} IN ({lits})"
+
+
+def refresh_join_mv(
+    spark,
+    fact_path: str,
+    dim_path: str,
+    mv_path: str,
+    *,
+    fact_key: str,
+    dim_key: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> dict:
+    """Two-sided incremental refresh: apply both bases' CDF since the
+    view's recorded watermarks via the three-term delta algebra and
+    ONE MERGE commit carrying both advanced watermarks. No-op (no
+    commit) when neither base moved."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    mv_snap = load_snapshot(mv_path, spark=spark)
+    wm = join_mv_watermarks(mv_snap)
+    if wm is None:
+        raise ValueError(
+            f"{mv_path} has no {MV_FACT_TXN_APP}/{MV_DIM_TXN_APP} txns — "
+            "not a maintained join view (build_join_mv first)"
+        )
+    f_applied, d_applied = wm
+    f_ver = load_snapshot(fact_path, spark=spark).version
+    d_ver = load_snapshot(dim_path, spark=spark).version
+    if f_ver <= f_applied and d_ver <= d_applied:
+        return {
+            "fact_version": f_applied,
+            "dim_version": d_applied,
+            "mode": "noop",
+            "groups_touched": 0,
+        }
+    deltas_rows = _join_mv_delta_rows(
+        spark,
+        fact_path,
+        dim_path,
+        fact_key=fact_key,
+        dim_key=dim_key,
+        group_cols=group_cols,
+        sum_cols=sum_cols,
+        f_range=(f_applied + 1, f_ver) if f_ver > f_applied else None,
+        d_range=(d_applied + 1, d_ver) if d_ver > d_applied else None,
+    )
+    n_groups = _merge_signed_rows(
+        spark,
+        mv_path,
+        deltas_rows,
+        group_cols,
+        sum_cols,
+        txns=[_txn(MV_FACT_TXN_APP, f_ver), _txn(MV_DIM_TXN_APP, d_ver)],
+    )
+    return {
+        "fact_version": f_ver,
+        "dim_version": d_ver,
+        "mode": "incremental",
+        "groups_touched": n_groups,
+    }
+
+
+def _join_mv_delta_rows(
+    spark,
+    fact_path: str,
+    dim_path: str,
+    *,
+    fact_key: str,
+    dim_key: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    f_range: tuple[int, int] | None,
+    d_range: tuple[int, int] | None,
+) -> DataFrame:
+    """The signed joined-row delta set (group cols + sum cols +
+    ``__sign``) for the given CDF ranges — the three-term algebra,
+    with each term built only when its inputs are non-empty:
+
+    - ``f_range is None`` (fact unchanged) → terms 1 and 3 vanish;
+    - ``d_range is None`` (dim unchanged) → terms 2 and 3 vanish and
+      the CURRENT FACT TABLE IS NEVER OPENED (the unit guard
+      ``test_fact_only_refresh_never_scans_fact`` pins this).
+    """
+    from deltalake_datafusion_spark.delta.cdf import table_changes
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    fact_fields = [
+        f.name for f in load_snapshot(fact_path, spark=spark).schema.fields
+    ]
+    dim_fields = [
+        f.name for f in load_snapshot(dim_path, spark=spark).schema.fields
+    ]
+    fact_g, dim_g = _split_group_cols(
+        group_cols, set(fact_fields), set(dim_fields)
+    )
+    f_cols = sorted({fact_key, *fact_g, *sum_cols})
+    d_cols = sorted({dim_key, *dim_g})
+    out_cols = [*group_cols, *sum_cols]
+
+    def _term(fact_side: DataFrame, dim_side: DataFrame, sign_expr):
+        j = fact_side.join(
+            F.broadcast(dim_side),
+            fact_side["__fk"] == dim_side["__dk"],
+            "inner",
+        )
+        return j.select(
+            *[
+                (fact_side[c] if c in fact_g or c in sum_cols else
+                 dim_side[c])
+                for c in out_cols
+            ],
+            sign_expr(fact_side, dim_side).alias("__sign"),
+        )
+
+    terms = []
+    d_signed = None
+    if d_range is not None:
+        d_signed = (
+            _signed(table_changes(spark, dim_path, *d_range), d_cols)
+            .withColumn("__dk", F.col(dim_key))
+            .localCheckpoint(eager=True)
+        )
+
+    if f_range is not None:
+        f_signed = _signed(
+            table_changes(spark, fact_path, *f_range), f_cols
+        ).withColumn("__fk", F.col(fact_key))
+        f_signed = f_signed.localCheckpoint(eager=True)
+        # term 1: ΔF ⋈ D_new (current dim, broadcast)
+        dim_now = read_delta(spark, dim_path).select(*d_cols).withColumn(
+            "__dk", F.col(dim_key)
+        )
+        terms.append(_term(f_signed, dim_now, lambda f, d: f["__sign"]))
+        if d_signed is not None:
+            # term 3: − ΔF ⋈ ΔD
+            terms.append(
+                _term(
+                    f_signed,
+                    d_signed,
+                    lambda f, d: -(f["__sign"] * d["__sign"]),
+                )
+            )
+
+    if d_signed is not None:
+        # term 2: F_new ⋈ ΔD — the fact scan pruned to changed keys
+        keys = [
+            r["__dk"]
+            for r in d_signed.select("__dk").distinct().limit(
+                MAX_INLINE_KEYS + 1
+            ).collect()
+        ]
+        pred = _key_predicate(keys, fact_key)
+        fact_now = read_delta(spark, fact_path, predicate=pred)
+        if pred is not None:
+            # re-apply as a row filter too (file skipping is per-file)
+            fact_now = fact_now.filter(F.expr(pred))
+        fact_now = fact_now.select(*f_cols).withColumn(
+            "__fk", F.col(fact_key)
+        )
+        if pred is None:
+            # huge changed-key set: bound the scan with a semi-join
+            fact_now = fact_now.join(
+                F.broadcast(d_signed.select("__dk").distinct()),
+                fact_now["__fk"] == F.col("__dk"),
+                "left_semi",
+            )
+        terms.append(_term(fact_now, d_signed, lambda f, d: d["__sign"]))
+
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def _merge_signed_rows(
+    spark,
+    mv_path: str,
+    rows: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    txns: list[dict],
+) -> int:
+    """Reduce signed joined rows to per-group deltas and MERGE them
+    into the view, the watermark txns riding the same commit; a
+    cancelled-out delta set still advances the watermarks (txn-only
+    commit)."""
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+
+    deltas = rows.groupBy(*group_cols).agg(
+        F.sum("__sign").cast("long").alias("d_count"),
+        *[
+            F.sum(F.col(c) * F.col("__sign")).alias(f"d_{c}")
+            for c in sum_cols
+        ],
+    )
+    changed = F.col("d_count") != 0
+    for c in sum_cols:
+        changed = changed | (F.col(f"d_{c}") != 0)
+    deltas = deltas.filter(changed).localCheckpoint(eager=True)
+    n_groups = deltas.count()
+    if n_groups == 0:
+        _advance_txns_only(spark, mv_path, txns)
+        return 0
+    on = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in group_cols)
+    update = {
+        MV_COUNT_COL: f"t.{MV_COUNT_COL} + s.d_count",
+        **{
+            _sum_col(c): f"coalesce(t.{_sum_col(c)}, 0) + coalesce(s.d_{c}, 0)"
+            for c in sum_cols
+        },
+    }
+    insert_vals = {
+        **{c: f"s.`{c}`" for c in group_cols},
+        MV_COUNT_COL: "s.d_count",
+        **{_sum_col(c): f"s.d_{c}" for c in sum_cols},
+    }
+    merge_delta(
+        spark,
+        mv_path,
+        deltas,
+        on=on,
+        when_matched=[
+            {
+                "condition": f"t.{MV_COUNT_COL} + s.d_count <= 0",
+                "delete": True,
+            },
+            {"update": update},
+        ],
+        when_not_matched=[
+            {"condition": "s.d_count > 0", "values": insert_vals}
+        ],
+        extra_actions=txns,
+    )
+    return n_groups
+
+
+def _advance_txns_only(spark, mv_path: str, txns: list[dict]) -> None:
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import (
+        check_writable,
+        commit_with_retries,
+    )
+
+    snap = load_snapshot(mv_path, spark=spark)
+    check_writable(snap)
+    fresh = [
+        t
+        for t in txns
+        if snap.app_transactions.get(t["txn"]["appId"], -1)
+        < t["txn"]["version"]
+    ]
+    if not fresh:
+        return
+    commit_with_retries(
+        spark, mv_path, snap, fresh, "SET TRANSACTION", set()
+    )

@@ -1067,8 +1067,13 @@ def merge_delta(
     schema_evolution: bool = False,
     strategy: str = "auto",
     max_restarts: int = 3,
+    extra_actions: list[dict] | None = None,
 ) -> dict:
-    """MERGE INTO (upsert). On a true concurrency conflict — a
+    """MERGE INTO (upsert). ``extra_actions`` (e.g. ``txn``
+    SetTransaction watermarks — the delta-spark idempotent-write
+    pattern) are appended to the SAME commit as the merge's
+    add/remove actions, so a caller-side watermark can never lag the
+    merged data across a crash. On a true concurrency conflict — a
     concurrent commit that touched this MERGE's files, advanced an
     identity high-water mark, or changed table metadata/protocol —
     the whole transaction RESTARTS from a fresh snapshot (re-scan
@@ -1116,6 +1121,7 @@ def merge_delta(
                     strict=strict,
                     schema_evolution=schema_evolution,
                     strategy=strategy,
+                    extra_actions=extra_actions,
                 )
             except ConcurrentModificationError as e:
                 last = e
@@ -1135,6 +1141,7 @@ def _merge_attempt(
     strict: bool = False,
     schema_evolution: bool = False,
     strategy: str = "auto",
+    extra_actions: list[dict] | None = None,
 ) -> dict:
     """One MERGE INTO attempt against the current snapshot,
     copy-on-write strategy:
@@ -1910,6 +1917,8 @@ def _merge_attempt(
         for p in cdc_parts[1:]:
             cdc_df = cdc_df.unionByName(p)
         actions.extend(stage_cdc(spark, snap, cdc_df))
+    if extra_actions:
+        actions.extend(extra_actions)
     if touched and joined_persisted:
         joined.unpersist()
 

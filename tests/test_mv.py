@@ -113,10 +113,18 @@ def test_noop_refresh_and_watermark(spark, tmp_path):
     delete_delta(spark, b, "id = 0")
     res2 = refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
     assert res2["mode"] == "incremental"
+    from deltalake_datafusion_spark.delta.mv import MV_TXN_APP, mv_watermark
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
 
-    conf = load_snapshot(m, spark=spark).metadata.configuration
-    assert conf[MV_BASE_VERSION_KEY] == str(res2["base_version"])
+    snap = load_snapshot(m, spark=spark)
+    # ADVICE r9: the watermark is a SetTransaction in the SAME commit
+    # as the merge — never a trailing property commit that a crash
+    # could lose
+    assert snap.app_transactions[MV_TXN_APP] == res2["base_version"]
+    assert mv_watermark(snap) == res2["base_version"]
+    # the build-time property stays at the full-build version (it is
+    # not rewritten per refresh)
+    assert MV_BASE_VERSION_KEY in snap.metadata.configuration
     # and a second refresh is a no-op again (idempotence)
     assert refresh_aggregate_mv(spark, b, m, ["g"], ["v"])["mode"] == "noop"
 
@@ -196,4 +204,126 @@ def test_streaming_refresh_then_more_changes(spark, tmp_path):
     assert _mv_state(spark, m) == _expected(spark, b)
     update_delta(spark, b, set_exprs={"v": "v * 3"}, predicate="id >= 20")
     streaming_refresh_aggregate_mv(spark, b, m, ["g"], ["v"], ck)
+    assert _mv_state(spark, m) == _expected(spark, b)
+
+
+def test_refresh_is_one_atomic_commit_with_watermark(spark, tmp_path):
+    """ADVICE r9: the watermark must ride the SAME commit as the
+    merged deltas — the MV log's tip commit carries both the txn
+    action and the data actions, and no property-only commit
+    follows."""
+    import json
+    import os
+
+    from deltalake_datafusion_spark.delta.mv import MV_TXN_APP
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    v0 = load_snapshot(m, spark=spark).version
+    write_delta(
+        spark,
+        spark.createDataFrame([(500, 1, 9)], "id long, g long, v long"),
+        b,
+        mode="append",
+        configuration=CDF,
+    )
+    refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    snap = load_snapshot(m, spark=spark)
+    assert snap.version == v0 + 1  # exactly ONE commit for the refresh
+    tip = os.path.join(m, "_delta_log", f"{snap.version:020d}.json")
+    kinds = set()
+    with open(tip) as f:
+        for line in f:
+            kinds.update(k for k, v in json.loads(line).items() if v)
+    assert "txn" in kinds and ("add" in kinds or "remove" in kinds)
+    assert _mv_state(spark, m) == _expected(spark, b)
+
+
+def test_cancelling_changes_still_advance_watermark(spark, tmp_path):
+    """Deltas that cancel to nothing must still advance the watermark
+    (txn-only commit) so the CDF range is not re-read forever."""
+    from deltalake_datafusion_spark.delta.mv import mv_watermark
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    # insert then delete the same rows: net per-group delta = 0
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(900, 2, 7), (901, 3, 8)], "id long, g long, v long"
+        ),
+        b,
+        mode="append",
+        configuration=CDF,
+    )
+    delete_delta(spark, b, "id >= 900")
+    res = refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    assert res["mode"] == "incremental" and res["groups_touched"] == 0
+    snap = load_snapshot(m, spark=spark)
+    assert mv_watermark(snap) == res["base_version"]
+    assert refresh_aggregate_mv(spark, b, m, ["g"], ["v"])["mode"] == "noop"
+    assert _mv_state(spark, m) == _expected(spark, b)
+
+
+def test_streaming_fresh_checkpoint_does_not_double_apply(spark, tmp_path):
+    """ADVICE r9: a second streaming run with a FRESH checkpoint dir
+    restarts micro-batch ids at 0 — the replay guard is keyed on the
+    committed _commit_version watermark, so already-merged changes
+    filter to empty instead of double-counting."""
+    from deltalake_datafusion_spark.delta.mv import (
+        streaming_refresh_aggregate_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    write_delta(
+        spark,
+        spark.createDataFrame([(300, 5, 50)], "id long, g long, v long"),
+        b,
+        mode="append",
+        configuration=CDF,
+    )
+    streaming_refresh_aggregate_mv(
+        spark, b, m, ["g"], ["v"], str(tmp_path / "ck1")
+    )
+    assert _mv_state(spark, m) == _expected(spark, b)
+    # new changes, then a run with a BRAND-NEW checkpoint that replays
+    # the whole CDF from the build watermark
+    delete_delta(spark, b, "g = 1")
+    streaming_refresh_aggregate_mv(
+        spark, b, m, ["g"], ["v"], str(tmp_path / "ck2"),
+        starting_version=1,
+    )
+    assert _mv_state(spark, m) == _expected(spark, b)
+
+
+def test_streaming_then_batch_refresh_no_double_apply(spark, tmp_path):
+    """ADVICE r9: a batch refresh AFTER a streaming run must see the
+    stream-advanced watermark (it commits with every merge) and apply
+    nothing twice."""
+    from deltalake_datafusion_spark.delta.mv import (
+        streaming_refresh_aggregate_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    write_delta(
+        spark,
+        spark.createDataFrame([(400, 6, 60)], "id long, g long, v long"),
+        b,
+        mode="append",
+        configuration=CDF,
+    )
+    streaming_refresh_aggregate_mv(
+        spark, b, m, ["g"], ["v"], str(tmp_path / "ck")
+    )
+    assert _mv_state(spark, m) == _expected(spark, b)
+    res = refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    assert res["mode"] == "noop"  # stream already advanced the watermark
     assert _mv_state(spark, m) == _expected(spark, b)

@@ -1,0 +1,313 @@
+"""Fact⋈dim star materialized views with two-sided CDF delta
+maintenance (delta/mv_join.py): every refresh must leave the view
+EXACTLY equal to the full recompute of fact⋈dim at the bases'
+current versions — fact inserts/updates/deletes, dim attribute
+updates (SCD), dim inserts that ACTIVATE standing fact rows, dim
+deletes that deactivate them, and simultaneous two-sided changes.
+Also pins the crash-safety and scale contracts: one atomic commit
+carrying both watermark txns, and a fact-only refresh that never
+opens the fact table (CDF tail only)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.mv_join import (
+    MV_DIM_TXN_APP,
+    MV_FACT_TXN_APP,
+    build_join_mv,
+    join_mv_watermarks,
+    refresh_join_mv,
+)
+from deltalake_datafusion_spark.delta.ops import delete_delta, update_delta
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+from deltalake_datafusion_spark.delta.writer import write_delta
+
+CDF = {"delta.enableChangeDataFeed": "true"}
+KW = dict(
+    fact_key="fk",
+    dim_key="dk",
+    group_cols=["seg"],
+    sum_cols=["amt"],
+)
+
+
+def _bases(spark, fp, dp, n=60, n_dim=8):
+    fact = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("fk"),  # keys 8,9 dangle (no dim row)
+        (F.col("id") * 5 + 1).alias("amt"),
+    )
+    dim = spark.range(n_dim).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("seg"),
+    )
+    write_delta(spark, fact, fp, configuration=CDF)
+    write_delta(spark, dim, dp, configuration=CDF)
+
+
+def _mv_state(spark, mv_path):
+    return {
+        r.seg: (r.mv_count, r.mv_sum_amt)
+        for r in read_delta(spark, mv_path).collect()
+    }
+
+
+def _expected(spark, fp, dp):
+    f, d = read_delta(spark, fp), read_delta(spark, dp)
+    return {
+        r.seg: (r.c, r.s)
+        for r in f.join(d, f.fk == d.dk)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("amt").alias("s"),
+        )
+        .collect()
+    }
+
+
+def test_full_build_matches_join_agg(spark, tmp_path):
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    res = build_join_mv(spark, fp, dp, m, **KW)
+    assert res["mode"] == "full"
+    assert _mv_state(spark, m) == _expected(spark, fp, dp)
+
+
+def test_fact_changes_only(spark, tmp_path):
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, m, **KW)
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(500, 0, 1000), (501, 9, 7)],  # 9 dangles: joins nothing
+            "id long, fk long, amt long",
+        ),
+        fp,
+        mode="append",
+        configuration=CDF,
+    )
+    update_delta(spark, fp, set_exprs={"amt": "amt + 2"}, predicate="id < 5")
+    delete_delta(spark, fp, "id >= 55 AND id < 60")
+    res = refresh_join_mv(spark, fp, dp, m, **KW)
+    assert res["mode"] == "incremental"
+    assert _mv_state(spark, m) == _expected(spark, fp, dp)
+
+
+def test_dim_scd_attribute_update(spark, tmp_path):
+    """A dim attribute update (SCD overwrite) re-aggregates every
+    affected group via the dim key — fact rows move between groups."""
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, m, **KW)
+    update_delta(spark, dp, set_exprs={"seg": "'s9'"}, predicate="dk IN (1, 4)")
+    res = refresh_join_mv(spark, fp, dp, m, **KW)
+    assert res["mode"] == "incremental"
+    assert _mv_state(spark, m) == _expected(spark, fp, dp)
+
+
+def test_dim_insert_activates_dangling_fact_rows(spark, tmp_path):
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, m, **KW)
+    write_delta(
+        spark,
+        spark.createDataFrame([(8, "s8"), (9, "s8")], "dk long, seg string"),
+        dp,
+        mode="append",
+        configuration=CDF,
+    )
+    refresh_join_mv(spark, fp, dp, m, **KW)
+    state = _mv_state(spark, m)
+    assert "s8" in state  # the previously-dangling fk 8,9 rows joined in
+    assert state == _expected(spark, fp, dp)
+
+
+def test_dim_delete_deactivates_group(spark, tmp_path):
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, m, **KW)
+    delete_delta(spark, dp, "seg = 's2'")
+    refresh_join_mv(spark, fp, dp, m, **KW)
+    state = _mv_state(spark, m)
+    assert "s2" not in state
+    assert state == _expected(spark, fp, dp)
+
+
+def test_both_sides_change_in_one_refresh(spark, tmp_path):
+    """The −ΔF⋈ΔD correction term: simultaneous fact appends AND dim
+    updates touching the same keys must not double-count."""
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, m, **KW)
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(600, 1, 11), (601, 4, 13)], "id long, fk long, amt long"
+        ),
+        fp,
+        mode="append",
+        configuration=CDF,
+    )
+    update_delta(spark, dp, set_exprs={"seg": "'sx'"}, predicate="dk IN (1, 4)")
+    delete_delta(spark, fp, "id IN (1, 11)")
+    res = refresh_join_mv(spark, fp, dp, m, **KW)
+    assert res["mode"] == "incremental"
+    assert _mv_state(spark, m) == _expected(spark, fp, dp)
+
+
+def test_multi_round_two_sided_equivalence(spark, tmp_path):
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp, n=80, n_dim=10)
+    build_join_mv(spark, fp, dp, m, **KW)
+    for step in range(3):
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(2000 + step * 10 + i, (i * 3 + step) % 12, i + step)
+                 for i in range(6)],
+                "id long, fk long, amt long",
+            ),
+            fp,
+            mode="append",
+            configuration=CDF,
+        )
+        update_delta(
+            spark, dp,
+            set_exprs={"seg": f"concat('t', {step})"},
+            predicate=f"dk % 4 = {step}",
+        )
+        delete_delta(spark, fp, f"id % 13 = {step}")
+        refresh_join_mv(spark, fp, dp, m, **KW)
+        assert _mv_state(spark, m) == _expected(spark, fp, dp), f"step {step}"
+
+
+def test_noop_and_watermarks(spark, tmp_path):
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, m, **KW)
+    assert refresh_join_mv(spark, fp, dp, m, **KW)["mode"] == "noop"
+    delete_delta(spark, fp, "id = 0")
+    res = refresh_join_mv(spark, fp, dp, m, **KW)
+    snap = load_snapshot(m, spark=spark)
+    assert join_mv_watermarks(snap) == (
+        res["fact_version"], res["dim_version"]
+    )
+    assert refresh_join_mv(spark, fp, dp, m, **KW)["mode"] == "noop"
+
+
+def test_refresh_is_one_atomic_commit_with_both_txns(spark, tmp_path):
+    """Crash safety: the merged deltas and BOTH watermark txns are one
+    Delta commit — no trailing watermark commit to lose."""
+    import json
+    import os
+
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, m, **KW)
+    v0 = load_snapshot(m, spark=spark).version
+    update_delta(spark, dp, set_exprs={"seg": "'sz'"}, predicate="dk = 2")
+    refresh_join_mv(spark, fp, dp, m, **KW)
+    snap = load_snapshot(m, spark=spark)
+    assert snap.version == v0 + 1
+    tip = os.path.join(m, "_delta_log", f"{snap.version:020d}.json")
+    apps, kinds = set(), set()
+    with open(tip) as f:
+        for line in f:
+            for k, v in json.loads(line).items():
+                if not v:
+                    continue
+                kinds.add(k)
+                if k == "txn":
+                    apps.add(v["appId"])
+    assert apps == {MV_FACT_TXN_APP, MV_DIM_TXN_APP}
+    assert "add" in kinds or "remove" in kinds
+
+
+def test_cancelling_changes_still_advance_watermarks(spark, tmp_path):
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, m, **KW)
+    write_delta(
+        spark,
+        spark.createDataFrame([(900, 2, 7)], "id long, fk long, amt long"),
+        fp,
+        mode="append",
+        configuration=CDF,
+    )
+    delete_delta(spark, fp, "id = 900")
+    res = refresh_join_mv(spark, fp, dp, m, **KW)
+    assert res["groups_touched"] == 0
+    assert join_mv_watermarks(load_snapshot(m, spark=spark)) == (
+        res["fact_version"], res["dim_version"]
+    )
+    assert refresh_join_mv(spark, fp, dp, m, **KW)["mode"] == "noop"
+    assert _mv_state(spark, m) == _expected(spark, fp, dp)
+
+
+def test_fact_only_refresh_never_scans_fact(spark, tmp_path, monkeypatch):
+    """SCALE GUARD: when only the fact changed, the refresh reads the
+    fact CDF tail + the (broadcast) current dim — the 100-TB fact
+    table itself is NEVER opened."""
+    import deltalake_datafusion_spark.delta.scan as scan_mod
+
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, m, **KW)
+    write_delta(
+        spark,
+        spark.createDataFrame([(700, 3, 21)], "id long, fk long, amt long"),
+        fp,
+        mode="append",
+        configuration=CDF,
+    )
+    real = scan_mod.read_delta
+    opened = []
+
+    def spy(spark_, path, *a, **kw):
+        opened.append(path)
+        return real(spark_, path, *a, **kw)
+
+    monkeypatch.setattr(scan_mod, "read_delta", spy)
+    refresh_join_mv(spark, fp, dp, m, **KW)
+    assert not any(p == fp for p in opened), opened
+    assert _mv_state(spark, m) == _expected(spark, fp, dp)
+
+
+def test_dim_refresh_pushes_changed_key_predicate(spark, tmp_path, monkeypatch):
+    """SCALE GUARD: a dim-side refresh prunes the standing-fact scan
+    to the changed dim keys via a pushed IN predicate (stats-based
+    file skipping), never an unpredicated full-table read."""
+    import deltalake_datafusion_spark.delta.scan as scan_mod
+
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, m, **KW)
+    update_delta(spark, dp, set_exprs={"seg": "'sy'"}, predicate="dk = 5")
+    real = scan_mod.read_delta
+    fact_preds = []
+
+    def spy(spark_, path, *a, **kw):
+        if path == fp:
+            fact_preds.append(kw.get("predicate"))
+        return real(spark_, path, *a, **kw)
+
+    monkeypatch.setattr(scan_mod, "read_delta", spy)
+    refresh_join_mv(spark, fp, dp, m, **KW)
+    assert fact_preds and all(p and "fk IN (5)" in p for p in fact_preds)
+    assert _mv_state(spark, m) == _expected(spark, fp, dp)
+
+
+def test_group_col_side_resolution_errors(spark, tmp_path):
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    with pytest.raises(ValueError, match="neither"):
+        build_join_mv(
+            spark, fp, dp, m,
+            fact_key="fk", dim_key="dk",
+            group_cols=["nope"], sum_cols=["amt"],
+        )
