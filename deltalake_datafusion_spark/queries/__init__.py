@@ -73,6 +73,7 @@ def all_query_specs() -> list[QuerySpec]:
         mining,
         pipeline,
         relational,
+        round10,
         timeseries,
         tpch_adapted,
         training,
@@ -95,4 +96,5 @@ def all_query_specs() -> list[QuerySpec]:
         + analytics.specs()
         + mining.specs()
         + advanced.specs()
+        + round10.specs()
     )

@@ -1,0 +1,123 @@
+"""Round-10 query surface: join-MV maintenance, ANN recall, and the
+other deepening queries from the round-9 verdict queue. Registered
+AFTER the pinned 50-entry driver prefix (discipline: the driver's
+correctness window is the registry prefix; new names append)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.queries import QuerySpec, load_tables
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec(
+            "delta_mv_join_incremental",
+            delta_mv_join_incremental,
+            _MV_JOIN_SQL,
+        ),
+    ]
+
+
+# ---------------------------------------------------------------- #
+# delta_mv_join_incremental                                         #
+# ---------------------------------------------------------------- #
+
+
+def delta_mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained fact⋈dim STAR materialized view with
+    TWO-SIDED CDF maintenance (``delta/mv_join.py``): orders (fact:
+    id, custkey fk, cents) and customer (dim: dk, mktsegment) → both
+    CDF-enabled Delta tables → full MV build (count + cents per
+    segment) → changes on BOTH bases — fact appends + in-place
+    update + delete, AND a dim SCD segment overwrite — → ONE
+    incremental refresh applying the three-term delta algebra
+    (ΔF⋈D_new + F_new⋈ΔD − ΔF⋈ΔD; the fact read for the dim side is
+    pruned to the changed dim keys). The returned view must equal
+    the full recompute of the final joined state — exactly what the
+    oracle computes from the source rows, so any drift in the
+    two-sided arithmetic or either watermark hash-mismatches."""
+    from deltalake_datafusion_spark.delta.mv_join import (
+        build_join_mv,
+        refresh_join_mv,
+    )
+    from deltalake_datafusion_spark.delta.ops import (
+        delete_delta,
+        update_delta,
+    )
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    fact_path = _fresh_dir("mvjfact", sf_dir)
+    dim_path = _fresh_dir("mvjdim", sf_dir)
+    mv = _fresh_dir("mvjview", sf_dir)
+    cdf = {"delta.enableChangeDataFeed": "true"}
+    fact = t["orders"].select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("fk"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("dk"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    write_delta(spark, fact, fact_path, configuration=cdf)
+    write_delta(spark, dim, dim_path, configuration=cdf)
+    kw = dict(
+        fact_key="fk", dim_key="dk", group_cols=["seg"], sum_cols=["cents"]
+    )
+    build_join_mv(spark, fact_path, dim_path, mv, **kw)
+    # fact side: append + update + delete
+    extra = t["orders"].filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("id"),
+        F.col("o_custkey").alias("fk"),
+        (F.col("o_orderkey") % 997).cast("long").alias("cents"),
+    )
+    write_delta(spark, extra, fact_path, mode="append", configuration=cdf)
+    update_delta(spark, fact_path, set_exprs={"cents": "cents * 2"},
+                 predicate="id % 13 = 0")
+    delete_delta(spark, fact_path, "id % 17 = 5")
+    # dim side: SCD attribute overwrite moving whole customers between
+    # segments
+    update_delta(spark, dim_path, set_exprs={"seg": "'Z-MOVED'"},
+                 predicate="dk % 7 = 3")
+    refresh_join_mv(spark, fact_path, dim_path, mv, **kw)
+    return (
+        read_delta(spark, mv)
+        .select("seg", "mv_count",
+                F.col("mv_sum_cents").cast("long").alias("mv_sum_cents"))
+        .orderBy("seg")
+    )
+
+
+_MV_JOIN_SQL = """
+WITH fact0 AS (
+  SELECT o_orderkey AS id, o_custkey AS fk,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey,
+    CAST(o_orderkey % 997 AS BIGINT)
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+fact1 AS (
+  SELECT id, fk,
+    CASE WHEN id % 13 = 0 THEN cents * 2 ELSE cents END AS cents
+  FROM fact0
+),
+fact AS (SELECT * FROM fact1 WHERE NOT (id % 17 = 5)),
+dim AS (
+  SELECT c_custkey AS dk,
+    CASE WHEN c_custkey % 7 = 3 THEN 'Z-MOVED' ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS mv_count,
+  CAST(SUM(cents) AS BIGINT) AS mv_sum_cents
+FROM fact JOIN dim ON fact.fk = dim.dk
+GROUP BY seg ORDER BY seg
+"""
