@@ -257,17 +257,27 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: anchors = spherical k-means centroids trained on a
     bounded deterministic sample (``_kmeans_anchors``), vectors
     assigned to nearest anchor once (materializable as a bucketed
-    table), queries probe ``n_probe`` nearest lists."""
+    table), queries probe ``n_probe`` nearest lists.
+
+    ``anchors`` (optional, ``list_id int, avec array<double>``)
+    supplies an external coarse quantizer instead of training one —
+    e.g. hash-selected corpus vectors, which makes the whole pipeline
+    engine-replayable for the recall-contract oracle
+    (``sim_recall_matrix``)."""
     spark = corpus.sparkSession
-    centroids = _kmeans_anchors(corpus, n_lists, id_col, vec_col, seed=seed)
-    anchors = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        "list_id int, avec array<double>",
-    )
+    if anchors is None:
+        centroids = _kmeans_anchors(
+            corpus, n_lists, id_col, vec_col, seed=seed
+        )
+        anchors = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "list_id int, avec array<double>",
+        )
     a = F.broadcast(anchors)
 
     # assignment: cross with anchors (tiny), keep argmax cosine

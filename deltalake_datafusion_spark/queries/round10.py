@@ -18,6 +18,11 @@ def specs() -> list[QuerySpec]:
             delta_mv_join_incremental,
             _MV_JOIN_SQL,
         ),
+        QuerySpec(
+            "sim_recall_matrix",
+            sim_recall_matrix,
+            _recall_matrix_sql(),
+        ),
     ]
 
 
@@ -120,4 +125,318 @@ SELECT seg, CAST(COUNT(*) AS BIGINT) AS mv_count,
   CAST(SUM(cents) AS BIGINT) AS mv_sum_cents
 FROM fact JOIN dim ON fact.fk = dim.dk
 GROUP BY seg ORDER BY seg
+"""
+
+
+# ---------------------------------------------------------------- #
+# sim_recall_matrix                                                 #
+# ---------------------------------------------------------------- #
+
+_RECALL_K = 10
+_RECALL_NQ = 8
+_RECALL_BITS = 4
+_RECALL_TABLES = 8
+_RECALL_DIM = 64
+_RECALL_SEED = 42
+_RECALL_NLISTS = 16
+_RECALL_NPROBE = 4
+_RECALL_M = 8
+_RECALL_REFINE = 4
+
+
+def _recall_queries(corpus):
+    """The held-out query set: perturbed copies (+0.05 on element 0)
+    of the first ``_RECALL_NQ`` corpus vectors — NOT added to the
+    corpus, so each query has one near-dup anchor plus nine genuinely
+    hard exact neighbors the ANN methods must find."""
+    return corpus.filter(F.col("vec_id") < _RECALL_NQ).select(
+        (F.col("vec_id") + 1000000).alias("query_id"),
+        F.transform(
+            F.col("v"), lambda x, i: F.when(i == 0, x + 0.05).otherwise(x)
+        ).alias("query_vec"),
+    )
+
+
+def sim_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY CONTRACT (VERDICT r9 #2): recall@10 of the three
+    approximate top-k operators against :func:`brute_force_topk` on
+    the same corpus and queries, emitted as EXACT INTEGER hit counts
+    per method — so any tuning regression in the LSH banding, IVF
+    probing, or PQ quantization shifts an integer and hash-fails.
+
+    Every method runs fully deterministic AND engine-replayable:
+    the LSH hyperplanes are the operator's own seeded Gaussians
+    (inlined verbatim into the oracle), the IVF coarse quantizer is
+    the hash-free ``vec_id < 16`` anchor set (via ``ivf_topk``'s
+    external-anchors seam), and the PQ codebooks are the subvectors
+    of those same 16 corpus rows — all arithmetic strict left folds
+    in double on both engines. The oracle replays all three ANN
+    pipelines end-to-end in DuckDB and recomputes the identical hit
+    counts. The recall FLOORS are pinned separately in
+    ``tests/test_similarity_recall.py`` (including the trained
+    k-means/PQ paths this query's replayable variants stand in for)."""
+    from deltalake_datafusion_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+        pq_topk,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    corpus = t["embeddings"].select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries = _recall_queries(corpus)
+    kw = dict(id_col="vec_id", vec_col="v")
+    truth = brute_force_topk(corpus, queries, k=_RECALL_K, **kw).select(
+        "query_id", "neighbor_id"
+    )
+    anchors = corpus.filter(F.col("vec_id") < _RECALL_NLISTS).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("v").alias("avec"),
+    )
+    codebooks = _recall_codebooks(corpus)
+    methods = {
+        "brute": truth,
+        "lsh": lsh_topk(
+            corpus, queries, k=_RECALL_K, bits=_RECALL_BITS,
+            tables=_RECALL_TABLES, dim=_RECALL_DIM, seed=_RECALL_SEED, **kw
+        ),
+        "ivf": ivf_topk(
+            corpus, queries, k=_RECALL_K, n_lists=_RECALL_NLISTS,
+            n_probe=_RECALL_NPROBE, anchors=anchors, **kw
+        ),
+        "pq": pq_topk(
+            corpus, queries, k=_RECALL_K, codebooks=codebooks,
+            refine=_RECALL_REFINE, **kw
+        ),
+    }
+    total = _RECALL_K * _RECALL_NQ
+    parts = []
+    for name, df in sorted(methods.items()):
+        hits = truth.join(
+            df.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        ).agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        parts.append(
+            hits.select(
+                F.lit(name).alias("method"),
+                "hits",
+                F.lit(total).cast("long").alias("n_pairs"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method")
+
+
+def _recall_codebooks(corpus) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks for the recall contract: subspace
+    ``j``'s 16 centroids are the ``j``-th subvectors of corpus rows
+    ``vec_id 0..15`` (a metadata-scale collect; engine-replayable —
+    the oracle slices the same rows in SQL)."""
+    rows = {
+        r["vec_id"]: r["v"]
+        for r in corpus.filter(
+            F.col("vec_id") < _RECALL_NLISTS
+        ).collect()
+    }
+    dsub = _RECALL_DIM // _RECALL_M
+    return [
+        [
+            [float(x) for x in rows[c][j * dsub:(j + 1) * dsub]]
+            for c in range(_RECALL_NLISTS)
+        ]
+        for j in range(_RECALL_M)
+    ]
+
+
+def _recall_matrix_sql() -> str:
+    """DuckDB replay of all three ANN pipelines + the hit-count
+    arithmetic. The LSH plane constants are generated by the SAME
+    seeded generator the operator uses and inlined as literals
+    (repr() round-trips the exact double)."""
+    from deltalake_datafusion_spark.operators.similarity import _hyperplanes
+
+    k, nq = _RECALL_K, _RECALL_NQ
+    bits, tables = _RECALL_BITS, _RECALL_TABLES
+    m, dsub = _RECALL_M, _RECALL_DIM // _RECALL_M
+
+    def lst(plane):
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    # per (table, bit) plane literals, exactly lsh_topk's layout
+    bucket_exprs = []
+    for t in range(tables):
+        planes = _hyperplanes(_RECALL_DIM, bits, _RECALL_SEED + 1000 * t)
+        terms = []
+        for b, plane in enumerate(planes):
+            dot = (
+                "list_reduce(list_transform(list_zip(v, "
+                f"{lst(plane)}), p -> p[1] * p[2]), (x, y) -> x + y)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END)")
+        bucket_exprs.append(
+            "{'t': " + str(t) + ", 'bucket': " + " + ".join(terms) + "}"
+        )
+
+    cos = (
+        "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
+        " (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform({a}, x -> x * x),"
+        " (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform({b}, x -> x * x),"
+        " (x, y) -> x + y)))"
+    )
+    sqd = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+
+    buckets_sql = ",\n      ".join(bucket_exprs)
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id + 1000000 AS query_id,
+    list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.05 ELSE x END) AS q
+  FROM corpus WHERE vec_id < {nq}
+),
+exact AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    {cos.format(a='q.q', b='c.v')} AS cosine
+  FROM queries q JOIN corpus c ON TRUE
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM exact) WHERE rn <= {k}
+),
+-- ============ LSH replay (operator's own seeded planes) ============
+c_buckets AS (
+  SELECT vec_id, tb.t, tb.bucket FROM (
+    SELECT vec_id, unnest([
+      {buckets_sql}
+    ]) AS tb FROM (SELECT vec_id, v FROM corpus))
+),
+q_buckets AS (
+  SELECT query_id, tb.t, tb.bucket FROM (
+    SELECT query_id, unnest([
+      {buckets_sql}
+    ]) AS tb FROM (SELECT query_id, q AS v FROM queries))
+),
+lsh_cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM q_buckets q JOIN c_buckets c ON q.t = c.t AND q.bucket = c.bucket
+),
+lsh_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT e.query_id, e.neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY e.query_id
+                         ORDER BY e.cosine DESC, e.neighbor_id ASC) AS rn
+    FROM exact e JOIN lsh_cand l
+      ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id)
+  WHERE rn <= {k}
+),
+-- ============ IVF replay (vec_id<16 anchors) ============
+anchors AS (
+  SELECT CAST(vec_id AS INT) AS list_id, v AS avec FROM corpus
+  WHERE vec_id < {_RECALL_NLISTS}
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, list_id FROM (
+    SELECT c.vec_id, a.list_id,
+      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        ORDER BY {cos.format(a='c.v', b='a.avec')} DESC, a.list_id ASC) AS rn
+    FROM corpus c JOIN anchors a ON TRUE) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, a.list_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {cos.format(a='q.q', b='a.avec')} DESC, a.list_id ASC) AS rn
+    FROM queries q JOIN anchors a ON TRUE) WHERE rn <= {_RECALL_NPROBE}
+),
+ivf_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT e.query_id, e.neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY e.query_id
+                         ORDER BY e.cosine DESC, e.neighbor_id ASC) AS rn
+    FROM exact e
+    JOIN probes p ON e.query_id = p.query_id
+    JOIN assigned s ON s.neighbor_id = e.neighbor_id
+                   AND s.list_id = p.list_id)
+  WHERE rn <= {k}
+),
+-- ============ PQ replay (vec_id<16 subvector codebooks) ============
+cb AS (
+  SELECT CAST(vec_id AS INT) AS c, j,
+    v[(j * {dsub} + 1):((j + 1) * {dsub})] AS cent
+  FROM corpus, unnest(range({m})) AS t(j) WHERE vec_id < {_RECALL_NLISTS}
+),
+codes AS (
+  SELECT neighbor_id, j, c AS code FROM (
+    SELECT x.vec_id AS neighbor_id, cb.j, cb.c,
+      ROW_NUMBER() OVER (PARTITION BY x.vec_id, cb.j
+        ORDER BY {sqd.format(
+            a='x.v[(cb.j * ' + str(dsub) + ' + 1):((cb.j + 1) * '
+              + str(dsub) + ')]',
+            b='cb.cent')} ASC, cb.c ASC) AS rn
+    FROM corpus x JOIN cb ON TRUE) WHERE rn = 1
+),
+adc AS (
+  SELECT q.query_id, d.neighbor_id,
+    list_reduce(
+      list(
+        {sqd.format(
+            a='q.q[(d.j * ' + str(dsub) + ' + 1):((d.j + 1) * '
+              + str(dsub) + ')]',
+            b='cb.cent')}
+        ORDER BY d.j),
+      (x, y) -> x + y) AS adc
+  FROM queries q
+  JOIN codes d ON TRUE
+  JOIN cb ON cb.j = d.j AND cb.c = d.code
+  GROUP BY q.query_id, d.neighbor_id, q.q
+),
+pq_cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY adc ASC, neighbor_id ASC) AS rn
+    FROM adc) WHERE rn <= {k * _RECALL_REFINE}
+),
+pq_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT e.query_id, e.neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY e.query_id
+                         ORDER BY e.cosine DESC, e.neighbor_id ASC) AS rn
+    FROM exact e JOIN pq_cand p
+      ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id)
+  WHERE rn <= {k}
+),
+-- ============ hit counts ============
+hits AS (
+  SELECT 'brute' AS method, CAST(COUNT(*) AS BIGINT) AS hits FROM truth
+  UNION ALL
+  SELECT 'lsh', CAST(COUNT(*) AS BIGINT)
+  FROM truth t JOIN lsh_top s
+    ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+  UNION ALL
+  SELECT 'ivf', CAST(COUNT(*) AS BIGINT)
+  FROM truth t JOIN ivf_top s
+    ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+  UNION ALL
+  SELECT 'pq', CAST(COUNT(*) AS BIGINT)
+  FROM truth t JOIN pq_top s
+    ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+)
+SELECT method, hits, CAST({k * nq} AS BIGINT) AS n_pairs
+FROM hits ORDER BY method
 """

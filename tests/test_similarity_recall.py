@@ -1,0 +1,127 @@
+"""ANN answer-quality contract (VERDICT r9 #2): recall@10 of each
+approximate top-k operator against brute force, pinned as a FLOOR so
+a tuning regression (banding, probing, quantization, candidate
+generation) turns into a test failure instead of silent quality
+loss. Uses the driver testdata embeddings corpus and the same
+held-out perturbed query set as the ``sim_recall_matrix`` driver
+query; covers BOTH the engine-replayable variants that query runs
+(seeded-Gaussian LSH, fixed anchors/codebooks) and the trained
+k-means IVF / PQ paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    pq_topk,
+)
+from deltalake_datafusion_spark.queries.round10 import (
+    _RECALL_BITS,
+    _RECALL_K,
+    _RECALL_NLISTS,
+    _RECALL_NPROBE,
+    _RECALL_REFINE,
+    _RECALL_SEED,
+    _RECALL_TABLES,
+    _recall_codebooks,
+    _recall_queries,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+KW = dict(id_col="vec_id", vec_col="v")
+TOTAL = 80  # 8 queries x k=10
+
+
+@pytest.fixture(scope="module")
+def recall_env(spark):
+    corpus = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries = _recall_queries(corpus)
+    truth = brute_force_topk(corpus, queries, k=_RECALL_K, **KW).select(
+        "query_id", "neighbor_id"
+    )
+    return corpus, queries, truth
+
+
+def _hits(truth, df) -> int:
+    return truth.join(
+        df.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    ).count()
+
+
+def test_lsh_recall_floor(recall_env):
+    corpus, queries, truth = recall_env
+    got = _hits(
+        truth,
+        lsh_topk(
+            corpus, queries, k=_RECALL_K, bits=_RECALL_BITS,
+            tables=_RECALL_TABLES, dim=64, seed=_RECALL_SEED, **KW
+        ),
+    )
+    assert got >= 44, f"LSH recall regressed: {got}/{TOTAL}"
+
+
+def test_ivf_fixed_anchor_recall_floor(recall_env):
+    corpus, queries, truth = recall_env
+    anchors = corpus.filter(F.col("vec_id") < _RECALL_NLISTS).select(
+        F.col("vec_id").cast("int").alias("list_id"),
+        F.col("v").alias("avec"),
+    )
+    got = _hits(
+        truth,
+        ivf_topk(
+            corpus, queries, k=_RECALL_K, n_lists=_RECALL_NLISTS,
+            n_probe=_RECALL_NPROBE, anchors=anchors, **KW
+        ),
+    )
+    assert got >= 60, f"IVF(fixed anchors) recall regressed: {got}/{TOTAL}"
+
+
+def test_ivf_trained_recall_floor(recall_env):
+    corpus, queries, truth = recall_env
+    got = _hits(
+        truth,
+        ivf_topk(
+            corpus, queries, k=_RECALL_K, n_lists=_RECALL_NLISTS,
+            n_probe=_RECALL_NPROBE, **KW
+        ),
+    )
+    assert got >= 40, f"IVF(k-means) recall regressed: {got}/{TOTAL}"
+
+
+def test_pq_fixed_codebook_recall_floor(recall_env):
+    corpus, queries, truth = recall_env
+    got = _hits(
+        truth,
+        pq_topk(
+            corpus, queries, k=_RECALL_K,
+            codebooks=_recall_codebooks(corpus),
+            refine=_RECALL_REFINE, **KW
+        ),
+    )
+    assert got >= 40, f"PQ(fixed codebooks) recall regressed: {got}/{TOTAL}"
+
+
+def test_pq_trained_recall_floor(recall_env):
+    corpus, queries, truth = recall_env
+    got = _hits(
+        truth,
+        pq_topk(
+            corpus, queries, k=_RECALL_K, m=8, n_centroids=16,
+            refine=_RECALL_REFINE, **KW
+        ),
+    )
+    assert got >= 40, f"PQ(trained) recall regressed: {got}/{TOTAL}"
+
+
+def test_brute_force_is_its_own_truth(recall_env):
+    corpus, queries, truth = recall_env
+    assert truth.count() == TOTAL
+    assert _hits(truth, truth) == TOTAL
