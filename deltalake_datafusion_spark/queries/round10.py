@@ -23,6 +23,11 @@ def specs() -> list[QuerySpec]:
             sim_recall_matrix,
             _recall_matrix_sql(),
         ),
+        QuerySpec(
+            "multimodal_jpeg_decode",
+            multimodal_jpeg_decode,
+            _JPEG_DECODE_SQL,
+        ),
     ]
 
 
@@ -439,4 +444,101 @@ hits AS (
 )
 SELECT method, hits, CAST({k * nq} AS BIGINT) AS n_pairs
 FROM hits ORDER BY method
+"""
+
+
+# ---------------------------------------------------------------- #
+# multimodal_jpeg_decode                                            #
+# ---------------------------------------------------------------- #
+
+
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG grayscale decode (``operators/jpeg.py``,
+    VERDICT r9 #3): genuine JPEG files — SOI/DQT/SOF0/DHT/SOS
+    markers, Annex-K Huffman entropy coding, byte stuffing, and (for
+    every third image) DRI/RSTn restart markers — whose four 8x8
+    blocks are constants ``(doc_id·37 + 17·bi + 29·bj) mod 256``.
+    With the unit quant table a piecewise-constant image decodes
+    EXACTLY (DC-only blocks through the integer IDCT), so the oracle
+    recomputes every pixel statistic arithmetically from doc_id — a
+    Huffman, predictor, restart, dequant, or IDCT bug
+    hash-mismatches. Every 7th payload is junk and every 11th a
+    PROGRESSIVE (SOF2) stub; both must contribute no rows (the
+    reject/skip contract)."""
+    from deltalake_datafusion_spark.operators.jpeg import (
+        jpeg_decode_features,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") % 5 == 2)
+        .select("doc_id")
+    )
+
+    def build(it):
+        import pandas as pd
+
+        from deltalake_datafusion_spark.operators.jpeg import (
+            build_jpeg_gray8,
+        )
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 7 == 3:
+                    payloads.append(b"not a jpeg at all")
+                    continue
+                if did % 11 == 4:
+                    # progressive stub: SOI + SOF2 → rejected loudly
+                    payloads.append(
+                        b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10"
+                        b"\x01\x01\x11\x00\xff\xd9"
+                    )
+                    continue
+                px = [
+                    [
+                        (did * 37 + 17 * (y // 8) + 29 * (x // 8)) % 256
+                        for x in range(16)
+                    ]
+                    for y in range(16)
+                ]
+                payloads.append(
+                    build_jpeg_gray8(
+                        px,
+                        restart_interval=1 if did % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    feats = jpeg_decode_features(media)
+    return feats.orderBy("media_id").select(
+        "media_id",
+        "width",
+        "height",
+        "pixel_sum",
+        F.col("pixel_min").cast("int").alias("pixel_min"),
+        F.col("pixel_max").cast("int").alias("pixel_max"),
+    )
+
+
+_JPEG_DECODE_SQL = """
+WITH ids AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 5 = 2 AND doc_id % 7 <> 3 AND doc_id % 11 <> 4
+),
+blocks AS (
+  SELECT i.doc_id, (i.doc_id * 37 + 17 * b.bi + 29 * b.bj) % 256 AS lvl
+  FROM ids i, (SELECT bi, bj FROM range(2) r1(bi), range(2) r2(bj)) b
+)
+SELECT doc_id AS media_id,
+  CAST(16 AS INT) AS width,
+  CAST(16 AS INT) AS height,
+  CAST(64 * SUM(lvl) AS BIGINT) AS pixel_sum,
+  CAST(MIN(lvl) AS INT) AS pixel_min,
+  CAST(MAX(lvl) AS INT) AS pixel_max
+FROM blocks GROUP BY doc_id ORDER BY media_id
 """

@@ -1,0 +1,194 @@
+"""Baseline grayscale JPEG codec (operators/jpeg.py): decode matrix —
+exact DC-only round-trips, restart markers, byte stuffing, the loud
+reject taxonomy (progressive, color, subsampling, 16-bit tables), and
+the Spark decode-features operator's skip contract."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from deltalake_datafusion_spark.operators.jpeg import (
+    JpegRejected,
+    build_jpeg_gray8,
+    decode_jpeg_gray8,
+    idct8x8_int,
+)
+
+
+def _const_image(levels, block=8):
+    bh, bw = len(levels), len(levels[0])
+    return [
+        [levels[y // block][x // block] for x in range(bw * block)]
+        for y in range(bh * block)
+    ]
+
+
+def test_constant_blocks_roundtrip_exactly_all_levels():
+    """DC-only blocks through the integer IDCT reproduce every gray
+    level 0..255 exactly — the analytic-fixture property the driver
+    oracle relies on."""
+    for base in range(0, 256, 51):
+        levels = [[(base + 7 * i + 13 * j) % 256 for j in range(3)]
+                  for i in range(2)]
+        px = _const_image(levels)
+        assert decode_jpeg_gray8(build_jpeg_gray8(px), strict=True) == px
+
+
+def test_gradient_roundtrip_with_unit_quant_is_tight():
+    g = [[(x * 3 + y * 5) % 256 for x in range(24)] for y in range(17)]
+    out = decode_jpeg_gray8(build_jpeg_gray8(g), strict=True)
+    a, o = np.array(g), np.array(out)
+    assert o.shape == (17, 24)
+    assert np.abs(a - o).max() <= 1
+
+
+def test_lossy_quant_table_still_decodes_deterministically():
+    quant = [16] * 64
+    g = [[(x * x + y * 3) % 256 for x in range(16)] for y in range(16)]
+    b = build_jpeg_gray8(g, quant=quant)
+    o1 = decode_jpeg_gray8(b, strict=True)
+    o2 = decode_jpeg_gray8(bytes(b), strict=True)
+    assert o1 == o2
+    assert np.abs(np.array(o1) - np.array(g)).mean() < 24
+
+
+def test_orientation_not_transposed():
+    s = [[0] * 16 for _ in range(8)]
+    s[2][13] = 255
+    out = np.array(decode_jpeg_gray8(build_jpeg_gray8(s), strict=True))
+    assert out.shape == (8, 16)
+    assert np.unravel_index(out.argmax(), out.shape) == (2, 13)
+
+
+def test_non_multiple_of_8_crops():
+    px = [[(x + y) % 256 for x in range(13)] for y in range(11)]
+    out = decode_jpeg_gray8(build_jpeg_gray8(px), strict=True)
+    assert len(out) == 11 and len(out[0]) == 13
+
+
+def test_restart_markers_reset_dc_predictor():
+    levels = [[200, 10, 190, 20, 180, 30]]
+    px = _const_image(levels)
+    for ri in (1, 2, 3):
+        b = build_jpeg_gray8(px, restart_interval=ri)
+        assert b"\xff\xd0" in b or b"\xff\xd1" in b
+        assert decode_jpeg_gray8(b, strict=True) == px
+
+
+def test_byte_stuffing_in_entropy_segment():
+    """Find a fixture whose entropy bytes contain a stuffed FF00 and
+    pin that it still decodes exactly."""
+    found = False
+    for seed in range(400):
+        levels = [[(seed * 31 + 97 * j) % 256 for j in range(4)]]
+        px = _const_image(levels)
+        b = build_jpeg_gray8(px)
+        scan = b[b.index(b"\xff\xda") :]
+        if b"\xff\x00" in scan:
+            found = True
+            assert decode_jpeg_gray8(b, strict=True) == px
+    assert found, "no stuffed byte produced across 400 fixtures"
+
+
+def test_reject_taxonomy_is_loud():
+    good = build_jpeg_gray8(_const_image([[50]]))
+
+    def mutate(marker_from: bytes, marker_to: bytes) -> bytes:
+        assert marker_from in good
+        return good.replace(marker_from, marker_to, 1)
+
+    # progressive: SOF0 -> SOF2
+    with pytest.raises(JpegRejected, match="progressive|non-baseline"):
+        decode_jpeg_gray8(mutate(b"\xff\xc0", b"\xff\xc2"), strict=True)
+    # 16-bit quant table: Pq nibble = 1
+    i = good.index(b"\xff\xdb") + 4
+    bad = good[:i] + bytes([0x10]) + good[i + 1 :]
+    with pytest.raises(JpegRejected, match="16-bit"):
+        decode_jpeg_gray8(bad, strict=True)
+    # multi-component: SOF Nf byte 1 -> 3
+    sof = good.index(b"\xff\xc0")
+    nf_at = sof + 9
+    assert good[nf_at] == 1
+    bad = good[:nf_at] + bytes([3]) + good[nf_at + 1 :]
+    with pytest.raises(JpegRejected, match="multi-component"):
+        decode_jpeg_gray8(bad, strict=True)
+    # subsampling: component sampling 0x11 -> 0x22
+    samp_at = sof + 11
+    assert good[samp_at] == 0x11
+    bad = good[:samp_at] + bytes([0x22]) + good[samp_at + 1 :]
+    with pytest.raises(JpegRejected, match="subsampling"):
+        decode_jpeg_gray8(bad, strict=True)
+    # 12-bit precision
+    prec_at = sof + 4
+    bad = good[:prec_at] + bytes([12]) + good[prec_at + 1 :]
+    with pytest.raises(JpegRejected, match="12-bit"):
+        decode_jpeg_gray8(bad, strict=True)
+    # junk / truncation return None in non-strict mode
+    assert decode_jpeg_gray8(b"junk") is None
+    assert decode_jpeg_gray8(None) is None
+    assert decode_jpeg_gray8(good[:20]) is None
+    # strict junk raises
+    with pytest.raises(JpegRejected):
+        decode_jpeg_gray8(b"junk", strict=True)
+
+
+def test_idct_dc_only_is_exact_for_full_range():
+    for d in range(-128, 128):
+        coefs = np.zeros((8, 8), dtype=np.int64)
+        coefs[0, 0] = 8 * d
+        out = idct8x8_int(coefs)
+        assert (out == np.clip(d + 128, 0, 255)).all(), d
+
+
+def test_idct_matches_float_reference_within_one():
+    """The fixed-point IDCT tracks the exact float IDCT within ±1 on
+    random-ish integer coefficient blocks (deterministic sweep)."""
+    import math
+
+    basis = np.array(
+        [
+            [
+                ((1 / math.sqrt(2)) if u == 0 else 1.0)
+                / 2.0
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    for seed in range(20):
+        coefs = np.array(
+            [
+                [((seed * 131 + u * 17 + v * 29) % 201) - 100
+                 for v in range(8)]
+                for u in range(8)
+            ],
+            dtype=np.int64,
+        )
+        exact = basis.T @ (coefs.astype(float) @ basis)
+        want = np.clip(np.round(exact) + 128, 0, 255)
+        got = idct8x8_int(coefs).astype(float)
+        assert np.abs(got - want).max() <= 1, seed
+
+
+def test_jpeg_decode_features_skip_contract(spark):
+    from deltalake_datafusion_spark.operators.jpeg import (
+        jpeg_decode_features,
+    )
+
+    px = _const_image([[100, 30]])
+    rows = [
+        (1, bytearray(build_jpeg_gray8(px))),
+        (2, bytearray(b"junk")),
+        (3, None),
+        (4, bytearray(b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10"
+                      b"\x01\x01\x11\x00\xff\xd9")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.width, r.height, r.pixel_sum, r.pixel_min,
+                        r.pixel_max)
+           for r in jpeg_decode_features(df).collect()}
+    assert got == {1: (16, 8, 64 * 130, 30, 100)}
