@@ -1,0 +1,194 @@
+"""Robots Exclusion Protocol (RFC 9309) parsing + URL filtering — the
+crawl-politeness stage every web-scale training-data pipeline runs
+between frontier and fetch/ingest (alongside the blocklist and PSL
+stages in ``operators/urls.py``).
+
+Two stages, split the way a 100 TB pipeline wants them:
+
+1. :func:`parse_robots_rules` — robots.txt BODIES (one per host, a
+   metadata-scale table fetched by the crawler) → a flat rule table
+   ``(host, is_allow, pattern, pattern_len, regex)``. Parsing is an
+   Arrow-batched ``mapInPandas`` (bodies are small free-text; real
+   line grammar: case-insensitive field names, ``#`` comments,
+   CR/LF, blank-line-free group semantics per RFC 9309 §2.2 where
+   consecutive ``User-agent`` lines share one group). Group
+   selection follows the RFC: the group(s) whose agent token
+   exactly matches the crawler's product token (case-insensitive)
+   if any exist, else the ``*`` groups; empty-pattern ``Disallow:``
+   lines match nothing (allow-all idiom).
+
+2. :func:`robots_url_filter` — URLs × broadcast(rules): per URL the
+   PREVAILING rule is the longest-pattern match, allow winning
+   length ties (RFC 9309 §2.2.2); no match → allowed. ``*``
+   wildcards and the ``$`` end anchor are compiled to regexes at
+   parse time (driver-free — the regex column rides the broadcast).
+
+Scale shape: the rule table is per-host metadata (broadcast); the
+URL corpus never shuffles — one broadcast join + a codegen
+aggregation for the prevailing-rule argmax.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ROBOTS_RULE_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("is_allow", BooleanType(), False),
+        StructField("pattern", StringType(), False),
+        StructField("pattern_len", IntegerType(), False),
+        StructField("regex", StringType(), False),
+    ]
+)
+
+
+def robots_pattern_regex(pattern: str) -> str:
+    """RFC 9309 path pattern → anchored regex: ``*`` matches any
+    sequence, a TRAILING ``$`` anchors the end, every other char is
+    literal. Deterministic, engine-portable (no lookarounds)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + ("$" if anchored else "")
+
+
+def parse_robots_txt(body: str, agent: str) -> list[tuple[bool, str]]:
+    """One robots.txt body → the effective ``[(is_allow, pattern)]``
+    rule list for ``agent`` (exact-token groups if any, else ``*``
+    groups). Pure function, unit-testable without Spark."""
+    if body is None:
+        return []
+    exact: list[tuple[bool, str]] = []
+    star: list[tuple[bool, str]] = []
+    cur_agents: list[str] = []
+    in_group_body = False
+    agent_lc = agent.lower()
+    for raw in body.replace("\r\n", "\n").replace("\r", "\n").split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:
+                cur_agents = []
+                in_group_body = False
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_group_body = True
+            if not value:
+                continue  # empty Disallow/Allow matches nothing
+            rule = (field == "allow", value)
+            if agent_lc in cur_agents:
+                exact.append(rule)
+            if "*" in cur_agents:
+                star.append(rule)
+        # crawl-delay / sitemap / unknown fields neither start nor
+        # end a group (RFC 9309 §2.2.1)
+    return exact if exact else star
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host robots.txt bodies → the flat effective rule table for
+    ``agent`` (see module docstring)."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            hosts, allows, pats, lens, regexes = [], [], [], [], []
+            for h, body in zip(pdf[host_col], pdf[body_col]):
+                if h is None:
+                    continue
+                for is_allow, pattern in parse_robots_txt(body, agent):
+                    hosts.append(h)
+                    allows.append(is_allow)
+                    pats.append(pattern)
+                    lens.append(len(pattern))
+                    regexes.append(robots_pattern_regex(pattern))
+            yield pd.DataFrame(
+                {
+                    "host": pd.Series(hosts, dtype="object"),
+                    "is_allow": pd.Series(allows, dtype="bool"),
+                    "pattern": pd.Series(pats, dtype="object"),
+                    "pattern_len": pd.Series(lens, dtype="int32"),
+                    "regex": pd.Series(regexes, dtype="object"),
+                }
+            )
+
+    return robots.select(host_col, body_col).mapInPandas(
+        batches, ROBOTS_RULE_SCHEMA
+    )
+
+
+def robots_url_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    keep: str = "allowed",
+) -> DataFrame:
+    """Filter a URL corpus by a parsed rule table: longest-match
+    precedence, allow wins ties, no-match allows. ``keep``:
+    ``"allowed"`` (crawlable rows), ``"blocked"`` (audit), or
+    ``"annotated"`` (all rows + an ``__allowed`` column).
+
+    ONE broadcast join against the per-host rule LISTS (rules are
+    metadata-scale) and a row-wise array expression for the
+    prevailing-rule argmax — no shuffle, no aggregation, duplicate
+    corpus rows pass through untouched."""
+    from deltalake_datafusion_spark.operators.urls import url_host
+
+    if keep not in ("allowed", "blocked", "annotated"):
+        raise ValueError(f"unknown keep={keep!r}")
+    host = F.lower(url_host(F.col(url_col)))
+    path = F.regexp_extract(F.col(url_col), r"^[^/]*//[^/?#]*([^#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    keyed = urls.withColumn("__rhost", host).withColumn("__rpath", path)
+    by_host = F.broadcast(
+        rules.groupBy(F.col("host").alias("__rhost")).agg(
+            F.collect_list(
+                F.struct("pattern_len", "is_allow", "regex")
+            ).alias("__rl")
+        )
+    )
+    joined = keyed.join(by_host, "__rhost", "left")
+    # prevailing rule: max (pattern_len, is_allow) over matching rules
+    # — allow outranks disallow at equal length (struct comparison is
+    # field-ordered); no matching rule / no robots.txt -> allowed
+    best = F.array_max(
+        F.expr(
+            "transform("
+            "  filter(__rl, x -> __rpath RLIKE x.regex),"
+            "  x -> struct(x.pattern_len AS l,"
+            "              CAST(x.is_allow AS INT) AS a))"
+        )
+    )
+    decided = joined.withColumn(
+        "__allowed", F.coalesce(best["a"] == 1, F.lit(True))
+    ).drop("__rhost", "__rpath", "__rl")
+    if keep == "annotated":
+        return decided
+    want = keep == "allowed"
+    return decided.filter(F.col("__allowed") == want).drop("__allowed")

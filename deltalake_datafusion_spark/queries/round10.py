@@ -28,6 +28,7 @@ def specs() -> list[QuerySpec]:
             multimodal_jpeg_decode,
             _JPEG_DECODE_SQL,
         ),
+        QuerySpec("web_robots_filter", web_robots_filter, _ROBOTS_SQL),
     ]
 
 
@@ -541,4 +542,99 @@ SELECT doc_id AS media_id,
   CAST(MIN(lvl) AS INT) AS pixel_min,
   CAST(MAX(lvl) AS INT) AS pixel_max
 FROM blocks GROUP BY doc_id ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------- #
+# web_robots_filter                                                 #
+# ---------------------------------------------------------------- #
+
+
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Exclusion Protocol end to end (``operators/robots.py``,
+    RFC 9309): 20 synthetic hosts each publish a REAL robots.txt body
+    — star group with prefix, longest-match-allow, and wildcard+``$``
+    rules; every 5th host adds an exact ``sparkbot`` group that
+    OVERRIDES the star group entirely — and every document
+    contributes six URLs probing each decision class (plain allow,
+    prefix disallow, longer allow-override, ``*.tmp$`` anchor hit,
+    anchor miss, exact-group disallow). The pipeline parses the
+    bodies (Arrow-batched), compiles patterns, and filters with
+    longest-match / allow-wins-tie / no-match-allows precedence; the
+    oracle knows every decision analytically from the construction,
+    so a parser-grammar, group-selection, wildcard, anchor, or
+    precedence bug shifts a count and hash-fails."""
+    from deltalake_datafusion_spark.operators.robots import (
+        parse_robots_rules,
+        robots_url_filter,
+    )
+
+    d_docs = load_tables(spark, sf_dir, "documents")["documents"]
+    dom = F.col("doc_id") % 20
+    m = F.col("doc_id") % 97
+    host = F.concat(F.lit("site"), dom, F.lit(".example"))
+    star_group = F.concat(
+        F.lit("# crawl policy\nUser-agent: *\nDisallow: /private/\n"
+              "Allow: /private/open"), F.col("d"),
+        F.lit("/\nDisallow: /*.tmp$\n"),
+    )
+    exact_group = F.concat(
+        F.lit("User-agent: SparkBot\nDisallow: /deny"), F.col("d"),
+        F.lit("/\n\n"),
+    )
+    robots = (
+        d_docs.select(dom.alias("d")).distinct()
+        .select(
+            F.concat(F.lit("site"), F.col("d"), F.lit(".example"))
+            .alias("host"),
+            F.when(
+                F.col("d") % 5 == 0, F.concat(exact_group, star_group)
+            ).otherwise(star_group).alias("robots_txt"),
+        )
+    )
+    rules = parse_robots_rules(robots, agent="sparkbot")
+    base = F.concat(F.lit("https://"), host)
+    urls = d_docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(base, F.lit("/public/p"), m),
+                F.concat(base, F.lit("/private/s"), m),
+                F.concat(base, F.lit("/private/open"), dom,
+                         F.lit("/p"), m),
+                F.concat(base, F.lit("/data/f"), m, F.lit(".tmp")),
+                F.concat(base, F.lit("/data/f"), m, F.lit(".tmp2")),
+                F.concat(base, F.lit("/deny"), dom, F.lit("/x"), m),
+            )
+        ).alias("url"),
+    )
+    verdicts = robots_url_filter(urls, rules, keep="annotated")
+    from deltalake_datafusion_spark.operators.urls import url_host
+
+    return (
+        verdicts.groupBy(url_host(F.col("url")).alias("host"))
+        .agg(
+            F.sum(F.col("__allowed").cast("long")).alias("n_allowed"),
+            F.sum((~F.col("__allowed")).cast("long")).alias("n_blocked"),
+        )
+        .orderBy("host")
+    )
+
+
+_ROBOTS_SQL = """
+WITH docs AS (
+  SELECT doc_id, doc_id % 20 AS d FROM documents
+),
+per_host AS (
+  SELECT 'site' || d || '.example' AS host,
+    -- exact sparkbot group (d%5=0): only /deny<d>/ is blocked ->
+    -- 5 of the 6 probe URLs pass; star hosts block /private/s and
+    -- the .tmp anchor hit -> 4 pass
+    CAST(SUM(CASE WHEN d % 5 = 0 THEN 5 ELSE 4 END) AS BIGINT)
+      AS n_allowed,
+    CAST(SUM(CASE WHEN d % 5 = 0 THEN 1 ELSE 2 END) AS BIGINT)
+      AS n_blocked
+  FROM docs GROUP BY d
+)
+SELECT host, n_allowed, n_blocked FROM per_host ORDER BY host
 """

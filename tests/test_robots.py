@@ -1,0 +1,165 @@
+"""Robots Exclusion Protocol (operators/robots.py): line grammar,
+group/agent selection, wildcard + end-anchor matching, longest-match
+precedence with allow-wins ties, and the broadcast filter's plan
+shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from deltalake_datafusion_spark.operators.robots import (
+    parse_robots_txt,
+    robots_pattern_regex,
+)
+
+BODY = """
+# global section
+User-agent: *
+Disallow: /private/
+Allow: /private/open/
+Disallow: /*.tmp$
+
+User-Agent: SparkBot
+Disallow: /deny/
+
+user-agent: a
+user-agent: b
+Disallow: /ab/
+Crawl-delay: 10
+Allow: /ab/ok
+"""
+
+
+def test_group_selection_exact_beats_star():
+    assert parse_robots_txt(BODY, "sparkbot") == [(False, "/deny/")]
+    assert parse_robots_txt(BODY, "SPARKBOT") == [(False, "/deny/")]
+    # unknown agent falls to the * group
+    assert parse_robots_txt(BODY, "otherbot") == [
+        (False, "/private/"),
+        (True, "/private/open/"),
+        (False, "/*.tmp$"),
+    ]
+
+
+def test_stacked_user_agents_share_one_group():
+    for agent in ("a", "b"):
+        assert parse_robots_txt(BODY, agent) == [
+            (False, "/ab/"),
+            (True, "/ab/ok"),
+        ]
+
+
+def test_new_group_after_rules_resets_agents():
+    body = "User-agent: x\nDisallow: /x/\nUser-agent: y\nDisallow: /y/\n"
+    assert parse_robots_txt(body, "x") == [(False, "/x/")]
+    assert parse_robots_txt(body, "y") == [(False, "/y/")]
+
+
+def test_empty_disallow_comments_crlf_and_junk():
+    body = (
+        "User-agent: *\r\nDisallow:\r\n"
+        "Disallow: /a # trailing comment\r\n"
+        "not a field line\r\nSitemap: https://x/s.xml\r\n"
+    )
+    assert parse_robots_txt(body, "any") == [(False, "/a")]
+    assert parse_robots_txt(None, "any") == []
+    assert parse_robots_txt("", "any") == []
+
+
+def test_pattern_regex_wildcards_and_anchor():
+    import re
+
+    r = robots_pattern_regex("/*.tmp$")
+    assert re.search(r, "/x/file.tmp")
+    assert not re.search(r, "/x/file.tmp2")
+    r2 = robots_pattern_regex("/a/b")
+    assert re.search(r2, "/a/bcd")  # prefix semantics
+    assert not re.search(r2, "/c/a/b")  # anchored at path start
+    r3 = robots_pattern_regex("/p/*/x")
+    assert re.search(r3, "/p/1/2/x")
+    # regex metachars in paths stay literal
+    r4 = robots_pattern_regex("/q?.r+")
+    assert re.search(r4, "/q?.r+s")
+    assert not re.search(r4, "/qX.r")
+
+
+@pytest.fixture()
+def rules_and_urls(spark):
+    from deltalake_datafusion_spark.operators.robots import (
+        parse_robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", BODY),
+            ("b.com", "User-agent: *\nDisallow: /\nAllow: /pub/\n"),
+            ("c.com", None),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots, agent="sparkbot")
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.com/deny/x"),
+            (2, "https://a.com/private/anything"),  # exact group: allowed
+            (3, "https://b.com/secret"),
+            (4, "https://b.com/pub/page"),
+            (5, "https://c.com/whatever"),  # no robots -> allowed
+            (6, "https://d.com/nothing"),  # host without rules
+            (7, "https://b.com/pub/page"),  # duplicate row survives
+        ],
+        "doc_id long, url string",
+    )
+    return rules, urls
+
+
+def test_filter_precedence_and_defaults(spark, rules_and_urls):
+    from deltalake_datafusion_spark.operators.robots import (
+        robots_url_filter,
+    )
+
+    rules, urls = rules_and_urls
+    allowed = [
+        r.doc_id
+        for r in robots_url_filter(urls, rules).orderBy("doc_id").collect()
+    ]
+    assert allowed == [2, 4, 5, 6, 7]
+    blocked = {
+        r.doc_id
+        for r in robots_url_filter(urls, rules, keep="blocked").collect()
+    }
+    assert blocked == {1, 3}
+
+
+def test_allow_wins_length_tie(spark):
+    from deltalake_datafusion_spark.operators.robots import (
+        parse_robots_rules,
+        robots_url_filter,
+    )
+
+    robots = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow: /p/\nAllow: /p/\n")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots, agent="x")
+    urls = spark.createDataFrame(
+        [(1, "https://t.com/p/z")], "doc_id long, url string"
+    )
+    assert robots_url_filter(urls, rules).count() == 1
+
+
+def test_filter_plan_is_broadcast_no_shuffle(spark, rules_and_urls):
+    from deltalake_datafusion_spark.operators.robots import (
+        robots_url_filter,
+    )
+
+    rules, urls = rules_and_urls
+    plan = (
+        robots_url_filter(urls, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the URL corpus must never shuffle-join: the rule-list
+    # aggregation exchange lives on the tiny broadcast subtree only
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

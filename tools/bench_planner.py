@@ -1,20 +1,28 @@
-"""Measure driver-side vs distributed scan planning on a synthetic
-large log — the numbers behind scan.SPARK_PLANNER_FILE_THRESHOLD.
+"""Measure driver-side vs distributed planning on a synthetic large
+log — the numbers behind scan.SPARK_PLANNER_FILE_THRESHOLD, for all
+three planner consumers (VERDICT r9 #5):
 
+  scan     read-path file pruning with a ~1%-selective stats predicate
+           (driver: load_snapshot + scan_files; distributed:
+           collect_planned_files)
+  dml      DELETE/UPDATE candidate planning (the `_dml_snapshot`
+           cutover: snapshot WITHOUT file materialization + one Spark
+           planning job vs full driver snapshot + driver pruning)
+  optimize compaction victim selection (`size < threshold` victim
+           condition pushed into the distributed replay vs driver
+           filter over the materialized file list; ~1% of synthetic
+           files are small)
+
+Each mode asserts distributed ≡ driver results before reporting.
 Synthesizes a Delta log with N add actions (realistic per-file stats,
 batched into 32 commit JSONs, driver-written — no data files needed:
-planning never opens them), then times, for each planner:
-
-  driver      load_snapshot(full) + scan_files(snap, predicate)
-  distributed collect_planned_files(spark, path, predicate)
-
-with a ~1%-selective predicate (stats pruning keeps ~1% of files).
+planning never opens them).
 
 Usage:
     PYTHONPATH=/root/repo python tools/bench_planner.py [N ...]
 
-Defaults to N = 100_000 300_000. Results go into SCALING.md's
-round-6 planner table.
+Defaults to N = 100_000 300_000. Results go into SCALING.md /
+PARITY.md planner tables.
 """
 
 from __future__ import annotations
@@ -65,7 +73,9 @@ def synthesize_log(path: str, n_files: int, commits: int = 32) -> None:
                         "add": {
                             "path": f"part-{fid:08d}.parquet",
                             "partitionValues": {},
-                            "size": 134217728,
+                            # ~1% small files: the OPTIMIZE victim set
+                            "size": 1048576 if fid % 97 == 0
+                            else 134217728,
                             "modificationTime": 1700000000000 + fid,
                             "dataChange": True,
                             "stats": json.dumps(
@@ -87,6 +97,8 @@ def synthesize_log(path: str, n_files: int, commits: int = 32) -> None:
 
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [100_000, 300_000]
+    from pyspark.sql import functions as F
+
     from deltalake_datafusion_spark.delta.scan import (
         collect_planned_files,
         estimate_log_actions,
@@ -97,14 +109,16 @@ def main() -> None:
 
     spark = get_spark(app_name="bench_planner")
     spark.sparkContext.setLogLevel("ERROR")
-    print(f"{'n_files':>9} {'driver_s':>9} {'spark_s':>9} "
+    print(f"{'mode':>8} {'n_files':>9} {'driver_s':>9} {'spark_s':>9} "
           f"{'survivors':>9} {'est_actions':>11}")
     for n in sizes:
         d = tempfile.mkdtemp(prefix="planner_bench_")
         try:
             synthesize_log(d, n)
+            est = estimate_log_actions(d, spark)
             pred = f"id >= {n * 1000 - n * 10}"  # ~1% of files survive
 
+            # ---- scan: read-path predicate pruning ----
             t0 = time.time()
             snap = load_snapshot(d, spark=spark)
             files = scan_files(snap, pred)
@@ -119,9 +133,44 @@ def main() -> None:
             assert {f.path for f in files} == {f.path for f in planned}, (
                 len(files), len(planned)
             )
-            est = estimate_log_actions(d, spark)
-            print(f"{n:>9} {t_driver:>9.2f} {t_spark:>9.2f} "
+            print(f"{'scan':>8} {n:>9} {t_driver:>9.2f} {t_spark:>9.2f} "
                   f"{len(files):>9} {est:>11}")
+
+            # ---- dml: DELETE/UPDATE candidate planning ----
+            # driver shape: full snapshot materialization + pruning
+            t0 = time.time()
+            snap = load_snapshot(d, spark=spark)
+            cands_driver = scan_files(snap, pred)
+            t_driver = time.time() - t0
+            # distributed shape (the _dml_snapshot cutover): snapshot
+            # WITHOUT the file list + one Spark planning job
+            t0 = time.time()
+            snap_nf = load_snapshot(d, spark=spark, with_files=False)
+            cands_spark = collect_planned_files(spark, d, pred)
+            t_dml = time.time() - t0
+            assert snap_nf.version == snap.version
+            assert {f.path for f in cands_driver} == {
+                f.path for f in cands_spark
+            }
+            print(f"{'dml':>8} {n:>9} {t_driver:>9.2f} {t_dml:>9.2f} "
+                  f"{len(cands_spark):>9} {est:>11}")
+
+            # ---- optimize: compaction victim selection ----
+            threshold = 128 * 1024 * 1024
+            t0 = time.time()
+            snap = load_snapshot(d, spark=spark)
+            vict_driver = [f for f in snap.files if f.size < threshold]
+            t_driver = time.time() - t0
+            t0 = time.time()
+            vict_spark = collect_planned_files(
+                spark, d, None, where=F.col("size") < F.lit(threshold)
+            )
+            t_opt = time.time() - t0
+            assert {f.path for f in vict_driver} == {
+                f.path for f in vict_spark
+            }
+            print(f"{'optimize':>8} {n:>9} {t_driver:>9.2f} {t_opt:>9.2f} "
+                  f"{len(vict_spark):>9} {est:>11}")
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
