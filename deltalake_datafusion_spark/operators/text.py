@@ -1398,3 +1398,87 @@ def winnow_fingerprints(
         F.col("__m.h").alias("fingerprint"),
         (-F.col("__m.np")).alias("gram_pos"),
     ).distinct()
+
+
+def repeated_kgram_profile(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CROSS-DOCUMENT exact repeated-span profile — the per-document
+    measurement behind exact-substring training-data deduplication
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": spans repeated verbatim across documents are
+    memorization fuel and should be cut). Per document:
+
+    - ``n_grams`` — its character k-grams (every start position);
+    - ``n_repeated`` — k-grams whose EXACT text also occurs in at
+      least one OTHER document;
+    - ``covered_chars`` — characters under the UNION of the repeated
+      k-gram spans (overlaps merged: Σ min(k, next_start − start)
+      over the sorted repeated positions — one window ``lead``, no
+      interval loop);
+    - ``doc_len`` — total characters.
+
+    Scale shape: the shuffle carries one 16-byte md5 digest per
+    character position (the published algorithm's O(total chars)
+    suffix-scan cost, here as a hash aggregation instead of a suffix
+    array); the digest→multiplicity table joins back position rows on
+    the digest. Everything is expression-tree (posexploded substrings
+    + md5 + two shuffles on the digest); cross-engine exact because
+    md5-of-UTF-8 is engine-independent.
+    """
+    from pyspark.sql.window import Window
+
+    grams = df.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {k}"
+                f" + 1, 0)), p -> substring({text_col}, p, {k}))"
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        id_col, "pos", F.md5("gram").alias("h")
+    )
+    multi_doc = (
+        grams.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    rep = grams.join(multi_doc, "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    covered = (
+        rep.withColumn("nxt", F.lead("pos").over(w))
+        .withColumn(
+            "cov",
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.least(F.lit(k), F.col("nxt") - F.col("pos")),
+            ).otherwise(F.lit(k)),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_repeated"),
+            F.sum("cov").cast("long").alias("covered_chars"),
+        )
+    )
+    base = df.select(
+        id_col,
+        F.greatest(
+            F.length(text_col) - F.lit(k) + 1, F.lit(0)
+        ).cast("long").alias("n_grams"),
+        F.length(text_col).cast("long").alias("doc_len"),
+    )
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+            F.coalesce("covered_chars", F.lit(0)).alias("covered_chars"),
+            "doc_len",
+        )
+    )

@@ -29,6 +29,11 @@ def specs() -> list[QuerySpec]:
             _JPEG_DECODE_SQL,
         ),
         QuerySpec("web_robots_filter", web_robots_filter, _ROBOTS_SQL),
+        QuerySpec(
+            "text_repeated_spans",
+            text_repeated_spans,
+            _REPEATED_SPANS_SQL,
+        ),
     ]
 
 
@@ -637,4 +642,88 @@ per_host AS (
   FROM docs GROUP BY d
 )
 SELECT host, n_allowed, n_blocked FROM per_host ORDER BY host
+"""
+
+
+# ---------------------------------------------------------------- #
+# text_repeated_spans                                               #
+# ---------------------------------------------------------------- #
+
+_SPAN_K = 20
+_FOOTER = " == SHARED FOOTER $F == all rights reserved, id "
+
+
+def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT repeated-span profile
+    (``operators/text.py::repeated_kgram_profile`` — the Lee et al.
+    2022 exact-substring dedup measurement): every 3rd document gets
+    one of 4 shared boilerplate footers appended, so verbatim
+    cross-document spans exist by construction on top of any natural
+    repeats; the operator counts, per document, its k=20 char-grams,
+    the grams shared verbatim with OTHER documents, and the merged
+    character coverage of those repeated spans. The oracle replays
+    the same gram extraction (substr + generate_series), cross-doc
+    multiplicity, and interval-union arithmetic in SQL — a shuffle
+    key, window-frame, or overlap-merge bug hash-fails."""
+    from deltalake_datafusion_spark.operators.text import (
+        repeated_kgram_profile,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")["documents"]
+    footer = F.concat(
+        F.lit(" == SHARED FOOTER "),
+        (F.col("doc_id") % 4),
+        F.lit(" == all rights reserved, id "),
+        (F.col("doc_id") % 2),
+    )
+    docs = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), footer)
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    prof = repeated_kgram_profile(docs, k=_SPAN_K)
+    return prof.orderBy("doc_id").select(
+        "doc_id", "n_grams", "n_repeated", "covered_chars", "doc_len"
+    )
+
+
+_REPEATED_SPANS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN
+      text || ' == SHARED FOOTER ' || (doc_id % 4)
+           || ' == all rights reserved, id ' || (doc_id % 2)
+    ELSE text END AS text
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, p AS pos, substr(text, p, {_SPAN_K}) AS g FROM (
+    SELECT doc_id, text,
+      unnest(range(1, greatest(length(text) - {_SPAN_K} + 1, 0) + 1)) AS p
+    FROM docs)
+),
+multi AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+),
+rep AS (
+  SELECT gr.doc_id, gr.pos,
+    LEAD(gr.pos) OVER (PARTITION BY gr.doc_id ORDER BY gr.pos) AS nxt
+  FROM grams gr JOIN multi m ON gr.g = m.g
+),
+cov AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_repeated,
+    CAST(SUM(CASE WHEN nxt IS NULL THEN {_SPAN_K}
+             ELSE LEAST({_SPAN_K}, nxt - pos) END) AS BIGINT)
+      AS covered_chars
+  FROM rep GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(GREATEST(LENGTH(d.text) - {_SPAN_K} + 1, 0) AS BIGINT) AS n_grams,
+  COALESCE(c.n_repeated, 0) AS n_repeated,
+  COALESCE(c.covered_chars, 0) AS covered_chars,
+  CAST(LENGTH(d.text) AS BIGINT) AS doc_len
+FROM docs d LEFT JOIN cov c USING (doc_id)
+ORDER BY d.doc_id
 """

@@ -1,0 +1,54 @@
+
+
+def test_repeated_kgram_profile_overlap_merge_and_exactness(spark):
+    """repeated_kgram_profile: cross-doc repeats only (within-doc
+    repeats alone don't count), overlapping repeated spans merge in
+    the coverage sum, disjoint spans add, and a doc with no repeats
+    reports zeros."""
+    from deltalake_datafusion_spark.operators.text import (
+        repeated_kgram_profile,
+    )
+
+    shared = "ABCDEFGHIJ"  # k=10 gram shared verbatim
+    rows = [
+        # doc 1: shared at pos 1 and 3 (overlap) and pos 20 (disjoint)
+        (1, shared[:2] + shared + "zz" + "q" * 4 + shared + "x"),
+        (2, "prefix---" + shared + "---suffix"),
+        (3, "no repeats here at all, unique text!"),
+        # doc 4: internal duplicate only -> not cross-doc... but the
+        # gram also lives in doc 4 twice; countDistinct(doc)=1 so it
+        # must NOT count
+        (4, "UVWXYZ0123" + "---" + "UVWXYZ0123"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_repeated, r.covered_chars, r.n_grams, r.doc_len)
+        for r in repeated_kgram_profile(df, k=10).collect()
+    }
+    t1 = rows[0][1]
+    # doc1: 'ABCDEFGHIJ' occurs at 0-based 2 and 18 -> repeated gram
+    # positions {3, 19} (1-based); no overlap (gap 16 >= 10)
+    assert got[1][0] == 2 and got[1][1] == 20
+    assert got[1][2] == len(t1) - 9 and got[1][3] == len(t1)
+    assert got[2][0] == 1 and got[2][1] == 10
+    assert got[3] == (0, 0, len(rows[2][1]) - 9, len(rows[2][1]))
+    assert got[4][0] == 0  # within-doc repeat is not cross-doc
+
+
+def test_repeated_kgram_profile_overlapping_coverage(spark):
+    from deltalake_datafusion_spark.operators.text import (
+        repeated_kgram_profile,
+    )
+
+    # two docs share an 11-char run -> each has TWO overlapping
+    # 10-grams; coverage must merge to 11, not 20
+    run = "ABCDEFGHIJK"
+    df = spark.createDataFrame(
+        [(1, run + "xx"), (2, "yy" + run)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_repeated, r.covered_chars)
+        for r in repeated_kgram_profile(df, k=10).collect()
+    }
+    assert got[1] == (2, 11) and got[2] == (2, 11)
