@@ -443,3 +443,108 @@ def _advance_txns_only(spark, mv_path: str, txns: list[dict]) -> None:
     commit_with_retries(
         spark, mv_path, snap, fresh, "SET TRANSACTION", set()
     )
+
+
+def streaming_refresh_join_mv(
+    spark,
+    fact_path: str,
+    dim_path: str,
+    mv_path: str,
+    *,
+    fact_key: str,
+    dim_key: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+    starting_version: int | None = None,
+    timeout_s: int = 300,
+) -> None:
+    """CONTINUOUS star-MV maintenance for the FACT side — the
+    production split: the high-velocity fact table streams through
+    its change feed (term ``ΔF⋈D_new`` per micro-batch, dim snapshot
+    broadcast at batch time), while rare dim changes go through the
+    batch :func:`refresh_join_mv` (which reads the dim watermark this
+    stream leaves untouched).
+
+    Exactly-once with the same lineage-independent guard as
+    ``delta/mv.py``: each batch drops rows at-or-below the view's
+    committed fact watermark (``lakehouse.mv.fact`` txn) and commits
+    the new max ``_commit_version`` watermark IN THE SAME MERGE
+    commit — replayed batches and fresh checkpoint directories merge
+    nothing twice.
+
+    Consistency note (documented, inherent to one-sided streaming):
+    each micro-batch joins against the dim AS OF batch time, so a
+    dim change between batches applies to fact rows from the next
+    batch on; the two-sided batch refresh reconciles exactly because
+    its algebra reads both watermarks."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.streaming.cdf_source import (
+        read_change_stream,
+    )
+
+    mv_snap = load_snapshot(mv_path, spark=spark)
+    wm = join_mv_watermarks(mv_snap)
+    if wm is None:
+        raise ValueError(
+            f"{mv_path} has no {MV_FACT_TXN_APP}/{MV_DIM_TXN_APP} txns — "
+            "not a maintained join view (build_join_mv first)"
+        )
+    if starting_version is None:
+        starting_version = wm[0] + 1
+
+    fact_fields = [
+        f.name for f in load_snapshot(fact_path, spark=spark).schema.fields
+    ]
+    dim_fields = [
+        f.name for f in load_snapshot(dim_path, spark=spark).schema.fields
+    ]
+    fact_g, dim_g = _split_group_cols(
+        group_cols, set(fact_fields), set(dim_fields)
+    )
+    f_cols = sorted({fact_key, *fact_g, *sum_cols})
+    d_cols = sorted({dim_key, *dim_g})
+    out_cols = [*group_cols, *sum_cols]
+
+    def sink(batch_df, batch_id: int) -> None:
+        snap = load_snapshot(mv_path, spark=spark)
+        applied_f = snap.app_transactions.get(MV_FACT_TXN_APP, -1)
+        fresh = batch_df.filter(
+            F.col("_commit_version") > F.lit(applied_f)
+        ).localCheckpoint(eager=True)
+        hi = fresh.agg(F.max("_commit_version").alias("v")).collect()[0]["v"]
+        if hi is None:
+            return  # fully-replayed batch
+        f_signed = _signed(fresh, f_cols).withColumn(
+            "__fk", F.col(fact_key)
+        )
+        dim_now = read_delta(spark, dim_path).select(*d_cols).withColumn(
+            "__dk", F.col(dim_key)
+        )
+        j = f_signed.join(
+            F.broadcast(dim_now),
+            f_signed["__fk"] == dim_now["__dk"],
+            "inner",
+        )
+        rows = j.select(
+            *[
+                (f_signed[c] if c in fact_g or c in sum_cols
+                 else dim_now[c])
+                for c in out_cols
+            ],
+            f_signed["__sign"].alias("__sign"),
+        )
+        _merge_signed_rows(
+            spark, mv_path, rows, group_cols, sum_cols,
+            txns=[_txn(MV_FACT_TXN_APP, int(hi))],
+        )
+
+    q = (
+        read_change_stream(spark, fact_path, starting_version)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

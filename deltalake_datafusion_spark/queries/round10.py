@@ -34,6 +34,11 @@ def specs() -> list[QuerySpec]:
             text_repeated_spans,
             _REPEATED_SPANS_SQL,
         ),
+        QuerySpec(
+            "streaming_mv_join_refresh",
+            streaming_mv_join_refresh,
+            _SMV_JOIN_SQL,
+        ),
     ]
 
 
@@ -726,4 +731,98 @@ SELECT d.doc_id,
   CAST(LENGTH(d.text) AS BIGINT) AS doc_len
 FROM docs d LEFT JOIN cov c USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------- #
+# streaming_mv_join_refresh                                         #
+# ---------------------------------------------------------------- #
+
+
+def streaming_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS star-MV maintenance, production split
+    (``delta/mv_join.py::streaming_refresh_join_mv``): the
+    high-velocity FACT side streams through its change feed — each
+    micro-batch joins the signed fact deltas to the broadcast current
+    dim and MERGEs, the fact watermark txn riding the same commit —
+    while a later dim SCD change reconciles through the two-sided
+    batch refresh (which reads the stream-advanced fact watermark).
+    The final view must equal the full recompute of the final joined
+    state, which is what the oracle computes."""
+    from deltalake_datafusion_spark.delta.mv_join import (
+        build_join_mv,
+        refresh_join_mv,
+        streaming_refresh_join_mv,
+    )
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.ops import update_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    fact_path = _fresh_dir("smvjfact", sf_dir)
+    dim_path = _fresh_dir("smvjdim", sf_dir)
+    mv = _fresh_dir("smvjview", sf_dir)
+    ck = _fresh_dir("smvjckpt", sf_dir)
+    cdf = {"delta.enableChangeDataFeed": "true"}
+    fact = t["orders"].select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("fk"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("dk"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    write_delta(spark, fact, fact_path, configuration=cdf)
+    write_delta(spark, dim, dim_path, configuration=cdf)
+    kw = dict(
+        fact_key="fk", dim_key="dk", group_cols=["seg"], sum_cols=["cents"]
+    )
+    build_join_mv(spark, fact_path, dim_path, mv, **kw)
+    extra = t["orders"].filter(F.col("o_orderkey") % 151 == 0).select(
+        (F.col("o_orderkey") + 200000000).alias("id"),
+        F.col("o_custkey").alias("fk"),
+        (F.col("o_orderkey") % 1009).cast("long").alias("cents"),
+    )
+    write_delta(spark, extra, fact_path, mode="append", configuration=cdf)
+    delete_delta(spark, fact_path, "id % 19 = 7")
+    streaming_refresh_join_mv(spark, fact_path, dim_path, mv,
+                              checkpoint_dir=ck, **kw)
+    # rare dim change -> two-sided batch reconcile over the
+    # stream-advanced watermarks
+    update_delta(spark, dim_path, set_exprs={"seg": "'Z-STREAMED'"},
+                 predicate="dk % 11 = 6")
+    refresh_join_mv(spark, fact_path, dim_path, mv, **kw)
+    return (
+        read_delta(spark, mv)
+        .select("seg", "mv_count",
+                F.col("mv_sum_cents").cast("long").alias("mv_sum_cents"))
+        .orderBy("seg")
+    )
+
+
+_SMV_JOIN_SQL = """
+WITH fact0 AS (
+  SELECT o_orderkey AS id, o_custkey AS fk,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+  UNION ALL
+  SELECT o_orderkey + 200000000, o_custkey,
+    CAST(o_orderkey % 1009 AS BIGINT)
+  FROM orders WHERE o_orderkey % 151 = 0
+),
+fact AS (SELECT * FROM fact0 WHERE NOT (id % 19 = 7)),
+dim AS (
+  SELECT c_custkey AS dk,
+    CASE WHEN c_custkey % 11 = 6 THEN 'Z-STREAMED'
+         ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS mv_count,
+  CAST(SUM(cents) AS BIGINT) AS mv_sum_cents
+FROM fact JOIN dim ON fact.fk = dim.dk
+GROUP BY seg ORDER BY seg
 """

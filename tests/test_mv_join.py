@@ -311,3 +311,75 @@ def test_group_col_side_resolution_errors(spark, tmp_path):
             fact_key="fk", dim_key="dk",
             group_cols=["nope"], sum_cols=["amt"],
         )
+
+
+def test_streaming_fact_side_then_batch_dim_reconcile(spark, tmp_path):
+    """streaming_refresh_join_mv: fact CDF streams through the
+    foreachBatch sink (term dF*D_new per micro-batch + fact watermark
+    txn in the same commit); a later dim change reconciles through
+    the batch two-sided refresh reading the stream-advanced fact
+    watermark. End state == full recompute at every step."""
+    from deltalake_datafusion_spark.delta.mv_join import (
+        streaming_refresh_join_mv,
+    )
+
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, m, **KW)
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(800, 2, 21), (801, 9, 5)], "id long, fk long, amt long"
+        ),
+        fp,
+        mode="append",
+        configuration=CDF,
+    )
+    delete_delta(spark, fp, "id IN (3, 13)")
+    streaming_refresh_join_mv(
+        spark, fp, dp, m, checkpoint_dir=str(tmp_path / "ck"), **KW
+    )
+    assert _mv_state(spark, m) == _expected(spark, fp, dp)
+    # batch refresh right after: fact watermark already advanced
+    assert refresh_join_mv(spark, fp, dp, m, **KW)["mode"] == "noop"
+    # dim SCD update + more fact rows -> batch two-sided reconcile
+    update_delta(spark, dp, set_exprs={"seg": "'sm'"}, predicate="dk = 2")
+    write_delta(
+        spark,
+        spark.createDataFrame([(900, 2, 100)], "id long, fk long, amt long"),
+        fp,
+        mode="append",
+        configuration=CDF,
+    )
+    refresh_join_mv(spark, fp, dp, m, **KW)
+    assert _mv_state(spark, m) == _expected(spark, fp, dp)
+
+
+def test_streaming_join_mv_fresh_checkpoint_no_double_apply(
+    spark, tmp_path
+):
+    from deltalake_datafusion_spark.delta.mv_join import (
+        streaming_refresh_join_mv,
+    )
+
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, m, **KW)
+    write_delta(
+        spark,
+        spark.createDataFrame([(850, 5, 11)], "id long, fk long, amt long"),
+        fp,
+        mode="append",
+        configuration=CDF,
+    )
+    streaming_refresh_join_mv(
+        spark, fp, dp, m, checkpoint_dir=str(tmp_path / "ck1"), **KW
+    )
+    assert _mv_state(spark, m) == _expected(spark, fp, dp)
+    # replay the whole CDF from version 1 under a NEW checkpoint: the
+    # commit-version guard must merge nothing twice
+    streaming_refresh_join_mv(
+        spark, fp, dp, m, checkpoint_dir=str(tmp_path / "ck2"),
+        starting_version=1, **KW
+    )
+    assert _mv_state(spark, m) == _expected(spark, fp, dp)
