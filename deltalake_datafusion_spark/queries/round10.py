@@ -39,6 +39,7 @@ def specs() -> list[QuerySpec]:
             streaming_mv_join_refresh,
             _SMV_JOIN_SQL,
         ),
+        QuerySpec("q_orc_roundtrip", q_orc_roundtrip, _ORC_RT_SQL),
     ]
 
 
@@ -825,4 +826,61 @@ SELECT seg, CAST(COUNT(*) AS BIGINT) AS mv_count,
   CAST(SUM(cents) AS BIGINT) AS mv_sum_cents
 FROM fact JOIN dim ON fact.fk = dim.dk
 GROUP BY seg ORDER BY seg
+"""
+
+
+# ---------------------------------------------------------------- #
+# q_orc_roundtrip                                                   #
+# ---------------------------------------------------------------- #
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink handler (completing the columnar-format matrix
+    beside parquet/CSV/JSONL): orders exports to ORC partitioned by
+    orderstatus, reads back with a partition-pruning filter AND a
+    data predicate (both must push into the ORC scan — the plan
+    guard in tests/test_plan_quality.py pins PushedFilters +
+    partition pruning), then aggregates per priority. The oracle
+    replays the filtered aggregate on the original rows — the format
+    round-trip must be lossless for longs/strings/doubles."""
+    import os
+
+    from deltalake_datafusion_spark.queries.analytics import _work_dir
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    d = os.path.join(_work_dir("orcrt", sf_dir), "o")
+    (
+        o.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority",
+        )
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .orc(d)
+    )
+    back = spark.read.orc(d).filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_custkey") % 3 == 1)
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+            ).alias("cents"),
+            F.count_distinct("o_custkey").alias("n_cust"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORC_RT_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS cents,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM orders
+WHERE o_orderstatus = 'F' AND o_custkey % 3 = 1
+GROUP BY o_orderpriority ORDER BY o_orderpriority
 """

@@ -768,3 +768,39 @@ def test_round9b_final_additions_no_python(spark, sf_dir):
         )
         assert "Python" not in plan, (q.__name__, plan[:900])
         assert "CartesianProduct" not in plan, (q.__name__,)
+
+
+def test_orc_roundtrip_pushdown_and_partition_pruning(spark, sf_dir):
+    """q_orc_roundtrip: the data predicate reaches the ORC scan as a
+    DataFilter (ORC searchArgument pushdown) and the partition filter
+    prunes directories — the read never scans other orderstatus
+    partitions; no Python, no cartesian."""
+    from deltalake_datafusion_spark.queries.round10 import q_orc_roundtrip
+
+    plan = (
+        q_orc_roundtrip(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan = [ln for ln in plan.split("\n") if "FileScan orc" in ln][0]
+    assert "o_custkey" in scan.split("DataFilters:")[1].split("]")[0]
+    assert "o_orderstatus" in scan.split("PartitionFilters:")[1]
+    assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+def test_round10_queries_no_python_in_relational_core(spark, sf_dir):
+    """Round-10 non-UDF queries stay JVM-side end to end (the JPEG /
+    robots / spans queries have documented Arrow mapInPandas stages;
+    the MV and ORC queries must not)."""
+    from deltalake_datafusion_spark.queries.round10 import (
+        sim_recall_matrix,
+    )
+
+    plan = (
+        sim_recall_matrix(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only Python stage allowed in the recall matrix is lsh_topk's
+    # signature pandas_udf; everything else (brute/ivf/pq + the hit
+    # joins) is expression-tree
+    assert plan.count("BatchEvalPython") == 0, plan[:900]
+    assert "CartesianProduct" not in plan
