@@ -525,3 +525,60 @@ def test_cusum_closed_form_matches_recursion(spark):
             .collect()
         ]
         assert got == want, devs
+
+
+def test_png_truecolor_roundtrip_all_filters(spark):
+    """decode_png: RGB and RGBA truecolor round-trip exactly through
+    every scanline filter with the pixel-stride (bpp) neighbor
+    semantics; grayscale stays compatible; palette/16-bit reject."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_png_gray8,
+        build_png_rgb,
+        decode_png,
+    )
+
+    px = [
+        [((3 * x + y) % 256, (5 * x + 2 * y) % 256, (7 * x + 3 * y) % 256)
+         for x in range(7)]
+        for y in range(6)
+    ]
+    for filters in (None, [0] * 6, [1] * 6, [2] * 6, [3] * 6, [4] * 6):
+        ct, out = decode_png(build_png_rgb(px, filters=filters))
+        assert ct == 2 and out == px, filters
+    pxa = [[(r, g, b, (r + g) % 256) for r, g, b in row] for row in px]
+    ct, out = decode_png(build_png_rgb(pxa, alpha=True))
+    assert ct == 6 and out == pxa
+    gray = [[(x * y) % 256 for x in range(5)] for y in range(4)]
+    ct, out = decode_png(build_png_gray8(gray))
+    assert ct == 0 and out == gray
+    assert decode_png(b"junk") is None and decode_png(None) is None
+
+
+def test_png_color_features_exact_and_skip(spark):
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_png_gray8,
+        build_png_rgb,
+        png_color_features,
+    )
+
+    px = [[(10, 20, 30), (250, 0, 5)], [(1, 2, 3), (4, 5, 6)]]
+    rows = [
+        (1, bytearray(build_png_rgb(px))),
+        (2, bytearray(build_png_gray8([[100, 50]]))),
+        (3, bytearray(b"nope")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.color_type, r.width, r.height, r.sum_r, r.sum_g,
+                     r.sum_b, r.sum_luma)
+        for r in png_color_features(df).collect()
+    }
+    luma = sum((299 * r + 587 * g + 114 * b) // 1000
+               for row in px for r, g, b in row)
+    assert got[1] == (2, 2, 2, 265, 27, 44, luma)
+    gl = 100 + 50
+    gluma = (299 * 100 + 587 * 100 + 114 * 100) // 1000 + \
+            (299 * 50 + 587 * 50 + 114 * 50) // 1000
+    assert got[2] == (0, 2, 1, gl, gl, gl, gluma)
+    assert set(got) == {1, 2}
