@@ -1,16 +1,17 @@
-"""REAL zero-dependency baseline JPEG (ITU-T T.81) GRAYSCALE codec —
-the third genuine-decode tier beside PNG gray8 inflate+defilter and
-PCM energy (``operators/multimodal.py``), closing VERDICT r9 #3.
+"""REAL zero-dependency baseline JPEG (ITU-T T.81) codec — GRAYSCALE
+and 4:4:4 YCbCr COLOR — the third genuine-decode tier beside PNG
+inflate+defilter and PCM energy (``operators/multimodal.py``),
+closing VERDICT r9 #3.
 
-Scope (like the PNG gray8 path, deliberately the exactly-decodable
-subset): BASELINE sequential DCT (SOF0), 8-bit, SINGLE component
-(grayscale), 1x1 sampling, with DNL-free scans, byte stuffing, DRI /
-RSTn restart markers, and arbitrary DQT/DHT tables read from the
-stream. Everything outside that subset — progressive (SOF2),
-multi-component color, chroma subsampling, 12-bit, arithmetic coding
-— is REJECTED loudly in ``strict`` mode and skipped (None) in the
-corpus data path, exactly the sniffer skip contract; full color JPEG
-stays behind the tested Pillow seam.
+Scope (deliberately the exactly-replayable subset): BASELINE
+sequential DCT (SOF0), 8-bit, one component (grayscale) or three
+1x1-sampled components (4:4:4 color, integer fixed-point YCbCr↔RGB),
+with DNL-free scans, byte stuffing, DRI / RSTn restart markers, and
+arbitrary DQT/DHT tables read from the stream. Everything outside
+that subset — progressive (SOF2), chroma SUBSAMPLING (2x1/2x2 MCUs),
+12-bit, arithmetic coding — is REJECTED loudly in ``strict`` mode
+and skipped (None) in the corpus data path, exactly the sniffer skip
+contract; subsampled color stays behind the tested Pillow seam.
 
 Decode arithmetic is ALL-INTEGER and deterministic: Huffman + EXTEND
 per the spec, dequantization in int64, and a fixed-point inverse DCT
@@ -85,8 +86,9 @@ AC_LUM_VALS = [
 
 
 class JpegRejected(ValueError):
-    """Raised by ``decode_jpeg_gray8(strict=True)`` naming why a
-    payload is outside the supported baseline-grayscale subset."""
+    """Raised by ``decode_jpeg(strict=True)`` /
+    ``decode_jpeg_gray8(strict=True)`` naming why a payload is
+    outside the supported baseline subset."""
 
 
 # ------------------------------------------------------------------ #
@@ -234,14 +236,37 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_gray8(payload: bytes, strict: bool = False):
-    """Decode a baseline sequential grayscale JPEG to its row-major
-    pixel matrix (list of lists, ints 0..255). Returns None for
-    anything outside the supported subset (or raises
-    :class:`JpegRejected` naming the reason when ``strict=True``)."""
-    import struct
+# integer YCbCr <-> RGB (JFIF matrices in 16-bit fixed point; both
+# directions are exact integer functions, so the color oracle can
+# replay inv(fwd(rgb)) arithmetically)
 
-    import numpy as np
+
+def rgb_to_ycbcr_int(r: int, g: int, b: int) -> tuple[int, int, int]:
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    cb = ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16) + 128
+    cr = ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128
+    cl = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return cl(y), cl(cb), cl(cr)
+
+
+def ycbcr_to_rgb_int(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    r = y + ((91881 * (cr - 128) + 32768) >> 16)
+    g = y - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16)
+    b = y + ((116130 * (cb - 128) + 32768) >> 16)
+    cl = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return cl(r), cl(g), cl(b)
+
+
+def decode_jpeg(payload: bytes, strict: bool = False,
+                allow_color: bool = True):
+    """Decode a baseline sequential JPEG — grayscale OR 4:4:4 YCbCr
+    color (every component 1x1-sampled) — to ``(n_components,
+    row-major matrix)`` where pixels are ints (gray) or (r, g, b)
+    tuples (integer-fixed-point YCbCr→RGB, :func:`ycbcr_to_rgb_int`).
+    Returns None outside the subset (or raises :class:`JpegRejected`
+    naming the reason when ``strict=True``); subsampled color (2x1 /
+    2x2 MCUs), progressive, and 12-bit stay behind the Pillow seam."""
+    import struct
 
     def reject(why: str):
         if strict:
@@ -254,7 +279,7 @@ def decode_jpeg_gray8(payload: bytes, strict: bool = False):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     w = h = None
-    comp = None  # (id, qtab_id)
+    comps: list[tuple[int, int]] | None = None  # [(id, qtab_id)]
     restart_interval = 0
     pos = 2
     n = len(payload)
@@ -301,12 +326,17 @@ def decode_jpeg_gray8(payload: bytes, strict: bool = False):
             prec, hh, ww, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 return reject(f"{prec}-bit precision unsupported")
-            if nf != 1:
+            if nf not in (1, 3) or (nf == 3 and not allow_color):
                 return reject("multi-component (color) unsupported")
-            cid, sampling, tq = body[6], body[7], body[8]
-            if sampling != 0x11:
-                return reject("chroma/luma subsampling unsupported")
-            w, h, comp = ww, hh, (cid, tq)
+            comps = []
+            for ci in range(nf):
+                cid = body[6 + 3 * ci]
+                sampling = body[7 + 3 * ci]
+                tq = body[8 + 3 * ci]
+                if sampling != 0x11:
+                    return reject("chroma/luma subsampling unsupported")
+                comps.append((cid, tq))
+            w, h = ww, hh
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             return reject("non-baseline SOF (progressive/arithmetic)")
@@ -314,19 +344,26 @@ def decode_jpeg_gray8(payload: bytes, strict: bool = False):
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif m == 0xDA:  # SOS
             ns = body[0]
-            if ns != 1:
-                return reject("multi-component scan unsupported")
-            if w is None or comp is None:
+            if comps is None or w is None:
                 return reject("SOS before SOF")
-            td_ta = body[2]
-            dc_tab = huff_dc.get(td_ta >> 4)
-            ac_tab = huff_ac.get(td_ta & 15)
-            q = qt.get(comp[1])
-            if dc_tab is None or ac_tab is None or q is None:
-                return reject("missing Huffman/quant table")
+            if ns != len(comps):
+                return reject("multi-component scan unsupported")
+            by_id = dict(comps)
+            scan_comps = []
+            for ci in range(ns):
+                cs = body[1 + 2 * ci]
+                td_ta = body[2 + 2 * ci]
+                if cs not in by_id:
+                    return reject("scan references unknown component")
+                dc_tab = huff_dc.get(td_ta >> 4)
+                ac_tab = huff_ac.get(td_ta & 15)
+                q = qt.get(by_id[cs])
+                if dc_tab is None or ac_tab is None or q is None:
+                    return reject("missing Huffman/quant table")
+                scan_comps.append((dc_tab, ac_tab, q))
             scan_start = pos + 2 + seglen
             return _decode_scan(
-                payload, scan_start, w, h, q, dc_tab, ac_tab,
+                payload, scan_start, w, h, scan_comps,
                 restart_interval, strict,
             )
         # APPn / COM / anything else: skip
@@ -334,23 +371,37 @@ def decode_jpeg_gray8(payload: bytes, strict: bool = False):
     return reject("no SOS marker")
 
 
+def decode_jpeg_gray8(payload: bytes, strict: bool = False):
+    """Grayscale-only wrapper around :func:`decode_jpeg` (color
+    rejects as multi-component): the row-major int matrix or None."""
+    dec = decode_jpeg(payload, strict=strict, allow_color=False)
+    if dec is None:
+        return None
+    return dec[1]
+
+
 def _decode_scan(
-    payload, pos, w, h, q, dc_tab, ac_tab, restart_interval, strict
+    payload, pos, w, h, scan_comps, restart_interval, strict
 ):
+    """Interleaved baseline scan: per MCU one 8x8 block per component
+    (1x1 sampling), per-component DC predictors and tables."""
     import numpy as np
 
-    qv = np.array(q, dtype=np.int64)
+    ncomp = len(scan_comps)
+    qvs = [np.array(q, dtype=np.int64) for _, _, q in scan_comps]
     bw = (w + 7) // 8
     bh = (h + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    planes = [
+        np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(ncomp)
+    ]
     br = _BitReader(payload, pos)
-    pred = 0
+    preds = [0] * ncomp
     mcu = 0
     zz = np.array(ZIGZAG, dtype=np.int64)
     for by in range(bh):
         for bx in range(bw):
             if restart_interval and mcu and mcu % restart_interval == 0:
-                # align to the RSTn marker and reset the DC predictor
+                # align to the RSTn marker and reset the DC predictors
                 if br.marker is None:
                     br._fill()
                 m = br.restart()
@@ -358,39 +409,52 @@ def _decode_scan(
                     if strict:
                         raise JpegRejected("expected RSTn marker")
                     return None
-                pred = 0
-            coefs_z = np.zeros(64, dtype=np.int64)
-            s = _huff_decode(br, dc_tab)
-            if s > 11:
-                if strict:
-                    raise JpegRejected("DC category out of range")
-                return None
-            diff = _extend(br.read(s), s)
-            pred += diff
-            coefs_z[0] = pred
-            k = 1
-            while k < 64:
-                rs = _huff_decode(br, ac_tab)
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
+                preds = [0] * ncomp
+            for ci, (dc_tab, ac_tab, _q) in enumerate(scan_comps):
+                coefs_z = np.zeros(64, dtype=np.int64)
+                s = _huff_decode(br, dc_tab)
+                if s > 11:
                     if strict:
-                        raise JpegRejected("AC run past block end")
+                        raise JpegRejected("DC category out of range")
                     return None
-                coefs_z[k] = _extend(br.read(s), s)
-                k += 1
-            block = np.zeros(64, dtype=np.int64)
-            block[zz] = coefs_z * qv
-            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = idct8x8_int(
-                block.reshape(8, 8)
-            )
+                diff = _extend(br.read(s), s)
+                preds[ci] += diff
+                coefs_z[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(br, ac_tab)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        if strict:
+                            raise JpegRejected("AC run past block end")
+                        return None
+                    coefs_z[k] = _extend(br.read(s), s)
+                    k += 1
+                block = np.zeros(64, dtype=np.int64)
+                block[zz] = coefs_z * qvs[ci]
+                planes[ci][
+                    by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8
+                ] = idct8x8_int(block.reshape(8, 8))
             mcu += 1
-    return [list(map(int, row)) for row in out[:h, :w]]
+    if ncomp == 1:
+        return 1, [list(map(int, row)) for row in planes[0][:h, :w]]
+    ymat, cbmat, crmat = (p[:h, :w] for p in planes)
+    out = [
+        [
+            ycbcr_to_rgb_int(
+                int(ymat[yy, xx]), int(cbmat[yy, xx]), int(crmat[yy, xx])
+            )
+            for xx in range(w)
+        ]
+        for yy in range(h)
+    ]
+    return 3, out
 
 
 # ------------------------------------------------------------------ #
@@ -617,4 +681,207 @@ def jpeg_decode_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, JPEG_FEATURE_SCHEMA
+    )
+
+
+def build_jpeg_color(
+    pixels: list,
+    quant: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Synthesize a VALID baseline 4:4:4 color JPEG from a row-major
+    matrix of (r, g, b) tuples: integer RGB→YCbCr
+    (:func:`rgb_to_ycbcr_int`), per-component float FDCT + integer
+    quantization, interleaved Y/Cb/Cr MCUs with per-component DC
+    predictors (all components share the Annex-K luminance tables and
+    quant table 0 — tables are stream-defined, so this is a legal and
+    self-consistent choice). With the default unit quant table a
+    piecewise-constant color image decodes to EXACTLY
+    ``ycbcr_to_rgb_int(rgb_to_ycbcr_int(rgb))`` — the analytic
+    property the color oracle replays."""
+    import math
+    import struct
+
+    import numpy as np
+
+    h = len(pixels)
+    w = len(pixels[0])
+    quant = quant or [1] * 64
+    planes = []
+    for ch in range(3):
+        planes.append(
+            np.array(
+                [
+                    [rgb_to_ycbcr_int(*px)[ch] for px in row]
+                    for row in pixels
+                ],
+                dtype=np.float64,
+            )
+        )
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    padded = []
+    for pl in planes:
+        pd = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        pd[:h, :w] = pl
+        for y in range(h, bh * 8):
+            pd[y, :w] = pl[h - 1, :]
+        for x in range(w, bw * 8):
+            pd[:, x] = pd[:, w - 1]
+        padded.append(pd)
+
+    basis = np.empty((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            basis[u, x] = (cu / 2.0) * math.cos(
+                (2 * x + 1) * u * math.pi / 16.0
+            )
+    enc_dc = _enc_table(DC_LUM_BITS, DC_LUM_VALS)
+    enc_ac = _enc_table(AC_LUM_BITS, AC_LUM_VALS)
+    qv = (
+        np.array(quant, dtype=np.float64)[np.argsort(np.array(ZIGZAG))]
+        .reshape(8, 8)
+    )
+
+    bits = _BitWriter()
+    preds = [0, 0, 0]
+    mcu = 0
+    segments = []
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                segments.append(bits.finish())
+                bits = _BitWriter()
+                preds = [0, 0, 0]
+            for ci in range(3):
+                blk = padded[ci][
+                    by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8
+                ] - 128.0
+                qz = np.round((basis @ blk @ basis.T) / qv).astype(np.int64)
+                zzvals = qz.reshape(-1)[np.array(ZIGZAG)]
+                diff = int(zzvals[0]) - preds[ci]
+                preds[ci] = int(zzvals[0])
+                s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+                bits.put(*enc_dc[s])
+                if s:
+                    v = diff if diff > 0 else diff + (1 << s) - 1
+                    bits.put(v, s)
+                run = 0
+                last_nz = 0
+                for k in range(1, 64):
+                    if zzvals[k]:
+                        last_nz = k
+                for k in range(1, last_nz + 1):
+                    c = int(zzvals[k])
+                    if c == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bits.put(*enc_ac[0xF0])
+                        run -= 16
+                    s = c.bit_length() if c > 0 else (-c).bit_length()
+                    bits.put(*enc_ac[(run << 4) | s])
+                    v = c if c > 0 else c + (1 << s) - 1
+                    bits.put(v, s)
+                    run = 0
+                if last_nz < 63:
+                    bits.put(*enc_ac[0x00])  # EOB
+            mcu += 1
+    segments.append(bits.finish())
+    entropy = bytearray()
+    for i, seg in enumerate(segments):
+        if i:
+            entropy += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+        entropy += seg
+
+    def seg_marker(m: int, body: bytes) -> bytes:
+        return bytes([0xFF, m]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg_marker(0xDB, bytes([0x00]) + bytes(quant))
+    sof = seg_marker(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg_marker(
+        0xC4,
+        bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+        + bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS),
+    )
+    dri = (
+        seg_marker(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    sos = seg_marker(
+        0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    )
+    return (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos
+        + bytes(entropy) + b"\xff\xd9"
+    )
+
+
+def jpeg_color_features(media: DataFrame) -> DataFrame:
+    """REAL color-JPEG decode over a (media_id, payload) corpus: the
+    same per-channel / luma integer sums contract as
+    ``multimodal.png_color_features``, with ``color_type`` carrying
+    the JPEG component count (1 or 3). Arrow-batched
+    ``mapInPandas``; out-of-subset payloads contribute no rows."""
+    import pandas as pd
+
+    from deltalake_datafusion_spark.operators.multimodal import (
+        PNG_COLOR_SCHEMA,
+    )
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            cols = {k: [] for k in
+                    ("media_id", "color_type", "width", "height",
+                     "sum_r", "sum_g", "sum_b", "sum_luma")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    dec = decode_jpeg(bytes(p) if p is not None else None)
+                except JpegRejected:
+                    dec = None
+                if dec is None:
+                    continue
+                nc, rows = dec
+                if nc == 1:
+                    a = np.asarray(rows, dtype=np.int64)
+                    r = g = b = a
+                else:
+                    a = np.asarray(
+                        [[list(px) for px in row] for row in rows],
+                        dtype=np.int64,
+                    )
+                    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+                luma = (299 * r + 587 * g + 114 * b) // 1000
+                cols["media_id"].append(int(mid))
+                cols["color_type"].append(nc)
+                cols["height"].append(r.shape[0])
+                cols["width"].append(r.shape[1])
+                cols["sum_r"].append(int(r.sum()))
+                cols["sum_g"].append(int(g.sum()))
+                cols["sum_b"].append(int(b.sum()))
+                cols["sum_luma"].append(int(luma.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(cols["media_id"], dtype="int64"),
+                    "color_type": pd.Series(
+                        cols["color_type"], dtype="int32"
+                    ),
+                    "width": pd.Series(cols["width"], dtype="int32"),
+                    "height": pd.Series(cols["height"], dtype="int32"),
+                    "sum_r": pd.Series(cols["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(cols["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(cols["sum_b"], dtype="int64"),
+                    "sum_luma": pd.Series(cols["sum_luma"], dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, PNG_COLOR_SCHEMA
     )

@@ -192,3 +192,128 @@ def test_jpeg_decode_features_skip_contract(spark):
                         r.pixel_max)
            for r in jpeg_decode_features(df).collect()}
     assert got == {1: (16, 8, 64 * 130, 30, 100)}
+
+
+# ---------------------------------------------------------------- #
+# 4:4:4 color                                                       #
+# ---------------------------------------------------------------- #
+
+
+def _want_rgb(px):
+    from deltalake_datafusion_spark.operators.jpeg import (
+        rgb_to_ycbcr_int,
+        ycbcr_to_rgb_int,
+    )
+
+    return [
+        [ycbcr_to_rgb_int(*rgb_to_ycbcr_int(*p)) for p in row]
+        for row in px
+    ]
+
+
+def test_color_constant_blocks_decode_to_integer_colorspace_roundtrip():
+    from deltalake_datafusion_spark.operators.jpeg import (
+        build_jpeg_color,
+        decode_jpeg,
+    )
+
+    blocks = [[(200, 30, 90), (10, 250, 40), (255, 255, 255)],
+              [(0, 0, 255), (123, 45, 67), (0, 0, 0)]]
+    px = [[blocks[y // 8][x // 8] for x in range(24)] for y in range(16)]
+    nc, out = decode_jpeg(build_jpeg_color(px), strict=True)
+    assert nc == 3 and out == _want_rgb(px)
+
+
+def test_color_restart_markers_reset_all_three_predictors():
+    from deltalake_datafusion_spark.operators.jpeg import (
+        build_jpeg_color,
+        decode_jpeg,
+    )
+
+    blocks = [[(250, 5, 5), (5, 250, 5), (5, 5, 250), (128, 128, 128)]]
+    px = [[blocks[0][x // 8] for x in range(32)] for y in range(8)]
+    for ri in (1, 2):
+        nc, out = decode_jpeg(build_jpeg_color(px, restart_interval=ri),
+                              strict=True)
+        assert out == _want_rgb(px), ri
+
+
+def test_color_gradient_is_close_and_deterministic():
+    import numpy as np
+
+    from deltalake_datafusion_spark.operators.jpeg import (
+        build_jpeg_color,
+        decode_jpeg,
+    )
+
+    g = [
+        [((x * 9) % 256, (y * 11) % 256, (x * 3 + y * 5) % 256)
+         for x in range(17)]
+        for y in range(10)
+    ]
+    b = build_jpeg_color(g)
+    nc, o1 = decode_jpeg(b, strict=True)
+    _, o2 = decode_jpeg(bytes(b), strict=True)
+    assert o1 == o2 and nc == 3
+    assert np.abs(np.array(g) - np.array(o1)).max() <= 4
+
+
+def test_gray_wrapper_rejects_color_loudly():
+    from deltalake_datafusion_spark.operators.jpeg import (
+        JpegRejected,
+        build_jpeg_color,
+        decode_jpeg_gray8,
+    )
+
+    px = [[(1, 2, 3)] * 8] * 8
+    b = build_jpeg_color(px)
+    assert decode_jpeg_gray8(b) is None
+    with pytest.raises(JpegRejected, match="multi-component"):
+        decode_jpeg_gray8(b, strict=True)
+
+
+def test_color_subsampled_sof_rejected():
+    from deltalake_datafusion_spark.operators.jpeg import (
+        JpegRejected,
+        build_jpeg_color,
+        decode_jpeg,
+    )
+
+    b = bytearray(build_jpeg_color([[(9, 9, 9)] * 8] * 8))
+    sof = bytes(b).index(b"\xff\xc0")
+    assert b[sof + 11] == 0x11
+    b[sof + 11] = 0x22  # declare 2x2 sampling on Y
+    with pytest.raises(JpegRejected, match="subsampling"):
+        decode_jpeg(bytes(b), strict=True)
+
+
+def test_jpeg_color_features_skip_contract(spark):
+    from deltalake_datafusion_spark.operators.jpeg import (
+        build_jpeg_color,
+        build_jpeg_gray8,
+        jpeg_color_features,
+    )
+
+    px = [[(10, 20, 30)] * 8] * 8
+    want = _want_rgb(px)
+    rows = [
+        (1, bytearray(build_jpeg_color(px))),
+        (2, bytearray(build_jpeg_gray8([[100] * 8] * 8))),
+        (3, bytearray(b"junk")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.color_type, r.sum_r, r.sum_g, r.sum_b, r.sum_luma)
+        for r in jpeg_color_features(df).collect()
+    }
+    sr = sum(p[0] for row in want for p in row)
+    sg = sum(p[1] for row in want for p in row)
+    sb = sum(p[2] for row in want for p in row)
+    sl = sum((299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000
+             for row in want for p in row)
+    assert got[1] == (3, sr, sg, sb, sl)
+    g100 = 64 * 100
+    assert got[2] == (1, g100, g100, g100,
+                      64 * ((299 * 100 + 587 * 100 + 114 * 100) // 1000))
+    assert set(got) == {1, 2}
