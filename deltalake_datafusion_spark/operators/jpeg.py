@@ -259,13 +259,16 @@ def ycbcr_to_rgb_int(y: int, cb: int, cr: int) -> tuple[int, int, int]:
 
 def decode_jpeg(payload: bytes, strict: bool = False,
                 allow_color: bool = True):
-    """Decode a baseline sequential JPEG — grayscale OR 4:4:4 YCbCr
-    color (every component 1x1-sampled) — to ``(n_components,
+    """Decode a baseline sequential JPEG — grayscale, 4:4:4 YCbCr
+    color, or 4:2:0 CHROMA-SUBSAMPLED color (Y 2x2 + 1x1 chroma, the
+    dominant camera/web layout: four Y blocks + Cb + Cr per 16x16
+    MCU, chroma upsampled by 2x replication) — to ``(n_components,
     row-major matrix)`` where pixels are ints (gray) or (r, g, b)
     tuples (integer-fixed-point YCbCr→RGB, :func:`ycbcr_to_rgb_int`).
     Returns None outside the subset (or raises :class:`JpegRejected`
-    naming the reason when ``strict=True``); subsampled color (2x1 /
-    2x2 MCUs), progressive, and 12-bit stay behind the Pillow seam."""
+    naming the reason when ``strict=True``); other sampling layouts
+    (4:2:2 etc.), progressive, and 12-bit stay behind the Pillow
+    seam."""
     import struct
 
     def reject(why: str):
@@ -329,13 +332,20 @@ def decode_jpeg(payload: bytes, strict: bool = False,
             if nf not in (1, 3) or (nf == 3 and not allow_color):
                 return reject("multi-component (color) unsupported")
             comps = []
+            samplings = []
             for ci in range(nf):
                 cid = body[6 + 3 * ci]
                 sampling = body[7 + 3 * ci]
                 tq = body[8 + 3 * ci]
-                if sampling != 0x11:
-                    return reject("chroma/luma subsampling unsupported")
+                samplings.append((sampling >> 4, sampling & 15))
                 comps.append((cid, tq))
+            if samplings not in (
+                [(1, 1)], [(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]
+            ):
+                return reject(
+                    "chroma/luma subsampling layout unsupported "
+                    f"(only 1x1 and 4:2:0: {samplings})"
+                )
             w, h = ww, hh
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
@@ -348,7 +358,10 @@ def decode_jpeg(payload: bytes, strict: bool = False,
                 return reject("SOS before SOF")
             if ns != len(comps):
                 return reject("multi-component scan unsupported")
-            by_id = dict(comps)
+            by_id = {
+                cid: (tq, samplings[i])
+                for i, (cid, tq) in enumerate(comps)
+            }
             scan_comps = []
             for ci in range(ns):
                 cs = body[1 + 2 * ci]
@@ -357,10 +370,11 @@ def decode_jpeg(payload: bytes, strict: bool = False,
                     return reject("scan references unknown component")
                 dc_tab = huff_dc.get(td_ta >> 4)
                 ac_tab = huff_ac.get(td_ta & 15)
-                q = qt.get(by_id[cs])
+                tq, hv = by_id[cs]
+                q = qt.get(tq)
                 if dc_tab is None or ac_tab is None or q is None:
                     return reject("missing Huffman/quant table")
-                scan_comps.append((dc_tab, ac_tab, q))
+                scan_comps.append((dc_tab, ac_tab, q, hv))
             scan_start = pos + 2 + seglen
             return _decode_scan(
                 payload, scan_start, w, h, scan_comps,
@@ -383,23 +397,29 @@ def decode_jpeg_gray8(payload: bytes, strict: bool = False):
 def _decode_scan(
     payload, pos, w, h, scan_comps, restart_interval, strict
 ):
-    """Interleaved baseline scan: per MCU one 8x8 block per component
-    (1x1 sampling), per-component DC predictors and tables."""
+    """Interleaved baseline scan with sampling-factor MCU geometry:
+    per MCU each component contributes h_i×v_i 8x8 blocks in raster
+    order (T.81 A.2.3); 1x1-everything degenerates to one block per
+    component, 4:2:0 to four Y + Cb + Cr per 16x16 MCU. Subsampled
+    chroma planes are upsampled by pixel replication at the end."""
     import numpy as np
 
     ncomp = len(scan_comps)
-    qvs = [np.array(q, dtype=np.int64) for _, _, q in scan_comps]
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
+    qvs = [np.array(q, dtype=np.int64) for _, _, q, _ in scan_comps]
+    hmax = max(hv[0] for _, _, _, hv in scan_comps)
+    vmax = max(hv[1] for _, _, _, hv in scan_comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(ncomp)
+        np.zeros((mcuy * 8 * hv[1], mcux * 8 * hv[0]), dtype=np.uint8)
+        for _, _, _, hv in scan_comps
     ]
     br = _BitReader(payload, pos)
     preds = [0] * ncomp
     mcu = 0
     zz = np.array(ZIGZAG, dtype=np.int64)
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # align to the RSTn marker and reset the DC predictors
                 if br.marker is None:
@@ -410,41 +430,59 @@ def _decode_scan(
                         raise JpegRejected("expected RSTn marker")
                     return None
                 preds = [0] * ncomp
-            for ci, (dc_tab, ac_tab, _q) in enumerate(scan_comps):
-                coefs_z = np.zeros(64, dtype=np.int64)
-                s = _huff_decode(br, dc_tab)
-                if s > 11:
-                    if strict:
-                        raise JpegRejected("DC category out of range")
-                    return None
-                diff = _extend(br.read(s), s)
-                preds[ci] += diff
-                coefs_z[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = _huff_decode(br, ac_tab)
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        if strict:
-                            raise JpegRejected("AC run past block end")
-                        return None
-                    coefs_z[k] = _extend(br.read(s), s)
-                    k += 1
-                block = np.zeros(64, dtype=np.int64)
-                block[zz] = coefs_z * qvs[ci]
-                planes[ci][
-                    by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8
-                ] = idct8x8_int(block.reshape(8, 8))
+            for ci, (dc_tab, ac_tab, _q, (hi, vi)) in enumerate(
+                scan_comps
+            ):
+                for vy in range(vi):
+                    for vx in range(hi):
+                        coefs_z = np.zeros(64, dtype=np.int64)
+                        s = _huff_decode(br, dc_tab)
+                        if s > 11:
+                            if strict:
+                                raise JpegRejected(
+                                    "DC category out of range"
+                                )
+                            return None
+                        diff = _extend(br.read(s), s)
+                        preds[ci] += diff
+                        coefs_z[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, ac_tab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                if strict:
+                                    raise JpegRejected(
+                                        "AC run past block end"
+                                    )
+                                return None
+                            coefs_z[k] = _extend(br.read(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.int64)
+                        block[zz] = coefs_z * qvs[ci]
+                        y0 = (my * vi + vy) * 8
+                        x0 = (mx * hi + vx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = idct8x8_int(
+                            block.reshape(8, 8)
+                        )
             mcu += 1
+    full = []
+    for ci, (_dc, _ac, _q, (hi, vi)) in enumerate(scan_comps):
+        p = planes[ci]
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        full.append(p[:h, :w])
     if ncomp == 1:
-        return 1, [list(map(int, row)) for row in planes[0][:h, :w]]
-    ymat, cbmat, crmat = (p[:h, :w] for p in planes)
+        return 1, [list(map(int, row)) for row in full[0]]
+    ymat, cbmat, crmat = full
     out = [
         [
             ycbcr_to_rgb_int(
@@ -688,22 +726,31 @@ def build_jpeg_color(
     pixels: list,
     quant: list[int] | None = None,
     restart_interval: int = 0,
+    subsample: str = "444",
 ) -> bytes:
-    """Synthesize a VALID baseline 4:4:4 color JPEG from a row-major
-    matrix of (r, g, b) tuples: integer RGB→YCbCr
+    """Synthesize a VALID baseline color JPEG from a row-major matrix
+    of (r, g, b) tuples: integer RGB→YCbCr
     (:func:`rgb_to_ycbcr_int`), per-component float FDCT + integer
-    quantization, interleaved Y/Cb/Cr MCUs with per-component DC
-    predictors (all components share the Annex-K luminance tables and
-    quant table 0 — tables are stream-defined, so this is a legal and
-    self-consistent choice). With the default unit quant table a
-    piecewise-constant color image decodes to EXACTLY
+    quantization, interleaved MCUs with per-component DC predictors
+    (all components share the Annex-K luminance tables and quant
+    table 0 — tables are stream-defined, so this is a legal and
+    self-consistent choice).
+
+    ``subsample``: ``"444"`` (one block per component per MCU) or
+    ``"420"`` (Y at 2x2 — four Y blocks + Cb + Cr per 16x16 MCU;
+    chroma downsampled by exact 2x2 integer mean
+    ``(a+b+c+d+2) div 4``). With the default unit quant table a
+    piecewise-constant image (uniform per 8x8 block for 444, per
+    16x16 MCU for 420) decodes to EXACTLY
     ``ycbcr_to_rgb_int(rgb_to_ycbcr_int(rgb))`` — the analytic
-    property the color oracle replays."""
+    property the color oracles replay."""
     import math
     import struct
 
     import numpy as np
 
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsample {subsample!r}")
     h = len(pixels)
     w = len(pixels[0])
     quant = quant or [1] * 64
@@ -715,19 +762,38 @@ def build_jpeg_color(
                     [rgb_to_ycbcr_int(*px)[ch] for px in row]
                     for row in pixels
                 ],
-                dtype=np.float64,
+                dtype=np.int64,
             )
         )
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    padded = []
-    for pl in planes:
-        pd = np.empty((bh * 8, bw * 8), dtype=np.float64)
-        pd[:h, :w] = pl
-        for y in range(h, bh * 8):
-            pd[y, :w] = pl[h - 1, :]
-        for x in range(w, bw * 8):
-            pd[:, x] = pd[:, w - 1]
-        padded.append(pd)
+    align = 8 if subsample == "444" else 16
+    aw = (w + align - 1) // align * align
+    ah = (h + align - 1) // align * align
+
+    def pad(pl, tw, th):
+        pd = np.empty((th, tw), dtype=np.int64)
+        ph, pw = pl.shape
+        pd[:ph, :pw] = pl
+        for y in range(ph, th):
+            pd[y, :pw] = pl[ph - 1, :]
+        for x in range(pw, tw):
+            pd[:, x] = pd[:, x - 1]
+        return pd
+
+    if subsample == "444":
+        comp_planes = [pad(p, aw, ah) for p in planes]
+        samp = [(1, 1)] * 3
+    else:
+        ypad = pad(planes[0], aw, ah)
+        chroma = []
+        for p in planes[1:]:
+            pp = pad(p, aw, ah)
+            ds = (
+                pp[0::2, 0::2] + pp[0::2, 1::2]
+                + pp[1::2, 0::2] + pp[1::2, 1::2] + 2
+            ) // 4
+            chroma.append(ds)
+        comp_planes = [ypad] + chroma
+        samp = [(2, 2), (1, 1), (1, 1)]
 
     basis = np.empty((8, 8))
     for u in range(8):
@@ -742,50 +808,64 @@ def build_jpeg_color(
         np.array(quant, dtype=np.float64)[np.argsort(np.array(ZIGZAG))]
         .reshape(8, 8)
     )
+    zz_idx = np.array(ZIGZAG)
 
+    def encode_block(bits, blk_f, pred):
+        qz = np.round((basis @ blk_f @ basis.T) / qv).astype(np.int64)
+        zzvals = qz.reshape(-1)[zz_idx]
+        diff = int(zzvals[0]) - pred
+        new_pred = int(zzvals[0])
+        s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        bits.put(*enc_dc[s])
+        if s:
+            v = diff if diff > 0 else diff + (1 << s) - 1
+            bits.put(v, s)
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if zzvals[k]:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            c = int(zzvals[k])
+            if c == 0:
+                run += 1
+                continue
+            while run > 15:
+                bits.put(*enc_ac[0xF0])
+                run -= 16
+            s = c.bit_length() if c > 0 else (-c).bit_length()
+            bits.put(*enc_ac[(run << 4) | s])
+            v = c if c > 0 else c + (1 << s) - 1
+            bits.put(v, s)
+            run = 0
+        if last_nz < 63:
+            bits.put(*enc_ac[0x00])  # EOB
+        return new_pred
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = aw // (8 * hmax)
+    mcuy = ah // (8 * vmax)
     bits = _BitWriter()
     preds = [0, 0, 0]
     mcu = 0
     segments = []
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 segments.append(bits.finish())
                 bits = _BitWriter()
                 preds = [0, 0, 0]
             for ci in range(3):
-                blk = padded[ci][
-                    by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8
-                ] - 128.0
-                qz = np.round((basis @ blk @ basis.T) / qv).astype(np.int64)
-                zzvals = qz.reshape(-1)[np.array(ZIGZAG)]
-                diff = int(zzvals[0]) - preds[ci]
-                preds[ci] = int(zzvals[0])
-                s = diff.bit_length() if diff > 0 else (-diff).bit_length()
-                bits.put(*enc_dc[s])
-                if s:
-                    v = diff if diff > 0 else diff + (1 << s) - 1
-                    bits.put(v, s)
-                run = 0
-                last_nz = 0
-                for k in range(1, 64):
-                    if zzvals[k]:
-                        last_nz = k
-                for k in range(1, last_nz + 1):
-                    c = int(zzvals[k])
-                    if c == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        bits.put(*enc_ac[0xF0])
-                        run -= 16
-                    s = c.bit_length() if c > 0 else (-c).bit_length()
-                    bits.put(*enc_ac[(run << 4) | s])
-                    v = c if c > 0 else c + (1 << s) - 1
-                    bits.put(v, s)
-                    run = 0
-                if last_nz < 63:
-                    bits.put(*enc_ac[0x00])  # EOB
+                hi, vi = samp[ci]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        y0 = (my * vi + vy) * 8
+                        x0 = (mx * hi + vx) * 8
+                        blk = comp_planes[ci][
+                            y0:y0 + 8, x0:x0 + 8
+                        ].astype(np.float64) - 128.0
+                        preds[ci] = encode_block(bits, blk, preds[ci])
             mcu += 1
     segments.append(bits.finish())
     entropy = bytearray()
@@ -801,7 +881,13 @@ def build_jpeg_color(
     sof = seg_marker(
         0xC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        + bytes(
+            [
+                1, (samp[0][0] << 4) | samp[0][1], 0,
+                2, (samp[1][0] << 4) | samp[1][1], 0,
+                3, (samp[2][0] << 4) | samp[2][1], 0,
+            ]
+        ),
     )
     dht = seg_marker(
         0xC4,

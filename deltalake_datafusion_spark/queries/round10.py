@@ -1010,14 +1010,17 @@ FROM px GROUP BY doc_id ORDER BY media_id
 
 
 def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline 4:4:4 COLOR JPEG decode (``operators/jpeg.py::
+    """REAL baseline COLOR JPEG decode (``operators/jpeg.py::
     decode_jpeg`` — the color extension of VERDICT r9 #3): genuine
     3-component YCbCr JPEGs with interleaved MCUs, per-component DC
-    predictors, and (every 3rd image) restart markers, whose four
-    8x8 blocks are constant RGB colors analytic in doc_id. Constant
-    blocks survive the DCT path exactly, so each decoded pixel is
-    EXACTLY ``ycbcr_to_rgb_int(rgb_to_ycbcr_int(rgb))`` — and the
-    oracle replays BOTH 16-bit fixed-point colorspace transforms
+    predictors, and (every 3rd image) restart markers. EVEN doc_ids
+    are 4:2:0 CHROMA-SUBSAMPLED (32x32, four Y + Cb + Cr per 16x16
+    MCU, exact 2x2-mean downsample, replication upsample) with
+    constant 16x16 macroblocks; odd doc_ids are 4:4:4 (16x16) with
+    constant 8x8 blocks. Constant blocks survive the DCT path (and
+    the constant-chroma downsample) exactly, so each decoded pixel
+    is EXACTLY ``ycbcr_to_rgb_int(rgb_to_ycbcr_int(rgb))`` — and
+    the oracle replays BOTH 16-bit fixed-point colorspace transforms
     (floor-division arithmetic) plus the channel/luma sums in SQL.
     Every 7th payload is junk and contributes no rows."""
     from deltalake_datafusion_spark.operators.jpeg import (
@@ -1044,20 +1047,27 @@ def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if did % 7 == 2:
                     payloads.append(b"definitely not a jpeg")
                     continue
+                blk = 16 if did % 2 == 0 else 8  # 420 macroblock / 444
+                side = 2 * blk
                 px = [
                     [
                         (
-                            (did * 11 + 29 * (y // 8) + 37 * (x // 8)) % 256,
-                            (did * 17 + 13 * (y // 8) + 7 * (x // 8)) % 256,
-                            (did * 23 + 3 * (y // 8) + 19 * (x // 8)) % 256,
+                            (did * 11 + 29 * (y // blk)
+                             + 37 * (x // blk)) % 256,
+                            (did * 17 + 13 * (y // blk)
+                             + 7 * (x // blk)) % 256,
+                            (did * 23 + 3 * (y // blk)
+                             + 19 * (x // blk)) % 256,
                         )
-                        for x in range(16)
+                        for x in range(side)
                     ]
-                    for y in range(16)
+                    for y in range(side)
                 ]
                 payloads.append(
                     build_jpeg_color(
-                        px, restart_interval=1 if did % 3 == 0 else 0
+                        px,
+                        restart_interval=1 if did % 3 == 0 else 0,
+                        subsample="420" if did % 2 == 0 else "444",
                     )
                 )
             yield pd.DataFrame(
@@ -1106,11 +1116,16 @@ inv AS (
 )
 SELECT doc_id AS media_id,
   CAST(3 AS INT) AS color_type,
-  CAST(16 AS INT) AS width,
-  CAST(16 AS INT) AS height,
-  CAST(64 * SUM(r) AS BIGINT) AS sum_r,
-  CAST(64 * SUM(g) AS BIGINT) AS sum_g,
-  CAST(64 * SUM(b) AS BIGINT) AS sum_b,
-  CAST(64 * SUM((299*r + 587*g + 114*b) // 1000) AS BIGINT) AS sum_luma
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 32 ELSE 16 END AS INT) AS width,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 32 ELSE 16 END AS INT) AS height,
+  -- even ids: 16x16 macroblocks (256 px each); odd: 8x8 blocks (64)
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 256 ELSE 64 END * SUM(r)
+       AS BIGINT) AS sum_r,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 256 ELSE 64 END * SUM(g)
+       AS BIGINT) AS sum_g,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 256 ELSE 64 END * SUM(b)
+       AS BIGINT) AS sum_b,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 256 ELSE 64 END
+       * SUM((299*r + 587*g + 114*b) // 1000) AS BIGINT) AS sum_luma
 FROM inv GROUP BY doc_id ORDER BY media_id
 """

@@ -272,7 +272,7 @@ def test_gray_wrapper_rejects_color_loudly():
         decode_jpeg_gray8(b, strict=True)
 
 
-def test_color_subsampled_sof_rejected():
+def test_color_unsupported_sampling_layout_rejected():
     from deltalake_datafusion_spark.operators.jpeg import (
         JpegRejected,
         build_jpeg_color,
@@ -282,9 +282,54 @@ def test_color_subsampled_sof_rejected():
     b = bytearray(build_jpeg_color([[(9, 9, 9)] * 8] * 8))
     sof = bytes(b).index(b"\xff\xc0")
     assert b[sof + 11] == 0x11
-    b[sof + 11] = 0x22  # declare 2x2 sampling on Y
+    b[sof + 11] = 0x21  # declare 4:2:2 (2x1) sampling on Y
     with pytest.raises(JpegRejected, match="subsampling"):
         decode_jpeg(bytes(b), strict=True)
+
+
+def test_420_constant_macroblocks_roundtrip_exactly():
+    from deltalake_datafusion_spark.operators.jpeg import (
+        build_jpeg_color,
+        decode_jpeg,
+    )
+
+    mbs = [[(200, 30, 90), (10, 250, 40)], [(0, 0, 255), (123, 45, 67)]]
+    px = [[mbs[y // 16][x // 16] for x in range(32)] for y in range(32)]
+    for ri in (0, 1, 3):
+        nc, out = decode_jpeg(
+            build_jpeg_color(px, subsample="420", restart_interval=ri),
+            strict=True,
+        )
+        assert nc == 3 and out == _want_rgb(px), ri
+
+
+def test_420_upsample_replication_and_crop():
+    import numpy as np
+
+    from deltalake_datafusion_spark.operators.jpeg import (
+        build_jpeg_color,
+        decode_jpeg,
+    )
+
+    # non-multiple-of-16 geometry: crop after chroma upsample
+    g = [
+        [((x * 9) % 256, (y * 11) % 256, (x * 3 + y * 5) % 256)
+         for x in range(33)]
+        for y in range(18)
+    ]
+    nc, o = decode_jpeg(build_jpeg_color(g, subsample="420"), strict=True)
+    oo = np.array(o)
+    assert oo.shape == (18, 33, 3)
+    # subsampling is lossy where chroma varies (and channel clamping
+    # bleeds into recomputed luma), but the error is bounded and the
+    # decode is deterministic
+    a = np.array(g)
+    luma = lambda m: (299 * m[..., 0] + 587 * m[..., 1]  # noqa: E731
+                      + 114 * m[..., 2]) // 1000
+    assert np.abs(luma(a).astype(int) - luma(oo).astype(int)).mean() < 2
+    assert np.abs(a.astype(int) - oo.astype(int)).mean() < 12
+    _, o2 = decode_jpeg(build_jpeg_color(g, subsample="420"), strict=True)
+    assert o == o2
 
 
 def test_jpeg_color_features_skip_contract(spark):
