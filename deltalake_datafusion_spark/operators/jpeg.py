@@ -340,11 +340,15 @@ def decode_jpeg(payload: bytes, strict: bool = False,
                 samplings.append((sampling >> 4, sampling & 15))
                 comps.append((cid, tq))
             if samplings not in (
-                [(1, 1)], [(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]
+                [(1, 1)],
+                [(1, 1)] * 3,
+                [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+                [(2, 1), (1, 1), (1, 1)],  # 4:2:2
+                [(1, 2), (1, 1), (1, 1)],  # 4:4:0
             ):
                 return reject(
                     "chroma/luma subsampling layout unsupported "
-                    f"(only 1x1 and 4:2:0: {samplings})"
+                    f"(1x1, 4:2:0, 4:2:2, 4:4:0 only: {samplings})"
                 )
             w, h = ww, hh
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -749,7 +753,7 @@ def build_jpeg_color(
 
     import numpy as np
 
-    if subsample not in ("444", "420"):
+    if subsample not in ("444", "420", "422", "440"):
         raise ValueError(f"unsupported subsample {subsample!r}")
     h = len(pixels)
     w = len(pixels[0])
@@ -765,9 +769,13 @@ def build_jpeg_color(
                 dtype=np.int64,
             )
         )
-    align = 8 if subsample == "444" else 16
-    aw = (w + align - 1) // align * align
-    ah = (h + align - 1) // align * align
+    y_samp = {
+        "444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2),
+    }[subsample]
+    ax = 8 * y_samp[0]
+    ay = 8 * y_samp[1]
+    aw = (w + ax - 1) // ax * ax
+    ah = (h + ay - 1) // ay * ay
 
     def pad(pl, tw, th):
         pd = np.empty((th, tw), dtype=np.int64)
@@ -783,17 +791,21 @@ def build_jpeg_color(
         comp_planes = [pad(p, aw, ah) for p in planes]
         samp = [(1, 1)] * 3
     else:
+        sx, sy = y_samp  # chroma is decimated by the Y factors
         ypad = pad(planes[0], aw, ah)
         chroma = []
         for p in planes[1:]:
             pp = pad(p, aw, ah)
-            ds = (
-                pp[0::2, 0::2] + pp[0::2, 1::2]
-                + pp[1::2, 0::2] + pp[1::2, 1::2] + 2
-            ) // 4
-            chroma.append(ds)
+            # exact integer mean over the sx*sy cell
+            acc = None
+            for dy in range(sy):
+                for dx in range(sx):
+                    c = pp[dy::sy, dx::sx]
+                    acc = c if acc is None else acc + c
+            n_cell = sx * sy
+            chroma.append((acc + n_cell // 2) // n_cell)
         comp_planes = [ypad] + chroma
-        samp = [(2, 2), (1, 1), (1, 1)]
+        samp = [y_samp, (1, 1), (1, 1)]
 
     basis = np.empty((8, 8))
     for u in range(8):

@@ -282,9 +282,29 @@ def test_color_unsupported_sampling_layout_rejected():
     b = bytearray(build_jpeg_color([[(9, 9, 9)] * 8] * 8))
     sof = bytes(b).index(b"\xff\xc0")
     assert b[sof + 11] == 0x11
-    b[sof + 11] = 0x21  # declare 4:2:2 (2x1) sampling on Y
+    b[sof + 11] = 0x41  # declare 4x1 sampling on Y — no such layout
     with pytest.raises(JpegRejected, match="subsampling"):
         decode_jpeg(bytes(b), strict=True)
+
+
+def test_422_and_440_constant_mcus_roundtrip_exactly():
+    from deltalake_datafusion_spark.operators.jpeg import (
+        build_jpeg_color,
+        decode_jpeg,
+    )
+
+    mbs = [(200, 30, 90), (10, 250, 40)]
+    px_h = [[mbs[x // 16] for x in range(32)] for y in range(8)]
+    nc, out = decode_jpeg(
+        build_jpeg_color(px_h, subsample="422"), strict=True
+    )
+    assert nc == 3 and out == _want_rgb(px_h)
+    px_v = [[mbs[y // 16] for x in range(8)] for y in range(32)]
+    nc, out = decode_jpeg(
+        build_jpeg_color(px_v, subsample="440", restart_interval=1),
+        strict=True,
+    )
+    assert nc == 3 and out == _want_rgb(px_v)
 
 
 def test_420_constant_macroblocks_roundtrip_exactly():
