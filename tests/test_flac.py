@@ -1,0 +1,110 @@
+"""FLAC codec (operators/flac.py): lossless round-trips across
+subframe types / partition orders / block geometries, CRC
+verification, the reject taxonomy, and the Spark features operator's
+skip contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from deltalake_datafusion_spark.operators.flac import (
+    FlacRejected,
+    build_flac_pcm16,
+    decode_flac_pcm16,
+)
+
+TRI = [((i * 37 + 101) % 2001) - 1000 for i in range(1000)]
+
+
+def test_lossless_roundtrip_and_compression():
+    b = build_flac_pcm16(TRI, block_size=256)
+    assert decode_flac_pcm16(b, strict=True) == TRI
+    assert len(b) < 2 * len(TRI)  # actually compresses the ramp
+
+
+@pytest.mark.parametrize("po", [0, 1, 2, 3])
+def test_partition_orders_roundtrip(po):
+    b = build_flac_pcm16(TRI[:512], block_size=256, partition_order=po)
+    assert decode_flac_pcm16(b, strict=True) == TRI[:512]
+
+
+def test_constant_verbatim_and_extremes():
+    assert decode_flac_pcm16(
+        build_flac_pcm16([5] * 300, block_size=128), strict=True
+    ) == [5] * 300
+    ext = [-32768, 32767, 0, -1, 1] * 100
+    assert decode_flac_pcm16(
+        build_flac_pcm16(ext, block_size=64), strict=True
+    ) == ext
+
+
+def test_tail_block_and_many_frames():
+    t = TRI[:300]  # 256 + 44-sample tail frame
+    assert decode_flac_pcm16(
+        build_flac_pcm16(t, block_size=256), strict=True
+    ) == t
+    many = TRI * 3  # 12 frames at bs=256
+    assert decode_flac_pcm16(
+        build_flac_pcm16(many, block_size=256), strict=True
+    ) == many
+
+
+def test_crc_and_reject_taxonomy():
+    b = build_flac_pcm16(TRI[:256])
+    corrupt = bytearray(b)
+    corrupt[-1] ^= 0xFF
+    assert decode_flac_pcm16(bytes(corrupt)) is None
+    with pytest.raises(FlacRejected, match="CRC"):
+        decode_flac_pcm16(bytes(corrupt), strict=True)
+    # header corruption trips CRC-8
+    hdr_corrupt = bytearray(b)
+    soff = b.index(b"\xff\xf8", 8)
+    hdr_corrupt[soff + 2] ^= 0x10
+    with pytest.raises(FlacRejected):
+        decode_flac_pcm16(bytes(hdr_corrupt), strict=True)
+    # stereo STREAMINFO rejects by name
+    stereo = bytearray(b)
+    stereo[8 + 12] |= 0b0010  # channels-1 = 1
+    with pytest.raises(FlacRejected, match="mono"):
+        decode_flac_pcm16(bytes(stereo), strict=True)
+    assert decode_flac_pcm16(b"junk") is None
+    assert decode_flac_pcm16(None) is None
+    assert decode_flac_pcm16(b[:30]) is None
+
+
+def test_sniffer_agrees_with_generated_stream():
+    from deltalake_datafusion_spark.operators.multimodal import (
+        sniff_flac_header,
+    )
+
+    b = build_flac_pcm16(TRI[:500], sample_rate=22050)
+    meta = sniff_flac_header(b)
+    assert meta is not None
+    assert meta["sample_rate"] == 22050
+    assert meta["n_channels"] == 1
+    assert meta["bits_per_sample"] == 16
+
+
+def test_flac_decode_features_skip_contract(spark):
+    from deltalake_datafusion_spark.operators.flac import (
+        flac_decode_features,
+    )
+
+    s = TRI[:300]
+    good = build_flac_pcm16(s)
+    corrupt = bytearray(good)
+    corrupt[-1] ^= 0xFF
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"junk")),
+        (3, None),
+        (4, corrupt),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.n_samples, r.sum_s, r.sumsq, r.s_min, r.s_max)
+        for r in flac_decode_features(df).collect()
+    }
+    assert got == {
+        1: (300, sum(s), sum(x * x for x in s), min(s), max(s))
+    }
