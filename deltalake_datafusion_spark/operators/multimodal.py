@@ -1333,3 +1333,101 @@ def png_color_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, PNG_COLOR_SCHEMA
     )
+
+
+def _gray_matrix_any(payload: bytes):
+    """Row-major gray matrix from ANY supported still-image payload:
+    gray/truecolor PNG (:func:`decode_png`) or baseline gray/4:4:4/
+    subsampled-color JPEG (``operators/jpeg.py``); color collapses to
+    the exact integer Rec.601 luma. None outside every subset."""
+    dec = decode_png(payload)
+    if dec is not None:
+        ct, rows = dec
+        if ct == 0:
+            return rows
+        return [
+            [
+                (299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000
+                for px in row
+            ]
+            for row in rows
+        ]
+    from deltalake_datafusion_spark.operators.jpeg import (
+        JpegRejected,
+        decode_jpeg,
+    )
+
+    try:
+        dec = decode_jpeg(payload)
+    except JpegRejected:
+        return None
+    if dec is None:
+        return None
+    nc, rows = dec
+    if nc == 1:
+        return rows
+    return [
+        [(299 * r + 587 * g + 114 * b) // 1000 for (r, g, b) in row]
+        for row in rows
+    ]
+
+
+def ahash64_multi(payload: bytes) -> int | None:
+    """CROSS-FORMAT perceptual average-hash: the same integer
+    8×8-grid aHash as :func:`ahash64`, computed over the gray/luma
+    matrix of ANY supported PNG or JPEG payload — so the same image
+    saved in different formats (or gray vs color) lands on the same
+    hash when the decodes agree (exact for gray PNG vs gray JPEG
+    DC-only content; near for lossy re-encodes — that's what the
+    hamming threshold is for)."""
+    px = _gray_matrix_any(payload)
+    if px is None:
+        return None
+    h, w = len(px), len(px[0])
+    if h % 8 or w % 8:
+        return None
+    bh, bw = h // 8, w // 8
+    cells = []
+    for cy in range(8):
+        for cx in range(8):
+            s = sum(
+                px[cy * bh + y][cx * bw + x]
+                for y in range(bh)
+                for x in range(bw)
+            )
+            cells.append(s // (bh * bw))
+    mean = sum(cells) // 64
+    u = 0
+    for i, c in enumerate(cells):
+        if c > mean:
+            u |= 1 << i
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def ahash_image_hashes_multi(media: DataFrame) -> DataFrame:
+    """(media_id, ahash) over the cross-format hasher — the mixed
+    PNG/JPEG corpus variant of :func:`ahash_image_hashes`."""
+    import pandas as pd
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), True),
+            StructField("ahash", LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "ahash": [
+                        ahash64_multi(
+                            bytes(p) if p is not None else None
+                        )
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema)

@@ -55,6 +55,11 @@ def specs() -> list[QuerySpec]:
             multimodal_flac_decode,
             _FLAC_DECODE_SQL,
         ),
+        QuerySpec(
+            "multimodal_cross_format_dedup",
+            multimodal_cross_format_dedup,
+            _CROSS_FORMAT_SQL,
+        ),
     ]
 
 
@@ -1209,4 +1214,119 @@ SELECT doc_id AS media_id,
   CAST(MIN(s) AS INT) AS s_min,
   CAST(MAX(s) AS INT) AS s_max
 FROM samples GROUP BY doc_id ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------- #
+# multimodal_cross_format_dedup                                     #
+# ---------------------------------------------------------------- #
+
+
+def multimodal_cross_format_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FORMAT perceptual image dedup
+    (``operators/multimodal.py::ahash64_multi`` + the pigeonhole
+    band join): each document renders its FAMILY's image (quadrant
+    gray levels analytic in ``doc_id mod 10``) in one of FOUR real
+    encodings by ``doc_id mod 4`` — gray PNG, gray baseline JPEG,
+    truecolor PNG, 4:4:4 color JPEG — and the pipeline must land
+    every rendition of the same image on the SAME aHash (gray JPEG
+    DC-only decode is exact; (v,v,v) color survives both codecs'
+    integer paths exactly) and pair all same-pattern images at
+    hamming 0 through the banded join. The oracle recomputes each
+    image's quadrant-vs-mean bit pattern and pairs by pattern
+    equality — a decoder, luma, grid, or banding bug changes the
+    pair set and hash-fails. Every 31st payload is junk (skipped)."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        ahash_image_hashes_multi,
+        ahash_near_dup_pairs,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id")
+    )
+
+    def build(it):
+        import pandas as pd
+
+        from deltalake_datafusion_spark.operators.jpeg import (
+            build_jpeg_color,
+            build_jpeg_gray8,
+        )
+        from deltalake_datafusion_spark.operators.multimodal import (
+            build_png_gray8,
+            build_png_rgb,
+        )
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 31 == 0:
+                    payloads.append(b"not an image")
+                    continue
+                fam = did % 10
+                quad = [(fam * 37 + q * 61) % 200 + 5 for q in range(4)]
+                gray = [
+                    [quad[(y // 8) * 2 + (x // 8)] for x in range(16)]
+                    for y in range(16)
+                ]
+                kind = did % 4
+                if kind == 0:
+                    payloads.append(build_png_gray8(gray))
+                elif kind == 1:
+                    payloads.append(build_jpeg_gray8(gray))
+                elif kind == 2:
+                    payloads.append(
+                        build_png_rgb(
+                            [[(v, v, v) for v in row] for row in gray]
+                        )
+                    )
+                else:
+                    payloads.append(
+                        build_jpeg_color(
+                            [[(v, v, v) for v in row] for row in gray]
+                        )
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    hashes = ahash_image_hashes_multi(media)
+    pairs = ahash_near_dup_pairs(hashes, max_hamming=3)
+    return pairs.orderBy("a", "b")
+
+
+_CROSS_FORMAT_SQL = """
+WITH ids AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id % 31 <> 0
+),
+imgs AS (
+  SELECT doc_id,
+    -- quadrant gray levels and the aHash quadrant-vs-mean pattern:
+    -- every 2x2 grid cell inside a quadrant equals its level, the
+    -- global mean is (sum of the 4 levels) // 4 exactly
+    [
+      ((doc_id % 10) * 37 + 0 * 61) % 200 + 5,
+      ((doc_id % 10) * 37 + 1 * 61) % 200 + 5,
+      ((doc_id % 10) * 37 + 2 * 61) % 200 + 5,
+      ((doc_id % 10) * 37 + 3 * 61) % 200 + 5
+    ] AS q
+  FROM ids
+),
+pat AS (
+  SELECT doc_id,
+    (CASE WHEN q[1] > (q[1]+q[2]+q[3]+q[4]) // 4 THEN 1 ELSE 0 END)
+    + 2 * (CASE WHEN q[2] > (q[1]+q[2]+q[3]+q[4]) // 4 THEN 1 ELSE 0 END)
+    + 4 * (CASE WHEN q[3] > (q[1]+q[2]+q[3]+q[4]) // 4 THEN 1 ELSE 0 END)
+    + 8 * (CASE WHEN q[4] > (q[1]+q[2]+q[3]+q[4]) // 4 THEN 1 ELSE 0 END)
+      AS p
+  FROM imgs
+)
+SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS BIGINT) AS hamming
+FROM pat a JOIN pat b ON a.p = b.p AND a.doc_id < b.doc_id
+ORDER BY a, b
 """
