@@ -170,15 +170,16 @@ def resize_images(
     target: tuple[int, int] = (224, 224),
     resize_fn: Callable[[bytes, tuple[int, int]], bytes] | None = None,
 ) -> DataFrame:
-    """Resize stage. With Pillow installed (or an explicit
-    ``resize_fn``) this is a REAL decode→resize→re-encode transform;
-    without either it raises so nobody mistakes the fake for a real
-    transform — the *plumbing* (schema, batching) is exercised either
-    way."""
+    """Resize stage — a REAL decode→resize→re-encode transform by
+    default: decodable gray/truecolor PNGs go through the
+    zero-dependency exact integer box resampler
+    (:func:`box_resize_png`); everything else falls through to Pillow
+    when installed, else fails fast per payload so nobody mistakes a
+    fake for a real transform. Pass ``resize_fn`` to override."""
     import pandas as pd
 
     if resize_fn is None:
-        resize_fn = _try_pillow_resize()
+        resize_fn = _resize_fn_auto
 
     out_schema = StructType(
         [
@@ -189,16 +190,11 @@ def resize_images(
 
     def batches(it):
         for pdf in it:
-            if resize_fn is None:
-                raise NotImplementedError(
-                    "image resize requires a codec (Pillow) not present in "
-                    "this environment; pass resize_fn to supply one"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
                     "payload": [
-                        None if p is None else resize_fn(p, target)
+                        None if p is None else resize_fn(bytes(p), target)
                         for p in pdf["payload"]
                     ],
                 }
@@ -1431,3 +1427,77 @@ def ahash_image_hashes_multi(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, schema)
+
+
+def box_resize_png(payload: bytes, target: tuple[int, int]) -> bytes | None:
+    """REAL resize for the decodable PNG subset: integer BOX
+    downsample (exact cell mean, ``(Σ + n/2) div n``) of a gray or
+    truecolor PNG to ``target`` (w, h), re-encoded as PNG. Requires
+    the source dims to be integer multiples of the target (the
+    thumbnail contract — box filter is only exact there); returns
+    None for payloads outside the decodable subset or non-divisible
+    geometry, so the operator can fall back to the Pillow seam."""
+    dec = decode_png(payload)
+    if dec is None:
+        return None
+    ct, rows = dec
+    tw, th = target
+    h, w = len(rows), len(rows[0])
+    if tw <= 0 or th <= 0 or w % tw or h % th:
+        return None
+    fx, fy = w // tw, h // th
+    n = fx * fy
+    if ct == 0:
+        out = [
+            [
+                (
+                    sum(
+                        rows[y * fy + dy][x * fx + dx]
+                        for dy in range(fy)
+                        for dx in range(fx)
+                    )
+                    + n // 2
+                )
+                // n
+                for x in range(tw)
+            ]
+            for y in range(th)
+        ]
+        return build_png_gray8(out)
+    nch = 4 if ct == 6 else 3
+    out = [
+        [
+            tuple(
+                (
+                    sum(
+                        rows[y * fy + dy][x * fx + dx][c]
+                        for dy in range(fy)
+                        for dx in range(fx)
+                    )
+                    + n // 2
+                )
+                // n
+                for c in range(nch)
+            )
+            for x in range(tw)
+        ]
+        for y in range(th)
+    ]
+    return build_png_rgb(out, alpha=(ct == 6))
+
+
+def _resize_fn_auto(payload: bytes, target: tuple[int, int]) -> bytes:
+    """The real-resize resolution order for :func:`resize_images`:
+    the zero-dependency box resampler for decodable PNGs, else Pillow
+    when installed, else fail fast (documented)."""
+    out = box_resize_png(payload, target)
+    if out is not None:
+        return out
+    fn = _try_pillow_resize()
+    if fn is None:
+        raise NotImplementedError(
+            "payload is outside the zero-dependency resize subset "
+            "(gray/truecolor PNG with divisible geometry) and Pillow "
+            "is not installed; pass resize_fn to supply a codec"
+        )
+    return fn(payload, target)

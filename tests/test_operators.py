@@ -1755,3 +1755,47 @@ def test_normalize_url_idempotent_and_total(spark):
         ]
 
     idem()
+
+
+def test_resize_images_real_box_path_no_pillow(spark):
+    """Round 10: resize_images is REAL without Pillow for decodable
+    PNGs with divisible geometry — exact integer box means, verified
+    against the decoded source; non-divisible or non-PNG payloads
+    still route to the Pillow seam / fail-fast."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from deltalake_datafusion_spark.operators import multimodal as mm
+
+    gray = [[(x * 7 + y * 13) % 256 for x in range(16)] for y in range(12)]
+    rgb = [[((x * 3) % 256, (y * 5) % 256, (x + y) % 256)
+            for x in range(16)] for y in range(12)]
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(mm.build_png_gray8(gray))),
+            (2, bytearray(mm.build_png_rgb(rgb))),
+        ],
+        StructType(
+            [StructField("media_id", LongType(), False),
+             StructField("payload", BinaryType(), True)]
+        ),
+    )
+    out = {
+        r.media_id: bytes(r.payload)
+        for r in mm.resize_images(media, target=(4, 6)).collect()
+    }
+    ct, small = mm.decode_png(out[1])
+    assert ct == 0 and len(small) == 6 and len(small[0]) == 4
+    # exact 4x2 box mean of the gray source
+    want = [
+        [
+            (sum(gray[2 * y + dy][4 * x + dx]
+                 for dy in range(2) for dx in range(4)) + 4) // 8
+            for x in range(4)
+        ]
+        for y in range(6)
+    ]
+    assert small == want
+    ct2, small2 = mm.decode_png(out[2])
+    assert ct2 == 2 and len(small2) == 6 and len(small2[0]) == 4
