@@ -60,6 +60,11 @@ def specs() -> list[QuerySpec]:
             multimodal_cross_format_dedup,
             _CROSS_FORMAT_SQL,
         ),
+        QuerySpec(
+            "multimodal_gif_decode",
+            multimodal_gif_decode,
+            _GIF_DECODE_SQL,
+        ),
     ]
 
 
@@ -1329,4 +1334,94 @@ pat AS (
 SELECT a.doc_id AS a, b.doc_id AS b, CAST(0 AS BIGINT) AS hamming
 FROM pat a JOIN pat b ON a.p = b.p AND a.doc_id < b.doc_id
 ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------- #
+# multimodal_gif_decode                                             #
+# ---------------------------------------------------------------- #
+
+
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (``operators/gif.py`` — the fourth genuine
+    still-image codec): valid GIF89a files with a 16-entry global
+    color table and REAL LZW-compressed index streams (variable code
+    width, dictionary growth, KwKwK sequences arise naturally from
+    the run-heavy index pattern), palette and indices both analytic
+    in doc_id. LZW is lossless over indices, so every decoded pixel
+    is exact and the oracle recomputes the channel/luma sums from
+    the same palette arithmetic — an LZW width-bump, palette, or
+    sub-block reassembly bug hash-fails. Every 9th payload is junk
+    and contributes no rows."""
+    from deltalake_datafusion_spark.operators.gif import (
+        gif_color_features,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") % 5 == 1)
+        .select("doc_id")
+    )
+
+    def build(it):
+        import pandas as pd
+
+        from deltalake_datafusion_spark.operators.gif import build_gif
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 9 == 7:
+                    payloads.append(b"GIF-ish junk")
+                    continue
+                pal = [
+                    (
+                        (did * 3 + i * 17) % 256,
+                        (did * 5 + i * 23) % 256,
+                        (did * 7 + i * 31) % 256,
+                    )
+                    for i in range(16)
+                ]
+                idx = [
+                    [(x // 3 + y // 2 + did) % 16 for x in range(24)]
+                    for y in range(18)
+                ]
+                payloads.append(build_gif(idx, pal))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return gif_color_features(media).orderBy("media_id")
+
+
+_GIF_DECODE_SQL = """
+WITH ids AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 5 = 1 AND doc_id % 9 <> 7
+),
+px AS (
+  SELECT i.doc_id,
+    (x // 3 + y // 2 + i.doc_id) % 16 AS ci
+  FROM ids i,
+    (SELECT unnest(range(24)) AS x) xs,
+    (SELECT unnest(range(18)) AS y) ys
+),
+rgb AS (
+  SELECT doc_id,
+    (doc_id * 3 + ci * 17) % 256 AS r,
+    (doc_id * 5 + ci * 23) % 256 AS g,
+    (doc_id * 7 + ci * 31) % 256 AS b
+  FROM px
+)
+SELECT doc_id AS media_id,
+  CAST(1 AS INT) AS color_type,
+  CAST(24 AS INT) AS width,
+  CAST(18 AS INT) AS height,
+  CAST(SUM(r) AS BIGINT) AS sum_r,
+  CAST(SUM(g) AS BIGINT) AS sum_g,
+  CAST(SUM(b) AS BIGINT) AS sum_b,
+  CAST(SUM((299*r + 587*g + 114*b) // 1000) AS BIGINT) AS sum_luma
+FROM rgb GROUP BY doc_id ORDER BY media_id
 """

@@ -1,0 +1,112 @@
+"""GIF codec (operators/gif.py): real LZW round-trips (dictionary
+growth, 12-bit ceiling + clear, KwKwK), palette mapping, extension
+skipping, the reject taxonomy, and the features operator's skip
+contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from deltalake_datafusion_spark.operators.gif import (
+    GifRejected,
+    build_gif,
+    decode_gif,
+)
+
+PAL16 = [(i * 7 % 256, i * 13 % 256, i * 29 % 256) for i in range(16)]
+
+
+def _rgb(idx, pal):
+    return [[pal[i] for i in row] for row in idx]
+
+
+def test_lzw_roundtrip_and_compression():
+    idx = [[(x // 3 + y // 2) % 16 for x in range(40)] for y in range(25)]
+    b = build_gif(idx, PAL16)
+    assert decode_gif(b, strict=True) == _rgb(idx, PAL16)
+    assert len(b) < 40 * 25  # the runs actually compress
+
+
+def test_kwkwk_and_two_color():
+    idx = [[0] * 100 for _ in range(30)]
+    idx[0][0] = 1
+    pal = [(0, 0, 0), (255, 255, 255), (1, 2, 3), (4, 5, 6)]
+    assert decode_gif(build_gif(idx, pal), strict=True) == _rgb(idx, pal)
+    idx2 = [[(x + y) % 2 for x in range(17)] for y in range(9)]
+    assert decode_gif(
+        build_gif(idx2, pal[:2]), strict=True
+    ) == _rgb(idx2, pal[:2])
+
+
+def test_dictionary_growth_to_12_bits_and_clear():
+    idx = [[((x * x + 3 * y) ^ (x + y)) % 64 for x in range(120)]
+           for y in range(90)]
+    pal = [(i, 255 - i, (2 * i) % 256) for i in range(64)]
+    assert decode_gif(build_gif(idx, pal), strict=True) == _rgb(idx, pal)
+
+
+def test_extension_blocks_are_skipped():
+    idx = [[(x + y) % 4 for x in range(8)] for y in range(6)]
+    b = bytearray(build_gif(idx, PAL16[:4]))
+    # splice a graphic control extension before the image descriptor
+    pos = bytes(b).index(b"\x2c")
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    b2 = bytes(b[:pos]) + gce + bytes(b[pos:])
+    assert decode_gif(b2, strict=True) == _rgb(idx, PAL16[:4])
+
+
+def test_reject_taxonomy():
+    idx = [[0, 1], [1, 0]]
+    good = build_gif(idx, PAL16[:2])
+    pos = good.index(b"\x2c")
+    interlaced = bytearray(good)
+    interlaced[pos + 9] |= 0x40
+    with pytest.raises(GifRejected, match="interlaced"):
+        decode_gif(bytes(interlaced), strict=True)
+    local = bytearray(good)
+    local[pos + 9] |= 0x80
+    with pytest.raises(GifRejected, match="local color"):
+        decode_gif(bytes(local), strict=True)
+    assert decode_gif(b"junk") is None
+    assert decode_gif(None) is None
+    assert decode_gif(good[:15]) is None
+    truncated = good[: pos + 14]
+    assert decode_gif(truncated) is None
+
+
+def test_sniffer_agrees_with_generated_gif():
+    from deltalake_datafusion_spark.operators.multimodal import (
+        sniff_image_header,
+    )
+
+    idx = [[(x + y) % 4 for x in range(12)] for y in range(7)]
+    meta = sniff_image_header(build_gif(idx, PAL16[:4]))
+    assert meta["format"] == "gif"
+    assert meta["width"] == 12 and meta["height"] == 7
+
+
+def test_gif_color_features_skip_contract(spark):
+    from deltalake_datafusion_spark.operators.gif import (
+        gif_color_features,
+    )
+
+    idx = [[(x + y) % 3 for x in range(8)] for y in range(8)]
+    pal = [(10, 20, 30), (200, 100, 0), (0, 0, 255)]
+    rows = [
+        (1, bytearray(build_gif(idx, pal))),
+        (2, bytearray(b"junk")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: (r.color_type, r.width, r.height, r.sum_r, r.sum_g,
+                     r.sum_b, r.sum_luma)
+        for r in gif_color_features(df).collect()
+    }
+    want = [[pal[i] for i in row] for row in idx]
+    sr = sum(p[0] for row in want for p in row)
+    sg = sum(p[1] for row in want for p in row)
+    sb = sum(p[2] for row in want for p in row)
+    sl = sum((299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000
+             for row in want for p in row)
+    assert got == {1: (1, 8, 8, sr, sg, sb, sl)}
