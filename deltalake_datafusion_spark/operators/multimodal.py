@@ -1333,9 +1333,23 @@ def png_color_features(media: DataFrame) -> DataFrame:
 
 def _gray_matrix_any(payload: bytes):
     """Row-major gray matrix from ANY supported still-image payload:
-    gray/truecolor PNG (:func:`decode_png`) or baseline gray/4:4:4/
-    subsampled-color JPEG (``operators/jpeg.py``); color collapses to
-    the exact integer Rec.601 luma. None outside every subset."""
+    gray/truecolor PNG (:func:`decode_png`), baseline gray/4:4:4/
+    subsampled-color JPEG (``operators/jpeg.py``), or palette GIF
+    (``operators/gif.py``); color collapses to the exact integer
+    Rec.601 luma. None outside every subset."""
+    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        from deltalake_datafusion_spark.operators.gif import decode_gif
+
+        rows = decode_gif(payload)
+        if rows is None:
+            return None
+        return [
+            [
+                (299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000
+                for px in row
+            ]
+            for row in rows
+        ]
     dec = decode_png(payload)
     if dec is not None:
         ct, rows = dec

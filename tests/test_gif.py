@@ -110,3 +110,21 @@ def test_gif_color_features_skip_contract(spark):
     sl = sum((299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000
              for row in want for p in row)
     assert got == {1: (1, 8, 8, sr, sg, sb, sl)}
+
+
+def test_cross_format_ahash_covers_gif():
+    """A gray-palette GIF of the same image lands on the same aHash
+    as the PNG/JPEG renditions (the cross-format dedup tier)."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        ahash64_multi,
+        build_png_gray8,
+    )
+
+    q = [[10, 200], [130, 60]]
+    gray = [[q[y // 8][x // 8] for x in range(16)] for y in range(16)]
+    levels = sorted({v for row in gray for v in row})
+    pal = [(v, v, v) for v in levels] + [(0, 0, 0)] * (4 - len(levels))
+    idx = [[levels.index(v) for v in row] for row in gray]
+    h_png = ahash64_multi(build_png_gray8(gray))
+    h_gif = ahash64_multi(build_gif(idx, pal))
+    assert h_png == h_gif is not None
