@@ -804,3 +804,36 @@ def test_round10_queries_no_python_in_relational_core(spark, sf_dir):
     # joins) is expression-tree
     assert plan.count("BatchEvalPython") == 0, plan[:900]
     assert "CartesianProduct" not in plan
+
+
+def test_round10_multimodal_queries_arrow_only_no_cartesian(spark, sf_dir):
+    """The round-10 decode queries' only Python stages are Arrow
+    mapInPandas (fixture build + decode features) — never
+    row-at-a-time BatchEvalPython — and nothing goes cartesian."""
+    from deltalake_datafusion_spark.queries.round10 import (
+        multimodal_cross_format_dedup,
+        multimodal_flac_decode,
+        multimodal_gif_decode,
+        multimodal_jpeg_color,
+        multimodal_jpeg_decode,
+        multimodal_png_color,
+        text_repeated_spans,
+        web_robots_filter,
+    )
+
+    for q in (
+        multimodal_jpeg_decode,
+        multimodal_jpeg_color,
+        multimodal_png_color,
+        multimodal_gif_decode,
+        multimodal_flac_decode,
+        multimodal_cross_format_dedup,
+        web_robots_filter,
+        text_repeated_spans,
+    ):
+        plan = (
+            q(spark, sf_dir)._jdf.queryExecution().executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan, (q.__name__, plan[:600])
+        assert "CartesianProduct" not in plan, (q.__name__,)
