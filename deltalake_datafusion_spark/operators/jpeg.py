@@ -1,17 +1,19 @@
 """REAL zero-dependency baseline JPEG (ITU-T T.81) codec — GRAYSCALE
-and 4:4:4 YCbCr COLOR — the third genuine-decode tier beside PNG
-inflate+defilter and PCM energy (``operators/multimodal.py``),
-closing VERDICT r9 #3.
+and YCbCr COLOR at 4:4:4, 4:2:0, 4:2:2 and 4:4:0 sampling — the
+third genuine-decode tier beside PNG inflate+defilter and PCM energy
+(``operators/multimodal.py``), closing VERDICT r9 #3.
 
 Scope (deliberately the exactly-replayable subset): BASELINE
 sequential DCT (SOF0), 8-bit, one component (grayscale) or three
-1x1-sampled components (4:4:4 color, integer fixed-point YCbCr↔RGB),
+components with Y at {1,2}×{1,2} sampling over 1x1 chroma
+(sampling-factor MCU geometry per T.81 A.2.3; subsampled chroma
+upsampled by replication; integer fixed-point YCbCr↔RGB both ways),
 with DNL-free scans, byte stuffing, DRI / RSTn restart markers, and
 arbitrary DQT/DHT tables read from the stream. Everything outside
-that subset — progressive (SOF2), chroma SUBSAMPLING (2x1/2x2 MCUs),
-12-bit, arithmetic coding — is REJECTED loudly in ``strict`` mode
-and skipped (None) in the corpus data path, exactly the sniffer skip
-contract; subsampled color stays behind the tested Pillow seam.
+that subset — progressive (SOF2), exotic sampling layouts, 12-bit,
+arithmetic coding — is REJECTED loudly in ``strict`` mode and
+skipped (None) in the corpus data path, exactly the sniffer skip
+contract.
 
 Decode arithmetic is ALL-INTEGER and deterministic: Huffman + EXTEND
 per the spec, dequantization in int64, and a fixed-point inverse DCT
