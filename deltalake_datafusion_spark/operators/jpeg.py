@@ -487,17 +487,18 @@ def _decode_scan(
         full.append(p[:h, :w])
     if ncomp == 1:
         return 1, [list(map(int, row)) for row in full[0]]
-    ymat, cbmat, crmat = full
-    out = [
-        [
-            ycbcr_to_rgb_int(
-                int(ymat[yy, xx]), int(cbmat[yy, xx]), int(crmat[yy, xx])
-            )
-            for xx in range(w)
-        ]
-        for yy in range(h)
-    ]
-    return 3, out
+    # vectorized integer YCbCr→RGB — numpy's int64 >> is an arithmetic
+    # shift (floors negatives), bit-identical to ycbcr_to_rgb_int
+    ymat, cbmat, crmat = (p.astype(np.int64) for p in full)
+    cb = cbmat - 128
+    cr = crmat - 128
+    r = np.clip(ymat + ((91881 * cr + 32768) >> 16), 0, 255)
+    g = np.clip(
+        ymat - ((22554 * cb + 46802 * cr + 32768) >> 16), 0, 255
+    )
+    b = np.clip(ymat + ((116130 * cb + 32768) >> 16), 0, 255)
+    rgb = np.stack([r, g, b], axis=-1)
+    return 3, [[tuple(px) for px in row] for row in rgb.tolist()]
 
 
 # ------------------------------------------------------------------ #
