@@ -1431,16 +1431,41 @@ def repeated_kgram_profile(
     """
     from pyspark.sql.window import Window
 
-    grams = df.select(
-        id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length({text_col}) - {k}"
-                f" + 1, 0)), p -> substring({text_col}, p, {k}))"
+    spark = df.sparkSession
+    # position expansion via a BROADCAST range join instead of a
+    # higher-order transform() lambda: lambda functions run
+    # interpreted (outside whole-stage codegen), which dominates at
+    # O(total chars) rows — the range join keeps substring+md5 fully
+    # codegen. The max-length lookup is one metadata-scale job.
+    max_len = df.agg(
+        F.max(F.length(text_col)).alias("m")
+    ).collect()[0]["m"] or 0
+    positions = spark.range(1, max(max_len - k + 2, 1)).select(
+        F.col("id").cast("int").alias("pos")
+    )
+    grams = (
+        df.select(id_col, text_col)
+        .join(F.broadcast(positions))
+        .filter(F.col("pos") <= F.length(text_col) - k + 1)
+        .select(
+            id_col,
+            "pos",
+            # 60-bit portable digest (the repo's cross-engine hash
+            # convention): 8-byte shuffle keys; the oracle replays
+            # the SAME digest, so a (≈1e-6 at 1e6 grams) collision
+            # affects both engines identically
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substring({text_col}, pos, {k})")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
             )
-        ).alias("pos", "gram"),
-    ).select(
-        id_col, "pos", F.md5("gram").alias("h")
+            .cast("long")
+            .alias("h"),
+        )
     )
     multi_doc = (
         grams.groupBy("h")

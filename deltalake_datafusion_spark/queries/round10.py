@@ -729,18 +729,21 @@ WITH docs AS (
   FROM documents
 ),
 grams AS (
-  SELECT doc_id, p AS pos, substr(text, p, {_SPAN_K}) AS g FROM (
+  SELECT doc_id, p AS pos,
+    CAST(('0x' || substr(md5(substr(text, p, {_SPAN_K})), 1, 15))
+         AS BIGINT) AS h
+  FROM (
     SELECT doc_id, text,
       unnest(range(1, greatest(length(text) - {_SPAN_K} + 1, 0) + 1)) AS p
     FROM docs)
 ),
 multi AS (
-  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+  SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
 ),
 rep AS (
   SELECT gr.doc_id, gr.pos,
     LEAD(gr.pos) OVER (PARTITION BY gr.doc_id ORDER BY gr.pos) AS nxt
-  FROM grams gr JOIN multi m ON gr.g = m.g
+  FROM grams gr JOIN multi m ON gr.h = m.h
 ),
 cov AS (
   SELECT doc_id,
