@@ -318,3 +318,256 @@ def streaming_refresh_aggregate_mv(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+# ------------------------------------------------------------------ #
+# MIN/MAX-bearing aggregate MVs (delete-aware group recompute)        #
+# ------------------------------------------------------------------ #
+
+
+def _min_col(c: str) -> str:
+    return f"mv_min_{c}"
+
+
+def _max_col(c: str) -> str:
+    return f"mv_max_{c}"
+
+
+def build_minmax_mv(
+    spark,
+    base_path: str,
+    mv_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str],
+) -> dict:
+    """Full build of an aggregate view carrying count + sums AND
+    per-group MIN/MAX columns. MIN/MAX are not abelian — a delete can
+    invalidate them — so the incremental refresh
+    (:func:`refresh_minmax_mv`) pairs the usual signed count/sum
+    deltas with a TARGETED RECOMPUTE of exactly the groups that saw a
+    delete/update_preimage (reading the base pruned to those group
+    keys); insert-only groups merge monotonically via
+    least()/greatest() and never touch the base. The watermark is the
+    same atomic ``lakehouse.mv`` txn as :func:`build_aggregate_mv`."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    base_ver = load_snapshot(base_path, spark=spark).version
+    df = read_delta(spark, base_path)
+    aggs = (
+        [F.count(F.lit(1)).cast("long").alias(MV_COUNT_COL)]
+        + [F.sum(c).alias(_sum_col(c)) for c in sum_cols]
+        + [F.min(c).alias(_min_col(c)) for c in minmax_cols]
+        + [F.max(c).alias(_max_col(c)) for c in minmax_cols]
+    )
+    mv = df.groupBy(*group_cols).agg(*aggs)
+    write_delta(
+        spark,
+        mv,
+        mv_path,
+        configuration={MV_BASE_VERSION_KEY: str(base_ver)},
+        txn=(MV_TXN_APP, base_ver),
+    )
+    return {"base_version": base_ver, "mode": "full"}
+
+
+def refresh_minmax_mv(
+    spark,
+    base_path: str,
+    mv_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str],
+    max_inline_groups: int = 10_000,
+) -> dict:
+    """Incremental refresh of a MIN/MAX-bearing view: ONE MERGE commit
+    (watermark txn riding along) built from
+
+    - signed per-group count/sum deltas (as the abelian path);
+    - per-group min/max of the INSERTED values (monotone merge via
+      least/greatest for groups that saw no deletes);
+    - authoritative recomputed min/max for the groups that saw a
+      delete/update_preimage — read from the base AS OF the target
+      version, pruned to exactly those group keys (inlined IN
+      predicate ≤ ``max_inline_groups`` keys for stats-based file
+      skipping, else a broadcast semi-join).
+
+    The base is NEVER opened when the CDF contains no deletes — the
+    unit guard pins it."""
+    from deltalake_datafusion_spark.delta.cdf import table_changes
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    mv_snap = load_snapshot(mv_path, spark=spark)
+    applied = mv_watermark(mv_snap)
+    if applied is None:
+        raise ValueError(
+            f"{mv_path} has no {MV_BASE_VERSION_KEY} property or "
+            f"{MV_TXN_APP} txn — not a maintained aggregate view "
+            "(build_minmax_mv first)"
+        )
+    base_ver = load_snapshot(base_path, spark=spark).version
+    if base_ver <= applied:
+        return {"base_version": applied, "mode": "noop", "groups_touched": 0}
+
+    ch = table_changes(spark, base_path, applied + 1, base_ver)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    is_ins = F.col("__sign") == 1
+    deltas = (
+        ch.withColumn("__sign", sign)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__sign").cast("long").alias("d_count"),
+            *[
+                F.sum(F.col(c) * F.col("__sign")).alias(f"d_{c}")
+                for c in sum_cols
+            ],
+            *[
+                F.min(F.when(is_ins, F.col(c))).alias(f"ins_min_{c}")
+                for c in minmax_cols
+            ],
+            *[
+                F.max(F.when(is_ins, F.col(c))).alias(f"ins_max_{c}")
+                for c in minmax_cols
+            ],
+            F.max((~is_ins).cast("int")).alias("__saw_delete"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_groups = deltas.count()
+    if n_groups == 0:
+        _advance_watermark_only(spark, mv_path, base_ver)
+        return {
+            "base_version": base_ver,
+            "mode": "incremental",
+            "groups_touched": 0,
+        }
+
+    affected = [
+        tuple(r[c] for c in group_cols)
+        for r in deltas.filter("__saw_delete = 1")
+        .select(*group_cols)
+        .limit(max_inline_groups + 1)
+        .collect()
+    ]
+    if affected:
+        inline = affected if len(affected) <= max_inline_groups else None
+        recomputed = _recompute_groups(
+            spark, base_path, base_ver, group_cols, minmax_cols,
+            inline,
+            keys_df=deltas.filter("__saw_delete = 1").select(*group_cols),
+        )
+        src = deltas.join(recomputed, list(group_cols), "left")
+    else:
+        src = deltas
+        for c in minmax_cols:
+            src = src.withColumn(f"re_min_{c}", F.lit(None))
+            src = src.withColumn(f"re_max_{c}", F.lit(None))
+
+    on = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in group_cols)
+    update = {
+        MV_COUNT_COL: f"t.{MV_COUNT_COL} + s.d_count",
+        **{
+            _sum_col(c): f"coalesce(t.{_sum_col(c)}, 0) + coalesce(s.d_{c}, 0)"
+            for c in sum_cols
+        },
+    }
+    for c in minmax_cols:
+        update[_min_col(c)] = (
+            f"CASE WHEN s.__saw_delete = 1 THEN s.re_min_{c} "
+            f"ELSE least(t.{_min_col(c)}, s.ins_min_{c}) END"
+        )
+        update[_max_col(c)] = (
+            f"CASE WHEN s.__saw_delete = 1 THEN s.re_max_{c} "
+            f"ELSE greatest(t.{_max_col(c)}, s.ins_max_{c}) END"
+        )
+    # a BRAND-NEW group can still have seen in-window deletes (rows
+    # created and removed inside this CDF range): its authoritative
+    # min/max come from the recompute, not the inserted-values stats
+    insert_vals = {
+        **{c: f"s.`{c}`" for c in group_cols},
+        MV_COUNT_COL: "s.d_count",
+        **{_sum_col(c): f"s.d_{c}" for c in sum_cols},
+        **{
+            _min_col(c): (
+                f"CASE WHEN s.__saw_delete = 1 THEN s.re_min_{c} "
+                f"ELSE s.ins_min_{c} END"
+            )
+            for c in minmax_cols
+        },
+        **{
+            _max_col(c): (
+                f"CASE WHEN s.__saw_delete = 1 THEN s.re_max_{c} "
+                f"ELSE s.ins_max_{c} END"
+            )
+            for c in minmax_cols
+        },
+    }
+    merge_delta(
+        spark,
+        mv_path,
+        src,
+        on=on,
+        when_matched=[
+            {
+                "condition": f"t.{MV_COUNT_COL} + s.d_count <= 0",
+                "delete": True,
+            },
+            {"update": update},
+        ],
+        when_not_matched=[
+            {"condition": "s.d_count > 0", "values": insert_vals}
+        ],
+        extra_actions=[_txn_action(base_ver)],
+    )
+    return {
+        "base_version": base_ver,
+        "mode": "incremental",
+        "groups_touched": n_groups,
+    }
+
+
+def _recompute_groups(
+    spark, base_path, base_ver, group_cols, minmax_cols, inline,
+    keys_df,
+):
+    """Authoritative per-group min/max from the base AS OF
+    ``base_ver``, pruned to the affected groups: ``inline`` (a
+    bounded list of single-column key tuples) becomes an IN predicate
+    pushed into the Delta scan for stats-based file skipping;
+    otherwise ``keys_df`` drives a broadcast semi-join (never a
+    truncated key set)."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+
+    pred = None
+    if (
+        inline is not None
+        and len(group_cols) == 1
+        and all(
+            isinstance(t[0], (int, str)) and not isinstance(t[0], bool)
+            for t in inline
+        )
+        and all(t[0] is not None for t in inline)
+    ):
+        vals = sorted(t[0] for t in inline)
+        if isinstance(vals[0], str):
+            esc = [v.replace("'", "''") for v in vals]
+            lits = ", ".join(f"'{v}'" for v in esc)
+        else:
+            lits = ", ".join(str(v) for v in vals)
+        pred = f"{group_cols[0]} IN ({lits})"
+    base = read_delta(spark, base_path, version=base_ver, predicate=pred)
+    if pred is not None:
+        base = base.filter(F.expr(pred))
+    else:
+        base = base.join(
+            F.broadcast(keys_df.distinct()), list(group_cols), "left_semi"
+        )
+    return base.groupBy(*group_cols).agg(
+        *[F.min(c).alias(f"re_min_{c}") for c in minmax_cols],
+        *[F.max(c).alias(f"re_max_{c}") for c in minmax_cols],
+    )

@@ -65,6 +65,11 @@ def specs() -> list[QuerySpec]:
             multimodal_gif_decode,
             _GIF_DECODE_SQL,
         ),
+        QuerySpec(
+            "delta_mv_minmax_incremental",
+            delta_mv_minmax_incremental,
+            _MV_MINMAX_SQL,
+        ),
     ]
 
 
@@ -1427,4 +1432,85 @@ SELECT doc_id AS media_id,
   CAST(SUM(b) AS BIGINT) AS sum_b,
   CAST(SUM((299*r + 587*g + 114*b) // 1000) AS BIGINT) AS sum_luma
 FROM rgb GROUP BY doc_id ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------- #
+# delta_mv_minmax_incremental                                       #
+# ---------------------------------------------------------------- #
+
+
+def delta_mv_minmax_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX-bearing incrementally-maintained MV
+    (``delta/mv.py::refresh_minmax_mv``): min/max are NOT abelian —
+    deletes can invalidate them — so the refresh pairs signed
+    count/sum deltas with a TARGETED recompute of exactly the groups
+    that saw deletes (base read pruned to those group keys), while
+    insert-only groups merge monotonically and never touch the base.
+    The lifecycle deletes each priority group's extreme rows (both
+    current minima and maxima land in the delete predicate) and
+    appends new extremes; the view must equal the full recompute of
+    the final base state — which is what the oracle computes, so a
+    stale-extreme bug (the classic MIN/MAX-MV failure) hash-fails."""
+    from deltalake_datafusion_spark.delta.mv import (
+        build_minmax_mv,
+        refresh_minmax_mv,
+    )
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    base = _fresh_dir("mmvbase", sf_dir)
+    mv = _fresh_dir("mmvview", sf_dir)
+    cdf = {"delta.enableChangeDataFeed": "true"}
+    rows = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    write_delta(spark, rows, base, configuration=cdf)
+    build_minmax_mv(spark, base, mv, ["g"], ["cents"], ["cents"])
+    # append new extremes into existing groups + a brand-new group
+    extra = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 300000000).alias("id"),
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_orderkey") % 2 * 2000000000
+         - 1000000000).cast("long").alias("cents"),  # ±1e9 extremes
+    )
+    write_delta(spark, extra, base, mode="append", configuration=cdf)
+    # delete a band that includes many of the planted extremes AND
+    # original rows -> min/max recompute must fire per group
+    delete_delta(spark, base, "id % 3 = 1")
+    refresh_minmax_mv(spark, base, mv, ["g"], ["cents"], ["cents"])
+    return (
+        read_delta(spark, mv)
+        .select(
+            "g", "mv_count",
+            F.col("mv_sum_cents").cast("long").alias("mv_sum_cents"),
+            F.col("mv_min_cents").cast("long").alias("mv_min_cents"),
+            F.col("mv_max_cents").cast("long").alias("mv_max_cents"),
+        )
+        .orderBy("g")
+    )
+
+
+_MV_MINMAX_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS id, o_orderpriority AS g,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+  UNION ALL
+  SELECT o_orderkey + 300000000, o_orderpriority,
+    CAST(o_orderkey % 2 * 2000000000 - 1000000000 AS BIGINT)
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+final AS (SELECT * FROM base WHERE NOT (id % 3 = 1))
+SELECT g, CAST(COUNT(*) AS BIGINT) AS mv_count,
+  CAST(SUM(cents) AS BIGINT) AS mv_sum_cents,
+  CAST(MIN(cents) AS BIGINT) AS mv_min_cents,
+  CAST(MAX(cents) AS BIGINT) AS mv_max_cents
+FROM final GROUP BY g ORDER BY g
 """

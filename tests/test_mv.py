@@ -327,3 +327,194 @@ def test_streaming_then_batch_refresh_no_double_apply(spark, tmp_path):
     res = refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
     assert res["mode"] == "noop"  # stream already advanced the watermark
     assert _mv_state(spark, m) == _expected(spark, b)
+
+
+# ---------------------------------------------------------------- #
+# MIN/MAX-bearing MVs (delete-aware recompute)                      #
+# ---------------------------------------------------------------- #
+
+
+def _mm_state(spark, mv_path):
+    return {
+        r.g: (r.mv_count, r.mv_sum_v, r.mv_min_v, r.mv_max_v)
+        for r in read_delta(spark, mv_path).collect()
+    }
+
+
+def _mm_expected(spark, base_path):
+    return {
+        r.g: (r.c, r.s, r.mn, r.mx)
+        for r in read_delta(spark, base_path)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+
+
+def test_minmax_mv_insert_only_monotone_merge(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.mv import (
+        build_minmax_mv,
+        refresh_minmax_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    assert _mm_state(spark, m) == _mm_expected(spark, b)
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(100, 0, -5), (101, 9, 999)], "id long, g long, v long"
+        ),
+        b,
+        mode="append",
+        configuration=CDF,
+    )
+    res = refresh_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    assert res["mode"] == "incremental"
+    assert _mm_state(spark, m) == _mm_expected(spark, b)
+
+
+def test_minmax_mv_delete_of_minimum_recomputes_group(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.mv import (
+        build_minmax_mv,
+        refresh_minmax_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)  # v = id * 10; min of group g is id=g
+    build_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    # delete group 1's minimum (id=1, v=10) and group 2's MAXIMUM
+    delete_delta(spark, b, "id IN (1, 38)")
+    refresh_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    st = _mm_state(spark, m)
+    assert st == _mm_expected(spark, b)
+    assert st[1][2] == 50  # new min of group 1 is id=5 -> 50
+    assert st[2][3] == 340  # new max of group 2 is id=34 -> 340
+
+
+def test_minmax_mv_group_move_and_multi_round(spark, tmp_path):
+    from deltalake_datafusion_spark.delta.mv import (
+        build_minmax_mv,
+        refresh_minmax_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b, n=60)
+    build_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    for step in range(3):
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(3000 + step * 10 + i, (i + step) % 7, (i - 3) * 11)
+                 for i in range(6)],
+                "id long, g long, v long",
+            ),
+            b,
+            mode="append",
+            configuration=CDF,
+        )
+        update_delta(
+            spark, b, set_exprs={"g": "(g + 1) % 5"},
+            predicate=f"id % 9 = {step}",
+        )
+        delete_delta(spark, b, f"id % 7 = {step}")
+        refresh_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+        assert _mm_state(spark, m) == _mm_expected(spark, b), f"step {step}"
+
+
+def test_minmax_mv_new_group_with_inwindow_delete(spark, tmp_path):
+    """A group born AND partially deleted inside one refresh window:
+    its min/max must come from the recompute, not the inserted-value
+    stats (which would include the already-deleted row)."""
+    from deltalake_datafusion_spark.delta.mv import (
+        build_minmax_mv,
+        refresh_minmax_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(900, 77, -1000), (901, 77, 5), (902, 77, 60)],
+            "id long, g long, v long",
+        ),
+        b,
+        mode="append",
+        configuration=CDF,
+    )
+    delete_delta(spark, b, "id = 900")  # removes the would-be minimum
+    refresh_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    st = _mm_state(spark, m)
+    assert st[77] == (2, 65, 5, 60)
+    assert st == _mm_expected(spark, b)
+
+
+def test_minmax_mv_insert_only_never_opens_base(spark, tmp_path, monkeypatch):
+    """SCALE GUARD: an insert-only refresh merges min/max
+    monotonically — the base table is never re-read."""
+    import deltalake_datafusion_spark.delta.scan as scan_mod
+
+    from deltalake_datafusion_spark.delta.mv import (
+        build_minmax_mv,
+        refresh_minmax_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    write_delta(
+        spark,
+        spark.createDataFrame([(700, 3, 1)], "id long, g long, v long"),
+        b,
+        mode="append",
+        configuration=CDF,
+    )
+    real = scan_mod.read_delta
+    opened = []
+
+    def spy(spark_, path, *a, **kw):
+        opened.append(path)
+        return real(spark_, path, *a, **kw)
+
+    monkeypatch.setattr(scan_mod, "read_delta", spy)
+    refresh_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    assert not any(p == b for p in opened), opened
+    assert _mm_state(spark, m) == _mm_expected(spark, b)
+
+
+def test_minmax_mv_delete_refresh_pushes_group_predicate(
+    spark, tmp_path, monkeypatch
+):
+    """SCALE GUARD: the delete-triggered recompute reads the base
+    pruned to the affected group keys via a pushed IN predicate."""
+    import deltalake_datafusion_spark.delta.scan as scan_mod
+
+    from deltalake_datafusion_spark.delta.mv import (
+        build_minmax_mv,
+        refresh_minmax_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    delete_delta(spark, b, "id = 2")  # group 2 only
+    real = scan_mod.read_delta
+    preds = []
+
+    def spy(spark_, path, *a, **kw):
+        if path == b:
+            preds.append(kw.get("predicate"))
+        return real(spark_, path, *a, **kw)
+
+    monkeypatch.setattr(scan_mod, "read_delta", spy)
+    refresh_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    assert preds and all(p and "g IN (2)" in p for p in preds), preds
+    assert _mm_state(spark, m) == _mm_expected(spark, b)
