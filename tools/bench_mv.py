@@ -1,0 +1,146 @@
+"""Measure incremental-MV refresh vs full recompute as the base table
+grows — the O(changed rows) claim behind delta/mv.py and
+delta/mv_join.py, as numbers.
+
+For each base size N:
+  1. build a CDF-enabled Delta base of N rows (and, for the join MV,
+     a 1k-row dim) + the MV;
+  2. apply a FIXED-size change batch (1k appends + a 0.1%-selective
+     delete);
+  3. time (a) the incremental refresh and (b) the honest full
+     alternative — recompute the aggregate over the whole base AND
+     overwrite the view table (what a non-incremental refresh does).
+
+If the incremental path is O(changes), its time stays flat while the
+full recompute grows with N. Results go into PARITY.md.
+
+Usage:
+    PYTHONPATH=/root/repo python tools/bench_mv.py [N ...]
+Defaults: 100_000 1_000_000 4_000_000.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+
+CDF = {"delta.enableChangeDataFeed": "true"}
+
+
+def bench_aggregate(spark, n: int) -> tuple[float, float]:
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.mv import (
+        build_aggregate_mv,
+        refresh_aggregate_mv,
+    )
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    d = tempfile.mkdtemp(prefix="mv_bench_")
+    try:
+        b, m = f"{d}/b", f"{d}/m"
+        base = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") % 1000).alias("g"),
+            (F.col("id") * 7 % 100000).alias("v"),
+        )
+        write_delta(spark, base, b, configuration=CDF)
+        build_aggregate_mv(spark, b, m, ["g"], ["v"])
+        extra = spark.range(n, n + 1000).select(
+            F.col("id"),
+            (F.col("id") % 1000).alias("g"),
+            (F.col("id") * 7 % 100000).alias("v"),
+        )
+        write_delta(spark, extra, b, mode="append", configuration=CDF)
+        delete_delta(spark, b, "id % 997 = 3")
+        t0 = time.time()
+        refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+        t_incr = time.time() - t0
+        t0 = time.time()
+        full = read_delta(spark, b).groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("mv_count"),
+            F.sum("v").alias("mv_sum_v"),
+        )
+        write_delta(spark, full, f"{d}/m_full", mode="overwrite")
+        t_full = time.time() - t0
+        return t_incr, t_full
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def bench_join(spark, n: int) -> tuple[float, float]:
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.mv_join import (
+        build_join_mv,
+        refresh_join_mv,
+    )
+    from deltalake_datafusion_spark.delta.ops import update_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    d = tempfile.mkdtemp(prefix="mvj_bench_")
+    try:
+        fp, dp, m = f"{d}/f", f"{d}/d", f"{d}/m"
+        fact = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") % 1000).alias("fk"),
+            (F.col("id") % 5000).alias("amt"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("dk"),
+            F.concat(F.lit("s"), (F.col("id") % 37)).alias("seg"),
+        )
+        write_delta(spark, fact, fp, configuration=CDF)
+        write_delta(spark, dim, dp, configuration=CDF)
+        kw = dict(fact_key="fk", dim_key="dk",
+                  group_cols=["seg"], sum_cols=["amt"])
+        build_join_mv(spark, fp, dp, m, **kw)
+        extra = spark.range(n, n + 1000).select(
+            F.col("id"),
+            (F.col("id") % 1000).alias("fk"),
+            (F.col("id") % 5000).alias("amt"),
+        )
+        write_delta(spark, extra, fp, mode="append", configuration=CDF)
+        # dim-side SCD on 10 keys: the refresh must prune the standing
+        # fact scan to those keys
+        update_delta(spark, dp, set_exprs={"seg": "'zz'"},
+                     predicate="dk % 100 = 7")
+        t0 = time.time()
+        refresh_join_mv(spark, fp, dp, m, **kw)
+        t_incr = time.time() - t0
+        t0 = time.time()
+        f, dd = read_delta(spark, fp), read_delta(spark, dp)
+        full = f.join(F.broadcast(dd), f.fk == dd.dk).groupBy("seg").agg(
+            F.count(F.lit(1)).cast("long").alias("mv_count"),
+            F.sum("amt").alias("mv_sum_amt"),
+        )
+        write_delta(spark, full, f"{d}/m_full", mode="overwrite")
+        t_full = time.time() - t0
+        return t_incr, t_full
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [
+        100_000, 1_000_000, 4_000_000
+    ]
+    from deltalake_datafusion_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_mv")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"{'mv':>9} {'n_rows':>9} {'incr_s':>8} {'full_s':>8}")
+    for n in sizes:
+        ti, tf = bench_aggregate(spark, n)
+        print(f"{'agg':>9} {n:>9} {ti:>8.2f} {tf:>8.2f}")
+        ti, tf = bench_join(spark, n)
+        print(f"{'join':>9} {n:>9} {ti:>8.2f} {tf:>8.2f}")
+
+
+if __name__ == "__main__":
+    main()
