@@ -92,6 +92,7 @@ def build_aggregate_mv(
     mv_path: str,
     group_cols: list[str],
     sum_cols: list[str],
+    extra_conf: dict | None = None,
 ) -> dict:
     """Full build of the aggregate view (count + sums per group) at
     the base table's current version; the watermark (property + txn)
@@ -110,7 +111,9 @@ def build_aggregate_mv(
         spark,
         mv,
         mv_path,
-        configuration={MV_BASE_VERSION_KEY: str(base_ver)},
+        configuration={
+            MV_BASE_VERSION_KEY: str(base_ver), **(extra_conf or {})
+        },
         txn=(MV_TXN_APP, base_ver),
     )
     return {"base_version": base_ver, "mode": "full"}
@@ -340,6 +343,7 @@ def build_minmax_mv(
     group_cols: list[str],
     sum_cols: list[str],
     minmax_cols: list[str],
+    extra_conf: dict | None = None,
 ) -> dict:
     """Full build of an aggregate view carrying count + sums AND
     per-group MIN/MAX columns. MIN/MAX are not abelian — a delete can
@@ -367,7 +371,9 @@ def build_minmax_mv(
         spark,
         mv,
         mv_path,
-        configuration={MV_BASE_VERSION_KEY: str(base_ver)},
+        configuration={
+            MV_BASE_VERSION_KEY: str(base_ver), **(extra_conf or {})
+        },
         txn=(MV_TXN_APP, base_ver),
     )
     return {"base_version": base_ver, "mode": "full"}

@@ -127,6 +127,7 @@ def build_join_mv(
     dim_key: str,
     group_cols: list[str],
     sum_cols: list[str],
+    extra_conf: dict | None = None,
 ) -> dict:
     """Full build of the star MV at the bases' current versions; both
     watermarks commit atomically with the built data."""
@@ -156,7 +157,9 @@ def build_join_mv(
         spark,
         mv,
         mv_path,
-        configuration={MV_JOIN_KEY: f"{fact_key}={dim_key}"},
+        configuration={
+            MV_JOIN_KEY: f"{fact_key}={dim_key}", **(extra_conf or {})
+        },
         txn=[(MV_FACT_TXN_APP, f_ver), (MV_DIM_TXN_APP, d_ver)],
     )
     return {"fact_version": f_ver, "dim_version": d_ver, "mode": "full"}

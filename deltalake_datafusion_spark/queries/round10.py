@@ -70,6 +70,11 @@ def specs() -> list[QuerySpec]:
             delta_mv_minmax_incremental,
             _MV_MINMAX_SQL,
         ),
+        QuerySpec(
+            "sql_matview_lifecycle",
+            sql_matview_lifecycle,
+            _SQL_MV_SQL,
+        ),
     ]
 
 
@@ -1508,6 +1513,88 @@ WITH base AS (
   FROM orders WHERE o_orderkey % 97 = 0
 ),
 final AS (SELECT * FROM base WHERE NOT (id % 3 = 1))
+SELECT g, CAST(COUNT(*) AS BIGINT) AS mv_count,
+  CAST(SUM(cents) AS BIGINT) AS mv_sum_cents,
+  CAST(MIN(cents) AS BIGINT) AS mv_min_cents,
+  CAST(MAX(cents) AS BIGINT) AS mv_max_cents
+FROM final GROUP BY g ORDER BY g
+"""
+
+
+# ---------------------------------------------------------------- #
+# sql_matview_lifecycle                                             #
+# ---------------------------------------------------------------- #
+
+
+def sql_matview_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED VIEW SQL surface end to end
+    (``sql/matview.py`` — the extended-dialect pattern the
+    reference's parser establishes, in front of the incremental
+    maintenance tier): CREATE MATERIALIZED VIEW (min/max-bearing
+    aggregate over a CDF-enabled Delta base) through the dialect →
+    base changes (appends + a delete that invalidates group minima)
+    → REFRESH MATERIALIZED VIEW (parses nothing — the persisted
+    ``lakehouse.mv.definition`` property drives the dispatch to the
+    delete-aware min/max refresh). The view must equal the full
+    recompute of the final base state — the oracle computes it, so a
+    grammar, definition-persistence, dispatch, or maintenance bug
+    hash-fails."""
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+    from deltalake_datafusion_spark.sql.dispatcher import sql as lsql
+
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    base = _fresh_dir("sqlmvbase", sf_dir)
+    mv = _fresh_dir("sqlmvview", sf_dir)
+    cdf = {"delta.enableChangeDataFeed": "true"}
+    rows = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("g"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    write_delta(spark, rows, base, configuration=cdf)
+    lsql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{mv}` AS "
+        f"SELECT g, COUNT(*) AS n, SUM(cents) AS total, "
+        f"MIN(cents), MAX(cents) "
+        f"FROM delta.`{base}` GROUP BY g",
+    )
+    extra = c.filter(F.col("c_custkey") % 41 == 0).select(
+        (F.col("c_custkey") + 500000000).alias("id"),
+        F.col("c_mktsegment").alias("g"),
+        (F.col("c_custkey") % 2 * 400000000
+         - 200000000).cast("long").alias("cents"),
+    )
+    write_delta(spark, extra, base, mode="append", configuration=cdf)
+    delete_delta(spark, base, "id % 5 = 2")
+    lsql(spark, f"REFRESH MATERIALIZED VIEW delta.`{mv}`")
+    return (
+        read_delta(spark, mv)
+        .select(
+            "g", "mv_count",
+            F.col("mv_sum_cents").cast("long").alias("mv_sum_cents"),
+            F.col("mv_min_cents").cast("long").alias("mv_min_cents"),
+            F.col("mv_max_cents").cast("long").alias("mv_max_cents"),
+        )
+        .orderBy("g")
+    )
+
+
+_SQL_MV_SQL = """
+WITH base AS (
+  SELECT c_custkey AS id, c_mktsegment AS g,
+    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer
+  UNION ALL
+  SELECT c_custkey + 500000000, c_mktsegment,
+    CAST(c_custkey % 2 * 400000000 - 200000000 AS BIGINT)
+  FROM customer WHERE c_custkey % 41 = 0
+),
+final AS (SELECT * FROM base WHERE NOT (id % 5 = 2))
 SELECT g, CAST(COUNT(*) AS BIGINT) AS mv_count,
   CAST(SUM(cents) AS BIGINT) AS mv_sum_cents,
   CAST(MIN(cents) AS BIGINT) AS mv_min_cents,

@@ -436,6 +436,12 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
             inventory=inventory,
         )
 
+    from deltalake_datafusion_spark.sql.matview import dispatch_matview
+
+    mv_out = dispatch_matview(spark, statement, registry)
+    if mv_out is not None:
+        return mv_out
+
     m = _GENERATE_RE.match(statement)
     if m:
         # GENERATE symlink_format_manifest FOR TABLE t — delta-spark's

@@ -1,0 +1,269 @@
+"""``CREATE / REFRESH / DROP MATERIALIZED VIEW`` — the SQL surface
+over the incrementally-maintained views in :mod:`delta.mv` /
+:mod:`delta.mv_join` (the extended-dialect pattern the reference's
+parser establishes for VACUUM/catalog DDL: a constrained custom
+grammar in front of a native execution routine).
+
+Supported definition shapes (the canonical incrementally-maintainable
+aggregates):
+
+    CREATE MATERIALIZED VIEW delta.`/mv/path`
+    AS SELECT g1[, g2…], COUNT(*) [AS a], SUM(x) [AS b]
+              [, MIN(y) [AS c], MAX(y) [AS d]]…
+    FROM delta.`/base/path`
+    GROUP BY g1[, g2…]
+
+    CREATE MATERIALIZED VIEW delta.`/mv/path`
+    AS SELECT g…, COUNT(*), SUM(x)…
+    FROM delta.`/fact` JOIN delta.`/dim` ON fk = dk
+    GROUP BY g…                      -- star MV (count/sum only)
+
+    REFRESH MATERIALIZED VIEW delta.`/mv/path`
+    DROP MATERIALIZED VIEW delta.`/mv/path`
+
+The parsed definition is stored on the view as the
+``lakehouse.mv.definition`` table property (JSON), so REFRESH needs
+only the view path: it dispatches to the matching incremental
+refresh (aggregate / min-max / two-sided join). Output column names
+are the canonical ``mv_count`` / ``mv_sum_<c>`` / ``mv_min_<c>`` /
+``mv_max_<c>`` regardless of aliases (aliases are accepted and
+recorded for documentation; the maintenance layer owns the physical
+schema). MIN/MAX on the join form is rejected (not incrementally
+maintainable there yet)."""
+
+from __future__ import annotations
+
+import json
+import re
+
+MV_DEFINITION_KEY = "lakehouse.mv.definition"
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<target>\S+)\s+"
+    r"AS\s+SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>.+?)\s+"
+    r"GROUP\s+BY\s+(?P<grp>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_JOIN_RE = re.compile(
+    r"^(?P<fact>\S+)\s+JOIN\s+(?P<dim>\S+)\s+ON\s+"
+    r"(?P<l>[\w.`]+)\s*=\s*(?P<r>[\w.`]+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<target>\S+)\s*$",
+    re.IGNORECASE,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<target>\S+)\s*$",
+    re.IGNORECASE,
+)
+_AGG_ITEM_RE = re.compile(
+    r"^(?P<fn>COUNT|SUM|MIN|MAX)\s*\(\s*(?P<arg>\*|[\w`]+)\s*\)"
+    r"(?:\s+AS\s+(?P<alias>[\w`]+))?$",
+    re.IGNORECASE,
+)
+
+
+def _ident(s: str) -> str:
+    s = s.strip().strip("`")
+    if "." in s:
+        s = s.split(".")[-1].strip("`")
+    return s
+
+
+def parse_create_matview(statement: str):
+    """Parse a CREATE MATERIALIZED VIEW statement into its definition
+    dict, or None when the statement is not this form. Raises
+    ``ValueError`` on a malformed definition inside the form."""
+    from deltalake_datafusion_spark.sql.dispatcher import (
+        _split_top_level_commas,
+    )
+
+    m = _CREATE_RE.match(statement)
+    if not m:
+        return None
+    group_cols = [_ident(g) for g in m.group("grp").split(",")]
+    sum_cols: list[str] = []
+    minmax_cols: list[str] = []
+    saw_count = False
+    plain: list[str] = []
+    for raw in _split_top_level_commas(m.group("sel")):
+        item = raw.strip()
+        am = _AGG_ITEM_RE.match(item)
+        if am:
+            fn = am.group("fn").upper()
+            arg = _ident(am.group("arg"))
+            if fn == "COUNT":
+                if am.group("arg").strip() != "*":
+                    raise ValueError(
+                        "materialized views maintain COUNT(*) only"
+                    )
+                saw_count = True
+            elif fn == "SUM":
+                sum_cols.append(arg)
+            else:
+                if arg not in minmax_cols:
+                    minmax_cols.append(arg)
+        else:
+            plain.append(_ident(item))
+    if not saw_count:
+        raise ValueError(
+            "materialized view definitions must include COUNT(*) (the "
+            "maintained cardinality drives group deletion)"
+        )
+    extra = [c for c in plain if c not in group_cols]
+    if extra:
+        raise ValueError(
+            f"non-aggregate select columns must appear in GROUP BY: {extra}"
+        )
+    src = m.group("src").strip()
+    jm = _JOIN_RE.match(src)
+    defn: dict = {
+        "group_cols": group_cols,
+        "sum_cols": sum_cols,
+        "minmax_cols": minmax_cols,
+    }
+    if jm:
+        if minmax_cols:
+            raise ValueError(
+                "MIN/MAX are not incrementally maintainable on the join "
+                "form yet — use the single-table form"
+            )
+        defn.update(
+            kind="join",
+            fact=jm.group("fact"),
+            dim=jm.group("dim"),
+            fact_key=_ident(jm.group("l")),
+            dim_key=_ident(jm.group("r")),
+        )
+    else:
+        defn.update(kind="aggregate", base=src)
+    return m.group("target"), defn
+
+
+def execute_create(spark, target: str, defn: dict, registry) -> dict:
+    from deltalake_datafusion_spark.delta.mv import (
+        build_aggregate_mv,
+        build_minmax_mv,
+    )
+    from deltalake_datafusion_spark.delta.mv_join import build_join_mv
+    from deltalake_datafusion_spark.sql.dispatcher import _unquote_target
+
+    mv_path = _unquote_target(target, registry)
+    conf = {MV_DEFINITION_KEY: json.dumps(defn, sort_keys=True)}
+    if defn["kind"] == "join":
+        res = build_join_mv(
+            spark,
+            _unquote_target(defn["fact"], registry),
+            _unquote_target(defn["dim"], registry),
+            mv_path,
+            fact_key=defn["fact_key"],
+            dim_key=defn["dim_key"],
+            group_cols=defn["group_cols"],
+            sum_cols=defn["sum_cols"],
+            extra_conf=conf,
+        )
+    elif defn["minmax_cols"]:
+        res = build_minmax_mv(
+            spark, _unquote_target(defn["base"], registry), mv_path,
+            defn["group_cols"], defn["sum_cols"], defn["minmax_cols"],
+            extra_conf=conf,
+        )
+    else:
+        res = build_aggregate_mv(
+            spark, _unquote_target(defn["base"], registry), mv_path,
+            defn["group_cols"], defn["sum_cols"], extra_conf=conf,
+        )
+    return {"operation": "CREATE MATERIALIZED VIEW", **res}
+
+
+def execute_refresh(spark, target: str, registry) -> dict:
+    from deltalake_datafusion_spark.delta.mv import (
+        refresh_aggregate_mv,
+        refresh_minmax_mv,
+    )
+    from deltalake_datafusion_spark.delta.mv_join import refresh_join_mv
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.sql.dispatcher import _unquote_target
+
+    mv_path = _unquote_target(target, registry)
+    snap = load_snapshot(mv_path, spark=spark)
+    raw = (snap.metadata.configuration or {}).get(MV_DEFINITION_KEY)
+    if raw is None:
+        raise ValueError(
+            f"{mv_path} has no {MV_DEFINITION_KEY} property — not a "
+            "SQL-defined materialized view (CREATE MATERIALIZED VIEW "
+            "first)"
+        )
+    defn = json.loads(raw)
+    if defn["kind"] == "join":
+        res = refresh_join_mv(
+            spark,
+            _unquote_target(defn["fact"], registry),
+            _unquote_target(defn["dim"], registry),
+            mv_path,
+            fact_key=defn["fact_key"],
+            dim_key=defn["dim_key"],
+            group_cols=defn["group_cols"],
+            sum_cols=defn["sum_cols"],
+        )
+    elif defn["minmax_cols"]:
+        res = refresh_minmax_mv(
+            spark, _unquote_target(defn["base"], registry), mv_path,
+            defn["group_cols"], defn["sum_cols"], defn["minmax_cols"],
+        )
+    else:
+        res = refresh_aggregate_mv(
+            spark, _unquote_target(defn["base"], registry), mv_path,
+            defn["group_cols"], defn["sum_cols"],
+        )
+    return {"operation": "REFRESH MATERIALIZED VIEW", **res}
+
+
+def dispatch_matview(spark, statement: str, registry):
+    """The dispatcher hook: a summary DataFrame for the three MV
+    statements, or None when the statement is not one of them."""
+    created = parse_create_matview(statement)
+    if created is not None:
+        target, defn = created
+        res = execute_create(spark, target, defn, registry)
+        return spark.createDataFrame(
+            [(res["operation"], json.dumps(defn, sort_keys=True),
+              res["mode"])],
+            "operation string, definition string, mode string",
+        )
+    m = _REFRESH_RE.match(statement)
+    if m:
+        res = execute_refresh(spark, m.group("target"), registry)
+        return spark.createDataFrame(
+            [(res["operation"], res["mode"],
+              int(res.get("groups_touched", 0)))],
+            "operation string, mode string, groups_touched int",
+        )
+    m = _DROP_RE.match(statement)
+    if m:
+        import shutil
+
+        from deltalake_datafusion_spark.sql.dispatcher import (
+            _unquote_target,
+        )
+
+        mv_path = _unquote_target(m.group("target"), registry)
+        # refuse to drop a table that is not a maintained view —
+        # DROP MATERIALIZED VIEW must not delete arbitrary tables
+        from deltalake_datafusion_spark.delta.snapshot import (
+            load_snapshot,
+        )
+
+        snap = load_snapshot(mv_path, spark=spark)
+        conf = snap.metadata.configuration or {}
+        if MV_DEFINITION_KEY not in conf:
+            raise ValueError(
+                f"{mv_path} is not a SQL-defined materialized view"
+            )
+        shutil.rmtree(mv_path, ignore_errors=True)
+        return spark.createDataFrame(
+            [("DROP MATERIALIZED VIEW", mv_path)],
+            "operation string, path string",
+        )
+    return None

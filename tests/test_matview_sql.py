@@ -1,0 +1,170 @@
+"""CREATE / REFRESH / DROP MATERIALIZED VIEW SQL surface
+(sql/matview.py): grammar, definition persistence, dispatch to the
+right maintenance routine (aggregate / min-max / join), and the
+malformed-definition rejects."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.ops import delete_delta, update_delta
+from deltalake_datafusion_spark.delta.writer import write_delta
+from deltalake_datafusion_spark.sql.dispatcher import sql
+
+CDF = {"delta.enableChangeDataFeed": "true"}
+
+
+def _base(spark, path, n=40):
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+    write_delta(spark, df, path, configuration=CDF)
+
+
+def test_create_refresh_aggregate_mv_sql(spark, tmp_path):
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    out = sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+        f"SELECT g, COUNT(*) AS n, SUM(v) AS total "
+        f"FROM delta.`{b}` GROUP BY g",
+    ).collect()[0]
+    assert out.operation == "CREATE MATERIALIZED VIEW"
+    got = {r.g: (r.mv_count, r.mv_sum_v)
+           for r in read_delta(spark, m).collect()}
+    assert got[0][0] == 10
+    # change + REFRESH through SQL
+    delete_delta(spark, b, "id < 4")
+    r = sql(
+        spark, f"REFRESH MATERIALIZED VIEW delta.`{m}`"
+    ).collect()[0]
+    assert r.mode == "incremental"
+    want = {
+        r.g: (r.c, r.s)
+        for r in read_delta(spark, b).groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("v").alias("s"),
+        ).collect()
+    }
+    got = {r.g: (r.mv_count, r.mv_sum_v)
+           for r in read_delta(spark, m).collect()}
+    assert got == want
+    # idempotent refresh
+    assert sql(
+        spark, f"REFRESH MATERIALIZED VIEW delta.`{m}`"
+    ).collect()[0].mode == "noop"
+
+
+def test_create_refresh_minmax_mv_sql(spark, tmp_path):
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+        f"SELECT g, COUNT(*), SUM(v), MIN(v), MAX(v) "
+        f"FROM delta.`{b}` GROUP BY g",
+    )
+    delete_delta(spark, b, "id IN (1, 38)")  # kill a min and a max
+    sql(spark, f"REFRESH MATERIALIZED VIEW delta.`{m}`")
+    got = {r.g: (r.mv_min_v, r.mv_max_v)
+           for r in read_delta(spark, m).collect()}
+    want = {
+        r.g: (r.mn, r.mx)
+        for r in read_delta(spark, b).groupBy("g").agg(
+            F.min("v").alias("mn"), F.max("v").alias("mx")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_create_refresh_join_mv_sql(spark, tmp_path):
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    fact = spark.range(50).select(
+        F.col("id"), (F.col("id") % 8).alias("fk"),
+        (F.col("id") * 3).alias("amt"),
+    )
+    dim = spark.range(8).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("s"), (F.col("id") % 3)).alias("seg"),
+    )
+    write_delta(spark, fact, fp, configuration=CDF)
+    write_delta(spark, dim, dp, configuration=CDF)
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+        f"SELECT seg, COUNT(*), SUM(amt) "
+        f"FROM delta.`{fp}` JOIN delta.`{dp}` ON fk = dk GROUP BY seg",
+    )
+    update_delta(spark, dp, set_exprs={"seg": "'zz'"}, predicate="dk = 2")
+    delete_delta(spark, fp, "id % 11 = 3")
+    r = sql(spark, f"REFRESH MATERIALIZED VIEW delta.`{m}`").collect()[0]
+    assert r.mode == "incremental"
+    f, d = read_delta(spark, fp), read_delta(spark, dp)
+    want = {
+        r.seg: (r.c, r.s)
+        for r in f.join(d, f.fk == d.dk).groupBy("seg").agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("amt").alias("s"),
+        ).collect()
+    }
+    got = {r.seg: (r.mv_count, r.mv_sum_amt)
+           for r in read_delta(spark, m).collect()}
+    assert got == want
+
+
+def test_drop_matview_sql_refuses_plain_tables(spark, tmp_path):
+    b, m, t = (str(tmp_path / x) for x in ("b", "m", "t"))
+    _base(spark, b)
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+        f"SELECT g, COUNT(*), SUM(v) FROM delta.`{b}` GROUP BY g",
+    )
+    sql(spark, f"DROP MATERIALIZED VIEW delta.`{m}`")
+    assert not os.path.exists(m)
+    write_delta(spark, spark.range(3), t)
+    with pytest.raises(ValueError, match="not a SQL-defined"):
+        sql(spark, f"DROP MATERIALIZED VIEW delta.`{t}`")
+    assert os.path.exists(t)
+
+
+def test_matview_grammar_rejects(spark, tmp_path):
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    with pytest.raises(ValueError, match="COUNT"):
+        sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+            f"SELECT g, SUM(v) FROM delta.`{b}` GROUP BY g",
+        )
+    with pytest.raises(ValueError, match="COUNT\\(\\*\\) only"):
+        sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+            f"SELECT g, COUNT(v) FROM delta.`{b}` GROUP BY g",
+        )
+    with pytest.raises(ValueError, match="GROUP BY"):
+        sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+            f"SELECT g, extra, COUNT(*) FROM delta.`{b}` GROUP BY g",
+        )
+    with pytest.raises(ValueError, match="join form"):
+        sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+            f"SELECT g, COUNT(*), MIN(v) "
+            f"FROM delta.`{b}` JOIN delta.`{b}` ON a = b GROUP BY g",
+        )
+    # refresh of a non-view
+    t = str(tmp_path / "t")
+    write_delta(spark, spark.range(3), t)
+    with pytest.raises(ValueError, match="not a SQL-defined"):
+        sql(spark, f"REFRESH MATERIALIZED VIEW delta.`{t}`")
