@@ -876,9 +876,10 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink handler (completing the columnar-format matrix
     beside parquet/CSV/JSONL): orders exports to ORC partitioned by
     orderstatus, reads back with a partition-pruning filter AND a
-    data predicate (both must push into the ORC scan — the plan
-    guard in tests/test_plan_quality.py pins PushedFilters +
-    partition pruning), then aggregates per priority. The oracle
+    data predicate (both must reach the ORC scan — the plan guard in
+    tests/test_plan_quality.py pins the DataFilters searchArgument
+    pushdown and the PartitionFilters pruning), then aggregates per
+    priority. The oracle
     replays the filtered aggregate on the original rows — the format
     round-trip must be lossless for longs/strings/doubles."""
     import os
