@@ -86,6 +86,25 @@ def _txn_action(version: int) -> dict:
     }
 
 
+def _retry_concurrent_refresh(attempt, max_attempts: int = 3):
+    """Serialize racing refreshes of the same view: when the merge's
+    txn guard detects a concurrent refresh overlapped the frozen
+    CDF range (:class:`~delta.ops.ConcurrentRefreshError`), re-run
+    ``attempt`` — it re-reads the (now advanced) watermark and
+    computes a fresh, non-overlapping delta (usually a no-op)."""
+    from deltalake_datafusion_spark.delta.ops import (
+        ConcurrentRefreshError,
+    )
+
+    last: Exception | None = None
+    for _ in range(max(1, max_attempts)):
+        try:
+            return attempt()
+        except ConcurrentRefreshError as e:
+            last = e
+    raise last
+
+
 def build_aggregate_mv(
     spark,
     base_path: str,
@@ -129,31 +148,42 @@ def refresh_aggregate_mv(
     """Incremental refresh: apply the base's CDF since the view's
     recorded watermark as signed per-group deltas via ONE MERGE
     commit that also carries the advanced watermark (txn action).
-    No-op (and no commit) when the base has no new versions."""
+    No-op (and no commit) when the base has no new versions. Racing
+    refreshes of the same view serialize safely: the loser's guarded
+    merge detects the overlap and this retries from the advanced
+    watermark (:func:`_retry_concurrent_refresh`)."""
     from deltalake_datafusion_spark.delta.cdf import table_changes
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
 
-    mv_snap = load_snapshot(mv_path, spark=spark)
-    applied = mv_watermark(mv_snap)
-    if applied is None:
-        raise ValueError(
-            f"{mv_path} has no {MV_BASE_VERSION_KEY} property or "
-            f"{MV_TXN_APP} txn — not a maintained aggregate view "
-            "(build_aggregate_mv first)"
-        )
-    base_ver = load_snapshot(base_path, spark=spark).version
-    if base_ver <= applied:
-        return {"base_version": applied, "mode": "noop", "groups_touched": 0}
+    def attempt():
+        mv_snap = load_snapshot(mv_path, spark=spark)
+        applied = mv_watermark(mv_snap)
+        if applied is None:
+            raise ValueError(
+                f"{mv_path} has no {MV_BASE_VERSION_KEY} property or "
+                f"{MV_TXN_APP} txn — not a maintained aggregate view "
+                "(build_aggregate_mv first)"
+            )
+        base_ver = load_snapshot(base_path, spark=spark).version
+        if base_ver <= applied:
+            return {
+                "base_version": applied,
+                "mode": "noop",
+                "groups_touched": 0,
+            }
 
-    ch = table_changes(spark, base_path, applied + 1, base_ver)
-    n_groups = apply_change_deltas(
-        spark, mv_path, ch, group_cols, sum_cols, advance_to=base_ver
-    )
-    return {
-        "base_version": base_ver,
-        "mode": "incremental",
-        "groups_touched": n_groups,
-    }
+        ch = table_changes(spark, base_path, applied + 1, base_ver)
+        n_groups = apply_change_deltas(
+            spark, mv_path, ch, group_cols, sum_cols,
+            advance_to=base_ver, applied_watermark=applied,
+        )
+        return {
+            "base_version": base_ver,
+            "mode": "incremental",
+            "groups_touched": n_groups,
+        }
+
+    return _retry_concurrent_refresh(attempt)
 
 
 def apply_change_deltas(
@@ -163,6 +193,7 @@ def apply_change_deltas(
     group_cols: list[str],
     sum_cols: list[str],
     advance_to: int | None = None,
+    applied_watermark: int | None = None,
 ) -> int:
     """Reduce a change-feed DataFrame (logical columns +
     ``_change_type``) to signed per-group deltas and MERGE them into
@@ -174,7 +205,14 @@ def apply_change_deltas(
     ``lakehouse.mv`` txn watermark IN THE SAME COMMIT as the merge.
     When the deltas all cancel (zero touched groups) the watermark
     still advances — as a txn-only commit — so the CDF range is never
-    re-read forever."""
+    re-read forever.
+
+    ``applied_watermark`` (the watermark the change range was read
+    FROM) arms the concurrent-refresh guard (ADVICE r10): the merge
+    no-ops when another refresh already covered ``advance_to`` and
+    raises :class:`~delta.ops.ConcurrentRefreshError` when one
+    advanced the watermark into the middle of this range — the
+    refresh entry points retry from the new watermark."""
     from deltalake_datafusion_spark.delta.ops import merge_delta
 
     sign = F.when(
@@ -210,11 +248,20 @@ def apply_change_deltas(
     }
     deltas = deltas.localCheckpoint(eager=True)  # one CDF read, reused
     n_groups = deltas.count()
+    guards = (
+        [{"appId": MV_TXN_APP, "applied": applied_watermark,
+          "target": advance_to}]
+        if advance_to is not None
+        else None
+    )
     if n_groups == 0:
         if advance_to is not None:
-            _advance_watermark_only(spark, mv_path, advance_to)
+            _advance_watermark_only(
+                spark, mv_path, advance_to,
+                expected_applied=applied_watermark,
+            )
         return 0
-    merge_delta(
+    res = merge_delta(
         spark,
         mv_path,
         deltas,
@@ -232,13 +279,26 @@ def apply_change_deltas(
         extra_actions=(
             [_txn_action(advance_to)] if advance_to is not None else None
         ),
+        txn_guards=guards,
     )
+    if res.get("skipped") == "txn-covered":
+        return 0
     return n_groups
 
 
-def _advance_watermark_only(spark, mv_path: str, base_ver: int) -> None:
+def _advance_watermark_only(
+    spark, mv_path: str, base_ver: int,
+    expected_applied: int | None = None,
+) -> None:
     """Commit that carries ONLY the watermark txn action (the deltas
-    of the applied CDF range cancelled to nothing)."""
+    of the applied CDF range cancelled to nothing). A concurrent
+    refresh that advanced the watermark INTO the range (past
+    ``expected_applied`` but short of ``base_ver``) raises — jumping
+    over it would silently skip the sub-range it did NOT apply (whose
+    net deltas need not be zero even though the full range's were)."""
+    from deltalake_datafusion_spark.delta.ops import (
+        ConcurrentRefreshError,
+    )
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
     from deltalake_datafusion_spark.delta.writer import (
         check_writable,
@@ -247,8 +307,16 @@ def _advance_watermark_only(spark, mv_path: str, base_ver: int) -> None:
 
     snap = load_snapshot(mv_path, spark=spark)
     check_writable(snap)
-    if snap.app_transactions.get(MV_TXN_APP, -1) >= base_ver:
+    recorded = snap.app_transactions.get(MV_TXN_APP, -1)
+    if recorded >= base_ver:
         return  # a concurrent refresh already advanced past us
+    if expected_applied is not None and recorded > expected_applied:
+        raise ConcurrentRefreshError(
+            f"txn {MV_TXN_APP!r} advanced to {recorded} past the "
+            f"refresh's base watermark {expected_applied} (target "
+            f"{base_ver}) — a concurrent refresh overlapped this "
+            "range; recompute from the new watermark"
+        )
     commit_with_retries(
         spark,
         mv_path,
@@ -303,15 +371,25 @@ def streaming_refresh_aggregate_mv(
         # watermark (the guard must come from the view, not from this
         # process — that is what makes replays and fresh checkpoints
         # safe)
-        applied = mv_watermark(load_snapshot(mv_path, spark=spark))
-        fresh = batch_df.filter(F.col("_commit_version") > F.lit(applied))
-        fresh = fresh.localCheckpoint(eager=True)
-        hi = fresh.agg(F.max("_commit_version").alias("v")).collect()[0]["v"]
-        if hi is None:
-            return  # fully-replayed batch — already merged before a crash
-        apply_change_deltas(
-            spark, mv_path, fresh, group_cols, sum_cols, advance_to=int(hi)
-        )
+        def attempt():
+            applied = mv_watermark(load_snapshot(mv_path, spark=spark))
+            fresh = batch_df.filter(
+                F.col("_commit_version") > F.lit(applied)
+            )
+            fresh = fresh.localCheckpoint(eager=True)
+            hi = fresh.agg(
+                F.max("_commit_version").alias("v")
+            ).collect()[0]["v"]
+            if hi is None:
+                return  # fully-replayed batch — merged before a crash
+            apply_change_deltas(
+                spark, mv_path, fresh, group_cols, sum_cols,
+                advance_to=int(hi), applied_watermark=applied,
+            )
+
+        # a concurrent batch refresh racing this stream re-filters
+        # the batch against the advanced watermark and retries
+        _retry_concurrent_refresh(attempt)
 
     q = (
         read_change_stream(spark, base_path, starting_version)
@@ -388,6 +466,25 @@ def refresh_minmax_mv(
     minmax_cols: list[str],
     max_inline_groups: int = 10_000,
 ) -> dict:
+    """See :func:`_refresh_minmax_once`; racing refreshes serialize
+    via the merge's txn guard + retry-from-new-watermark."""
+    return _retry_concurrent_refresh(
+        lambda: _refresh_minmax_once(
+            spark, base_path, mv_path, group_cols, sum_cols,
+            minmax_cols, max_inline_groups,
+        )
+    )
+
+
+def _refresh_minmax_once(
+    spark,
+    base_path: str,
+    mv_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str],
+    max_inline_groups: int = 10_000,
+) -> dict:
     """Incremental refresh of a MIN/MAX-bearing view: ONE MERGE commit
     (watermark txn riding along) built from
 
@@ -446,7 +543,9 @@ def refresh_minmax_mv(
     )
     n_groups = deltas.count()
     if n_groups == 0:
-        _advance_watermark_only(spark, mv_path, base_ver)
+        _advance_watermark_only(
+            spark, mv_path, base_ver, expected_applied=applied
+        )
         return {
             "base_version": base_ver,
             "mode": "incremental",
@@ -529,6 +628,9 @@ def refresh_minmax_mv(
             {"condition": "s.d_count > 0", "values": insert_vals}
         ],
         extra_actions=[_txn_action(base_ver)],
+        txn_guards=[
+            {"appId": MV_TXN_APP, "applied": applied, "target": base_ver}
+        ],
     )
     return {
         "base_version": base_ver,

@@ -204,51 +204,69 @@ def refresh_join_mv(
     """Two-sided incremental refresh: apply both bases' CDF since the
     view's recorded watermarks via the three-term delta algebra and
     ONE MERGE commit carrying both advanced watermarks. No-op (no
-    commit) when neither base moved."""
+    commit) when neither base moved. Racing refreshes of the same
+    view serialize safely: the loser's guarded merge detects the
+    watermark overlap and retries from the advanced watermarks."""
+    from deltalake_datafusion_spark.delta.mv import (
+        _retry_concurrent_refresh,
+    )
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
 
-    mv_snap = load_snapshot(mv_path, spark=spark)
-    wm = join_mv_watermarks(mv_snap)
-    if wm is None:
-        raise ValueError(
-            f"{mv_path} has no {MV_FACT_TXN_APP}/{MV_DIM_TXN_APP} txns — "
-            "not a maintained join view (build_join_mv first)"
+    def attempt():
+        mv_snap = load_snapshot(mv_path, spark=spark)
+        wm = join_mv_watermarks(mv_snap)
+        if wm is None:
+            raise ValueError(
+                f"{mv_path} has no {MV_FACT_TXN_APP}/{MV_DIM_TXN_APP} "
+                "txns — not a maintained join view (build_join_mv first)"
+            )
+        f_applied, d_applied = wm
+        f_ver = load_snapshot(fact_path, spark=spark).version
+        d_ver = load_snapshot(dim_path, spark=spark).version
+        if f_ver <= f_applied and d_ver <= d_applied:
+            return {
+                "fact_version": f_applied,
+                "dim_version": d_applied,
+                "mode": "noop",
+                "groups_touched": 0,
+            }
+        deltas_rows = _join_mv_delta_rows(
+            spark,
+            fact_path,
+            dim_path,
+            fact_key=fact_key,
+            dim_key=dim_key,
+            group_cols=group_cols,
+            sum_cols=sum_cols,
+            f_range=(f_applied + 1, f_ver) if f_ver > f_applied else None,
+            d_range=(d_applied + 1, d_ver) if d_ver > d_applied else None,
+            f_ver=f_ver,
+            d_ver=d_ver,
         )
-    f_applied, d_applied = wm
-    f_ver = load_snapshot(fact_path, spark=spark).version
-    d_ver = load_snapshot(dim_path, spark=spark).version
-    if f_ver <= f_applied and d_ver <= d_applied:
+        n_groups = _merge_signed_rows(
+            spark,
+            mv_path,
+            deltas_rows,
+            group_cols,
+            sum_cols,
+            txns=[
+                _txn(MV_FACT_TXN_APP, f_ver), _txn(MV_DIM_TXN_APP, d_ver)
+            ],
+            guards=[
+                {"appId": MV_FACT_TXN_APP, "applied": f_applied,
+                 "target": f_ver},
+                {"appId": MV_DIM_TXN_APP, "applied": d_applied,
+                 "target": d_ver},
+            ],
+        )
         return {
-            "fact_version": f_applied,
-            "dim_version": d_applied,
-            "mode": "noop",
-            "groups_touched": 0,
+            "fact_version": f_ver,
+            "dim_version": d_ver,
+            "mode": "incremental",
+            "groups_touched": n_groups,
         }
-    deltas_rows = _join_mv_delta_rows(
-        spark,
-        fact_path,
-        dim_path,
-        fact_key=fact_key,
-        dim_key=dim_key,
-        group_cols=group_cols,
-        sum_cols=sum_cols,
-        f_range=(f_applied + 1, f_ver) if f_ver > f_applied else None,
-        d_range=(d_applied + 1, d_ver) if d_ver > d_applied else None,
-    )
-    n_groups = _merge_signed_rows(
-        spark,
-        mv_path,
-        deltas_rows,
-        group_cols,
-        sum_cols,
-        txns=[_txn(MV_FACT_TXN_APP, f_ver), _txn(MV_DIM_TXN_APP, d_ver)],
-    )
-    return {
-        "fact_version": f_ver,
-        "dim_version": d_ver,
-        "mode": "incremental",
-        "groups_touched": n_groups,
-    }
+
+    return _retry_concurrent_refresh(attempt)
 
 
 def _join_mv_delta_rows(
@@ -262,6 +280,8 @@ def _join_mv_delta_rows(
     sum_cols: list[str],
     f_range: tuple[int, int] | None,
     d_range: tuple[int, int] | None,
+    f_ver: int,
+    d_ver: int,
 ) -> DataFrame:
     """The signed joined-row delta set (group cols + sum cols +
     ``__sign``) for the given CDF ranges — the three-term algebra,
@@ -271,6 +291,13 @@ def _join_mv_delta_rows(
     - ``d_range is None`` (dim unchanged) → terms 2 and 3 vanish and
       the CURRENT FACT TABLE IS NEVER OPENED (the unit guard
       ``test_fact_only_refresh_never_scans_fact`` pins this).
+
+    ``f_ver``/``d_ver`` are the TARGET versions the watermarks will
+    advance to; the "current" fact/dim reads of terms 1 and 2 are
+    PINNED to them (ADVICE r10: an unpinned read would include rows
+    of a commit landing between the snapshot load and term
+    evaluation — beyond the recorded watermark — which the next
+    refresh's delta algebra would then re-apply, double-counting).
     """
     from deltalake_datafusion_spark.delta.cdf import table_changes
     from deltalake_datafusion_spark.delta.scan import read_delta
@@ -318,10 +345,10 @@ def _join_mv_delta_rows(
             table_changes(spark, fact_path, *f_range), f_cols
         ).withColumn("__fk", F.col(fact_key))
         f_signed = f_signed.localCheckpoint(eager=True)
-        # term 1: ΔF ⋈ D_new (current dim, broadcast)
-        dim_now = read_delta(spark, dim_path).select(*d_cols).withColumn(
-            "__dk", F.col(dim_key)
-        )
+        # term 1: ΔF ⋈ D_new (dim pinned AS OF d_ver, broadcast)
+        dim_now = read_delta(
+            spark, dim_path, version=d_ver
+        ).select(*d_cols).withColumn("__dk", F.col(dim_key))
         terms.append(_term(f_signed, dim_now, lambda f, d: f["__sign"]))
         if d_signed is not None:
             # term 3: − ΔF ⋈ ΔD
@@ -342,7 +369,9 @@ def _join_mv_delta_rows(
             ).collect()
         ]
         pred = _key_predicate(keys, fact_key)
-        fact_now = read_delta(spark, fact_path, predicate=pred)
+        fact_now = read_delta(
+            spark, fact_path, version=f_ver, predicate=pred
+        )
         if pred is not None:
             # re-apply as a row filter too (file skipping is per-file)
             fact_now = fact_now.filter(F.expr(pred))
@@ -371,11 +400,13 @@ def _merge_signed_rows(
     group_cols: list[str],
     sum_cols: list[str],
     txns: list[dict],
+    guards: list[dict] | None = None,
 ) -> int:
     """Reduce signed joined rows to per-group deltas and MERGE them
     into the view, the watermark txns riding the same commit; a
     cancelled-out delta set still advances the watermarks (txn-only
-    commit)."""
+    commit). ``guards`` arm the concurrent-refresh watermark check
+    (see :func:`delta.ops._check_txn_guards`)."""
     from deltalake_datafusion_spark.delta.ops import merge_delta
 
     deltas = rows.groupBy(*group_cols).agg(
@@ -391,7 +422,7 @@ def _merge_signed_rows(
     deltas = deltas.filter(changed).localCheckpoint(eager=True)
     n_groups = deltas.count()
     if n_groups == 0:
-        _advance_txns_only(spark, mv_path, txns)
+        _advance_txns_only(spark, mv_path, txns, guards=guards)
         return 0
     on = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in group_cols)
     update = {
@@ -406,7 +437,7 @@ def _merge_signed_rows(
         MV_COUNT_COL: "s.d_count",
         **{_sum_col(c): f"s.d_{c}" for c in sum_cols},
     }
-    merge_delta(
+    res = merge_delta(
         spark,
         mv_path,
         deltas,
@@ -422,11 +453,20 @@ def _merge_signed_rows(
             {"condition": "s.d_count > 0", "values": insert_vals}
         ],
         extra_actions=txns,
+        txn_guards=guards,
     )
+    if res.get("skipped") == "txn-covered":
+        return 0
     return n_groups
 
 
-def _advance_txns_only(spark, mv_path: str, txns: list[dict]) -> None:
+def _advance_txns_only(
+    spark, mv_path: str, txns: list[dict],
+    guards: list[dict] | None = None,
+) -> None:
+    from deltalake_datafusion_spark.delta.ops import (
+        ConcurrentRefreshError,
+    )
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
     from deltalake_datafusion_spark.delta.writer import (
         check_writable,
@@ -435,6 +475,19 @@ def _advance_txns_only(spark, mv_path: str, txns: list[dict]) -> None:
 
     snap = load_snapshot(mv_path, spark=spark)
     check_writable(snap)
+    # a concurrent refresh that advanced a watermark INTO this
+    # refresh's range means the cancelled-out full-range delta no
+    # longer licenses a jump over the unapplied complement
+    for g in guards or []:
+        rec = snap.app_transactions.get(g["appId"], -1)
+        if (
+            g.get("applied") is not None
+            and g["applied"] < rec < g["target"]
+        ):
+            raise ConcurrentRefreshError(
+                f"txn {g['appId']!r} advanced to {rec} inside the "
+                f"range ({g['applied']}, {g['target']}] — recompute"
+            )
     fresh = [
         t
         for t in txns
@@ -511,37 +564,56 @@ def streaming_refresh_join_mv(
     out_cols = [*group_cols, *sum_cols]
 
     def sink(batch_df, batch_id: int) -> None:
-        snap = load_snapshot(mv_path, spark=spark)
-        applied_f = snap.app_transactions.get(MV_FACT_TXN_APP, -1)
-        fresh = batch_df.filter(
-            F.col("_commit_version") > F.lit(applied_f)
-        ).localCheckpoint(eager=True)
-        hi = fresh.agg(F.max("_commit_version").alias("v")).collect()[0]["v"]
-        if hi is None:
-            return  # fully-replayed batch
-        f_signed = _signed(fresh, f_cols).withColumn(
-            "__fk", F.col(fact_key)
+        from deltalake_datafusion_spark.delta.mv import (
+            _retry_concurrent_refresh,
         )
-        dim_now = read_delta(spark, dim_path).select(*d_cols).withColumn(
-            "__dk", F.col(dim_key)
-        )
-        j = f_signed.join(
-            F.broadcast(dim_now),
-            f_signed["__fk"] == dim_now["__dk"],
-            "inner",
-        )
-        rows = j.select(
-            *[
-                (f_signed[c] if c in fact_g or c in sum_cols
-                 else dim_now[c])
-                for c in out_cols
-            ],
-            f_signed["__sign"].alias("__sign"),
-        )
-        _merge_signed_rows(
-            spark, mv_path, rows, group_cols, sum_cols,
-            txns=[_txn(MV_FACT_TXN_APP, int(hi))],
-        )
+
+        def attempt():
+            snap = load_snapshot(mv_path, spark=spark)
+            applied_f = snap.app_transactions.get(MV_FACT_TXN_APP, -1)
+            fresh = batch_df.filter(
+                F.col("_commit_version") > F.lit(applied_f)
+            ).localCheckpoint(eager=True)
+            hi = fresh.agg(
+                F.max("_commit_version").alias("v")
+            ).collect()[0]["v"]
+            if hi is None:
+                return  # fully-replayed batch
+            f_signed = _signed(fresh, f_cols).withColumn(
+                "__fk", F.col(fact_key)
+            )
+            # pin the dim snapshot for THIS batch (ADVICE r10): every
+            # row of the batch joins one consistent dim version, not
+            # whatever lands mid-evaluation
+            d_ver_now = load_snapshot(dim_path, spark=spark).version
+            dim_now = read_delta(
+                spark, dim_path, version=d_ver_now
+            ).select(*d_cols).withColumn("__dk", F.col(dim_key))
+            j = f_signed.join(
+                F.broadcast(dim_now),
+                f_signed["__fk"] == dim_now["__dk"],
+                "inner",
+            )
+            rows = j.select(
+                *[
+                    (f_signed[c] if c in fact_g or c in sum_cols
+                     else dim_now[c])
+                    for c in out_cols
+                ],
+                f_signed["__sign"].alias("__sign"),
+            )
+            _merge_signed_rows(
+                spark, mv_path, rows, group_cols, sum_cols,
+                txns=[_txn(MV_FACT_TXN_APP, int(hi))],
+                guards=[
+                    {"appId": MV_FACT_TXN_APP, "applied": applied_f,
+                     "target": int(hi)}
+                ],
+            )
+
+        # a concurrent batch refresh racing this stream re-filters
+        # the batch against the advanced watermark and retries
+        _retry_concurrent_refresh(attempt)
 
     q = (
         read_change_stream(spark, fact_path, starting_version)

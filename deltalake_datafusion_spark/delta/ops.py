@@ -107,6 +107,55 @@ def _dml_finish(spark, table_path: str, distributed: bool):
         maybe_checkpoint(spark, load_snapshot(table_path, spark=spark))
 
 
+class ConcurrentRefreshError(RuntimeError):
+    """A concurrent maintainer advanced a SetTransaction watermark
+    INTO THE MIDDLE of the CDF range a frozen delta covers: applying
+    the frozen delta would double-count the overlap, and skipping it
+    would lose the complement. The caller must recompute its delta
+    from the new watermark (the MV refresh entry points do exactly
+    that — see :func:`delta.mv.refresh_aggregate_mv`'s retry loop)."""
+
+
+class _TxnRangeCovered(Exception):
+    """Internal: every txn guard's target version is already recorded
+    on the target table — the whole range this transaction would
+    apply has been applied by a concurrent maintainer; skip as a
+    no-op instead of committing a duplicate."""
+
+
+def _check_txn_guards(snap, guards: list[dict]) -> None:
+    """Validate SetTransaction watermark guards against a (fresh)
+    snapshot — the concurrent-refresh safety check (ADVICE r10): a
+    MERGE built from a frozen CDF-range delta is only valid while the
+    watermark it was computed FROM is still the recorded one.
+
+    Each guard is ``{"appId", "applied", "target"}``: the refresh read
+    changes in ``(applied, target]``. Outcomes:
+
+    - every recorded version ≥ its target → the range is fully
+      covered by a concurrent refresh → :class:`_TxnRangeCovered`
+      (merge_delta returns a skip, nothing commits);
+    - any recorded version moved past ``applied`` but not all targets
+      are covered → partial overlap → :class:`ConcurrentRefreshError`
+      (the frozen delta is unusable; recompute);
+    - otherwise the watermarks are untouched → proceed.
+
+    ``applied=None`` skips the partial-overlap check for that guard
+    (caller doesn't know the from-watermark)."""
+    recs = [snap.app_transactions.get(g["appId"], -1) for g in guards]
+    if all(r >= g["target"] for r, g in zip(recs, guards)):
+        raise _TxnRangeCovered()
+    for r, g in zip(recs, guards):
+        if g.get("applied") is not None and r > g["applied"]:
+            raise ConcurrentRefreshError(
+                f"txn {g['appId']!r} advanced to {r} past the "
+                f"refresh's base watermark {g['applied']} while its "
+                f"delta (target {g['target']}) was being applied — "
+                "a concurrent refresh overlapped this range; "
+                "recompute from the new watermark"
+            )
+
+
 def _restart_on_conflict(attempt, max_restarts: int = 3):
     """Self-healing DML/maintenance loop (delta-spark semantics): a
     true concurrency conflict — `ConcurrentModificationError` from
@@ -1068,12 +1117,20 @@ def merge_delta(
     strategy: str = "auto",
     max_restarts: int = 3,
     extra_actions: list[dict] | None = None,
+    txn_guards: list[dict] | None = None,
 ) -> dict:
     """MERGE INTO (upsert). ``extra_actions`` (e.g. ``txn``
     SetTransaction watermarks — the delta-spark idempotent-write
     pattern) are appended to the SAME commit as the merge's
     add/remove actions, so a caller-side watermark can never lag the
-    merged data across a crash. On a true concurrency conflict — a
+    merged data across a crash. ``txn_guards``
+    (``[{"appId", "applied", "target"}, ...]``) make the merge
+    conditional on those watermarks being UNMOVED — checked against
+    the fresh snapshot of every attempt, so the conflict-restart loop
+    can never re-apply a frozen delta a concurrent refresh already
+    covered (fully covered → ``{"skipped": "txn-covered"}``; partial
+    overlap → :class:`ConcurrentRefreshError`; see
+    :func:`_check_txn_guards`). On a true concurrency conflict — a
     concurrent commit that touched this MERGE's files, advanced an
     identity high-water mark, or changed table metadata/protocol —
     the whole transaction RESTARTS from a fresh snapshot (re-scan
@@ -1122,7 +1179,10 @@ def merge_delta(
                     schema_evolution=schema_evolution,
                     strategy=strategy,
                     extra_actions=extra_actions,
+                    txn_guards=txn_guards,
                 )
+            except _TxnRangeCovered:
+                return {"skipped": "txn-covered"}
             except ConcurrentModificationError as e:
                 last = e
         raise last
@@ -1142,6 +1202,7 @@ def _merge_attempt(
     schema_evolution: bool = False,
     strategy: str = "auto",
     extra_actions: list[dict] | None = None,
+    txn_guards: list[dict] | None = None,
 ) -> dict:
     """One MERGE INTO attempt against the current snapshot,
     copy-on-write strategy:
@@ -1194,6 +1255,10 @@ def _merge_attempt(
     # JSON log parse); the by-source clause and touched-file lookups
     # need every live file either way, but never the log itself.
     snap, _planned = _dml_snapshot(spark, table_path, "true")
+    if txn_guards:
+        # every attempt (first AND conflict-restart) re-validates the
+        # watermark guards against ITS fresh snapshot (ADVICE r10)
+        _check_txn_guards(snap, txn_guards)
     all_files = _planned if _planned is not None else snap.files
     check_append_only(snap.metadata.configuration, "MERGE")
     logical = snap.schema

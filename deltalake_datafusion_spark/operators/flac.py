@@ -459,6 +459,8 @@ def flac_decode_features(media: DataFrame) -> DataFrame:
     integer sample statistics (FLAC is lossless, so these equal the
     source samples' statistics exactly). Arrow-batched
     ``mapInPandas``; out-of-subset payloads contribute no rows."""
+    import struct
+
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -471,7 +473,10 @@ def flac_decode_features(media: DataFrame) -> DataFrame:
                     s = decode_flac_pcm16(
                         bytes(p) if p is not None else None
                     )
-                except (FlacRejected, IndexError, Exception):
+                except (FlacRejected, IndexError, struct.error):
+                    # the typed skip contract the other codecs use —
+                    # genuine decoder bugs (TypeError, KeyError, …)
+                    # must surface, not silently drop rows (ADVICE r10)
                     s = None
                 if not s:
                     continue

@@ -518,3 +518,132 @@ def test_minmax_mv_delete_refresh_pushes_group_predicate(
     refresh_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
     assert preds and all(p and "g IN (2)" in p for p in preds), preds
     assert _mm_state(spark, m) == _mm_expected(spark, b)
+
+
+# ------------------------------------------------------------------ #
+# Concurrent-refresh watermark guards (ADVICE r10)                    #
+# ------------------------------------------------------------------ #
+
+
+def test_concurrent_refresh_fully_covered_skips(spark, tmp_path):
+    """A stale maintainer re-applying a CDF range a concurrent
+    refresh already fully covered must no-op, not double-count."""
+    from deltalake_datafusion_spark.delta.cdf import table_changes
+    from deltalake_datafusion_spark.delta.mv import (
+        apply_change_deltas,
+        mv_watermark,
+    )
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    extra = spark.createDataFrame(
+        [(200, 1, 17), (201, 2, 19)], "id long, g long, v long"
+    )
+    write_delta(spark, extra, b, mode="append", configuration=CDF)
+    applied = mv_watermark(load_snapshot(m, spark=spark))
+    base_ver = load_snapshot(b, spark=spark).version
+    # the stale maintainer freezes its delta source…
+    ch = table_changes(spark, b, applied + 1, base_ver).localCheckpoint(
+        eager=True
+    )
+    # …while a concurrent refresh wins the race
+    refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    state = _mv_state(spark, m)
+    assert state == _expected(spark, b)
+    n = apply_change_deltas(
+        spark, m, ch, ["g"], ["v"],
+        advance_to=base_ver, applied_watermark=applied,
+    )
+    assert n == 0
+    assert _mv_state(spark, m) == state  # nothing double-applied
+
+
+def test_concurrent_partial_overlap_raises_then_entrypoint_heals(
+    spark, tmp_path
+):
+    """A concurrent refresh advancing the watermark INTO a stale
+    delta's range makes the frozen delta unusable: the guarded merge
+    raises, and the public refresh recomputes from the new watermark."""
+    from deltalake_datafusion_spark.delta.cdf import table_changes
+    from deltalake_datafusion_spark.delta.mv import (
+        apply_change_deltas,
+        mv_watermark,
+    )
+    from deltalake_datafusion_spark.delta.ops import (
+        ConcurrentRefreshError,
+    )
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    applied = mv_watermark(load_snapshot(m, spark=spark))
+    e1 = spark.createDataFrame([(300, 1, 23)], "id long, g long, v long")
+    write_delta(spark, e1, b, mode="append", configuration=CDF)
+    v1 = load_snapshot(b, spark=spark).version
+    e2 = spark.createDataFrame([(301, 2, 29)], "id long, g long, v long")
+    write_delta(spark, e2, b, mode="append", configuration=CDF)
+    v2 = load_snapshot(b, spark=spark).version
+    # stale maintainer freezes the FULL range (applied, v2]
+    ch_full = table_changes(spark, b, applied + 1, v2).localCheckpoint(
+        eager=True
+    )
+    # concurrent refresh applies only the sub-range (applied, v1]
+    apply_change_deltas(
+        spark, m, table_changes(spark, b, applied + 1, v1),
+        ["g"], ["v"], advance_to=v1, applied_watermark=applied,
+    )
+    with pytest.raises(ConcurrentRefreshError):
+        apply_change_deltas(
+            spark, m, ch_full, ["g"], ["v"],
+            advance_to=v2, applied_watermark=applied,
+        )
+    # the entry point retries from the advanced watermark
+    res = refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    assert res["mode"] == "incremental"
+    assert _mv_state(spark, m) == _expected(spark, b)
+
+
+def test_cancelling_range_partial_overlap_cannot_jump_watermark(
+    spark, tmp_path
+):
+    """Net-zero FULL-range deltas do not license jumping the
+    watermark over a concurrent refresh that applied only a NON-zero
+    sub-range (the unapplied complement's net is then non-zero)."""
+    from deltalake_datafusion_spark.delta.cdf import table_changes
+    from deltalake_datafusion_spark.delta.mv import (
+        apply_change_deltas,
+        mv_watermark,
+    )
+    from deltalake_datafusion_spark.delta.ops import (
+        ConcurrentRefreshError,
+    )
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    applied = mv_watermark(load_snapshot(m, spark=spark))
+    # insert then delete the same row: full range nets to zero
+    e1 = spark.createDataFrame([(400, 1, 31)], "id long, g long, v long")
+    write_delta(spark, e1, b, mode="append", configuration=CDF)
+    v1 = load_snapshot(b, spark=spark).version
+    delete_delta(spark, b, "id = 400")
+    v2 = load_snapshot(b, spark=spark).version
+    ch_full = table_changes(spark, b, applied + 1, v2).localCheckpoint(
+        eager=True
+    )
+    # concurrent refresh applied the insert half only
+    apply_change_deltas(
+        spark, m, table_changes(spark, b, applied + 1, v1),
+        ["g"], ["v"], advance_to=v1, applied_watermark=applied,
+    )
+    with pytest.raises(ConcurrentRefreshError):
+        apply_change_deltas(
+            spark, m, ch_full, ["g"], ["v"],
+            advance_to=v2, applied_watermark=applied,
+        )
+    refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    assert _mv_state(spark, m) == _expected(spark, b)

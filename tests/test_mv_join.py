@@ -383,3 +383,154 @@ def test_streaming_join_mv_fresh_checkpoint_no_double_apply(
         starting_version=1, **KW
     )
     assert _mv_state(spark, m) == _expected(spark, fp, dp)
+
+
+# ------------------------------------------------------------------ #
+# Version pinning + concurrent-refresh guards (ADVICE r10)            #
+# ------------------------------------------------------------------ #
+
+
+def test_term_reads_pinned_to_target_versions(spark, tmp_path):
+    """The 'current' fact/dim reads of terms 1 and 2 are pinned to
+    the versions the watermarks will record — a commit landing after
+    the snapshot load must NOT leak into the delta."""
+    from deltalake_datafusion_spark.delta.mv_join import (
+        _join_mv_delta_rows,
+    )
+
+    fp, dp, mp = (
+        str(tmp_path / "f"), str(tmp_path / "d"), str(tmp_path / "m")
+    )
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, mp, **KW)
+    f0 = load_snapshot(fp, spark=spark).version
+    d0 = load_snapshot(dp, spark=spark).version
+
+    # --- term 2 (F_new ⋈ ΔD): dim update at d1, then a RACING fact
+    # append AFTER the refresh captured f_ver=f0
+    update_delta(spark, dp, set_exprs={"seg": "'s9'"}, predicate="dk = 1")
+    d1 = load_snapshot(dp, spark=spark).version
+    race = spark.createDataFrame([(900, 1, 1000)], "id long, fk long, amt long")
+    write_delta(spark, race, fp, mode="append", configuration=CDF)
+
+    rows = _join_mv_delta_rows(
+        spark, fp, dp, **KW,
+        f_range=None, d_range=(d0 + 1, d1), f_ver=f0, d_ver=d1,
+    )
+    sums = {
+        r.seg: r.s
+        for r in rows.groupBy("seg")
+        .agg(F.sum(F.col("amt") * F.col("__sign")).alias("s"))
+        .collect()
+    }
+    # fact rows with fk=1 AS OF f0: ids 1,11,21,31,41,51 → amts 6+56+…
+    expected_moved = sum(i * 5 + 1 for i in (1, 11, 21, 31, 41, 51))
+    assert sums.get("s9") == expected_moved  # raced +1000 row excluded
+    assert sums.get("s1") == -expected_moved
+
+    # --- term 1 (ΔF ⋈ D_new): fact append at f2, then a RACING dim
+    # update AFTER the refresh captured d_ver=d1
+    add = spark.createDataFrame([(901, 2, 77)], "id long, fk long, amt long")
+    write_delta(spark, add, fp, mode="append", configuration=CDF)
+    f2 = load_snapshot(fp, spark=spark).version
+    update_delta(spark, dp, set_exprs={"seg": "'s8'"}, predicate="dk = 2")
+
+    rows = _join_mv_delta_rows(
+        spark, fp, dp, **KW,
+        f_range=(f2, f2), d_range=None, f_ver=f2, d_ver=d1,
+    )
+    got = {(r["seg"], r["amt"], r["__sign"]) for r in rows.collect()}
+    # dim AS OF d1 still maps dk=2 → 's2', not the raced 's8'
+    assert got == {("s2", 77, 1)}
+
+
+def test_join_refresh_concurrent_fully_covered_skips(spark, tmp_path):
+    """A stale maintainer merging a frozen signed-row delta after a
+    concurrent refresh covered both ranges must no-op."""
+    from deltalake_datafusion_spark.delta.mv_join import (
+        _join_mv_delta_rows,
+        _merge_signed_rows,
+        _txn,
+    )
+
+    fp, dp, mp = (
+        str(tmp_path / "f"), str(tmp_path / "d"), str(tmp_path / "m")
+    )
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, mp, **KW)
+    f0, d0 = join_mv_watermarks(load_snapshot(mp, spark=spark))
+    add = spark.createDataFrame([(910, 3, 55)], "id long, fk long, amt long")
+    write_delta(spark, add, fp, mode="append", configuration=CDF)
+    f1 = load_snapshot(fp, spark=spark).version
+    # stale maintainer computes + freezes its rows…
+    rows = _join_mv_delta_rows(
+        spark, fp, dp, **KW,
+        f_range=(f0 + 1, f1), d_range=None, f_ver=f1, d_ver=d0,
+    ).localCheckpoint(eager=True)
+    # …concurrent refresh wins
+    refresh_join_mv(spark, fp, dp, mp, **KW)
+    state = _mv_state(spark, mp)
+    assert state == _expected(spark, fp, dp)
+    n = _merge_signed_rows(
+        spark, mp, rows, KW["group_cols"], KW["sum_cols"],
+        txns=[_txn(MV_FACT_TXN_APP, f1), _txn(MV_DIM_TXN_APP, d0)],
+        guards=[
+            {"appId": MV_FACT_TXN_APP, "applied": f0, "target": f1},
+            {"appId": MV_DIM_TXN_APP, "applied": d0, "target": d0},
+        ],
+    )
+    assert n == 0
+    assert _mv_state(spark, mp) == state  # nothing double-applied
+
+
+def test_join_refresh_concurrent_partial_overlap_raises(spark, tmp_path):
+    """A concurrent refresh that advanced the fact watermark INTO a
+    stale delta's range forces a recompute (raise), never a silent
+    double-apply."""
+    from deltalake_datafusion_spark.delta.mv_join import (
+        _join_mv_delta_rows,
+        _merge_signed_rows,
+        _txn,
+    )
+    from deltalake_datafusion_spark.delta.ops import (
+        ConcurrentRefreshError,
+    )
+
+    fp, dp, mp = (
+        str(tmp_path / "f"), str(tmp_path / "d"), str(tmp_path / "m")
+    )
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, mp, **KW)
+    f0, d0 = join_mv_watermarks(load_snapshot(mp, spark=spark))
+    a1 = spark.createDataFrame([(920, 4, 41)], "id long, fk long, amt long")
+    write_delta(spark, a1, fp, mode="append", configuration=CDF)
+    f1 = load_snapshot(fp, spark=spark).version
+    a2 = spark.createDataFrame([(921, 5, 43)], "id long, fk long, amt long")
+    write_delta(spark, a2, fp, mode="append", configuration=CDF)
+    f2 = load_snapshot(fp, spark=spark).version
+    # stale maintainer freezes the FULL fact range (f0, f2]
+    rows = _join_mv_delta_rows(
+        spark, fp, dp, **KW,
+        f_range=(f0 + 1, f2), d_range=None, f_ver=f2, d_ver=d0,
+    ).localCheckpoint(eager=True)
+    # concurrent refresh applies only (f0, f1]
+    sub = _join_mv_delta_rows(
+        spark, fp, dp, **KW,
+        f_range=(f0 + 1, f1), d_range=None, f_ver=f1, d_ver=d0,
+    )
+    _merge_signed_rows(
+        spark, mp, sub, KW["group_cols"], KW["sum_cols"],
+        txns=[_txn(MV_FACT_TXN_APP, f1), _txn(MV_DIM_TXN_APP, d0)],
+    )
+    with pytest.raises(ConcurrentRefreshError):
+        _merge_signed_rows(
+            spark, mp, rows, KW["group_cols"], KW["sum_cols"],
+            txns=[_txn(MV_FACT_TXN_APP, f2), _txn(MV_DIM_TXN_APP, d0)],
+            guards=[
+                {"appId": MV_FACT_TXN_APP, "applied": f0, "target": f2},
+                {"appId": MV_DIM_TXN_APP, "applied": d0, "target": d0},
+            ],
+        )
+    # the public entry point reconciles from the advanced watermark
+    refresh_join_mv(spark, fp, dp, mp, **KW)
+    assert _mv_state(spark, mp) == _expected(spark, fp, dp)
