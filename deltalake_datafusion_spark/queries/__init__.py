@@ -74,6 +74,7 @@ def all_query_specs() -> list[QuerySpec]:
         pipeline,
         relational,
         round10,
+        round11,
         timeseries,
         tpch_adapted,
         training,
@@ -97,4 +98,5 @@ def all_query_specs() -> list[QuerySpec]:
         + mining.specs()
         + advanced.specs()
         + round10.specs()
+        + round11.specs()
     )

@@ -1,0 +1,95 @@
+"""Round-11 query surface: MV-aware transparent query rewrite and the
+other items from the round-10 verdict queue. Registered AFTER the
+pinned 50-entry driver prefix (discipline: the driver's correctness
+window is the registry prefix; new names append)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.queries import QuerySpec, load_tables
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec(
+            "sql_matview_rewrite",
+            sql_matview_rewrite,
+            _MV_REWRITE_SQL,
+        ),
+    ]
+
+
+# ---------------------------------------------------------------- #
+# sql_matview_rewrite                                               #
+# ---------------------------------------------------------------- #
+
+
+def sql_matview_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent MV rewrite end-to-end (``sql/mv_rewrite.py``):
+    orders → CDF Delta base → ``CREATE MATERIALIZED VIEW`` grouped by
+    (priority, status) → base DELETE + ``REFRESH`` → a user's
+    DIMENSION-SUBSUMPTION aggregate (``GROUP BY g`` with a WHERE on
+    the other view dimension) is answered FROM THE VIEW: the function
+    asserts the executed scan reads only view files (the base table
+    never appears in the plan — the 100-TB point of the rewrite),
+    while the oracle recomputes the answer from the raw rows, so a
+    wrong rewrite derivation hash-mismatches."""
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    base = _fresh_dir("mvrw_base", sf_dir)
+    mv = _fresh_dir("mvrw_view", sf_dir)
+    rows = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderstatus").alias("st"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    write_delta(
+        spark, rows, base,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{mv}` AS "
+        f"SELECT g, st, COUNT(*) AS n, SUM(cents) AS total "
+        f"FROM delta.`{base}` GROUP BY g, st",
+    )
+    # the base moves; the view is stale until REFRESH
+    delete_delta(spark, base, "id % 7 = 3")
+    sql(spark, f"REFRESH MATERIALIZED VIEW delta.`{mv}`")
+    out = sql(
+        spark,
+        f"SELECT g, COUNT(*) AS n, SUM(cents) AS sum_cents "
+        f"FROM delta.`{base}` WHERE st = 'O' GROUP BY g ORDER BY g",
+    )
+    files = out.inputFiles()
+    if not files or any("mvrw_view" not in f for f in files):
+        raise AssertionError(
+            f"MV rewrite did not fire — plan reads {files[:3]}"
+        )
+    return out.select(
+        "g",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+    )
+
+
+_MV_REWRITE_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS id, o_orderpriority AS g, o_orderstatus AS st,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+final AS (SELECT * FROM base WHERE NOT (id % 7 = 3))
+SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM final WHERE st = 'O' GROUP BY g ORDER BY g
+"""

@@ -1229,6 +1229,15 @@ def _dispatch_one(spark, statement: str, registry) -> DataFrame:
                 spark, _unquote_target(target, registry), key
             )
 
+    # MV-aware rewrite: a GROUP BY aggregate provably answerable from
+    # a registered, fresh maintained view reads ONLY the view — the
+    # base table never appears in the plan (sql/mv_rewrite.py).
+    from deltalake_datafusion_spark.sql.mv_rewrite import try_rewrite
+
+    rewritten = try_rewrite(spark, statement)
+    if rewritten is not None:
+        return rewritten
+
     # Table functions: substitute temp views, then run through Catalyst.
     return spark.sql(expand_table_functions(spark, statement))
 

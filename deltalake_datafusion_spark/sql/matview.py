@@ -38,23 +38,28 @@ import re
 
 MV_DEFINITION_KEY = "lakehouse.mv.definition"
 
+# a table reference: `delta.`/path with spaces``, a bare backquoted
+# path, or an unquoted token — backquoted forms first so paths with
+# spaces match this dialect instead of falling through (ADVICE r10)
+_TBL = r"(?:[\w.]+\.`[^`]+`|`[^`]+`|\S+)"
+
 _CREATE_RE = re.compile(
-    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<target>\S+)\s+"
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<target>" + _TBL + r")\s+"
     r"AS\s+SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>.+?)\s+"
     r"GROUP\s+BY\s+(?P<grp>.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _JOIN_RE = re.compile(
-    r"^(?P<fact>\S+)\s+JOIN\s+(?P<dim>\S+)\s+ON\s+"
+    r"^(?P<fact>" + _TBL + r")\s+JOIN\s+(?P<dim>" + _TBL + r")\s+ON\s+"
     r"(?P<l>[\w.`]+)\s*=\s*(?P<r>[\w.`]+)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _REFRESH_RE = re.compile(
-    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<target>\S+)\s*$",
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<target>" + _TBL + r")\s*$",
     re.IGNORECASE,
 )
 _DROP_RE = re.compile(
-    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<target>\S+)\s*$",
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<target>" + _TBL + r")\s*$",
     re.IGNORECASE,
 )
 _AGG_ITEM_RE = re.compile(
@@ -174,6 +179,16 @@ def execute_create(spark, target: str, defn: dict, registry) -> dict:
             spark, _unquote_target(defn["base"], registry), mv_path,
             defn["group_cols"], defn["sum_cols"], extra_conf=conf,
         )
+    # register for transparent rewrite with RESOLVED paths
+    from deltalake_datafusion_spark.sql.mv_rewrite import register_matview
+
+    resolved = dict(defn)
+    if defn["kind"] == "join":
+        resolved["fact"] = _unquote_target(defn["fact"], registry)
+        resolved["dim"] = _unquote_target(defn["dim"], registry)
+    else:
+        resolved["base"] = _unquote_target(defn["base"], registry)
+    register_matview(mv_path, resolved)
     return {"operation": "CREATE MATERIALIZED VIEW", **res}
 
 
@@ -261,6 +276,11 @@ def dispatch_matview(spark, statement: str, registry):
             raise ValueError(
                 f"{mv_path} is not a SQL-defined materialized view"
             )
+        from deltalake_datafusion_spark.sql.mv_rewrite import (
+            unregister_matview,
+        )
+
+        unregister_matview(mv_path)
         shutil.rmtree(mv_path, ignore_errors=True)
         return spark.createDataFrame(
             [("DROP MATERIALIZED VIEW", mv_path)],

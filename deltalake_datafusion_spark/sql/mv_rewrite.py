@@ -1,0 +1,361 @@
+"""MV-aware transparent query rewrite — the user-facing half of the
+materialized-view tier (VERDICT r10 "Next round" #1).
+
+The maintenance layer (:mod:`delta.mv` / :mod:`delta.mv_join`) keeps
+``GROUP BY`` aggregate views exact under base-table change feeds; this
+module makes a user's ordinary aggregate query READ the view instead
+of scanning the base table — the reason materialized views exist at
+100 TB: a fact-table scan becomes an O(#groups) view read.
+
+Rewrite cases (classic aggregate-MV matching, e.g. Goldstein &
+Larson, SIGMOD'01 "Optimizing queries using materialized views"):
+
+- **exact match** — query groups == MV groups: project the view's
+  maintained columns (``COUNT(*)`` → ``mv_count``, ``SUM(x)`` →
+  ``mv_sum_x``, ``MIN/MAX(y)`` → ``mv_min_y``/``mv_max_y``,
+  ``AVG(x)`` → ``mv_sum_x / mv_count``);
+- **dimension subsumption** — query groups ⊂ MV groups: re-aggregate
+  the view (``COUNT(*)`` → ``SUM(mv_count)``, ``SUM(x)`` →
+  ``SUM(mv_sum_x)``, ``MIN(y)`` → ``MIN(mv_min_y)``, ``AVG(x)`` →
+  ``SUM(mv_sum_x)/SUM(mv_count)``) — valid because count/sum are
+  abelian and min/max are semilattice reductions;
+- **predicate subsumption** — a WHERE clause whose columns are all MV
+  group columns filters the view's rows before (re-)aggregation
+  (the predicate commutes with grouping on those columns);
+- the **join form** matches a star MV on (fact, dim, keys) with the
+  same group/aggregate derivations (count/sum only — the maintained
+  set).
+
+FRESHNESS POLICY: by default the rewrite fires only when the view's
+committed watermark(s) equal the base table(s)' current versions —
+the answer is then bit-identical to the base scan. The session conf
+``lakehouse.mv.rewrite.maxStalenessVersions`` (default 0) relaxes
+this to "at most N base commits behind" for dashboards that prefer
+speed over freshness; ``lakehouse.mv.rewrite.enabled=false`` turns
+the rewrite off. A query the rewriter cannot prove equivalent falls
+through to the ordinary base-table plan — never a wrong answer, only
+a slower one.
+
+Schema parity: the rewrite only fires when every aggregate item
+carries an explicit alias, so the rewritten DataFrame's schema is
+identical to what Catalyst would produce for the original text (an
+unaliased ``COUNT(*)`` would be named ``count(1)`` by Spark — not
+worth imitating; the fall-through handles it).
+
+Discovery: views created through ``CREATE MATERIALIZED VIEW``
+register themselves for the session; :func:`discover_matview`
+registers a pre-existing view from its persisted
+``lakehouse.mv.definition`` table property.
+
+Reference provenance: the reference's extension planner
+(``crates/datafusion/src/planner.rs:20-84``) rewrites statements into
+custom plans; this applies the same intercept-then-delegate pattern
+to aggregate rewriting.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.sql.matview import _TBL, MV_DEFINITION_KEY
+
+REWRITE_ENABLED_KEY = "lakehouse.mv.rewrite.enabled"
+MAX_STALENESS_KEY = "lakehouse.mv.rewrite.maxStalenessVersions"
+
+# mv_path → definition dict with RESOLVED filesystem paths
+_REGISTRY: dict[str, dict] = {}
+
+_QUERY_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<grp>[\w`,\s.]+?)"
+    r"(?:\s+ORDER\s+BY\s+(?P<ord>[\w`,\s]+?(?:\s+(?:ASC|DESC))?"
+    r"(?:\s*,\s*[\w`]+(?:\s+(?:ASC|DESC))?)*))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_JOIN_SRC_RE = re.compile(
+    r"^(?P<fact>" + _TBL + r")\s+JOIN\s+(?P<dim>" + _TBL + r")\s+ON\s+"
+    r"(?P<l>[\w.`]+)\s*=\s*(?P<r>[\w.`]+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AGG_RE = re.compile(
+    r"^(?P<fn>COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<arg>\*|[\w`]+)\s*\)"
+    r"(?:\s+AS\s+(?P<alias>[\w`]+))?$",
+    re.IGNORECASE,
+)
+# words that may appear in a WHERE clause without being columns
+_PRED_KEYWORDS = {
+    "and", "or", "not", "in", "is", "null", "between", "like", "true",
+    "false",
+}
+
+
+def _ident(s: str) -> str:
+    s = s.strip().strip("`")
+    if "." in s:
+        s = s.split(".")[-1].strip("`")
+    return s
+
+
+def register_matview(mv_path: str, defn: dict) -> None:
+    """Register a maintained view (resolved paths in ``defn``) for
+    transparent rewrite in this session."""
+    _REGISTRY[mv_path] = defn
+
+
+def unregister_matview(mv_path: str) -> None:
+    _REGISTRY.pop(mv_path, None)
+
+
+def registered_matviews() -> dict[str, dict]:
+    return dict(_REGISTRY)
+
+
+def discover_matview(spark, mv_path: str) -> dict:
+    """Register a pre-existing maintained view from its persisted
+    ``lakehouse.mv.definition`` property (table refs are resolved the
+    same way the DDL resolves them)."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.sql.dispatcher import _unquote_target
+
+    snap = load_snapshot(mv_path, spark=spark)
+    raw = (snap.metadata.configuration or {}).get(MV_DEFINITION_KEY)
+    if raw is None:
+        raise ValueError(
+            f"{mv_path} has no {MV_DEFINITION_KEY} property — not a "
+            "SQL-defined materialized view"
+        )
+    defn = json.loads(raw)
+    if defn["kind"] == "join":
+        defn["fact"] = _unquote_target(defn["fact"])
+        defn["dim"] = _unquote_target(defn["dim"])
+    else:
+        defn["base"] = _unquote_target(defn["base"])
+    register_matview(mv_path, defn)
+    return defn
+
+
+def _parse_select_items(sel: str):
+    """→ list of ("group", col, alias) / (fn, arg, alias) items, or
+    None when an item is outside the rewritable grammar or an
+    aggregate lacks an alias (schema parity rule)."""
+    from deltalake_datafusion_spark.sql.dispatcher import (
+        _split_top_level_commas,
+    )
+
+    items = []
+    for raw in _split_top_level_commas(sel):
+        item = raw.strip()
+        am = _AGG_RE.match(item)
+        if am:
+            fn = am.group("fn").lower()
+            arg = am.group("arg").strip()
+            alias = am.group("alias")
+            if alias is None:
+                return None  # unaliased aggregate → fall through
+            if fn == "count":
+                if arg != "*":
+                    return None  # only COUNT(*) is maintained
+                items.append(("count", None, _ident(alias)))
+            else:
+                items.append((fn, _ident(arg), _ident(alias)))
+        elif re.fullmatch(r"[\w`.]+", item):
+            items.append(("group", _ident(item), _ident(item)))
+        else:
+            return None
+    return items
+
+
+def _pred_columns(pred: str) -> set[str]:
+    """Conservative column-identifier extraction from a WHERE clause:
+    every bare word that is not a keyword/number/string literal."""
+    no_strings = re.sub(r"'(?:[^']|'')*'", " ", pred)
+    cols = set()
+    for w in re.findall(r"`([^`]+)`|\b([A-Za-z_]\w*)\b", no_strings):
+        name = w[0] or w[1]
+        if name.lower() in _PRED_KEYWORDS:
+            continue
+        cols.add(name)
+    return cols
+
+
+def _conf_bool(spark, key: str, default: str) -> bool:
+    return str(spark.conf.get(key, default)).lower() == "true"
+
+
+def _conf_int(spark, key: str, default: str) -> int:
+    return int(spark.conf.get(key, default))
+
+
+def _fresh_enough(spark, base_path: str, watermark: int) -> bool:
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    lag = load_snapshot(base_path, spark=spark).version - watermark
+    return lag <= _conf_int(spark, MAX_STALENESS_KEY, "0")
+
+
+def _derive(items, defn, exact: bool):
+    """Column expressions deriving each select item from the view's
+    maintained columns, or None when something isn't derivable."""
+    from deltalake_datafusion_spark.delta.mv import (
+        MV_COUNT_COL,
+        _max_col,
+        _min_col,
+        _sum_col,
+    )
+
+    sum_cols = set(defn["sum_cols"])
+    mm_cols = set(defn.get("minmax_cols") or [])
+    group_cols = set(defn["group_cols"])
+    exprs, aggs = [], []
+    for kind, arg, alias in items:
+        if kind == "group":
+            if arg not in group_cols:
+                return None
+            exprs.append(F.col(arg).alias(alias))
+            continue
+        if kind == "count":
+            src = F.col(MV_COUNT_COL)
+            agg = F.sum(MV_COUNT_COL)
+        elif kind == "sum":
+            if arg not in sum_cols:
+                return None
+            src = F.col(_sum_col(arg))
+            agg = F.sum(_sum_col(arg))
+        elif kind == "avg":
+            if arg not in sum_cols:
+                return None
+            src = F.col(_sum_col(arg)) / F.col(MV_COUNT_COL)
+            agg = F.sum(_sum_col(arg)) / F.sum(MV_COUNT_COL)
+        elif kind in ("min", "max"):
+            if arg not in mm_cols:
+                return None
+            col = _min_col(arg) if kind == "min" else _max_col(arg)
+            src = F.col(col)
+            agg = F.min(col) if kind == "min" else F.max(col)
+        else:  # pragma: no cover — grammar can't produce it
+            return None
+        exprs.append((src if exact else agg).alias(alias))
+    return exprs
+
+
+def _apply_order(df: DataFrame, items, ord_clause: str | None):
+    if not ord_clause:
+        return df
+    out_names = {alias for _, _, alias in items}
+    cols = []
+    for part in ord_clause.split(","):
+        toks = part.strip().split()
+        if not toks:
+            return None
+        name = _ident(toks[0])
+        if name not in out_names:
+            return None  # ORDER BY over non-output column → fall through
+        desc = len(toks) > 1 and toks[1].upper() == "DESC"
+        if len(toks) > 2 or (
+            len(toks) == 2 and toks[1].upper() not in ("ASC", "DESC")
+        ):
+            return None
+        cols.append(F.col(name).desc() if desc else F.col(name).asc())
+    return df.orderBy(*cols)
+
+
+def try_rewrite(spark, statement: str) -> DataFrame | None:
+    """Rewrite a matching GROUP BY aggregate to read a registered,
+    fresh-enough materialized view; None → caller falls through to
+    the ordinary plan. Never returns a plan that scans the base."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.sql.dispatcher import _unquote_target
+
+    if not _REGISTRY:
+        return None
+    if not _conf_bool(spark, REWRITE_ENABLED_KEY, "true"):
+        return None
+    m = _QUERY_RE.match(statement)
+    if not m:
+        return None
+    items = _parse_select_items(m.group("sel"))
+    if items is None:
+        return None
+    q_groups = [a for k, a, _ in items if k == "group"]
+    grp_list = [_ident(g) for g in m.group("grp").split(",")]
+    if sorted(q_groups) != sorted(grp_list):
+        return None  # non-trivial GROUP BY (exprs / hidden cols)
+    pred = m.group("pred")
+    pred_cols = _pred_columns(pred) if pred else set()
+
+    src = m.group("src").strip()
+    jm = _JOIN_SRC_RE.match(src)
+    for mv_path, defn in _REGISTRY.items():
+        if jm is not None:
+            if defn["kind"] != "join":
+                continue
+            fact = _unquote_target(jm.group("fact"))
+            dim = _unquote_target(jm.group("dim"))
+            keys = {_ident(jm.group("l")), _ident(jm.group("r"))}
+            if (
+                fact != defn["fact"]
+                or dim != defn["dim"]
+                or keys != {defn["fact_key"], defn["dim_key"]}
+            ):
+                continue
+        else:
+            if defn["kind"] == "join":
+                continue
+            if _unquote_target(src) != defn["base"]:
+                continue
+        mv_groups = set(defn["group_cols"])
+        if not set(grp_list) <= mv_groups:
+            continue
+        if pred_cols and not pred_cols <= mv_groups:
+            continue  # predicate touches non-group columns
+        exact = set(grp_list) == mv_groups
+        exprs = _derive(items, defn, exact)
+        if exprs is None:
+            continue
+        if not _mv_is_fresh(spark, mv_path, defn):
+            continue
+        df = read_delta(spark, mv_path)
+        if pred:
+            df = df.filter(F.expr(pred))
+        if exact:
+            out = df.select(*exprs)
+        else:
+            agg_exprs = [
+                e for (k, _, _), e in zip(items, exprs) if k != "group"
+            ]
+            out = df.groupBy(*grp_list).agg(*agg_exprs).select(
+                *[F.col(a) for _, _, a in items]
+            )
+        out = _apply_order(out, items, m.group("ord"))
+        if out is None:
+            return None
+        return out
+    return None
+
+
+def _mv_is_fresh(spark, mv_path: str, defn: dict) -> bool:
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    mv_snap = load_snapshot(mv_path, spark=spark)
+    if defn["kind"] == "join":
+        from deltalake_datafusion_spark.delta.mv_join import (
+            join_mv_watermarks,
+        )
+
+        wm = join_mv_watermarks(mv_snap)
+        if wm is None:
+            return False
+        return _fresh_enough(spark, defn["fact"], wm[0]) and _fresh_enough(
+            spark, defn["dim"], wm[1]
+        )
+    from deltalake_datafusion_spark.delta.mv import mv_watermark
+
+    wm = mv_watermark(mv_snap)
+    if wm is None:
+        return False
+    return _fresh_enough(spark, defn["base"], wm)

@@ -168,3 +168,54 @@ def test_matview_grammar_rejects(spark, tmp_path):
     write_delta(spark, spark.range(3), t)
     with pytest.raises(ValueError, match="not a SQL-defined"):
         sql(spark, f"REFRESH MATERIALIZED VIEW delta.`{t}`")
+
+
+def test_backquoted_targets_with_spaces(spark, tmp_path):
+    """Backquoted table paths containing spaces must match the MV
+    dialect (ADVICE r10: `\\S+` silently fell through to the generic
+    dispatcher error)."""
+    from deltalake_datafusion_spark.sql.matview import (
+        parse_create_matview,
+    )
+
+    b = str(tmp_path / "my data" / "base")
+    m = str(tmp_path / "my data" / "mv")
+    # parse level: single-table and join forms
+    tgt, defn = parse_create_matview(
+        f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+        f"SELECT g, COUNT(*), SUM(v) FROM delta.`{b}` GROUP BY g"
+    )
+    assert tgt == f"delta.`{m}`"
+    assert defn["base"] == f"delta.`{b}`"
+    tgt, defn = parse_create_matview(
+        f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+        f"SELECT seg, COUNT(*), SUM(amt) "
+        f"FROM delta.`{b} fact` JOIN delta.`{b} dim` ON fk = dk "
+        f"GROUP BY seg"
+    )
+    assert defn["kind"] == "join"
+    assert defn["fact"] == f"delta.`{b} fact`"
+    assert defn["dim"] == f"delta.`{b} dim`"
+    # end-to-end lifecycle on a spacey path
+    _base(spark, b)
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+        f"SELECT g, COUNT(*), SUM(v) FROM delta.`{b}` GROUP BY g",
+    )
+    delete_delta(spark, b, "id < 2")
+    assert sql(
+        spark, f"REFRESH MATERIALIZED VIEW delta.`{m}`"
+    ).collect()[0].mode == "incremental"
+    want = {
+        r.g: (r.c, r.s)
+        for r in read_delta(spark, b).groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("v").alias("s"),
+        ).collect()
+    }
+    got = {r.g: (r.mv_count, r.mv_sum_v)
+           for r in read_delta(spark, m).collect()}
+    assert got == want
+    sql(spark, f"DROP MATERIALIZED VIEW delta.`{m}`")
+    assert not os.path.exists(m)

@@ -1,0 +1,335 @@
+"""MV-aware transparent query rewrite (sql/mv_rewrite.py): a GROUP BY
+aggregate provably answerable from a fresh maintained view must read
+ONLY the view (plan-guarded via inputFiles), produce exactly the
+base-scan answer, and fall back to the base scan whenever equivalence
+or freshness can't be proven."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_datafusion_spark.delta.ops import delete_delta
+from deltalake_datafusion_spark.delta.scan import read_delta
+from deltalake_datafusion_spark.delta.writer import write_delta
+from deltalake_datafusion_spark.sql.dispatcher import sql
+from deltalake_datafusion_spark.sql.mv_rewrite import (
+    MAX_STALENESS_KEY,
+    REWRITE_ENABLED_KEY,
+    registered_matviews,
+)
+
+CDF = {"delta.enableChangeDataFeed": "true"}
+
+
+@pytest.fixture(autouse=True)
+def _clean_registry(spark):
+    from deltalake_datafusion_spark.sql import mv_rewrite
+
+    saved = dict(mv_rewrite._REGISTRY)
+    mv_rewrite._REGISTRY.clear()
+    spark.conf.unset(MAX_STALENESS_KEY)
+    spark.conf.unset(REWRITE_ENABLED_KEY)
+    yield
+    mv_rewrite._REGISTRY.clear()
+    mv_rewrite._REGISTRY.update(saved)
+
+
+def _base(spark, path, n=60):
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 3).alias("h"),
+        (F.col("id") * 10).alias("v"),
+    )
+    write_delta(spark, df, path, configuration=CDF)
+
+
+def _mk_mv(spark, b, m, minmax=False):
+    mmsel = ", MIN(v) AS lo, MAX(v) AS hi" if minmax else ""
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+        f"SELECT g, h, COUNT(*) AS n, SUM(v) AS total{mmsel} "
+        f"FROM delta.`{b}` GROUP BY g, h",
+    )
+
+
+def _reads_only(df, path_fragment, not_fragment):
+    files = df.inputFiles()
+    assert files, "plan has no file scan?"
+    assert all(path_fragment in f for f in files), files
+    assert all(not_fragment not in f for f in files), files
+
+
+def test_exact_match_reads_only_the_view(spark, tmp_path):
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)
+    q = (
+        f"SELECT g, h, COUNT(*) AS n, SUM(v) AS total "
+        f"FROM delta.`{b}` GROUP BY g, h"
+    )
+    out = sql(spark, q)
+    _reads_only(out, "/mv", "/base")
+    want = {
+        (r.g, r.h): (r.n, r.total)
+        for r in read_delta(spark, b)
+        .groupBy("g", "h")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    got = {(r.g, r.h): (r.n, r.total) for r in out.collect()}
+    assert got == want
+    # schema parity with the non-rewritten plan
+    spark.conf.set(REWRITE_ENABLED_KEY, "false")
+    plain = sql(spark, q)
+    _reads_only(plain, "/base", "/mv")
+    assert [(f.name, f.dataType) for f in plain.schema.fields] == [
+        (f.name, f.dataType) for f in out.schema.fields
+    ]
+
+
+def test_subsumption_reaggregates_the_view(spark, tmp_path):
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)
+    out = sql(
+        spark,
+        f"SELECT g, COUNT(*) AS n, SUM(v) AS total, AVG(v) AS mean "
+        f"FROM delta.`{b}` GROUP BY g ORDER BY g",
+    )
+    _reads_only(out, "/mv", "/base")
+    want = [
+        (r.g, r.n, r.total, r.mean)
+        for r in read_delta(spark, b)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.avg("v").alias("mean"),
+        )
+        .orderBy("g")
+        .collect()
+    ]
+    got = [(r.g, r.n, r.total, r.mean) for r in out.collect()]
+    assert got == want
+
+
+def test_minmax_derivations(spark, tmp_path):
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m, minmax=True)
+    out = sql(
+        spark,
+        f"SELECT g, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n "
+        f"FROM delta.`{b}` GROUP BY g",
+    )
+    _reads_only(out, "/mv", "/base")
+    want = {
+        r.g: (r.lo, r.hi, r.n)
+        for r in read_delta(spark, b)
+        .groupBy("g")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    got = {r.g: (r.lo, r.hi, r.n) for r in out.collect()}
+    assert got == want
+
+
+def test_predicate_on_group_cols_filters_the_view(spark, tmp_path):
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)
+    out = sql(
+        spark,
+        f"SELECT g, SUM(v) AS total FROM delta.`{b}` "
+        f"WHERE h = 1 AND g > 0 GROUP BY g",
+    )
+    _reads_only(out, "/mv", "/base")
+    want = {
+        r.g: r.total
+        for r in read_delta(spark, b)
+        .filter("h = 1 AND g > 0")
+        .groupBy("g")
+        .agg(F.sum("v").alias("total"))
+        .collect()
+    }
+    assert {r.g: r.total for r in out.collect()} == want
+
+
+def test_predicate_on_non_group_col_falls_through(spark, tmp_path):
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)
+    out = sql(
+        spark,
+        f"SELECT g, COUNT(*) AS n FROM delta.`{b}` "
+        f"WHERE v > 100 GROUP BY g",
+    )
+    _reads_only(out, "/base", "/mv")  # v is not a view group column
+
+
+def test_stale_view_falls_through_until_refreshed(spark, tmp_path):
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)
+    delete_delta(spark, b, "id < 8")  # base moves; view is now stale
+    q = f"SELECT g, COUNT(*) AS n FROM delta.`{b}` GROUP BY g"
+    out = sql(spark, q)
+    _reads_only(out, "/base", "/mv")  # exact-freshness default
+    # opt-in staleness tolerance: the (stale) view answers
+    spark.conf.set(MAX_STALENESS_KEY, "5")
+    out = sql(spark, q)
+    _reads_only(out, "/mv", "/base")
+    # REFRESH restores exact freshness → rewrite fires by default
+    spark.conf.set(MAX_STALENESS_KEY, "0")
+    sql(spark, f"REFRESH MATERIALIZED VIEW delta.`{m}`")
+    out = sql(spark, q)
+    _reads_only(out, "/mv", "/base")
+    want = {
+        r.g: r.n
+        for r in read_delta(spark, b)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.g: r.n for r in out.collect()} == want
+
+
+def test_join_mv_rewrite(spark, tmp_path):
+    fp, dp, mp = (
+        str(tmp_path / "fact"), str(tmp_path / "dim"), str(tmp_path / "mv")
+    )
+    fact = spark.range(50).select(
+        F.col("id"),
+        (F.col("id") % 8).alias("fk"),
+        (F.col("id") * 3 + 1).alias("amt"),
+    )
+    dim = spark.range(8).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("seg"),
+    )
+    write_delta(spark, fact, fp, configuration=CDF)
+    write_delta(spark, dim, dp, configuration=CDF)
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{mp}` AS "
+        f"SELECT seg, COUNT(*) AS n, SUM(amt) AS total "
+        f"FROM delta.`{fp}` JOIN delta.`{dp}` ON fk = dk GROUP BY seg",
+    )
+    out = sql(
+        spark,
+        f"SELECT seg, COUNT(*) AS n, SUM(amt) AS total "
+        f"FROM delta.`{fp}` JOIN delta.`{dp}` ON fk = dk GROUP BY seg",
+    )
+    _reads_only(out, "/mv", "/fact")
+    f, d = read_delta(spark, fp), read_delta(spark, dp)
+    want = {
+        r.seg: (r.n, r.total)
+        for r in f.join(d, f.fk == d.dk)
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("total"))
+        .collect()
+    }
+    assert {r.seg: (r.n, r.total) for r in out.collect()} == want
+    # fact moves → stale → falls through until refreshed
+    extra = spark.createDataFrame(
+        [(990, 2, 17)], "id long, fk long, amt long"
+    )
+    write_delta(spark, extra, fp, mode="append", configuration=CDF)
+    out = sql(
+        spark,
+        f"SELECT seg, COUNT(*) AS n, SUM(amt) AS total "
+        f"FROM delta.`{fp}` JOIN delta.`{dp}` ON fk = dk GROUP BY seg",
+    )
+    assert any("/fact" in fl for fl in out.inputFiles())
+    sql(spark, f"REFRESH MATERIALIZED VIEW delta.`{mp}`")
+    out = sql(
+        spark,
+        f"SELECT seg, SUM(amt) AS total "
+        f"FROM delta.`{fp}` JOIN delta.`{dp}` ON fk = dk GROUP BY seg",
+    )
+    _reads_only(out, "/mv", "/fact")
+
+
+def test_unaliased_aggregate_falls_through(spark, tmp_path):
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)
+    out = sql(spark, f"SELECT g, COUNT(*) FROM delta.`{b}` GROUP BY g")
+    _reads_only(out, "/base", "/mv")
+
+
+def test_unmaintained_aggregate_falls_through(spark, tmp_path):
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)  # no MIN/MAX maintained
+    out = sql(
+        spark, f"SELECT g, MIN(v) AS lo FROM delta.`{b}` GROUP BY g"
+    )
+    _reads_only(out, "/base", "/mv")
+    out = sql(
+        spark, f"SELECT g, SUM(id) AS s FROM delta.`{b}` GROUP BY g"
+    )
+    _reads_only(out, "/base", "/mv")  # id is not a maintained sum col
+
+
+def test_rewrite_disabled_conf(spark, tmp_path):
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)
+    spark.conf.set(REWRITE_ENABLED_KEY, "false")
+    out = sql(
+        spark, f"SELECT g, COUNT(*) AS n FROM delta.`{b}` GROUP BY g"
+    )
+    _reads_only(out, "/base", "/mv")
+
+
+def test_drop_unregisters(spark, tmp_path):
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)
+    assert m in registered_matviews()
+    sql(spark, f"DROP MATERIALIZED VIEW delta.`{m}`")
+    assert m not in registered_matviews()
+    out = sql(
+        spark, f"SELECT g, COUNT(*) AS n FROM delta.`{b}` GROUP BY g"
+    )
+    _reads_only(out, "/base", "/mv")
+
+
+def test_discover_preexisting_view(spark, tmp_path):
+    from deltalake_datafusion_spark.sql import mv_rewrite
+
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)
+    mv_rewrite._REGISTRY.clear()  # simulate a fresh session
+    out = sql(
+        spark, f"SELECT g, COUNT(*) AS n FROM delta.`{b}` GROUP BY g"
+    )
+    _reads_only(out, "/base", "/mv")
+    mv_rewrite.discover_matview(spark, m)
+    out = sql(
+        spark, f"SELECT g, COUNT(*) AS n FROM delta.`{b}` GROUP BY g"
+    )
+    _reads_only(out, "/mv", "/base")
+
+
+def test_order_by_output_columns(spark, tmp_path):
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)
+    out = sql(
+        spark,
+        f"SELECT g, SUM(v) AS total FROM delta.`{b}` "
+        f"GROUP BY g ORDER BY total DESC",
+    )
+    _reads_only(out, "/mv", "/base")
+    vals = [r.total for r in out.collect()]
+    assert vals == sorted(vals, reverse=True)
