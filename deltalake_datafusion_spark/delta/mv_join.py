@@ -117,6 +117,17 @@ def _split_group_cols(
     return fact_g, dim_g
 
 
+def _validate_minmax_cols(minmax_cols, fact_fields: set[str]) -> None:
+    """MIN/MAX columns on a join MV must be fact-side measures (the
+    star-schema shape; a dim-side MIN/MAX would need dim-history
+    recompute machinery the two-sided algebra doesn't carry)."""
+    bad = [c for c in (minmax_cols or []) if c not in fact_fields]
+    if bad:
+        raise ValueError(
+            f"join-MV MIN/MAX columns must be fact columns, got {bad}"
+        )
+
+
 def build_join_mv(
     spark,
     fact_path: str,
@@ -127,10 +138,16 @@ def build_join_mv(
     dim_key: str,
     group_cols: list[str],
     sum_cols: list[str],
+    minmax_cols: list[str] | None = None,
     extra_conf: dict | None = None,
 ) -> dict:
     """Full build of the star MV at the bases' current versions; both
-    watermarks commit atomically with the built data."""
+    watermarks commit atomically with the built data. ``minmax_cols``
+    (fact-side measures) add maintained ``mv_min_*``/``mv_max_*``
+    columns; their incremental upkeep pairs monotone merges with a
+    delete-aware targeted group recompute (see
+    :func:`refresh_join_mv`)."""
+    from deltalake_datafusion_spark.delta.mv import _max_col, _min_col
     from deltalake_datafusion_spark.delta.scan import read_delta
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
     from deltalake_datafusion_spark.delta.writer import write_delta
@@ -138,19 +155,24 @@ def build_join_mv(
     f_snap = load_snapshot(fact_path, spark=spark)
     d_snap = load_snapshot(dim_path, spark=spark)
     f_ver, d_ver = f_snap.version, d_snap.version
+    fact_fields = {f.name for f in f_snap.schema.fields}
     _split_group_cols(  # validate side resolution up front
         group_cols,
-        {f.name for f in f_snap.schema.fields},
+        fact_fields,
         {f.name for f in d_snap.schema.fields},
     )
+    _validate_minmax_cols(minmax_cols, fact_fields)
     fact = read_delta(spark, fact_path, version=f_ver)
     dim = read_delta(spark, dim_path, version=d_ver)
     joined = fact.join(
         F.broadcast(dim), fact[fact_key] == dim[dim_key], "inner"
     )
-    aggs = [F.count(F.lit(1)).cast("long").alias(MV_COUNT_COL)] + [
-        F.sum(c).alias(_sum_col(c)) for c in sum_cols
-    ]
+    aggs = (
+        [F.count(F.lit(1)).cast("long").alias(MV_COUNT_COL)]
+        + [F.sum(c).alias(_sum_col(c)) for c in sum_cols]
+        + [F.min(c).alias(_min_col(c)) for c in (minmax_cols or [])]
+        + [F.max(c).alias(_max_col(c)) for c in (minmax_cols or [])]
+    )
     mv = joined.groupBy(*[fact[c] if c in fact.columns else dim[c]
                           for c in group_cols]).agg(*aggs)
     write_delta(
@@ -200,13 +222,25 @@ def refresh_join_mv(
     dim_key: str,
     group_cols: list[str],
     sum_cols: list[str],
+    minmax_cols: list[str] | None = None,
 ) -> dict:
     """Two-sided incremental refresh: apply both bases' CDF since the
     view's recorded watermarks via the three-term delta algebra and
     ONE MERGE commit carrying both advanced watermarks. No-op (no
     commit) when neither base moved. Racing refreshes of the same
     view serialize safely: the loser's guarded merge detects the
-    watermark overlap and retries from the advanced watermarks."""
+    watermark overlap and retries from the advanced watermarks.
+
+    ``minmax_cols`` (fact-side) extend the algebra with MIN/MAX: the
+    per-group deltas carry the min/max of POSITIVELY-signed rows
+    (monotone ``least``/``greatest`` merge for groups that saw no
+    retraction), while any group touched by a NEGATIVE sign — fact
+    delete/update-preimage, dim preimage moving rows out, or a
+    ΔF⋈ΔD correction — gets an authoritative recompute of exactly
+    those groups from fact⋈dim AS OF the pinned target versions,
+    pruned via the dim keys of the affected groups (the
+    :func:`delta.mv.refresh_minmax_mv` pattern lifted to the join).
+    Insert-only refreshes never open the fact table."""
     from deltalake_datafusion_spark.delta.mv import (
         _retry_concurrent_refresh,
     )
@@ -238,27 +272,46 @@ def refresh_join_mv(
             dim_key=dim_key,
             group_cols=group_cols,
             sum_cols=sum_cols,
+            minmax_cols=minmax_cols,
             f_range=(f_applied + 1, f_ver) if f_ver > f_applied else None,
             d_range=(d_applied + 1, d_ver) if d_ver > d_applied else None,
             f_ver=f_ver,
             d_ver=d_ver,
         )
-        n_groups = _merge_signed_rows(
-            spark,
-            mv_path,
-            deltas_rows,
-            group_cols,
-            sum_cols,
-            txns=[
-                _txn(MV_FACT_TXN_APP, f_ver), _txn(MV_DIM_TXN_APP, d_ver)
-            ],
-            guards=[
-                {"appId": MV_FACT_TXN_APP, "applied": f_applied,
-                 "target": f_ver},
-                {"appId": MV_DIM_TXN_APP, "applied": d_applied,
-                 "target": d_ver},
-            ],
-        )
+        txns = [_txn(MV_FACT_TXN_APP, f_ver), _txn(MV_DIM_TXN_APP, d_ver)]
+        guards = [
+            {"appId": MV_FACT_TXN_APP, "applied": f_applied,
+             "target": f_ver},
+            {"appId": MV_DIM_TXN_APP, "applied": d_applied,
+             "target": d_ver},
+        ]
+        if minmax_cols:
+            n_groups = _merge_signed_rows_minmax(
+                spark,
+                mv_path,
+                deltas_rows,
+                group_cols,
+                sum_cols,
+                minmax_cols,
+                fact_path=fact_path,
+                dim_path=dim_path,
+                fact_key=fact_key,
+                dim_key=dim_key,
+                f_ver=f_ver,
+                d_ver=d_ver,
+                txns=txns,
+                guards=guards,
+            )
+        else:
+            n_groups = _merge_signed_rows(
+                spark,
+                mv_path,
+                deltas_rows,
+                group_cols,
+                sum_cols,
+                txns=txns,
+                guards=guards,
+            )
         return {
             "fact_version": f_ver,
             "dim_version": d_ver,
@@ -282,6 +335,7 @@ def _join_mv_delta_rows(
     d_range: tuple[int, int] | None,
     f_ver: int,
     d_ver: int,
+    minmax_cols: list[str] | None = None,
 ) -> DataFrame:
     """The signed joined-row delta set (group cols + sum cols +
     ``__sign``) for the given CDF ranges — the three-term algebra,
@@ -312,9 +366,12 @@ def _join_mv_delta_rows(
     fact_g, dim_g = _split_group_cols(
         group_cols, set(fact_fields), set(dim_fields)
     )
-    f_cols = sorted({fact_key, *fact_g, *sum_cols})
+    _validate_minmax_cols(minmax_cols, set(fact_fields))
+    val_cols = list(dict.fromkeys([*sum_cols, *(minmax_cols or [])]))
+    f_cols = sorted({fact_key, *fact_g, *val_cols})
     d_cols = sorted({dim_key, *dim_g})
-    out_cols = [*group_cols, *sum_cols]
+    out_cols = [*group_cols, *val_cols]
+    fact_side_cols = {*fact_g, *val_cols}
 
     def _term(fact_side: DataFrame, dim_side: DataFrame, sign_expr):
         j = fact_side.join(
@@ -324,8 +381,7 @@ def _join_mv_delta_rows(
         )
         return j.select(
             *[
-                (fact_side[c] if c in fact_g or c in sum_cols else
-                 dim_side[c])
+                (fact_side[c] if c in fact_side_cols else dim_side[c])
                 for c in out_cols
             ],
             sign_expr(fact_side, dim_side).alias("__sign"),
@@ -458,6 +514,204 @@ def _merge_signed_rows(
     if res.get("skipped") == "txn-covered":
         return 0
     return n_groups
+
+
+def _merge_signed_rows_minmax(
+    spark,
+    mv_path: str,
+    rows: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str],
+    *,
+    fact_path: str,
+    dim_path: str,
+    fact_key: str,
+    dim_key: str,
+    f_ver: int,
+    d_ver: int,
+    txns: list[dict],
+    guards: list[dict] | None = None,
+) -> int:
+    """MIN/MAX-bearing variant of :func:`_merge_signed_rows`: per-group
+    count/sum deltas plus min/max of the POSITIVE rows; groups touched
+    by any negative sign get authoritative min/max recomputed from
+    fact⋈dim AS OF the pinned versions (:func:`_recompute_join_groups`).
+    One MERGE commit; the fact table is never opened when no group saw
+    a retraction."""
+    from deltalake_datafusion_spark.delta.mv import _max_col, _min_col
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+
+    is_ins = F.col("__sign") == 1
+    deltas = rows.groupBy(*group_cols).agg(
+        F.sum("__sign").cast("long").alias("d_count"),
+        *[
+            F.sum(F.col(c) * F.col("__sign")).alias(f"d_{c}")
+            for c in sum_cols
+        ],
+        *[
+            F.min(F.when(is_ins, F.col(c))).alias(f"ins_min_{c}")
+            for c in minmax_cols
+        ],
+        *[
+            F.max(F.when(is_ins, F.col(c))).alias(f"ins_max_{c}")
+            for c in minmax_cols
+        ],
+        F.max((~is_ins).cast("int")).alias("__saw_delete"),
+    )
+    changed = (F.col("d_count") != 0) | (F.col("__saw_delete") == 1)
+    for c in sum_cols:
+        changed = changed | (F.col(f"d_{c}") != 0)
+    deltas = deltas.filter(changed).localCheckpoint(eager=True)
+    n_groups = deltas.count()
+    if n_groups == 0:
+        _advance_txns_only(spark, mv_path, txns, guards=guards)
+        return 0
+
+    affected = deltas.filter("__saw_delete = 1").select(*group_cols)
+    if affected.limit(1).count() > 0:
+        recomputed = _recompute_join_groups(
+            spark, fact_path, dim_path, f_ver, d_ver,
+            fact_key=fact_key, dim_key=dim_key,
+            group_cols=group_cols, minmax_cols=minmax_cols,
+            keys_df=affected,
+        )
+        src = deltas.join(recomputed, list(group_cols), "left")
+    else:
+        src = deltas
+        for c in minmax_cols:
+            src = src.withColumn(f"re_min_{c}", F.lit(None))
+            src = src.withColumn(f"re_max_{c}", F.lit(None))
+
+    on = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in group_cols)
+    update = {
+        MV_COUNT_COL: f"t.{MV_COUNT_COL} + s.d_count",
+        **{
+            _sum_col(c): f"coalesce(t.{_sum_col(c)}, 0) + coalesce(s.d_{c}, 0)"
+            for c in sum_cols
+        },
+    }
+    for c in minmax_cols:
+        update[_min_col(c)] = (
+            f"CASE WHEN s.__saw_delete = 1 THEN s.re_min_{c} "
+            f"ELSE least(t.{_min_col(c)}, s.ins_min_{c}) END"
+        )
+        update[_max_col(c)] = (
+            f"CASE WHEN s.__saw_delete = 1 THEN s.re_max_{c} "
+            f"ELSE greatest(t.{_max_col(c)}, s.ins_max_{c}) END"
+        )
+    # a brand-new group can still have seen in-window retractions
+    # (rows created and removed inside the CDF ranges, or ΔF⋈ΔD
+    # corrections): its authoritative min/max come from the recompute
+    insert_vals = {
+        **{c: f"s.`{c}`" for c in group_cols},
+        MV_COUNT_COL: "s.d_count",
+        **{_sum_col(c): f"s.d_{c}" for c in sum_cols},
+        **{
+            _min_col(c): (
+                f"CASE WHEN s.__saw_delete = 1 THEN s.re_min_{c} "
+                f"ELSE s.ins_min_{c} END"
+            )
+            for c in minmax_cols
+        },
+        **{
+            _max_col(c): (
+                f"CASE WHEN s.__saw_delete = 1 THEN s.re_max_{c} "
+                f"ELSE s.ins_max_{c} END"
+            )
+            for c in minmax_cols
+        },
+    }
+    res = merge_delta(
+        spark,
+        mv_path,
+        src,
+        on=on,
+        when_matched=[
+            {
+                "condition": f"t.{MV_COUNT_COL} + s.d_count <= 0",
+                "delete": True,
+            },
+            {"update": update},
+        ],
+        when_not_matched=[
+            {"condition": "s.d_count > 0", "values": insert_vals}
+        ],
+        extra_actions=txns,
+        txn_guards=guards,
+    )
+    if res.get("skipped") == "txn-covered":
+        return 0
+    return n_groups
+
+
+def _recompute_join_groups(
+    spark,
+    fact_path: str,
+    dim_path: str,
+    f_ver: int,
+    d_ver: int,
+    *,
+    fact_key: str,
+    dim_key: str,
+    group_cols: list[str],
+    minmax_cols: list[str],
+    keys_df: DataFrame,
+) -> DataFrame:
+    """Authoritative per-group min/max of fact⋈dim AS OF the pinned
+    versions, pruned to the affected groups (``keys_df``): dim-side
+    group values prune the (broadcast-small) dim; the surviving dim
+    keys prune the FACT SCAN — an inlined IN predicate for
+    stats-based file skipping when bounded, else a broadcast
+    semi-join — so the recompute reads O(fact rows of affected
+    groups), never the table. Fact-side group values add a second
+    pushed predicate/semi-join."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    fact_fields = {
+        f.name for f in load_snapshot(fact_path, spark=spark).schema.fields
+    }
+    dim_fields = {
+        f.name for f in load_snapshot(dim_path, spark=spark).schema.fields
+    }
+    fact_g, dim_g = _split_group_cols(group_cols, fact_fields, dim_fields)
+
+    dim = read_delta(spark, dim_path, version=d_ver)
+    if dim_g:
+        dim = dim.join(
+            F.broadcast(keys_df.select(*dim_g).distinct()), dim_g,
+            "left_semi",
+        )
+    keys = [
+        r[0]
+        for r in dim.select(dim_key)
+        .distinct()
+        .limit(MAX_INLINE_KEYS + 1)
+        .collect()
+    ]
+    pred = _key_predicate(keys, fact_key)
+    fact = read_delta(spark, fact_path, version=f_ver, predicate=pred)
+    if pred is not None:
+        fact = fact.filter(F.expr(pred))
+    else:
+        dimk = dim.select(F.col(dim_key).alias("__dk")).distinct()
+        fact = fact.join(
+            F.broadcast(dimk), fact[fact_key] == F.col("__dk"),
+            "left_semi",
+        )
+    if fact_g:
+        fact = fact.join(
+            F.broadcast(keys_df.select(*fact_g).distinct()), fact_g,
+            "left_semi",
+        )
+    j = fact.join(F.broadcast(dim), fact[fact_key] == dim[dim_key], "inner")
+    return j.groupBy(
+        *[fact[c] if c in fact_g else dim[c] for c in group_cols]
+    ).agg(
+        *[F.min(fact[c]).alias(f"re_min_{c}") for c in minmax_cols],
+        *[F.max(fact[c]).alias(f"re_max_{c}") for c in minmax_cols],
+    )
 
 
 def _advance_txns_only(

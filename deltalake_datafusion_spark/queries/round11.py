@@ -18,6 +18,11 @@ def specs() -> list[QuerySpec]:
             sql_matview_rewrite,
             _MV_REWRITE_SQL,
         ),
+        QuerySpec(
+            "delta_mv_join_minmax",
+            delta_mv_join_minmax,
+            _MV_JOIN_MINMAX_SQL,
+        ),
     ]
 
 
@@ -92,4 +97,104 @@ final AS (SELECT * FROM base WHERE NOT (id % 7 = 3))
 SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
   CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM final WHERE st = 'O' GROUP BY g ORDER BY g
+"""
+
+# ---------------------------------------------------------------- #
+# delta_mv_join_minmax                                              #
+# ---------------------------------------------------------------- #
+
+
+def delta_mv_join_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX-bearing star MV with two-sided incremental maintenance
+    (``delta/mv_join.py``): orders(fact) ⋈ customer(dim) grouped by
+    market segment, maintaining count/sum AND min/max cents. The
+    change round mixes the hard cases — a fact DELETE that removes
+    group extrema (monotone merge can't recover; the targeted
+    recompute must), a dim segment UPDATE that moves standing fact
+    rows between groups, and a fact append — then ONE incremental
+    REFRESH. The oracle recomputes the final join-aggregate from the
+    raw rows, so any drift in the recompute pruning or the signed
+    min/max algebra hash-mismatches."""
+    from deltalake_datafusion_spark.delta.ops import (
+        delete_delta,
+        update_delta,
+    )
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    fact_p = _fresh_dir("mvjmm_fact", sf_dir)
+    dim_p = _fresh_dir("mvjmm_dim", sf_dir)
+    mv_p = _fresh_dir("mvjmm_view", sf_dir)
+    cdf = {"delta.enableChangeDataFeed": "true"}
+    fact = t["orders"].select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("fk"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("dk"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    write_delta(spark, fact, fact_p, configuration=cdf)
+    write_delta(spark, dim, dim_p, configuration=cdf)
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{mv_p}` AS "
+        f"SELECT seg, COUNT(*) AS n, SUM(cents) AS s, "
+        f"MIN(cents) AS lo, MAX(cents) AS hi "
+        f"FROM delta.`{fact_p}` JOIN delta.`{dim_p}` ON fk = dk "
+        f"GROUP BY seg",
+    )
+    # fact delete knocking out extrema, dim SCD move, fact append
+    delete_delta(spark, fact_p, "id % 9 = 4")
+    update_delta(
+        spark, dim_p, set_exprs={"seg": "'MOVED'"}, predicate="dk % 5 = 0"
+    )
+    extra = t["orders"].filter(F.col("o_orderkey") % 51 == 0).select(
+        (F.col("o_orderkey") + 400000000).alias("id"),
+        F.col("o_custkey").alias("fk"),
+        (F.col("o_orderkey") % 777).cast("long").alias("cents"),
+    )
+    write_delta(spark, extra, fact_p, mode="append", configuration=cdf)
+    sql(spark, f"REFRESH MATERIALIZED VIEW delta.`{mv_p}`")
+    return (
+        read_delta(spark, mv_p)
+        .select(
+            "seg",
+            F.col("mv_count").cast("long").alias("n"),
+            F.col("mv_sum_cents").cast("long").alias("s"),
+            F.col("mv_min_cents").cast("long").alias("lo"),
+            F.col("mv_max_cents").cast("long").alias("hi"),
+        )
+        .orderBy("seg")
+    )
+
+
+_MV_JOIN_MINMAX_SQL = """
+WITH fact AS (
+  SELECT o_orderkey AS id, o_custkey AS fk,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE NOT (o_orderkey % 9 = 4)
+  UNION ALL
+  SELECT o_orderkey + 400000000, o_custkey,
+    CAST(o_orderkey % 777 AS BIGINT)
+  FROM orders WHERE o_orderkey % 51 = 0
+),
+dim AS (
+  SELECT c_custkey AS dk,
+    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(cents) AS BIGINT) AS s,
+  CAST(MIN(cents) AS BIGINT) AS lo,
+  CAST(MAX(cents) AS BIGINT) AS hi
+FROM fact JOIN dim ON fk = dk
+GROUP BY seg ORDER BY seg
 """

@@ -14,9 +14,9 @@ aggregates):
     GROUP BY g1[, g2…]
 
     CREATE MATERIALIZED VIEW delta.`/mv/path`
-    AS SELECT g…, COUNT(*), SUM(x)…
+    AS SELECT g…, COUNT(*), SUM(x)… [, MIN(y), MAX(y)]…
     FROM delta.`/fact` JOIN delta.`/dim` ON fk = dk
-    GROUP BY g…                      -- star MV (count/sum only)
+    GROUP BY g…                      -- star MV (MIN/MAX: fact cols)
 
     REFRESH MATERIALIZED VIEW delta.`/mv/path`
     DROP MATERIALIZED VIEW delta.`/mv/path`
@@ -28,8 +28,9 @@ refresh (aggregate / min-max / two-sided join). Output column names
 are the canonical ``mv_count`` / ``mv_sum_<c>`` / ``mv_min_<c>`` /
 ``mv_max_<c>`` regardless of aliases (aliases are accepted and
 recorded for documentation; the maintenance layer owns the physical
-schema). MIN/MAX on the join form is rejected (not incrementally
-maintainable there yet)."""
+schema). MIN/MAX on the join form maintain fact-side measures only
+(dim-side MIN/MAX would need dim-history recompute machinery the
+two-sided algebra doesn't carry)."""
 
 from __future__ import annotations
 
@@ -129,11 +130,6 @@ def parse_create_matview(statement: str):
         "minmax_cols": minmax_cols,
     }
     if jm:
-        if minmax_cols:
-            raise ValueError(
-                "MIN/MAX are not incrementally maintainable on the join "
-                "form yet — use the single-table form"
-            )
         defn.update(
             kind="join",
             fact=jm.group("fact"),
@@ -166,6 +162,7 @@ def execute_create(spark, target: str, defn: dict, registry) -> dict:
             dim_key=defn["dim_key"],
             group_cols=defn["group_cols"],
             sum_cols=defn["sum_cols"],
+            minmax_cols=defn["minmax_cols"],
             extra_conf=conf,
         )
     elif defn["minmax_cols"]:
@@ -221,6 +218,7 @@ def execute_refresh(spark, target: str, registry) -> dict:
             dim_key=defn["dim_key"],
             group_cols=defn["group_cols"],
             sum_cols=defn["sum_cols"],
+            minmax_cols=defn["minmax_cols"],
         )
     elif defn["minmax_cols"]:
         res = refresh_minmax_mv(

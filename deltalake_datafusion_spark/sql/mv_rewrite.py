@@ -341,7 +341,14 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
 def _mv_is_fresh(spark, mv_path: str, defn: dict) -> bool:
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
 
-    mv_snap = load_snapshot(mv_path, spark=spark)
+    try:
+        mv_snap = load_snapshot(mv_path, spark=spark)
+    except Exception:
+        # view deleted out-of-band since registration: a rewrite
+        # candidate must never make the user's query fail — drop the
+        # stale entry and fall through to the base plan
+        unregister_matview(mv_path)
+        return False
     if defn["kind"] == "join":
         from deltalake_datafusion_spark.delta.mv_join import (
             join_mv_watermarks,

@@ -156,12 +156,25 @@ def test_matview_grammar_rejects(spark, tmp_path):
             f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
             f"SELECT g, extra, COUNT(*) FROM delta.`{b}` GROUP BY g",
         )
-    with pytest.raises(ValueError, match="join form"):
+    # join-MV MIN/MAX must be fact-side measures
+    fp, dp = str(tmp_path / "f"), str(tmp_path / "d")
+    cdf = {"delta.enableChangeDataFeed": "true"}
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 1, 5)], "id long, fk long, amt long"),
+        fp, configuration=cdf,
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, "s0")], "dk long, seg string"),
+        dp, configuration=cdf,
+    )
+    with pytest.raises(ValueError, match="fact columns"):
         sql(
             spark,
             f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
-            f"SELECT g, COUNT(*), MIN(v) "
-            f"FROM delta.`{b}` JOIN delta.`{b}` ON a = b GROUP BY g",
+            f"SELECT seg, COUNT(*), MIN(dk) "
+            f"FROM delta.`{fp}` JOIN delta.`{dp}` ON fk = dk GROUP BY seg",
         )
     # refresh of a non-view
     t = str(tmp_path / "t")
