@@ -1437,26 +1437,68 @@ def repeated_kgram_profile(
     # interpreted (outside whole-stage codegen), which dominates at
     # O(total chars) rows — the range join keeps substring+md5 fully
     # codegen. The max-length lookup is one metadata-scale job.
+    #
+    # BOUNDED BROADCAST + BOUNDED SUBSTRING SCANS (VERDICT r10 watch
+    # item): documents longer than CHUNK are first split into
+    # fixed-width slices with k−1 chars of overlap (an explode over
+    # the slice starts — per-row generator, no driver state). Two
+    # bounds fall out:
+    # - the broadcast position table is ≤ CHUNK rows no matter how
+    #   long the longest document is (the watch item's 100M-row
+    #   broadcast can't happen);
+    # - ``substring(slice, p, k)`` scans ≤ CHUNK chars to find the
+    #   codepoint offset (UTF8String indexing is O(p)), so per-gram
+    #   cost is O(CHUNK), not O(doc position) — on the unchunked plan
+    #   a single 10 M-char document cost a QUADRATIC ~5·10¹³ char
+    #   scans; chunked it is O(total chars × CHUNK).
+    # The slice rows are then REPARTITIONED so one giant document
+    # parallelizes across the cluster instead of pinning one task;
+    # that shuffle carries the corpus text once — strictly smaller
+    # than the per-gram digest shuffle the algorithm already pays.
+    CHUNK = 1 << 12
     max_len = df.agg(
         F.max(F.length(text_col)).alias("m")
     ).collect()[0]["m"] or 0
-    positions = spark.range(1, max(max_len - k + 2, 1)).select(
-        F.col("id").cast("int").alias("pos")
+    width = min(max(max_len - k + 2, 1), CHUNK + 1)
+    positions = spark.range(1, width).select(
+        F.col("id").cast("int").alias("p")
     )
-    grams = (
+    n_valid = F.greatest(F.length(text_col) - F.lit(k) + 1, F.lit(1))
+    chunks = (
         df.select(id_col, text_col)
-        .join(F.broadcast(positions))
-        .filter(F.col("pos") <= F.length(text_col) - k + 1)
+        .filter(F.length(text_col) >= k)
         .select(
             id_col,
-            "pos",
+            (F.length(text_col) - F.lit(k) + 1).alias("__hi"),
+            F.explode(
+                F.sequence(F.lit(1), n_valid, F.lit(CHUNK))
+            ).alias("__start"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            id_col,
+            "__start",
+            "__hi",
+            # each slice carries k−1 overlap chars so no cross-slice
+            # k-gram is lost
+            F.expr(f"substring(__t, __start, {CHUNK + k - 1})")
+            .alias("__ctext"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    grams = (
+        chunks.join(F.broadcast(positions))
+        .filter(F.col("__start") + F.col("p") - 1 <= F.col("__hi"))
+        .select(
+            id_col,
+            (F.col("__start") + F.col("p") - 1).cast("int").alias("pos"),
             # 60-bit portable digest (the repo's cross-engine hash
             # convention): 8-byte shuffle keys; the oracle replays
             # the SAME digest, so a (≈1e-6 at 1e6 grams) collision
             # affects both engines identically
             F.conv(
                 F.substring(
-                    F.md5(F.expr(f"substring({text_col}, pos, {k})")),
+                    F.md5(F.expr(f"substring(__ctext, p, {k})")),
                     1,
                     15,
                 ),
