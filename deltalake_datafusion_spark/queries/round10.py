@@ -1168,14 +1168,16 @@ FROM inv GROUP BY doc_id ORDER BY media_id
 def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL FLAC decode (``operators/flac.py`` — lossless audio for
     VERDICT r9 gap #3): genuine mono 16-bit FLAC streams — STREAMINFO,
-    CRC-8-checked frame headers, CONSTANT/FIXED subframes with
-    partitioned Rice residuals, frame CRC-16 — whose samples are the
-    deterministic ramp ``((i·37 + doc_id·101) mod 2001) − 1000``.
+    CRC-8-checked frame headers, CONSTANT/FIXED **and LPC orders 1–8
+    (Levinson-quantized coefficients + arithmetic shift)** subframes
+    with partitioned Rice residuals, frame CRC-16 — whose samples are
+    the deterministic ramp ``((i·37 + doc_id·101) mod 2001) − 1000``.
     FLAC is lossless, so the decoded sample statistics equal the
     source formula's EXACTLY and the oracle recomputes them
-    arithmetically — a Rice, predictor, warmup, CRC, or bit-packing
-    bug hash-fails. Every 13th payload is junk (no rows); partition
-    order varies with doc_id to cover the Rice geometry matrix."""
+    arithmetically — a Rice, predictor, LPC-shift, warmup, CRC, or
+    bit-packing bug hash-fails. Every 13th payload is junk (no rows);
+    partition order and subframe type vary with doc_id to cover the
+    geometry × predictor matrix."""
     from deltalake_datafusion_spark.operators.flac import (
         flac_decode_features,
     )
@@ -1203,10 +1205,16 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = 400 + (did % 5) * 173
                 s = [((i * 37 + did * 101) % 2001) - 1000
                      for i in range(n)]
+                # spread encodings across the subframe-type matrix:
+                # FIXED/CONSTANT/VERBATIM for lpc=0, genuine LPC
+                # orders 1–8 otherwise — decode is lossless either
+                # way, so the oracle's analytic stats don't change
+                lpc = ((did // 13) % 9) or None
                 payloads.append(
                     build_flac_pcm16(
                         s, block_size=256,
                         partition_order=did % 3,
+                        lpc_order=lpc,
                     )
                 )
             yield pd.DataFrame(

@@ -108,3 +108,81 @@ def test_flac_decode_features_skip_contract(spark):
     assert got == {
         1: (300, sum(s), sum(x * x for x in s), min(s), max(s))
     }
+
+
+# ------------------------------------------------------------------ #
+# LPC subframes (VERDICT r10 next-round #4)                           #
+# ------------------------------------------------------------------ #
+
+
+def _signals():
+    import math
+
+    ramp = [((i * 37 + 11) % 2001) - 1000 for i in range(1000)]
+    slow = [int(12000 * math.sin(i / 9.7)) for i in range(1000)]
+    fast = [int(12000 * math.sin(i / 1.1)) for i in range(1000)]
+    noise = [
+        max(-32768, min(32767, ((i * 2654435761) % 65536) - 32768))
+        for i in range(777)
+    ]
+    return {"ramp": ramp, "slow": slow, "fast": fast, "noise": noise}
+
+
+@pytest.mark.parametrize("order", [1, 2, 4, 8, 12, 32])
+def test_lpc_lossless_roundtrip_matrix(order):
+    from deltalake_datafusion_spark.operators.flac import (
+        build_flac_pcm16,
+        decode_flac_pcm16,
+    )
+
+    for name, s in _signals().items():
+        enc = build_flac_pcm16(
+            s, lpc_order=order, partition_order=order % 3
+        )
+        assert decode_flac_pcm16(enc, strict=True) == s, (name, order)
+
+
+def test_lpc_subframe_actually_emitted_and_compresses_tones():
+    """The LPC path must write genuine LPC subframes (type ≥ 0x20)
+    and beat the fixed predictors on a fast tone — the signal class
+    LPC exists for."""
+    from deltalake_datafusion_spark.operators.flac import (
+        build_flac_pcm16,
+        decode_flac_pcm16,
+    )
+
+    fast = _signals()["fast"]
+    fixed = build_flac_pcm16(fast)
+    lpc = build_flac_pcm16(fast, lpc_order=2)
+    assert decode_flac_pcm16(lpc, strict=True) == fast
+    assert len(lpc) < len(fixed) // 2  # real prediction gain
+    # the stream contains an LPC subframe header: first subframe
+    # byte after a frame header has bit pattern 0b0 1xxxxx 0
+    # (locate the first frame: after fLaC + one metadata block)
+    meta_len = int.from_bytes(lpc[5:8], "big")
+    fpos = 8 + meta_len
+    assert lpc[fpos] == 0xFF and (lpc[fpos + 1] & 0xFC) == 0xF8
+    # header: 4 fixed bytes + utf8 frame no (1) + 16-bit bs (2) + crc8
+    sub0 = lpc[fpos + 4 + 1 + 2 + 1]
+    assert (sub0 >> 7) == 0 and ((sub0 >> 1) & 0x3F) >= 0x20
+
+
+def test_lpc_constant_blocks_still_constant_coded():
+    from deltalake_datafusion_spark.operators.flac import (
+        build_flac_pcm16,
+    )
+
+    silent = build_flac_pcm16([0] * 512, lpc_order=8)
+    plain = build_flac_pcm16([0] * 512)
+    assert silent == plain  # degenerate blocks fall back identically
+
+
+def test_lpc_short_blocks_fall_back():
+    from deltalake_datafusion_spark.operators.flac import (
+        build_flac_pcm16,
+        decode_flac_pcm16,
+    )
+
+    for s in ([5, -3, 7], [1, 2], [42]):
+        enc = build_flac_pcm16(s, lpc_order=8)
+        assert decode_flac_pcm16(enc, strict=True) == s
