@@ -937,10 +937,13 @@ def multimodal_png_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel stride) whose channel values are analytic in (doc_id, x,
     y); the operator emits exact per-channel and integer Rec.601
     luma sums. doc_id%4==1 → RGBA (alpha excluded from sums),
-    %4==2 → grayscale, %4∈{0,3} → RGB; every 9th payload is junk
-    and contributes no rows. The oracle recomputes every channel sum
-    arithmetically — a defilter-stride, channel-order, or luma
-    rounding bug hash-fails."""
+    %4==2 → grayscale, %4==0 → RGB, %4==3 → INDEXED color type 3
+    (every pixel's color routed through a 48-entry PLTE — same
+    analytic channel values, so a palette-lookup or index-unpack bug
+    shows as a channel-sum drift); every 9th payload is junk and
+    contributes no rows. The oracle recomputes every channel sum
+    arithmetically — a defilter-stride, channel-order, palette, or
+    luma rounding bug hash-fails."""
     from deltalake_datafusion_spark.operators.multimodal import (
         png_color_features,
     )
@@ -956,6 +959,7 @@ def multimodal_png_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from deltalake_datafusion_spark.operators.multimodal import (
             build_png_gray8,
+            build_png_palette,
             build_png_rgb,
         )
 
@@ -987,6 +991,15 @@ def multimodal_png_color(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                     for y in range(H)
                 ]
+                if did % 4 == 3:
+                    # indexed: one palette entry per pixel position,
+                    # same analytic colors through a PLTE lookup
+                    pal = [px[y][x] for y in range(H) for x in range(W)]
+                    idx = [
+                        [y * W + x for x in range(W)] for y in range(H)
+                    ]
+                    payloads.append(build_png_palette(idx, pal))
+                    continue
                 payloads.append(
                     build_png_rgb(px, alpha=(did % 4 == 1))
                 )
@@ -1006,7 +1019,8 @@ WITH ids AS (
 grid AS (
   SELECT i.doc_id, x, y,
     CASE WHEN i.doc_id % 4 = 2 THEN 0
-         WHEN i.doc_id % 4 = 1 THEN 6 ELSE 2 END AS ct,
+         WHEN i.doc_id % 4 = 1 THEN 6
+         WHEN i.doc_id % 4 = 3 THEN 3 ELSE 2 END AS ct,
     (i.doc_id * 3 + 7 * x + 11 * y) % 256 AS r0,
     (i.doc_id * 5 + 13 * x + 3 * y) % 256 AS g0,
     (i.doc_id * 7 + x + 17 * y) % 256 AS b0

@@ -1799,3 +1799,81 @@ def test_resize_images_real_box_path_no_pillow(spark):
     assert small == want
     ct2, small2 = mm.decode_png(out[2])
     assert ct2 == 2 and len(small2) == 6 and len(small2[0]) == 4
+
+
+def test_png_palette_decode_matrix():
+    """Indexed-color PNG (color type 3): bit depths 1/2/4/8, all five
+    scanline filters, MSB-first sub-byte unpack, tRNS per-entry alpha
+    (entries past the tRNS length default 255), and spec rejects
+    (out-of-palette index, missing PLTE, 16-bit depth)."""
+    import struct
+    import zlib
+
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_png_palette,
+        decode_png,
+    )
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    for depth in (1, 2, 4, 8):
+        nmax = min(len(pal), 1 << depth)
+        # width 7 exercises a ragged final byte at sub-byte depths
+        idx = [[(x * 3 + y) % nmax for x in range(7)] for y in range(6)]
+        for filters in (None, [0] * 6, [1] * 6, [2] * 6, [3] * 6,
+                        [4] * 6):
+            p = build_png_palette(
+                idx, pal, bit_depth=depth, filters=filters
+            )
+            ct, rows = decode_png(p)
+            assert ct == 3
+            assert rows == [[pal[i] for i in row] for row in idx], (
+                depth, filters
+            )
+    # tRNS: entry 1 translucent, entries past the list default 255
+    p = build_png_palette([[0, 1, 2, 3]], pal, bit_depth=4,
+                          trns=[255, 128])
+    ct, rows = decode_png(p)
+    assert rows == [[
+        (255, 0, 0, 255), (0, 255, 0, 128),
+        (0, 0, 255, 255), (10, 20, 30, 255),
+    ]]
+    # out-of-palette index → None
+    assert decode_png(
+        build_png_palette([[3]], pal[:2], bit_depth=4)
+    ) is None
+    # missing PLTE → None (strip the chunk)
+    p = bytearray(build_png_palette([[0, 1]], pal, bit_depth=2))
+    i = bytes(p).find(b"PLTE")
+    (ln,) = struct.unpack(">I", p[i - 4:i])
+    del p[i - 4:i + 8 + ln]
+    assert decode_png(bytes(p)) is None
+    # 16-bit stays rejected
+    p = bytearray(build_png_palette([[0, 1]], pal))
+    p[24] = 16  # IHDR bit depth byte
+    assert decode_png(bytes(p)) is None
+
+
+def test_png_palette_feature_sums(spark):
+    """png_color_features routes indexed images through the palette
+    lookup: channel sums equal the looked-up colors exactly."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_png_palette,
+        png_color_features,
+    )
+
+    pal = [(9, 8, 7), (100, 150, 200), (0, 0, 0), (255, 255, 255)]
+    idx = [[(x + y) % 4 for x in range(5)] for y in range(4)]
+    payload = build_png_palette(idx, pal, bit_depth=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = png_color_features(df).collect()[0]
+    flat = [pal[i] for r in idx for i in r]
+    assert row.color_type == 3
+    assert (row.width, row.height) == (5, 4)
+    assert row.sum_r == sum(c[0] for c in flat)
+    assert row.sum_g == sum(c[1] for c in flat)
+    assert row.sum_b == sum(c[2] for c in flat)
+    assert row.sum_luma == sum(
+        (299 * c[0] + 587 * c[1] + 114 * c[2]) // 1000 for c in flat
+    )
