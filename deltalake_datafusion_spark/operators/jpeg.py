@@ -1,19 +1,23 @@
-"""REAL zero-dependency baseline JPEG (ITU-T T.81) codec — GRAYSCALE
-and YCbCr COLOR at 4:4:4, 4:2:0, 4:2:2 and 4:4:0 sampling — the
-third genuine-decode tier beside PNG inflate+defilter and PCM energy
-(``operators/multimodal.py``), closing VERDICT r9 #3.
+"""REAL zero-dependency JPEG (ITU-T T.81) codec — GRAYSCALE and
+YCbCr COLOR at 4:4:4, 4:2:0, 4:2:2 and 4:4:0 sampling, BASELINE
+(SOF0/1) and PROGRESSIVE (SOF2) — the third genuine-decode tier
+beside PNG inflate+defilter and PCM energy
+(``operators/multimodal.py``), closing VERDICT r9 #3 and r10
+next-round #7.
 
-Scope (deliberately the exactly-replayable subset): BASELINE
-sequential DCT (SOF0), 8-bit, one component (grayscale) or three
-components with Y at {1,2}×{1,2} sampling over 1x1 chroma
-(sampling-factor MCU geometry per T.81 A.2.3; subsampled chroma
-upsampled by replication; integer fixed-point YCbCr↔RGB both ways),
-with DNL-free scans, byte stuffing, DRI / RSTn restart markers, and
-arbitrary DQT/DHT tables read from the stream. Everything outside
-that subset — progressive (SOF2), exotic sampling layouts, 12-bit,
-arithmetic coding — is REJECTED loudly in ``strict`` mode and
-skipped (None) in the corpus data path, exactly the sniffer skip
-contract.
+Scope (deliberately the exactly-replayable subset): sequential DCT
+(SOF0/1) or progressive DCT (SOF2 — spectral selection +
+successive approximation per T.81 Annex G, including the G.1.2.3
+AC correction-bit protocol and EOBn runs), 8-bit, one component
+(grayscale) or three components with Y at {1,2}×{1,2} sampling over
+1x1 chroma (sampling-factor MCU geometry per T.81 A.2.3; subsampled
+chroma upsampled by replication; integer fixed-point YCbCr↔RGB both
+ways), with DNL-free scans, byte stuffing, DRI / RSTn restart
+markers, and arbitrary DQT/DHT tables read from the stream.
+Everything outside that subset — exotic sampling layouts, 12-bit,
+arithmetic coding, lossless SOFs — is REJECTED loudly in ``strict``
+mode and skipped (None) in the corpus data path, exactly the
+sniffer skip contract.
 
 Decode arithmetic is ALL-INTEGER and deterministic: Huffman + EXTEND
 per the spec, dequantization in int64, and a fixed-point inverse DCT
@@ -84,6 +88,20 @@ AC_LUM_VALS = [
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
+
+
+# progressive AC table (encoder-side): the Annex-K sequential table
+# lacks the EOBn symbols (r<<4 for r=1..14) progressive scans emit, so
+# the fixture encoder writes its own flat canonical table — every
+# symbol it can produce at 9 bits (176 < 511, so the reserved
+# all-ones code never occurs); the decoder reads whatever DHT the
+# stream carries, as always
+PROG_AC_VALS = (
+    [r << 4 for r in range(15)]            # EOB0..EOB14
+    + [0xF0]                               # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+PROG_AC_BITS = [0] * 8 + [len(PROG_AC_VALS)] + [0] * 7
 
 
 class JpegRejected(ValueError):
@@ -266,10 +284,11 @@ def decode_jpeg(payload: bytes, strict: bool = False,
     MCU, chroma upsampled by 2x replication) — to ``(n_components,
     row-major matrix)`` where pixels are ints (gray) or (r, g, b)
     tuples (integer-fixed-point YCbCr→RGB, :func:`ycbcr_to_rgb_int`).
-    Returns None outside the subset (or raises :class:`JpegRejected`
-    naming the reason when ``strict=True``); other sampling layouts
-    (4:2:2 etc.), progressive, and 12-bit stay behind the Pillow
-    seam."""
+    Progressive (SOF2) streams route through
+    :func:`_decode_progressive` (multi-scan coefficient
+    accumulation). Returns None outside the subset (or raises
+    :class:`JpegRejected` naming the reason when ``strict=True``);
+    other sampling layouts and 12-bit stay behind the Pillow seam."""
     import struct
 
     def reject(why: str):
@@ -285,6 +304,7 @@ def decode_jpeg(payload: bytes, strict: bool = False,
     w = h = None
     comps: list[tuple[int, int]] | None = None  # [(id, qtab_id)]
     restart_interval = 0
+    progressive = False
     pos = 2
     n = len(payload)
     while pos + 4 <= n:
@@ -326,7 +346,8 @@ def decode_jpeg(payload: bytes, strict: bool = False,
                     return reject("truncated DQT")
                 qt[pq_tq & 15] = vals
                 p += 65
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline(+ext sequential)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = m == 0xC2
             prec, hh, ww, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 return reject(f"{prec}-bit precision unsupported")
@@ -352,15 +373,22 @@ def decode_jpeg(payload: bytes, strict: bool = False,
                     f"(1x1, 4:2:0, 4:2:2, 4:4:0 only: {samplings})"
                 )
             w, h = ww, hh
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
-            return reject("non-baseline SOF (progressive/arithmetic)")
+            return reject("non-baseline SOF (lossless/arithmetic)")
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif m == 0xDA:  # SOS
-            ns = body[0]
             if comps is None or w is None:
                 return reject("SOS before SOF")
+            if progressive:
+                # hand the whole remaining stream (this SOS and every
+                # later DHT/DQT/SOS) to the multi-scan decoder
+                return _decode_progressive(
+                    payload, pos, w, h, comps, samplings,
+                    qt, huff_dc, huff_ac, restart_interval, strict,
+                )
+            ns = body[0]
             if ns != len(comps):
                 return reject("multi-component scan unsupported")
             by_id = {
@@ -477,15 +505,25 @@ def _decode_scan(
                             block.reshape(8, 8)
                         )
             mcu += 1
+    hvs = [hv for _, _, _, hv in scan_comps]
+    return _finish_planes(planes, hvs, hmax, vmax, w, h)
+
+
+def _finish_planes(planes, hvs, hmax, vmax, w, h):
+    """Upsample subsampled planes by replication, crop to the frame,
+    and color-convert — the shared tail of the baseline and
+    progressive decoders."""
+    import numpy as np
+
     full = []
-    for ci, (_dc, _ac, _q, (hi, vi)) in enumerate(scan_comps):
+    for ci, (hi, vi) in enumerate(hvs):
         p = planes[ci]
         if hi < hmax:
             p = np.repeat(p, hmax // hi, axis=1)
         if vi < vmax:
             p = np.repeat(p, vmax // vi, axis=0)
         full.append(p[:h, :w])
-    if ncomp == 1:
+    if len(hvs) == 1:
         return 1, [list(map(int, row)) for row in full[0]]
     # vectorized integer YCbCr→RGB — numpy's int64 >> is an arithmetic
     # shift (floors negatives), bit-identical to ycbcr_to_rgb_int
@@ -499,6 +537,326 @@ def _decode_scan(
     b = np.clip(ymat + ((116130 * cb + 32768) >> 16), 0, 255)
     rgb = np.stack([r, g, b], axis=-1)
     return 3, [[tuple(px) for px in row] for row in rgb.tolist()]
+
+
+# ------------------------------------------------------------------ #
+# progressive (SOF2) decoder                                          #
+# ------------------------------------------------------------------ #
+
+
+def _decode_progressive(
+    payload, pos, w, h, comps, samplings, qt, huff_dc, huff_ac,
+    restart_interval, strict, _coef_sink=None,
+):
+    """Progressive JPEG (T.81 Annex G): coefficients accumulate over
+    MULTIPLE scans — spectral selection (each AC scan carries a
+    [Ss, Se] zigzag band of ONE component; DC scans may interleave
+    components) and successive approximation (``Ah=0`` first passes
+    store values ``<< Al``; ``Ah>0`` refinement passes append one
+    magnitude bit per coefficient, with the G.1.2.3 correction-bit
+    protocol for already-nonzero history). This walks every marker
+    segment from the first SOS (tables may be redefined between
+    scans), applies each scan to the per-component coefficient
+    state, and runs dequantize + IDCT + upsample + color-convert
+    once at EOI — all-integer, so progressive fixtures stay exactly
+    oracle-replayable. Restart markers reset DC predictors and the
+    EOB run (G.1.2.2)."""
+    import struct
+
+    import numpy as np
+
+    def reject(why: str):
+        if strict:
+            raise JpegRejected(why)
+        return None
+
+    ncomp = len(comps)
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # padded (interleaved-geometry) block grids; non-interleaved scans
+    # traverse only the component's own ceil-grid (T.81 A.2.2)
+    bw = [mcux * samplings[i][0] for i in range(ncomp)]
+    bh = [mcuy * samplings[i][1] for i in range(ncomp)]
+    ncw = [
+        (-(-(w * samplings[i][0]) // hmax) + 7) // 8 for i in range(ncomp)
+    ]
+    nch = [
+        (-(-(h * samplings[i][1]) // vmax) + 7) // 8 for i in range(ncomp)
+    ]
+    coefs = [
+        np.zeros((bh[i] * bw[i], 64), dtype=np.int64) for i in range(ncomp)
+    ]
+    by_id = {cid: i for i, (cid, _tq) in enumerate(comps)}
+
+    def _refine_nz(block, z, br, p1, m1):
+        if br.read(1):
+            if (int(block[z]) & p1) == 0:
+                block[z] += p1 if block[z] >= 0 else m1
+
+    def _expect_rst(br):
+        if br.marker is None:
+            br._fill()
+        m = br.restart()
+        if m is None or not (0xD0 <= m <= 0xD7):
+            raise JpegRejected("expected RSTn marker")
+
+    def do_scan(data_pos, scan, ss, se, ah, al, ri):
+        """One scan's entropy segment; returns the byte position of
+        the next marker. ``scan`` = [(comp_idx, dc_tid, ac_tid)]."""
+        br = _BitReader(payload, data_pos)
+        p1, m1 = 1 << al, -(1 << al)
+        if ss == 0:
+            if se != 0:
+                raise JpegRejected("DC scan with Se != 0")
+            tabs = []
+            for ci, td, _ta in scan:
+                t = huff_dc.get(td)
+                if ah == 0 and t is None:
+                    raise JpegRejected("missing DC Huffman table")
+                tabs.append(t)
+            preds = [0] * len(scan)
+
+            def dc_block(si, bidx):
+                block = coefs[scan[si][0]][bidx]
+                if ah == 0:
+                    s = _huff_decode(br, tabs[si])
+                    if s > 11:
+                        raise JpegRejected("DC category out of range")
+                    preds[si] += _extend(br.read(s), s)
+                    block[0] = preds[si] << al
+                else:
+                    if br.read(1):
+                        block[0] |= p1
+
+            unit = 0
+            if len(scan) > 1:  # interleaved MCU order
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if ri and unit and unit % ri == 0:
+                            _expect_rst(br)
+                            preds[:] = [0] * len(scan)
+                        for si, (ci, _td, _ta) in enumerate(scan):
+                            hi, vi = samplings[ci]
+                            for vy in range(vi):
+                                for vx in range(hi):
+                                    dc_block(
+                                        si,
+                                        (my * vi + vy) * bw[ci]
+                                        + mx * hi + vx,
+                                    )
+                        unit += 1
+            else:
+                ci = scan[0][0]
+                for by in range(nch[ci]):
+                    for bx in range(ncw[ci]):
+                        if ri and unit and unit % ri == 0:
+                            _expect_rst(br)
+                            preds[:] = [0] * len(scan)
+                        dc_block(0, by * bw[ci] + bx)
+                        unit += 1
+        else:
+            if len(scan) != 1:
+                raise JpegRejected(
+                    "progressive AC scan must be single-component"
+                )
+            if se > 63 or ss > se:
+                raise JpegRejected("bad spectral band")
+            ci, _td, ta = scan[0]
+            actab = huff_ac.get(ta)
+            if actab is None:
+                raise JpegRejected("missing AC Huffman table")
+            eobrun = 0
+            unit = 0
+            for by in range(nch[ci]):
+                for bx in range(ncw[ci]):
+                    if ri and unit and unit % ri == 0:
+                        _expect_rst(br)
+                        eobrun = 0
+                    block = coefs[ci][by * bw[ci] + bx]
+                    if ah == 0:
+                        eobrun = _ac_first_block(
+                            block, br, actab, ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _ac_refine_block(
+                            block, br, actab, ss, se, p1, m1, eobrun,
+                            _refine_nz,
+                        )
+                    unit += 1
+        # advance to the next marker (skip padding + FF00 stuffing)
+        p = br.pos
+        nb = len(payload)
+        while p + 1 < nb:
+            if payload[p] == 0xFF and payload[p + 1] != 0x00:
+                if 0xD0 <= payload[p + 1] <= 0xD7:
+                    p += 2  # stray RSTn
+                    continue
+                return p
+            p += 1
+        return nb
+
+    n = len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            return reject("marker sync lost")
+        m = payload[pos + 1]
+        if m == 0xD9:  # EOI
+            break
+        if pos + 4 > n:
+            return reject("truncated marker segment")
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return reject("truncated marker segment")
+        if m == 0xC4:  # DHT (tables may arrive between scans)
+            p = 0
+            while p < len(body):
+                tc_th = body[p]
+                bits = list(body[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17:p + 17 + nv])
+                if len(vals) < nv:
+                    return reject("truncated DHT")
+                table = _build_huff(bits, vals)
+                if tc_th >> 4 == 0:
+                    huff_dc[tc_th & 15] = table
+                else:
+                    huff_ac[tc_th & 15] = table
+                p += 17 + nv
+        elif m == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq_tq = body[p]
+                if pq_tq >> 4 != 0:
+                    return reject(
+                        "16-bit quantization tables unsupported"
+                    )
+                vals = list(body[p + 1:p + 65])
+                if len(vals) < 64:
+                    return reject("truncated DQT")
+                qt[pq_tq & 15] = vals
+                p += 65
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif m == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs = body[1 + 2 * si]
+                td_ta = body[2 + 2 * si]
+                if cs not in by_id:
+                    return reject("scan references unknown component")
+                scan.append((by_id[cs], td_ta >> 4, td_ta & 15))
+            ss_, se_, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            try:
+                pos = do_scan(
+                    pos + 2 + seglen, scan, ss_, se_,
+                    ahal >> 4, ahal & 15, restart_interval,
+                )
+            except JpegRejected as e:
+                return reject(str(e))
+            except IndexError:
+                return reject("truncated entropy segment")
+            continue
+        pos += 2 + seglen
+
+    if _coef_sink is not None:  # test hook: raw coefficient state
+        _coef_sink(coefs)
+    # reconstruction: dequantize + IDCT every block once, at EOI
+    zz = np.array(ZIGZAG, dtype=np.int64)
+    planes = []
+    for i in range(ncomp):
+        q = qt.get(comps[i][1])
+        if q is None:
+            return reject("missing quantization table")
+        # scans stored coefficients at their RASTER index
+        # (block[ZIGZAG[k]]), so permute the zigzag-ordered DQT the
+        # same way before the elementwise dequantize
+        qr = np.empty(64, dtype=np.int64)
+        qr[zz] = np.array(q, dtype=np.int64)
+        plane = np.zeros((bh[i] * 8, bw[i] * 8), dtype=np.uint8)
+        for by in range(bh[i]):
+            for bx in range(bw[i]):
+                block = coefs[i][by * bw[i] + bx] * qr
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    idct8x8_int(block.reshape(8, 8))
+                )
+        planes.append(plane)
+    return _finish_planes(planes, samplings, hmax, vmax, w, h)
+
+
+def _ac_first_block(block, br, actab, ss, se, al, eobrun):
+    """First (``Ah=0``) AC pass for one block: RS coding with
+    end-of-band runs; values land ``<< Al`` (G.1.2.2)."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, actab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: run of 2^r + appended bits blocks
+                eb = (1 << r) - 1
+                if r:
+                    eb += br.read(r)
+                return eb
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise JpegRejected("AC run past band end")
+        block[ZIGZAG[k]] = _extend(br.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(block, br, actab, ss, se, p1, m1, eobrun, refine_nz):
+    """Refinement (``Ah>0``) AC pass for one block — the G.1.2.3
+    correction-bit protocol: newly-significant coefficients arrive as
+    ±2^Al with an embedded sign bit; every already-nonzero
+    coefficient PASSED (including the post-EOB tail) reads one
+    correction bit appending to its magnitude."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, actab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    # includes the CURRENT block: its remaining
+                    # nonzero coefficients still read correction bits
+                    # in the tail below before eobrun decrements
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise JpegRejected("refinement magnitude must be 1")
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if block[z] != 0:
+                    refine_nz(block, z, br, p1, m1)
+                else:
+                    if r == 0:
+                        if val:
+                            block[z] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if block[z] != 0:
+                refine_nz(block, z, br, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # ------------------------------------------------------------------ #
@@ -920,6 +1278,285 @@ def build_jpeg_color(
         b"\xff\xd8" + dqt + sof + dht + dri + sos
         + bytes(entropy) + b"\xff\xd9"
     )
+
+
+def build_jpeg_progressive(
+    pixels: list,
+    quant: list[int] | None = None,
+    subsample: str = "444",
+) -> bytes:
+    """Synthesize a VALID progressive (SOF2) JPEG — grayscale (int
+    matrix) or YCbCr color ((r, g, b) matrix) at 4:4:4 or 4:2:0 —
+    with the classic scan script: DC first pass at Al=1 (interleaved
+    for 1x1 layouts, per-component for 4:2:0 — both legal, and the
+    pair exercises both decoder traversals), per-component AC
+    spectral-selection passes (bands 1–5 and 6–63) at Al=1,
+    per-component AC successive-approximation refinements to Al=0
+    (the G.1.2.3 correction-bit protocol, with cross-block EOBn runs
+    in the first passes), and a DC refinement to Al=0. All
+    coefficients reach full precision, so with a unit quant table the
+    image decodes to exactly the baseline encoder's pixels — the
+    analytic-fixture property the driver oracles rely on."""
+    import math
+    import struct
+
+    import numpy as np
+
+    gray = not isinstance(pixels[0][0], (tuple, list))
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsample {subsample!r}")
+    h = len(pixels)
+    w = len(pixels[0])
+    quant = quant or [1] * 64
+
+    def pad(pl, tw, th):
+        pd = np.empty((th, tw), dtype=np.int64)
+        ph, pw = pl.shape
+        pd[:ph, :pw] = pl
+        for y in range(ph, th):
+            pd[y, :pw] = pl[ph - 1, :]
+        for x in range(pw, tw):
+            pd[:, x] = pd[:, x - 1]
+        return pd
+
+    if gray:
+        samp = [(1, 1)]
+        comp_planes = [
+            pad(
+                np.asarray(pixels, dtype=np.int64),
+                (w + 7) // 8 * 8, (h + 7) // 8 * 8,
+            )
+        ]
+    else:
+        planes = [
+            np.array(
+                [[rgb_to_ycbcr_int(*px)[ch] for px in row]
+                 for row in pixels],
+                dtype=np.int64,
+            )
+            for ch in range(3)
+        ]
+        if subsample == "444":
+            samp = [(1, 1)] * 3
+            comp_planes = [
+                pad(p, (w + 7) // 8 * 8, (h + 7) // 8 * 8)
+                for p in planes
+            ]
+        else:
+            samp = [(2, 2), (1, 1), (1, 1)]
+            aw = (w + 15) // 16 * 16
+            ah = (h + 15) // 16 * 16
+            ypad = pad(planes[0], aw, ah)
+            chroma = []
+            for p in planes[1:]:
+                pp = pad(p, aw, ah)
+                acc = (
+                    pp[0::2, 0::2] + pp[0::2, 1::2]
+                    + pp[1::2, 0::2] + pp[1::2, 1::2]
+                )
+                chroma.append((acc + 2) // 4)
+            comp_planes = [ypad] + chroma
+    ncomp = len(comp_planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # per-component non-interleaved block grids (progressive AC —
+    # and our per-component DC scans — traverse these; T.81 A.2.2)
+    ncw = [(-(-(w * samp[i][0]) // hmax) + 7) // 8 for i in range(ncomp)]
+    nch = [(-(-(h * samp[i][1]) // vmax) + 7) // 8 for i in range(ncomp)]
+
+    basis = np.empty((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            basis[u, x] = (cu / 2.0) * math.cos(
+                (2 * x + 1) * u * math.pi / 16.0
+            )
+    qv = (
+        np.array(quant, dtype=np.float64)[np.argsort(np.array(ZIGZAG))]
+        .reshape(8, 8)
+    )
+    zz_idx = np.array(ZIGZAG)
+    # per comp: (nch, ncw, 64) quantized zigzag coefficients
+    zc = []
+    for ci in range(ncomp):
+        grid = np.zeros((nch[ci], ncw[ci], 64), dtype=np.int64)
+        for by in range(nch[ci]):
+            for bx in range(ncw[ci]):
+                blk = comp_planes[ci][
+                    by * 8:by * 8 + 8, bx * 8:bx * 8 + 8
+                ].astype(np.float64) - 128.0
+                qz = np.round((basis @ blk @ basis.T) / qv).astype(
+                    np.int64
+                )
+                grid[by, bx] = qz.reshape(-1)[zz_idx]
+        zc.append(grid)
+
+    enc_dc = _enc_table(DC_LUM_BITS, DC_LUM_VALS)
+    enc_ac = _enc_table(PROG_AC_BITS, PROG_AC_VALS)
+
+    def put_mag(bits, v):
+        s = v.bit_length() if v > 0 else (-v).bit_length()
+        return s, (v if v > 0 else v + (1 << s) - 1)
+
+    def dc_first(bits, comp_idxs, al):
+        preds = {ci: 0 for ci in comp_idxs}
+        # comp grids are equal whenever this is called interleaved
+        for by in range(nch[comp_idxs[0]]):
+            for bx in range(ncw[comp_idxs[0]]):
+                for ci in comp_idxs:
+                    v = int(zc[ci][by, bx, 0]) >> al  # arithmetic
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s, bitsv = put_mag(bits, diff) if diff else (0, 0)
+                    bits.put(*enc_dc[s])
+                    if s:
+                        bits.put(bitsv, s)
+
+    def dc_refine(bits, comp_idxs, al):
+        for by in range(nch[comp_idxs[0]]):
+            for bx in range(ncw[comp_idxs[0]]):
+                for ci in comp_idxs:
+                    bits.put((int(zc[ci][by, bx, 0]) >> al) & 1, 1)
+
+    def ac_first(bits, ci, ss, se, al):
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun:
+                r = min(14, eobrun.bit_length() - 1)
+                cover = min(eobrun, (1 << (r + 1)) - 1)
+                bits.put(*enc_ac[r << 4])
+                if r:
+                    bits.put(cover - (1 << r), r)
+                eobrun -= cover
+
+        for by in range(nch[ci]):
+            for bx in range(ncw[ci]):
+                band = [int(v) for v in zc[ci][by, bx, ss:se + 1]]
+                vals = [
+                    (abs(v) >> al) * (1 if v >= 0 else -1) for v in band
+                ]
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for v in vals:
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        bits.put(*enc_ac[0xF0])
+                        r -= 16
+                    s, bitsv = put_mag(bits, v)
+                    bits.put(*enc_ac[(r << 4) | s])
+                    bits.put(bitsv, s)
+                    r = 0
+                if r:
+                    eobrun += 1  # EOB covers this block's tail too
+        flush_eob()
+
+    def ac_refine(bits, ci, ss, se, al):
+        # history = magnitude at the previous precision (al+1); this
+        # pass appends bit ``al`` (single-block EOBs: legal, simpler)
+        for by in range(nch[ci]):
+            for bx in range(ncw[ci]):
+                band = [int(v) for v in zc[ci][by, bx, ss:se + 1]]
+                a = [abs(v) >> al for v in band]
+                hist = [abs(v) >> (al + 1) for v in band]
+                nb = len(band)
+                i = 0
+                while True:
+                    kn = next(
+                        (
+                            j for j in range(i, nb)
+                            if hist[j] == 0 and a[j] == 1
+                        ),
+                        None,
+                    )
+                    if kn is None:
+                        break
+                    zeros = 0
+                    pend = []
+                    for j in range(i, kn):
+                        if hist[j]:
+                            pend.append(a[j] & 1)
+                        else:
+                            zeros += 1
+                            if zeros == 16:
+                                bits.put(*enc_ac[0xF0])
+                                for bit in pend:
+                                    bits.put(bit, 1)
+                                pend = []
+                                zeros = 0
+                    bits.put(*enc_ac[(zeros << 4) | 1])
+                    bits.put(1 if band[kn] >= 0 else 0, 1)
+                    for bit in pend:
+                        bits.put(bit, 1)
+                    i = kn + 1
+                if i < nb:
+                    # EOB (run of one block) + the tail's correction
+                    # bits for already-significant coefficients
+                    bits.put(*enc_ac[0x00])
+                    for j in range(i, nb):
+                        if hist[j]:
+                            bits.put(a[j] & 1, 1)
+
+    def seg_marker(m: int, body: bytes) -> bytes:
+        return bytes([0xFF, m]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(scan_comps, ss, se, ah, al):
+        body = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            body += bytes([ci + 1, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg_marker(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg_marker(0xDB, bytes([0x00]) + bytes(quant))
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof_body += bytes(
+            [ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0]
+        )
+    out += seg_marker(0xC2, sof_body)
+    out += seg_marker(
+        0xC4,
+        bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+        + bytes([0x10]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS),
+    )
+
+    def emit(scan_fn, *args):
+        bits = _BitWriter()
+        scan_fn(bits, *args)
+        return bits.finish()
+
+    all_comps = list(range(ncomp))
+    # DC first at Al=1: interleaved when grids align (1x1 layouts),
+    # per-component scans for 4:2:0 (both decoder traversals covered)
+    if hmax == 1 and vmax == 1:
+        out += sos(all_comps, 0, 0, 0, 1) + emit(dc_first, all_comps, 1)
+    else:
+        for ci in all_comps:
+            out += sos([ci], 0, 0, 0, 1) + emit(dc_first, [ci], 1)
+    # AC spectral selection at Al=1, two bands per component
+    for ci in all_comps:
+        out += sos([ci], 1, 5, 0, 1) + emit(ac_first, ci, 1, 5, 1)
+        out += sos([ci], 6, 63, 0, 1) + emit(ac_first, ci, 6, 63, 1)
+    # AC successive-approximation refinement to Al=0
+    for ci in all_comps:
+        out += sos([ci], 1, 63, 1, 0) + emit(ac_refine, ci, 1, 63, 0)
+    # DC refinement to Al=0 (no Huffman table involved)
+    if hmax == 1 and vmax == 1:
+        out += sos(all_comps, 0, 0, 1, 0) + emit(dc_refine, all_comps, 0)
+    else:
+        for ci in all_comps:
+            out += sos([ci], 0, 0, 1, 0) + emit(dc_refine, [ci], 0)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def jpeg_color_features(media: DataFrame) -> DataFrame:

