@@ -1,28 +1,33 @@
-"""REAL zero-dependency FLAC decode (mono 16-bit, CONSTANT /
-VERBATIM / FIXED / LPC subframes with partitioned Rice residuals) —
-the lossless audio sibling of the PCM/JPEG/PNG genuine-decode tiers
-(VERDICT r9 gap #3: real AV decode; r10 next-round #4: LPC).
+"""REAL zero-dependency FLAC decode (mono AND stereo 16-bit,
+CONSTANT / VERBATIM / FIXED / LPC subframes with partitioned Rice
+residuals) — the lossless audio sibling of the PCM/JPEG/PNG
+genuine-decode tiers (VERDICT r9 gap #3: real AV decode; r10
+next-round #4: LPC; round 11: stereo decorrelation).
 
 Scope (the exactly-decodable deterministic subset of the public FLAC
 format, RFC 9639 / xiph spec): ``fLaC`` + STREAMINFO metadata walk,
 fixed-blocksize frames with CRC-8-checked headers (UTF-8 frame
-numbers), mono 16-bit, subframe types CONSTANT, VERBATIM, FIXED
+numbers), mono or stereo 16-bit — stereo via all four channel
+assignments: independent L/R, left/side, right/side, mid/side (the
+side subframe carries bps+1 bits; the decorrelations are exact
+integer bijections) — subframe types CONSTANT, VERBATIM, FIXED
 orders 0–4 AND LPC orders 1–32 (quantized integer coefficients +
 arithmetic shift — pure integer arithmetic, same determinism class
 as the fixed predictors), with Rice method-0 residuals (4-bit
 parameters, escape partitions, multi-partition orders), and the
 frame CRC-16. FLAC is LOSSLESS, so the decode contract is total:
 decoded samples == original samples bit-for-bit — which is what
-makes the driver query's oracle fully analytic. Stereo decorrelation
-and non-16-bit depths are rejected loudly in ``strict`` mode and
-skipped in the corpus path (the sniffer skip contract); they stay
-behind the ffmpeg/libFLAC seam.
+makes the driver query's oracle fully analytic. >2 channels and
+non-16-bit depths are rejected loudly in ``strict`` mode and skipped
+in the corpus path (the sniffer skip contract); they stay behind the
+ffmpeg/libFLAC seam.
 
-The fixture generator :func:`build_flac_pcm16` is a matching encoder
-that picks, per frame, whichever of CONSTANT / FIXED(0–4) / VERBATIM
-codes the block smallest (the real encoder decision shape) — or, with
-``lpc_order``, emits genuine LPC subframes with Levinson-Durbin
-quantized coefficients — writing real Rice partitions and both CRCs.
+The fixture generators :func:`build_flac_pcm16` /
+:func:`build_flac_stereo16` are matching encoders: per frame the
+smallest of CONSTANT / FIXED(0–4) / VERBATIM (the real encoder
+decision shape) — or, with ``lpc_order``, genuine LPC subframes with
+Levinson-Durbin quantized coefficients — and, for stereo, a cycling
+decorrelation mode; real Rice partitions and both CRCs throughout.
 """
 
 from __future__ import annotations
@@ -283,16 +288,92 @@ def build_flac_pcm16(
     return bytes(out)
 
 
+def build_flac_stereo16(
+    left: list[int],
+    right: list[int],
+    block_size: int = 256,
+    sample_rate: int = 16000,
+    partition_order: int = 1,
+    lpc_order: int | None = None,
+    modes: tuple = ("indep", "left", "right", "mid"),
+) -> bytes:
+    """Encode a stereo 16-bit pair as a VALID FLAC stream, cycling
+    the inter-channel decorrelation mode per frame (RFC 9639 §4.2):
+    ``indep`` (L+R), ``left`` (L + side), ``right`` (side + R),
+    ``mid`` (mid + side) — side subframes carry bps+1 bits. Lossless
+    by construction for every mode (the decorrelations are exact
+    integer bijections), pinned by the decode round-trip."""
+    import struct
+
+    assert len(left) == len(right)
+    n_total = len(left)
+    streaminfo = (
+        struct.pack(">HH", block_size, block_size)
+        + b"\x00\x00\x00" + b"\x00\x00\x00"
+        + bytes(
+            [
+                (sample_rate >> 12) & 0xFF,
+                (sample_rate >> 4) & 0xFF,
+                (((sample_rate & 0xF) << 4) | (1 << 1) | (15 >> 4))
+                & 0xFF,  # channels-1 = 1 (stereo)
+                ((15 & 0xF) << 4 | ((n_total >> 32) & 0xF)) & 0xFF,
+            ]
+        )
+        + struct.pack(">I", n_total & 0xFFFFFFFF)
+        + b"\x00" * 16
+    )
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    chan_code = {
+        "indep": 0b0001, "left": 0b1000, "right": 0b1001, "mid": 0b1010,
+    }
+    for fi in range(0, max(1, (n_total + block_size - 1) // block_size)):
+        lb = left[fi * block_size:(fi + 1) * block_size]
+        rb = right[fi * block_size:(fi + 1) * block_size]
+        if not lb:
+            break
+        bs = len(lb)
+        mode = modes[fi % len(modes)]
+        side = [x - y for x, y in zip(lb, rb)]
+        if mode == "indep":
+            a, b, bps_a, bps_b = lb, rb, 16, 16
+        elif mode == "left":
+            a, b, bps_a, bps_b = lb, side, 16, 17
+        elif mode == "right":
+            a, b, bps_a, bps_b = side, rb, 17, 16
+        else:  # mid/side
+            mid = [(x + y) >> 1 for x, y in zip(lb, rb)]
+            a, b, bps_a, bps_b = mid, side, 16, 17
+        hdr = bytearray()
+        hdr += bytes([0xFF, 0xF8])
+        hdr += bytes([(0b0111 << 4) | 0b0000])
+        hdr += bytes([(chan_code[mode] << 4) | (0b100 << 1)])
+        hdr += _utf8_number(fi)
+        hdr += struct.pack(">H", bs - 1)
+        hdr.append(_crc8(bytes(hdr)))
+        bits = _Bits()
+        _encode_subframe(bits, a, partition_order, lpc_order, bps=bps_a)
+        _encode_subframe(bits, b, partition_order, lpc_order, bps=bps_b)
+        bits.align()
+        frame = bytes(hdr) + bits.bytes()
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+    return bytes(out)
+
+
 def _encode_subframe(
     bits: _Bits, blk: list[int], partition_order: int,
     lpc_order: int | None = None,
+    bps: int = 16,
 ):
     bs = len(blk)
+    mask = (1 << bps) - 1
     if all(s == blk[0] for s in blk):
         bits.put(0, 1)
         bits.put(0b000000, 6)  # CONSTANT
         bits.put(0, 1)
-        bits.put(blk[0] & 0xFFFF, 16)
+        bits.put(blk[0] & mask, bps)
         return
     if lpc_order is not None:
         q = _quantized_lpc(blk, lpc_order)
@@ -311,7 +392,7 @@ def _encode_subframe(
             bits.put(0b100000 | (order - 1), 6)  # LPC
             bits.put(0, 1)
             for s in blk[:order]:  # warmup
-                bits.put(s & 0xFFFF, 16)
+                bits.put(s & mask, bps)
             bits.put(12 - 1, 4)  # qlp precision − 1
             bits.put(shift & 0x1F, 5)
             for c in coefs:
@@ -337,13 +418,13 @@ def _encode_subframe(
         bits.put(0b000001, 6)  # VERBATIM
         bits.put(0, 1)
         for s in blk:
-            bits.put(s & 0xFFFF, 16)
+            bits.put(s & mask, bps)
         return
     bits.put(0, 1)
     bits.put(0b001000 | order, 6)  # FIXED
     bits.put(0, 1)
     for s in blk[:order]:  # warmup
-        bits.put(s & 0xFFFF, 16)
+        bits.put(s & mask, bps)
     _write_residuals(bits, res, bs, order, partition_order)
 
 
@@ -407,23 +488,26 @@ def decode_flac_pcm16(payload: bytes, strict: bool = False):
         pos += 4 + ln
     if bps is None:
         return reject("missing STREAMINFO")
-    if nch != 1:
-        return reject("stereo/multichannel unsupported (mono only)")
+    if nch not in (1, 2):
+        return reject(f"{nch}-channel audio unsupported (mono/stereo)")
     if bps != 16:
         return reject(f"{bps}-bit depth unsupported (16 only)")
 
     try:
-        return _decode_frames(payload, pos, n_total)
+        return _decode_frames(payload, pos, n_total, nch=nch)
     except FlacRejected as e:
         return reject(str(e))
     except (IndexError, struct.error):
         return reject("truncated stream")
 
 
-def _decode_frames(payload: bytes, pos: int, n_total):
+def _decode_frames(payload: bytes, pos: int, n_total, nch: int = 1):
     """Frame loop; every contract violation raises
     :class:`FlacRejected` (the public wrapper converts per its strict
-    flag)."""
+    flag). Stereo frames decode both subframes and undo the
+    inter-channel decorrelation (RFC 9639 §4.2: left/side,
+    right/side, mid/side — the side subframe carries bps+1 bits);
+    output interleaves L R L R…"""
     import struct
 
     out: list[int] = []
@@ -437,8 +521,15 @@ def _decode_frames(payload: bytes, pos: int, n_total):
         src = payload[pos + 2] & 0xF
         chan = payload[pos + 3] >> 4
         ss = (payload[pos + 3] >> 1) & 0x7
-        if chan != 0:
-            raise FlacRejected("stereo decorrelation unsupported")
+        if nch == 1:
+            if chan != 0:
+                raise FlacRejected("channel layout disagrees with "
+                                   "STREAMINFO (mono)")
+        else:
+            if chan not in (0b0001, 0b1000, 0b1001, 0b1010):
+                raise FlacRejected(
+                    "unsupported stereo channel assignment"
+                )
         if ss != 0b100:
             raise FlacRejected("frame sample size not 16-bit")
         pos += 4
@@ -476,7 +567,29 @@ def _decode_frames(payload: bytes, pos: int, n_total):
         pos += 1
 
         br = _BitR(payload, pos * 8)
-        blk = _decode_subframe(br, bs, 16, True)
+        if nch == 1:
+            blk = _decode_subframe(br, bs, 16, True)
+        else:
+            # side subframes carry one extra bit of range
+            bps_a = 17 if chan == 0b1001 else 16
+            bps_b = 17 if chan in (0b1000, 0b1010) else 16
+            a = _decode_subframe(br, bs, bps_a, True)
+            b = _decode_subframe(br, bs, bps_b, True)
+            if chan == 0b0001:  # independent L, R
+                l, r = a, b
+            elif chan == 0b1000:  # left/side: R = L − side
+                l = a
+                r = [x - s for x, s in zip(a, b)]
+            elif chan == 0b1001:  # right/side: L = R + side
+                r = b
+                l = [x + s for x, s in zip(b, a)]
+            else:  # mid/side (RFC 9639 §4.2.4)
+                l, r = [], []
+                for m, s in zip(a, b):
+                    m = (m << 1) | (s & 1)
+                    l.append((m + s) >> 1)
+                    r.append((m - s) >> 1)
+            blk = [v for pair in zip(l, r) for v in pair]
         br.align()
         pos = br.pos >> 3
         (crc16,) = struct.unpack(">H", payload[pos:pos + 2])
@@ -484,8 +597,8 @@ def _decode_frames(payload: bytes, pos: int, n_total):
             raise FlacRejected("frame CRC-16 mismatch")
         pos += 2
         out.extend(blk)
-    if n_total and len(out) > n_total:
-        out = out[:n_total]
+    if n_total and len(out) > n_total * nch:
+        out = out[:n_total * nch]
     return out
 
 

@@ -1224,6 +1224,7 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from deltalake_datafusion_spark.operators.flac import (
             build_flac_pcm16,
+            build_flac_stereo16,
         )
 
         for pdf in it:
@@ -1241,6 +1242,21 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # orders 1–8 otherwise — decode is lossless either
                 # way, so the oracle's analytic stats don't change
                 lpc = ((did // 13) % 9) or None
+                if did % 11 == 3:
+                    # STEREO: left = the mono ramp, right = a second
+                    # analytic ramp; frames cycle all four channel
+                    # assignments (indep / left-side / right-side /
+                    # mid-side) — the oracle unions both formulas
+                    right = [((i * 53 + did * 71) % 1777) - 888
+                             for i in range(n)]
+                    payloads.append(
+                        build_flac_stereo16(
+                            s, right, block_size=256,
+                            partition_order=did % 3,
+                            lpc_order=lpc,
+                        )
+                    )
+                    continue
                 payloads.append(
                     build_flac_pcm16(
                         s, block_size=256,
@@ -1264,6 +1280,11 @@ WITH ids AS (
 samples AS (
   SELECT doc_id, ((i * 37 + doc_id * 101) % 2001) - 1000 AS s FROM (
     SELECT doc_id, unnest(range(n)) AS i FROM ids)
+  UNION ALL
+  -- stereo docs: the right channel's second analytic ramp
+  SELECT doc_id, ((i * 53 + doc_id * 71) % 1777) - 888 AS s FROM (
+    SELECT doc_id, unnest(range(n)) AS i FROM ids
+    WHERE doc_id % 11 = 3)
 )
 SELECT doc_id AS media_id,
   CAST(COUNT(*) AS BIGINT) AS n_samples,

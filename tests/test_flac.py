@@ -62,10 +62,11 @@ def test_crc_and_reject_taxonomy():
     hdr_corrupt[soff + 2] ^= 0x10
     with pytest.raises(FlacRejected):
         decode_flac_pcm16(bytes(hdr_corrupt), strict=True)
-    # stereo STREAMINFO rejects by name
+    # STREAMINFO relabeled stereo over mono frames: the per-frame
+    # channel assignment no longer agrees → loud reject
     stereo = bytearray(b)
     stereo[8 + 12] |= 0b0010  # channels-1 = 1
-    with pytest.raises(FlacRejected, match="mono"):
+    with pytest.raises(FlacRejected, match="channel"):
         decode_flac_pcm16(bytes(stereo), strict=True)
     assert decode_flac_pcm16(b"junk") is None
     assert decode_flac_pcm16(None) is None
@@ -186,3 +187,81 @@ def test_lpc_short_blocks_fall_back():
     for s in ([5, -3, 7], [1, 2], [42]):
         enc = build_flac_pcm16(s, lpc_order=8)
         assert decode_flac_pcm16(enc, strict=True) == s
+
+
+# ------------------------------------------------------------------ #
+# Stereo decorrelation (round 11)                                     #
+# ------------------------------------------------------------------ #
+
+
+def _stereo_pair(n=1000):
+    import math
+
+    L = [int(9000 * math.sin(i / 5.3)) for i in range(n)]
+    R = [int(7000 * math.sin(i / 7.1 + 1)) + (i % 17) for i in range(n)]
+    return L, R
+
+
+def _interleave(L, R):
+    return [v for p in zip(L, R) for v in p]
+
+
+@pytest.mark.parametrize("mode", ["indep", "left", "right", "mid"])
+def test_stereo_each_mode_lossless(mode):
+    from deltalake_datafusion_spark.operators.flac import (
+        build_flac_stereo16,
+        decode_flac_pcm16,
+    )
+
+    L, R = _stereo_pair()
+    enc = build_flac_stereo16(L, R, modes=(mode,), lpc_order=4)
+    assert decode_flac_pcm16(enc, strict=True) == _interleave(L, R)
+
+
+def test_stereo_mode_cycling_and_tail_block():
+    from deltalake_datafusion_spark.operators.flac import (
+        build_flac_stereo16,
+        decode_flac_pcm16,
+    )
+
+    L, R = _stereo_pair(777)  # ragged tail frame
+    for lpc in (None, 2, 8):
+        for po in (0, 1, 2):
+            enc = build_flac_stereo16(
+                L, R, lpc_order=lpc, partition_order=po
+            )
+            assert decode_flac_pcm16(enc, strict=True) == _interleave(
+                L, R
+            ), (lpc, po)
+
+
+def test_stereo_side_channel_full_range_needs_17_bits():
+    """±32767/∓32768 pairs drive the side channel to ±65535 — the
+    17-bit side subframe must carry it exactly."""
+    from deltalake_datafusion_spark.operators.flac import (
+        build_flac_stereo16,
+        decode_flac_pcm16,
+    )
+
+    L = [32767, -32768] * 300
+    R = [-32768, 32767] * 300
+    for mode in ("left", "right", "mid"):
+        enc = build_flac_stereo16(L, R, modes=(mode,))
+        assert decode_flac_pcm16(enc, strict=True) == _interleave(L, R)
+
+
+def test_multichannel_rejected_mono_unchanged():
+    from deltalake_datafusion_spark.operators.flac import (
+        FlacRejected,
+        build_flac_pcm16,
+        decode_flac_pcm16,
+    )
+
+    enc = bytearray(build_flac_pcm16([1, 2, 3] * 100))
+    # STREAMINFO channels-1 field → 5 (6 channels): byte 8+4+12 of
+    # the stream (fLaC + block header + 12 bytes into STREAMINFO)
+    b = enc[8 + 12]
+    enc[8 + 12] = (b & ~0x0E) | (5 << 1)
+    with pytest.raises(FlacRejected, match="channel"):
+        decode_flac_pcm16(bytes(enc), strict=True)
+    assert decode_flac_pcm16(bytes(enc)) is None
