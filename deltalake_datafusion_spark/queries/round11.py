@@ -23,6 +23,11 @@ def specs() -> list[QuerySpec]:
             delta_mv_join_minmax,
             _MV_JOIN_MINMAX_SQL,
         ),
+        QuerySpec(
+            "multimodal_png_depth",
+            multimodal_png_depth,
+            _PNG_DEPTH_SQL,
+        ),
     ]
 
 
@@ -197,4 +202,116 @@ SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
   CAST(MAX(cents) AS BIGINT) AS hi
 FROM fact JOIN dim ON fk = dk
 GROUP BY seg ORDER BY seg
+"""
+
+# ---------------------------------------------------------------- #
+# multimodal_png_depth                                              #
+# ---------------------------------------------------------------- #
+
+
+def multimodal_png_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG bit-depth matrix decode (``operators/multimodal.py::
+    decode_png`` — the r10 residual 16-bit/sub-byte subsets):
+    genuine grayscale PNGs at 1/2/4/16 bits (MSB-first sub-byte
+    unpack, big-endian 16-bit assembly, all five filters via the
+    default per-row cycle) and — doc_id%9==5 — 16-bit TRUECOLOR.
+    Channel values are analytic in (doc_id, x, y) mod the depth's
+    range; the operator reports raw-sample channel/luma sums, which
+    the oracle recomputes arithmetically — an unpack-order, stride,
+    or endianness bug hash-fails. Every 13th payload is junk and
+    contributes no rows."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        png_color_features,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") % 6 == 5)
+        .select("doc_id")
+    )
+
+    def build(it):
+        import pandas as pd
+
+        from deltalake_datafusion_spark.operators.multimodal import (
+            build_png_gray,
+            build_png_rgb16,
+        )
+
+        W, H = 8, 6
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 13 == 7:
+                    payloads.append(b"not a png either")
+                    continue
+                if did % 9 == 5:
+                    px = [
+                        [
+                            (
+                                (did * 7 + 501 * x + 303 * y) % 65536,
+                                (did * 3 + 257 * x + 999 * y) % 65536,
+                                (did * 11 + 65 * x + 129 * y) % 65536,
+                            )
+                            for x in range(W)
+                        ]
+                        for y in range(H)
+                    ]
+                    payloads.append(build_png_rgb16(px))
+                    continue
+                d = (1, 2, 4, 16)[did % 4]
+                px = [
+                    [(did * 5 + 3 * x + 11 * y) % (1 << d)
+                     for x in range(W)]
+                    for y in range(H)
+                ]
+                payloads.append(build_png_gray(px, bit_depth=d))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return png_color_features(media).orderBy("media_id")
+
+
+_PNG_DEPTH_SQL = """
+WITH ids AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 6 = 5 AND doc_id % 13 <> 7
+),
+grid AS (
+  SELECT i.doc_id, x, y FROM ids i,
+    (SELECT unnest(range(8)) AS x) xs,
+    (SELECT unnest(range(6)) AS y) ys
+),
+px AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 9 = 5
+      THEN (doc_id * 7 + 501 * x + 303 * y) % 65536
+      ELSE (doc_id * 5 + 3 * x + 11 * y) % (1 << (CASE doc_id % 4
+        WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 16 END))
+    END AS r,
+    CASE WHEN doc_id % 9 = 5
+      THEN (doc_id * 3 + 257 * x + 999 * y) % 65536
+      ELSE (doc_id * 5 + 3 * x + 11 * y) % (1 << (CASE doc_id % 4
+        WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 16 END))
+    END AS g,
+    CASE WHEN doc_id % 9 = 5
+      THEN (doc_id * 11 + 65 * x + 129 * y) % 65536
+      ELSE (doc_id * 5 + 3 * x + 11 * y) % (1 << (CASE doc_id % 4
+        WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 16 END))
+    END AS b
+  FROM grid
+)
+SELECT doc_id AS media_id,
+  CAST(CASE WHEN doc_id % 9 = 5 THEN 2 ELSE 0 END AS INT) AS color_type,
+  CAST(8 AS INT) AS width,
+  CAST(6 AS INT) AS height,
+  CAST(SUM(r) AS BIGINT) AS sum_r,
+  CAST(SUM(g) AS BIGINT) AS sum_g,
+  CAST(SUM(b) AS BIGINT) AS sum_b,
+  CAST(SUM((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT)
+    AS sum_luma
+FROM px GROUP BY doc_id ORDER BY media_id
 """

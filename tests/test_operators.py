@@ -1877,3 +1877,45 @@ def test_png_palette_feature_sums(spark):
     assert row.sum_luma == sum(
         (299 * c[0] + 587 * c[1] + 114 * c[2]) // 1000 for c in flat
     )
+
+
+def test_png_gray_depth_and_16bit_matrix():
+    """Gray PNG at 1/2/4/8/16 bits and 16-bit truecolor/RGBA: raw
+    sample values round-trip exactly through every filter type (the
+    16-bit filter unit is two bytes per channel)."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_png_gray,
+        build_png_rgb16,
+        decode_png,
+    )
+
+    for d in (1, 2, 4, 8, 16):
+        mx = (1 << d) - 1
+        px = [[(x * 3 + y * 7) % (mx + 1) for x in range(7)]
+              for y in range(6)]
+        for filters in (None, [0] * 6, [1] * 6, [2] * 6, [3] * 6,
+                        [4] * 6):
+            ct, rows = decode_png(
+                build_png_gray(px, bit_depth=d, filters=filters)
+            )
+            assert ct == 0 and rows == px, (d, filters)
+    px = [
+        [((x * 1000 + y) % 65536, (x + y * 999) % 65536,
+          (x * 7 + y * 31) % 65536) for x in range(5)]
+        for y in range(4)
+    ]
+    assert decode_png(build_png_rgb16(px)) == (2, px)
+    pxa = [
+        [p + ((x * y * 111) % 65536,) for x, p in enumerate(row)]
+        for y, row in enumerate(px)
+    ]
+    assert decode_png(build_png_rgb16(pxa, alpha=True)) == (6, pxa)
+    # sub-byte truecolor is illegal per the spec → None
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_png_rgb,
+    )
+
+    c8 = [[(1, 2, 3)] * 4] * 3
+    bad = bytearray(build_png_rgb(c8))
+    bad[24] = 4  # IHDR bit depth
+    assert decode_png(bytes(bad)) is None
