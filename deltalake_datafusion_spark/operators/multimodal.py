@@ -1267,6 +1267,30 @@ def build_png_gray(
     return _png_encode(lines, bpp, w, h, bit_depth, 0, filters)
 
 
+def build_png_gray_alpha(
+    pixels: list, bit_depth: int = 8, filters: list | None = None
+) -> bytes:
+    """Synthesize a VALID grayscale+alpha PNG (color type 4) at bit
+    depth 8 or 16 from a row-major matrix of (gray, alpha) tuples.
+    stdlib-only."""
+    h = len(pixels)
+    w = len(pixels[0])
+    lines = []
+    for row in pixels:
+        line = bytearray()
+        for g, a in row:
+            if bit_depth == 16:
+                line += bytes(
+                    [(g >> 8) & 0xFF, g & 0xFF, (a >> 8) & 0xFF,
+                     a & 0xFF]
+                )
+            else:
+                line += bytes([g & 0xFF, a & 0xFF])
+        lines.append(bytes(line))
+    bpp = 4 if bit_depth == 16 else 2
+    return _png_encode(lines, bpp, w, h, bit_depth, 4, filters)
+
+
 def build_png_rgb16(
     pixels: list, alpha: bool = False, filters: list | None = None
 ) -> bytes:
@@ -1363,10 +1387,10 @@ def build_png_palette(
 
 def decode_png(payload: bytes):
     """REAL stdlib-only PNG decode for EVERY non-interlaced color
-    type × depth the spec defines except gray+alpha (type 4):
-    grayscale (type 0) at 1/2/4/8/16 bits, truecolor (2) and
-    truecolor+alpha (6) at 8/16 bits, and indexed (3) at 1/2/4/8
-    with PLTE lookup and optional tRNS per-entry alpha — IHDR parse,
+    type × depth the spec defines: grayscale (type 0) at 1/2/4/8/16
+    bits, truecolor (2), gray+alpha (4) and truecolor+alpha (6) at
+    8/16 bits, and indexed (3) at 1/2/4/8 with PLTE lookup and
+    optional tRNS per-entry alpha — IHDR parse,
     IDAT inflate, the five scanline filters reversed with the
     bytes-per-pixel stride the spec defines (§4.5.4: the ``a``/``c``
     neighbors are one PIXEL left — two bytes per channel at depth
@@ -1422,7 +1446,7 @@ def decode_png(payload: bytes):
         stride = (w * bit_depth + 7) // 8
         nchan = 1
     else:
-        nchan = {0: 1, 2: 3, 6: 4}.get(color_type)
+        nchan = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
         if not w or not h or nchan is None or interlace:
             return None
         if bit_depth == 8:
@@ -1564,6 +1588,12 @@ def png_color_features(media: DataFrame) -> DataFrame:
                 if ct == 0:
                     a = np.asarray(rows, dtype=np.int64)
                     r = g = b = a
+                elif ct == 4:  # gray+alpha: luma channels = gray
+                    a = np.asarray(
+                        [[px[0] for px in row] for row in rows],
+                        dtype=np.int64,
+                    )
+                    r = g = b = a
                 else:
                     a = np.asarray(
                         [[list(px) for px in row] for row in rows],
@@ -1623,6 +1653,8 @@ def _gray_matrix_any(payload: bytes):
         ct, rows = dec
         if ct == 0:
             return rows
+        if ct == 4:  # gray+alpha: the gray channel IS the luma
+            return [[px[0] for px in row] for row in rows]
         return [
             [
                 (299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000

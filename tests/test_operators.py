@@ -1919,3 +1919,32 @@ def test_png_gray_depth_and_16bit_matrix():
     bad = bytearray(build_png_rgb(c8))
     bad[24] = 4  # IHDR bit depth
     assert decode_png(bytes(bad)) is None
+
+
+def test_png_gray_alpha_type4(spark):
+    """Color type 4 (gray+alpha) at 8 and 16 bits: exact roundtrip,
+    and the feature path reports the gray channel as the luma."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_png_gray_alpha,
+        decode_png,
+        png_color_features,
+    )
+
+    for d in (8, 16):
+        mx = (1 << d) - 1
+        px = [[((x * 37 + y * 5) % (mx + 1), (x + y * 11) % (mx + 1))
+               for x in range(7)] for y in range(6)]
+        for filters in (None, [0] * 6, [4] * 6):
+            assert decode_png(
+                build_png_gray_alpha(px, bit_depth=d, filters=filters)
+            ) == (4, px), (d, filters)
+    px = [[(100, 200), (65535, 0)], [(7, 7), (300, 40000)]]
+    df = spark.createDataFrame(
+        [(1, bytearray(build_png_gray_alpha(px, bit_depth=16)))],
+        "media_id long, payload binary",
+    )
+    row = png_color_features(df).collect()[0]
+    grays = [g for r_ in px for g, _a in r_]
+    assert row.color_type == 4
+    assert row.sum_r == row.sum_g == row.sum_b == sum(grays)
+    assert row.sum_luma == sum(grays)
