@@ -1170,6 +1170,82 @@ def build_png_rgb(pixels: list, alpha: bool = False,
     )
 
 
+# Adam7 pass layout (PNG §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def build_png_adam7(pixels: list, filters: list | None = None) -> bytes:
+    """Synthesize a VALID Adam7-INTERLACED 8-bit PNG — grayscale
+    (int matrix) or truecolor ((r, g, b) matrix) — each of the seven
+    passes filtered independently per the spec. stdlib-only."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    color = isinstance(pixels[0][0], (tuple, list))
+    bpp = 3 if color else 1
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * bpp
+        prev = bytes(stride)
+        for i in range(ph):
+            oy = y0 + i * dy
+            line = bytearray()
+            for j in range(pw):
+                px = pixels[oy][x0 + j * dx]
+                line.extend(px[:3] if color else [px])
+            ft = (filters or [min(i, 4)] * ph)[i % ph]
+            raw.append(ft)
+            for x in range(stride):
+                v = line[x]
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    raw.append(v)
+                elif ft == 1:
+                    raw.append((v - a) & 0xFF)
+                elif ft == 2:
+                    raw.append((v - b) & 0xFF)
+                elif ft == 3:
+                    raw.append((v - (a + b) // 2) & 0xFF)
+                else:
+                    raw.append((v - paeth(a, b, c)) & 0xFF)
+            prev = bytes(line)
+
+    def chunk(t: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, 2 if color else 0, 0, 0, 1
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _png_encode(
     lines: list[bytes],
     bpp: int,
@@ -1433,9 +1509,11 @@ def decode_png(payload: bytes):
             break
         pos += 12 + ln
     pal = alpha = None
+    if interlace not in (0, 1):
+        return None
     if color_type == 3:
         if (
-            not w or not h or interlace
+            not w or not h
             or bit_depth not in (1, 2, 4, 8)
             or not plte or len(plte) % 3
         ):
@@ -1443,29 +1521,28 @@ def decode_png(payload: bytes):
         pal = [tuple(plte[i:i + 3]) for i in range(0, len(plte), 3)]
         alpha = list(trns) if trns is not None else None
         bpp = 1  # filter unit for sub-byte depths is one byte (§7.3)
-        stride = (w * bit_depth + 7) // 8
         nchan = 1
     else:
         nchan = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-        if not w or not h or nchan is None or interlace:
+        if not w or not h or nchan is None:
             return None
         if bit_depth == 8:
             bpp = nchan
-            stride = w * nchan
         elif bit_depth == 16:
             bpp = nchan * 2  # the filter unit is two bytes/channel
-            stride = w * bpp
         elif bit_depth in (1, 2, 4) and color_type == 0:
             bpp = 1
-            stride = (w * bit_depth + 7) // 8
         else:
             return None
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    if len(raw) != h * (stride + 1):
-        return None
+
+    def scanbytes(width: int) -> int:
+        if bit_depth < 8:
+            return (width * bit_depth + 7) // 8
+        return width * bpp
 
     def paeth(a, b, c):
         p = a + b - c
@@ -1474,33 +1551,13 @@ def decode_png(payload: bytes):
             return a
         return b if pb <= pc else c
 
-    out = []
-    prev = bytes(stride)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
-        rec = bytearray(stride)
-        for x in range(stride):
-            v = line[x]
-            a = rec[x - bpp] if x >= bpp else 0
-            b = prev[x]
-            c = prev[x - bpp] if x >= bpp else 0
-            if ft == 0:
-                rec[x] = v
-            elif ft == 1:
-                rec[x] = (v + a) & 0xFF
-            elif ft == 2:
-                rec[x] = (v + b) & 0xFF
-            elif ft == 3:
-                rec[x] = (v + (a + b) // 2) & 0xFF
-            elif ft == 4:
-                rec[x] = (v + paeth(a, b, c)) & 0xFF
-            else:
-                return None
+    def extract(rec, width):
+        """One defiltered scanline → its pixel list (or None on a
+        palette error)."""
         if color_type == 3:
             mask = (1 << bit_depth) - 1
             row_px = []
-            for x in range(w):
+            for x in range(width):
                 bitpos = x * bit_depth
                 idx = (
                     rec[bitpos >> 3] >> (8 - bit_depth - (bitpos & 7))
@@ -1515,38 +1572,97 @@ def decode_png(payload: bytes):
                     )
                 else:
                     row_px.append(pal[idx])
-            out.append(row_px)
-        elif bit_depth == 16:
+            return row_px
+        if bit_depth == 16:
             vals = [
-                (rec[i] << 8) | rec[i + 1] for i in range(0, stride, 2)
+                (rec[i] << 8) | rec[i + 1]
+                for i in range(0, len(rec), 2)
             ]
             if nchan == 1:
-                out.append(vals)
-            else:
-                out.append(
-                    [
-                        tuple(vals[i:i + nchan])
-                        for i in range(0, w * nchan, nchan)
-                    ]
-                )
-        elif color_type == 0 and bit_depth < 8:
+                return vals
+            return [
+                tuple(vals[i:i + nchan])
+                for i in range(0, width * nchan, nchan)
+            ]
+        if color_type == 0 and bit_depth < 8:
             mask = (1 << bit_depth) - 1
-            out.append(
-                [
-                    (
-                        rec[(x * bit_depth) >> 3]
-                        >> (8 - bit_depth - ((x * bit_depth) & 7))
-                    ) & mask
-                    for x in range(w)
-                ]
-            )
-        elif bpp == 1:
-            out.append(list(rec))
-        else:
-            out.append(
-                [tuple(rec[i:i + bpp]) for i in range(0, stride, bpp)]
-            )
-        prev = bytes(rec)
+            return [
+                (
+                    rec[(x * bit_depth) >> 3]
+                    >> (8 - bit_depth - ((x * bit_depth) & 7))
+                ) & mask
+                for x in range(width)
+            ]
+        if bpp == 1:
+            return list(rec)
+        return [tuple(rec[i:i + bpp]) for i in range(0, len(rec), bpp)]
+
+    def defilter_rows(offset: int, width: int, height: int):
+        """Reverse the filters over ``height`` scanlines of a
+        (sub-)image; each pass of an interlaced file filters
+        independently (prev resets). Returns (pixel rows, new
+        offset) or None."""
+        st = scanbytes(width)
+        rows = []
+        prev = bytes(st)
+        for y in range(height):
+            base = offset + y * (st + 1)
+            if base + 1 + st > len(raw):
+                return None
+            ft = raw[base]
+            line = raw[base + 1:base + 1 + st]
+            rec = bytearray(st)
+            for x in range(st):
+                v = line[x]
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    rec[x] = v
+                elif ft == 1:
+                    rec[x] = (v + a) & 0xFF
+                elif ft == 2:
+                    rec[x] = (v + b) & 0xFF
+                elif ft == 3:
+                    rec[x] = (v + (a + b) // 2) & 0xFF
+                elif ft == 4:
+                    rec[x] = (v + paeth(a, b, c)) & 0xFF
+                else:
+                    return None
+            pxrow = extract(rec, width)
+            if pxrow is None:
+                return None
+            rows.append(pxrow)
+            prev = bytes(rec)
+        return rows, offset + height * (st + 1)
+
+    if not interlace:
+        if len(raw) != h * (scanbytes(w) + 1):
+            return None
+        got = defilter_rows(0, w, h)
+        if got is None:
+            return None
+        return color_type, got[0]
+
+    # Adam7 (PNG §8.2): seven independently-filtered sub-images
+    # scattered back onto the pixel grid
+    out = [[None] * w for _ in range(h)]
+    offset = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        got = defilter_rows(offset, pw, ph)
+        if got is None:
+            return None
+        rows, offset = got
+        for i, row in enumerate(rows):
+            oy = y0 + i * dy
+            for j, px in enumerate(row):
+                out[oy][x0 + j * dx] = px
+    if offset != len(raw):
+        return None
     return color_type, out
 
 

@@ -1948,3 +1948,40 @@ def test_png_gray_alpha_type4(spark):
     assert row.color_type == 4
     assert row.sum_r == row.sum_g == row.sum_b == sum(grays)
     assert row.sum_luma == sum(grays)
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 interlacing: seven independently-filtered passes
+    scattered onto the grid — gray and RGB, including sizes where
+    later passes are empty, and a truncated-pass reject."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_png_adam7,
+        decode_png,
+    )
+
+    for (w, h) in ((8, 8), (7, 5), (1, 1), (2, 3), (16, 9), (33, 21),
+                   (3, 1)):
+        g = [[(x * 5 + y * 11) % 256 for x in range(w)]
+             for y in range(h)]
+        assert decode_png(build_png_adam7(g)) == (0, g), (w, h)
+        c = [[((x * 2 + y) % 256, (x + 3 * y) % 256,
+               (5 * x + y) % 256) for x in range(w)] for y in range(h)]
+        assert decode_png(build_png_adam7(c)) == (2, c), (w, h)
+    # truncate the IDAT: a missing pass must reject, not crash
+    import struct
+    import zlib
+
+    p = build_png_adam7([[1, 2, 3], [4, 5, 6]])
+    i = p.find(b"IDAT")
+    (ln,) = struct.unpack(">I", p[i - 4:i])
+    body = zlib.decompress(p[i + 4:i + 4 + ln])
+    short = zlib.compress(body[: len(body) // 2])
+    rebuilt = (
+        p[: i - 4]
+        + struct.pack(">I", len(short)) + b"IDAT" + short
+        + struct.pack(
+            ">I", zlib.crc32(b"IDAT" + short) & 0xFFFFFFFF
+        )
+        + p[i + 8 + ln:]
+    )
+    assert decode_png(rebuilt) is None
