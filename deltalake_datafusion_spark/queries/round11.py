@@ -28,6 +28,11 @@ def specs() -> list[QuerySpec]:
             multimodal_png_depth,
             _PNG_DEPTH_SQL,
         ),
+        QuerySpec(
+            "multimodal_gif_frames",
+            multimodal_gif_frames,
+            _GIF_FRAMES_SQL,
+        ),
     ]
 
 
@@ -314,4 +319,125 @@ SELECT doc_id AS media_id,
   CAST(SUM((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT)
     AS sum_luma
 FROM px GROUP BY doc_id ORDER BY media_id
+"""
+
+# ---------------------------------------------------------------- #
+# multimodal_gif_frames                                             #
+# ---------------------------------------------------------------- #
+
+
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-GIF frame extraction (``operators/gif.py::
+    decode_gif_frames`` — the GIF89a animation model): genuine
+    multi-frame GIFs (3–5 frames each) where every frame paints a
+    5×4 rectangle of a doc/frame-analytic palette color at an
+    analytic offset, with TRANSPARENT holes ((x+y)%3==0 pixels show
+    the background through), DISPOSAL METHOD 2 (restore-to-background
+    between frames), and every other frame INTERLACED (4-pass row
+    transport order — decode output must be identical). One output
+    row per composited frame with exact channel/luma sums, which the
+    oracle recomputes arithmetically — a compositing, disposal,
+    transparency, de-interlace, or LZW bug hash-fails. Every 17th
+    payload is junk and contributes no rows."""
+    from deltalake_datafusion_spark.operators.gif import (
+        gif_frame_features,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") % 8 == 6)
+        .select("doc_id")
+    )
+
+    def build(it):
+        import pandas as pd
+
+        from deltalake_datafusion_spark.operators.gif import (
+            build_gif_animation,
+        )
+
+        pal = [
+            ((j * 37 + 5) % 256, (j * 59 + 11) % 256,
+             (j * 83 + 29) % 256)
+            for j in range(8)
+        ]
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 17 == 4:
+                    payloads.append(b"GIF89a but junk")
+                    continue
+                nf = 3 + did % 3
+                spec = []
+                for f in range(nf):
+                    c = 1 + (did + f) % 7
+                    idx = [
+                        [c if (rx + ry) % 3 else 0 for rx in range(5)]
+                        for ry in range(4)
+                    ]
+                    spec.append(
+                        {
+                            "indices": idx,
+                            "left": (did * 7 + f * 5) % 12,
+                            "top": (did * 3 + f * 2) % 9,
+                            "disposal": 2,
+                            "transparent": 0,
+                            "interlace": f % 2 == 1,
+                        }
+                    )
+                payloads.append(
+                    build_gif_animation(spec, pal, (16, 12))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return gif_frame_features(media).orderBy("media_id", "frame_idx")
+
+
+_GIF_FRAMES_SQL = """
+WITH ids AS (
+  SELECT doc_id, 3 + doc_id % 3 AS nf FROM documents
+  WHERE doc_id % 8 = 6 AND doc_id % 17 <> 4
+),
+frames AS (
+  SELECT doc_id, unnest(range(nf)) AS f FROM ids
+),
+painted AS (
+  SELECT doc_id, f, COUNT(*) AS n FROM (
+    SELECT fr.doc_id, fr.f, rx, ry FROM frames fr,
+      (SELECT unnest(range(5)) AS rx) xs,
+      (SELECT unnest(range(4)) AS ry) ys
+    WHERE (rx + ry) % 3 <> 0
+  ) GROUP BY doc_id, f
+),
+colored AS (
+  SELECT doc_id, f, n,
+    1 + (doc_id + f) % 7 AS c
+  FROM painted
+),
+sums AS (
+  SELECT doc_id, f,
+    (192 - n) * ((0 * 37 + 5) % 256) + n * ((c * 37 + 5) % 256) AS sr,
+    (192 - n) * ((0 * 59 + 11) % 256) + n * ((c * 59 + 11) % 256) AS sg,
+    (192 - n) * ((0 * 83 + 29) % 256) + n * ((c * 83 + 29) % 256) AS sb,
+    (192 - n) * ((299 * ((0 * 37 + 5) % 256)
+                  + 587 * ((0 * 59 + 11) % 256)
+                  + 114 * ((0 * 83 + 29) % 256)) // 1000)
+    + n * ((299 * ((c * 37 + 5) % 256)
+            + 587 * ((c * 59 + 11) % 256)
+            + 114 * ((c * 83 + 29) % 256)) // 1000) AS sl
+  FROM colored
+)
+SELECT doc_id AS media_id,
+  CAST(f AS INT) AS frame_idx,
+  CAST(16 AS INT) AS width,
+  CAST(12 AS INT) AS height,
+  CAST(sr AS BIGINT) AS sum_r,
+  CAST(sg AS BIGINT) AS sum_g,
+  CAST(sb AS BIGINT) AS sum_b,
+  CAST(sl AS BIGINT) AS sum_luma
+FROM sums ORDER BY media_id, frame_idx
 """

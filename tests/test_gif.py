@@ -56,22 +56,25 @@ def test_extension_blocks_are_skipped():
 
 
 def test_reject_taxonomy():
+    from deltalake_datafusion_spark.operators.gif import (
+        build_gif_animation,
+    )
+
     idx = [[0, 1], [1, 0]]
     good = build_gif(idx, PAL16[:2])
     pos = good.index(b"\x2c")
-    interlaced = bytearray(good)
-    interlaced[pos + 9] |= 0x40
-    with pytest.raises(GifRejected, match="interlaced"):
-        decode_gif(bytes(interlaced), strict=True)
-    local = bytearray(good)
-    local[pos + 9] |= 0x80
-    with pytest.raises(GifRejected, match="local color"):
-        decode_gif(bytes(local), strict=True)
     assert decode_gif(b"junk") is None
     assert decode_gif(None) is None
     assert decode_gif(good[:15]) is None
     truncated = good[: pos + 14]
     assert decode_gif(truncated) is None
+    # a frame extending past the logical screen is a spec error
+    over = build_gif_animation(
+        [{"indices": [[0, 1]], "left": 1, "top": 0}],
+        PAL16[:2], (2, 1),
+    )
+    with pytest.raises(GifRejected, match="exceeds"):
+        decode_gif(over, strict=True)
 
 
 def test_sniffer_agrees_with_generated_gif():
@@ -128,3 +131,115 @@ def test_cross_format_ahash_covers_gif():
     h_png = ahash64_multi(build_png_gray8(gray))
     h_gif = ahash64_multi(build_gif(idx, pal))
     assert h_png == h_gif is not None
+
+
+# ------------------------------------------------------------------ #
+# Animation model (round 11)                                          #
+# ------------------------------------------------------------------ #
+
+
+def _composite_ref(frames_spec, pal, sw, sh, bg_index=0):
+    """Independent pure-python compositing reference."""
+    bg = pal[bg_index]
+    canvas = [[bg] * sw for _ in range(sh)]
+    out = []
+    for fr in frames_spec:
+        idx = fr["indices"]
+        l, t = fr.get("left", 0), fr.get("top", 0)
+        table = fr.get("lct") or pal
+        tr = fr.get("transparent")
+        saved = (
+            [r[:] for r in canvas] if fr.get("disposal") == 3 else None
+        )
+        for y, row in enumerate(idx):
+            for x, i in enumerate(row):
+                if tr is not None and i == tr:
+                    continue
+                canvas[t + y][l + x] = table[i]
+        out.append([r[:] for r in canvas])
+        d = fr.get("disposal", 0)
+        if d == 2:
+            for y in range(len(idx)):
+                canvas[t + y][l:l + len(idx[0])] = [bg] * len(idx[0])
+        elif d == 3:
+            canvas = saved
+    return out
+
+
+def test_animation_disposal_transparency_lct_interlace():
+    from deltalake_datafusion_spark.operators.gif import (
+        build_gif_animation,
+        decode_gif_frames,
+    )
+
+    pal = PAL16[:4]
+    SW, SH = 12, 8
+    spec = [
+        {"indices": [[(x + y) % 4 for x in range(SW)]
+                     for y in range(SH)], "disposal": 1},
+        {"indices": [[1] * 4 for _ in range(3)], "left": 5, "top": 2,
+         "disposal": 2},
+        {"indices": [[3 if x == y else 0 for x in range(6)]
+                     for y in range(4)], "left": 1, "top": 1,
+         "transparent": 0, "disposal": 3},
+        {"indices": [[(x * y) % 4 for x in range(SW)]
+                     for y in range(SH)], "interlace": True,
+         "disposal": 1},
+        {"indices": [[(x // 3) % 2 for x in range(SW)]
+                     for y in range(SH)],
+         "lct": [(5, 6, 7), (250, 251, 252)]},
+    ]
+    payload = build_gif_animation(spec, pal, (SW, SH))
+    frames = decode_gif_frames(payload, strict=True)
+    assert frames == _composite_ref(spec, pal, SW, SH)
+
+
+def test_animation_disposal2_restores_background_between_frames():
+    from deltalake_datafusion_spark.operators.gif import (
+        build_gif_animation,
+        decode_gif_frames,
+    )
+
+    pal = PAL16[:4]
+    spec = [
+        {"indices": [[1, 1], [1, 1]], "left": 0, "top": 0,
+         "disposal": 2},
+        {"indices": [[2, 2], [2, 2]], "left": 2, "top": 1,
+         "disposal": 2},
+        {"indices": [[3]], "left": 4, "top": 2, "disposal": 2},
+    ]
+    frames = decode_gif_frames(
+        build_gif_animation(spec, pal, (6, 4)), strict=True
+    )
+    assert frames == _composite_ref(spec, pal, 6, 4)
+    # frame 2 must NOT contain frame 1's rectangle
+    assert frames[1][0][0] == pal[0]
+
+
+def test_gif_frame_features_operator(spark):
+    from deltalake_datafusion_spark.operators.gif import (
+        build_gif_animation,
+        gif_frame_features,
+    )
+
+    pal = PAL16[:4]
+    spec = [
+        {"indices": [[1] * 3 for _ in range(2)], "disposal": 2},
+        {"indices": [[2] * 2 for _ in range(2)], "left": 3, "top": 1,
+         "disposal": 2},
+    ]
+    payload = build_gif_animation(spec, pal, (6, 4))
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"nope")), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r.media_id, r.frame_idx): (r.width, r.height, r.sum_r)
+        for r in gif_frame_features(df).collect()
+    }
+    ref = _composite_ref(spec, pal, 6, 4)
+    want = {
+        (1, fi): (6, 4, sum(px[0] for row in fr for px in row))
+        for fi, fr in enumerate(ref)
+    }
+    assert got == want
