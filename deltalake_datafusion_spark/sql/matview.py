@@ -20,6 +20,7 @@ aggregates):
 
     REFRESH MATERIALIZED VIEW delta.`/mv/path`
     DROP MATERIALIZED VIEW delta.`/mv/path`
+    SHOW MATERIALIZED VIEWS          -- session registry + freshness
 
 The parsed definition is stored on the view as the
 ``lakehouse.mv.definition`` table property (JSON), so REFRESH needs
@@ -62,6 +63,9 @@ _REFRESH_RE = re.compile(
 _DROP_RE = re.compile(
     r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<target>" + _TBL + r")\s*$",
     re.IGNORECASE,
+)
+_SHOW_RE = re.compile(
+    r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*$", re.IGNORECASE
 )
 _AGG_ITEM_RE = re.compile(
     r"^(?P<fn>COUNT|SUM|MIN|MAX)\s*\(\s*(?P<arg>\*|[\w`]+)\s*\)"
@@ -253,6 +257,8 @@ def dispatch_matview(spark, statement: str, registry):
               int(res.get("groups_touched", 0)))],
             "operation string, mode string, groups_touched int",
         )
+    if _SHOW_RE.match(statement):
+        return show_matviews(spark)
     m = _DROP_RE.match(statement)
     if m:
         import shutil
@@ -285,3 +291,60 @@ def dispatch_matview(spark, statement: str, registry):
             "operation string, path string",
         )
     return None
+
+
+def show_matviews(spark):
+    """``SHOW MATERIALIZED VIEWS``: one row per view registered for
+    rewrite in this session — path, definition kind, source
+    table(s), group columns, the committed watermark(s), and whether
+    the view is currently FRESH (watermark == base version, i.e. the
+    transparent rewrite would fire under the default policy)."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.sql.mv_rewrite import (
+        registered_matviews,
+    )
+
+    rows = []
+    for mv_path, defn in sorted(registered_matviews().items()):
+        try:
+            snap = load_snapshot(mv_path, spark=spark)
+        except Exception:
+            continue  # dropped out-of-band
+        if defn["kind"] == "join":
+            from deltalake_datafusion_spark.delta.mv_join import (
+                join_mv_watermarks,
+            )
+
+            wm = join_mv_watermarks(snap)
+            src = f"{defn['fact']} JOIN {defn['dim']}"
+            fresh = wm is not None and (
+                load_snapshot(defn["fact"], spark=spark).version
+                <= wm[0]
+                and load_snapshot(defn["dim"], spark=spark).version
+                <= wm[1]
+            )
+            wm_s = f"fact={wm[0]},dim={wm[1]}" if wm else None
+        else:
+            from deltalake_datafusion_spark.delta.mv import mv_watermark
+
+            wm = mv_watermark(snap)
+            src = defn["base"]
+            fresh = wm is not None and (
+                load_snapshot(defn["base"], spark=spark).version <= wm
+            )
+            wm_s = str(wm) if wm is not None else None
+        rows.append(
+            (
+                mv_path,
+                defn["kind"],
+                src,
+                ",".join(defn["group_cols"]),
+                wm_s,
+                bool(fresh),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "path string, kind string, source string, group_cols string, "
+        "watermark string, fresh boolean",
+    )

@@ -73,6 +73,7 @@ _QUERY_RE = re.compile(
     r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>.+?)"
     r"(?:\s+WHERE\s+(?P<pred>.+?))?"
     r"\s+GROUP\s+BY\s+(?P<grp>[\w`,\s.]+?)"
+    r"(?:\s+HAVING\s+(?P<hav>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<ord>[\w`,\s]+?(?:\s+(?:ASC|DESC))?"
     r"(?:\s*,\s*[\w`]+(?:\s+(?:ASC|DESC))?)*))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -287,6 +288,13 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
         return None  # non-trivial GROUP BY (exprs / hidden cols)
     pred = m.group("pred")
     pred_cols = _pred_columns(pred) if pred else set()
+    hav = m.group("hav")
+    if hav:
+        # HAVING evaluates over the REWRITTEN output, so every
+        # identifier must be an output column (alias or group col)
+        out_names = {a for _, _, a in items}
+        if not _pred_columns(hav) <= out_names:
+            return None
 
     src = m.group("src").strip()
     jm = _JOIN_SRC_RE.match(src)
@@ -331,6 +339,8 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
             out = df.groupBy(*grp_list).agg(*agg_exprs).select(
                 *[F.col(a) for _, _, a in items]
             )
+        if hav:
+            out = out.filter(F.expr(hav))
         out = _apply_order(out, items, m.group("ord"))
         if out is None:
             return None

@@ -333,3 +333,55 @@ def test_order_by_output_columns(spark, tmp_path):
     _reads_only(out, "/mv", "/base")
     vals = [r.total for r in out.collect()]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_having_over_output_columns(spark, tmp_path):
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)
+    out = sql(
+        spark,
+        f"SELECT g, SUM(v) AS total FROM delta.`{b}` "
+        f"GROUP BY g HAVING total > 2000 ORDER BY g",
+    )
+    _reads_only(out, "/mv", "/base")
+    want = [
+        (r.g, r.total)
+        for r in read_delta(spark, b)
+        .groupBy("g")
+        .agg(F.sum("v").alias("total"))
+        .filter("total > 2000")
+        .orderBy("g")
+        .collect()
+    ]
+    assert [(r.g, r.total) for r in out.collect()] == want
+    # HAVING over a non-output expression → fall through (never a
+    # semantics change)
+    out = sql(
+        spark,
+        f"SELECT g, SUM(v) AS total FROM delta.`{b}` "
+        f"GROUP BY g HAVING COUNT(*) > 1",
+    )
+    _reads_only(out, "/base", "/mv")
+
+
+def test_show_materialized_views(spark, tmp_path):
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)
+    rows = {r.path: r for r in sql(
+        spark, "SHOW MATERIALIZED VIEWS"
+    ).collect() if r.path == m}
+    assert rows[m].kind == "aggregate"
+    assert rows[m].source == b
+    assert rows[m].fresh is True
+    delete_delta(spark, b, "id = 0")  # base moves → stale
+    rows = {r.path: r for r in sql(
+        spark, "SHOW MATERIALIZED VIEWS"
+    ).collect() if r.path == m}
+    assert rows[m].fresh is False
+    sql(spark, f"REFRESH MATERIALIZED VIEW delta.`{m}`")
+    rows = {r.path: r for r in sql(
+        spark, "SHOW MATERIALIZED VIEWS"
+    ).collect() if r.path == m}
+    assert rows[m].fresh is True
