@@ -837,3 +837,30 @@ def test_round10_multimodal_queries_arrow_only_no_cartesian(spark, sf_dir):
         )
         assert "BatchEvalPython" not in plan, (q.__name__, plan[:600])
         assert "CartesianProduct" not in plan, (q.__name__,)
+
+
+def test_round11_queries_arrow_only_no_cartesian(spark, sf_dir):
+    """The round-11 queries' only Python stages are Arrow
+    mapInPandas — never row-at-a-time BatchEvalPython — nothing goes
+    cartesian, and the MV-rewrite query's scan reads ONLY the view
+    (asserted inside the query itself; re-checked here on the plan)."""
+    from deltalake_datafusion_spark.queries.round11 import (
+        delta_mv_join_minmax,
+        multimodal_gif_frames,
+        multimodal_png_depth,
+        sql_matview_rewrite,
+    )
+
+    for q in (
+        sql_matview_rewrite,
+        delta_mv_join_minmax,
+        multimodal_png_depth,
+        multimodal_gif_frames,
+    ):
+        df = q(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, (q.__name__, plan[:600])
+        assert "CartesianProduct" not in plan, (q.__name__,)
+    # the rewrite query's executed scan: view files only
+    files = sql_matview_rewrite(spark, sf_dir).inputFiles()
+    assert files and all("mvrw_view" in f for f in files), files[:3]
