@@ -304,7 +304,12 @@ def decode_gif_frames(payload: bytes, strict: bool = False):
             gct[bg_index] if gct is not None and bg_index < len(gct)
             else (0, 0, 0)
         )
-        canvas = [[bg] * sw for _ in range(sh)]
+        # the canvas materializes only once a frame actually renders:
+        # junk that happens to start with "GIF89a" must reject on its
+        # first bogus block, not allocate sw*sh cells from garbage
+        # dimension bytes first (measured: 15-byte junk payloads cost
+        # seconds each on the eager path)
+        canvas = None
         frames = []
         disposal = 0
         transparent = None
@@ -361,6 +366,8 @@ def decode_gif_frames(payload: bytes, strict: bool = False):
                 if transparent is None or i != transparent
             ):
                 return reject("palette index out of range")
+            if canvas is None:
+                canvas = [[bg] * sw for _ in range(sh)]
             saved = (
                 [row[:] for row in canvas] if disposal == 3 else None
             )

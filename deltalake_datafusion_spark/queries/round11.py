@@ -233,6 +233,7 @@ def multimodal_png_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 6 == 5)
         .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(it):
@@ -347,6 +348,10 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 8 == 6)
         .select("doc_id")
+        # the doc-id frame is a single parquet split; spread the
+        # fixture build + decode across the cluster (the shuffle
+        # moves only 8-byte ids)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(it):
