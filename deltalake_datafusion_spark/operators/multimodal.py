@@ -1646,7 +1646,18 @@ def decode_png(payload: bytes):
         return color_type, got[0]
 
     # Adam7 (PNG §8.2): seven independently-filtered sub-images
-    # scattered back onto the pixel grid
+    # scattered back onto the pixel grid. Validate the TOTAL inflated
+    # length against the pass geometry BEFORE allocating the canvas —
+    # garbage IHDR dimensions must reject cheaply, not allocate
+    # (the GIF junk-canvas lesson)
+    expected = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            expected += ph * (scanbytes(pw) + 1)
+    if len(raw) != expected:
+        return None
     out = [[None] * w for _ in range(h)]
     offset = 0
     for x0, y0, dx, dy in _ADAM7:
