@@ -479,11 +479,21 @@ def _join_mv_delta_rows(
             "__fk", F.col(fact_key)
         )
         if pred is None:
-            # huge changed-key set: bound the scan with a semi-join
+            # huge changed-key set: bound the scan with a semi-join.
+            # The key set needs a FULL lineage firewall to d_signed —
+            # fact_now later joins d_signed itself (term 2), and
+            # Spark's ambiguous-self-join check trips on EITHER a
+            # shared subtree (cut by localCheckpoint) or shared
+            # attribute identity/dataset tags (cut by the alias).
+            # Only reachable past MAX_INLINE_KEYS, i.e. at scale.
+            keyset = (
+                d_signed.select(F.col("__dk").alias("__dkk"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
             fact_now = fact_now.join(
-                _dim_side(spark, d_signed.select("__dk").distinct(),
-                          d_bytes),
-                fact_now["__fk"] == F.col("__dk"),
+                _dim_side(spark, keyset, d_bytes),
+                fact_now["__fk"] == F.col("__dkk"),
                 "left_semi",
             )
         terms.append(_term(fact_now, d_signed, lambda f, d: d["__sign"]))
@@ -741,10 +751,20 @@ def _recompute_join_groups(
     if pred is not None:
         fact = fact.filter(F.expr(pred))
     else:
-        dimk = dim.select(F.col(dim_key).alias("__dk")).distinct()
+        # full lineage firewall on the key set (alias = fresh
+        # attribute identity, localCheckpoint = fresh subtree):
+        # ``fact`` joins ``dim`` itself right below, and any shared
+        # relation or dataset-tagged attribute between the two join
+        # children trips Spark's ambiguous-self-join check (only
+        # reachable past MAX_INLINE_KEYS, i.e. at scale)
+        dimk = (
+            dim.select(F.col(dim_key).alias("__dkk"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         fact = fact.join(
             _dim_side(spark, dimk, d_bytes),
-            fact[fact_key] == F.col("__dk"),
+            fact[fact_key] == F.col("__dkk"),
             "left_semi",
         )
     if fact_g:

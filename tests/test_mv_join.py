@@ -774,3 +774,28 @@ def test_join_mv_refresh_equivalent_under_shuffle_join(spark, tmp_path):
         assert _mm_state(spark, m) == _mm_expected(spark, fp, dp)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_semi_join_paths_past_inline_key_ceiling(spark, tmp_path,
+                                                 monkeypatch):
+    """Force the > MAX_INLINE_KEYS fallbacks: both the term-2 fact
+    pruning and the MIN/MAX recompute must take the broadcast
+    SEMI-JOIN branch without tripping Spark's self-join ambiguity
+    check (the lineage-shared key sets are localCheckpointed), and
+    stay exactly equivalent to the full recompute."""
+    import deltalake_datafusion_spark.delta.mv_join as mvj
+
+    monkeypatch.setattr(mvj, "MAX_INLINE_KEYS", 2)
+    fp, dp, m = (str(tmp_path / x) for x in ("f", "d", "m"))
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, m, **MMKW)
+    # dim update touching MANY keys (> ceiling) moves fact rows
+    update_delta(
+        spark, dp, set_exprs={"seg": "concat(seg, 'x')"},
+        predicate="dk >= 1",
+    )
+    # and a fact delete so the MIN/MAX recompute path runs too
+    delete_delta(spark, fp, "id >= 50")
+    res = refresh_join_mv(spark, fp, dp, m, **MMKW)
+    assert res["mode"] == "incremental"
+    assert _mm_state(spark, m) == _mm_expected(spark, fp, dp)
