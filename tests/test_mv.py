@@ -647,3 +647,22 @@ def test_cancelling_range_partial_overlap_cannot_jump_watermark(
         )
     refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
     assert _mv_state(spark, m) == _expected(spark, b)
+
+
+def test_minmax_semi_join_fallback_past_inline_ceiling(spark, tmp_path):
+    """Force the > max_inline_groups broadcast-semi-join recompute
+    path (the at-scale branch): still exactly the full recompute."""
+    from deltalake_datafusion_spark.delta.mv import (
+        build_minmax_mv,
+        refresh_minmax_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    delete_delta(spark, b, "id % 10 < 4")  # deletes touch every group
+    res = refresh_minmax_mv(
+        spark, b, m, ["g"], ["v"], ["v"], max_inline_groups=1
+    )
+    assert res["mode"] == "incremental"
+    assert _mm_state(spark, m) == _mm_expected(spark, b)
