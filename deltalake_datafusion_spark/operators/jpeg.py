@@ -1284,6 +1284,7 @@ def build_jpeg_progressive(
     pixels: list,
     quant: list[int] | None = None,
     subsample: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Synthesize a VALID progressive (SOF2) JPEG — grayscale (int
     matrix) or YCbCr color ((r, g, b) matrix) at 4:4:4 or 4:2:0 —
@@ -1293,10 +1294,13 @@ def build_jpeg_progressive(
     spectral-selection passes (bands 1–5 and 6–63) at Al=1,
     per-component AC successive-approximation refinements to Al=0
     (the G.1.2.3 correction-bit protocol, with cross-block EOBn runs
-    in the first passes), and a DC refinement to Al=0. All
-    coefficients reach full precision, so with a unit quant table the
-    image decodes to exactly the baseline encoder's pixels — the
-    analytic-fixture property the driver oracles rely on."""
+    in the first passes), and a DC refinement to Al=0.
+    ``restart_interval`` adds DRI/RSTn restart markers to EVERY scan
+    (predictors and EOB runs reset at each boundary — an EOB run
+    never crosses a restart, per G.1.2.2). All coefficients reach
+    full precision, so with a unit quant table the image decodes to
+    exactly the baseline encoder's pixels — the analytic-fixture
+    property the driver oracles rely on."""
     import math
     import struct
 
@@ -1394,31 +1398,74 @@ def build_jpeg_progressive(
     enc_dc = _enc_table(DC_LUM_BITS, DC_LUM_VALS)
     enc_ac = _enc_table(PROG_AC_BITS, PROG_AC_VALS)
 
+    class _Seg:
+        """Restart-aware entropy writer: cuts a new segment every
+        ``ri`` units (MCUs for interleaved DC, blocks otherwise) and
+        joins segments with cycling RSTn markers — mirroring the
+        decoder's G.1.2.2 restart handling."""
+
+        def __init__(self, ri):
+            self.ri = ri
+            self.unit = 0
+            self.segs = []
+            self.bits = _BitWriter()
+
+        def pending(self) -> bool:
+            return bool(
+                self.ri and self.unit and self.unit % self.ri == 0
+            )
+
+        def boundary(self) -> bool:
+            """Advance one unit; True when a restart was emitted (the
+            caller resets predictors/EOB state)."""
+            hit = self.pending()
+            if hit:
+                self.segs.append(self.bits.finish())
+                self.bits = _BitWriter()
+            self.unit += 1
+            return hit
+
+        def entropy(self) -> bytes:
+            self.segs.append(self.bits.finish())
+            out = bytearray()
+            for i, seg in enumerate(self.segs):
+                if i:
+                    out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+                out += seg
+            return bytes(out)
+
     def put_mag(bits, v):
         s = v.bit_length() if v > 0 else (-v).bit_length()
         return s, (v if v > 0 else v + (1 << s) - 1)
 
-    def dc_first(bits, comp_idxs, al):
+    def dc_first(seg, comp_idxs, al):
         preds = {ci: 0 for ci in comp_idxs}
         # comp grids are equal whenever this is called interleaved
         for by in range(nch[comp_idxs[0]]):
             for bx in range(ncw[comp_idxs[0]]):
+                if seg.boundary():
+                    preds = {ci: 0 for ci in comp_idxs}
                 for ci in comp_idxs:
                     v = int(zc[ci][by, bx, 0]) >> al  # arithmetic
                     diff = v - preds[ci]
                     preds[ci] = v
-                    s, bitsv = put_mag(bits, diff) if diff else (0, 0)
-                    bits.put(*enc_dc[s])
+                    s, bitsv = (
+                        put_mag(seg.bits, diff) if diff else (0, 0)
+                    )
+                    seg.bits.put(*enc_dc[s])
                     if s:
-                        bits.put(bitsv, s)
+                        seg.bits.put(bitsv, s)
 
-    def dc_refine(bits, comp_idxs, al):
+    def dc_refine(seg, comp_idxs, al):
         for by in range(nch[comp_idxs[0]]):
             for bx in range(ncw[comp_idxs[0]]):
+                seg.boundary()
                 for ci in comp_idxs:
-                    bits.put((int(zc[ci][by, bx, 0]) >> al) & 1, 1)
+                    seg.bits.put(
+                        (int(zc[ci][by, bx, 0]) >> al) & 1, 1
+                    )
 
-    def ac_first(bits, ci, ss, se, al):
+    def ac_first(seg, ci, ss, se, al):
         eobrun = 0
 
         def flush_eob():
@@ -1426,13 +1473,16 @@ def build_jpeg_progressive(
             while eobrun:
                 r = min(14, eobrun.bit_length() - 1)
                 cover = min(eobrun, (1 << (r + 1)) - 1)
-                bits.put(*enc_ac[r << 4])
+                seg.bits.put(*enc_ac[r << 4])
                 if r:
-                    bits.put(cover - (1 << r), r)
+                    seg.bits.put(cover - (1 << r), r)
                 eobrun -= cover
 
         for by in range(nch[ci]):
             for bx in range(ncw[ci]):
+                if seg.pending():
+                    flush_eob()  # an EOB run never crosses a restart
+                seg.boundary()
                 band = [int(v) for v in zc[ci][by, bx, ss:se + 1]]
                 vals = [
                     (abs(v) >> al) * (1 if v >= 0 else -1) for v in band
@@ -1449,21 +1499,23 @@ def build_jpeg_progressive(
                         r += 1
                         continue
                     while r > 15:
-                        bits.put(*enc_ac[0xF0])
+                        seg.bits.put(*enc_ac[0xF0])
                         r -= 16
-                    s, bitsv = put_mag(bits, v)
-                    bits.put(*enc_ac[(r << 4) | s])
-                    bits.put(bitsv, s)
+                    s, bitsv = put_mag(seg.bits, v)
+                    seg.bits.put(*enc_ac[(r << 4) | s])
+                    seg.bits.put(bitsv, s)
                     r = 0
                 if r:
                     eobrun += 1  # EOB covers this block's tail too
         flush_eob()
 
-    def ac_refine(bits, ci, ss, se, al):
+    def ac_refine(seg, ci, ss, se, al):
         # history = magnitude at the previous precision (al+1); this
         # pass appends bit ``al`` (single-block EOBs: legal, simpler)
         for by in range(nch[ci]):
             for bx in range(ncw[ci]):
+                seg.boundary()
+                bits = seg.bits
                 band = [int(v) for v in zc[ci][by, bx, ss:se + 1]]
                 a = [abs(v) >> al for v in band]
                 hist = [abs(v) >> (al + 1) for v in band]
@@ -1530,9 +1582,14 @@ def build_jpeg_progressive(
     )
 
     def emit(scan_fn, *args):
-        bits = _BitWriter()
-        scan_fn(bits, *args)
-        return bits.finish()
+        seg = _Seg(restart_interval)
+        scan_fn(seg, *args)
+        return seg.entropy()
+
+    if restart_interval:
+        out += seg_marker(
+            0xDD, struct.pack(">H", restart_interval)
+        )
 
     all_comps = list(range(ncomp))
     # DC first at Al=1: interleaved when grids align (1x1 layouts),

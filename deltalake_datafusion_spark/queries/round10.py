@@ -537,7 +537,8 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(b"not a jpeg at all")
                     continue
                 if did % 11 == 4:
-                    # progressive stub: SOI + SOF2 → rejected loudly
+                    # scanless SOF2 stub: EOI before any SOS →
+                    # rejected loudly (progressive itself decodes now)
                     payloads.append(
                         b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10"
                         b"\x01\x01\x11\x00\xff\xd9"
@@ -1116,9 +1117,13 @@ def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # PROGRESSIVE (SOF2): multi-scan spectral
                     # selection + successive approximation — decodes
                     # to the same analytic pixels, so the oracle is
-                    # untouched
+                    # untouched; every other progressive doc also
+                    # carries DRI/RSTn restarts in every scan
                     payloads.append(
-                        build_jpeg_progressive(px, subsample=sub)
+                        build_jpeg_progressive(
+                            px, subsample=sub,
+                            restart_interval=2 if did % 6 == 4 else 0,
+                        )
                     )
                 else:
                     payloads.append(

@@ -483,3 +483,53 @@ def test_progressive_rejects_stay_loud():
     p[i + 6 + 2 * ns] = 10  # Se < Ss
     with pytest.raises(JpegRejected, match="bad spectral band"):
         decode_jpeg_gray8(bytes(p), strict=True)
+
+
+@pytest.mark.parametrize("ri", [1, 2, 3, 7])
+def test_progressive_restart_markers(ri):
+    """DRI/RSTn in progressive scans: predictors and EOB runs reset
+    at every boundary in every scan type — pixels identical to the
+    unrestarted stream (and to baseline)."""
+    from deltalake_datafusion_spark.operators.jpeg import (
+        build_jpeg_gray8,
+        build_jpeg_progressive,
+    )
+
+    g = [[(x * 7 + y * 13) % 256 for x in range(33)] for y in range(21)]
+    p = build_jpeg_progressive(g, restart_interval=ri)
+    assert b"\xff\xdd" in p
+    assert any(bytes([0xFF, 0xD0 + k]) in p for k in range(8))
+    assert decode_jpeg_gray8(p, strict=True) == decode_jpeg_gray8(
+        build_jpeg_gray8(g), strict=True
+    )
+    # sparse image: EOB runs must not cross restart boundaries
+    sp = [[0] * 64 for _ in range(64)]
+    sp[5][60] = 200
+    sp[40][3] = 77
+    assert decode_jpeg_gray8(
+        build_jpeg_progressive(sp, restart_interval=ri), strict=True
+    ) == decode_jpeg_gray8(build_jpeg_gray8(sp), strict=True)
+
+
+def test_progressive_restart_color_420():
+    from deltalake_datafusion_spark.operators.jpeg import (
+        build_jpeg_color,
+        build_jpeg_progressive,
+        decode_jpeg,
+    )
+
+    px = [
+        [((x * 3 + y) % 256, (x + y * 5) % 256, (x * 11 + y * 7) % 256)
+         for x in range(24)]
+        for y in range(16)
+    ]
+    for sub in ("444", "420"):
+        want = decode_jpeg(build_jpeg_color(px, subsample=sub),
+                           strict=True)
+        for ri in (1, 2, 5):
+            assert decode_jpeg(
+                build_jpeg_progressive(
+                    px, subsample=sub, restart_interval=ri
+                ),
+                strict=True,
+            ) == want, (sub, ri)
