@@ -126,6 +126,64 @@ def bench_join(spark, n: int) -> tuple[float, float]:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def bench_join_minmax(spark, n: int) -> tuple[float, float]:
+    """The round-11 MIN/MAX star MV: fact deletes force the targeted
+    group recompute (the expensive incremental path), so this is the
+    WORST-CASE incremental cost vs the honest full recompute."""
+    from pyspark.sql import functions as F
+
+    from deltalake_datafusion_spark.delta.mv_join import (
+        build_join_mv,
+        refresh_join_mv,
+    )
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+
+    d = tempfile.mkdtemp(prefix="mvjm_bench_")
+    try:
+        fp, dp, m = f"{d}/f", f"{d}/d", f"{d}/m"
+        fact = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") % 1000).alias("fk"),
+            (F.col("id") % 5000).alias("amt"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("dk"),
+            F.concat(F.lit("s"), (F.col("id") % 37)).alias("seg"),
+        )
+        write_delta(spark, fact, fp, configuration=CDF)
+        write_delta(spark, dim, dp, configuration=CDF)
+        kw = dict(fact_key="fk", dim_key="dk", group_cols=["seg"],
+                  sum_cols=["amt"], minmax_cols=["amt"])
+        build_join_mv(spark, fp, dp, m, **kw)
+        extra = spark.range(n, n + 1000).select(
+            F.col("id"),
+            (F.col("id") % 1000).alias("fk"),
+            (F.col("id") % 5000).alias("amt"),
+        )
+        write_delta(spark, extra, fp, mode="append", configuration=CDF)
+        # a 0.1%-selective fact delete: every group sees a retraction,
+        # so min/max recompute runs for all 37 groups
+        delete_delta(spark, fp, "id % 997 = 3")
+        t0 = time.time()
+        refresh_join_mv(spark, fp, dp, m, **kw)
+        t_incr = time.time() - t0
+        t0 = time.time()
+        f, dd = read_delta(spark, fp), read_delta(spark, dp)
+        full = f.join(F.broadcast(dd), f.fk == dd.dk).groupBy("seg").agg(
+            F.count(F.lit(1)).cast("long").alias("mv_count"),
+            F.sum("amt").alias("mv_sum_amt"),
+            F.min("amt").alias("mv_min_amt"),
+            F.max("amt").alias("mv_max_amt"),
+        )
+        write_delta(spark, full, f"{d}/m_full", mode="overwrite")
+        t_full = time.time() - t0
+        return t_incr, t_full
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [
         100_000, 1_000_000, 4_000_000
@@ -140,6 +198,8 @@ def main() -> None:
         print(f"{'agg':>9} {n:>9} {ti:>8.2f} {tf:>8.2f}")
         ti, tf = bench_join(spark, n)
         print(f"{'join':>9} {n:>9} {ti:>8.2f} {tf:>8.2f}")
+        ti, tf = bench_join_minmax(spark, n)
+        print(f"{'join_mm':>9} {n:>9} {ti:>8.2f} {tf:>8.2f}")
 
 
 if __name__ == "__main__":
