@@ -367,10 +367,12 @@ def decode_jpeg(payload: bytes, strict: bool = False,
                 [(2, 2), (1, 1), (1, 1)],  # 4:2:0
                 [(2, 1), (1, 1), (1, 1)],  # 4:2:2
                 [(1, 2), (1, 1), (1, 1)],  # 4:4:0
+                [(4, 1), (1, 1), (1, 1)],  # 4:1:1 (DV-style)
             ):
                 return reject(
                     "chroma/luma subsampling layout unsupported "
-                    f"(1x1, 4:2:0, 4:2:2, 4:4:0 only: {samplings})"
+                    f"(1x1, 4:2:0, 4:2:2, 4:4:0, 4:1:1 only: "
+                    f"{samplings})"
                 )
             w, h = ww, hh
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -1113,7 +1115,7 @@ def build_jpeg_color(
 
     import numpy as np
 
-    if subsample not in ("444", "420", "422", "440"):
+    if subsample not in ("444", "420", "422", "440", "411"):
         raise ValueError(f"unsupported subsample {subsample!r}")
     h = len(pixels)
     w = len(pixels[0])
@@ -1131,6 +1133,7 @@ def build_jpeg_color(
         )
     y_samp = {
         "444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2),
+        "411": (4, 1),
     }[subsample]
     ax = 8 * y_samp[0]
     ay = 8 * y_samp[1]

@@ -286,7 +286,7 @@ def test_color_unsupported_sampling_layout_rejected():
     b = bytearray(build_jpeg_color([[(9, 9, 9)] * 8] * 8))
     sof = bytes(b).index(b"\xff\xc0")
     assert b[sof + 11] == 0x11
-    b[sof + 11] = 0x41  # declare 4x1 sampling on Y — no such layout
+    b[sof + 11] = 0x44  # declare 4x4 sampling on Y — no such layout
     with pytest.raises(JpegRejected, match="subsampling"):
         decode_jpeg(bytes(b), strict=True)
 
@@ -533,3 +533,43 @@ def test_progressive_restart_color_420():
                 ),
                 strict=True,
             ) == want, (sub, ri)
+
+
+def test_color_411_sampling():
+    """4:1:1 (DV-style: Y 4x1 over 1x1 chroma) — constant 32x8
+    macroblocks decode to exactly inv(fwd(rgb)); restart markers and
+    ragged edges survive; deterministic decode on gradients."""
+    from deltalake_datafusion_spark.operators.jpeg import (
+        build_jpeg_color,
+        decode_jpeg,
+        rgb_to_ycbcr_int,
+        ycbcr_to_rgb_int,
+    )
+
+    BW, BH = 32, 8
+    px = [
+        [
+            ((37 * (x // BW) + 11 * (y // BH) + 5) % 256,
+             (13 * (x // BW) + 7 * (y // BH) + 9) % 256,
+             (29 * (x // BW) + 3 * (y // BH) + 1) % 256)
+            for x in range(64)
+        ]
+        for y in range(16)
+    ]
+    want = [
+        [ycbcr_to_rgb_int(*rgb_to_ycbcr_int(*p)) for p in row]
+        for row in px
+    ]
+    for ri in (0, 1, 2):
+        nc, rows = decode_jpeg(
+            build_jpeg_color(px, subsample="411", restart_interval=ri),
+            strict=True,
+        )
+        assert nc == 3 and rows == want, ri
+    # ragged dims crop correctly (MCU is 32 px wide)
+    g = [[((x * 3 + y) % 256, (x + y * 5) % 256, (x * 7 + y) % 256)
+          for x in range(41)] for y in range(13)]
+    nc, rows = decode_jpeg(
+        build_jpeg_color(g, subsample="411"), strict=True
+    )
+    assert nc == 3 and len(rows) == 13 and len(rows[0]) == 41
