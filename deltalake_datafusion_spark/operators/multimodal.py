@@ -1032,18 +1032,21 @@ AUDIO_ENERGY_SCHEMA = StructType(
 def pcm_window_energy(
     media: DataFrame, window_frames: int = 400
 ) -> DataFrame:
-    """REAL PCM feature extraction: parse each WAV's 16-bit mono
-    sample stream (header via :func:`sniff_wav_header`, samples via
-    a zero-copy numpy int16 view) and emit per fixed-size window the
-    EXACT integer energy ``Σ s_i²`` plus the frame count — the RMS
-    is ``sqrt(sumsq/n)`` downstream, but the stored feature stays
+    """REAL PCM feature extraction: parse each WAV's sample stream —
+    16-bit or 24-bit, mono or stereo (header via
+    :func:`sniff_wav_header`; 16-bit via a zero-copy numpy int16
+    view, 24-bit via a vectorized 3-byte little-endian assembly with
+    sign extension) — and emit per fixed-size FRAME window the EXACT
+    integer energy ``Σ s_i²`` over all channels plus the frame count
+    (one frame = one sample per channel) — the RMS is
+    ``sqrt(sumsq/(n·ch))`` downstream, but the stored feature stays
     integer so it hash-checks cross-engine. The stage every
     speech-pipeline VAD/loudness filter runs after header triage.
 
-    Arrow-batched ``mapInPandas``; per payload the heavy loop is one
+    Arrow-batched ``mapInPandas``; per payload the heavy loop is
     numpy reshape+multiply+sum (vectorized), never per-sample
-    Python. Non-WAV / non-16-bit-mono payloads contribute no rows
-    (same skip contract as the sniffers)."""
+    Python. Non-WAV / other-depth payloads contribute no rows (same
+    skip contract as the sniffers)."""
     import numpy as np
     import pandas as pd
 
@@ -1054,10 +1057,12 @@ def pcm_window_energy(
                 meta = sniff_wav_header(p)
                 if (
                     meta is None
-                    or meta["bits_per_sample"] != 16
-                    or meta["n_channels"] != 1
+                    or meta["bits_per_sample"] not in (16, 24)
+                    or meta["n_channels"] not in (1, 2)
                 ):
                     continue
+                bps = meta["bits_per_sample"] // 8
+                nch = meta["n_channels"]
                 off, nbytes = meta["data_offset"], meta["data_bytes"]
                 # the sniffer reports the RIFF header's declared data
                 # length verbatim; a truncated/malformed payload can
@@ -1066,19 +1071,30 @@ def pcm_window_energy(
                 # the job (skip contract: bad payloads contribute no
                 # rows, they never poison the batch)
                 avail = max(0, len(p) - off)
-                n = min(nbytes, avail) // 2
+                n = min(nbytes, avail) // (bps * nch) * nch
                 if n == 0:
                     continue
-                s = np.frombuffer(p, dtype="<i2", count=n, offset=off)
-                sq = s.astype(np.int64) ** 2
-                n_win = (n + window_frames - 1) // window_frames
+                if bps == 2:
+                    s = np.frombuffer(
+                        p, dtype="<i2", count=n, offset=off
+                    ).astype(np.int64)
+                else:
+                    raw = np.frombuffer(
+                        p, dtype=np.uint8, count=n * 3, offset=off
+                    ).reshape(n, 3).astype(np.int64)
+                    s = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+                    s -= (s & 0x800000) << 1  # sign-extend 24 bits
+                sq = s ** 2
+                nf = n // nch  # frames
+                wf = window_frames
+                n_win = (nf + wf - 1) // wf
                 for w in range(n_win):
-                    a = w * window_frames
-                    b = min(a + window_frames, n)
+                    a = w * wf
+                    b = min(a + wf, nf)
                     ids.append(int(mid))
                     segs.append(w)
                     lens.append(b - a)
-                    sums.append(int(sq[a:b].sum()))
+                    sums.append(int(sq[a * nch:b * nch].sum()))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -1093,20 +1109,46 @@ def pcm_window_energy(
     )
 
 
-def build_wav_pcm16(samples: list, sample_rate: int = 16000) -> bytes:
-    """Synthesize a canonical mono 16-bit PCM WAV from a sample list
-    (fixture generator for :func:`pcm_window_energy`)."""
+def build_wav_pcm16(samples: list, sample_rate: int = 16000,
+                    channels: int = 1) -> bytes:
+    """Synthesize a canonical 16-bit PCM WAV from an (interleaved,
+    when stereo) sample list (fixture generator for
+    :func:`pcm_window_energy`)."""
     import struct
 
     n = len(samples)
     dlen = n * 2
     hdr = (
         b"RIFF" + struct.pack("<I", 36 + dlen) + b"WAVE"
-        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
-                                sample_rate * 2, 2, 16)
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate,
+            sample_rate * 2 * channels, 2 * channels, 16,
+        )
         + b"data" + struct.pack("<I", dlen)
     )
     return hdr + struct.pack(f"<{n}h", *samples)
+
+
+def build_wav_pcm24(samples: list, sample_rate: int = 16000,
+                    channels: int = 1) -> bytes:
+    """Synthesize a canonical 24-bit PCM WAV (3-byte little-endian
+    signed samples, interleaved when stereo)."""
+    import struct
+
+    n = len(samples)
+    dlen = n * 3
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + dlen) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate,
+            sample_rate * 3 * channels, 3 * channels, 24,
+        )
+        + b"data" + struct.pack("<I", dlen)
+    )
+    body = bytearray()
+    for s in samples:
+        body += (s & 0xFFFFFF).to_bytes(3, "little")
+    return hdr + bytes(body)
 
 
 def build_png_rgb(pixels: list, alpha: bool = False,

@@ -1689,15 +1689,17 @@ ORDER BY a, b
 
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM sample parsing
-    (``operators/multimodal.py::pcm_window_energy``): genuine mono
-    16-bit WAVs whose samples are the deterministic triangle-ish
-    sequence ``((i·37 + doc_id·101) mod 2001) − 1000``; the operator
-    parses the byte stream with a zero-copy numpy int16 view and
-    emits per 400-frame window the exact integer energy Σs². The
-    oracle recomputes every sample and window sum arithmetically —
-    a byte-offset or endianness bug in the parser hash-mismatches.
-    Output: per-media window count, total frames, total energy;
-    every 7th payload is junk and contributes nothing."""
+    (``operators/multimodal.py::pcm_window_energy``): genuine WAVs —
+    16-bit mono, 24-BIT mono (3-byte LE assembly + sign extension,
+    full ±10⁶ sample range), and STEREO 16-bit (interleaved frames) —
+    whose samples are deterministic ramps; the operator parses the
+    byte stream with vectorized numpy views and emits per 400-FRAME
+    window the exact integer energy Σs² across channels. The oracle
+    recomputes every sample and window sum arithmetically — a
+    byte-offset, endianness, sign-extension, or channel-interleave
+    bug hash-mismatches. Output: per-media window count, total
+    frames, total energy; every 7th payload is junk and contributes
+    nothing."""
     from deltalake_datafusion_spark.operators.multimodal import (
         build_wav_pcm16,
         pcm_window_energy,
@@ -1712,6 +1714,10 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(it):
         import pandas as pd
 
+        from deltalake_datafusion_spark.operators.multimodal import (
+            build_wav_pcm24,
+        )
+
         for pdf in it:
             payloads = []
             for did in pdf["doc_id"]:
@@ -1720,10 +1726,33 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(b"not riff audio")
                     continue
                 n = 500 + (did % 13) * 211
+                if did % 5 == 1:
+                    # 24-BIT mono: full ±2^23-ish range to catch a
+                    # sign-extension or byte-assembly bug
+                    s24 = [
+                        ((i * 37 + did * 101) % 2000001) - 1000000
+                        for i in range(n)
+                    ]
+                    payloads.append(build_wav_pcm24(s24))
+                    continue
                 samples = [
                     ((i * 37 + did * 101) % 2001) - 1000
                     for i in range(n)
                 ]
+                if did % 5 == 3:
+                    # STEREO 16-bit: right channel = a second ramp,
+                    # interleaved L R L R; windows count FRAMES
+                    right = [
+                        ((i * 53 + did * 71) % 1777) - 888
+                        for i in range(n)
+                    ]
+                    inter = [
+                        v for p_ in zip(samples, right) for v in p_
+                    ]
+                    payloads.append(
+                        build_wav_pcm16(inter, channels=2)
+                    )
+                    continue
                 payloads.append(build_wav_pcm16(samples))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
@@ -1748,16 +1777,31 @@ WITH docs AS (
   SELECT doc_id, 500 + (doc_id % 13) * 211 AS n
   FROM documents WHERE doc_id % 23 = 0 AND doc_id % 7 <> 3
 ),
-samples AS (
-  SELECT doc_id, i.i AS i, n,
-    ((i.i * 37 + doc_id * 101) % 2001) - 1000 AS s
+frames AS (
+  -- 16-bit mono
+  SELECT doc_id, i.i AS i,
+    POWER(((i.i * 37 + doc_id * 101) % 2001) - 1000, 2)::BIGINT AS e
   FROM docs, LATERAL (SELECT unnest(range(n)) AS i) i
+  WHERE doc_id % 5 NOT IN (1, 3)
+  UNION ALL
+  -- 24-bit mono (full-range ramp)
+  SELECT doc_id, i.i,
+    POWER(((i.i * 37 + doc_id * 101) % 2000001) - 1000000, 2)::BIGINT
+  FROM docs, LATERAL (SELECT unnest(range(n)) AS i) i
+  WHERE doc_id % 5 = 1
+  UNION ALL
+  -- stereo 16-bit: per-frame energy = l^2 + r^2
+  SELECT doc_id, i.i,
+    POWER(((i.i * 37 + doc_id * 101) % 2001) - 1000, 2)::BIGINT
+    + POWER(((i.i * 53 + doc_id * 71) % 1777) - 888, 2)::BIGINT
+  FROM docs, LATERAL (SELECT unnest(range(n)) AS i) i
+  WHERE doc_id % 5 = 3
 ),
 win AS (
   SELECT doc_id, i // 400 AS seg_idx,
     CAST(COUNT(*) AS BIGINT) AS n_frames,
-    CAST(SUM(s * s) AS BIGINT) AS sumsq
-  FROM samples GROUP BY doc_id, i // 400
+    CAST(SUM(e) AS BIGINT) AS sumsq
+  FROM frames GROUP BY doc_id, i // 400
 )
 SELECT doc_id AS media_id,
   CAST(COUNT(*) AS BIGINT) AS n_windows,

@@ -582,3 +582,41 @@ def test_png_color_features_exact_and_skip(spark):
             (299 * 50 + 587 * 50 + 114 * 50) // 1000
     assert got[2] == (0, 2, 1, gl, gl, gl, gluma)
     assert set(got) == {1, 2}
+
+
+def test_pcm_energy_24bit_and_stereo(spark):
+    from deltalake_datafusion_spark.operators.multimodal import (
+        build_wav_pcm16,
+        build_wav_pcm24,
+        pcm_window_energy,
+    )
+
+    s24 = [((i * 991) % 2000001) - 1000000 for i in range(850)]
+    L = [((i * 3) % 201) - 100 for i in range(950)]
+    R = [((i * 7) % 399) - 199 for i in range(950)]
+    inter = [v for p in zip(L, R) for v in p]
+    rows = [
+        (1, bytearray(build_wav_pcm24(s24))),
+        (2, bytearray(build_wav_pcm16(inter, channels=2))),
+        (3, bytearray(build_wav_pcm24([5, -5, 8388607, -8388608]))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r.media_id, r.seg_idx): (r.n_frames, r.sumsq)
+        for r in pcm_window_energy(df, window_frames=400).collect()
+    }
+    # 24-bit mono: full range incl. extremes sign-extends exactly
+    assert got[(1, 0)] == (400, sum(v * v for v in s24[:400]))
+    assert got[(1, 2)] == (50, sum(v * v for v in s24[800:]))
+    assert got[(3, 0)] == (
+        4, 25 + 25 + 8388607**2 + 8388608**2
+    )
+    # stereo: windows count FRAMES; energy sums both channels
+    assert got[(2, 0)] == (
+        400,
+        sum(a * a + b * b for a, b in zip(L[:400], R[:400])),
+    )
+    assert got[(2, 2)] == (
+        150,
+        sum(a * a + b * b for a, b in zip(L[800:], R[800:])),
+    )
