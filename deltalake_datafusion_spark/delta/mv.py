@@ -305,26 +305,44 @@ def _advance_watermark_only(
         commit_with_retries,
     )
 
-    snap = load_snapshot(mv_path, spark=spark)
-    check_writable(snap)
-    recorded = snap.app_transactions.get(MV_TXN_APP, -1)
-    if recorded >= base_ver:
-        return  # a concurrent refresh already advanced past us
-    if expected_applied is not None and recorded > expected_applied:
-        raise ConcurrentRefreshError(
-            f"txn {MV_TXN_APP!r} advanced to {recorded} past the "
-            f"refresh's base watermark {expected_applied} (target "
-            f"{base_ver}) — a concurrent refresh overlapped this "
-            "range; recompute from the new watermark"
-        )
-    commit_with_retries(
-        spark,
-        mv_path,
-        snap,
-        [_txn_action(base_ver)],
-        "SET TRANSACTION",
-        set(),
+    from deltalake_datafusion_spark.delta.writer import (
+        ConcurrentModificationError,
     )
+
+    # The guard must hold AT COMMIT TIME, not just when first checked
+    # (ADVICE r11): commit_with_retries treats any concurrent commit
+    # carrying the MV_TXN_APP txn as a conflict, and this loop
+    # re-validates against the advanced ledger instead of rebasing
+    # over it (which would regress the watermark and double-apply the
+    # range on the next refresh).
+    last: Exception | None = None
+    for _ in range(5):
+        snap = load_snapshot(mv_path, spark=spark)
+        check_writable(snap)
+        recorded = snap.app_transactions.get(MV_TXN_APP, -1)
+        if recorded >= base_ver:
+            return  # a concurrent refresh already advanced past us
+        if expected_applied is not None and recorded > expected_applied:
+            raise ConcurrentRefreshError(
+                f"txn {MV_TXN_APP!r} advanced to {recorded} past the "
+                f"refresh's base watermark {expected_applied} (target "
+                f"{base_ver}) — a concurrent refresh overlapped this "
+                "range; recompute from the new watermark"
+            )
+        try:
+            commit_with_retries(
+                spark,
+                mv_path,
+                snap,
+                [_txn_action(base_ver)],
+                "SET TRANSACTION",
+                set(),
+                conflict_txn_appids={MV_TXN_APP},
+            )
+            return
+        except ConcurrentModificationError as e:
+            last = e  # ledger moved mid-commit — re-validate
+    raise last
 
 
 def streaming_refresh_aggregate_mv(
@@ -404,6 +422,58 @@ def streaming_refresh_aggregate_mv(
 # ------------------------------------------------------------------ #
 # MIN/MAX-bearing aggregate MVs (delete-aware group recompute)        #
 # ------------------------------------------------------------------ #
+
+
+def _nullsafe_left_join(
+    left: DataFrame, right: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """LEFT join on NULL-SAFE group-key equality (ADVICE r11: the
+    MERGE's own ON uses ``<=>``, so NULL group keys are first-class —
+    a name-list equi-join here would silently drop the recomputed
+    min/max of a NULL-keyed group and write NULL extrema while the
+    group still has rows). The right side's key columns are renamed
+    to fresh aliases (fresh exprIds) and the frame localCheckpointed
+    (fresh subtree) — the full self-join firewall, since ``right``
+    derives from ``left``'s affected-group keys; it is bounded by the
+    number of recomputed groups."""
+    renamed = right.select(
+        *[
+            F.col(c).alias(f"__rk_{i}")
+            for i, c in enumerate(group_cols)
+        ],
+        *[F.col(c) for c in right.columns if c not in group_cols],
+    ).localCheckpoint(eager=True)
+    cond = None
+    for i, c in enumerate(group_cols):
+        e = left[c].eqNullSafe(renamed[f"__rk_{i}"])
+        cond = e if cond is None else (cond & e)
+    return left.join(renamed, cond, "left").drop(
+        *[f"__rk_{i}" for i in range(len(group_cols))]
+    )
+
+
+def _nullsafe_semi_join(
+    left: DataFrame, keys_df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Broadcast LEFT SEMI join on NULL-SAFE equality over ``cols`` —
+    prunes ``left`` to rows whose key tuple appears in ``keys_df``,
+    keeping NULL-keyed groups matchable (same ADVICE r11 defect as
+    :func:`_nullsafe_left_join`: a name-list semi join silently drops
+    the NULL group from the recompute). Fresh aliases +
+    localCheckpoint = self-join firewall; the key set is bounded by
+    the affected-group count."""
+    renamed = (
+        keys_df.select(
+            *[F.col(c).alias(f"__sk_{i}") for i, c in enumerate(cols)]
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cond = None
+    for i, c in enumerate(cols):
+        e = left[c].eqNullSafe(renamed[f"__sk_{i}"])
+        cond = e if cond is None else (cond & e)
+    return left.join(F.broadcast(renamed), cond, "left_semi")
 
 
 def _min_col(c: str) -> str:
@@ -566,7 +636,7 @@ def _refresh_minmax_once(
             inline,
             keys_df=deltas.filter("__saw_delete = 1").select(*group_cols),
         )
-        src = deltas.join(recomputed, list(group_cols), "left")
+        src = _nullsafe_left_join(deltas, recomputed, list(group_cols))
     else:
         src = deltas
         for c in minmax_cols:
@@ -672,9 +742,7 @@ def _recompute_groups(
     if pred is not None:
         base = base.filter(F.expr(pred))
     else:
-        base = base.join(
-            F.broadcast(keys_df.distinct()), list(group_cols), "left_semi"
-        )
+        base = _nullsafe_semi_join(base, keys_df, list(group_cols))
     return base.groupBy(*group_cols).agg(
         *[F.min(c).alias(f"re_min_{c}") for c in minmax_cols],
         *[F.max(c).alias(f"re_max_{c}") for c in minmax_cols],

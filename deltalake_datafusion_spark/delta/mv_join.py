@@ -631,7 +631,11 @@ def _merge_signed_rows_minmax(
             group_cols=group_cols, minmax_cols=minmax_cols,
             keys_df=affected,
         )
-        src = deltas.join(recomputed, list(group_cols), "left")
+        from deltalake_datafusion_spark.delta.mv import (
+            _nullsafe_left_join,
+        )
+
+        src = _nullsafe_left_join(deltas, recomputed, list(group_cols))
     else:
         src = deltas
         for c in minmax_cols:
@@ -733,12 +737,11 @@ def _recompute_join_groups(
     fact_g, dim_g = _split_group_cols(group_cols, fact_fields, dim_fields)
 
     d_bytes = _delta_bytes(spark, dim_path, d_ver)
+    from deltalake_datafusion_spark.delta.mv import _nullsafe_semi_join
+
     dim = read_delta(spark, dim_path, version=d_ver)
     if dim_g:
-        dim = dim.join(
-            F.broadcast(keys_df.select(*dim_g).distinct()), dim_g,
-            "left_semi",
-        )
+        dim = _nullsafe_semi_join(dim, keys_df.select(*dim_g), dim_g)
     keys = [
         r[0]
         for r in dim.select(dim_key)
@@ -768,10 +771,7 @@ def _recompute_join_groups(
             "left_semi",
         )
     if fact_g:
-        fact = fact.join(
-            F.broadcast(keys_df.select(*fact_g).distinct()), fact_g,
-            "left_semi",
-        )
+        fact = _nullsafe_semi_join(fact, keys_df.select(*fact_g), fact_g)
     j = fact.join(
         _dim_side(spark, dim, d_bytes),
         fact[fact_key] == dim[dim_key],
@@ -794,36 +794,52 @@ def _advance_txns_only(
     )
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
     from deltalake_datafusion_spark.delta.writer import (
+        ConcurrentModificationError,
         check_writable,
         commit_with_retries,
     )
 
-    snap = load_snapshot(mv_path, spark=spark)
-    check_writable(snap)
-    # a concurrent refresh that advanced a watermark INTO this
-    # refresh's range means the cancelled-out full-range delta no
-    # longer licenses a jump over the unapplied complement
-    for g in guards or []:
-        rec = snap.app_transactions.get(g["appId"], -1)
-        if (
-            g.get("applied") is not None
-            and g["applied"] < rec < g["target"]
-        ):
-            raise ConcurrentRefreshError(
-                f"txn {g['appId']!r} advanced to {rec} inside the "
-                f"range ({g['applied']}, {g['target']}] — recompute"
+    appids = {t["txn"]["appId"] for t in txns} | {
+        g["appId"] for g in guards or []
+    }
+    # Guard validity must hold AT COMMIT TIME (ADVICE r11): a
+    # concurrent commit carrying any of these appIds' txns is a
+    # conflict inside commit_with_retries, and this loop re-validates
+    # against the advanced ledger instead of rebasing over it.
+    last: Exception | None = None
+    for _ in range(5):
+        snap = load_snapshot(mv_path, spark=spark)
+        check_writable(snap)
+        # a concurrent refresh that advanced a watermark INTO this
+        # refresh's range means the cancelled-out full-range delta no
+        # longer licenses a jump over the unapplied complement
+        for g in guards or []:
+            rec = snap.app_transactions.get(g["appId"], -1)
+            if (
+                g.get("applied") is not None
+                and g["applied"] < rec < g["target"]
+            ):
+                raise ConcurrentRefreshError(
+                    f"txn {g['appId']!r} advanced to {rec} inside the "
+                    f"range ({g['applied']}, {g['target']}] — recompute"
+                )
+        fresh = [
+            t
+            for t in txns
+            if snap.app_transactions.get(t["txn"]["appId"], -1)
+            < t["txn"]["version"]
+        ]
+        if not fresh:
+            return
+        try:
+            commit_with_retries(
+                spark, mv_path, snap, fresh, "SET TRANSACTION", set(),
+                conflict_txn_appids=appids,
             )
-    fresh = [
-        t
-        for t in txns
-        if snap.app_transactions.get(t["txn"]["appId"], -1)
-        < t["txn"]["version"]
-    ]
-    if not fresh:
-        return
-    commit_with_retries(
-        spark, mv_path, snap, fresh, "SET TRANSACTION", set()
-    )
+            return
+        except ConcurrentModificationError as e:
+            last = e  # ledger moved mid-commit — re-validate
+    raise last
 
 
 def streaming_refresh_join_mv(

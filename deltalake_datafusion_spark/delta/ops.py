@@ -1994,10 +1994,18 @@ def _merge_attempt(
 
     # MERGE's join reads the whole target table (any target row can
     # match), so every concurrent data append is a read conflict.
+    # Guarded watermark appIds are conflicts too: a concurrent
+    # watermark-only commit carries no add/remove for the predicate
+    # check to see, yet invalidates this merge's frozen delta — the
+    # restart re-validates the guards against the advanced ledger
+    # (ADVICE r11).
     try:
         version = commit_with_retries(
             spark, snap.table_path, snap, actions, "MERGE",
             modified_paths, read_predicate="true",
+            conflict_txn_appids={
+                g["appId"] for g in (txn_guards or [])
+            },
             operation_metrics={
                 "numTargetFilesRewritten": str(n_modified)
             },

@@ -869,6 +869,7 @@ def commit_with_retries(
     max_attempts: int = 10,
     read_predicate: str | None = None,
     operation_metrics: dict[str, str] | None = None,
+    conflict_txn_appids: frozenset[str] | set[str] = frozenset(),
 ) -> int:
     """Optimistic-concurrency commit with real conflict validation
     (the missing half of blind retry): when the target version is
@@ -883,6 +884,15 @@ def commit_with_retries(
     transaction read nothing (blind append); ``"true"`` means it read
     the whole table. Disjoint commits (appends outside the predicate,
     DML on other files) retry cleanly at the new tip.
+
+    ``conflict_txn_appids``: SetTransaction appIds this transaction's
+    validity depends on (MV watermark guards, idempotent-write
+    markers). A concurrent commit carrying a ``txn`` action for one
+    of them — even a data-less watermark-only commit the add/remove
+    checks cannot see — is a read conflict (ADVICE r11: the rebase
+    loop must not silently jump a guarded watermark; the caller
+    re-validates its guard against the advanced ledger and decides
+    skip / recompute / retry).
     """
     import urllib.parse as _up
 
@@ -935,6 +945,16 @@ def commit_with_retries(
                 if v <= checked_through or v > tip:
                     continue
                 for a in _iter_commit_actions(p, fs):
+                    txn_body = a.get("txn")
+                    if (
+                        txn_body
+                        and txn_body.get("appId") in conflict_txn_appids
+                    ):
+                        raise ConcurrentModificationError(
+                            f"{operation}: SetTransaction "
+                            f"{txn_body['appId']!r} advanced by "
+                            f"concurrent commit {v}"
+                        )
                     if ("metaData" in a and a["metaData"]) or (
                         "protocol" in a and a["protocol"]
                     ):

@@ -399,7 +399,17 @@ def decode_gif(payload: bytes, strict: bool = False):
     """Decode the FIRST composited frame of a GIF to its row-major
     (r, g, b) canvas (exact — LZW is lossless over palette indices);
     see :func:`decode_gif_frames` for the full animation model. None
-    (or :class:`GifRejected` in strict mode) outside the subset."""
+    (or :class:`GifRejected` in strict mode) outside the subset.
+
+    INTENDED semantics (ADVICE r11, confirmed): the returned matrix
+    is the LOGICAL-SCREEN canvas (``sw × sh``), i.e. what a viewer
+    displays — a first image descriptor smaller than the screen is
+    composited at its (left, top) offset over the background-color
+    fill, exactly as GIF89a §18/§23 prescribe. Callers wanting only
+    the first descriptor's own rectangle should crop; the feature
+    extractors here deliberately consume the full displayed canvas
+    (pinned by ``tests/test_gif.py::
+    test_first_frame_smaller_than_screen_composites_onto_canvas``)."""
     frames = decode_gif_frames(payload, strict=strict)
     if frames is None:
         return None

@@ -298,7 +298,11 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
 
     src = m.group("src").strip()
     jm = _JOIN_SRC_RE.match(src)
-    for mv_path, defn in _REGISTRY.items():
+    # snapshot the registry: _mv_is_fresh may unregister a view
+    # deleted out-of-band mid-iteration (ADVICE r11 — mutating the
+    # dict during iteration would crash the user's query in exactly
+    # the case that must fall through harmlessly)
+    for mv_path, defn in list(_REGISTRY.items()):
         if jm is not None:
             if defn["kind"] != "join":
                 continue

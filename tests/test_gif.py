@@ -243,3 +243,28 @@ def test_gif_frame_features_operator(spark):
         for fi, fr in enumerate(ref)
     }
     assert got == want
+
+
+def test_first_frame_smaller_than_screen_composites_onto_canvas():
+    """Pins the INTENDED decode_gif contract (ADVICE r11, confirmed):
+    the first frame is returned as the composited LOGICAL-SCREEN
+    canvas — a descriptor smaller than the screen renders at its
+    (left, top) offset over the background-color fill — not cropped
+    back to the descriptor's own rectangle."""
+    from deltalake_datafusion_spark.operators.gif import (
+        build_gif_animation,
+    )
+
+    pal = [(10, 20, 30), (200, 100, 50)]
+    payload = build_gif_animation(
+        [{"indices": [[1, 1], [1, 1]], "left": 2, "top": 1}],
+        pal,
+        (5, 4),
+        bg_index=0,
+    )
+    rows = decode_gif(payload, strict=True)
+    assert len(rows) == 4 and len(rows[0]) == 5  # screen, not 2×2
+    for y in range(4):
+        for x in range(5):
+            inside = 1 <= y <= 2 and 2 <= x <= 3
+            assert rows[y][x] == (pal[1] if inside else pal[0])

@@ -666,3 +666,127 @@ def test_minmax_semi_join_fallback_past_inline_ceiling(spark, tmp_path):
     )
     assert res["mode"] == "incremental"
     assert _mm_state(spark, m) == _mm_expected(spark, b)
+
+
+def test_minmax_null_group_key_retraction(spark, tmp_path):
+    """ADVICE r11: a NULL group key touched by a retraction must get
+    its RECOMPUTED min/max (the delta↔recompute join and the
+    recompute's group pruning are null-safe, like the MERGE's own
+    ``<=>`` ON) — not NULL extrema while the group still has rows."""
+    from deltalake_datafusion_spark.delta.mv import (
+        build_minmax_mv,
+        refresh_minmax_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    rows = [(1, None, 10), (2, None, 50), (3, None, 90),
+            (4, 7, 20), (5, 7, 80)]
+    df = spark.createDataFrame(rows, "id long, g long, v long")
+    write_delta(spark, df, b, configuration=CDF)
+    build_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    # retract the NULL group's MAX and the keyed group's MIN
+    delete_delta(spark, b, "id = 3 OR id = 4")
+    refresh_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    got = {
+        r.g: (r.mv_count, r.mv_sum_v, r.mv_min_v, r.mv_max_v)
+        for r in read_delta(spark, m).collect()
+    }
+    assert got == {None: (2, 60, 10, 50), 7: (1, 80, 80, 80)}
+
+
+def test_watermark_only_commit_revalidates_after_concurrent_txn(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11: a watermark-only commit racing a concurrent
+    refresh's txn advance must NOT be silently rebased over it
+    (regressing the watermark → the next refresh re-applies the CDF
+    range). Injected race: the first commit attempt loses to a
+    concurrent commit that advances the watermark PAST the target —
+    the loop re-validates and returns without regressing."""
+    import deltalake_datafusion_spark.delta.writer as writer_mod
+    from deltalake_datafusion_spark.delta.mv import (
+        _advance_watermark_only,
+        _txn_action,
+        mv_watermark,
+    )
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    applied = mv_watermark(load_snapshot(m, spark=spark))
+
+    real_commit = writer_mod.commit
+    state = {"raced": False}
+
+    def racing_commit(table_path, version, actions, operation, sp,
+                      **kw):
+        if not state["raced"] and any("txn" in a for a in actions):
+            state["raced"] = True
+            # concurrent refresh wins the version with a HIGHER
+            # watermark than this caller's target
+            real_commit(
+                table_path, version, [_txn_action(applied + 5)],
+                "SET TRANSACTION", sp,
+                configuration=kw.get("configuration"),
+            )
+        return real_commit(
+            table_path, version, actions, operation, sp, **kw
+        )
+
+    monkeypatch.setattr(writer_mod, "commit", racing_commit)
+    _advance_watermark_only(
+        spark, m, applied + 2, expected_applied=applied
+    )
+    assert state["raced"]
+    # the loser re-validated and did NOT regress the watermark
+    assert mv_watermark(load_snapshot(m, spark=spark)) == applied + 5
+
+
+def test_interleaved_refreshes_both_succeed(spark, tmp_path, monkeypatch):
+    """VERDICT r11 #1: two refreshes of the same MV racing — the
+    loser's MERGE commit collides with the winner's, the guard
+    detects the covered range, and BOTH callers return success with
+    the view equal to the full recompute (no double-apply). Injected
+    race: a full concurrent refresh runs right before the outer
+    refresh's merge commit lands."""
+    import deltalake_datafusion_spark.delta.writer as writer_mod
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+    extra = spark.createDataFrame(
+        [(200, 1, 17), (201, 5, 19)], "id long, g long, v long"
+    )
+    write_delta(spark, extra, b, mode="append", configuration=CDF)
+    delete_delta(spark, b, "id = 0")
+
+    real_commit = writer_mod.commit
+    state = {"raced": False, "inner": None, "in_race": False}
+
+    def racing_commit(table_path, version, actions, operation, sp,
+                      **kw):
+        if (
+            not state["raced"]
+            and not state["in_race"]
+            and operation == "MERGE"
+            and table_path == m
+        ):
+            state["raced"] = True
+            state["in_race"] = True
+            try:  # the concurrent refresh applies the SAME range
+                state["inner"] = refresh_aggregate_mv(
+                    spark, b, m, ["g"], ["v"]
+                )
+            finally:
+                state["in_race"] = False
+        return real_commit(
+            table_path, version, actions, operation, sp, **kw
+        )
+
+    monkeypatch.setattr(writer_mod, "commit", racing_commit)
+    outer = refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    assert state["raced"]
+    assert state["inner"]["mode"] == "incremental"
+    assert outer["mode"] in ("incremental", "noop")
+    assert _mv_state(spark, m) == _expected(spark, b)

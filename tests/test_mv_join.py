@@ -799,3 +799,36 @@ def test_semi_join_paths_past_inline_key_ceiling(spark, tmp_path,
     res = refresh_join_mv(spark, fp, dp, m, **MMKW)
     assert res["mode"] == "incremental"
     assert _mm_state(spark, m) == _mm_expected(spark, fp, dp)
+
+
+def test_join_minmax_null_dim_group_retraction(spark, tmp_path):
+    """ADVICE r11 (join form): a NULL dim-side group value touched by
+    a retraction gets RECOMPUTED min/max — the delta↔recompute join
+    and the recompute's dim-group pruning are null-safe."""
+    fp, dp, mv = (
+        str(tmp_path / "f"), str(tmp_path / "d"), str(tmp_path / "m")
+    )
+    fact = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 90), (3, 1, 30), (4, 1, 70)],
+        "id long, fk long, amt long",
+    )
+    dim = spark.createDataFrame(
+        [(0, None), (1, "s1")], "dk long, seg string"
+    )
+    write_delta(spark, fact, fp, configuration=CDF)
+    write_delta(spark, dim, dp, configuration=CDF)
+    build_join_mv(
+        spark, fp, dp, mv, fact_key="fk", dim_key="dk",
+        group_cols=["seg"], sum_cols=["amt"], minmax_cols=["amt"],
+    )
+    # retract the NULL group's MAX (id=2) and s1's MIN (id=3)
+    delete_delta(spark, fp, "id = 2 OR id = 3")
+    refresh_join_mv(
+        spark, fp, dp, mv, fact_key="fk", dim_key="dk",
+        group_cols=["seg"], sum_cols=["amt"], minmax_cols=["amt"],
+    )
+    got = {
+        r.seg: (r.mv_count, r.mv_sum_amt, r.mv_min_amt, r.mv_max_amt)
+        for r in read_delta(spark, mv).collect()
+    }
+    assert got == {None: (1, 10, 10, 10), "s1": (1, 70, 70, 70)}
