@@ -56,6 +56,17 @@ def _sum_col(c: str) -> str:
     return f"mv_sum_{c}"
 
 
+def _cnt_col(c: str) -> str:
+    """Per-column NON-NULL count (``COUNT(c)``), maintained alongside
+    every ``mv_sum_<c>`` (ADVICE r11, high): it is what makes the
+    stored SUM NULL-exact (an all-NULL group's SUM is NULL, and must
+    STAY NULL through incremental merges instead of coalescing to 0)
+    and what lets the transparent rewrite derive ``AVG(c)`` —
+    ``SUM(c)/COUNT(c)`` per ANSI, NOT ``SUM(c)/COUNT(*)`` — and
+    ``COUNT(c)`` for nullable measure columns."""
+    return f"mv_cnt_{c}"
+
+
 def _now_ms() -> int:
     import time
 
@@ -122,9 +133,11 @@ def build_aggregate_mv(
 
     base_ver = load_snapshot(base_path, spark=spark).version
     df = read_delta(spark, base_path)
-    aggs = [F.count(F.lit(1)).cast("long").alias(MV_COUNT_COL)] + [
-        F.sum(c).alias(_sum_col(c)) for c in sum_cols
-    ]
+    aggs = (
+        [F.count(F.lit(1)).cast("long").alias(MV_COUNT_COL)]
+        + [F.sum(c).alias(_sum_col(c)) for c in sum_cols]
+        + [F.count(c).cast("long").alias(_cnt_col(c)) for c in sum_cols]
+    )
     mv = df.groupBy(*group_cols).agg(*aggs)
     write_delta(
         spark,
@@ -227,24 +240,34 @@ def apply_change_deltas(
                 F.sum(F.col(c) * F.col("__sign")).alias(f"d_{c}")
                 for c in sum_cols
             ],
+            *[
+                F.sum(
+                    F.when(F.col(c).isNotNull(), F.col("__sign"))
+                    .otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias(f"dc_{c}")
+                for c in sum_cols
+            ],
         )
     )
+    # a NULL→value update moves dc without moving d_count or d_<c>
+    # (e.g. NULL→0): the non-null count still changes
     changed = F.col("d_count") != 0
     for c in sum_cols:
         changed = changed | (F.col(f"d_{c}") != 0)
+        changed = changed | (F.col(f"dc_{c}") != 0)
     deltas = deltas.filter(changed)
     on = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in group_cols)
     update = {
         MV_COUNT_COL: f"t.{MV_COUNT_COL} + s.d_count",
-        **{
-            _sum_col(c): f"coalesce(t.{_sum_col(c)}, 0) + coalesce(s.d_{c}, 0)"
-            for c in sum_cols
-        },
+        **_sum_update_exprs(sum_cols),
     }
     insert_vals = {
         **{c: f"s.`{c}`" for c in group_cols},
         MV_COUNT_COL: "s.d_count",
         **{_sum_col(c): f"s.d_{c}" for c in sum_cols},
+        **{_cnt_col(c): f"s.dc_{c}" for c in sum_cols},
     }
     deltas = deltas.localCheckpoint(eager=True)  # one CDF read, reused
     n_groups = deltas.count()
@@ -424,6 +447,24 @@ def streaming_refresh_aggregate_mv(
 # ------------------------------------------------------------------ #
 
 
+def _sum_update_exprs(sum_cols: list[str]) -> dict[str, str]:
+    """MERGE UPDATE expressions keeping each maintained SUM NULL-exact
+    (ADVICE r11): SQL's ``SUM`` over a group with no non-NULL values
+    is NULL, so when the maintained non-null count reaches 0 the
+    stored sum must return to NULL — a plain
+    ``coalesce(t)+coalesce(s)`` would freeze it at 0, diverging from
+    the full build."""
+    out: dict[str, str] = {}
+    for c in sum_cols:
+        cnt, s = _cnt_col(c), _sum_col(c)
+        out[s] = (
+            f"CASE WHEN t.{cnt} + s.dc_{c} <= 0 THEN NULL "
+            f"ELSE coalesce(t.{s}, 0) + coalesce(s.d_{c}, 0) END"
+        )
+        out[cnt] = f"t.{cnt} + s.dc_{c}"
+    return out
+
+
 def _nullsafe_left_join(
     left: DataFrame, right: DataFrame, group_cols: list[str]
 ) -> DataFrame:
@@ -511,6 +552,7 @@ def build_minmax_mv(
     aggs = (
         [F.count(F.lit(1)).cast("long").alias(MV_COUNT_COL)]
         + [F.sum(c).alias(_sum_col(c)) for c in sum_cols]
+        + [F.count(c).cast("long").alias(_cnt_col(c)) for c in sum_cols]
         + [F.min(c).alias(_min_col(c)) for c in minmax_cols]
         + [F.max(c).alias(_max_col(c)) for c in minmax_cols]
     )
@@ -600,11 +642,28 @@ def _refresh_minmax_once(
                 for c in sum_cols
             ],
             *[
+                F.sum(
+                    F.when(F.col(c).isNotNull(), F.col("__sign"))
+                    .otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias(f"dc_{c}")
+                for c in sum_cols
+            ],
+            *[
                 F.min(F.when(is_ins, F.col(c))).alias(f"ins_min_{c}")
                 for c in minmax_cols
             ],
             *[
                 F.max(F.when(is_ins, F.col(c))).alias(f"ins_max_{c}")
+                for c in minmax_cols
+            ],
+            *[
+                F.min(F.when(~is_ins, F.col(c))).alias(f"del_min_{c}")
+                for c in minmax_cols
+            ],
+            *[
+                F.max(F.when(~is_ins, F.col(c))).alias(f"del_max_{c}")
                 for c in minmax_cols
             ],
             F.max((~is_ins).cast("int")).alias("__saw_delete"),
@@ -622,9 +681,12 @@ def _refresh_minmax_once(
             "groups_touched": 0,
         }
 
+    deltas = _flag_needs_authority(
+        spark, mv_path, deltas, group_cols, minmax_cols
+    )
     affected = [
         tuple(r[c] for c in group_cols)
-        for r in deltas.filter("__saw_delete = 1")
+        for r in deltas.filter("__need_auth = 1")
         .select(*group_cols)
         .limit(max_inline_groups + 1)
         .collect()
@@ -634,7 +696,7 @@ def _refresh_minmax_once(
         recomputed = _recompute_groups(
             spark, base_path, base_ver, group_cols, minmax_cols,
             inline,
-            keys_df=deltas.filter("__saw_delete = 1").select(*group_cols),
+            keys_df=deltas.filter("__need_auth = 1").select(*group_cols),
         )
         src = _nullsafe_left_join(deltas, recomputed, list(group_cols))
     else:
@@ -646,18 +708,19 @@ def _refresh_minmax_once(
     on = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in group_cols)
     update = {
         MV_COUNT_COL: f"t.{MV_COUNT_COL} + s.d_count",
-        **{
-            _sum_col(c): f"coalesce(t.{_sum_col(c)}, 0) + coalesce(s.d_{c}, 0)"
-            for c in sum_cols
-        },
+        **_sum_update_exprs(sum_cols),
     }
+    # interior retractions (``__need_auth = 0`` with deletes seen)
+    # cannot move an extremum: they merge monotonically exactly like
+    # insert-only groups — only extremum-losing groups read the
+    # authoritative recompute (VERDICT r11 #3)
     for c in minmax_cols:
         update[_min_col(c)] = (
-            f"CASE WHEN s.__saw_delete = 1 THEN s.re_min_{c} "
+            f"CASE WHEN s.__need_auth = 1 THEN s.re_min_{c} "
             f"ELSE least(t.{_min_col(c)}, s.ins_min_{c}) END"
         )
         update[_max_col(c)] = (
-            f"CASE WHEN s.__saw_delete = 1 THEN s.re_max_{c} "
+            f"CASE WHEN s.__need_auth = 1 THEN s.re_max_{c} "
             f"ELSE greatest(t.{_max_col(c)}, s.ins_max_{c}) END"
         )
     # a BRAND-NEW group can still have seen in-window deletes (rows
@@ -667,16 +730,17 @@ def _refresh_minmax_once(
         **{c: f"s.`{c}`" for c in group_cols},
         MV_COUNT_COL: "s.d_count",
         **{_sum_col(c): f"s.d_{c}" for c in sum_cols},
+        **{_cnt_col(c): f"s.dc_{c}" for c in sum_cols},
         **{
             _min_col(c): (
-                f"CASE WHEN s.__saw_delete = 1 THEN s.re_min_{c} "
+                f"CASE WHEN s.__need_auth = 1 THEN s.re_min_{c} "
                 f"ELSE s.ins_min_{c} END"
             )
             for c in minmax_cols
         },
         **{
             _max_col(c): (
-                f"CASE WHEN s.__saw_delete = 1 THEN s.re_max_{c} "
+                f"CASE WHEN s.__need_auth = 1 THEN s.re_max_{c} "
                 f"ELSE s.ins_max_{c} END"
             )
             for c in minmax_cols
@@ -707,6 +771,63 @@ def _refresh_minmax_once(
         "mode": "incremental",
         "groups_touched": n_groups,
     }
+
+
+def _flag_needs_authority(
+    spark, mv_path: str, deltas: DataFrame, group_cols, minmax_cols,
+) -> DataFrame:
+    """Add ``__need_auth`` to the per-group deltas — the MIN/MAX
+    retraction FAST-PATH (VERDICT r11 #3): a retraction strictly
+    INSIDE a group's stored (min, max) cannot move either extremum,
+    so only groups where a retracted value ties-or-beats a stored
+    extremum — or groups absent from the view (created and retracted
+    inside the CDF window) — need the authoritative base recompute.
+    Everything else merges monotonically via least/greatest, so the
+    all-groups-retracted worst case shrinks from full-join cost to
+    the groups that actually lost an extremum.
+
+    Cost: ONE read of the VIEW (O(#groups) rows, pruned to the
+    retraction-touched groups with a broadcast null-safe semi-join) —
+    always cheaper than the base recompute it avoids. NULL algebra:
+    a comparison against a NULL deleted-value or NULL stored
+    extremum yields NULL → treated as 'does not touch' (a group
+    whose retractions were all NULL-valued cannot have lost a
+    non-NULL extremum; a group with all-NULL extrema has nothing to
+    lose)."""
+    from deltalake_datafusion_spark.delta.scan import read_delta
+
+    touched = deltas.filter("__saw_delete = 1")
+    if touched.limit(1).count() == 0:
+        return deltas.withColumn("__need_auth", F.lit(0))
+    stored = _nullsafe_semi_join(
+        read_delta(spark, mv_path),
+        touched.select(*group_cols),
+        list(group_cols),
+    ).select(
+        *group_cols,
+        F.lit(1).alias("__in_view"),
+        *[F.col(_min_col(c)).alias(f"__st_min_{c}") for c in minmax_cols],
+        *[F.col(_max_col(c)).alias(f"__st_max_{c}") for c in minmax_cols],
+    )
+    out = _nullsafe_left_join(deltas, stored, list(group_cols))
+    touch = F.lit(False)
+    for c in minmax_cols:
+        touch = touch | (
+            F.col(f"del_min_{c}") <= F.col(f"__st_min_{c}")
+        )
+        touch = touch | (
+            F.col(f"del_max_{c}") >= F.col(f"__st_max_{c}")
+        )
+    need = (F.col("__saw_delete") == 1) & (
+        F.col("__in_view").isNull() | touch
+    )
+    drop = ["__in_view"] + [
+        f"__st_{k}_{c}" for c in minmax_cols for k in ("min", "max")
+    ]
+    return out.withColumn(
+        "__need_auth",
+        F.when(need, F.lit(1)).otherwise(F.lit(0)),
+    ).drop(*drop)
 
 
 def _recompute_groups(

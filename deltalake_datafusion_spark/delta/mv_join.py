@@ -63,8 +63,10 @@ from pyspark.sql import functions as F
 
 from deltalake_datafusion_spark.delta.mv import (
     MV_COUNT_COL,
+    _cnt_col,
     _now_ms,
     _sum_col,
+    _sum_update_exprs,
 )
 
 MV_FACT_TXN_APP = "lakehouse.mv.fact"
@@ -211,6 +213,7 @@ def build_join_mv(
     aggs = (
         [F.count(F.lit(1)).cast("long").alias(MV_COUNT_COL)]
         + [F.sum(c).alias(_sum_col(c)) for c in sum_cols]
+        + [F.count(c).cast("long").alias(_cnt_col(c)) for c in sum_cols]
         + [F.min(c).alias(_min_col(c)) for c in (minmax_cols or [])]
         + [F.max(c).alias(_max_col(c)) for c in (minmax_cols or [])]
     )
@@ -526,10 +529,20 @@ def _merge_signed_rows(
             F.sum(F.col(c) * F.col("__sign")).alias(f"d_{c}")
             for c in sum_cols
         ],
+        *[
+            F.sum(
+                F.when(F.col(c).isNotNull(), F.col("__sign"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(f"dc_{c}")
+            for c in sum_cols
+        ],
     )
     changed = F.col("d_count") != 0
     for c in sum_cols:
         changed = changed | (F.col(f"d_{c}") != 0)
+        changed = changed | (F.col(f"dc_{c}") != 0)
     deltas = deltas.filter(changed).localCheckpoint(eager=True)
     n_groups = deltas.count()
     if n_groups == 0:
@@ -538,15 +551,13 @@ def _merge_signed_rows(
     on = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in group_cols)
     update = {
         MV_COUNT_COL: f"t.{MV_COUNT_COL} + s.d_count",
-        **{
-            _sum_col(c): f"coalesce(t.{_sum_col(c)}, 0) + coalesce(s.d_{c}, 0)"
-            for c in sum_cols
-        },
+        **_sum_update_exprs(sum_cols),
     }
     insert_vals = {
         **{c: f"s.`{c}`" for c in group_cols},
         MV_COUNT_COL: "s.d_count",
         **{_sum_col(c): f"s.d_{c}" for c in sum_cols},
+        **{_cnt_col(c): f"s.dc_{c}" for c in sum_cols},
     }
     res = merge_delta(
         spark,
@@ -605,6 +616,15 @@ def _merge_signed_rows_minmax(
             for c in sum_cols
         ],
         *[
+            F.sum(
+                F.when(F.col(c).isNotNull(), F.col("__sign"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(f"dc_{c}")
+            for c in sum_cols
+        ],
+        *[
             F.min(F.when(is_ins, F.col(c))).alias(f"ins_min_{c}")
             for c in minmax_cols
         ],
@@ -612,18 +632,38 @@ def _merge_signed_rows_minmax(
             F.max(F.when(is_ins, F.col(c))).alias(f"ins_max_{c}")
             for c in minmax_cols
         ],
+        *[
+            F.min(F.when(~is_ins, F.col(c))).alias(f"del_min_{c}")
+            for c in minmax_cols
+        ],
+        *[
+            F.max(F.when(~is_ins, F.col(c))).alias(f"del_max_{c}")
+            for c in minmax_cols
+        ],
         F.max((~is_ins).cast("int")).alias("__saw_delete"),
     )
     changed = (F.col("d_count") != 0) | (F.col("__saw_delete") == 1)
     for c in sum_cols:
         changed = changed | (F.col(f"d_{c}") != 0)
+        changed = changed | (F.col(f"dc_{c}") != 0)
     deltas = deltas.filter(changed).localCheckpoint(eager=True)
     n_groups = deltas.count()
     if n_groups == 0:
         _advance_txns_only(spark, mv_path, txns, guards=guards)
         return 0
 
-    affected = deltas.filter("__saw_delete = 1").select(*group_cols)
+    from deltalake_datafusion_spark.delta.mv import (
+        _flag_needs_authority,
+        _nullsafe_left_join,
+    )
+
+    # retraction fast-path (VERDICT r11 #3): only groups whose
+    # retracted values tie-or-beat a stored extremum (or are absent
+    # from the view) drive the fact⋈dim recompute
+    deltas = _flag_needs_authority(
+        spark, mv_path, deltas, group_cols, minmax_cols
+    )
+    affected = deltas.filter("__need_auth = 1").select(*group_cols)
     if affected.limit(1).count() > 0:
         recomputed = _recompute_join_groups(
             spark, fact_path, dim_path, f_ver, d_ver,
@@ -631,10 +671,6 @@ def _merge_signed_rows_minmax(
             group_cols=group_cols, minmax_cols=minmax_cols,
             keys_df=affected,
         )
-        from deltalake_datafusion_spark.delta.mv import (
-            _nullsafe_left_join,
-        )
-
         src = _nullsafe_left_join(deltas, recomputed, list(group_cols))
     else:
         src = deltas
@@ -645,18 +681,15 @@ def _merge_signed_rows_minmax(
     on = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in group_cols)
     update = {
         MV_COUNT_COL: f"t.{MV_COUNT_COL} + s.d_count",
-        **{
-            _sum_col(c): f"coalesce(t.{_sum_col(c)}, 0) + coalesce(s.d_{c}, 0)"
-            for c in sum_cols
-        },
+        **_sum_update_exprs(sum_cols),
     }
     for c in minmax_cols:
         update[_min_col(c)] = (
-            f"CASE WHEN s.__saw_delete = 1 THEN s.re_min_{c} "
+            f"CASE WHEN s.__need_auth = 1 THEN s.re_min_{c} "
             f"ELSE least(t.{_min_col(c)}, s.ins_min_{c}) END"
         )
         update[_max_col(c)] = (
-            f"CASE WHEN s.__saw_delete = 1 THEN s.re_max_{c} "
+            f"CASE WHEN s.__need_auth = 1 THEN s.re_max_{c} "
             f"ELSE greatest(t.{_max_col(c)}, s.ins_max_{c}) END"
         )
     # a brand-new group can still have seen in-window retractions
@@ -666,16 +699,17 @@ def _merge_signed_rows_minmax(
         **{c: f"s.`{c}`" for c in group_cols},
         MV_COUNT_COL: "s.d_count",
         **{_sum_col(c): f"s.d_{c}" for c in sum_cols},
+        **{_cnt_col(c): f"s.dc_{c}" for c in sum_cols},
         **{
             _min_col(c): (
-                f"CASE WHEN s.__saw_delete = 1 THEN s.re_min_{c} "
+                f"CASE WHEN s.__need_auth = 1 THEN s.re_min_{c} "
                 f"ELSE s.ins_min_{c} END"
             )
             for c in minmax_cols
         },
         **{
             _max_col(c): (
-                f"CASE WHEN s.__saw_delete = 1 THEN s.re_max_{c} "
+                f"CASE WHEN s.__need_auth = 1 THEN s.re_max_{c} "
                 f"ELSE s.ins_max_{c} END"
             )
             for c in minmax_cols

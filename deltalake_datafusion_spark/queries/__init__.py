@@ -75,6 +75,7 @@ def all_query_specs() -> list[QuerySpec]:
         relational,
         round10,
         round11,
+        round12,
         timeseries,
         tpch_adapted,
         training,
@@ -99,4 +100,5 @@ def all_query_specs() -> list[QuerySpec]:
         + advanced.specs()
         + round10.specs()
         + round11.specs()
+        + round12.specs()
     )

@@ -296,9 +296,13 @@ def dispatch_matview(spark, statement: str, registry):
 def show_matviews(spark):
     """``SHOW MATERIALIZED VIEWS``: one row per view registered for
     rewrite in this session — path, definition kind, source
-    table(s), group columns, the committed watermark(s), and whether
-    the view is currently FRESH (watermark == base version, i.e. the
-    transparent rewrite would fire under the default policy)."""
+    table(s), group columns, the committed watermark(s), the bases'
+    CURRENT version(s), the staleness LAG in base commits (VERDICT
+    r11 #5 — the refresh-cadence signal a maintenance operator
+    schedules from; the join form reports the larger of its two
+    lags), and whether the view is currently FRESH (lag 0, i.e. the
+    transparent rewrite fires under the default policy). One
+    snapshot read per listed table, no data scan."""
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
     from deltalake_datafusion_spark.sql.mv_rewrite import (
         registered_matviews,
@@ -317,11 +321,13 @@ def show_matviews(spark):
 
             wm = join_mv_watermarks(snap)
             src = f"{defn['fact']} JOIN {defn['dim']}"
-            fresh = wm is not None and (
-                load_snapshot(defn["fact"], spark=spark).version
-                <= wm[0]
-                and load_snapshot(defn["dim"], spark=spark).version
-                <= wm[1]
+            f_ver = load_snapshot(defn["fact"], spark=spark).version
+            d_ver = load_snapshot(defn["dim"], spark=spark).version
+            base_s = f"fact={f_ver},dim={d_ver}"
+            lag = (
+                max(f_ver - wm[0], d_ver - wm[1], 0)
+                if wm is not None
+                else None
             )
             wm_s = f"fact={wm[0]},dim={wm[1]}" if wm else None
         else:
@@ -329,9 +335,9 @@ def show_matviews(spark):
 
             wm = mv_watermark(snap)
             src = defn["base"]
-            fresh = wm is not None and (
-                load_snapshot(defn["base"], spark=spark).version <= wm
-            )
+            b_ver = load_snapshot(defn["base"], spark=spark).version
+            base_s = str(b_ver)
+            lag = max(b_ver - wm, 0) if wm is not None else None
             wm_s = str(wm) if wm is not None else None
         rows.append(
             (
@@ -340,11 +346,13 @@ def show_matviews(spark):
                 src,
                 ",".join(defn["group_cols"]),
                 wm_s,
-                bool(fresh),
+                base_s,
+                lag,
+                lag == 0,
             )
         )
     return spark.createDataFrame(
         rows,
         "path string, kind string, source string, group_cols string, "
-        "watermark string, fresh boolean",
+        "watermark string, base_version string, lag int, fresh boolean",
     )

@@ -11,14 +11,20 @@ Rewrite cases (classic aggregate-MV matching, e.g. Goldstein &
 Larson, SIGMOD'01 "Optimizing queries using materialized views"):
 
 - **exact match** — query groups == MV groups: project the view's
-  maintained columns (``COUNT(*)`` → ``mv_count``, ``SUM(x)`` →
-  ``mv_sum_x``, ``MIN/MAX(y)`` → ``mv_min_y``/``mv_max_y``,
-  ``AVG(x)`` → ``mv_sum_x / mv_count``);
+  maintained columns (``COUNT(*)`` → ``mv_count``, ``COUNT(x)`` →
+  ``mv_cnt_x``, ``SUM(x)`` → ``mv_sum_x``, ``MIN/MAX(y)`` →
+  ``mv_min_y``/``mv_max_y``, ``AVG(x)`` → ``mv_sum_x / mv_cnt_x`` —
+  the ANSI ``SUM(x)/COUNT(x)``, NULL over an all-NULL group);
 - **dimension subsumption** — query groups ⊂ MV groups: re-aggregate
   the view (``COUNT(*)`` → ``SUM(mv_count)``, ``SUM(x)`` →
   ``SUM(mv_sum_x)``, ``MIN(y)`` → ``MIN(mv_min_y)``, ``AVG(x)`` →
-  ``SUM(mv_sum_x)/SUM(mv_count)``) — valid because count/sum are
+  ``SUM(mv_sum_x)/SUM(mv_cnt_x)``) — valid because count/sum are
   abelian and min/max are semilattice reductions;
+- **global aggregates** — no GROUP BY: re-aggregate the whole view
+  into one row (COUNT coalesced to 0 on an empty view);
+- **HAVING over aggregate expressions** — each aggregate call in the
+  HAVING clause derives as an internal column computed alongside the
+  outputs and dropped after the filter;
 - **predicate subsumption** — a WHERE clause whose columns are all MV
   group columns filters the view's rows before (re-)aggregation
   (the predicate commutes with grouping on those columns);
@@ -72,7 +78,7 @@ _REGISTRY: dict[str, dict] = {}
 _QUERY_RE = re.compile(
     r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>.+?)"
     r"(?:\s+WHERE\s+(?P<pred>.+?))?"
-    r"\s+GROUP\s+BY\s+(?P<grp>[\w`,\s.]+?)"
+    r"(?:\s+GROUP\s+BY\s+(?P<grp>[\w`,\s.]+?))?"
     r"(?:\s+HAVING\s+(?P<hav>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<ord>[\w`,\s]+?(?:\s+(?:ASC|DESC))?"
     r"(?:\s*,\s*[\w`]+(?:\s+(?:ASC|DESC))?)*))?\s*;?\s*$",
@@ -153,22 +159,66 @@ def _parse_select_items(sel: str):
         item = raw.strip()
         am = _AGG_RE.match(item)
         if am:
-            fn = am.group("fn").lower()
-            arg = am.group("arg").strip()
             alias = am.group("alias")
             if alias is None:
                 return None  # unaliased aggregate → fall through
-            if fn == "count":
-                if arg != "*":
-                    return None  # only COUNT(*) is maintained
-                items.append(("count", None, _ident(alias)))
-            else:
-                items.append((fn, _ident(arg), _ident(alias)))
+            items.append(_agg_item(am, _ident(alias)))
         elif re.fullmatch(r"[\w`.]+", item):
             items.append(("group", _ident(item), _ident(item)))
         else:
             return None
     return items
+
+
+def _agg_item(am, alias: str):
+    """(kind, arg, alias) for a matched aggregate call: ``COUNT(*)``
+    → ``count``, ``COUNT(c)`` → ``count_col`` (derivable from the
+    maintained per-column non-null count), else the function name."""
+    fn = am.group("fn").lower()
+    arg = am.group("arg").strip()
+    if fn == "count":
+        if arg == "*":
+            return ("count", None, alias)
+        return ("count_col", _ident(arg), alias)
+    return (fn, _ident(arg), alias)
+
+
+_HAV_AGG_RE = re.compile(
+    r"(?P<fn>COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<arg>\*|[\w`]+)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_having(hav: str, out_names: set[str]):
+    """HAVING over aggregate EXPRESSIONS (VERDICT r11 #4): each
+    aggregate call becomes an internal ``__hav<i>`` column computed
+    alongside the outputs and dropped after the filter. String
+    literals are stashed first so aggregate-shaped TEXT inside a
+    quoted literal is never rewritten. Returns (rewritten text,
+    extra items) or None when a remaining bare identifier is not an
+    output column."""
+    extra: list[tuple] = []
+    lits: list[str] = []
+
+    def stash(mo):
+        lits.append(mo.group(0))
+        return f"__lit{len(lits) - 1}__"
+
+    def repl(mo):
+        alias = f"__hav{len(extra)}"
+        extra.append(_agg_item(mo, alias))
+        return alias
+
+    tmp = re.sub(r"'(?:[^']|'')*'", stash, hav)
+    tmp = _HAV_AGG_RE.sub(repl, tmp)
+    new_hav = re.sub(
+        r"__lit(\d+)__", lambda m: lits[int(m.group(1))], tmp
+    )
+    if not _pred_columns(new_hav) <= (
+        out_names | {a for _, _, a in extra}
+    ):
+        return None
+    return new_hav, extra
 
 
 def _pred_columns(pred: str) -> set[str]:
@@ -199,11 +249,35 @@ def _fresh_enough(spark, base_path: str, watermark: int) -> bool:
     return lag <= _conf_int(spark, MAX_STALENESS_KEY, "0")
 
 
-def _derive(items, defn, exact: bool):
+def _derive(items, defn, exact: bool, view_fields, nonnull_cols,
+            global_agg: bool = False):
     """Column expressions deriving each select item from the view's
-    maintained columns, or None when something isn't derivable."""
+    maintained columns, or None when something isn't derivable.
+
+    NULL-exactness (ADVICE r11, high): ``AVG(x)`` is SQL
+    ``SUM(x)/COUNT(x)`` — NOT ``SUM(x)/COUNT(*)`` — so it derives
+    from the maintained per-column non-null count ``mv_cnt_x``
+    (NULL when the count is 0, matching AVG over an all-NULL group).
+    Views that predate the count columns fall back to deriving only
+    when the base column is provably NON-NULLABLE (``nonnull_cols``,
+    from the base schema), where COUNT(x) == COUNT(*); otherwise the
+    item is non-derivable and the whole query falls through to the
+    base plan — never a wrong answer.
+
+    ``global_agg`` (no GROUP BY): re-aggregation over the whole
+    view, with COUNT coalesced to 0 on an empty view (SQL's global
+    COUNT over an empty table is 0, but SUM over zero view rows
+    would be NULL).
+
+    Decimal measures: re-aggregated SUM would widen the decimal
+    precision past what Catalyst's SUM-over-base produces (schema
+    parity break) — only the exact-match projection derives them.
+    """
+    from pyspark.sql.types import DecimalType
+
     from deltalake_datafusion_spark.delta.mv import (
         MV_COUNT_COL,
+        _cnt_col,
         _max_col,
         _min_col,
         _sum_col,
@@ -212,7 +286,13 @@ def _derive(items, defn, exact: bool):
     sum_cols = set(defn["sum_cols"])
     mm_cols = set(defn.get("minmax_cols") or [])
     group_cols = set(defn["group_cols"])
-    exprs, aggs = [], []
+
+    def _zero_if_empty(agg):
+        return (
+            F.coalesce(agg, F.lit(0).cast("long")) if global_agg else agg
+        )
+
+    exprs = []
     for kind, arg, alias in items:
         if kind == "group":
             if arg not in group_cols:
@@ -221,17 +301,47 @@ def _derive(items, defn, exact: bool):
             continue
         if kind == "count":
             src = F.col(MV_COUNT_COL)
-            agg = F.sum(MV_COUNT_COL)
+            agg = _zero_if_empty(F.sum(MV_COUNT_COL))
+        elif kind == "count_col":
+            cnt = _cnt_col(arg)
+            if cnt in view_fields:
+                src = F.col(cnt)
+                agg = _zero_if_empty(F.sum(cnt))
+            elif arg in nonnull_cols:  # COUNT(x) == COUNT(*)
+                src = F.col(MV_COUNT_COL)
+                agg = _zero_if_empty(F.sum(MV_COUNT_COL))
+            else:
+                return None
         elif kind == "sum":
             if arg not in sum_cols:
                 return None
-            src = F.col(_sum_col(arg))
-            agg = F.sum(_sum_col(arg))
+            s, cnt = _sum_col(arg), _cnt_col(arg)
+            if cnt not in view_fields and arg not in nonnull_cols:
+                return None  # stored sum may have coalesced to 0
+            if not exact and isinstance(
+                view_fields.get(s), DecimalType
+            ):
+                return None
+            src = F.col(s)
+            agg = F.sum(s)
         elif kind == "avg":
             if arg not in sum_cols:
                 return None
-            src = F.col(_sum_col(arg)) / F.col(MV_COUNT_COL)
-            agg = F.sum(_sum_col(arg)) / F.sum(MV_COUNT_COL)
+            s, cnt = _sum_col(arg), _cnt_col(arg)
+            if isinstance(view_fields.get(s), DecimalType):
+                return None  # AVG decimal scale parity not provable
+            if cnt in view_fields:
+                src = F.when(
+                    F.col(cnt) > 0, F.col(s) / F.col(cnt)
+                )
+                agg = F.when(
+                    F.sum(cnt) > 0, F.sum(s) / F.sum(cnt)
+                )
+            elif arg in nonnull_cols:
+                src = F.col(s) / F.col(MV_COUNT_COL)
+                agg = F.sum(s) / F.sum(MV_COUNT_COL)
+            else:
+                return None
         elif kind in ("min", "max"):
             if arg not in mm_cols:
                 return None
@@ -266,9 +376,12 @@ def _apply_order(df: DataFrame, items, ord_clause: str | None):
 
 
 def try_rewrite(spark, statement: str) -> DataFrame | None:
-    """Rewrite a matching GROUP BY aggregate to read a registered,
-    fresh-enough materialized view; None → caller falls through to
-    the ordinary plan. Never returns a plan that scans the base."""
+    """Rewrite a matching aggregate (grouped OR global) to read a
+    registered, fresh-enough materialized view; None → caller falls
+    through to the ordinary plan. Never returns a plan that scans
+    the base. When several registered views match, the EXACT group
+    match wins, then the smallest view by on-disk bytes (VERDICT r11
+    #2 — any fresh match is equivalent; this picks the cheapest)."""
     from deltalake_datafusion_spark.delta.scan import read_delta
     from deltalake_datafusion_spark.sql.dispatcher import _unquote_target
 
@@ -283,25 +396,38 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
     if items is None:
         return None
     q_groups = [a for k, a, _ in items if k == "group"]
-    grp_list = [_ident(g) for g in m.group("grp").split(",")]
-    if sorted(q_groups) != sorted(grp_list):
-        return None  # non-trivial GROUP BY (exprs / hidden cols)
+    grp_raw = m.group("grp")
+    if grp_raw is not None:
+        grp_list = [_ident(g) for g in grp_raw.split(",")]
+        if sorted(q_groups) != sorted(grp_list):
+            return None  # non-trivial GROUP BY (exprs / hidden cols)
+    else:
+        # global aggregate (VERDICT r11 #4): every item must be an
+        # aggregate — re-aggregate the whole view into one row
+        if q_groups:
+            return None
+        grp_list = []
     pred = m.group("pred")
     pred_cols = _pred_columns(pred) if pred else set()
     hav = m.group("hav")
+    hav_extra: list[tuple] = []
     if hav:
-        # HAVING evaluates over the REWRITTEN output, so every
-        # identifier must be an output column (alias or group col)
+        # HAVING evaluates over the REWRITTEN output: aggregate
+        # CALLS become internal derived columns (VERDICT r11 #4);
+        # every remaining identifier must be an output column
         out_names = {a for _, _, a in items}
-        if not _pred_columns(hav) <= out_names:
+        rewritten = _rewrite_having(hav, out_names)
+        if rewritten is None:
             return None
+        hav, hav_extra = rewritten
 
     src = m.group("src").strip()
     jm = _JOIN_SRC_RE.match(src)
-    # snapshot the registry: _mv_is_fresh may unregister a view
+    # snapshot the registry: freshness checks may unregister a view
     # deleted out-of-band mid-iteration (ADVICE r11 — mutating the
     # dict during iteration would crash the user's query in exactly
     # the case that must fall through harmlessly)
+    candidates = []
     for mv_path, defn in list(_REGISTRY.items()):
         if jm is not None:
             if defn["kind"] != "join":
@@ -325,34 +451,74 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
             continue
         if pred_cols and not pred_cols <= mv_groups:
             continue  # predicate touches non-group columns
-        exact = set(grp_list) == mv_groups
-        exprs = _derive(items, defn, exact)
+        exact = bool(grp_list) and set(grp_list) == mv_groups
+        mv_snap = _fresh_mv_snapshot(spark, mv_path, defn)
+        if mv_snap is None:
+            continue
+        view_fields = {
+            f.name: f.dataType for f in mv_snap.schema.fields
+        }
+        nonnull = _nonnull_base_cols(spark, defn)
+        exprs = _derive(
+            items + hav_extra, defn, exact, view_fields, nonnull,
+            global_agg=not grp_list,
+        )
         if exprs is None:
             continue
-        if not _mv_is_fresh(spark, mv_path, defn):
-            continue
-        df = read_delta(spark, mv_path)
-        if pred:
-            df = df.filter(F.expr(pred))
-        if exact:
-            out = df.select(*exprs)
-        else:
-            agg_exprs = [
-                e for (k, _, _), e in zip(items, exprs) if k != "group"
-            ]
-            out = df.groupBy(*grp_list).agg(*agg_exprs).select(
-                *[F.col(a) for _, _, a in items]
-            )
-        if hav:
-            out = out.filter(F.expr(hav))
-        out = _apply_order(out, items, m.group("ord"))
-        if out is None:
-            return None
-        return out
-    return None
+        view_bytes = sum(f.size for f in mv_snap.files)
+        candidates.append(
+            (0 if exact else 1, view_bytes, mv_path, exact, exprs)
+        )
+    if not candidates:
+        return None
+    candidates.sort(key=lambda t: (t[0], t[1], t[2]))
+    _, _, mv_path, exact, exprs = candidates[0]
+
+    all_items = items + hav_extra
+    df = read_delta(spark, mv_path)
+    if pred:
+        df = df.filter(F.expr(pred))
+    if exact:
+        out = df.select(*exprs)
+    else:
+        agg_exprs = [
+            e
+            for (k, _, _), e in zip(all_items, exprs)
+            if k != "group"
+        ]
+        out = df.groupBy(*grp_list).agg(*agg_exprs)
+    if hav:
+        out = out.filter(F.expr(hav))
+    out = out.select(*[F.col(a) for _, _, a in items])
+    out = _apply_order(out, items, m.group("ord"))
+    if out is None:
+        return None
+    return out
 
 
-def _mv_is_fresh(spark, mv_path: str, defn: dict) -> bool:
+def _nonnull_base_cols(spark, defn: dict) -> set[str]:
+    """Base(-side) columns provably NON-NULLABLE by schema — the
+    fallback that lets SUM/AVG/COUNT(col) derive on views built
+    before the per-column counts existed (COUNT(x) == COUNT(*) when
+    x can't be NULL). Unknown/unreadable → empty (fall through)."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+
+    paths = (
+        [defn["fact"]] if defn["kind"] == "join" else [defn["base"]]
+    )
+    out: set[str] = set()
+    for p in paths:
+        try:
+            snap = load_snapshot(p, spark=spark)
+        except Exception:
+            return set()
+        out |= {f.name for f in snap.schema.fields if not f.nullable}
+    return out
+
+
+def _fresh_mv_snapshot(spark, mv_path: str, defn: dict):
+    """The view's snapshot when it is fresh enough to substitute for
+    the base plan, else None."""
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
 
     try:
@@ -362,7 +528,7 @@ def _mv_is_fresh(spark, mv_path: str, defn: dict) -> bool:
         # candidate must never make the user's query fail — drop the
         # stale entry and fall through to the base plan
         unregister_matview(mv_path)
-        return False
+        return None
     if defn["kind"] == "join":
         from deltalake_datafusion_spark.delta.mv_join import (
             join_mv_watermarks,
@@ -370,13 +536,14 @@ def _mv_is_fresh(spark, mv_path: str, defn: dict) -> bool:
 
         wm = join_mv_watermarks(mv_snap)
         if wm is None:
-            return False
-        return _fresh_enough(spark, defn["fact"], wm[0]) and _fresh_enough(
+            return None
+        ok = _fresh_enough(spark, defn["fact"], wm[0]) and _fresh_enough(
             spark, defn["dim"], wm[1]
         )
+        return mv_snap if ok else None
     from deltalake_datafusion_spark.delta.mv import mv_watermark
 
     wm = mv_watermark(mv_snap)
     if wm is None:
-        return False
-    return _fresh_enough(spark, defn["base"], wm)
+        return None
+    return mv_snap if _fresh_enough(spark, defn["base"], wm) else None

@@ -790,3 +790,108 @@ def test_interleaved_refreshes_both_succeed(spark, tmp_path, monkeypatch):
     assert state["inner"]["mode"] == "incremental"
     assert outer["mode"] in ("incremental", "noop")
     assert _mv_state(spark, m) == _expected(spark, b)
+
+
+def test_sum_null_exactness_and_cnt_cols(spark, tmp_path):
+    """ADVICE r11 (high): the maintained SUM must be NULL-exact — a
+    group whose non-null count reaches 0 returns to SUM=NULL (not a
+    coalesced 0), and per-column non-null counts (mv_cnt_<c>) track
+    COUNT(c) through build and every incremental shape, including a
+    NULL→value update that moves ONLY the non-null count."""
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    rows = [(1, 0, None), (2, 0, None), (3, 1, 5), (4, 1, None),
+            (5, 2, 7)]
+    df = spark.createDataFrame(rows, "id long, g long, v long")
+    write_delta(spark, df, b, configuration=CDF)
+    build_aggregate_mv(spark, b, m, ["g"], ["v"])
+
+    def state():
+        return {
+            r.g: (r.mv_count, r.mv_sum_v, r.mv_cnt_v)
+            for r in read_delta(spark, m).collect()
+        }
+
+    assert state() == {0: (2, None, 0), 1: (2, 5, 1), 2: (1, 7, 1)}
+    # group 1 loses its only non-null value → SUM returns to NULL
+    delete_delta(spark, b, "id = 3")
+    refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    assert state() == {0: (2, None, 0), 1: (1, None, 0), 2: (1, 7, 1)}
+    # NULL→0 update: d_count=0 and d_v=0, but the non-null count moves
+    update_delta(spark, b, set_exprs={"v": "0"}, predicate="id = 1")
+    refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    assert state() == {0: (2, 0, 1), 1: (1, None, 0), 2: (1, 7, 1)}
+    # and back to all-NULL
+    update_delta(spark, b, set_exprs={"v": "NULL"}, predicate="id = 1")
+    refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    assert state() == {0: (2, None, 0), 1: (1, None, 0), 2: (1, 7, 1)}
+
+
+def test_minmax_interior_delete_never_opens_base(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 #3 (fast-path): retractions strictly INSIDE every
+    touched group's stored (min, max) cannot move an extremum — the
+    refresh must not open the base table at all."""
+    import deltalake_datafusion_spark.delta.scan as scan_mod
+
+    from deltalake_datafusion_spark.delta.mv import (
+        build_minmax_mv,
+        refresh_minmax_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    # group 1 holds ids 1,5,...,37 (v = 10..370): id=5 (v=50) and
+    # id=9 (v=90) are strictly interior
+    delete_delta(spark, b, "id = 5 OR id = 9")
+    real = scan_mod.read_delta
+    opened = []
+
+    def spy(spark_, path, *a, **kw):
+        opened.append(path)
+        return real(spark_, path, *a, **kw)
+
+    monkeypatch.setattr(scan_mod, "read_delta", spy)
+    refresh_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    base_opens = [p for p in opened if p == b]
+    assert not base_opens, base_opens
+    assert _mm_state(spark, m) == _mm_expected(spark, b)
+
+
+def test_minmax_mixed_interior_and_extremum_deletes(
+    spark, tmp_path, monkeypatch
+):
+    """Mixed retractions: only the group that lost an extremum is
+    recomputed (the pushed IN predicate names it alone); the
+    interior group merges monotonically. Result equals recompute."""
+    import deltalake_datafusion_spark.delta.scan as scan_mod
+
+    from deltalake_datafusion_spark.delta.mv import (
+        build_minmax_mv,
+        refresh_minmax_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    # id=5 → group 1 interior (v=50); id=2 → group 2 MIN (v=20);
+    # also insert a new group-1 row below its min (monotone merge)
+    delete_delta(spark, b, "id = 5 OR id = 2")
+    write_delta(
+        spark,
+        spark.createDataFrame([(900, 1, -5)], "id long, g long, v long"),
+        b, mode="append", configuration=CDF,
+    )
+    real = scan_mod.read_delta
+    preds = []
+
+    def spy(spark_, path, *a, **kw):
+        if path == b:
+            preds.append(kw.get("predicate"))
+        return real(spark_, path, *a, **kw)
+
+    monkeypatch.setattr(scan_mod, "read_delta", spy)
+    refresh_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    assert preds and all(p and "g IN (2)" in p for p in preds), preds
+    assert _mm_state(spark, m) == _mm_expected(spark, b)

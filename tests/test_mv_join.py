@@ -832,3 +832,55 @@ def test_join_minmax_null_dim_group_retraction(spark, tmp_path):
         for r in read_delta(spark, mv).collect()
     }
     assert got == {None: (1, 10, 10, 10), "s1": (1, 70, 70, 70)}
+
+
+def test_join_minmax_interior_delete_never_opens_fact(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 #3 (join form): fact retractions strictly inside
+    every touched group's stored (min, max) skip the authoritative
+    fact⋈dim recompute entirely — the fact table is never opened."""
+    import deltalake_datafusion_spark.delta.scan as scan_mod
+
+    fp, dp, mv = (
+        str(tmp_path / "f"), str(tmp_path / "d"), str(tmp_path / "m")
+    )
+    _bases(spark, fp, dp)
+    kw = dict(
+        fact_key="fk", dim_key="dk", group_cols=["seg"],
+        sum_cols=["amt"], minmax_cols=["amt"],
+    )
+    build_join_mv(spark, fp, dp, mv, **kw)
+    # seg s0 ⊃ fk 0,3,6 → ids 0,3,6,10,13,…; amt = id*5+1. The global
+    # s0 extremes are amt=1 (id=0) and amt=281 (id=56): id=23
+    # (amt=116) and id=30 (amt=151) are strictly interior.
+    delete_delta(spark, fp, "id = 23 OR id = 30")
+    real = scan_mod.read_delta
+    opened = []
+
+    def spy(spark_, path, *a, **kw_):
+        opened.append(path)
+        return real(spark_, path, *a, **kw_)
+
+    monkeypatch.setattr(scan_mod, "read_delta", spy)
+    refresh_join_mv(spark, fp, dp, mv, **kw)
+    fact_opens = [p for p in opened if p == fp]
+    assert not fact_opens, fact_opens
+    f, d = read_delta(spark, fp), read_delta(spark, dp)
+    want = {
+        r.seg: (r.c, r.s, r.lo, r.hi)
+        for r in f.join(d, f.fk == d.dk)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("amt").alias("s"),
+            F.min("amt").alias("lo"),
+            F.max("amt").alias("hi"),
+        )
+        .collect()
+    }
+    got = {
+        r.seg: (r.mv_count, r.mv_sum_amt, r.mv_min_amt, r.mv_max_amt)
+        for r in read_delta(spark, mv).collect()
+    }
+    assert got == want

@@ -355,12 +355,32 @@ def test_having_over_output_columns(spark, tmp_path):
         .collect()
     ]
     assert [(r.g, r.total) for r in out.collect()] == want
-    # HAVING over a non-output expression → fall through (never a
-    # semantics change)
+    # HAVING over a non-selected AGGREGATE derives as an internal
+    # column (VERDICT r11 #4) — the rewrite still fires
     out = sql(
         spark,
         f"SELECT g, SUM(v) AS total FROM delta.`{b}` "
-        f"GROUP BY g HAVING COUNT(*) > 1",
+        f"GROUP BY g HAVING COUNT(*) > 1 ORDER BY g",
+    )
+    _reads_only(out, "/mv", "/base")
+    want = [
+        (r.g, r.total)
+        for r in read_delta(spark, b)
+        .groupBy("g")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .filter("n > 1")
+        .orderBy("g")
+        .select("g", "total")
+        .collect()
+    ]
+    assert [(r.g, r.total) for r in out.collect()] == want
+    assert out.columns == ["g", "total"]  # __hav column dropped
+    # HAVING over a NON-DERIVABLE aggregate (MAX not maintained) →
+    # fall through (never a semantics change)
+    out = sql(
+        spark,
+        f"SELECT g, SUM(v) AS total FROM delta.`{b}` "
+        f"GROUP BY g HAVING MAX(v) > 1",
     )
     _reads_only(out, "/base", "/mv")
 
@@ -375,13 +395,218 @@ def test_show_materialized_views(spark, tmp_path):
     assert rows[m].kind == "aggregate"
     assert rows[m].source == b
     assert rows[m].fresh is True
+    assert rows[m].lag == 0  # VERDICT r11 #5: staleness surface
+    assert rows[m].base_version == rows[m].watermark
     delete_delta(spark, b, "id = 0")  # base moves → stale
+    delete_delta(spark, b, "id = 1")  # twice
     rows = {r.path: r for r in sql(
         spark, "SHOW MATERIALIZED VIEWS"
     ).collect() if r.path == m}
     assert rows[m].fresh is False
+    assert rows[m].lag == 2  # two base commits behind
     sql(spark, f"REFRESH MATERIALIZED VIEW delta.`{m}`")
     rows = {r.path: r for r in sql(
         spark, "SHOW MATERIALIZED VIEWS"
     ).collect() if r.path == m}
     assert rows[m].fresh is True
+    assert rows[m].lag == 0
+
+
+def test_avg_and_count_col_null_exact(spark, tmp_path):
+    """ADVICE r11 (high): AVG over a NULLABLE measure is
+    SUM(x)/COUNT(x) (per-column non-null count), and an all-NULL
+    group's AVG/SUM are NULL — bit-identical to the base plan."""
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    rows = [(1, 0, None), (2, 0, None), (3, 1, 5), (4, 1, None),
+            (5, 2, 7), (6, 2, 9)]
+    df = spark.createDataFrame(rows, "id long, g long, v long")
+    write_delta(spark, df, b, configuration=CDF)
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+        f"SELECT g, COUNT(*) AS n, SUM(v) AS total "
+        f"FROM delta.`{b}` GROUP BY g",
+    )
+    q = (
+        f"SELECT g, COUNT(v) AS nv, SUM(v) AS total, AVG(v) AS mean "
+        f"FROM delta.`{b}` GROUP BY g ORDER BY g"
+    )
+    out = sql(spark, q)
+    _reads_only(out, "/mv", "/base")
+    got = [(r.g, r.nv, r.total, r.mean) for r in out.collect()]
+    assert got == [(0, 0, None, None), (1, 1, 5, 5.0),
+                   (2, 2, 16, 8.0)]
+    # parity with the non-rewritten plan (schema AND values)
+    spark.conf.set(REWRITE_ENABLED_KEY, "false")
+    plain = sql(spark, q)
+    _reads_only(plain, "/base", "/mv")
+    assert [(r.g, r.nv, r.total, r.mean) for r in plain.collect()] == got
+    assert [(f.name, f.dataType) for f in plain.schema.fields] == [
+        (f.name, f.dataType) for f in out.schema.fields
+    ]
+
+
+def test_global_aggregate_rewrite(spark, tmp_path):
+    """VERDICT r11 #4: a query with NO GROUP BY re-aggregates the
+    whole view into one row; COUNT over a filtered-to-empty view is
+    0, not NULL."""
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m, minmax=True)
+    q = (
+        f"SELECT COUNT(*) AS n, SUM(v) AS total, AVG(v) AS mean, "
+        f"MIN(v) AS lo, MAX(v) AS hi FROM delta.`{b}`"
+    )
+    out = sql(spark, q)
+    _reads_only(out, "/mv", "/base")
+    r = out.collect()[0]
+    assert (r.n, r.total, r.lo, r.hi) == (60, sum(i * 10 for i in
+                                                  range(60)), 0, 590)
+    assert r.mean == sum(i * 10 for i in range(60)) / 60
+    # filtered to no groups → COUNT 0, SUM/AVG NULL (ANSI)
+    out = sql(
+        spark,
+        f"SELECT COUNT(*) AS n, SUM(v) AS total "
+        f"FROM delta.`{b}` WHERE g = 99",
+    )
+    _reads_only(out, "/mv", "/base")
+    r = out.collect()[0]
+    assert (r.n, r.total) == (0, None)
+
+
+def test_cost_based_candidate_selection(spark, tmp_path):
+    """VERDICT r11 #2: with several fresh matching views, the EXACT
+    group match wins; among subsuming views the smallest (on-disk
+    bytes) is read."""
+    b = str(tmp_path / "base")
+    m_wide = str(tmp_path / "mv_wide")   # (g, h, id): biggest
+    m_small = str(tmp_path / "mv_small")  # (g, h): smaller
+    m_exact = str(tmp_path / "mv_exact")  # (g): exact for GROUP BY g
+    _base(spark, b)
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{m_wide}` AS "
+        f"SELECT g, h, id, COUNT(*) AS n, SUM(v) AS t "
+        f"FROM delta.`{b}` GROUP BY g, h, id",
+    )
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{m_small}` AS "
+        f"SELECT g, h, COUNT(*) AS n, SUM(v) AS t "
+        f"FROM delta.`{b}` GROUP BY g, h",
+    )
+    q = f"SELECT g, SUM(v) AS total FROM delta.`{b}` GROUP BY g"
+    out = sql(spark, q)
+    _reads_only(out, "/mv_small", "/mv_wide")  # smaller subsumer
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{m_exact}` AS "
+        f"SELECT g, COUNT(*) AS n, SUM(v) AS t "
+        f"FROM delta.`{b}` GROUP BY g",
+    )
+    out = sql(spark, q)
+    _reads_only(out, "/mv_exact", "/mv_small")  # exact beats size
+    want = {
+        r.g: r.total
+        for r in read_delta(spark, b)
+        .groupBy("g").agg(F.sum("v").alias("total")).collect()
+    }
+    assert {r.g: r.total for r in out.collect()} == want
+
+
+def test_out_of_band_drop_during_candidate_scan(spark, tmp_path):
+    """ADVICE r11: a view deleted out-of-band mid-scan must fall
+    through harmlessly (registry iteration over a snapshot), with a
+    surviving candidate still winning."""
+    import shutil
+
+    b = str(tmp_path / "base")
+    m1, m2 = str(tmp_path / "mv_a"), str(tmp_path / "mv_b")
+    _base(spark, b)
+    for m in (m1, m2):
+        sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+            f"SELECT g, COUNT(*) AS n, SUM(v) AS t "
+            f"FROM delta.`{b}` GROUP BY g",
+        )
+    shutil.rmtree(m1)  # out-of-band, registry still lists it
+    out = sql(
+        spark,
+        f"SELECT g, COUNT(*) AS n FROM delta.`{b}` GROUP BY g",
+    )
+    _reads_only(out, "/mv_b", "/mv_a")
+    from deltalake_datafusion_spark.sql.mv_rewrite import (
+        registered_matviews,
+    )
+
+    assert m1 not in registered_matviews()  # stale entry dropped
+
+
+def test_join_mv_minmax_rewrite(spark, tmp_path):
+    """The join form derives MIN/MAX too (the star MV maintains
+    fact-side extrema since r11; the deriver is shared)."""
+    fp, dp, mp = (
+        str(tmp_path / "fact"), str(tmp_path / "dim"), str(tmp_path / "mv")
+    )
+    fact = spark.range(40).select(
+        F.col("id"),
+        (F.col("id") % 6).alias("fk"),
+        (F.col("id") * 7 % 90).alias("amt"),
+    )
+    dim = spark.range(6).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("seg"),
+    )
+    write_delta(spark, fact, fp, configuration=CDF)
+    write_delta(spark, dim, dp, configuration=CDF)
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{mp}` AS "
+        f"SELECT seg, COUNT(*) AS n, SUM(amt) AS t, "
+        f"MIN(amt) AS lo, MAX(amt) AS hi "
+        f"FROM delta.`{fp}` JOIN delta.`{dp}` ON fk = dk GROUP BY seg",
+    )
+    out = sql(
+        spark,
+        f"SELECT seg, MIN(amt) AS lo, MAX(amt) AS hi, AVG(amt) AS m "
+        f"FROM delta.`{fp}` JOIN delta.`{dp}` ON fk = dk GROUP BY seg",
+    )
+    _reads_only(out, "/mv", "/fact")
+    f, d = read_delta(spark, fp), read_delta(spark, dp)
+    want = {
+        r.seg: (r.lo, r.hi, r.m)
+        for r in f.join(d, f.fk == d.dk)
+        .groupBy("seg")
+        .agg(F.min("amt").alias("lo"), F.max("amt").alias("hi"),
+             F.avg("amt").alias("m"))
+        .collect()
+    }
+    assert {r.seg: (r.lo, r.hi, r.m) for r in out.collect()} == want
+
+
+def test_having_string_literal_not_rewritten(spark, tmp_path):
+    """Aggregate-shaped TEXT inside a quoted HAVING literal must not
+    be treated as an aggregate call."""
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)
+    out = sql(
+        spark,
+        f"SELECT g, h, COUNT(*) AS n FROM delta.`{b}` "
+        f"GROUP BY g, h HAVING CAST(g AS STRING) != 'SUM(v)' "
+        f"AND COUNT(*) > 1",
+    )
+    # CAST(...) is outside the grammar's derivable identifiers →
+    # whole-query fall-through is acceptable; what is NOT acceptable
+    # is a crash or a literal rewritten into a column. Just assert
+    # the answer is right.
+    want = {
+        (r.g, r.h): r.n
+        for r in read_delta(spark, b)
+        .groupBy("g", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter("n > 1")
+        .collect()
+    }
+    assert {(r.g, r.h): r.n for r in out.collect()} == want

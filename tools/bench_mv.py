@@ -126,10 +126,16 @@ def bench_join(spark, n: int) -> tuple[float, float]:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def bench_join_minmax(spark, n: int) -> tuple[float, float]:
-    """The round-11 MIN/MAX star MV: fact deletes force the targeted
-    group recompute (the expensive incremental path), so this is the
-    WORST-CASE incremental cost vs the honest full recompute."""
+def bench_join_minmax(
+    spark, n: int, interior: bool = False
+) -> tuple[float, float]:
+    """The MIN/MAX star MV under fact deletes. ``interior=False``:
+    a spread 0.1%-selective delete — groups whose retracted values
+    tie an extremum take the targeted recompute, the rest ride the
+    round-12 interior fast-path (pre-r12 this was the all-groups
+    worst case ≈ full recompute). ``interior=True``: every deleted
+    value is strictly inside its group's (min, max) — the fast-path
+    should skip the fact⋈dim recompute entirely and stay flat."""
     from pyspark.sql import functions as F
 
     from deltalake_datafusion_spark.delta.mv_join import (
@@ -163,9 +169,14 @@ def bench_join_minmax(spark, n: int) -> tuple[float, float]:
             (F.col("id") % 5000).alias("amt"),
         )
         write_delta(spark, extra, fp, mode="append", configuration=CDF)
-        # a 0.1%-selective fact delete: every group sees a retraction,
-        # so min/max recompute runs for all 37 groups
-        delete_delta(spark, fp, "id % 997 = 3")
+        if interior:
+            # every group's extremes are ~0 / ~4999 at these sizes:
+            # a mid-band delete retracts only interior values
+            delete_delta(spark, fp, "amt >= 2000 AND amt < 2005")
+        else:
+            # a 0.1%-selective spread delete: every group sees a
+            # retraction; only the extremum-losing ones recompute
+            delete_delta(spark, fp, "id % 997 = 3")
         t0 = time.time()
         refresh_join_mv(spark, fp, dp, m, **kw)
         t_incr = time.time() - t0
@@ -200,6 +211,8 @@ def main() -> None:
         print(f"{'join':>9} {n:>9} {ti:>8.2f} {tf:>8.2f}")
         ti, tf = bench_join_minmax(spark, n)
         print(f"{'join_mm':>9} {n:>9} {ti:>8.2f} {tf:>8.2f}")
+        ti, tf = bench_join_minmax(spark, n, interior=True)
+        print(f"{'join_mm_int':>9} {n:>9} {ti:>8.2f} {tf:>8.2f}")
 
 
 if __name__ == "__main__":
