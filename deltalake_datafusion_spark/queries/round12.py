@@ -30,6 +30,11 @@ def specs() -> list[QuerySpec]:
             delta_mv_minmax_interior,
             _MV_MINMAX_INTERIOR_SQL,
         ),
+        QuerySpec(
+            "sql_matview_rewrite_rollup",
+            sql_matview_rewrite_rollup,
+            _MV_REWRITE_ROLLUP_SQL,
+        ),
     ]
 
 
@@ -300,4 +305,81 @@ SELECT g, CAST(COUNT(*) AS BIGINT) AS mv_count,
   CAST(MIN(cents) AS BIGINT) AS mv_min_cents,
   CAST(MAX(cents) AS BIGINT) AS mv_max_cents
 FROM final GROUP BY g ORDER BY g
+"""
+
+# ---------------------------------------------------------------- #
+# sql_matview_rewrite_rollup                                        #
+# ---------------------------------------------------------------- #
+
+
+def sql_matview_rewrite_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLUP rewrite (``sql/mv_rewrite.py``): ``GROUP BY
+    ROLLUP(g, st)`` over the base is the union of one subsumption
+    rewrite per grouping set, so it re-aggregates the maintained
+    view through Spark's own ROLLUP operator — subtotals and the
+    grand total included — while reading ONLY view files (asserted).
+    The oracle runs the same ROLLUP over the raw rows in DuckDB."""
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+    from deltalake_datafusion_spark.sql.dispatcher import sql
+
+    o = load_tables(spark, sf_dir, "orders")["orders"]
+    base = _fresh_dir("mvrwr_base", sf_dir)
+    mv = _fresh_dir("mvrwr_view", sf_dir)
+    rows = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderstatus").alias("st"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    write_delta(
+        spark, rows, base,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{mv}` AS "
+        f"SELECT g, st, COUNT(*) AS n, SUM(cents) AS total, "
+        f"MIN(cents), MAX(cents) "
+        f"FROM delta.`{base}` GROUP BY g, st",
+    )
+    delete_delta(spark, base, "id % 9 = 4")
+    sql(spark, f"REFRESH MATERIALIZED VIEW delta.`{mv}`")
+    out = sql(
+        spark,
+        f"SELECT g, st, COUNT(*) AS n, SUM(cents) AS total, "
+        f"MIN(cents) AS lo, MAX(cents) AS hi "
+        f"FROM delta.`{base}` GROUP BY ROLLUP(g, st)",
+    )
+    files = out.inputFiles()
+    if not files or any("mvrwr_view" not in f for f in files):
+        raise AssertionError(
+            f"ROLLUP MV rewrite did not fire — plan reads {files[:3]}"
+        )
+    return out.select(
+        "g", "st",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+    ).orderBy("g", "st")
+
+
+_MV_REWRITE_ROLLUP_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS id, o_orderpriority AS g, o_orderstatus AS st,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+final AS (SELECT * FROM base WHERE NOT (id % 9 = 4))
+SELECT g, st, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(cents) AS BIGINT) AS total,
+  CAST(MIN(cents) AS BIGINT) AS lo,
+  CAST(MAX(cents) AS BIGINT) AS hi
+FROM final GROUP BY ROLLUP(g, st) ORDER BY g, st
 """

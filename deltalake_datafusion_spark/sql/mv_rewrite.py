@@ -22,6 +22,9 @@ Larson, SIGMOD'01 "Optimizing queries using materialized views"):
   abelian and min/max are semilattice reductions;
 - **global aggregates** — no GROUP BY: re-aggregate the whole view
   into one row (COUNT coalesced to 0 on an empty view);
+- **ROLLUP / CUBE** — ``GROUP BY ROLLUP(g, h)`` over the base is the
+  union of subsumption rewrites (one per grouping set), so it
+  re-aggregates the view through the same ROLLUP/CUBE operator;
 - **HAVING over aggregate expressions** — each aggregate call in the
   HAVING clause derives as an internal column computed alongside the
   outputs and dropped after the filter;
@@ -78,7 +81,7 @@ _REGISTRY: dict[str, dict] = {}
 _QUERY_RE = re.compile(
     r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>.+?)"
     r"(?:\s+WHERE\s+(?P<pred>.+?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<grp>[\w`,\s.]+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<grp>[\w`,\s.()]+?))?"
     r"(?:\s+HAVING\s+(?P<hav>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<ord>[\w`,\s]+?(?:\s+(?:ASC|DESC))?"
     r"(?:\s*,\s*[\w`]+(?:\s+(?:ASC|DESC))?)*))?\s*;?\s*$",
@@ -397,8 +400,22 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
         return None
     q_groups = [a for k, a, _ in items if k == "group"]
     grp_raw = m.group("grp")
+    rollup_mode = None
     if grp_raw is not None:
-        grp_list = [_ident(g) for g in grp_raw.split(",")]
+        g = grp_raw.strip()
+        rm = re.fullmatch(
+            r"(?is)(ROLLUP|CUBE)\s*\((?P<cols>[\w`,\s.]+)\)", g
+        )
+        if rm:
+            # ROLLUP/CUBE re-aggregate exactly (count/sum abelian,
+            # min/max semilattice): each grouping set is a
+            # subsumption rewrite of the same view
+            rollup_mode = rm.group(1).lower()
+            grp_list = [
+                _ident(x) for x in rm.group("cols").split(",")
+            ]
+        else:
+            grp_list = [_ident(x) for x in g.split(",")]
         if sorted(q_groups) != sorted(grp_list):
             return None  # non-trivial GROUP BY (exprs / hidden cols)
     else:
@@ -451,7 +468,11 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
             continue
         if pred_cols and not pred_cols <= mv_groups:
             continue  # predicate touches non-group columns
-        exact = bool(grp_list) and set(grp_list) == mv_groups
+        exact = (
+            rollup_mode is None
+            and bool(grp_list)
+            and set(grp_list) == mv_groups
+        )
         mv_snap = _fresh_mv_snapshot(spark, mv_path, defn)
         if mv_snap is None:
             continue
@@ -486,7 +507,13 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
             for (k, _, _), e in zip(all_items, exprs)
             if k != "group"
         ]
-        out = df.groupBy(*grp_list).agg(*agg_exprs)
+        if rollup_mode == "rollup":
+            gb = df.rollup(*grp_list)
+        elif rollup_mode == "cube":
+            gb = df.cube(*grp_list)
+        else:
+            gb = df.groupBy(*grp_list)
+        out = gb.agg(*agg_exprs)
     if hav:
         out = out.filter(F.expr(hav))
     out = out.select(*[F.col(a) for _, _, a in items])

@@ -610,3 +610,45 @@ def test_having_string_literal_not_rewritten(spark, tmp_path):
         .collect()
     }
     assert {(r.g, r.h): r.n for r in out.collect()} == want
+
+
+def test_rollup_and_cube_rewrite(spark, tmp_path):
+    """GROUP BY ROLLUP/CUBE re-aggregates the view through the same
+    grouping-sets operator — every subtotal row (including the grand
+    total) equals the base plan's."""
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m, minmax=True)
+    for mode in ("ROLLUP", "CUBE"):
+        q = (
+            f"SELECT g, h, COUNT(*) AS n, SUM(v) AS total, "
+            f"MIN(v) AS lo, MAX(v) AS hi "
+            f"FROM delta.`{b}` GROUP BY {mode}(g, h)"
+        )
+        out = sql(spark, q)
+        _reads_only(out, "/mv", "/base")
+        base_df = read_delta(spark, b)
+        gb = base_df.rollup("g", "h") if mode == "ROLLUP" else (
+            base_df.cube("g", "h")
+        )
+        want = {
+            (r.g, r.h): (r.n, r.total, r.lo, r.hi)
+            for r in gb.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("total"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            ).collect()
+        }
+        got = {
+            (r.g, r.h): (r.n, r.total, r.lo, r.hi)
+            for r in out.collect()
+        }
+        assert got == want, mode
+    # GROUPING() is outside the derivable grammar → fall through
+    out = sql(
+        spark,
+        f"SELECT g, h, COUNT(*) AS n, GROUPING(g) AS gg "
+        f"FROM delta.`{b}` GROUP BY ROLLUP(g, h)",
+    )
+    _reads_only(out, "/base", "/mv")
