@@ -22,9 +22,9 @@ Larson, SIGMOD'01 "Optimizing queries using materialized views"):
   abelian and min/max are semilattice reductions;
 - **global aggregates** — no GROUP BY: re-aggregate the whole view
   into one row (COUNT coalesced to 0 on an empty view);
-- **ROLLUP / CUBE** — ``GROUP BY ROLLUP(g, h)`` over the base is the
-  union of subsumption rewrites (one per grouping set), so it
-  re-aggregates the view through the same ROLLUP/CUBE operator;
+- **ROLLUP / CUBE / GROUPING SETS** — grouping sets over the base are
+  the union of subsumption rewrites (one per set), so they
+  re-aggregate the view through the same grouping-sets operator;
 - **HAVING over aggregate expressions** — each aggregate call in the
   HAVING clause derives as an internal column computed alongside the
   outputs and dropped after the filter;
@@ -398,13 +398,21 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
     items = _parse_select_items(m.group("sel"))
     if items is None:
         return None
+    from deltalake_datafusion_spark.sql.dispatcher import (
+        _split_top_level_commas,
+    )
+
     q_groups = [a for k, a, _ in items if k == "group"]
     grp_raw = m.group("grp")
     rollup_mode = None
+    grouping_sets: list[list[str]] | None = None
     if grp_raw is not None:
         g = grp_raw.strip()
         rm = re.fullmatch(
             r"(?is)(ROLLUP|CUBE)\s*\((?P<cols>[\w`,\s.]+)\)", g
+        )
+        gm = re.fullmatch(
+            r"(?is)GROUPING\s+SETS\s*\((?P<body>.+)\)", g
         )
         if rm:
             # ROLLUP/CUBE re-aggregate exactly (count/sum abelian,
@@ -414,6 +422,27 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
             grp_list = [
                 _ident(x) for x in rm.group("cols").split(",")
             ]
+        elif gm:
+            # explicit GROUPING SETS: same re-aggregation, one set
+            # at a time, through Spark's groupingSets operator
+            grouping_sets = []
+            for part in _split_top_level_commas(gm.group("body")):
+                p = part.strip()
+                if not (p.startswith("(") and p.endswith(")")):
+                    return None
+                inner = p[1:-1].strip()
+                grouping_sets.append(
+                    [_ident(x) for x in inner.split(",")]
+                    if inner
+                    else []
+                )
+            rollup_mode = "sets"
+            seen: list[str] = []
+            for s in grouping_sets:
+                for c in s:
+                    if c not in seen:
+                        seen.append(c)
+            grp_list = seen
         else:
             grp_list = [_ident(x) for x in g.split(",")]
         if sorted(q_groups) != sorted(grp_list):
@@ -511,6 +540,11 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
             gb = df.rollup(*grp_list)
         elif rollup_mode == "cube":
             gb = df.cube(*grp_list)
+        elif rollup_mode == "sets":
+            gb = df.groupingSets(
+                [[F.col(c) for c in s] for s in grouping_sets],
+                *grp_list,
+            )
         else:
             gb = df.groupBy(*grp_list)
         out = gb.agg(*agg_exprs)

@@ -652,3 +652,72 @@ def test_rollup_and_cube_rewrite(spark, tmp_path):
         f"FROM delta.`{b}` GROUP BY ROLLUP(g, h)",
     )
     _reads_only(out, "/base", "/mv")
+
+
+def test_grouping_sets_rewrite(spark, tmp_path):
+    """Explicit GROUPING SETS re-aggregate the view one set at a
+    time — including the empty (grand-total) set."""
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    _base(spark, b)
+    _mk_mv(spark, b, m)
+    q = (
+        f"SELECT g, h, COUNT(*) AS n, SUM(v) AS total "
+        f"FROM delta.`{b}` GROUP BY GROUPING SETS ((g, h), (h), ())"
+    )
+    out = sql(spark, q)
+    _reads_only(out, "/mv", "/base")
+    base_df = read_delta(spark, b)
+    want = {
+        (r.g, r.h): (r.n, r.total)
+        for r in base_df.groupingSets(
+            [[F.col("g"), F.col("h")], [F.col("h")], []], "g", "h"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    got = {(r.g, r.h): (r.n, r.total) for r in out.collect()}
+    assert got == want
+
+
+def test_refresh_all_materialized_views(spark, tmp_path):
+    """REFRESH ALL MATERIALIZED VIEWS: stale views refresh
+    incrementally, fresh ones no-op, dropped-out-of-band ones report
+    an error row — and the rewrite fires again afterwards."""
+    import shutil
+
+    b = str(tmp_path / "base")
+    m1, m2, m3 = (
+        str(tmp_path / "mv_a"), str(tmp_path / "mv_b"),
+        str(tmp_path / "mv_c"),
+    )
+    _base(spark, b)
+    for m, cols in ((m1, "g"), (m2, "g, h"), (m3, "h")):
+        sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+            f"SELECT {cols}, COUNT(*) AS n, SUM(v) AS t "
+            f"FROM delta.`{b}` GROUP BY {cols}",
+        )
+    delete_delta(spark, b, "id < 6")  # all three go stale
+    shutil.rmtree(m3)
+    res = {
+        r.path: (r.mode, r.error)
+        for r in sql(spark, "REFRESH ALL MATERIALIZED VIEWS").collect()
+    }
+    assert res[m1][0] == "incremental" and res[m1][1] is None
+    assert res[m2][0] == "incremental"
+    assert res[m3][0] == "error" and res[m3][1]
+    # fresh again: a second sweep no-ops without committing
+    res = {
+        r.path: r.mode
+        for r in sql(spark, "REFRESH ALL MATERIALIZED VIEWS").collect()
+    }
+    assert res[m1] == "noop" and res[m2] == "noop"
+    out = sql(spark, f"SELECT g, COUNT(*) AS n FROM delta.`{b}` GROUP BY g")
+    _reads_only(out, "/mv_a", "/base")
+    want = {
+        r.g: r.n
+        for r in read_delta(spark, b)
+        .groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r.g: r.n for r in out.collect()} == want
