@@ -177,6 +177,7 @@ def refresh_aggregate_mv(
                 f"{MV_TXN_APP} txn — not a maintained aggregate view "
                 "(build_aggregate_mv first)"
             )
+        _reject_minmax_view(mv_snap, mv_path)
         base_ver = load_snapshot(base_path, spark=spark).version
         if base_ver <= applied:
             return {
@@ -197,6 +198,24 @@ def refresh_aggregate_mv(
         }
 
     return _retry_concurrent_refresh(attempt)
+
+
+def _reject_minmax_view(mv_snap, mv_path: str) -> None:
+    """A count/sum-only refresh applied to a MIN/MAX-bearing view
+    would merge the abelian columns and silently leave the extrema
+    STALE — the one shape of wrongness the maintenance layer must
+    never produce. Route to the delete-aware entry points instead."""
+    mm = [
+        f.name
+        for f in mv_snap.schema.fields
+        if f.name.startswith("mv_min_") or f.name.startswith("mv_max_")
+    ]
+    if mm:
+        raise ValueError(
+            f"{mv_path} maintains MIN/MAX columns ({mm[:4]}…) — use "
+            "refresh_minmax_mv / streaming_refresh_minmax_mv, not the "
+            "count/sum-only refresh (extrema would go silently stale)"
+        )
 
 
 def apply_change_deltas(
@@ -404,6 +423,7 @@ def streaming_refresh_aggregate_mv(
             f"{MV_TXN_APP} txn — not a maintained aggregate view "
             "(build_aggregate_mv first)"
         )
+    _reject_minmax_view(mv_snap, mv_path)
     if starting_version is None:
         starting_version = mv_watermark(mv_snap) + 1
 
@@ -430,6 +450,70 @@ def streaming_refresh_aggregate_mv(
 
         # a concurrent batch refresh racing this stream re-filters
         # the batch against the advanced watermark and retries
+        _retry_concurrent_refresh(attempt)
+
+    q = (
+        read_change_stream(spark, base_path, starting_version)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def streaming_refresh_minmax_mv(
+    spark,
+    base_path: str,
+    mv_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str],
+    checkpoint_dir: str,
+    starting_version: int | None = None,
+    timeout_s: int = 300,
+    max_inline_groups: int = 10_000,
+) -> None:
+    """CONTINUOUS maintenance of a MIN/MAX-bearing view: the
+    streaming twin of :func:`streaming_refresh_aggregate_mv`, with
+    each micro-batch applied through the delete-aware core
+    (:func:`_apply_minmax_change_rows`) — monotone least/greatest for
+    interior churn, targeted base recompute AS OF the batch's high
+    commit for extremum-losing groups, exactly-once via the same
+    committed-watermark filter + same-commit txn advance."""
+    from deltalake_datafusion_spark.delta.snapshot import load_snapshot
+    from deltalake_datafusion_spark.streaming.cdf_source import (
+        read_change_stream,
+    )
+
+    mv_snap = load_snapshot(mv_path, spark=spark)
+    if mv_watermark(mv_snap) is None:
+        raise ValueError(
+            f"{mv_path} has no {MV_BASE_VERSION_KEY} property or "
+            f"{MV_TXN_APP} txn — not a maintained aggregate view "
+            "(build_minmax_mv first)"
+        )
+    if starting_version is None:
+        starting_version = mv_watermark(mv_snap) + 1
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        def attempt():
+            applied = mv_watermark(load_snapshot(mv_path, spark=spark))
+            fresh = batch_df.filter(
+                F.col("_commit_version") > F.lit(applied)
+            )
+            fresh = fresh.localCheckpoint(eager=True)
+            hi = fresh.agg(
+                F.max("_commit_version").alias("v")
+            ).collect()[0]["v"]
+            if hi is None:
+                return  # fully-replayed batch — merged before a crash
+            _apply_minmax_change_rows(
+                spark, base_path, mv_path, fresh, group_cols,
+                sum_cols, minmax_cols, max_inline_groups,
+                advance_to=int(hi), applied_watermark=applied,
+            )
+
         _retry_concurrent_refresh(attempt)
 
     q = (
@@ -609,10 +693,10 @@ def _refresh_minmax_once(
       predicate ≤ ``max_inline_groups`` keys for stats-based file
       skipping, else a broadcast semi-join).
 
-    The base is NEVER opened when the CDF contains no deletes — the
-    unit guard pins it."""
+    The base is NEVER opened when the CDF contains no deletes or
+    when every retraction stays interior to its group's stored
+    extrema — the unit guards pin both."""
     from deltalake_datafusion_spark.delta.cdf import table_changes
-    from deltalake_datafusion_spark.delta.ops import merge_delta
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
 
     mv_snap = load_snapshot(mv_path, spark=spark)
@@ -628,6 +712,41 @@ def _refresh_minmax_once(
         return {"base_version": applied, "mode": "noop", "groups_touched": 0}
 
     ch = table_changes(spark, base_path, applied + 1, base_ver)
+    n_groups = _apply_minmax_change_rows(
+        spark, base_path, mv_path, ch, group_cols, sum_cols,
+        minmax_cols, max_inline_groups,
+        advance_to=base_ver, applied_watermark=applied,
+    )
+    return {
+        "base_version": base_ver,
+        "mode": "incremental",
+        "groups_touched": n_groups,
+    }
+
+
+def _apply_minmax_change_rows(
+    spark,
+    base_path: str,
+    mv_path: str,
+    ch: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str],
+    max_inline_groups: int,
+    advance_to: int,
+    applied_watermark: int | None,
+) -> int:
+    """Apply a change-feed frame to a MIN/MAX-bearing view in ONE
+    guarded MERGE commit (the :func:`_refresh_minmax_once` core,
+    shared with the streaming sink): signed count/sum/cnt deltas,
+    monotone least/greatest for groups whose retractions stayed
+    interior, and an authoritative recompute — from the base AS OF
+    ``advance_to`` — for exactly the groups that lost an extremum.
+    Returns the number of touched groups."""
+    from deltalake_datafusion_spark.delta.ops import merge_delta
+
+    base_ver = advance_to
+    applied = applied_watermark
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
@@ -675,11 +794,7 @@ def _refresh_minmax_once(
         _advance_watermark_only(
             spark, mv_path, base_ver, expected_applied=applied
         )
-        return {
-            "base_version": base_ver,
-            "mode": "incremental",
-            "groups_touched": 0,
-        }
+        return 0
 
     deltas = _flag_needs_authority(
         spark, mv_path, deltas, group_cols, minmax_cols
@@ -746,7 +861,7 @@ def _refresh_minmax_once(
             for c in minmax_cols
         },
     }
-    merge_delta(
+    res = merge_delta(
         spark,
         mv_path,
         src,
@@ -766,11 +881,9 @@ def _refresh_minmax_once(
             {"appId": MV_TXN_APP, "applied": applied, "target": base_ver}
         ],
     )
-    return {
-        "base_version": base_ver,
-        "mode": "incremental",
-        "groups_touched": n_groups,
-    }
+    if res.get("skipped") == "txn-covered":
+        return 0
+    return n_groups
 
 
 def _flag_needs_authority(

@@ -35,6 +35,11 @@ def specs() -> list[QuerySpec]:
             sql_matview_rewrite_rollup,
             _MV_REWRITE_ROLLUP_SQL,
         ),
+        QuerySpec(
+            "streaming_mv_minmax_refresh",
+            streaming_mv_minmax_refresh,
+            _STREAMING_MV_MINMAX_SQL,
+        ),
     ]
 
 
@@ -382,4 +387,94 @@ SELECT g, st, CAST(COUNT(*) AS BIGINT) AS n,
   CAST(MIN(cents) AS BIGINT) AS lo,
   CAST(MAX(cents) AS BIGINT) AS hi
 FROM final GROUP BY ROLLUP(g, st) ORDER BY g, st
+"""
+
+# ---------------------------------------------------------------- #
+# streaming_mv_minmax_refresh                                       #
+# ---------------------------------------------------------------- #
+
+
+def streaming_mv_minmax_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINUOUS maintenance of a MIN/MAX-bearing view
+    (``delta/mv.py::streaming_refresh_minmax_mv``): the base's change
+    feed streams through foreachBatch with the delete-aware core —
+    extremum-removing deletes trigger the targeted AS-OF recompute,
+    interior churn merges monotonically, the watermark txn rides
+    each merge commit. The oracle recomputes the final aggregate
+    from raw rows."""
+    import tempfile
+
+    from deltalake_datafusion_spark.delta.mv import (
+        build_minmax_mv,
+        streaming_refresh_minmax_mv,
+    )
+    from deltalake_datafusion_spark.delta.ops import delete_delta
+    from deltalake_datafusion_spark.delta.scan import read_delta
+    from deltalake_datafusion_spark.delta.writer import write_delta
+    from deltalake_datafusion_spark.queries.delta_tier import _fresh_dir
+
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    base = _fresh_dir("smvmm_base", sf_dir)
+    mv = _fresh_dir("smvmm_view", sf_dir)
+    cdf = {"delta.enableChangeDataFeed": "true"}
+    rows = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("g"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    write_delta(spark, rows, base, configuration=cdf)
+    build_minmax_mv(spark, base, mv, ["g"], ["cents"], ["cents"])
+    # extremum removals (deep-negative minima) + interior churn
+    delete_delta(spark, base, "cents < -90000")
+    delete_delta(spark, base, "cents >= 50000 AND cents < 60000")
+    extra = c.filter(F.col("c_custkey") % 31 == 0).select(
+        (F.col("c_custkey") + 700000000).alias("id"),
+        F.col("c_mktsegment").alias("g"),
+        (F.col("c_custkey") % 3 * 100000000
+         - 100000000).cast("long").alias("cents"),
+    )
+    write_delta(spark, extra, base, mode="append", configuration=cdf)
+    with tempfile.TemporaryDirectory(prefix="smvmm_ck_") as ck:
+        streaming_refresh_minmax_mv(
+            spark, base, mv, ["g"], ["cents"], ["cents"], ck
+        )
+    return (
+        read_delta(spark, mv)
+        .select(
+            "g", "mv_count",
+            F.col("mv_sum_cents").cast("long").alias("mv_sum_cents"),
+            F.col("mv_min_cents").cast("long").alias("mv_min_cents"),
+            F.col("mv_max_cents").cast("long").alias("mv_max_cents"),
+        )
+        .orderBy("g")
+    )
+
+
+_STREAMING_MV_MINMAX_SQL = """
+WITH orig AS (
+  SELECT c_custkey AS id, c_mktsegment AS g,
+    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+),
+kept AS (
+  SELECT * FROM orig
+  WHERE NOT (cents < -90000)
+    AND NOT (cents >= 50000 AND cents < 60000)
+),
+final AS (
+  SELECT * FROM kept
+  UNION ALL
+  SELECT c_custkey + 700000000, c_mktsegment,
+    CAST(c_custkey % 3 * 100000000 - 100000000 AS BIGINT)
+  FROM customer WHERE c_custkey % 31 = 0
+)
+SELECT g, CAST(COUNT(*) AS BIGINT) AS mv_count,
+  CAST(SUM(cents) AS BIGINT) AS mv_sum_cents,
+  CAST(MIN(cents) AS BIGINT) AS mv_min_cents,
+  CAST(MAX(cents) AS BIGINT) AS mv_max_cents
+FROM final GROUP BY g ORDER BY g
 """

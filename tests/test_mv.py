@@ -895,3 +895,60 @@ def test_minmax_mixed_interior_and_extremum_deletes(
     refresh_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
     assert preds and all(p and "g IN (2)" in p for p in preds), preds
     assert _mm_state(spark, m) == _mm_expected(spark, b)
+
+
+def test_streaming_minmax_refresh_matches_full_recompute(
+    spark, tmp_path
+):
+    """CONTINUOUS maintenance of a MIN/MAX-bearing view
+    (streaming_refresh_minmax_mv): extremum-removing deletes,
+    interior deletes, and inserts across micro-batches leave the
+    view exactly equal to the full recompute; a second run over the
+    same checkpoint applies nothing."""
+    from deltalake_datafusion_spark.delta.mv import (
+        build_minmax_mv,
+        streaming_refresh_minmax_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    ck = str(tmp_path / "ck")
+    _base(spark, b)
+    build_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    # extremum delete (id=2 is group 2's min), interior delete
+    # (id=5 is inside group 1's range), inserts incl. a new group
+    delete_delta(spark, b, "id = 2 OR id = 5")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(300, 1, -7), (301, 9, 4)], "id long, g long, v long"
+        ),
+        b, mode="append", configuration=CDF,
+    )
+    streaming_refresh_minmax_mv(spark, b, m, ["g"], ["v"], ["v"], ck)
+    assert _mm_state(spark, m) == _mm_expected(spark, b)
+    streaming_refresh_minmax_mv(spark, b, m, ["g"], ["v"], ["v"], ck)
+    assert _mm_state(spark, m) == _mm_expected(spark, b)
+    # more changes, same checkpoint: only the new commits apply
+    delete_delta(spark, b, "g = 3")
+    streaming_refresh_minmax_mv(spark, b, m, ["g"], ["v"], ["v"], ck)
+    assert _mm_state(spark, m) == _mm_expected(spark, b)
+
+
+def test_sum_only_refresh_rejects_minmax_view(spark, tmp_path):
+    """The count/sum-only entry points refuse a MIN/MAX-bearing view
+    (extrema would go silently stale)."""
+    from deltalake_datafusion_spark.delta.mv import (
+        build_minmax_mv,
+        streaming_refresh_aggregate_mv,
+    )
+
+    b, m = str(tmp_path / "b"), str(tmp_path / "m")
+    _base(spark, b)
+    build_minmax_mv(spark, b, m, ["g"], ["v"], ["v"])
+    delete_delta(spark, b, "id = 0")
+    with pytest.raises(ValueError, match="MIN/MAX"):
+        refresh_aggregate_mv(spark, b, m, ["g"], ["v"])
+    with pytest.raises(ValueError, match="MIN/MAX"):
+        streaming_refresh_aggregate_mv(
+            spark, b, m, ["g"], ["v"], str(tmp_path / "ck2")
+        )
