@@ -864,3 +864,29 @@ def test_round11_queries_arrow_only_no_cartesian(spark, sf_dir):
     # the rewrite query's executed scan: view files only
     files = sql_matview_rewrite(spark, sf_dir).inputFiles()
     assert files and all("mvrw_view" in f for f in files), files[:3]
+
+
+def test_round12_queries_arrow_only_no_cartesian(spark, sf_dir):
+    """Round-12 plan guard: the rewrite-growth and minmax fast-path
+    queries keep every stage JVM-side (no BatchEvalPython), nothing
+    goes cartesian, and the rewrite queries' executed scans read
+    ONLY view files."""
+    from deltalake_datafusion_spark.queries.round12 import (
+        delta_mv_minmax_interior,
+        sql_matview_rewrite_global,
+        sql_matview_rewrite_nullable,
+        sql_matview_rewrite_rollup,
+    )
+
+    for q in (
+        sql_matview_rewrite_nullable,
+        sql_matview_rewrite_global,
+        sql_matview_rewrite_rollup,
+        delta_mv_minmax_interior,
+    ):
+        df = q(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, (q.__name__, plan[:600])
+        assert "CartesianProduct" not in plan, (q.__name__,)
+    files = sql_matview_rewrite_rollup(spark, sf_dir).inputFiles()
+    assert files and all("mvrwr_view" in f for f in files), files[:3]
