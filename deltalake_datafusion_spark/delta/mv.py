@@ -124,9 +124,12 @@ def build_aggregate_mv(
     sum_cols: list[str],
     extra_conf: dict | None = None,
 ) -> dict:
-    """Full build of the aggregate view (count + sums per group) at
-    the base table's current version; the watermark (property + txn)
-    commits atomically with the built data."""
+    """Full build of the aggregate view at the base table's current
+    version: per group, ``COUNT(*)``, each ``SUM(c)``, and each
+    per-column non-null count ``mv_cnt_<c>`` (what keeps SUM
+    NULL-exact through incremental merges and lets the rewrite derive
+    ANSI AVG / COUNT(col)). The watermark (property + txn) commits
+    atomically with the built data."""
     from deltalake_datafusion_spark.delta.scan import read_delta
     from deltalake_datafusion_spark.delta.snapshot import load_snapshot
     from deltalake_datafusion_spark.delta.writer import write_delta

@@ -721,3 +721,90 @@ def test_refresh_all_materialized_views(spark, tmp_path):
         .groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert {r.g: r.n for r in out.collect()} == want
+
+
+def test_rewrite_equivalence_randomized(spark, tmp_path):
+    """Property: for a corpus of randomized queries in the rewrite
+    grammar (group subsets / ROLLUP / CUBE / global, COUNT(*) /
+    COUNT(v) / SUM / AVG / MIN / MAX over a NULLABLE measure and a
+    NULLABLE group key, WHERE on group cols, HAVING over aggregates,
+    ORDER BY), the answer with the rewrite ENABLED equals the answer
+    with it DISABLED — bit-identical, whichever view (or none) the
+    candidate selection picks."""
+    import random
+
+    b = str(tmp_path / "base")
+    m1, m2 = str(tmp_path / "mv1"), str(tmp_path / "mv2")
+    rows = [
+        (
+            i,
+            None if i % 11 == 0 else i % 4,
+            i % 3,
+            None if i % 7 == 0 else (i * 37) % 200 - 50,
+        )
+        for i in range(180)
+    ]
+    df = spark.createDataFrame(rows, "id long, g long, h long, v long")
+    write_delta(spark, df, b, configuration=CDF)
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{m1}` AS "
+        f"SELECT g, h, COUNT(*) AS n, SUM(v) AS t, MIN(v), MAX(v) "
+        f"FROM delta.`{b}` GROUP BY g, h",
+    )
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{m2}` AS "
+        f"SELECT g, COUNT(*) AS n, SUM(v) AS t "
+        f"FROM delta.`{b}` GROUP BY g",
+    )
+    rng = random.Random(1207)
+    aggs = [
+        "COUNT(*) AS n", "COUNT(v) AS nv", "SUM(v) AS s",
+        "AVG(v) AS a", "MIN(v) AS lo", "MAX(v) AS hi",
+    ]
+    rewrote = 0
+    for i in range(36):
+        n_aggs = rng.randint(1, 4)
+        sel_aggs = rng.sample(aggs, n_aggs)
+        shape = rng.choice(
+            ["g", "h", "g, h", "ROLLUP(g, h)", "CUBE(g, h)",
+             "GROUPING SETS ((g, h), (g), ())", None]
+        )
+        if shape is None:
+            sel, grp = ", ".join(sel_aggs), ""
+        else:
+            plain = (
+                "g, h" if ("g, h" in shape or "(g" in shape and
+                           "h)" in shape) else shape
+            )
+            sel = f"{plain}, " + ", ".join(sel_aggs)
+            grp = f" GROUP BY {shape}"
+        where = rng.choice(
+            ["", " WHERE g > 0", " WHERE h = 1",
+             " WHERE g IS NOT NULL AND h < 2"]
+        )
+        if shape in ("h", None) and "g" in where:
+            where = ""  # WHERE must touch selected-grammar cols only
+        hav = rng.choice(
+            ["", " HAVING COUNT(*) > 2", " HAVING SUM(v) > 0"]
+        ) if grp else ""
+        q = f"SELECT {sel} FROM delta.`{b}`{where}{grp}{hav}"
+        on = sql(spark, q)
+        files = on.inputFiles()
+        if files and all(("/mv1" in f or "/mv2" in f) for f in files):
+            rewrote += 1
+        got_on = sorted(
+            map(tuple, on.collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+        spark.conf.set(REWRITE_ENABLED_KEY, "false")
+        try:
+            got_off = sorted(
+                map(tuple, sql(spark, q).collect()),
+                key=lambda t: tuple((x is None, x) for x in t),
+            )
+        finally:
+            spark.conf.unset(REWRITE_ENABLED_KEY)
+        assert got_on == got_off, (q, got_on[:3], got_off[:3])
+    assert rewrote >= 12, rewrote  # the corpus genuinely rewrites
