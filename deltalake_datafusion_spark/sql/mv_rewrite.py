@@ -481,9 +481,10 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
             fact = _unquote_target(jm.group("fact"))
             dim = _unquote_target(jm.group("dim"))
             keys = {_ident(jm.group("l")), _ident(jm.group("r"))}
+            # inner equi-join is commutative: accept either operand
+            # order against the registered (fact, dim) pair
             if (
-                fact != defn["fact"]
-                or dim != defn["dim"]
+                {fact, dim} != {defn["fact"], defn["dim"]}
                 or keys != {defn["fact_key"], defn["dim_key"]}
             ):
                 continue

@@ -808,3 +808,40 @@ def test_rewrite_equivalence_randomized(spark, tmp_path):
             spark.conf.unset(REWRITE_ENABLED_KEY)
         assert got_on == got_off, (q, got_on[:3], got_off[:3])
     assert rewrote >= 12, rewrote  # the corpus genuinely rewrites
+
+
+def test_join_rewrite_commutative_operand_order(spark, tmp_path):
+    """`dim JOIN fact` matches a view registered as fact⋈dim (inner
+    equi-join commutativity) — with a WHERE on a view group column."""
+    fp, dp, mp = (
+        str(tmp_path / "fact"), str(tmp_path / "dim"), str(tmp_path / "mv")
+    )
+    fact = spark.range(30).select(
+        F.col("id"), (F.col("id") % 5).alias("fk"),
+        (F.col("id") + 2).alias("amt"),
+    )
+    dim = spark.range(5).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("seg"),
+    )
+    write_delta(spark, fact, fp, configuration=CDF)
+    write_delta(spark, dim, dp, configuration=CDF)
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{mp}` AS "
+        f"SELECT seg, COUNT(*) AS n, SUM(amt) AS t "
+        f"FROM delta.`{fp}` JOIN delta.`{dp}` ON fk = dk GROUP BY seg",
+    )
+    out = sql(
+        spark,
+        f"SELECT seg, SUM(amt) AS t FROM delta.`{dp}` "
+        f"JOIN delta.`{fp}` ON dk = fk WHERE seg = 's1' GROUP BY seg",
+    )
+    _reads_only(out, "/mv", "/fact")
+    f, d = read_delta(spark, fp), read_delta(spark, dp)
+    want = {
+        r.seg: r.t
+        for r in f.join(d, f.fk == d.dk).filter("seg = 's1'")
+        .groupBy("seg").agg(F.sum("amt").alias("t")).collect()
+    }
+    assert {r.seg: r.t for r in out.collect()} == want
