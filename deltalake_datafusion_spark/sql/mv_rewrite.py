@@ -79,12 +79,13 @@ MAX_STALENESS_KEY = "lakehouse.mv.rewrite.maxStalenessVersions"
 _REGISTRY: dict[str, dict] = {}
 
 _QUERY_RE = re.compile(
-    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>.+?)"
+    r"^\s*SELECT\s+(?P<dist>DISTINCT\s+)?(?P<sel>.+?)\s+FROM\s+"
+    r"(?P<src>.+?)"
     r"(?:\s+WHERE\s+(?P<pred>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<grp>[\w`,\s.()]+?))?"
     r"(?:\s+HAVING\s+(?P<hav>.+?))?"
-    r"(?:\s+ORDER\s+BY\s+(?P<ord>[\w`,\s]+?(?:\s+(?:ASC|DESC))?"
-    r"(?:\s*,\s*[\w`]+(?:\s+(?:ASC|DESC))?)*))?\s*;?\s*$",
+    r"(?:\s+ORDER\s+BY\s+(?P<ord>[\w`,\s]+?))?"
+    r"(?:\s+LIMIT\s+(?P<lim>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _JOIN_SRC_RE = re.compile(
@@ -363,18 +364,37 @@ def _apply_order(df: DataFrame, items, ord_clause: str | None):
     out_names = {alias for _, _, alias in items}
     cols = []
     for part in ord_clause.split(","):
-        toks = part.strip().split()
+        toks = [t.upper() for t in part.strip().split()]
         if not toks:
             return None
-        name = _ident(toks[0])
+        name = _ident(part.strip().split()[0])
         if name not in out_names:
             return None  # ORDER BY over non-output column → fall through
-        desc = len(toks) > 1 and toks[1].upper() == "DESC"
-        if len(toks) > 2 or (
-            len(toks) == 2 and toks[1].upper() not in ("ASC", "DESC")
-        ):
+        rest = toks[1:]
+        desc = False
+        if rest and rest[0] in ("ASC", "DESC"):
+            desc = rest[0] == "DESC"
+            rest = rest[1:]
+        nulls = None
+        if rest[:2] in (["NULLS", "FIRST"], ["NULLS", "LAST"]):
+            nulls = rest[1]
+            rest = rest[2:]
+        if rest:
             return None
-        cols.append(F.col(name).desc() if desc else F.col(name).asc())
+        col = F.col(name)
+        if desc:
+            exp = (
+                col.desc_nulls_first() if nulls == "FIRST"
+                else col.desc_nulls_last() if nulls == "LAST"
+                else col.desc()
+            )
+        else:
+            exp = (
+                col.asc_nulls_first() if nulls == "FIRST"
+                else col.asc_nulls_last() if nulls == "LAST"
+                else col.asc()
+            )
+        cols.append(exp)
     return df.orderBy(*cols)
 
 
@@ -403,6 +423,23 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
     )
 
     q_groups = [a for k, a, _ in items if k == "group"]
+    lim = m.group("lim")
+    if lim is not None and m.group("ord") is None:
+        # LIMIT without a total ORDER BY picks arbitrary rows on
+        # either plan — not provably the SAME rows; fall through
+        return None
+    distinct_only = m.group("dist") is not None
+    if distinct_only:
+        # SELECT DISTINCT g[, h] == GROUP BY with no aggregates:
+        # project the view's group columns (deduped when the query
+        # groups are a strict subset of the view's)
+        if (
+            m.group("grp") is not None
+            or m.group("hav") is not None
+            or any(k != "group" for k, _, _ in items)
+            or not q_groups
+        ):
+            return None
     grp_raw = m.group("grp")
     rollup_mode = None
     grouping_sets: list[list[str]] | None = None
@@ -447,6 +484,8 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
             grp_list = [_ident(x) for x in g.split(",")]
         if sorted(q_groups) != sorted(grp_list):
             return None  # non-trivial GROUP BY (exprs / hidden cols)
+    elif distinct_only:
+        grp_list = q_groups
     else:
         # global aggregate (VERDICT r11 #4): every item must be an
         # aggregate — re-aggregate the whole view into one row
@@ -511,7 +550,11 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
         }
         nonnull = _nonnull_base_cols(spark, defn)
         exprs = _derive(
-            items + hav_extra, defn, exact, view_fields, nonnull,
+            items + hav_extra, defn,
+            # distinct_only projects group columns (exact-style
+            # expressions) and dedupes below when needed
+            True if distinct_only else exact,
+            view_fields, nonnull,
             global_agg=not grp_list,
         )
         if exprs is None:
@@ -529,7 +572,11 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
     df = read_delta(spark, mv_path)
     if pred:
         df = df.filter(F.expr(pred))
-    if exact:
+    if distinct_only:
+        out = df.select(*exprs)
+        if not exact:  # strict subset of view groups → dedupe
+            out = out.distinct()
+    elif exact:
         out = df.select(*exprs)
     else:
         agg_exprs = [
@@ -555,6 +602,8 @@ def try_rewrite(spark, statement: str) -> DataFrame | None:
     out = _apply_order(out, items, m.group("ord"))
     if out is None:
         return None
+    if lim is not None:
+        out = out.limit(int(lim))
     return out
 
 

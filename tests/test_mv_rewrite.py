@@ -845,3 +845,59 @@ def test_join_rewrite_commutative_operand_order(spark, tmp_path):
         .groupBy("seg").agg(F.sum("amt").alias("t")).collect()
     }
     assert {r.seg: r.t for r in out.collect()} == want
+
+
+def test_distinct_nulls_order_and_limit(spark, tmp_path):
+    """SELECT DISTINCT group projection, ORDER BY ... NULLS LAST,
+    and ordered LIMIT all rewrite against the view; LIMIT without
+    ORDER BY falls through (row choice not provable)."""
+    b, m = str(tmp_path / "base"), str(tmp_path / "mv")
+    rows = [(i, None if i % 9 == 0 else i % 4, i % 3, i * 10)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, g long, h long, v long")
+    write_delta(spark, df, b, configuration=CDF)
+    sql(
+        spark,
+        f"CREATE MATERIALIZED VIEW delta.`{m}` AS "
+        f"SELECT g, h, COUNT(*) AS n, SUM(v) AS t "
+        f"FROM delta.`{b}` GROUP BY g, h",
+    )
+    # DISTINCT over a strict subset of view groups → deduped
+    out = sql(spark, f"SELECT DISTINCT g FROM delta.`{b}`")
+    _reads_only(out, "/mv", "/base")
+    want = {r.g for r in read_delta(spark, b).select("g").distinct()
+            .collect()}
+    assert {r.g for r in out.collect()} == want
+    # DISTINCT over the full group set + WHERE on a group column
+    out = sql(
+        spark, f"SELECT DISTINCT g, h FROM delta.`{b}` WHERE h < 2"
+    )
+    _reads_only(out, "/mv", "/base")
+    want = {
+        (r.g, r.h)
+        for r in read_delta(spark, b).filter("h < 2")
+        .select("g", "h").distinct().collect()
+    }
+    assert {(r.g, r.h) for r in out.collect()} == want
+    # NULLS LAST ordering honored by the rewritten plan
+    out = sql(
+        spark,
+        f"SELECT g, COUNT(*) AS n FROM delta.`{b}` GROUP BY g "
+        f"ORDER BY g DESC NULLS LAST",
+    )
+    _reads_only(out, "/mv", "/base")
+    got = [r.g for r in out.collect()]
+    assert got == [3, 2, 1, 0, None]
+    # ordered LIMIT rewrites; un-ordered LIMIT falls through
+    out = sql(
+        spark,
+        f"SELECT g, COUNT(*) AS n FROM delta.`{b}` GROUP BY g "
+        f"ORDER BY g NULLS FIRST LIMIT 2",
+    )
+    _reads_only(out, "/mv", "/base")
+    assert [r.g for r in out.collect()] == [None, 0]
+    out = sql(
+        spark,
+        f"SELECT g, COUNT(*) AS n FROM delta.`{b}` GROUP BY g LIMIT 2",
+    )
+    _reads_only(out, "/base", "/mv")
