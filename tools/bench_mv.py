@@ -127,7 +127,8 @@ def bench_join(spark, n: int) -> tuple[float, float]:
 
 
 def bench_join_minmax(
-    spark, n: int, interior: bool = False
+    spark, n: int, interior: bool = False,
+    one_group: bool = False, clustered: bool = False,
 ) -> tuple[float, float]:
     """The MIN/MAX star MV under fact deletes. ``interior=False``:
     a spread 0.1%-selective delete — groups whose retracted values
@@ -135,7 +136,13 @@ def bench_join_minmax(
     round-12 interior fast-path (pre-r12 this was the all-groups
     worst case ≈ full recompute). ``interior=True``: every deleted
     value is strictly inside its group's (min, max) — the fast-path
-    should skip the fact⋈dim recompute entirely and stay flat."""
+    should skip the fact⋈dim recompute entirely and stay flat.
+    ``one_group=True``: retract extrema of ONE group only — the
+    recompute is pruned to that group's ~27 dim keys, and with
+    ``clustered=True`` (fact written sorted by fk, so each file
+    covers a narrow key range) the pushed IN predicate's file
+    skipping makes the recompute scan proportional to the affected
+    keys instead of the table."""
     from pyspark.sql import functions as F
 
     from deltalake_datafusion_spark.delta.mv_join import (
@@ -158,6 +165,8 @@ def bench_join_minmax(
             F.col("id").alias("dk"),
             F.concat(F.lit("s"), (F.col("id") % 37)).alias("seg"),
         )
+        if clustered:
+            fact = fact.sort("fk")  # range layout → tight file stats
         write_delta(spark, fact, fp, configuration=CDF)
         write_delta(spark, dim, dp, configuration=CDF)
         kw = dict(fact_key="fk", dim_key="dk", group_cols=["seg"],
@@ -169,7 +178,13 @@ def bench_join_minmax(
             (F.col("id") % 5000).alias("amt"),
         )
         write_delta(spark, extra, fp, mode="append", configuration=CDF)
-        if interior:
+        if one_group:
+            # amt ≡ fk (mod 1000) in this synthetic fact, so amt=5
+            # rows all live at fk=5 and are exactly seg s5's minimum:
+            # ONE group loses an extremum; its recompute prunes to
+            # that group's ~27 dim keys
+            delete_delta(spark, fp, "amt = 5")
+        elif interior:
             # every group's extremes are ~0 / ~4999 at these sizes:
             # a mid-band delete retracts only interior values
             delete_delta(spark, fp, "amt >= 2000 AND amt < 2005")
@@ -213,6 +228,15 @@ def main() -> None:
         print(f"{'join_mm':>9} {n:>9} {ti:>8.2f} {tf:>8.2f}")
         ti, tf = bench_join_minmax(spark, n, interior=True)
         print(f"{'join_mm_int':>9} {n:>9} {ti:>8.2f} {tf:>8.2f}")
+        if n == sizes[-1]:
+            # the one-group cases tell a layout story; once, at the
+            # largest size, is enough
+            ti, tf = bench_join_minmax(spark, n, one_group=True)
+            print(f"{'join_mm_1g':>9} {n:>9} {ti:>8.2f} {tf:>8.2f}")
+            ti, tf = bench_join_minmax(
+                spark, n, one_group=True, clustered=True
+            )
+            print(f"{'join_mm_1g_clu':>9} {n:>9} {ti:>8.2f} {tf:>8.2f}")
 
 
 if __name__ == "__main__":
