@@ -884,3 +884,55 @@ def test_join_minmax_interior_delete_never_opens_fact(
         for r in read_delta(spark, mv).collect()
     }
     assert got == want
+
+
+def test_join_txns_only_commit_revalidates_after_concurrent_txn(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (join form): a txn-only watermark commit racing a
+    concurrent refresh's advance re-validates against the advanced
+    ledger instead of being rebased over it (which would regress the
+    fact watermark and double-apply the range on the next refresh)."""
+    import deltalake_datafusion_spark.delta.writer as writer_mod
+    from deltalake_datafusion_spark.delta.mv_join import (
+        _advance_txns_only,
+        _txn,
+    )
+
+    fp, dp, mv = (
+        str(tmp_path / "f"), str(tmp_path / "d"), str(tmp_path / "m")
+    )
+    _bases(spark, fp, dp)
+    build_join_mv(spark, fp, dp, mv, **KW)
+    f_applied, d_applied = join_mv_watermarks(
+        load_snapshot(mv, spark=spark)
+    )
+
+    real_commit = writer_mod.commit
+    state = {"raced": False}
+
+    def racing_commit(table_path, version, actions, operation, sp,
+                      **kw):
+        if not state["raced"] and any("txn" in a for a in actions):
+            state["raced"] = True
+            real_commit(
+                table_path, version,
+                [_txn(MV_FACT_TXN_APP, f_applied + 5)],
+                "SET TRANSACTION", sp,
+                configuration=kw.get("configuration"),
+            )
+        return real_commit(
+            table_path, version, actions, operation, sp, **kw
+        )
+
+    monkeypatch.setattr(writer_mod, "commit", racing_commit)
+    _advance_txns_only(
+        spark, mv,
+        [_txn(MV_FACT_TXN_APP, f_applied + 2),
+         _txn(MV_DIM_TXN_APP, d_applied)],
+        guards=[{"appId": MV_FACT_TXN_APP, "applied": f_applied,
+                 "target": f_applied + 2}],
+    )
+    assert state["raced"]
+    wm = join_mv_watermarks(load_snapshot(mv, spark=spark))
+    assert wm[0] == f_applied + 5  # not regressed by the loser
