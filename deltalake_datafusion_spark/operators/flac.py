@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     IntegerType,
@@ -56,27 +57,49 @@ class FlacRejected(ValueError):
     supported mono/16-bit/fixed-predictor subset."""
 
 
-def _crc8(data: bytes) -> int:
-    # x^8 + x^2 + x + 1 (0x07), init 0 — the FLAC frame-header CRC
-    crc = 0
-    for b in data:
-        crc ^= b
+def _make_crc8_table() -> list[int]:
+    table = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (
                 (crc << 1) & 0xFF
             )
+        table.append(crc)
+    return table
+
+
+def _make_crc16_table() -> list[int]:
+    table = []
+    for b in range(256):
+        crc = b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (
+                (crc << 1) & 0xFFFF
+            )
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc8_table()
+_CRC16_TABLE = _make_crc16_table()
+
+
+def _crc8(data: bytes) -> int:
+    # x^8 + x^2 + x + 1 (0x07), init 0 — the FLAC frame-header CRC
+    crc = 0
+    table = _CRC8_TABLE
+    for b in data:
+        crc = table[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     # x^16 + x^15 + x^2 + 1 (0x8005), init 0 — the FLAC frame CRC
     crc = 0
+    table = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (
-                (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFF00) ^ table[(crc >> 8) ^ b]
     return crc
 
 
@@ -124,47 +147,115 @@ class _Bits:
 
 
 class _BitR:
-    """MSB-first bit reader."""
+    """MSB-first bit reader.
+
+    Word-based: ``read`` pulls the covering byte span in one slice
+    instead of looping per bit, ``read_unary`` skips whole zero bytes.
+    Reading past the end raises IndexError exactly like the naive
+    per-bit indexing did (the decoder's truncation contract)."""
 
     def __init__(self, buf: bytes, pos: int = 0):
         self.buf = buf
         self.pos = pos  # bit position
 
     def read(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            byte = self.buf[self.pos >> 3]
-            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return v
+        if n == 0:
+            return 0
+        pos = self.pos
+        end = pos + n
+        buf = self.buf
+        if end > len(buf) << 3:
+            raise IndexError("bit read past end of buffer")
+        b0 = pos >> 3
+        b1 = (end + 7) >> 3
+        v = int.from_bytes(buf[b0:b1], "big")
+        v >>= (b1 << 3) - end
+        self.pos = end
+        return v & ((1 << n) - 1)
 
     def read_unary(self) -> int:
+        buf = self.buf
+        nbytes = len(buf)
+        pos = self.pos
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            bidx = pos >> 3
+            if bidx >= nbytes:
+                raise IndexError("bit read past end of buffer")
+            rem = 8 - (pos & 7)
+            chunk = buf[bidx] & ((1 << rem) - 1)
+            if chunk == 0:
+                q += rem
+                pos += rem
+            else:
+                lead = rem - chunk.bit_length()
+                q += lead
+                self.pos = pos + lead + 1
+                return q
 
     def align(self):
         self.pos = (self.pos + 7) & ~7
 
 
 def _rice_write(bits: _Bits, residuals: list[int], param: int):
+    """Rice-code ``residuals`` into ``bits``. The accumulator is kept
+    in locals and flushed inline — this is the encoder's innermost
+    loop (one unary + one binary field per residual) and the
+    per-field method calls were the measured cost. Bit-identical to
+    put_unary/put."""
+    acc = bits.acc
+    n = bits.n
+    out = bits.out
+    pmask = (1 << param) - 1
     for r in residuals:
         u = (r << 1) if r >= 0 else (((-r) << 1) - 1)
-        bits.put_unary(u >> param)
+        q = u >> param
+        while q >= 32:  # cap unary growth exactly like put_unary
+            acc <<= 32
+            n += 32
+            while n >= 8:
+                n -= 8
+                out.append((acc >> n) & 0xFF)
+            acc &= (1 << n) - 1
+            q -= 32
+        # q zero bits + terminating 1, then the param low bits
         if param:
-            bits.put(u & ((1 << param) - 1), param)
+            acc = (acc << (q + 1 + param)) | (1 << param) | (u & pmask)
+            n += q + 1 + param
+        else:
+            acc = (acc << (q + 1)) | 1
+            n += q + 1
+        while n >= 8:
+            n -= 8
+            out.append((acc >> n) & 0xFF)
+        acc &= (1 << n) - 1
+    bits.acc = acc
+    bits.n = n
 
 
 def _best_rice_param(residuals: list[int]) -> int:
+    """argmin over p of the coded length (ties → smallest p), same
+    selection as the incremental-break scan it replaces; the zigzag
+    map and the 15 shifted sums run vectorized."""
+    if not residuals:
+        return 0
+    try:
+        a = np.asarray(residuals, dtype=np.int64)
+    except OverflowError:  # pathological residuals — exact slow path
+        best_p, best_len = 0, None
+        for p in range(15):
+            ln = sum(
+                (((r << 1) if r >= 0 else (((-r) << 1) - 1)) >> p) + 1 + p
+                for r in residuals
+            )
+            if best_len is None or ln < best_len:
+                best_p, best_len = p, ln
+        return best_p
+    u = (a << 1) ^ (a >> 63)  # zigzag (arithmetic shift sign-splat)
+    n = len(u)
     best_p, best_len = 0, None
     for p in range(15):
-        ln = 0
-        for r in residuals:
-            u = (r << 1) if r >= 0 else (((-r) << 1) - 1)
-            ln += (u >> p) + 1 + p
-            if best_len is not None and ln > best_len:
-                break
+        ln = int((u >> p).sum()) + n * (1 + p)
         if best_len is None or ln < best_len:
             best_p, best_len = p, ln
     return best_p
@@ -380,14 +471,17 @@ def _encode_subframe(
         if q is not None:
             coefs, shift = q
             order = len(coefs)
-            res = [
-                blk[i]
-                - (
-                    sum(c * blk[i - 1 - j] for j, c in enumerate(coefs))
-                    >> shift
-                )
-                for i in range(order, bs)
-            ]
+            # Encoder prediction uses the true samples (not the
+            # reconstruction), so it vectorizes: sliding-window dot
+            # with the reversed coefficients, arithmetic >> in int64
+            # (exact — |dot| < 2^33 for 17-bit samples × 12-bit coefs
+            # × order 32).
+            b_arr = np.asarray(blk, dtype=np.int64)
+            win = np.lib.stride_tricks.sliding_window_view(
+                b_arr, order
+            )[: bs - order]
+            pred = (win @ np.asarray(coefs[::-1], dtype=np.int64)) >> shift
+            res = (b_arr[order:] - pred).tolist()
             bits.put(0, 1)
             bits.put(0b100000 | (order - 1), 6)  # LPC
             bits.put(0, 1)
@@ -399,19 +493,23 @@ def _encode_subframe(
                 bits.put(c & 0xFFF, 12)
             _write_residuals(bits, res, bs, order, partition_order)
             return
-    # candidate FIXED orders: pick the one with smallest Σ|residual|
+    # candidate FIXED orders: pick the one with smallest Σ|residual|.
+    # The fixed predictors are the binomial difference operators, so
+    # the order-k residual IS the k-th finite difference — np.diff
+    # (exact in int64 for 17-bit samples).
     best = None
-    for order, coefs in FIXED_COEFS.items():
+    b_arr = np.asarray(blk, dtype=np.int64)
+    cur = b_arr
+    for order in FIXED_COEFS:
         if bs <= order:
             continue
-        res = [
-            blk[i] - sum(c * blk[i - 1 - j] for j, c in enumerate(coefs))
-            for i in range(order, bs)
-        ]
-        cost = sum(abs(r) for r in res)
+        res_arr = cur if order == 0 else np.diff(cur)
+        cur = res_arr
+        cost = int(np.abs(res_arr).sum())
         if best is None or cost < best[2]:
-            best = (order, res, cost)
-    order, res, cost = best
+            best = (order, res_arr, cost)
+    order, res_arr, cost = best
+    res = res_arr.tolist()
     # escape to VERBATIM when residuals blow past 16-ish bits (rare)
     if cost > (1 << 20):
         bits.put(0, 1)
@@ -625,13 +723,42 @@ def _decode_subframe(br: _BitR, bs: int, bps: int, strict: bool):
         order = stype & 0x7
         warm = [_sext(br.read(bps), bps) for _ in range(order)]
         res = _read_residuals(br, bs, order)
-        coefs = FIXED_COEFS[order]
+        # Unrolled per order (the fixed predictors are the binomial
+        # difference operators) — same integer recurrences, no
+        # per-sample generator/sum overhead.
         blk = list(warm)
-        for r in res:
-            pred = sum(
-                c * blk[len(blk) - 1 - j] for j, c in enumerate(coefs)
-            )
-            blk.append(pred + r)
+        append = blk.append
+        if order == 0:
+            blk = res
+        elif order == 1:
+            a = warm[0]
+            for r in res:
+                a += r
+                append(a)
+        elif order == 2:
+            a, b = warm[1], warm[0]
+            for r in res:
+                v = 2 * a - b + r
+                b = a
+                a = v
+                append(v)
+        elif order == 3:
+            a, b, c = warm[2], warm[1], warm[0]
+            for r in res:
+                v = 3 * a - 3 * b + c + r
+                c = b
+                b = a
+                a = v
+                append(v)
+        else:  # order 4
+            a, b, c, d = warm[3], warm[2], warm[1], warm[0]
+            for r in res:
+                v = 4 * a - 6 * b + 4 * c - d + r
+                d = c
+                c = b
+                b = a
+                a = v
+                append(v)
         return blk
     if 0b100000 <= stype:  # LPC, order 1..32
         order = (stype & 0x1F) + 1
@@ -647,21 +774,30 @@ def _decode_subframe(br: _BitR, bs: int, bps: int, strict: bool):
         coefs = [_sext(br.read(prec), prec) for _ in range(order)]
         res = _read_residuals(br, bs, order)
         blk = list(warm)
+        append = blk.append
+        # arithmetic right shift of the signed accumulator — Python's
+        # >> on negative ints IS arithmetic/floor, the spec semantics.
+        # The prediction window walks blk from the newest sample back
+        # with a local descending index (no per-term enumerate/len).
         for r in res:
-            # arithmetic right shift of the signed accumulator —
-            # Python's >> on negative ints IS arithmetic/floor, which
-            # is the spec's semantics
-            pred = sum(
-                c * blk[len(blk) - 1 - j] for j, c in enumerate(coefs)
-            ) >> shift
-            blk.append(pred + r)
+            pred = 0
+            i = len(blk)
+            for c in coefs:
+                i -= 1
+                pred += c * blk[i]
+            append((pred >> shift) + r)
         return blk
     return reject("reserved subframe type")
 
 
 def _read_residuals(br: _BitR, bs: int, order: int) -> list[int]:
     """Partitioned Rice residual section shared by FIXED and LPC
-    subframes (method 0: 4-bit parameters, 0xF escape to raw bits)."""
+    subframes (method 0: 4-bit parameters, 0xF escape to raw bits).
+
+    The unary/param reads are inlined over a local bit position —
+    this is the decoder's innermost loop (two reads per residual),
+    and attribute lookups + method-call overhead per residual were
+    the measured cost. Bit-exact with the method-call form."""
     method = br.read(2)
     if method != 0:
         raise FlacRejected("rice method-1 (5-bit) unsupported")
@@ -669,19 +805,65 @@ def _read_residuals(br: _BitR, bs: int, order: int) -> list[int]:
     nparts = 1 << p
     if bs % nparts or (bs >> p) <= order and nparts > 1:
         raise FlacRejected("invalid rice partition geometry")
+    buf = br.buf
+    nbytes = len(buf)
+    total_bits = nbytes << 3
+    pos = br.pos
     res: list[int] = []
+    append = res.append
     for part in range(nparts):
         cnt = (bs >> p) - (order if part == 0 else 0)
-        param = br.read(4)
+        end = pos + 4
+        if end > total_bits:
+            raise IndexError("bit read past end of buffer")
+        b0 = pos >> 3
+        b1 = (end + 7) >> 3
+        param = (
+            int.from_bytes(buf[b0:b1], "big") >> ((b1 << 3) - end)
+        ) & 0xF
+        pos = end
         if param == 0xF:  # escape: raw bits
+            br.pos = pos
             raw = br.read(5)
             for _ in range(cnt):
-                res.append(_sext(br.read(raw), raw) if raw else 0)
+                append(_sext(br.read(raw), raw) if raw else 0)
+            pos = br.pos
             continue
+        pmask = (1 << param) - 1
         for _ in range(cnt):
-            q = br.read_unary()
-            u = (q << param) | (br.read(param) if param else 0)
-            res.append((u >> 1) if (u & 1) == 0 else -((u + 1) >> 1))
+            q = 0
+            while True:  # unary: count leading zero bits
+                bidx = pos >> 3
+                if bidx >= nbytes:
+                    raise IndexError("bit read past end of buffer")
+                rem = 8 - (pos & 7)
+                chunk = buf[bidx] & ((1 << rem) - 1)
+                if chunk == 0:
+                    q += rem
+                    pos += rem
+                else:
+                    lead = rem - chunk.bit_length()
+                    q += lead
+                    pos += lead + 1
+                    break
+            if param:
+                end = pos + param
+                if end > total_bits:
+                    raise IndexError("bit read past end of buffer")
+                b0 = pos >> 3
+                b1 = (end + 7) >> 3
+                u = (q << param) | (
+                    (
+                        int.from_bytes(buf[b0:b1], "big")
+                        >> ((b1 << 3) - end)
+                    )
+                    & pmask
+                )
+                pos = end
+            else:
+                u = q
+            append((u >> 1) if (u & 1) == 0 else -((u + 1) >> 1))
+    br.pos = pos
     return res
 
 
@@ -723,12 +905,14 @@ def flac_decode_features(media: DataFrame) -> DataFrame:
                     s = None
                 if not s:
                     continue
+                # int64-exact: |sample| < 2^17, so Σs² < n·2^34
+                a = np.asarray(s, dtype=np.int64)
                 cols["media_id"].append(int(mid))
                 cols["n_samples"].append(len(s))
-                cols["sum_s"].append(sum(s))
-                cols["sumsq"].append(sum(x * x for x in s))
-                cols["s_min"].append(min(s))
-                cols["s_max"].append(max(s))
+                cols["sum_s"].append(int(a.sum()))
+                cols["sumsq"].append(int((a * a).sum()))
+                cols["s_min"].append(int(a.min()))
+                cols["s_max"].append(int(a.max()))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(cols["media_id"], dtype="int64"),

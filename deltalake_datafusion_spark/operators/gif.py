@@ -126,15 +126,15 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int,
     nbits = len(data) * 8
 
     def read() -> int | None:
+        # width ≤ 12, so a code spans ≤ 3 bytes: one little-endian
+        # window read instead of a per-bit loop (bit-exact, LSB-first)
         nonlocal pos
         if pos + width > nbits:
             return None
-        v = 0
-        for i in range(width):
-            byte = data[(pos + i) >> 3]
-            v |= ((byte >> ((pos + i) & 7)) & 1) << i
+        b0 = pos >> 3
+        v = int.from_bytes(data[b0:b0 + 3], "little") >> (pos & 7)
         pos += width
-        return v
+        return v & ((1 << width) - 1)
 
     table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
     out: list[int] = []

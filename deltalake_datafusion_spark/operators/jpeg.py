@@ -224,7 +224,7 @@ class _BitReader:
 
 def _build_huff(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol map per T.81 C.2 canonical order."""
-    out = {}
+    out = _HuffTable()
     code = 0
     k = 0
     for ln in range(1, 17):
@@ -233,10 +233,34 @@ def _build_huff(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
             code += 1
             k += 1
         code <<= 1
+    # 8-bit prefix LUT: codes of length ≤ 8 (the common case) decode
+    # with a single peek instead of a per-bit tree walk
+    lut: list[tuple[int, int] | None] = [None] * 256
+    for (ln, c), sym in out.items():
+        if ln <= 8:
+            base = c << (8 - ln)
+            for suffix in range(1 << (8 - ln)):
+                lut[base | suffix] = (sym, ln)
+    out.lut8 = lut
     return out
 
 
+class _HuffTable(dict):
+    """(length, code) → symbol map plus an 8-bit-prefix fast LUT."""
+
+    __slots__ = ("lut8",)
+
+
 def _huff_decode(br: _BitReader, table: dict) -> int:
+    lut = table.lut8
+    if br.nbits < 8:
+        br._fill()  # pads with 1-bits past segment end, same as read(1)
+    hit = lut[(br.acc >> (br.nbits - 8)) & 0xFF]
+    if hit is not None:
+        sym, ln = hit
+        br.nbits -= ln
+        br.acc &= (1 << br.nbits) - 1
+        return sym
     code, ln = 0, 0
     while ln < 16:
         code = (code << 1) | br.read(1)

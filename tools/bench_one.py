@@ -1,0 +1,102 @@
+"""Run a subset of registered queries by name with per-query timing.
+
+Usage:
+    python tools/bench_one.py [--profile] [--explain DIR] [--runs N] name [name ...]
+
+Same methodology as bench.py (noop sink), but scoped to the named
+queries so a change can be measured in isolation without paying for
+the full 240-query sweep. --profile wraps the build+execute in
+cProfile and prints the top driver-side cumulative entries (JVM time
+shows up as py4j socket reads). --explain DIR additionally writes
+`.explain("formatted")` output to DIR/<name>.txt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="+")
+    ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--explain", default=None)
+    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    from deltalake_datafusion_spark.queries import all_query_specs
+    from deltalake_datafusion_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_one")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = {s.name: s for s in all_query_specs()}
+    missing = [n for n in args.names if n not in specs]
+    if missing:
+        raise SystemExit(f"unknown queries: {missing}")
+
+    # Same warm-up as bench.py so first-query numbers are comparable.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{args.sf_dir}/lineitem.parquet")
+    li.count()
+    warm = (
+        li.limit(10000)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+        .withColumn("r", F.row_number().over(Window.orderBy("l_returnflag")))
+        .join(F.broadcast(li.limit(10).select("l_returnflag")), "l_returnflag")
+    )
+    warm.write.format("noop").mode("overwrite").save()
+
+    for name in args.names:
+        spec = specs[name]
+        for run in range(args.runs):
+            spark.sparkContext.setJobDescription(name)
+
+            def one() -> float:
+                t0 = time.perf_counter()
+                df = spec.build(spark, args.sf_dir)
+                if args.explain and run == 0:
+                    os.makedirs(args.explain, exist_ok=True)
+                    with open(
+                        os.path.join(args.explain, f"{name}.txt"), "w"
+                    ) as fh:
+                        fh.write(df._jdf.queryExecution().explainString(
+                            spark._jvm.org.apache.spark.sql.execution
+                            .ExplainMode.fromString("formatted")))
+                df.write.format("noop").mode("overwrite").save()
+                return time.perf_counter() - t0
+
+            if args.profile and run == 0:
+                import cProfile
+                import pstats
+
+                pr = cProfile.Profile()
+                pr.enable()
+                dt = one()
+                pr.disable()
+                st = pstats.Stats(pr)
+                st.sort_stats("cumulative")
+                print(f"## {name}: {dt:.3f}s  (profiled)")
+                st.print_stats(30)
+            else:
+                dt = one()
+                print(f"## {name} run{run}: {dt:.3f}s")
+            spark.sparkContext.setJobDescription(None)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
