@@ -78,6 +78,117 @@ def validate_constraints(
             )
 
 
+def notnull_columns_to_verify(table_schema, df: DataFrame) -> list[str]:
+    """Table-non-nullable columns whose incoming batch cannot be
+    PROVEN null-free from the DataFrame's own schema — the columns
+    the writer must verify. A df column Spark types non-nullable
+    cannot produce a null, so it needs no check at all; the rest are
+    verified from the written files' footer ``nullCount`` stats
+    (:func:`verify_notnull_from_stats`) instead of a second
+    aggregate pass over the batch plan."""
+    df_nullable = {f.name: f.nullable for f in df.schema.fields}
+    return [
+        f.name
+        for f in table_schema.fields
+        if not f.nullable and df_nullable.get(f.name, False)
+    ]
+
+
+def verify_notnull_from_stats(
+    spark,
+    table_path: str,
+    notnull_cols: list[str],
+    moved: list,
+    stats_by_rel: dict[str, str | None],
+    schema,
+    partition_cols: list[str],
+    fs,
+) -> None:
+    """Enforce NOT NULL column invariants from the freshly written
+    files' footer stats — zero extra Spark jobs in the common case
+    (the ``nullCount`` entries ride the Delta stats already being
+    collected). ``moved`` is the writer's
+    [(rel, partitionValues, size, mtime)] list; ``notnull_cols`` are
+    LOGICAL names. Partition columns are checked against
+    partitionValues (a file holds exactly one value, so the violating
+    row count is its ``numRecords``). Files whose stats cannot prove a
+    data column null-free fall back to ONE aggregate over exactly
+    those files. On violation the uncommitted files are deleted and
+    :class:`ConstraintViolationError` is raised with the same message
+    as the batch-aggregate check."""
+    if not notnull_cols or not moved:
+        return
+    import json as _json
+    import os as _os
+
+    phys = {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in schema.fields
+    }
+    part_set = set(partition_cols)
+    bad: dict[str, int] = {}
+    unproven: list[str] = []  # rels needing the fallback aggregate
+    unproven_cols: set[str] = set()
+    for rel, pv, _size, _mt in moved:
+        st = stats_by_rel.get(rel)
+        parsed = None
+        if st:
+            try:
+                parsed = _json.loads(st)
+            except ValueError:
+                parsed = None
+        for c in notnull_cols:
+            if c in part_set:
+                # partition value is per-file: null value → every row
+                # in the file violates
+                key = phys.get(c, c) if phys.get(c, c) in pv else c
+                if key in pv and pv[key] is None:
+                    n = (parsed or {}).get("numRecords")
+                    bad[c] = bad.get(c, 0) + int(n if n is not None else 1)
+                continue
+            nc = ((parsed or {}).get("nullCount") or {}).get(phys.get(c, c))
+            if nc is None:
+                unproven.append(rel)
+                unproven_cols.add(c)
+            elif nc:
+                bad[c] = bad.get(c, 0) + int(nc)
+    if unproven and not bad:
+        paths = sorted(
+            {_os.path.join(table_path, r) for r in unproven}
+        )
+        back = spark.read.parquet(*paths)
+        checked = [
+            c for c in sorted(unproven_cols) if phys.get(c, c) in back.columns
+        ]
+        if checked:
+            row = back.agg(
+                *[
+                    F.sum(
+                        F.when(
+                            F.col(f"`{phys.get(c, c)}`").isNull(), F.lit(1)
+                        ).otherwise(F.lit(0))
+                    ).alias(c)
+                    for c in checked
+                ]
+            ).collect()[0]
+            for c in checked:
+                if row[c]:
+                    bad[c] = bad.get(c, 0) + int(row[c])
+    if bad:
+        for rel, _pv, _size, _mt in moved:  # nothing committed yet
+            try:
+                fs.delete(_os.path.join(table_path, rel))
+            except OSError:
+                pass
+        c = sorted(bad)[0]
+        raise ConstraintViolationError(
+            f"NOT NULL column {c!r} has {bad[c]} null row(s) in the "
+            "written batch"
+        )
+
+
 def check_append_only(configuration: dict[str, str], operation: str) -> None:
     if (configuration or {}).get(APPEND_ONLY_KEY, "").lower() == "true":
         raise AppendOnlyError(

@@ -876,9 +876,18 @@ def _update_attempt(
                 ).cast(_gf.dataType),
             )
     updated = updated.drop("__row_index", "__file_path")
+    # CHECK constraints validate up front; NOT NULL invariants verify
+    # from the staged files' footer nullCount stats (no second pass
+    # over the update plan)
     validate_constraints(
-        updated, table_constraints(snap.metadata.configuration), snap.schema
+        updated, table_constraints(snap.metadata.configuration)
     )
+    from deltalake_datafusion_spark.delta.constraints import (
+        notnull_columns_to_verify as _nncv,
+        verify_notnull_from_stats as _vnns,
+    )
+
+    _nn_verify = _nncv(snap.schema, updated)
 
     from deltalake_datafusion_spark.delta.writer import _stage_and_move
 
@@ -952,6 +961,13 @@ def _update_attempt(
             logical, snap.metadata.configuration
         ),
     )
+    if _nn_verify:
+        from deltalake_datafusion_spark.delta.fs import fs_for as _ffv
+
+        _vnns(
+            spark, snap.table_path, _nn_verify, moved, stats_by_rel,
+            logical, snap.partition_columns, _ffv(snap.table_path, spark),
+        )
     for rel, pv_phys, size, mtime_ms in moved:
         stats = stats_by_rel[rel]
         pv = {p2l.get(k, k): v for k, v in pv_phys.items()}
@@ -1856,13 +1872,19 @@ def _merge_attempt(
         for p in new_parts[1:]:
             out = out.unionByName(p)
         from deltalake_datafusion_spark.delta.constraints import (
+            notnull_columns_to_verify as _m_nncv,
             table_constraints,
             validate_constraints,
+            verify_notnull_from_stats as _m_vnns,
         )
 
+        # CHECK constraints validate up front; NOT NULL invariants
+        # verify from the staged files' footer nullCount stats (no
+        # second execution of the merge plan)
         validate_constraints(
-            out, table_constraints(snap.metadata.configuration), logical
+            out, table_constraints(snap.metadata.configuration)
         )
+        _m_nn_verify = _m_nncv(logical, out)
         from deltalake_datafusion_spark.delta.writer import (
             _rename_to_physical,
             _stage_and_move,
@@ -1907,6 +1929,11 @@ def _merge_attempt(
         )
         from deltalake_datafusion_spark.delta.fs import fs_for as _ff
 
+        if _m_nn_verify:
+            _m_vnns(
+                spark, snap.table_path, _m_nn_verify, moved, stats_by_rel,
+                logical, snap.partition_columns, _ff(snap.table_path, spark),
+            )
         _mfs = None
         for rel, pv_phys, size, mtime_ms in moved:
             stats = stats_by_rel[rel]

@@ -1565,6 +1565,7 @@ def write_delta(
     # overwrite (it removes files).
     from deltalake_datafusion_spark.delta.constraints import (
         check_append_only,
+        notnull_columns_to_verify,
         table_constraints,
         validate_constraints,
     )
@@ -1574,7 +1575,12 @@ def write_delta(
     )
     if mode == "overwrite" and existing is not None:
         check_append_only(active_conf, "overwrite")
-    validate_constraints(df, table_constraints(active_conf), write_schema)
+    # CHECK constraints validate the batch up front (one aggregate,
+    # only when the table declares any); NOT NULL column invariants
+    # are enforced from the written files' footer nullCount stats
+    # after the stage — zero extra passes over the batch plan.
+    validate_constraints(df, table_constraints(active_conf))
+    notnull_verify = notnull_columns_to_verify(write_schema, df)
 
     if replace_where is not None:
         # delta-spark replaceWhere constraint: every incoming row must
@@ -1639,6 +1645,15 @@ def write_delta(
         skip_columns=set(phys_partition_by),
         stats_columns=data_skipping_stats_columns(write_schema, active_conf),
     )
+    if notnull_verify:
+        from deltalake_datafusion_spark.delta.constraints import (
+            verify_notnull_from_stats,
+        )
+
+        verify_notnull_from_stats(
+            spark, table_path, notnull_verify, moved, stats_by_rel,
+            write_schema, partition_by, fs_for(table_path, spark),
+        )
     for rel, pv_phys, size, mtime_ms in moved:
         stats = stats_by_rel[rel]
         pv = {phys_to_logical_part.get(k, k): v for k, v in pv_phys.items()}

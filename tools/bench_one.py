@@ -62,7 +62,8 @@ def main() -> None:
     for name in args.names:
         spec = specs[name]
         for run in range(args.runs):
-            spark.sparkContext.setJobDescription(name)
+            group = f"{name}#{run}"
+            spark.sparkContext.setJobGroup(group, name)
 
             def one() -> float:
                 t0 = time.perf_counter()
@@ -92,7 +93,19 @@ def main() -> None:
                 st.print_stats(30)
             else:
                 dt = one()
-                print(f"## {name} run{run}: {dt:.3f}s")
+                tracker = spark.sparkContext.statusTracker()
+                jobs = tracker.getJobIdsForGroup(group)
+                n_tasks = 0
+                for jid in jobs:
+                    ji = tracker.getJobInfo(jid)
+                    for sid in ji.stageIds if ji else []:
+                        si = tracker.getStageInfo(sid)
+                        if si:
+                            n_tasks += si.numTasks
+                print(
+                    f"## {name} run{run}: {dt:.3f}s  "
+                    f"jobs={len(jobs)} tasks={n_tasks}"
+                )
             spark.sparkContext.setJobDescription(None)
 
     spark.stop()
