@@ -953,7 +953,16 @@ def ahash_image_hashes(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
-                    "ahash": [ahash64(p) for p in pdf["payload"]],
+                    # nullable Int64, NOT a plain list: with any None
+                    # present pandas would coerce int+None to float64,
+                    # silently rounding hashes past 2^53 (low ~11 bits
+                    # lost) — and only in batches that contain a junk
+                    # payload, making the corruption partitioning-
+                    # dependent
+                    "ahash": pd.array(
+                        [ahash64(p) for p in pdf["payload"]],
+                        dtype="Int64",
+                    ),
                 }
             )
 
@@ -1901,12 +1910,18 @@ def ahash_image_hashes_multi(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
-                    "ahash": [
-                        ahash64_multi(
-                            bytes(p) if p is not None else None
-                        )
-                        for p in pdf["payload"]
-                    ],
+                    # nullable Int64 (see ahash_image_hashes): a plain
+                    # int+None list coerces to float64 and rounds the
+                    # 64-bit hash values
+                    "ahash": pd.array(
+                        [
+                            ahash64_multi(
+                                bytes(p) if p is not None else None
+                            )
+                            for p in pdf["payload"]
+                        ],
+                        dtype="Int64",
+                    ),
                 }
             )
 

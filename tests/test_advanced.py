@@ -416,6 +416,42 @@ def test_ahash_banding_complete_vs_bruteforce(spark):
     assert (1, 2, 1) in got and (1, 4, 3) in got
 
 
+def test_ahash_columns_exact_with_null_in_batch(spark):
+    """Regression: a junk payload (None hash) in the same Arrow batch
+    as real images must NOT round the int64 hashes. A plain int+None
+    list coerces to float64 in pandas, silently losing the low ~11
+    bits of 2^60-scale hashes — and only in batches that happen to
+    contain a junk row, so the corruption was partitioning-dependent
+    (pairs diverged between 1-partition and repartitioned runs)."""
+    from deltalake_datafusion_spark.operators.multimodal import (
+        ahash64,
+        ahash64_multi,
+        ahash_image_hashes,
+        ahash_image_hashes_multi,
+        build_png_gray8,
+    )
+
+    # quadrant image whose hash (0xf0f0f0f00f0f0f0f) exceeds 2^53 in
+    # magnitude AND has low bits set — float64 would round it
+    quad = [153, 14, 75, 136]
+    img = [
+        [quad[(y // 8) * 2 + (x // 8)] for x in range(16)]
+        for y in range(16)
+    ]
+    payload = build_png_gray8(img)
+    exact = ahash64(payload)
+    assert exact == ahash64_multi(payload)
+    assert abs(exact) > (1 << 53) and exact % 16 != 0  # float-fragile
+
+    rows = [(1, bytearray(payload)), (2, bytearray(b"junk"))]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).coalesce(1)  # one batch: None and int share the column
+    for fn in (ahash_image_hashes, ahash_image_hashes_multi):
+        got = {r.media_id: r.ahash for r in fn(media).collect()}
+        assert got == {1: exact, 2: None}
+
+
 def test_pcm_window_energy_exact_and_skip(spark):
     from deltalake_datafusion_spark.operators.multimodal import (
         build_wav_pcm16,
