@@ -785,6 +785,12 @@ def semantic_dedup(
         )
     else:
         raise ValueError(f"unknown semantic_dedup strategy {strategy!r}")
+    # The assignment frame feeds FOUR consumers (cluster-size guard,
+    # both sides of the within-cluster self-join, the final is_dup
+    # join). Without a lineage cut each consumer re-runs the
+    # assignment UDF and its whole upstream (22 ArrowEvalPython nodes
+    # in the executed plan); one eager localCheckpoint runs it once.
+    assigned = assigned.localCheckpoint(eager=True)
     if max_cluster is not None:
         worst = (
             assigned.groupBy("cluster").count().agg(F.max("count")).first()[0]

@@ -239,10 +239,16 @@ def sim_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    queries = _recall_queries(corpus)
+    # Both frames feed every method: the query set four times and the
+    # brute-force truth five (once as the "brute" row, once per
+    # hit-join). Eager localCheckpoints run the O(n·q) brute-force
+    # stage once instead of five times.
+    queries = _recall_queries(corpus).localCheckpoint(eager=True)
     kw = dict(id_col="vec_id", vec_col="v")
-    truth = brute_force_topk(corpus, queries, k=_RECALL_K, **kw).select(
-        "query_id", "neighbor_id"
+    truth = (
+        brute_force_topk(corpus, queries, k=_RECALL_K, **kw)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     anchors = corpus.filter(F.col("vec_id") < _RECALL_NLISTS).select(
         F.col("vec_id").cast("int").alias("list_id"),
@@ -520,6 +526,11 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 5 == 2)
         .select("doc_id")
+        # the documents table is one parquet file -> one scan
+        # partition; spread the Python encode/decode stage across the
+        # cluster (guide: repartition immediately after an
+        # unsplittable read)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(it):
@@ -953,6 +964,11 @@ def multimodal_png_color(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 3 == 1)
         .select("doc_id")
+        # the documents table is one parquet file -> one scan
+        # partition; spread the Python encode/decode stage across the
+        # cluster (guide: repartition immediately after an
+        # unsplittable read)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(it):
@@ -1079,6 +1095,11 @@ def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 5 == 3)
         .select("doc_id")
+        # the documents table is one parquet file -> one scan
+        # partition; spread the Python encode/decode stage across the
+        # cluster (guide: repartition immediately after an
+        # unsplittable read)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(it):
@@ -1222,6 +1243,11 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 7 == 4)
         .select("doc_id")
+        # the documents table is one parquet file -> one scan
+        # partition; spread the Python encode/decode stage across the
+        # cluster (guide: repartition immediately after an
+        # unsplittable read)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(it):
@@ -1329,6 +1355,11 @@ def multimodal_cross_format_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 3 == 2)
         .select("doc_id")
+        # the documents table is one parquet file -> one scan
+        # partition; spread the Python encode/decode stage across the
+        # cluster (guide: repartition immediately after an
+        # unsplittable read)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(it):
@@ -1440,6 +1471,11 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 5 == 1)
         .select("doc_id")
+        # the documents table is one parquet file -> one scan
+        # partition; spread the Python encode/decode stage across the
+        # cluster (guide: repartition immediately after an
+        # unsplittable read)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(it):
