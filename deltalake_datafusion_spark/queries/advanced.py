@@ -2150,17 +2150,29 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.writeStream.format("memory")
         .queryName("q_streaming_late_drop")
         .outputMode("append")
-        .trigger(processingTime="150 milliseconds")
+        .trigger(processingTime="25 milliseconds")
         .start()
     )
     import time as _time
 
+    # Drain detection from the driver-side progress feed (sink
+    # numOutputRows per batch, append mode ⇒ cumulative sum) — the
+    # old spark.table().count() poll ran ~3 Spark jobs per probe
+    # while the stream was still working through its micro-batches.
     deadline = _time.time() + 240
-    while (
-        _time.time() < deadline
-        and spark.table("q_streaming_late_drop").count() < 6
-    ):
-        _time.sleep(0.2)
+    probe = 0
+    while _time.time() < deadline:
+        emitted = sum(
+            max(0, int((p.get("sink") or {}).get("numOutputRows") or 0))
+            for p in (q.recentProgress or [])
+        )
+        if emitted >= 6:
+            break
+        probe += 1
+        if probe % 40 == 0:  # safety net if the sink reports -1
+            if spark.table("q_streaming_late_drop").count() >= 6:
+                break
+        _time.sleep(0.05)
     q.stop()
     q.awaitTermination(60)
     return spark.table("q_streaming_late_drop").orderBy("day")
