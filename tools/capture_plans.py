@@ -1,0 +1,38 @@
+"""Capture .explain("formatted") output for named registered queries.
+
+Usage: PYTHONPATH=/root/repo python tools/capture_plans.py \
+           <out_dir> <suffix> <query> [<query> ...]
+
+Writes <out_dir>/<query>_<suffix>.txt for each query. Building a query
+may execute its side effects (Delta writes etc.); the explain itself
+does not run the final action.
+"""
+import os
+import sys
+
+
+def main():
+    out_dir, suffix = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    os.makedirs(out_dir, exist_ok=True)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    from deltalake_datafusion_spark.queries import all_query_specs
+    from deltalake_datafusion_spark.session import get_spark
+
+    spark = get_spark()
+    specs = {s.name: s for s in all_query_specs()}
+    for name in names:
+        df = specs[name].build(spark, sf_dir)
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"{name}: {len(txt)} chars -> {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
