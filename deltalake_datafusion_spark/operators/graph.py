@@ -178,14 +178,25 @@ def pagerank_integer(
     Scale shape: per iteration ONE shuffle (the contribution
     groupBy on dst) plus a broadcast-size ranks join (ranks carry n
     rows); ``localCheckpoint`` every ``checkpoint_every`` rounds
-    truncates the 8-deep lineage. The rank table never leaves the
-    cluster; only the O(1) node count is collected once."""
+    truncates the 8-deep lineage (every round in ``uniform`` mode,
+    where the per-round dangling aggregate makes ``ranks`` feed TWO
+    consumers — un-truncated, each un-checkpointed round would
+    double the plan and re-run the whole tail per branch). The rank
+    table never leaves the cluster; only the O(1) node count is
+    collected once."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is re-read every round by the uniform-mode dangling
+    # anti-join; without truncation each round re-runs the full
+    # edge distinct just to rebuild it.
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -239,7 +250,11 @@ def pagerank_integer(
         ranks = joined.select(
             "node", (F.lit(base) + damped).alias("rank")
         )
-        if (t + 1) % checkpoint_every == 0 and t + 1 < iterations:
+        # uniform mode consumes ranks twice per round (contrib join +
+        # dangling aggregate): truncate every round or the lineage
+        # between checkpoints doubles per iteration.
+        every = 1 if dangling == "uniform" else checkpoint_every
+        if (t + 1) % every == 0 and t + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
@@ -393,8 +408,9 @@ def bfs_distances(
     Scale shape: per round ONE shuffle join (edges ⋈ frontier, keyed
     on ``src``) and ONE groupBy-min keyed on node — the same
     per-round cost as :func:`connected_components`; AQE handles
-    skew/coalescing. ``localCheckpoint`` every ``checkpoint_every``
-    rounds truncates the iterative lineage. Nothing is ever
+    skew/coalescing. ``localCheckpoint`` every round truncates the
+    iterative lineage (``dist`` feeds two consumers per round, so
+    untruncated lineage doubles per iteration). Nothing is ever
     collected to the driver.
     """
     e = (
@@ -422,7 +438,10 @@ def bfs_distances(
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-        if (t + 1) % checkpoint_every == 0 and t + 1 < iterations:
+        # dist feeds two consumers per round (the relax join and the
+        # union): truncate every round or the lineage between
+        # checkpoints doubles per iteration.
+        if t + 1 < iterations:
             dist = dist.localCheckpoint(eager=True)
     return dist
 
@@ -455,15 +474,23 @@ def personalized_pagerank_integer(
 
     Same scale shape as the global variant: ONE contribution shuffle
     + one O(1)-row dangling aggregate + a broadcast-size seed join
-    per iteration; lineage truncated every ``checkpoint_every``
-    rounds. The oracle unrolls the identical arithmetic as chained
-    CTEs, so ranks are bit-identical cross-engine."""
+    per iteration; lineage truncated every round (the dangling
+    aggregate makes ``ranks`` feed two consumers per round, so
+    un-truncated lineage would double per iteration). The oracle
+    unrolls the identical arithmetic as chained CTEs, so ranks are
+    bit-identical cross-engine."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # re-read every round by the dangling anti-join — truncate so
+    # rounds don't re-run the full edge distinct.
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -526,6 +553,8 @@ def personalized_pagerank_integer(
                 )
             ).cast("long").alias("rank"),
         )
-        if (t + 1) % checkpoint_every == 0 and t + 1 < iterations:
+        # ranks feeds both the contribution join and the dangling
+        # aggregate next round: truncate every round.
+        if t + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -60,6 +60,14 @@ def set_similarity_join(
     """
     if not (0 < tau_num <= tau_den):
         raise ValueError("tau must be in (0, 1]")
+    from pyspark import StorageLevel
+
+    # The distinct token table feeds FIVE plan branches (df aggregate,
+    # the order join, the size aggregate, and both verification
+    # sides); without persistence each branch re-runs the caller's
+    # tokenize/explode plus the distinct's shuffle over the full
+    # corpus. Same contract as ngram_jaccard_pairs/minhash_dedup_pairs
+    # (operators/dedup.py): materialize once, MEMORY_AND_DISK.
     tok = (
         sets.select(
             F.col(id_col).cast("long").alias("sid"),
@@ -67,7 +75,11 @@ def set_similarity_join(
         )
         .filter(F.col("w").isNotNull())
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager fill — parallel consumer stages would otherwise race the
+    # cache and each recompute the token pipeline.
+    tok.count()
     # Global rarest-first total order, carried as a comparable struct
     # (df asc, then a deterministic hash to spread ties, then the
     # token itself as the final tiebreak). One aggregation, no sort.
