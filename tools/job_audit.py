@@ -1,0 +1,99 @@
+"""Per-job audit of a registered query: run it through the noop sink,
+then list every Spark job (description, duration, task count) from the
+local UI REST API, slowest first.
+
+Usage:
+    python tools/job_audit.py name [name ...] [--sf-dir DIR] [--top N]
+
+The job list is the ground truth for "where do the seconds go" on a
+noisy box: job boundaries and descriptions are deterministic even when
+wall-clock is not, and the per-job durations localize the cost to a
+write/commit/read phase far more precisely than one end-to-end number.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="+")
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--top", type=int, default=30)
+    args = ap.parse_args()
+
+    from deltalake_datafusion_spark.queries import all_query_specs
+    from deltalake_datafusion_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="job_audit", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+
+    specs = {s.name: s for s in all_query_specs()}
+    missing = [n for n in args.names if n not in specs]
+    if missing:
+        raise SystemExit(f"unknown queries: {missing}")
+
+    def jobs_api():
+        app = json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications")
+        )[0]["id"]
+        return json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/jobs")
+        )
+
+    for name in args.names:
+        before_ids = {j["jobId"] for j in jobs_api()}
+        t0 = time.perf_counter()
+        df = specs[name].build(spark, args.sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        time.sleep(0.5)
+        jobs = [j for j in jobs_api() if j["jobId"] not in before_ids]
+        rows = []
+        for j in jobs:
+            sub = time.strptime(
+                j["submissionTime"][:19], "%Y-%m-%dT%H:%M:%S"
+            )
+            comp = time.strptime(
+                j["completionTime"][:19], "%Y-%m-%dT%H:%M:%S"
+            )
+            # sub-second part
+            def frac(ts):
+                tail = ts[19:].lstrip(".")
+                digits = "".join(c for c in tail if c.isdigit())[:3]
+                return int(digits or 0) / 1000.0
+            dur = (time.mktime(comp) + frac(j["completionTime"])) - (
+                time.mktime(sub) + frac(j["submissionTime"])
+            )
+            rows.append(
+                (
+                    dur,
+                    j["jobId"],
+                    j.get("numTasks", 0),
+                    (j.get("description") or j.get("name", ""))[:110],
+                )
+            )
+        rows.sort(reverse=True)
+        print(f"\n## {name}: {dt:.3f}s wall, {len(jobs)} jobs, "
+              f"{sum(r[2] for r in rows)} tasks")
+        for dur, jid, ntasks, desc in rows[: args.top]:
+            print(f"  {dur:7.3f}s  job={jid:<5d} tasks={ntasks:<4d} {desc}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
