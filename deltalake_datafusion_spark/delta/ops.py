@@ -544,7 +544,7 @@ def _dv_soft_delete_actions(spark, snap, rowmeta_df, candidates, fs):
 
 def _delete_plan(
     spark, snap, predicate: str | None, emit_cdc: bool = True,
-    candidates=None,
+    candidates=None, rowmeta=None,
 ) -> dict:
     """Plan a DELETE against one snapshot WITHOUT committing: returns
     {actions, files_rewritten, files_removed, rows_deleted,
@@ -553,8 +553,20 @@ def _delete_plan(
     UPDATE passes ``emit_cdc=False`` and stages its own
     pre/post-image cdc instead of plain deletes).
 
+    ``rowmeta`` (requires ``emit_cdc=False`` and ``candidates``): a
+    caller-provided DataFrame of the matched rows'
+    ``__file_path``/``__row_index`` — UPDATE already scanned (and
+    persisted) the candidate files to build the replacement rows, so
+    the DV encode reuses that scan instead of running a second one.
+    The stats-full metadata split is skipped on this path: those
+    files were scanned anyway, and the encoder detects fully-matched
+    files executor-side (cardinality ≥ numRecords → plain remove), so
+    the committed actions are identical.
+
     ``predicate=None`` is the truncate form: every file is removed as
     pure metadata (zero data I/O unless CDF must capture the rows)."""
+    if rowmeta is not None and emit_cdc:
+        raise ValueError("rowmeta reuse requires emit_cdc=False")
     logical = snap.schema
     l2p = _logical_to_physical_map(logical)
     if predicate is None:
@@ -616,7 +628,7 @@ def _delete_plan(
     fs = fs_for(snap.table_path, spark)
     stats_full: list = []
     stats_full_live = 0
-    pred_ir = try_parse_predicate(predicate)
+    pred_ir = try_parse_predicate(predicate) if rowmeta is None else None
     if pred_ir is not None:
         ev = StatsEvaluator(logical, snap.partition_columns, l2p)
         stats_full = [f for f in candidates if ev.all_match(f, pred_ir)]
@@ -644,11 +656,15 @@ def _delete_plan(
         # Scan candidates (DV-aware: rows already deleted in place are
         # invisible, so re-deletes never double-count), evaluate the
         # predicate over logical columns; DV-encode the matched rows
-        # executor-side (_dv_soft_delete_actions).
-        matched = _scan_with_rowmeta(
-            spark, snap, predicate, files=candidates
-        ).filter(F.expr(predicate))
-        if cdc_on:
+        # executor-side (_dv_soft_delete_actions). UPDATE hands the
+        # scan it already ran in via ``rowmeta``.
+        if rowmeta is not None:
+            matched = rowmeta.select("__file_path", "__row_index")
+        else:
+            matched = _scan_with_rowmeta(
+                spark, snap, predicate, files=candidates
+            ).filter(F.expr(predicate))
+        if cdc_on and rowmeta is None:
             # the matched rows feed BOTH the DV encoder and the cdc
             # capture below — persist once instead of re-scanning the
             # candidate files (bounded by deleted-row volume)
@@ -797,13 +813,12 @@ def _update_attempt(
     matched_df = _scan_with_rowmeta(
         spark, snap, predicate, files=candidates, row_id_col=rt_mat
     ).filter(F.expr(predicate))
-    from deltalake_datafusion_spark.delta.cdf import cdf_enabled as _cdf_en
-
-    # matched rows feed the rewrite AND (with the feed on) the cdc
-    # pre/post images — persist once instead of rescanning per use
-    _upd_persist = _cdf_en(snap.metadata.configuration)
-    if _upd_persist:
-        matched_df = matched_df.persist()
+    # matched rows feed the rewrite, the DV encode of the old copies
+    # (via _delete_plan's rowmeta reuse) AND (with the feed on) the
+    # cdc pre/post images — persist once instead of rescanning the
+    # candidate files per use; bounded by matched-row volume, which
+    # UPDATE materializes as new files anyway
+    matched_df = matched_df.persist()
     # Nested-field assignments (delta-spark `SET addr.city = …`):
     # group dotted targets by their top-level struct column; the
     # struct is rebuilt via withField, every RHS still evaluated
@@ -922,9 +937,11 @@ def _update_attempt(
     # DV the old copies of the matched rows — PLANNED against the same
     # snapshot, committed together with the replacement adds in ONE
     # atomic version: no reader or crash window ever observes the rows
-    # deleted but not yet re-added.
+    # deleted but not yet re-added. The persisted matched rows feed
+    # the DV encode directly (rowmeta) — no second candidate scan.
     plan = _delete_plan(
-        spark, snap, predicate, emit_cdc=False, candidates=candidates
+        spark, snap, predicate, emit_cdc=False, candidates=candidates,
+        rowmeta=matched_df,
     )
 
     from deltalake_datafusion_spark.delta.cdf import (
@@ -943,8 +960,7 @@ def _update_attempt(
         )
         cdc_actions = stage_cdc(spark, snap, pre.unionByName(post))
 
-    if _upd_persist:
-        matched_df.unpersist()
+    matched_df.unpersist()
     adds = []
     p2l = dict(zip(phys_parts, snap.partition_columns))
     from deltalake_datafusion_spark.delta.stats import (
@@ -1320,6 +1336,15 @@ def _merge_attempt(
         row_id_col=rt_mat, row_ver_col=rt_ver,
     )
 
+    # The source plan feeds the match join AND the not-matched
+    # anti-join (and may be an arbitrarily expensive derived frame —
+    # e.g. a CDF read + aggregation in incremental MV maintenance):
+    # materialize it once, exactly as delta-spark's MERGE source
+    # materialization does. Skipped when the caller already persisted.
+    _src_lvl = source.storageLevel
+    _src_persisted_here = not (_src_lvl.useMemory or _src_lvl.useDisk)
+    if _src_persisted_here:
+        source = source.persist()
     t = target.alias("t")
     s = source.alias("s")
     cond = F.expr(on)
@@ -1330,6 +1355,11 @@ def _merge_attempt(
         F.lit(True).alias("__s___matched"),
         *[F.col(f"s.{c}").alias(f"__s_{c}") for c in source.columns],
     )
+    # matched feeds the strict-cardinality check, the touched-file
+    # collect and the rewrite join — persist once (bounded by matched
+    # rows + source columns) instead of re-running target⋈source per
+    # consumer.
+    matched = matched.persist()
     if strict:
         # ANSI/Delta MERGE cardinality check: one aggregation over the
         # match keys, short-circuited with limit(1) — O(matches), no
@@ -2013,6 +2043,9 @@ def _merge_attempt(
         actions.extend(extra_actions)
     if touched and joined_persisted:
         joined.unpersist()
+    matched.unpersist()
+    if _src_persisted_here:
+        source.unpersist()
 
     from deltalake_datafusion_spark.delta.writer import (
         ConcurrentModificationError,
