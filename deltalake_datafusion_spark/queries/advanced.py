@@ -2146,13 +2146,18 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    q = (
-        counts.writeStream.format("memory")
-        .queryName("q_streaming_late_drop")
-        .outputMode("append")
-        .trigger(processingTime="25 milliseconds")
-        .start()
+    from deltalake_datafusion_spark.streaming.pipeline import (
+        scoped_state_partitions,
     )
+
+    with scoped_state_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("q_streaming_late_drop")
+            .outputMode("append")
+            .trigger(processingTime="25 milliseconds")
+            .start()
+        )
     import time as _time
 
     # Drain detection from the driver-side progress feed (sink

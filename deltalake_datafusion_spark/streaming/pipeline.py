@@ -26,6 +26,8 @@ driver's events parquet and compare to the equivalent batch result.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -36,6 +38,42 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+@contextmanager
+def scoped_state_partitions(spark, n: int | None = None):
+    """Pin ``spark.sql.shuffle.partitions`` around a streaming
+    ``start()``.
+
+    Stateful streaming operators (window/session aggregations,
+    stream-stream joins, dedup) take their state-store partition
+    count from the shuffle-partition conf at first-batch time and AQE
+    never coalesces those shuffles — so every micro-batch pays one
+    task + one state-store commit per partition forever, regardless
+    of data volume. The session default (one per core) is right for
+    batch shuffles but pure overhead for micro-batch state. Partition
+    count does not affect results, only placement.
+
+    The count is ``lakehouse.streaming.state_partitions`` when set
+    (clusters size it to state volume, e.g. ~1 partition per 100 MB
+    of state); otherwise ``max(4, defaultParallelism // 4)`` — scale
+    adaptive, never a constant. Structured Streaming clones the
+    session state on ``start()``, so restoring the conf right after
+    the ``with`` block cannot race the running query."""
+    key = "spark.sql.shuffle.partitions"
+    if n is None:
+        try:
+            n = int(
+                spark.conf.get("lakehouse.streaming.state_partitions", "")
+            )
+        except (ValueError, TypeError):
+            n = max(4, spark.sparkContext.defaultParallelism // 4)
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
 
 def _events_schema(ts_type) -> StructType:
     return StructType(
@@ -201,7 +239,8 @@ def write_stream_delta(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    with scoped_state_partitions(stream_df.sparkSession):
+        return writer.start()
 
 
 def merge_stream_delta(
@@ -282,7 +321,8 @@ def merge_stream_delta(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    with scoped_state_partitions(stream_df.sparkSession):
+        return writer.start()
 
 
 def run_to_memory(
@@ -290,13 +330,14 @@ def run_to_memory(
 ) -> DataFrame:
     """Execute a streaming plan to completion with availableNow and
     return the in-memory sink contents as a batch DataFrame."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with scoped_state_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(300)
     spark = stream_df.sparkSession
     return spark.table(query_name)
