@@ -120,6 +120,14 @@ def duplicate_clusters(
 # ------------------------------------------------------------------ #
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism before the
+    per-row tokenize/hash pass (operators/partitioning.py)."""
+    from deltalake_datafusion_spark.operators.partitioning import spread
+
+    return spread(df)
+
+
 def _permutations(num_perm: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -299,7 +307,7 @@ def minhash_dedup_pairs(
     instead of strings)."""
     from pyspark import StorageLevel
 
-    sh = _hashed_shingles(df, text_col, id_col, shingle_n).persist(
+    sh = _hashed_shingles(_spread(df), text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     # Eager materialization: the signature build and both verify joins
@@ -351,7 +359,7 @@ def simhash_signature(
     import pandas as pd
     from pyspark.sql.types import LongType
 
-    hashed = df.select(
+    hashed = _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(
             words_col(F.col(text_col)), lambda w: _word_hash(w, hash_mode)
@@ -521,7 +529,7 @@ def ngram_jaccard_pairs(
     # At scale this is the step a production pipeline checkpoints to a
     # table; in-session, MEMORY_AND_DISK is the same contract. Arrays
     # are stored sorted so the prefix is a slice.
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"),
         F.array_sort(
             F.transform(
@@ -618,6 +626,7 @@ def embedding_near_dup_lsh(
         strict_cosine_pandas_udf,
     )
 
+    df = _spread(df)
     sig_structs = [
         F.struct(
             F.lit(t).alias("tab"),
@@ -946,7 +955,7 @@ def line_dedup(
     """
     w = words_col(F.col(text_col))
     n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
-    lines = df.select(
+    lines = _spread(df).select(
         F.col(id_col).alias("__id"),
         F.posexplode(
             F.transform(
@@ -1045,9 +1054,9 @@ def incremental_minhash_dedup(
     except DeltaNotFoundError:
         store_docs = store_bands = None
 
-    sh = _hashed_shingles(new_docs, text_col, id_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = _hashed_shingles(
+        _spread(new_docs), text_col, id_col, shingle_n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()  # eager: shared by signature build + verify joins
     sigs = _signature_of_arrow(sh, num_perm, seed).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -1183,7 +1192,7 @@ def dedup_substring_spans(
     tk = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
     )
-    base = docs.select(
+    base = _spread(docs).select(
         F.col(id_col).alias("__id"), tk.alias("__tk")
     )
     wins = (

@@ -1,0 +1,26 @@
+"""Input-width normalization for compute-heavy per-row operators.
+
+A narrow source (single parquet file, tiny table, one input split)
+yields that few scan partitions, so a tokenize/hash/decode pass —
+whose cost is per ROW, not per byte — serializes on a couple of cores
+while the rest of the cluster idles (guide §2.6). Spreading costs one
+shuffle of the raw input rows and is a NO-OP whenever the plan is
+already at least as wide as the session's parallelism — the
+cluster-scale case, where repartitioning the corpus would be a real
+shuffle for nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Fan ``df`` out to the session's default parallelism before
+    per-row heavy compute; no-op when the plan is already as wide.
+    Partitioning never changes per-row results — only placement."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
