@@ -63,6 +63,15 @@ def _configure(spark: SparkSession) -> SparkSession:
     except Exception:
         pass  # runtime-immutable in some builds; load_tables copes
     try:
+        # perf-only: let AQE re-plan inside cached subplans (the
+        # engine persists shared frames; see session.get_spark)
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
+    except Exception:
+        pass
+    try:
         _ship_package(spark)
     except Exception:
         pass  # already importable via the driver's own PYTHONPATH

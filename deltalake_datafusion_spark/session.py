@@ -58,6 +58,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan (broadcast conversion, partition coalescing)
+        # INSIDE cached subplans: the engine persists shared frames
+        # (MERGE matched rows, dedup shingle sets) and without this a
+        # .persist() freezes the pre-AQE plan — a cached tiny join
+        # stays sort-merge over the static shuffle-partition count.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # TIMESTAMP(NANOS) parquet (e.g. the events table) is read as
