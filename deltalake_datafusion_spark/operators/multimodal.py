@@ -981,7 +981,12 @@ def ahash_near_dup_pairs(
     (solid-color corpora) is AQE's skew-join case."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    h = hashes.filter(F.col("ahash").isNotNull())
+    # The hash frame feeds every band AND both join sides — up to
+    # 2·(t+1) copies of its subtree in the executed plan, and that
+    # subtree is typically an expensive decode UDF. Materialize it
+    # once (tiny: media_id + 8-byte hash per image); localCheckpoint
+    # blocks are reclaimed when the result is garbage-collected.
+    h = hashes.filter(F.col("ahash").isNotNull()).localCheckpoint()
     bands = None
     for i in range(n_bands):
         lo = i * width
