@@ -2184,7 +2184,12 @@ def write_checkpoint(spark, snapshot: Snapshot) -> str:
     df = spark.createDataFrame([(json.dumps(r),) for r in rows], "value string")
     parsed = df.select(F.from_json("value", LOG_SCHEMA).alias("a")).select("a.*")
     parsed = _with_stats_parsed(parsed, snapshot)
-    parsed.coalesce(1).write.mode("overwrite").parquet(staging)
+    # repartition(1), not coalesce(1): the rows come from
+    # createDataFrame (defaultParallelism pickled-RDD slices) and
+    # coalesce would make ONE task drain every slice sequentially,
+    # paying a Python-worker round trip per slice (~5 s measured);
+    # repartition evaluates the slices as parallel map tasks first.
+    parsed.repartition(1).write.mode("overwrite").parquet(staging)
 
     fs = fs_for(snapshot.table_path, spark)
     cp_name = f"{snapshot.version:020d}.checkpoint.parquet"
@@ -2536,7 +2541,9 @@ def write_checkpoint_v2(
         .select(F.from_json("value", CHECKPOINT_V2_SCHEMA).alias("a"))
         .select("a.*")
     )
-    head.coalesce(1).write.mode("overwrite").parquet(top_staging)
+    # repartition(1): see the v1 checkpoint writer — coalesce over a
+    # createDataFrame frame drains its slices sequentially in 1 task
+    head.repartition(1).write.mode("overwrite").parquet(top_staging)
     cp_name = f"{snap.version:020d}.checkpoint.{uuid.uuid4()}.parquet"
     final = os.path.join(log_dir, cp_name)
     for st in fs.list_recursive(top_staging):
