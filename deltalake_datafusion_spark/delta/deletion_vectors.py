@@ -376,7 +376,10 @@ def dv_row_filter(spark, snapshot, group, df, drop_meta: bool = True):
 
     from deltalake_datafusion_spark.delta.scan import _file_path_key
 
-    meta = spark.createDataFrame(
+    from deltalake_datafusion_spark.delta.smalldf import local_rows_df
+
+    meta = local_rows_df(
+        spark,
         meta_rows,
         StructType(
             [

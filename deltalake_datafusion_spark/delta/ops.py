@@ -2471,7 +2471,12 @@ def _optimize_attempt(
         if rt_cols:
             from deltalake_datafusion_spark.delta.scan import _file_path_key
 
-            rid_map = spark.createDataFrame(
+            from deltalake_datafusion_spark.delta.smalldf import (
+                local_rows_df,
+            )
+
+            rid_map = local_rows_df(
+                spark,
                 [
                     (
                         os.path.join(snap.table_path, f.path),
@@ -2823,7 +2828,10 @@ def _scan_with_rowmeta(
     if mat_cols:
         from deltalake_datafusion_spark.delta.scan import _file_path_key
 
-        rid_map = spark.createDataFrame(
+        from deltalake_datafusion_spark.delta.smalldf import local_rows_df
+
+        rid_map = local_rows_df(
+            spark,
             [
                 (
                     os.path.join(snap.table_path, f.path),

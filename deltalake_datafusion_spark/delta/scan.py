@@ -209,7 +209,9 @@ def _inject_partition_values(
         [StructField("__pv_path", StringType())]
         + [StructField(f"__pv_{n}", StringType()) for n in phys_names]
     )
-    meta = spark.createDataFrame(rows, meta_schema)
+    from deltalake_datafusion_spark.delta.smalldf import local_rows_df
+
+    meta = local_rows_df(spark, rows, meta_schema)
     df = df.join(
         F.broadcast(meta), _file_path_key() == F.col("__pv_path"), "inner"
     ).drop("__pv_path")
@@ -414,7 +416,10 @@ def _inject_row_ids(
         )
         for f in files
     ]
-    meta = spark.createDataFrame(
+    from deltalake_datafusion_spark.delta.smalldf import local_rows_df
+
+    meta = local_rows_df(
+        spark,
         rows,
         _ST([StructField("__rid_path", StringType()),
              StructField("__rid_base", LongType()),

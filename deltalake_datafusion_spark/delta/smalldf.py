@@ -1,0 +1,28 @@
+"""One-slice DataFrames for tiny driver-side metadata row lists.
+
+``spark.createDataFrame(list)`` parallelizes local data across
+``defaultParallelism`` pickled-RDD slices. Every consumer then pays a
+Python-worker round trip PER SLICE: a broadcast build becomes a
+32-near-empty-task job (~1-2 s of pure scheduling + worker latency),
+and a single-task consumer (coalesced write) drains the slices
+SEQUENTIALLY. The engine builds such frames on hot paths — partition-
+value / row-tracking / deletion-vector broadcast joins on every scan —
+so they are parallelized as ONE slice instead: one Python evaluation
+of the whole (tiny) list, one task.
+
+Only for metadata-scale lists (file counts the driver already holds);
+real data keeps the normal slicing.
+"""
+
+from __future__ import annotations
+
+
+def local_rows_df(spark, rows, schema):
+    """``createDataFrame`` for a small driver-side list of row tuples,
+    shipped as a single RDD slice. Schema must be explicit (StructType
+    or DDL string) — no inference pass."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
