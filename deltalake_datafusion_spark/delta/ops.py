@@ -1372,6 +1372,9 @@ def _merge_attempt(
             .collect()
         )
         if dup:
+            matched.unpersist()
+            if _src_persisted_here:
+                source.unpersist()
             raise MergeCardinalityError(
                 "MERGE source has multiple rows matching the same target "
                 "row (e.g. target row_index "
