@@ -104,14 +104,15 @@ def classifier_score(
     plain ``.filter(F.col(out_col) >= t)`` — equivalently
     ``logit >= ln(t/(1-t))``, which avoids the transcendental in the
     hot predicate."""
-    from deltalake_datafusion_spark.operators.partitioning import spread
-
     z = classifier_logit(
         F.col(text_col), weights, bias, include_bigrams
     )
-    # per-row md5 feature hashing is CPU-bound — never let a narrow
-    # scan serialize it (no-op on an already-wide plan)
-    out = spread(df).withColumn("__clf_z", z)
+    # NOTE: scoring stays exchange-free by design (round-8 contract:
+    # it composes into the scan stage). Callers with a narrow source
+    # spread the INPUT first (operators/partitioning.py) — per-row
+    # md5 feature hashing is CPU-bound and a single-file scan would
+    # serialize it on one core.
+    out = df.withColumn("__clf_z", z)
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__clf_z")))
     out = out.withColumn(out_col, score)
     if logit_col:

@@ -254,7 +254,12 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         classifier_score,
     )
 
-    d = load_tables(spark, sf_dir, "documents")["documents"]
+    from deltalake_datafusion_spark.operators.partitioning import spread
+
+    # single-file source: widen BEFORE scoring so the CPU-bound md5
+    # feature hashing spans the cluster (scoring itself stays
+    # exchange-free — round-8 plan contract)
+    d = spread(load_tables(spark, sf_dir, "documents")["documents"])
     scored = classifier_score(
         d, _clf_weights(), bias=_CLF_BIAS, include_bigrams=True
     )
