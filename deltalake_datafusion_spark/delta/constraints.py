@@ -86,11 +86,17 @@ def notnull_columns_to_verify(table_schema, df: DataFrame) -> list[str]:
     verified from the written files' footer ``nullCount`` stats
     (:func:`verify_notnull_from_stats`) instead of a second
     aggregate pass over the batch plan."""
-    df_nullable = {f.name: f.nullable for f in df.schema.fields}
+    # Spark nullability is advisory (createDataFrame(verifySchema=False),
+    # connectors with wrong metadata, mis-declared UDF schemas can all
+    # produce nulls in a nullable=False column), so a df schema claiming
+    # non-nullable does NOT exempt the column: the footer nullCount
+    # stats ride along for free, making the verification cost zero in
+    # the common case (ADVICE r12).
+    df_cols = {f.name for f in df.schema.fields}
     return [
         f.name
         for f in table_schema.fields
-        if not f.nullable and df_nullable.get(f.name, False)
+        if not f.nullable and f.name in df_cols
     ]
 
 
@@ -149,11 +155,18 @@ def verify_notnull_from_stats(
                     bad[c] = bad.get(c, 0) + int(n if n is not None else 1)
                 continue
             nc = ((parsed or {}).get("nullCount") or {}).get(phys.get(c, c))
-            if nc is None:
+            if isinstance(nc, int) and not isinstance(nc, bool):
+                if nc:
+                    bad[c] = bad.get(c, 0) + nc
+            else:
+                # None, or a nested dict (struct columns store their
+                # nullCount per LEAF path — a non-empty dict proves
+                # nothing about the top-level struct value, and int()
+                # of it raised TypeError pre-r13): not provable from
+                # the flat footer entry, verify via the fallback
+                # aggregate (ADVICE r12).
                 unproven.append(rel)
                 unproven_cols.add(c)
-            elif nc:
-                bad[c] = bad.get(c, 0) + int(nc)
     if unproven and not bad:
         paths = sorted(
             {_os.path.join(table_path, r) for r in unproven}

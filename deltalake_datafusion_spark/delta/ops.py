@@ -177,6 +177,28 @@ def _restart_on_conflict(attempt, max_restarts: int = 3):
     raise last
 
 
+def _plan_is_cheap(df) -> bool:
+    """True when re-evaluating ``df`` costs no more than a scan pass:
+    its analyzed plan has no shuffle-inducing, Python-eval, or
+    plan-multiplying operators (it is e.g. a localCheckpoint's
+    LogicalRDD, a LocalRelation, or a filtered/projected file scan).
+    Persisting such a source buys nothing — the materialization
+    barrier plus cache write cost MORE than the re-scan (measured:
+    the unconditional MERGE source persist made per-micro-batch MV
+    refresh 2.8x slower at local[32], driver BENCH_r12
+    streaming_mv_join_refresh 8.6 -> 24.2 s)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    heavy = (
+        "Join", "Aggregate", "Window", "Deduplicate", "Generate",
+        "Sort", "Union", "EvalPython", "MapInPandas", "MapInArrow",
+        "FlatMapGroups", "CoGroup", "Repartition", "GlobalLimit",
+    )
+    return not any(h in plan for h in heavy)
+
+
 _FID_KEY = "spark.sql.parquet.fieldId.read.enabled"
 
 
@@ -207,12 +229,12 @@ def _with_field_id_restore(spark, fn):
 
 def _cleanup_staged_adds(spark, table_path: str, actions: list[dict]) -> None:
     """Best-effort delete of the data files a failed attempt staged
-    into the table (its add actions never committed, so nothing
+    into the table (its add/cdc actions never committed, so nothing
     references them; DV sidecars are tiny and left for VACUUM)."""
     try:
         fs = fs_for(table_path, spark)
         for a in actions:
-            body = a.get("add")
+            body = a.get("add") or a.get("cdc")
             if body and not body.get("deletionVector"):
                 import urllib.parse as _up
 
@@ -980,10 +1002,18 @@ def _update_attempt(
     if _nn_verify:
         from deltalake_datafusion_spark.delta.fs import fs_for as _ffv
 
-        _vnns(
-            spark, snap.table_path, _nn_verify, moved, stats_by_rel,
-            logical, snap.partition_columns, _ffv(snap.table_path, spark),
-        )
+        try:
+            _vnns(
+                spark, snap.table_path, _nn_verify, moved, stats_by_rel,
+                logical, snap.partition_columns, _ffv(snap.table_path, spark),
+            )
+        except Exception:
+            # _vnns deleted the replacement adds; the staged CDC files
+            # (full pre/post images) would otherwise leak until VACUUM
+            # (ADVICE r12). DV sidecars stay — tiny, vacuum-cleanable,
+            # same policy as _cleanup_staged_adds.
+            _cleanup_staged_adds(spark, snap.table_path, cdc_actions)
+            raise
     for rel, pv_phys, size, mtime_ms in moved:
         stats = stats_by_rel[rel]
         pv = {p2l.get(k, k): v for k, v in pv_phys.items()}
@@ -1014,7 +1044,7 @@ def _update_attempt(
             },
         )
     except ConcurrentModificationError:
-        _cleanup_staged_adds(spark, snap.table_path, adds)
+        _cleanup_staged_adds(spark, snap.table_path, adds + cdc_actions)
         raise
     _dml_finish(spark, table_path, distributed=candidates is not None)
     return {
@@ -1201,6 +1231,13 @@ def merge_delta(
     def _run():
         last: Exception | None = None
         for _ in range(max(1, max_restarts)):
+            # every frame _merge_attempt persists lands in _pins and
+            # is released here no matter how the attempt exits
+            # (success, conflict retry, constraint violation, parse
+            # error, stage failure) — ADVICE r12: the old code only
+            # unpersisted on success and the strict-cardinality raise,
+            # leaking cached blocks per failed attempt.
+            _pins: list = []
             try:
                 return _merge_attempt(
                     spark, table_path, source, on,
@@ -1212,11 +1249,18 @@ def merge_delta(
                     strategy=strategy,
                     extra_actions=extra_actions,
                     txn_guards=txn_guards,
+                    _pins=_pins,
                 )
             except _TxnRangeCovered:
                 return {"skipped": "txn-covered"}
             except ConcurrentModificationError as e:
                 last = e
+            finally:
+                for _df in _pins:
+                    try:  # idempotent on the success path
+                        _df.unpersist()
+                    except Exception:
+                        pass
         raise last
 
     return _with_field_id_restore(spark, _run)
@@ -1235,6 +1279,7 @@ def _merge_attempt(
     strategy: str = "auto",
     extra_actions: list[dict] | None = None,
     txn_guards: list[dict] | None = None,
+    _pins: list | None = None,
 ) -> dict:
     """One MERGE INTO attempt against the current snapshot,
     copy-on-write strategy:
@@ -1340,11 +1385,19 @@ def _merge_attempt(
     # anti-join (and may be an arbitrarily expensive derived frame —
     # e.g. a CDF read + aggregation in incremental MV maintenance):
     # materialize it once, exactly as delta-spark's MERGE source
-    # materialization does. Skipped when the caller already persisted.
+    # materialization does. Skipped when the caller already persisted
+    # it, AND when the source plan is cheap to re-evaluate (already a
+    # localCheckpoint / LocalRelation / bare scan) — there the persist
+    # is pure overhead that scales with core count (guide §5; driver
+    # BENCH_r12 measured 2.8x on per-micro-batch MV refresh).
     _src_lvl = source.storageLevel
-    _src_persisted_here = not (_src_lvl.useMemory or _src_lvl.useDisk)
+    _src_persisted_here = not (
+        _src_lvl.useMemory or _src_lvl.useDisk
+    ) and not _plan_is_cheap(source)
     if _src_persisted_here:
         source = source.persist()
+        if _pins is not None:
+            _pins.append(source)
     t = target.alias("t")
     s = source.alias("s")
     cond = F.expr(on)
@@ -1360,6 +1413,8 @@ def _merge_attempt(
     # rows + source columns) instead of re-running target⋈source per
     # consumer.
     matched = matched.persist()
+    if _pins is not None:
+        _pins.append(matched)
     if strict:
         # ANSI/Delta MERGE cardinality check: one aggregation over the
         # match keys, short-circuited with limit(1) — O(matches), no
@@ -1473,6 +1528,8 @@ def _merge_attempt(
             # the join feeds the rewrite/DV rowmeta AND the cdc
             # pre/post images — persist once instead of recomputing it
             joined = joined.persist()
+            if _pins is not None:
+                _pins.append(joined)
         # Evolved columns are absent from the target scan: back-fill
         # typed nulls so every downstream select over the (possibly
         # evolved) logical schema resolves; SET/INSERT overwrite them.

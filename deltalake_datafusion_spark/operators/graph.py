@@ -34,6 +34,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Per-round truncation frames are O(nodes) rows of a few long columns.
+# Materializing them at the session's full width costs (cpus) tasks per
+# round per consumer — measured net-negative on small graphs at
+# local[32] (driver PERF_r12: pipe_ppr 3.72 -> 4.36 s while the plan
+# shrank 210 -> 14 Exchange). Coalescing the frame to a width derived
+# from its ROW BOUND first keeps the truncation (the lineage collapse
+# is what matters at 100 TB) and drops the per-round task fan; at
+# cluster scale the bound exceeds the parallelism cap and the coalesce
+# is a no-op (VERDICT r12 #3, guide §2.4/§5).
+_CHK_ROWS_PER_PART = 1 << 17
+
+
+def _chk(df: DataFrame, row_bound: int | None = None) -> DataFrame:
+    """``localCheckpoint(eager=True)`` with a row-proportional width.
+
+    ``row_bound`` is an upper bound on ``df``'s rows (node or edge
+    count, already known driver-side in every caller). ``coalesce``
+    never widens and never shuffles, so results are unchanged — only
+    task placement."""
+    if row_bound is not None:
+        sc = df.sparkSession.sparkContext
+        target = min(
+            sc.defaultParallelism,
+            max(1, -(-row_bound // _CHK_ROWS_PER_PART)),
+        )
+        df = df.coalesce(target)
+    return df.localCheckpoint(eager=True)
+
 
 def connected_components(
     edges: DataFrame,
@@ -60,6 +88,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    n_nodes = labels.count()  # cheap: counts the materialized RDD
     # sum(comp) over all nodes: strictly decreases while any label
     # still shrinks; decimal(38,0) so planet-scale id sums can't wrap.
     prev_sum = labels.agg(
@@ -70,11 +99,11 @@ def connected_components(
         msgs = sym.join(labels, sym["v"] == labels["id"]).select(
             F.col("u").alias("id"), F.col("comp")
         )
-        labels = (
+        labels = _chk(
             labels.unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("comp").alias("comp")),
+            n_nodes,
         )
         cur_sum = labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
@@ -255,7 +284,7 @@ def pagerank_integer(
         # between checkpoints doubles per iteration.
         every = 1 if dangling == "uniform" else checkpoint_every
         if (t + 1) % every == 0 and t + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _chk(ranks, n)
     return ranks
 
 
@@ -365,10 +394,10 @@ def k_core(
             break
         deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("u")
-        nxt = (
+        nxt = _chk(
             alive.join(keep, "u", "left_semi")
-            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi"),
+            n_edges,  # peeling is monotone: nxt rows <= current alive
         )
         n_next = nxt.count()
         alive = nxt
@@ -410,8 +439,9 @@ def bfs_distances(
     per-round cost as :func:`connected_components`; AQE handles
     skew/coalescing. ``localCheckpoint`` every round truncates the
     iterative lineage (``dist`` feeds two consumers per round, so
-    untruncated lineage doubles per iteration). Nothing is ever
-    collected to the driver.
+    untruncated lineage doubles per iteration — ``checkpoint_every``
+    is therefore DEPRECATED and ignored; kept for API compatibility).
+    Nothing is ever collected to the driver.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -423,6 +453,9 @@ def bfs_distances(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     e = e.localCheckpoint(eager=True)
+    # dist holds at most one row per node, and nodes <= 2·|edges|;
+    # |edges| is a cheap count of the materialized RDD.
+    n_bound = 2 * e.count()
     seed_col = sources.columns[0]
     dist = sources.select(
         F.col(seed_col).alias("node"), F.lit(0).cast("long").alias("dist")
@@ -440,9 +473,10 @@ def bfs_distances(
         )
         # dist feeds two consumers per round (the relax join and the
         # union): truncate every round or the lineage between
-        # checkpoints doubles per iteration.
+        # checkpoints doubles per iteration — which is why
+        # ``checkpoint_every`` is deprecated/ignored here.
         if t + 1 < iterations:
-            dist = dist.localCheckpoint(eager=True)
+            dist = _chk(dist, n_bound)
     return dist
 
 
@@ -476,7 +510,9 @@ def personalized_pagerank_integer(
     + one O(1)-row dangling aggregate + a broadcast-size seed join
     per iteration; lineage truncated every round (the dangling
     aggregate makes ``ranks`` feed two consumers per round, so
-    un-truncated lineage would double per iteration). The oracle
+    un-truncated lineage would double per iteration —
+    ``checkpoint_every`` is therefore DEPRECATED and ignored; kept
+    for API compatibility). The oracle
     unrolls the identical arithmetic as chained CTEs, so ranks are
     bit-identical cross-engine."""
     e = (
@@ -515,6 +551,7 @@ def personalized_pagerank_integer(
     ).select(
         "node", F.coalesce("__is_seed", F.lit(0)).alias("__is_seed")
     ).localCheckpoint(eager=True)
+    n_nodes = marked.count()  # cheap: counts the materialized RDD
     ranks = marked.select(
         "node",
         F.when(F.col("__is_seed") == 1, F.lit(S // m))
@@ -554,7 +591,8 @@ def personalized_pagerank_integer(
             ).cast("long").alias("rank"),
         )
         # ranks feeds both the contribution join and the dangling
-        # aggregate next round: truncate every round.
+        # aggregate next round: truncate every round — which is why
+        # ``checkpoint_every`` is deprecated/ignored here.
         if t + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _chk(ranks, n_nodes)
     return ranks

@@ -4,10 +4,14 @@ A narrow source (single parquet file, tiny table, one input split)
 yields that few scan partitions, so a tokenize/hash/decode pass —
 whose cost is per ROW, not per byte — serializes on a couple of cores
 while the rest of the cluster idles (guide §2.6). Spreading costs one
-shuffle of the raw input rows and is a NO-OP whenever the plan is
-already at least as wide as the session's parallelism — the
-cluster-scale case, where repartitioning the corpus would be a real
-shuffle for nothing.
+shuffle of the raw input rows, so it must be COST-AWARE (VERDICT r12
+#2): fanning a few hundred light rows out to every core loses more in
+task scheduling and Python-worker spin-up than the parallelism
+returns (driver BENCH_r12: 2x regressions on the light codec and
+tokenize paths at local[32], while the heavy decodes won 2-3x). The
+partition target is therefore derived from the INPUT SIZE and the
+caller's per-row cost class, capped at the session parallelism — at
+cluster scale the cap binds and the behavior is unchanged.
 """
 
 from __future__ import annotations
@@ -15,12 +19,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Fan ``df`` out to the session's default parallelism before
-    per-row heavy compute; no-op when the plan is already as wide.
-    Partitioning never changes per-row results — only placement."""
+def _plan_width(df: DataFrame) -> int:
+    """Partition count of ``df``'s physical plan, probed JVM-side
+    (no Python RDD wrapper; one physical-planning pass — the r12
+    ``df.rdd.getNumPartitions()`` probe additionally built the
+    Python deserializer chain per call)."""
+    try:
+        return df._jdf.rdd().getNumPartitions()
+    except Exception:
+        return 1
+
+
+def spread(df: DataFrame, rows_per_task: int | None = None) -> DataFrame:
+    """Fan ``df`` out before per-row heavy compute; no-op when the
+    plan is already at least as wide as the target. Partitioning
+    never changes per-row results — only placement.
+
+    ``rows_per_task`` declares the caller's cost class: the target
+    width is ``ceil(rows / rows_per_task)`` (one count job over the
+    narrow input — cheap next to the downstream compute), capped at
+    ``defaultParallelism``. Without it the target is the full session
+    parallelism (callers whose per-row cost is known to dominate any
+    input size, e.g. model scoring).
+    """
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    para = spark.sparkContext.defaultParallelism
+    if rows_per_task is None:
+        target = para
+    else:
+        n = df.count()
+        target = min(para, max(1, -(-n // rows_per_task)))
+    if target <= 1:
+        # a single task does the work faster than any shuffle
+        return df
+    if _plan_width(df) >= target:
+        return df
+    return df.repartition(target)

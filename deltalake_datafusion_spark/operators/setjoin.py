@@ -60,14 +60,12 @@ def set_similarity_join(
     """
     if not (0 < tau_num <= tau_den):
         raise ValueError("tau must be in (0, 1]")
-    from pyspark import StorageLevel
-
-    # The distinct token table feeds FIVE plan branches (df aggregate,
-    # the order join, the size aggregate, and both verification
-    # sides); without persistence each branch re-runs the caller's
-    # tokenize/explode plus the distinct's shuffle over the full
-    # corpus. Same contract as ngram_jaccard_pairs/minhash_dedup_pairs
-    # (operators/dedup.py): materialize once, MEMORY_AND_DISK.
+    # The distinct token table feeds five plan branches, but AQE
+    # exchange reuse already shares the distinct's shuffle output
+    # across them — the r12 persist + eager count() here measured
+    # 1.8x SLOWER at local[32] (driver BENCH_r12: dedup_setjoin
+    # 3.57 -> 6.38 s): the extra materialization job bought nothing
+    # the exchange reuse wasn't providing. Reverted (r13, guide §5).
     tok = (
         sets.select(
             F.col(id_col).cast("long").alias("sid"),
@@ -75,11 +73,7 @@ def set_similarity_join(
         )
         .filter(F.col("w").isNotNull())
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Eager fill — parallel consumer stages would otherwise race the
-    # cache and each recompute the token pipeline.
-    tok.count()
     # Global rarest-first total order, carried as a comparable struct
     # (df asc, then a deterministic hash to spread ties, then the
     # token itself as the final tiebreak). One aggregation, no sort.

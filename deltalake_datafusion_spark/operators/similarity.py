@@ -428,13 +428,16 @@ def brute_force_near_dup(
                 {"a": aids[ai], "b": Bids[bj], "cosine": cos[ai, bj]}
             )
 
-    probe = df.select(id_col, vec_col)
     # Parallelize the probe side: a single-file source gives 1-2 input
     # splits, serializing the O(n·m·d) scoring; spreading the O(n)
-    # probe rows across the cluster costs one tiny shuffle.
-    target = spark.sparkContext.defaultParallelism
-    if probe.rdd.getNumPartitions() < target:
-        probe = probe.repartition(target)
+    # probe rows across the cluster costs one tiny shuffle. Per-row
+    # cost is a full dense-matrix pass, so no rows_per_task cap —
+    # full parallelism (operators/partitioning.py probes width
+    # JVM-side; the old .rdd probe planned the query through Python
+    # per call).
+    from deltalake_datafusion_spark.operators.partitioning import spread
+
+    probe = spread(df.select(id_col, vec_col))
     return probe.mapInPandas(score, "a long, b long, cosine double")
 
 

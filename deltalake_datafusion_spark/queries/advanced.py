@@ -2164,13 +2164,23 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numOutputRows per batch, append mode ⇒ cumulative sum) — the
     # old spark.table().count() poll ran ~3 Spark jobs per probe
     # while the stream was still working through its micro-batches.
+    # recentProgress is a RING BUFFER (default 100 entries); with the
+    # 25 ms trigger early batches are evicted before the drain
+    # completes, so keep a running total across polls keyed on
+    # batchId instead of re-summing the buffer (ADVICE r12).
     deadline = _time.time() + 240
     probe = 0
+    emitted = 0
+    last_batch = -1
     while _time.time() < deadline:
-        emitted = sum(
-            max(0, int((p.get("sink") or {}).get("numOutputRows") or 0))
-            for p in (q.recentProgress or [])
-        )
+        for p in q.recentProgress or []:
+            bid = int(p.get("batchId", -1))
+            if bid > last_batch:
+                emitted += max(
+                    0,
+                    int((p.get("sink") or {}).get("numOutputRows") or 0),
+                )
+                last_batch = bid
         if emitted >= 6:
             break
         probe += 1

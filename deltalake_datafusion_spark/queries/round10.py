@@ -8,7 +8,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from deltalake_datafusion_spark.operators.partitioning import spread
 from deltalake_datafusion_spark.queries import QuerySpec, load_tables
+
+# Media-synthesis fan-out cost class: one row = one encode+decode of a
+# small synthetic payload (~0.5-3 ms with the r12 table-driven codecs).
+# 128 rows/task keeps per-task Python-worker spin-up well under the
+# decode work it buys; at corpus scale the defaultParallelism cap in
+# spread() binds and the fan-out is unchanged (VERDICT r12 #2: the
+# unconditional 32-way fan lost 2x on the light decodes at sf0.1).
+_DECODE_ROWS_PER_TASK = 128
 
 
 def specs() -> list[QuerySpec]:
@@ -241,14 +250,18 @@ def sim_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Both frames feed every method: the query set four times and the
     # brute-force truth five (once as the "brute" row, once per
-    # hit-join). Eager localCheckpoints run the O(n·q) brute-force
-    # stage once instead of five times.
-    queries = _recall_queries(corpus).localCheckpoint(eager=True)
+    # hit-join). r12's EAGER localCheckpoints here cost 3.2x at
+    # local[32] (driver BENCH_r12: 3.99 -> 12.58 s; the barrier
+    # materialized cpus partitions per checkpoint) — r13 keeps the
+    # sharing but LAZY (guide §5): the first consumer fills the cache
+    # inside the one real job, no standalone materialization jobs.
+    # Both frames are tiny (8 query rows / 80 truth rows).
+    queries = _recall_queries(corpus).persist()
     kw = dict(id_col="vec_id", vec_col="v")
     truth = (
         brute_force_topk(corpus, queries, k=_RECALL_K, **kw)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     anchors = corpus.filter(F.col("vec_id") < _RECALL_NLISTS).select(
         F.col("vec_id").cast("int").alias("list_id"),
@@ -526,12 +539,11 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 5 == 2)
         .select("doc_id")
-        # the documents table is one parquet file -> one scan
-        # partition; spread the Python encode/decode stage across the
-        # cluster (guide: repartition immediately after an
-        # unsplittable read)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
+    # the documents table is one parquet file -> one scan partition;
+    # spread the Python encode/decode stage with a width derived from
+    # the row count (guide §2.6, cost-aware per VERDICT r12 #2)
+    docs = spread(docs, rows_per_task=_DECODE_ROWS_PER_TASK)
 
     def build(it):
         import pandas as pd
@@ -964,12 +976,11 @@ def multimodal_png_color(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 3 == 1)
         .select("doc_id")
-        # the documents table is one parquet file -> one scan
-        # partition; spread the Python encode/decode stage across the
-        # cluster (guide: repartition immediately after an
-        # unsplittable read)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
+    # the documents table is one parquet file -> one scan partition;
+    # spread the Python encode/decode stage with a width derived from
+    # the row count (guide §2.6, cost-aware per VERDICT r12 #2)
+    docs = spread(docs, rows_per_task=_DECODE_ROWS_PER_TASK)
 
     def build(it):
         import pandas as pd
@@ -1095,12 +1106,11 @@ def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 5 == 3)
         .select("doc_id")
-        # the documents table is one parquet file -> one scan
-        # partition; spread the Python encode/decode stage across the
-        # cluster (guide: repartition immediately after an
-        # unsplittable read)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
+    # the documents table is one parquet file -> one scan partition;
+    # spread the Python encode/decode stage with a width derived from
+    # the row count (guide §2.6, cost-aware per VERDICT r12 #2)
+    docs = spread(docs, rows_per_task=_DECODE_ROWS_PER_TASK)
 
     def build(it):
         import pandas as pd
@@ -1243,12 +1253,11 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 7 == 4)
         .select("doc_id")
-        # the documents table is one parquet file -> one scan
-        # partition; spread the Python encode/decode stage across the
-        # cluster (guide: repartition immediately after an
-        # unsplittable read)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
+    # the documents table is one parquet file -> one scan partition;
+    # spread the Python encode/decode stage with a width derived from
+    # the row count (guide §2.6, cost-aware per VERDICT r12 #2)
+    docs = spread(docs, rows_per_task=_DECODE_ROWS_PER_TASK)
 
     def build(it):
         import pandas as pd
@@ -1355,12 +1364,11 @@ def multimodal_cross_format_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 3 == 2)
         .select("doc_id")
-        # the documents table is one parquet file -> one scan
-        # partition; spread the Python encode/decode stage across the
-        # cluster (guide: repartition immediately after an
-        # unsplittable read)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
+    # the documents table is one parquet file -> one scan partition;
+    # spread the Python encode/decode stage with a width derived from
+    # the row count (guide §2.6, cost-aware per VERDICT r12 #2)
+    docs = spread(docs, rows_per_task=_DECODE_ROWS_PER_TASK)
 
     def build(it):
         import pandas as pd
@@ -1471,12 +1479,11 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 5 == 1)
         .select("doc_id")
-        # the documents table is one parquet file -> one scan
-        # partition; spread the Python encode/decode stage across the
-        # cluster (guide: repartition immediately after an
-        # unsplittable read)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
+    # the documents table is one parquet file -> one scan partition;
+    # spread the Python encode/decode stage with a width derived from
+    # the row count (guide §2.6, cost-aware per VERDICT r12 #2)
+    docs = spread(docs, rows_per_task=_DECODE_ROWS_PER_TASK)
 
     def build(it):
         import pandas as pd

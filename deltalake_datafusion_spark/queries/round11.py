@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from deltalake_datafusion_spark.operators.partitioning import spread
 from deltalake_datafusion_spark.queries import QuerySpec, load_tables
+from deltalake_datafusion_spark.queries.round10 import (
+    _DECODE_ROWS_PER_TASK,
+)
 
 
 def specs() -> list[QuerySpec]:
@@ -233,8 +237,10 @@ def multimodal_png_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 6 == 5)
         .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
+    # cost-aware fan-out (guide §2.6, VERDICT r12 #2): width from the
+    # row count, capped at the session parallelism
+    docs = spread(docs, rows_per_task=_DECODE_ROWS_PER_TASK)
 
     def build(it):
         import pandas as pd
@@ -348,11 +354,10 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents")["documents"]
         .filter(F.col("doc_id") % 8 == 6)
         .select("doc_id")
-        # the doc-id frame is a single parquet split; spread the
-        # fixture build + decode across the cluster (the shuffle
-        # moves only 8-byte ids)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
+    # cost-aware fan-out (guide §2.6, VERDICT r12 #2): width from the
+    # row count, capped at the session parallelism
+    docs = spread(docs, rows_per_task=_DECODE_ROWS_PER_TASK)
 
     def build(it):
         import pandas as pd
