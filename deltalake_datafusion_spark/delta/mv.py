@@ -291,7 +291,9 @@ def apply_change_deltas(
         **{_sum_col(c): f"s.d_{c}" for c in sum_cols},
         **{_cnt_col(c): f"s.dc_{c}" for c in sum_cols},
     }
-    deltas = deltas.localCheckpoint(eager=True)  # one CDF read, reused
+    # one CDF read, reused; lazy: the count materializes it in the
+    # same job instead of a separate eager materialization job
+    deltas = deltas.localCheckpoint(eager=False)
     n_groups = deltas.count()
     guards = (
         [{"appId": MV_TXN_APP, "applied": applied_watermark,
@@ -440,7 +442,10 @@ def streaming_refresh_aggregate_mv(
             fresh = batch_df.filter(
                 F.col("_commit_version") > F.lit(applied)
             )
-            fresh = fresh.localCheckpoint(eager=True)
+            # lazy checkpoint: the watermark aggregate right below
+            # materializes it in the SAME job (eager cost a separate
+            # job per micro-batch)
+            fresh = fresh.localCheckpoint(eager=False)
             hi = fresh.agg(
                 F.max("_commit_version").alias("v")
             ).collect()[0]["v"]
@@ -505,7 +510,10 @@ def streaming_refresh_minmax_mv(
             fresh = batch_df.filter(
                 F.col("_commit_version") > F.lit(applied)
             )
-            fresh = fresh.localCheckpoint(eager=True)
+            # lazy checkpoint: the watermark aggregate right below
+            # materializes it in the SAME job (eager cost a separate
+            # job per micro-batch)
+            fresh = fresh.localCheckpoint(eager=False)
             hi = fresh.agg(
                 F.max("_commit_version").alias("v")
             ).collect()[0]["v"]
@@ -790,7 +798,9 @@ def _apply_minmax_change_rows(
             ],
             F.max((~is_ins).cast("int")).alias("__saw_delete"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: the count right below materializes the
+        # checkpoint in the same job
+        .localCheckpoint(eager=False)
     )
     n_groups = deltas.count()
     if n_groups == 0:

@@ -543,7 +543,10 @@ def _merge_signed_rows(
     for c in sum_cols:
         changed = changed | (F.col(f"d_{c}") != 0)
         changed = changed | (F.col(f"dc_{c}") != 0)
-    deltas = deltas.filter(changed).localCheckpoint(eager=True)
+    # lazy: the count right below materializes the checkpoint in
+    # the SAME job (eager cost a separate materialization job
+    # per refresh — guide §1.2, fewer driver round-trips)
+    deltas = deltas.filter(changed).localCheckpoint(eager=False)
     n_groups = deltas.count()
     if n_groups == 0:
         _advance_txns_only(spark, mv_path, txns, guards=guards)
@@ -646,7 +649,10 @@ def _merge_signed_rows_minmax(
     for c in sum_cols:
         changed = changed | (F.col(f"d_{c}") != 0)
         changed = changed | (F.col(f"dc_{c}") != 0)
-    deltas = deltas.filter(changed).localCheckpoint(eager=True)
+    # lazy: the count right below materializes the checkpoint in
+    # the SAME job (eager cost a separate materialization job
+    # per refresh — guide §1.2, fewer driver round-trips)
+    deltas = deltas.filter(changed).localCheckpoint(eager=False)
     n_groups = deltas.count()
     if n_groups == 0:
         _advance_txns_only(spark, mv_path, txns, guards=guards)

@@ -1415,17 +1415,42 @@ def _merge_attempt(
     matched = matched.persist()
     if _pins is not None:
         _pins.append(matched)
+    # Strict merges fold the cardinality check INTO the touched-file
+    # collect: one O(files)-row aggregation (a file with more matched
+    # rows than distinct matched row_indexes holds a duplicate)
+    # replaces the pre-r13 two sequential collects (guide §1.2).
+    # Non-strict merges keep the cheaper single-shuffle distinct, and
+    # by-source merges need no file list at all (touched = all files).
+    _bs_active = bool(bs_clauses)
     if strict:
-        # ANSI/Delta MERGE cardinality check: one aggregation over the
-        # match keys, short-circuited with limit(1) — O(matches), no
-        # extra scan of the target data.
-        dup = (
-            matched.groupBy("__file_path", "__row_index")
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
+        _per_file = (
+            matched.groupBy("__file_path")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.countDistinct("__row_index").alias("__nd"),
+            )
             .collect()
         )
+        _touched_abs = [r["__file_path"] for r in _per_file]
+    elif not _bs_active:
+        _touched_abs = [
+            r["__file_path"]
+            for r in matched.select("__file_path").distinct().collect()
+        ]
+    else:
+        _touched_abs = []
+    if strict:
+        dup = None
+        if any(r["__n"] > r["__nd"] for r in _per_file):
+            # violation path only: re-query for a specific duplicate
+            # so the error message stays as informative as before
+            dup = (
+                matched.groupBy("__file_path", "__row_index")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
         if dup:
             matched.unpersist()
             if _src_persisted_here:
@@ -1437,7 +1462,6 @@ def _merge_attempt(
                 "deduplicate the source or run with strict=False"
             )
 
-    touched_paths = matched.select("__file_path").distinct()
     bs_active = bool(bs_clauses)
     for _cl in bs_clauses:
         import re as _re0
@@ -1461,8 +1485,7 @@ def _merge_attempt(
         touched = list(all_files)
     else:
         touched_files = [
-            _relativize(r["__file_path"], snap.table_path)
-            for r in touched_paths.collect()
+            _relativize(p, snap.table_path) for p in _touched_abs
         ]
         by_path = {f.path: f for f in all_files}
         touched = [by_path[p] for p in touched_files]
@@ -1514,7 +1537,11 @@ def _merge_attempt(
         if bs_active:
             tf = target
         else:
-            tf = target.join(touched_paths, "__file_path", "left_semi")
+            tf = target.join(
+                matched.select("__file_path").distinct(),
+                "__file_path",
+                "left_semi",
+            )
         m = matched.select(
             "__file_path", "__row_index", "__s___matched",
             *[f"__s_{c}" for c in source.columns],
