@@ -72,6 +72,16 @@ def _configure(spark: SparkSession) -> SparkSession:
     except Exception:
         pass
     try:
+        # perf-only: Delta scans pass exact leaf-file lists, so the
+        # 32-path cutoff's distributed listing job is pure overhead
+        # (see session.get_spark)
+        spark.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LISTING_JOB_THRESHOLD", "10000"),
+        )
+    except Exception:
+        pass
+    try:
         _ship_package(spark)
     except Exception:
         pass  # already importable via the driver's own PYTHONPATH

@@ -1509,13 +1509,22 @@ def repeated_kgram_profile(
             .alias("h"),
         )
     )
-    multi_doc = (
-        grams.groupBy("h")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h")
+    # "shared with another document" ⟺ the gram's h-group spans >1
+    # distinct id ⟺ min(id) != max(id) over the group. A window over h
+    # computes that in the SAME pass that shuffles the grams — one
+    # exchange, gram expansion (the md5 pipeline) evaluated ONCE. The
+    # r12 shape (groupBy-countDistinct + left_semi back onto grams)
+    # re-ran the whole expansion subtree per consumer and shuffled the
+    # gram rows twice (measured: two 33-task jobs of 2.3-2.7 s each at
+    # local[32] — guide §2.4, shared exchange instead of shared
+    # subtree).
+    w_h = Window.partitionBy("h")
+    rep = (
+        grams.withColumn("__mn", F.min(id_col).over(w_h))
+        .withColumn("__mx", F.max(id_col).over(w_h))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .drop("__mn", "__mx")
     )
-    rep = grams.join(multi_doc, "h", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     covered = (
         rep.withColumn("nxt", F.lead("pos").over(w))

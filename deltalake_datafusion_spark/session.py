@@ -75,6 +75,19 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Delta scans pass the EXACT leaf-file list from the log (no
+        # directory recursion), so the default 32-path cutoff launches
+        # a whole Spark job just to re-stat files whose sizes the log
+        # already records — one redundant job on every read of a
+        # >32-file table (observed: 137-task listing job per
+        # delta_zorder_multi read). Raising the cutoff lists serially
+        # driver-side (one stat per file — trivial on local/HDFS; for
+        # object-store deployments with >10k-file tables, lower it
+        # back via this env var).
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LISTING_JOB_THRESHOLD", "10000"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
