@@ -40,6 +40,7 @@ import random
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from deltalake_datafusion_spark.delta.smalldf import local_rows_df as _local_rows_df
 
 # 2^31-1: keeps h*a+b inside int64 under ANSI arithmetic (h,a,b < 2^31)
 MERSENNE_PRIME = (1 << 31) - 1
@@ -882,7 +883,8 @@ def _semantic_assign_two_level(
         base.orderBy("id").limit(k)
         .withColumn("seed_idx", (F.row_number().over(w_seed) - 1))
     )
-    anchors = spark.createDataFrame(
+    anchors = _local_rows_df(
+        spark,
         [
             (i, c)
             for i, c in enumerate(

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from deltalake_datafusion_spark.delta.smalldf import local_rows_df as _local_rows_df
 
 # First 8 hex chars of md5 → uniform 32-bit fraction in [0, 1).
 _HASH_DENOM = float(1 << 32)
@@ -195,7 +196,8 @@ def domain_mixture(
     )
 
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
+    wdf = _local_rows_df(
+        spark,
         [(d, float(w)) for d, w in weights.items()],
         f"{domain_col} string, weight double",
     )

@@ -27,6 +27,7 @@ import random
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from deltalake_datafusion_spark.delta.smalldf import local_rows_df as _local_rows_df
 
 
 def _dot(a, b):
@@ -274,7 +275,8 @@ def ivf_topk(
         centroids = _kmeans_anchors(
             corpus, n_lists, id_col, vec_col, seed=seed
         )
-        anchors = spark.createDataFrame(
+        anchors = _local_rows_df(
+            spark,
             [(i, c) for i, c in enumerate(centroids)],
             "list_id int, avec array<double>",
         )

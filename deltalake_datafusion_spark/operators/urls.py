@@ -241,9 +241,23 @@ def domain_mirror_pairs(
     paths = keyed.select(
         "domain", url_path(F.col(url_col)).alias("__path")
     ).distinct()
+    # One row per registered domain — the pipeline's designed collapse
+    # point. It feeds FOUR differently-projected consumers (signature,
+    # both verification sides, the name/size join); the differing
+    # column pruning gives each consumer its own exchange, so AQE
+    # reuse never shares the PSL-keying + distinct + collect_set
+    # subtree, and the consumers are CONCURRENT broadcast futures that
+    # race a cold cache (measured: five ~32-task repeats per query at
+    # local[32], unchanged by a lazy persist). Eager fill is therefore
+    # justified here — unlike r12's setjoin case, where AQE reuse
+    # already shared the exchange and the eager count was pure cost
+    # (guide §5).
+    from pyspark import StorageLevel
+
     sets_ = paths.groupBy("domain").agg(
         F.collect_set(F.xxhash64("__path")).alias("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sets_.count()
     hsh = sets_.select(F.xxhash64("domain").alias("id"), "sh")
     names = sets_.select(
         F.xxhash64("domain").alias("id"),

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deltalake_datafusion_spark.queries import QuerySpec, load_tables
+from deltalake_datafusion_spark.delta.smalldf import local_rows_df as _local_rows_df
 
 # ---------------------------------------------------------------- #
 # q_bfs_hops                                                        #
@@ -934,7 +935,7 @@ def pipe_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         docs.select((d % 50).alias("src"), (50 + d % 10).alias("dst"))
     )
-    seeds = spark.createDataFrame([(s,) for s in PPR_SEEDS], "node long")
+    seeds = _local_rows_df(spark, [(s,) for s in PPR_SEEDS], "node long")
     ranks = personalized_pagerank_integer(
         edges,
         seeds,
@@ -2050,8 +2051,8 @@ def delta_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(f.size),
             )
         )
-    prof = spark.createDataFrame(
-        rows, "c_mktsegment string, n_rows long, n_bytes long"
+    prof = _local_rows_df(
+        spark, rows, "c_mktsegment string, n_rows long, n_bytes long"
     )
     return (
         prof.groupBy("c_mktsegment")
@@ -2105,7 +2106,8 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fresh_dir("latedrop", sf_dir)
 
     def bump(eid: int, ts: str):
-        return spark.createDataFrame(
+        return _local_rows_df(
+            spark,
             [(eid, ts, "view")],
             "event_id long, ts string, event_type string",
         ).select(

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deltalake_datafusion_spark.queries import QuerySpec, load_tables
+from deltalake_datafusion_spark.delta.smalldf import local_rows_df as _local_rows_df
 
 # ---------------------------------------------------------------- helpers
 
@@ -792,7 +793,8 @@ ORDER BY kind
 def q_values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inline VALUES relation joined against a table (broadcast)."""
     t = load_tables(spark, sf_dir, "orders")
-    weights = spark.createDataFrame(
+    weights = _local_rows_df(
+        spark,
         [
             ("1-URGENT", 5),
             ("2-HIGH", 4),

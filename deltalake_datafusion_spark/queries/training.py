@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from deltalake_datafusion_spark.queries import QuerySpec, load_tables
 from deltalake_datafusion_spark.queries.pipeline import _WORDS
+from deltalake_datafusion_spark.delta.smalldf import local_rows_df as _local_rows_df
 
 _WORK = "/tmp/ddl_spark_training"
 
@@ -698,8 +699,9 @@ def delta_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in snap.files:
         k = f.partition_values.get("o_orderstatus")
         counts[k] = counts.get(k, 0) + 1
-    files_df = spark.createDataFrame(
-        sorted(counts.items()), "o_orderstatus string, files_after long"
+    files_df = _local_rows_df(
+        spark, sorted(counts.items()),
+        "o_orderstatus string, files_after long",
     )
     from deltalake_datafusion_spark.delta.scan import read_delta
 
@@ -1535,7 +1537,8 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_datafusion_spark.operators.retrieval import bm25_topk
 
     t = load_tables(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
+    queries = _local_rows_df(
+        spark,
         [
             (0, "spark window aggregation"),
             (1, "hash join merge table"),
@@ -2330,8 +2333,9 @@ def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    lex_q = spark.createDataFrame(
-        [(0, "customer order sort key")], "query_id int, query_text string"
+    lex_q = _local_rows_df(
+        spark, [(0, "customer order sort key")],
+        "query_id int, query_text string",
     )
     lex = bm25_topk(docs, lex_q, k=30, score_round=6)
     dense_q = emb.filter(F.col("vec_id") == 7).select(
