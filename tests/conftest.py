@@ -11,6 +11,24 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# Tier marking (see pytest.ini): tests listed in slow_tests.txt —
+# measured >= 3 s each on the reference box — get the `slow` marker so
+# the default run (`-m "not slow"`) finishes inside the verification
+# budget. Parametrized cases inherit their function's tier.
+_SLOW_LIST = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        with open(_SLOW_LIST) as fh:
+            slow = {ln.strip() for ln in fh if ln.strip()}
+    except OSError:
+        return
+    for item in items:
+        base = item.nodeid.split("/")[-1].split("[", 1)[0]
+        if base in slow:
+            item.add_marker(pytest.mark.slow)
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
